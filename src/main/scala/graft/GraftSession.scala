@@ -1,0 +1,63 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Session factory for the graft engine.
+  *
+  * Centralizes the session options the engine's semantics rely on, so every
+  * entry point (Verify, Bench, tests, user code) runs under the same contract:
+  *
+  *  - `spark.sql.mapKeyDedupPolicy=LAST_WIN`: the reference's `m_add` map-union
+  *    lets later maps overwrite earlier keys (reference:
+  *    data-process/hive-udfs/src/main/java/com/thenetcircle/service/data/hive/udf/commons/UDFMapAdd.java:45-62).
+  *    Spark's default for duplicate map keys is EXCEPTION; LAST_WIN restores the
+  *    reference semantics for `map_concat`-based `m_add`.
+  *  - UTC session time zone: deterministic timestamp <-> date/epoch conversions
+  *    regardless of host zone (the oracle compares against DuckDB, which is
+  *    zone-naive).
+  *  - AQE on: runtime coalescing of shuffle partitions, skew-join splitting and
+  *    broadcast conversion — the knobs the reference tuned by hand in Hive
+  *    (reference: data-process/spark-process/configs/configs.properties:6-11)
+  *    are Catalyst/AQE defaults here.
+  *  - shuffle partitions sized for the local test harness via
+  *    `SPARK_GRAFT_CPUS`; on a real cluster this is overridden by AQE +
+  *    deploy-time conf, not hardcoded.
+  */
+object GraftSession {
+
+  def builder(appName: String = "graft"): SparkSession.Builder = {
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    SparkSession
+      .builder()
+      .appName(appName)
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.mapKeyDedupPolicy", "LAST_WIN")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      .config("spark.ui.enabled", "false")
+  }
+
+  /** Local session for tests and CLI mains. */
+  def local(appName: String = "graft"): SparkSession = {
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = builder(appName).master(s"local[$cpus]").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    configure(spark)
+    spark
+  }
+
+  /** Applies engine session settings + function registrations to an existing
+    * session (e.g. the one the driver's Verify/Bench mains build). Idempotent.
+    */
+  def configure(spark: SparkSession): SparkSession = {
+    spark.conf.set("spark.sql.mapKeyDedupPolicy", "LAST_WIN")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    // The driver's events.parquet carries TIMESTAMP(NANOS); Spark has no
+    // nanosecond timestamp type, so read it as BIGINT nanoseconds and
+    // convert explicitly where needed (see queries.T.eventsWithTs).
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    graft.functions.GraftFunctions.registerAll(spark)
+    spark
+  }
+}

@@ -1,13 +1,39 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.queries.Q
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  * Aggregates every implemented operator's query + oracle from the
+  * graft.queries.* registries; wraps each query so the (driver-built)
+  * session gets the engine's session contract (LAST_WIN map dedup, UTC,
+  * registered functions) before the plan is built.
+  */
 object SparkEntry {
+
+  def allQueries: Seq[Q] =
+    graft.queries.Relational.all ++
+      graft.queries.Pipeline.all ++
+      graft.queries.Connectors.all
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
-  def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+  def entry(spark: SparkSession): DataFrame = {
+    GraftSession.configure(spark)
+    graft.queries.Relational.q02RevenueByNation(spark, "/root/testdata/sf0.001")
+  }
+
+  /** One per implemented operator from SURVEY.md §2. */
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    allQueries.map { q =>
+      q.name -> { (s: SparkSession, dir: String) =>
+        GraftSession.configure(s)
+        q.fn(s, dir)
+      }
+    }.toMap
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    * the same parquet tables. Omitted for non-SQL-expressible ops.
+    */
+  def oracleSql: Map[String, String] =
+    allQueries.flatMap(q => q.oracle.map(q.name -> _)).toMap
 }

@@ -1,0 +1,86 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.expressions.{Expression, Literal, MapConcat}
+import org.apache.spark.sql.catalyst.expressions.aggregate.MaxBy
+import org.apache.spark.sql.types.{MapType, StringType}
+
+/** SQL-callable function surface mirroring the reference's registered names
+  * (reference: data-process/hive-udfs/src/main/resources/setup.sql), rebuilt as
+  * Catalyst expression builders — not Scala UDFs — so every call stays inside
+  * whole-stage codegen.
+  *
+  * Built-in coverage (no registration needed, Spark ships the exact name):
+  *  - `url_encode` / `url_decode` (reference: hive-udfs/.../http/UDFUrlEncoder.java:26)
+  *    are native Spark SQL functions since 3.4.
+  */
+object GraftFunctions {
+
+  /** 2^32-adjacent prime for the MinHash universal hash family
+    * ((a*h + b) mod P with h < 2^32, a,b < 2^31 stays inside signed 64-bit).
+    */
+  val MinHashPrime: Long = 4294967311L
+
+  /** Reference defaults for Kafka clients, as plain config maps.
+    * (reference: hive-udfs/.../kafka/KafkaHelper.java:81-115 — consumer:
+    * auto-commit off, earliest reset, 1000-record polls; producer: gzip.)
+    */
+  val kafkaConsumerDefaults: Map[String, String] = Map(
+    "enable.auto.commit" -> "false",
+    "auto.offset.reset" -> "earliest",
+    "max.poll.records" -> "1000",
+    "max.partition.fetch.bytes" -> (2 * 1024 * 1024).toString
+  )
+  val kafkaProducerDefaults: Map[String, String] = Map(
+    "compression.type" -> "gzip",
+    "acks" -> "all",
+    "request.timeout.ms" -> "1000"
+  )
+
+  private def constMap(m: Map[String, String]): Expression =
+    Literal.create(m, MapType(StringType, StringType))
+
+  /** Registers the reference-surface SQL functions on `spark`. Idempotent. */
+  def registerAll(spark: SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+
+    // m_add(map, map, ...) — map union, later args overwrite earlier keys.
+    // Same plan as built-in map_concat; LAST_WIN semantics come from
+    // spark.sql.mapKeyDedupPolicy pinned in GraftSession (reference:
+    // hive-udfs/.../commons/UDFMapAdd.java:45-62 silently last-wins).
+    reg.createOrReplaceTempFunction("m_add", exprs => MapConcat(exprs), "built-in")
+
+    // max_with(sortKey, data) — argmax, i.e. built-in max_by with swapped args
+    // (reference: hive-udfs/.../commons/UDAFCmpBase.java:27-223 — 224 lines of
+    // partial/final UDAF machinery collapse into the MaxBy expression, which
+    // already does partial aggregation map-side).
+    reg.createOrReplaceTempFunction(
+      "max_with",
+      exprs => MaxBy(exprs(1), exprs(0)),
+      "built-in")
+
+    // cfgs([regex]) — session-conf lookup as map<string,string>
+    // (reference: hive-udfs/.../commons/UDFCfgs.java:24 — a stub there; real here).
+    // The regex must be a literal, mirroring the reference's
+    // ConstantObjectInspector enforcement (UDFHelper.java:247-266).
+    reg.createOrReplaceTempFunction(
+      "cfgs",
+      exprs => {
+        val re = exprs.headOption.map { e =>
+          require(e.foldable, "cfgs() pattern must be a constant")
+          String.valueOf(e.eval())
+        }.getOrElse(".*")
+        val snapshot = spark.conf.getAll.filter { case (k, _) => k.matches(re) }
+        constMap(snapshot)
+      },
+      "built-in")
+
+    // kf_consumer_cfgs() / kf_producer_cfgs() — constant default config maps
+    // (reference: hive-udfs/.../kafka/UDFKafkaDefaultConsumerCfgs.java:17,
+    //  UDFKafkaDefaultProducerCfgs.java:17).
+    reg.createOrReplaceTempFunction(
+      "kf_consumer_cfgs", _ => constMap(kafkaConsumerDefaults), "built-in")
+    reg.createOrReplaceTempFunction(
+      "kf_producer_cfgs", _ => constMap(kafkaProducerDefaults), "built-in")
+  }
+}

@@ -1,0 +1,129 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis column functions for large-scale training-data pipelines.
+  *
+  * Everything here composes built-in (whole-stage-codegen'd) expressions —
+  * no Scala UDFs — so the hot path stays inside Tungsten and the same logic
+  * is expressible as ANSI SQL for the DuckDB oracle. Content hashing uses
+  * md5 (identical across engines) folded to 60-bit / 32-bit integers.
+  */
+object TextFunctions {
+
+  /** Whitespace tokens. `split` on \s+ after trim; empty string → empty array. */
+  def tokensWs(c: Column): Column =
+    when(length(trim(c)) === 0, array().cast("array<string>"))
+      .otherwise(split(trim(c), "\\s+"))
+
+  /** Whitespace token count. */
+  def tokenCountWs(c: Column): Column = size(tokensWs(c))
+
+  /** BPE-ish tokenization: letter runs, digit runs, single non-space symbols.
+    * A cheap stand-in for subword tokenizers when estimating token budgets.
+    */
+  val BpeLikePattern = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"
+
+  def tokenCountBpe(c: Column): Column =
+    size(regexp_extract_all(c, lit(BpeLikePattern), lit(0)))
+
+  /** Ratio of punctuation/symbol characters to total characters (0 when empty). */
+  def punctRatio(c: Column): Column = {
+    val punct = size(regexp_extract_all(c, lit("[^A-Za-z0-9\\s]"), lit(0)))
+    when(length(c) === 0, lit(0.0))
+      .otherwise(punct.cast("double") / length(c).cast("double"))
+  }
+
+  /** English-ish stopwords; used for both quality scoring and lang-id. */
+  val StopwordsEn: Seq[String] = Seq(
+    "the", "a", "an", "and", "or", "of", "to", "in", "is", "it",
+    "for", "on", "with", "as", "by", "at", "from")
+  val StopwordsDe: Seq[String] = Seq(
+    "der", "die", "das", "und", "oder", "von", "zu", "im", "ist", "es",
+    "für", "auf", "mit", "als", "bei", "aus", "ein")
+  val StopwordsEs: Seq[String] = Seq(
+    "el", "la", "los", "las", "y", "o", "de", "a", "en", "es",
+    "por", "con", "como", "para", "del", "un", "una")
+  val StopwordsFr: Seq[String] = Seq(
+    "le", "la", "les", "et", "ou", "de", "à", "en", "est", "il",
+    "pour", "sur", "avec", "comme", "par", "un", "une")
+
+  /** Count of tokens contained in `words` (with multiplicity). */
+  def tokenHits(tokens: Column, words: Seq[String]): Column =
+    size(filter(tokens, t => array_contains(lit(words.toArray), t)))
+
+  /** Stopword ratio over whitespace tokens (English list), 0 when no tokens. */
+  def stopwordRatio(c: Column): Column = {
+    val toks = tokensWs(c)
+    when(size(toks) === 0, lit(0.0))
+      .otherwise(tokenHits(toks, StopwordsEn).cast("double") / size(toks).cast("double"))
+  }
+
+  /** Mean whitespace-token length, 0 when no tokens. Exact int/int division. */
+  def meanTokenLen(c: Column): Column = {
+    val toks = tokensWs(c)
+    when(size(toks) === 0, lit(0.0))
+      .otherwise(
+        aggregate(toks, lit(0L), (acc, t) => acc + length(t)).cast("double") /
+          size(toks).cast("double"))
+  }
+
+  /** Composite quality score in [0,1]: rewards stopword presence and sane
+    * token lengths, penalizes symbol soup. Deterministic double arithmetic
+    * from exact integer ratios.
+    */
+  def qualityScore(c: Column): Column = {
+    val sw = stopwordRatio(c)
+    val pr = punctRatio(c)
+    val mtl = meanTokenLen(c)
+    val lenOk = when(mtl >= 3.0 && mtl <= 10.0, lit(1.0)).otherwise(lit(0.0))
+    least(lit(1.0), greatest(lit(0.0),
+      lit(0.4) * least(lit(1.0), sw * 4.0) + lit(0.3) * lenOk + lit(0.3) * (lit(1.0) - pr)))
+  }
+
+  /** Heuristic language id: stopword-hit counts per language over whitespace
+    * tokens; argmax with fixed precedence (en > de > es > fr > und on ties).
+    */
+  def langId(c: Column): Column = {
+    val toks = tokensWs(c)
+    val en = tokenHits(toks, StopwordsEn)
+    val de = tokenHits(toks, StopwordsDe)
+    val es = tokenHits(toks, StopwordsEs)
+    val fr = tokenHits(toks, StopwordsFr)
+    val best = greatest(en, de, es, fr)
+    when(best === 0, lit("und"))
+      .when(en === best, lit("en"))
+      .when(de === best, lit("de"))
+      .when(es === best, lit("es"))
+      .otherwise(lit("fr"))
+  }
+
+  /** 60-bit content fingerprint: first 15 hex digits of md5, as BIGINT.
+    * Stable across engines (md5 is md5 everywhere), collision-safe enough
+    * for dedup bucketing at 100 TB (~2^30 docs vs 2^60 space).
+    */
+  def fingerprint64(c: Column): Column =
+    conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+
+  /** 32-bit content hash (first 8 hex digits of md5) — the `h` fed to the
+    * MinHash universal family, kept < 2^32 so (a*h+b) stays in signed 64-bit.
+    */
+  def hash32(c: Column): Column =
+    conv(substring(md5(c), 1, 8), 16, 10).cast("long")
+
+  /** Word k-shingles joined by a single space: ["a b c", "b c d", ...].
+    * Documents shorter than k words yield a single shingle of the whole text,
+    * so short docs still participate in dedup.
+    */
+  def wordShingles(c: Column, k: Int): Column = {
+    val toks = tokensWs(c)
+    val n = size(toks)
+    when(n < k, array(concat_ws(" ", toks)))
+      .otherwise(
+        transform(sequence(lit(0), n - k), i => concat_ws(" ", slice(toks, i + 1, lit(k)))))
+  }
+
+  /** Distinct word k-shingles (set semantics for Jaccard). */
+  def wordShingleSet(c: Column, k: Int): Column = array_distinct(wordShingles(c, k))
+}

@@ -1,0 +1,406 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** The delegated relational surface (SURVEY.md §2B): scans, joins, aggregates,
+  * windows, rollup, set ops, string/date/JSON functions, explode — all Spark
+  * built-ins, declared as DataFrame plans so Catalyst handles pushdown,
+  * partial aggregation and join strategy.
+  *
+  * Determinism contract for the DuckDB oracle:
+  *  - money/quantity arithmetic goes through DECIMAL casts (exact in both
+  *    engines), converted to DOUBLE only at the end;
+  *  - timestamps leave the query as DATE or epoch integers (never raw
+  *    timestamps — engines disagree on tz adjustment metadata);
+  *  - every result is fully ordered with a unique tiebreak.
+  */
+object Relational {
+
+  private val dec = "decimal(12,2)"
+  private val dec4 = "decimal(4,2)"
+
+  /** TPC-H Q1-style pricing summary. Single scan, partial agg map-side. */
+  def q01PricingSummary(s: SparkSession, dir: String): DataFrame = {
+    val li = T(s, dir, "lineitem")
+    li.filter(col("l_shipdate") <= lit("2001-09-01").cast("timestamp"))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        sum(col("l_quantity").cast(dec)).cast("double").as("sum_qty"),
+        sum(col("l_extendedprice").cast(dec)).cast("double").as("sum_base_price"),
+        sum(col("l_extendedprice").cast(dec) *
+          (lit(1).cast(dec4) - col("l_discount").cast(dec4))).cast("double").as("sum_disc_price"),
+        sum(col("l_extendedprice").cast(dec) *
+          (lit(1).cast(dec4) - col("l_discount").cast(dec4)) *
+          (lit(1).cast(dec4) + col("l_tax").cast(dec4))).cast("double").as("sum_charge"),
+        (sum(col("l_quantity").cast(dec)).cast("double") / count(lit(1))).as("avg_qty"),
+        count(lit(1)).as("count_order"))
+      .orderBy("l_returnflag", "l_linestatus")
+  }
+
+  val q01Oracle: String =
+    """SELECT l_returnflag, l_linestatus,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_base_price,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS sum_disc_price,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2))) * (CAST(1 AS DECIMAL(4,2)) + CAST(l_tax AS DECIMAL(4,2)))) AS DOUBLE) AS sum_charge,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*) AS avg_qty,
+      |  COUNT(*) AS count_order
+      |FROM lineitem
+      |WHERE l_shipdate <= TIMESTAMP '2001-09-01'
+      |GROUP BY l_returnflag, l_linestatus
+      |ORDER BY l_returnflag, l_linestatus""".stripMargin
+
+  /** TPC-H Q5-style revenue by nation: 6-way join with broadcast dims.
+    * region/nation are tiny → broadcast; customer/supplier co-partition on
+    * nationkey only after the fact-side shuffle on orderkey — at 100 TB the
+    * lineitem⋈orders join shuffles on orderkey once and AQE handles skew.
+    */
+  def q02RevenueByNation(s: SparkSession, dir: String): DataFrame = {
+    val li = T(s, dir, "lineitem")
+    val o = T(s, dir, "orders")
+      .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("o_orderdate") < lit("1999-01-01").cast("timestamp"))
+    val c = T(s, dir, "customer")
+    val sup = T(s, dir, "supplier")
+    val n = T(s, dir, "nation")
+    val r = T(s, dir, "region").filter(col("r_name") === "ASIA")
+
+    li.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(sup, col("l_suppkey") === col("s_suppkey"))
+      .join(c, col("o_custkey") === col("c_custkey") &&
+        col("c_nationkey") === col("s_nationkey"))
+      .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("n_name"))
+      .agg(sum(col("l_extendedprice").cast(dec) *
+        (lit(1).cast(dec4) - col("l_discount").cast(dec4))).cast("double").as("revenue"))
+      .orderBy(col("revenue").desc, col("n_name"))
+  }
+
+  val q02Oracle: String =
+    """SELECT n_name,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue
+      |FROM lineitem
+      |JOIN orders ON l_orderkey = o_orderkey
+      |JOIN supplier ON l_suppkey = s_suppkey
+      |JOIN customer ON o_custkey = c_custkey AND c_nationkey = s_nationkey
+      |JOIN nation ON s_nationkey = n_nationkey
+      |JOIN region ON n_regionkey = r_regionkey
+      |WHERE r_name = 'ASIA'
+      |  AND o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1999-01-01'
+      |GROUP BY n_name
+      |ORDER BY revenue DESC, n_name""".stripMargin
+
+  /** TPC-H Q3-style top-10 orders by revenue (TakeOrderedAndProject top-k). */
+  def q03TopOrders(s: SparkSession, dir: String): DataFrame = {
+    val c = T(s, dir, "customer").filter(col("c_mktsegment") === "FURNITURE")
+    val o = T(s, dir, "orders")
+      .filter(col("o_orderdate") < lit("1999-06-01").cast("timestamp"))
+    val li = T(s, dir, "lineitem")
+      .filter(col("l_shipdate") > lit("1999-06-01").cast("timestamp"))
+    li.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(c, col("o_custkey") === col("c_custkey"))
+      .groupBy(col("o_orderkey"), col("o_orderdate"))
+      .agg(sum(col("l_extendedprice").cast(dec) *
+        (lit(1).cast(dec4) - col("l_discount").cast(dec4))).cast("double").as("revenue"))
+      .select(col("o_orderkey"), col("o_orderdate").cast("date").as("o_orderdate"),
+        col("revenue"))
+      .orderBy(col("revenue").desc, col("o_orderkey"))
+      .limit(10)
+  }
+
+  val q03Oracle: String =
+    """SELECT o_orderkey, CAST(o_orderdate AS DATE) AS o_orderdate,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue
+      |FROM lineitem
+      |JOIN orders ON l_orderkey = o_orderkey
+      |JOIN customer ON o_custkey = c_custkey
+      |WHERE c_mktsegment = 'FURNITURE'
+      |  AND o_orderdate < TIMESTAMP '1999-06-01'
+      |  AND l_shipdate > TIMESTAMP '1999-06-01'
+      |GROUP BY o_orderkey, o_orderdate
+      |ORDER BY revenue DESC, o_orderkey
+      |LIMIT 10""".stripMargin
+
+  /** TPC-H Q4-style: order priority counts with EXISTS (left-semi join). */
+  def q04OrderPriority(s: SparkSession, dir: String): DataFrame = {
+    val o = T(s, dir, "orders")
+    val li = T(s, dir, "lineitem").select(col("l_orderkey"), col("l_shipdate"))
+    o.join(li, col("o_orderkey") === col("l_orderkey") &&
+        col("l_shipdate") > col("o_orderdate"), "left_semi")
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("order_count"))
+      .orderBy(col("o_orderpriority"))
+  }
+
+  val q04Oracle: String =
+    """SELECT o_orderpriority, COUNT(*) AS order_count
+      |FROM orders
+      |WHERE EXISTS (SELECT 1 FROM lineitem
+      |              WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate)
+      |GROUP BY o_orderpriority
+      |ORDER BY o_orderpriority""".stripMargin
+
+  /** Window functions: per-customer order rank + running total (decimal-exact). */
+  def q05WindowRank(s: SparkSession, dir: String): DataFrame = {
+    val o = T(s, dir, "orders")
+    val byPrice = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    val byDate = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    o.select(
+        col("o_custkey"), col("o_orderkey"),
+        row_number().over(byPrice).as("rn"),
+        sum(col("o_totalprice").cast(dec)).over(byDate).cast("double").as("running_spend"))
+      .filter(col("rn") <= 3)
+      .orderBy(col("o_custkey"), col("rn"))
+  }
+
+  val q05Oracle: String =
+    """SELECT o_custkey, o_orderkey, rn, running_spend FROM (
+      |  SELECT o_custkey, o_orderkey,
+      |    CAST(ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS INTEGER) AS rn,
+      |    CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_spend
+      |  FROM orders) t
+      |WHERE rn <= 3
+      |ORDER BY o_custkey, rn""".stripMargin
+
+  /** ROLLUP over region/nation with grouping level. */
+  def q06Rollup(s: SparkSession, dir: String): DataFrame = {
+    val c = T(s, dir, "customer")
+    val n = T(s, dir, "nation")
+    val r = T(s, dir, "region")
+    c.join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+      .rollup(col("r_name"), col("n_name"))
+      .agg(
+        sum(col("c_acctbal").cast(dec)).cast("double").as("total_bal"),
+        count(lit(1)).as("n_cust"),
+        (grouping(col("r_name")) * 2 + grouping(col("n_name"))).cast("int").as("lvl"))
+      .select(
+        coalesce(col("r_name"), lit("ALL")).as("region"),
+        coalesce(col("n_name"), lit("ALL")).as("nation"),
+        col("total_bal"), col("n_cust"), col("lvl"))
+      .orderBy(col("lvl"), col("region"), col("nation"))
+  }
+
+  val q06Oracle: String =
+    """SELECT COALESCE(r_name, 'ALL') AS region, COALESCE(n_name, 'ALL') AS nation,
+      |  CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS total_bal,
+      |  COUNT(*) AS n_cust,
+      |  CAST(GROUPING(r_name) * 2 + GROUPING(n_name) AS INTEGER) AS lvl
+      |FROM customer
+      |JOIN nation ON c_nationkey = n_nationkey
+      |JOIN region ON n_regionkey = r_regionkey
+      |GROUP BY ROLLUP(r_name, n_name)
+      |ORDER BY lvl, region, nation""".stripMargin
+
+  /** Set operations: which nations have customers vs suppliers. */
+  def q07SetOps(s: SparkSession, dir: String): DataFrame = {
+    val cn = T(s, dir, "customer").select(col("c_nationkey").as("nk")).distinct()
+    val sn = T(s, dir, "supplier").select(col("s_nationkey").as("nk")).distinct()
+    val both = cn.intersect(sn).withColumn("tag", lit("both"))
+    val custOnly = cn.except(sn).withColumn("tag", lit("cust_only"))
+    val supOnly = sn.except(cn).withColumn("tag", lit("supp_only"))
+    both.unionAll(custOnly).unionAll(supOnly)
+      .select(col("nk").cast("int").as("nk"), col("tag"))
+      .orderBy(col("tag"), col("nk"))
+  }
+
+  val q07Oracle: String =
+    """WITH cn AS (SELECT DISTINCT c_nationkey AS nk FROM customer),
+      |     sn AS (SELECT DISTINCT s_nationkey AS nk FROM supplier)
+      |SELECT CAST(nk AS INTEGER) AS nk, tag FROM (
+      |  SELECT nk, 'both' AS tag FROM (SELECT nk FROM cn INTERSECT SELECT nk FROM sn)
+      |  UNION ALL
+      |  SELECT nk, 'cust_only' FROM (SELECT nk FROM cn EXCEPT SELECT nk FROM sn)
+      |  UNION ALL
+      |  SELECT nk, 'supp_only' FROM (SELECT nk FROM sn EXCEPT SELECT nk FROM cn)) t
+      |ORDER BY tag, nk""".stripMargin
+
+  /** JSON extraction + aggregation over the events table. */
+  def q08JsonEvents(s: SparkSession, dir: String): DataFrame = {
+    val e = T(s, dir, "events")
+    e.select(col("event_type"),
+        get_json_object(col("props"), "$.k").cast("long").as("k"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("k")).as("sum_k"),
+        min(col("k")).as("min_k"), max(col("k")).as("max_k"))
+      .orderBy(col("event_type"))
+  }
+
+  val q08Oracle: String =
+    """SELECT event_type, COUNT(*) AS n,
+      |  SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+      |  MIN(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
+      |  MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
+      |FROM events
+      |GROUP BY event_type
+      |ORDER BY event_type""".stripMargin
+
+  /** String function battery: split/element_at, format_string, case ops. */
+  def q09StringFns(s: SparkSession, dir: String): DataFrame = {
+    val c = T(s, dir, "customer")
+    c.select(
+        element_at(split(col("c_name"), "#"), 2).cast("long").as("key_num"),
+        format_string("%s|%s", upper(substring(col("c_mktsegment"), 1, 4)),
+          lower(col("c_name"))).as("label"),
+        regexp_replace(col("c_name"), "Customer", "Cust").as("short_name"),
+        length(col("c_name")).cast("int").as("name_len"))
+      .filter(col("key_num") < 200)
+      .orderBy(col("key_num"))
+  }
+
+  val q09Oracle: String =
+    """SELECT CAST(string_split(c_name, '#')[2] AS BIGINT) AS key_num,
+      |  printf('%s|%s', upper(substring(c_mktsegment, 1, 4)), lower(c_name)) AS label,
+      |  replace(c_name, 'Customer', 'Cust') AS short_name,
+      |  CAST(length(c_name) AS INTEGER) AS name_len
+      |FROM customer
+      |WHERE CAST(string_split(c_name, '#')[2] AS BIGINT) < 200
+      |ORDER BY key_num""".stripMargin
+
+  /** Date/time functions: truncation, extraction, epoch arithmetic. */
+  def q10DateFns(s: SparkSession, dir: String): DataFrame = {
+    val o = T(s, dir, "orders")
+    o.select(
+        year(col("o_orderdate")).cast("int").as("yr"),
+        month(col("o_orderdate")).cast("int").as("mon"),
+        trunc(col("o_orderdate").cast("date"), "MM").as("month_start"),
+        datediff(col("o_orderdate").cast("date"), lit("1995-01-01").cast("date"))
+          .cast("long").as("days_since"),
+        unix_timestamp(col("o_orderdate")).as("epoch_s"),
+        col("o_totalprice"))
+      .groupBy(col("yr"), col("mon"), col("month_start"))
+      .agg(count(lit(1)).as("n"),
+        min(col("days_since")).as("min_days"),
+        max(col("epoch_s")).as("max_epoch"))
+      .orderBy(col("yr"), col("mon"))
+  }
+
+  val q10Oracle: String =
+    """SELECT CAST(year(o_orderdate) AS INTEGER) AS yr,
+      |  CAST(month(o_orderdate) AS INTEGER) AS mon,
+      |  CAST(date_trunc('month', o_orderdate) AS DATE) AS month_start,
+      |  COUNT(*) AS n,
+      |  MIN(CAST(datediff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS BIGINT)) AS min_days,
+      |  MAX(CAST(epoch(o_orderdate) AS BIGINT)) AS max_epoch
+      |FROM orders
+      |GROUP BY 1, 2, 3
+      |ORDER BY yr, mon""".stripMargin
+
+  /** Explode / lateral view: word counts over documents (generator op). */
+  def q11WordCount(s: SparkSession, dir: String): DataFrame = {
+    val d = T(s, dir, "documents")
+    d.select(explode(split(col("text"), " ")).as("word"))
+      .filter(length(col("word")) > 0)
+      .groupBy(col("word"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("word"))
+      .limit(20)
+  }
+
+  val q11Oracle: String =
+    """SELECT word, COUNT(*) AS n
+      |FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+      |WHERE length(word) > 0
+      |GROUP BY word
+      |ORDER BY n DESC, word
+      |LIMIT 20""".stripMargin
+
+  /** max_with / argmax (reference UDAF #13) via our registered SQL function:
+    * richest customer per nation, struct-ordered with unique tiebreak.
+    */
+  def q12MaxWith(s: SparkSession, dir: String): DataFrame = {
+    val c = T(s, dir, "customer")
+    val n = T(s, dir, "nation")
+    c.join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(
+        expr("max_with(named_struct('bal', c_acctbal, 'ck', c_custkey), c_name)")
+          .as("richest"),
+        max(col("c_acctbal")).as("max_bal"))
+      .orderBy(col("n_name"))
+  }
+
+  val q12Oracle: String =
+    """SELECT n_name, richest, max_bal FROM (
+      |  SELECT n_name, c_name AS richest,
+      |    ROW_NUMBER() OVER (PARTITION BY n_name ORDER BY c_acctbal DESC, c_custkey DESC) AS rk,
+      |    MAX(c_acctbal) OVER (PARTITION BY n_name) AS max_bal
+      |  FROM customer JOIN nation ON c_nationkey = n_nationkey) t
+      |WHERE rk = 1
+      |ORDER BY n_name""".stripMargin
+
+  /** m_add map-union (reference UDF #11) with LAST_WIN overwrite, exploded. */
+  def q13MapAdd(s: SparkSession, dir: String): DataFrame = {
+    val e = T(s, dir, "events").filter(col("event_id") < 100)
+    e.select(col("event_id"),
+        map(lit("type"), col("event_type")).as("m1"),
+        map(lit("k"), get_json_object(col("props"), "$.k"),
+          lit("type"), upper(col("event_type"))).as("m2"))
+      .select(col("event_id"), expr("m_add(m1, m2)").as("merged"))
+      .select(col("event_id"), explode(col("merged")).as(Seq("key", "value")))
+      .orderBy(col("event_id"), col("key"))
+  }
+
+  val q13Oracle: String =
+    """WITH e AS (SELECT event_id, event_type, json_extract_string(props, '$.k') AS k
+      |           FROM events WHERE event_id < 100)
+      |SELECT event_id, key, value FROM (
+      |  SELECT event_id, 'type' AS key, upper(event_type) AS value FROM e
+      |  UNION ALL
+      |  SELECT event_id, 'k', k FROM e) t
+      |ORDER BY event_id, key""".stripMargin
+
+  /** Sessionization: 30-minute-gap sessions per user via lag window. */
+  def q14Sessionize(s: SparkSession, dir: String): DataFrame = {
+    // events.ts arrives as BIGINT nanoseconds (see GraftSession.configure);
+    // integer-divide to microseconds to match DuckDB's epoch_us truncation.
+    val e = T(s, dir, "events")
+    e.select(col("user_id"), col("event_id"), expr("ts DIV 1000").as("us"))
+      .withColumn("prev_us", lag(col("us"), 1).over(
+        Window.partitionBy(col("user_id")).orderBy(col("us"), col("event_id"))))
+      .withColumn("new_session",
+        when(col("prev_us").isNull || col("us") - col("prev_us") > 1800L * 1000000L, 1L)
+          .otherwise(0L))
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("new_session")).as("n_sessions"),
+        min(col("us")).as("first_us"),
+        max(col("us")).as("last_us"))
+      .orderBy(col("user_id"))
+  }
+
+  val q14Oracle: String =
+    """WITH t AS (
+      |  SELECT user_id, event_id, epoch_us(ts) AS us,
+      |    LAG(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS prev_us
+      |  FROM events)
+      |SELECT user_id, COUNT(*) AS n_events,
+      |  SUM(CASE WHEN prev_us IS NULL OR us - prev_us > 1800 * 1000000 THEN 1 ELSE 0 END) AS n_sessions,
+      |  MIN(us) AS first_us, MAX(us) AS last_us
+      |FROM t
+      |GROUP BY user_id
+      |ORDER BY user_id""".stripMargin
+
+  val all: Seq[Q] = Seq(
+    Q("q01_pricing_summary", q01PricingSummary, Some(q01Oracle)),
+    Q("q02_revenue_by_nation", q02RevenueByNation, Some(q02Oracle)),
+    Q("q03_top_orders", q03TopOrders, Some(q03Oracle)),
+    Q("q04_order_priority", q04OrderPriority, Some(q04Oracle)),
+    Q("q05_window_rank", q05WindowRank, Some(q05Oracle)),
+    Q("q06_rollup", q06Rollup, Some(q06Oracle)),
+    Q("q07_setops", q07SetOps, Some(q07Oracle)),
+    Q("q08_json_events", q08JsonEvents, Some(q08Oracle)),
+    Q("q09_string_fns", q09StringFns, Some(q09Oracle)),
+    Q("q10_date_fns", q10DateFns, Some(q10Oracle)),
+    Q("q11_word_count", q11WordCount, Some(q11Oracle)),
+    Q("q12_max_with", q12MaxWith, Some(q12Oracle)),
+    Q("q13_m_add", q13MapAdd, Some(q13Oracle)),
+    Q("q14_sessionize", q14Sessionize, Some(q14Oracle))
+  )
+}
