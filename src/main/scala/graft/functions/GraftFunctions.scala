@@ -82,5 +82,12 @@ object GraftFunctions {
       "kf_consumer_cfgs", _ => constMap(kafkaConsumerDefaults), "built-in")
     reg.createOrReplaceTempFunction(
       "kf_producer_cfgs", _ => constMap(kafkaProducerDefaults), "built-in")
+
+    // cosine_sim(array<float>, array<float>) — native codegen'd expression
+    // (graft extension surface; see org.apache.spark.sql.graft.CosineSimilarity).
+    reg.createOrReplaceTempFunction(
+      "cosine_sim",
+      exprs => org.apache.spark.sql.graft.CosineSimilarity(exprs(0), exprs(1)),
+      "built-in")
   }
 }

