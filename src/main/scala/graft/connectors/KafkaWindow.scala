@@ -1,0 +1,122 @@
+package graft.connectors
+
+import java.util.concurrent.ConcurrentLinkedQueue
+import scala.collection.concurrent.TrieMap
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Kafka batch semantics: creation-time-window pull, topic listing, per-row
+  * acked push.
+  *
+  * Reference surface: `kf_pull` (time→offset resolution + poll loop,
+  * reference: data-process/hive-udfs/src/main/java/com/thenetcircle/service/data/hive/udf/kafka/KafkaHelper.java:173-254,
+  * UDFKafkaPull.java:90-133), `kf_topics` (UDFKafkaTopics.java:32),
+  * `t_kf_push` (UDTFKafkaPush.java:86-111).
+  *
+  * Spark-native restatement: against a real broker the whole pull helper
+  * collapses into the batch Kafka source with
+  * `startingOffsetsByTimestamp` / `endingOffsetsByTimestamp` (SURVEY §3.3) —
+  * these operators define the *contract* over a message-log DataFrame with
+  * columns `(t string, p int, o long, ct long-ms, k string, v string)`, so
+  * the same code runs on the zero-egress stand-in ([[fromEvents]] /
+  * [[TopicStore]]) and on a `spark.read.format("kafka")` frame mapped to the
+  * contract columns.
+  *
+  * Window contract is `[startMs, endMs)` — inclusive start, exclusive end —
+  * fixing the reference's off-by-one under-read (its poll loop stops at
+  * `endOffset - 1`; SURVEY §3.3 note). Null/equal/inverted windows yield an
+  * empty frame (reference guard: UDFKafkaPull.java:105-108).
+  */
+object KafkaWindow {
+
+  val recordType: StructType = StructType(Seq(
+    StructField("t", StringType), StructField("ct", LongType),
+    StructField("k", StringType), StructField("v", StringType)))
+
+  /** Map the driver `events` table into the message-log contract:
+    * topic = event_type, partition = event_id mod 4, offset = event_id,
+    * creation time = ts in epoch ms, key = user_id, value = props.
+    * (`ts` arrives as BIGINT nanoseconds — see GraftSession.configure.)
+    */
+  def fromEvents(events: DataFrame): DataFrame =
+    events.select(
+      col("event_type").as("t"),
+      pmod(col("event_id"), lit(4)).cast("int").as("p"),
+      col("event_id").as("o"),
+      expr("ts DIV 1000000").as("ct"),
+      col("user_id").cast("string").as("k"),
+      col("props").as("v"))
+
+  /** kf_topics: distinct (topic, partition) pairs. */
+  def topics(log: DataFrame): DataFrame =
+    log.select(col("t"), col("p")).distinct()
+
+  /** kf_pull: records with `ct` in `[startMs, endMs)` for the given topics
+    * (all topics when none given). A pure filter — predicate pushdown prunes
+    * partitions/row-groups at the source, the scale analog of
+    * offsetsForTimes seeking.
+    */
+  def pull(log: DataFrame, startMs: java.lang.Long, endMs: java.lang.Long,
+      topics: String*): DataFrame = {
+    val base = log.select(col("t"), col("ct"), col("k"), col("v"))
+    if (startMs == null || endMs == null || startMs >= endMs)
+      base.limit(0)
+    else {
+      val inWindow = base.filter(col("ct") >= startMs.longValue() &&
+        col("ct") < endMs.longValue())
+      if (topics.isEmpty) inWindow else inWindow.filter(col("t").isin(topics: _*))
+    }
+  }
+
+  /** t_kf_push: appends `ack: struct<t,ct,k,v>` per row after recording the
+    * message in `store` — one producer per partition, per-row ack, mirroring
+    * the reference's bounded `send().get()` (UDTFKafkaPush.java:102-110).
+    * `ct` is caller-supplied for determinism (pass a clock column in
+    * production).
+    */
+  def push(df: DataFrame, store: TopicStore.Factory, topic: Column, ct: Column,
+      key: Column, value: Column, ack: String = "ack"): DataFrame =
+    PartitionAppend(df, Seq(topic, ct, key, value), StructField(ack, recordType)) { () =>
+      val s = store.open()
+      (args => {
+        val Seq(t, c, k, v) = args
+        val ctMs = c match { case null => 0L; case n: Number => n.longValue() }
+        s.append(String.valueOf(t), ctMs,
+          if (k == null) null else k.toString, if (v == null) null else v.toString)
+        org.apache.spark.sql.Row(String.valueOf(t), ctMs,
+          if (k == null) null else k.toString, if (v == null) null else v.toString)
+      }, () => ())
+    }
+
+  /** Read a stand-in topic back as a message-log DataFrame (partition 0). */
+  def fromStore(spark: SparkSession, store: TopicStore.Factory, topic: String): DataFrame = {
+    import spark.implicits._
+    store.open().records(topic).zipWithIndex.map { case ((ct, k, v), i) =>
+      (topic, 0, i.toLong, ct, k, v)
+    }.toDF("t", "p", "o", "ct", "k", "v")
+  }
+}
+
+/** JVM-global in-memory topic store — the zero-egress broker stand-in. */
+object TopicStore {
+  private val topics = TrieMap.empty[String, ConcurrentLinkedQueue[(Long, String, String)]]
+
+  case class Factory(namespace: String) extends Serializable {
+    def open(): TopicStore.Handle = new Handle(namespace)
+  }
+
+  final class Handle(ns: String) {
+    private def q(topic: String) =
+      topics.getOrElseUpdate(s"$ns/$topic", new ConcurrentLinkedQueue)
+    def append(topic: String, ct: Long, k: String, v: String): Unit =
+      q(topic).add((ct, k, v))
+    def records(topic: String): Seq[(Long, String, String)] =
+      q(topic).iterator().asScala.toSeq
+  }
+
+  def clear(ns: String): Unit =
+    topics.keys.filter(_.startsWith(ns + "/")).foreach(topics.remove)
+}

@@ -1,0 +1,61 @@
+package graft.connectors
+
+import java.net.InetSocketAddress
+import java.nio.charset.StandardCharsets
+import java.util.concurrent.Executors
+
+import com.sun.net.httpserver.{HttpExchange, HttpServer}
+
+/** Deterministic local HTTP stand-in (FIXTURES.md §4): lets the HTTP
+  * connector be oracle-tested with zero egress. Runs in-process on an
+  * ephemeral port, daemon threads, stopped on JVM exit.
+  *
+  * Endpoints:
+  *  - `/echo?a=1&b=2` → 200, body = the raw query string (deterministic pure
+  *    function of the URL, so a SQL oracle can reconstruct it from columns);
+  *  - `/status/404` → responds with that status code, body = the code;
+  *  - anything else → 404 "not found".
+  */
+object LocalHttpServer {
+
+  @volatile private var server: HttpServer = _
+
+  /** Base URL, e.g. `http://127.0.0.1:PORT` — starts the server on first use. */
+  lazy val base: String = synchronized {
+    if (server == null) {
+      server = HttpServer.create(new InetSocketAddress("127.0.0.1", 0), 0)
+      server.setExecutor(Executors.newFixedThreadPool(8, r => {
+        val t = new Thread(r, "graft-local-http"); t.setDaemon(true); t
+      }))
+      server.createContext("/", (x: HttpExchange) => {
+        val path = x.getRequestURI.getPath
+        val reqBody = new String(x.getRequestBody.readAllBytes(), StandardCharsets.UTF_8)
+        val (code, body) =
+          if (path == "/echo") {
+            val q = Option(x.getRequestURI.getRawQuery).getOrElse("")
+            // POST appends the body length so the posted entity is observable
+            if (x.getRequestMethod == "POST")
+              (200, q + (if (q.isEmpty) "" else "&") + s"blen=${reqBody.length}")
+            else (200, q)
+          } else if (path.startsWith("/status/")) {
+            val c = path.stripPrefix("/status/").toInt
+            (c, c.toString)
+          } else (404, "not found")
+        val bytes = body.getBytes(StandardCharsets.UTF_8)
+        x.getResponseHeaders.set("Content-Type", "text/plain; charset=utf-8")
+        x.sendResponseHeaders(code, if (bytes.isEmpty) -1 else bytes.length.toLong)
+        if (bytes.nonEmpty) x.getResponseBody.write(bytes)
+        x.close()
+      })
+      // start() spawns the HTTP-Dispatcher thread, which inherits daemon
+      // status from its creator — start from a daemon thread so a finished
+      // driver JVM can exit.
+      val starter = new Thread(() => server.start(), "graft-local-http-starter")
+      starter.setDaemon(true)
+      starter.start()
+      starter.join()
+      sys.addShutdownHook { if (server != null) server.stop(0) }
+    }
+    s"http://127.0.0.1:${server.getAddress.getPort}"
+  }
+}

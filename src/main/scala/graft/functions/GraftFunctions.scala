@@ -1,9 +1,12 @@
 package graft.functions
 
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.catalyst.expressions.{Expression, Literal, MapConcat}
+import org.apache.spark.sql.catalyst.expressions.{Cast, Expression, Literal, MapConcat}
 import org.apache.spark.sql.catalyst.expressions.aggregate.MaxBy
-import org.apache.spark.sql.types.{MapType, StringType}
+import org.apache.spark.sql.functions.udf
+import org.apache.spark.sql.graft.Bridge
+import org.apache.spark.sql.types.{IntegerType, MapType, StringType}
+import graft.connectors.{Http, HttpResult}
 
 /** SQL-callable function surface mirroring the reference's registered names
   * (reference: data-process/hive-udfs/src/main/resources/setup.sql), rebuilt as
@@ -89,5 +92,44 @@ object GraftFunctions {
       "cosine_sim",
       exprs => org.apache.spark.sql.graft.CosineSimilarity(exprs(0), exprs(1)),
       "built-in")
+
+    // http_get(url [, timeoutMs [, headers]]) / http_post(url, content |
+    // url, timeoutMs, headers, content) → struct<code,headers,content>.
+    // Nondeterministic scalar UDFs (Catalyst must not reorder/dedupe them —
+    // the reference's @UDFType(deterministic=false), SURVEY §2A flags); the
+    // partition-level fast path is graft.connectors.Http.withGet/withPost.
+    // Optional-arg handling mirrors the reference's signatures
+    // (hive-udfs/.../http/UDFHttpGet.java:40-78, UDFHttpPost.java:39).
+    val defaultTimeout: Expression = Literal(Http.DefaultTimeoutMs)
+    def emptyHeaders: Expression = constMap(Map.empty)
+    def asInt(e: Expression): Expression = Cast(e, IntegerType)
+    reg.createOrReplaceTempFunction("http_get", exprs => {
+      val url = exprs.head
+      val timeout = exprs.lift(1).map(asInt).getOrElse(defaultTimeout)
+      val headers = exprs.lift(2).getOrElse(emptyHeaders)
+      Bridge.scalaUdf(httpGetUdf, Seq(url, timeout, headers))
+    }, "built-in")
+    reg.createOrReplaceTempFunction("http_post", exprs => {
+      val (url, timeout, headers, content) = exprs match {
+        case Seq(u, c) => (u, defaultTimeout, emptyHeaders, c)
+        case Seq(u, t, h, c) => (u, asInt(t), h, c)
+        case _ => throw new IllegalArgumentException(
+          "http_post(url, content) or http_post(url, timeoutMs, headers, content)")
+      }
+      Bridge.scalaUdf(httpPostUdf, Seq(url, timeout, headers, content))
+    }, "built-in")
   }
+
+  private val httpGetUdf =
+    udf((url: String, timeoutMs: Int, headers: Map[String, String]) =>
+      if (url == null) HttpResult(-1, null, "null url")
+      else Http.fetchResult(url, timeoutMs, Option(headers).getOrElse(Map.empty)))
+      .asNondeterministic()
+
+  private val httpPostUdf =
+    udf((url: String, timeoutMs: Int, headers: Map[String, String], content: String) =>
+      if (url == null) HttpResult(-1, null, "null url")
+      else Http.fetchResult(url, timeoutMs, Option(headers).getOrElse(Map.empty),
+        postBody = Some(Option(content).getOrElse(""))))
+      .asNondeterministic()
 }

@@ -1,0 +1,29 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Shared local session for operator specs: one JVM-wide session (Spark
+  * re-uses it across suites), small shuffle-partition count for test speed,
+  * engine contract applied via GraftSession.configure.
+  */
+trait SparkSpec extends AnyFunSuite with BeforeAndAfterAll {
+  lazy val spark: SparkSession = SparkSpec.session
+
+  override def afterAll(): Unit = ()
+}
+
+object SparkSpec {
+  lazy val session: SparkSession = {
+    val s = SparkSession.builder()
+      .master("local[4]")
+      .appName("graft-test")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    GraftSession.configure(s)
+    s
+  }
+}

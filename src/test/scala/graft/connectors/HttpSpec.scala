@@ -1,0 +1,57 @@
+package graft.connectors
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+class HttpSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val base = LocalHttpServer.base
+
+  test("withGet appends result struct; server echoes query string") {
+    val out = Http.withGet(
+        Seq(1, 2).toDF("id"),
+        concat(lit(s"$base/echo?id="), col("id")))
+      .select($"id", $"resp.code", $"resp.content")
+      .orderBy("id").as[(Int, Int, String)].collect()
+    assert(out === Array((1, 200, "id=1"), (2, 200, "id=2")))
+  }
+
+  test("withPost sends the body; server reports its length") {
+    val out = Http.withPost(
+        Seq(("a", "hello"), ("b", "worlds!")).toDF("id", "body"),
+        lit(s"$base/echo"), col("body"))
+      .select($"id", $"resp.content").orderBy("id").as[(String, String)].collect()
+    assert(out === Array(("a", "blen=5"), ("b", "blen=7")))
+  }
+
+  test("non-2xx statuses pass through; headers map populated") {
+    val r = Http.withGet(Seq(1).toDF("id"), lit(s"$base/status/503"))
+      .select($"resp").head().getStruct(0)
+    assert(r.getInt(0) === 503)
+    assert(r.getString(2) === "503")
+    assert(r.getMap[String, String](1).size > 0) // Content-type etc.
+  }
+
+  test("connection failure yields (-1, null, message), never throws") {
+    val r = Http.withGet(Seq(1).toDF("id"),
+        lit("http://127.0.0.1:1/unreachable"), timeoutMs = 300)
+      .select($"resp").head().getStruct(0)
+    assert(r.getInt(0) === -1)
+    assert(r.isNullAt(1))
+    assert(r.getString(2) != null)
+  }
+
+  test("null url yields (-1, null, 'null url')") {
+    val r = Http.withGet(Seq(1).toDF("id"), lit(null).cast("string"))
+      .select($"resp").head().getStruct(0)
+    assert(r.getInt(0) === -1)
+  }
+
+  test("http_get SQL function with optional timeout arg") {
+    val r = spark.sql(s"SELECT http_get('$base/echo?x=1').content AS c, " +
+        s"http_get('$base/echo?x=2', 1000).content AS c2")
+      .as[(String, String)].head()
+    assert(r === (("x=1", "x=2")))
+  }
+}

@@ -1,0 +1,66 @@
+package graft.connectors
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+class KafkaWindowSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def log = Seq(
+    ("a", 0, 0L, 100L, "k1", "v1"),
+    ("a", 0, 1L, 200L, "k2", "v2"),
+    ("a", 1, 2L, 300L, "k3", "v3"),
+    ("b", 0, 3L, 200L, "k4", "v4")
+  ).toDF("t", "p", "o", "ct", "k", "v")
+
+  test("pull window is [start, end): inclusive start, exclusive end") {
+    val got = KafkaWindow.pull(log, 100L, 300L).orderBy("ct", "t")
+      .as[(String, Long, String, String)].collect()
+    assert(got === Array(("a", 100L, "k1", "v1"), ("a", 200L, "k2", "v2"),
+      ("b", 200L, "k4", "v4")))
+  }
+
+  test("topic filter restricts the pull") {
+    val got = KafkaWindow.pull(log, 0L, 1000L, "b").as[(String, Long, String, String)].collect()
+    assert(got === Array(("b", 200L, "k4", "v4")))
+  }
+
+  test("null / equal / inverted windows yield empty (reference guard)") {
+    assert(KafkaWindow.pull(log, null, 300L).count() === 0)
+    assert(KafkaWindow.pull(log, 300L, null).count() === 0)
+    assert(KafkaWindow.pull(log, 300L, 300L).count() === 0)
+    assert(KafkaWindow.pull(log, 400L, 300L).count() === 0)
+  }
+
+  test("topics lists distinct (t, p) pairs") {
+    val got = KafkaWindow.topics(log).orderBy("t", "p").as[(String, Int)].collect()
+    assert(got === Array(("a", 0), ("a", 1), ("b", 0)))
+  }
+
+  test("push records to the store with per-row acks; store reads back") {
+    TopicStore.clear("spec")
+    val store = TopicStore.Factory("spec")
+    val acked = KafkaWindow.push(
+      Seq((1L, "x"), (2L, "y")).toDF("id", "payload").repartition(2),
+      store, lit("topic1"), lit(1000L) + col("id"), col("id").cast("string"),
+      col("payload"))
+    // no orderBy on the effectful plan: range-partition sampling would run
+    // the push twice; sort driver-side instead
+    val acks = acked.select($"ack.t", $"ack.ct", $"ack.k", $"ack.v")
+      .as[(String, Long, String, String)].collect().sortBy(_._2)
+    assert(acks === Array(("topic1", 1001L, "1", "x"), ("topic1", 1002L, "2", "y")))
+    val back = KafkaWindow.fromStore(spark, store, "topic1")
+      .select("ct", "k", "v").as[(Long, String, String)].collect().sortBy(_._1)
+    assert(back === Array((1001L, "1", "x"), (1002L, "2", "y")))
+  }
+
+  test("fromEvents maps the events table to the log contract") {
+    val dir = "/root/testdata/sf0.001"
+    val ev = spark.read.parquet(s"$dir/events.parquet")
+    val l = KafkaWindow.fromEvents(ev)
+    assert(l.columns === Array("t", "p", "o", "ct", "k", "v"))
+    assert(l.count() === ev.count())
+    val ps = l.select("p").distinct().as[Int].collect().sorted
+    assert(ps.forall(p => p >= 0 && p < 4))
+  }
+}

@@ -1,0 +1,98 @@
+package graft.functions
+
+import scala.util.Random
+import graft.SparkSpec
+
+/** Property-style checks use a fixed-seed Random (scalatestplus is not in the
+  * offline cache, so plain loops stand in for ScalaCheck's forAll).
+  */
+class GraftFunctionsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("m_add is LAST_WIN map union (reference UDFMapAdd semantics)") {
+    val out = spark.sql(
+      "SELECT m_add(map('a','1','b','2'), map('b','9'), map('c','3')) AS m")
+      .as[Map[String, String]].head()
+    assert(out === Map("a" -> "1", "b" -> "9", "c" -> "3"))
+  }
+
+  test("m_add LAST_WIN property: later maps overwrite earlier keys") {
+    val rnd = new Random(42)
+    for (_ <- 1 to 20) {
+      val m1 = (1 to rnd.nextInt(6)).map(_ => s"k${rnd.nextInt(8)}" -> rnd.nextInt(100).toString).toMap
+      val m2 = (1 to rnd.nextInt(6)).map(_ => s"k${rnd.nextInt(8)}" -> rnd.nextInt(100).toString).toMap
+      val merged = Seq((m1, m2)).toDF("a", "b")
+        .selectExpr("m_add(a, b) AS m").as[Map[String, String]].head()
+      assert(merged === m1 ++ m2)
+    }
+  }
+
+  test("max_with is argmax: returns data paired with the max sort key") {
+    val df = Seq((1, "low"), (9, "high"), (5, "mid")).toDF("k", "v")
+    assert(df.selectExpr("max_with(k, v) AS w").as[String].head() === "high")
+  }
+
+  test("max_with ≡ max_by(data, key) over random data incl. partial/merge") {
+    val rnd = new Random(7)
+    for (_ <- 1 to 10) {
+      val xs = (1 to (1 + rnd.nextInt(40))).map(_ => (rnd.nextInt(1000), rnd.nextInt(1000)))
+      val df = xs.toDF("k", "v").repartition(3) // force partial + merge paths
+      val r = df.selectExpr("max_with(k, v) AS a", "max_by(v, k) AS b").head()
+      assert(r.getInt(0) === r.getInt(1))
+    }
+  }
+
+  test("cfgs() returns conf snapshot filtered by constant regex") {
+    val m = spark.sql("SELECT cfgs('spark.sql.mapKeyDedupPolicy') AS c")
+      .as[Map[String, String]].head()
+    assert(m === Map("spark.sql.mapKeyDedupPolicy" -> "LAST_WIN"))
+  }
+
+  test("kf_consumer_cfgs / kf_producer_cfgs constant maps") {
+    val c = spark.sql("SELECT kf_consumer_cfgs() AS c").as[Map[String, String]].head()
+    assert(c("auto.offset.reset") === "earliest")
+    assert(c("max.poll.records") === "1000")
+    val p = spark.sql("SELECT kf_producer_cfgs() AS p").as[Map[String, String]].head()
+    assert(p("compression.type") === "gzip")
+  }
+
+  test("url_encode built-in roundtrip (reference UDFUrlEncoder)") {
+    val rnd = new Random(11)
+    val samples = Seq("", "a b", "x?&=%#/y", "üñïçødé ✓", "a+b c") ++
+      (1 to 10).map(_ => rnd.nextString(rnd.nextInt(20)))
+    samples.foreach { s =>
+      val roundtrip = Seq(Tuple1(s)).toDF("s")
+        .selectExpr("url_decode(url_encode(s)) AS r").as[String].head()
+      assert(roundtrip === s, s"roundtrip failed for ${s.toList}")
+    }
+  }
+
+  test("cosine_sim SQL function: orthogonal, parallel, zero-norm") {
+    val row = spark.sql(
+      """SELECT cosine_sim(array(CAST(1.0 AS FLOAT), CAST(0.0 AS FLOAT)),
+        |                  array(CAST(0.0 AS FLOAT), CAST(1.0 AS FLOAT))) AS orth,
+        |       cosine_sim(array(CAST(2.0 AS FLOAT)), array(CAST(4.0 AS FLOAT))) AS par,
+        |       cosine_sim(array(CAST(0.0 AS FLOAT)), array(CAST(1.0 AS FLOAT))) AS zero
+        |""".stripMargin).head()
+    assert(row.getDouble(0) === 0.0)
+    assert(math.abs(row.getDouble(1) - 1.0) < 1e-12)
+    assert(row.isNullAt(2))
+  }
+
+  test("cosine_sim null on length mismatch; matches scala reference fold") {
+    val rnd = new Random(3)
+    val a = Array.fill(16)(rnd.nextFloat() * 2 - 1)
+    val b = Array.fill(16)(rnd.nextFloat() * 2 - 1)
+    val got = Seq((a, b)).toDF("a", "b").selectExpr("cosine_sim(a, b) AS c").as[Double].head()
+    var dot = 0.0; var na = 0.0; var nb = 0.0
+    for (i <- 0 until 16) {
+      dot += a(i).toDouble * b(i).toDouble
+      na += a(i).toDouble * a(i).toDouble
+      nb += b(i).toDouble * b(i).toDouble
+    }
+    assert(got === dot / (math.sqrt(na) * math.sqrt(nb)))
+    val mismatch = Seq((a, b.take(8))).toDF("a", "b")
+      .selectExpr("cosine_sim(a, b) AS c").head()
+    assert(mismatch.isNullAt(0))
+  }
+}

@@ -1,0 +1,92 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+import graft.functions.TextFunctions
+
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def docs = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog"),
+    (2L, "the quick brown fox jumps over the lazy dog"), // exact dup of 1
+    (3L, "the quick brown fox jumps over the lazy cat"), // near dup
+    (4L, "completely different content here entirely now"),
+    (5L, "short")
+  ).toDF("doc_id", "text")
+
+  test("exact dedup keeps min id per identical text with group size") {
+    val out = Dedup.exact(docs, col("doc_id"), col("text"))
+      .orderBy("keep_id").as[(Long, Long)].collect()
+    assert(out === Array((1L, 2L), (3L, 1L), (4L, 1L), (5L, 1L)))
+  }
+
+  test("wordShingles: sliding k-grams; short docs yield whole-text shingle") {
+    val s = Seq(Tuple1("a b c d")).toDF("t")
+      .select(TextFunctions.wordShingles(col("t"), 3).as("sh"))
+      .as[Seq[String]].head()
+    assert(s === Seq("a b c", "b c d"))
+    val short = Seq(Tuple1("a b")).toDF("t")
+      .select(TextFunctions.wordShingles(col("t"), 3).as("sh"))
+      .as[Seq[String]].head()
+    assert(short === Seq("a b"))
+  }
+
+  test("minHashPairs finds the exact and near dup, verified by true jaccard") {
+    val pairs = Dedup.minHashPairs(docs, col("doc_id"), col("text"),
+        shingleK = 3, numHashes = 64, bands = 16, threshold = 0.5)
+      .orderBy("id_a", "id_b").as[(Long, Long, Double)].collect()
+    assert(pairs.map(p => (p._1, p._2)) === Array((1L, 2L), (1L, 3L), (2L, 3L)))
+    val exact = pairs.find(p => p._1 == 1 && p._2 == 2).get
+    assert(exact._3 === 1.0)
+  }
+
+  test("minHashDedup drops the larger id of each verified pair") {
+    val kept = Dedup.minHashDedup(docs, col("doc_id"), col("text"),
+        shingleK = 3, numHashes = 64, bands = 16, threshold = 0.5)
+      .select("doc_id").as[Long].collect().sorted
+    assert(kept === Array(1L, 4L, 5L))
+  }
+
+  test("jaccardPairs exact inverted-index join matches brute force") {
+    val got = Dedup.jaccardPairs(docs, col("doc_id"), col("text"),
+        shingleK = 2, threshold = 0.3)
+      .orderBy("id_a", "id_b").as[(Long, Long, Double)].collect()
+    // brute force on driver
+    def shingles(t: String) =
+      t.split("\\s+").sliding(2).map(_.mkString(" ")).toSet
+    val texts = Seq(1L -> "the quick brown fox jumps over the lazy dog",
+      2L -> "the quick brown fox jumps over the lazy dog",
+      3L -> "the quick brown fox jumps over the lazy cat",
+      4L -> "completely different content here entirely now",
+      5L -> "short")
+    val expect = (for {
+      (ia, ta) <- texts; (ib, tb) <- texts if ia < ib
+      sa = if (ta.split("\\s+").length < 2) Set(ta) else shingles(ta)
+      sb = if (tb.split("\\s+").length < 2) Set(tb) else shingles(tb)
+      j = sa.intersect(sb).size.toDouble / sa.union(sb).size
+      if j >= 0.3
+    } yield (ia, ib, j)).sortBy(p => (p._1, p._2))
+    assert(got.toSeq === expect)
+  }
+
+  test("simHash: identical texts collide at hamming 0") {
+    val pairs = Dedup.simHashPairs(docs, col("doc_id"), col("text"), maxHamming = 3)
+      .orderBy("id_a", "id_b").as[(Long, Long, Int)].collect()
+    val exact = pairs.find(p => p._1 == 1 && p._2 == 2)
+    assert(exact.isDefined && exact.get._3 === 0)
+  }
+
+  test("simHash block-join recall equals all-pairs at hamming <= 3") {
+    val sigs = docs.select(col("doc_id"), Dedup.simHash(col("text")).as("sh"))
+      .as[(Long, Long)].collect()
+    val expect = (for {
+      (ia, sa) <- sigs; (ib, sb) <- sigs if ia < ib
+      h = java.lang.Long.bitCount(sa ^ sb)
+      if h <= 3
+    } yield (ia, ib, h)).sortBy(p => (p._1, p._2))
+    val got = Dedup.simHashPairs(docs, col("doc_id"), col("text"), maxHamming = 3)
+      .orderBy("id_a", "id_b").as[(Long, Long, Int)].collect()
+    assert(got.toSeq === expect.toSeq)
+  }
+}

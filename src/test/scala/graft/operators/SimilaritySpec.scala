@@ -1,0 +1,62 @@
+package graft.operators
+
+import scala.util.Random
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+class SimilaritySpec extends SparkSpec {
+  import spark.implicits._
+
+  private def vectors(n: Int, dim: Int, seed: Long) = {
+    val rnd = new Random(seed)
+    (0 until n).map(i => (i.toLong, Array.fill(dim)(rnd.nextFloat() * 2 - 1)))
+      .toDF("vec_id", "embedding")
+  }
+
+  test("bruteForceTopK matches a driver-side exact computation") {
+    val df = vectors(30, 8, seed = 1).cache()
+    val got = Similarity.bruteForceTopK(df.filter(col("vec_id") < 3), df, k = 4)
+      .orderBy("query_id", "rank")
+      .as[(Long, Long, Int, Double)].collect()
+
+    val all = df.as[(Long, Array[Float])].collect()
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0
+      for (i <- a.indices) {
+        d += a(i).toDouble * b(i).toDouble
+        na += a(i).toDouble * a(i).toDouble
+        nb += b(i).toDouble * b(i).toDouble
+      }
+      d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val expect = for {
+      (qid, qv) <- all.filter(_._1 < 3).sortBy(_._1)
+      ((nid, c), r) <- all.filter(_._1 != qid)
+        .map { case (nid, nv) => (nid, cos(qv, nv)) }
+        .sortBy { case (nid, c) => (-c, nid) }.take(4).zipWithIndex
+    } yield (qid, nid, r + 1, c)
+    assert(got.toSeq === expect.toSeq)
+  }
+
+  test("srpBucket is deterministic and within [0, 2^bits)") {
+    val df = vectors(50, 8, seed = 2)
+    val b1 = df.select(Similarity.srpBucket(col("embedding"), 6).as("b")).as[Long].collect()
+    val b2 = df.select(Similarity.srpBucket(col("embedding"), 6).as("b")).as[Long].collect()
+    assert(b1.toSeq === b2.toSeq)
+    assert(b1.forall(b => b >= 0 && b < 64))
+    assert(b1.distinct.length > 1) // planes actually split the space
+  }
+
+  test("lshTopK returns exact cosine ranks within each shared bucket") {
+    val df = vectors(60, 8, seed = 3).cache()
+    val got = Similarity.lshTopK(df.filter(col("vec_id") < 5), df, k = 3, bits = 4)
+      .as[(Long, Long, Int, Double)].collect()
+    // every returned neighbor must share the query's bucket; ranks contiguous from 1
+    val buckets = df.select(col("vec_id"), Similarity.srpBucket(col("embedding"), 4))
+      .as[(Long, Long)].collect().toMap
+    got.groupBy(_._1).foreach { case (q, rows) =>
+      assert(rows.map(_._3).sorted.toSeq === (1 to rows.length))
+      rows.foreach { case (_, n, _, _) => assert(buckets(n) === buckets(q)) }
+    }
+  }
+}
