@@ -14,7 +14,8 @@ object SparkEntry {
   def allQueries: Seq[Q] =
     graft.queries.Relational.all ++
       graft.queries.Pipeline.all ++
-      graft.queries.Connectors.all
+      graft.queries.Connectors.all ++
+      graft.queries.Engine.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame = {

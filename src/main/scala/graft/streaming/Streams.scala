@@ -1,0 +1,77 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.StreamingQuery
+
+/** Structured Streaming restatement of the reference's micro-batch layer.
+  *
+  * The reference "streams" by pulling closed Kafka time windows every
+  * `stream.interval` seconds with DStream-era safety knobs (reference:
+  * data-process/spark-process/src/main/scala/process/Configs.scala:44-64 —
+  * backpressure, WAL, graceful stop; offset persistence to ZooKeeper at
+  * process/KafkaHelper.scala:42-65). Structured Streaming supplies each
+  * piece natively: triggers ≈ interval, `maxOffsetsPerTrigger` ≈
+  * backpressure + range slicing, checkpointing ≈ ZK offset store, watermarks
+  * handle the late data the reference's closed windows simply excluded.
+  *
+  * These helpers define the engine's streaming transforms so batch tests and
+  * the DuckDB oracle can validate the same logic: every function takes a
+  * DataFrame (streaming or batch — identical plans, Catalyst treats both).
+  */
+object Streams {
+
+  /** events table (ts = BIGINT nanoseconds) → typed event-time column. */
+  def withEventTime(events: DataFrame, tsCol: String = "ts",
+      out: String = "event_time"): DataFrame =
+    events.withColumn(out, timestamp_micros(expr(s"$tsCol DIV 1000")))
+
+  /** Tumbling-window counts per key with a watermark: the canonical
+    * windowed aggregation (append-safe on streams).
+    */
+  def windowedCounts(df: DataFrame, eventTime: Column, key: Column,
+      windowDur: String, watermark: String): DataFrame =
+    df.withColumn("__et", eventTime)
+      .withWatermark("__et", watermark)
+      .groupBy(window(col("__et"), windowDur).as("w"), key)
+      .agg(count(lit(1)).as("n"))
+
+  /** Gap-based sessionization via the native session_window operator —
+    * replaces hand-rolled lag/flag logic in streaming contexts and runs
+    * identically in batch (used by the session-window oracle query).
+    */
+  def sessionCounts(df: DataFrame, eventTime: Column, key: Column,
+      gap: String, watermark: String): DataFrame =
+    df.withColumn("__et", eventTime)
+      .withWatermark("__et", watermark)
+      .groupBy(session_window(col("__et"), gap).as("w"), key)
+      .agg(count(lit(1)).as("n"))
+
+  /** File-source stream over parquet files with an explicit schema — the
+    * zero-egress stand-in for a Kafka readStream; swap
+    * `readStream.format("kafka")` in production, the transforms above are
+    * source-agnostic. The source needs a directory, so single-file inputs
+    * pass their parent dir + a glob filter.
+    */
+  def parquetStream(spark: SparkSession, dir: String, schemaFrom: DataFrame,
+      glob: Option[String] = None): DataFrame = {
+    val r = spark.readStream.schema(schemaFrom.schema)
+    glob.fold(r)(g => r.option("pathGlobFilter", g)).parquet(dir)
+  }
+
+  /** Run a streaming DataFrame into an in-memory sink until exhausted;
+    * returns the result table name. Complete mode: deterministic final state
+    * for finite inputs regardless of micro-batch boundaries.
+    */
+  def drainToMemory(df: DataFrame, name: String,
+      outputMode: String = "complete"): StreamingQuery = {
+    val q = df.writeStream
+      .format("memory")
+      .queryName(name)
+      .outputMode(outputMode)
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    q
+  }
+}

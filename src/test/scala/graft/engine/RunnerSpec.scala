@@ -1,0 +1,95 @@
+package graft.engine
+
+import java.nio.file.Files
+import java.time.Duration
+
+import graft.SparkSpec
+
+class RunnerSpec extends SparkSpec {
+
+  private def tmpDir(): String =
+    Files.createTempDirectory("graft-journal").toString + "/journal"
+
+  test("journal save + lastExecution by path") {
+    val j = new Journal(spark, tmpDir())
+    assert(j.lastExecution("jobA").isEmpty)
+    j.save(ExecutionRecord("jobA", 100L, 110L, "r1", "SUCCEED"))
+    j.save(ExecutionRecord("jobA", 200L, 220L, "r2", "FAILED"))
+    j.save(ExecutionRecord("jobB", 150L, 160L, "r3", "SUCCEED"))
+    val last = j.lastExecution("jobA").get
+    assert(last.startedAt === 200L)
+    assert(last.status === "FAILED")
+    assert(j.history("jobA").map(_.startedAt) === Seq(100L, 200L))
+  }
+
+  test("runner gates jobs by interval against the journal") {
+    var now = 1000000L
+    val j = new Journal(spark, tmpDir())
+    val runner = new Runner(spark, j, clock = () => now)
+    var runs = 0
+    runner.register(Job("tick", Duration.ofMinutes(1), _ => { runs += 1; "ok" }))
+
+    assert(runner.runOnce() === Seq("tick" -> "SUCCEED"))
+    assert(runs === 1)
+    // within the interval: gated
+    now += 30000
+    assert(runner.runOnce() === Seq.empty)
+    assert(runs === 1)
+    // past the interval: runs again
+    now += 40000
+    assert(runner.runOnce() === Seq("tick" -> "SUCCEED"))
+    assert(runs === 2)
+  }
+
+  test("runner journals failures and keeps going") {
+    var now = 5000000L
+    val j = new Journal(spark, tmpDir())
+    val runner = new Runner(spark, j, clock = () => now)
+    runner.register(Job("boom", Duration.ZERO, _ => throw new RuntimeException("nope")))
+    runner.register(Job("fine", Duration.ZERO, _ => 42))
+    assert(runner.runOnce().toMap === Map("boom" -> "FAILED", "fine" -> "SUCCEED"))
+    assert(j.lastExecution("boom").get.status === "FAILED")
+    assert(j.lastExecution("boom").get.result === "nope")
+    assert(j.lastExecution("fine").get.result === "42")
+  }
+
+  test("ScriptJobs recompiles only when mtime changes, closes old instances") {
+    var mtime = 1L
+    var src = "v1"
+    var compiles = 0
+    var closed = List.empty[String]
+    class Inst(val v: String) extends AutoCloseable {
+      def close(): Unit = closed ::= v
+    }
+    val jobs = new ScriptJobs[Inst](
+      compile = s => { compiles += 1; new Inst(s) },
+      mtimeOf = _ => mtime,
+      read = _ => src)
+    assert(jobs.instance("/p").v === "v1")
+    assert(jobs.instance("/p").v === "v1")
+    assert(compiles === 1)
+    mtime = 2L; src = "v2"
+    assert(jobs.instance("/p").v === "v2")
+    assert(compiles === 2)
+    assert(closed === List("v1"))
+  }
+
+  test("ScriptCompiler compiles and runs a task function") {
+    val fn = ScriptCompiler.compileTask(
+      "(spark: SparkSession) => spark.range(5).count()")
+    assert(fn(spark) === 5L)
+  }
+
+  test("FsUtils cat/write/append/ls/mtime on local fs") {
+    val fs = new FsUtils(spark)
+    val dir = Files.createTempDirectory("graft-fs").toString
+    val f = s"$dir/a.txt"
+    assert(!fs.exists(f))
+    fs.write(f, "hello")
+    assert(fs.cat(f) === "hello")
+    fs.append(f, " world")
+    assert(fs.cat(f) === "hello world")
+    assert(fs.ls(dir).exists(_.endsWith("a.txt")))
+    assert(fs.mtime(f) > 0)
+  }
+}

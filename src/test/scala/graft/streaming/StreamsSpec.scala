@@ -1,0 +1,79 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+class StreamsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: String): Timestamp = Timestamp.valueOf(s)
+
+  test("windowedCounts over a MemoryStream matches the batch plan") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Timestamp, String)]
+    val sdf = mem.toDF().toDF("et", "k")
+    val agg = Streams.windowedCounts(sdf, col("et"), col("k"), "10 minutes", "5 minutes")
+    val q = agg.writeStream.format("memory").queryName("wc_test")
+      .outputMode("complete").start()
+    mem.addData(
+      (ts("2024-01-01 00:01:00"), "a"),
+      (ts("2024-01-01 00:02:00"), "a"),
+      (ts("2024-01-01 00:11:00"), "a"),
+      (ts("2024-01-01 00:03:00"), "b"))
+    q.processAllAvailable()
+    mem.addData((ts("2024-01-01 00:12:00"), "b"))
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("wc_test")
+      .select(col("w.start").cast("string").as("s"), col("k"), col("n"))
+      .as[(String, String, Long)].collect().sortBy(r => (r._1, r._2))
+    assert(got === Array(
+      ("2024-01-01 00:00:00", "a", 2L),
+      ("2024-01-01 00:00:00", "b", 1L),
+      ("2024-01-01 00:10:00", "a", 1L),
+      ("2024-01-01 00:10:00", "b", 1L)))
+  }
+
+  test("sessionCounts merges events within the gap, splits beyond it") {
+    val df = Seq(
+      (ts("2024-01-01 00:00:00"), 1L),
+      (ts("2024-01-01 00:10:00"), 1L), // same session (gap 30m)
+      (ts("2024-01-01 01:00:00"), 1L), // new session
+      (ts("2024-01-01 00:00:00"), 2L)
+    ).toDF("et", "user_id")
+    val got = Streams.sessionCounts(df, col("et"), col("user_id"), "30 minutes", "0 seconds")
+      .select(col("user_id"), col("w.start").cast("string"), col("w.end").cast("string"), col("n"))
+      .as[(Long, String, String, Long)].collect().sortBy(r => (r._1, r._2))
+    assert(got === Array(
+      (1L, "2024-01-01 00:00:00", "2024-01-01 00:40:00", 2L),
+      (1L, "2024-01-01 01:00:00", "2024-01-01 01:30:00", 1L),
+      (2L, "2024-01-01 00:00:00", "2024-01-01 00:30:00", 1L)))
+  }
+
+  test("watermark drops data later than the threshold in append mode") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Timestamp, String)]
+    val agg = Streams.windowedCounts(mem.toDF().toDF("et", "k"),
+      col("et"), col("k"), "10 minutes", "5 minutes")
+    val q = agg.writeStream.format("memory").queryName("wm_test")
+      .outputMode("append").start()
+    mem.addData((ts("2024-01-01 00:01:00"), "a"))
+    q.processAllAvailable()
+    // advance watermark far past the first window -> it closes and emits
+    mem.addData((ts("2024-01-01 01:00:00"), "a"))
+    q.processAllAvailable()
+    // this event is far behind the watermark: dropped
+    mem.addData((ts("2024-01-01 00:02:00"), "a"))
+    q.processAllAvailable()
+    mem.addData((ts("2024-01-01 02:00:00"), "a"))
+    q.processAllAvailable()
+    q.stop()
+    val firstWindow = spark.table("wm_test")
+      .filter(col("w.start") === ts("2024-01-01 00:00:00"))
+      .select(col("n")).as[Long].collect()
+    assert(firstWindow === Array(1L)) // late 00:02 event was not counted
+  }
+}
