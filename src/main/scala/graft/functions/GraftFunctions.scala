@@ -1,7 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.catalyst.expressions.{Cast, Expression, Literal, MapConcat}
+import org.apache.spark.sql.catalyst.expressions.{Cast, CreateArray, Expression, Literal, MapConcat}
 import org.apache.spark.sql.catalyst.expressions.aggregate.MaxBy
 import org.apache.spark.sql.functions.udf
 import org.apache.spark.sql.graft.Bridge
@@ -118,7 +118,23 @@ object GraftFunctions {
       }
       Bridge.scalaUdf(httpPostUdf, Seq(url, timeout, headers, content))
     }, "built-in")
+
+    // graft_probe(any...) — execution-site introspection (reference debug
+    // UDFs, SURVEY §2A #26-28): where and with what did this row evaluate.
+    reg.createOrReplaceTempFunction("graft_probe", exprs => {
+      val asStrings = CreateArray(exprs.map(e => Cast(e, StringType)))
+      Bridge.scalaUdf(probeUdf, Seq(asStrings))
+    }, "built-in")
   }
+
+  /** Introspection probe (reference's udf_test / gudf_tests / udtf_tests in
+    * hive-udfs tests package): echoes evaluation-site host + thread + arg
+    * rendering from inside query execution. Nondeterministic by nature.
+    */
+  private val probeUdf = udf((args: Seq[String]) => {
+    val host = java.net.InetAddress.getLocalHost.getHostName
+    s"host=$host thread=${Thread.currentThread().getName} args=${args.mkString("[", ",", "]")}"
+  }).asNondeterministic()
 
   private val httpGetUdf =
     udf((url: String, timeoutMs: Int, headers: Map[String, String]) =>

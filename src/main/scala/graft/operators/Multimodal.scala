@@ -1,0 +1,108 @@
+package graft.operators
+
+import java.security.MessageDigest
+
+import org.apache.spark.sql.{Column, DataFrame, Encoders, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Multimodal column plumbing: image/audio/video as opaque `binary` columns
+  * with typed metadata, decoded/feature-extracted through a batched
+  * partition-level codec interface.
+  *
+  * The actual media libraries are not in this container, so [[FakeCodec]] is
+  * a clearly-marked deterministic STUB (md5-derived pseudo-metadata). The
+  * Spark-side plumbing is real and is the part that matters at 100 TB:
+  *  - payloads stay `BinaryType` end to end (no string round-trips);
+  *  - the codec is opened once per partition and fed fixed-size batches
+  *    (the JVM mirror of Arrow-batch UDF shape — batching amortizes codec
+  *    init/native-call overhead);
+  *  - output is a typed `meta` struct column; the payload column can be
+  *    dropped right after decode so wide binary data doesn't cross shuffles.
+  */
+object Multimodal {
+
+  final case class MediaMeta(
+      format: String, width: Int, height: Int, nFrames: Int, nBytes: Int)
+
+  val metaType: StructType = StructType(Seq(
+    StructField("format", StringType), StructField("width", IntegerType),
+    StructField("height", IntegerType), StructField("n_frames", IntegerType),
+    StructField("n_bytes", IntegerType)))
+
+  /** Batched decoder interface; implementations must be Serializable.
+    * `open()` per partition (native contexts, model handles), `decode` per
+    * batch of payloads.
+    */
+  trait Codec extends Serializable {
+    def open(): Unit = ()
+    def close(): Unit = ()
+    def decode(batch: Seq[Array[Byte]]): Seq[MediaMeta]
+  }
+
+  /** STUB codec — deterministic md5-derived pseudo-metadata standing in for
+    * a real image/audio decoder (the container has no media libs). Every
+    * field is a pure function of the bytes, so a SQL oracle can recompute it.
+    */
+  object FakeCodec extends Codec {
+    private val formats = Array("jpeg", "png", "webp")
+
+    private[operators] def hash32(bytes: Array[Byte]): Long = {
+      val md = MessageDigest.getInstance("MD5")
+      val hex = md.digest(bytes).take(4).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex, 16)
+    }
+
+    def decode(batch: Seq[Array[Byte]]): Seq[MediaMeta] = batch.map { b =>
+      if (b == null) MediaMeta(null, 0, 0, 0, 0)
+      else {
+        val h = hash32(b)
+        MediaMeta(
+          formats((h % 3).toInt),
+          (64 + h % 512).toInt,
+          (64 + (h / 512) % 512).toInt,
+          ((b.length + FrameBytes - 1) / FrameBytes),
+          b.length)
+      }
+    }
+  }
+
+  /** Fixed stand-in frame size for the "video" framing stub. */
+  val FrameBytes = 256
+
+  /** Appends `meta: struct<format,width,height,n_frames,n_bytes>` by running
+    * `codec` over `batchSize`-row batches per partition.
+    */
+  def decodeMeta(df: DataFrame, payload: Column, codec: Codec = FakeCodec,
+      batchSize: Int = 64, out: String = "meta"): DataFrame = {
+    val in = df.withColumn("__graft_payload", payload)
+    val n = in.schema.size
+    val outSchema = StructType(df.schema.fields :+ StructField(out, metaType))
+    in.mapPartitions { rows =>
+      codec.open()
+      Option(org.apache.spark.TaskContext.get())
+        .foreach(_.addTaskCompletionListener[Unit](_ => codec.close()))
+      rows.grouped(batchSize).flatMap { batch =>
+        val metas = codec.decode(batch.map(r =>
+          r.getAs[Array[Byte]](n - 1)))
+        batch.lazyZip(metas).map { (r, m) =>
+          Row.fromSeq(r.toSeq.dropRight(1) :+
+            Row(m.format, m.width, m.height, m.nFrames, m.nBytes))
+        }
+      }
+    }(Encoders.row(outSchema))
+  }
+
+  /** Deterministic frame sampling for "video" payloads: `k` evenly-spaced
+    * [[FrameBytes]]-sized frames as `array<binary>` — the Spark-side shape
+    * of frame extraction (a real implementation swaps the slicer for a
+    * demuxer). Codegen'd built-ins only; no UDF.
+    */
+  def sampleFrames(payload: Column, k: Int): Column = {
+    val nFrames = ceil(length(payload).cast("double") / FrameBytes).cast("int")
+    val idx = transform(sequence(lit(0), lit(k - 1)), i =>
+      least(i * greatest(floor(nFrames / lit(k)).cast("int"), lit(1)), nFrames - 1))
+    transform(array_distinct(idx), i =>
+      substring(payload, (i * FrameBytes + 1).cast("int"), lit(FrameBytes)))
+  }
+}

@@ -257,8 +257,50 @@ object Pipeline {
        |FROM ranked WHERE rank <= 5
        |ORDER BY query_id, rank""".stripMargin
 
+  // ------------------------------------------------------------- multimodal
+
+  /** Multimodal plumbing end-to-end: text bytes stand in for media payloads
+    * (binary column), the batched stub codec extracts typed metadata, and
+    * deterministic frame sampling hashes the first "frame". The oracle
+    * recomputes the md5-derived stub outputs — documents are ASCII, so char
+    * offsets equal byte offsets.
+    */
+  def mmDecodeMeta(s: SparkSession, dir: String): DataFrame = {
+    val docs = T(s, dir, "documents")
+      .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
+    graft.operators.Multimodal.decodeMeta(docs, col("payload"))
+      .withColumn("frames", graft.operators.Multimodal.sampleFrames(col("payload"), 4))
+      .select(col("doc_id"),
+        col("meta.format").as("format"), col("meta.width").as("width"),
+        col("meta.height").as("height"), col("meta.n_frames").as("n_frames"),
+        col("meta.n_bytes").as("n_bytes"),
+        size(col("frames")).as("n_sampled"),
+        md5(element_at(col("frames"), 1)).as("frame0_md5"))
+      .orderBy(col("doc_id"))
+  }
+
+  val mmDecodeMetaOracle: String =
+    """WITH h AS (
+      |  SELECT doc_id, text,
+      |    ('0x' || substring(md5(text), 1, 8))::BIGINT AS h32,
+      |    strlen(text) AS nb,
+      |    CAST(ceil(strlen(text) / 256.0) AS INTEGER) AS nf
+      |  FROM documents)
+      |SELECT doc_id,
+      |  (['jpeg', 'png', 'webp'])[CAST(h32 % 3 AS INTEGER) + 1] AS format,
+      |  CAST(64 + h32 % 512 AS INTEGER) AS width,
+      |  CAST(64 + (h32 // 512) % 512 AS INTEGER) AS height,
+      |  nf AS n_frames,
+      |  CAST(nb AS INTEGER) AS n_bytes,
+      |  CAST(len(list_distinct(list_transform(range(0, 4), i ->
+      |    least(i * greatest(nf // 4, 1), nf - 1)))) AS INTEGER) AS n_sampled,
+      |  md5(substring(text, 1, 256)) AS frame0_md5
+      |FROM h
+      |ORDER BY doc_id""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("dedup_exact", dedupExact, Some(dedupExactOracle)),
+    Q("mm_decode_meta", mmDecodeMeta, Some(mmDecodeMetaOracle)),
     Q("dedup_minhash_lsh", dedupMinHash, Some(dedupMinHashOracle)),
     Q("dedup_ngram_jaccard", dedupNgramJaccard, Some(dedupNgramJaccardOracle)),
     Q("dedup_simhash", dedupSimHash, Some(dedupSimHashOracle)),

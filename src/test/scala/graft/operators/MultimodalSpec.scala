@@ -1,0 +1,78 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+import graft.operators.Multimodal.{FakeCodec, MediaMeta}
+
+class MultimodalSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("FakeCodec metadata is a pure function of the bytes") {
+    val b = "hello media".getBytes("UTF-8")
+    val Seq(m1) = FakeCodec.decode(Seq(b))
+    val Seq(m2) = FakeCodec.decode(Seq(b))
+    assert(m1 === m2)
+    assert(m1.nBytes === b.length)
+    assert(m1.width >= 64 && m1.width < 576)
+    assert(m1.height >= 64 && m1.height < 576)
+    assert(Seq("jpeg", "png", "webp").contains(m1.format))
+    assert(FakeCodec.decode(Seq(null)) === Seq(MediaMeta(null, 0, 0, 0, 0)))
+  }
+
+  test("decodeMeta appends typed meta struct; batching covers partitions") {
+    val df = (1 to 200).map(i => (i.toLong, ("x" * i).getBytes("UTF-8")))
+      .toDF("id", "payload").repartition(3)
+    val out = Multimodal.decodeMeta(df, col("payload"), batchSize = 16)
+    assert(out.schema.fieldNames.toSeq === Seq("id", "payload", "meta"))
+    val rows = out.select($"id", $"meta.n_bytes", $"meta.n_frames")
+      .as[(Long, Int, Int)].collect().sortBy(_._1)
+    rows.foreach { case (id, nb, nf) =>
+      assert(nb === id.toInt)
+      assert(nf === (id.toInt + 255) / 256)
+    }
+  }
+
+  test("batched codec sees full batches, not row-at-a-time") {
+    MultimodalSpec.batchSizes.clear()
+    val df = (1 to 100).map(i => (i, Array[Byte](i.toByte))).toDF("id", "p")
+      .repartition(1)
+    Multimodal.decodeMeta(df, col("p"), codec = MultimodalSpec.Recorder,
+      batchSize = 32).count()
+    import scala.jdk.CollectionConverters._
+    assert(MultimodalSpec.batchSizes.asScala.toList.sorted === List(4, 32, 32, 32))
+  }
+
+  test("sampleFrames: evenly spaced fixed-size frames, deduped when short") {
+    val payload = ("a" * 1000).getBytes("UTF-8") // 4 frames of 256 (last short)
+    val df = Seq(Tuple1(payload)).toDF("p")
+    val frames = df.select(Multimodal.sampleFrames(col("p"), 4).as("f"))
+      .select(size(col("f")).as("n"), element_at(col("f"), 1).as("f0"))
+      .as[(Int, Array[Byte])].head()
+    assert(frames._1 === 4)
+    assert(frames._2.length === 256)
+    // short payload: fewer distinct frames than k
+    val shortDf = Seq(Tuple1("tiny".getBytes("UTF-8"))).toDF("p")
+    val n = shortDf.select(size(Multimodal.sampleFrames(col("p"), 4)).as("n"))
+      .as[Int].head()
+    assert(n === 1)
+  }
+
+  test("graft_probe reports evaluation site per row") {
+    val out = spark.sql("SELECT graft_probe(1, 'x') AS p").as[String].head()
+    assert(out.contains("host=") && out.contains("args=[1,x]"))
+  }
+}
+
+object MultimodalSpec {
+  // JVM-global so the executor-side deserialized codec copy reports into the
+  // same buffer the driver asserts on (closures are serialized even in
+  // local mode)
+  val batchSizes = new java.util.concurrent.ConcurrentLinkedQueue[Int]()
+
+  object Recorder extends Multimodal.Codec {
+    def decode(batch: Seq[Array[Byte]]): Seq[MediaMeta] = {
+      batchSizes.add(batch.size)
+      FakeCodec.decode(batch)
+    }
+  }
+}
