@@ -1,0 +1,227 @@
+// Native signature expressions. Under org.apache.spark.sql so ExpectsInputTypes
+// (private[sql] AbstractDataType) is reachable — same rationale as
+// VectorExpressions.scala.
+package org.apache.spark.sql.graft
+
+import java.nio.charset.StandardCharsets
+import java.security.MessageDigest
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** md5-derived hashing shared by the signature expressions — bit-compatible
+  * with the column-level formulations in graft.functions.TextFunctions
+  * (`hash32` = first 8 md5 hex digits, `fingerprint64` = first 15) so DuckDB
+  * oracles keep reproducing every signature with
+  * `('0x' || substring(md5(x), 1, n))::BIGINT`.
+  */
+private[graft] object Md5Hash {
+  private val tl = ThreadLocal.withInitial[MessageDigest](() =>
+    MessageDigest.getInstance("MD5"))
+
+  /** First 8 hex digits of md5 as a long in [0, 2^32). */
+  def hash32(bytes: Array[Byte]): Long = {
+    val d = tl.get(); d.reset()
+    val h = d.digest(bytes)
+    ((h(0) & 0xffL) << 24) | ((h(1) & 0xffL) << 16) | ((h(2) & 0xffL) << 8) | (h(3) & 0xffL)
+  }
+
+  /** First 15 hex digits of md5 as a long in [0, 2^60). */
+  def hash60(bytes: Array[Byte]): Long = {
+    val d = tl.get(); d.reset()
+    val h = d.digest(bytes)
+    var v = 0L
+    var i = 0
+    while (i < 7) { v = (v << 8) | (h(i) & 0xffL); i += 1 }
+    // 14 hex digits so far; one more nibble (the high nibble of byte 7)
+    (v << 4) | ((h(7) & 0xf0L) >> 4)
+  }
+
+  def hash32(s: String): Long = hash32(s.getBytes(StandardCharsets.UTF_8))
+  def hash60(s: String): Long = hash60(s.getBytes(StandardCharsets.UTF_8))
+}
+
+/** MinHash signature over word k-shingles of a token array, as one compiled
+  * loop. Equivalent to the HOF pipeline
+  * `transform(sequence(...), j -> aggregate(transform(shingleSet, md5...), min(...)))`
+  * (graft.operators.Dedup.minHashSignature) but ~100× faster: higher-order
+  * expressions evaluate interpreted per element, this runs
+  * O(shingles × numHashes) long ops in a JVM loop.
+  *
+  * Hash family (identical to the column formulation):
+  * h = md5-first-8-hex(shingle) ∈ [0,2^32); sig[j] = min over shingles of
+  * (a_j * h + b_j) mod P, a_j = ((j+1)*1103515245 + 12345) mod AMod + 1,
+  * b_j = ((j+1)*69069 + 362437) mod P, P = 4294967311 (prime > 2^32),
+  * AMod = 1073741789 (prime < 2^30, keeps a*h < 2^62).
+  */
+case class MinHashSignature(child: Expression, shingleK: Int, numHashes: Int)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = child.nullable
+  override def prettyName: String = "minhash_signature"
+  override def checkInputDataTypes() = {
+    require(child.dataType == ArrayType(StringType) ||
+      child.dataType == ArrayType(StringType, containsNull = true),
+      s"minhash_signature expects array<string> tokens, got ${child.dataType}")
+    org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+  }
+
+  private val P = 4294967311L
+  private val AMod = 1073741789L
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val toks = input.asInstanceOf[ArrayData]
+    val n = toks.numElements()
+    val words = Array.tabulate(n)(i => toks.getUTF8String(i).toString)
+    // distinct k-shingles; docs shorter than k yield one whole-text shingle
+    val shingles: Iterator[String] =
+      if (n < shingleK) Iterator(words.mkString(" "))
+      else words.sliding(shingleK).map(_.mkString(" ")).distinct
+    val sig = Array.fill(numHashes)(P)
+    shingles.foreach { s =>
+      val h = Md5Hash.hash32(s)
+      var j = 0
+      while (j < numHashes) {
+        val a = ((j + 1).toLong * 1103515245L + 12345L) % AMod + 1L
+        val b = ((j + 1).toLong * 69069L + 362437L) % P
+        val v = (a * h + b) % P
+        if (v < sig(j)) sig(j) = v
+        j += 1
+      }
+    }
+    new GenericArrayData(sig)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** 60-bit SimHash over a token array (with multiplicity): per-bit votes of
+  * md5-derived 60-bit token fingerprints, bit set where the vote is positive.
+  * Compiled replacement for the aggregate/zip_with HOF formulation in
+  * graft.operators.Dedup.simHash — identical output.
+  */
+case class SimHash60(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = child.nullable
+  override def prettyName: String = "simhash60"
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val toks = input.asInstanceOf[ArrayData]
+    val votes = new Array[Int](60)
+    var i = 0
+    val n = toks.numElements()
+    while (i < n) {
+      val h = Md5Hash.hash60(toks.getUTF8String(i).toString)
+      var b = 0
+      while (b < 60) {
+        if (((h >> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
+        b += 1
+      }
+      i += 1
+    }
+    var out = 0L
+    var b = 0
+    while (b < 60) {
+      if (votes(b) > 0) out |= (1L << b)
+      b += 1
+    }
+    out
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** Sign-random-projection bucket over an array<float> embedding: bit j is the
+  * sign of dot(plane_j, vec) with deterministic md5-derived hyperplanes
+  * plane_j[d] = hash32("plane:j:d") / 2^31 - 1 — identical to the HOF
+  * formulation in graft.operators.Similarity.srpBucket (and its DuckDB
+  * oracle), but the plane components are computed once per (bits, dims) and
+  * cached, not re-hashed per row.
+  */
+case class SrpBucket(child: Expression, bits: Int)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = child.nullable
+  override def prettyName: String = "srp_bucket"
+
+  @transient private lazy val planeCache =
+    new java.util.concurrent.ConcurrentHashMap[Int, Array[Array[Double]]]()
+
+  private def planes(dims: Int): Array[Array[Double]] =
+    planeCache.computeIfAbsent(dims, d =>
+      Array.tabulate(bits, d)((j, dim) =>
+        Md5Hash.hash32(s"plane:$j:$dim").toDouble / 2147483648.0 - 1.0))
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val vec = input.asInstanceOf[ArrayData]
+    val dims = vec.numElements()
+    val ps = planes(dims)
+    var bucket = 0L
+    var j = 0
+    while (j < bits) {
+      val p = ps(j)
+      var dot = 0.0
+      var d = 0
+      while (d < dims) { dot += vec.getFloat(d).toDouble * p(d); d += 1 }
+      if (dot > 0) bucket |= (1L << j)
+      j += 1
+    }
+    bucket
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** Distinct word k-shingles of a token array as one compiled pass —
+  * output identical to graft.functions.TextFunctions.wordShingleSet
+  * (docs shorter than k yield one whole-text shingle).
+  */
+case class WordShingleSet(child: Expression, shingleK: Int)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullable: Boolean = child.nullable
+  override def prettyName: String = "word_shingle_set"
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val toks = input.asInstanceOf[ArrayData]
+    val n = toks.numElements()
+    val words = Array.tabulate(n)(i => toks.getUTF8String(i).toString)
+    val shingles =
+      if (n < shingleK) Array(words.mkString(" "))
+      else words.sliding(shingleK).map(_.mkString(" ")).distinct.toArray
+    new GenericArrayData(shingles.map(s => UTF8String.fromString(s)): Array[Any])
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** Column-level entry points. */
+object HashFunctions {
+  def minHashSignature(tokens: Column, shingleK: Int, numHashes: Int): Column =
+    ExpressionUtilsShim.column(MinHashSignature(ExpressionUtilsShim.expr(tokens), shingleK, numHashes))
+  def simHash60(tokens: Column): Column =
+    ExpressionUtilsShim.column(SimHash60(ExpressionUtilsShim.expr(tokens)))
+  def srpBucket(vec: Column, bits: Int): Column =
+    ExpressionUtilsShim.column(SrpBucket(ExpressionUtilsShim.expr(vec), bits))
+  def wordShingleSet(tokens: Column, k: Int): Column =
+    ExpressionUtilsShim.column(WordShingleSet(ExpressionUtilsShim.expr(tokens), k))
+}
+
+private object ExpressionUtilsShim {
+  import org.apache.spark.sql.classic.ExpressionUtils
+  def expr(c: Column): Expression = ExpressionUtils.expression(c)
+  def column(e: Expression): Column = ExpressionUtils.column(e)
+}

@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graft.HashFunctions
 import graft.functions.TextFunctions
 
 /** Deduplication operators for 100 TB-scale corpora.
@@ -20,6 +21,16 @@ import graft.functions.TextFunctions
   */
 object Dedup {
 
+  /** Ensure at least default parallelism before per-row signature work: a
+    * single small parquet file arrives as one partition, which would put all
+    * hashing on one core; at real scale inputs have >= cores partitions and
+    * this no-ops (no shuffle added).
+    */
+  private def widen(df: DataFrame): DataFrame = {
+    val target = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < target) df.repartition(target) else df
+  }
+
   /** Exact dedup: one row per distinct value of `content`, keeping the
     * minimum `id` and the duplicate-group size.
     *
@@ -35,29 +46,19 @@ object Dedup {
 
   // ---------------------------------------------------------------- MinHash
 
-  /** Prime just above 2^32 for the (a*h + b) mod P universal hash family. */
+  /** Prime just above 2^32 for the (a*h + b) mod P universal hash family
+    * (full family definition: org.apache.spark.sql.graft.MinHashSignature).
+    */
   val P: Long = 4294967311L
 
-  /** Prime just below 2^30: keeps a < 2^30 so a*h < 2^62 (no i64 overflow). */
-  private val AMod: Long = 1073741789L
-
-  private def aCoef(j: Column): Column =
-    ((j.cast("long") + 1L) * 1103515245L + 12345L) % AMod + 1L
-  private def bCoef(j: Column): Column =
-    ((j.cast("long") + 1L) * 69069L + 362437L) % P
-
   /** MinHash signature (length `numHashes`) over the distinct word
-    * `shingleK`-shingles of `text`. Pure projection — no shuffle, no UDF:
-    * md5-based 32-bit shingle hashes fed to `numHashes` universal hash
-    * functions, min-folded per function with codegen'd higher-order exprs.
+    * `shingleK`-shingles of `text`. Pure projection — no shuffle: one
+    * compiled pass via the native [[org.apache.spark.sql.graft.MinHashSignature]]
+    * expression (the equivalent higher-order-function formulation evaluates
+    * interpreted per element, ~100× slower at corpus scale).
     */
-  def minHashSignature(text: Column, shingleK: Int, numHashes: Int): Column = {
-    val hashes = transform(TextFunctions.wordShingleSet(text, shingleK),
-      s => TextFunctions.hash32(s))
-    transform(sequence(lit(0), lit(numHashes - 1)), j =>
-      aggregate(hashes, lit(P),
-        (acc, h) => least(acc, (aCoef(j) * h + bCoef(j)) % P)))
-  }
+  def minHashSignature(text: Column, shingleK: Int, numHashes: Int): Column =
+    HashFunctions.minHashSignature(TextFunctions.tokensWs(text), shingleK, numHashes)
 
   /** (id, band, band_key) rows: `bands` LSH buckets per document, the band
     * key being the md5 of that band's signature slice. Join key is ~20
@@ -67,7 +68,8 @@ object Dedup {
       shingleK: Int, numHashes: Int, bands: Int): DataFrame = {
     require(numHashes % bands == 0, s"numHashes=$numHashes not divisible by bands=$bands")
     val rows = numHashes / bands
-    df.select(id.as("id"), minHashSignature(text, shingleK, numHashes).as("sig"))
+    widen(df.select(id.as("id"), text.as("__text")))
+      .select(col("id"), minHashSignature(col("__text"), shingleK, numHashes).as("sig"))
       .select(col("id"), posexplode(
         transform(sequence(lit(0), lit(bands - 1)),
           b => md5(concat_ws(",", slice(col("sig"), b * rows + 1, lit(rows)))))
@@ -98,8 +100,9 @@ object Dedup {
   def minHashPairs(df: DataFrame, id: Column, text: Column,
       shingleK: Int = 3, numHashes: Int = 128, bands: Int = 16,
       threshold: Double = 0.8): DataFrame = {
-    val sets = df.select(id.as("id"),
-      TextFunctions.wordShingleSet(text, shingleK).as("set"))
+    val sets = widen(df.select(id.as("id"), text.as("__text")))
+      .select(col("id"), HashFunctions.wordShingleSet(
+        TextFunctions.tokensWs(col("__text")), shingleK).as("set"))
     val cand = minHashCandidates(df, id, text, shingleK, numHashes, bands)
     cand
       .join(sets.select(col("id").as("id_a"), col("set").as("set_a")), Seq("id_a"))
@@ -126,32 +129,38 @@ object Dedup {
 
   // ------------------------------------------------------- n-gram Jaccard
 
-  /** All-pairs n-gram Jaccard >= threshold via inverted-index join (no LSH,
-    * no approximation): explode distinct shingles, self-join on the shingle
-    * fingerprint, count intersections, join back set sizes.
+  /** All-pairs n-gram Jaccard >= threshold, exact, via inverted index with
+    * **prefix filtering** (the AllPairs/PPJoin family): under a global
+    * shingle order (ascending document frequency, fingerprint tiebreak),
+    * two sets with Jaccard >= t must share an element within their first
+    * `|s| - ceil(t*|s|) + 1` shingles — so only that prefix is indexed.
+    * Frequent "stop-shingles" land at the end of the order and almost never
+    * enter the index, which is what keeps the self-join from exploding
+    * quadratically on common n-grams at corpus scale. Verification joins
+    * back the full sets, so every emitted pair carries its exact Jaccard.
     *
-    * At scale, stop-shingles (appearing in a large fraction of docs) blow up
-    * the join; `maxDocFreq` drops shingles seen in more than that many docs
-    * from pair *generation* (verification still uses full sets, so pairs
-    * sharing at least one rare shingle are scored exactly).
+    * `maxDocFreq` additionally drops ultra-frequent shingles from pair
+    * *generation* entirely (an approximation — off by default).
     */
   def jaccardPairs(df: DataFrame, id: Column, text: Column,
       shingleK: Int = 3, threshold: Double = 0.8,
       maxDocFreq: Option[Long] = None): DataFrame = {
-    val sets = df.select(id.as("id"),
-      TextFunctions.wordShingleSet(text, shingleK).as("set"))
-    val posting = sets.select(col("id"),
-      explode(col("set")).as("s"))
-      .select(col("id"), TextFunctions.fingerprint64(col("s")).as("sfp"))
-    val filtered = maxDocFreq match {
-      case Some(maxDf) =>
-        val rare = posting.groupBy(col("sfp")).agg(count(lit(1)).as("df"))
-          .filter(col("df") <= maxDf).select(col("sfp"))
-        posting.join(rare, Seq("sfp"))
-      case None => posting
-    }
-    val pairs = filtered.select(col("sfp"), col("id").as("id_a"))
-      .join(filtered.select(col("sfp"), col("id").as("id_b")), Seq("sfp"))
+    val sets = widen(df.select(id.as("id"), text.as("__text")))
+      .select(col("id"), HashFunctions.wordShingleSet(
+        TextFunctions.tokensWs(col("__text")), shingleK).as("set"))
+    val posting = sets.select(col("id"), size(col("set")).as("sz"),
+        explode(col("set")).as("s"))
+      .select(col("id"), col("sz"), TextFunctions.fingerprint64(col("s")).as("sfp"))
+    val freq = posting.groupBy(col("sfp")).agg(count(lit(1)).as("df"))
+    val freqFiltered = maxDocFreq.fold(freq)(m => freq.filter(col("df") <= m))
+    val byRarity = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("id")).orderBy(col("df"), col("sfp"))
+    val prefix = posting.join(freqFiltered, Seq("sfp"))
+      .withColumn("rk", row_number().over(byRarity))
+      .filter(col("rk") <= col("sz") - ceil(lit(threshold) * col("sz")) + 1)
+      .select(col("sfp"), col("id"))
+    val pairs = prefix.select(col("sfp"), col("id").as("id_a"))
+      .join(prefix.select(col("sfp"), col("id").as("id_b")), Seq("sfp"))
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b")).distinct()
     pairs
@@ -174,20 +183,12 @@ object Dedup {
 
   /** 60-bit SimHash over space-separated tokens (with multiplicity):
     * per-bit vote sum of md5-derived token hashes, bit set where the vote is
-    * positive. Single projection, codegen'd higher-order exprs, no shuffle.
+    * positive. Single projection, no shuffle — native
+    * [[org.apache.spark.sql.graft.SimHash60]] expression (one compiled loop
+    * per row instead of interpreted zip_with/aggregate chains).
     */
-  def simHash(text: Column): Column = {
-    val hashes = transform(TextFunctions.tokensWs(text),
-      t => TextFunctions.fingerprint64(t))
-    val votes = aggregate(hashes,
-      array_repeat(lit(0L), SimHashBits),
-      (acc, h) => zip_with(acc, sequence(lit(0), lit(SimHashBits - 1)),
-        (c, i) => c + (call_function("shiftright", h, i).bitwiseAND(lit(1L)) * 2L - 1L)))
-    aggregate(
-      zip_with(votes, sequence(lit(0), lit(SimHashBits - 1)),
-        (c, i) => when(c > 0, call_function("shiftleft", lit(1L), i)).otherwise(lit(0L))),
-      lit(0L), (acc, v) => acc + v)
-  }
+  def simHash(text: Column): Column =
+    HashFunctions.simHash60(TextFunctions.tokensWs(text))
 
   /** Near-duplicate pairs by SimHash hamming distance <= maxHamming (<= 3).
     *
@@ -200,7 +201,8 @@ object Dedup {
       maxHamming: Int = 3): DataFrame = {
     require(maxHamming < SimHashBlocks, s"maxHamming must be < $SimHashBlocks for exact recall")
     val bits = SimHashBits / SimHashBlocks
-    val sh = df.select(id.as("id"), simHash(text).as("sh"))
+    val sh = widen(df.select(id.as("id"), text.as("__text")))
+      .select(col("id"), simHash(col("__text")).as("sh"))
     val blocks = sh.select(col("id"), col("sh"), posexplode(
       transform(sequence(lit(0), lit(SimHashBlocks - 1)),
         b => call_function("shiftright", col("sh"), b * bits)

@@ -44,25 +44,14 @@ object Similarity {
   }
 
   /** Sign-random-projection bucket id: `bits` sign bits of hyperplane dot
-    * products. Pure projection (no shuffle); the same expression buckets
-    * both corpus (once, can be persisted/bucketed-by on write) and queries.
+    * products, plane_j[d] = md5-hash32("plane:j:d") / 2^31 - 1. Pure
+    * projection (no shuffle); the same expression buckets both corpus (once,
+    * can be persisted/bucketed-by on write) and queries. Native
+    * [[org.apache.spark.sql.graft.SrpBucket]] expression — plane components
+    * are cached per (bits, dims), not re-hashed per row.
     */
-  def srpBucket(vec: Column, bits: Int): Column = {
-    val dims = size(vec)
-    val planes = sequence(lit(0), lit(bits - 1))
-    aggregate(
-      transform(planes, j =>
-        // dot(plane_j, vec) > 0 contributes bit j
-        when(
-          aggregate(
-            zip_with(vec, sequence(lit(0), dims - 1),
-              (x, d) => x.cast("double") *
-                (TextFunctions.hash32(concat_ws(":", lit("plane"), j, d))
-                  .cast("double") / lit(2147483648.0) - 1.0)),
-            lit(0.0), (acc, v) => acc + v) > 0,
-          call_function("shiftleft", lit(1L), j)).otherwise(lit(0L))),
-      lit(0L), (acc, v) => acc + v)
-  }
+  def srpBucket(vec: Column, bits: Int): Column =
+    org.apache.spark.sql.graft.HashFunctions.srpBucket(vec, bits)
 
   /** Approximate top-k: candidates share the query's SRP bucket, exact
     * cosine rescoring inside the bucket. Output as `bruteForceTopK` (ranks

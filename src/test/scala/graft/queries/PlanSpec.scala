@@ -1,0 +1,79 @@
+package graft.queries
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.ExplainMode
+import graft.SparkSpec
+
+/** Physical-plan audits: correctness tests prove the small-SF answer; these
+  * prove the plan shape that survives a 100×–1000× scale-up — filters
+  * reaching the parquet scan, small dims broadcast, aggregates partial
+  * map-side, codegen covering the hot path.
+  */
+class PlanSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  private def plan(df: DataFrame): String =
+    df.queryExecution.explainString(ExplainMode.fromString("formatted"))
+
+  test("q01: shipdate filter is pushed to the parquet scan") {
+    val p = plan(Relational.q01PricingSummary(spark, dir))
+    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate"), p)
+  }
+
+  test("q01: aggregation is partial (map-side) then final — two HashAggregates") {
+    val p = plan(Relational.q01PricingSummary(spark, dir))
+    assert("HashAggregate".r.findAllIn(p).size >= 2, p)
+  }
+
+  test("q02: nation/region dims broadcast, no shuffle of small sides") {
+    val p = plan(Relational.q02RevenueByNation(spark, dir))
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 2, p)
+  }
+
+  test("q02: orderdate + region filters pushed to scans") {
+    val p = plan(Relational.q02RevenueByNation(spark, dir))
+    assert(p.contains("PushedFilters: [IsNotNull(o_orderdate), GreaterThanOrEqual(o_orderdate"), p)
+    assert(p.contains("PushedFilters: [IsNotNull(r_name), EqualTo(r_name,ASIA)"), p)
+  }
+
+  test("q03: top-k compiles to TakeOrderedAndProject, not global sort") {
+    val p = plan(Relational.q03TopOrders(spark, dir))
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
+  test("q04: EXISTS compiles to a semi join (no row multiplication)") {
+    val p = plan(Relational.q04OrderPriority(spark, dir))
+    assert(p.contains("LeftSemi"), p)
+  }
+
+  test("dedup_exact: scan reads only the projected columns") {
+    val p = plan(Pipeline.dedupExact(spark, dir))
+    assert(p.contains("ReadSchema: struct<doc_id:bigint,text:string>"), p)
+  }
+
+  test("sim_bruteforce: probe side broadcast — corpus scanned once, never shuffled") {
+    val p = plan(Pipeline.simBruteForce(spark, dir))
+    assert(p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("text_metrics: map-only — one projection over the scan, no hash shuffle") {
+    // (higher-order-function exprs are CodegenFallback, so no WSCG claim —
+    // the scale property is the absence of any shuffle before the final sort)
+    val p = plan(Pipeline.textMetrics(spark, dir))
+    assert(!p.contains("Exchange hashpartitioning"), p)
+    assert(p.contains("ReadSchema: struct<doc_id:bigint,text:string>"), p)
+  }
+
+  test("minhash signatures: at most the widening shuffle, which moves (id,text) only") {
+    val df = graft.operators.Dedup.lshBands(
+      T(spark, dir, "documents"),
+      org.apache.spark.sql.functions.col("doc_id"),
+      org.apache.spark.sql.functions.col("text"), 3, 32, 8)
+    val p = plan(df)
+    // one RoundRobin widen (under-parallel local input) is allowed; no hash
+    // shuffle may appear — signatures are computed in a projection
+    assert("Exchange".r.findAllIn(p).size <= 2, p) // tree + detail section
+    assert(!p.contains("Exchange hashpartitioning"), p)
+  }
+}
