@@ -147,7 +147,7 @@ case class SimHash60(child: Expression)
   * oracle), but the plane components are computed once per (bits, dims) and
   * cached, not re-hashed per row.
   */
-case class SrpBucket(child: Expression, bits: Int)
+case class SrpBucket(child: Expression, bits: Int, seed: String = "plane")
     extends UnaryExpression with CodegenFallback {
 
   override def dataType: DataType = LongType
@@ -160,7 +160,7 @@ case class SrpBucket(child: Expression, bits: Int)
   private def planes(dims: Int): Array[Array[Double]] =
     planeCache.computeIfAbsent(dims, d =>
       Array.tabulate(bits, d)((j, dim) =>
-        Md5Hash.hash32(s"plane:$j:$dim").toDouble / 2147483648.0 - 1.0))
+        Md5Hash.hash32(s"$seed:$j:$dim").toDouble / 2147483648.0 - 1.0))
 
   override protected def nullSafeEval(input: Any): Any = {
     val vec = input.asInstanceOf[ArrayData]
@@ -214,8 +214,8 @@ object HashFunctions {
     ExpressionUtilsShim.column(MinHashSignature(ExpressionUtilsShim.expr(tokens), shingleK, numHashes))
   def simHash60(tokens: Column): Column =
     ExpressionUtilsShim.column(SimHash60(ExpressionUtilsShim.expr(tokens)))
-  def srpBucket(vec: Column, bits: Int): Column =
-    ExpressionUtilsShim.column(SrpBucket(ExpressionUtilsShim.expr(vec), bits))
+  def srpBucket(vec: Column, bits: Int, seed: String = "plane"): Column =
+    ExpressionUtilsShim.column(SrpBucket(ExpressionUtilsShim.expr(vec), bits, seed))
   def wordShingleSet(tokens: Column, k: Int): Column =
     ExpressionUtilsShim.column(WordShingleSet(ExpressionUtilsShim.expr(tokens), k))
 }

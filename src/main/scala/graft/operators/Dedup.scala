@@ -190,6 +190,51 @@ object Dedup {
   def simHash(text: Column): Column =
     HashFunctions.simHash60(TextFunctions.tokensWs(text))
 
+  // ------------------------------------------------- embedding-cosine dedup
+
+  /** Embedding-cosine near-duplicate pairs, exact: all-pairs self-join
+    * scored by the native CosineSimilarity expression. Quadratic — correct
+    * at any threshold, intended for moderate corpora or post-blocking
+    * verification; [[embeddingPairsLsh]] is the scale path.
+    */
+  def embeddingPairsExact(df: DataFrame, id: Column, vec: Column,
+      threshold: Double): DataFrame = {
+    val v = widen(df.select(id.as("id"), vec.as("v")))
+    val l = v.select(col("id").as("id_a"), col("v").as("va"))
+    val r = v.select(col("id").as("id_b"), col("v").as("vb"))
+    l.join(r, col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        org.apache.spark.sql.graft.VectorFunctions.cosineSim(col("va"), col("vb")).as("cos"))
+      .filter(col("cos") >= threshold)
+  }
+
+  /** Embedding-cosine near-duplicate pairs at scale: `tables` independent
+    * sign-random-projection bucket tables (distinct deterministic plane
+    * seeds), candidates = pairs sharing any bucket, verified by exact
+    * cosine. Recall is probabilistic — for angle θ a pair collides in one
+    * table with p = (1-θ/π)^bits, overall 1-(1-p)^tables; precision is
+    * exact. Shuffles carry (id, bucket) longs, never the vectors.
+    */
+  def embeddingPairsLsh(df: DataFrame, id: Column, vec: Column,
+      threshold: Double, bits: Int = 12, tables: Int = 4): DataFrame = {
+    val v = widen(df.select(id.as("id"), vec.as("v")))
+    val buckets = (0 until tables).map { t =>
+      v.select(col("id"),
+        HashFunctions.srpBucket(col("v"), bits, seed = s"plane$t").as("b"),
+        lit(t).as("tbl"))
+    }.reduce(_ unionAll _)
+    val cand = buckets.select(col("tbl"), col("b"), col("id").as("id_a"))
+      .join(buckets.select(col("tbl"), col("b"), col("id").as("id_b")), Seq("tbl", "b"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b")).distinct()
+    cand
+      .join(v.select(col("id").as("id_a"), col("v").as("va")), Seq("id_a"))
+      .join(v.select(col("id").as("id_b"), col("v").as("vb")), Seq("id_b"))
+      .select(col("id_a"), col("id_b"),
+        org.apache.spark.sql.graft.VectorFunctions.cosineSim(col("va"), col("vb")).as("cos"))
+      .filter(col("cos") >= threshold)
+  }
+
   /** Near-duplicate pairs by SimHash hamming distance <= maxHamming (<= 3).
     *
     * Candidates via the block trick: 60 bits in 4 equal blocks — any pair

@@ -53,6 +53,53 @@ object Similarity {
   def srpBucket(vec: Column, bits: Int): Column =
     org.apache.spark.sql.graft.HashFunctions.srpBucket(vec, bits)
 
+  /** IVF-Flat approximate top-k: a deterministic coarse quantizer (every
+    * `centroidEvery`-th corpus vector by id acts as a centroid — content-
+    * independent and reproducible, where k-means would make the oracle
+    * irreproducible), corpus vectors assigned to their nearest centroid's
+    * cell, queries probing the `nprobe` nearest cells and rescoring exactly
+    * inside them.
+    *
+    * Scale shape: centroids broadcast (tiny), assignment is map-side, the
+    * only shuffle is the cell-keyed candidate join — each query touches
+    * nprobe/centroids of the corpus. Swap the modulus sampler for trained
+    * centroids without touching the plan.
+    */
+  def ivfTopK(queries: DataFrame, corpus: DataFrame, k: Int,
+      centroidEvery: Long = 50, nprobe: Int = 2): DataFrame = {
+    val cents = broadcast(
+      corpus.filter(pmod(col("vec_id"), lit(centroidEvery)) === 0)
+        .select(col("vec_id").as("cid"), col("embedding").as("cv")))
+
+    def nearestCells(df: DataFrame, idCol: String, vecCol: String, n: Int) = {
+      val w = Window.partitionBy(col(idCol))
+        .orderBy(col("__ccos").desc, col("cid"))
+      df.join(cents, lit(true))
+        .withColumn("__ccos", VectorFunctions.cosineSim(col(vecCol), col("cv")))
+        .withColumn("__crn", row_number().over(w))
+        .filter(col("__crn") <= n)
+        .drop("cv", "__ccos", "__crn")
+    }
+
+    val assigned = nearestCells(
+      corpus.select(col("vec_id").as("neighbor_id"), col("embedding").as("nv")),
+      "neighbor_id", "nv", 1)
+    val probes = nearestCells(
+      queries.select(col("vec_id").as("query_id"), col("embedding").as("qv")),
+      "query_id", "qv", nprobe)
+
+    val scored = probes.join(assigned, Seq("cid"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        VectorFunctions.cosineSim(col("qv"), col("nv")).as("cos"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("rank").cast("int").as("rank"),
+        col("cos"))
+  }
+
   /** Approximate top-k: candidates share the query's SRP bucket, exact
     * cosine rescoring inside the bucket. Output as `bruteForceTopK` (ranks
     * may hold fewer than k rows when a bucket is small).

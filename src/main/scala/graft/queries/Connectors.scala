@@ -238,7 +238,36 @@ object Connectors {
       |FROM nation
       |ORDER BY ct""".stripMargin
 
+  // --------------------------------------------------------------------- JDBC
+
+  /** JDBC roundtrip against embedded Derby (in-memory, zero egress):
+    * write nation over JDBC, execUpdate DML, read back partitioned-parallel
+    * and via a registered temp view.
+    */
+  def jdbcRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    val url = "jdbc:derby:memory:graftverify;create=true"
+    try Jdbc.execUpdate(url, "DROP TABLE nations") catch { case _: Exception => () }
+    Jdbc.write(T(s, dir, "nation").select(
+        col("n_nationkey").cast("int").as("nk"), col("n_name").as("name")),
+      url, "nations")
+    Jdbc.execUpdate(url, """UPDATE nations SET "name" = 'REDACTED' WHERE "nk" = 0""")
+    Jdbc.toView(s, url, "nations", "graft_jdbc_nations")
+    val parallel = Jdbc.readPartitioned(s, url, "nations", "nk", 0L, 24L, 4)
+    parallel.join(s.table("graft_jdbc_nations").select(col("nk"), col("name").as("name2")),
+        Seq("nk"))
+      .select(col("nk"), col("name"), col("name2"))
+      .orderBy(col("nk"))
+  }
+
+  val jdbcRoundtripOracle: String =
+    """SELECT CAST(n_nationkey AS INTEGER) AS nk,
+      |  CASE WHEN n_nationkey = 0 THEN 'REDACTED' ELSE n_name END AS name,
+      |  CASE WHEN n_nationkey = 0 THEN 'REDACTED' ELSE n_name END AS name2
+      |FROM nation
+      |ORDER BY nk""".stripMargin
+
   val all: Seq[Q] = Seq(
+    Q("jdbc_roundtrip", jdbcRoundtrip, Some(jdbcRoundtripOracle)),
     Q("http_get_echo", httpGetEcho, Some(httpGetEchoOracle)),
     Q("http_post_status", httpPostStatus, Some(httpPostStatusOracle)),
     Q("kv_get_enrich", kvGetEnrich, Some(kvGetEnrichOracle)),

@@ -198,6 +198,72 @@ object Pipeline {
        | / (sqrt(list_reduce(list_transform(range(1, len($a) + 1), i -> $a[i]::DOUBLE * $a[i]::DOUBLE), (x, y) -> x + y))
        |    * sqrt(list_reduce(list_transform(range(1, len($b) + 1), i -> $b[i]::DOUBLE * $b[i]::DOUBLE), (x, y) -> x + y))))""".stripMargin.replace("\n", "")
 
+  /** DuckDB norms CTE (named `n`): per-vector norm precomputed once;
+    * `a.nrm * b.nrm` is bit-identical to the engine's
+    * `sqrt(nx) * sqrt(ny)` per pair.
+    */
+  private val normsCte =
+    """n AS (
+      |  SELECT vec_id, embedding,
+      |    sqrt(list_reduce(list_transform(range(1, len(embedding) + 1),
+      |      i -> embedding[i]::DOUBLE * embedding[i]::DOUBLE), (x, y) -> x + y)) AS nrm
+      |  FROM embeddings)""".stripMargin
+
+  private def dotSql(a: String, b: String): String =
+    s"""list_reduce(list_transform(range(1, len($a.embedding) + 1),
+       |      i -> $a.embedding[i]::DOUBLE * $b.embedding[i]::DOUBLE), (x, y) -> x + y)""".stripMargin
+
+  /** Embedding-cosine near-dup pairs (exact all-pairs at this scale; the
+    * LSH-bucketed variant is the 100 TB path, unit-tested for
+    * candidates ⊆ exact + exact precision).
+    */
+  def dedupEmbedding(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Dedup.embeddingPairsExact(
+        T(s, dir, "embeddings"), col("vec_id"), col("embedding"), threshold = 0.45)
+      .orderBy(col("id_a"), col("id_b"))
+
+  val dedupEmbeddingOracle: String =
+    s"""WITH $normsCte
+       |SELECT id_a, id_b, cos FROM (
+       |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       |    ${dotSql("a", "b")} / (a.nrm * b.nrm) AS cos
+       |  FROM n a JOIN n b ON a.vec_id < b.vec_id) t
+       |WHERE cos >= 0.45
+       |ORDER BY id_a, id_b""".stripMargin
+
+  /** IVF-Flat top-5: deterministic modulus-sampled centroids, nprobe=2. */
+  def simIvf(s: SparkSession, dir: String): DataFrame = {
+    val emb = T(s, dir, "embeddings")
+    graft.operators.Similarity.ivfTopK(
+        emb.filter(col("vec_id") < 20), emb, k = 5, centroidEvery = 50, nprobe = 2)
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  val simIvfOracle: String =
+    s"""WITH $normsCte,
+       |cent AS (SELECT vec_id AS cid, embedding, nrm FROM n WHERE vec_id % 50 = 0),
+       |ccand AS (
+       |  SELECT v.vec_id, c.cid,
+       |    ROW_NUMBER() OVER (PARTITION BY v.vec_id
+       |      ORDER BY ${dotSql("v", "c")} / (v.nrm * c.nrm) DESC, c.cid) AS crn
+       |  FROM n v CROSS JOIN cent c),
+       |assign AS (SELECT vec_id AS neighbor_id, cid FROM ccand WHERE crn = 1),
+       |probes AS (SELECT vec_id AS query_id, cid FROM ccand WHERE crn <= 2 AND vec_id < 20),
+       |scored AS (
+       |  SELECT p.query_id, a.neighbor_id, ${dotSql("q", "nb")} / (q.nrm * nb.nrm) AS cos
+       |  FROM probes p
+       |  JOIN assign a ON a.cid = p.cid
+       |  JOIN n q ON q.vec_id = p.query_id
+       |  JOIN n nb ON nb.vec_id = a.neighbor_id
+       |  WHERE a.neighbor_id <> p.query_id)
+       |SELECT query_id, neighbor_id, rank, cos FROM (
+       |  SELECT query_id, neighbor_id, cos,
+       |    CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+       |      ORDER BY cos DESC, neighbor_id) AS INTEGER) AS rank
+       |  FROM scored) t
+       |WHERE rank <= 5
+       |ORDER BY query_id, rank""".stripMargin
+
   /** Exact brute-force cosine top-5 for the first 20 vectors against the full
     * corpus: broadcast the probe set, one scan of the corpus, per-query top-k.
     */
@@ -305,7 +371,9 @@ object Pipeline {
     Q("dedup_ngram_jaccard", dedupNgramJaccard, Some(dedupNgramJaccardOracle)),
     Q("dedup_simhash", dedupSimHash, Some(dedupSimHashOracle)),
     Q("text_metrics", textMetrics, Some(textMetricsOracle)),
+    Q("dedup_embedding", dedupEmbedding, Some(dedupEmbeddingOracle)),
     Q("sim_bruteforce_topk", simBruteForce, Some(simBruteForceOracle)),
-    Q("sim_lsh_topk", simLsh, Some(simLshOracle))
+    Q("sim_lsh_topk", simLsh, Some(simLshOracle)),
+    Q("sim_ivf_topk", simIvf, Some(simIvfOracle))
   )
 }

@@ -1,0 +1,66 @@
+package graft.operators
+
+import scala.util.Random
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+class EmbeddingDedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** Clustered vectors: near-dups are tight perturbations of shared bases. */
+  private def clustered(n: Int, dim: Int, seed: Long) = {
+    val rnd = new Random(seed)
+    val bases = Array.fill(5)(Array.fill(dim)(rnd.nextFloat() * 2 - 1))
+    (0 until n).map { i =>
+      val base = bases(i % 5)
+      val jitter = if (i < 10) 0.01f else 1.0f // first 10 are near-dups of their base
+      (i.toLong, base.map(x => x + (rnd.nextFloat() * 2 - 1) * jitter))
+    }.toDF("vec_id", "embedding")
+  }
+
+  test("embeddingPairsExact finds all pairs >= threshold (matches driver calc)") {
+    val df = clustered(40, 16, seed = 1).cache()
+    val got = Dedup.embeddingPairsExact(df, col("vec_id"), col("embedding"), 0.95)
+      .as[(Long, Long, Double)].collect().sortBy(p => (p._1, p._2))
+    val all = df.as[(Long, Array[Float])].collect()
+    def cos(a: Array[Float], b: Array[Float]) = {
+      var d = 0.0; var na = 0.0; var nb = 0.0
+      for (i <- a.indices) { d += a(i).toDouble * b(i).toDouble
+        na += a(i).toDouble * a(i).toDouble; nb += b(i).toDouble * b(i).toDouble }
+      d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val expect = (for {
+      (ia, va) <- all; (ib, vb) <- all if ia < ib
+      c = cos(va, vb) if c >= 0.95
+    } yield (ia, ib, c)).sortBy(p => (p._1, p._2))
+    assert(got.toSeq === expect.toSeq)
+    assert(got.nonEmpty) // the clustered near-dups exist
+  }
+
+  test("embeddingPairsLsh: exact precision, candidates subset of all pairs") {
+    val df = clustered(60, 16, seed = 2).cache()
+    val exact = Dedup.embeddingPairsExact(df, col("vec_id"), col("embedding"), 0.95)
+      .as[(Long, Long, Double)].collect().map(p => (p._1, p._2)).toSet
+    val lsh = Dedup.embeddingPairsLsh(df, col("vec_id"), col("embedding"), 0.95,
+        bits = 8, tables = 6)
+      .as[(Long, Long, Double)].collect()
+    // precision exact: every emitted pair really is >= threshold
+    assert(lsh.map(p => (p._1, p._2)).toSet.subsetOf(exact))
+    // tight near-dups (cos ~0.9998) collide with near-certainty at 8 bits × 6 tables
+    assert(lsh.nonEmpty)
+  }
+
+  test("ivfTopK ranks exactly within probed cells") {
+    val df = clustered(100, 16, seed = 3).cache()
+    val got = Similarity.ivfTopK(df.filter(col("vec_id") < 5), df, k = 3,
+        centroidEvery = 10, nprobe = 2)
+      .as[(Long, Long, Int, Double)].collect()
+    got.groupBy(_._1).foreach { case (_, rows) =>
+      assert(rows.map(_._3).sorted.toSeq === (1 to rows.length))
+      // ranks ordered by descending cosine
+      val byRank = rows.sortBy(_._3).map(_._4)
+      assert(byRank.zip(byRank.tail).forall { case (a, b) => a >= b })
+    }
+    assert(got.nonEmpty)
+  }
+}
