@@ -14,6 +14,10 @@ import com.sun.net.httpserver.{HttpExchange, HttpServer}
   *  - `/echo?a=1&b=2` → 200, body = the raw query string (deterministic pure
   *    function of the URL, so a SQL oracle can reconstruct it from columns);
   *  - `/status/404` → responds with that status code, body = the code;
+  *  - `/events?city=NAME` → 200, a deterministic JSON event feed for the
+  *    reference's README ETL example shape: `{"results":[{...},{...}]}`
+  *    with `length(NAME) % 3 + 2` events of
+  *    `{"timestamp":"2024-03-0i T0i:1i","type":"ev<(len+i)%2>"}`;
   *  - anything else → 404 "not found".
   */
 object LocalHttpServer {
@@ -40,6 +44,17 @@ object LocalHttpServer {
           } else if (path.startsWith("/status/")) {
             val c = path.stripPrefix("/status/").toInt
             (c, c.toString)
+          } else if (path == "/events") {
+            val q = Option(x.getRequestURI.getRawQuery).getOrElse("")
+            val city = q.split("&").collectFirst {
+              case kv if kv.startsWith("city=") =>
+                java.net.URLDecoder.decode(kv.stripPrefix("city="), "UTF-8")
+            }.getOrElse("")
+            val n = city.length % 3 + 2
+            val events = (1 to n).map { i =>
+              s"""{"timestamp":"2024-03-0${i}T0$i:1$i","type":"ev${(city.length + i) % 2}"}"""
+            }
+            (200, s"""{"results":[${events.mkString(",")}]}""")
           } else (404, "not found")
         val bytes = body.getBytes(StandardCharsets.UTF_8)
         x.getResponseHeaders.set("Content-Type", "text/plain; charset=utf-8")

@@ -124,7 +124,63 @@ object Engine {
       |GROUP BY user_id, sid
       |ORDER BY user_id, start_us""".stripMargin
 
+  /** The reference's flagship README ETL job (README.md:173-219), end to
+    * end: a city lookup table drives per-row HTTP fetches (`t_http_get`
+    * with retained ctx), the JSON `$.results` array splits on the
+    * `(?<=\})],(?=\{)`-style lookaround regex and explodes to events,
+    * timestamps normalize via `unix_timestamp` with the reference's
+    * `yyyy-MM-dd'T'HH:mm` pattern, the event table lands as ORC
+    * (`stored as orc`, README.md:205) plus an execution-journal entry, and
+    * the final aggregation reads the ORC back — argmax via `max_with`.
+    */
+  def etlReadmeSlice(s: SparkSession, dir: String): DataFrame = {
+    import graft.connectors.{Http, LocalHttpServer}
+    val base = LocalHttpServer.base
+    val cities = T(s, dir, "nation").select(col("n_nationkey"), col("n_name"))
+    val fetched = Http.withGet(cities,
+      concat(lit(s"$base/events?city="), url_encode(col("n_name"))))
+    val events = fetched
+      .select(col("n_nationkey"),
+        get_json_object(col("resp.content"), "$.results").as("results"))
+      .select(col("n_nationkey"),
+        explode(split(expr("substring(results, 2, length(results) - 2)"),
+          "(?<=\\}),(?=\\{)")).as("ev"))
+      .select(col("ev"),
+        unix_timestamp(get_json_object(col("ev"), "$.timestamp"),
+          "yyyy-MM-dd'T'HH:mm").as("ts_epoch"),
+        get_json_object(col("ev"), "$.type").as("type"))
+    val orcDir = java.nio.file.Files.createTempDirectory("graft-sp-events").toString
+    events.write.mode("overwrite").orc(orcDir)
+    new graft.engine.Journal(s, s"$orcDir-journal").save(graft.engine.ExecutionRecord(
+      "etl_readme_slice", System.currentTimeMillis(), System.currentTimeMillis(),
+      "ok", "SUCCEED"))
+    s.read.orc(orcDir)
+      .groupBy(col("type"))
+      .agg(count(lit(1)).as("n"),
+        min(col("ts_epoch")).as("min_ts"),
+        max(col("ts_epoch")).as("max_ts"),
+        expr("max_with(named_struct('e', ts_epoch, 'v', ev), ev)").as("latest_ev"))
+      .orderBy(col("type"))
+  }
+
+  val etlReadmeSliceOracle: String =
+    """WITH ev AS (
+      |  SELECT 'ev' || (length(n_name) + i) % 2 AS type,
+      |    epoch(strptime('2024-03-0' || i || 'T0' || i || ':1' || i,
+      |                   '%Y-%m-%dT%H:%M')) AS ts_epoch,
+      |    '{"timestamp":"2024-03-0' || i || 'T0' || i || ':1' || i ||
+      |      '","type":"ev' || (length(n_name) + i) % 2 || '"}' AS ev
+      |  FROM nation, (SELECT unnest(range(1, 5)) AS i) g
+      |  WHERE i <= length(n_name) % 3 + 2)
+      |SELECT type, COUNT(*) AS n, MIN(ts_epoch) AS min_ts, MAX(ts_epoch) AS max_ts,
+      |  (SELECT e2.ev FROM ev e2 WHERE e2.type = ev.type
+      |   ORDER BY e2.ts_epoch DESC, e2.ev DESC LIMIT 1) AS latest_ev
+      |FROM ev
+      |GROUP BY type
+      |ORDER BY type""".stripMargin
+
   val all: Seq[Q] = Seq(
+    Q("etl_readme_slice", etlReadmeSlice, Some(etlReadmeSliceOracle)),
     Q("etl_sql_script", etlSqlScript, Some(etlSqlScriptOracle)),
     Q("etl_script_compiled", scriptCompiled, Some(scriptCompiledOracle)),
     Q("streaming_window_counts", streamingWindowCounts, Some(streamingWindowCountsOracle)),

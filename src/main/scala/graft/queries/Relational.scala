@@ -387,6 +387,118 @@ object Relational {
       |GROUP BY user_id
       |ORDER BY user_id""".stripMargin
 
+  /** CUBE over region × market segment with grouping id (q06 covers ROLLUP). */
+  def q15Cube(s: SparkSession, dir: String): DataFrame = {
+    val c = T(s, dir, "customer")
+    val n = T(s, dir, "nation")
+    val r = T(s, dir, "region")
+    c.join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+      .cube(col("r_name"), col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_cust"),
+        (grouping(col("r_name")) * 2 + grouping(col("c_mktsegment"))).cast("int").as("lvl"))
+      .select(coalesce(col("r_name"), lit("ALL")).as("region"),
+        coalesce(col("c_mktsegment"), lit("ALL")).as("segment"),
+        col("n_cust"), col("lvl"))
+      .orderBy(col("lvl"), col("region"), col("segment"))
+  }
+
+  val q15Oracle: String =
+    """SELECT COALESCE(r_name, 'ALL') AS region, COALESCE(c_mktsegment, 'ALL') AS segment,
+      |  COUNT(*) AS n_cust,
+      |  CAST(GROUPING(r_name) * 2 + GROUPING(c_mktsegment) AS INTEGER) AS lvl
+      |FROM customer
+      |JOIN nation ON c_nationkey = n_nationkey
+      |JOIN region ON n_regionkey = r_regionkey
+      |GROUP BY CUBE(r_name, c_mktsegment)
+      |ORDER BY lvl, region, segment""".stripMargin
+
+  /** Pivot: order counts per year × order status (dynamic-to-wide). */
+  def q16Pivot(s: SparkSession, dir: String): DataFrame = {
+    T(s, dir, "orders")
+      .select(year(col("o_orderdate")).cast("int").as("yr"), col("o_orderstatus"))
+      .groupBy(col("yr"))
+      .pivot("o_orderstatus", Seq("F", "O", "P"))
+      .agg(count(lit(1)))
+      .na.fill(0L)
+      .select(col("yr"), col("F").as("f"), col("O").as("o"), col("P").as("p"))
+      .orderBy(col("yr"))
+  }
+
+  val q16Oracle: String =
+    """SELECT CAST(year(o_orderdate) AS INTEGER) AS yr,
+      |  COUNT(*) FILTER (o_orderstatus = 'F') AS f,
+      |  COUNT(*) FILTER (o_orderstatus = 'O') AS o,
+      |  COUNT(*) FILTER (o_orderstatus = 'P') AS p
+      |FROM orders
+      |GROUP BY 1
+      |ORDER BY yr""".stripMargin
+
+  /** Anti join: customers with no URGENT order, counted per nation. */
+  def q17AntiJoin(s: SparkSession, dir: String): DataFrame = {
+    val c = T(s, dir, "customer")
+    val o = T(s, dir, "orders")
+      .filter(col("o_orderpriority") === "1-URGENT").select(col("o_custkey"))
+    val n = T(s, dir, "nation")
+    c.join(o, col("c_custkey") === col("o_custkey"), "left_anti")
+      .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(count(lit(1)).as("n_no_urgent"))
+      .orderBy(col("n_name"))
+  }
+
+  val q17Oracle: String =
+    """SELECT n_name, COUNT(*) AS n_no_urgent
+      |FROM customer
+      |JOIN nation ON c_nationkey = n_nationkey
+      |WHERE NOT EXISTS (SELECT 1 FROM orders
+      |                  WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
+      |GROUP BY n_name
+      |ORDER BY n_name""".stripMargin
+
+  /** Array/map function battery: per-order quantity arrays (sorted for
+    * determinism), slicing, membership, map construction + lookup.
+    */
+  def q18ArrayMap(s: SparkSession, dir: String): DataFrame = {
+    val li = T(s, dir, "lineitem").filter(col("l_orderkey") <= 500)
+    // linenumbers repeat in this synthetic data — reduce to (order, line) ->
+    // min qty first so the map keys are unique in any engine
+    val perLine = li.groupBy(col("l_orderkey"), col("l_linenumber"))
+      .agg(min(col("l_quantity").cast("int")).as("qty"))
+    perLine.groupBy(col("l_orderkey"))
+      .agg(sort_array(collect_list(col("qty"))).as("qties"),
+        map_from_entries(sort_array(collect_list(
+          struct(col("l_linenumber"), col("qty"))))).as("by_line"))
+      // arrays stringified in the output: value-exact and unambiguous for
+      // any row-hash comparer
+      .select(col("l_orderkey"),
+        size(col("qties")).cast("int").as("n_lines"),
+        element_at(col("qties"), 1).as("min_qty"),
+        concat_ws(",", slice(col("qties"), 1, 2)).as("first2"),
+        array_contains(col("qties"), 25).as("has25"),
+        element_at(col("by_line"), 1).as("line1_qty"))
+      .orderBy(col("l_orderkey"))
+  }
+
+  val q18Oracle: String =
+    """SELECT l_orderkey,
+      |  CAST(len(qties) AS INTEGER) AS n_lines,
+      |  qties[1] AS min_qty,
+      |  array_to_string(qties[1:2], ',') AS first2,
+      |  list_contains(qties, 25) AS has25,
+      |  map_extract(by_line, 1)[1] AS line1_qty
+      |FROM (
+      |  SELECT l_orderkey,
+      |    list_sort(list(qty)) AS qties,
+      |    map_from_entries(list_sort(list({'k': l_linenumber, 'v': qty}))) AS by_line
+      |  FROM (
+      |    SELECT l_orderkey, l_linenumber, MIN(CAST(l_quantity AS INTEGER)) AS qty
+      |    FROM lineitem
+      |    WHERE l_orderkey <= 500
+      |    GROUP BY 1, 2)
+      |  GROUP BY l_orderkey)
+      |ORDER BY l_orderkey""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("q01_pricing_summary", q01PricingSummary, Some(q01Oracle)),
     Q("q02_revenue_by_nation", q02RevenueByNation, Some(q02Oracle)),
@@ -401,6 +513,10 @@ object Relational {
     Q("q11_word_count", q11WordCount, Some(q11Oracle)),
     Q("q12_max_with", q12MaxWith, Some(q12Oracle)),
     Q("q13_m_add", q13MapAdd, Some(q13Oracle)),
-    Q("q14_sessionize", q14Sessionize, Some(q14Oracle))
+    Q("q14_sessionize", q14Sessionize, Some(q14Oracle)),
+    Q("q15_cube", q15Cube, Some(q15Oracle)),
+    Q("q16_pivot", q16Pivot, Some(q16Oracle)),
+    Q("q17_anti_join", q17AntiJoin, Some(q17Oracle)),
+    Q("q18_array_map", q18ArrayMap, Some(q18Oracle))
   )
 }

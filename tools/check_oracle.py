@@ -26,6 +26,11 @@ def norm(v):
         if math.isnan(v):
             return "NaN"
         return v
+    # list/array columns -> tuples so equality is unambiguous
+    if hasattr(v, "tolist"):
+        return tuple(norm(x) for x in v.tolist())
+    if isinstance(v, (list, tuple)):
+        return tuple(norm(x) for x in v)
     return v
 
 
