@@ -111,7 +111,11 @@ object Http {
 
   private def withFetch(df: DataFrame, url: Column, body: Column, timeoutMs: Int,
       headers: Map[String, String], resultCol: String, post: Boolean): DataFrame = {
-    val in = df.withColumn("__graft_url", url).withColumn("__graft_body", body)
+    // HTTP is latency-bound: concurrency = partition count, so lift
+    // under-parallel inputs to default parallelism before fetching
+    val par = df.sparkSession.sparkContext.defaultParallelism
+    val widened = if (df.rdd.getNumPartitions < par) df.repartition(par) else df
+    val in = widened.withColumn("__graft_url", url).withColumn("__graft_body", body)
     val n = in.schema.size
     val outSchema = StructType(df.schema.fields :+ StructField(resultCol, resultType))
     in.mapPartitions { rows =>

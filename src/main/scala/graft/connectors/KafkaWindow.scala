@@ -54,6 +54,20 @@ object KafkaWindow {
   def topics(log: DataFrame): DataFrame =
     log.select(col("t"), col("p")).distinct()
 
+  /** Regex topic selection (reference: topic patterns matched from ZK,
+    * process/KafkaHelper.scala:67-69; Kafka source `subscribePattern`).
+    */
+  def topicsMatching(log: DataFrame, pattern: String): DataFrame =
+    topics(log).filter(col("t").rlike(pattern))
+
+  /** kf_pull with a regex topic pattern instead of an explicit list. */
+  def pullPattern(log: DataFrame, startMs: java.lang.Long, endMs: java.lang.Long,
+      topicPattern: String): DataFrame = {
+    val base = pull(log, startMs, endMs)
+    if (startMs == null || endMs == null || startMs >= endMs) base
+    else base.filter(col("t").rlike(topicPattern))
+  }
+
   /** kf_pull: records with `ct` in `[startMs, endMs)` for the given topics
     * (all topics when none given). A pure filter — predicate pushdown prunes
     * partitions/row-groups at the source, the scale analog of

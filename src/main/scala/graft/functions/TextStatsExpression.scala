@@ -1,0 +1,128 @@
+// Under org.apache.spark.sql for the same private[sql] access reasons as the
+// sibling expression files.
+package org.apache.spark.sql.graft
+
+import java.util.regex.Pattern
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** All text metrics in one compiled pass per document — the semantics are
+  * bit-for-bit those of the column-composed versions in
+  * graft.functions.TextFunctions (which remain the executable spec and feed
+  * the DuckDB oracle):
+  *
+  *  - tokens: `trim(text)` (ASCII-space trim, like Spark's `trim`) split by
+  *    java `\s+` with limit -1 (exactly Spark's `split`);
+  *  - n_tok_bpe: count of `[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]` matches;
+  *  - punct_ratio: `[^A-Za-z0-9\s]` matches / total chars (0 for empty);
+  *  - stop_ratio / lang hits: token membership in the four stopword lists;
+  *  - mean_tok_len: exact integer sum of token lengths / token count;
+  *  - quality: the same double formula, same operation order;
+  *  - lang: argmax with en > de > es > fr precedence, "und" on zero hits.
+  *
+  * One ~100-entry hash-set lookup per token replaces four `filter` +
+  * `array_contains` higher-order chains, and the two regex scans replace
+  * `regexp_extract_all` materializing match arrays.
+  */
+case class TextStats(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = TextStats.schema
+  override def nullable: Boolean = true
+  override def prettyName: String = "text_stats"
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val text = input.asInstanceOf[UTF8String].toString
+    val trimmed = TextStats.trimSpaces(text)
+    val toks: Array[String] =
+      if (trimmed.isEmpty) Array.empty
+      else TextStats.Ws.split(trimmed, -1)
+
+    val nTok = toks.length
+    var lenSum = 0L
+    var hitEn = 0; var hitDe = 0; var hitEs = 0; var hitFr = 0
+    var i = 0
+    while (i < nTok) {
+      val t = toks(i)
+      lenSum += t.length
+      if (TextStats.En.contains(t)) hitEn += 1
+      if (TextStats.De.contains(t)) hitDe += 1
+      if (TextStats.Es.contains(t)) hitEs += 1
+      if (TextStats.Fr.contains(t)) hitFr += 1
+      i += 1
+    }
+
+    // single scan for punct count + BPE-ish token count
+    var punct = 0
+    var bpe = 0
+    var j = 0
+    var inLetter = false
+    var inDigit = false
+    val len = text.length
+    while (j < len) {
+      val c = text.charAt(j)
+      val isLetter = (c >= 'A' && c <= 'Z') || (c >= 'a' && c <= 'z')
+      val isDigit = c >= '0' && c <= '9'
+      val isWs = c == ' ' || c == '\t' || c == '\n' || c == '\u000B' || c == '\f' || c == '\r'
+      if (isLetter) { if (!inLetter) bpe += 1 }
+      else if (isDigit) { if (!inDigit) bpe += 1 }
+      else if (!isWs) { punct += 1; bpe += 1 }
+      inLetter = isLetter
+      inDigit = isDigit
+      j += 1
+    }
+
+    val punctRatio = if (len == 0) 0.0 else punct.toDouble / len.toDouble
+    val stopRatio = if (nTok == 0) 0.0 else hitEn.toDouble / nTok.toDouble
+    val meanLen = if (nTok == 0) 0.0 else lenSum.toDouble / nTok.toDouble
+    val lenOk = if (meanLen >= 3.0 && meanLen <= 10.0) 1.0 else 0.0
+    val quality = math.min(1.0, math.max(0.0,
+      0.4 * math.min(1.0, stopRatio * 4.0) + 0.3 * lenOk + 0.3 * (1.0 - punctRatio)))
+    val best = math.max(math.max(hitEn, hitDe), math.max(hitEs, hitFr))
+    val lang =
+      if (best == 0) "und"
+      else if (hitEn == best) "en"
+      else if (hitDe == best) "de"
+      else if (hitEs == best) "es"
+      else "fr"
+
+    InternalRow(nTok, bpe, punctRatio, stopRatio, meanLen, quality,
+      UTF8String.fromString(lang))
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object TextStats {
+  val schema: StructType = StructType(Seq(
+    StructField("n_tok", IntegerType), StructField("n_tok_bpe", IntegerType),
+    StructField("punct_ratio", DoubleType), StructField("stop_ratio", DoubleType),
+    StructField("mean_tok_len", DoubleType), StructField("quality", DoubleType),
+    StructField("lang_pred", StringType)))
+
+  private val Ws = Pattern.compile("\\s+")
+
+  /** Spark `trim` semantics: strips ASCII space (0x20) only. */
+  private def trimSpaces(s: String): String = {
+    var a = 0
+    var b = s.length
+    while (a < b && s.charAt(a) == ' ') a += 1
+    while (b > a && s.charAt(b - 1) == ' ') b -= 1
+    if (a == 0 && b == s.length) s else s.substring(a, b)
+  }
+
+  import graft.functions.TextFunctions
+  private val En = TextFunctions.StopwordsEn.toSet
+  private val De = TextFunctions.StopwordsDe.toSet
+  private val Es = TextFunctions.StopwordsEs.toSet
+  private val Fr = TextFunctions.StopwordsFr.toSet
+
+  def textStats(c: Column): Column =
+    ExpressionUtilsShim.column(TextStats(ExpressionUtilsShim.expr(c)))
+}

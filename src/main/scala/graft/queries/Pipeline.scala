@@ -128,16 +128,19 @@ object Pipeline {
     */
   def textMetrics(s: SparkSession, dir: String): DataFrame = {
     import TextFunctions._
-    T(s, dir, "documents").select(
-      col("doc_id"),
-      tokenCountWs(col("text")).cast("int").as("n_tok"),
-      tokenCountBpe(col("text")).cast("int").as("n_tok_bpe"),
-      punctRatio(col("text")).as("punct_ratio"),
-      stopwordRatio(col("text")).as("stop_ratio"),
-      meanTokenLen(col("text")).as("mean_tok_len"),
-      qualityScore(col("text")).as("quality"),
-      langId(col("text")).as("lang_pred"),
-      fingerprint64(col("text")).as("fp"))
+    // one compiled pass per document (org.apache.spark.sql.graft.TextStats);
+    // the TextFunctions column formulations are the executable spec — a
+    // DedupSpec test asserts the two agree
+    T(s, dir, "documents").select(col("doc_id"),
+        org.apache.spark.sql.graft.TextStats.textStats(col("text")).as("ts"),
+        fingerprint64(col("text")).as("fp"))
+      .select(col("doc_id"), col("ts.n_tok").as("n_tok"),
+        col("ts.n_tok_bpe").as("n_tok_bpe"),
+        col("ts.punct_ratio").as("punct_ratio"),
+        col("ts.stop_ratio").as("stop_ratio"),
+        col("ts.mean_tok_len").as("mean_tok_len"),
+        col("ts.quality").as("quality"),
+        col("ts.lang_pred").as("lang_pred"), col("fp"))
       .orderBy(col("doc_id"))
   }
 

@@ -32,6 +32,15 @@ class KafkaWindowSpec extends SparkSpec {
     assert(KafkaWindow.pull(log, 400L, 300L).count() === 0)
   }
 
+  test("pullPattern / topicsMatching select topics by regex") {
+    val got = KafkaWindow.pullPattern(log, 0L, 1000L, "^a$")
+      .select("t").distinct().as[String].collect()
+    assert(got === Array("a"))
+    assert(KafkaWindow.topicsMatching(log, "b.*").select("t").distinct()
+      .as[String].collect() === Array("b"))
+    assert(KafkaWindow.pullPattern(log, null, 1000L, ".*").count() === 0)
+  }
+
   test("topics lists distinct (t, p) pairs") {
     val got = KafkaWindow.topics(log).orderBy("t", "p").as[(String, Int)].collect()
     assert(got === Array(("a", 0), ("a", 1), ("b", 0)))

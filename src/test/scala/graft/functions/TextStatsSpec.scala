@@ -1,0 +1,47 @@
+package graft.functions
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graft.TextStats
+import graft.SparkSpec
+
+/** The native one-pass TextStats expression must agree exactly with the
+  * column-composed TextFunctions formulations (the executable spec that the
+  * DuckDB oracle mirrors).
+  */
+class TextStatsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val samples = Seq(
+    "the quick brown fox",
+    "",
+    "   ",
+    "a",
+    "der die das und oder",
+    "el la de a en es por",
+    "le la les et ou de à",
+    "x1y2z3 !!! ??? abc123",
+    "  padded   with   spaces  ",
+    "tab\tseparated\ttokens",
+    "symbols #$% mixed 42 with, punctuation!",
+    "ümlauts öre åre — unicode § chars",
+    "1 2 3 4 5 6 7 8 9 10")
+
+  test("TextStats agrees with the TextFunctions column spec on all fields") {
+    import TextFunctions._
+    val df = samples.toDF("text")
+    val both = df.select(
+      TextStats.textStats(col("text")).as("native"),
+      struct(
+        tokenCountWs(col("text")).cast("int").as("n_tok"),
+        tokenCountBpe(col("text")).cast("int").as("n_tok_bpe"),
+        punctRatio(col("text")).as("punct_ratio"),
+        stopwordRatio(col("text")).as("stop_ratio"),
+        meanTokenLen(col("text")).as("mean_tok_len"),
+        qualityScore(col("text")).as("quality"),
+        langId(col("text")).as("lang_pred")).as("spec"),
+      col("text"))
+    both.collect().foreach { r =>
+      assert(r.getStruct(0) === r.getStruct(1), s"text=<${r.getString(2)}>")
+    }
+  }
+}
