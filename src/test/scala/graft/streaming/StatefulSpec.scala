@@ -1,0 +1,69 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import graft.SparkSpec
+
+/** Custom keyed state via flatMapGroupsWithState — the escape hatch for
+  * stream logic window/session operators can't express (running per-key
+  * aggregates emitted every batch, cross-batch dedup, etc.). The reference
+  * had no streaming state at all (closed-window pulls); this pins the
+  * engine's pattern for it.
+  */
+class StatefulSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("running per-key count survives across micro-batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(String, Int)]
+
+    val counted = mem.toDS()
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[Long, (String, Long)](
+        OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
+        (key: String, rows: Iterator[(String, Int)], state: GroupState[Long]) =>
+          val total = state.getOption.getOrElse(0L) + rows.size
+          state.update(total)
+          Iterator((key, total))
+      }
+
+    val q = counted.toDF("k", "n").writeStream
+      .format("memory").queryName("state_test").outputMode("update").start()
+    mem.addData(("a", 1), ("a", 2), ("b", 1))
+    q.processAllAvailable()
+    mem.addData(("a", 3), ("c", 1))
+    q.processAllAvailable()
+    q.stop()
+
+    val last = spark.table("state_test").as[(String, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).max).toMap
+    assert(last === Map("a" -> 3L, "b" -> 1L, "c" -> 1L))
+  }
+
+  test("cross-batch exact dedup with keyed seen-state") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(String, String)] // (doc_id, payload)
+
+    val deduped = mem.toDS()
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[Boolean, (String, String)](
+        OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
+        (key: String, rows: Iterator[(String, String)], state: GroupState[Boolean]) =>
+          if (state.exists) Iterator.empty
+          else { state.update(true); rows.take(1).map(r => (key, r._2)) }
+      }
+
+    val q = deduped.toDF("id", "payload").writeStream
+      .format("memory").queryName("dedup_state").outputMode("update").start()
+    mem.addData(("d1", "x"), ("d1", "x-dup"), ("d2", "y"))
+    q.processAllAvailable()
+    mem.addData(("d1", "x-again"), ("d3", "z"))
+    q.processAllAvailable()
+    q.stop()
+
+    val out = spark.table("dedup_state").as[(String, String)].collect().sortBy(_._1)
+    assert(out.map(_._1).toSeq === Seq("d1", "d2", "d3")) // each id exactly once
+  }
+}
