@@ -190,6 +190,31 @@ object Dedup {
   def simHash(text: Column): Column =
     HashFunctions.simHash60(TextFunctions.tokensWs(text))
 
+  // ---------------------------------------------------- winnowing fingerprints
+
+  /** Winnowing document fingerprints (Schleimer/Wilkens/Aiken, SIGMOD'03):
+    * md5-derived 32-bit hashes of word `shingleK`-shingles, then the minimum
+    * hash of every `window`-wide sliding window, distinct — the guarantee is
+    * any shared substring of at least `shingleK + window - 1` words produces
+    * at least one shared fingerprint. A pure projection (fingerprints are
+    * positions-free longs); matching documents share fingerprints via the
+    * same inverted-index join as n-gram Jaccard, at a fraction of the
+    * posting size (≈ 2/(window+1) of the shingle count).
+    */
+  def winnowFingerprints(text: Column, shingleK: Int = 3, window: Int = 4): Column = {
+    // ordered shingle sequence (not the distinct set): winnowing windows
+    // slide over positions
+    val hashes = transform(
+      TextFunctions.wordShingles(text, shingleK),
+      s => TextFunctions.hash32(s))
+    // windows over the hash sequence; shorter docs contribute their global min
+    val n = size(hashes)
+    array_distinct(
+      when(n <= window, array(array_min(hashes)))
+        .otherwise(transform(sequence(lit(0), n - window),
+          i => array_min(slice(hashes, i + 1, lit(window))))))
+  }
+
   // ------------------------------------------------- embedding-cosine dedup
 
   /** Embedding-cosine near-duplicate pairs, exact: all-pairs self-join

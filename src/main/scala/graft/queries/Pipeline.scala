@@ -326,6 +326,35 @@ object Pipeline {
        |FROM ranked WHERE rank <= 5
        |ORDER BY query_id, rank""".stripMargin
 
+  /** Winnowing fingerprints exploded to (doc_id, fp) rows — the oracle
+    * recomputes the k-shingle hash sequence and per-window minima in SQL.
+    */
+  def winnowFps(s: SparkSession, dir: String): DataFrame =
+    T(s, dir, "documents")
+      .select(col("doc_id"),
+        explode(graft.operators.Dedup.winnowFingerprints(col("text"), 3, 4)).as("fp"))
+      .orderBy(col("doc_id"), col("fp"))
+
+  val winnowFpsOracle: String =
+    """WITH sh AS (
+      |  SELECT doc_id,
+      |    CASE WHEN len(t) < 3 THEN [array_to_string(t, ' ')]
+      |         ELSE list_transform(range(1, len(t) - 1), i -> array_to_string(t[i:i+2], ' ')) END AS shingles
+      |  FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS t FROM documents)
+      |), h AS (
+      |  SELECT doc_id,
+      |    list_transform(shingles, s -> ('0x' || substring(md5(s), 1, 8))::BIGINT) AS hs
+      |  FROM sh
+      |), w AS (
+      |  SELECT doc_id, list_distinct(
+      |    CASE WHEN len(hs) <= 4 THEN [list_min(hs)]
+      |         ELSE list_transform(range(0, len(hs) - 3), i -> list_min(hs[i+1:i+4])) END
+      |  ) AS fps
+      |  FROM h)
+      |SELECT doc_id, unnest(fps) AS fp
+      |FROM w
+      |ORDER BY doc_id, fp""".stripMargin
+
   // ------------------------------------------------------------- multimodal
 
   /** Multimodal plumbing end-to-end: text bytes stand in for media payloads
@@ -374,6 +403,7 @@ object Pipeline {
     Q("dedup_ngram_jaccard", dedupNgramJaccard, Some(dedupNgramJaccardOracle)),
     Q("dedup_simhash", dedupSimHash, Some(dedupSimHashOracle)),
     Q("text_metrics", textMetrics, Some(textMetricsOracle)),
+    Q("winnow_fingerprints", winnowFps, Some(winnowFpsOracle)),
     Q("dedup_embedding", dedupEmbedding, Some(dedupEmbeddingOracle)),
     Q("sim_bruteforce_topk", simBruteForce, Some(simBruteForceOracle)),
     Q("sim_lsh_topk", simLsh, Some(simLshOracle)),
