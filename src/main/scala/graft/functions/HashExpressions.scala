@@ -208,8 +208,76 @@ case class WordShingleSet(child: Expression, shingleK: Int)
     copy(child = newChild)
 }
 
+/** Winnowing fingerprints (Schleimer/Wilkens/Aiken, SIGMOD'03) over a token
+  * array, one compiled pass: ordered word k-shingles → md5-32 hashes →
+  * minimum of every `window`-wide sliding window → distinct (first-seen
+  * order). Docs with <= window shingles contribute their global minimum.
+  * Bit-identical to the HOF formulation this replaces
+  * (graft.operators.Dedup.winnowFingerprints's oracle).
+  */
+case class WinnowFingerprints(child: Expression, shingleK: Int, window: Int)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = child.nullable
+  override def prettyName: String = "winnow_fingerprints"
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val toks = input.asInstanceOf[ArrayData]
+    val n = toks.numElements()
+    val words = Array.tabulate(n)(i => toks.getUTF8String(i).toString)
+    val hashes: Array[Long] =
+      if (n < shingleK) Array(Md5Hash.hash32(words.mkString(" ")))
+      else {
+        val out = new Array[Long](n - shingleK + 1)
+        val sb = new java.lang.StringBuilder
+        var i = 0
+        while (i <= n - shingleK) {
+          sb.setLength(0)
+          var j = 0
+          while (j < shingleK) {
+            if (j > 0) sb.append(' ')
+            sb.append(words(i + j))
+            j += 1
+          }
+          out(i) = Md5Hash.hash32(sb.toString)
+          i += 1
+        }
+        out
+      }
+    val m = hashes.length
+    val fps = new java.util.LinkedHashSet[java.lang.Long]()
+    if (m <= window) {
+      var mn = Long.MaxValue
+      var i = 0
+      while (i < m) { if (hashes(i) < mn) mn = hashes(i); i += 1 }
+      fps.add(mn)
+    } else {
+      var i = 0
+      while (i <= m - window) {
+        var mn = Long.MaxValue
+        var j = i
+        while (j < i + window) { if (hashes(j) < mn) mn = hashes(j); j += 1 }
+        fps.add(mn)
+        i += 1
+      }
+    }
+    val arr = new Array[Long](fps.size)
+    val it = fps.iterator()
+    var i = 0
+    while (it.hasNext) { arr(i) = it.next(); i += 1 }
+    new GenericArrayData(arr)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** Column-level entry points. */
 object HashFunctions {
+  def winnowFingerprints(tokens: Column, shingleK: Int, window: Int): Column =
+    ExpressionUtilsShim.column(
+      WinnowFingerprints(ExpressionUtilsShim.expr(tokens), shingleK, window))
   def minHashSignature(tokens: Column, shingleK: Int, numHashes: Int): Column =
     ExpressionUtilsShim.column(MinHashSignature(ExpressionUtilsShim.expr(tokens), shingleK, numHashes))
   def simHash60(tokens: Column): Column =

@@ -129,48 +129,84 @@ object Dedup {
 
   // ------------------------------------------------------- n-gram Jaccard
 
-  /** All-pairs n-gram Jaccard >= threshold, exact, via inverted index with
-    * **prefix filtering** (the AllPairs/PPJoin family): under a global
-    * shingle order (ascending document frequency, fingerprint tiebreak),
-    * two sets with Jaccard >= t must share an element within their first
-    * `|s| - ceil(t*|s|) + 1` shingles — so only that prefix is indexed.
-    * Frequent "stop-shingles" land at the end of the order and almost never
-    * enter the index, which is what keeps the self-join from exploding
-    * quadratically on common n-grams at corpus scale. Verification joins
-    * back the full sets, so every emitted pair carries its exact Jaccard.
+  /** All-pairs n-gram Jaccard >= threshold, exact. Two strategies, both
+    * array-free or array-light in their shuffles:
     *
-    * `maxDocFreq` additionally drops ultra-frequent shingles from pair
-    * *generation* entirely (an approximation — off by default).
+    *  - `"count"` (default): inverted-index self-join with intersections
+    *    counted directly — `|a ∩ b|` = the number of shingle fingerprints
+    *    the pair co-occurs under, so one groupBy replaces candidate
+    *    generation AND verification; set sizes join back as a small
+    *    broadcast dim. Shuffle cost is Σ_s df(s)·(df(s)-1)/2 over shingles —
+    *    optimal when no shingle is near-universal. No document bodies or
+    *    shingle arrays ever shuffle.
+    *  - `"prefix"`: AllPairs/PPJoin prefix filtering — only each set's
+    *    `|s| - ceil(t·|s|) + 1` globally-rarest shingles are indexed
+    *    (recall-exact), then candidates verify against full shingle sets.
+    *    The right tool when stop-shingles make Σ df² explode: candidate
+    *    generation cost is bounded by the prefix postings.
+    *
+    * `maxDocFreq` drops shingles above that document frequency from the
+    * index (both strategies): a documented approximation for stop-shingle-
+    * heavy corpora (under `"count"` dropped shingles also leave the
+    * intersection counts).
     */
   def jaccardPairs(df: DataFrame, id: Column, text: Column,
       shingleK: Int = 3, threshold: Double = 0.8,
-      maxDocFreq: Option[Long] = None): DataFrame = {
+      maxDocFreq: Option[Long] = None,
+      strategy: String = "count"): DataFrame = {
     val sets = widen(df.select(id.as("id"), text.as("__text")))
       .select(col("id"), HashFunctions.wordShingleSet(
         TextFunctions.tokensWs(col("__text")), shingleK).as("set"))
     val posting = sets.select(col("id"), size(col("set")).as("sz"),
         explode(col("set")).as("s"))
       .select(col("id"), col("sz"), TextFunctions.fingerprint64(col("s")).as("sfp"))
-    val freq = posting.groupBy(col("sfp")).agg(count(lit(1)).as("df"))
-    val freqFiltered = maxDocFreq.fold(freq)(m => freq.filter(col("df") <= m))
-    val byRarity = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("id")).orderBy(col("df"), col("sfp"))
-    val prefix = posting.join(freqFiltered, Seq("sfp"))
-      .withColumn("rk", row_number().over(byRarity))
-      .filter(col("rk") <= col("sz") - ceil(lit(threshold) * col("sz")) + 1)
-      .select(col("sfp"), col("id"))
-    val pairs = prefix.select(col("sfp"), col("id").as("id_a"))
-      .join(prefix.select(col("sfp"), col("id").as("id_b")), Seq("sfp"))
-      .filter(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b")).distinct()
-    pairs
-      .join(sets.select(col("id").as("id_a"), col("set").as("set_a")), Seq("id_a"))
-      .join(sets.select(col("id").as("id_b"), col("set").as("set_b")), Seq("id_b"))
-      .withColumn("inter", size(array_intersect(col("set_a"), col("set_b"))))
-      .withColumn("jaccard", col("inter").cast("double") /
-        (size(col("set_a")) + size(col("set_b")) - col("inter")).cast("double"))
-      .filter(col("jaccard") >= threshold)
-      .select(col("id_a"), col("id_b"), col("jaccard"))
+    val sizes = sets.select(col("id"), size(col("set")).as("sz"))
+
+    val indexed = maxDocFreq.fold(posting) { m =>
+      val keep = posting.groupBy(col("sfp")).agg(count(lit(1)).as("df"))
+        .filter(col("df") <= m).select(col("sfp"))
+      posting.join(keep, Seq("sfp"))
+    }
+
+    strategy match {
+      case "count" =>
+        val inter = indexed.select(col("sfp"), col("id").as("id_a"))
+          .join(indexed.select(col("sfp"), col("id").as("id_b")), Seq("sfp"))
+          .filter(col("id_a") < col("id_b"))
+          .groupBy(col("id_a"), col("id_b"))
+          .agg(count(lit(1)).as("inter"))
+        inter
+          .join(broadcast(sizes.select(col("id").as("id_a"), col("sz").as("sz_a"))), Seq("id_a"))
+          .join(broadcast(sizes.select(col("id").as("id_b"), col("sz").as("sz_b"))), Seq("id_b"))
+          .withColumn("jaccard", col("inter").cast("double") /
+            (col("sz_a") + col("sz_b") - col("inter")).cast("double"))
+          .filter(col("jaccard") >= threshold)
+          .select(col("id_a"), col("id_b"), col("jaccard"))
+
+      case "prefix" =>
+        val freq = indexed.groupBy(col("sfp")).agg(count(lit(1)).as("df"))
+        val byRarity = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("id")).orderBy(col("df"), col("sfp"))
+        val prefix = indexed.join(freq, Seq("sfp"))
+          .withColumn("rk", row_number().over(byRarity))
+          .filter(col("rk") <= col("sz") - ceil(lit(threshold) * col("sz")) + 1)
+          .select(col("sfp"), col("id"))
+        val pairs = prefix.select(col("sfp"), col("id").as("id_a"))
+          .join(prefix.select(col("sfp"), col("id").as("id_b")), Seq("sfp"))
+          .filter(col("id_a") < col("id_b"))
+          .select(col("id_a"), col("id_b")).distinct()
+        pairs
+          .join(sets.select(col("id").as("id_a"), col("set").as("set_a")), Seq("id_a"))
+          .join(sets.select(col("id").as("id_b"), col("set").as("set_b")), Seq("id_b"))
+          .withColumn("inter", size(array_intersect(col("set_a"), col("set_b"))))
+          .withColumn("jaccard", col("inter").cast("double") /
+            (size(col("set_a")) + size(col("set_b")) - col("inter")).cast("double"))
+          .filter(col("jaccard") >= threshold)
+          .select(col("id_a"), col("id_b"), col("jaccard"))
+
+      case other => throw new IllegalArgumentException(
+        s"strategy must be 'count' or 'prefix', got $other")
+    }
   }
 
   // --------------------------------------------------------------- SimHash
@@ -201,19 +237,8 @@ object Dedup {
     * same inverted-index join as n-gram Jaccard, at a fraction of the
     * posting size (≈ 2/(window+1) of the shingle count).
     */
-  def winnowFingerprints(text: Column, shingleK: Int = 3, window: Int = 4): Column = {
-    // ordered shingle sequence (not the distinct set): winnowing windows
-    // slide over positions
-    val hashes = transform(
-      TextFunctions.wordShingles(text, shingleK),
-      s => TextFunctions.hash32(s))
-    // windows over the hash sequence; shorter docs contribute their global min
-    val n = size(hashes)
-    array_distinct(
-      when(n <= window, array(array_min(hashes)))
-        .otherwise(transform(sequence(lit(0), n - window),
-          i => array_min(slice(hashes, i + 1, lit(window))))))
-  }
+  def winnowFingerprints(text: Column, shingleK: Int = 3, window: Int = 4): Column =
+    HashFunctions.winnowFingerprints(TextFunctions.tokensWs(text), shingleK, window)
 
   // ------------------------------------------------- embedding-cosine dedup
 

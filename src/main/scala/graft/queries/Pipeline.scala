@@ -329,11 +329,15 @@ object Pipeline {
   /** Winnowing fingerprints exploded to (doc_id, fp) rows — the oracle
     * recomputes the k-shingle hash sequence and per-window minima in SQL.
     */
-  def winnowFps(s: SparkSession, dir: String): DataFrame =
-    T(s, dir, "documents")
+  def winnowFps(s: SparkSession, dir: String): DataFrame = {
+    val target = s.sparkContext.defaultParallelism
+    val docs = T(s, dir, "documents").select(col("doc_id"), col("text"))
+    val widened = if (docs.rdd.getNumPartitions < target) docs.repartition(target) else docs
+    widened
       .select(col("doc_id"),
         explode(graft.operators.Dedup.winnowFingerprints(col("text"), 3, 4)).as("fp"))
       .orderBy(col("doc_id"), col("fp"))
+  }
 
   val winnowFpsOracle: String =
     """WITH sh AS (

@@ -48,10 +48,15 @@ class DedupSpec extends SparkSpec {
     assert(kept === Array(1L, 4L, 5L))
   }
 
-  test("jaccardPairs exact inverted-index join matches brute force") {
-    val got = Dedup.jaccardPairs(docs, col("doc_id"), col("text"),
-        shingleK = 2, threshold = 0.3)
+  test("jaccardPairs exact inverted-index join matches brute force (both strategies)") {
+    val countRes = Dedup.jaccardPairs(docs, col("doc_id"), col("text"),
+        shingleK = 2, threshold = 0.3, strategy = "count")
       .orderBy("id_a", "id_b").as[(Long, Long, Double)].collect()
+    val prefixRes = Dedup.jaccardPairs(docs, col("doc_id"), col("text"),
+        shingleK = 2, threshold = 0.3, strategy = "prefix")
+      .orderBy("id_a", "id_b").as[(Long, Long, Double)].collect()
+    assert(countRes.toSeq === prefixRes.toSeq)
+    val got = countRes
     // brute force on driver
     def shingles(t: String) =
       t.split("\\s+").sliding(2).map(_.mkString(" ")).toSet
