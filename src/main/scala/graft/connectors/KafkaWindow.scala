@@ -85,6 +85,23 @@ object KafkaWindow {
     }
   }
 
+  /** Option map realizing the same `[startMs, endMs)` contract on the real
+    * batch Kafka source: `spark.read.format("kafka").options(sourceOptions(...))`
+    * — timestamp offsets resolved per partition by the source (the
+    * offsetsForTimes dance of reference KafkaHelper.java:173-254),
+    * `minPartitions` standing in for the reference's offset-range slicing
+    * (process/KafkaHelper.scala:71-87). Defaults mirror kf_consumer_cfgs.
+    */
+  def sourceOptions(bootstrapServers: String, topics: Seq[String],
+      startMs: Long, endMs: Long, minPartitions: Option[Int] = None): Map[String, String] =
+    Map(
+      "kafka.bootstrap.servers" -> bootstrapServers,
+      "subscribe" -> topics.mkString(","),
+      "startingTimestamp" -> startMs.toString,
+      "endingTimestamp" -> endMs.toString,
+      "startingOffsetsByTimestampStrategy" -> "latest"
+    ) ++ minPartitions.map("minPartitions" -> _.toString)
+
   /** t_kf_push: appends `ack: struct<t,ct,k,v>` per row after recording the
     * message in `store` — one producer per partition, per-row ack, mirroring
     * the reference's bounded `send().get()` (UDTFKafkaPush.java:102-110).

@@ -63,6 +63,16 @@ class KafkaWindowSpec extends SparkSpec {
     assert(back === Array((1001L, "1", "x"), (1002L, "2", "y")))
   }
 
+  test("sourceOptions realize the window contract on the real Kafka source") {
+    val opts = KafkaWindow.sourceOptions("broker:9092", Seq("a", "b"),
+      100L, 200L, minPartitions = Some(16))
+    assert(opts("kafka.bootstrap.servers") === "broker:9092")
+    assert(opts("subscribe") === "a,b")
+    assert(opts("startingTimestamp") === "100")
+    assert(opts("endingTimestamp") === "200")
+    assert(opts("minPartitions") === "16")
+  }
+
   test("fromEvents maps the events table to the log contract") {
     val dir = "/root/testdata/sf0.001"
     val ev = spark.read.parquet(s"$dir/events.parquet")
