@@ -38,6 +38,34 @@ object GraftSession {
       .config("spark.ui.enabled", "false")
   }
 
+  /** Deploy-time conf for a real cluster — what `builder` pins for
+    * local[32] plus the scale knobs: AQE skew-join splitting, 128 MiB scan
+    * partitions, 64 MiB broadcast threshold (the reference hand-tuned
+    * Hive's equivalent map-join threshold, configs.properties:8), and
+    * speculation off because the effectful connectors (HTTP/KV/Kafka push)
+    * are at-least-once — a speculative duplicate task would double-fire
+    * side effects (SURVEY §7.4.1).
+    */
+  val clusterConf: Map[String, String] = Map(
+    "spark.sql.session.timeZone" -> "UTC",
+    "spark.sql.mapKeyDedupPolicy" -> "LAST_WIN",
+    "spark.sql.adaptive.enabled" -> "true",
+    "spark.sql.adaptive.coalescePartitions.enabled" -> "true",
+    "spark.sql.adaptive.skewJoin.enabled" -> "true",
+    "spark.sql.files.maxPartitionBytes" -> (128L * 1024 * 1024).toString,
+    "spark.sql.autoBroadcastJoinThreshold" -> (64L * 1024 * 1024).toString,
+    "spark.speculation" -> "false",
+    "spark.sql.extensions" -> "graft.GraftExtensions")
+
+  /** Cluster builder: `clusterConf` applied, master/deploy left to
+    * spark-submit. Call [[configure]] on the built session for the full
+    * function surface.
+    */
+  def clusterBuilder(appName: String = "graft"): SparkSession.Builder =
+    clusterConf.foldLeft(SparkSession.builder().appName(appName)) {
+      case (b, (k, v)) => b.config(k, v)
+    }
+
   /** Local session for tests and CLI mains. */
   def local(appName: String = "graft"): SparkSession = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")

@@ -114,6 +114,41 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }
 
+  /** Connected components over a near-duplicate pair graph by iterative
+    * min-label propagation: every node starts labeled with its own id; each
+    * round replaces a node's label with the minimum of its own and its
+    * neighbors' labels; at fixpoint the label is the component's minimum id
+    * — the canonical representative for cluster-collapse dedup.
+    *
+    * Each round is a join + groupBy over (node, label) longs — the standard
+    * distributed-CC shape (rounds needed = graph diameter; near-dup graphs
+    * are shallow clusters, so a handful; `maxIter` bounds pathology and the
+    * fixpoint check stops early). Output: (id, component).
+    */
+  def components(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
+    val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .unionAll(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+      .distinct().cache()
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("label", col("id")).cache()
+    var converged = false
+    var i = 0
+    while (!converged && i < maxIter) {
+      val neighborMin = edges
+        .join(labels.select(col("id").as("dst"), col("label").as("nl")), Seq("dst"))
+        .groupBy(col("src").as("id")).agg(min(col("nl")).as("nl"))
+      val next = labels.join(neighborMin, Seq("id"), "left")
+        .select(col("id"), least(col("label"), coalesce(col("nl"), col("label"))).as("label"))
+        .cache()
+      converged = next.join(labels.withColumnRenamed("label", "old"), Seq("id"))
+        .filter(col("label") =!= col("old")).isEmpty
+      labels.unpersist()
+      labels = next
+      i += 1
+    }
+    labels.select(col("id"), col("label").as("component"))
+  }
+
   /** Corpus minus near-duplicates: drops every id that appears as the larger
     * element of a verified pair (greedy cluster collapse — for chains this
     * may drop a doc whose only link was itself dropped; acceptable for

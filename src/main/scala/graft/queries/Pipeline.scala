@@ -326,6 +326,40 @@ object Pipeline {
        |FROM ranked WHERE rank <= 5
        |ORDER BY query_id, rank""".stripMargin
 
+  /** Duplicate-cluster assignment: connected components over the verified
+    * MinHash near-dup pairs; oracle recomputes components with a recursive
+    * CTE (component = min reachable id).
+    */
+  def dedupComponents(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Dedup.components(
+        graft.operators.Dedup.minHashPairs(
+          T(s, dir, "documents"), col("doc_id"), col("text"),
+          shingleK = 3, numHashes = 128, bands = 16, threshold = 0.8))
+      .orderBy(col("id"))
+
+  val dedupComponentsOracle: String =
+    s"""WITH RECURSIVE $shingleSetsSql,
+       |posting AS (SELECT doc_id, unnest(s) AS sp FROM sets),
+       |cand AS (
+       |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS inter
+       |  FROM posting a JOIN posting b ON a.sp = b.sp AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2),
+       |pairs AS (
+       |  SELECT id_a, id_b FROM cand
+       |  JOIN sets sa ON sa.doc_id = id_a
+       |  JOIN sets sb ON sb.doc_id = id_b
+       |  WHERE CAST(inter AS DOUBLE) / CAST(len(sa.s) + len(sb.s) - inter AS DOUBLE) >= 0.8),
+       |edges AS (SELECT id_a AS s, id_b AS d FROM pairs
+       |          UNION ALL SELECT id_b, id_a FROM pairs),
+       |reach(id, r) AS (
+       |  SELECT DISTINCT s, s FROM edges
+       |  UNION
+       |  SELECT reach.id, e.d FROM reach JOIN edges e ON e.s = reach.r)
+       |SELECT id, MIN(r) AS component
+       |FROM reach
+       |GROUP BY id
+       |ORDER BY id""".stripMargin
+
   /** Winnowing fingerprints exploded to (doc_id, fp) rows — the oracle
     * recomputes the k-shingle hash sequence and per-window minima in SQL.
     */
@@ -407,6 +441,7 @@ object Pipeline {
     Q("dedup_ngram_jaccard", dedupNgramJaccard, Some(dedupNgramJaccardOracle)),
     Q("dedup_simhash", dedupSimHash, Some(dedupSimHashOracle)),
     Q("text_metrics", textMetrics, Some(textMetricsOracle)),
+    Q("dedup_components", dedupComponents, Some(dedupComponentsOracle)),
     Q("winnow_fingerprints", winnowFps, Some(winnowFpsOracle)),
     Q("dedup_embedding", dedupEmbedding, Some(dedupEmbeddingOracle)),
     Q("sim_bruteforce_topk", simBruteForce, Some(simBruteForceOracle)),

@@ -75,6 +75,14 @@ class DedupSpec extends SparkSpec {
     assert(got.toSeq === expect)
   }
 
+  test("components: chains collapse to the minimum id per component") {
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L), (20L, 21L), (21L, 22L), (22L, 23L))
+      .toDF("id_a", "id_b")
+    val got = Dedup.components(pairs).as[(Long, Long)].collect().sortBy(_._1)
+    assert(got === Array((1L, 1L), (2L, 1L), (3L, 1L), (10L, 10L), (11L, 10L),
+      (20L, 20L), (21L, 20L), (22L, 20L), (23L, 20L)))
+  }
+
   test("simHash: identical texts collide at hamming 0") {
     val pairs = Dedup.simHashPairs(docs, col("doc_id"), col("text"), maxHamming = 3)
       .orderBy("id_a", "id_b").as[(Long, Long, Int)].collect()
