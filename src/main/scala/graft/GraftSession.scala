@@ -25,9 +25,14 @@ import org.apache.spark.sql.SparkSession
   */
 object GraftSession {
 
-  def builder(appName: String = "graft"): SparkSession.Builder = {
+  /** `enableHive = true` opts into the Hive metastore catalog, the
+    * reference's deployment mode (reference: process/Configs.scala:65
+    * `spark.sql.catalogImplementation=hive`); Hive jars ship with Spark.
+    * Static conf — must be set before the SparkContext starts.
+    */
+  def builder(appName: String = "graft", enableHive: Boolean = false): SparkSession.Builder = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    SparkSession
+    val b = SparkSession
       .builder()
       .appName(appName)
       .config("spark.sql.shuffle.partitions", cpus)
@@ -36,6 +41,7 @@ object GraftSession {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.ui.enabled", "false")
+    if (enableHive) b.enableHiveSupport() else b
   }
 
   /** Deploy-time conf for a real cluster — what `builder` pins for
@@ -52,6 +58,7 @@ object GraftSession {
     "spark.sql.adaptive.enabled" -> "true",
     "spark.sql.adaptive.coalescePartitions.enabled" -> "true",
     "spark.sql.adaptive.skewJoin.enabled" -> "true",
+    "spark.sql.cbo.enabled" -> "true", // reference: hive.cbo.enable (configs.properties:25)
     "spark.sql.files.maxPartitionBytes" -> (128L * 1024 * 1024).toString,
     "spark.sql.autoBroadcastJoinThreshold" -> (64L * 1024 * 1024).toString,
     "spark.speculation" -> "false",
