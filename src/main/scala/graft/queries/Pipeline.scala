@@ -326,6 +326,34 @@ object Pipeline {
        |FROM ranked WHERE rank <= 5
        |ORDER BY query_id, rank""".stripMargin
 
+  /** Deterministic hash sampling: 20% global sample by doc_id plus
+    * per-language stratified fractions — membership is a pure function of
+    * the key, so the oracle applies the identical predicate.
+    */
+  def sampleDocs(s: SparkSession, dir: String): DataFrame = {
+    val docs = T(s, dir, "documents")
+    val global = graft.operators.Sampling.hashSample(docs, col("doc_id"), 0.2)
+      .select(col("doc_id"), lit("global").as("sample"))
+    val strat = graft.operators.Sampling.stratifiedHashSample(
+        docs, col("lang"), col("doc_id"),
+        Map("en" -> 0.5, "de" -> 0.1))
+      .select(col("doc_id"), lit("strat").as("sample"))
+    global.unionAll(strat).orderBy(col("sample"), col("doc_id"))
+  }
+
+  val sampleDocsOracle: String =
+    """SELECT doc_id, sample FROM (
+      |  SELECT doc_id, 'global' AS sample FROM documents
+      |  WHERE ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+      |        < CAST(0.2 * 4294967296 AS BIGINT)
+      |  UNION ALL
+      |  SELECT doc_id, 'strat' FROM documents
+      |  WHERE ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+      |        < CASE lang WHEN 'en' THEN CAST(0.5 * 4294967296 AS BIGINT)
+      |                    WHEN 'de' THEN CAST(0.1 * 4294967296 AS BIGINT)
+      |                    ELSE -1 END) t
+      |ORDER BY sample, doc_id""".stripMargin
+
   /** Duplicate-cluster assignment: connected components over the verified
     * MinHash near-dup pairs; oracle recomputes components with a recursive
     * CTE (component = min reachable id).
@@ -442,6 +470,7 @@ object Pipeline {
     Q("dedup_simhash", dedupSimHash, Some(dedupSimHashOracle)),
     Q("text_metrics", textMetrics, Some(textMetricsOracle)),
     Q("dedup_components", dedupComponents, Some(dedupComponentsOracle)),
+    Q("sample_docs", sampleDocs, Some(sampleDocsOracle)),
     Q("winnow_fingerprints", winnowFps, Some(winnowFpsOracle)),
     Q("dedup_embedding", dedupEmbedding, Some(dedupEmbeddingOracle)),
     Q("sim_bruteforce_topk", simBruteForce, Some(simBruteForceOracle)),
