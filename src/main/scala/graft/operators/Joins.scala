@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Join helpers for the two scale pathologies AQE can't always fix alone:
@@ -26,6 +27,39 @@ object Joins {
     val replicated = smallDf.withColumn("__salt",
       explode(sequence(lit(0), lit(saltFactor - 1))))
     salted.join(replicated, keys :+ "__salt", joinType).drop("__salt")
+  }
+
+  /** As-of join — for every left row, the single right row with the
+    * greatest `rightTime` <= `leftTime` (or < when `strict`) per key; nulls
+    * when no prior right row exists (left-join semantics). Spark has no
+    * native as-of join; the scalable formulation is union + one window pass:
+    * tag sides, sort within each key by (time, side), and carry the last
+    * non-null right value forward — ONE shuffle on the key, no range-join
+    * explosion, no per-key collect. Right rows must be unique per
+    * (key, rightTime) for a deterministic pick (pre-aggregate if not).
+    */
+  def asofJoin(left: DataFrame, right: DataFrame, key: String,
+      leftTime: String, rightTime: String, rightValue: String,
+      strict: Boolean = false, out: String = "asof_value"): DataFrame = {
+    val leftCols = left.columns
+    val l = left.withColumn("__t", col(leftTime))
+      .withColumn("__side", lit(1))
+      .withColumn("__rv", lit(null).cast(right.schema(rightValue).dataType))
+    val r = right.select(col(key), col(rightTime).as("__t"),
+        lit(0).as("__side"), col(rightValue).as("__rv"))
+    val rAligned = l.columns.foldLeft(r) { (d, c) =>
+      if (d.columns.contains(c)) d
+      else d.withColumn(c, lit(null).cast(l.schema(c).dataType))
+    }.select(l.columns.map(col).toIndexedSeq: _*)
+    // equal times: non-strict sorts right (0) before left (1) so it counts;
+    // strict sorts right after left so it doesn't
+    val sideOrder = if (strict) col("__side").desc else col("__side").asc
+    val w = Window.partitionBy(col(key)).orderBy(col("__t"), sideOrder)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    l.unionByName(rAligned)
+      .withColumn(out, last(col("__rv"), ignoreNulls = true).over(w))
+      .filter(col("__side") === 1)
+      .select(leftCols.map(col).toIndexedSeq :+ col(out): _*)
   }
 
   /** Write `df` bucketed+sorted on the join key so later joins between

@@ -499,6 +499,33 @@ object Relational {
       |  GROUP BY l_orderkey)
       |ORDER BY l_orderkey""".stripMargin
 
+  /** As-of join: each order paired with the same customer's previous order
+    * (strictly earlier date). Orders deduped to one per (customer, date)
+    * first so the as-of pick is deterministic; the oracle is DuckDB's
+    * native ASOF JOIN.
+    */
+  def q19AsofPrevOrder(s: SparkSession, dir: String): DataFrame = {
+    val o = T(s, dir, "orders")
+      .groupBy(col("o_custkey"), col("o_orderdate"))
+      .agg(max(col("o_orderkey")).as("ok"))
+      .select(col("o_custkey"), unix_timestamp(col("o_orderdate")).as("od"), col("ok"))
+    graft.operators.Joins.asofJoin(
+        o, o, key = "o_custkey", leftTime = "od", rightTime = "od",
+        rightValue = "ok", strict = true, out = "prev_ok")
+      .select(col("o_custkey"), col("od"), col("ok"), col("prev_ok"))
+      .orderBy(col("o_custkey"), col("od"))
+  }
+
+  val q19Oracle: String =
+    """WITH o AS (
+      |  SELECT o_custkey, epoch(o_orderdate) AS od, MAX(o_orderkey) AS ok
+      |  FROM orders
+      |  GROUP BY 1, 2)
+      |SELECT l.o_custkey, l.od, l.ok, r.ok AS prev_ok
+      |FROM o l ASOF LEFT JOIN o r
+      |  ON l.o_custkey = r.o_custkey AND l.od > r.od
+      |ORDER BY l.o_custkey, l.od""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("q01_pricing_summary", q01PricingSummary, Some(q01Oracle)),
     Q("q02_revenue_by_nation", q02RevenueByNation, Some(q02Oracle)),
@@ -517,6 +544,7 @@ object Relational {
     Q("q15_cube", q15Cube, Some(q15Oracle)),
     Q("q16_pivot", q16Pivot, Some(q16Oracle)),
     Q("q17_anti_join", q17AntiJoin, Some(q17Oracle)),
-    Q("q18_array_map", q18ArrayMap, Some(q18Oracle))
+    Q("q18_array_map", q18ArrayMap, Some(q18Oracle)),
+    Q("q19_asof_prev_order", q19AsofPrevOrder, Some(q19Oracle))
   )
 }

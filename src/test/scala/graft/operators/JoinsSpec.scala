@@ -38,6 +38,36 @@ class JoinsSpec extends SparkSpec {
     assert(salts >= 6) // hot key fans out over most of the 8 salt slots
   }
 
+  test("asofJoin picks the latest right row at-or-before each left time") {
+    val left = Seq((1L, 10L, "e1"), (1L, 20L, "e2"), (1L, 5L, "e0"), (2L, 10L, "x"))
+      .toDF("k", "t", "ev")
+    val right = Seq((1L, 8L, "r8"), (1L, 10L, "r10"), (1L, 15L, "r15"), (3L, 1L, "zz"))
+      .toDF("k", "rt", "rv")
+    val nonStrict = Joins.asofJoin(left, right, "k", "t", "rt", "rv")
+      .select("k", "t", "ev", "asof_value").as[(Long, Long, String, String)]
+      .collect().sortBy(r => (r._1, r._2))
+    assert(nonStrict === Array(
+      (1L, 5L, "e0", null), // nothing at or before 5
+      (1L, 10L, "e1", "r10"), // equal time counts
+      (1L, 20L, "e2", "r15"),
+      (2L, 10L, "x", null))) // no right rows for key 2
+    val strict = Joins.asofJoin(left, right, "k", "t", "rt", "rv", strict = true)
+      .select("k", "t", "asof_value").as[(Long, Long, String)]
+      .collect().sortBy(r => (r._1, r._2))
+    assert(strict === Array(
+      (1L, 5L, null), (1L, 10L, "r8"), // equal time excluded
+      (1L, 20L, "r15"), (2L, 10L, null)))
+  }
+
+  test("asofJoin plans exactly one shuffle (window on the key)") {
+    val left = (1 to 100).map(i => (i.toLong % 5, i.toLong, i)).toDF("k", "t", "v")
+    val right = (1 to 50).map(i => (i.toLong % 5, i.toLong * 2, s"r$i")).toDF("k", "rt", "rv")
+    val plan = Joins.asofJoin(left, right, "k", "t", "rt", "rv")
+      .queryExecution.explainString(ExplainMode.fromString("formatted"))
+    assert("Exchange hashpartitioning".r.findAllIn(plan).size <= 2, plan) // tree + details
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"), plan)
+  }
+
   test("co-bucketed tables join without a shuffle") {
     val a = (1 to 500).map(i => (i.toLong, s"a$i")).toDF("k", "va")
     val b = (1 to 500).map(i => (i.toLong, s"b$i")).toDF("k", "vb")
