@@ -62,6 +62,28 @@ object Joins {
       .select(leftCols.map(col).toIndexedSeq :+ col(out): _*)
   }
 
+  /** Range (interval) join: pairs where `left.t ∈ [right.lo, right.hi]`.
+    * Spark plans a raw range predicate as broadcast-nested-loop/cartesian —
+    * quadratic at scale. Bucketizing time into `bucketWidth`-wide chunks
+    * turns it into an equi-join: each left row joins through its single
+    * bucket, each right interval is exploded over the buckets it covers
+    * (≈ (hi-lo)/width + 1 rows), and the exact BETWEEN filter runs after
+    * the hash join. Every qualifying pair matches in exactly one bucket
+    * (the left row's), so no dedup pass is needed. Extra equality `keys`
+    * tighten the join when present.
+    */
+  def rangeJoin(left: DataFrame, right: DataFrame, leftTime: String,
+      lo: String, hi: String, bucketWidth: Long,
+      keys: Seq[String] = Seq.empty, joinType: String = "inner"): DataFrame = {
+    require(bucketWidth > 0, "bucketWidth must be positive")
+    val l = left.withColumn("__bucket", floor(col(leftTime) / bucketWidth))
+    val r = right.withColumn("__bucket",
+      explode(sequence(floor(col(lo) / bucketWidth), floor(col(hi) / bucketWidth))))
+    l.join(r, keys :+ "__bucket", joinType)
+      .filter(col(leftTime) >= col(lo) && col(leftTime) <= col(hi))
+      .drop("__bucket")
+  }
+
   /** Write `df` bucketed+sorted on the join key so later joins between
     * co-bucketed tables skip the shuffle entirely (sort-merge join reads
     * bucket files pairwise). The table lands in the session catalog's

@@ -526,6 +526,36 @@ object Relational {
       |  ON l.o_custkey = r.o_custkey AND l.od > r.od
       |ORDER BY l.o_custkey, l.od""".stripMargin
 
+  /** Bucketized range join: lineitems matched to 7-day order windows
+    * (shipdate ∈ [orderdate, orderdate+7d]); per lineitem, how many windows
+    * cover it and the max covering order.
+    */
+  def q20RangeJoin(s: SparkSession, dir: String): DataFrame = {
+    val day = 86400L
+    val li = T(s, dir, "lineitem").filter(col("l_orderkey") <= 100)
+      .select(col("l_orderkey"), col("l_linenumber"),
+        unix_timestamp(col("l_shipdate")).as("ship"))
+    val win = T(s, dir, "orders").filter(col("o_orderkey") <= 400)
+      .select(col("o_orderkey").as("win_ok"),
+        unix_timestamp(col("o_orderdate")).as("lo"),
+        (unix_timestamp(col("o_orderdate")) + 7 * day).as("hi"))
+    graft.operators.Joins.rangeJoin(li, win, "ship", "lo", "hi", bucketWidth = 7 * day)
+      .groupBy(col("l_orderkey"), col("l_linenumber"), col("ship"))
+      .agg(count(lit(1)).as("n_windows"), max(col("win_ok")).as("max_win"))
+      .orderBy(col("l_orderkey"), col("l_linenumber"), col("ship"))
+  }
+
+  val q20Oracle: String =
+    """SELECT l_orderkey, l_linenumber, ship, COUNT(*) AS n_windows, MAX(win_ok) AS max_win
+      |FROM (SELECT l_orderkey, l_linenumber, epoch(l_shipdate) AS ship
+      |      FROM lineitem WHERE l_orderkey <= 100) l
+      |JOIN (SELECT o_orderkey AS win_ok, epoch(o_orderdate) AS lo,
+      |             epoch(o_orderdate) + 7 * 86400 AS hi
+      |      FROM orders WHERE o_orderkey <= 400) w
+      |  ON l.ship >= w.lo AND l.ship <= w.hi
+      |GROUP BY 1, 2, 3
+      |ORDER BY l_orderkey, l_linenumber, ship""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("q01_pricing_summary", q01PricingSummary, Some(q01Oracle)),
     Q("q02_revenue_by_nation", q02RevenueByNation, Some(q02Oracle)),
@@ -545,6 +575,7 @@ object Relational {
     Q("q16_pivot", q16Pivot, Some(q16Oracle)),
     Q("q17_anti_join", q17AntiJoin, Some(q17Oracle)),
     Q("q18_array_map", q18ArrayMap, Some(q18Oracle)),
-    Q("q19_asof_prev_order", q19AsofPrevOrder, Some(q19Oracle))
+    Q("q19_asof_prev_order", q19AsofPrevOrder, Some(q19Oracle)),
+    Q("q20_range_join", q20RangeJoin, Some(q20Oracle))
   )
 }

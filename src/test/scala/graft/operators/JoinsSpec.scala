@@ -68,6 +68,23 @@ class JoinsSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"), plan)
   }
 
+  test("rangeJoin equals the BETWEEN join, without a cartesian plan") {
+    val rnd = new Random(17)
+    val left = (1 to 300).map(i => (i, rnd.nextInt(1000).toLong)).toDF("id", "t")
+    val right = (1 to 80).map { i =>
+      val lo = rnd.nextInt(950).toLong
+      (i, lo, lo + rnd.nextInt(120).toLong)
+    }.toDF("rid", "lo", "hi")
+    val expect = left.join(right, $"t" >= $"lo" && $"t" <= $"hi")
+      .select("id", "rid").as[(Int, Int)].collect().sorted
+    val got = Joins.rangeJoin(left, right, "t", "lo", "hi", bucketWidth = 64)
+      .select("id", "rid").as[(Int, Int)].collect().sorted
+    assert(got.toSeq === expect.toSeq)
+    val plan = Joins.rangeJoin(left, right, "t", "lo", "hi", bucketWidth = 64)
+      .queryExecution.explainString(ExplainMode.fromString("formatted"))
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"), plan)
+  }
+
   test("co-bucketed tables join without a shuffle") {
     val a = (1 to 500).map(i => (i.toLong, s"a$i")).toDF("k", "va")
     val b = (1 to 500).map(i => (i.toLong, s"b$i")).toDF("k", "vb")
