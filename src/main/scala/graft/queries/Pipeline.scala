@@ -326,6 +326,38 @@ object Pipeline {
        |FROM ranked WHERE rank <= 5
        |ORDER BY query_id, rank""".stripMargin
 
+  /** Keyword extraction + corpus term stats: top-3 terms per doc (tf desc,
+    * term tiebreak) joined with each term's document frequency — all
+    * integer-exact.
+    */
+  def topTerms(s: SparkSession, dir: String): DataFrame = {
+    val docs = T(s, dir, "documents")
+    val top = graft.operators.TextIndex.topTermsPerDoc(
+      docs, col("doc_id"), col("text"), k = 3, minLen = 4)
+    val stats = graft.operators.TextIndex.termStats(docs, col("doc_id"), col("text"))
+      .select(col("term"), col("df"))
+    top.join(stats, Seq("term"))
+      .select(col("doc_id"), col("rank"), col("term"), col("tf"), col("df"))
+      .orderBy(col("doc_id"), col("rank"))
+  }
+
+  val topTermsOracle: String =
+    """WITH posting AS (
+      |  SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS term
+      |  FROM documents
+      |), tf AS (
+      |  SELECT doc_id, term, COUNT(*) AS tf FROM posting GROUP BY 1, 2
+      |), df AS (
+      |  SELECT term, COUNT(*) AS df FROM tf GROUP BY 1
+      |), ranked AS (
+      |  SELECT doc_id, term, tf,
+      |    CAST(ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY tf DESC, term) AS INTEGER) AS rank
+      |  FROM tf WHERE length(term) >= 4)
+      |SELECT doc_id, rank, r.term, tf, df.df
+      |FROM ranked r JOIN df ON r.term = df.term
+      |WHERE rank <= 3
+      |ORDER BY doc_id, rank""".stripMargin
+
   /** Deterministic hash sampling: 20% global sample by doc_id plus
     * per-language stratified fractions — membership is a pure function of
     * the key, so the oracle applies the identical predicate.
@@ -471,6 +503,7 @@ object Pipeline {
     Q("text_metrics", textMetrics, Some(textMetricsOracle)),
     Q("dedup_components", dedupComponents, Some(dedupComponentsOracle)),
     Q("sample_docs", sampleDocs, Some(sampleDocsOracle)),
+    Q("top_terms", topTerms, Some(topTermsOracle)),
     Q("winnow_fingerprints", winnowFps, Some(winnowFpsOracle)),
     Q("dedup_embedding", dedupEmbedding, Some(dedupEmbeddingOracle)),
     Q("sim_bruteforce_topk", simBruteForce, Some(simBruteForceOracle)),
