@@ -153,6 +153,7 @@ object Dedup {
     * element of a verified pair (greedy cluster collapse — for chains this
     * may drop a doc whose only link was itself dropped; acceptable for
     * training-data dedup where over-dropping a near-dup is harmless).
+    * [[minHashDedupClustered]] is the chain-correct variant.
     */
   def minHashDedup(df: DataFrame, id: Column, text: Column,
       shingleK: Int = 3, numHashes: Int = 128, bands: Int = 16,
@@ -160,6 +161,21 @@ object Dedup {
     val dupIds = minHashPairs(df, id, text, shingleK, numHashes, bands, threshold)
       .select(col("id_b").as("__dup_id")).distinct()
     df.join(dupIds, id === col("__dup_id"), "left_anti")
+  }
+
+  /** Chain-correct near-dup collapse: connected components over the
+    * verified pairs, keep exactly one representative (the minimum id) per
+    * component — a doc chained a~b~c keeps only a, never drops the whole
+    * chain.
+    */
+  def minHashDedupClustered(df: DataFrame, id: Column, text: Column,
+      shingleK: Int = 3, numHashes: Int = 128, bands: Int = 16,
+      threshold: Double = 0.8): DataFrame = {
+    val comp = components(
+      minHashPairs(df, id, text, shingleK, numHashes, bands, threshold))
+    val drop = comp.filter(col("id") =!= col("component"))
+      .select(col("id").as("__dup_id"))
+    df.join(drop, id === col("__dup_id"), "left_anti")
   }
 
   // ------------------------------------------------------- n-gram Jaccard

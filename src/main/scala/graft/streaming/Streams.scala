@@ -47,6 +47,29 @@ object Streams {
       .groupBy(session_window(col("__et"), gap).as("w"), key)
       .agg(count(lit(1)).as("n"))
 
+  /** Cross-batch exact dedup on a key column: keyed boolean state remembers
+    * seen keys, first arrival wins, later duplicates (same or later
+    * micro-batch) are dropped. State grows with distinct keys — bound it
+    * with content-hash keys (16 bytes/doc) and state-store TTL in
+    * production. Update output mode.
+    */
+  def dedupByKey(df: DataFrame, key: Column): DataFrame = {
+    import org.apache.spark.sql.{Encoders, Row}
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val schema = df.schema
+    implicit val rowEnc = Encoders.row(schema)
+    implicit val tupEnc = Encoders.tuple(Encoders.STRING, rowEnc)
+    val keyed = df.withColumn("__graft_key", key.cast("string"))
+      .map(r => (r.getString(schema.size), Row.fromSeq(r.toSeq.dropRight(1))))(tupEnc)
+      .groupByKey(_._1)(Encoders.STRING)
+    keyed.flatMapGroupsWithState[Boolean, Row](
+      OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
+      (_: String, rows: Iterator[(String, Row)], state: GroupState[Boolean]) =>
+        if (state.exists) Iterator.empty
+        else { state.update(true); rows.take(1).map(_._2) }
+    }(Encoders.scalaBoolean, rowEnc)
+  }
+
   /** File-source stream over parquet files with an explicit schema — the
     * zero-egress stand-in for a Kafka readStream; swap
     * `readStream.format("kafka")` in production, the transforms above are

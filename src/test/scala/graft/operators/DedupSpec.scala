@@ -48,6 +48,19 @@ class DedupSpec extends SparkSpec {
     assert(kept === Array(1L, 4L, 5L))
   }
 
+  test("minHashDedupClustered keeps one representative per chain component") {
+    val chain = Seq(
+      (1L, "aa bb cc dd ee ff gg hh"),
+      (2L, "aa bb cc dd ee ff gg xx"), // ~ 1
+      (3L, "bb cc dd ee ff gg xx yy"), // ~ 2 (chained to 1 via 2)
+      (4L, "completely different text entirely here now")
+    ).toDF("doc_id", "text")
+    val kept = Dedup.minHashDedupClustered(chain, col("doc_id"), col("text"),
+        shingleK = 2, numHashes = 64, bands = 16, threshold = 0.4)
+      .select("doc_id").as[Long].collect().sorted
+    assert(kept === Array(1L, 4L)) // whole chain collapses to its min id
+  }
+
   test("jaccardPairs exact inverted-index join matches brute force (both strategies)") {
     val countRes = Dedup.jaccardPairs(docs, col("doc_id"), col("text"),
         shingleK = 2, threshold = 0.3, strategy = "count")

@@ -42,20 +42,14 @@ class StatefulSpec extends SparkSpec {
     assert(last === Map("a" -> 3L, "b" -> 1L, "c" -> 1L))
   }
 
-  test("cross-batch exact dedup with keyed seen-state") {
+  test("cross-batch exact dedup with keyed seen-state (Streams.dedupByKey)") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(String, String)] // (doc_id, payload)
 
-    val deduped = mem.toDS()
-      .groupByKey(_._1)
-      .flatMapGroupsWithState[Boolean, (String, String)](
-        OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
-        (key: String, rows: Iterator[(String, String)], state: GroupState[Boolean]) =>
-          if (state.exists) Iterator.empty
-          else { state.update(true); rows.take(1).map(r => (key, r._2)) }
-      }
+    val deduped = Streams.dedupByKey(mem.toDF().toDF("id", "payload"),
+      org.apache.spark.sql.functions.col("id"))
 
-    val q = deduped.toDF("id", "payload").writeStream
+    val q = deduped.writeStream
       .format("memory").queryName("dedup_state").outputMode("update").start()
     mem.addData(("d1", "x"), ("d1", "x-dup"), ("d2", "y"))
     q.processAllAvailable()
