@@ -96,6 +96,31 @@ class DedupSpec extends SparkSpec {
       (20L, 20L), (21L, 20L), (22L, 20L), (23L, 20L)))
   }
 
+  test("dedup operators handle empty and single-doc inputs") {
+    val empty = docs.filter(col("doc_id") < 0)
+    assert(Dedup.exact(empty, col("doc_id"), col("text")).count() === 0)
+    assert(Dedup.minHashPairs(empty, col("doc_id"), col("text")).count() === 0)
+    assert(Dedup.simHashPairs(empty, col("doc_id"), col("text")).count() === 0)
+    assert(Dedup.jaccardPairs(empty, col("doc_id"), col("text"), strategy = "count").count() === 0)
+    assert(Dedup.jaccardPairs(empty, col("doc_id"), col("text"), strategy = "prefix").count() === 0)
+    assert(Dedup.components(empty.select(col("doc_id").as("id_a"),
+      col("doc_id").as("id_b"))).count() === 0)
+    val single = docs.filter(col("doc_id") === 1)
+    assert(Dedup.exact(single, col("doc_id"), col("text")).count() === 1)
+    assert(Dedup.minHashPairs(single, col("doc_id"), col("text")).count() === 0)
+  }
+
+  test("jaccard strategies agree on the real documents table (sf0.001)") {
+    val real = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val a = Dedup.jaccardPairs(real, col("doc_id"), col("text"),
+        threshold = 0.8, strategy = "count")
+      .as[(Long, Long, Double)].collect().sortBy(p => (p._1, p._2))
+    val b = Dedup.jaccardPairs(real, col("doc_id"), col("text"),
+        threshold = 0.8, strategy = "prefix")
+      .as[(Long, Long, Double)].collect().sortBy(p => (p._1, p._2))
+    assert(a.toSeq === b.toSeq)
+  }
+
   test("simHash: identical texts collide at hamming 0") {
     val pairs = Dedup.simHashPairs(docs, col("doc_id"), col("text"), maxHamming = 3)
       .orderBy("id_a", "id_b").as[(Long, Long, Int)].collect()

@@ -65,6 +65,17 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("ReadSchema: struct<doc_id:bigint,text:string>"), p)
   }
 
+  test("ivf: centroid quantizer broadcasts — corpus assignment is map-side") {
+    val p = plan(Pipeline.simIvf(spark, dir))
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"), p)
+  }
+
+  test("jaccard count-strategy: size dims broadcast, shuffles carry (sfp,id) only") {
+    val p = plan(Pipeline.dedupNgramJaccard(spark, dir))
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("minhash signatures: at most the widening shuffle, which moves (id,text) only") {
     val df = graft.operators.Dedup.lshBands(
       T(spark, dir, "documents"),
