@@ -129,8 +129,10 @@ object Dedup {
     val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
       .unionAll(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
       .distinct().cache()
+    // localCheckpoint (not cache) each round: iterated plans nest otherwise,
+    // and by ~10 rounds analysis/optimization time dominates at any scale
     var labels = edges.select(col("src").as("id")).distinct()
-      .withColumn("label", col("id")).cache()
+      .withColumn("label", col("id")).localCheckpoint()
     var converged = false
     var i = 0
     while (!converged && i < maxIter) {
@@ -139,10 +141,9 @@ object Dedup {
         .groupBy(col("src").as("id")).agg(min(col("nl")).as("nl"))
       val next = labels.join(neighborMin, Seq("id"), "left")
         .select(col("id"), least(col("label"), coalesce(col("nl"), col("label"))).as("label"))
-        .cache()
+        .localCheckpoint()
       converged = next.join(labels.withColumnRenamed("label", "old"), Seq("id"))
         .filter(col("label") =!= col("old")).isEmpty
-      labels.unpersist()
       labels = next
       i += 1
     }
