@@ -556,6 +556,69 @@ object Relational {
       |GROUP BY 1, 2, 3
       |ORDER BY l_orderkey, l_linenumber, ship""".stripMargin
 
+  /** Window-function battery: rank/dense_rank, lead/lag, first/last value,
+    * ntile — per-customer order analytics in one pass.
+    */
+  def q21WindowBattery(s: SparkSession, dir: String): DataFrame = {
+    val o = T(s, dir, "orders").filter(col("o_custkey") <= 100)
+    val byPrice = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    val byDate = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+    val byDateFull = byDate.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    o.select(col("o_custkey"), col("o_orderkey"),
+        rank().over(byPrice).cast("int").as("price_rank"),
+        dense_rank().over(byPrice).cast("int").as("price_dense_rank"),
+        ntile(4).over(byPrice).cast("int").as("price_quartile"),
+        lead(col("o_orderkey"), 1).over(byDate).as("next_ok"),
+        lag(col("o_orderkey"), 1).over(byDate).as("prev_ok"),
+        first(col("o_orderkey")).over(byDateFull).as("first_ok"),
+        last(col("o_orderkey")).over(byDateFull).as("last_ok"))
+      .orderBy(col("o_custkey"), col("o_orderkey"))
+  }
+
+  val q21Oracle: String =
+    """SELECT o_custkey, o_orderkey,
+      |  CAST(RANK() OVER wp AS INTEGER) AS price_rank,
+      |  CAST(DENSE_RANK() OVER wp AS INTEGER) AS price_dense_rank,
+      |  CAST(NTILE(4) OVER wp AS INTEGER) AS price_quartile,
+      |  LEAD(o_orderkey, 1) OVER wd AS next_ok,
+      |  LAG(o_orderkey, 1) OVER wd AS prev_ok,
+      |  FIRST_VALUE(o_orderkey) OVER wdf AS first_ok,
+      |  LAST_VALUE(o_orderkey) OVER wdf AS last_ok
+      |FROM orders
+      |WHERE o_custkey <= 100
+      |WINDOW
+      |  wp AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey),
+      |  wd AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey),
+      |  wdf AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+      |          ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+      |ORDER BY o_custkey, o_orderkey""".stripMargin
+
+  /** Exact discrete percentiles (values drawn from the data, so bit-exact
+    * across engines — interpolated percentiles are deliberately avoided).
+    */
+  def q22Percentiles(s: SparkSession, dir: String): DataFrame = {
+    T(s, dir, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(
+        expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY l_quantity)").as("p50_qty"),
+        expr("percentile_disc(0.9) WITHIN GROUP (ORDER BY l_quantity)").as("p90_qty"),
+        expr("percentile_disc(0.99) WITHIN GROUP (ORDER BY l_extendedprice)").as("p99_price"),
+        count(lit(1)).as("n"))
+      .orderBy(col("l_returnflag"))
+  }
+
+  val q22Oracle: String =
+    """SELECT l_returnflag,
+      |  quantile_disc(l_quantity, 0.5) AS p50_qty,
+      |  quantile_disc(l_quantity, 0.9) AS p90_qty,
+      |  quantile_disc(l_extendedprice, 0.99) AS p99_price,
+      |  COUNT(*) AS n
+      |FROM lineitem
+      |GROUP BY l_returnflag
+      |ORDER BY l_returnflag""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("q01_pricing_summary", q01PricingSummary, Some(q01Oracle)),
     Q("q02_revenue_by_nation", q02RevenueByNation, Some(q02Oracle)),
@@ -576,6 +639,8 @@ object Relational {
     Q("q17_anti_join", q17AntiJoin, Some(q17Oracle)),
     Q("q18_array_map", q18ArrayMap, Some(q18Oracle)),
     Q("q19_asof_prev_order", q19AsofPrevOrder, Some(q19Oracle)),
-    Q("q20_range_join", q20RangeJoin, Some(q20Oracle))
+    Q("q20_range_join", q20RangeJoin, Some(q20Oracle)),
+    Q("q21_window_battery", q21WindowBattery, Some(q21Oracle)),
+    Q("q22_percentiles", q22Percentiles, Some(q22Oracle))
   )
 }
