@@ -5,8 +5,10 @@ import org.apache.spark.sql.SparkSession
 /** Benchmark main: times every SparkEntry query against
   * SPARK_GRAFT_SF_DIR, materializing through the noop sink (full plan
   * execution — `count()` lets Spark shortcut scans and aggregations).
-  * Two passes per query; the reported time is the second (warm) pass, so
-  * JIT/classloading noise doesn't swamp plan quality. Prints ONE JSON line.
+  * Two passes per query; the reported time is the MINIMUM of the two, so
+  * JIT/classloading noise doesn't swamp plan quality. Prints ONE JSON line
+  * (Locale.ROOT formatting, stdout reserved for that line — logs go to
+  * stderr).
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -31,10 +33,15 @@ object Bench {
       val warm = if (cold < 0) -1.0 else timeOnce(fn)
       name -> (if (warm < 0) cold else math.min(cold, warm))
     }
-    val qs = results.map { case (k, v) => "\"" + k + f"""\":$v%.3f""" }
+    // Locale.ROOT: the f"" interpolator is locale-sensitive and a comma
+    // decimal separator would break the driver's JSON parse
+    def num(v: Double): String = String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + num(v) }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    System.out.println(
+      s"""{"metric":"total","value":${num(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    System.out.flush()
     spark.stop()
     sys.exit(0)
   }

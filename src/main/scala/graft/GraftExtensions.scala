@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
-import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, MapConcat}
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 import org.apache.spark.sql.catalyst.expressions.aggregate.MaxBy
 
 /** Deploy-time function registration:
@@ -19,10 +19,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     new ExpressionInfo(classOf[GraftExtensions].getName, null, name, usage, "")
 
   override def apply(ext: SparkSessionExtensions): Unit = {
+    // MapUnionLastWin, not MapConcat: the extension injection path doesn't
+    // set spark.sql.mapKeyDedupPolicy, and m_add's overwrite semantics must
+    // not depend on that conf (default EXCEPTION would make m_add throw).
     ext.injectFunction((
       FunctionIdentifier("m_add"),
       info("m_add", "m_add(map, map, ...) - LAST_WIN map union"),
-      (exprs: Seq[Expression]) => MapConcat(exprs)))
+      (exprs: Seq[Expression]) => org.apache.spark.sql.graft.MapUnionLastWin(exprs)))
 
     ext.injectFunction((
       FunctionIdentifier("max_with"),

@@ -1,0 +1,75 @@
+package org.apache.spark.sql.graft
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.{ArrayBasedMapData, MapData}
+import org.apache.spark.sql.types.{DataType, MapType}
+
+/** `m_add(map, map, ...)` — map union where later maps overwrite earlier
+  * keys, INDEPENDENT of `spark.sql.mapKeyDedupPolicy`: `MapConcat` only
+  * last-wins when the session conf says LAST_WIN, so a deploy path that
+  * injects functions without the engine session conf (the
+  * `spark.sql.extensions=graft.GraftExtensions` spark-submit route) would
+  * throw on duplicate keys under Spark's default EXCEPTION policy. The
+  * reference silently overwrites (reference:
+  * data-process/hive-udfs/src/main/java/com/thenetcircle/service/data/hive/udf/commons/UDFMapAdd.java:45-62),
+  * so the engine's semantics must not depend on a conf being set.
+  *
+  * Key order: first occurrence wins position, last occurrence wins value —
+  * same as MapConcat under LAST_WIN. Null in, null out.
+  */
+case class MapUnionLastWin(children: Seq[Expression])
+    extends Expression with CodegenFallback {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (children.isEmpty)
+      TypeCheckResult.TypeCheckFailure("m_add requires at least one map argument")
+    else if (!children.forall(_.dataType.isInstanceOf[MapType]))
+      TypeCheckResult.TypeCheckFailure(
+        s"m_add arguments must all be maps, got ${children.map(_.dataType.simpleString).mkString(", ")}")
+    else if (children.map(_.dataType).distinct.size != 1)
+      TypeCheckResult.TypeCheckFailure(
+        s"m_add arguments must share one map type, got ${children.map(_.dataType.simpleString).mkString(", ")}")
+    else TypeCheckResult.TypeCheckSuccess
+
+  override def dataType: DataType = children.head.dataType
+
+  private def mapType: MapType = children.head.dataType.asInstanceOf[MapType]
+
+  override def nullable: Boolean = children.exists(_.nullable)
+
+  override def eval(input: InternalRow): Any = {
+    val mt = mapType
+    val kv = new java.util.LinkedHashMap[Any, Any]()
+    var ci = 0
+    while (ci < children.length) {
+      val m = children(ci).eval(input)
+      if (m == null) return null
+      val md = m.asInstanceOf[MapData]
+      val ks = md.keyArray()
+      val vs = md.valueArray()
+      var i = 0
+      while (i < md.numElements()) {
+        kv.put(ks.get(i, mt.keyType), vs.get(i, mt.valueType))
+        i += 1
+      }
+      ci += 1
+    }
+    val keys = new Array[Any](kv.size())
+    val vals = new Array[Any](kv.size())
+    val it = kv.entrySet().iterator()
+    var i = 0
+    while (it.hasNext) {
+      val e = it.next()
+      keys(i) = e.getKey
+      vals(i) = e.getValue
+      i += 1
+    }
+    ArrayBasedMapData(keys, vals)
+  }
+
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): Expression = copy(children = newChildren)
+}

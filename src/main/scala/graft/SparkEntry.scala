@@ -15,6 +15,7 @@ object SparkEntry {
     graft.queries.Relational.all ++
       graft.queries.Pipeline.all ++
       graft.queries.Connectors.all ++
+      graft.queries.Functions.all ++
       graft.queries.Engine.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

@@ -122,6 +122,41 @@ object KafkaWindow {
       }, () => ())
     }
 
+  /** Transactional t_kf_push: all records of a partition commit atomically
+    * or not at all (reference ships the same helper on a real producer —
+    * initTransactions/beginTransaction/commitTransaction with abort on
+    * failure, KafkaHelper.java:151-171). The partition's rows are drained
+    * first and the append happens only after the last row succeeded, so an
+    * exception anywhere in the partition aborts with zero records visible;
+    * a task retry then replays a clean slate — at-most-once per attempt,
+    * exactly-once per successful task (the remaining window, a crash
+    * between commit and task-success bookkeeping, is the same one a real
+    * Kafka transactional producer has with retried batch tasks).
+    *
+    * Buffers one partition's records in memory — size output partitions
+    * accordingly (the reference's transactional sends batch the same way).
+    */
+  def pushTransactional(df: DataFrame, store: TopicStore.Factory, topic: Column,
+      ct: Column, key: Column, value: Column, ack: String = "ack"): DataFrame = {
+    val in = df.withColumn("__t", topic).withColumn("__ct", ct)
+      .withColumn("__k", key).withColumn("__v", value)
+    val n = in.schema.size
+    val outSchema = StructType(df.schema.fields :+ StructField(ack, recordType))
+    in.mapPartitions { rows =>
+      val buffered = rows.map { r =>
+        val t = String.valueOf(r.get(n - 4))
+        val ctMs = r.get(n - 3) match { case null => 0L; case x: Number => x.longValue() }
+        val k = if (r.get(n - 2) == null) null else String.valueOf(r.get(n - 2))
+        val v = if (r.get(n - 1) == null) null else String.valueOf(r.get(n - 1))
+        (r.toSeq.dropRight(4), (t, ctMs, k, v))
+      }.toVector // drain the whole partition BEFORE any append = the transaction body
+      store.open().appendAll(buffered.map(_._2)) // commit
+      buffered.iterator.map { case (orig, (t, c, k, v)) =>
+        org.apache.spark.sql.Row.fromSeq(orig :+ org.apache.spark.sql.Row(t, c, k, v))
+      }
+    }(org.apache.spark.sql.Encoders.row(outSchema))
+  }
+
   /** Read a stand-in topic back as a message-log DataFrame (partition 0). */
   def fromStore(spark: SparkSession, store: TopicStore.Factory, topic: String): DataFrame = {
     import spark.implicits._
@@ -144,6 +179,12 @@ object TopicStore {
       topics.getOrElseUpdate(s"$ns/$topic", new ConcurrentLinkedQueue)
     def append(topic: String, ct: Long, k: String, v: String): Unit =
       q(topic).add((ct, k, v))
+    /** Atomic multi-record append — the stand-in's commitTransaction. */
+    def appendAll(records: Seq[(String, Long, String, String)]): Unit =
+      records.groupBy(_._1).foreach { case (t, rs) =>
+        val queue = q(t)
+        rs.foreach { case (_, ct, k, v) => queue.add((ct, k, v)) }
+      }
     def records(topic: String): Seq[(Long, String, String)] =
       q(topic).iterator().asScala.toSeq
   }

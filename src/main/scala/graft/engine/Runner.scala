@@ -109,4 +109,16 @@ class ScriptJobs[T](compile: String => T, mtimeOf: String => Long,
   }
 
   def cachedPaths: Seq[String] = cache.keys.toSeq.sorted
+
+  /** Close every cached Closeable instance and drop the cache — the
+    * shutdown-hook path (reference closes instances on replacement only;
+    * engine TERM handling needs the same cleanup for all of them).
+    */
+  def closeAll(): Unit = {
+    cache.values.foreach(_.instance match {
+      case c: AutoCloseable => try c.close() catch { case _: Exception => () }
+      case _ =>
+    })
+    cache.clear()
+  }
 }

@@ -53,6 +53,30 @@ object RunnerMain {
     runner.runOnce()
   }
 
+  @volatile private[engine] var running = true
+
+  /** Engine-level signal/exit handling (reference: process/MiscHelper.scala:31-59
+    * installs TERM/HUP/INT handlers): a JVM shutdown hook — which TERM and
+    * INT trigger — that stops the tick loop, closes every cached Closeable
+    * script instance, and records the shutdown in the journal so an operator
+    * can see a clean stop vs a crash. Returns the hook body so specs can
+    * invoke it directly (idempotent).
+    */
+  def installShutdownHook(journal: Journal,
+      scalaJobs: ScriptJobs[SparkSession => Any],
+      clock: () => Long = () => System.currentTimeMillis()): () => Unit = {
+    val done = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val body = () => if (done.compareAndSet(false, true)) {
+      running = false
+      scalaJobs.closeAll()
+      val now = clock()
+      try journal.save(ExecutionRecord("__engine__", now, now, "shutdown", "SUCCEED"))
+      catch { case _: Exception => () } // never block JVM exit on the journal
+    }
+    sys.addShutdownHook(body())
+    body
+  }
+
   def main(args: Array[String]): Unit = {
     val scriptsDir = args.headOption.getOrElse(
       sys.error("usage: RunnerMain <scriptsDir> [tickMs] [maxTicks]"))
@@ -63,13 +87,14 @@ object RunnerMain {
     val fs = new FsUtils(spark)
     val scalaJobs = new ScriptJobs[SparkSession => Any](
       compile = ScriptCompiler.compileTask, mtimeOf = fs.mtime, read = fs.cat)
+    installShutdownHook(journal, scalaJobs)
     var i = 0
-    while (i < maxTicks) {
+    while (i < maxTicks && running) {
       val results = tick(spark, scriptsDir, journal, scalaJobs)
       if (results.nonEmpty)
         println(results.map { case (p, s) => s"$p=$s" }.mkString("[runner] ", " ", ""))
       i += 1
-      if (i < maxTicks) Thread.sleep(tickMs)
+      if (i < maxTicks && running) Thread.sleep(tickMs)
     }
     spark.stop()
   }

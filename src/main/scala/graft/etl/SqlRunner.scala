@@ -52,13 +52,51 @@ object SqlScript {
   */
 object SqlMacro {
 
-  private val MacroDdl: Regex =
-    """(?is)\s*CREATE\s+TEMPORARY\s+MACRO\s+(\w+)\s*\(([^)]*)\)\s*(.+)""".r
+  private val MacroHead: Regex =
+    """(?is)\s*CREATE\s+TEMPORARY\s+MACRO\s+(\w+)\s*\((.*)""".r
+
+  /** Splits `rest` (everything after the opening paren) into the balanced
+    * arg list and the body: a flat `[^)]*` regex would cut a parenthesized
+    * type — `f(p DECIMAL(10,2))` — at the first ')' and leave the stray
+    * paren in the body.
+    */
+  private def splitArgsBody(rest: String): Option[(String, String)] = {
+    var depth = 1
+    var i = 0
+    while (i < rest.length && depth > 0) {
+      rest.charAt(i) match {
+        case '(' => depth += 1
+        case ')' => depth -= 1
+        case _ =>
+      }
+      i += 1
+    }
+    if (depth != 0) None else Some((rest.substring(0, i - 1), rest.substring(i).trim))
+  }
+
+  /** Top-level comma split (commas inside type parens don't separate args). */
+  private def splitTopLevel(s: String): Seq[String] = {
+    val parts = Vector.newBuilder[String]
+    val cur = new StringBuilder
+    var depth = 0
+    s.foreach {
+      case ',' if depth == 0 => parts += cur.toString; cur.clear()
+      case c =>
+        if (c == '(') depth += 1 else if (c == ')') depth -= 1
+        cur.append(c)
+    }
+    parts += cur.toString
+    parts.result().map(_.trim).filter(_.nonEmpty)
+  }
 
   /** Returns true (and registers the macro) if `stmt` is a macro DDL. */
   def maybeRegister(spark: SparkSession, stmt: String): Boolean = stmt match {
-    case MacroDdl(name, argList, body) =>
-      val argNames = argList.split(",").map(_.trim).filter(_.nonEmpty)
+    case MacroHead(name, rest) =>
+      val (argList, body) = splitArgsBody(rest) match {
+        case Some((a, b)) if b.nonEmpty => (a, b)
+        case _ => return false
+      }
+      val argNames = splitTopLevel(argList)
         .map(_.split("\\s+").head.toLowerCase)
       val parsedBody = spark.sessionState.sqlParser.parseExpression(body)
       val argIdx = argNames.zipWithIndex.toMap

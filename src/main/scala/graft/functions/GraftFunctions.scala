@@ -1,7 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.catalyst.expressions.{Cast, CreateArray, Expression, Literal, MapConcat}
+import org.apache.spark.sql.catalyst.expressions.{Cast, CreateArray, Explode, Expression, Literal}
 import org.apache.spark.sql.catalyst.expressions.aggregate.MaxBy
 import org.apache.spark.sql.functions.udf
 import org.apache.spark.sql.graft.Bridge
@@ -43,15 +43,23 @@ object GraftFunctions {
   private def constMap(m: Map[String, String]): Expression =
     Literal.create(m, MapType(StringType, StringType))
 
+  // One registration per session: createOrReplaceTempFunction logs a WARN on
+  // every replace, and Verify/Bench call configure() once per query.
+  private val registered = java.util.Collections.synchronizedMap(
+    new java.util.WeakHashMap[SparkSession, java.lang.Boolean]())
+
   /** Registers the reference-surface SQL functions on `spark`. Idempotent. */
   def registerAll(spark: SparkSession): Unit = {
+    if (registered.putIfAbsent(spark, java.lang.Boolean.TRUE) != null) return
     val reg = spark.sessionState.functionRegistry
 
-    // m_add(map, map, ...) — map union, later args overwrite earlier keys.
-    // Same plan as built-in map_concat; LAST_WIN semantics come from
-    // spark.sql.mapKeyDedupPolicy pinned in GraftSession (reference:
-    // hive-udfs/.../commons/UDFMapAdd.java:45-62 silently last-wins).
-    reg.createOrReplaceTempFunction("m_add", exprs => MapConcat(exprs), "built-in")
+    // m_add(map, map, ...) — map union, later args overwrite earlier keys
+    // (reference: hive-udfs/.../commons/UDFMapAdd.java:45-62 silently
+    // last-wins). Native MapUnionLastWin so the semantics hold regardless
+    // of spark.sql.mapKeyDedupPolicy — GraftSession pins LAST_WIN, but the
+    // extension-injection deploy path doesn't.
+    reg.createOrReplaceTempFunction("m_add",
+      exprs => org.apache.spark.sql.graft.MapUnionLastWin(exprs), "built-in")
 
     // max_with(sortKey, data) — argmax, i.e. built-in max_by with swapped args
     // (reference: hive-udfs/.../commons/UDAFCmpBase.java:27-223 — 224 lines of
@@ -119,12 +127,22 @@ object GraftFunctions {
       Bridge.scalaUdf(httpPostUdf, Seq(url, timeout, headers, content))
     }, "built-in")
 
-    // graft_probe(any...) — execution-site introspection (reference debug
-    // UDFs, SURVEY §2A #26-28): where and with what did this row evaluate.
-    reg.createOrReplaceTempFunction("graft_probe", exprs => {
+    // graft_probe / udf_test / gudf_tests (any...) — execution-site
+    // introspection (reference debug UDFs, SURVEY §2A #26-27): where and with
+    // what did this row evaluate. Registered under the reference names too.
+    val probeBuilder: Seq[Expression] => Expression = exprs => {
       val asStrings = CreateArray(exprs.map(e => Cast(e, StringType)))
       Bridge.scalaUdf(probeUdf, Seq(asStrings))
-    }, "built-in")
+    }
+    reg.createOrReplaceTempFunction("graft_probe", probeBuilder, "built-in")
+    reg.createOrReplaceTempFunction("udf_test", probeBuilder, "built-in")
+    reg.createOrReplaceTempFunction("gudf_tests", probeBuilder, "built-in")
+
+    // udtf_tests(any...) — the table-function probe (§2A #28): a generator
+    // emitting one row per argument, stringified — the reference UDTF's
+    // forward-per-arg shape as a native Explode (stays codegen-compatible).
+    reg.createOrReplaceTempFunction("udtf_tests",
+      exprs => Explode(CreateArray(exprs.map(e => Cast(e, StringType)))), "built-in")
   }
 
   /** Introspection probe (reference's udf_test / gudf_tests / udtf_tests in

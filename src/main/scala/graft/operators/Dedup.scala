@@ -184,18 +184,20 @@ object Dedup {
   /** All-pairs n-gram Jaccard >= threshold, exact. Two strategies, both
     * array-free or array-light in their shuffles:
     *
-    *  - `"count"` (default): inverted-index self-join with intersections
-    *    counted directly — `|a ∩ b|` = the number of shingle fingerprints
-    *    the pair co-occurs under, so one groupBy replaces candidate
-    *    generation AND verification; set sizes join back as a small
-    *    broadcast dim. Shuffle cost is Σ_s df(s)·(df(s)-1)/2 over shingles —
-    *    optimal when no shingle is near-universal. No document bodies or
-    *    shingle arrays ever shuffle.
-    *  - `"prefix"`: AllPairs/PPJoin prefix filtering — only each set's
-    *    `|s| - ceil(t·|s|) + 1` globally-rarest shingles are indexed
+    *  - `"prefix"` (default): AllPairs/PPJoin prefix filtering — only each
+    *    set's `|s| - ceil(t·|s|) + 1` globally-rarest shingles are indexed
     *    (recall-exact), then candidates verify against full shingle sets.
-    *    The right tool when stop-shingles make Σ df² explode: candidate
-    *    generation cost is bounded by the prefix postings.
+    *    Candidate generation cost is bounded by the prefix postings, so one
+    *    near-universal stop-shingle cannot blow up the self-join — the safe
+    *    default for corpora (a single shingle present in every document
+    *    makes the unbounded index quadratic).
+    *  - `"count"`: inverted-index self-join with intersections counted
+    *    directly — `|a ∩ b|` = the number of shingle fingerprints the pair
+    *    co-occurs under, so one groupBy replaces candidate generation AND
+    *    verification; set sizes join back as a small broadcast dim. Shuffle
+    *    cost is Σ_s df(s)·(df(s)-1)/2 over shingles — the faster plan when
+    *    no shingle is near-universal (no shingle arrays ever shuffle), but
+    *    unbounded under stop-shingles; pair with `maxDocFreq` at scale.
     *
     * `maxDocFreq` drops shingles above that document frequency from the
     * index (both strategies): a documented approximation for stop-shingle-
@@ -205,13 +207,11 @@ object Dedup {
   def jaccardPairs(df: DataFrame, id: Column, text: Column,
       shingleK: Int = 3, threshold: Double = 0.8,
       maxDocFreq: Option[Long] = None,
-      strategy: String = "count"): DataFrame = {
+      strategy: String = "prefix"): DataFrame = {
     val sets = widen(df.select(id.as("id"), text.as("__text")))
       .select(col("id"), HashFunctions.wordShingleSet(
         TextFunctions.tokensWs(col("__text")), shingleK).as("set"))
-    val posting = sets.select(col("id"), size(col("set")).as("sz"),
-        explode(col("set")).as("s"))
-      .select(col("id"), col("sz"), TextFunctions.fingerprint64(col("s")).as("sfp"))
+    val posting = shinglePostings(sets)
     val sizes = sets.select(col("id"), size(col("set")).as("sz"))
 
     val indexed = maxDocFreq.fold(posting) { m =>
@@ -236,18 +236,7 @@ object Dedup {
           .select(col("id_a"), col("id_b"), col("jaccard"))
 
       case "prefix" =>
-        val freq = indexed.groupBy(col("sfp")).agg(count(lit(1)).as("df"))
-        val byRarity = org.apache.spark.sql.expressions.Window
-          .partitionBy(col("id")).orderBy(col("df"), col("sfp"))
-        val prefix = indexed.join(freq, Seq("sfp"))
-          .withColumn("rk", row_number().over(byRarity))
-          .filter(col("rk") <= col("sz") - ceil(lit(threshold) * col("sz")) + 1)
-          .select(col("sfp"), col("id"))
-        val pairs = prefix.select(col("sfp"), col("id").as("id_a"))
-          .join(prefix.select(col("sfp"), col("id").as("id_b")), Seq("sfp"))
-          .filter(col("id_a") < col("id_b"))
-          .select(col("id_a"), col("id_b")).distinct()
-        pairs
+        prefixCandidates(indexed, threshold)
           .join(sets.select(col("id").as("id_a"), col("set").as("set_a")), Seq("id_a"))
           .join(sets.select(col("id").as("id_b"), col("set").as("set_b")), Seq("id_b"))
           .withColumn("inter", size(array_intersect(col("set_a"), col("set_b"))))
@@ -259,6 +248,38 @@ object Dedup {
       case other => throw new IllegalArgumentException(
         s"strategy must be 'count' or 'prefix', got $other")
     }
+  }
+
+  /** (id, sz, sfp) inverted-index postings from (id, set) shingle-set rows:
+    * one row per (document, shingle fingerprint), with the set size carried
+    * for Jaccard arithmetic. Shuffle payloads are (long, int, long) — never
+    * the shingle text.
+    */
+  def shinglePostings(sets: DataFrame): DataFrame =
+    sets.select(col("id"), size(col("set")).as("sz"),
+        explode(col("set")).as("s"))
+      .select(col("id"), col("sz"), TextFunctions.fingerprint64(col("s")).as("sfp"))
+
+  /** AllPairs/PPJoin candidate pairs from an (id, sz, sfp) posting set:
+    * only each set's `|s| - ceil(t·|s|) + 1` globally-rarest shingles are
+    * indexed — recall-exact for Jaccard >= t (two sets with Jaccard >= t
+    * must share at least one prefix shingle), and candidate volume is
+    * bounded by the prefix postings even when a stop-shingle appears in
+    * every document (it sorts last by rarity and never enters a prefix
+    * unless a set is small enough to genuinely need it).
+    */
+  def prefixCandidates(posting: DataFrame, threshold: Double): DataFrame = {
+    val freq = posting.groupBy(col("sfp")).agg(count(lit(1)).as("df"))
+    val byRarity = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("id")).orderBy(col("df"), col("sfp"))
+    val prefix = posting.join(freq, Seq("sfp"))
+      .withColumn("rk", row_number().over(byRarity))
+      .filter(col("rk") <= col("sz") - ceil(lit(threshold) * col("sz")) + 1)
+      .select(col("sfp"), col("id"))
+    prefix.select(col("sfp"), col("id").as("id_a"))
+      .join(prefix.select(col("sfp"), col("id").as("id_b")), Seq("sfp"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b")).distinct()
   }
 
   // --------------------------------------------------------------- SimHash
@@ -337,27 +358,36 @@ object Dedup {
       .filter(col("cos") >= threshold)
   }
 
-  /** Near-duplicate pairs by SimHash hamming distance <= maxHamming (<= 3).
+  /** Near-duplicate pairs by SimHash hamming distance <= maxHamming.
     *
-    * Candidates via the block trick: 60 bits in 4 equal blocks — any pair
-    * within hamming 3 must agree exactly on at least one block (pigeonhole),
-    * so an equality join on (block_idx, block_value) has recall exactly 1.
-    * Output: (id_a, id_b, hamming).
+    * Candidates via the block trick: the 60-bit signature in `blocks` equal
+    * blocks — any pair within hamming `blocks - 1` must agree exactly on at
+    * least one block (pigeonhole), so an equality join on (block_idx,
+    * block_value) has recall exactly 1. Output: (id_a, id_b, hamming).
+    *
+    * Block-count/width trade-off at corpus scale: expected bucket size is
+    * n / 2^(60/blocks), and the self-join emits O(Σ bucket²) candidates —
+    * `blocks` must exceed `maxHamming` but should otherwise be as SMALL as
+    * the tolerance allows (wider block keys → smaller buckets). The default
+    * (4 × 15-bit) serves hamming <= 3 up to ~10^8 docs; beyond that, cut
+    * `maxHamming` (e.g. 2 with blocks = 3 → 20-bit keys), or pre-partition
+    * the corpus (e.g. by language/source) so each join runs within a slice.
     */
   def simHashPairs(df: DataFrame, id: Column, text: Column,
-      maxHamming: Int = 3): DataFrame = {
-    require(maxHamming < SimHashBlocks, s"maxHamming must be < $SimHashBlocks for exact recall")
-    val bits = SimHashBits / SimHashBlocks
+      maxHamming: Int = 3, blocks: Int = SimHashBlocks): DataFrame = {
+    require(maxHamming < blocks, s"maxHamming=$maxHamming needs > $maxHamming blocks for exact recall")
+    require(SimHashBits % blocks == 0, s"blocks=$blocks must divide $SimHashBits")
+    val bits = SimHashBits / blocks
     val sh = widen(df.select(id.as("id"), text.as("__text")))
       .select(col("id"), simHash(col("__text")).as("sh"))
-    val blocks = sh.select(col("id"), col("sh"), posexplode(
-      transform(sequence(lit(0), lit(SimHashBlocks - 1)),
+    val blk = sh.select(col("id"), col("sh"), posexplode(
+      transform(sequence(lit(0), lit(blocks - 1)),
         b => call_function("shiftright", col("sh"), b * bits)
           .bitwiseAND(lit((1L << bits) - 1)))
     ).as(Seq("block", "block_val")))
-    val l = blocks.select(col("block"), col("block_val"),
+    val l = blk.select(col("block"), col("block_val"),
       col("id").as("id_a"), col("sh").as("sh_a"))
-    val r = blocks.select(col("block"), col("block_val"),
+    val r = blk.select(col("block"), col("block_val"),
       col("id").as("id_b"), col("sh").as("sh_b"))
     l.join(r, Seq("block", "block_val"))
       .filter(col("id_a") < col("id_b"))

@@ -18,10 +18,19 @@ object Joins {
     * no rand(), so retries/resamples don't reshuffle rows). Result equals
     * the plain equi-join on `keys` exactly; `smallDf` grows ×saltFactor,
     * so keep saltFactor modest (8–32) and the small side genuinely smaller.
+    *
+    * Join types that preserve every LEFT (large-side) row are supported;
+    * right/full outer are rejected — an unmatched small-side row exists
+    * once per salt replica and would be emitted saltFactor times.
     */
   def saltedJoin(largeDf: DataFrame, smallDf: DataFrame, keys: Seq[String],
       saltFactor: Int, joinType: String = "inner"): DataFrame = {
     require(saltFactor > 0, "saltFactor must be positive")
+    require(Set("inner", "cross", "left", "left_outer", "leftouter",
+        "left_semi", "leftsemi", "left_anti", "leftanti")
+        .contains(joinType.toLowerCase.replace(" ", "_")),
+      s"saltedJoin supports inner/left/left_semi/left_anti, got $joinType " +
+        "(right/full would emit unmatched small-side rows once per salt replica)")
     val salted = largeDf.withColumn("__salt",
       pmod(xxhash64(largeDf.columns.map(col).toIndexedSeq: _*), lit(saltFactor)).cast("int"))
     val replicated = smallDf.withColumn("__salt",
@@ -76,12 +85,28 @@ object Joins {
       lo: String, hi: String, bucketWidth: Long,
       keys: Seq[String] = Seq.empty, joinType: String = "inner"): DataFrame = {
     require(bucketWidth > 0, "bucketWidth must be positive")
+    require(Set("inner", "left", "left_outer", "leftouter", "left_semi", "leftsemi",
+        "left_anti", "leftanti").contains(joinType.toLowerCase.replace(" ", "_")),
+      s"rangeJoin supports inner/left/left_semi/left_anti, got $joinType " +
+        "(the right side is exploded per bucket, so right/full would duplicate " +
+        "unmatched intervals)")
+    // The BETWEEN predicate lives INSIDE the join condition (not a post-join
+    // filter): under left joins a post-filter would see null lo/hi on
+    // unmatched rows, evaluate false, and silently drop them — degrading
+    // left to inner. Right-side key/bucket columns are renamed so the
+    // explicit condition is unambiguous, then dropped.
     val l = left.withColumn("__bucket", floor(col(leftTime) / bucketWidth))
-    val r = right.withColumn("__bucket",
+    val rExploded = right.withColumn("__rbucket",
       explode(sequence(floor(col(lo) / bucketWidth), floor(col(hi) / bucketWidth))))
-    l.join(r, keys :+ "__bucket", joinType)
-      .filter(col(leftTime) >= col(lo) && col(leftTime) <= col(hi))
-      .drop("__bucket")
+    val renamed = keys.map(k => k -> s"__r_$k")
+    val r = renamed.foldLeft(rExploded) { case (d, (k, rk)) => d.withColumnRenamed(k, rk) }
+    val cond = renamed.foldLeft(
+        col("__bucket") === col("__rbucket") &&
+          col(leftTime) >= col(lo) && col(leftTime) <= col(hi)) {
+      case (c, (k, rk)) => c && col(k) === col(rk)
+    }
+    l.join(r, cond, joinType)
+      .drop("__bucket" +: "__rbucket" +: renamed.map(_._2): _*)
   }
 
   /** Write `df` bucketed+sorted on the join key so later joins between

@@ -3,7 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import graft.functions.TextFunctions
+import graft.functions.{TextFunctions, TopKAggregator}
 import org.apache.spark.sql.graft.VectorFunctions
 
 /** Approximate-nearest-neighbor search over an embedding column.
@@ -26,6 +26,23 @@ object Similarity {
   /** Exact top-k neighbors by cosine for each query vector.
     * Output: (query_id, neighbor_id, rank, cos).
     */
+  /** Final per-query top-k over (query_id, neighbor_id, cos) rows via the
+    * bounded [[graft.functions.TopKAggregator]]: partial aggregation prunes
+    * each partition to k entries per query before the shuffle, so no reducer
+    * ever sees more than partitions × k candidates per query (a
+    * `row_number()` window here would shuffle every scored row to one
+    * reducer per query — unbounded at 100 TB). Ties break
+    * (cos desc, neighbor_id asc), same as the window it replaces.
+    */
+  private def topKPerQuery(scored: DataFrame, k: Int): DataFrame = {
+    val topk = TopKAggregator.topK(k)
+    scored.groupBy(col("query_id"))
+      .agg(topk(col("neighbor_id"), col("cos")).as("top"))
+      .select(col("query_id"), posexplode(col("top")).as(Seq("pos", "s")))
+      .select(col("query_id"), col("s.id").as("neighbor_id"),
+        (col("pos") + 1).cast("int").as("rank"), col("s.score").as("cos"))
+  }
+
   def bruteForceTopK(queries: DataFrame, corpus: DataFrame, k: Int,
       includeSelf: Boolean = false): DataFrame = {
     val q = broadcast(queries.select(col("vec_id").as("query_id"),
@@ -35,12 +52,7 @@ object Similarity {
         if (includeSelf) lit(true) else col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"),
         VectorFunctions.cosineSim(col("qv"), col("cv")).as("cos"))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cos").desc, col("neighbor_id"))
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("neighbor_id"), col("rank").cast("int").as("rank"),
-        col("cos"))
+    topKPerQuery(scored, k)
   }
 
   /** Sign-random-projection bucket id: `bits` sign bits of hyperplane dot
@@ -71,33 +83,36 @@ object Similarity {
       corpus.filter(pmod(col("vec_id"), lit(centroidEvery)) === 0)
         .select(col("vec_id").as("cid"), col("embedding").as("cv")))
 
-    def nearestCells(df: DataFrame, idCol: String, vecCol: String, n: Int) = {
-      val w = Window.partitionBy(col(idCol))
-        .orderBy(col("__ccos").desc, col("cid"))
-      df.join(cents, lit(true))
-        .withColumn("__ccos", VectorFunctions.cosineSim(col(vecCol), col("cv")))
-        .withColumn("__crn", row_number().over(w))
-        .filter(col("__crn") <= n)
-        .drop("cv", "__ccos", "__crn")
-    }
+    // Corpus→cell assignment is an argmax over the broadcast centroids:
+    // score n×C rows map-side (no exchange — cents is broadcast), then
+    // max_by partial-aggregates to one (cell, vector) per corpus row before
+    // the shuffle, so the exchange carries n rows, not n×C. Tie on cosine
+    // breaks toward the smaller cid (max over (cos, -cid)), matching the
+    // `ORDER BY cos DESC, cid` window this replaces.
+    val assigned = corpus.select(col("vec_id").as("neighbor_id"), col("embedding").as("nv"))
+      .join(cents, lit(true))
+      .withColumn("__ccos", VectorFunctions.cosineSim(col("nv"), col("cv")))
+      .groupBy(col("neighbor_id"))
+      .agg(max_by(struct(col("cid"), col("nv")),
+        struct(col("__ccos"), (-col("cid")).as("nc"))).as("m"))
+      .select(col("neighbor_id"), col("m.cid").as("cid"), col("m.nv").as("nv"))
 
-    val assigned = nearestCells(
-      corpus.select(col("vec_id").as("neighbor_id"), col("embedding").as("nv")),
-      "neighbor_id", "nv", 1)
-    val probes = nearestCells(
-      queries.select(col("vec_id").as("query_id"), col("embedding").as("qv")),
-      "query_id", "qv", nprobe)
+    // Query→probe-cells keeps the window form: the probe side is the small
+    // one (queries, not corpus), and nprobe > 1 needs top-n, not argmax.
+    val probeW = Window.partitionBy(col("query_id"))
+      .orderBy(col("__ccos").desc, col("cid"))
+    val probes = queries.select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+      .join(cents, lit(true))
+      .withColumn("__ccos", VectorFunctions.cosineSim(col("qv"), col("cv")))
+      .withColumn("__crn", row_number().over(probeW))
+      .filter(col("__crn") <= nprobe)
+      .drop("cv", "__ccos", "__crn")
 
     val scored = probes.join(assigned, Seq("cid"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"),
         VectorFunctions.cosineSim(col("qv"), col("nv")).as("cos"))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cos").desc, col("neighbor_id"))
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("neighbor_id"), col("rank").cast("int").as("rank"),
-        col("cos"))
+    topKPerQuery(scored, k)
   }
 
   /** Approximate top-k: candidates share the query's SRP bucket, exact
@@ -114,11 +129,6 @@ object Similarity {
       .filter(col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"),
         VectorFunctions.cosineSim(col("qv"), col("cv")).as("cos"))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cos").desc, col("neighbor_id"))
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("neighbor_id"), col("rank").cast("int").as("rank"),
-        col("cos"))
+    topKPerQuery(scored, k)
   }
 }

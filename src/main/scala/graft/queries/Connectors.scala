@@ -63,6 +63,25 @@ object Connectors {
       |FROM nation
       |ORDER BY n_nationkey""".stripMargin
 
+  /** t_http_post via the partition-level operator (one client per partition,
+    * retained columns = the reference's ctx protocol): POST n_name to /echo,
+    * which reports the posted body's length as `blen`.
+    */
+  def httpPostPartition(s: SparkSession, dir: String): DataFrame = {
+    val base = LocalHttpServer.base
+    val in = T(s, dir, "nation").select(col("n_nationkey"), col("n_name"))
+    Http.withPost(in, concat(lit(s"$base/echo?nk="), col("n_nationkey")), col("n_name"))
+      .select(col("n_nationkey"), col("resp.code").as("code"),
+        col("resp.content").as("echo"))
+      .orderBy(col("n_nationkey"))
+  }
+
+  val httpPostPartitionOracle: String =
+    """SELECT n_nationkey, 200 AS code,
+      |  'nk=' || n_nationkey || '&blen=' || length(n_name) AS echo
+      |FROM nation
+      |ORDER BY n_nationkey""".stripMargin
+
   // ---------------------------------------------------------------------- KV
 
   /** jd_get enrichment: nation names seeded into the KV store driver-side
@@ -116,6 +135,46 @@ object Connectors {
     """SELECT n_nationkey, 'OK' AS nx1, CAST(NULL AS VARCHAR) AS nx2, 'OK' AS xx1,
       |  upper(n_name) AS final_val, CAST(NULL AS VARCHAR) AS missing_val
       |FROM nation""".stripMargin
+
+  /** jd_set2 + jd_keys + jd_del lifecycle: create via per-row SET, list with
+    * a glob, delete a slice (observing per-row removal counts), list what's
+    * left. SET is idempotent, so its branch may be re-executed by the final
+    * union; DEL is not, so its rows are materialized driver-side exactly once.
+    */
+  def kvLifecycle(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ns = "verify-kv-lc"
+    InMemoryKv.clear(ns)
+    val factory = InMemoryKv.Factory(ns)
+    val in = T(s, dir, "nation").select(col("n_nationkey"), col("n_name"))
+    val set = Kv.withSet(in, concat(lit("lc:"), col("n_nationkey")), col("n_name"),
+      factory, ret = "st")
+    set.count() // materialize the writes before listing
+    val keys1 = Kv.keys(s, factory, "lc:1*")
+      .select(lit("keys_1x").as("op"), col("key").as("k"), lit("").as("v"))
+    val delRows = Kv.withDel(in.filter(col("n_nationkey") % 5 === 0),
+        array(concat(lit("lc:"), col("n_nationkey"))), factory, ret = "nd")
+      .select(col("n_nationkey"), col("nd")).collect()
+      .map(r => ("del", s"lc:${r.get(0)}", r.getLong(1).toString)).toSeq
+    val del = delRows.toDF("op", "k", "v")
+    val left = Kv.keys(s, factory, "lc:*")
+      .select(lit("left").as("op"), col("key").as("k"), lit("").as("v"))
+    val setOut = set.select(lit("set").as("op"),
+      concat(lit("lc:"), col("n_nationkey")).as("k"), col("st").as("v"))
+    setOut.unionAll(keys1).unionAll(del).unionAll(left).orderBy(col("op"), col("k"))
+  }
+
+  val kvLifecycleOracle: String =
+    """SELECT op, k, v FROM (
+      |  SELECT 'set' AS op, 'lc:' || n_nationkey AS k, 'OK' AS v FROM nation
+      |  UNION ALL
+      |  SELECT 'keys_1x', 'lc:' || n_nationkey, '' FROM nation
+      |  WHERE CAST(n_nationkey AS VARCHAR) LIKE '1%'
+      |  UNION ALL
+      |  SELECT 'del', 'lc:' || n_nationkey, '1' FROM nation WHERE n_nationkey % 5 = 0
+      |  UNION ALL
+      |  SELECT 'left', 'lc:' || n_nationkey, '' FROM nation WHERE n_nationkey % 5 <> 0) t
+      |ORDER BY op, k""".stripMargin
 
   // ------------------------------------------------------------------ ZK tree
 
@@ -177,6 +236,36 @@ object Connectors {
       |  UNION ALL
       |  SELECT '/r/' || r_name || '/' || n_name, CAST(n_nationkey AS VARCHAR), 'kept'
       |  FROM nation JOIN region ON n_regionkey = r_regionkey WHERE r_name <> 'ASIA') t
+      |ORDER BY op, p""".stripMargin
+
+  /** t_zk_write / t_zk_delete row-shape contract: write returns the previous
+    * value per path (null on create, the old value on overwrite), delete
+    * returns the deleted subtree rows. All phases are driver-materialized in
+    * order, so the union is deterministic.
+    */
+  def zkWriteOldvals(s: SparkSession, dir: String): DataFrame = {
+    val name = "verify-zk-w"
+    TreeStore.drop(name)
+    val tree = TreeStore.named(name)
+    val regions = T(s, dir, "region")
+      .select(col("r_name"), col("r_regionkey").cast("long")).collect()
+    val m1 = regions.map(r => s"/w/${r.getString(0)}" -> r.getLong(1).toString).toMap
+    val m2 = regions.map(r => s"/w/${r.getString(0)}" -> s"X${r.getLong(1)}").toMap
+    val w1 = ZkTree.write(s, tree, m1).withColumn("op", lit("w1"))
+    val w2 = ZkTree.write(s, tree, m2).withColumn("op", lit("w2"))
+    val del = ZkTree.delete(s, tree, "/w").withColumn("op", lit("w3_deleted"))
+    w1.unionAll(w2).unionAll(del).orderBy(col("op"), col("p"))
+  }
+
+  val zkWriteOldvalsOracle: String =
+    """SELECT p, v, op FROM (
+      |  SELECT '/w/' || r_name AS p, CAST(NULL AS VARCHAR) AS v, 'w1' AS op FROM region
+      |  UNION ALL
+      |  SELECT '/w/' || r_name, CAST(r_regionkey AS VARCHAR), 'w2' FROM region
+      |  UNION ALL
+      |  SELECT '/w', '', 'w3_deleted'
+      |  UNION ALL
+      |  SELECT '/w/' || r_name, 'X' || r_regionkey, 'w3_deleted' FROM region) t
       |ORDER BY op, p""".stripMargin
 
   // -------------------------------------------------------------------- Kafka
@@ -270,10 +359,13 @@ object Connectors {
     Q("jdbc_roundtrip", jdbcRoundtrip, Some(jdbcRoundtripOracle)),
     Q("http_get_echo", httpGetEcho, Some(httpGetEchoOracle)),
     Q("http_post_status", httpPostStatus, Some(httpPostStatusOracle)),
+    Q("http_post_partition", httpPostPartition, Some(httpPostPartitionOracle)),
     Q("kv_get_enrich", kvGetEnrich, Some(kvGetEnrichOracle)),
     Q("kv_set_semantics", kvSetSemantics, Some(kvSetSemanticsOracle)),
+    Q("kv_lifecycle", kvLifecycle, Some(kvLifecycleOracle)),
     Q("zk_tree_roundtrip", zkTreeRoundtrip, Some(zkTreeRoundtripOracle)),
     Q("zk_tree_delete", zkTreeDelete, Some(zkTreeDeleteOracle)),
+    Q("zk_write_oldvals", zkWriteOldvals, Some(zkWriteOldvalsOracle)),
     Q("kf_pull_window", kfPullWindow, Some(kfPullWindowOracle)),
     Q("kf_topics", kfTopics, Some(kfTopicsOracle)),
     Q("kf_push_roundtrip", kfPushRoundtrip, Some(kfPushRoundtripOracle))

@@ -166,8 +166,8 @@ object Engine {
   val etlReadmeSliceOracle: String =
     """WITH ev AS (
       |  SELECT 'ev' || (length(n_name) + i) % 2 AS type,
-      |    epoch(strptime('2024-03-0' || i || 'T0' || i || ':1' || i,
-      |                   '%Y-%m-%dT%H:%M')) AS ts_epoch,
+      |    CAST(epoch(strptime('2024-03-0' || i || 'T0' || i || ':1' || i,
+      |                        '%Y-%m-%dT%H:%M')) AS BIGINT) AS ts_epoch,
       |    '{"timestamp":"2024-03-0' || i || 'T0' || i || ':1' || i ||
       |      '","type":"ev' || (length(n_name) + i) % 2 || '"}' AS ev
       |  FROM nation, (SELECT unnest(range(1, 5)) AS i) g

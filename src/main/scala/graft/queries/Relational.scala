@@ -234,7 +234,7 @@ object Relational {
 
   val q08Oracle: String =
     """SELECT event_type, COUNT(*) AS n,
-      |  SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+      |  CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
       |  MIN(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
       |  MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
       |FROM events
@@ -381,7 +381,7 @@ object Relational {
       |    LAG(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS prev_us
       |  FROM events)
       |SELECT user_id, COUNT(*) AS n_events,
-      |  SUM(CASE WHEN prev_us IS NULL OR us - prev_us > 1800 * 1000000 THEN 1 ELSE 0 END) AS n_sessions,
+      |  CAST(SUM(CASE WHEN prev_us IS NULL OR us - prev_us > 1800 * 1000000 THEN 1 ELSE 0 END) AS BIGINT) AS n_sessions,
       |  MIN(us) AS first_us, MAX(us) AS last_us
       |FROM t
       |GROUP BY user_id
@@ -518,7 +518,7 @@ object Relational {
 
   val q19Oracle: String =
     """WITH o AS (
-      |  SELECT o_custkey, epoch(o_orderdate) AS od, MAX(o_orderkey) AS ok
+      |  SELECT o_custkey, CAST(epoch(o_orderdate) AS BIGINT) AS od, MAX(o_orderkey) AS ok
       |  FROM orders
       |  GROUP BY 1, 2)
       |SELECT l.o_custkey, l.od, l.ok, r.ok AS prev_ok
@@ -547,10 +547,10 @@ object Relational {
 
   val q20Oracle: String =
     """SELECT l_orderkey, l_linenumber, ship, COUNT(*) AS n_windows, MAX(win_ok) AS max_win
-      |FROM (SELECT l_orderkey, l_linenumber, epoch(l_shipdate) AS ship
+      |FROM (SELECT l_orderkey, l_linenumber, CAST(epoch(l_shipdate) AS BIGINT) AS ship
       |      FROM lineitem WHERE l_orderkey <= 100) l
-      |JOIN (SELECT o_orderkey AS win_ok, epoch(o_orderdate) AS lo,
-      |             epoch(o_orderdate) + 7 * 86400 AS hi
+      |JOIN (SELECT o_orderkey AS win_ok, CAST(epoch(o_orderdate) AS BIGINT) AS lo,
+      |             CAST(epoch(o_orderdate) AS BIGINT) + 7 * 86400 AS hi
       |      FROM orders WHERE o_orderkey <= 400) w
       |  ON l.ship >= w.lo AND l.ship <= w.hi
       |GROUP BY 1, 2, 3

@@ -63,6 +63,41 @@ class KafkaWindowSpec extends SparkSpec {
     assert(back === Array((1001L, "1", "x"), (1002L, "2", "y")))
   }
 
+  test("pushTransactional commits a clean partition atomically") {
+    TopicStore.clear("txn-ok")
+    val store = TopicStore.Factory("txn-ok")
+    val acked = KafkaWindow.pushTransactional(
+      (1 to 6).map(i => (i.toLong, s"p$i")).toDF("id", "payload").repartition(2),
+      store, lit("tx"), lit(2000L) + col("id"), col("id").cast("string"),
+      col("payload"))
+    assert(acked.count() === 6)
+    val back = KafkaWindow.fromStore(spark, store, "tx")
+      .select("ct").as[Long].collect().sorted
+    assert(back === (1 to 6).map(2000L + _).toArray)
+  }
+
+  test("pushTransactional aborts on failure: no partial records visible") {
+    TopicStore.clear("txn-abort")
+    val store = TopicStore.Factory("txn-abort")
+    // value evaluation throws mid-partition (ANSI division by zero on the
+    // last row) — the drain fails before any append, so the store stays empty
+    val doomed = KafkaWindow.pushTransactional(
+      (1 to 5).map(i => (i.toLong, s"p$i")).toDF("id", "payload").coalesce(1),
+      store, lit("tx"), lit(0L), col("id").cast("string"),
+      expr("10 div (id - 5)").cast("string")) // ANSI integral ÷0 throws on id=5
+    intercept[Exception](doomed.count()) // SparkArithmeticException in local mode
+    assert(KafkaWindow.fromStore(spark, store, "tx").count() === 0L)
+    // contrast: the per-row push would have left the pre-failure rows behind
+    TopicStore.clear("row-abort")
+    val rowStore = TopicStore.Factory("row-abort")
+    val doomedRow = KafkaWindow.push(
+      (1 to 5).map(i => (i.toLong, s"p$i")).toDF("id", "payload").coalesce(1),
+      rowStore, lit("tx"), lit(0L), col("id").cast("string"),
+      expr("10 div (id - 5)").cast("string")) // ANSI integral ÷0 throws on id=5
+    intercept[Exception](doomedRow.count())
+    assert(KafkaWindow.fromStore(spark, rowStore, "tx").count() > 0L)
+  }
+
   test("sourceOptions realize the window contract on the real Kafka source") {
     val opts = KafkaWindow.sourceOptions("broker:9092", Seq("a", "b"),
       100L, 200L, minPartitions = Some(16))

@@ -13,6 +13,30 @@ class RunnerMainSpec extends SparkSpec {
     assert(RunnerMain.intervalOf("SELECT 1;").toMinutes === 1)
   }
 
+  test("shutdown hook stops the loop, closes script instances, journals the stop") {
+    val dir = Files.createTempDirectory("graft-runner-hook").toString
+    val journal = new Journal(spark, s"$dir/.journal")
+    val closed = new java.util.concurrent.atomic.AtomicInteger(0)
+    class ClosingTask extends (SparkSession => Any) with AutoCloseable {
+      def apply(s: SparkSession): Any = 1
+      def close(): Unit = closed.incrementAndGet()
+    }
+    val jobs = new ScriptJobs[SparkSession => Any](
+      compile = _ => new ClosingTask, mtimeOf = _ => 1L, read = _ => "")
+    jobs.instance("a.scala")
+    jobs.instance("b.scala")
+    RunnerMain.running = true
+    val hook = RunnerMain.installShutdownHook(journal, jobs, () => 123456L)
+    hook()
+    assert(!RunnerMain.running)
+    assert(closed.get() === 2)
+    val rec = journal.lastExecution("__engine__").get
+    assert(rec.result === "shutdown" && rec.status === "SUCCEED")
+    hook() // idempotent: second invocation is a no-op
+    assert(closed.get() === 2)
+    RunnerMain.running = true // restore for other specs
+  }
+
   test("tick runs scala + sql scripts, journals, gates, and hot-reloads") {
     val dir = Files.createTempDirectory("graft-runner").toString
     Files.writeString(Paths.get(s"$dir/count.scala"),

@@ -48,6 +48,14 @@ class SqlRunnerSpec extends SparkSpec {
     assert(df.get.as[Double].head() === 7.5)
   }
 
+  test("macro with parenthesized arg types (DECIMAL(10,2)) parses the full arg list") {
+    val r = new SqlRunner(spark)
+    val df = r.runScriptStrict(
+      """CREATE TEMPORARY MACRO takerate(p DECIMAL(10,2), r DECIMAL(10,2)) CAST(p * r AS DOUBLE);
+        |SELECT takerate(CAST(10 AS DECIMAL(10,2)), CAST(0.5 AS DECIMAL(10,2))) AS v;""".stripMargin)
+    assert(df.get.as[Double].head() === 5.0)
+  }
+
   test("per-statement status: errors recorded, later statements still run") {
     val r = new SqlRunner(spark)
     val (results, df) = r.runScript(

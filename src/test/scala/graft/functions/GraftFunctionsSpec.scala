@@ -16,6 +16,18 @@ class GraftFunctionsSpec extends SparkSpec {
     assert(out === Map("a" -> "1", "b" -> "9", "c" -> "3"))
   }
 
+  test("m_add last-wins even under the default EXCEPTION dedup policy") {
+    // the extension deploy path doesn't pin spark.sql.mapKeyDedupPolicy, so
+    // m_add must not depend on the session conf
+    val prev = spark.conf.get("spark.sql.mapKeyDedupPolicy")
+    spark.conf.set("spark.sql.mapKeyDedupPolicy", "EXCEPTION")
+    try {
+      val m = spark.sql("SELECT m_add(map('a','1'), map('a','9','b','2')) AS m")
+        .as[Map[String, String]].head()
+      assert(m === Map("a" -> "9", "b" -> "2"))
+    } finally spark.conf.set("spark.sql.mapKeyDedupPolicy", prev)
+  }
+
   test("m_add LAST_WIN property: later maps overwrite earlier keys") {
     val rnd = new Random(42)
     for (_ <- 1 to 20) {

@@ -121,6 +121,40 @@ class DedupSpec extends SparkSpec {
     assert(a.toSeq === b.toSeq)
   }
 
+  test("prefix candidates stay bounded under a universal stop-shingle") {
+    // 40 docs all sharing one 3-shingle, otherwise unique: the unbounded
+    // inverted index co-occurs every pair (40·39/2 = 780 candidates); the
+    // PPJoin prefix ranks the universal shingle last by rarity so it enters
+    // no prefix, and candidate volume collapses to zero.
+    val corpus = (1 to 40)
+      .map(i => (i.toLong, s"the quick fox u$i v$i w$i x$i y$i z$i a$i b$i"))
+      .toDF("id", "text")
+    val sets = corpus.select(col("id"), org.apache.spark.sql.graft.HashFunctions
+      .wordShingleSet(TextFunctions.tokensWs(col("text")), 3).as("set"))
+    val posting = Dedup.shinglePostings(sets)
+    val unbounded = posting.select(col("sfp"), col("id").as("id_a"))
+      .join(posting.select(col("sfp"), col("id").as("id_b")), Seq("sfp"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b")).distinct().count()
+    assert(unbounded === 780L)
+    assert(Dedup.prefixCandidates(posting, 0.8).count() === 0L)
+    // and the end-to-end default (prefix) agrees with brute force: no pairs
+    assert(Dedup.jaccardPairs(corpus, col("id"), col("text"),
+      shingleK = 3, threshold = 0.8).count() === 0L)
+  }
+
+  test("simHashPairs with blocks=5 (12-bit keys) finds the same hamming<=3 pairs") {
+    val base = Dedup.simHashPairs(docs, col("doc_id"), col("text"), maxHamming = 3)
+      .orderBy("id_a", "id_b").as[(Long, Long, Int)].collect()
+    val five = Dedup.simHashPairs(docs, col("doc_id"), col("text"), maxHamming = 3,
+        blocks = 5)
+      .orderBy("id_a", "id_b").as[(Long, Long, Int)].collect()
+    assert(base.toSeq === five.toSeq)
+    intercept[IllegalArgumentException] {
+      Dedup.simHashPairs(docs, col("doc_id"), col("text"), maxHamming = 4, blocks = 4)
+    }
+  }
+
   test("simHash: identical texts collide at hamming 0") {
     val pairs = Dedup.simHashPairs(docs, col("doc_id"), col("text"), maxHamming = 3)
       .orderBy("id_a", "id_b").as[(Long, Long, Int)].collect()

@@ -38,6 +38,28 @@ class JoinsSpec extends SparkSpec {
     assert(salts >= 6) // hot key fans out over most of the 8 salt slots
   }
 
+  test("rangeJoin left join keeps unmatched left rows (predicate inside the condition)") {
+    val l = Seq((1L, 100L), (2L, 5000L)).toDF("id", "t") // id=2 matches no interval
+    val r = Seq((10L, 90L, 110L)).toDF("win", "lo", "hi")
+    val out = Joins.rangeJoin(l, r, "t", "lo", "hi", bucketWidth = 50, joinType = "left")
+      .select("id", "t", "win").as[(Long, Long, Option[Long])]
+      .collect().sortBy(_._1)
+    assert(out === Array((1L, 100L, Some(10L)), (2L, 5000L, None)))
+  }
+
+  test("rangeJoin/saltedJoin reject join types that would duplicate rows") {
+    val l = Seq((1L, 100L)).toDF("id", "t")
+    val r = Seq((10L, 90L, 110L)).toDF("win", "lo", "hi")
+    intercept[IllegalArgumentException] {
+      Joins.rangeJoin(l, r, "t", "lo", "hi", bucketWidth = 50, joinType = "right")
+    }
+    val big = Seq((1L, "x")).toDF("k", "p")
+    val small = Seq((1L, "d")).toDF("k", "name")
+    intercept[IllegalArgumentException] {
+      Joins.saltedJoin(big, small, Seq("k"), saltFactor = 4, joinType = "full")
+    }
+  }
+
   test("asofJoin picks the latest right row at-or-before each left time") {
     val left = Seq((1L, 10L, "e1"), (1L, 20L, "e2"), (1L, 5L, "e0"), (2L, 10L, "x"))
       .toDF("k", "t", "ev")

@@ -70,6 +70,25 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"), p)
   }
 
+  test("sim topk: per-query top-k is bounded partial aggregation, not a window sort") {
+    // a row_number() window would funnel every scored row of a query through
+    // one reducer; the TopKAggregator caps reducer input at partitions × k
+    for (q <- Seq(Pipeline.simBruteForce _, Pipeline.simLsh _)) {
+      val p = plan(q(spark, dir))
+      assert("\\bWindow\\b".r.findAllIn(p).isEmpty, p)
+      assert(p.contains("ObjectHashAggregate"), p)
+    }
+  }
+
+  test("ivf: corpus assignment is max_by aggregation — only the probe-side window remains") {
+    val p = plan(Pipeline.simIvf(spark, dir))
+    // nearest-cell assignment of the (large) corpus must not be a window over
+    // corpus × centroid rows; the one remaining window ranks the (small)
+    // query side's probe cells
+    assert("\\bWindow\\b".r.findAllIn(p).size <= 2, p) // tree + detail section
+    assert(p.contains("max_by"), p)
+  }
+
   test("jaccard count-strategy: size dims broadcast, shuffles carry (sfp,id) only") {
     val p = plan(Pipeline.dedupNgramJaccard(spark, dir))
     assert(p.contains("BroadcastHashJoin"), p)
