@@ -41,8 +41,23 @@ private[graft] object Md5Hash {
     (v << 4) | ((h(7) & 0xf0L) >> 4)
   }
 
+  /** Full 128-bit md5 as two longs: (hex digits 1–16, hex digits 17–32),
+    * bit-identical to DuckDB `('0x' || substring(md5(x), 1|17, 16))::UBIGINT`.
+    */
+  def hash128(bytes: Array[Byte]): (Long, Long) = {
+    val d = tl.get(); d.reset()
+    val h = d.digest(bytes)
+    var w0 = 0L
+    var w1 = 0L
+    var i = 0
+    while (i < 8) { w0 = (w0 << 8) | (h(i) & 0xffL); i += 1 }
+    while (i < 16) { w1 = (w1 << 8) | (h(i) & 0xffL); i += 1 }
+    (w0, w1)
+  }
+
   def hash32(s: String): Long = hash32(s.getBytes(StandardCharsets.UTF_8))
   def hash60(s: String): Long = hash60(s.getBytes(StandardCharsets.UTF_8))
+  def hash128(s: String): (Long, Long) = hash128(s.getBytes(StandardCharsets.UTF_8))
 }
 
 /** MinHash signature over word k-shingles of a token array, as one compiled
@@ -134,6 +149,50 @@ case class SimHash60(child: Expression)
       b += 1
     }
     out
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** 128-bit SimHash over a token array (with multiplicity): per-bit vote sum
+  * of full-md5 token hashes, emitted as `array<long>` `[w0, w1]` — w0's bit b
+  * is the vote sign of bit b of md5 hex digits 1–16, w1 of digits 17–32
+  * (each word bit-compatible with DuckDB's UBIGINT recompute). The 100 TB
+  * variant of [[SimHash60]]: twice the signature width means block keys up
+  * to 32/64 bits for the same hamming tolerance, keeping pigeonhole buckets
+  * small at 10^9+ documents.
+  */
+case class SimHash128(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = child.nullable
+  override def prettyName: String = "simhash128"
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val toks = input.asInstanceOf[ArrayData]
+    val votes = new Array[Int](128)
+    var i = 0
+    val n = toks.numElements()
+    while (i < n) {
+      val (w0, w1) = Md5Hash.hash128(toks.getUTF8String(i).toString)
+      var b = 0
+      while (b < 64) {
+        if (((w0 >> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
+        if (((w1 >> b) & 1L) == 1L) votes(64 + b) += 1 else votes(64 + b) -= 1
+        b += 1
+      }
+      i += 1
+    }
+    val out = new Array[Long](2)
+    var b = 0
+    while (b < 64) {
+      if (votes(b) > 0) out(0) |= (1L << b)
+      if (votes(64 + b) > 0) out(1) |= (1L << b)
+      b += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
   }
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
@@ -282,6 +341,8 @@ object HashFunctions {
     ExpressionUtilsShim.column(MinHashSignature(ExpressionUtilsShim.expr(tokens), shingleK, numHashes))
   def simHash60(tokens: Column): Column =
     ExpressionUtilsShim.column(SimHash60(ExpressionUtilsShim.expr(tokens)))
+  def simHash128(tokens: Column): Column =
+    ExpressionUtilsShim.column(SimHash128(ExpressionUtilsShim.expr(tokens)))
   def srpBucket(vec: Column, bits: Int, seed: String = "plane"): Column =
     ExpressionUtilsShim.column(SrpBucket(ExpressionUtilsShim.expr(vec), bits, seed))
   def wordShingleSet(tokens: Column, k: Int): Column =

@@ -299,6 +299,12 @@ object Dedup {
   def simHash(text: Column): Column =
     HashFunctions.simHash60(TextFunctions.tokensWs(text))
 
+  /** 128-bit SimHash as `array<long>` [w0, w1] — the corpus-scale signature
+    * (native [[org.apache.spark.sql.graft.SimHash128]]).
+    */
+  def simHash128(text: Column): Column =
+    HashFunctions.simHash128(TextFunctions.tokensWs(text))
+
   // ---------------------------------------------------- winnowing fingerprints
 
   /** Winnowing document fingerprints (Schleimer/Wilkens/Aiken, SIGMOD'03):
@@ -393,6 +399,46 @@ object Dedup {
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"),
         bit_count(col("sh_a").bitwiseXOR(col("sh_b"))).cast("int").as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+
+  /** Near-duplicate pairs by 128-bit SimHash hamming distance — the
+    * 10^9+-document scale path: at the default `blocks = 4` the pigeonhole
+    * keys are 32 bits wide, so expected bucket size is n/2^32 (vs n/2^15 for
+    * the 60-bit/4-block signature) and the candidate self-join stays linear
+    * far beyond where [[simHashPairs]] turns quadratic. Same recall
+    * guarantee: hamming <= blocks - 1 pairs agree on >= 1 block exactly.
+    *
+    * `blocks` must divide 128 with a block width that fits a word
+    * (2, 4, 8, 16, …); wider tolerance → more blocks (8 × 16-bit serves
+    * hamming <= 7). Output: (id_a, id_b, hamming).
+    */
+  def simHashPairs128(df: DataFrame, id: Column, text: Column,
+      maxHamming: Int = 3, blocks: Int = 4): DataFrame = {
+    require(maxHamming < blocks, s"maxHamming=$maxHamming needs > $maxHamming blocks for exact recall")
+    require(blocks >= 2 && 128 % blocks == 0 && (128 / blocks) <= 64 && 64 % (128 / blocks) == 0,
+      s"blocks=$blocks must split 128 bits into word-aligned blocks (2, 4, 8, 16, 32, 64)")
+    val width = 128 / blocks
+    val mask = if (width == 64) -1L else (1L << width) - 1
+    val sh = widen(df.select(id.as("id"), text.as("__text")))
+      .select(col("id"), simHash128(col("__text")).as("sh"))
+    val blk = sh.select(col("id"), col("sh"), posexplode(expr(
+      s"""transform(sequence(0, ${blocks - 1}), b ->
+         |  shiftright(element_at(sh, CAST((b * $width) div 64 AS INT) + 1),
+         |             CAST((b * $width) % 64 AS INT)) & ${mask}L)""".stripMargin))
+      .as(Seq("block", "block_val")))
+    val l = blk.select(col("block"), col("block_val"),
+      col("id").as("id_a"), col("sh").as("sh_a"))
+    val r = blk.select(col("block"), col("block_val"),
+      col("id").as("id_b"), col("sh").as("sh_b"))
+    val ham = (
+      bit_count(element_at(col("sh_a"), 1).bitwiseXOR(element_at(col("sh_b"), 1))) +
+      bit_count(element_at(col("sh_a"), 2).bitwiseXOR(element_at(col("sh_b"), 2)))
+    ).cast("int")
+    l.join(r, Seq("block", "block_val"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), ham.as("hamming"))
       .distinct()
       .filter(col("hamming") <= maxHamming)
   }

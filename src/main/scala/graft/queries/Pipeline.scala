@@ -119,6 +119,41 @@ object Pipeline {
       |WHERE bit_count(xor(a.sh, b.sh)) <= 3
       |ORDER BY id_a, id_b""".stripMargin
 
+  /** 128-bit SimHash pairs at hamming <= 6 over 8 × 16-bit blocks — the
+    * corpus-scale signature (32/64-bit block keys available at lower
+    * tolerance). Oracle recomputes both md5 words as UBIGINTs and brute-
+    * forces the hamming join; the block join's recall is exactly 1 for
+    * hamming <= blocks - 1, so the results must agree.
+    */
+  def dedupSimHash128(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Dedup.simHashPairs128(
+        T(s, dir, "documents"), col("doc_id"), col("text"),
+        maxHamming = 6, blocks = 8)
+      .orderBy(col("id_a"), col("id_b"))
+
+  val dedupSimHash128Oracle: String =
+    """WITH th AS (
+      |  SELECT doc_id,
+      |    ('0x' || substring(md5(t), 1, 16))::UBIGINT AS h0,
+      |    ('0x' || substring(md5(t), 17, 16))::UBIGINT AS h1
+      |  FROM (SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS t FROM documents)
+      |), votes AS (
+      |  SELECT doc_id, b.b AS b,
+      |    SUM(CASE WHEN (h0 >> b.b) & 1 = 1 THEN 1 ELSE -1 END) AS v0,
+      |    SUM(CASE WHEN (h1 >> b.b) & 1 = 1 THEN 1 ELSE -1 END) AS v1
+      |  FROM th, (SELECT unnest(range(64)) AS b) b
+      |  GROUP BY 1, 2
+      |), sh AS (
+      |  SELECT doc_id,
+      |    SUM(CASE WHEN v0 > 0 THEN 1::UBIGINT << b ELSE 0 END) AS w0,
+      |    SUM(CASE WHEN v1 > 0 THEN 1::UBIGINT << b ELSE 0 END) AS w1
+      |  FROM votes GROUP BY 1)
+      |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+      |  CAST(bit_count(xor(a.w0, b.w0)) + bit_count(xor(a.w1, b.w1)) AS INTEGER) AS hamming
+      |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+      |WHERE bit_count(xor(a.w0, b.w0)) + bit_count(xor(a.w1, b.w1)) <= 6
+      |ORDER BY id_a, id_b""".stripMargin
+
   // ------------------------------------------------------------ text analysis
 
   /** Per-document text metrics: token counts (whitespace + BPE-ish regex),
@@ -500,6 +535,7 @@ object Pipeline {
     Q("dedup_minhash_lsh", dedupMinHash, Some(dedupMinHashOracle)),
     Q("dedup_ngram_jaccard", dedupNgramJaccard, Some(dedupNgramJaccardOracle)),
     Q("dedup_simhash", dedupSimHash, Some(dedupSimHashOracle)),
+    Q("dedup_simhash128", dedupSimHash128, Some(dedupSimHash128Oracle)),
     Q("text_metrics", textMetrics, Some(textMetricsOracle)),
     Q("dedup_components", dedupComponents, Some(dedupComponentsOracle)),
     Q("sample_docs", sampleDocs, Some(sampleDocsOracle)),

@@ -155,6 +155,25 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("simHashPairs128 block join matches brute-force hamming (recall 1)") {
+    val sigs = docs.select(col("doc_id"), Dedup.simHash128(col("text")).as("sh"))
+      .as[(Long, Seq[Long])].collect()
+    val expect = (for {
+      (ia, sa) <- sigs
+      (ib, sb) <- sigs
+      if ia < ib
+      h = java.lang.Long.bitCount(sa(0) ^ sb(0)) + java.lang.Long.bitCount(sa(1) ^ sb(1))
+      if h <= 3
+    } yield (ia, ib, h)).sortBy(p => (p._1, p._2))
+    val got = Dedup.simHashPairs128(docs, col("doc_id"), col("text"), maxHamming = 3)
+      .orderBy("id_a", "id_b").as[(Long, Long, Int)].collect()
+    assert(got.toSeq === expect.toSeq)
+    assert(got.exists(p => p._1 == 1L && p._2 == 2L && p._3 == 0)) // exact dups
+    intercept[IllegalArgumentException] { // 3 doesn't split 128 word-aligned
+      Dedup.simHashPairs128(docs, col("doc_id"), col("text"), blocks = 3)
+    }
+  }
+
   test("simHash: identical texts collide at hamming 0") {
     val pairs = Dedup.simHashPairs(docs, col("doc_id"), col("text"), maxHamming = 3)
       .orderBy("id_a", "id_b").as[(Long, Long, Int)].collect()
