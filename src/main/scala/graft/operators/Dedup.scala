@@ -181,33 +181,38 @@ object Dedup {
 
   // ------------------------------------------------------- n-gram Jaccard
 
-  /** All-pairs n-gram Jaccard >= threshold, exact. Two strategies, both
-    * array-free or array-light in their shuffles:
+  /** All-pairs n-gram Jaccard >= threshold, exact under every strategy:
     *
-    *  - `"prefix"` (default): AllPairs/PPJoin prefix filtering — only each
-    *    set's `|s| - ceil(t·|s|) + 1` globally-rarest shingles are indexed
-    *    (recall-exact), then candidates verify against full shingle sets.
-    *    Candidate generation cost is bounded by the prefix postings, so one
-    *    near-universal stop-shingle cannot blow up the self-join — the safe
-    *    default for corpora (a single shingle present in every document
-    *    makes the unbounded index quadratic).
     *  - `"count"`: inverted-index self-join with intersections counted
     *    directly — `|a ∩ b|` = the number of shingle fingerprints the pair
     *    co-occurs under, so one groupBy replaces candidate generation AND
     *    verification; set sizes join back as a small broadcast dim. Shuffle
-    *    cost is Σ_s df(s)·(df(s)-1)/2 over shingles — the faster plan when
+    *    cost is Σ_s df(s)·(df(s)-1)/2 over shingles — the fastest plan when
     *    no shingle is near-universal (no shingle arrays ever shuffle), but
-    *    unbounded under stop-shingles; pair with `maxDocFreq` at scale.
+    *    quadratic under stop-shingles.
+    *  - `"prefix"`: AllPairs/PPJoin prefix filtering — only each set's
+    *    `|s| - ceil(t·|s|) + 1` globally-rarest shingles are indexed
+    *    (recall-exact), then candidates verify against full shingle sets.
+    *    Candidate volume is bounded by the prefix postings, so a near-
+    *    universal shingle cannot blow up the self-join.
+    *  - `"auto"` (default): measures the maximum shingle document frequency
+    *    (one scalar aggregate over the postings — both strategies build
+    *    them anyway) and picks `count` when `maxDf <= autoCountMaxDf`,
+    *    `prefix` otherwise: the Σ df² self-join blowup is capped at
+    *    autoCountMaxDf² per shingle before the plan switches to the
+    *    bounded one. The same runtime-statistics-then-replan move AQE
+    *    makes for joins, applied to the strategy choice.
     *
     * `maxDocFreq` drops shingles above that document frequency from the
-    * index (both strategies): a documented approximation for stop-shingle-
-    * heavy corpora (under `"count"` dropped shingles also leave the
+    * index entirely (any strategy): a documented approximation for stop-
+    * shingle-heavy corpora (under `"count"` dropped shingles also leave the
     * intersection counts).
     */
   def jaccardPairs(df: DataFrame, id: Column, text: Column,
       shingleK: Int = 3, threshold: Double = 0.8,
       maxDocFreq: Option[Long] = None,
-      strategy: String = "prefix"): DataFrame = {
+      strategy: String = "auto",
+      autoCountMaxDf: Long = 1000): DataFrame = {
     val sets = widen(df.select(id.as("id"), text.as("__text")))
       .select(col("id"), HashFunctions.wordShingleSet(
         TextFunctions.tokensWs(col("__text")), shingleK).as("set"))
@@ -220,33 +225,43 @@ object Dedup {
       posting.join(keep, Seq("sfp"))
     }
 
+    def countPairs: DataFrame = {
+      val inter = indexed.select(col("sfp"), col("id").as("id_a"))
+        .join(indexed.select(col("sfp"), col("id").as("id_b")), Seq("sfp"))
+        .filter(col("id_a") < col("id_b"))
+        .groupBy(col("id_a"), col("id_b"))
+        .agg(count(lit(1)).as("inter"))
+      inter
+        .join(broadcast(sizes.select(col("id").as("id_a"), col("sz").as("sz_a"))), Seq("id_a"))
+        .join(broadcast(sizes.select(col("id").as("id_b"), col("sz").as("sz_b"))), Seq("id_b"))
+        .withColumn("jaccard", col("inter").cast("double") /
+          (col("sz_a") + col("sz_b") - col("inter")).cast("double"))
+        .filter(col("jaccard") >= threshold)
+        .select(col("id_a"), col("id_b"), col("jaccard"))
+    }
+
+    def prefixPairs: DataFrame =
+      prefixCandidates(indexed, threshold)
+        .join(sets.select(col("id").as("id_a"), col("set").as("set_a")), Seq("id_a"))
+        .join(sets.select(col("id").as("id_b"), col("set").as("set_b")), Seq("id_b"))
+        .withColumn("inter", size(array_intersect(col("set_a"), col("set_b"))))
+        .withColumn("jaccard", col("inter").cast("double") /
+          (size(col("set_a")) + size(col("set_b")) - col("inter")).cast("double"))
+        .filter(col("jaccard") >= threshold)
+        .select(col("id_a"), col("id_b"), col("jaccard"))
+
     strategy match {
-      case "count" =>
-        val inter = indexed.select(col("sfp"), col("id").as("id_a"))
-          .join(indexed.select(col("sfp"), col("id").as("id_b")), Seq("sfp"))
-          .filter(col("id_a") < col("id_b"))
-          .groupBy(col("id_a"), col("id_b"))
-          .agg(count(lit(1)).as("inter"))
-        inter
-          .join(broadcast(sizes.select(col("id").as("id_a"), col("sz").as("sz_a"))), Seq("id_a"))
-          .join(broadcast(sizes.select(col("id").as("id_b"), col("sz").as("sz_b"))), Seq("id_b"))
-          .withColumn("jaccard", col("inter").cast("double") /
-            (col("sz_a") + col("sz_b") - col("inter")).cast("double"))
-          .filter(col("jaccard") >= threshold)
-          .select(col("id_a"), col("id_b"), col("jaccard"))
-
-      case "prefix" =>
-        prefixCandidates(indexed, threshold)
-          .join(sets.select(col("id").as("id_a"), col("set").as("set_a")), Seq("id_a"))
-          .join(sets.select(col("id").as("id_b"), col("set").as("set_b")), Seq("id_b"))
-          .withColumn("inter", size(array_intersect(col("set_a"), col("set_b"))))
-          .withColumn("jaccard", col("inter").cast("double") /
-            (size(col("set_a")) + size(col("set_b")) - col("inter")).cast("double"))
-          .filter(col("jaccard") >= threshold)
-          .select(col("id_a"), col("id_b"), col("jaccard"))
-
+      case "count" => countPairs
+      case "prefix" => prefixPairs
+      case "auto" =>
+        val maxDf = indexed.groupBy(col("sfp")).agg(count(lit(1)).as("df"))
+          .agg(max(col("df"))).head() match {
+          case r if r.isNullAt(0) => 0L // empty corpus
+          case r => r.getLong(0)
+        }
+        if (maxDf <= autoCountMaxDf) countPairs else prefixPairs
       case other => throw new IllegalArgumentException(
-        s"strategy must be 'count' or 'prefix', got $other")
+        s"strategy must be 'auto', 'count' or 'prefix', got $other")
     }
   }
 

@@ -118,11 +118,24 @@ object Similarity {
   /** Approximate top-k: candidates share the query's SRP bucket, exact
     * cosine rescoring inside the bucket. Output as `bruteForceTopK` (ranks
     * may hold fewer than k rows when a bucket is small).
+    *
+    * `multiProbe` additionally probes every bucket at hamming distance 1
+    * from the query's (flip each of the `bits` sign bits): recall rises
+    * steeply — a near neighbor differs in few signs — for bits× more probe
+    * keys per QUERY, while the corpus side stays one bucket per row (the
+    * query side is the small one, so the explode is cheap; this is the
+    * standard multi-probe LSH trade replacing more hash tables with more
+    * probes).
     */
   def lshTopK(queries: DataFrame, corpus: DataFrame, k: Int,
-      bits: Int = 8): DataFrame = {
-    val q = queries.select(col("vec_id").as("query_id"), col("embedding").as("qv"),
+      bits: Int = 8, multiProbe: Boolean = false): DataFrame = {
+    val q0 = queries.select(col("vec_id").as("query_id"), col("embedding").as("qv"),
       srpBucket(col("embedding"), bits).as("bucket"))
+    val q =
+      if (!multiProbe) q0
+      else q0.select(col("query_id"), col("qv"), explode(expr(
+        s"array_union(array(bucket), transform(sequence(0, ${bits - 1}), j -> bucket ^ shiftleft(1L, j)))"))
+        .as("bucket"))
     val c = corpus.select(col("vec_id").as("neighbor_id"), col("embedding").as("cv"),
       srpBucket(col("embedding"), bits).as("bucket"))
     val scored = q.join(c, Seq("bucket"))

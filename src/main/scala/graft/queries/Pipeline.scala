@@ -361,6 +361,43 @@ object Pipeline {
        |FROM ranked WHERE rank <= 5
        |ORDER BY query_id, rank""".stripMargin
 
+  /** Multi-probe LSH top-5: the query additionally probes every bucket at
+    * hamming distance 1 (flip each sign bit), trading bits× more probe keys
+    * on the (small) query side for recall. Oracle: candidates are pairs
+    * whose buckets differ in <= 1 bit.
+    */
+  def simLshMultiprobe(s: SparkSession, dir: String): DataFrame = {
+    val emb = T(s, dir, "embeddings")
+    graft.operators.Similarity.lshTopK(
+        emb.filter(col("vec_id") < 20), emb, k = 5, bits = 8, multiProbe = true)
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  val simLshMultiprobeOracle: String =
+    s"""WITH buckets AS (
+       |  SELECT vec_id, embedding,
+       |    list_sum(list_transform(range(0, 8), j ->
+       |      CASE WHEN list_reduce(
+       |          list_transform(range(1, len(embedding) + 1), i ->
+       |            embedding[i]::DOUBLE *
+       |            (('0x' || substring(md5('plane:' || j || ':' || (i - 1)), 1, 8))::BIGINT::DOUBLE
+       |             / 2147483648.0 - 1.0)),
+       |          (x, y) -> x + y) > 0
+       |      THEN 1::BIGINT << j ELSE 0 END)) AS bucket
+       |  FROM embeddings
+       |), scored AS (
+       |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+       |    ${cosSql("q.embedding", "c.embedding")} AS cos
+       |  FROM buckets q JOIN buckets c ON bit_count(xor(q.bucket, c.bucket)) <= 1
+       |    AND q.vec_id < 20 AND q.vec_id <> c.vec_id
+       |), ranked AS (
+       |  SELECT query_id, neighbor_id, cos,
+       |    CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS INTEGER) AS rank
+       |  FROM scored)
+       |SELECT query_id, neighbor_id, rank, cos
+       |FROM ranked WHERE rank <= 5
+       |ORDER BY query_id, rank""".stripMargin
+
   /** Keyword extraction + corpus term stats: top-3 terms per doc (tf desc,
     * term tiebreak) joined with each term's document frequency — all
     * integer-exact.
@@ -544,6 +581,7 @@ object Pipeline {
     Q("dedup_embedding", dedupEmbedding, Some(dedupEmbeddingOracle)),
     Q("sim_bruteforce_topk", simBruteForce, Some(simBruteForceOracle)),
     Q("sim_lsh_topk", simLsh, Some(simLshOracle)),
+    Q("sim_lsh_multiprobe", simLshMultiprobe, Some(simLshMultiprobeOracle)),
     Q("sim_ivf_topk", simIvf, Some(simIvfOracle))
   )
 }

@@ -138,9 +138,18 @@ class DedupSpec extends SparkSpec {
       .select(col("id_a"), col("id_b")).distinct().count()
     assert(unbounded === 780L)
     assert(Dedup.prefixCandidates(posting, 0.8).count() === 0L)
-    // and the end-to-end default (prefix) agrees with brute force: no pairs
+    // end-to-end default (auto) agrees with brute force: no pairs
     assert(Dedup.jaccardPairs(corpus, col("id"), col("text"),
       shingleK = 3, threshold = 0.8).count() === 0L)
+    // auto strategy switch is observable in the plan: the prefix path ranks
+    // postings by rarity (a Window); the count path has none. maxDf here is
+    // 40, so the default cap (1000) picks count and a cap of 10 forces prefix
+    val autoCount = Dedup.jaccardPairs(corpus, col("id"), col("text"),
+      shingleK = 3, threshold = 0.8)
+    assert(!autoCount.queryExecution.executedPlan.toString.contains("Window"))
+    val autoPrefix = Dedup.jaccardPairs(corpus, col("id"), col("text"),
+      shingleK = 3, threshold = 0.8, autoCountMaxDf = 10)
+    assert(autoPrefix.queryExecution.executedPlan.toString.contains("Window"))
   }
 
   test("simHashPairs with blocks=5 (12-bit keys) finds the same hamming<=3 pairs") {

@@ -59,4 +59,33 @@ class SimilaritySpec extends SparkSpec {
       rows.foreach { case (_, n, _, _) => assert(buckets(n) === buckets(q)) }
     }
   }
+
+  test("multi-probe widens candidates to hamming-1 buckets and never hurts recall") {
+    val df = vectors(80, 8, seed = 7).cache()
+    val qs = df.filter(col("vec_id") < 8)
+    val buckets = df.select(col("vec_id"), Similarity.srpBucket(col("embedding"), 4))
+      .as[(Long, Long)].collect().toMap
+    val single = Similarity.lshTopK(qs, df, k = 3, bits = 4)
+      .as[(Long, Long, Int, Double)].collect()
+    val multi = Similarity.lshTopK(qs, df, k = 3, bits = 4, multiProbe = true)
+      .as[(Long, Long, Int, Double)].collect()
+    // every multi-probe neighbor is within hamming 1 of the query's bucket
+    multi.foreach { case (q, n, _, _) =>
+      assert(java.lang.Long.bitCount(buckets(q) ^ buckets(n)) <= 1)
+    }
+    // the exact top-k within the probed space can only grow per query
+    val bySingle = single.groupBy(_._1).view.mapValues(_.length).toMap
+    multi.groupBy(_._1).foreach { case (q, rows) =>
+      assert(rows.length >= bySingle.getOrElse(q, 0))
+      assert(rows.map(_._3).sorted.toSeq === (1 to rows.length))
+    }
+    // and against brute force, multi-probe recall >= single-probe recall
+    val exact = Similarity.bruteForceTopK(qs, df, k = 3)
+      .as[(Long, Long, Int, Double)].collect()
+      .map(r => (r._1, r._2)).toSet
+    def recall(rows: Array[(Long, Long, Int, Double)]): Double =
+      if (exact.isEmpty) 1.0
+      else rows.count(r => exact((r._1, r._2))).toDouble / exact.size
+    assert(recall(multi) >= recall(single))
+  }
 }
