@@ -70,6 +70,20 @@ object Multimodal {
   /** Fixed stand-in frame size for the "video" framing stub. */
   val FrameBytes = 256
 
+  /** Ingest a directory of media files as the engine's multimodal contract:
+    * Spark's `binaryFile` source yields (path, modificationTime, length,
+    * content binary) — the opaque-binary column feeds [[decodeMeta]] /
+    * [[sampleFrames]] directly. `glob` (e.g. `*.jpg`) is pushed into the
+    * file listing via pathGlobFilter, so non-matching files are never
+    * opened; partition sizing follows spark.sql.files.maxPartitionBytes
+    * like any file scan.
+    */
+  def readBinaryDir(spark: org.apache.spark.sql.SparkSession, dir: String,
+      glob: Option[String] = None): DataFrame = {
+    val r = spark.read.format("binaryFile")
+    glob.fold(r)(g => r.option("pathGlobFilter", g)).load(dir)
+  }
+
   /** Appends `meta: struct<format,width,height,n_frames,n_bytes>` by running
     * `codec` over `batchSize`-row batches per partition.
     */

@@ -78,10 +78,41 @@ object Similarity {
     * centroids without touching the plan.
     */
   def ivfTopK(queries: DataFrame, corpus: DataFrame, k: Int,
-      centroidEvery: Long = 50, nprobe: Int = 2): DataFrame = {
-    val cents = broadcast(
+      centroidEvery: Long = 50, nprobe: Int = 2): DataFrame =
+    ivfTopKWith(queries, corpus,
       corpus.filter(pmod(col("vec_id"), lit(centroidEvery)) === 0)
-        .select(col("vec_id").as("cid"), col("embedding").as("cv")))
+        .select(col("vec_id").as("cid"), col("embedding").as("cv")),
+      k, nprobe)
+
+  /** Trained coarse quantizer for IVF: seeded k-means|| over the corpus
+    * embeddings, returned as a `(cid, cv)` centroid frame for
+    * [[ivfTopKWith]]. The deterministic modulus sampler in [[ivfTopK]] stays
+    * the oracle-reproducible default; trained centroids are the production
+    * path — tighter cells mean fewer probes for the same recall. Training
+    * cost is MLlib's k-means|| (a handful of passes over the corpus); the
+    * result is tiny (k × dims) and broadcasts like any centroid set.
+    */
+  def trainCentroids(corpus: DataFrame, k: Int, seed: Long = 42,
+      maxIter: Int = 20): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val toVec = udf((a: Seq[Float]) =>
+      org.apache.spark.ml.linalg.Vectors.dense(a.map(_.toDouble).toArray))
+    val data = corpus.select(toVec(col("embedding")).as("features"))
+    val model = new org.apache.spark.ml.clustering.KMeans()
+      .setK(k).setSeed(seed).setMaxIter(maxIter).setFeaturesCol("features")
+      .fit(data)
+    model.clusterCenters.zipWithIndex
+      .map { case (c, i) => (i.toLong, c.toArray.map(_.toFloat).toSeq) }
+      .toSeq.toDF("cid", "cv")
+  }
+
+  /** IVF-Flat with an explicit centroid set (`cid`, `cv: array<float>`) —
+    * from [[trainCentroids]] or any external quantizer.
+    */
+  def ivfTopKWith(queries: DataFrame, corpus: DataFrame, centroids: DataFrame,
+      k: Int, nprobe: Int = 2): DataFrame = {
+    val cents = broadcast(centroids.select(col("cid"), col("cv")))
 
     // Corpus→cell assignment is an argmax over the broadcast centroids:
     // score n×C rows map-side (no exchange — cents is broadcast), then

@@ -21,6 +21,24 @@ import org.apache.spark.sql.streaming.StreamingQuery
   */
 object Streams {
 
+  /** Stream → message-log sink: each micro-batch pushes through the same
+    * transactional t_kf_push operator the batch path uses (per-partition
+    * atomic append, abort on failure), so the streaming write inherits the
+    * connector's delivery contract — at-least-once across batch retries,
+    * no partial partitions within a batch. This is the reference's
+    * "stream to Kafka" leg (process pulls a window, pushes results) as a
+    * foreachBatch sink; against a real broker swap the store for the Kafka
+    * writer with the same columns.
+    */
+  def logSink(df: DataFrame, store: graft.connectors.TopicStore.Factory,
+      topic: Column, ct: Column, key: Column, value: Column)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    df.writeStream.foreachBatch { (batch: DataFrame, _: Long) =>
+      graft.connectors.KafkaWindow
+        .pushTransactional(batch, store, topic, ct, key, value).count()
+      ()
+    }
+
   /** events table (ts = BIGINT nanoseconds) → typed event-time column. */
   def withEventTime(events: DataFrame, tsCol: String = "ts",
       out: String = "event_time"): DataFrame =

@@ -42,6 +42,20 @@ class MultimodalSpec extends SparkSpec {
     assert(MultimodalSpec.batchSizes.asScala.toList.sorted === List(4, 32, 32, 32))
   }
 
+  test("readBinaryDir ingests files as opaque binary; glob prunes the listing") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-bin")
+    java.nio.file.Files.write(dir.resolve("a.img"), Array.fill[Byte](300)(1))
+    java.nio.file.Files.write(dir.resolve("b.img"), Array.fill[Byte](700)(2))
+    java.nio.file.Files.write(dir.resolve("skip.txt"), "no".getBytes)
+    val df = Multimodal.readBinaryDir(spark, dir.toString, glob = Some("*.img"))
+    assert(df.count() === 2)
+    // the binary column feeds decodeMeta directly — end-to-end ingest→decode
+    val metas = Multimodal.decodeMeta(df.select(col("path"), col("content")),
+        col("content"))
+      .select(col("meta.n_bytes")).as[Int].collect().sorted
+    assert(metas === Array(300, 700))
+  }
+
   test("sampleFrames: evenly spaced fixed-size frames, deduped when short") {
     val payload = ("a" * 1000).getBytes("UTF-8") // 4 frames of 256 (last short)
     val df = Seq(Tuple1(payload)).toDF("p")

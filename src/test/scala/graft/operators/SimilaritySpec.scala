@@ -60,6 +60,21 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("trained k-means centroids drive ivfTopKWith with exact in-cell ranking") {
+    val df = vectors(100, 8, seed = 11).cache()
+    val cents = Similarity.trainCentroids(df, k = 4, seed = 1)
+    assert(cents.count() === 4)
+    val got = Similarity.ivfTopKWith(df.filter(col("vec_id") < 5), df, cents,
+        k = 3, nprobe = 2)
+      .as[(Long, Long, Int, Double)].collect()
+    assert(got.nonEmpty)
+    got.groupBy(_._1).foreach { case (_, rows) =>
+      val sorted = rows.sortBy(_._3)
+      assert(sorted.map(_._3).toSeq === (1 to rows.length)) // contiguous ranks
+      assert(sorted.map(_._4).toSeq === sorted.map(_._4).sortBy(-_).toSeq) // cos desc
+    }
+  }
+
   test("multi-probe widens candidates to hamming-1 buckets and never hurts recall") {
     val df = vectors(80, 8, seed = 7).cache()
     val qs = df.filter(col("vec_id") < 8)

@@ -37,6 +37,25 @@ class StreamsSpec extends SparkSpec {
       ("2024-01-01 00:10:00", "b", 1L)))
   }
 
+  test("logSink pushes each micro-batch to the message log transactionally") {
+    import graft.connectors.{KafkaWindow, TopicStore}
+    implicit val sqlCtx = spark.sqlContext
+    TopicStore.clear("stream-sink")
+    val store = TopicStore.Factory("stream-sink")
+    val mem = MemoryStream[(Long, String)]
+    val sdf = mem.toDF().toDF("id", "payload")
+    val q = Streams.logSink(sdf, store, lit("st"), lit(5000L) + col("id"),
+      col("id").cast("string"), col("payload")).start()
+    mem.addData((1L, "a"), (2L, "b"))
+    q.processAllAvailable()
+    mem.addData((3L, "c"))
+    q.processAllAvailable()
+    q.stop()
+    val back = KafkaWindow.fromStore(spark, store, "st")
+      .select("ct", "k", "v").as[(Long, String, String)].collect().sortBy(_._1)
+    assert(back === Array((5001L, "1", "a"), (5002L, "2", "b"), (5003L, "3", "c")))
+  }
+
   test("sessionCounts merges events within the gap, splits beyond it") {
     val df = Seq(
       (ts("2024-01-01 00:00:00"), 1L),
