@@ -179,6 +179,29 @@ object Dedup {
     df.join(drop, id === col("__dup_id"), "left_anti")
   }
 
+  /** Cluster collapse keeping the HIGHEST-PRIORITY member per near-dup
+    * component (training-data curation keeps the best copy — longest,
+    * highest quality score — not the smallest id): connected components over
+    * the verified pairs, then a per-component argmax on (priority, smaller
+    * id wins ties). Documents untouched by any pair survive unchanged.
+    *
+    * Same scale shape as [[minHashDedupClustered]]: the component frame is
+    * (id, label) longs, the argmax is a partial-aggregating max_by, and the
+    * final anti-join keys on ids only.
+    */
+  def collapseByPriority(df: DataFrame, id: Column, pairs: DataFrame,
+      priority: Column): DataFrame = {
+    val comp = components(pairs)
+    val pr = df.select(id.as("id"), priority.as("__pr"))
+    val keep = comp.join(pr, Seq("id"))
+      .groupBy(col("component"))
+      .agg(max_by(col("id"), struct(col("__pr"), (-col("id")).as("ni"))).as("keep_id"))
+    val drop = comp.join(keep, Seq("component"))
+      .filter(col("id") =!= col("keep_id"))
+      .select(col("id").as("__dup_id"))
+    df.join(drop, id === col("__dup_id"), "left_anti")
+  }
+
   // ------------------------------------------------------- n-gram Jaccard
 
   /** All-pairs n-gram Jaccard >= threshold, exact under every strategy:

@@ -34,4 +34,30 @@ object Sampling {
     }
     df.filter(TextFunctions.hash32(key.cast("string")) < cut)
   }
+
+  /** Deterministic FIXED-SIZE sample per stratum (class balancing: exactly
+    * `n` rows per class, or all of a class smaller than `n`): the n rows
+    * with the smallest md5-derived rank of `id` per stratum, ties toward the
+    * smaller id.
+    *
+    * Scale shape: bounded top-k aggregation (per-partition buffers of n
+    * entries — never a per-stratum sort of the full data), then the kept id
+    * set (strata × n rows, tiny) broadcasts into a semi-join, so the big
+    * side is scanned twice and never shuffled. Fraction-based sampling
+    * can't give fixed counts; a row_number window would sort every stratum's
+    * rows through one reducer.
+    */
+  def fixedSizeSample(df: DataFrame, stratum: Column, id: Column, n: Int): DataFrame = {
+    require(n > 0, s"n must be positive, got $n")
+    val topk = graft.functions.TopKAggregator.topK(n)
+    // highest score = smallest hash rank; tiebreak in the aggregator is
+    // the smaller id, matching ORDER BY hash, id
+    val keyed = df.select(stratum.as("__s"), id.cast("long").as("__id"))
+      .withColumn("__score",
+        -TextFunctions.hash32(col("__id").cast("string")).cast("double"))
+    val keep = keyed.groupBy(col("__s"))
+      .agg(topk(col("__id"), col("__score")).as("top"))
+      .select(explode(col("top.id")).as("__keep_id"))
+    df.join(broadcast(keep), id.cast("long") === col("__keep_id"), "left_semi")
+  }
 }

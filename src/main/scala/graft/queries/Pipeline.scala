@@ -492,6 +492,69 @@ object Pipeline {
        |GROUP BY id
        |ORDER BY id""".stripMargin
 
+  /** Priority-based cluster collapse: near-dup components (as
+    * `dedup_components`), keeping per component the member with the most
+    * characters (tie → smaller doc_id) — the curation move that keeps the
+    * best copy instead of the smallest id. Output: surviving doc_ids.
+    */
+  def dedupCollapse(s: SparkSession, dir: String): DataFrame = {
+    val docs = T(s, dir, "documents")
+    graft.operators.Dedup.collapseByPriority(
+        docs, col("doc_id"),
+        graft.operators.Dedup.minHashPairs(docs, col("doc_id"), col("text"),
+          shingleK = 3, numHashes = 128, bands = 16, threshold = 0.8),
+        col("n_chars"))
+      .select(col("doc_id"))
+      .orderBy(col("doc_id"))
+  }
+
+  val dedupCollapseOracle: String =
+    s"""WITH RECURSIVE $shingleSetsSql,
+       |posting AS (SELECT doc_id, unnest(s) AS sp FROM sets),
+       |cand AS (
+       |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS inter
+       |  FROM posting a JOIN posting b ON a.sp = b.sp AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2),
+       |pairs AS (
+       |  SELECT id_a, id_b FROM cand
+       |  JOIN sets sa ON sa.doc_id = id_a
+       |  JOIN sets sb ON sb.doc_id = id_b
+       |  WHERE CAST(inter AS DOUBLE) / CAST(len(sa.s) + len(sb.s) - inter AS DOUBLE) >= 0.8),
+       |edges AS (SELECT id_a AS s, id_b AS d FROM pairs
+       |          UNION ALL SELECT id_b, id_a FROM pairs),
+       |reach(id, r) AS (
+       |  SELECT DISTINCT s, s FROM edges
+       |  UNION
+       |  SELECT reach.id, e.d FROM reach JOIN edges e ON e.s = reach.r),
+       |comp AS (SELECT id, MIN(r) AS component FROM reach GROUP BY id),
+       |ranked AS (
+       |  SELECT c.id, ROW_NUMBER() OVER (PARTITION BY c.component
+       |    ORDER BY d.n_chars DESC, c.id) AS rk
+       |  FROM comp c JOIN documents d ON d.doc_id = c.id)
+       |SELECT doc_id FROM documents
+       |WHERE doc_id NOT IN (SELECT id FROM ranked WHERE rk > 1)
+       |ORDER BY doc_id""".stripMargin
+
+  /** Deterministic fixed-size class-balanced sample: 20 docs per language by
+    * md5 rank of doc_id — exact per-class counts (fractions can't give
+    * that), reproducible in SQL.
+    */
+  def samplePerClass(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Sampling.fixedSizeSample(
+        T(s, dir, "documents"), col("lang"), col("doc_id"), n = 20)
+      .select(col("lang"), col("doc_id"))
+      .orderBy(col("lang"), col("doc_id"))
+
+  val samplePerClassOracle: String =
+    """WITH ranked AS (
+      |  SELECT lang, doc_id,
+      |    ROW_NUMBER() OVER (PARTITION BY lang
+      |      ORDER BY ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT,
+      |               doc_id) AS rk
+      |  FROM documents)
+      |SELECT lang, doc_id FROM ranked WHERE rk <= 20
+      |ORDER BY lang, doc_id""".stripMargin
+
   /** Winnowing fingerprints exploded to (doc_id, fp) rows — the oracle
     * recomputes the k-shingle hash sequence and per-window minima in SQL.
     */
@@ -575,7 +638,9 @@ object Pipeline {
     Q("dedup_simhash128", dedupSimHash128, Some(dedupSimHash128Oracle)),
     Q("text_metrics", textMetrics, Some(textMetricsOracle)),
     Q("dedup_components", dedupComponents, Some(dedupComponentsOracle)),
+    Q("dedup_collapse", dedupCollapse, Some(dedupCollapseOracle)),
     Q("sample_docs", sampleDocs, Some(sampleDocsOracle)),
+    Q("sample_per_class", samplePerClass, Some(samplePerClassOracle)),
     Q("top_terms", topTerms, Some(topTermsOracle)),
     Q("winnow_fingerprints", winnowFps, Some(winnowFpsOracle)),
     Q("dedup_embedding", dedupEmbedding, Some(dedupEmbeddingOracle)),

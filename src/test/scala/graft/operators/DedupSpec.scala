@@ -121,6 +121,18 @@ class DedupSpec extends SparkSpec {
     assert(a.toSeq === b.toSeq)
   }
 
+  test("collapseByPriority keeps the best-priority member per component") {
+    // docs 1,2,3 form one near-dup component at threshold 0.5; priority
+    // crowns doc 2, so the collapse must keep 2 (not the min id)
+    val pri = docs.withColumn("pr",
+      when(col("doc_id") === 2, lit(100L)).otherwise(col("doc_id").cast("long")))
+    val pairs = Dedup.minHashPairs(docs, col("doc_id"), col("text"),
+      shingleK = 3, numHashes = 64, bands = 16, threshold = 0.5)
+    val kept = Dedup.collapseByPriority(pri, col("doc_id"), pairs, col("pr"))
+      .select("doc_id").as[Long].collect().sorted
+    assert(kept === Array(2L, 4L, 5L))
+  }
+
   test("prefix candidates stay bounded under a universal stop-shingle") {
     // 40 docs all sharing one 3-shingle, otherwise unique: the unbounded
     // inverted index co-occurs every pair (40·39/2 = 780 candidates); the
