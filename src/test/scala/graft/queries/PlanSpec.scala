@@ -89,6 +89,14 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("max_by"), p)
   }
 
+  test("sample_per_class: bounded top-k aggregation + broadcast semi-join, no window") {
+    val p = plan(Pipeline.samplePerClass(spark, dir))
+    assert("\\bWindow\\b".r.findAllIn(p).isEmpty, p) // no per-stratum sort
+    assert(p.contains("ObjectHashAggregate"), p) // bounded top-k buffers
+    assert(p.contains("BroadcastExchange"), p) // kept-id set broadcasts
+    assert(p.contains("LeftSemi"), p)
+  }
+
   test("jaccard count-strategy: size dims broadcast, shuffles carry (sfp,id) only") {
     val p = plan(Pipeline.dedupNgramJaccard(spark, dir))
     assert(p.contains("BroadcastHashJoin"), p)
