@@ -320,6 +320,51 @@ object Dedup {
       .select(col("id_a"), col("id_b")).distinct()
   }
 
+  /** Containment (decontamination) join: for every needle document, the
+    * corpus documents containing at least `threshold` of the needle's
+    * k-shingles — `|S(needle) ∩ S(doc)| / |S(needle)|`. Asymmetric on
+    * purpose: a benchmark prompt quoted verbatim inside a much larger
+    * training document scores ~1.0 here while its Jaccard is diluted by the
+    * document's extra content — the standard training-data decontamination
+    * check.
+    *
+    * Scale shape mirrors the count-strategy Jaccard join: inverted-index
+    * equality join on 8-byte shingle fingerprints (needle side is typically
+    * the small benchmark set), intersections counted in one groupBy, no
+    * shingle arrays or bodies shuffled. `maxDocFreq` drops stop-shingles
+    * from the corpus index (a shingle in half the corpus carries no
+    * contamination signal and dominates the join cost).
+    * Output: (needle_id, doc_id, containment) — exact integer-ratio doubles.
+    */
+  def containmentPairs(needles: DataFrame, nId: Column, nText: Column,
+      corpus: DataFrame, cId: Column, cText: Column,
+      shingleK: Int = 3, threshold: Double = 0.8,
+      maxDocFreq: Option[Long] = None): DataFrame = {
+    val nSets = widen(needles.select(nId.as("needle_id"), nText.as("__t")))
+      .select(col("needle_id"), HashFunctions.wordShingleSet(
+        TextFunctions.tokensWs(col("__t")), shingleK).as("set"))
+    val cSets = widen(corpus.select(cId.as("doc_id"), cText.as("__t")))
+      .select(col("doc_id"), HashFunctions.wordShingleSet(
+        TextFunctions.tokensWs(col("__t")), shingleK).as("set"))
+    val nPost = nSets.select(col("needle_id"), size(col("set")).as("nsz"),
+        explode(col("set")).as("s"))
+      .select(col("needle_id"), col("nsz"), TextFunctions.fingerprint64(col("s")).as("sfp"))
+    val cPost0 = cSets.select(col("doc_id"), explode(col("set")).as("s"))
+      .select(col("doc_id"), TextFunctions.fingerprint64(col("s")).as("sfp"))
+    val cPost = maxDocFreq.fold(cPost0) { m =>
+      val keep = cPost0.groupBy(col("sfp")).agg(count(lit(1)).as("df"))
+        .filter(col("df") <= m).select(col("sfp"))
+      cPost0.join(keep, Seq("sfp"))
+    }
+    nPost.join(cPost, Seq("sfp"))
+      .groupBy(col("needle_id"), col("doc_id"), col("nsz"))
+      .agg(count(lit(1)).as("inter"))
+      .withColumn("containment",
+        col("inter").cast("double") / col("nsz").cast("double"))
+      .filter(col("containment") >= threshold)
+      .select(col("needle_id"), col("doc_id"), col("containment"))
+  }
+
   // --------------------------------------------------------------- SimHash
 
   /** Number of SimHash bits: 60 (what a 15-hex-digit md5 prefix yields),

@@ -535,6 +535,37 @@ object Pipeline {
        |WHERE doc_id NOT IN (SELECT id FROM ranked WHERE rk > 1)
        |ORDER BY doc_id""".stripMargin
 
+  /** Decontamination: documents containing >= 60% of a "benchmark" needle's
+    * 3-shingles (needles = the first 100 doc_ids). Containment is asymmetric
+    * — needle shingles found / needle shingles — so a needle quoted inside a
+    * longer doc still scores high where Jaccard would dilute.
+    */
+  def decontaminate(s: SparkSession, dir: String): DataFrame = {
+    val d = T(s, dir, "documents")
+    graft.operators.Dedup.containmentPairs(
+        d.filter(col("doc_id") < 100), col("doc_id"), col("text"),
+        d, col("doc_id"), col("text"),
+        shingleK = 3, threshold = 0.6)
+      .filter(col("needle_id") =!= col("doc_id"))
+      .orderBy(col("needle_id"), col("doc_id"))
+  }
+
+  val decontaminateOracle: String =
+    s"""WITH $shingleSetsSql,
+       |np AS (
+       |  SELECT doc_id AS needle_id, len(s) AS nsz, unnest(s) AS sp
+       |  FROM sets WHERE doc_id < 100),
+       |cp AS (SELECT doc_id, unnest(s) AS sp FROM sets),
+       |inter AS (
+       |  SELECT needle_id, doc_id, nsz, COUNT(*) AS i
+       |  FROM np JOIN cp USING (sp)
+       |  WHERE needle_id <> doc_id
+       |  GROUP BY 1, 2, 3)
+       |SELECT needle_id, doc_id, CAST(i AS DOUBLE) / CAST(nsz AS DOUBLE) AS containment
+       |FROM inter
+       |WHERE CAST(i AS DOUBLE) / CAST(nsz AS DOUBLE) >= 0.6
+       |ORDER BY needle_id, doc_id""".stripMargin
+
   /** Deterministic fixed-size class-balanced sample: 20 docs per language by
     * md5 rank of doc_id — exact per-class counts (fractions can't give
     * that), reproducible in SQL.
@@ -639,6 +670,7 @@ object Pipeline {
     Q("text_metrics", textMetrics, Some(textMetricsOracle)),
     Q("dedup_components", dedupComponents, Some(dedupComponentsOracle)),
     Q("dedup_collapse", dedupCollapse, Some(dedupCollapseOracle)),
+    Q("decontaminate", decontaminate, Some(decontaminateOracle)),
     Q("sample_docs", sampleDocs, Some(sampleDocsOracle)),
     Q("sample_per_class", samplePerClass, Some(samplePerClassOracle)),
     Q("top_terms", topTerms, Some(topTermsOracle)),

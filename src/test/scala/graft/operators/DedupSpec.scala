@@ -121,6 +121,25 @@ class DedupSpec extends SparkSpec {
     assert(a.toSeq === b.toSeq)
   }
 
+  test("containment finds a needle quoted inside a longer doc where jaccard dilutes") {
+    val needles = Seq((1L, "alpha beta gamma delta")).toDF("id", "text") // 2 shingles
+    val corpus = Seq(
+      (10L, "intro words alpha beta gamma delta and a long outro tail here"),
+      (11L, "completely unrelated content with many different words")
+    ).toDF("id", "text")
+    val got = Dedup.containmentPairs(needles, col("id"), col("text"),
+        corpus, col("id"), col("text"), shingleK = 3, threshold = 0.9)
+      .as[(Long, Long, Double)].collect()
+    assert(got.toSeq === Seq((1L, 10L, 1.0))) // both needle shingles inside doc 10
+    // jaccard on the same pair is heavily diluted by doc 10's extra shingles
+    val jac = Dedup.jaccardPairs(
+        needles.select(col("id"), col("text"))
+          .unionAll(corpus.select(col("id"), col("text"))),
+        col("id"), col("text"), shingleK = 3, threshold = 0.9)
+      .count()
+    assert(jac === 0L)
+  }
+
   test("collapseByPriority keeps the best-priority member per component") {
     // docs 1,2,3 form one near-dup component at threshold 0.5; priority
     // crowns doc 2, so the collapse must keep 2 (not the min id)
