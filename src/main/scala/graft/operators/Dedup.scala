@@ -219,12 +219,19 @@ object Dedup {
     *    Candidate volume is bounded by the prefix postings, so a near-
     *    universal shingle cannot blow up the self-join.
     *  - `"auto"` (default): measures the maximum shingle document frequency
-    *    (one scalar aggregate over the postings — both strategies build
-    *    them anyway) and picks `count` when `maxDf <= autoCountMaxDf`,
-    *    `prefix` otherwise: the Σ df² self-join blowup is capped at
-    *    autoCountMaxDf² per shingle before the plan switches to the
-    *    bounded one. The same runtime-statistics-then-replan move AQE
-    *    makes for joins, applied to the strategy choice.
+    *    and picks `count` when `maxDf <= autoCountMaxDf`, `prefix`
+    *    otherwise: the Σ df² self-join blowup is capped at autoCountMaxDf²
+    *    per shingle before the plan switches to the bounded one. The same
+    *    runtime-statistics-then-replan move AQE makes for joins, applied to
+    *    the strategy choice.
+    *
+    * `autoSampleFraction` < 1 estimates maxDf from a deterministic hash
+    * sample of DOCUMENTS (the id filter pushes below the shingle explode,
+    * so only sampled docs are shingled — the statistics pass costs that
+    * fraction of one projection, not a full extra pass) and scales the
+    * sampled maximum back up by 1/fraction. A near-universal stop-shingle
+    * appears in ~every sampled doc, so detection is robust at any fraction
+    * that keeps a few thousand docs; at corpus scale use ~0.01.
     *
     * `maxDocFreq` drops shingles above that document frequency from the
     * index entirely (any strategy): a documented approximation for stop-
@@ -235,7 +242,10 @@ object Dedup {
       shingleK: Int = 3, threshold: Double = 0.8,
       maxDocFreq: Option[Long] = None,
       strategy: String = "auto",
-      autoCountMaxDf: Long = 1000): DataFrame = {
+      autoCountMaxDf: Long = 1000,
+      autoSampleFraction: Double = 1.0): DataFrame = {
+    require(autoSampleFraction > 0 && autoSampleFraction <= 1,
+      s"autoSampleFraction out of (0,1]: $autoSampleFraction")
     val sets = widen(df.select(id.as("id"), text.as("__text")))
       .select(col("id"), HashFunctions.wordShingleSet(
         TextFunctions.tokensWs(col("__text")), shingleK).as("set"))
@@ -277,11 +287,16 @@ object Dedup {
       case "count" => countPairs
       case "prefix" => prefixPairs
       case "auto" =>
-        val maxDf = indexed.groupBy(col("sfp")).agg(count(lit(1)).as("df"))
+        val stats =
+          if (autoSampleFraction >= 1.0) indexed
+          else indexed.filter(TextFunctions.hash32(col("id").cast("string")) <
+            lit((autoSampleFraction * 4294967296.0).toLong))
+        val sampledMax = stats.groupBy(col("sfp")).agg(count(lit(1)).as("df"))
           .agg(max(col("df"))).head() match {
           case r if r.isNullAt(0) => 0L // empty corpus
           case r => r.getLong(0)
         }
+        val maxDf = math.ceil(sampledMax / autoSampleFraction).toLong
         if (maxDf <= autoCountMaxDf) countPairs else prefixPairs
       case other => throw new IllegalArgumentException(
         s"strategy must be 'auto', 'count' or 'prefix', got $other")

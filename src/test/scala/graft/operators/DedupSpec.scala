@@ -181,6 +181,12 @@ class DedupSpec extends SparkSpec {
     val autoPrefix = Dedup.jaccardPairs(corpus, col("id"), col("text"),
       shingleK = 3, threshold = 0.8, autoCountMaxDf = 10)
     assert(autoPrefix.queryExecution.executedPlan.toString.contains("Window"))
+    // sampled statistics still detect the universal stop-shingle: ~half the
+    // docs sampled, scaled estimate ≈ 40 > cap 10 → prefix plan
+    val sampled = Dedup.jaccardPairs(corpus, col("id"), col("text"),
+      shingleK = 3, threshold = 0.8, autoCountMaxDf = 10, autoSampleFraction = 0.5)
+    assert(sampled.queryExecution.executedPlan.toString.contains("Window"))
+    assert(sampled.count() === 0L)
   }
 
   test("simHashPairs with blocks=5 (12-bit keys) finds the same hamming<=3 pairs") {
