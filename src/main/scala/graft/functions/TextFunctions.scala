@@ -103,6 +103,21 @@ object TextFunctions {
     * Stable across engines (md5 is md5 everywhere), collision-safe enough
     * for dedup bucketing at 100 TB (~2^30 docs vs 2^60 space).
     */
+  /** PII redaction: emails, IPv4 literals, then long digit runs (phone-ish)
+    * replaced with typed placeholders, in that order (the IP pass must see
+    * dotted digits before the number pass eats them). Conservative patterns
+    * in the RE2-compatible subset — no lookaround — so external engines
+    * (and the DuckDB oracle) reproduce the result byte-for-byte; all three
+    * are codegen'd `regexp_replace` built-ins, map-only at any scale.
+    */
+  def redactPii(c: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(c,
+          "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>"),
+        "\\b(\\d{1,3}\\.){3}\\d{1,3}\\b", "<IP>"),
+      "\\b\\d{7,15}\\b", "<NUM>")
+
   def fingerprint64(c: Column): Column =
     conv(substring(md5(c), 1, 15), 16, 10).cast("long")
 

@@ -32,6 +32,25 @@ object TextIndex {
   /** Top-k terms per document by (tf desc, term asc) — deterministic
     * keyword extraction; `minLen` drops short stop-ish tokens.
     */
+  /** Repetition-based quality stats (the Gopher/C4-style duplicate-content
+    * signals): per document, the number of `sep`-separated segments, the
+    * distinct count, the duplicate-segment fraction, and the fraction of
+    * segments taken by the single most repeated one. Exact integer-ratio
+    * doubles. Two groupBys over (doc, segment-hash)-sized rows — no segment
+    * text needs to survive the first aggregation at scale, and no window.
+    */
+  def repetitionStats(df: DataFrame, id: Column, text: Column,
+      sep: String = "\\. "): DataFrame =
+    df.select(id.as("id"), explode(split(text, sep)).as("seg"))
+      .groupBy(col("id"), col("seg")).agg(count(lit(1)).as("n"))
+      .groupBy(col("id"))
+      .agg(sum(col("n")).as("n_seg"), count(lit(1)).as("n_uniq"),
+        max(col("n")).as("top_n"))
+      .select(col("id"), col("n_seg"), col("n_uniq"),
+        ((col("n_seg") - col("n_uniq")).cast("double") /
+          col("n_seg").cast("double")).as("dup_frac"),
+        (col("top_n").cast("double") / col("n_seg").cast("double")).as("top_frac"))
+
   def topTermsPerDoc(df: DataFrame, id: Column, text: Column, k: Int,
       minLen: Int = 1): DataFrame = {
     val w = Window.partitionBy(col("doc_id")).orderBy(col("tf").desc, col("term"))

@@ -535,6 +535,52 @@ object Pipeline {
        |WHERE doc_id NOT IN (SELECT id FROM ranked WHERE rk > 1)
        |ORDER BY doc_id""".stripMargin
 
+  /** PII redaction battery: plant a deterministic email + IPv4 + phone per
+    * document, redact, and fingerprint the cleaned text. Patterns stay in
+    * the RE2-compatible subset so DuckDB reproduces them byte-for-byte.
+    */
+  def textRedact(s: SparkSession, dir: String): DataFrame = {
+    val planted = concat(col("text"), lit(" contact user"),
+      col("doc_id").cast("string"), lit("@example.com from 10.0."),
+      pmod(col("doc_id"), lit(256)).cast("string"), lit(".7 tel 5551234567 end"))
+    T(s, dir, "documents")
+      .select(col("doc_id"), md5(TextFunctions.redactPii(planted)).as("clean_md5"))
+      .orderBy(col("doc_id"))
+  }
+
+  val textRedactOracle: String =
+    """SELECT doc_id,
+      |  md5(regexp_replace(regexp_replace(regexp_replace(
+      |    text || ' contact user' || doc_id || '@example.com from 10.0.' ||
+      |      (doc_id % 256) || '.7 tel 5551234567 end',
+      |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+      |    '\b(\d{1,3}\.){3}\d{1,3}\b', '<IP>', 'g'),
+      |    '\b\d{7,15}\b', '<NUM>', 'g')) AS clean_md5
+      |FROM documents
+      |ORDER BY doc_id""".stripMargin
+
+  /** Repetition quality signals (duplicate-segment fraction, top-segment
+    * share) over '.'-separated segments — the Gopher/C4-style repetition
+    * filters as exact integer-ratio doubles.
+    */
+  def qualityRepetition(s: SparkSession, dir: String): DataFrame =
+    graft.operators.TextIndex.repetitionStats(
+        T(s, dir, "documents"), col("doc_id"), col("text"))
+      .withColumnRenamed("id", "doc_id")
+      .orderBy(col("doc_id"))
+
+  val qualityRepetitionOracle: String =
+    """WITH segs AS (
+      |  SELECT doc_id, unnest(string_split_regex(text, '\. ')) AS seg FROM documents),
+      |c AS (SELECT doc_id, seg, COUNT(*) AS n FROM segs GROUP BY 1, 2)
+      |SELECT doc_id,
+      |  CAST(SUM(n) AS BIGINT) AS n_seg,
+      |  CAST(COUNT(*) AS BIGINT) AS n_uniq,
+      |  CAST(SUM(n) - COUNT(*) AS DOUBLE) / CAST(SUM(n) AS DOUBLE) AS dup_frac,
+      |  CAST(MAX(n) AS DOUBLE) / CAST(SUM(n) AS DOUBLE) AS top_frac
+      |FROM c GROUP BY doc_id
+      |ORDER BY doc_id""".stripMargin
+
   /** Decontamination: documents containing >= 60% of a "benchmark" needle's
     * 3-shingles (needles = the first 100 doc_ids). Containment is asymmetric
     * — needle shingles found / needle shingles — so a needle quoted inside a
@@ -668,6 +714,8 @@ object Pipeline {
     Q("dedup_simhash", dedupSimHash, Some(dedupSimHashOracle)),
     Q("dedup_simhash128", dedupSimHash128, Some(dedupSimHash128Oracle)),
     Q("text_metrics", textMetrics, Some(textMetricsOracle)),
+    Q("text_redact", textRedact, Some(textRedactOracle)),
+    Q("quality_repetition", qualityRepetition, Some(qualityRepetitionOracle)),
     Q("dedup_components", dedupComponents, Some(dedupComponentsOracle)),
     Q("dedup_collapse", dedupCollapse, Some(dedupCollapseOracle)),
     Q("decontaminate", decontaminate, Some(decontaminateOracle)),

@@ -39,6 +39,32 @@ class GraftFunctionsSpec extends SparkSpec {
     }
   }
 
+  test("redactPii masks emails, IPs, digit runs — and leaves clean text alone") {
+    val out = Seq(
+      "reach me at jane.doe+x@mail.example.org today",
+      "server 192.168.1.250 answered",
+      "call 55512345678 now",
+      "short 123456 stays, year 2024 stays",
+      "no pii here at all"
+    ).toDF("t").select(TextFunctions.redactPii($"t").as("r")).as[String].collect()
+    assert(out(0) === "reach me at <EMAIL> today")
+    assert(out(1) === "server <IP> answered")
+    assert(out(2) === "call <NUM> now")
+    assert(out(3) === "short 123456 stays, year 2024 stays")
+    assert(out(4) === "no pii here at all")
+  }
+
+  test("repetitionStats: duplicate-segment and top-segment fractions are exact ratios") {
+    val df = Seq(
+      (1L, "a b. a b. c d"), // 3 segments, 2 unique: dup 1/3, top 2/3
+      (2L, "x. y. z")        // all unique
+    ).toDF("doc_id", "text")
+    val got = graft.operators.TextIndex.repetitionStats(df, $"doc_id", $"text")
+      .orderBy("id").as[(Long, Long, Long, Double, Double)].collect()
+    assert(got(0) === ((1L, 3L, 2L, 1.0 / 3.0, 2.0 / 3.0)))
+    assert(got(1) === ((2L, 3L, 3L, 0.0, 1.0 / 3.0)))
+  }
+
   test("max_with is argmax: returns data paired with the max sort key") {
     val df = Seq((1, "low"), (9, "high"), (5, "mid")).toDF("k", "v")
     assert(df.selectExpr("max_with(k, v) AS w").as[String].head() === "high")
