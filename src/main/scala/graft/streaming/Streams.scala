@@ -88,6 +88,41 @@ object Streams {
     }(Encoders.scalaBoolean, rowEnc)
   }
 
+  /** Watermark-bounded streaming dedup: the built-in
+    * `dropDuplicatesWithinWatermark` — duplicates arriving within the
+    * watermark horizon of the first occurrence are dropped, and the keyed
+    * state EXPIRES with the watermark, so memory is bounded by horizon ×
+    * arrival rate instead of growing with distinct keys forever
+    * ([[dedupByKey]] is the exact-forever variant; this is the production
+    * default at 100 TB/day ingest).
+    */
+  def dedupWithinWatermark(df: DataFrame, keys: Seq[String],
+      eventTime: String, delay: String): DataFrame =
+    df.withWatermark(eventTime, delay)
+      .dropDuplicatesWithinWatermark(keys)
+
+  /** Watermarked stream-stream inner join (the impressions⋈clicks shape):
+    * equality on `keys` plus `rightTime ∈ [leftTime, leftTime + within]`.
+    * Both sides carry watermarks so Spark can bound the join state — without
+    * the time-range condition state would grow unboundedly. Right-side key
+    * columns are renamed internally so the explicit condition is
+    * unambiguous, then dropped.
+    */
+  def streamStreamJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
+      leftTime: String, rightTime: String,
+      leftDelay: String, rightDelay: String, within: String): DataFrame = {
+    require(keys.nonEmpty, "stream-stream join needs at least one equality key")
+    val l = left.withWatermark(leftTime, leftDelay)
+    val renamed = keys.map(k => k -> s"__r_$k")
+    val r = renamed.foldLeft(right.withWatermark(rightTime, rightDelay)) {
+      case (d, (k, rk)) => d.withColumnRenamed(k, rk)
+    }
+    val cond = renamed.map { case (k, rk) => col(k) === col(rk) }.reduce(_ && _) &&
+      col(rightTime) >= col(leftTime) &&
+      col(rightTime) <= col(leftTime) + expr(s"INTERVAL $within")
+    l.join(r, cond, "inner").drop(renamed.map(_._2): _*)
+  }
+
   /** File-source stream over parquet files with an explicit schema — the
     * zero-egress stand-in for a Kafka readStream; swap
     * `readStream.format("kafka")` in production, the transforms above are

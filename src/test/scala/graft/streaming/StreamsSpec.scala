@@ -37,6 +37,56 @@ class StreamsSpec extends SparkSpec {
       ("2024-01-01 00:10:00", "b", 1L)))
   }
 
+  test("dedupWithinWatermark drops in-horizon duplicates with bounded state") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Timestamp, String)]
+    val sdf = mem.toDF().toDF("et", "k")
+    val out = Streams.dedupWithinWatermark(sdf, Seq("k"), "et", "10 minutes")
+    val q = out.writeStream.format("memory").queryName("ddw_test")
+      .outputMode("append").start()
+    mem.addData(
+      (ts("2024-01-01 00:01:00"), "a"),
+      (ts("2024-01-01 00:02:00"), "a"), // dup within horizon — dropped
+      (ts("2024-01-01 00:03:00"), "b"))
+    q.processAllAvailable()
+    mem.addData((ts("2024-01-01 01:00:00"), "z")) // advance watermark past horizon
+    q.processAllAvailable()
+    mem.addData((ts("2024-01-01 01:01:00"), "a")) // 'a' state expired — re-admitted
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("ddw_test").select("k", "et")
+      .as[(String, Timestamp)].collect().sortBy(r => (r._1, r._2.getTime))
+    assert(got.map(_._1).toSeq === Seq("a", "a", "b", "z"))
+  }
+
+  test("streamStreamJoin matches clicks within the interval of an impression") {
+    implicit val sqlCtx = spark.sqlContext
+    val imps = MemoryStream[(Timestamp, String, String)]
+    val clicks = MemoryStream[(Timestamp, String)]
+    val joined = Streams.streamStreamJoin(
+      imps.toDF().toDF("imp_t", "ad", "campaign"),
+      clicks.toDF().toDF("click_t", "ad"),
+      keys = Seq("ad"), leftTime = "imp_t", rightTime = "click_t",
+      leftDelay = "10 minutes", rightDelay = "10 minutes", within = "5 minutes")
+    val q = joined.writeStream.format("memory").queryName("ssj_test")
+      .outputMode("append").start()
+    imps.addData(
+      (ts("2024-01-01 00:00:00"), "ad1", "c1"),
+      (ts("2024-01-01 00:00:00"), "ad2", "c2"))
+    clicks.addData(
+      (ts("2024-01-01 00:03:00"), "ad1"), // within 5 min — match
+      (ts("2024-01-01 00:09:00"), "ad2")) // 9 min later — outside window
+    q.processAllAvailable()
+    // advance both watermarks so results finalize
+    imps.addData((ts("2024-01-01 01:00:00"), "adx", "cx"))
+    clicks.addData((ts("2024-01-01 01:00:00"), "ady"))
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("ssj_test").select("ad", "campaign")
+      .as[(String, String)].collect().toSeq
+    assert(got === Seq(("ad1", "c1")))
+  }
+
   test("logSink pushes each micro-batch to the message log transactionally") {
     import graft.connectors.{KafkaWindow, TopicStore}
     implicit val sqlCtx = spark.sqlContext
