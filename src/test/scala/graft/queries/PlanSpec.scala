@@ -97,6 +97,12 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("LeftSemi"), p)
   }
 
+  test("decontaminate: needle postings broadcast — corpus side joins without a shuffle") {
+    val p = plan(Pipeline.decontaminate(spark, dir))
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
   test("jaccard count-strategy: size dims broadcast, shuffles carry (sfp,id) only") {
     val p = plan(Pipeline.dedupNgramJaccard(spark, dir))
     assert(p.contains("BroadcastHashJoin"), p)
