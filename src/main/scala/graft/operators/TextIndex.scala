@@ -32,6 +32,31 @@ object TextIndex {
   /** Top-k terms per document by (tf desc, term asc) — deterministic
     * keyword extraction; `minLen` drops short stop-ish tokens.
     */
+  /** Sliding token-window chunks for embedding/generation pipelines: windows
+    * of `window` whitespace tokens advancing by `stride` (overlap = window −
+    * stride), the final window clamped to the text end; documents shorter
+    * than one window yield a single whole-text chunk. A pure projection —
+    * chunk count per doc ≈ tokens/stride, so the expansion is bounded and
+    * no shuffle is introduced; pair with [[graft.operators.Sampling]] /
+    * dedup BEFORE chunking so duplicates aren't embedded twice.
+    */
+  def chunkTokens(text: Column, window: Int, stride: Int): Column = {
+    require(window > 0 && stride > 0 && stride <= window,
+      s"need 0 < stride <= window, got window=$window stride=$stride")
+    val toks = graft.functions.TextFunctions.tokensWs(text)
+    val n = size(toks)
+    val nChunks = when(n <= window, lit(1))
+      .otherwise(ceil((n - window).cast("double") / stride).cast("int") + 1)
+    transform(sequence(lit(0), nChunks - 1),
+      i => array_join(slice(toks, i * stride + 1, lit(window)), " "))
+  }
+
+  /** (id, chunk_id, chunk) rows from [[chunkTokens]]. */
+  def chunks(df: DataFrame, id: Column, text: Column,
+      window: Int, stride: Int): DataFrame =
+    df.select(id.as("id"),
+        posexplode(chunkTokens(text, window, stride)).as(Seq("chunk_id", "chunk")))
+
   /** Repetition-based quality stats (the Gopher/C4-style duplicate-content
     * signals): per document, the number of `sep`-separated segments, the
     * distinct count, the duplicate-segment fraction, and the fraction of

@@ -535,6 +535,32 @@ object Pipeline {
        |WHERE doc_id NOT IN (SELECT id FROM ranked WHERE rk > 1)
        |ORDER BY doc_id""".stripMargin
 
+  /** Sliding-window chunking (64-token windows, stride 32): every chunk
+    * fingerprinted, short docs collapse to one whole-text chunk. The oracle
+    * recomputes the identical slicing with DuckDB list ranges.
+    */
+  def docChunks(s: SparkSession, dir: String): DataFrame =
+    graft.operators.TextIndex.chunks(
+        T(s, dir, "documents"), col("doc_id"), col("text"),
+        window = 64, stride = 32)
+      .select(col("id").as("doc_id"), col("chunk_id"),
+        md5(col("chunk")).as("chunk_md5"))
+      .orderBy(col("doc_id"), col("chunk_id"))
+
+  val docChunksOracle: String =
+    """WITH t AS (
+      |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks FROM documents),
+      |n AS (SELECT doc_id, toks, len(toks) AS nt FROM t),
+      |idx AS (
+      |  SELECT doc_id, toks, unnest(range(0,
+      |    CASE WHEN nt <= 64 THEN 1
+      |         ELSE CAST(ceil((nt - 64)::DOUBLE / 32) AS BIGINT) + 1 END)) AS cid
+      |  FROM n)
+      |SELECT doc_id, CAST(cid AS INTEGER) AS chunk_id,
+      |  md5(array_to_string(toks[(cid*32+1):(cid*32+64)], ' ')) AS chunk_md5
+      |FROM idx
+      |ORDER BY doc_id, chunk_id""".stripMargin
+
   /** PII redaction battery: plant a deterministic email + IPv4 + phone per
     * document, redact, and fingerprint the cleaned text. Patterns stay in
     * the RE2-compatible subset so DuckDB reproduces them byte-for-byte.
@@ -715,6 +741,7 @@ object Pipeline {
     Q("dedup_simhash128", dedupSimHash128, Some(dedupSimHash128Oracle)),
     Q("text_metrics", textMetrics, Some(textMetricsOracle)),
     Q("text_redact", textRedact, Some(textRedactOracle)),
+    Q("doc_chunks", docChunks, Some(docChunksOracle)),
     Q("quality_repetition", qualityRepetition, Some(qualityRepetitionOracle)),
     Q("dedup_components", dedupComponents, Some(dedupComponentsOracle)),
     Q("dedup_collapse", dedupCollapse, Some(dedupCollapseOracle)),

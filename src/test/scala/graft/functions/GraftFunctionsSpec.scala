@@ -65,6 +65,24 @@ class GraftFunctionsSpec extends SparkSpec {
     assert(got(1) === ((2L, 3L, 3L, 0.0, 1.0 / 3.0)))
   }
 
+  test("chunkTokens: sliding windows with overlap, clamped tail, short-doc whole chunk") {
+    val df = Seq(
+      (1L, (1 to 10).map(i => s"t$i").mkString(" ")), // exact fit: last = t7..t10
+      (2L, (1 to 9).map(i => s"t$i").mkString(" ")),  // ragged tail: last = t7..t9
+      (3L, "a b c")                                   // shorter than one window
+    ).toDF("id", "text")
+    val got = graft.operators.TextIndex.chunks(df, $"id", $"text", window = 4, stride = 2)
+      .as[(Long, Int, String)].collect().sortBy(r => (r._1, r._2))
+    assert(got.filter(_._1 == 1).map(_._3).toSeq === Seq(
+      "t1 t2 t3 t4", "t3 t4 t5 t6", "t5 t6 t7 t8", "t7 t8 t9 t10"))
+    assert(got.filter(_._1 == 2).map(_._3).toSeq === Seq(
+      "t1 t2 t3 t4", "t3 t4 t5 t6", "t5 t6 t7 t8", "t7 t8 t9"))
+    assert(got.filter(_._1 == 3).map(_._3).toSeq === Seq("a b c"))
+    // every consecutive pair overlaps by window - stride tokens
+    val c1 = got.filter(_._1 == 1).map(_._3.split(" ").toSeq).toSeq
+    c1.sliding(2).foreach { w => assert(w(0).takeRight(2) === w(1).take(2)) }
+  }
+
   test("max_with is argmax: returns data paired with the max sort key") {
     val df = Seq((1, "low"), (9, "high"), (5, "mid")).toDF("k", "v")
     assert(df.selectExpr("max_with(k, v) AS w").as[String].head() === "high")
