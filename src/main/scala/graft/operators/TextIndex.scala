@@ -29,9 +29,6 @@ object TextIndex {
       .groupBy(col("term"))
       .agg(count(lit(1)).as("df"), sum(col("tf")).as("tf_total"))
 
-  /** Top-k terms per document by (tf desc, term asc) — deterministic
-    * keyword extraction; `minLen` drops short stop-ish tokens.
-    */
   /** Sliding token-window chunks for embedding/generation pipelines: windows
     * of `window` whitespace tokens advancing by `stride` (overlap = window −
     * stride), the final window clamped to the text end; documents shorter
@@ -76,6 +73,9 @@ object TextIndex {
           col("n_seg").cast("double")).as("dup_frac"),
         (col("top_n").cast("double") / col("n_seg").cast("double")).as("top_frac"))
 
+  /** Top-k terms per document by (tf desc, term asc) — deterministic
+    * keyword extraction; `minLen` drops short stop-ish tokens.
+    */
   def topTermsPerDoc(df: DataFrame, id: Column, text: Column, k: Int,
       minLen: Int = 1): DataFrame = {
     val w = Window.partitionBy(col("doc_id")).orderBy(col("tf").desc, col("term"))
@@ -84,5 +84,29 @@ object TextIndex {
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("doc_id"), col("term"), col("tf"), col("rank").cast("int").as("rank"))
+  }
+
+  /** Top-k terms per document by tf-idf-style relevance `tf · (N / df)`:
+    * rarer-in-corpus terms outrank raw frequency. The weight is a ratio of
+    * exact integers (a single IEEE division — identical in any engine), not
+    * `ln`, so relevance outputs stay bit-comparable with the oracle; a
+    * consumer wanting the logarithmic damping applies it on top. The df dim
+    * (one row per distinct term) broadcasts; the per-doc rank window
+    * partitions on doc_id with per-doc input bounded by document length.
+    */
+  def relevantTerms(df: DataFrame, id: Column, text: Column, k: Int,
+      minLen: Int = 1): DataFrame = {
+    val p = postings(df, id, text).filter(length(col("term")) >= minLen)
+    val n = df.count()
+    val dfDim = p.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("relevance").desc, col("term"))
+    p.join(broadcast(dfDim), Seq("term"))
+      .withColumn("relevance",
+        col("tf").cast("double") * (lit(n).cast("double") / col("df").cast("double")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("doc_id"), col("rank").cast("int").as("rank"), col("term"),
+        col("tf"), col("df"), col("relevance"))
   }
 }

@@ -658,6 +658,35 @@ object Pipeline {
       |SELECT lang, doc_id FROM ranked WHERE rk <= 20
       |ORDER BY lang, doc_id""".stripMargin
 
+  /** tf-idf-style relevance ranking: top-3 terms per doc by tf · (N/df) —
+    * one IEEE division + multiply over exact integers, bit-identical in any
+    * engine (ln damping deliberately left to the consumer).
+    */
+  def topRelevantTerms(s: SparkSession, dir: String): DataFrame =
+    graft.operators.TextIndex.relevantTerms(
+        T(s, dir, "documents"), col("doc_id"), col("text"), k = 3, minLen = 4)
+      .orderBy(col("doc_id"), col("rank"))
+
+  val topRelevantTermsOracle: String =
+    """WITH posting AS (
+      |  SELECT doc_id, t AS term, COUNT(*) AS tf
+      |  FROM (SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS t
+      |        FROM documents)
+      |  WHERE length(t) >= 4
+      |  GROUP BY 1, 2),
+      |d AS (SELECT term, COUNT(*) AS df FROM posting GROUP BY 1),
+      |nn AS (SELECT COUNT(*) AS n FROM documents),
+      |r AS (
+      |  SELECT p.doc_id, p.term, p.tf, d.df,
+      |    CAST(p.tf AS DOUBLE) * (CAST(nn.n AS DOUBLE) / CAST(d.df AS DOUBLE)) AS relevance,
+      |    ROW_NUMBER() OVER (PARTITION BY p.doc_id
+      |      ORDER BY CAST(p.tf AS DOUBLE) * (CAST(nn.n AS DOUBLE) / CAST(d.df AS DOUBLE)) DESC,
+      |               p.term) AS rank
+      |  FROM posting p JOIN d USING (term) CROSS JOIN nn)
+      |SELECT doc_id, CAST(rank AS INTEGER) AS rank, term, tf, df, relevance
+      |FROM r WHERE rank <= 3
+      |ORDER BY doc_id, rank""".stripMargin
+
   /** Winnowing fingerprints exploded to (doc_id, fp) rows — the oracle
     * recomputes the k-shingle hash sequence and per-window minima in SQL.
     */
@@ -749,6 +778,7 @@ object Pipeline {
     Q("sample_docs", sampleDocs, Some(sampleDocsOracle)),
     Q("sample_per_class", samplePerClass, Some(samplePerClassOracle)),
     Q("top_terms", topTerms, Some(topTermsOracle)),
+    Q("top_relevant_terms", topRelevantTerms, Some(topRelevantTermsOracle)),
     Q("winnow_fingerprints", winnowFps, Some(winnowFpsOracle)),
     Q("dedup_embedding", dedupEmbedding, Some(dedupEmbeddingOracle)),
     Q("sim_bruteforce_topk", simBruteForce, Some(simBruteForceOracle)),

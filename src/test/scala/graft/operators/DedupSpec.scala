@@ -110,6 +110,30 @@ class DedupSpec extends SparkSpec {
     assert(Dedup.minHashPairs(single, col("doc_id"), col("text")).count() === 0)
   }
 
+  test("operators are total on null-text rows and empty inputs") {
+    val withNull = docs.unionAll(Seq((99L, null.asInstanceOf[String])).toDF("doc_id", "text"))
+    // nothing throws; null rows contribute no signatures/postings
+    assert(Dedup.minHashPairs(withNull, col("doc_id"), col("text"),
+      shingleK = 3, numHashes = 64, bands = 16, threshold = 0.5)
+      .count() === 3L) // same pairs as without the null row
+    assert(Dedup.simHashPairs(withNull, col("doc_id"), col("text")).count() >= 1L)
+    assert(Dedup.jaccardPairs(withNull, col("doc_id"), col("text"),
+      shingleK = 2, threshold = 0.3, strategy = "prefix")
+      .filter(col("id_a") === 99 || col("id_b") === 99).count() === 0L)
+    assert(Dedup.containmentPairs(
+      withNull.filter(col("doc_id") === 99), col("doc_id"), col("text"),
+      docs, col("doc_id"), col("text")).count() === 0L)
+    // empty pair set: collapseByPriority is a passthrough
+    val emptyPairs = docs.filter(col("doc_id") < 0)
+      .select(col("doc_id").as("id_a"), col("doc_id").as("id_b"))
+    assert(Dedup.collapseByPriority(docs, col("doc_id"), emptyPairs,
+      col("doc_id")).count() === docs.count())
+    // chunking and repetition stats over empty/whitespace text don't throw
+    val weird = Seq((1L, ""), (2L, "   "), (3L, "one")).toDF("doc_id", "text")
+    assert(TextIndex.chunks(weird, col("doc_id"), col("text"), 4, 2).count() === 3L)
+    assert(TextIndex.repetitionStats(weird, col("doc_id"), col("text")).count() === 3L)
+  }
+
   test("jaccard strategies agree on the real documents table (sf0.001)") {
     val real = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val a = Dedup.jaccardPairs(real, col("doc_id"), col("text"),
