@@ -44,6 +44,31 @@ object Dedup {
       .agg(min(col("__id")).as("keep_id"), count(lit(1)).as("group_size"))
       .select(col("keep_id"), col("group_size"))
 
+  /** Incremental exact dedup for batch/stream ingestion: collapse duplicate
+    * content WITHIN the fresh batch (min id wins), then drop rows whose
+    * fingerprint already exists in `seenFps` — the compact `(fp: long)`
+    * state table carried between ingestion runs (store it partitioned or
+    * bucketed by fp so this anti-join co-locates). Returns the surviving
+    * rows and the updated fingerprint table (old ∪ survivors).
+    *
+    * Scale shape: the only shuffles key on 8-byte fingerprints; fresh-batch
+    * bodies never join against corpus bodies, and the corpus itself is
+    * never re-read — only its fingerprint set, which is what makes
+    * continuous ingestion O(batch) instead of O(corpus).
+    */
+  def exactIncremental(fresh: DataFrame, id: Column, content: Column,
+      seenFps: DataFrame): (DataFrame, DataFrame) = {
+    val fp = fresh.select(id.as("__id"),
+      TextFunctions.fingerprint64(content).as("__fp"))
+    val keepIds = fp.groupBy(col("__fp")).agg(min(col("__id")).as("__id"))
+      .join(seenFps.select(col("fp").as("__fp")), Seq("__fp"), "left_anti")
+    val survivors = fresh.join(keepIds.select(col("__id")),
+      id === col("__id"), "left_semi")
+    val updatedFps = seenFps.select(col("fp"))
+      .unionAll(keepIds.select(col("__fp").as("fp")))
+    (survivors, updatedFps)
+  }
+
   // ---------------------------------------------------------------- MinHash
 
   /** Prime just above 2^32 for the (a*h + b) mod P universal hash family

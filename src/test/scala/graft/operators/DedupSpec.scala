@@ -110,6 +110,25 @@ class DedupSpec extends SparkSpec {
     assert(Dedup.minHashPairs(single, col("doc_id"), col("text")).count() === 0)
   }
 
+  test("exactIncremental dedups within the batch and against prior state") {
+    import spark.implicits._
+    val empty = Seq.empty[Long].toDF("fp")
+    // batch 1: internal dup (1,2 identical) collapses to min id
+    val b1 = Seq((1L, "same text"), (2L, "same text"), (3L, "other")).toDF("id", "t")
+    val (s1, fps1) = Dedup.exactIncremental(b1, col("id"), col("t"), empty)
+    assert(s1.select("id").as[Long].collect().sorted === Array(1L, 3L))
+    assert(fps1.count() === 2L)
+    // batch 2: one cross-batch dup, one new doc; state grows by 1
+    val b2 = Seq((10L, "other"), (11L, "brand new")).toDF("id", "t")
+    val (s2, fps2) = Dedup.exactIncremental(b2, col("id"), col("t"), fps1)
+    assert(s2.select("id").as[Long].collect().sorted === Array(11L))
+    assert(fps2.count() === 3L)
+    // batch 3: everything already seen → empty survivors, state unchanged
+    val (s3, fps3) = Dedup.exactIncremental(b1, col("id"), col("t"), fps2)
+    assert(s3.count() === 0L)
+    assert(fps3.count() === 3L)
+  }
+
   test("operators are total on null-text rows and empty inputs") {
     val withNull = docs.unionAll(Seq((99L, null.asInstanceOf[String])).toDF("doc_id", "text"))
     // nothing throws; null rows contribute no signatures/postings
