@@ -97,6 +97,13 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("LeftSemi"), p)
   }
 
+  test("asof join: union + one window pass — no join operator, no range explosion") {
+    val p = plan(Relational.q19AsofPrevOrder(spark, dir))
+    assert(!p.contains("SortMergeJoin") && !p.contains("BroadcastHashJoin") &&
+      !p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"), p)
+    assert("\\bWindow\\b".r.findAllIn(p).nonEmpty, p)
+  }
+
   test("decontaminate: needle postings broadcast — corpus side joins without a shuffle") {
     val p = plan(Pipeline.decontaminate(spark, dir))
     assert(p.contains("BroadcastHashJoin"), p)
