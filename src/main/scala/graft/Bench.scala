@@ -28,7 +28,12 @@ object Bench {
       (System.nanoTime() - t0) / 1e9
     }
 
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // Optional args: query names to bench (default all) — builder-side tool
+    // for isolating one query's time; the driver passes no args.
+    val selected =
+      if (args.isEmpty) SparkEntry.queries.toSeq.sortBy(_._1)
+      else args.toSeq.map(n => n -> SparkEntry.queries(n))
+    val results = selected.map { case (name, fn) =>
       val cold = timeOnce(fn)
       val warm = if (cold < 0) -1.0 else timeOnce(fn)
       name -> (if (warm < 0) cold else math.min(cold, warm))

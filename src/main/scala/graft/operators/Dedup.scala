@@ -274,8 +274,14 @@ object Dedup {
     val sets = widen(df.select(id.as("id"), text.as("__text")))
       .select(col("id"), HashFunctions.wordShingleSet(
         TextFunctions.tokensWs(col("__text")), shingleK).as("set"))
-    val posting = shinglePostings(sets)
-    val sizes = sets.select(col("id"), size(col("set")).as("sz"))
+    // The postings feed the stats pass AND both sides of the self-join;
+    // without a checkpoint each scan re-tokenizes and re-shingles every
+    // document (3× the per-row hash work, and the corpus text re-read each
+    // time). localCheckpoint pins the compact (id, sz, sfp) long-rows —
+    // far smaller than the text — so shingling runs exactly once. Lazy:
+    // materializes on first downstream job.
+    val posting = shinglePostings(sets).localCheckpoint(false)
+    val sizes = posting.select(col("id"), col("sz").as("sz")).distinct()
 
     val indexed = maxDocFreq.fold(posting) { m =>
       val keep = posting.groupBy(col("sfp")).agg(count(lit(1)).as("df"))
