@@ -109,4 +109,65 @@ object TextIndex {
       .select(col("doc_id"), col("rank").cast("int").as("rank"), col("term"),
         col("tf"), col("df"), col("relevance"))
   }
+
+  /** Cross-document segment dedup — the C4/RefinedWeb "line-level dedup"
+    * adapted to unstructured token streams: split each document into
+    * non-overlapping `window`-token segments, drop every segment whose
+    * distinct-document frequency exceeds `maxDf` (boilerplate shared across
+    * documents), and reassemble the survivors in original order. Output:
+    * (id, n_seg, n_kept, clean_text); n_kept = 0 yields an empty string
+    * (the caller decides whether to drop hollowed-out docs).
+    *
+    * Scale shape: the df count shuffles only (segment-fingerprint, id)
+    * longs, never segment text; the boilerplate set — small by construction
+    * (segments repeated across > maxDf docs) — broadcasts back as an 8-byte
+    * fingerprint filter, so document bodies shuffle exactly once, for the
+    * per-doc reassembly groupBy.
+    */
+  def segmentDedup(df: DataFrame, id: Column, text: Column,
+      window: Int = 16, maxDf: Long = 1): DataFrame = {
+    require(maxDf >= 1, s"maxDf must be >= 1, got $maxDf")
+    val segs = chunks(df, id, text, window, window)
+      .select(col("id"), col("chunk_id"), col("chunk"),
+        TextFunctions.fingerprint64(col("chunk")).as("sfp"))
+    val hot = segs.select(col("sfp"), col("id")).distinct()
+      .groupBy(col("sfp")).agg(count(lit(1)).as("df"))
+      .filter(col("df") > maxDf)
+      .select(col("sfp"), lit(1).as("__hot"))
+    segs.join(broadcast(hot), Seq("sfp"), "left")
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_seg"),
+        sum(when(col("__hot").isNull, 1L).otherwise(0L)).as("n_kept"),
+        array_join(transform(array_sort(collect_list(
+            when(col("__hot").isNull, struct(col("chunk_id"), col("chunk"))))),
+          x => x.getField("chunk")), " ").as("clean_text"))
+  }
+
+  /** Common-token coverage quality signal: the fraction of each document's
+    * token occurrences that fall in the corpus's top-`k` vocabulary (by
+    * total frequency, ties broken by term) — low coverage flags gibberish,
+    * wrong-language, or OCR-noise documents (the CCNet-style vocabulary
+    * filter without a pretrained LM). Output: (id, n_tok, n_vocab,
+    * coverage) with coverage an exact integer-ratio double.
+    *
+    * Scale shape: the vocabulary is a k-row broadcast dim built from the
+    * term-count aggregation (map-side partial); the per-doc pass is a
+    * map-side explode + broadcast membership probe + one groupBy on id.
+    */
+  def vocabCoverage(df: DataFrame, id: Column, text: Column,
+      k: Int = 100): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    val toks = df.select(id.as("id"),
+      explode(TextFunctions.tokensWs(text)).as("term"))
+    val vocab = toks.groupBy(col("term")).agg(count(lit(1)).as("c"))
+      .orderBy(col("c").desc, col("term")).limit(k)
+      .select(col("term"), lit(1).as("__v"))
+    toks.join(broadcast(vocab), Seq("term"), "left")
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_tok"),
+        sum(when(col("__v").isNotNull, 1L).otherwise(0L)).as("n_vocab"))
+      .select(col("id"), col("n_tok"), col("n_vocab"),
+        (col("n_vocab").cast("double") / col("n_tok").cast("double"))
+          .as("coverage"))
+  }
 }

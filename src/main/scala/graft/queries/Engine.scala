@@ -43,6 +43,63 @@ object Engine {
       |GROUP BY l_returnflag
       |ORDER BY l_returnflag""".stripMargin
 
+  /** CSV sink + scan roundtrip: write a documents projection as
+    * header-ful CSV (quoting handled by the writer), read it back through
+    * an explicit schema, and aggregate — exercising the text-format scan
+    * path end to end. The oracle aggregates the parquet source directly,
+    * so any roundtrip corruption (quoting, escaping, type coercion) breaks
+    * the hash.
+    */
+  def csvRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-csv").toString
+    T(s, dir, "documents")
+      .select(col("doc_id"), col("lang"), col("source"), col("n_chars"), col("text"))
+      .write.mode("overwrite").option("header", "true").csv(tmp)
+    s.read.option("header", "true")
+      .schema("doc_id BIGINT, lang STRING, source STRING, n_chars BIGINT, text STRING")
+      .csv(tmp)
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n"), sum(col("n_chars")).as("sum_chars"),
+        min(col("doc_id")).as("min_doc"),
+        sum(length(col("text"))).as("sum_text_len"))
+      .orderBy(col("lang"))
+  }
+
+  val csvRoundtripOracle: String =
+    """SELECT lang, COUNT(*) AS n,
+      |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+      |  MIN(doc_id) AS min_doc,
+      |  CAST(SUM(length(text)) AS BIGINT) AS sum_text_len
+      |FROM documents
+      |GROUP BY lang
+      |ORDER BY lang""".stripMargin
+
+  /** JSON-lines sink + scan roundtrip over events (including the embedded
+    * JSON `props` string, re-extracted after the roundtrip).
+    */
+  def jsonlRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-jsonl").toString
+    T(s, dir, "events")
+      .select(col("event_id"), col("event_type"), col("props"))
+      .write.mode("overwrite").json(tmp)
+    s.read.schema("event_id BIGINT, event_type STRING, props STRING").json(tmp)
+      .select(col("event_type"),
+        get_json_object(col("props"), "$.k").cast("long").as("k"),
+        col("event_id"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("k")).as("sum_k"),
+        max(col("event_id")).as("max_id"))
+      .orderBy(col("event_type"))
+  }
+
+  val jsonlRoundtripOracle: String =
+    """SELECT event_type, COUNT(*) AS n,
+      |  CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+      |  MAX(event_id) AS max_id
+      |FROM events
+      |GROUP BY event_type
+      |ORDER BY event_type""".stripMargin
+
   /** Hot-compiled script job (ToolBox ≈ the reference's IMain): the script
     * text itself declares the plan; the engine compiles and invokes it.
     */
@@ -184,6 +241,8 @@ object Engine {
     Q("etl_sql_script", etlSqlScript, Some(etlSqlScriptOracle)),
     Q("etl_script_compiled", scriptCompiled, Some(scriptCompiledOracle)),
     Q("streaming_window_counts", streamingWindowCounts, Some(streamingWindowCountsOracle)),
-    Q("session_window", sessionWindow, Some(sessionWindowOracle))
+    Q("session_window", sessionWindow, Some(sessionWindowOracle)),
+    Q("csv_roundtrip", csvRoundtrip, Some(csvRoundtripOracle)),
+    Q("jsonl_roundtrip", jsonlRoundtrip, Some(jsonlRoundtripOracle))
   )
 }

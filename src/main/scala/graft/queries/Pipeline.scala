@@ -761,7 +761,112 @@ object Pipeline {
       |FROM h
       |ORDER BY doc_id""".stripMargin
 
+  // ------------------------------------------------------- sequence packing
+
+  /** Greedy token-budget sequence packing per source shard (budget 512):
+    * deterministic pack assignment via one shuffle + partition-local
+    * streaming pass. The oracle replays the same greedy walk with a
+    * recursive CTE over per-source row numbers.
+    */
+  def packSequences(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Packing.packGreedy(
+        T(s, dir, "documents").select(col("source"), col("doc_id"),
+          TextFunctions.tokenCountWs(col("text")).as("n_tok")),
+        col("source"), col("doc_id"), col("n_tok"), budget = 512L)
+      .select(col("group").as("source"), col("ord").as("doc_id"),
+        col("size").as("n_tok"), col("pack_id"))
+      .orderBy(col("source"), col("doc_id"))
+
+  val packSequencesOracle: String =
+    """WITH RECURSIVE t AS (
+      |  SELECT source, doc_id,
+      |    CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tok,
+      |    row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rn
+      |  FROM documents),
+      |r AS (
+      |  SELECT source, doc_id, n_tok, rn, CAST(1 AS BIGINT) AS pack_id,
+      |    n_tok AS acc
+      |  FROM t WHERE rn = 1
+      |  UNION ALL
+      |  SELECT t.source, t.doc_id, t.n_tok, t.rn,
+      |    CASE WHEN r.acc + t.n_tok > 512 THEN r.pack_id + 1 ELSE r.pack_id END,
+      |    CASE WHEN r.acc + t.n_tok > 512 THEN t.n_tok ELSE r.acc + t.n_tok END
+      |  FROM r JOIN t ON t.source = r.source AND t.rn = r.rn + 1)
+      |SELECT source, doc_id, n_tok, pack_id
+      |FROM r
+      |ORDER BY source, doc_id""".stripMargin
+
+  // --------------------------------------------------- cross-doc segment dedup
+
+  /** C4-style cross-document segment dedup on 16-token segments, keeping
+    * only globally-unique segments (maxDf = 1): exact-duplicate documents
+    * share every aligned segment, so their content empties out; unique docs
+    * survive untouched. Doc-level md5 keeps the compare compact.
+    */
+  def segmentDedupQ(s: SparkSession, dir: String): DataFrame =
+    graft.operators.TextIndex.segmentDedup(
+        T(s, dir, "documents"), col("doc_id"), col("text"),
+        window = 16, maxDf = 1L)
+      .select(col("id").as("doc_id"), col("n_seg"), col("n_kept"),
+        md5(col("clean_text")).as("clean_md5"))
+      .orderBy(col("doc_id"))
+
+  val segmentDedupOracle: String =
+    """WITH t AS (
+      |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
+      |  FROM documents),
+      |n AS (SELECT doc_id, toks, len(toks) AS nt FROM t),
+      |seg AS (
+      |  SELECT doc_id, cid,
+      |    array_to_string(toks[(cid*16+1):(cid*16+16)], ' ') AS seg
+      |  FROM (SELECT doc_id, toks, unnest(range(0,
+      |      CASE WHEN nt <= 16 THEN 1
+      |           ELSE CAST(ceil((nt - 16)::DOUBLE / 16) AS BIGINT) + 1 END)) AS cid
+      |    FROM n) x),
+      |dfs AS (SELECT seg AS sv, COUNT(DISTINCT doc_id) AS df FROM seg GROUP BY seg)
+      |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_seg,
+      |  CAST(SUM(CASE WHEN df <= 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+      |  md5(COALESCE(string_agg(CASE WHEN df <= 1 THEN seg END, ' '
+      |    ORDER BY cid), '')) AS clean_md5
+      |FROM seg JOIN dfs ON seg.seg = dfs.sv
+      |GROUP BY doc_id
+      |ORDER BY doc_id""".stripMargin
+
+  // ------------------------------------------------------- vocabulary coverage
+
+  /** Top-10-vocabulary coverage per document — the common-token quality
+    * filter; exact integer-ratio double. (k = 10 because the synthetic
+    * corpus draws from ~31 distinct tokens; at real scale k ≈ 10^4–10^5.)
+    */
+  def vocabCoverageQ(s: SparkSession, dir: String): DataFrame =
+    graft.operators.TextIndex.vocabCoverage(
+        T(s, dir, "documents"), col("doc_id"), col("text"), k = 10)
+      .select(col("id").as("doc_id"), col("n_tok"), col("n_vocab"),
+        col("coverage"))
+      .orderBy(col("doc_id"))
+
+  val vocabCoverageOracle: String =
+    """WITH toks AS (
+      |  SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS term
+      |  FROM documents),
+      |vocab AS (
+      |  SELECT term FROM (SELECT term, COUNT(*) AS c FROM toks GROUP BY term)
+      |  ORDER BY c DESC, term LIMIT 10),
+      |j AS (
+      |  SELECT doc_id,
+      |    CASE WHEN term IN (SELECT term FROM vocab) THEN 1 ELSE 0 END AS hit
+      |  FROM toks)
+      |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tok,
+      |  CAST(SUM(hit) AS BIGINT) AS n_vocab,
+      |  CAST(SUM(hit) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS coverage
+      |FROM j
+      |GROUP BY doc_id
+      |ORDER BY doc_id""".stripMargin
+
   val all: Seq[Q] = Seq(
+    Q("pack_sequences", packSequences, Some(packSequencesOracle)),
+    Q("segment_dedup", segmentDedupQ, Some(segmentDedupOracle)),
+    Q("vocab_coverage", vocabCoverageQ, Some(vocabCoverageOracle)),
     Q("dedup_exact", dedupExact, Some(dedupExactOracle)),
     Q("mm_decode_meta", mmDecodeMeta, Some(mmDecodeMetaOracle)),
     Q("dedup_minhash_lsh", dedupMinHash, Some(dedupMinHashOracle)),

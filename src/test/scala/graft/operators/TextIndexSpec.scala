@@ -1,0 +1,62 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+class TextIndexSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val boiler = (1 to 16).map(i => s"b$i").mkString(" ")
+
+  test("segmentDedup removes cross-document boilerplate, keeps unique segments in order") {
+    // docs 1 and 2 share an aligned 16-token boilerplate prefix; their tails differ
+    val docs = Seq(
+      (1L, boiler + " " + (1 to 16).map(i => s"u$i").mkString(" ")),
+      (2L, boiler + " " + (1 to 16).map(i => s"v$i").mkString(" ")),
+      (3L, (1 to 20).map(i => s"w$i").mkString(" "))
+    ).toDF("id", "text")
+    val out = TextIndex.segmentDedup(docs, col("id"), col("text"),
+        window = 16, maxDf = 1)
+      .as[(Long, Long, Long, String)].collect().sortBy(_._1)
+    assert(out.map(r => (r._1, r._2, r._3)).toSeq ===
+      Seq((1L, 2L, 1L), (2L, 2L, 1L), (3L, 2L, 2L)))
+    assert(out(0)._4 === (1 to 16).map(i => s"u$i").mkString(" "))
+    assert(out(2)._4 === (1 to 20).map(i => s"w$i").mkString(" "))
+  }
+
+  test("segmentDedup: a fully-duplicated doc empties to the empty string") {
+    val docs = Seq((1L, boiler), (2L, boiler)).toDF("id", "text")
+    val out = TextIndex.segmentDedup(docs, col("id"), col("text"), 16, 1)
+      .as[(Long, Long, Long, String)].collect().sortBy(_._1)
+    assert(out.forall(r => r._2 === 1L && r._3 === 0L && r._4 === ""))
+  }
+
+  test("segmentDedup honors maxDf: df <= maxDf survives") {
+    val docs = Seq((1L, boiler), (2L, boiler), (3L, "solo " * 15 + "solo"))
+      .toDF("id", "text")
+    val out = TextIndex.segmentDedup(docs, col("id"), col("text"), 16, 2)
+      .as[(Long, Long, Long, String)].collect().sortBy(_._1)
+    // df=2 boilerplate now survives for docs 1 and 2
+    assert(out(0)._4 === boiler && out(1)._4 === boiler)
+  }
+
+  test("vocabCoverage: coverage is the in-vocab occurrence fraction") {
+    // 'a' dominates; vocab k=1 -> {a}
+    val docs = Seq(
+      (1L, "a a a a"),          // 4/4
+      (2L, "a a x y"),          // 2/4
+      (3L, "p q r s")           // 0/4
+    ).toDF("id", "text")
+    val out = TextIndex.vocabCoverage(docs, col("id"), col("text"), k = 1)
+      .as[(Long, Long, Long, Double)].collect().sortBy(_._1)
+    assert(out.toSeq === Seq((1L, 4L, 4L, 1.0), (2L, 4L, 2L, 0.5), (3L, 4L, 0L, 0.0)))
+  }
+
+  test("vocabCoverage ties at the k boundary break by term, deterministically") {
+    // b and c tie on frequency; k=2 vocab must be {a, b} (freq desc, term asc)
+    val docs = Seq((1L, "a a a b b c c")).toDF("id", "text")
+    val out = TextIndex.vocabCoverage(docs, col("id"), col("text"), k = 2)
+      .as[(Long, Long, Long, Double)].collect()
+    assert(out.head._3 === 5L) // 3×a + 2×b
+  }
+}
