@@ -21,11 +21,25 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
+    // Free blocks a query pinned (cache/persist/localCheckpoint) once it's
+    // timed: across ~70 queries leftover blocks accumulate, and an evicted
+    // localCheckpoint block is unrecoverable (truncated lineage) — the task
+    // retry storm that follows shows up as a 10× outlier on whichever query
+    // runs under the resulting memory pressure, not the one that leaked.
+    def freeBlocks(): Unit = {
+      spark.catalog.clearCache()
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
+    }
+
     def timeOnce(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
       val t0 = System.nanoTime()
-      try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-      catch { case _: Throwable => return -1.0 }
-      (System.nanoTime() - t0) / 1e9
+      val elapsed =
+        try {
+          fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+          (System.nanoTime() - t0) / 1e9
+        } catch { case _: Throwable => -1.0 }
+      freeBlocks() // outside the timed span — inter-query hygiene, not plan cost
+      elapsed
     }
 
     // Optional args: query names to bench (default all) — builder-side tool

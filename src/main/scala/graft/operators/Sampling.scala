@@ -95,4 +95,29 @@ object Sampling {
       .select(explode(col("top.id")).as("__keep_id"))
     df.join(broadcast(keep), id.cast("long") === col("__keep_id"), "left_semi")
   }
+
+  /** Deterministic train/validation/test split: every row lands in exactly
+    * one named split, chosen by its 32-bit content hash against cumulative
+    * weight cuts — a pure function of the key, so assignment is stable
+    * across runs, partitionings, and engines (no rand(), no zipWithIndex),
+    * and a re-processed corpus never migrates rows between splits. Map-only
+    * at any scale. Weights are relative (they need not sum to 1); splits
+    * are cut in the given order.
+    */
+  def splitByHash(df: DataFrame, key: Column,
+      splits: Seq[(String, Double)], out: String = "split"): DataFrame = {
+    require(splits.nonEmpty, "need at least one split")
+    require(splits.forall(_._2 >= 0), "weights must be >= 0")
+    val total = splits.map(_._2).sum
+    require(total > 0, "weights must sum > 0")
+    val h = TextFunctions.hash32(key.cast("string"))
+    val cuts = splits.dropRight(1)
+      .scanLeft(("", 0.0)) { case ((_, acc), (name, w)) => (name, acc + w) }
+      .drop(1)
+      .map { case (name, acc) => (name, (acc / total * 4294967296.0).toLong) }
+    val assigned = cuts.foldRight(lit(splits.last._1)) { case ((name, cut), els) =>
+      when(h < lit(cut), lit(name)).otherwise(els)
+    }
+    df.withColumn(out, assigned)
+  }
 }

@@ -458,6 +458,66 @@ object Pipeline {
       |                    ELSE -1 END) t
       |ORDER BY sample, doc_id""".stripMargin
 
+  // ---------------------------------------------------------------- splits
+
+  private val SplitWeights = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)
+
+  /** Deterministic train/val/test split: every document lands in exactly one
+    * split by its 32-bit content hash against cumulative weight cuts —
+    * stable across runs/partitionings/engines, map-only at any scale.
+    */
+  def splitByHashQ(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Sampling.splitByHash(
+        T(s, dir, "documents"), col("doc_id"), SplitWeights)
+      .select(col("doc_id"), col("split"))
+      .orderBy(col("doc_id"))
+
+  /** The oracle recomputes the cut points with the SAME Scala double fold as
+    * Sampling.splitByHash (0.8+0.1+0.1 != 1.0 in doubles — embedding the
+    * exact longs keeps boundary hashes on the same side in both engines).
+    */
+  val splitByHashOracle: String = {
+    val total = SplitWeights.map(_._2).sum
+    val cuts = SplitWeights.dropRight(1)
+      .scanLeft(("", 0.0)) { case ((_, acc), (name, w)) => (name, acc + w) }
+      .drop(1)
+      .map { case (name, acc) => (name, (acc / total * 4294967296.0).toLong) }
+    val cases = cuts.map { case (name, cut) =>
+      s"WHEN ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT < $cut THEN '$name'"
+    }.mkString("\n|  ")
+    s"""SELECT doc_id,
+       |  CASE $cases
+       |  ELSE '${SplitWeights.last._1}' END AS split
+       |FROM documents
+       |ORDER BY doc_id""".stripMargin
+  }
+
+  // ---------------------------------------------------------------- heavy hitters
+
+  /** Frequent items over a token-derived term (first character): the
+    * Misra-Gries summary shuffles O(capacity) state per partition instead of
+    * one row per distinct term. capacity=128 exceeds the ASCII first-char
+    * domain, so the summary is exact and the oracle is a plain GROUP BY.
+    */
+  def heavyHittersQ(s: SparkSession, dir: String): DataFrame = {
+    val terms = T(s, dir, "documents")
+      .select(explode(TextFunctions.tokensWs(col("text"))).as("tok"))
+      .select(substring(col("tok"), 1, 1).as("term"))
+    terms
+      .agg(graft.functions.HeavyHitters.heavyHitters(128)(col("term")).as("hh"))
+      .select(explode(col("hh")).as("e"))
+      .select(col("e.term").as("term"), col("e.cnt").as("cnt"))
+      .orderBy(col("cnt").desc, col("term"))
+  }
+
+  val heavyHittersOracle: String =
+    """WITH toks AS (
+      |  SELECT unnest(string_split_regex(trim(text), '\s+')) AS tok FROM documents)
+      |SELECT substring(tok, 1, 1) AS term, CAST(COUNT(*) AS BIGINT) AS cnt
+      |FROM toks
+      |GROUP BY 1
+      |ORDER BY cnt DESC, term""".stripMargin
+
   /** Duplicate-cluster assignment: connected components over the verified
     * MinHash near-dup pairs; oracle recomputes components with a recursive
     * CTE (component = min reachable id).
@@ -882,6 +942,8 @@ object Pipeline {
     Q("decontaminate", decontaminate, Some(decontaminateOracle)),
     Q("sample_docs", sampleDocs, Some(sampleDocsOracle)),
     Q("sample_per_class", samplePerClass, Some(samplePerClassOracle)),
+    Q("split_by_hash", splitByHashQ, Some(splitByHashOracle)),
+    Q("heavy_hitters", heavyHittersQ, Some(heavyHittersOracle)),
     Q("top_terms", topTerms, Some(topTermsOracle)),
     Q("top_relevant_terms", topRelevantTerms, Some(topRelevantTermsOracle)),
     Q("winnow_fingerprints", winnowFps, Some(winnowFpsOracle)),

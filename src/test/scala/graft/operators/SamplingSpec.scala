@@ -66,4 +66,36 @@ class SamplingSpec extends SparkSpec {
     val big = Sampling.hashSample(df, col("id"), 0.6).select("id").as[Long].collect().toSet
     assert(a.forall(big))
   }
+
+  test("splitByHash: every row in exactly one split, stable across partitionings") {
+    val splits = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)
+    val out = Sampling.splitByHash(df, col("id"), splits)
+    assert(out.count() === 99) // no row dropped or duplicated
+    val names = out.select("split").distinct().as[String].collect().toSet
+    assert(names.subsetOf(Set("train", "val", "test")))
+    val assign1 = out.select("id", "split").as[(Long, String)].collect().sortBy(_._1)
+    val assign2 = Sampling.splitByHash(df.repartition(7), col("id"), splits)
+      .select("id", "split").as[(Long, String)].collect().sortBy(_._1)
+    assert(assign1.toSeq === assign2.toSeq)
+    // rough proportions on 99 rows: train should dominate
+    val counts = out.groupBy("split").count().as[(String, Long)].collect().toMap
+    assert(counts("train") > 60, counts)
+  }
+
+  test("splitByHash: relative weights and degenerate cases") {
+    // weights need not sum to 1 — 4:1 behaves like 0.8/0.2
+    val a = Sampling.splitByHash(df, col("id"), Seq("a" -> 4.0, "b" -> 1.0))
+      .select("id", "split").as[(Long, String)].collect().toMap
+    val b = Sampling.splitByHash(df, col("id"), Seq("a" -> 0.8, "b" -> 0.2))
+      .select("id", "split").as[(Long, String)].collect().toMap
+    assert(a === b)
+    // single split takes everything; zero-weight split gets nothing
+    val single = Sampling.splitByHash(df, col("id"), Seq("all" -> 1.0))
+    assert(single.filter(col("split") === "all").count() === 99)
+    val zero = Sampling.splitByHash(df, col("id"), Seq("none" -> 0.0, "rest" -> 1.0))
+    assert(zero.filter(col("split") === "none").count() === 0)
+    intercept[IllegalArgumentException] {
+      Sampling.splitByHash(df, col("id"), Seq.empty)
+    }
+  }
 }
