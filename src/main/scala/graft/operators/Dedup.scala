@@ -571,4 +571,76 @@ object Dedup {
       .distinct()
       .filter(col("hamming") <= maxHamming)
   }
+
+  // ------------------------------------------------------- bloom prefilter
+
+  /** Builds a serialized bloom filter over `needles`' key column, sized for
+    * `fpp` at the needle count. One aggregation job over the (small) needle
+    * side; partial blooms OR-merge map-side so the shuffle carries one
+    * bit-buffer per partition. Returns None for an empty needle set.
+    */
+  private def buildBloom(needles: DataFrame, nKey: Column, fpp: Double): Option[Array[Byte]] = {
+    import org.apache.spark.sql.graft.BloomFunctions
+    require(fpp > 0 && fpp < 1, s"fpp must be in (0,1), got $fpp")
+    val n = needles.count()
+    if (n == 0) return None
+    val bits = org.apache.spark.util.sketch.BloomFilter.optimalNumOfBits(n, fpp)
+    // Spark caps the aggregate at spark.sql.optimizer.runtime.bloomFilter.
+    // maxNumItems/maxNumBits (4M/67M default) — raise those confs for
+    // needle sets beyond that; the probe side has no such limit.
+    val bytes = needles
+      .select(BloomFunctions.bloomAgg(BloomFunctions.keyHash(nKey), n, bits).as("bf"))
+      .head.getAs[Array[Byte]](0)
+    Option(bytes)
+  }
+
+  /** Exact semi-join of a huge corpus against a small needle set, with a
+    * bloom prefilter: a codegen'd, map-only `might_contain` probe drops the
+    * (1 - fpp) fraction of corpus rows that cannot match BEFORE the join,
+    * so the join input is |matches| + |corpus|·fpp rows instead of
+    * |corpus|. The trailing equality join makes the result EXACT (a bloom
+    * has no false negatives — only false positives, which the join then
+    * rejects).
+    *
+    * This is the contamination-CHECK shape: "which corpus rows collide with
+    * the eval/benchmark set". Keys can be raw content or any fingerprint
+    * column; pass a fingerprint to keep the join shuffle narrow at scale.
+    */
+  def bloomSemiJoin(corpus: DataFrame, cKey: Column, needles: DataFrame,
+      nKey: Column, fpp: Double = 0.01): DataFrame = {
+    import org.apache.spark.sql.graft.BloomFunctions
+    buildBloom(needles, nKey, fpp) match {
+      case None => corpus.limit(0)
+      case Some(bytes) =>
+        corpus.filter(BloomFunctions.mightContain(bytes, BloomFunctions.keyHash(cKey)))
+          .join(needles.select(nKey.as("__needle_key")).distinct(),
+            cKey === col("__needle_key"), "left_semi")
+    }
+  }
+
+  /** Exact decontamination (anti-join) of a huge corpus against a small
+    * needle set. Corpus rows whose bloom probe says "definitely not
+    * present" pass through with NO join at all (map-only); only the
+    * |corpus|·fpp + |matches| maybe-rows go through the exact anti-join.
+    * At 100 TB this replaces a full-corpus shuffle (or a giant broadcast of
+    * raw needles) with an MB-scale bloom literal plus a join over a sliver.
+    *
+    * The two branches scan the corpus twice; both scans are map-only and
+    * column-pruned, which beats shuffling the full corpus once. Callers
+    * holding the corpus in memory can persist it first.
+    */
+  def bloomAntiJoin(corpus: DataFrame, cKey: Column, needles: DataFrame,
+      nKey: Column, fpp: Double = 0.01): DataFrame = {
+    import org.apache.spark.sql.graft.BloomFunctions
+    buildBloom(needles, nKey, fpp) match {
+      case None => corpus
+      case Some(bytes) =>
+        val might = BloomFunctions.mightContain(bytes, BloomFunctions.keyHash(cKey))
+        val clean = corpus.filter(!might)
+        val maybe = corpus.filter(might)
+          .join(needles.select(nKey.as("__needle_key")).distinct(),
+            cKey === col("__needle_key"), "left_anti")
+        clean.unionAll(maybe)
+    }
+  }
 }

@@ -698,6 +698,27 @@ object Pipeline {
        |WHERE CAST(i AS DOUBLE) / CAST(nsz AS DOUBLE) >= 0.6
        |ORDER BY needle_id, doc_id""".stripMargin
 
+  /** Bloom-prefiltered exact decontamination: drop every corpus document
+    * whose text equals a "benchmark" needle (doc_id % 97 == 0). The bloom
+    * probe is map-only and codegen'd; only the |corpus|·fpp maybe-fraction
+    * reaches the exact anti-join, which is what makes the shape hold when
+    * the corpus is 100 TB and the needle set is an eval suite.
+    */
+  def decontaminateBloom(s: SparkSession, dir: String): DataFrame = {
+    val d = T(s, dir, "documents")
+    val needles = d.filter(col("doc_id") % 97 === 0).select(col("text"))
+    graft.operators.Dedup.bloomAntiJoin(d, col("text"), needles, col("text"))
+      .select(col("doc_id"))
+      .orderBy(col("doc_id"))
+  }
+
+  val decontaminateBloomOracle: String =
+    """SELECT d.doc_id FROM documents d
+      |WHERE NOT EXISTS (
+      |  SELECT 1 FROM documents n
+      |  WHERE n.doc_id % 97 = 0 AND n.text = d.text)
+      |ORDER BY d.doc_id""".stripMargin
+
   /** Deterministic fixed-size class-balanced sample: 20 docs per language by
     * md5 rank of doc_id — exact per-class counts (fractions can't give
     * that), reproducible in SQL.
@@ -940,6 +961,7 @@ object Pipeline {
     Q("dedup_components", dedupComponents, Some(dedupComponentsOracle)),
     Q("dedup_collapse", dedupCollapse, Some(dedupCollapseOracle)),
     Q("decontaminate", decontaminate, Some(decontaminateOracle)),
+    Q("decontaminate_bloom", decontaminateBloom, Some(decontaminateBloomOracle)),
     Q("sample_docs", sampleDocs, Some(sampleDocsOracle)),
     Q("sample_per_class", samplePerClass, Some(samplePerClassOracle)),
     Q("split_by_hash", splitByHashQ, Some(splitByHashOracle)),
