@@ -1,68 +1,71 @@
 package graft.connectors
 
 import java.nio.charset.StandardCharsets.UTF_8
-import scala.jdk.CollectionConverters._
 
 import org.apache.curator.framework.{CuratorFramework, CuratorFrameworkFactory}
 import org.apache.curator.retry.ExponentialBackoffRetry
+import org.apache.zookeeper.KeeperException.NoNodeException
 
-/** Real ZooKeeper-backed [[Tree]] via Curator (the jars ship with Spark).
+/** Real-ZooKeeper [[Tree]] binding via Apache Curator — the deployable
+  * counterpart of the in-memory [[TreeStore]] stand-in. All ZkTree
+  * operations (read/write/delete subtree semantics, reference
+  * ZooKeeperHelper.java:52-137) run unchanged against it.
   *
-  * This is the deployable binding behind the `zk_read` / `zk_write` /
-  * `zk_delete` operators (reference manages a raw ZooKeeper handle itself:
-  * data-process/hive-udfs/src/main/java/com/thenetcircle/service/data/hive/udf/zookeeper/ZooKeeperHelper.java:52-80,
-  * connection watcher UDFZooKeeperWrite.java:40-55); Curator owns
-  * connection lifecycle/retry here, so the operator code stays identical to
-  * the in-memory [[TreeStore]] path — [[ZkTree]] only sees the [[Tree]]
-  * trait.
+  * Contract mapping:
+  *  - values are UTF-8 strings (ZK stores bytes; a node created with null
+  *    data reads back as "");
+  *  - `children` returns ABSOLUTE paths in sorted order (ZK returns child
+  *    names unordered);
+  *  - `get` on a missing node is None, not an error;
+  *  - `create`/`delete` are strict — ZkTree.writeTree/deleteTree already
+  *    order parents-first / leaves-first, so NoNode/NodeExists here means a
+  *    caller bug or an external writer, and should surface.
   *
-  * Semantics matched to [[TreeStore]]:
-  *  - values are UTF-8 strings, absent data = empty string;
-  *  - `children` returns full child paths in lexicographic order (ZooKeeper
-  *    reports names unordered; the DFS read needs a stable order);
-  *  - `create` requires an existing parent (ZkTree.writeTree auto-creates
-  *    parents in sorted order, so no createParentsIfNeeded magic that would
-  *    skip the old-value bookkeeping).
+  * Driver-side coordination metadata only (tiny trees), matching how the
+  * reference uses ZooKeeper (offsets, configs) — never bulk data.
   */
-class CuratorTree(val client: CuratorFramework) extends Tree with AutoCloseable {
+class CuratorTree(client: CuratorFramework) extends Tree with AutoCloseable {
 
-  private def p(path: String): String = ZkTree.norm(path)
+  /** Closes the underlying Curator client. */
+  def close(): Unit = client.close()
 
-  override def get(path: String): Option[String] =
-    if (client.checkExists().forPath(p(path)) == null) None
-    else Option(client.getData.forPath(p(path))).map(new String(_, UTF_8)).orElse(Some(""))
+  def get(path: String): Option[String] =
+    try {
+      val bytes = client.getData.forPath(ZkTree.norm(path))
+      Some(if (bytes == null) "" else new String(bytes, UTF_8))
+    } catch { case _: NoNodeException => None }
 
-  override def children(path: String): Seq[String] = {
-    val base = p(path)
-    val prefix = if (base == "/") "/" else base + "/"
-    client.getChildren.forPath(base).asScala.toSeq.sorted.map(prefix + _)
+  def exists(path: String): Boolean =
+    client.checkExists.forPath(ZkTree.norm(path)) != null
+
+  def create(path: String, value: String): Unit =
+    client.create().forPath(ZkTree.norm(path), value.getBytes(UTF_8))
+
+  def setValue(path: String, value: String): Unit =
+    client.setData().forPath(ZkTree.norm(path), value.getBytes(UTF_8))
+
+  def delete(path: String): Unit =
+    client.delete().forPath(ZkTree.norm(path))
+
+  def children(path: String): Seq[String] = {
+    val p = ZkTree.norm(path)
+    val prefix = if (p == "/") "/" else p + "/"
+    try {
+      import scala.jdk.CollectionConverters._
+      client.getChildren.forPath(p).asScala.toSeq.sorted.map(prefix + _)
+    } catch { case _: NoNodeException => Seq.empty }
   }
-
-  override def create(path: String, value: String): Unit =
-    client.create().forPath(p(path), value.getBytes(UTF_8))
-
-  override def setValue(path: String, value: String): Unit =
-    client.setData().forPath(p(path), value.getBytes(UTF_8))
-
-  override def exists(path: String): Boolean =
-    client.checkExists().forPath(p(path)) != null
-
-  override def delete(path: String): Unit =
-    client.delete().forPath(p(path))
-
-  override def close(): Unit = client.close()
 }
 
 object CuratorTree {
-
-  /** Connect and block until the session is live. The caller owns the
-    * returned tree (close() releases the ZooKeeper session).
+  /** Connects a Curator client (exponential-backoff retry, bounded) and
+    * wraps it as a Tree. Caller owns the client lifecycle via `close()`.
     */
   def connect(connectString: String, sessionTimeoutMs: Int = 15000,
-      connectionTimeoutMs: Int = 15000): CuratorTree = {
+      connectionTimeoutMs: Int = 5000): CuratorTree = {
     val client = CuratorFrameworkFactory.newClient(
       connectString, sessionTimeoutMs, connectionTimeoutMs,
-      new ExponentialBackoffRetry(100, 3))
+      new ExponentialBackoffRetry(100, 5))
     client.start()
     client.blockUntilConnected()
     new CuratorTree(client)

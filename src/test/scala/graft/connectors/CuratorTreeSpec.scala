@@ -3,62 +3,83 @@ package graft.connectors
 import java.net.InetSocketAddress
 import java.nio.file.Files
 
-import org.apache.zookeeper.server.{ServerCnxnFactory, ZooKeeperServer}
-import graft.SparkSpec
+import org.apache.zookeeper.server.{NIOServerCnxnFactory, ZooKeeperServer}
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
 
-/** Drives the real Curator-backed [[Tree]] against an embedded ZooKeeper
-  * server (the server classes ship in Spark's zookeeper jar) — the full
-  * deployable path, zero egress: real sessions, real znodes, real watches-
-  * free reads, through the same [[ZkTree]] operators the oracle queries use.
+/** Live test of the Curator-backed Tree against a REAL in-process ZooKeeper
+  * server (the zookeeper jar ships the embeddable server), proving the
+  * binding is deployable — not just compile-checked. Every ZkTree
+  * operation (subtree read, parent-auto-create write with old values,
+  * leaf-first delete) runs unchanged against it and agrees with the
+  * in-memory TreeStore semantics the oracle queries are gated on.
   */
-object EmbeddedZk {
-  lazy val port: Int = {
-    System.setProperty("zookeeper.admin.enableServer", "false") // no 8080 admin
+class CuratorTreeSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private var factory: NIOServerCnxnFactory = _
+  private var zks: ZooKeeperServer = _
+  private var tree: CuratorTree = _
+
+  override def beforeAll(): Unit = {
     val dir = Files.createTempDirectory("graft-zk").toFile
-    val zks = new ZooKeeperServer(dir, dir, 2000)
-    val cnxn = ServerCnxnFactory.createFactory(new InetSocketAddress("127.0.0.1", 0), 60)
-    cnxn.startup(zks)
-    sys.addShutdownHook(cnxn.shutdown())
-    cnxn.getLocalPort
-  }
-}
-
-class CuratorTreeSpec extends SparkSpec {
-
-  private lazy val tree: CuratorTree = CuratorTree.connect(s"127.0.0.1:${EmbeddedZk.port}")
-
-  override def afterAll(): Unit = { tree.close(); super.afterAll() }
-
-  test("writeTree creates parents, returns old values; readTree DFS matches TreeStore") {
-    val pvs = Map("/ct/a/x" -> "1", "/ct/a/y" -> "2", "/ct/b" -> "3")
-    val w1 = ZkTree.writeTree(tree, pvs)
-    assert(w1.map(_._2) === Seq(null, null, null)) // all new
-    assert(tree.get("/ct") === Some("")) // parent auto-created, empty value
-
-    val mem = TreeStore.named("curator-mirror")
-    ZkTree.writeTree(mem, pvs)
-    assert(ZkTree.readTree(tree, Seq("/ct")) === ZkTree.readTree(mem, Seq("/ct")))
-    assert(ZkTree.readTree(tree, Seq("/ct")) === Seq(
-      "/ct" -> "", "/ct/a" -> "", "/ct/a/x" -> "1", "/ct/a/y" -> "2", "/ct/b" -> "3"))
-
-    val w2 = ZkTree.writeTree(tree, Map("/ct/b" -> "30"))
-    assert(w2 === Seq("/ct/b" -> "3")) // overwrite returns the old value
-    TreeStore.drop("curator-mirror")
+    zks = new ZooKeeperServer(dir, dir, 2000)
+    factory = new NIOServerCnxnFactory()
+    factory.configure(new InetSocketAddress("127.0.0.1", 0), 16)
+    factory.startup(zks)
+    tree = CuratorTree.connect(s"127.0.0.1:${zks.getClientPort}")
   }
 
-  test("deleteTree removes the subtree leaf-first and returns deleted rows") {
-    ZkTree.writeTree(tree, Map("/cd/r/n1" -> "a", "/cd/r/n2" -> "b"))
-    val deleted = ZkTree.deleteTree(tree, Seq("/cd"))
-    assert(deleted.toSet === Set(
-      "/cd" -> "", "/cd/r" -> "", "/cd/r/n1" -> "a", "/cd/r/n2" -> "b"))
-    assert(!tree.exists("/cd"))
-    assert(ZkTree.readTree(tree, Seq("/cd")) === Seq.empty) // missing root reads empty
+  override def afterAll(): Unit = {
+    if (tree != null) tree.close()
+    if (factory != null) factory.shutdown()
+    if (zks != null) zks.shutdown()
   }
 
-  test("mergePaths absorption holds against the live server") {
-    ZkTree.writeTree(tree, Map("/cm/a/x" -> "1", "/cm/ab" -> "2"))
-    // "/cm/a" absorbs "/cm/a/x" but not the sibling "/cm/ab"
-    val rows = ZkTree.readTree(tree, Seq("/cm/a", "/cm/a/x", "/cm/ab"))
-    assert(rows === Seq("/cm/a" -> "", "/cm/a/x" -> "1", "/cm/ab" -> "2"))
+  test("writeTree against live ZK: parent auto-create, old values returned") {
+    val out1 = ZkTree.writeTree(tree, Map("/graft/a/b/c" -> "1"))
+    assert(out1 === Seq("/graft/a/b/c" -> null))
+    assert(tree.get("/graft/a") === Some("")) // auto-created parent
+    val out2 = ZkTree.writeTree(tree, Map("/graft/a/b/c" -> "2", "/graft/a/b" -> "x"))
+    assert(out2.toMap === Map("/graft/a/b/c" -> "1", "/graft/a/b" -> ""))
+    assert(tree.get("/graft/a/b/c") === Some("2"))
+  }
+
+  test("readTree DFS over live ZK: sorted absolute child paths, DFS order") {
+    ZkTree.writeTree(tree, Map(
+      "/graft/r/a/x" -> "1", "/graft/r/a/y" -> "2", "/graft/r/b" -> "3"))
+    val rows = ZkTree.readTree(tree, Seq("/graft/r"))
+    assert(rows === Seq(
+      "/graft/r" -> "",
+      "/graft/r/a" -> "",
+      "/graft/r/a/x" -> "1",
+      "/graft/r/a/y" -> "2",
+      "/graft/r/b" -> "3"))
+    // overlapping request paths absorb into the subtree root
+    assert(ZkTree.readTree(tree, Seq("/graft/r/a", "/graft/r")) === rows)
+  }
+
+  test("deleteTree against live ZK: leaf-first, returns deleted values, gone after") {
+    ZkTree.writeTree(tree, Map("/graft/d/k1" -> "v1", "/graft/d/k1/sub" -> "v2"))
+    val deleted = ZkTree.deleteTree(tree, Seq("/graft/d"))
+    assert(deleted.toMap === Map(
+      "/graft/d" -> "", "/graft/d/k1" -> "v1", "/graft/d/k1/sub" -> "v2"))
+    assert(!tree.exists("/graft/d"))
+    assert(ZkTree.readTree(tree, Seq("/graft/d")) === Seq.empty)
+  }
+
+  test("missing nodes: get None, children empty, exists false") {
+    assert(tree.get("/graft/nope") === None)
+    assert(tree.children("/graft/nope") === Seq.empty)
+    assert(!tree.exists("/graft/nope"))
+  }
+
+  test("agrees with the in-memory TreeStore on the same operation sequence") {
+    val mem = new TreeStore
+    val ops = Map("/graft/eq/a" -> "1", "/graft/eq/b/c" -> "2", "/graft/eq" -> "root")
+    val wLive = ZkTree.writeTree(tree, ops)
+    val wMem = ZkTree.writeTree(mem, ops)
+    assert(wLive === wMem)
+    assert(ZkTree.readTree(tree, Seq("/graft/eq")) === ZkTree.readTree(mem, Seq("/graft/eq")))
+    assert(ZkTree.deleteTree(tree, Seq("/graft/eq")) === ZkTree.deleteTree(mem, Seq("/graft/eq")))
   }
 }
