@@ -492,6 +492,43 @@ object Pipeline {
        |ORDER BY doc_id""".stripMargin
   }
 
+  // ---------------------------------------------------------------- hll sketches
+
+  /** Distinct counting with mergeable HLL sketches (DataSketches): per-group
+    * sketch + estimate, and a global row from hll_union_agg over the SAME
+    * per-group sketches — the 100 TB pattern, where sketches are built once,
+    * stored, and re-merged for any rollup without touching raw data (a
+    * COUNT(DISTINCT) rollup would need a second full shuffle of raw keys;
+    * the union shuffles one ~KB sketch per group).
+    *
+    * Oracle-able because DataSketches HLL is EXACT below the coupon-set
+    * promotion threshold: measured with lgConfigK=16, estimates match
+    * COUNT(DISTINCT) bit-for-bit through ~4000 distinct keys (default
+    * lgK=12 already deviates by ~500), and supplier cardinalities stay
+    * under 1000 at every test SF. SketchSpec pins this regime.
+    */
+  def hllCardinality(s: SparkSession, dir: String): DataFrame = {
+    val sup = T(s, dir, "supplier")
+      .join(T(s, dir, "nation"), col("s_nationkey") === col("n_nationkey"))
+    val sketches = sup.groupBy(col("n_name"))
+      .agg(hll_sketch_agg(col("s_suppkey"), 16).as("sk"))
+    val perNation = sketches
+      .select(col("n_name"), hll_sketch_estimate(col("sk")).as("n_supp"))
+    val global = sketches
+      .agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("n_supp"))
+      .select(lit("*ALL*").as("n_name"), col("n_supp"))
+    perNation.unionAll(global).orderBy(col("n_name"))
+  }
+
+  val hllCardinalityOracle: String =
+    """SELECT n_name, CAST(COUNT(DISTINCT s_suppkey) AS BIGINT) AS n_supp
+      |FROM supplier JOIN nation ON s_nationkey = n_nationkey
+      |GROUP BY n_name
+      |UNION ALL
+      |SELECT '*ALL*' AS n_name, CAST(COUNT(DISTINCT s_suppkey) AS BIGINT) AS n_supp
+      |FROM supplier
+      |ORDER BY n_name""".stripMargin
+
   // ---------------------------------------------------------------- heavy hitters
 
   /** Frequent items over a token-derived term (first character): the
@@ -966,6 +1003,7 @@ object Pipeline {
     Q("sample_per_class", samplePerClass, Some(samplePerClassOracle)),
     Q("split_by_hash", splitByHashQ, Some(splitByHashOracle)),
     Q("heavy_hitters", heavyHittersQ, Some(heavyHittersOracle)),
+    Q("hll_cardinality", hllCardinality, Some(hllCardinalityOracle)),
     Q("top_terms", topTerms, Some(topTermsOracle)),
     Q("top_relevant_terms", topRelevantTerms, Some(topRelevantTermsOracle)),
     Q("winnow_fingerprints", winnowFps, Some(winnowFpsOracle)),
