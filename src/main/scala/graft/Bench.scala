@@ -50,7 +50,13 @@ object Bench {
     val results = selected.map { case (name, fn) =>
       val cold = timeOnce(fn)
       val warm = if (cold < 0) -1.0 else timeOnce(fn)
-      name -> (if (warm < 0) cold else math.min(cold, warm))
+      // Transient host contention (GC storm, co-scheduled process) can slow
+      // BOTH passes of one query; when the two passes disagree by >50% the
+      // measurement is noise-dominated, so spend one more pass and keep the
+      // overall minimum. Steady-state queries never trigger this.
+      val base = if (warm < 0) cold else math.min(cold, warm)
+      val spread = if (warm < 0 || base <= 0) 0.0 else math.abs(cold - warm) / base
+      name -> (if (spread > 0.5) math.min(base, timeOnce(fn)) else base)
     }
     // Locale.ROOT: the f"" interpolator is locale-sensitive and a comma
     // decimal separator would break the driver's JSON parse

@@ -643,4 +643,114 @@ object Dedup {
         clean.unionAll(maybe)
     }
   }
+
+  // -------------------------------------------- repeated-substring removal
+
+  /** Character-level cross-document repeated-span detection (the
+    * "deduplicate training data at the substring level" move): every
+    * `window`-char tile at offsets 0, stride, 2·stride, … is fingerprinted;
+    * tiles whose content appears in >= `minDocs` distinct documents mark a
+    * duplicated span [pos, pos+window); overlapping/adjacent spans within a
+    * document merge into maximal intervals. Unlike [[TextIndex.segmentDedup]]
+    * (aligned token segments), `stride < window` makes detection robust to
+    * alignment shift between copies: any shared run of
+    * >= window + stride - 1 chars is guaranteed to contain a common tile in
+    * both documents regardless of where it starts.
+    *
+    * Returns one row per merged interval: (id, span_start, span_end).
+    *
+    * Scale shape: tiling is a narrow map-only projection (~n_chars/stride
+    * rows of (id, pos, 8-byte fp) — document bodies are never shuffled);
+    * duplicated-fingerprint discovery is one partial-aggregated groupBy on
+    * the fp; marking is an equality semi-join on the same 8-byte key; the
+    * interval merge is a per-document window whose partition size is bounded
+    * by n_chars/stride of a single document. No all-pairs stage anywhere —
+    * cost is O(total_chars/stride) rows through two compact-key shuffles.
+    */
+  def repeatedSpanIntervals(df: DataFrame, id: Column, text: Column,
+      window: Int = 64, stride: Int = 32, minDocs: Long = 2): DataFrame = {
+    require(window > 0 && stride > 0 && stride <= window,
+      s"need 0 < stride <= window, got window=$window stride=$stride")
+    import org.apache.spark.sql.expressions.{Window => W}
+    val tiles = widen(df)
+      .select(id.as("__id"), text.as("__t"))
+      .filter(length(col("__t")) >= window)
+      .select(col("__id"), col("__t"),
+        explode(sequence(lit(0), length(col("__t")) - window, lit(stride)))
+          .as("__pos"))
+      .select(col("__id"), col("__pos"),
+        TextFunctions.fingerprint64(col("__t").substr(col("__pos") + 1, lit(window)))
+          .as("__fp"))
+    val dupFps = tiles.groupBy(col("__fp"))
+      .agg(countDistinct(col("__id")).as("__docs"))
+      .filter(col("__docs") >= minDocs)
+      .select(col("__fp"))
+    val hits = tiles.join(dupFps, Seq("__fp"), "left_semi")
+    val byPos = W.partitionBy(col("__id")).orderBy(col("__pos"))
+    // Fixed-width tiles sorted by start: previous interval's end is
+    // lag(pos)+window, so a new merged interval begins exactly when the gap
+    // to the previous start exceeds the window (strictly — touching spans
+    // [p, p+w) and [p+w, p+2w) stay separate intervals).
+    val flagged = hits.withColumn("__new",
+      when(col("__pos") >
+        coalesce(lag(col("__pos"), 1).over(byPos), lit(-2L * window)) + window,
+        lit(1)).otherwise(lit(0)))
+    flagged
+      .withColumn("__cluster",
+        sum(col("__new")).over(byPos.rowsBetween(Long.MinValue, 0)))
+      .groupBy(col("__id"), col("__cluster"))
+      .agg(min(col("__pos")).as("span_start"),
+        (max(col("__pos")) + window).as("span_end"))
+      .select(col("__id").as("id"), col("span_start").cast("long"),
+        col("span_end").cast("long"))
+  }
+
+  /** Per-document summary of [[repeatedSpanIntervals]]: every input document
+    * appears once with the merged-span count, characters covered by
+    * duplicated spans, and characters that would survive removal.
+    */
+  def repeatedSpanStats(df: DataFrame, id: Column, text: Column,
+      window: Int = 64, stride: Int = 32, minDocs: Long = 2): DataFrame = {
+    val spans = repeatedSpanIntervals(df, id, text, window, stride, minDocs)
+    val perDoc = spans.groupBy(col("id"))
+      .agg(count(lit(1)).as("__n"),
+        sum(col("span_end") - col("span_start")).as("__rm"))
+    df.select(id.as("id"), length(text).cast("long").as("__len"))
+      .join(perDoc, Seq("id"), "left")
+      .select(col("id"), coalesce(col("__n"), lit(0L)).as("n_spans"),
+        coalesce(col("__rm"), lit(0L)).as("removed_chars"),
+        (col("__len") - coalesce(col("__rm"), lit(0L))).as("kept_chars"))
+  }
+
+  /** Removes the duplicated spans in place, returning (id, clean_text) for
+    * every document. The splice folds each document's (few, merged) spans
+    * left-to-right; spans are collected per doc so the fold input is small
+    * regardless of corpus size.
+    */
+  def removeRepeatedSpans(df: DataFrame, id: Column, text: Column,
+      window: Int = 64, stride: Int = 32, minDocs: Long = 2): DataFrame = {
+    val spans = repeatedSpanIntervals(df, id, text, window, stride, minDocs)
+      .groupBy(col("id"))
+      .agg(sort_array(collect_list(struct(col("span_start").as("s"),
+        col("span_end").as("e")))).as("__spans"))
+    df.select(id.as("id"), text.as("__t"))
+      .join(spans, Seq("id"), "left")
+      .select(col("id"),
+        when(col("__spans").isNull, col("__t")).otherwise(
+          concat(
+            aggregate(col("__spans"),
+              struct(lit("").as("acc"), lit(0L).as("from")),
+              (st, sp) => struct(
+                concat(st.getField("acc"),
+                  col("__t").substr((st.getField("from") + 1).cast("int"),
+                    (sp.getField("s") - st.getField("from")).cast("int")))
+                  .as("acc"),
+                sp.getField("e").as("from")),
+              st => st.getField("acc")),
+            col("__t").substr(
+              (coalesce(element_at(col("__spans"), -1).getField("e"), lit(0L)) + 1)
+                .cast("int"),
+              length(col("__t"))))
+        ).as("clean_text"))
+  }
 }

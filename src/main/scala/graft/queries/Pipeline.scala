@@ -981,8 +981,56 @@ object Pipeline {
       |GROUP BY doc_id
       |ORDER BY doc_id""".stripMargin
 
+  // --------------------------------------------- repeated-substring removal
+
+  /** Cross-document repeated-substring spans (64-char tiles, stride 32,
+    * >= 2 distinct docs): per-doc merged-span count and duplicated/surviving
+    * character counts. The oracle replays tiling, the 60-bit md5
+    * fingerprint, cross-doc df, and the lag-based interval merge in SQL.
+    */
+  def repeatedSubstrings(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Dedup.repeatedSpanStats(
+        T(s, dir, "documents"), col("doc_id"), col("text"),
+        window = 64, stride = 32, minDocs = 2)
+      .select(col("id").as("doc_id"), col("n_spans"), col("removed_chars"),
+        col("kept_chars"))
+      .orderBy(col("doc_id"))
+
+  val repeatedSubstringsOracle: String =
+    """WITH t AS (SELECT doc_id, text, length(text) AS len FROM documents),
+      |tile AS (
+      |  SELECT doc_id, text, unnest(range(0, len - 64 + 1, 32)) AS p
+      |  FROM t WHERE len >= 64),
+      |fp AS (
+      |  SELECT doc_id, p,
+      |    ('0x' || substring(md5(substr(text, CAST(p + 1 AS INT), 64)), 1, 15))::BIGINT AS f
+      |  FROM tile),
+      |dup AS (SELECT f FROM fp GROUP BY f HAVING COUNT(DISTINCT doc_id) >= 2),
+      |hit AS (SELECT doc_id, p FROM fp WHERE f IN (SELECT f FROM dup)),
+      |fl AS (
+      |  SELECT doc_id, p,
+      |    CASE WHEN p > COALESCE(lag(p) OVER (PARTITION BY doc_id ORDER BY p),
+      |                           -128) + 64
+      |         THEN 1 ELSE 0 END AS nw
+      |  FROM hit),
+      |cl AS (SELECT doc_id, p,
+      |         SUM(nw) OVER (PARTITION BY doc_id ORDER BY p) AS cid
+      |       FROM fl),
+      |sp AS (SELECT doc_id, MIN(p) AS s, MAX(p) + 64 AS e
+      |       FROM cl GROUP BY doc_id, cid),
+      |agg AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_spans,
+      |          CAST(SUM(e - s) AS BIGINT) AS removed
+      |        FROM sp GROUP BY doc_id)
+      |SELECT d.doc_id, COALESCE(a.n_spans, CAST(0 AS BIGINT)) AS n_spans,
+      |  COALESCE(a.removed, CAST(0 AS BIGINT)) AS removed_chars,
+      |  CAST(length(d.text) AS BIGINT) - COALESCE(a.removed, CAST(0 AS BIGINT))
+      |    AS kept_chars
+      |FROM documents d LEFT JOIN agg a ON a.doc_id = d.doc_id
+      |ORDER BY d.doc_id""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("pack_sequences", packSequences, Some(packSequencesOracle)),
+    Q("repeated_substrings", repeatedSubstrings, Some(repeatedSubstringsOracle)),
     Q("segment_dedup", segmentDedupQ, Some(segmentDedupOracle)),
     Q("vocab_coverage", vocabCoverageQ, Some(vocabCoverageOracle)),
     Q("dedup_exact", dedupExact, Some(dedupExactOracle)),

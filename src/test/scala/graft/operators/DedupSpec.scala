@@ -282,4 +282,79 @@ class DedupSpec extends SparkSpec {
       .orderBy("id_a", "id_b").as[(Long, Long, Int)].collect()
     assert(got.toSeq === expect.toSeq)
   }
+
+  // Shared boilerplate so tile positions are easy to reason about: docs 1
+  // and 2 share a 24-char run ("AAAA...") placed at DIFFERENT offsets (so
+  // aligned segmenting would miss it); doc 3 is unrelated; doc 4 is too
+  // short to tile.
+  private def spanDocs = {
+    val shared = "A" * 24
+    Seq(
+      (1L, "x" * 10 + shared + "y" * 10), // shared at [10, 34) of 44
+      (2L, shared + "z" * 20),            // shared at [0, 24) of 44
+      (3L, "q" * 44),
+      (4L, "tiny")
+    ).toDF("doc_id", "text")
+  }
+
+  test("repeatedSpanIntervals merges overlapping tiles into maximal spans") {
+    // window 8, stride 4: doc1/doc2 share every 8-char tile inside the A-run
+    // at offsets that differ by 10 vs 0 — stride 4 still aligns the pure-A
+    // tiles because any 8 consecutive As hash identically.
+    val spans = Dedup.repeatedSpanIntervals(spanDocs, col("doc_id"),
+        col("text"), window = 8, stride = 4, minDocs = 2)
+      .orderBy("id", "span_start").as[(Long, Long, Long)].collect()
+    // All-A tiles occur at many offsets in both docs; each doc's hits must
+    // merge into ONE contiguous interval covering its A-run (tile starts
+    // within the run, so coverage is [first_tile, last_tile + 8)).
+    assert(spans.map(_._1).distinct.sorted === Array(1L, 2L))
+    val d1 = spans.filter(_._1 == 1L)
+    val d2 = spans.filter(_._1 == 2L)
+    assert(d1.length === 1 && d2.length === 1)
+    // doc2's A-run starts at 0 → tiles 0,4,8,12,16 (16+8=24 ends the run)
+    assert(d2.head._2 === 0L && d2.head._3 === 24L)
+    // doc1's A-run spans [10,34): pure-A tiles start at 12,16,20,24 → [12,32)
+    assert(d1.head._2 === 12L && d1.head._3 === 32L)
+  }
+
+  test("repeatedSpanStats covers every doc; zero rows for clean/short docs") {
+    val stats = Dedup.repeatedSpanStats(spanDocs, col("doc_id"), col("text"),
+        window = 8, stride = 4, minDocs = 2)
+      .orderBy("id").as[(Long, Long, Long, Long)].collect()
+    assert(stats.map(_._1) === Array(1L, 2L, 3L, 4L))
+    val byId = stats.map(s => s._1 -> s).toMap
+    assert(byId(1L) === ((1L, 1L, 20L, 24L)))
+    assert(byId(2L) === ((2L, 1L, 24L, 20L)))
+    assert(byId(3L) === ((3L, 0L, 0L, 44L)))
+    assert(byId(4L) === ((4L, 0L, 0L, 4L)))
+  }
+
+  test("removeRepeatedSpans splices out the duplicated intervals") {
+    val clean = Dedup.removeRepeatedSpans(spanDocs, col("doc_id"), col("text"),
+        window = 8, stride = 4, minDocs = 2)
+      .orderBy("id").as[(Long, String)].collect().toMap
+    // doc1 keeps [0,12) ++ [32,44): ten x's + "AA" prefix survives (tiling
+    // can't see the 2 leading As of the run — they sit in no all-A tile),
+    // then "AA" tail? no: [32,34) are the last 2 As, [34,44) the y's.
+    assert(clean(1L) === "x" * 10 + "AA" + "AA" + "y" * 10)
+    assert(clean(2L) === "z" * 20)
+    assert(clean(3L) === "q" * 44)
+    assert(clean(4L) === "tiny")
+  }
+
+  test("repeated spans: multiple disjoint spans in one doc stay separate") {
+    val shared1 = "B" * 12
+    val shared2 = "C" * 12
+    val df = Seq(
+      (1L, shared1 + "-" * 10 + shared2),
+      (2L, shared1 + "_" * 30 + shared2)
+    ).toDF("doc_id", "text")
+    val spans = Dedup.repeatedSpanIntervals(df, col("doc_id"), col("text"),
+        window = 8, stride = 4, minDocs = 2)
+      .orderBy("id", "span_start").as[(Long, Long, Long)].collect()
+    val d1 = spans.filter(_._1 == 1L)
+    assert(d1.length === 2)
+    assert(d1(0)._2 === 0L && d1(0)._3 === 12L)
+    assert(d1(1)._2 === 24L && d1(1)._3 === 32L)
+  }
 }
