@@ -5,11 +5,11 @@
 package org.apache.spark.sql.graft
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, ExpectsInputTypes, Expression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, ExpectsInputTypes, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.classic.ExpressionUtils
-import org.apache.spark.sql.types.{AbstractDataType, ArrayType, DataType, DoubleType, FloatType}
+import org.apache.spark.sql.types.{AbstractDataType, ArrayType, DataType, DoubleType, FloatType, IntegerType, LongType}
 
 /** Cosine similarity between two `array<float>` embedding columns, as a
   * native Catalyst expression with whole-stage codegen: one fused pass over
@@ -86,6 +86,137 @@ case class CosineSimilarity(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Scalar (int8) quantization of an `array<float>` embedding: the vector is
+  * L2-normalized and each coordinate rounded to `round(127 * x / ||x||)` ∈
+  * [-127, 127], returned as `array<int>`. Normalizing first means ONE global
+  * scale (1/127) serves the whole corpus — no per-dimension calibration
+  * statistics to compute, store, or keep in sync between corpus and query
+  * quantization — and integer dot products of codes rank pairs by cosine.
+  *
+  * Numerics contract (relied on by the DuckDB oracle): the norm is a strict
+  * left-to-right double fold of x²; rounding is half-away-from-zero (SQL
+  * `round`, not Java's half-up `Math.round` — they differ on negative
+  * halves). A zero-norm vector quantizes to all zeros.
+  */
+case class QuantizeInt8(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes {
+  import org.apache.spark.sql.catalyst.util.GenericArrayData
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(FloatType))
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def nullable: Boolean = true
+  override def prettyName: String = "quantize_int8"
+
+  override def nullSafeEval(a: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val n = x.numElements()
+    var nx = 0.0
+    var i = 0
+    while (i < n) {
+      val xv = x.getFloat(i).toDouble
+      nx += xv * xv
+      i += 1
+    }
+    val nrm = math.sqrt(nx)
+    val out = new Array[Int](n)
+    if (nrm != 0.0) {
+      i = 0
+      while (i < n) {
+        val v = 127.0 * (x.getFloat(i).toDouble / nrm)
+        out(i) = (if (v >= 0) math.floor(v + 0.5) else math.ceil(v - 0.5)).toInt
+        i += 1
+      }
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    nullSafeCodeGen(ctx, ev, x => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val nx = ctx.freshName("nx")
+      val nrm = ctx.freshName("nrm")
+      val out = ctx.freshName("out")
+      val v = ctx.freshName("v")
+      s"""
+         |final int $n = $x.numElements();
+         |double $nx = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  final double ${v}0 = (double) $x.getFloat($i);
+         |  $nx += ${v}0 * ${v}0;
+         |}
+         |final double $nrm = java.lang.Math.sqrt($nx);
+         |final int[] $out = new int[$n];
+         |if ($nrm != 0.0) {
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    final double $v = 127.0 * (((double) $x.getFloat($i)) / $nrm);
+         |    $out[$i] = (int) ($v >= 0 ? java.lang.Math.floor($v + 0.5)
+         |                              : java.lang.Math.ceil($v - 0.5));
+         |  }
+         |}
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** Exact integer dot product of two `array<int>` code vectors (the scoring
+  * primitive for int8-quantized similarity search): a single fused loop
+  * accumulating into a long — overflow-free for any realistic code width
+  * (127² · dims ≪ 2⁶³) and bit-identical across engines because no floating
+  * point is involved. Returns null on length mismatch.
+  */
+case class DotInt(left: Expression, right: Expression)
+    extends BinaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] =
+    Seq(ArrayType(IntegerType), ArrayType(IntegerType))
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true
+  override def prettyName: String = "dot_int"
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = x.numElements()
+    if (n != y.numElements()) return null
+    var dot = 0L
+    var i = 0
+    while (i < n) {
+      dot += x.getInt(i).toLong * y.getInt(i).toLong
+      i += 1
+    }
+    dot
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    nullSafeCodeGen(ctx, ev, (x, y) => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val dot = ctx.freshName("dot")
+      s"""
+         |final int $n = $x.numElements();
+         |if ($n != $y.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  long $dot = 0L;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    $dot += ((long) $x.getInt($i)) * ((long) $y.getInt($i));
+         |  }
+         |  ${ev.value} = $dot;
+         |}
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
 /** Column-level entry points for vector math. */
 object VectorFunctions {
 
@@ -93,4 +224,13 @@ object VectorFunctions {
   def cosineSim(a: Column, b: Column): Column =
     ExpressionUtils.column(
       CosineSimilarity(ExpressionUtils.expression(a), ExpressionUtils.expression(b)))
+
+  /** Int8 codes of an `array<float>` column (see [[QuantizeInt8]]). */
+  def quantizeInt8(v: Column): Column =
+    ExpressionUtils.column(QuantizeInt8(ExpressionUtils.expression(v)))
+
+  /** Exact integer dot product of two `array<int>` columns (see [[DotInt]]). */
+  def dotInt(a: Column, b: Column): Column =
+    ExpressionUtils.column(
+      DotInt(ExpressionUtils.expression(a), ExpressionUtils.expression(b)))
 }

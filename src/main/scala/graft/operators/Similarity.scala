@@ -55,6 +55,37 @@ object Similarity {
     topKPerQuery(scored, k)
   }
 
+  /** Int8-quantized exact-scan top-k: both sides are compressed to ±127
+    * integer codes by the codegen'd [[org.apache.spark.sql.graft.QuantizeInt8]]
+    * (L2-normalize, round — one global scale, no calibration stats), and
+    * candidates are ranked by the exact integer dot product of codes
+    * ([[org.apache.spark.sql.graft.DotInt]]), which orders pairs by
+    * quantized cosine. Returns (query_id, neighbor_id, rank, dot).
+    *
+    * Scale rationale: at 10⁹+ vectors the scan is memory-bandwidth-bound,
+    * and int8 codes are 4× smaller than float32 (store them packed as
+    * binary for the full 4×; `array<int>` here keeps the oracle exact) —
+    * quantize once on write, then every subsequent scan, shuffle, and cache
+    * of the corpus moves a quarter of the bytes. Scoring is pure integer
+    * math (no FP divergence across engines) behind a broadcast-probe join
+    * with bounded partial top-k — the same no-window shape as
+    * [[bruteForceTopK]].
+    */
+  def quantizedTopK(queries: DataFrame, corpus: DataFrame, k: Int,
+      includeSelf: Boolean = false): DataFrame = {
+    val q = broadcast(queries.select(col("vec_id").as("query_id"),
+      VectorFunctions.quantizeInt8(col("embedding")).as("qc")))
+    val c = corpus.select(col("vec_id").as("neighbor_id"),
+      VectorFunctions.quantizeInt8(col("embedding")).as("cc"))
+    val scored = c.join(q,
+        if (includeSelf) lit(true) else col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        VectorFunctions.dotInt(col("qc"), col("cc")).cast("double").as("cos"))
+    topKPerQuery(scored, k)
+      .select(col("query_id"), col("neighbor_id"), col("rank"),
+        col("cos").cast("long").as("dot"))
+  }
+
   /** Sign-random-projection bucket id: `bits` sign bits of hyperplane dot
     * products, plane_j[d] = md5-hash32("plane:j:d") / 2^31 - 1. Pure
     * projection (no shuffle); the same expression buckets both corpus (once,

@@ -325,6 +325,45 @@ object Pipeline {
        |FROM ranked WHERE rank <= 5
        |ORDER BY query_id, rank""".stripMargin
 
+  /** Int8-quantized top-5 for the first 20 vectors: L2-normalize, round to
+    * ±127 codes, rank by exact integer dot product — all integer math after
+    * quantization, so the oracle reproduces scores bit-for-bit. The
+    * normalize-then-round contract (left-to-right double norm fold,
+    * half-away-from-zero rounding) matches DuckDB's `round` semantics.
+    */
+  def simQuantized(s: SparkSession, dir: String): DataFrame = {
+    val emb = T(s, dir, "embeddings")
+    graft.operators.Similarity.quantizedTopK(
+        emb.filter(col("vec_id") < 20), emb, k = 5)
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  val simQuantizedOracle: String =
+    """WITH n AS (
+      |  SELECT vec_id, embedding,
+      |    sqrt(list_reduce(list_transform(range(1, len(embedding) + 1),
+      |      i -> embedding[i]::DOUBLE * embedding[i]::DOUBLE), (x, y) -> x + y)) AS nrm
+      |  FROM embeddings),
+      |qz AS (
+      |  SELECT vec_id,
+      |    list_transform(range(1, len(embedding) + 1),
+      |      i -> CASE WHEN nrm = 0 THEN CAST(0 AS BIGINT)
+      |           ELSE CAST(round(127 * (embedding[i]::DOUBLE / nrm)) AS BIGINT) END) AS code
+      |  FROM n),
+      |scored AS (
+      |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+      |    list_reduce(list_transform(range(1, len(q.code) + 1),
+      |      i -> q.code[i] * c.code[i]), (x, y) -> x + y) AS dot
+      |  FROM qz q JOIN qz c ON q.vec_id < 20 AND q.vec_id <> c.vec_id),
+      |ranked AS (
+      |  SELECT query_id, neighbor_id, dot,
+      |    CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+      |      ORDER BY dot DESC, neighbor_id) AS INTEGER) AS rank
+      |  FROM scored)
+      |SELECT query_id, neighbor_id, rank, CAST(dot AS BIGINT) AS dot
+      |FROM ranked WHERE rank <= 5
+      |ORDER BY query_id, rank""".stripMargin
+
   /** Approximate top-5 via 8-bit sign-random-projection buckets + exact
     * rescoring inside the bucket. Deterministic md5-derived hyperplanes mean
     * the oracle can recompute the identical buckets in SQL.
@@ -1057,6 +1096,7 @@ object Pipeline {
     Q("winnow_fingerprints", winnowFps, Some(winnowFpsOracle)),
     Q("dedup_embedding", dedupEmbedding, Some(dedupEmbeddingOracle)),
     Q("sim_bruteforce_topk", simBruteForce, Some(simBruteForceOracle)),
+    Q("sim_quantized_topk", simQuantized, Some(simQuantizedOracle)),
     Q("sim_lsh_topk", simLsh, Some(simLshOracle)),
     Q("sim_lsh_multiprobe", simLshMultiprobe, Some(simLshMultiprobeOracle)),
     Q("sim_ivf_topk", simIvf, Some(simIvfOracle))

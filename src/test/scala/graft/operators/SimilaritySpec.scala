@@ -38,6 +38,63 @@ class SimilaritySpec extends SparkSpec {
     assert(got.toSeq === expect.toSeq)
   }
 
+  test("quantizeInt8: codes bounded by ±127, zero vector → zeros, " +
+      "unit directions hit ±127 exactly") {
+    import org.apache.spark.sql.graft.VectorFunctions
+    val df = Seq(
+      (1L, Array(1.0f, 0.0f, 0.0f)),
+      (2L, Array(0.0f, -3.5f, 0.0f)),
+      (3L, Array(0.0f, 0.0f, 0.0f)),
+      (4L, Array(1.0f, 1.0f, 1.0f, 1.0f))
+    ).toDF("vec_id", "embedding")
+    val codes = df.select(col("vec_id"),
+        VectorFunctions.quantizeInt8(col("embedding")).as("c"))
+      .as[(Long, Array[Int])].collect().toMap
+    assert(codes(1L).toSeq === Seq(127, 0, 0))
+    assert(codes(2L).toSeq === Seq(0, -127, 0))
+    assert(codes(3L).toSeq === Seq(0, 0, 0))
+    // 1/sqrt(4) = 0.5 per coordinate → round(63.5) = 64 (half away from zero)
+    assert(codes(4L).toSeq === Seq(64, 64, 64, 64))
+    val rand = vectors(50, 16, seed = 7)
+      .select(explode(VectorFunctions.quantizeInt8(col("embedding"))).as("v"))
+      .as[Int].collect()
+    assert(rand.forall(v => v >= -127 && v <= 127))
+  }
+
+  test("dotInt: exact integer dot; null on length mismatch") {
+    import org.apache.spark.sql.graft.VectorFunctions
+    val out = Seq((Array(1, -2, 3), Array(4, 5, -6)))
+      .toDF("a", "b")
+      .select(VectorFunctions.dotInt(col("a"), col("b")).as("d"))
+      .as[Long].head()
+    assert(out === (4 - 10 - 18).toLong)
+    val mism = Seq((Array(1, 2), Array(1, 2, 3))).toDF("a", "b")
+      .select(VectorFunctions.dotInt(col("a"), col("b")).as("d"))
+      .collect()
+    assert(mism.head.isNullAt(0))
+  }
+
+  test("quantizedTopK ranks close to exact cosine top-k (high recall)") {
+    val df = vectors(60, 16, seed = 11).cache()
+    val exact = Similarity.bruteForceTopK(df.filter(col("vec_id") < 5), df, k = 5)
+      .select("query_id", "neighbor_id")
+      .as[(Long, Long)].collect().toSet
+    val quant = Similarity.quantizedTopK(df.filter(col("vec_id") < 5), df, k = 5)
+      .select("query_id", "neighbor_id")
+      .as[(Long, Long)].collect().toSet
+    // int8 quantization of 16-dim unit vectors perturbs cosine by ~1/127 —
+    // the overwhelming majority of true top-5 neighbors must survive.
+    val recall = (exact & quant).size.toDouble / exact.size
+    assert(recall >= 0.8, s"recall $recall")
+    // scores are exact integers and symmetric quantization keeps self-rank:
+    // dot of a code vector with itself is the max for that direction
+    val self = Similarity.quantizedTopK(df.filter(col("vec_id") < 2), df,
+        k = 1, includeSelf = true)
+      .filter(col("rank") === 1).select("query_id", "neighbor_id")
+      .as[(Long, Long)].collect()
+    assert(self.forall(p => p._1 == p._2))
+  }
+
   test("srpBucket is deterministic and within [0, 2^bits)") {
     val df = vectors(50, 8, seed = 2)
     val b1 = df.select(Similarity.srpBucket(col("embedding"), 6).as("b")).as[Long].collect()
