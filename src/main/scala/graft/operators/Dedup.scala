@@ -366,6 +366,56 @@ object Dedup {
       .select(col("id_a"), col("id_b")).distinct()
   }
 
+  /** Two-table fuzzy (record-linkage) join: pairs (left row, right row)
+    * whose word-k-shingle sets have Jaccard >= `threshold` — the
+    * entity-resolution shape (same title worded slightly differently across
+    * two catalogs, near-identical documents across two crawls) where neither
+    * side is a subset of the other, so symmetric Jaccard is the right score
+    * (vs [[containmentPairs]]' asymmetric needle coverage).
+    *
+    * Scale shape: both sides become inverted-index postings keyed by 8-byte
+    * shingle fingerprints; candidates come from ONE equality join between
+    * the two posting sets (never a cartesian product), intersections are
+    * counted in a single partial-aggregated groupBy, and set sizes join
+    * back by id. `maxDocFreq` caps the df of indexed shingles ON EACH SIDE
+    * — a stop-shingle in f_L left and f_R right rows contributes f_L·f_R
+    * join rows, so at corpus scale ALWAYS set it (a shingle that common
+    * carries no linkage signal anyway).
+    * Output: (left_id, right_id, jaccard) — exact integer-ratio doubles.
+    */
+  def jaccardJoin(left: DataFrame, lId: Column, lText: Column,
+      right: DataFrame, rId: Column, rText: Column,
+      shingleK: Int = 3, threshold: Double = 0.8,
+      maxDocFreq: Option[Long] = None): DataFrame = {
+    def postings(df: DataFrame, id: Column, text: Column, name: String) = {
+      val sets = widen(df.select(id.as(name), text.as("__t")))
+        .select(col(name), HashFunctions.wordShingleSet(
+          TextFunctions.tokensWs(col("__t")), shingleK).as("set"))
+      val post0 = sets.select(col(name), size(col("set")).as(s"__sz_$name"),
+          explode(col("set")).as("s"))
+        .select(col(name), col(s"__sz_$name"),
+          TextFunctions.fingerprint64(col("s")).as("sfp"))
+      val post = maxDocFreq.fold(post0) { m =>
+        val keep = post0.groupBy(col("sfp")).agg(count(lit(1)).as("df"))
+          .filter(col("df") <= m).select(col("sfp"))
+        post0.join(keep, Seq("sfp"))
+      }
+      (post, sets.select(col(name), size(col("set")).as(s"__sz_$name")))
+    }
+    val (lPost, lSizes) = postings(left, lId, lText, "left_id")
+    val (rPost, rSizes) = postings(right, rId, rText, "right_id")
+    lPost.select(col("sfp"), col("left_id"))
+      .join(rPost.select(col("sfp"), col("right_id")), Seq("sfp"))
+      .groupBy(col("left_id"), col("right_id"))
+      .agg(count(lit(1)).as("inter"))
+      .join(lSizes, Seq("left_id"))
+      .join(rSizes, Seq("right_id"))
+      .withColumn("jaccard", col("inter").cast("double") /
+        (col("__sz_left_id") + col("__sz_right_id") - col("inter")).cast("double"))
+      .filter(col("jaccard") >= threshold)
+      .select(col("left_id"), col("right_id"), col("jaccard"))
+  }
+
   /** Containment (decontamination) join: for every needle document, the
     * corpus documents containing at least `threshold` of the needle's
     * k-shingles — `|S(needle) ∩ S(doc)| / |S(needle)|`. Asymmetric on

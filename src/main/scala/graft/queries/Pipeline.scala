@@ -1020,6 +1020,44 @@ object Pipeline {
       |GROUP BY doc_id
       |ORDER BY doc_id""".stripMargin
 
+  // ------------------------------------------------------ fuzzy (linkage) join
+
+  /** Two-table fuzzy join across the corpus halves (doc_id < 250 vs >= 250):
+    * cross-half near-duplicate pairs at word-3-shingle Jaccard >= 0.9 — the
+    * record-linkage shape over the same planted near-dups the self-join
+    * queries use, but via [[Dedup.jaccardJoin]]'s two-sided posting join.
+    */
+  def fuzzyJoin(s: SparkSession, dir: String): DataFrame = {
+    val docs = T(s, dir, "documents")
+    graft.operators.Dedup.jaccardJoin(
+        docs.filter(col("doc_id") < 250), col("doc_id"), col("text"),
+        docs.filter(col("doc_id") >= 250), col("doc_id"), col("text"),
+        shingleK = 3, threshold = 0.9)
+      .orderBy(col("left_id"), col("right_id"))
+  }
+
+  val fuzzyJoinOracle: String =
+    s"""WITH $shingleSetsSql,
+       |l AS (SELECT doc_id, s FROM sets WHERE doc_id < 250),
+       |r AS (SELECT doc_id, s FROM sets WHERE doc_id >= 250),
+       |lp AS (SELECT doc_id, unnest(s) AS sp FROM l),
+       |rp AS (SELECT doc_id, unnest(s) AS sp FROM r),
+       |pairs AS (
+       |  SELECT a.doc_id AS left_id, b.doc_id AS right_id, COUNT(*) AS inter
+       |  FROM lp a JOIN rp b ON a.sp = b.sp
+       |  GROUP BY 1, 2),
+       |scored AS (
+       |  SELECT left_id, right_id,
+       |    CAST(inter AS DOUBLE) /
+       |      CAST(len(sl.s) + len(sr.s) - inter AS DOUBLE) AS jaccard
+       |  FROM pairs
+       |  JOIN l sl ON sl.doc_id = left_id
+       |  JOIN r sr ON sr.doc_id = right_id)
+       |SELECT left_id, right_id, jaccard
+       |FROM scored
+       |WHERE jaccard >= 0.9
+       |ORDER BY left_id, right_id""".stripMargin
+
   // --------------------------------------------- repeated-substring removal
 
   /** Cross-document repeated-substring spans (64-char tiles, stride 32,
@@ -1070,6 +1108,7 @@ object Pipeline {
   val all: Seq[Q] = Seq(
     Q("pack_sequences", packSequences, Some(packSequencesOracle)),
     Q("repeated_substrings", repeatedSubstrings, Some(repeatedSubstringsOracle)),
+    Q("fuzzy_join", fuzzyJoin, Some(fuzzyJoinOracle)),
     Q("segment_dedup", segmentDedupQ, Some(segmentDedupOracle)),
     Q("vocab_coverage", vocabCoverageQ, Some(vocabCoverageOracle)),
     Q("dedup_exact", dedupExact, Some(dedupExactOracle)),

@@ -283,6 +283,49 @@ class DedupSpec extends SparkSpec {
     assert(got.toSeq === expect.toSeq)
   }
 
+  test("jaccardJoin links near-identical rows across two tables") {
+    val catalogA = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "an entirely unrelated description of a product")
+    ).toDF("id", "name")
+    val catalogB = Seq(
+      (10L, "the quick brown fox jumps over the lazy cat"), // near dup of A:1
+      (11L, "the quick brown fox jumps over the lazy dog"), // exact dup of A:1
+      (12L, "nothing in common with anything at all here")
+    ).toDF("key", "title")
+    val pairs = Dedup.jaccardJoin(
+        catalogA, col("id"), col("name"),
+        catalogB, col("key"), col("title"), shingleK = 3, threshold = 0.5)
+      .orderBy("left_id", "right_id")
+      .as[(Long, Long, Double)].collect()
+    assert(pairs.map(p => (p._1, p._2)) === Array((1L, 10L), (1L, 11L)))
+    val exact = pairs.find(_._2 == 11L).get
+    assert(exact._3 === 1.0)
+    val near = pairs.find(_._2 == 10L).get
+    assert(near._3 > 0.5 && near._3 < 1.0)
+  }
+
+  test("jaccardJoin maxDocFreq drops stop-shingles from both indexes") {
+    // A shingle present in EVERY row of both sides ("common common common")
+    // would contribute |L|x|R| join rows; capped at df<=1 it is never
+    // indexed, and the surviving rare shingles still link the true pair.
+    val l = Seq(
+      (1L, "common common common alpha beta gamma"),
+      (2L, "common common common one two three")
+    ).toDF("id", "t")
+    val r = Seq(
+      (10L, "common common common alpha beta gamma"),
+      (11L, "common common common four five six")
+    ).toDF("id", "t")
+    val pairs = Dedup.jaccardJoin(l, col("id"), col("t"),
+        r, col("id"), col("t"), shingleK = 3, threshold = 0.5,
+        maxDocFreq = Some(1L))
+      .as[(Long, Long, Double)].collect()
+    // with the ubiquitous shingles capped away, only (1,10) shares the
+    // rare "alpha beta gamma"-side shingles
+    assert(pairs.map(p => (p._1, p._2)).toSet === Set((1L, 10L)))
+  }
+
   // Shared boilerplate so tile positions are easy to reason about: docs 1
   // and 2 share a 24-char run ("AAAA...") placed at DIFFERENT offsets (so
   // aligned segmenting would miss it); doc 3 is unrelated; doc 4 is too
