@@ -1,0 +1,41 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graft.LayoutFunctions
+
+/** Physical-layout operators: how rows are ordered into files decides which
+  * files a 100 TB scan can SKIP. Parquet keeps per-row-group min/max stats;
+  * a table range-partitioned and sorted by a clustering key turns a
+  * predicate on that key into file/row-group pruning instead of a full scan.
+  *
+  * Z-ordering extends that to TWO dimensions at once: sorting by the Morton
+  * interleave of (a, b) keeps rows that are close in both columns physically
+  * adjacent, so each file covers a small rectangle of (a, b) space and
+  * predicates on EITHER column skip most files — where a lexicographic sort
+  * (a, b) prunes only on `a`.
+  */
+object Layout {
+
+  /** Z-order clustering key for two integral columns. */
+  def zOrderKey(a: Column, b: Column): Column = LayoutFunctions.zOrderKey(a, b)
+
+  /** Returns `df` redistributed and ordered for a Z-clustered write:
+    * range-partitioned into `numFiles` slices of the z-curve, each slice
+    * sorted by z. Write the result with any file sink; each output file then
+    * covers a compact rectangle in (a, b). The z column is internal and
+    * dropped.
+    *
+    * The single range exchange samples z-keys to build balanced bounds (no
+    * skew pile-up on hot key prefixes); this is the same shuffle a plain
+    * global sort would pay, so Z-clustering costs nothing extra over
+    * sort-on-write.
+    */
+  def zorder(df: DataFrame, a: Column, b: Column, numFiles: Int): DataFrame = {
+    require(numFiles > 0, s"numFiles must be positive, got $numFiles")
+    df.withColumn("__z", zOrderKey(a, b))
+      .repartitionByRange(numFiles, col("__z"))
+      .sortWithinPartitions(col("__z"))
+      .drop("__z")
+  }
+}

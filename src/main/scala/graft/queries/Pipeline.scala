@@ -1020,6 +1020,55 @@ object Pipeline {
       |GROUP BY doc_id
       |ORDER BY doc_id""".stripMargin
 
+  // ----------------------------------------------------------- z-order layout
+
+  /** Z-order (Morton) clustering key over (o_custkey, o_orderkey): the
+    * write-layout primitive behind [[graft.operators.Layout.zorder]] —
+    * sorting by this key packs each output file into a compact rectangle of
+    * the two-column space so min/max stats prune scans on either column.
+    * The oracle recomputes the 31-bit interleave with per-bit shifts.
+    */
+  def zorderKeyQ(s: SparkSession, dir: String): DataFrame =
+    T(s, dir, "orders")
+      .filter(col("o_orderkey") <= 5000)
+      .select(col("o_orderkey"),
+        graft.operators.Layout.zOrderKey(col("o_custkey"), col("o_orderkey"))
+          .as("z"))
+      .orderBy(col("o_orderkey"))
+
+  val zorderKeyOracle: String =
+    """SELECT o_orderkey,
+      |  CAST(list_reduce(list_transform(range(0, 31), i ->
+      |    (((CAST(o_custkey AS BIGINT) >> i) & 1) << (2 * i)) +
+      |    (((CAST(o_orderkey AS BIGINT) >> i) & 1) << (2 * i + 1))),
+      |    (x, y) -> x + y) AS BIGINT) AS z
+      |FROM orders
+      |WHERE o_orderkey <= 5000
+      |ORDER BY o_orderkey""".stripMargin
+
+  // ----------------------------------------------------------- token counting
+
+  /** Token-budget estimation per document: whitespace tokens next to the
+    * BPE-ish regex pieces (letter runs / digit runs / single symbols) — the
+    * two standard cheap proxies when a real subword tokenizer is
+    * unavailable. Map-only: both counts are codegen'd regex builtins.
+    */
+  def tokenCounts(s: SparkSession, dir: String): DataFrame =
+    T(s, dir, "documents")
+      .select(col("doc_id"),
+        TextFunctions.tokenCountWs(col("text")).cast("long").as("n_tok_ws"),
+        TextFunctions.tokenCountBpe(col("text")).cast("long").as("n_tok_bpe"))
+      .orderBy(col("doc_id"))
+
+  val tokenCountsOracle: String =
+    """SELECT doc_id,
+      |  CAST(CASE WHEN trim(text) = '' THEN 0
+      |       ELSE len(string_split_regex(trim(text), '\s+')) END AS BIGINT) AS n_tok_ws,
+      |  CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS BIGINT)
+      |    AS n_tok_bpe
+      |FROM documents
+      |ORDER BY doc_id""".stripMargin
+
   // ------------------------------------------------------ fuzzy (linkage) join
 
   /** Two-table fuzzy join across the corpus halves (doc_id < 250 vs >= 250):
@@ -1109,6 +1158,8 @@ object Pipeline {
     Q("pack_sequences", packSequences, Some(packSequencesOracle)),
     Q("repeated_substrings", repeatedSubstrings, Some(repeatedSubstringsOracle)),
     Q("fuzzy_join", fuzzyJoin, Some(fuzzyJoinOracle)),
+    Q("token_counts", tokenCounts, Some(tokenCountsOracle)),
+    Q("zorder_key", zorderKeyQ, Some(zorderKeyOracle)),
     Q("segment_dedup", segmentDedupQ, Some(segmentDedupOracle)),
     Q("vocab_coverage", vocabCoverageQ, Some(vocabCoverageOracle)),
     Q("dedup_exact", dedupExact, Some(dedupExactOracle)),

@@ -1,0 +1,56 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graft.InterleaveBits
+import graft.SparkSpec
+
+class LayoutSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("interleave matches a per-bit reference and is order-preserving per quadrant") {
+    def reference(a: Long, b: Long): Long = {
+      var z = 0L
+      for (i <- 0 until 31)
+        z |= (((a >> i) & 1L) << (2 * i)) | (((b >> i) & 1L) << (2 * i + 1))
+      z
+    }
+    val probes = Seq(
+      (0L, 0L), (1L, 0L), (0L, 1L), (1L, 1L),
+      (0x7fffffffL, 0x7fffffffL), (12345L, 67890L), (-1L, 5L))
+    for ((a, b) <- probes)
+      assert(InterleaveBits.interleave(a, b) === reference(a, b), s"($a, $b)")
+    // low half of both dims sorts before high half of both dims
+    assert(InterleaveBits.interleave(3, 3) < InterleaveBits.interleave(4, 4))
+  }
+
+  test("zOrderKey evaluates in codegen over a DataFrame") {
+    val got = Seq((3L, 5L)).toDF("a", "b")
+      .select(Layout.zOrderKey(col("a"), col("b")).as("z")).as[Long].head()
+    // 3 = 0b11 spread to 0b0101; 5 = 0b101 spread to 0b010001, shifted left 1
+    assert(got === (InterleaveBits.spread(3) | (InterleaveBits.spread(5) << 1)))
+    assert(got === 0x27L) // 0b100111: bits a0,a1 at 0,2; b0,b2 at 1,5
+  }
+
+  test("zorder clustering packs each output slice into a small rectangle") {
+    // 32x32 grid of points, 16 output files: a z-sorted layout should give
+    // every slice a bounding box far smaller than the full grid, so a
+    // predicate on either x or y can skip most files via min/max stats.
+    val grid = (for { x <- 0 until 32; y <- 0 until 32 } yield (x, y))
+      .toDF("x", "y")
+    val sliced = Layout.zorder(grid, col("x"), col("y"), numFiles = 16)
+      .withColumn("pid", spark_partition_id())
+      .groupBy("pid")
+      .agg((max("x") - min("x")).as("dx"), (max("y") - min("y")).as("dy"),
+        count(lit(1)).as("n"))
+      .as[(Int, Int, Int, Long)].collect()
+    assert(sliced.length === 16)
+    // balanced slices (range partitioner samples the z keys)
+    assert(sliced.forall(s => s._4 >= 32 && s._4 <= 128), sliced.mkString(","))
+    // nearly every slice's bounding box covers at most half of each axis —
+    // a lexicographic (x, y) sort would leave dy = 31 for EVERY slice. (A
+    // slice whose sampled range bound straddles the top-level z boundary
+    // can span a full axis; with 16 slices that's at most 1–2 of them.)
+    val compact = sliced.count(s => s._2 <= 15 && s._3 <= 15)
+    assert(compact >= 13, sliced.mkString(","))
+  }
+}
