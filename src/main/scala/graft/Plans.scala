@@ -15,7 +15,8 @@ object Plans {
       "q01_pricing_summary", "q02_revenue_by_nation", "q20_range_join",
       "dedup_exact", "dedup_minhash_lsh", "dedup_ngram_jaccard",
       "sim_bruteforce_topk", "sim_ivf_topk", "sample_per_class",
-      "decontaminate")
+      "decontaminate", "repeated_substrings", "fuzzy_join",
+      "sim_quantized_topk", "zorder_key")
     val spark = SparkSession.builder().master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.ui.enabled", "false").getOrCreate()
