@@ -1,0 +1,74 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** The composite document-quality gate (the C4/Gopher-style pre-training
+  * filter): every heuristic the engine already computes — token counts,
+  * stopword density, punctuation density, token-length shape, within-doc
+  * segment repetition — evaluated as ONE pipeline that returns, per
+  * document, whether it survives and WHICH rules rejected it. Keeping the
+  * reasons is the operational half of corpus curation: rule hit-rates are
+  * how thresholds get audited and tuned at 100 TB, where "it dropped 40% of
+  * crawl X" must be explainable.
+  *
+  * Scale shape: the stats side is the one-pass codegen'd TextStats
+  * projection (map-only); repetition adds its per-doc segment aggregation
+  * (shuffles (id, segment) pairs, nothing corpus-wide); the two meet in a
+  * single equi-join on id. Rule evaluation is pure projection.
+  */
+object QualityFilter {
+
+  /** Rejection thresholds; defaults are deliberately mild — tune per corpus
+    * by auditing reason hit-rates (`filterWithReasons(...).groupBy(reasons)`).
+    */
+  case class Thresholds(
+      minTokens: Long = 10,
+      maxTokens: Long = 1000000,
+      minStopRatio: Double = 0.01,
+      maxPunctRatio: Double = 0.5,
+      minMeanTokLen: Double = 2.0,
+      maxMeanTokLen: Double = 12.0,
+      maxDupFrac: Double = 0.3,
+      maxTopFrac: Double = 0.9)
+
+  /** Per-document verdict: (id, kept, reasons) with `reasons` the rule
+    * names that fired, in fixed rule order (empty array = kept).
+    */
+  def filterWithReasons(df: DataFrame, id: Column, text: Column,
+      th: Thresholds = Thresholds()): DataFrame = {
+    val none = array().cast("array<string>")
+    def rule(cond: Column, name: String): Column =
+      when(cond, array(lit(name))).otherwise(none)
+
+    val stats = df.select(id.as("id"),
+        org.apache.spark.sql.graft.TextStats.textStats(text).as("ts"))
+      .select(col("id"), col("ts.n_tok").as("n_tok"),
+        col("ts.stop_ratio").as("stop_ratio"),
+        col("ts.punct_ratio").as("punct_ratio"),
+        col("ts.mean_tok_len").as("mean_tok_len"))
+    val rep = TextIndex.repetitionStats(df, id, text)
+      .select(col("id"), col("n_seg"), col("dup_frac"), col("top_frac"))
+
+    stats.join(rep, Seq("id"))
+      .withColumn("reasons", concat(
+        rule(col("n_tok") < th.minTokens, "too_few_tokens"),
+        rule(col("n_tok") > th.maxTokens, "too_many_tokens"),
+        rule(col("stop_ratio") < th.minStopRatio, "low_stopword_ratio"),
+        rule(col("punct_ratio") > th.maxPunctRatio, "high_punct_ratio"),
+        rule(col("mean_tok_len") < th.minMeanTokLen ||
+          col("mean_tok_len") > th.maxMeanTokLen, "mean_tok_len_out_of_range"),
+        rule(col("dup_frac") > th.maxDupFrac, "repeated_segments"),
+        // a dominant segment only means something once there are several
+        rule(col("n_seg") > 1 && col("top_frac") > th.maxTopFrac,
+          "dominant_segment")))
+      .select(col("id"), (size(col("reasons")) === 0).as("kept"), col("reasons"))
+  }
+
+  /** Surviving documents only — the composition most pipelines want. */
+  def filter(df: DataFrame, id: Column, text: Column,
+      th: Thresholds = Thresholds()): DataFrame =
+    df.join(filterWithReasons(df, id, text, th).filter(col("kept"))
+        .select(col("id").as("__keep_id")),
+      id === col("__keep_id"), "left_semi")
+}

@@ -1020,6 +1020,70 @@ object Pipeline {
       |GROUP BY doc_id
       |ORDER BY doc_id""".stripMargin
 
+  // ------------------------------------------------------ composite quality gate
+
+  /** The full C4-style quality gate as one pipeline: every doc gets a
+    * kept/dropped verdict plus the ordered list of rules that rejected it
+    * (reason hit-rates are how thresholds get audited at scale). Thresholds
+    * chosen to actually exercise the token-count, stopword, and
+    * token-length rules on this corpus.
+    */
+  def qualityFilterQ(s: SparkSession, dir: String): DataFrame =
+    graft.operators.QualityFilter.filterWithReasons(
+        T(s, dir, "documents"), col("doc_id"), col("text"),
+        graft.operators.QualityFilter.Thresholds(
+          minTokens = 20, maxTokens = 1000000,
+          minStopRatio = 0.02, maxPunctRatio = 0.5,
+          minMeanTokLen = 3.0, maxMeanTokLen = 5.0,
+          maxDupFrac = 0.2, maxTopFrac = 0.9))
+      .select(col("id").as("doc_id"), col("kept"),
+        array_join(col("reasons"), ",").as("reasons"))
+      .orderBy(col("doc_id"))
+
+  val qualityFilterOracle: String =
+    s"""WITH t AS (
+       |  SELECT doc_id, text,
+       |    CASE WHEN len(trim(text)) = 0 THEN []::VARCHAR[]
+       |         ELSE string_split_regex(trim(text), '\\s+') END AS toks
+       |  FROM documents
+       |), m AS (
+       |  SELECT doc_id,
+       |    len(toks) AS n_tok,
+       |    CASE WHEN length(text) = 0 THEN 0.0
+       |         ELSE CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) AS DOUBLE)
+       |              / CAST(length(text) AS DOUBLE) END AS punct_ratio,
+       |    CASE WHEN len(toks) = 0 THEN 0.0
+       |         ELSE CAST(len(list_filter(toks, x -> list_contains($swEn, x))) AS DOUBLE)
+       |              / CAST(len(toks) AS DOUBLE) END AS stop_ratio,
+       |    CASE WHEN len(toks) = 0 THEN 0.0
+       |         ELSE CAST(list_sum(list_transform(toks, x -> length(x))) AS DOUBLE)
+       |              / CAST(len(toks) AS DOUBLE) END AS mean_tok_len
+       |  FROM t
+       |), segs AS (
+       |  SELECT doc_id, unnest(string_split_regex(text, '\\. ')) AS seg FROM documents),
+       |sc AS (SELECT doc_id, seg, COUNT(*) AS n FROM segs GROUP BY 1, 2),
+       |rep AS (
+       |  SELECT doc_id, SUM(n) AS n_seg,
+       |    CAST(SUM(n) - COUNT(*) AS DOUBLE) / CAST(SUM(n) AS DOUBLE) AS dup_frac,
+       |    CAST(MAX(n) AS DOUBLE) / CAST(SUM(n) AS DOUBLE) AS top_frac
+       |  FROM sc GROUP BY doc_id),
+       |r AS (
+       |  SELECT m.doc_id,
+       |    concat_ws(',',
+       |      CASE WHEN n_tok < 20 THEN 'too_few_tokens' END,
+       |      CASE WHEN n_tok > 1000000 THEN 'too_many_tokens' END,
+       |      CASE WHEN stop_ratio < 0.02 THEN 'low_stopword_ratio' END,
+       |      CASE WHEN punct_ratio > 0.5 THEN 'high_punct_ratio' END,
+       |      CASE WHEN mean_tok_len < 3.0 OR mean_tok_len > 5.0
+       |           THEN 'mean_tok_len_out_of_range' END,
+       |      CASE WHEN dup_frac > 0.2 THEN 'repeated_segments' END,
+       |      CASE WHEN n_seg > 1 AND top_frac > 0.9 THEN 'dominant_segment' END
+       |    ) AS reasons
+       |  FROM m JOIN rep ON rep.doc_id = m.doc_id)
+       |SELECT doc_id, reasons = '' AS kept, reasons
+       |FROM r
+       |ORDER BY doc_id""".stripMargin
+
   // ----------------------------------------------------------- z-order layout
 
   /** Z-order (Morton) clustering key over (o_custkey, o_orderkey): the
@@ -1160,6 +1224,7 @@ object Pipeline {
     Q("fuzzy_join", fuzzyJoin, Some(fuzzyJoinOracle)),
     Q("token_counts", tokenCounts, Some(tokenCountsOracle)),
     Q("zorder_key", zorderKeyQ, Some(zorderKeyOracle)),
+    Q("quality_filter", qualityFilterQ, Some(qualityFilterOracle)),
     Q("segment_dedup", segmentDedupQ, Some(segmentDedupOracle)),
     Q("vocab_coverage", vocabCoverageQ, Some(vocabCoverageOracle)),
     Q("dedup_exact", dedupExact, Some(dedupExactOracle)),

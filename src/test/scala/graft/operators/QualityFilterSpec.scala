@@ -1,0 +1,64 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+class QualityFilterSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val th = QualityFilter.Thresholds(
+    minTokens = 4, maxTokens = 20, minStopRatio = 0.0, maxPunctRatio = 0.4,
+    minMeanTokLen = 2.0, maxMeanTokLen = 8.0, maxDupFrac = 0.3,
+    maxTopFrac = 0.6)
+
+  private val docs = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog"), // clean
+    (2L, "hi"),                                           // too few tokens
+    (3L, "!!! ??? ... !!! ??? abc def ghi"),              // punct-heavy
+    (4L, "same thing here. same thing here. same thing here. other bit"), // repeated segments
+    (5L, "one " * 25)                                     // too many tokens
+  ).toDF("doc_id", "text")
+
+  test("each rule fires on its planted document, with the right reason") {
+    val out = QualityFilter.filterWithReasons(docs, col("doc_id"), col("text"), th)
+      .select(col("id"), col("kept"), col("reasons"))
+      .as[(Long, Boolean, Seq[String])].collect()
+      .map(r => r._1 -> r).toMap
+    assert(out(1L)._2 === true && out(1L)._3.isEmpty)
+    assert(out(2L)._2 === false && out(2L)._3.contains("too_few_tokens"))
+    assert(out(3L)._2 === false && out(3L)._3.contains("high_punct_ratio"))
+    assert(out(4L)._2 === false && out(4L)._3.contains("repeated_segments"))
+    assert(out(5L)._2 === false && out(5L)._3.contains("too_many_tokens"))
+  }
+
+  test("dominant_segment needs more than one segment") {
+    // one segment repeated 3 of 4 times: top_frac = 0.75 > 0.6 with n_seg=4
+    val dom = Seq((1L, "aa bb. aa bb. aa bb. cc dd")).toDF("doc_id", "text")
+    val loose = th.copy(minTokens = 1, maxDupFrac = 1.0)
+    val reasons = QualityFilter.filterWithReasons(dom, col("doc_id"), col("text"), loose)
+      .select(col("reasons")).as[Seq[String]].head()
+    assert(reasons.contains("dominant_segment"))
+    // a single-segment doc (top_frac = 1.0 by construction) must NOT fire it
+    val single = Seq((1L, "just one segment of ordinary text here")).toDF("doc_id", "text")
+    val r2 = QualityFilter.filterWithReasons(single, col("doc_id"), col("text"), loose)
+      .select(col("reasons")).as[Seq[String]].head()
+    assert(!r2.contains("dominant_segment"))
+  }
+
+  test("filter keeps exactly the kept ids with original columns") {
+    val kept = QualityFilter.filter(docs, col("doc_id"), col("text"), th)
+      .select(col("doc_id")).as[Long].collect().sorted
+    assert(kept === Array(1L))
+  }
+
+  test("reasons appear in fixed rule order") {
+    val multi = Seq((1L, "x!")).toDF("doc_id", "text") // few tokens + punct + short tokens
+    val loose = th.copy(maxPunctRatio = 0.1)
+    val reasons = QualityFilter.filterWithReasons(multi, col("doc_id"), col("text"), loose)
+      .select(col("reasons")).as[Seq[String]].head()
+    assert(reasons === reasons.sortBy(Seq("too_few_tokens", "too_many_tokens",
+      "low_stopword_ratio", "high_punct_ratio", "mean_tok_len_out_of_range",
+      "repeated_segments", "dominant_segment").indexOf))
+    assert(reasons.head === "too_few_tokens")
+  }
+}

@@ -127,4 +127,38 @@ class PlanSpec extends SparkSpec {
     assert("Exchange".r.findAllIn(p).size <= 2, p) // tree + detail section
     assert(!p.contains("Exchange hashpartitioning"), p)
   }
+
+  test("repeated_substrings: window partitions by doc id, never corpus-wide") {
+    val p = plan(Pipeline.repeatedSubstrings(spark, dir))
+    // every Window node's partition spec keys on the per-document id — its
+    // input is one doc's tiles, not the corpus
+    assert(p.contains("Window"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    // duplicated-fp discovery and marking join on the compact fp column
+    assert(p.contains("LeftSemi"), p)
+  }
+
+  test("fuzzy_join: single posting equality join, no cartesian, dims broadcast") {
+    val p = plan(Pipeline.fuzzyJoin(spark, dir))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"), p)
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 1, p)
+  }
+
+  test("sim_quantized_topk: probes broadcast; bounded top-k agg, no window") {
+    val p = plan(Pipeline.simQuantized(spark, dir))
+    assert(p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("Window"), p)
+    assert("ObjectHashAggregate".r.findAllIn(p).size >= 2, p) // partial + final
+  }
+
+  test("zorder key: map-only projection over the pruned scan") {
+    val df = T(spark, dir, "orders")
+      .filter(org.apache.spark.sql.functions.col("o_orderkey") <= 5000)
+      .select(graft.operators.Layout.zOrderKey(
+        org.apache.spark.sql.functions.col("o_custkey"),
+        org.apache.spark.sql.functions.col("o_orderkey")).as("z"))
+    val p = plan(df)
+    assert(p.contains("PushedFilters: [IsNotNull(o_orderkey), LessThanOrEqual(o_orderkey"), p)
+    assert(!p.contains("Exchange"), p)
+  }
 }
