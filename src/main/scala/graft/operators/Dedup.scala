@@ -139,6 +139,86 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }
 
+  /** Carried state for [[minHashIncremental]]: the LSH band table and the
+    * shingle-fingerprint postings of every document admitted so far. Both
+    * are compact long-rows (band keys ~20 B, postings 8 B/shingle) — the
+    * admitted corpus TEXT is never part of the state, which is what makes
+    * continuous near-dup ingestion O(batch), not O(corpus): persist both
+    * tables partitioned/bucketed by their join key between runs.
+    */
+  final case class NearDupState(bands: DataFrame, postings: DataFrame)
+
+  object NearDupState {
+    /** Bootstrap state from an already-deduplicated corpus. */
+    def build(corpus: DataFrame, id: Column, text: Column,
+        shingleK: Int = 3, numHashes: Int = 128, bands: Int = 16): NearDupState =
+      NearDupState(
+        lshBands(corpus, id, text, shingleK, numHashes, bands),
+        shinglePostings(widen(corpus.select(id.as("id"), text.as("__t")))
+          .select(col("id"), HashFunctions.wordShingleSet(
+            TextFunctions.tokensWs(col("__t")), shingleK).as("set"))))
+  }
+
+  /** Incremental near-duplicate dedup for continuous ingestion — the
+    * MinHash analogue of [[exactIncremental]]. The fresh batch first
+    * collapses internally (LSH candidate pairs verified by exact Jaccard →
+    * connected components → min-id representative); surviving
+    * representatives are then checked against the admitted corpus via a
+    * band-collision join against `state.bands`, with candidates verified by
+    * exact Jaccard computed from the posting intersection (state postings,
+    * never state text). Returns (survivor rows, updated state).
+    *
+    * Scale shape: every join keys on ~8–20-byte hashes; the fresh batch's
+    * text is read once for signatures/postings; the admitted corpus is
+    * touched only through its band and posting tables. Cross-verification
+    * cost is bounded by band collisions, not |batch|×|corpus|.
+    */
+  def minHashIncremental(fresh: DataFrame, id: Column, text: Column,
+      state: NearDupState, shingleK: Int = 3, numHashes: Int = 128,
+      bands: Int = 16, threshold: Double = 0.8): (DataFrame, NearDupState) = {
+    // 1. within-batch collapse: verified pairs → components → min-id reps
+    val pairs = minHashPairs(fresh, id, text, shingleK, numHashes, bands, threshold)
+    val nonReps = components(pairs)
+      .filter(col("id") =!= col("component"))
+      .select(col("id").as("__nonrep_id"))
+    val reps = fresh.join(nonReps, id === col("__nonrep_id"), "left_anti")
+
+    // 2. compact representations of the representatives
+    val repBands = lshBands(reps, id, text, shingleK, numHashes, bands)
+    val repPost = shinglePostings(widen(reps.select(id.as("id"), text.as("__t")))
+      .select(col("id"), HashFunctions.wordShingleSet(
+        TextFunctions.tokensWs(col("__t")), shingleK).as("set")))
+
+    // 3. candidates against the corpus: band-collision equality join
+    val cand = repBands.select(col("band"), col("band_key"), col("id").as("fresh_id"))
+      .join(state.bands.select(col("band"), col("band_key"), col("id").as("state_id")),
+        Seq("band", "band_key"))
+      .select(col("fresh_id"), col("state_id")).distinct()
+
+    // 4. verify candidates by exact Jaccard from posting intersections:
+    //    prune both posting sides to candidate ids first so the sfp join
+    //    touches only colliding documents
+    val fPost = repPost.select(col("id").as("fresh_id"), col("sz").as("fsz"), col("sfp"))
+      .join(cand.select(col("fresh_id")).distinct(), Seq("fresh_id"), "left_semi")
+    val sPost = state.postings
+      .select(col("id").as("state_id"), col("sz").as("ssz"), col("sfp"))
+      .join(cand.select(col("state_id")).distinct(), Seq("state_id"), "left_semi")
+    val matched = fPost.join(sPost, Seq("sfp"))
+      .join(cand, Seq("fresh_id", "state_id"), "left_semi")
+      .groupBy(col("fresh_id"), col("state_id"), col("fsz"), col("ssz"))
+      .agg(count(lit(1)).as("inter"))
+      .filter(col("inter").cast("double") /
+        (col("fsz") + col("ssz") - col("inter")).cast("double") >= threshold)
+      .select(col("fresh_id")).distinct()
+
+    val survivors = reps.join(matched, id === col("fresh_id"), "left_anti")
+    val survBands = repBands.join(matched, col("id") === col("fresh_id"), "left_anti")
+    val survPost = repPost.join(matched, col("id") === col("fresh_id"), "left_anti")
+    (survivors, NearDupState(
+      state.bands.unionAll(survBands),
+      state.postings.unionAll(survPost)))
+  }
+
   /** Connected components over a near-duplicate pair graph by iterative
     * min-label propagation: every node starts labeled with its own id; each
     * round replaces a node's label with the minimum of its own and its

@@ -1020,6 +1020,62 @@ object Pipeline {
       |GROUP BY doc_id
       |ORDER BY doc_id""".stripMargin
 
+  // ------------------------------------------------- incremental near-dup dedup
+
+  /** Continuous-ingestion near-dup dedup: docs < 250 are the admitted
+    * corpus (state = band + posting tables, no text), docs >= 250 arrive as
+    * a fresh batch. The batch collapses internally (components, min-id rep)
+    * then reps near-matching the corpus are dropped. LSH recall is exactly
+    * 1 on this corpus and verification makes precision 1 (same argument as
+    * `dedup_minhash_lsh`), so the oracle is the exact-Jaccard replay.
+    */
+  def dedupIncremental(s: SparkSession, dir: String): DataFrame = {
+    val docs = T(s, dir, "documents")
+    val state = graft.operators.Dedup.NearDupState.build(
+      docs.filter(col("doc_id") < 250), col("doc_id"), col("text"))
+    val (survivors, _) = graft.operators.Dedup.minHashIncremental(
+      docs.filter(col("doc_id") >= 250), col("doc_id"), col("text"), state)
+    survivors.select(col("doc_id")).orderBy(col("doc_id"))
+  }
+
+  val dedupIncrementalOracle: String =
+    s"""WITH RECURSIVE $shingleSetsSql,
+       |posting AS (SELECT doc_id, unnest(s) AS sp FROM sets),
+       |cand AS (
+       |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS inter
+       |  FROM posting a JOIN posting b ON a.sp = b.sp AND a.doc_id < b.doc_id
+       |  WHERE a.doc_id >= 250 AND b.doc_id >= 250
+       |  GROUP BY 1, 2),
+       |pairs AS (
+       |  SELECT id_a, id_b FROM cand
+       |  JOIN sets sa ON sa.doc_id = id_a
+       |  JOIN sets sb ON sb.doc_id = id_b
+       |  WHERE CAST(inter AS DOUBLE) / CAST(len(sa.s) + len(sb.s) - inter AS DOUBLE) >= 0.8),
+       |edges AS (SELECT id_a AS s, id_b AS d FROM pairs
+       |          UNION ALL SELECT id_b, id_a FROM pairs),
+       |reach(id, r) AS (
+       |  SELECT DISTINCT s, s FROM edges
+       |  UNION
+       |  SELECT reach.id, e.d FROM reach JOIN edges e ON e.s = reach.r),
+       |nonrep AS (
+       |  SELECT id FROM (SELECT id, MIN(r) AS c FROM reach GROUP BY id)
+       |  WHERE c < id),
+       |xc AS (
+       |  SELECT b.doc_id AS fid, a.doc_id AS sid, COUNT(*) AS inter
+       |  FROM posting a JOIN posting b ON a.sp = b.sp
+       |  WHERE a.doc_id < 250 AND b.doc_id >= 250
+       |  GROUP BY 1, 2),
+       |xmatch AS (
+       |  SELECT DISTINCT fid FROM xc
+       |  JOIN sets sa ON sa.doc_id = sid
+       |  JOIN sets sb ON sb.doc_id = fid
+       |  WHERE CAST(inter AS DOUBLE) / CAST(len(sa.s) + len(sb.s) - inter AS DOUBLE) >= 0.8)
+       |SELECT doc_id FROM documents
+       |WHERE doc_id >= 250
+       |  AND doc_id NOT IN (SELECT id FROM nonrep)
+       |  AND doc_id NOT IN (SELECT fid FROM xmatch)
+       |ORDER BY doc_id""".stripMargin
+
   // ------------------------------------------------------ composite quality gate
 
   /** The full C4-style quality gate as one pipeline: every doc gets a
@@ -1225,6 +1281,7 @@ object Pipeline {
     Q("token_counts", tokenCounts, Some(tokenCountsOracle)),
     Q("zorder_key", zorderKeyQ, Some(zorderKeyOracle)),
     Q("quality_filter", qualityFilterQ, Some(qualityFilterOracle)),
+    Q("dedup_incremental", dedupIncremental, Some(dedupIncrementalOracle)),
     Q("segment_dedup", segmentDedupQ, Some(segmentDedupOracle)),
     Q("vocab_coverage", vocabCoverageQ, Some(vocabCoverageOracle)),
     Q("dedup_exact", dedupExact, Some(dedupExactOracle)),

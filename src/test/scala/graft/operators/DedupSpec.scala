@@ -283,6 +283,38 @@ class DedupSpec extends SparkSpec {
     assert(got.toSeq === expect.toSeq)
   }
 
+  test("minHashIncremental: batch collapses internally, then against state; " +
+      "state admits only survivors") {
+    val corpus = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog and keeps running onward"),
+      (2L, "completely different content about something else entirely here today")
+    ).toDF("doc_id", "text")
+    val state0 = Dedup.NearDupState.build(corpus, col("doc_id"), col("text"))
+
+    val batch = Seq(
+      (10L, "the quick brown fox jumps over the lazy dog and keeps running onward"), // dup of state 1
+      (11L, "a brand new document with fresh wording nobody has seen before now"),
+      (12L, "a brand new document with fresh wording nobody has seen before today"), // near dup of 11
+      (13L, "yet another topic unrelated to every other document in this corpus")
+    ).toDF("doc_id", "text")
+
+    val (survivors, state1) = Dedup.minHashIncremental(
+      batch, col("doc_id"), col("text"), state0, threshold = 0.7)
+    val ids = survivors.select(col("doc_id")).as[Long].collect().sorted
+    // 10 drops (matches state), 12 drops (11 is its cluster's min id)
+    assert(ids === Array(11L, 13L))
+
+    // replaying the SAME batch against the updated state admits nothing new
+    val (replay, _) = Dedup.minHashIncremental(
+      batch, col("doc_id"), col("text"), state1, threshold = 0.7)
+    assert(replay.count() === 0L)
+
+    // state grew by exactly the survivors' ids
+    val stateIds = state1.postings.select(col("id")).distinct()
+      .as[Long].collect().sorted
+    assert(stateIds === Array(1L, 2L, 11L, 13L))
+  }
+
   test("jaccardJoin links near-identical rows across two tables") {
     val catalogA = Seq(
       (1L, "the quick brown fox jumps over the lazy dog"),
