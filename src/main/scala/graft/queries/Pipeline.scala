@@ -1020,6 +1020,29 @@ object Pipeline {
       |GROUP BY doc_id
       |ORDER BY doc_id""".stripMargin
 
+  // --------------------------------------------------------- skew diagnostics
+
+  /** Exact join-key skew report over lineitem's l_suppkey: the 20 heaviest
+    * keys, their table share, and the salting factor that equalizes them
+    * across 32 reducers — measured before the shuffle, not discovered when
+    * it stalls.
+    */
+  def skewReportQ(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Diagnostics.skewReport(
+        T(s, dir, "lineitem"), col("l_suppkey"), topN = 20, partitions = 32)
+
+  val skewReportOracle: String =
+    """WITH c AS (
+      |  SELECT CAST(l_suppkey AS VARCHAR) AS key, COUNT(*) AS cnt
+      |  FROM lineitem GROUP BY 1),
+      |t AS (SELECT SUM(cnt) AS total FROM c)
+      |SELECT key, CAST(cnt AS BIGINT) AS cnt,
+      |  CAST(cnt AS DOUBLE) / CAST(total AS DOUBLE) AS share,
+      |  CAST((cnt * 32 + total - 1) // total AS BIGINT) AS salt_factor
+      |FROM c, t
+      |ORDER BY cnt DESC, key
+      |LIMIT 20""".stripMargin
+
   // ------------------------------------------------- incremental near-dup dedup
 
   /** Continuous-ingestion near-dup dedup: docs < 250 are the admitted
@@ -1282,6 +1305,7 @@ object Pipeline {
     Q("zorder_key", zorderKeyQ, Some(zorderKeyOracle)),
     Q("quality_filter", qualityFilterQ, Some(qualityFilterOracle)),
     Q("dedup_incremental", dedupIncremental, Some(dedupIncrementalOracle)),
+    Q("skew_report", skewReportQ, Some(skewReportOracle)),
     Q("segment_dedup", segmentDedupQ, Some(segmentDedupOracle)),
     Q("vocab_coverage", vocabCoverageQ, Some(vocabCoverageOracle)),
     Q("dedup_exact", dedupExact, Some(dedupExactOracle)),

@@ -1,0 +1,33 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+class DiagnosticsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("skewReport ranks heavy keys with exact shares and ceil salt factors") {
+    // 80 rows of "hot", 16 of "warm", 4 singles → total 100
+    val rows = Seq.fill(80)("hot") ++ Seq.fill(16)("warm") ++
+      Seq("a", "b", "c", "d")
+    val df = rows.toDF("k")
+    val got = Diagnostics.skewReport(df, col("k"), topN = 3, partitions = 10)
+      .as[(String, Long, Double, Long)].collect()
+    assert(got.map(_._1).toSeq === Seq("hot", "warm", "a"))
+    val hot = got(0)
+    assert(hot._2 === 80L && hot._3 === 0.8)
+    // 80 rows over 10 partitions of avg 10 → split hot into 8 salt buckets
+    assert(hot._4 === 8L)
+    val warm = got(1)
+    assert(warm._2 === 16L && warm._4 === 2L) // ceil(16·10/100) = 2
+    assert(got(2)._4 === 1L) // singletons never need salting
+  }
+
+  test("skewReport topN bounds the output and keeps heaviest-first order") {
+    val df = (1 to 50).flatMap(i => Seq.fill(i)(s"k$i")).toDF("k")
+    val got = Diagnostics.skewReport(df, col("k"), topN = 5)
+      .as[(String, Long, Double, Long)].collect()
+    assert(got.length === 5)
+    assert(got.map(_._2).toSeq === Seq(50L, 49L, 48L, 47L, 46L))
+  }
+}
