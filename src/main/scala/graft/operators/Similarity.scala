@@ -86,6 +86,35 @@ object Similarity {
         col("cos").cast("long").as("dot"))
   }
 
+  /** k-nearest-neighbor label propagation — auto-labeling by embedding
+    * similarity (assign each unlabeled item the majority label of its k
+    * closest labeled examples): exact cosine top-k against the labeled
+    * corpus, then a majority vote with deterministic ties (most votes,
+    * then best — highest cosine — vote sum is NOT used; ties break toward
+    * the smaller label value so the result is engine-independent).
+    * Output: (query_id, label, votes).
+    *
+    * Scale shape: inherits [[bruteForceTopK]]'s broadcast-probe scan (swap
+    * in the LSH/IVF variants upstream for 10⁹+ corpora); the vote is a
+    * groupBy over queries×k rows and a max_by — partial-aggregated, no
+    * window over anything corpus-sized.
+    */
+  def knnLabel(queries: DataFrame, corpus: DataFrame, k: Int): DataFrame = {
+    val neighbors = bruteForceTopK(queries,
+      corpus.select(col("vec_id"), col("embedding")), k)
+    val labeled = neighbors.join(
+      corpus.select(col("vec_id").as("neighbor_id"), col("label")),
+      Seq("neighbor_id"))
+    labeled.groupBy(col("query_id"), col("label"))
+      .agg(count(lit(1)).as("votes"))
+      .groupBy(col("query_id"))
+      .agg(max_by(struct(col("label"), col("votes")),
+        // most votes first; ties toward the smaller label (negate for max_by)
+        struct(col("votes"), (-col("label")).as("nl"))).as("w"))
+      .select(col("query_id"), col("w.label").as("label"),
+        col("w.votes").as("votes"))
+  }
+
   /** Sign-random-projection bucket id: `bits` sign bits of hyperplane dot
     * products, plane_j[d] = md5-hash32("plane:j:d") / 2^31 - 1. Pure
     * projection (no shuffle); the same expression buckets both corpus (once,

@@ -364,6 +364,42 @@ object Pipeline {
       |FROM ranked WHERE rank <= 5
       |ORDER BY query_id, rank""".stripMargin
 
+  /** kNN label propagation: each probe vector takes the majority label of
+    * its 5 exact-cosine nearest labeled neighbors (ties → smaller label).
+    * The auto-labeling move for bootstrapping classifiers off a small
+    * labeled pool.
+    */
+  def simKnnLabel(s: SparkSession, dir: String): DataFrame = {
+    val emb = T(s, dir, "embeddings")
+    graft.operators.Similarity.knnLabel(
+        emb.filter(col("vec_id") < 20), emb, k = 5)
+      .orderBy(col("query_id"))
+  }
+
+  val simKnnLabelOracle: String =
+    s"""WITH scored AS (
+       |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, c.label,
+       |    ${cosSql("q.embedding", "c.embedding")} AS cos
+       |  FROM embeddings q JOIN embeddings c
+       |    ON q.vec_id < 20 AND q.vec_id <> c.vec_id
+       |), ranked AS (
+       |  SELECT query_id, label,
+       |    ROW_NUMBER() OVER (PARTITION BY query_id
+       |      ORDER BY cos DESC, neighbor_id) AS rank
+       |  FROM scored),
+       |votes AS (
+       |  SELECT query_id, label, CAST(COUNT(*) AS BIGINT) AS votes
+       |  FROM ranked WHERE rank <= 5
+       |  GROUP BY 1, 2),
+       |best AS (
+       |  SELECT query_id, label, votes,
+       |    ROW_NUMBER() OVER (PARTITION BY query_id
+       |      ORDER BY votes DESC, label) AS rk
+       |  FROM votes)
+       |SELECT query_id, label, votes
+       |FROM best WHERE rk = 1
+       |ORDER BY query_id""".stripMargin
+
   /** Approximate top-5 via 8-bit sign-random-projection buckets + exact
     * rescoring inside the bucket. Deterministic md5-derived hyperplanes mean
     * the oracle can recompute the identical buckets in SQL.
@@ -1020,6 +1056,51 @@ object Pipeline {
       |GROUP BY doc_id
       |ORDER BY doc_id""".stripMargin
 
+  // ------------------------------------------------------ source overlap matrix
+
+  /** Cross-source duplication matrix: verified near-dup pairs (>= 0.8
+    * Jaccard) rolled up by the source pair they straddle — the curation
+    * analytic that says which crawls/feeds duplicate each other and how
+    * much, i.e. where dedup budget actually goes. Sources are normalized
+    * (src_a <= src_b) so each unordered pair counts once.
+    */
+  def sourceOverlap(s: SparkSession, dir: String): DataFrame = {
+    val docs = T(s, dir, "documents")
+    val pairs = graft.operators.Dedup.minHashPairs(
+      docs, col("doc_id"), col("text"),
+      shingleK = 3, numHashes = 128, bands = 16, threshold = 0.8)
+    val src = docs.select(col("doc_id"), col("source"))
+    pairs
+      .join(src.select(col("doc_id").as("id_a"), col("source").as("sa")), Seq("id_a"))
+      .join(src.select(col("doc_id").as("id_b"), col("source").as("sb")), Seq("id_b"))
+      .select(least(col("sa"), col("sb")).as("src_a"),
+        greatest(col("sa"), col("sb")).as("src_b"))
+      .groupBy(col("src_a"), col("src_b"))
+      .agg(count(lit(1)).as("n_pairs"))
+      .orderBy(col("src_a"), col("src_b"))
+  }
+
+  val sourceOverlapOracle: String =
+    s"""WITH $shingleSetsSql,
+       |posting AS (SELECT doc_id, unnest(s) AS sp FROM sets),
+       |cand AS (
+       |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS inter
+       |  FROM posting a JOIN posting b ON a.sp = b.sp AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2),
+       |pairs AS (
+       |  SELECT id_a, id_b FROM cand
+       |  JOIN sets sa ON sa.doc_id = id_a
+       |  JOIN sets sb ON sb.doc_id = id_b
+       |  WHERE CAST(inter AS DOUBLE) / CAST(len(sa.s) + len(sb.s) - inter AS DOUBLE) >= 0.8)
+       |SELECT least(da.source, db.source) AS src_a,
+       |  greatest(da.source, db.source) AS src_b,
+       |  CAST(COUNT(*) AS BIGINT) AS n_pairs
+       |FROM pairs
+       |JOIN documents da ON da.doc_id = id_a
+       |JOIN documents db ON db.doc_id = id_b
+       |GROUP BY 1, 2
+       |ORDER BY src_a, src_b""".stripMargin
+
   // --------------------------------------------------------- skew diagnostics
 
   /** Exact join-key skew report over lineitem's l_suppkey: the 20 heaviest
@@ -1306,6 +1387,7 @@ object Pipeline {
     Q("quality_filter", qualityFilterQ, Some(qualityFilterOracle)),
     Q("dedup_incremental", dedupIncremental, Some(dedupIncrementalOracle)),
     Q("skew_report", skewReportQ, Some(skewReportOracle)),
+    Q("source_overlap", sourceOverlap, Some(sourceOverlapOracle)),
     Q("segment_dedup", segmentDedupQ, Some(segmentDedupOracle)),
     Q("vocab_coverage", vocabCoverageQ, Some(vocabCoverageOracle)),
     Q("dedup_exact", dedupExact, Some(dedupExactOracle)),
@@ -1333,6 +1415,7 @@ object Pipeline {
     Q("dedup_embedding", dedupEmbedding, Some(dedupEmbeddingOracle)),
     Q("sim_bruteforce_topk", simBruteForce, Some(simBruteForceOracle)),
     Q("sim_quantized_topk", simQuantized, Some(simQuantizedOracle)),
+    Q("sim_knn_label", simKnnLabel, Some(simKnnLabelOracle)),
     Q("sim_lsh_topk", simLsh, Some(simLshOracle)),
     Q("sim_lsh_multiprobe", simLshMultiprobe, Some(simLshMultiprobeOracle)),
     Q("sim_ivf_topk", simIvf, Some(simIvfOracle))

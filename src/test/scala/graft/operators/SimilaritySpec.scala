@@ -95,6 +95,27 @@ class SimilaritySpec extends SparkSpec {
     assert(self.forall(p => p._1 == p._2))
   }
 
+  test("knnLabel takes the majority label of the k nearest; ties → smaller label") {
+    // queries at the origin-ish corners; labeled corpus in two tight blobs
+    val corpus = Seq(
+      (10L, Array(1.0f, 0.0f), 1), (11L, Array(0.9f, 0.1f), 1),
+      (12L, Array(0.95f, 0.05f), 2), // minority label inside blob A
+      (20L, Array(0.0f, 1.0f), 2), (21L, Array(0.1f, 0.9f), 2),
+      (22L, Array(0.05f, 0.95f), 2)
+    ).toDF("vec_id", "embedding", "label")
+    val queries = Seq(
+      (1L, Array(1.0f, 0.01f)), (2L, Array(0.01f, 1.0f))
+    ).toDF("vec_id", "embedding")
+    val got = Similarity.knnLabel(queries, corpus, k = 3)
+      .orderBy("query_id").as[(Long, Int, Long)].collect()
+    assert(got(0) === ((1L, 1L, 2L))) // blob A: labels {1,1,2} → 1 wins 2 votes
+    assert(got(1) === ((2L, 2L, 3L))) // blob B: all label 2
+    // 2-2 tie: k=2 over one blob with labels {1,2} → smaller label wins
+    val tie = Similarity.knnLabel(queries.filter(col("vec_id") === 1), corpus, k = 2)
+      .as[(Long, Int, Long)].head()
+    assert(tie === ((1L, 1L, 1L)))
+  }
+
   test("srpBucket is deterministic and within [0, 2^bits)") {
     val df = vectors(50, 8, seed = 2)
     val b1 = df.select(Similarity.srpBucket(col("embedding"), 6).as("b")).as[Long].collect()
