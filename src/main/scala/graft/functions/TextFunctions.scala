@@ -118,6 +118,18 @@ object TextFunctions {
         "\\b(\\d{1,3}\\.){3}\\d{1,3}\\b", "<IP>"),
       "\\b\\d{7,15}\\b", "<NUM>")
 
+  /** Canonical form for exact dedup: lowercase, punctuation/symbols
+    * dropped, whitespace runs collapsed to single spaces, trimmed. Hashing
+    * the canonical form instead of the raw text lets exact dedup catch the
+    * trivial variants (case, spacing, stray punctuation) that otherwise
+    * leak through to the much more expensive near-dup passes. RE2-safe
+    * patterns, codegen'd builtins, map-only.
+    */
+  def canonicalize(c: Column): Column =
+    trim(regexp_replace(
+      regexp_replace(lower(c), "[^a-z0-9\\s]", ""),
+      "\\s+", " "))
+
   def fingerprint64(c: Column): Column =
     conv(substring(md5(c), 1, 15), 16, 10).cast("long")
 

@@ -1056,6 +1056,27 @@ object Pipeline {
       |GROUP BY doc_id
       |ORDER BY doc_id""".stripMargin
 
+  // --------------------------------------------------------- canonical dedup
+
+  /** Exact dedup over the canonical text form (lowercased, punctuation
+    * stripped, whitespace collapsed): catches case/spacing/punctuation
+    * variants with exact-dedup cost — the cheap pass that runs BEFORE any
+    * near-dup machinery. Same keep-min-id/group-size contract as
+    * `dedup_exact`.
+    */
+  def dedupCanonical(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Dedup.exact(
+        T(s, dir, "documents"), col("doc_id"),
+        TextFunctions.canonicalize(col("text")))
+      .orderBy(col("keep_id"))
+
+  val dedupCanonicalOracle: String =
+    """SELECT MIN(doc_id) AS keep_id, COUNT(*) AS group_size
+      |FROM documents
+      |GROUP BY trim(regexp_replace(regexp_replace(lower(text),
+      |  '[^a-z0-9\s]', '', 'g'), '\s+', ' ', 'g'))
+      |ORDER BY keep_id""".stripMargin
+
   // ------------------------------------------------------ source overlap matrix
 
   /** Cross-source duplication matrix: verified near-dup pairs (>= 0.8
@@ -1388,6 +1409,7 @@ object Pipeline {
     Q("dedup_incremental", dedupIncremental, Some(dedupIncrementalOracle)),
     Q("skew_report", skewReportQ, Some(skewReportOracle)),
     Q("source_overlap", sourceOverlap, Some(sourceOverlapOracle)),
+    Q("dedup_canonical", dedupCanonical, Some(dedupCanonicalOracle)),
     Q("segment_dedup", segmentDedupQ, Some(segmentDedupOracle)),
     Q("vocab_coverage", vocabCoverageQ, Some(vocabCoverageOracle)),
     Q("dedup_exact", dedupExact, Some(dedupExactOracle)),

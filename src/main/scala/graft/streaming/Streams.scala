@@ -39,6 +39,37 @@ object Streams {
       ()
     }
 
+  /** Continuous near-duplicate ingestion: every micro-batch runs through
+    * [[graft.operators.Dedup.minHashIncremental]] against state carried
+    * across batches, and only survivors reach `onSurvivors`. The state
+    * (band + posting tables — no text) is pinned per batch with a
+    * localCheckpoint so its lineage doesn't grow with stream length; a
+    * production deployment would instead write both tables to storage each
+    * batch (they are plain DataFrames) and reload on restart, which also
+    * makes the state transactional with the sink.
+    *
+    * Returns the writer; caller starts it with its own checkpoint/output
+    * options.
+    */
+  def nearDupIngest(stream: DataFrame, id: Column, text: Column,
+      state0: graft.operators.Dedup.NearDupState,
+      onSurvivors: (DataFrame, Long) => Unit,
+      shingleK: Int = 3, numHashes: Int = 128, bands: Int = 16,
+      threshold: Double = 0.8)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
+    // one mutable cell, touched only by the single-threaded batch callback
+    var state = state0
+    stream.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
+      val (survivors, next) = graft.operators.Dedup.minHashIncremental(
+        batch, id, text, state, shingleK, numHashes, bands, threshold)
+      onSurvivors(survivors, batchId)
+      state = graft.operators.Dedup.NearDupState(
+        next.bands.localCheckpoint(true),
+        next.postings.localCheckpoint(true))
+      ()
+    }
+  }
+
   /** events table (ts = BIGINT nanoseconds) → typed event-time column. */
   def withEventTime(events: DataFrame, tsCol: String = "ts",
       out: String = "event_time"): DataFrame =

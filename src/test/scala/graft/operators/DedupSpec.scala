@@ -283,6 +283,19 @@ class DedupSpec extends SparkSpec {
     assert(got.toSeq === expect.toSeq)
   }
 
+  test("canonicalize collapses case/punct/whitespace variants to one form") {
+    val variants = Seq(
+      (1L, "Hello,  World!"),
+      (2L, "hello world"),
+      (3L, "HELLO ... WORLD"),
+      (4L, "a genuinely different text")
+    ).toDF("doc_id", "text")
+    val out = Dedup.exact(variants, col("doc_id"),
+        TextFunctions.canonicalize(col("text")))
+      .orderBy("keep_id").as[(Long, Long)].collect()
+    assert(out === Array((1L, 3L), (4L, 1L)))
+  }
+
   test("minHashIncremental: batch collapses internally, then against state; " +
       "state admits only survivors") {
     val corpus = Seq(

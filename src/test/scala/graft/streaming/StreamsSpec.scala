@@ -106,6 +106,36 @@ class StreamsSpec extends SparkSpec {
     assert(back === Array((5001L, "1", "a"), (5002L, "2", "b"), (5003L, "3", "c")))
   }
 
+  test("nearDupIngest admits only near-dup survivors, batch after batch") {
+    import graft.operators.Dedup
+    implicit val sqlCtx = spark.sqlContext
+    val corpus = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog and keeps running onward"))
+      .toDF("doc_id", "text")
+    val state0 = Dedup.NearDupState.build(corpus, col("doc_id"), col("text"))
+    val seen = scala.collection.mutable.ArrayBuffer.empty[(Long, Seq[Long])]
+    val mem = MemoryStream[(Long, String)]
+    val q = Streams.nearDupIngest(
+      mem.toDF().toDF("doc_id", "text"), col("doc_id"), col("text"), state0,
+      (survivors, batchId) => seen.synchronized {
+        seen += batchId -> survivors.select(col("doc_id"))
+          .collect().map(_.getLong(0)).toSeq.sorted
+      },
+      threshold = 0.7).start()
+    // batch 0: a state dup and a novel doc → only the novel one survives
+    mem.addData(
+      (10L, "the quick brown fox jumps over the lazy dog and keeps running onward"),
+      (11L, "a brand new document with fresh wording nobody has seen before now"))
+    q.processAllAvailable()
+    // batch 1: near-dup of batch-0 survivor + another novel doc
+    mem.addData(
+      (20L, "a brand new document with fresh wording nobody has seen before today"),
+      (21L, "yet another topic unrelated to every other document in this corpus"))
+    q.processAllAvailable()
+    q.stop()
+    assert(seen.toList === List(0L -> Seq(11L), 1L -> Seq(21L)))
+  }
+
   test("sessionCounts merges events within the gap, splits beyond it") {
     val df = Seq(
       (ts("2024-01-01 00:00:00"), 1L),
