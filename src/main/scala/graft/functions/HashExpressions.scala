@@ -242,6 +242,53 @@ case class SrpBucket(child: Expression, bits: Int, seed: String = "plane")
     copy(child = newChild)
 }
 
+/** Johnson–Lindenstrauss random projection of an `array<float>` embedding to
+  * `outDims` dimensions with a Rademacher (±1) matrix: out_j = Σ_d s_jd·x_d,
+  * s_jd = +1 when md5-hash32("seed:j:d") is even, −1 otherwise — the signs
+  * are content-addressed, so corpus and queries project identically on any
+  * cluster with no matrix to distribute, and the DuckDB oracle can replay
+  * them. Each accumulator is a strict left-to-right double fold (d order)
+  * cast to float at the end — bit-stable across engines. Distance-preserving
+  * in expectation (JL lemma); re-rank survivors in the original space when
+  * exactness matters.
+  */
+case class JlProject(child: Expression, outDims: Int, seed: String = "jl")
+    extends UnaryExpression with CodegenFallback {
+  require(outDims > 0, s"outDims must be positive, got $outDims")
+
+  override def dataType: DataType = ArrayType(FloatType, containsNull = false)
+  override def nullable: Boolean = child.nullable
+  override def prettyName: String = "jl_project"
+
+  @transient private lazy val signCache =
+    new java.util.concurrent.ConcurrentHashMap[Int, Array[Array[Double]]]()
+
+  private def signs(dims: Int): Array[Array[Double]] =
+    signCache.computeIfAbsent(dims, d =>
+      Array.tabulate(outDims, d)((j, dim) =>
+        if (Md5Hash.hash32(s"$seed:$j:$dim") % 2 == 0) 1.0 else -1.0))
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val vec = input.asInstanceOf[ArrayData]
+    val dims = vec.numElements()
+    val ss = signs(dims)
+    val out = new Array[Float](outDims)
+    var j = 0
+    while (j < outDims) {
+      val s = ss(j)
+      var acc = 0.0
+      var d = 0
+      while (d < dims) { acc += s(d) * vec.getFloat(d).toDouble; d += 1 }
+      out(j) = acc.toFloat
+      j += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** Distinct word k-shingles of a token array as one compiled pass —
   * output identical to graft.functions.TextFunctions.wordShingleSet
   * (docs shorter than k yield one whole-text shingle).
@@ -345,6 +392,8 @@ object HashFunctions {
     ExpressionUtilsShim.column(SimHash128(ExpressionUtilsShim.expr(tokens)))
   def srpBucket(vec: Column, bits: Int, seed: String = "plane"): Column =
     ExpressionUtilsShim.column(SrpBucket(ExpressionUtilsShim.expr(vec), bits, seed))
+  def jlProject(vec: Column, outDims: Int, seed: String = "jl"): Column =
+    ExpressionUtilsShim.column(JlProject(ExpressionUtilsShim.expr(vec), outDims, seed))
   def wordShingleSet(tokens: Column, k: Int): Column =
     ExpressionUtilsShim.column(WordShingleSet(ExpressionUtilsShim.expr(tokens), k))
 }

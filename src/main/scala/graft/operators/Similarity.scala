@@ -86,6 +86,16 @@ object Similarity {
         col("cos").cast("long").as("dot"))
   }
 
+  /** Johnson–Lindenstrauss projection of an embedding column to `outDims`
+    * (content-addressed ±1 matrix — no codebook to train or distribute; see
+    * [[org.apache.spark.sql.graft.JlProject]]). The dimensionality-reduction
+    * lever for ANN cost: project once on write, scan/score in the reduced
+    * space (d× fewer multiply-adds and bytes), re-rank the survivors in the
+    * original space for exactness.
+    */
+  def jlProject(vec: Column, outDims: Int): Column =
+    org.apache.spark.sql.graft.HashFunctions.jlProject(vec, outDims)
+
   /** k-nearest-neighbor label propagation — auto-labeling by embedding
     * similarity (assign each unlabeled item the majority label of its k
     * closest labeled examples): exact cosine top-k against the labeled

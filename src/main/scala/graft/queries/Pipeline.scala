@@ -364,6 +364,45 @@ object Pipeline {
       |FROM ranked WHERE rank <= 5
       |ORDER BY query_id, rank""".stripMargin
 
+  /** ANN in a JL-projected space: embeddings are reduced 16 → 8 dims with
+    * the content-addressed ±1 matrix, and exact top-5 cosine runs in the
+    * reduced space. The oracle replays the sign matrix (md5 parity), the
+    * left-to-right projection folds, the float cast, and the reduced-space
+    * cosine — bit-for-bit.
+    */
+  def simJlTopk(s: SparkSession, dir: String): DataFrame = {
+    val emb = T(s, dir, "embeddings")
+    val proj = emb.select(col("vec_id"),
+      graft.operators.Similarity.jlProject(col("embedding"), 8).as("embedding"))
+    graft.operators.Similarity.bruteForceTopK(
+        proj.filter(col("vec_id") < 20), proj, k = 5)
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  val simJlTopkOracle: String = {
+    val projSql =
+      """list_transform(range(0, 8), j -> CAST(
+        |      list_reduce(list_transform(range(1, len(embedding) + 1), i ->
+        |        CASE WHEN ('0x' || substring(md5('jl:' || j || ':' || (i - 1)), 1, 8))::BIGINT % 2 = 0
+        |             THEN embedding[i]::DOUBLE ELSE -(embedding[i]::DOUBLE) END),
+        |        (x, y) -> x + y) AS FLOAT))""".stripMargin
+    s"""WITH p AS (
+       |  SELECT vec_id, $projSql AS emb8
+       |  FROM embeddings),
+       |scored AS (
+       |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+       |    ${cosSql("q.emb8", "c.emb8")} AS cos
+       |  FROM p q JOIN p c ON q.vec_id < 20 AND q.vec_id <> c.vec_id),
+       |ranked AS (
+       |  SELECT query_id, neighbor_id, cos,
+       |    CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+       |      ORDER BY cos DESC, neighbor_id) AS INTEGER) AS rank
+       |  FROM scored)
+       |SELECT query_id, neighbor_id, rank, cos
+       |FROM ranked WHERE rank <= 5
+       |ORDER BY query_id, rank""".stripMargin
+  }
+
   /** kNN label propagation: each probe vector takes the majority label of
     * its 5 exact-cosine nearest labeled neighbors (ties → smaller label).
     * The auto-labeling move for bootstrapping classifiers off a small
@@ -1438,6 +1477,7 @@ object Pipeline {
     Q("sim_bruteforce_topk", simBruteForce, Some(simBruteForceOracle)),
     Q("sim_quantized_topk", simQuantized, Some(simQuantizedOracle)),
     Q("sim_knn_label", simKnnLabel, Some(simKnnLabelOracle)),
+    Q("sim_jl_topk", simJlTopk, Some(simJlTopkOracle)),
     Q("sim_lsh_topk", simLsh, Some(simLshOracle)),
     Q("sim_lsh_multiprobe", simLshMultiprobe, Some(simLshMultiprobeOracle)),
     Q("sim_ivf_topk", simIvf, Some(simIvfOracle))
