@@ -59,13 +59,27 @@ object Bench {
       name -> (if (spread > 0.5) math.min(base, timeOnce(fn)) else base)
     }
     // Locale.ROOT: the f"" interpolator is locale-sensitive and a comma
-    // decimal separator would break the driver's JSON parse
-    def num(v: Double): String = String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+    // decimal separator would break the driver's JSON parse. Values are
+    // rendered at ms precision with trailing zeros stripped (0.300 -> 0.3)
+    // so the single stdout line stays well under tail-capture limits even
+    // with ~90 queries — BENCH_r01/r04 were truncated at %.3f width.
+    def num(v: Double): String =
+      new java.math.BigDecimal(String.format(java.util.Locale.ROOT, "%.3f", Double.box(v)))
+        .stripTrailingZeros().toPlainString
     val qs = results.map { case (k, v) => "\"" + k + "\":" + num(v) }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
-    System.out.println(
-      s"""{"metric":"total","value":${num(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val line =
+      s"""{"metric":"total","value":${num(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    // Belt-and-braces against stdout truncation: persist the identical JSON
+    // to a small file next to the repo root so a cut-off capture can always
+    // be reconstructed.
+    try {
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")),
+        (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    } catch { case _: Throwable => () } // reporting must not fail the bench
+    System.out.println(line)
     System.out.flush()
     spark.stop()
     sys.exit(0)

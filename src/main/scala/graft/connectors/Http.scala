@@ -111,10 +111,15 @@ object Http {
 
   private def withFetch(df: DataFrame, url: Column, body: Column, timeoutMs: Int,
       headers: Map[String, String], resultCol: String, post: Boolean): DataFrame = {
-    // HTTP is latency-bound: concurrency = partition count, so lift
-    // under-parallel inputs to default parallelism before fetching
+    // HTTP is latency-bound: concurrency = partition count, so spread the
+    // rows across default parallelism before fetching. Unconditional
+    // round-robin repartition (no `df.rdd` partition-count probe — that
+    // forces physical planning, and under AQE can execute upstream stages):
+    // the shuffle moves only the projected input rows and is noise next to
+    // per-row network round-trips, while also rebalancing skewed inputs so
+    // every client thread stays busy.
     val par = df.sparkSession.sparkContext.defaultParallelism
-    val widened = if (df.rdd.getNumPartitions < par) df.repartition(par) else df
+    val widened = df.repartition(par)
     val in = widened.withColumn("__graft_url", url).withColumn("__graft_body", body)
     val n = in.schema.size
     val outSchema = StructType(df.schema.fields :+ StructField(resultCol, resultType))

@@ -21,15 +21,12 @@ import graft.functions.TextFunctions
   */
 object Dedup {
 
-  /** Ensure at least default parallelism before per-row signature work: a
-    * single small parquet file arrives as one partition, which would put all
-    * hashing on one core; at real scale inputs have >= cores partitions and
-    * this no-ops (no shuffle added).
-    */
-  private def widen(df: DataFrame): DataFrame = {
-    val target = df.sparkSession.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions < target) df.repartition(target) else df
-  }
+  // Parallelism before per-row signature work (hashing/shingling) is
+  // guaranteed declaratively: graft sessions set
+  // `spark.sql.files.minPartitionNum` to default parallelism
+  // (GraftSession.configure), so a single small parquet file splits into
+  // >= cores scan partitions at plan time. No imperative
+  // `df.rdd.getNumPartitions` probe in operator code.
 
   /** Exact dedup: one row per distinct value of `content`, keeping the
     * minimum `id` and the duplicate-group size.
@@ -93,7 +90,7 @@ object Dedup {
       shingleK: Int, numHashes: Int, bands: Int): DataFrame = {
     require(numHashes % bands == 0, s"numHashes=$numHashes not divisible by bands=$bands")
     val rows = numHashes / bands
-    widen(df.select(id.as("id"), text.as("__text")))
+    df.select(id.as("id"), text.as("__text"))
       .select(col("id"), minHashSignature(col("__text"), shingleK, numHashes).as("sig"))
       .select(col("id"), posexplode(
         transform(sequence(lit(0), lit(bands - 1)),
@@ -125,7 +122,7 @@ object Dedup {
   def minHashPairs(df: DataFrame, id: Column, text: Column,
       shingleK: Int = 3, numHashes: Int = 128, bands: Int = 16,
       threshold: Double = 0.8): DataFrame = {
-    val sets = widen(df.select(id.as("id"), text.as("__text")))
+    val sets = df.select(id.as("id"), text.as("__text"))
       .select(col("id"), HashFunctions.wordShingleSet(
         TextFunctions.tokensWs(col("__text")), shingleK).as("set"))
     val cand = minHashCandidates(df, id, text, shingleK, numHashes, bands)
@@ -154,10 +151,84 @@ object Dedup {
         shingleK: Int = 3, numHashes: Int = 128, bands: Int = 16): NearDupState =
       NearDupState(
         lshBands(corpus, id, text, shingleK, numHashes, bands),
-        shinglePostings(widen(corpus.select(id.as("id"), text.as("__t")))
+        shinglePostings(corpus.select(id.as("id"), text.as("__t"))
           .select(col("id"), HashFunctions.wordShingleSet(
             TextFunctions.tokensWs(col("__t")), shingleK).as("set"))))
+
+    /** Persist the carried state as two BUCKETED tables
+      * (`<prefix>_bands` bucketed+sorted by `band_key`, `<prefix>_postings`
+      * by `sfp`) and cut the in-memory unionAll lineage. Each
+      * [[minHashIncremental]] run appends the surviving batch to both state
+      * frames, so after k batches the plan is a k-deep union of
+      * checkpoints — `save` compacts that to one clustered table, and the
+      * bucketing pre-shuffles the state on exactly the keys the next run
+      * joins on (band collisions on `band_key`, posting intersection on
+      * `sfp`), so a bucket-aware reader co-locates those joins with no
+      * state-side exchange.
+      *
+      * Re-bucketing cadence: call `save` every N batches (N·|batch| ≈ the
+      * bucket size you want to re-cluster, e.g. hourly for streaming) or
+      * whenever state lineage depth makes planning time noticeable; between
+      * saves the per-batch localCheckpoint keeps execution (not layout)
+      * bounded. Bucket count should track expected FINAL corpus size
+      * (state rows / ~128 MiB per bucket file), not batch size.
+      */
+    def save(state: NearDupState, prefix: String, buckets: Int = 64): Unit = {
+      // Stage BOTH tables before swapping EITHER: the updated postings plan
+      // reads the previous generation's bands table (the cross-state
+      // candidate join), so swapping bands first would delete files the
+      // postings stage write still scans.
+      stageBucketed(state.bands, s"${prefix}_bands", buckets, "band_key")
+      stageBucketed(state.postings, s"${prefix}_postings", buckets, "sfp")
+      swapStaged(state.bands.sparkSession, s"${prefix}_bands")
+      swapStaged(state.postings.sparkSession, s"${prefix}_postings")
+    }
+
+    /** Reload state persisted by [[save]]; the returned frames carry the
+      * tables' bucketing specs, so downstream joins on the bucket keys skip
+      * the state-side shuffle.
+      */
+    def load(spark: org.apache.spark.sql.SparkSession, prefix: String): NearDupState =
+      NearDupState(spark.table(s"${prefix}_bands"), spark.table(s"${prefix}_postings"))
   }
+
+  /** Persist the [[exactIncremental]] fingerprint state as one bucketed
+    * table (bucketed+sorted by `fp`) — same compaction/clustering contract
+    * as [[NearDupState.save]]: collapses the per-batch unionAll lineage and
+    * pre-shuffles on the anti-join key.
+    */
+  def saveFingerprints(fps: DataFrame, table: String, buckets: Int = 64): Unit =
+    writeBucketedSwap(fps.select(col("fp")), table, buckets, "fp")
+
+  /** Stage-and-rename bucketed table write: the updated state PLAN reads
+    * the previous generation's table (state_{k+1} = table ∪ batch), so a
+    * direct overwrite is a read-your-own-target error. Writing to a stage
+    * table then swapping via rename makes `save` safe to call on state
+    * derived from its own previous save — the steady-state cadence — and
+    * readers never observe a half-written target.
+    */
+  private def writeBucketedSwap(df: DataFrame, table: String, buckets: Int,
+      key: String): Unit = {
+    stageBucketed(df, table, buckets, key)
+    swapStaged(df.sparkSession, table)
+  }
+
+  private def stageBucketed(df: DataFrame, table: String, buckets: Int,
+      key: String): Unit =
+    df.write.mode("overwrite").bucketBy(buckets, key).sortBy(key)
+      .saveAsTable(table + "__stage")
+
+  private def swapStaged(spark: org.apache.spark.sql.SparkSession,
+      table: String): Unit = {
+    spark.sql(s"DROP TABLE IF EXISTS `$table`")
+    spark.sql(s"ALTER TABLE `${table}__stage` RENAME TO `$table`")
+    // the session caches the previous generation's file listing under this name
+    spark.catalog.refreshTable(table)
+  }
+
+  /** Reload fingerprint state persisted by [[saveFingerprints]]. */
+  def loadFingerprints(spark: org.apache.spark.sql.SparkSession, table: String): DataFrame =
+    spark.table(table)
 
   /** Incremental near-duplicate dedup for continuous ingestion — the
     * MinHash analogue of [[exactIncremental]]. The fresh batch first
@@ -176,16 +247,31 @@ object Dedup {
   def minHashIncremental(fresh: DataFrame, id: Column, text: Column,
       state: NearDupState, shingleK: Int = 3, numHashes: Int = 128,
       bands: Int = 16, threshold: Double = 0.8): (DataFrame, NearDupState) = {
-    // 1. within-batch collapse: verified pairs → components → min-id reps
+    // 1. within-batch collapse: verified pairs → components → min-id reps.
+    // The pair set is checkpointed (id-pair longs — tiny) because
+    // components() drives several actions over it; the empty-pair fast path
+    // skips the whole propagation loop — at streaming cadence most batches
+    // have no within-batch near-dups, and the loop costs a handful of jobs
+    // even on empty input.
     val pairs = minHashPairs(fresh, id, text, shingleK, numHashes, bands, threshold)
-    val nonReps = components(pairs)
-      .filter(col("id") =!= col("component"))
-      .select(col("id").as("__nonrep_id"))
-    val reps = fresh.join(nonReps, id === col("__nonrep_id"), "left_anti")
+      .localCheckpoint()
+    val reps0 =
+      if (pairs.isEmpty) fresh
+      else {
+        val nonReps = components(pairs)
+          .filter(col("id") =!= col("component"))
+          .select(col("id").as("__nonrep_id"))
+        fresh.join(nonReps, id === col("__nonrep_id"), "left_anti")
+      }
+    // Checkpoint the representatives: repBands, repPost and the survivor
+    // anti-join each re-drive this frame, and without pinning every one of
+    // them re-tokenizes/re-shingles the batch text from the source — the
+    // dominant per-batch cost paid 3× over.
+    val reps = reps0.localCheckpoint()
 
     // 2. compact representations of the representatives
     val repBands = lshBands(reps, id, text, shingleK, numHashes, bands)
-    val repPost = shinglePostings(widen(reps.select(id.as("id"), text.as("__t")))
+    val repPost = shinglePostings(reps.select(id.as("id"), text.as("__t"))
       .select(col("id"), HashFunctions.wordShingleSet(
         TextFunctions.tokensWs(col("__t")), shingleK).as("set")))
 
@@ -244,14 +330,22 @@ object Dedup {
       val neighborMin = edges
         .join(labels.select(col("id").as("dst"), col("label").as("nl")), Seq("dst"))
         .groupBy(col("src").as("id")).agg(min(col("nl")).as("nl"))
+      // Convergence probe fused into the propagation round: carry the old
+      // label through the checkpointed frame, then count changes with a
+      // scan of the just-materialized blocks — no extra join against the
+      // previous labels (which cost a second shuffle per round).
       val next = labels.join(neighborMin, Seq("id"), "left")
-        .select(col("id"), least(col("label"), coalesce(col("nl"), col("label"))).as("label"))
+        .select(col("id"), col("label").as("old"),
+          least(col("label"), coalesce(col("nl"), col("label"))).as("label"))
         .localCheckpoint()
-      converged = next.join(labels.withColumnRenamed("label", "old"), Seq("id"))
-        .filter(col("label") =!= col("old")).isEmpty
-      labels = next
+      converged = next.filter(col("label") =!= col("old")).isEmpty
+      labels = next.select(col("id"), col("label"))
       i += 1
     }
+    // The result's lineage is the final localCheckpoint, not `edges` — safe
+    // to release the cached edge blocks (a leak in long-lived sessions
+    // otherwise; the final checkpoint keeps the labels readable).
+    edges.unpersist(blocking = false)
     labels.select(col("id"), col("label").as("component"))
   }
 
@@ -351,7 +445,7 @@ object Dedup {
       autoSampleFraction: Double = 1.0): DataFrame = {
     require(autoSampleFraction > 0 && autoSampleFraction <= 1,
       s"autoSampleFraction out of (0,1]: $autoSampleFraction")
-    val sets = widen(df.select(id.as("id"), text.as("__text")))
+    val sets = df.select(id.as("id"), text.as("__text"))
       .select(col("id"), HashFunctions.wordShingleSet(
         TextFunctions.tokensWs(col("__text")), shingleK).as("set"))
     // The postings feed the stats pass AND both sides of the self-join;
@@ -460,7 +554,10 @@ object Dedup {
     * back by id. `maxDocFreq` caps the df of indexed shingles ON EACH SIDE
     * — a stop-shingle in f_L left and f_R right rows contributes f_L·f_R
     * join rows, so at corpus scale ALWAYS set it (a shingle that common
-    * carries no linkage signal anyway).
+    * carries no linkage signal anyway). Under `maxDocFreq` the score is the
+    * exact Jaccard of the PRUNED shingle sets (sizes are recomputed from
+    * the kept shingles, so identical documents still score 1.0); relative
+    * to full-set Jaccard it is an approximation, not a lower bound.
     * Output: (left_id, right_id, jaccard) — exact integer-ratio doubles.
     */
   def jaccardJoin(left: DataFrame, lId: Column, lText: Column,
@@ -468,7 +565,7 @@ object Dedup {
       shingleK: Int = 3, threshold: Double = 0.8,
       maxDocFreq: Option[Long] = None): DataFrame = {
     def postings(df: DataFrame, id: Column, text: Column, name: String) = {
-      val sets = widen(df.select(id.as(name), text.as("__t")))
+      val sets = df.select(id.as(name), text.as("__t"))
         .select(col(name), HashFunctions.wordShingleSet(
           TextFunctions.tokensWs(col("__t")), shingleK).as("set"))
       val post0 = sets.select(col(name), size(col("set")).as(s"__sz_$name"),
@@ -480,7 +577,14 @@ object Dedup {
           .filter(col("df") <= m).select(col("sfp"))
         post0.join(keep, Seq("sfp"))
       }
-      (post, sets.select(col(name), size(col("set")).as(s"__sz_$name")))
+      // Sizes from the KEPT postings (one distinct row per (doc, shingle)),
+      // so numerator and denominator live in the same pruned universe —
+      // with full-set sizes a capped stop-shingle would bias every score
+      // downward and silently drop true pairs near the threshold.
+      val sizes = maxDocFreq.fold(
+        sets.select(col(name), size(col("set")).as(s"__sz_$name")))(_ =>
+        post.groupBy(col(name)).agg(count(lit(1)).as(s"__sz_$name")))
+      (post, sizes)
     }
     val (lPost, lSizes) = postings(left, lId, lText, "left_id")
     val (rPost, rSizes) = postings(right, rId, rText, "right_id")
@@ -516,10 +620,10 @@ object Dedup {
       corpus: DataFrame, cId: Column, cText: Column,
       shingleK: Int = 3, threshold: Double = 0.8,
       maxDocFreq: Option[Long] = None): DataFrame = {
-    val nSets = widen(needles.select(nId.as("needle_id"), nText.as("__t")))
+    val nSets = needles.select(nId.as("needle_id"), nText.as("__t"))
       .select(col("needle_id"), HashFunctions.wordShingleSet(
         TextFunctions.tokensWs(col("__t")), shingleK).as("set"))
-    val cSets = widen(corpus.select(cId.as("doc_id"), cText.as("__t")))
+    val cSets = corpus.select(cId.as("doc_id"), cText.as("__t"))
       .select(col("doc_id"), HashFunctions.wordShingleSet(
         TextFunctions.tokensWs(col("__t")), shingleK).as("set"))
     val nPost = nSets.select(col("needle_id"), size(col("set")).as("nsz"),
@@ -587,7 +691,7 @@ object Dedup {
     */
   def embeddingPairsExact(df: DataFrame, id: Column, vec: Column,
       threshold: Double): DataFrame = {
-    val v = widen(df.select(id.as("id"), vec.as("v")))
+    val v = df.select(id.as("id"), vec.as("v"))
     val l = v.select(col("id").as("id_a"), col("v").as("va"))
     val r = v.select(col("id").as("id_b"), col("v").as("vb"))
     l.join(r, col("id_a") < col("id_b"))
@@ -605,7 +709,7 @@ object Dedup {
     */
   def embeddingPairsLsh(df: DataFrame, id: Column, vec: Column,
       threshold: Double, bits: Int = 12, tables: Int = 4): DataFrame = {
-    val v = widen(df.select(id.as("id"), vec.as("v")))
+    val v = df.select(id.as("id"), vec.as("v"))
     val buckets = (0 until tables).map { t =>
       v.select(col("id"),
         HashFunctions.srpBucket(col("v"), bits, seed = s"plane$t").as("b"),
@@ -643,7 +747,7 @@ object Dedup {
     require(maxHamming < blocks, s"maxHamming=$maxHamming needs > $maxHamming blocks for exact recall")
     require(SimHashBits % blocks == 0, s"blocks=$blocks must divide $SimHashBits")
     val bits = SimHashBits / blocks
-    val sh = widen(df.select(id.as("id"), text.as("__text")))
+    val sh = df.select(id.as("id"), text.as("__text"))
       .select(col("id"), simHash(col("__text")).as("sh"))
     val blk = sh.select(col("id"), col("sh"), posexplode(
       transform(sequence(lit(0), lit(blocks - 1)),
@@ -680,7 +784,7 @@ object Dedup {
       s"blocks=$blocks must split 128 bits into word-aligned blocks (2, 4, 8, 16, 32, 64)")
     val width = 128 / blocks
     val mask = if (width == 64) -1L else (1L << width) - 1
-    val sh = widen(df.select(id.as("id"), text.as("__text")))
+    val sh = df.select(id.as("id"), text.as("__text"))
       .select(col("id"), simHash128(col("__text")).as("sh"))
     val blk = sh.select(col("id"), col("sh"), posexplode(expr(
       s"""transform(sequence(0, ${blocks - 1}), b ->
@@ -802,7 +906,7 @@ object Dedup {
     require(window > 0 && stride > 0 && stride <= window,
       s"need 0 < stride <= window, got window=$window stride=$stride")
     import org.apache.spark.sql.expressions.{Window => W}
-    val tiles = widen(df)
+    val tiles = df
       .select(id.as("__id"), text.as("__t"))
       .filter(length(col("__t")) >= window)
       .select(col("__id"), col("__t"),
@@ -818,9 +922,11 @@ object Dedup {
     val hits = tiles.join(dupFps, Seq("__fp"), "left_semi")
     val byPos = W.partitionBy(col("__id")).orderBy(col("__pos"))
     // Fixed-width tiles sorted by start: previous interval's end is
-    // lag(pos)+window, so a new merged interval begins exactly when the gap
-    // to the previous start exceeds the window (strictly — touching spans
-    // [p, p+w) and [p+w, p+2w) stay separate intervals).
+    // lag(pos)+window, so a new merged interval begins only when the gap to
+    // the previous start STRICTLY exceeds the window — touching spans
+    // [p, p+w) and [p+w, p+2w) therefore merge into one interval; a new one
+    // opens from the first tile that leaves a genuine gap (matches the
+    // oracle, which uses the same strict comparison).
     val flagged = hits.withColumn("__new",
       when(col("__pos") >
         coalesce(lag(col("__pos"), 1).over(byPos), lit(-2L * window)) + window,

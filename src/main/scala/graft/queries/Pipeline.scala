@@ -364,7 +364,7 @@ object Pipeline {
       |FROM ranked WHERE rank <= 5
       |ORDER BY query_id, rank""".stripMargin
 
-  /** ANN in a JL-projected space: embeddings are reduced 16 → 8 dims with
+  /** ANN in a JL-projected space: embeddings are reduced 64 → 8 dims with
     * the content-addressed ±1 matrix, and exact top-5 cosine runs in the
     * reduced space. The oracle replays the sign matrix (md5 parity), the
     * left-to-right projection folds, the float cast, and the reduced-space
@@ -923,10 +923,9 @@ object Pipeline {
     * recomputes the k-shingle hash sequence and per-window minima in SQL.
     */
   def winnowFps(s: SparkSession, dir: String): DataFrame = {
-    val target = s.sparkContext.defaultParallelism
-    val docs = T(s, dir, "documents").select(col("doc_id"), col("text"))
-    val widened = if (docs.rdd.getNumPartitions < target) docs.repartition(target) else docs
-    widened
+    // scan-partition parallelism comes from spark.sql.files.minPartitionNum
+    // (GraftSession.configure) — no imperative partition-count probe
+    T(s, dir, "documents").select(col("doc_id"), col("text"))
       .select(col("doc_id"),
         explode(graft.operators.Dedup.winnowFingerprints(col("text"), 3, 4)).as("fp"))
       .orderBy(col("doc_id"), col("fp"))

@@ -48,6 +48,16 @@ object Streams {
     * batch (they are plain DataFrames) and reload on restart, which also
     * makes the state transactional with the sink.
     *
+    * Retry hazard (foreachBatch is at-least-once, state update is NOT
+    * transactional with the sink): if a micro-batch replays AFTER its state
+    * union ran, the replayed docs already sit in state.bands/postings, so
+    * every survivor self-matches at Jaccard 1.0 and is silently dropped; a
+    * replay BEFORE the update re-emits the same survivors. Production
+    * deployments must make the update batchId-idempotent — record the last
+    * applied batchId with the persisted state and skip the union (emitting
+    * the previously-persisted survivor set) when `batchId <= lastApplied`,
+    * or key state rows by batchId and dedupe on load.
+    *
     * Returns the writer; caller starts it with its own checkpoint/output
     * options.
     */

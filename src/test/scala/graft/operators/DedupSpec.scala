@@ -328,6 +328,86 @@ class DedupSpec extends SparkSpec {
     assert(stateIds === Array(1L, 2L, 11L, 13L))
   }
 
+  test("NearDupState save/load round-trip: loaded state yields identical survivors") {
+    val corpus = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog and keeps running onward"),
+      (2L, "completely different content about something else entirely here today")
+    ).toDF("doc_id", "text")
+    val state0 = Dedup.NearDupState.build(corpus, col("doc_id"), col("text"))
+    Dedup.NearDupState.save(state0, "ndstate_rt", buckets = 4)
+    val loaded = Dedup.NearDupState.load(spark, "ndstate_rt")
+
+    val batch = Seq(
+      (10L, "the quick brown fox jumps over the lazy dog and keeps running onward"),
+      (11L, "a brand new document with fresh wording nobody has seen before now"),
+      (12L, "a brand new document with fresh wording nobody has seen before today"),
+      (13L, "yet another topic unrelated to every other document in this corpus")
+    ).toDF("doc_id", "text")
+    val (sMem, _) = Dedup.minHashIncremental(
+      batch, col("doc_id"), col("text"), state0, threshold = 0.7)
+    val (sLoaded, state1) = Dedup.minHashIncremental(
+      batch, col("doc_id"), col("text"), loaded, threshold = 0.7)
+    assert(sLoaded.select(col("doc_id")).as[Long].collect().sorted ===
+      sMem.select(col("doc_id")).as[Long].collect().sorted)
+
+    // save compacts the post-batch unionAll lineage too, and a second
+    // round-trip keeps working (overwrite mode)
+    Dedup.NearDupState.save(state1, "ndstate_rt", buckets = 4)
+    val reloaded = Dedup.NearDupState.load(spark, "ndstate_rt")
+    val (replay, _) = Dedup.minHashIncremental(
+      batch, col("doc_id"), col("text"), reloaded, threshold = 0.7)
+    assert(replay.count() === 0L)
+  }
+
+  test("exactIncremental fingerprint state save/load round-trip") {
+    val empty = Seq.empty[Long].toDF("fp")
+    val b1 = Seq((1L, "aa"), (2L, "aa"), (3L, "bb")).toDF("id", "t")
+    val (_, fps1) = Dedup.exactIncremental(b1, col("id"), col("t"), empty)
+    Dedup.saveFingerprints(fps1, "fps_rt", buckets = 4)
+    val loaded = Dedup.loadFingerprints(spark, "fps_rt")
+    val b2 = Seq((4L, "aa"), (5L, "cc")).toDF("id", "t")
+    val (s2, _) = Dedup.exactIncremental(b2, col("id"), col("t"), loaded)
+    assert(s2.select(col("id")).as[Long].collect().sorted === Array(5L))
+  }
+
+  test("minHashIncremental skips the components loop when the batch has no " +
+      "within-batch near-dups (fewer jobs)") {
+    import org.apache.spark.scheduler.{SparkListener, SparkListenerJobStart}
+    val corpus = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog and keeps running onward"))
+      .toDF("doc_id", "text")
+    val state0 = Dedup.NearDupState.build(corpus, col("doc_id"), col("text"))
+    def countJobs(body: => Unit): Int = {
+      val n = new java.util.concurrent.atomic.AtomicInteger
+      val l = new SparkListener {
+        override def onJobStart(j: SparkListenerJobStart): Unit = { n.incrementAndGet(); () }
+      }
+      spark.sparkContext.addSparkListener(l)
+      try { body; Thread.sleep(500) } finally spark.sparkContext.removeSparkListener(l)
+      n.get()
+    }
+    val unique = Seq(
+      (10L, "a brand new document with fresh wording nobody has seen before now"),
+      (11L, "yet another topic unrelated to every other document in this corpus"))
+      .toDF("doc_id", "text")
+    val withDups = Seq(
+      (20L, "a brand new document with fresh wording nobody has seen before now"),
+      (21L, "a brand new document with fresh wording nobody has seen before today"),
+      (22L, "yet another topic unrelated to every other document in this corpus"))
+      .toDF("doc_id", "text")
+    val fastJobs = countJobs {
+      Dedup.minHashIncremental(unique, col("doc_id"), col("text"), state0,
+        threshold = 0.7)._1.count(); ()
+    }
+    val slowJobs = countJobs {
+      Dedup.minHashIncremental(withDups, col("doc_id"), col("text"), state0,
+        threshold = 0.7)._1.count(); ()
+    }
+    // the empty-pair fast path must save the label-propagation loop's jobs
+    assert(fastJobs < slowJobs,
+      s"expected fast path to launch fewer jobs: fast=$fastJobs slow=$slowJobs")
+  }
+
   test("jaccardJoin links near-identical rows across two tables") {
     val catalogA = Seq(
       (1L, "the quick brown fox jumps over the lazy dog"),
@@ -369,6 +449,9 @@ class DedupSpec extends SparkSpec {
     // with the ubiquitous shingles capped away, only (1,10) shares the
     // rare "alpha beta gamma"-side shingles
     assert(pairs.map(p => (p._1, p._2)).toSet === Set((1L, 10L)))
+    // sizes come from the KEPT shingles, so the identical pair scores a
+    // self-consistent 1.0 (full-set denominators would bias it to 3/5)
+    assert(pairs.head._3 === 1.0)
   }
 
   // Shared boilerplate so tile positions are easy to reason about: docs 1
