@@ -102,6 +102,29 @@ object KafkaWindow {
       "startingOffsetsByTimestampStrategy" -> "latest"
     ) ++ minPartitions.map("minPartitions" -> _.toString)
 
+  /** Option map for the batch Kafka source with EXACT per-partition offsets
+    * (from [[KafkaWireClient.offsetRangeForWindow]]) instead of source-side
+    * timestamp resolution: `startingOffsets`/`endingOffsets` JSON of the
+    * form `{"topic":{"0":23,"1":45}}`. This is the reference's split —
+    * helper resolves offsets once (driver-side, two ListOffsets round
+    * trips), executors fetch ranges in parallel — and pins the window
+    * deterministically even if records keep arriving during the read.
+    */
+  def sourceOptionsResolved(bootstrapServers: String, topic: String,
+      ranges: Map[Int, (Long, Long)],
+      minPartitions: Option[Int] = None): Map[String, String] = {
+    def json(pick: ((Long, Long)) => Long): String =
+      ranges.toSeq.sortBy(_._1)
+        .map { case (p, r) => s""""$p":${pick(r)}""" }
+        .mkString(s"""{"$topic":{""", ",", "}}")
+    Map(
+      "kafka.bootstrap.servers" -> bootstrapServers,
+      "subscribe" -> topic,
+      "startingOffsets" -> json(_._1),
+      "endingOffsets" -> json(_._2)
+    ) ++ minPartitions.map("minPartitions" -> _.toString)
+  }
+
   /** t_kf_push: appends `ack: struct<t,ct,k,v>` per row after recording the
     * message in `store` — one producer per partition, per-row ack, mirroring
     * the reference's bounded `send().get()` (UDTFKafkaPush.java:102-110).

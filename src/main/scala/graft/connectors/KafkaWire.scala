@@ -1,0 +1,276 @@
+package graft.connectors
+
+import java.io.{ByteArrayOutputStream, DataInputStream, DataOutputStream}
+import java.net.Socket
+import java.nio.ByteBuffer
+import java.nio.charset.StandardCharsets
+
+/** Minimal Kafka wire-protocol client — the CONTROL-PLANE binding for the
+  * `kf_topics` / `kf_pull` window contract, the third real-client connector
+  * after CuratorTree (ZooKeeper) and RespKvClient (RESP/Redis).
+  *
+  * No kafka-clients jar ships with this Spark distribution and the build is
+  * zero-egress, so like RespKvClient this speaks the public wire protocol
+  * (kafka.apache.org/protocol) directly over sockets. Scope is deliberately
+  * the reference's METADATA operations only:
+  *
+  *  - Metadata v1 (api_key 3): topic/partition listing + partition leaders
+  *    — reference `kf_topics` (UDFKafkaTopics.java:32) and the leader
+  *    routing its helpers rely on;
+  *  - ListOffsets v1 (api_key 2): timestamp → offset per partition —
+  *    reference `offsetsForTimes` resolution
+  *    (kafka/KafkaHelper.java:173-254, process/KafkaHelper.scala:89-131).
+  *
+  * The DATA plane (the reference's poll loop) is NOT reimplemented: at
+  * scale record fetching belongs to Spark's batch Kafka source, which
+  * parallelizes fetches across executors. [[KafkaWireClient.offsetRangeForWindow]]
+  * resolves a `[startMs, endMs)` creation-time window to exact per-partition
+  * offset ranges, and [[KafkaWindow.sourceOptionsResolved]] hands those to
+  * `spark.read.format("kafka")` as startingOffsets/endingOffsets JSON — the
+  * same split the reference makes between its helper (offset resolution)
+  * and consumer poll (data movement).
+  *
+  * Versions are pinned to the NON-FLEXIBLE protocol encodings (v1 of both
+  * APIs, request header v1): int16-length strings, int32-count arrays, no
+  * tagged fields — stable on every broker since 0.10 (brokers answer any
+  * supported older version).
+  */
+object KafkaWire {
+
+  val ApiMetadata: Short = 3
+  val ApiListOffsets: Short = 2
+
+  /** ListOffsets sentinel timestamps (public protocol constants). */
+  val LatestTimestamp: Long = -1L
+  val EarliestTimestamp: Long = -2L
+
+  final case class Broker(nodeId: Int, host: String, port: Int)
+  final case class PartitionMeta(topic: String, partition: Int, leader: Int,
+      errorCode: Short)
+  final case class Metadata(brokers: Seq[Broker], partitions: Seq[PartitionMeta],
+      topicErrors: Map[String, Short])
+  final case class PartitionOffset(topic: String, partition: Int,
+      errorCode: Short, timestamp: Long, offset: Long)
+
+  // ------------------------------------------------------------ primitives
+
+  final class Writer {
+    private val bos = new ByteArrayOutputStream()
+    private val out = new DataOutputStream(bos)
+    def int8(v: Byte): Writer = { out.writeByte(v.toInt); this }
+    def int16(v: Short): Writer = { out.writeShort(v.toInt); this }
+    def int32(v: Int): Writer = { out.writeInt(v); this }
+    def int64(v: Long): Writer = { out.writeLong(v); this }
+    /** Non-flexible string: int16 length + UTF-8 bytes; null encodes -1. */
+    def string(s: String): Writer =
+      if (s == null) int16(-1)
+      else {
+        val b = s.getBytes(StandardCharsets.UTF_8)
+        int16(b.length.toShort)
+        out.write(b); this
+      }
+    def bytes: Array[Byte] = { out.flush(); bos.toByteArray }
+  }
+
+  final class Reader(buf: ByteBuffer) {
+    def this(bytes: Array[Byte]) = this(ByteBuffer.wrap(bytes))
+    def int8(): Byte = buf.get()
+    def int16(): Short = buf.getShort()
+    def int32(): Int = buf.getInt()
+    def int64(): Long = buf.getLong()
+    def string(): String = {
+      val n = buf.getShort()
+      if (n < 0) null
+      else {
+        val b = new Array[Byte](n)
+        buf.get(b)
+        new String(b, StandardCharsets.UTF_8)
+      }
+    }
+    def array[A](read: => A): Seq[A] = {
+      val n = buf.getInt()
+      if (n < 0) Seq.empty else Seq.fill(n)(read)
+    }
+  }
+
+  /** Request header v1: api_key, api_version, correlation_id, client_id. */
+  def header(apiKey: Short, apiVersion: Short, correlationId: Int,
+      clientId: String): Writer =
+    new Writer().int16(apiKey).int16(apiVersion).int32(correlationId)
+      .string(clientId)
+
+  // ------------------------------------------------------------- Metadata v1
+
+  /** Metadata v1 request body: topics array; null array (-1) = all topics. */
+  def encodeMetadataRequest(correlationId: Int, clientId: String,
+      topics: Option[Seq[String]]): Array[Byte] = {
+    val w = header(ApiMetadata, 1, correlationId, clientId)
+    topics match {
+      case None => w.int32(-1)
+      case Some(ts) =>
+        w.int32(ts.size)
+        ts.foreach(w.string)
+    }
+    w.bytes
+  }
+
+  /** Metadata v1 response body (after the int32 correlation id). */
+  def parseMetadataResponse(r: Reader): Metadata = {
+    val brokers = r.array {
+      val id = r.int32(); val host = r.string(); val port = r.int32()
+      r.string() // rack (nullable) — unused
+      Broker(id, host, port)
+    }
+    r.int32() // controller_id — unused
+    var topicErrors = Map.empty[String, Short]
+    val parts = r.array {
+      val err = r.int16()
+      val name = r.string()
+      r.int8() // is_internal
+      if (err != 0) topicErrors += name -> err
+      r.array {
+        val pErr = r.int16()
+        val idx = r.int32()
+        val leader = r.int32()
+        r.array(r.int32()) // replicas
+        r.array(r.int32()) // isr
+        PartitionMeta(name, idx, leader, pErr)
+      }
+    }.flatten
+    Metadata(brokers, parts, topicErrors)
+  }
+
+  // ---------------------------------------------------------- ListOffsets v1
+
+  /** ListOffsets v1 request body: replica_id -1 (consumer), then
+    * topic → (partition, target timestamp ms) entries.
+    */
+  def encodeListOffsetsRequest(correlationId: Int, clientId: String,
+      targets: Seq[(String, Int, Long)]): Array[Byte] = {
+    val w = header(ApiListOffsets, 1, correlationId, clientId)
+    w.int32(-1) // replica_id: ordinary consumer
+    val byTopic = targets.groupBy(_._1).toSeq.sortBy(_._1)
+    w.int32(byTopic.size)
+    byTopic.foreach { case (topic, ps) =>
+      w.string(topic)
+      w.int32(ps.size)
+      ps.foreach { case (_, p, ts) => w.int32(p).int64(ts) }
+    }
+    w.bytes
+  }
+
+  /** ListOffsets v1 response body (after the int32 correlation id). */
+  def parseListOffsetsResponse(r: Reader): Seq[PartitionOffset] =
+    r.array {
+      val topic = r.string()
+      r.array {
+        PartitionOffset(topic, r.int32(), r.int16(), r.int64(), r.int64())
+      }
+    }.flatten
+
+  // ------------------------------------------------------------- framing
+
+  /** Frame a request (int32 size prefix), send, read the response frame and
+    * verify its correlation id. Returns a Reader positioned at the body.
+    */
+  def roundTrip(socket: Socket, payload: Array[Byte], correlationId: Int): Reader = {
+    val out = new DataOutputStream(socket.getOutputStream)
+    out.writeInt(payload.length)
+    out.write(payload)
+    out.flush()
+    val in = new DataInputStream(socket.getInputStream)
+    val size = in.readInt()
+    require(size >= 4 && size <= 64 * 1024 * 1024, s"bad kafka frame size $size")
+    val body = new Array[Byte](size)
+    in.readFully(body)
+    val r = new Reader(body)
+    val corr = r.int32()
+    require(corr == correlationId, s"correlation id mismatch: $corr != $correlationId")
+    r
+  }
+}
+
+/** Socket client over [[KafkaWire]] with leader routing: metadata comes from
+  * a bootstrap broker; ListOffsets requests are grouped by partition leader
+  * and sent to each leader (the protocol requires it — a non-leader answers
+  * NOT_LEADER_FOR_PARTITION). Connections are opened per call and closed —
+  * control-plane calls are rare (once per pull window), so pooling buys
+  * nothing and leaks sockets on long-running drivers.
+  */
+class KafkaWireClient(bootstrapHost: String, bootstrapPort: Int,
+    clientId: String = "graft", timeoutMs: Int = 10000) {
+  import KafkaWire._
+
+  private val corr = new java.util.concurrent.atomic.AtomicInteger(1)
+
+  private def withSocket[A](host: String, port: Int)(f: Socket => A): A = {
+    val s = new Socket()
+    try {
+      s.connect(new java.net.InetSocketAddress(host, port), timeoutMs)
+      s.setSoTimeout(timeoutMs)
+      f(s)
+    } finally s.close()
+  }
+
+  /** Cluster metadata for the given topics (all topics when None). */
+  def metadata(topics: Option[Seq[String]] = None): Metadata =
+    withSocket(bootstrapHost, bootstrapPort) { s =>
+      val id = corr.getAndIncrement()
+      parseMetadataResponse(
+        roundTrip(s, encodeMetadataRequest(id, clientId, topics), id))
+    }
+
+  /** kf_topics over the wire: distinct (topic, partition), error-free only. */
+  def listTopics(): Seq[(String, Int)] =
+    metadata(None).partitions.filter(_.errorCode == 0)
+      .map(p => (p.topic, p.partition)).sorted
+
+  /** Earliest offset whose record timestamp is >= tsMs, per partition —
+    * offsetsForTimes. Sentinels: [[KafkaWire.LatestTimestamp]] resolves the
+    * log-end offset, [[KafkaWire.EarliestTimestamp]] the log-start offset.
+    * Partitions with no record at/after tsMs return offset -1 (protocol
+    * contract) and are kept so callers can substitute the log-end offset.
+    */
+  def offsetsForTimes(topic: String, tsMs: Long): Map[Int, Long] = {
+    val md = metadata(Some(Seq(topic)))
+    val brokerById = md.brokers.map(b => b.nodeId -> b).toMap
+    val byLeader = md.partitions.filter(p => p.topic == topic && p.errorCode == 0)
+      .groupBy(_.leader)
+    byLeader.flatMap { case (leader, parts) =>
+      val broker = brokerById.getOrElse(leader,
+        throw new IllegalStateException(s"no broker metadata for leader $leader"))
+      withSocket(broker.host, broker.port) { s =>
+        val id = corr.getAndIncrement()
+        val req = encodeListOffsetsRequest(id, clientId,
+          parts.map(p => (topic, p.partition, tsMs)))
+        parseListOffsetsResponse(roundTrip(s, req, id))
+          .filter(_.errorCode == 0)
+          .map(po => po.partition -> po.offset)
+      }
+    }
+  }
+
+  /** Resolve a `[startMs, endMs)` creation-time window to per-partition
+    * offset ranges — the reference's time→offset dance, with its off-by-one
+    * fixed (end bound exclusive; SURVEY §3.3). Partitions with no record in
+    * the window collapse to an empty range. Feed the result to
+    * [[KafkaWindow.sourceOptionsResolved]] for a parallel executor-side read.
+    */
+  def offsetRangeForWindow(topic: String, startMs: Long,
+      endMs: Long): Map[Int, (Long, Long)] = {
+    val logEnd = offsetsForTimes(topic, LatestTimestamp)
+    val starts = offsetsForTimes(topic, startMs)
+    val ends = offsetsForTimes(topic, endMs)
+    logEnd.map { case (p, endOfLog) =>
+      val s = starts.getOrElse(p, -1L) match {
+        case -1L => endOfLog // no record at/after startMs
+        case o => o
+      }
+      val e = ends.getOrElse(p, -1L) match {
+        case -1L => endOfLog // window extends past the log end
+        case o => o
+      }
+      p -> (s, math.max(s, e))
+    }
+  }
+}

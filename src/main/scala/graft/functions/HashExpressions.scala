@@ -8,7 +8,6 @@ import java.security.MessageDigest
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
@@ -74,7 +73,7 @@ private[graft] object Md5Hash {
   * AMod = 1073741789 (prime < 2^30, keeps a*h < 2^62).
   */
 case class MinHashSignature(child: Expression, shingleK: Int, numHashes: Int)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression with NativeUnaryCodegen {
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def nullable: Boolean = child.nullable
@@ -122,7 +121,7 @@ case class MinHashSignature(child: Expression, shingleK: Int, numHashes: Int)
   * graft.operators.Dedup.simHash — identical output.
   */
 case class SimHash60(child: Expression)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression with NativeUnaryCodegen {
 
   override def dataType: DataType = LongType
   override def nullable: Boolean = child.nullable
@@ -164,7 +163,7 @@ case class SimHash60(child: Expression)
   * small at 10^9+ documents.
   */
 case class SimHash128(child: Expression)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression with NativeUnaryCodegen {
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def nullable: Boolean = child.nullable
@@ -207,7 +206,7 @@ case class SimHash128(child: Expression)
   * cached, not re-hashed per row.
   */
 case class SrpBucket(child: Expression, bits: Int, seed: String = "plane")
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression with NativeUnaryCodegen {
 
   override def dataType: DataType = LongType
   override def nullable: Boolean = child.nullable
@@ -253,7 +252,7 @@ case class SrpBucket(child: Expression, bits: Int, seed: String = "plane")
   * exactness matters.
   */
 case class JlProject(child: Expression, outDims: Int, seed: String = "jl")
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression with NativeUnaryCodegen {
   require(outDims > 0, s"outDims must be positive, got $outDims")
 
   override def dataType: DataType = ArrayType(FloatType, containsNull = false)
@@ -294,7 +293,7 @@ case class JlProject(child: Expression, outDims: Int, seed: String = "jl")
   * (docs shorter than k yield one whole-text shingle).
   */
 case class WordShingleSet(child: Expression, shingleK: Int)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression with NativeUnaryCodegen {
 
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
   override def nullable: Boolean = child.nullable
@@ -322,7 +321,7 @@ case class WordShingleSet(child: Expression, shingleK: Int)
   * (graft.operators.Dedup.winnowFingerprints's oracle).
   */
 case class WinnowFingerprints(child: Expression, shingleK: Int, window: Int)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression with NativeUnaryCodegen {
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def nullable: Boolean = child.nullable

@@ -7,7 +7,6 @@ import java.util.regex.Pattern
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
 
@@ -30,7 +29,7 @@ import org.apache.spark.unsafe.types.UTF8String
   * `regexp_extract_all` materializing match arrays.
   */
 case class TextStats(child: Expression)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression with NativeUnaryCodegen {
 
   override def dataType: DataType = TextStats.schema
   override def nullable: Boolean = true

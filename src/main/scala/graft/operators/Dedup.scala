@@ -13,8 +13,9 @@ import graft.functions.TextFunctions
   *  - the approximate family (MinHash / SimHash / n-gram Jaccard) never does
   *    an all-pairs comparison: candidates come from equality joins on LSH
   *    band buckets / hash blocks, and only candidates are verified. Signature
-  *    computation is a single narrow projection (no shuffle) built from
-  *    codegen'd higher-order functions; the only shuffles are the bucket
+  *    computation is a single narrow projection (no shuffle) of native
+  *    expressions (one compiled loop per row, inside whole-stage codegen —
+  *    see NativeUnaryCodegen); the only shuffles are the bucket
   *    join and the verify join, both on compact keys.
   *  - all hashing is md5-derived (content-addressed, engine-portable,
   *    cluster-stable — no JVM hashCode anywhere).

@@ -10,9 +10,12 @@ import org.apache.spark.sql.types._
   * with typed metadata, decoded/feature-extracted through a batched
   * partition-level codec interface.
   *
-  * The actual media libraries are not in this container, so [[FakeCodec]] is
-  * a clearly-marked deterministic STUB (md5-derived pseudo-metadata). The
-  * Spark-side plumbing is real and is the part that matters at 100 TB:
+  * [[ImageIoCodec]] is a REAL image decode path (JDK javax.imageio header
+  * parse — format/width/height with no extra dependency). Audio/video have
+  * no JDK demuxer, so [[FakeCodec]] remains as a clearly-marked
+  * deterministic STUB (md5-derived pseudo-metadata) for those and for the
+  * SQL-oracle-checkable query. The Spark-side plumbing is shared and is the
+  * part that matters at 100 TB:
   *  - payloads stay `BinaryType` end to end (no string round-trips);
   *  - the codec is opened once per partition and fed fixed-size batches
   *    (the JVM mirror of Arrow-batch UDF shape — batching amortizes codec
@@ -63,6 +66,39 @@ object Multimodal {
           (64 + (h / 512) % 512).toInt,
           ((b.length + FrameBytes - 1) / FrameBytes),
           b.length)
+      }
+    }
+  }
+
+  /** REAL image codec backed by `javax.imageio` (ships with the JDK — no
+    * new dependency): format from the registered reader's name, true pixel
+    * width/height from the image header. ImageIO readers parse dimensions
+    * from the header without decoding pixel data for the common formats, so
+    * the per-image cost is a few hundred bytes of parsing, not a full
+    * decode. Images are single-frame; audio/video payloads stay on
+    * [[FakeCodec]] (no demuxer in the JDK). Unreadable/corrupt payloads
+    * yield a null format and zero dimensions rather than failing the task —
+    * at corpus scale a crawl always contains broken files.
+    */
+  object ImageIoCodec extends Codec {
+    def decode(batch: Seq[Array[Byte]]): Seq[MediaMeta] = batch.map { b =>
+      if (b == null) MediaMeta(null, 0, 0, 0, 0)
+      else {
+        var meta = MediaMeta(null, 0, 0, 0, b.length)
+        val in = javax.imageio.ImageIO.createImageInputStream(
+          new java.io.ByteArrayInputStream(b))
+        try {
+          val readers = javax.imageio.ImageIO.getImageReaders(in)
+          if (readers.hasNext) {
+            val r = readers.next()
+            try {
+              r.setInput(in)
+              meta = MediaMeta(r.getFormatName.toLowerCase(java.util.Locale.ROOT),
+                r.getWidth(0), r.getHeight(0), 1, b.length)
+            } catch { case _: Exception => () } finally r.dispose()
+          }
+        } finally in.close()
+        meta
       }
     }
   }

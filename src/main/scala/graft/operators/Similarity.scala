@@ -86,6 +86,41 @@ object Similarity {
         col("cos").cast("long").as("dot"))
   }
 
+  /** Write-side compaction for the quantized scan: (vec_id, code binary) —
+    * int8 codes packed one byte per coordinate, 4× smaller than the
+    * `array<int>` form on disk, in shuffles and in cache. Persist this once
+    * (parquet binary column), then run [[quantizedTopKPacked]] scans
+    * against it without ever re-reading the float embeddings.
+    */
+  def quantizePacked(df: DataFrame): DataFrame =
+    df.select(col("vec_id"),
+      VectorFunctions.packInt8(
+        VectorFunctions.quantizeInt8(col("embedding"))).as("code"))
+
+  /** [[quantizedTopK]] over packed binary codes: identical ranking and dot
+    * values (PackInt8 is lossless on ±127 codes; DotInt8Packed accumulates
+    * the same longs), but the corpus side moves 1/4 the bytes — at 10⁹+
+    * vectors the scan is memory-bandwidth-bound, so the packing IS the
+    * speedup. Accepts either raw embeddings (quantizes+packs inline) or
+    * pre-packed (vec_id, code) frames from [[quantizePacked]].
+    */
+  def quantizedTopKPacked(queries: DataFrame, corpus: DataFrame, k: Int,
+      includeSelf: Boolean = false): DataFrame = {
+    def packed(df: DataFrame, idOut: String, codeOut: String) =
+      (if (df.columns.contains("code")) df.select(col("vec_id"), col("code"))
+       else quantizePacked(df))
+        .select(col("vec_id").as(idOut), col("code").as(codeOut))
+    val q = broadcast(packed(queries, "query_id", "qc"))
+    val c = packed(corpus, "neighbor_id", "cc")
+    val scored = c.join(q,
+        if (includeSelf) lit(true) else col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        VectorFunctions.dotInt8Packed(col("qc"), col("cc")).cast("double").as("cos"))
+    topKPerQuery(scored, k)
+      .select(col("query_id"), col("neighbor_id"), col("rank"),
+        col("cos").cast("long").as("dot"))
+  }
+
   /** Johnson–Lindenstrauss projection of an embedding column to `outDims`
     * (content-addressed ±1 matrix — no codebook to train or distribute; see
     * [[org.apache.spark.sql.graft.JlProject]]). The dimensionality-reduction

@@ -1,0 +1,220 @@
+package graft.connectors
+
+import java.io.{DataInputStream, DataOutputStream}
+import java.net.{ServerSocket, Socket}
+import org.scalatest.funsuite.AnyFunSuite
+import KafkaWire._
+
+/** Wire-level tests for the Kafka control-plane client: byte-exact request
+  * encoding against the public protocol spec, response parsing from canned
+  * frames, and a live round-trip against [[FakeBroker]] — an in-process
+  * socket server speaking Metadata v1 / ListOffsets v1, the same
+  * embedded-server pattern as CuratorTreeSpec (ZK) and RespKvSpec (Redis).
+  */
+class KafkaWireSpec extends AnyFunSuite {
+
+  test("Metadata v1 request bytes match the protocol spec") {
+    val b = encodeMetadataRequest(7, "cid", Some(Seq("t1")))
+    val r = new Reader(b)
+    assert(r.int16() === ApiMetadata)
+    assert(r.int16() === 1)      // api_version
+    assert(r.int32() === 7)      // correlation id
+    assert(r.string() === "cid") // client id
+    assert(r.int32() === 1)      // topics count
+    assert(r.string() === "t1")
+    // null topics array encodes count -1 (= all topics)
+    val all = encodeMetadataRequest(8, null, None)
+    val ra = new Reader(all)
+    ra.int16(); ra.int16(); ra.int32()
+    assert(ra.string() === null)
+    assert(ra.int32() === -1)
+  }
+
+  test("ListOffsets v1 request groups partitions by topic, replica_id -1") {
+    val b = encodeListOffsetsRequest(9, "cid",
+      Seq(("t", 1, 1000L), ("t", 0, 1000L)))
+    val r = new Reader(b)
+    r.int16(); r.int16(); r.int32(); r.string()
+    assert(r.int32() === -1) // replica_id
+    assert(r.int32() === 1)  // one topic
+    assert(r.string() === "t")
+    assert(r.int32() === 2)  // two partitions
+    assert(r.int32() === 1 && r.int64() === 1000L)
+    assert(r.int32() === 0 && r.int64() === 1000L)
+  }
+
+  test("Metadata v1 response parses brokers, partitions, topic errors") {
+    val w = new Writer()
+    w.int32(1) // one broker
+    w.int32(0).string("h").int32(9092).string(null) // node, host, port, rack
+    w.int32(0) // controller id
+    w.int32(2) // two topics
+    w.int16(0).string("good").int8(0)
+    w.int32(1) // one partition
+    w.int16(0).int32(0).int32(0).int32(0).int32(0) // err, idx, leader, [], []
+    w.int16(3).string("bad").int8(0).int32(0) // UNKNOWN_TOPIC, no partitions
+    val md = parseMetadataResponse(new Reader(w.bytes))
+    assert(md.brokers === Seq(Broker(0, "h", 9092)))
+    assert(md.partitions === Seq(PartitionMeta("good", 0, 0, 0)))
+    assert(md.topicErrors === Map("bad" -> 3.toShort))
+  }
+
+  test("wire client against an in-process fake broker: topics, " +
+      "offsetsForTimes, window resolution, source options") {
+    // topic "ev" with 2 partitions; record timestamps per partition
+    val broker = new FakeBroker(Map(
+      ("ev", 0) -> Seq(100L, 200L, 300L, 400L),
+      ("ev", 1) -> Seq(150L, 250L)))
+    try {
+      val c = new KafkaWireClient("127.0.0.1", broker.port)
+      assert(c.listTopics() === Seq(("ev", 0), ("ev", 1)))
+
+      // earliest / latest sentinels
+      assert(c.offsetsForTimes("ev", KafkaWire.EarliestTimestamp) ===
+        Map(0 -> 0L, 1 -> 0L))
+      assert(c.offsetsForTimes("ev", KafkaWire.LatestTimestamp) ===
+        Map(0 -> 4L, 1 -> 2L))
+      // first offset with timestamp >= 200
+      assert(c.offsetsForTimes("ev", 200L) === Map(0 -> 1L, 1 -> 1L))
+      // past the end -> -1 per protocol
+      assert(c.offsetsForTimes("ev", 999L) === Map(0 -> -1L, 1 -> -1L))
+
+      // [200, 400) window: p0 offsets [1,3), p1 offsets [1,2)
+      val ranges = c.offsetRangeForWindow("ev", 200L, 400L)
+      assert(ranges === Map(0 -> (1L, 3L), 1 -> (1L, 2L)))
+      // window past the log end clamps to log-end (empty range)
+      assert(c.offsetRangeForWindow("ev", 500L, 600L) ===
+        Map(0 -> (4L, 4L), 1 -> (2L, 2L)))
+
+      val opts = KafkaWindow.sourceOptionsResolved("127.0.0.1:9092", "ev", ranges)
+      assert(opts("startingOffsets") === """{"ev":{"0":1,"1":1}}""")
+      assert(opts("endingOffsets") === """{"ev":{"0":3,"1":2}}""")
+      assert(opts("subscribe") === "ev")
+    } finally broker.close()
+  }
+
+  test("fake broker routes ListOffsets by leader (multi-broker metadata)") {
+    // leader for p1 is a second broker; client must follow metadata
+    val b2 = new FakeBroker(Map(("ev", 1) -> Seq(500L, 600L)))
+    val b1 = new FakeBroker(Map(("ev", 0) -> Seq(100L)),
+      extraPartitions = Map(("ev", 1) -> (1, "127.0.0.1", b2.port)), nodeId = 0)
+    try {
+      val c = new KafkaWireClient("127.0.0.1", b1.port)
+      assert(c.offsetsForTimes("ev", KafkaWire.EarliestTimestamp) ===
+        Map(0 -> 0L, 1 -> 0L))
+      assert(c.offsetsForTimes("ev", 600L) === Map(0 -> -1L, 1 -> 1L))
+    } finally { b1.close(); b2.close() }
+  }
+}
+
+/** In-process Kafka broker stand-in for the two control-plane APIs. Holds a
+  * timestamp log per (topic, partition); offsetsForTimes semantics follow
+  * the protocol: first offset with ts >= target, -1 when none, -2/-1
+  * sentinels for log start/end. `extraPartitions` lets a broker advertise
+  * partitions led by ANOTHER node (leader routing tests).
+  */
+final class FakeBroker(logs: Map[(String, Int), Seq[Long]],
+    extraPartitions: Map[(String, Int), (Int, String, Int)] = Map.empty,
+    nodeId: Int = 0) extends AutoCloseable {
+
+  private val server = new ServerSocket(0, 8, java.net.InetAddress.getByName("127.0.0.1"))
+  def port: Int = server.getLocalPort
+  @volatile private var running = true
+
+  private val acceptor = new Thread(() => {
+    while (running) {
+      try {
+        val s = server.accept()
+        new Thread(() => serve(s), "fake-broker-conn").start()
+      } catch { case _: Exception => () }
+    }
+  }, "fake-broker-accept")
+  acceptor.setDaemon(true)
+  acceptor.start()
+
+  private def serve(s: Socket): Unit = {
+    try {
+      val in = new DataInputStream(s.getInputStream)
+      val out = new DataOutputStream(s.getOutputStream)
+      while (running) {
+        val size = in.readInt()
+        val req = new Array[Byte](size)
+        in.readFully(req)
+        val r = new Reader(req)
+        val apiKey = r.int16()
+        r.int16() // api version (v1 assumed)
+        val corr = r.int32()
+        r.string() // client id
+        val body = new Writer().int32(corr)
+        apiKey match {
+          case ApiMetadata => metadataResponse(r, body)
+          case ApiListOffsets => listOffsetsResponse(r, body)
+          case other => throw new IllegalStateException(s"unsupported api $other")
+        }
+        val frame = body.bytes
+        out.writeInt(frame.length)
+        out.write(frame)
+        out.flush()
+      }
+    } catch { case _: Exception => () } finally s.close()
+  }
+
+  private def allPartitions: Seq[(String, Int, Int, String, Int)] =
+    (logs.keys.map { case (t, p) => (t, p, nodeId, "127.0.0.1", port) } ++
+      extraPartitions.map { case ((t, p), (leader, h, prt)) => (t, p, leader, h, prt) })
+      .toSeq.sortBy(x => (x._1, x._2))
+
+  private def metadataResponse(r: Reader, w: Writer): Unit = {
+    val requested = {
+      val n = r.int32()
+      if (n < 0) None else Some(Seq.fill(n)(r.string()))
+    }
+    val parts = allPartitions.filter(p => requested.forall(_.contains(p._1)))
+    val brokers = parts.map(p => (p._3, p._4, p._5)).distinct.sortBy(_._1)
+    w.int32(brokers.size)
+    brokers.foreach { case (id, h, prt) =>
+      w.int32(id).string(h).int32(prt).string(null)
+    }
+    w.int32(nodeId) // controller
+    val byTopic = parts.groupBy(_._1).toSeq.sortBy(_._1)
+    w.int32(byTopic.size)
+    byTopic.foreach { case (t, ps) =>
+      w.int16(0).string(t).int8(0)
+      w.int32(ps.size)
+      ps.foreach { case (_, p, leader, _, _) =>
+        w.int16(0).int32(p).int32(leader).int32(0).int32(0)
+      }
+    }
+  }
+
+  private def listOffsetsResponse(r: Reader, w: Writer): Unit = {
+    r.int32() // replica_id
+    val topics = r.array {
+      val t = r.string()
+      (t, r.array((r.int32(), r.int64())))
+    }
+    w.int32(topics.size)
+    topics.foreach { case (t, ps) =>
+      w.string(t)
+      w.int32(ps.size)
+      ps.foreach { case (p, target) =>
+        val ts = logs.getOrElse((t, p), Seq.empty)
+        val offset = target match {
+          case KafkaWire.EarliestTimestamp => 0L
+          case KafkaWire.LatestTimestamp => ts.length.toLong
+          case want => ts.indexWhere(_ >= want) match {
+            case -1 => -1L
+            case i => i.toLong
+          }
+        }
+        val respTs = if (offset >= 0 && offset < ts.length) ts(offset.toInt) else -1L
+        w.int32(p).int16(0).int64(respTs).int64(offset)
+      }
+    }
+  }
+
+  override def close(): Unit = {
+    running = false
+    server.close()
+  }
+}

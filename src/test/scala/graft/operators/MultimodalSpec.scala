@@ -56,6 +56,28 @@ class MultimodalSpec extends SparkSpec {
     assert(metas === Array(300, 700))
   }
 
+  test("ImageIoCodec decodes a real PNG's format and pixel dimensions") {
+    // plant a real 37x21 PNG rendered by the JDK itself
+    val img = new java.awt.image.BufferedImage(
+      37, 21, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    img.setRGB(5, 5, 0xff8800)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    val png = bos.toByteArray
+
+    val df = Seq((1L, png), (2L, "not an image".getBytes("UTF-8")),
+        (3L, null.asInstanceOf[Array[Byte]]))
+      .toDF("id", "payload")
+    val out = Multimodal.decodeMeta(df, col("payload"),
+        codec = Multimodal.ImageIoCodec)
+      .select($"id", $"meta.format", $"meta.width", $"meta.height", $"meta.n_bytes")
+      .as[(Long, String, Int, Int, Int)].collect().sortBy(_._1)
+    assert(out(0) === ((1L, "png", 37, 21, png.length)))
+    // corrupt payload degrades to null format, never a task failure
+    assert(out(1)._2 === null && out(1)._3 === 0)
+    assert(out(2) === ((3L, null, 0, 0, 0)))
+  }
+
   test("sampleFrames: evenly spaced fixed-size frames, deduped when short") {
     val payload = ("a" * 1000).getBytes("UTF-8") // 4 frames of 256 (last short)
     val df = Seq(Tuple1(payload)).toDF("p")

@@ -95,6 +95,37 @@ class SimilaritySpec extends SparkSpec {
     assert(self.forall(p => p._1 == p._2))
   }
 
+  test("packed int8 path: identical output to the array path, codes " +
+      "round-trip losslessly, 1/4 the bytes") {
+    import org.apache.spark.sql.graft.VectorFunctions
+    val df = vectors(40, 16, seed = 7).cache()
+    val queries = df.filter(col("vec_id") < 4)
+
+    val arrayPath = Similarity.quantizedTopK(queries, df, k = 5)
+      .orderBy("query_id", "rank").as[(Long, Long, Int, Long)].collect()
+    val packedInline = Similarity.quantizedTopKPacked(queries, df, k = 5)
+      .orderBy("query_id", "rank").as[(Long, Long, Int, Long)].collect()
+    assert(packedInline.toSeq === arrayPath.toSeq)
+
+    // pre-packed write-side frames give the same answer (the persist-once,
+    // scan-many shape)
+    val packedCorpus = Similarity.quantizePacked(df)
+    val prePacked = Similarity.quantizedTopKPacked(
+        Similarity.quantizePacked(queries), packedCorpus, k = 5)
+      .orderBy("query_id", "rank").as[(Long, Long, Int, Long)].collect()
+    assert(prePacked.toSeq === arrayPath.toSeq)
+
+    // pack/unpack round-trip is lossless and the binary really is 1 B/coord
+    val (code, codes) = df
+      .select(
+        VectorFunctions.packInt8(
+          VectorFunctions.quantizeInt8(col("embedding"))).as("code"),
+        VectorFunctions.quantizeInt8(col("embedding")).as("arr"))
+      .as[(Array[Byte], Array[Int])].head()
+    assert(code.length === 16)
+    assert(code.map(_.toInt).toSeq === codes.toSeq)
+  }
+
   test("knnLabel takes the majority label of the k nearest; ties → smaller label") {
     // queries at the origin-ish corners; labeled corpus in two tight blobs
     val corpus = Seq(

@@ -58,11 +58,31 @@ class PlanSpec extends SparkSpec {
   }
 
   test("text_metrics: map-only — one projection over the scan, no hash shuffle") {
-    // (higher-order-function exprs are CodegenFallback, so no WSCG claim —
-    // the scale property is the absence of any shuffle before the final sort)
     val p = plan(Pipeline.textMetrics(spark, dir))
     assert(!p.contains("Exchange hashpartitioning"), p)
     assert(p.contains("ReadSchema: struct<doc_id:bigint,text:string>"), p)
+  }
+
+  test("native signature expressions stay inside whole-stage codegen and " +
+      "their generated code compiles") {
+    // A Janino failure in the emitted call-bridge would silently fall back
+    // to interpreted mode; disable the fallback so it surfaces as an error.
+    // (Execute BEFORE explaining: under AQE codegen ids only appear on the
+    // final plan.)
+    spark.conf.set("spark.sql.codegen.fallback", "false")
+    val metrics = Pipeline.textMetrics(spark, dir)
+    val minhash = Pipeline.dedupMinHash(spark, dir)
+    try {
+      metrics.collect()
+      minhash.collect()
+    } finally spark.conf.set("spark.sql.codegen.fallback", "true")
+    // the native TextStats / MinHashSignature / WordShingleSet expressions
+    // no longer break whole-stage codegen: the projections computing them
+    // carry codegen ids in the final plan
+    val pm = plan(metrics)
+    assert("Project \\[codegen id :".r.findFirstIn(pm).nonEmpty, pm)
+    val ph = plan(minhash)
+    assert("codegen id :".r.findFirstIn(ph).nonEmpty, ph)
   }
 
   test("ivf: centroid quantizer broadcasts — corpus assignment is map-side") {
