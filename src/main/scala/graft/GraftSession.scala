@@ -40,7 +40,6 @@ object GraftSession {
       .config("spark.sql.mapKeyDedupPolicy", "LAST_WIN")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
-      .config("spark.sql.files.minPartitionNum", cpus)
       .config("spark.ui.enabled", "false")
     if (enableHive) b.enableHiveSupport() else b
   }
@@ -93,14 +92,14 @@ object GraftSession {
     // nanosecond timestamp type, so read it as BIGINT nanoseconds and
     // convert explicitly where needed (see queries.T.eventsWithTs).
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    // Parallelism floor for per-row signature work (hashing, shingling,
-    // SimHash): a single small parquet file would otherwise arrive as ONE
-    // scan partition and serialize all per-row compute onto one core. The
-    // declarative knob splits small scans at plan time — no operator-side
-    // `df.rdd.getNumPartitions` probe (which forced a plan->RDD conversion
-    // per call). At real scale inputs exceed this and the knob no-ops.
-    spark.conf.set("spark.sql.files.minPartitionNum",
-      spark.sparkContext.defaultParallelism.toString)
+    // NOTE on parallelism for per-row signature work: the tempting
+    // declarative knob `spark.sql.files.minPartitionNum` does NOT replace
+    // the operators' widen() repartition — it splits small files into byte
+    // ranges, but parquet assigns each row group to the single range
+    // holding its start offset, so a small (one-row-group) file still
+    // serializes every row onto one core WHILE making the partition count
+    // look wide (which would defeat widen()'s probe). Measured 2-5x on
+    // signature-heavy benchmarks. See Dedup.widen.
     graft.functions.GraftFunctions.registerAll(spark)
     spark
   }

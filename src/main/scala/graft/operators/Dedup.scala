@@ -22,12 +22,24 @@ import graft.functions.TextFunctions
   */
 object Dedup {
 
-  // Parallelism before per-row signature work (hashing/shingling) is
-  // guaranteed declaratively: graft sessions set
-  // `spark.sql.files.minPartitionNum` to default parallelism
-  // (GraftSession.configure), so a single small parquet file splits into
-  // >= cores scan partitions at plan time. No imperative
-  // `df.rdd.getNumPartitions` probe in operator code.
+  /** Ensure at least default parallelism before per-row signature work
+    * (hashing/shingling/embedding math): a narrow input would otherwise put
+    * all per-row compute on a few cores. The declarative knob alone
+    * (`spark.sql.files.minPartitionNum`, set in GraftSession.configure) is
+    * NOT sufficient: it splits a small parquet file into >= cores BYTE
+    * ranges, but parquet assigns each ROW GROUP to the one range holding
+    * its start offset — a single-row-group file still lands every row in
+    * one partition (measured: 2-5x on the signature-heavy benchmarks).
+    * Hence the physical-plan probe + conditional repartition. The probe
+    * costs planning only: widen() is applied to scan-shaped inputs (no
+    * exchanges below), where `df.rdd` builds but does not execute stages.
+    * At real scale inputs arrive with >= cores non-empty partitions and
+    * this no-ops — no shuffle added.
+    */
+  private def widen(df: DataFrame): DataFrame = {
+    val target = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < target) df.repartition(target) else df
+  }
 
   /** Exact dedup: one row per distinct value of `content`, keeping the
     * minimum `id` and the duplicate-group size.
@@ -91,7 +103,7 @@ object Dedup {
       shingleK: Int, numHashes: Int, bands: Int): DataFrame = {
     require(numHashes % bands == 0, s"numHashes=$numHashes not divisible by bands=$bands")
     val rows = numHashes / bands
-    df.select(id.as("id"), text.as("__text"))
+    widen(df.select(id.as("id"), text.as("__text")))
       .select(col("id"), minHashSignature(col("__text"), shingleK, numHashes).as("sig"))
       .select(col("id"), posexplode(
         transform(sequence(lit(0), lit(bands - 1)),
@@ -123,7 +135,7 @@ object Dedup {
   def minHashPairs(df: DataFrame, id: Column, text: Column,
       shingleK: Int = 3, numHashes: Int = 128, bands: Int = 16,
       threshold: Double = 0.8): DataFrame = {
-    val sets = df.select(id.as("id"), text.as("__text"))
+    val sets = widen(df.select(id.as("id"), text.as("__text")))
       .select(col("id"), HashFunctions.wordShingleSet(
         TextFunctions.tokensWs(col("__text")), shingleK).as("set"))
     val cand = minHashCandidates(df, id, text, shingleK, numHashes, bands)
@@ -152,7 +164,7 @@ object Dedup {
         shingleK: Int = 3, numHashes: Int = 128, bands: Int = 16): NearDupState =
       NearDupState(
         lshBands(corpus, id, text, shingleK, numHashes, bands),
-        shinglePostings(corpus.select(id.as("id"), text.as("__t"))
+        shinglePostings(widen(corpus.select(id.as("id"), text.as("__t")))
           .select(col("id"), HashFunctions.wordShingleSet(
             TextFunctions.tokensWs(col("__t")), shingleK).as("set"))))
 
@@ -272,7 +284,7 @@ object Dedup {
 
     // 2. compact representations of the representatives
     val repBands = lshBands(reps, id, text, shingleK, numHashes, bands)
-    val repPost = shinglePostings(reps.select(id.as("id"), text.as("__t"))
+    val repPost = shinglePostings(widen(reps.select(id.as("id"), text.as("__t")))
       .select(col("id"), HashFunctions.wordShingleSet(
         TextFunctions.tokensWs(col("__t")), shingleK).as("set")))
 
@@ -446,7 +458,7 @@ object Dedup {
       autoSampleFraction: Double = 1.0): DataFrame = {
     require(autoSampleFraction > 0 && autoSampleFraction <= 1,
       s"autoSampleFraction out of (0,1]: $autoSampleFraction")
-    val sets = df.select(id.as("id"), text.as("__text"))
+    val sets = widen(df.select(id.as("id"), text.as("__text")))
       .select(col("id"), HashFunctions.wordShingleSet(
         TextFunctions.tokensWs(col("__text")), shingleK).as("set"))
     // The postings feed the stats pass AND both sides of the self-join;
@@ -566,7 +578,7 @@ object Dedup {
       shingleK: Int = 3, threshold: Double = 0.8,
       maxDocFreq: Option[Long] = None): DataFrame = {
     def postings(df: DataFrame, id: Column, text: Column, name: String) = {
-      val sets = df.select(id.as(name), text.as("__t"))
+      val sets = widen(df.select(id.as(name), text.as("__t")))
         .select(col(name), HashFunctions.wordShingleSet(
           TextFunctions.tokensWs(col("__t")), shingleK).as("set"))
       val post0 = sets.select(col(name), size(col("set")).as(s"__sz_$name"),
@@ -621,10 +633,10 @@ object Dedup {
       corpus: DataFrame, cId: Column, cText: Column,
       shingleK: Int = 3, threshold: Double = 0.8,
       maxDocFreq: Option[Long] = None): DataFrame = {
-    val nSets = needles.select(nId.as("needle_id"), nText.as("__t"))
+    val nSets = widen(needles.select(nId.as("needle_id"), nText.as("__t")))
       .select(col("needle_id"), HashFunctions.wordShingleSet(
         TextFunctions.tokensWs(col("__t")), shingleK).as("set"))
-    val cSets = corpus.select(cId.as("doc_id"), cText.as("__t"))
+    val cSets = widen(corpus.select(cId.as("doc_id"), cText.as("__t")))
       .select(col("doc_id"), HashFunctions.wordShingleSet(
         TextFunctions.tokensWs(col("__t")), shingleK).as("set"))
     val nPost = nSets.select(col("needle_id"), size(col("set")).as("nsz"),
@@ -692,7 +704,7 @@ object Dedup {
     */
   def embeddingPairsExact(df: DataFrame, id: Column, vec: Column,
       threshold: Double): DataFrame = {
-    val v = df.select(id.as("id"), vec.as("v"))
+    val v = widen(df.select(id.as("id"), vec.as("v")))
     val l = v.select(col("id").as("id_a"), col("v").as("va"))
     val r = v.select(col("id").as("id_b"), col("v").as("vb"))
     l.join(r, col("id_a") < col("id_b"))
@@ -710,7 +722,7 @@ object Dedup {
     */
   def embeddingPairsLsh(df: DataFrame, id: Column, vec: Column,
       threshold: Double, bits: Int = 12, tables: Int = 4): DataFrame = {
-    val v = df.select(id.as("id"), vec.as("v"))
+    val v = widen(df.select(id.as("id"), vec.as("v")))
     val buckets = (0 until tables).map { t =>
       v.select(col("id"),
         HashFunctions.srpBucket(col("v"), bits, seed = s"plane$t").as("b"),
@@ -748,7 +760,7 @@ object Dedup {
     require(maxHamming < blocks, s"maxHamming=$maxHamming needs > $maxHamming blocks for exact recall")
     require(SimHashBits % blocks == 0, s"blocks=$blocks must divide $SimHashBits")
     val bits = SimHashBits / blocks
-    val sh = df.select(id.as("id"), text.as("__text"))
+    val sh = widen(df.select(id.as("id"), text.as("__text")))
       .select(col("id"), simHash(col("__text")).as("sh"))
     val blk = sh.select(col("id"), col("sh"), posexplode(
       transform(sequence(lit(0), lit(blocks - 1)),
@@ -785,7 +797,7 @@ object Dedup {
       s"blocks=$blocks must split 128 bits into word-aligned blocks (2, 4, 8, 16, 32, 64)")
     val width = 128 / blocks
     val mask = if (width == 64) -1L else (1L << width) - 1
-    val sh = df.select(id.as("id"), text.as("__text"))
+    val sh = widen(df.select(id.as("id"), text.as("__text")))
       .select(col("id"), simHash128(col("__text")).as("sh"))
     val blk = sh.select(col("id"), col("sh"), posexplode(expr(
       s"""transform(sequence(0, ${blocks - 1}), b ->
@@ -907,7 +919,7 @@ object Dedup {
     require(window > 0 && stride > 0 && stride <= window,
       s"need 0 < stride <= window, got window=$window stride=$stride")
     import org.apache.spark.sql.expressions.{Window => W}
-    val tiles = df
+    val tiles = widen(df)
       .select(id.as("__id"), text.as("__t"))
       .filter(length(col("__t")) >= window)
       .select(col("__id"), col("__t"),

@@ -923,9 +923,12 @@ object Pipeline {
     * recomputes the k-shingle hash sequence and per-window minima in SQL.
     */
   def winnowFps(s: SparkSession, dir: String): DataFrame = {
-    // scan-partition parallelism comes from spark.sql.files.minPartitionNum
-    // (GraftSession.configure) — no imperative partition-count probe
-    T(s, dir, "documents").select(col("doc_id"), col("text"))
+    // widen before the per-row fingerprint loop — see Dedup.widen's note on
+    // why a declarative minPartitionNum can't do this for small files
+    val target = s.sparkContext.defaultParallelism
+    val docs = T(s, dir, "documents").select(col("doc_id"), col("text"))
+    val widened = if (docs.rdd.getNumPartitions < target) docs.repartition(target) else docs
+    widened
       .select(col("doc_id"),
         explode(graft.operators.Dedup.winnowFingerprints(col("text"), 3, 4)).as("fp"))
       .orderBy(col("doc_id"), col("fp"))
