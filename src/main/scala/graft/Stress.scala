@@ -1,0 +1,116 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Scale-growth stress harness for the dedup/similarity family: the sf0.1
+  * tables are replicated `mult`× with deterministic per-replica
+  * perturbation, and the SAME `SparkEntry.queries` entries are timed at
+  * each scale. Correctness is already oracle-proven at sf0.01/sf0.1; this
+  * harness exists to catch quadratic creep that plan-shape inspection
+  * cannot show — a candidate-join blowup grows super-linearly in wall
+  * time long before it OOMs.
+  *
+  * Replication is NOT naive duplication (identical copies would plant
+  * pathological k²-candidate LSH buckets AND let exact dedup collapse
+  * everything): each replica offsets ids and appends a replica token to
+  * text / adds a replica epsilon to embeddings, so replicas are realistic
+  * near-duplicates — the hard case for the candidate-generation paths —
+  * while ids stay unique.
+  *
+  * Usage: `runMain graft.Stress <mult> [queries...]` — writes scaled
+  * parquet under /tmp/graft_stress/x<mult> (reused if present), prints one
+  * JSON line: {"mult":N,"rows":R,"queries":{name:sec,...}}.
+  */
+object Stress {
+
+  val DefaultQueries: Seq[String] = Seq(
+    "dedup_exact", "dedup_minhash_lsh", "dedup_ngram_jaccard",
+    "dedup_simhash128", "dedup_components", "dedup_incremental",
+    "repeated_substrings", "winnow_fingerprints", "segment_dedup",
+    "sim_bruteforce_topk", "sim_lsh_topk", "sim_ivf_topk", "sim_ivf_trained",
+    "sim_quantized_topk", "text_metrics", "token_counts")
+
+  private val IdStride = 1000000L // well above any sf0.1 id; keeps ids unique
+
+  private def replicate(base: DataFrame, mult: Int): DataFrame =
+    base.select(col("*"),
+      explode(sequence(lit(0L), lit(mult - 1L))).as("rep"))
+
+  def scaleDocs(base: DataFrame, mult: Int): DataFrame =
+    replicate(base, mult).select(
+      (col("doc_id") + col("rep") * IdStride).as("doc_id"),
+      concat(col("text"), lit(" replica"), col("rep")).as("text"),
+      col("lang"), col("source"), col("n_chars"))
+
+  def scaleEmbeddings(base: DataFrame, mult: Int): DataFrame =
+    replicate(base, mult).select(
+      (col("vec_id") + col("rep") * IdStride).as("vec_id"),
+      transform(col("embedding"),
+        x => x + col("rep").cast("float") * lit(0.001f)).as("embedding"),
+      col("label"))
+
+  def main(args: Array[String]): Unit = {
+    val mult = if (args.isEmpty) 4 else args(0).toInt
+    val queries = if (args.length > 1) args.drop(1).toSeq else DefaultQueries
+    val baseDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val outDir = s"/tmp/graft_stress/x$mult"
+
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    GraftSession.configure(spark)
+
+    // generate (idempotent: reuse if the directory already exists)
+    val marker = new java.io.File(s"$outDir/_DONE")
+    if (!marker.exists()) {
+      val docs = spark.read.parquet(s"$baseDir/documents.parquet")
+      val embs = spark.read.parquet(s"$baseDir/embeddings.parquet")
+      scaleDocs(docs, mult)
+        .write.mode("overwrite").parquet(s"$outDir/documents.parquet")
+      scaleEmbeddings(embs, mult)
+        .write.mode("overwrite").parquet(s"$outDir/embeddings.parquet")
+      // the dedup/sim queries only read documents + embeddings; symlink-free
+      // copy of the small remaining tables is unnecessary
+      marker.getParentFile.mkdirs()
+      marker.createNewFile()
+      ()
+    }
+
+    val rows = spark.read.parquet(s"$outDir/documents.parquet").count()
+
+    def timeOnce(name: String): Double = {
+      val fn = SparkEntry.queries(name)
+      val t0 = System.nanoTime()
+      try {
+        fn(spark, outDir).write.format("noop").mode("overwrite").save()
+        (System.nanoTime() - t0) / 1e9
+      } catch { case e: Throwable =>
+        System.err.println(s"$name failed: ${e.getMessage}"); -1.0
+      } finally {
+        spark.catalog.clearCache()
+        spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
+      }
+    }
+
+    def num(v: Double): String =
+      new java.math.BigDecimal(String.format(java.util.Locale.ROOT, "%.3f", Double.box(v)))
+        .stripTrailingZeros().toPlainString
+    val results = queries.map(q => q -> timeOnce(q))
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + num(v) }
+      .mkString("{", ",", "}")
+    val line = s"""{"mult":$mult,"rows":$rows,"queries":$qs}"""
+    try {
+      java.nio.file.Files.write(java.nio.file.Paths.get(s"stress_x$mult.json"),
+        (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    } catch { case _: Throwable => () }
+    System.out.println(line)
+    System.out.flush()
+    spark.stop()
+    sys.exit(0)
+  }
+}

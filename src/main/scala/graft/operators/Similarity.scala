@@ -181,6 +181,13 @@ object Similarity {
     * only shuffle is the cell-keyed candidate join — each query touches
     * nprobe/centroids of the corpus. Swap the modulus sampler for trained
     * centroids without touching the plan.
+    *
+    * SCALE WARNING: a FIXED `centroidEvery` makes the centroid count grow
+    * with the corpus (C = n/centroidEvery), so the map-side assignment
+    * scores n×C = n²/centroidEvery pairs — measured super-linear in the
+    * stress harness (BASELINE.md round 5). Fine for the oracle-reproducible
+    * bench fixture; at corpus scale use [[trainCentroids]] (fixed K →
+    * linear n×K assignment) or pick centroidEvery ≈ n/√n so C ≈ √n.
     */
   def ivfTopK(queries: DataFrame, corpus: DataFrame, k: Int,
       centroidEvery: Long = 50, nprobe: Int = 2): DataFrame =

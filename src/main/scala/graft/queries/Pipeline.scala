@@ -277,6 +277,23 @@ object Pipeline {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /** IVF with a TRAINED fixed-size quantizer (seeded k-means||) — the
+    * production/scale path: centroid count stays K as the corpus grows, so
+    * map-side assignment is n×K (linear in n), unlike `sim_ivf_topk`'s
+    * oracle-reproducible modulus sampler whose centroid count is n/50
+    * (assignment n²/50 — measured super-linear in the stress harness;
+    * BASELINE.md round 5). No DuckDB oracle: MLlib k-means|| is
+    * seeded-deterministic but not replayable in SQL, so the driver records
+    * the rows-only check; SimilaritySpec gates the semantics.
+    */
+  def simIvfTrained(s: SparkSession, dir: String): DataFrame = {
+    val emb = T(s, dir, "embeddings")
+    val cents = graft.operators.Similarity.trainCentroids(emb, k = 16)
+    graft.operators.Similarity.ivfTopKWith(
+        emb.filter(col("vec_id") < 20), emb, cents, k = 5, nprobe = 2)
+      .orderBy(col("query_id"), col("rank"))
+  }
+
   val simIvfOracle: String =
     s"""WITH $normsCte,
        |cent AS (SELECT vec_id AS cid, embedding, nrm FROM n WHERE vec_id % 50 = 0),
@@ -1482,6 +1499,7 @@ object Pipeline {
     Q("sim_jl_topk", simJlTopk, Some(simJlTopkOracle)),
     Q("sim_lsh_topk", simLsh, Some(simLshOracle)),
     Q("sim_lsh_multiprobe", simLshMultiprobe, Some(simLshMultiprobeOracle)),
-    Q("sim_ivf_topk", simIvf, Some(simIvfOracle))
+    Q("sim_ivf_topk", simIvf, Some(simIvfOracle)),
+    Q("sim_ivf_trained", simIvfTrained, None)
   )
 }

@@ -21,7 +21,12 @@ class EntrySpec extends SparkSpec {
   }
 
   test("every declared query is oracle-checked (no weaker rows-only entries)") {
-    val weak = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
+    // Explicit, justified exceptions only: sim_ivf_trained's quantizer is
+    // MLlib k-means|| — seeded-deterministic but not replayable in DuckDB
+    // SQL (the driver records its rows-only check; SimilaritySpec gates the
+    // trained-centroid semantics). Everything else must carry an oracle.
+    val allowedRowsOnly = Set("sim_ivf_trained")
+    val weak = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet -- allowedRowsOnly
     assert(weak.isEmpty, s"queries without oracle SQL: $weak")
   }
 }
