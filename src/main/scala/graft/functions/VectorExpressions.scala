@@ -309,6 +309,74 @@ case class DotInt8Packed(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** ADC (asymmetric distance computation) scoring of a packed PQ code
+  * against a per-query lookup table: `code` is one byte per subspace (the
+  * codebook entry index, from `Similarity.pqPack`), `lut` is the flattened
+  * `array<long>` of partial dots indexed `sub * J + entry` (from
+  * `Similarity.pqLut`), with J inferred as `lut.length / code.length`.
+  * Score = Σ_sub lut[sub * J + code[sub]] — the whole PQ scan is this one
+  * m-iteration lookup loop per (query, corpus) pair, no vector math at
+  * query time. Exact long arithmetic; returns null when the LUT length is
+  * not a positive multiple of the code length or an entry is out of range.
+  */
+case class PqAdcPacked(left: Expression, right: Expression)
+    extends BinaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] =
+    Seq(org.apache.spark.sql.types.BinaryType, ArrayType(LongType))
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true
+  override def prettyName: String = "pq_adc_packed"
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val code = a.asInstanceOf[Array[Byte]]
+    val lut = b.asInstanceOf[ArrayData]
+    val m = code.length
+    if (m == 0 || lut.numElements() % m != 0) return null
+    val j = lut.numElements() / m
+    var score = 0L
+    var s = 0
+    while (s < m) {
+      val e = code(s) & 0xff
+      if (e >= j) return null
+      score += lut.getLong(s * j + e)
+      s += 1
+    }
+    score
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    nullSafeCodeGen(ctx, ev, (code, lut) => {
+      val m = ctx.freshName("m")
+      val j = ctx.freshName("j")
+      val s = ctx.freshName("s")
+      val e = ctx.freshName("e")
+      val score = ctx.freshName("score")
+      val bad = ctx.freshName("bad")
+      s"""
+         |final int $m = $code.length;
+         |if ($m == 0 || $lut.numElements() % $m != 0) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  final int $j = $lut.numElements() / $m;
+         |  long $score = 0L;
+         |  boolean $bad = false;
+         |  for (int $s = 0; $s < $m; $s++) {
+         |    final int $e = $code[$s] & 0xff;
+         |    if ($e >= $j) { $bad = true; break; }
+         |    $score += $lut.getLong($s * $j + $e);
+         |  }
+         |  if ($bad) { ${ev.isNull} = true; } else { ${ev.value} = $score; }
+         |}
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
 /** Column-level entry points for vector math. */
 object VectorFunctions {
 
@@ -336,4 +404,11 @@ object VectorFunctions {
   def dotInt8Packed(a: Column, b: Column): Column =
     ExpressionUtils.column(
       DotInt8Packed(ExpressionUtils.expression(a), ExpressionUtils.expression(b)))
+
+  /** ADC score of a packed PQ code against a flattened per-query LUT (see
+    * [[PqAdcPacked]]).
+    */
+  def pqAdcPacked(code: Column, lut: Column): Column =
+    ExpressionUtils.column(
+      PqAdcPacked(ExpressionUtils.expression(code), ExpressionUtils.expression(lut)))
 }

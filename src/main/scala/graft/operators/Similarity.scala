@@ -258,6 +258,205 @@ object Similarity {
     topKPerQuery(scored, k)
   }
 
+  // ------------------------------------------------ product quantization
+
+  /** Deterministic product-quantization codebook over int8-quantized
+    * embeddings: the vector is split into `m` equal subspaces, and entry
+    * `e` of EVERY subspace is the corresponding slice of the int8 code of
+    * corpus vector `vec_id = e * entryEvery` — content-independent and
+    * SQL-replayable, the PQ analogue of [[ivfTopK]]'s modulus-sampled
+    * centroids (k-means sub-codebooks would make the oracle
+    * irreproducible; see [[pqCodebookTrained]] for the production
+    * quantizer). Returns `(sub, entry, scode: array<int>)` — m × J rows,
+    * tiny, always broadcast.
+    *
+    * Quantizing BEFORE splitting means every downstream PQ computation
+    * (assignment distances, ADC partial dots) is exact long arithmetic:
+    * bit-stable across engines and across any aggregation order — the same
+    * design throughline as [[quantizedTopK]].
+    *
+    * SCALE WARNING: like [[ivfTopK]], a fixed `entryEvery` grows the
+    * codebook with the corpus (J = n/entryEvery) — assignment work is
+    * n×m×J. Fine for the oracle fixture; at corpus scale use
+    * [[pqCodebookTrained]] (fixed J → linear n×m×J assignment, J ≤ 128 so
+    * codes pack one byte per subspace).
+    */
+  def pqCodebook(corpus: DataFrame, m: Int, entryEvery: Long): DataFrame =
+    subSplit(
+      corpus.filter(pmod(col("vec_id"), lit(entryEvery)) === 0)
+        .select(expr(s"vec_id div $entryEvery").as("entry"),
+          VectorFunctions.quantizeInt8(col("embedding")).as("code")),
+      m)
+      .select(col("sub"), col("entry"), col("scode"))
+
+  /** Trained PQ codebook: an independent seeded k-means per subspace over
+    * the int8 sub-codes (classic PQ training, Jégou et al., TPAMI 2011 —
+    * public method). Fixed `j` entries per subspace regardless of corpus
+    * size; centroids are rounded back to int8 codes so the exact-integer
+    * ADC contract is preserved. Not SQL-replayable (k-means) — spec-gated,
+    * production path.
+    */
+  def pqCodebookTrained(corpus: DataFrame, m: Int, j: Int,
+      seed: Long = 42): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val subs = subSplit(
+      corpus.select(col("vec_id"),
+        VectorFunctions.quantizeInt8(col("embedding")).as("code")), m)
+    val toVec = udf((a: Seq[Int]) =>
+      org.apache.spark.ml.linalg.Vectors.dense(a.map(_.toDouble).toArray))
+    (0 until m).map { s =>
+      val data = subs.filter(col("sub") === s)
+        .select(toVec(col("scode")).as("features"))
+      val model = new org.apache.spark.ml.clustering.KMeans()
+        .setK(j).setSeed(seed + s).setMaxIter(20).setFeaturesCol("features")
+        .fit(data)
+      model.clusterCenters.zipWithIndex.map { case (c, e) =>
+        (s, e.toLong, c.toArray.map(v => math.round(v).toInt).toSeq)
+      }.toSeq.toDF("sub", "entry", "scode")
+    }.reduce(_.unionAll(_))
+  }
+
+  /** Splits each row's int8 `code` into `m` equal sub-codes:
+    * `(…, sub, scode)`. Requires dims % m == 0 (enforced per row — slice
+    * returns the full tail otherwise and lengths would mismatch in DotInt,
+    * nulling the score).
+    */
+  private def subSplit(coded: DataFrame, m: Int): DataFrame =
+    coded.select(col("*"), explode(sequence(lit(0L), lit(m - 1L))).as("sub"))
+      .withColumn("scode",
+        expr(s"slice(code, cast(sub * (size(code) div $m) + 1 as int), size(code) div $m)"))
+
+  /** PQ-encodes the corpus against a codebook: each vector's sub-code is
+    * assigned its nearest codebook entry by exact integer squared-L2
+    * (`‖x‖² − 2x·c + ‖c‖²`, all [[org.apache.spark.sql.graft.DotInt]]
+    * longs), ties toward the smaller entry id. Returns the exploded
+    * `(vec_id, sub, entry)` form — [[pqPack]] compacts it to m bytes/vector.
+    *
+    * Scale shape: the codebook is broadcast, assignment is map-side
+    * (n×m×J scored rows never leave their partition), and the min_by
+    * partial-aggregates to one entry per (vector, subspace) before the
+    * exchange — n×m rows shuffled, the PQ analogue of [[ivfTopKWith]]'s
+    * assignment.
+    */
+  def pqEncode(corpus: DataFrame, codebook: DataFrame, m: Int): DataFrame = {
+    val subs = subSplit(
+      corpus.select(col("vec_id"),
+        VectorFunctions.quantizeInt8(col("embedding")).as("code")), m)
+      .select(col("vec_id"), col("sub"), col("scode").as("xs"))
+    val d2 = (VectorFunctions.dotInt(col("xs"), col("xs"))
+      - lit(2L) * VectorFunctions.dotInt(col("xs"), col("scode"))
+      + VectorFunctions.dotInt(col("scode"), col("scode")))
+    subs.join(broadcast(codebook), Seq("sub"))
+      .withColumn("__d", d2)
+      .groupBy(col("vec_id"), col("sub"))
+      .agg(min_by(col("entry"), struct(col("__d"), col("entry"))).as("entry"))
+  }
+
+  /** Compacts [[pqEncode]]'s exploded form to `(vec_id, pqcode: binary)` —
+    * ONE byte per subspace (requires J ≤ 128). An m-subspace PQ code is
+    * m bytes vs 4·dims for `array<int>` int8 codes vs 4·dims for float32:
+    * at dims=64, m=8 that is a 32× compression of the corpus — the reason
+    * PQ is the standard 10⁹⁺-vector ANN representation. Persist once;
+    * [[pqTopKPacked]] scans it without ever reconstructing vectors.
+    */
+  def pqPack(codes: DataFrame): DataFrame =
+    codes.groupBy(col("vec_id"))
+      .agg(array_sort(collect_list(struct(col("sub"), col("entry")))).as("se"))
+      .select(col("vec_id"),
+        VectorFunctions.packInt8(expr("transform(se, x -> cast(x.entry as int))"))
+          .as("pqcode"))
+
+  /** Per-query ADC lookup tables against a codebook: partial dot of the
+    * query's int8 sub-code with every codebook entry, flattened to ONE
+    * `array<long>` per query indexed `sub * J + entry` (the layout
+    * [[org.apache.spark.sql.graft.PqAdcPacked]] consumes). Query side is
+    * small — the LUT set broadcasts.
+    */
+  def pqLut(queries: DataFrame, codebook: DataFrame, m: Int): DataFrame = {
+    val qsubs = subSplit(
+      queries.select(col("vec_id").as("query_id"),
+        VectorFunctions.quantizeInt8(col("embedding")).as("code")), m)
+      .select(col("query_id"), col("sub"), col("scode").as("qs"))
+    qsubs.join(broadcast(codebook), Seq("sub"))
+      .select(col("query_id"), col("sub"), col("entry"),
+        VectorFunctions.dotInt(col("qs"), col("scode")).as("pdot"))
+      .groupBy(col("query_id"))
+      .agg(array_sort(collect_list(struct(col("sub"), col("entry"), col("pdot")))).as("t"))
+      .select(col("query_id"), expr("transform(t, x -> x.pdot)").as("lut"))
+  }
+
+  /** PQ/ADC approximate top-k (asymmetric distance computation, Jégou et
+    * al.): corpus vectors are PQ-encoded once; each query scores a corpus
+    * code as Σ_sub lut[sub][code[sub]] — the dot product of the query with
+    * the RECONSTRUCTED (codebook-rounded) corpus vector, exact long
+    * arithmetic end to end. Returns (query_id, neighbor_id, rank, adc).
+    *
+    * This relational form (exploded codes ⋈ exploded LUT rows, long-sum
+    * per pair) exists to be DuckDB-replayable; [[pqTopKPacked]] is the
+    * byte-identical scale form (binary codes, native scoring expression,
+    * no per-subspace rows at all).
+    */
+  def pqTopK(queries: DataFrame, corpus: DataFrame, k: Int, m: Int = 8,
+      entryEvery: Long = 25, includeSelf: Boolean = false): DataFrame =
+    pqTopKWith(queries, corpus, pqCodebook(corpus, m, entryEvery), k, m,
+      includeSelf)
+
+  /** [[pqTopK]] with an explicit codebook (`sub`, `entry`, `scode`) — from
+    * [[pqCodebook]], [[pqCodebookTrained]], or any external quantizer.
+    */
+  def pqTopKWith(queries: DataFrame, corpus: DataFrame, codebook: DataFrame,
+      k: Int, m: Int, includeSelf: Boolean = false): DataFrame = {
+    val codes = pqEncode(corpus, codebook, m)
+      .withColumnRenamed("vec_id", "neighbor_id")
+    val lutRows = subSplit(
+      queries.select(col("vec_id").as("query_id"),
+        VectorFunctions.quantizeInt8(col("embedding")).as("code")), m)
+      .select(col("query_id"), col("sub"), col("scode").as("qs"))
+      .join(broadcast(codebook), Seq("sub"))
+      .select(col("query_id"), col("sub"), col("entry"),
+        VectorFunctions.dotInt(col("qs"), col("scode")).as("pdot"))
+    val scored = codes.join(broadcast(lutRows), Seq("sub", "entry"))
+      .filter(if (includeSelf) lit(true) else col("query_id") =!= col("neighbor_id"))
+      .groupBy(col("query_id"), col("neighbor_id"))
+      .agg(sum(col("pdot")).as("adc"))
+    // adc ≤ m · subd · 127² ≪ 2⁵³ — exact in the aggregator's double
+    topKPerQuery(scored.select(col("query_id"), col("neighbor_id"),
+        col("adc").cast("double").as("cos")), k)
+      .select(col("query_id"), col("neighbor_id"), col("rank"),
+        col("cos").cast("long").as("adc"))
+  }
+
+  /** [[pqTopK]] over packed codes: identical ranks and adc values (specs
+    * assert equality), but the corpus side is m bytes per vector and the
+    * scoring is one native [[org.apache.spark.sql.graft.PqAdcPacked]]
+    * lookup loop inside whole-stage codegen — no join on (sub, entry), no
+    * n×m row explosion, no long-sum aggregation. The scan shape matches
+    * [[quantizedTopKPacked]]: broadcast the per-query LUTs, stream the
+    * packed corpus, bounded partial top-k.
+    */
+  def pqTopKPacked(queries: DataFrame, corpus: DataFrame, k: Int, m: Int = 8,
+      entryEvery: Long = 25, includeSelf: Boolean = false): DataFrame =
+    pqTopKPackedWith(queries, corpus, pqCodebook(corpus, m, entryEvery), k, m,
+      includeSelf)
+
+  /** [[pqTopKPacked]] with an explicit codebook — see [[pqTopKWith]]. */
+  def pqTopKPackedWith(queries: DataFrame, corpus: DataFrame,
+      codebook: DataFrame, k: Int, m: Int,
+      includeSelf: Boolean = false): DataFrame = {
+    val cb = codebook
+    val packed = pqPack(pqEncode(corpus, cb, m))
+      .select(col("vec_id").as("neighbor_id"), col("pqcode"))
+    val luts = broadcast(pqLut(queries.select(col("vec_id"), col("embedding")), cb, m))
+    val scored = packed.join(luts,
+        if (includeSelf) lit(true) else col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        VectorFunctions.pqAdcPacked(col("pqcode"), col("lut")).cast("double").as("cos"))
+    topKPerQuery(scored, k)
+      .select(col("query_id"), col("neighbor_id"), col("rank"),
+        col("cos").cast("long").as("adc"))
+  }
+
   /** Approximate top-k: candidates share the query's SRP bucket, exact
     * cosine rescoring inside the bucket. Output as `bruteForceTopK` (ranks
     * may hold fewer than k rows when a bucket is small).

@@ -381,6 +381,66 @@ object Pipeline {
       |FROM ranked WHERE rank <= 5
       |ORDER BY query_id, rank""".stripMargin
 
+  /** Product-quantization ADC top-5 (Jégou et al.): int8-quantize, split
+    * into 8 subspaces, assign each sub-code its nearest entry of a
+    * deterministic modulus-sampled sub-codebook by exact integer squared
+    * L2, then score queries against the reconstructed codes via per-query
+    * lookup tables — long arithmetic end to end, so the oracle replays
+    * assignment ties, ADC sums, and ranking bit-for-bit. The packed-binary
+    * variant (`pqTopKPacked`, m bytes per corpus vector = 32× compression
+    * at dims 64) is spec-gated equal to this relational form.
+    */
+  def simPq(s: SparkSession, dir: String): DataFrame = {
+    val emb = T(s, dir, "embeddings")
+    graft.operators.Similarity.pqTopK(
+        emb.filter(col("vec_id") < 20), emb, k = 5, m = 8, entryEvery = 25)
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  val simPqOracle: String = {
+    // exact integer dot of two 8-element BIGINT sub-code lists
+    def idot(a: String, b: String): String =
+      s"list_reduce(list_transform(range(1, 9), i -> $a[i] * $b[i]), (x, y) -> x + y)"
+    s"""WITH n AS (
+       |  SELECT vec_id, embedding,
+       |    sqrt(list_reduce(list_transform(range(1, len(embedding) + 1),
+       |      i -> embedding[i]::DOUBLE * embedding[i]::DOUBLE), (x, y) -> x + y)) AS nrm
+       |  FROM embeddings),
+       |qz AS (
+       |  SELECT vec_id,
+       |    list_transform(range(1, len(embedding) + 1),
+       |      i -> CASE WHEN nrm = 0 THEN CAST(0 AS BIGINT)
+       |           ELSE CAST(round(127 * (embedding[i]::DOUBLE / nrm)) AS BIGINT) END) AS code
+       |  FROM n),
+       |sq AS (
+       |  SELECT vec_id, sub, code[(sub * 8 + 1):(sub * 8 + 8)] AS scode
+       |  FROM qz CROSS JOIN (SELECT unnest(range(0, 8)) AS sub) subs),
+       |cb AS (SELECT vec_id // 25 AS entry, sub, scode FROM sq WHERE vec_id % 25 = 0),
+       |asg AS (
+       |  SELECT vec_id, sub, entry FROM (
+       |    SELECT x.vec_id, x.sub, c.entry,
+       |      ROW_NUMBER() OVER (PARTITION BY x.vec_id, x.sub ORDER BY
+       |        (${idot("x.scode", "x.scode")} - 2 * ${idot("x.scode", "c.scode")}
+       |         + ${idot("c.scode", "c.scode")}), c.entry) AS rn
+       |    FROM sq x JOIN cb c ON c.sub = x.sub) t
+       |  WHERE rn = 1),
+       |lut AS (
+       |  SELECT q.vec_id AS query_id, q.sub, c.entry, ${idot("q.scode", "c.scode")} AS pdot
+       |  FROM sq q JOIN cb c ON c.sub = q.sub WHERE q.vec_id < 20),
+       |scored AS (
+       |  SELECT l.query_id, a.vec_id AS neighbor_id, CAST(SUM(l.pdot) AS BIGINT) AS adc
+       |  FROM asg a JOIN lut l ON l.sub = a.sub AND l.entry = a.entry
+       |  WHERE a.vec_id <> l.query_id
+       |  GROUP BY 1, 2)
+       |SELECT query_id, neighbor_id, rank, adc FROM (
+       |  SELECT query_id, neighbor_id, adc,
+       |    CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+       |      ORDER BY adc DESC, neighbor_id) AS INTEGER) AS rank
+       |  FROM scored) t
+       |WHERE rank <= 5
+       |ORDER BY query_id, rank""".stripMargin
+  }
+
   /** ANN in a JL-projected space: embeddings are reduced 64 → 8 dims with
     * the content-addressed ±1 matrix, and exact top-5 cosine runs in the
     * reduced space. The oracle replays the sign matrix (md5 parity), the
@@ -1500,6 +1560,7 @@ object Pipeline {
     Q("sim_lsh_topk", simLsh, Some(simLshOracle)),
     Q("sim_lsh_multiprobe", simLshMultiprobe, Some(simLshMultiprobeOracle)),
     Q("sim_ivf_topk", simIvf, Some(simIvfOracle)),
-    Q("sim_ivf_trained", simIvfTrained, None)
+    Q("sim_ivf_trained", simIvfTrained, None),
+    Q("sim_pq_topk", simPq, Some(simPqOracle))
   )
 }

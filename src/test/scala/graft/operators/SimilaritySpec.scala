@@ -229,4 +229,76 @@ class SimilaritySpec extends SparkSpec {
       else rows.count(r => exact((r._1, r._2))).toDouble / exact.size
     assert(recall(multi) >= recall(single))
   }
+
+  test("pqTopK with entryEvery=1 degenerates to the exact quantized scan") {
+    // Every corpus vector is a codebook entry → each sub-code assigns to
+    // itself (distance 0, tie → its own smallest entry among equal codes)
+    // → ADC score = exact integer dot of the int8 codes. PQ with the
+    // finest codebook must therefore reproduce quantizedTopK bit-for-bit.
+    val df = vectors(30, 16, seed = 13).cache()
+    val qs = df.filter(col("vec_id") < 4)
+    val exact = Similarity.quantizedTopK(qs, df, k = 5)
+      .orderBy("query_id", "rank").as[(Long, Long, Int, Long)].collect()
+    val pq = Similarity.pqTopK(qs, df, k = 5, m = 4, entryEvery = 1)
+      .orderBy("query_id", "rank").as[(Long, Long, Int, Long)].collect()
+    assert(pq.toSeq === exact.toSeq)
+  }
+
+  test("pqTopKPacked: identical output to the relational PQ form; codes " +
+      "are m bytes per vector") {
+    val df = vectors(40, 16, seed = 17).cache()
+    val qs = df.filter(col("vec_id") < 4)
+    val relational = Similarity.pqTopK(qs, df, k = 5, m = 4, entryEvery = 5)
+      .orderBy("query_id", "rank").as[(Long, Long, Int, Long)].collect()
+    val packed = Similarity.pqTopKPacked(qs, df, k = 5, m = 4, entryEvery = 5)
+      .orderBy("query_id", "rank").as[(Long, Long, Int, Long)].collect()
+    assert(packed.toSeq === relational.toSeq)
+    assert(relational.nonEmpty)
+
+    val cb = Similarity.pqCodebook(df, m = 4, entryEvery = 5)
+    val codes = Similarity.pqPack(Similarity.pqEncode(df, cb, m = 4))
+      .select("pqcode").as[Array[Byte]].collect()
+    assert(codes.length === 40)
+    assert(codes.forall(_.length === 4)) // m bytes, 16× smaller than floats
+  }
+
+  test("trained PQ codebook: fixed m×j size, packed ≡ relational, decent recall") {
+    val df = vectors(60, 16, seed = 19).cache()
+    val qs = df.filter(col("vec_id") < 5)
+    val cb = Similarity.pqCodebookTrained(df, m = 4, j = 8, seed = 3).cache()
+    assert(cb.count() === 4L * 8)
+    // entries stay one-byte packable and sub-codes keep subspace width
+    val rows = cb.as[(Long, Long, Seq[Int])].collect()
+    assert(rows.forall { case (s, e, sc) => s < 4 && e < 128 && sc.length == 4 })
+    val relational = Similarity.pqTopKWith(qs, df, cb, k = 5, m = 4)
+      .orderBy("query_id", "rank").as[(Long, Long, Int, Long)].collect()
+    val packed = Similarity.pqTopKPackedWith(qs, df, cb, k = 5, m = 4)
+      .orderBy("query_id", "rank").as[(Long, Long, Int, Long)].collect()
+    assert(packed.toSeq === relational.toSeq)
+    // k-means sub-codebooks should beat random chance by a wide margin:
+    // most exact quantized top-5 neighbors survive the 8-entry compression
+    val exact = Similarity.quantizedTopK(qs, df, k = 5)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val got = relational.map(r => (r._1, r._2)).toSet
+    val recall = (exact & got).size.toDouble / exact.size
+    assert(recall >= 0.4, s"recall $recall")
+  }
+
+  test("PqAdcPacked: exact lookup sum; null on bad LUT size or out-of-range entry") {
+    import org.apache.spark.sql.graft.VectorFunctions
+    // m=2, J=3: lut = [s0e0, s0e1, s0e2, s1e0, s1e1, s1e2]
+    val lut = Array(10L, 20L, 30L, 1L, 2L, 3L)
+    val ok = Seq((Array[Byte](2, 0), lut)).toDF("code", "lut")
+      .select(VectorFunctions.pqAdcPacked(col("code"), col("lut")).as("s"))
+      .as[Long].head()
+    assert(ok === 30L + 1L)
+    val badSize = Seq((Array[Byte](1, 0, 1, 0), lut)).toDF("code", "lut")
+      .select(VectorFunctions.pqAdcPacked(col("code"), col("lut")).as("s"))
+      .collect()
+    assert(badSize.head.isNullAt(0)) // 6 is not a multiple of 4
+    val outOfRange = Seq((Array[Byte](3, 0), lut)).toDF("code", "lut")
+      .select(VectorFunctions.pqAdcPacked(col("code"), col("lut")).as("s"))
+      .collect()
+    assert(outOfRange.head.isNullAt(0))
+  }
 }

@@ -171,6 +171,17 @@ class PlanSpec extends SparkSpec {
     assert("ObjectHashAggregate".r.findAllIn(p).size >= 2, p) // partial + final
   }
 
+  test("pq packed scan: LUTs broadcast, native ADC scoring, no window") {
+    val emb = T(spark, dir, "embeddings")
+    val p = plan(graft.operators.Similarity.pqTopKPacked(
+      emb.filter(org.apache.spark.sql.functions.col("vec_id") < 20),
+      emb, k = 5, m = 8, entryEvery = 25))
+    assert(p.contains("BroadcastNestedLoopJoin"), p) // corpus codes × broadcast LUTs
+    assert(p.contains("pq_adc_packed"), p)           // native scoring expression
+    assert(!p.contains("Window"), p)                 // bounded top-k agg, not a window
+    assert("ObjectHashAggregate".r.findAllIn(p).size >= 2, p)
+  }
+
   test("zorder key: map-only projection over the pruned scan") {
     val df = T(spark, dir, "orders")
       .filter(org.apache.spark.sql.functions.col("o_orderkey") <= 5000)
