@@ -78,6 +78,58 @@ class MultimodalSpec extends SparkSpec {
     assert(out(2) === ((3L, null, 0, 0, 0)))
   }
 
+  private def makeWav(rate: Int, channels: Int, bitsPerSample: Int,
+      frames: Int): Array[Byte] = {
+    // hand-assembled canonical 44-byte PCM WAV header + silent samples —
+    // built from the public RIFF/WAVE layout, independent of WavCodec
+    val blockAlign = channels * bitsPerSample / 8
+    val dataSize = frames * blockAlign
+    val bb = java.nio.ByteBuffer.allocate(44 + dataSize)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataSize)
+      .put("WAVE".getBytes("US-ASCII"))
+      .put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1.toShort).putShort(channels.toShort).putInt(rate)
+      .putInt(rate * blockAlign).putShort(blockAlign.toShort)
+      .putShort(bitsPerSample.toShort)
+      .put("data".getBytes("US-ASCII")).putInt(dataSize)
+    bb.array()
+  }
+
+  test("WavCodec parses rate/channels/frames from a real RIFF header") {
+    val wav = makeWav(rate = 44100, channels = 2, bitsPerSample = 16, frames = 480)
+    val Seq(m) = Multimodal.WavCodec.decode(Seq(wav))
+    assert(m === MediaMeta("wav", 44100, 2, 480, wav.length))
+    // truncated data chunk: frame count clamps to the bytes actually present
+    val cut = wav.take(44 + 100) // 100 bytes = 25 stereo-16 frames
+    val Seq(mc) = Multimodal.WavCodec.decode(Seq(cut))
+    assert(mc.nFrames === 25 && mc.format === "wav")
+    // non-WAV and truncated-header payloads degrade to null format
+    assert(Multimodal.WavCodec.decode(Seq("RIFFnope".getBytes)).head.format === null)
+    assert(Multimodal.WavCodec.decode(Seq(null)).head === MediaMeta(null, 0, 0, 0, 0))
+  }
+
+  test("AutoCodec routes by magic bytes: PNG→ImageIO, WAVE→WavCodec, " +
+      "unknown→null meta (no fabricated dimensions)") {
+    val img = new java.awt.image.BufferedImage(
+      10, 7, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    val png = bos.toByteArray
+    val wav = makeWav(rate = 8000, channels = 1, bitsPerSample = 8, frames = 64)
+    val junk = "neither image nor audio".getBytes("UTF-8")
+
+    val out = Multimodal.decodeMeta(
+        Seq((1L, png), (2L, wav), (3L, junk)).toDF("id", "payload"),
+        col("payload"), codec = Multimodal.AutoCodec)
+      .select($"id", $"meta.format", $"meta.width", $"meta.height",
+        $"meta.n_frames", $"meta.n_bytes")
+      .as[(Long, String, Int, Int, Int, Int)].collect().sortBy(_._1)
+    assert(out(0) === ((1L, "png", 10, 7, 1, png.length)))
+    assert(out(1) === ((2L, "wav", 8000, 1, 64, wav.length)))
+    assert(out(2) === ((3L, null, 0, 0, 0, junk.length)))
+  }
+
   test("sampleFrames: evenly spaced fixed-size frames, deduped when short") {
     val payload = ("a" * 1000).getBytes("UTF-8") // 4 frames of 256 (last short)
     val df = Seq(Tuple1(payload)).toDF("p")
