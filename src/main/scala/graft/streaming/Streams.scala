@@ -48,15 +48,17 @@ object Streams {
     * batch (they are plain DataFrames) and reload on restart, which also
     * makes the state transactional with the sink.
     *
-    * Retry hazard (foreachBatch is at-least-once, state update is NOT
-    * transactional with the sink): if a micro-batch replays AFTER its state
-    * union ran, the replayed docs already sit in state.bands/postings, so
-    * every survivor self-matches at Jaccard 1.0 and is silently dropped; a
-    * replay BEFORE the update re-emits the same survivors. Production
-    * deployments must make the update batchId-idempotent — record the last
-    * applied batchId with the persisted state and skip the union (emitting
-    * the previously-persisted survivor set) when `batchId <= lastApplied`,
-    * or key state rows by batchId and dedupe on load.
+    * Retry safety (foreachBatch is at-least-once, state update is NOT
+    * transactional with the sink): the handler records the last APPLIED
+    * batchId and the pinned survivor set, so a replayed batch
+    * (`batchId <= lastApplied`) re-emits the recorded survivors WITHOUT
+    * touching state — without this, replayed docs already sitting in
+    * state.bands/postings would self-match at Jaccard 1.0 and be silently
+    * dropped. This covers within-run sink retries; across a RESTART,
+    * persist the state with [[graft.operators.Dedup.NearDupState.save]]
+    * from `onSurvivors` AFTER the sink commit (state then never runs ahead
+    * of the sink, and a post-restart replay re-admits the batch against
+    * pre-batch state — duplicate-emitting, never survivor-dropping).
     *
     * Returns the writer; caller starts it with its own checkpoint/output
     * options.
@@ -66,16 +68,45 @@ object Streams {
       onSurvivors: (DataFrame, Long) => Unit,
       shingleK: Int = 3, numHashes: Int = 128, bands: Int = 16,
       threshold: Double = 0.8)
-      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
-    // one mutable cell, touched only by the single-threaded batch callback
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    stream.writeStream.foreachBatch(
+      nearDupBatchHandler(state0, onSurvivors, id, text, shingleK, numHashes,
+        bands, threshold))
+
+  /** The idempotent per-batch handler behind [[nearDupIngest]], exposed so
+    * batch-mode tests (and custom sinks) can drive it directly. Survivors
+    * are pinned with a localCheckpoint before emission — a replay must
+    * re-emit the EXACT rows of the original run, and an unpinned plan would
+    * recompute against the already-mutated state.
+    */
+  def nearDupBatchHandler(state0: graft.operators.Dedup.NearDupState,
+      onSurvivors: (DataFrame, Long) => Unit,
+      id: Column, text: Column,
+      shingleK: Int = 3, numHashes: Int = 128, bands: Int = 16,
+      threshold: Double = 0.8): (DataFrame, Long) => Unit = {
+    // mutable cells, touched only by the single-threaded batch callback
     var state = state0
-    stream.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
-      val (survivors, next) = graft.operators.Dedup.minHashIncremental(
-        batch, id, text, state, shingleK, numHashes, bands, threshold)
-      onSurvivors(survivors, batchId)
-      state = graft.operators.Dedup.NearDupState(
-        next.bands.localCheckpoint(true),
-        next.postings.localCheckpoint(true))
+    var lastApplied = -1L
+    var lastSurvivors: DataFrame = null
+    (batch: DataFrame, batchId: Long) => {
+      if (batchId <= lastApplied) {
+        // at-least-once replay after the state union already ran: re-emit
+        // the recorded survivors, do NOT re-apply the batch to state.
+        // Structured Streaming only ever retries the LATEST batch; anything
+        // older would re-emit the wrong set, so it is a guarded no-op.
+        if (batchId == lastApplied && lastSurvivors != null)
+          onSurvivors(lastSurvivors, batchId)
+      } else {
+        val (survivors, next) = graft.operators.Dedup.minHashIncremental(
+          batch, id, text, state, shingleK, numHashes, bands, threshold)
+        val pinned = survivors.localCheckpoint(true)
+        onSurvivors(pinned, batchId)
+        state = graft.operators.Dedup.NearDupState(
+          next.bands.localCheckpoint(true),
+          next.postings.localCheckpoint(true))
+        lastApplied = batchId
+        lastSurvivors = pinned
+      }
       ()
     }
   }

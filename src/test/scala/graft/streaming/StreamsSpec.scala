@@ -136,6 +136,39 @@ class StreamsSpec extends SparkSpec {
     assert(seen.toList === List(0L -> Seq(11L), 1L -> Seq(21L)))
   }
 
+  test("nearDupBatchHandler: replayed batchId re-emits survivors without " +
+      "re-applying state (at-least-once retry safety)") {
+    import graft.operators.Dedup
+    val corpus = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog and keeps running onward"))
+      .toDF("doc_id", "text")
+    val state0 = Dedup.NearDupState.build(corpus, col("doc_id"), col("text"))
+    val seen = scala.collection.mutable.ArrayBuffer.empty[(Long, Seq[Long])]
+    val handler = Streams.nearDupBatchHandler(state0,
+      (survivors, batchId) => seen += batchId -> survivors.select(col("doc_id"))
+        .collect().map(_.getLong(0)).toSeq.sorted,
+      col("doc_id"), col("text"), threshold = 0.7)
+
+    val b0 = Seq(
+      (10L, "a brand new document with fresh wording nobody has seen before now"))
+      .toDF("doc_id", "text")
+    handler(b0, 0L)
+    // sink failure → Structured Streaming replays batch 0. Without the
+    // idempotency guard, doc 10 now sits in state and self-matches at
+    // Jaccard 1.0 — the survivor would silently vanish on retry.
+    handler(b0, 0L)
+    // next batch advances normally against once-applied state
+    val b1 = Seq(
+      (20L, "a brand new document with fresh wording nobody has seen before today"),
+      (21L, "yet another topic unrelated to every other document in this corpus"))
+      .toDF("doc_id", "text")
+    handler(b1, 1L)
+    assert(seen.toList === List(0L -> Seq(10L), 0L -> Seq(10L), 1L -> Seq(21L)))
+    // an out-of-order older batchId is a guarded no-op, not a wrong re-emit
+    handler(b0, 0L)
+    assert(seen.size === 3)
+  }
+
   test("sessionCounts merges events within the gap, splits beyond it") {
     val df = Seq(
       (ts("2024-01-01 00:00:00"), 1L),
