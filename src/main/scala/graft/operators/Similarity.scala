@@ -457,6 +457,71 @@ object Similarity {
         col("cos").cast("long").as("adc"))
   }
 
+  /** IVF-PQ: the coarse quantizer prunes the scan to `nprobe` cells per
+    * query and PQ-ADC scores the survivors from their m-byte codes — the
+    * standard composition for 10⁹⁺-vector corpora (public FAISS design;
+    * this is the `by_residual=false` variant: codes encode the vectors
+    * themselves, not cell residuals, which keeps every score in the exact
+    * long-arithmetic ADC contract — residual encoding would need a
+    * magnitude-preserving re-quantization that breaks it).
+    *
+    * Scale shape: centroids and codebook broadcast; cell assignment and PQ
+    * encoding are one-time map-side passes over the corpus (persist the
+    * `(neighbor_id, cid, pqcode)` frame — m bytes + 12 per vector); at
+    * query time the probe set and LUTs broadcast, each query touches
+    * ~nprobe/C of the corpus, and scoring is the native lookup loop. The
+    * only corpus-sized exchange anywhere is the encode's n×m-row min_by
+    * partial agg, paid once at build time.
+    */
+  def ivfPqTopK(queries: DataFrame, corpus: DataFrame, k: Int, m: Int = 8,
+      entryEvery: Long = 25, centroidEvery: Long = 50, nprobe: Int = 2,
+      includeSelf: Boolean = false): DataFrame =
+    ivfPqTopKWith(queries, corpus,
+      corpus.filter(pmod(col("vec_id"), lit(centroidEvery)) === 0)
+        .select(col("vec_id").as("cid"), col("embedding").as("cv")),
+      pqCodebook(corpus, m, entryEvery), k, m, nprobe, includeSelf)
+
+  /** [[ivfPqTopK]] with explicit centroids (`cid`, `cv`) and PQ codebook
+    * (`sub`, `entry`, `scode`) — from the deterministic samplers or the
+    * trained quantizers ([[trainCentroids]], [[pqCodebookTrained]]).
+    */
+  def ivfPqTopKWith(queries: DataFrame, corpus: DataFrame,
+      centroids: DataFrame, codebook: DataFrame, k: Int, m: Int,
+      nprobe: Int = 2, includeSelf: Boolean = false): DataFrame = {
+    val cents = broadcast(centroids.select(col("cid"), col("cv")))
+    // build side (one-time, persistable): cell id + packed PQ code per vector
+    val assigned = corpus
+      .select(col("vec_id").as("neighbor_id"), col("embedding").as("nv"))
+      .join(cents, lit(true))
+      .withColumn("__ccos", VectorFunctions.cosineSim(col("nv"), col("cv")))
+      .groupBy(col("neighbor_id"))
+      .agg(max_by(col("cid"), struct(col("__ccos"), (-col("cid")).as("nc"))).as("cid"))
+    val packed = pqPack(pqEncode(corpus, codebook, m))
+      .select(col("vec_id").as("neighbor_id"), col("pqcode"))
+      .join(assigned, Seq("neighbor_id"))
+
+    // query side: nprobe nearest cells (probe set is small — window is fine)
+    val probeW = Window.partitionBy(col("query_id"))
+      .orderBy(col("__ccos").desc, col("cid"))
+    val probes = queries
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+      .join(cents, lit(true))
+      .withColumn("__ccos", VectorFunctions.cosineSim(col("qv"), col("cv")))
+      .withColumn("__crn", row_number().over(probeW))
+      .filter(col("__crn") <= nprobe)
+      .select(col("query_id"), col("cid"))
+    val luts = pqLut(queries.select(col("vec_id"), col("embedding")), codebook, m)
+
+    val scored = packed
+      .join(broadcast(probes.join(luts, Seq("query_id"))), Seq("cid"))
+      .filter(if (includeSelf) lit(true) else col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        VectorFunctions.pqAdcPacked(col("pqcode"), col("lut")).cast("double").as("cos"))
+    topKPerQuery(scored, k)
+      .select(col("query_id"), col("neighbor_id"), col("rank"),
+        col("cos").cast("long").as("adc"))
+  }
+
   /** Approximate top-k: candidates share the query's SRP bucket, exact
     * cosine rescoring inside the bucket. Output as `bruteForceTopK` (ranks
     * may hold fewer than k rows when a bucket is small).

@@ -148,6 +148,45 @@ object Engine {
       |GROUP BY 1, 2
       |ORDER BY day, event_type""".stripMargin
 
+  /** Stream-stream interval join, end to end: two watermarked file-source
+    * streams over the same events table (clicks and purchases), inner-joined
+    * per user with a `[click, click + 30 min]` event-time constraint — the
+    * canonical attribution join. Watermarks + the two-sided time bound keep
+    * the join state bounded (each side drops buffered rows once the other
+    * side's watermark passes the constraint — this is what makes the shape
+    * run forever on unbounded streams); append-mode drain is deterministic
+    * for finite input. Timestamps compare in microseconds on both engines
+    * (ts DIV 1000 here, epoch_us in the oracle), so the boundary rows
+    * match exactly.
+    */
+  def streamStreamJoin(s: SparkSession, dir: String): DataFrame = {
+    val batch = T(s, dir, "events")
+    def side(tp: String, timeCol: String) = Streams.withEventTime(
+        Streams.parquetStream(s, dir, batch, glob = Some("events.parquet")))
+      .filter(col("event_type") === tp)
+      .select(col("user_id"), col("event_time").as(timeCol))
+    val joined = Streams.streamStreamJoin(
+      side("click", "c_time"), side("purchase", "p_time"), Seq("user_id"),
+      leftTime = "c_time", rightTime = "p_time",
+      leftDelay = "1 hour", rightDelay = "1 hour", within = "30 MINUTES")
+    val name = s"graft_stream_${streamSeq.incrementAndGet()}"
+    Streams.drainToMemory(joined, name, outputMode = "append")
+    s.table(name)
+      .select(col("user_id"),
+        unix_micros(col("c_time")).as("click_us"),
+        unix_micros(col("p_time")).as("purchase_us"))
+      .orderBy(col("user_id"), col("click_us"), col("purchase_us"))
+  }
+
+  val streamStreamJoinOracle: String =
+    """SELECT c.user_id AS user_id, epoch_us(c.ts) AS click_us,
+      |  epoch_us(p.ts) AS purchase_us
+      |FROM events c JOIN events p ON c.user_id = p.user_id
+      | AND c.event_type = 'click' AND p.event_type = 'purchase'
+      | AND epoch_us(p.ts) >= epoch_us(c.ts)
+      | AND epoch_us(p.ts) <= epoch_us(c.ts) + 1800 * 1000000
+      |ORDER BY user_id, click_us, purchase_us""".stripMargin
+
   /** Native session_window (30-minute gap) per user — the batch run of the
     * streaming sessionizer; oracle rebuilds sessions with lag/cumsum logic.
     */
@@ -241,6 +280,7 @@ object Engine {
     Q("etl_sql_script", etlSqlScript, Some(etlSqlScriptOracle)),
     Q("etl_script_compiled", scriptCompiled, Some(scriptCompiledOracle)),
     Q("streaming_window_counts", streamingWindowCounts, Some(streamingWindowCountsOracle)),
+    Q("stream_stream_join", streamStreamJoin, Some(streamStreamJoinOracle)),
     Q("session_window", sessionWindow, Some(sessionWindowOracle)),
     Q("csv_roundtrip", csvRoundtrip, Some(csvRoundtripOracle)),
     Q("jsonl_roundtrip", jsonlRoundtrip, Some(jsonlRoundtripOracle))

@@ -441,6 +441,73 @@ object Pipeline {
        |ORDER BY query_id, rank""".stripMargin
   }
 
+  /** IVF-PQ top-5: modulus-sampled coarse centroids prune the scan to
+    * nprobe=2 cells per query; packed PQ codes (same 8-subspace codebook as
+    * `sim_pq_topk`) ADC-score the survivors. The oracle replays the whole
+    * composed pipeline — double-fold cosine cell assignment with its ties,
+    * int8 sub-code assignment, exact long ADC sums, candidate pruning, and
+    * ranking — bit-for-bit.
+    */
+  def simIvfPq(s: SparkSession, dir: String): DataFrame = {
+    val emb = T(s, dir, "embeddings")
+    graft.operators.Similarity.ivfPqTopK(
+        emb.filter(col("vec_id") < 20), emb, k = 5, m = 8, entryEvery = 25,
+        centroidEvery = 50, nprobe = 2)
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  val simIvfPqOracle: String = {
+    def idot(a: String, b: String): String =
+      s"list_reduce(list_transform(range(1, 9), i -> $a[i] * $b[i]), (x, y) -> x + y)"
+    s"""WITH $normsCte,
+       |cent AS (SELECT vec_id AS cid, embedding, nrm FROM n WHERE vec_id % 50 = 0),
+       |ccand AS (
+       |  SELECT v.vec_id, c.cid,
+       |    ROW_NUMBER() OVER (PARTITION BY v.vec_id
+       |      ORDER BY ${dotSql("v", "c")} / (v.nrm * c.nrm) DESC, c.cid) AS crn
+       |  FROM n v CROSS JOIN cent c),
+       |assign AS (SELECT vec_id, cid FROM ccand WHERE crn = 1),
+       |probes AS (SELECT vec_id AS query_id, cid FROM ccand WHERE crn <= 2 AND vec_id < 20),
+       |qz AS (
+       |  SELECT vec_id,
+       |    list_transform(range(1, len(embedding) + 1),
+       |      i -> CASE WHEN nrm = 0 THEN CAST(0 AS BIGINT)
+       |           ELSE CAST(round(127 * (embedding[i]::DOUBLE / nrm)) AS BIGINT) END) AS code
+       |  FROM n),
+       |sq AS (
+       |  SELECT vec_id, sub, code[(sub * 8 + 1):(sub * 8 + 8)] AS scode
+       |  FROM qz CROSS JOIN (SELECT unnest(range(0, 8)) AS sub) subs),
+       |cb AS (SELECT vec_id // 25 AS entry, sub, scode FROM sq WHERE vec_id % 25 = 0),
+       |asg AS (
+       |  SELECT vec_id, sub, entry FROM (
+       |    SELECT x.vec_id, x.sub, c.entry,
+       |      ROW_NUMBER() OVER (PARTITION BY x.vec_id, x.sub ORDER BY
+       |        (${idot("x.scode", "x.scode")} - 2 * ${idot("x.scode", "c.scode")}
+       |         + ${idot("c.scode", "c.scode")}), c.entry) AS rn
+       |    FROM sq x JOIN cb c ON c.sub = x.sub) t
+       |  WHERE rn = 1),
+       |lut AS (
+       |  SELECT q.vec_id AS query_id, q.sub, c.entry, ${idot("q.scode", "c.scode")} AS pdot
+       |  FROM sq q JOIN cb c ON c.sub = q.sub WHERE q.vec_id < 20),
+       |adc AS (
+       |  SELECT l.query_id, a.vec_id AS neighbor_id, CAST(SUM(l.pdot) AS BIGINT) AS adc
+       |  FROM asg a JOIN lut l ON l.sub = a.sub AND l.entry = a.entry
+       |  WHERE a.vec_id <> l.query_id
+       |  GROUP BY 1, 2),
+       |scored AS (
+       |  SELECT adc.query_id, adc.neighbor_id, adc.adc
+       |  FROM adc
+       |  JOIN assign x ON x.vec_id = adc.neighbor_id
+       |  JOIN probes p ON p.query_id = adc.query_id AND p.cid = x.cid)
+       |SELECT query_id, neighbor_id, rank, adc FROM (
+       |  SELECT query_id, neighbor_id, adc,
+       |    CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+       |      ORDER BY adc DESC, neighbor_id) AS INTEGER) AS rank
+       |  FROM scored) t
+       |WHERE rank <= 5
+       |ORDER BY query_id, rank""".stripMargin
+  }
+
   /** ANN in a JL-projected space: embeddings are reduced 64 → 8 dims with
     * the content-addressed ±1 matrix, and exact top-5 cosine runs in the
     * reduced space. The oracle replays the sign matrix (md5 parity), the
@@ -1561,6 +1628,7 @@ object Pipeline {
     Q("sim_lsh_multiprobe", simLshMultiprobe, Some(simLshMultiprobeOracle)),
     Q("sim_ivf_topk", simIvf, Some(simIvfOracle)),
     Q("sim_ivf_trained", simIvfTrained, None),
-    Q("sim_pq_topk", simPq, Some(simPqOracle))
+    Q("sim_pq_topk", simPq, Some(simPqOracle)),
+    Q("sim_ivfpq_topk", simIvfPq, Some(simIvfPqOracle))
   )
 }

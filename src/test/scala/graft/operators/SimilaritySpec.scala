@@ -284,6 +284,36 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.4, s"recall $recall")
   }
 
+  test("ivfPqTopK: probing every cell degenerates to the full PQ scan; " +
+      "nprobe=1 only returns neighbors from the query's nearest cell") {
+    val df = vectors(40, 16, seed = 23).cache()
+    val qs = df.filter(col("vec_id") < 4)
+    // centroidEvery=10 → 4 cells; probing all 4 = unpruned PQ scan
+    val full = Similarity.pqTopKPacked(qs, df, k = 5, m = 4, entryEvery = 5)
+      .orderBy("query_id", "rank").as[(Long, Long, Int, Long)].collect()
+    val allCells = Similarity.ivfPqTopK(qs, df, k = 5, m = 4, entryEvery = 5,
+        centroidEvery = 10, nprobe = 4)
+      .orderBy("query_id", "rank").as[(Long, Long, Int, Long)].collect()
+    assert(allCells.toSeq === full.toSeq)
+
+    // nprobe=1: every neighbor must sit in its query's single probed cell
+    val cents = df.filter(col("vec_id") % 10 === 0)
+      .select(col("vec_id").as("cid"), col("embedding").as("cv"))
+    val one = Similarity.ivfPqTopK(qs, df, k = 5, m = 4, entryEvery = 5,
+        centroidEvery = 10, nprobe = 1)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect()
+    assert(one.nonEmpty)
+    import org.apache.spark.sql.graft.VectorFunctions
+    def nearestCell(ids: org.apache.spark.sql.DataFrame) = ids
+      .join(broadcast(cents), lit(true))
+      .withColumn("c", VectorFunctions.cosineSim(col("embedding"), col("cv")))
+      .groupBy(col("vec_id"))
+      .agg(max_by(col("cid"), struct(col("c"), (-col("cid")).as("nc"))).as("cell"))
+      .as[(Long, Long)].collect().toMap
+    val cellOf = nearestCell(df)
+    one.foreach { case (q, nb) => assert(cellOf(nb) === cellOf(q)) }
+  }
+
   test("PqAdcPacked: exact lookup sum; null on bad LUT size or out-of-range entry") {
     import org.apache.spark.sql.graft.VectorFunctions
     // m=2, J=3: lut = [s0e0, s0e1, s0e2, s1e0, s1e1, s1e2]
