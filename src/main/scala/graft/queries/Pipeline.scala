@@ -1499,6 +1499,20 @@ object Pipeline {
       |FROM documents
       |ORDER BY doc_id""".stripMargin
 
+  /** REAL BPE, trained on this corpus: 16 merges learned from the word-
+    * frequency dictionary (one corpus pass + 16 dictionary-sized jobs),
+    * then applied via the distinct-word join. No DuckDB oracle: the
+    * training loop (argmax per iteration) is iterative and not
+    * SQL-replayable — the driver records the rows-only check; BpeSpec
+    * pins the merges and tokenization against an independent reference
+    * implementation of the published algorithm.
+    */
+  def bpeTokenize(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Bpe.trainAndTokenize(
+        T(s, dir, "documents"), col("doc_id"), col("text"), numMerges = 16)
+      .select(col("id").as("doc_id"), col("n_tokens"))
+      .orderBy(col("doc_id"))
+
   // ------------------------------------------------------ fuzzy (linkage) join
 
   /** Two-table fuzzy join across the corpus halves (doc_id < 250 vs >= 250):
@@ -1589,6 +1603,7 @@ object Pipeline {
     Q("repeated_substrings", repeatedSubstrings, Some(repeatedSubstringsOracle)),
     Q("fuzzy_join", fuzzyJoin, Some(fuzzyJoinOracle)),
     Q("token_counts", tokenCounts, Some(tokenCountsOracle)),
+    Q("bpe_tokenize", bpeTokenize, None),
     Q("zorder_key", zorderKeyQ, Some(zorderKeyOracle)),
     Q("quality_filter", qualityFilterQ, Some(qualityFilterOracle)),
     Q("dedup_incremental", dedupIncremental, Some(dedupIncrementalOracle)),

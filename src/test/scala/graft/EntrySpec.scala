@@ -24,8 +24,11 @@ class EntrySpec extends SparkSpec {
     // Explicit, justified exceptions only: sim_ivf_trained's quantizer is
     // MLlib k-means|| — seeded-deterministic but not replayable in DuckDB
     // SQL (the driver records its rows-only check; SimilaritySpec gates the
-    // trained-centroid semantics). Everything else must carry an oracle.
-    val allowedRowsOnly = Set("sim_ivf_trained")
+    // trained-centroid semantics). bpe_tokenize's merge training is an
+    // iterative argmax loop — deterministic but not SQL-replayable; BpeSpec
+    // pins it against an independent reference implementation. Everything
+    // else must carry an oracle.
+    val allowedRowsOnly = Set("sim_ivf_trained", "bpe_tokenize")
     val weak = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet -- allowedRowsOnly
     assert(weak.isEmpty, s"queries without oracle SQL: $weak")
   }

@@ -182,6 +182,19 @@ class PlanSpec extends SparkSpec {
     assert("ObjectHashAggregate".r.findAllIn(p).size >= 2, p)
   }
 
+  test("sim_ivfpq: native ADC scoring behind a cell-keyed join; the only " +
+      "window ranks the probe side") {
+    val p = plan(Pipeline.simIvfPq(spark, dir))
+    assert(p.contains("pq_adc_packed"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    // exactly one Window node — the nprobe ranking over the SMALL
+    // query×cell side; corpus-sized inputs only ever meet partial
+    // aggregations. (\b excludes WindowGroupLimit — the rank-limit
+    // pushdown that keeps even that small sort bounded.)
+    assert("""\(\d+\) Window\b""".r.findAllIn(p).size === 1, p)
+    assert("ObjectHashAggregate".r.findAllIn(p).size >= 2, p)
+  }
+
   test("zorder key: map-only projection over the pruned scan") {
     val df = T(spark, dir, "orders")
       .filter(org.apache.spark.sql.functions.col("o_orderkey") <= 5000)
