@@ -85,6 +85,7 @@ object Bpe {
     val merges = Seq.newBuilder[(String, String)]
     var i = 0
     var done = false
+    var pendingMerges = 0
     while (i < numMerges && !done) {
       val top = pairCounts(dict)
         .orderBy(col("cnt").desc, col("l"), col("r")).limit(1)
@@ -94,7 +95,14 @@ object Bpe {
         val (l, r) = (top(0).getString(0), top(0).getString(1))
         merges += ((l, r))
         dict = dict.withColumn("syms", mergeOnce(col("syms"), l, r))
-          .localCheckpoint()
+        // checkpoint every few merges, not every merge: a handful of
+        // stacked fold projections over the dictionary is cheaper than a
+        // materialization job per iteration, while plan depth stays O(1)
+        pendingMerges += 1
+        if (pendingMerges >= 4) {
+          dict = dict.localCheckpoint()
+          pendingMerges = 0
+        }
       }
       i += 1
     }
