@@ -170,7 +170,17 @@ object Engine {
       leftTime = "c_time", rightTime = "p_time",
       leftDelay = "1 hour", rightDelay = "1 hour", within = "30 MINUTES")
     val name = s"graft_stream_${streamSeq.incrementAndGet()}"
-    Streams.drainToMemory(joined, name, outputMode = "append")
+    // A stateful join materializes 4 state stores per shuffle partition
+    // (per side × KeyWithIndex); at this fixture's volume the store setup
+    // IS the cost, so run the stream with fewer partitions. The setting is
+    // pinned into the query's checkpoint at start — batch queries in the
+    // same session are untouched after the restore. At cluster scale the
+    // partition count should instead track state size (rows × horizon),
+    // exactly like any shuffle sizing.
+    val prev = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", "4")
+    try Streams.drainToMemory(joined, name, outputMode = "append")
+    finally s.conf.set("spark.sql.shuffle.partitions", prev)
     s.table(name)
       .select(col("user_id"),
         unix_micros(col("c_time")).as("click_us"),
