@@ -1450,6 +1450,100 @@ object Pipeline {
        |FROM r
        |ORDER BY doc_id""".stripMargin
 
+  /** The END-TO-END curation flow as one oracle-checked query — what a
+    * user of this engine actually runs before training: exact dedup
+    * (canonical doc per identical text) → C4-style quality gate → the
+    * deterministic train split → greedy 512-token sequence packing per
+    * source. Every stage is an already-proven operator; the value of this
+    * entry is proving the COMPOSITION end to end against one SQL replay
+    * (stage boundaries are where column-contract bugs hide). All stage
+    * predicates are pure functions of (doc_id, text), so the pipeline is
+    * engine- and partitioning-independent by construction.
+    */
+  def curationPipeline(s: SparkSession, dir: String): DataFrame = {
+    val docs = T(s, dir, "documents")
+    val deduped = docs.join(
+      graft.operators.Dedup.exact(docs, col("doc_id"), col("text"))
+        .select(col("keep_id").as("doc_id")), Seq("doc_id"), "left_semi")
+    val quality = graft.operators.QualityFilter.filter(
+      deduped, col("doc_id"), col("text"),
+      graft.operators.QualityFilter.Thresholds(
+        minTokens = 20, maxTokens = 1000000,
+        minStopRatio = 0.02, maxPunctRatio = 0.5,
+        minMeanTokLen = 3.0, maxMeanTokLen = 5.0,
+        maxDupFrac = 0.2, maxTopFrac = 0.9))
+    val train = graft.operators.Sampling.splitByHash(
+        quality, col("doc_id"), SplitWeights)
+      .filter(col("split") === "train")
+    graft.operators.Packing.packGreedy(
+        train.select(col("source"), col("doc_id"),
+          TextFunctions.tokenCountWs(col("text")).as("n_tok")),
+        col("source"), col("doc_id"), col("n_tok"), budget = 512L)
+      .select(col("group").as("source"), col("ord").as("doc_id"),
+        col("size").as("n_tok"), col("pack_id"))
+      .orderBy(col("source"), col("doc_id"))
+  }
+
+  val curationPipelineOracle: String = {
+    val trainCut = (0.8 * 4294967296.0).toLong
+    s"""WITH RECURSIVE keepers AS (
+       |  SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY text),
+       |d AS (SELECT doc.* FROM documents doc JOIN keepers k ON k.doc_id = doc.doc_id),
+       |tq AS (
+       |  SELECT doc_id, text,
+       |    CASE WHEN len(trim(text)) = 0 THEN []::VARCHAR[]
+       |         ELSE string_split_regex(trim(text), '\\s+') END AS toks
+       |  FROM d),
+       |m AS (
+       |  SELECT doc_id,
+       |    len(toks) AS n_tok,
+       |    CASE WHEN length(text) = 0 THEN 0.0
+       |         ELSE CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) AS DOUBLE)
+       |              / CAST(length(text) AS DOUBLE) END AS punct_ratio,
+       |    CASE WHEN len(toks) = 0 THEN 0.0
+       |         ELSE CAST(len(list_filter(toks, x -> list_contains($swEn, x))) AS DOUBLE)
+       |              / CAST(len(toks) AS DOUBLE) END AS stop_ratio,
+       |    CASE WHEN len(toks) = 0 THEN 0.0
+       |         ELSE CAST(list_sum(list_transform(toks, x -> length(x))) AS DOUBLE)
+       |              / CAST(len(toks) AS DOUBLE) END AS mean_tok_len
+       |  FROM tq),
+       |segs AS (
+       |  SELECT doc_id, unnest(string_split_regex(text, '\\. ')) AS seg FROM d),
+       |sc AS (SELECT doc_id, seg, COUNT(*) AS n FROM segs GROUP BY 1, 2),
+       |rep AS (
+       |  SELECT doc_id, SUM(n) AS n_seg,
+       |    CAST(SUM(n) - COUNT(*) AS DOUBLE) / CAST(SUM(n) AS DOUBLE) AS dup_frac,
+       |    CAST(MAX(n) AS DOUBLE) / CAST(SUM(n) AS DOUBLE) AS top_frac
+       |  FROM sc GROUP BY doc_id),
+       |q AS (
+       |  SELECT m.doc_id FROM m JOIN rep ON rep.doc_id = m.doc_id
+       |  WHERE n_tok >= 20 AND n_tok <= 1000000
+       |    AND stop_ratio >= 0.02 AND punct_ratio <= 0.5
+       |    AND mean_tok_len >= 3.0 AND mean_tok_len <= 5.0
+       |    AND dup_frac <= 0.2 AND NOT (n_seg > 1 AND top_frac > 0.9)),
+       |qd AS (
+       |  SELECT d.* FROM d JOIN q ON q.doc_id = d.doc_id
+       |  WHERE ('0x' || substring(md5(CAST(d.doc_id AS VARCHAR)), 1, 8))::BIGINT
+       |        < $trainCut),
+       |t AS (
+       |  SELECT source, doc_id,
+       |    CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS n_tok,
+       |    row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rn
+       |  FROM qd),
+       |r AS (
+       |  SELECT source, doc_id, n_tok, rn, CAST(1 AS BIGINT) AS pack_id,
+       |    n_tok AS acc
+       |  FROM t WHERE rn = 1
+       |  UNION ALL
+       |  SELECT t.source, t.doc_id, t.n_tok, t.rn,
+       |    CASE WHEN r.acc + t.n_tok > 512 THEN r.pack_id + 1 ELSE r.pack_id END,
+       |    CASE WHEN r.acc + t.n_tok > 512 THEN t.n_tok ELSE r.acc + t.n_tok END
+       |  FROM r JOIN t ON t.source = r.source AND t.rn = r.rn + 1)
+       |SELECT source, doc_id, n_tok, pack_id
+       |FROM r
+       |ORDER BY source, doc_id""".stripMargin
+  }
+
   // ----------------------------------------------------------- z-order layout
 
   /** Z-order (Morton) clustering key over (o_custkey, o_orderkey): the
@@ -1600,6 +1694,7 @@ object Pipeline {
 
   val all: Seq[Q] = Seq(
     Q("pack_sequences", packSequences, Some(packSequencesOracle)),
+    Q("curation_pipeline", curationPipeline, Some(curationPipelineOracle)),
     Q("repeated_substrings", repeatedSubstrings, Some(repeatedSubstringsOracle)),
     Q("fuzzy_join", fuzzyJoin, Some(fuzzyJoinOracle)),
     Q("token_counts", tokenCounts, Some(tokenCountsOracle)),
