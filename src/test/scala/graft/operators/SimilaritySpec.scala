@@ -314,6 +314,21 @@ class SimilaritySpec extends SparkSpec {
     one.foreach { case (q, nb) => assert(cellOf(nb) === cellOf(q)) }
   }
 
+  test("fully-trained IVF-PQ: k-means centroids + per-subspace codebooks " +
+      "compose through ivfPqTopKWith") {
+    val df = vectors(60, 16, seed = 29).cache()
+    val qs = df.filter(col("vec_id") < 4)
+    val cents = Similarity.trainCentroids(df, k = 3, seed = 5)
+    val cb = Similarity.pqCodebookTrained(df, m = 4, j = 8, seed = 7).cache()
+    val got = Similarity.ivfPqTopKWith(qs, df, cents, cb, k = 5, m = 4,
+        nprobe = 3) // all 3 cells probed → full trained-PQ scan
+      .orderBy("query_id", "rank").as[(Long, Long, Int, Long)].collect()
+    val full = Similarity.pqTopKPackedWith(qs, df, cb, k = 5, m = 4)
+      .orderBy("query_id", "rank").as[(Long, Long, Int, Long)].collect()
+    assert(got.toSeq === full.toSeq)
+    assert(got.nonEmpty)
+  }
+
   test("PqAdcPacked: exact lookup sum; null on bad LUT size or out-of-range entry") {
     import org.apache.spark.sql.graft.VectorFunctions
     // m=2, J=3: lut = [s0e0, s0e1, s0e2, s1e0, s1e1, s1e2]
