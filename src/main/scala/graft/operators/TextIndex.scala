@@ -154,6 +154,50 @@ object TextIndex {
     * term-count aggregation (map-side partial); the per-doc pass is a
     * map-side explode + broadcast membership probe + one groupBy on id.
     */
+  /** Bigram-familiarity quality signal — the n-gram-LM data filter (CCNet
+    * lineage) reduced to exact integer form so it oracle-checks: each
+    * document's adjacent word pairs are scored by their CORPUS frequency,
+    * and the document reports how many of its bigrams are corpus-common
+    * (frequency > 1, i.e. seen outside this occurrence) plus the total
+    * frequency mass. Low `common_frac` flags garbled, boilerplate-free-
+    * random, or wrong-domain text the unigram [[vocabCoverage]] filter
+    * misses (every word common, no pair ever seen together). No logs or
+    * smoothing — counts and ratios stay exact integers/integer-ratio
+    * doubles (a float perplexity would hang the oracle on libm's last
+    * ulp).
+    *
+    * Output: (id, n_bigrams, sum_freq, n_common, common_frac).
+    *
+    * Scale shape: bigram extraction is a map-only array transform (no
+    * per-doc window); the count table aggregates on the pair key
+    * map-side-partial; the scoring join is a plain equality hash join —
+    * at corpus scale, fingerprint the pair to 8 bytes for the join key
+    * and bucket the count table, exactly like the shingle joins.
+    */
+  def bigramFamiliarity(df: DataFrame, id: Column, text: Column): DataFrame = {
+    val bg = df.select(id.as("id"), TextFunctions.tokensWs(text).as("t"))
+      .select(col("id"), explode(when(size(col("t")) >= 2,
+        transform(sequence(lit(0), size(col("t")) - 2),
+          i => struct(element_at(col("t"), i + 1).as("w1"),
+            element_at(col("t"), i + 2).as("w2"))))
+        .otherwise(array().cast("array<struct<w1:string,w2:string>>"))).as("b"))
+      .select(col("id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
+    val counts = bg.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c"))
+    val scored = bg.join(counts, Seq("w1", "w2"))
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("c")).as("sum_freq"),
+        sum(when(col("c") > 1, 1L).otherwise(0L)).as("n_common"))
+    df.select(id.as("id")).distinct()
+      .join(scored, Seq("id"), "left")
+      .select(col("id"),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        coalesce(col("sum_freq"), lit(0L)).as("sum_freq"),
+        coalesce(col("n_common"), lit(0L)).as("n_common"))
+      .withColumn("common_frac",
+        when(col("n_bigrams") === 0, lit(0.0))
+          .otherwise(col("n_common").cast("double") / col("n_bigrams").cast("double")))
+  }
+
   def vocabCoverage(df: DataFrame, id: Column, text: Column,
       k: Int = 100): DataFrame = {
     require(k > 0, s"k must be positive, got $k")

@@ -1241,6 +1241,45 @@ object Pipeline {
       |GROUP BY doc_id
       |ORDER BY doc_id""".stripMargin
 
+  /** Bigram-familiarity quality scoring: exact corpus-frequency form of
+    * the n-gram-LM filter (see [[graft.operators.TextIndex.bigramFamiliarity]])
+    * — integer counts and ratios only, so the oracle replays it exactly.
+    */
+  def bigramFamiliarityQ(s: SparkSession, dir: String): DataFrame =
+    graft.operators.TextIndex.bigramFamiliarity(
+        T(s, dir, "documents"), col("doc_id"), col("text"))
+      .select(col("id").as("doc_id"), col("n_bigrams"), col("sum_freq"),
+        col("n_common"), col("common_frac"))
+      .orderBy(col("doc_id"))
+
+  val bigramFamiliarityOracle: String =
+    """WITH t AS (
+      |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
+      |  FROM documents),
+      |bg AS (
+      |  SELECT doc_id, b[1] AS w1, b[2] AS w2 FROM (
+      |    SELECT doc_id, unnest(CASE WHEN len(toks) < 2 THEN []::VARCHAR[][]
+      |      ELSE list_transform(range(1, len(toks)), i -> [toks[i], toks[i+1]])
+      |      END) AS b
+      |    FROM t) x),
+      |c AS (SELECT w1, w2, COUNT(*) AS c FROM bg GROUP BY 1, 2),
+      |s AS (
+      |  SELECT bg.doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+      |    CAST(SUM(c.c) AS BIGINT) AS sum_freq,
+      |    CAST(SUM(CASE WHEN c.c > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_common
+      |  FROM bg JOIN c ON c.w1 = bg.w1 AND c.w2 = bg.w2
+      |  GROUP BY bg.doc_id)
+      |SELECT d.doc_id,
+      |  COALESCE(s.n_bigrams, 0) AS n_bigrams,
+      |  COALESCE(s.sum_freq, 0) AS sum_freq,
+      |  COALESCE(s.n_common, 0) AS n_common,
+      |  CASE WHEN COALESCE(s.n_bigrams, 0) = 0 THEN 0.0
+      |       ELSE CAST(s.n_common AS DOUBLE) / CAST(s.n_bigrams AS DOUBLE) END
+      |    AS common_frac
+      |FROM (SELECT DISTINCT doc_id FROM documents) d
+      |LEFT JOIN s ON s.doc_id = d.doc_id
+      |ORDER BY d.doc_id""".stripMargin
+
   // --------------------------------------------------------- canonical dedup
 
   /** Exact dedup over the canonical text form (lowercased, punctuation
@@ -1707,6 +1746,7 @@ object Pipeline {
     Q("dedup_canonical", dedupCanonical, Some(dedupCanonicalOracle)),
     Q("segment_dedup", segmentDedupQ, Some(segmentDedupOracle)),
     Q("vocab_coverage", vocabCoverageQ, Some(vocabCoverageOracle)),
+    Q("bigram_familiarity", bigramFamiliarityQ, Some(bigramFamiliarityOracle)),
     Q("dedup_exact", dedupExact, Some(dedupExactOracle)),
     Q("mm_decode_meta", mmDecodeMeta, Some(mmDecodeMetaOracle)),
     Q("dedup_minhash_lsh", dedupMinHash, Some(dedupMinHashOracle)),

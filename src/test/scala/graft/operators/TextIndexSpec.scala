@@ -59,4 +59,21 @@ class TextIndexSpec extends SparkSpec {
       .as[(Long, Long, Long, Double)].collect()
     assert(out.head._3 === 5L) // 3×a + 2×b
   }
+
+  test("bigramFamiliarity: corpus-common pairs counted exactly; short docs " +
+      "survive with zeros") {
+    val docs = Seq(
+      (1L, "the cat sat"),   // bigrams: (the,cat), (cat,sat)
+      (2L, "the cat ran"),   // (the,cat) shared with doc 1 → common
+      (3L, "one"),           // no bigrams
+      (4L, "")               // no tokens
+    ).toDF("id", "text")
+    val out = TextIndex.bigramFamiliarity(docs, col("id"), col("text"))
+      .as[(Long, Long, Long, Long, Double)].collect().sortBy(_._1)
+    // (the,cat) occurs twice corpus-wide → freq 2 for both docs' copies
+    assert(out(0) === ((1L, 2L, 3L, 1L, 0.5))) // freqs 2 + 1; one common
+    assert(out(1) === ((2L, 2L, 3L, 1L, 0.5)))
+    assert(out(2) === ((3L, 0L, 0L, 0L, 0.0)))
+    assert(out(3) === ((4L, 0L, 0L, 0L, 0.0)))
+  }
 }
