@@ -1609,6 +1609,46 @@ object Pipeline {
       |WHERE o_orderkey <= 5000
       |ORDER BY o_orderkey""".stripMargin
 
+  /** Hilbert clustering key over the same two columns as [[zorderKeyQ]] —
+    * the no-long-jumps curve. The oracle replays the public xy→d walk
+    * level by level with a recursive CTE (per level: quadrant contribution
+    * `s²·((3·rx) xor ry)`, then flip-and-swap the frame).
+    */
+  def hilbertKeyQ(s: SparkSession, dir: String): DataFrame =
+    T(s, dir, "orders")
+      .filter(col("o_orderkey") <= 5000)
+      .select(col("o_orderkey"),
+        graft.operators.Layout.hilbertKey(col("o_custkey"), col("o_orderkey"))
+          .as("h"))
+      .orderBy(col("o_orderkey"))
+
+  val hilbertKeyOracle: String =
+    """WITH RECURSIVE walk AS (
+      |  SELECT o_orderkey,
+      |    CAST(o_custkey AS BIGINT) & 2147483647 AS x,
+      |    CAST(o_orderkey AS BIGINT) & 2147483647 AS y,
+      |    CAST(0 AS BIGINT) AS d, 30 AS lev
+      |  FROM orders WHERE o_orderkey <= 5000
+      |  UNION ALL
+      |  SELECT o_orderkey,
+      |    CASE WHEN ry = 0 THEN fy ELSE x END,
+      |    CASE WHEN ry = 0 THEN fx ELSE y END,
+      |    d + s * s * xor(3 * rx, ry),
+      |    lev - 1
+      |  FROM (
+      |    SELECT o_orderkey, x, y, d, lev, s, rx, ry,
+      |      CASE WHEN rx = 1 THEN s - 1 - x ELSE x END AS fx,
+      |      CASE WHEN rx = 1 THEN s - 1 - y ELSE y END AS fy
+      |    FROM (
+      |      SELECT *, (CAST(1 AS BIGINT) << lev) AS s,
+      |        CASE WHEN (x & (CAST(1 AS BIGINT) << lev)) > 0
+      |             THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END AS rx,
+      |        CASE WHEN (y & (CAST(1 AS BIGINT) << lev)) > 0
+      |             THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END AS ry
+      |      FROM walk WHERE lev >= 0) t1) t2)
+      |SELECT o_orderkey, d AS h FROM walk WHERE lev = -1
+      |ORDER BY o_orderkey""".stripMargin
+
   // ----------------------------------------------------------- token counting
 
   /** Token-budget estimation per document: whitespace tokens next to the
@@ -1739,6 +1779,7 @@ object Pipeline {
     Q("token_counts", tokenCounts, Some(tokenCountsOracle)),
     Q("bpe_tokenize", bpeTokenize, None),
     Q("zorder_key", zorderKeyQ, Some(zorderKeyOracle)),
+    Q("hilbert_key", hilbertKeyQ, Some(hilbertKeyOracle)),
     Q("quality_filter", qualityFilterQ, Some(qualityFilterOracle)),
     Q("dedup_incremental", dedupIncremental, Some(dedupIncrementalOracle)),
     Q("skew_report", skewReportQ, Some(skewReportOracle)),

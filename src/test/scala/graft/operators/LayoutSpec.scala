@@ -31,6 +31,63 @@ class LayoutSpec extends SparkSpec {
     assert(got === 0x27L) // 0b100111: bits a0,a1 at 0,2; b0,b2 at 1,5
   }
 
+  test("hilbert index round-trips the public d→xy inverse walk; consecutive " +
+      "cells are always adjacent (no z-seam jumps)") {
+    import org.apache.spark.sql.graft.HilbertIndex
+    // independent inverse (d2xy), written from the published algorithm
+    def d2xy(d: Long): (Long, Long) = {
+      var (x, y) = (0L, 0L)
+      var t = d
+      var s = 1L
+      while (s < (1L << 31)) {
+        val rx = 1L & (t / 2)
+        val ry = 1L & (t ^ rx)
+        if (ry == 0) {
+          if (rx == 1) { x = s - 1 - x; y = s - 1 - y }
+          val tmp = x; x = y; y = tmp
+        }
+        x += s * rx
+        y += s * ry
+        t /= 4
+        s <<= 1
+      }
+      (x, y)
+    }
+    val rnd = new scala.util.Random(7)
+    val ds = (0L until 256L) ++ Seq.fill(200)(math.abs(rnd.nextLong()) % (1L << 62))
+    ds.foreach { d =>
+      val (x, y) = d2xy(d)
+      assert(HilbertIndex.index(x, y) === d, s"d=$d -> ($x, $y)")
+    }
+    // the defining Hilbert property on the reference: consecutive d are
+    // neighboring cells — Manhattan distance exactly 1, never a diagonal
+    // or a jump (Z-order violates this at every quadrant seam)
+    (0L until 1023L).foreach { d =>
+      val (x1, y1) = d2xy(d)
+      val (x2, y2) = d2xy(d + 1)
+      assert(math.abs(x1 - x2) + math.abs(y1 - y2) === 1L, s"d=$d")
+    }
+    // DataFrame/codegen path agrees with the driver implementation
+    val got = Seq((12345L, 67890L)).toDF("a", "b")
+      .select(Layout.hilbertKey(col("a"), col("b")).as("h")).as[Long].head()
+    assert(got === HilbertIndex.index(12345L, 67890L))
+  }
+
+  test("hilbertOrder slices are compact rectangles, like zorder") {
+    val grid = (for { x <- 0 until 32; y <- 0 until 32 } yield (x, y))
+      .toDF("x", "y")
+    val sliced = Layout.hilbertOrder(grid, col("x"), col("y"), numFiles = 16)
+      .withColumn("pid", spark_partition_id())
+      .groupBy("pid")
+      .agg((max("x") - min("x")).as("dx"), (max("y") - min("y")).as("dy"),
+        count(lit(1)).as("n"))
+      .as[(Int, Int, Int, Long)].collect()
+    assert(sliced.length === 16)
+    assert(sliced.forall(s => s._4 >= 32 && s._4 <= 128), sliced.mkString(","))
+    val compact = sliced.count(s => s._2 <= 15 && s._3 <= 15)
+    assert(compact >= 13, sliced.mkString(","))
+  }
+
   test("zorder clustering packs each output slice into a small rectangle") {
     // 32x32 grid of points, 16 output files: a z-sorted layout should give
     // every slice a bounding box far smaller than the full grid, so a
