@@ -3,7 +3,8 @@ package org.apache.spark.sql.graft
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.Expression
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, CodeGenerator, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.codegen.Block._
 import org.apache.spark.sql.catalyst.util.{ArrayBasedMapData, MapData}
 import org.apache.spark.sql.types.{DataType, MapType}
 
@@ -19,9 +20,14 @@ import org.apache.spark.sql.types.{DataType, MapType}
   *
   * Key order: first occurrence wins position, last occurrence wins value —
   * same as MapConcat under LAST_WIN. Null in, null out.
+  *
+  * Codegen: the union loop is too stateful to inline as Java source, so
+  * `doGenCode` emits one virtual call to [[unionMaps]] on the bound
+  * expression instance (the n-ary analogue of [[NativeUnaryCodegen]]) —
+  * the containing stage stays one fused WholeStageCodegen body instead of
+  * losing operator fusion to a `CodegenFallback`.
   */
-case class MapUnionLastWin(children: Seq[Expression])
-    extends Expression with CodegenFallback {
+case class MapUnionLastWin(children: Seq[Expression]) extends Expression {
 
   override def checkInputDataTypes(): TypeCheckResult =
     if (children.isEmpty)
@@ -40,14 +46,15 @@ case class MapUnionLastWin(children: Seq[Expression])
 
   override def nullable: Boolean = children.exists(_.nullable)
 
-  override def eval(input: InternalRow): Any = {
+  /** LAST_WIN union of non-null child maps; public so generated code (which
+    * lives in another class) can call it.
+    */
+  def unionMaps(maps: Array[MapData]): MapData = {
     val mt = mapType
     val kv = new java.util.LinkedHashMap[Any, Any]()
     var ci = 0
-    while (ci < children.length) {
-      val m = children(ci).eval(input)
-      if (m == null) return null
-      val md = m.asInstanceOf[MapData]
+    while (ci < maps.length) {
+      val md = maps(ci)
       val ks = md.keyArray()
       val vs = md.valueArray()
       var i = 0
@@ -68,6 +75,43 @@ case class MapUnionLastWin(children: Seq[Expression])
       i += 1
     }
     ArrayBasedMapData(keys, vals)
+  }
+
+  override def eval(input: InternalRow): Any = {
+    val maps = new Array[MapData](children.length)
+    var ci = 0
+    while (ci < children.length) {
+      val m = children(ci).eval(input)
+      if (m == null) return null
+      maps(ci) = m.asInstanceOf[MapData]
+      ci += 1
+    }
+    unionMaps(maps)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("mAdd", this, classOf[MapUnionLastWin].getName)
+    val md = classOf[MapData].getName
+    val javaType = CodeGenerator.javaType(dataType)
+    val maps = ctx.freshName("maps")
+    val evals = children.map(_.genCode(ctx))
+    // children evaluate unconditionally (pure expressions); a single null
+    // child nulls the result, matching eval()
+    val gather = evals.zipWithIndex.map { case (e, i) =>
+      s"""${e.code}
+         |if (${e.isNull}) { ${ev.isNull} = true; } else { $maps[$i] = ${e.value}; }
+         |""".stripMargin
+    }.mkString("\n")
+    ev.copy(code =
+      code"""
+        |boolean ${ev.isNull} = false;
+        |$javaType ${ev.value} = null;
+        |$md[] $maps = new $md[${children.length}];
+        |$gather
+        |if (!${ev.isNull}) {
+        |  ${ev.value} = ($javaType) $ref.unionMaps($maps);
+        |}
+        |""".stripMargin)
   }
 
   override protected def withNewChildrenInternal(

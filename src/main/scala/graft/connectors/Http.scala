@@ -111,15 +111,15 @@ object Http {
 
   private def withFetch(df: DataFrame, url: Column, body: Column, timeoutMs: Int,
       headers: Map[String, String], resultCol: String, post: Boolean): DataFrame = {
-    // HTTP is latency-bound: concurrency = partition count, so spread the
-    // rows across default parallelism before fetching. Unconditional
-    // round-robin repartition (no `df.rdd` partition-count probe — that
-    // forces physical planning, and under AQE can execute upstream stages):
-    // the shuffle moves only the projected input rows and is noise next to
-    // per-row network round-trips, while also rebalancing skewed inputs so
-    // every client thread stays busy.
+    // HTTP is latency-bound: concurrency = partition count. Widen narrow
+    // inputs to default parallelism, but never NARROW a deliberately wide
+    // input — its width IS the caller's requested concurrency. That needs a
+    // partition-count probe (`df.rdd` materializes the physical plan and
+    // under AQE may run upstream exchanges), a one-time cost that is noise
+    // next to per-row network round-trips.
     val par = df.sparkSession.sparkContext.defaultParallelism
-    val widened = df.repartition(par)
+    val widened =
+      if (df.rdd.getNumPartitions >= par) df else df.repartition(par)
     val in = widened.withColumn("__graft_url", url).withColumn("__graft_body", body)
     val n = in.schema.size
     val outSchema = StructType(df.schema.fields :+ StructField(resultCol, resultType))

@@ -114,7 +114,20 @@ object Bpe {
     * each as a full greedy left-to-right pass — the classic algorithm.
     */
   def applyMerges(word: String, merges: Seq[(String, String)]): Seq[String] = {
-    var syms: List[String] = word.map(_.toString).toList :+ EndMark
+    // split by CODE POINT, not UTF-16 code unit, to mirror the SQL-side
+    // symbolization (split(word, '') advances by code point) — otherwise
+    // surrogate pairs (emoji, supplementary CJK) tokenize inconsistently
+    // with the learned merge table
+    var syms: List[String] = {
+      val b = List.newBuilder[String]
+      var i = 0
+      while (i < word.length) {
+        val n = Character.charCount(word.codePointAt(i))
+        b += word.substring(i, i + n)
+        i += n
+      }
+      (b += EndMark).result()
+    }
     merges.foreach { case (l, r) =>
       val out = scala.collection.mutable.ListBuffer.empty[String]
       syms.foreach { x =>

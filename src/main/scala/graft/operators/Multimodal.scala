@@ -126,26 +126,32 @@ object Multimodal {
     private[operators] def parse(b: Array[Byte]): MediaMeta = {
       if (b == null) return MediaMeta(null, 0, 0, 0, 0)
       val none = MediaMeta(null, 0, 0, 0, b.length)
-      if (b.length < 12 || tag(b, 0) != "RIFF" || tag(b, 8) != "WAVE") return none
-      var i = 12
-      var rate = 0L; var channels = 0; var blockAlign = 0; var dataBytes = -1L
-      while (i + 8 <= b.length && (rate == 0L || dataBytes < 0L)) {
-        val id = tag(b, i)
-        val sz = le32(b, i + 4)
-        if (id == "fmt " && sz >= 16 && i + 8 + 16 <= b.length) {
-          channels = le16(b, i + 10)
-          rate = le32(b, i + 12)
-          blockAlign = le16(b, i + 20)
-        } else if (id == "data") {
-          // size may exceed the (possibly truncated) payload — clamp
-          dataBytes = math.min(sz, (b.length - i - 8).toLong)
+      // never-fail contract (same as ImageIoCodec): a crafted/corrupt chunk
+      // layout must degrade to the null-format meta, not throw
+      try {
+        if (b.length < 12 || tag(b, 0) != "RIFF" || tag(b, 8) != "WAVE") return none
+        // Long cursor: chunk sizes are unsigned 32-bit, so an Int cursor can
+        // wrap negative on a crafted size and index out of bounds
+        var i = 12L
+        var rate = 0L; var channels = 0; var blockAlign = 0; var dataBytes = -1L
+        while (i + 8 <= b.length && (rate == 0L || dataBytes < 0L)) {
+          val at = i.toInt
+          val id = tag(b, at)
+          val sz = le32(b, at + 4)
+          if (id == "fmt " && sz >= 16 && i + 8 + 16 <= b.length) {
+            channels = le16(b, at + 10)
+            rate = le32(b, at + 12)
+            blockAlign = le16(b, at + 20)
+          } else if (id == "data") {
+            // size may exceed the (possibly truncated) payload — clamp
+            dataBytes = math.min(sz, b.length - i - 8)
+          }
+          i += 8L + sz + (sz & 1L) // chunks are word-aligned
         }
-        i += 8 + sz.toInt + (sz.toInt & 1) // chunks are word-aligned
-        if (sz > Int.MaxValue - 16) return none
-      }
-      if (rate <= 0L || channels <= 0 || dataBytes < 0L) none
-      else MediaMeta("wav", rate.toInt, channels,
-        (if (blockAlign > 0) dataBytes / blockAlign else 0L).toInt, b.length)
+        if (rate <= 0L || channels <= 0 || dataBytes < 0L) none
+        else MediaMeta("wav", rate.toInt, channels,
+          (if (blockAlign > 0) dataBytes / blockAlign else 0L).toInt, b.length)
+      } catch { case _: Exception => none }
     }
 
     def decode(batch: Seq[Array[Byte]]): Seq[MediaMeta] = batch.map(parse)

@@ -311,7 +311,14 @@ object Similarity {
       val model = new org.apache.spark.ml.clustering.KMeans()
         .setK(j).setSeed(seed + s).setMaxIter(20).setFeaturesCol("features")
         .fit(data)
-      model.clusterCenters.zipWithIndex.map { case (c, e) =>
+      // KMeans can return < j centers on degenerate data (fewer distinct
+      // sub-codes than j). The flattened sub*J+entry LUT layout consumed by
+      // PqAdcPacked requires a RECTANGULAR codebook, so pad by repeating the
+      // last center — duplicate entries are harmless (assignment ties break
+      // toward the smaller entry id, so a padded entry is never chosen).
+      val centers = model.clusterCenters
+      val padded = centers ++ Array.fill(j - centers.length)(centers.last)
+      padded.zipWithIndex.map { case (c, e) =>
         (s, e.toLong, c.toArray.map(v => math.round(v).toInt).toSeq)
       }.toSeq.toDF("sub", "entry", "scode")
     }.reduce(_.unionAll(_))

@@ -7,8 +7,8 @@ import org.apache.spark.sql.functions._
   * training-data pipeline (language ID backing the n-gram heuristic in
   * [[graft.functions.TextFunctions.langId]], quality scoring against
   * labeled exemplars, topic/domain routing): hashed character-n-gram
-  * features into seeded multinomial logistic regression (public fastText-
-  * style recipe: bag of hashed n-grams + linear model).
+  * features into multinomial logistic regression (public fastText-style
+  * recipe: bag of hashed n-grams + linear model).
   *
   * Scale shape: featurization is MAP-ONLY (the n-gram expression is a
   * codegen'd substring transform; hashing TF needs no vocabulary pass, so
@@ -19,8 +19,10 @@ import org.apache.spark.sql.functions._
   * label index is label-space-sized (a handful of rows), collected like a
   * centroid table.
   *
-  * Determinism: seeded optimizer, fixed feature hashing, labels indexed in
-  * sorted order — same model on any cluster layout. Not SQL-replayable
+  * Determinism: MLlib's L-BFGS logistic regression is deterministic
+  * without a seed (no sampling anywhere in the objective), feature hashing
+  * is fixed, and labels are indexed in sorted order — same model on any
+  * cluster layout. Not SQL-replayable
   * (iterative optimization), so gates are spec-level, like the other
   * trained operators ([[Similarity.trainCentroids]], [[Bpe.trainBpe]]).
   */
@@ -56,7 +58,7 @@ object TextClassifier {
     * featurization); `n` the character-gram width (3 suits language ID).
     */
   def train(df: DataFrame, text: Column, label: Column, n: Int = 3,
-      dims: Int = 1 << 15, seed: Long = 42, maxIter: Int = 50): Model = {
+      dims: Int = 1 << 15, maxIter: Int = 50): Model = {
     val spark = df.sparkSession
     import spark.implicits._
     val labels = df.select(label.cast("string").as("l")).distinct()

@@ -160,9 +160,21 @@ object Engine {
     * match exactly.
     */
   def streamStreamJoin(s: SparkSession, dir: String): DataFrame = {
-    val batch = T(s, dir, "events")
+    // A stateful join materializes 4 state stores per shuffle partition
+    // (per side × KeyWithIndex); at this fixture's volume the store setup
+    // IS the cost, so run the stream with fewer partitions. The stream gets
+    // its OWN child session (shared SparkContext/catalog state, private
+    // SQLConf) so the sizing can't race a concurrent query in the caller's
+    // session — per-query conf isolation, not mutate-and-restore. At
+    // cluster scale the partition count should instead track state size
+    // (rows × horizon), exactly like any shuffle sizing.
+    // newSession() starts from SparkConf defaults, not the parent's RUNTIME
+    // conf — re-apply the engine confs (nanosAsLong, UTC, LAST_WIN) first.
+    val ss = graft.GraftSession.configure(s.newSession())
+    ss.conf.set("spark.sql.shuffle.partitions", "4")
+    val batch = T(ss, dir, "events")
     def side(tp: String, timeCol: String) = Streams.withEventTime(
-        Streams.parquetStream(s, dir, batch, glob = Some("events.parquet")))
+        Streams.parquetStream(ss, dir, batch, glob = Some("events.parquet")))
       .filter(col("event_type") === tp)
       .select(col("user_id"), col("event_time").as(timeCol))
     val joined = Streams.streamStreamJoin(
@@ -170,18 +182,9 @@ object Engine {
       leftTime = "c_time", rightTime = "p_time",
       leftDelay = "1 hour", rightDelay = "1 hour", within = "30 MINUTES")
     val name = s"graft_stream_${streamSeq.incrementAndGet()}"
-    // A stateful join materializes 4 state stores per shuffle partition
-    // (per side × KeyWithIndex); at this fixture's volume the store setup
-    // IS the cost, so run the stream with fewer partitions. The setting is
-    // pinned into the query's checkpoint at start — batch queries in the
-    // same session are untouched after the restore. At cluster scale the
-    // partition count should instead track state size (rows × horizon),
-    // exactly like any shuffle sizing.
-    val prev = s.conf.get("spark.sql.shuffle.partitions")
-    s.conf.set("spark.sql.shuffle.partitions", "4")
-    try Streams.drainToMemory(joined, name, outputMode = "append")
-    finally s.conf.set("spark.sql.shuffle.partitions", prev)
-    s.table(name)
+    // the memory sink registers its table in the child session's catalog
+    Streams.drainToMemory(joined, name, outputMode = "append")
+    ss.table(name)
       .select(col("user_id"),
         unix_micros(col("c_time")).as("click_us"),
         unix_micros(col("p_time")).as("purchase_us"))
