@@ -277,22 +277,57 @@ object Pipeline {
       .orderBy(col("query_id"), col("rank"))
   }
 
-  /** IVF with a TRAINED fixed-size quantizer (seeded k-means||) — the
-    * production/scale path: centroid count stays K as the corpus grows, so
-    * map-side assignment is n×K (linear in n), unlike `sim_ivf_topk`'s
-    * oracle-reproducible modulus sampler whose centroid count is n/50
-    * (assignment n²/50 — measured super-linear in the stress harness;
-    * BASELINE.md round 5). No DuckDB oracle: MLlib k-means|| is
-    * seeded-deterministic but not replayable in SQL, so the driver records
-    * the rows-only check; SimilaritySpec gates the semantics.
+  /** IVF with a TRAINED fixed-size quantizer — the production/scale path:
+    * centroid count stays K as the corpus grows, so map-side assignment is
+    * n×K (linear in n), unlike `sim_ivf_topk`'s oracle-reproducible modulus
+    * sampler whose centroid count is n/50 (assignment n²/50 — measured
+    * super-linear in the stress harness; BASELINE.md round 5). The
+    * quantizer is INJECTED from [[PinnedArtifacts.IvfCentroids16]] (k-means||
+    * run once by [[graft.tools.TrainArtifacts]] and pinned as literals —
+    * the "ship the trained quantizer as a build artifact" pattern), so the
+    * post-training plan is fully deterministic and the oracle replays
+    * assignment + probing over the same literal centroid table. Training
+    * itself stays spec-gated (SimilaritySpec on `trainCentroids`).
     */
   def simIvfTrained(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
     val emb = T(s, dir, "embeddings")
-    val cents = graft.operators.Similarity.trainCentroids(emb, k = 16)
+    val cents = PinnedArtifacts.IvfCentroids16.toDF("cid", "cv")
     graft.operators.Similarity.ivfTopKWith(
         emb.filter(col("vec_id") < 20), emb, cents, k = 5, nprobe = 2)
       .orderBy(col("query_id"), col("rank"))
   }
+
+  def simIvfTrainedOracle: String =
+    s"""WITH $normsCte,
+       |cent AS (
+       |  SELECT cid, embedding,
+       |    sqrt(list_reduce(list_transform(range(1, len(embedding) + 1),
+       |      i -> embedding[i]::DOUBLE * embedding[i]::DOUBLE), (x, y) -> x + y)) AS nrm
+       |  FROM (VALUES
+       |${PinnedArtifacts.ivfCentroidsSqlValues}
+       |  ) AS c(cid, embedding)),
+       |ccand AS (
+       |  SELECT v.vec_id, c.cid,
+       |    ROW_NUMBER() OVER (PARTITION BY v.vec_id
+       |      ORDER BY ${dotSql("v", "c")} / (v.nrm * c.nrm) DESC, c.cid) AS crn
+       |  FROM n v CROSS JOIN cent c),
+       |assign AS (SELECT vec_id AS neighbor_id, cid FROM ccand WHERE crn = 1),
+       |probes AS (SELECT vec_id AS query_id, cid FROM ccand WHERE crn <= 2 AND vec_id < 20),
+       |scored AS (
+       |  SELECT p.query_id, a.neighbor_id, ${dotSql("q", "nb")} / (q.nrm * nb.nrm) AS cos
+       |  FROM probes p
+       |  JOIN assign a ON a.cid = p.cid
+       |  JOIN n q ON q.vec_id = p.query_id
+       |  JOIN n nb ON nb.vec_id = a.neighbor_id
+       |  WHERE a.neighbor_id <> p.query_id)
+       |SELECT query_id, neighbor_id, rank, cos FROM (
+       |  SELECT query_id, neighbor_id, cos,
+       |    CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+       |      ORDER BY cos DESC, neighbor_id) AS INTEGER) AS rank
+       |  FROM scored) t
+       |WHERE rank <= 5
+       |ORDER BY query_id, rank""".stripMargin
 
   val simIvfOracle: String =
     s"""WITH $normsCte,
@@ -1672,19 +1707,61 @@ object Pipeline {
       |FROM documents
       |ORDER BY doc_id""".stripMargin
 
-  /** REAL BPE, trained on this corpus: 16 merges learned from the word-
-    * frequency dictionary (one corpus pass + 16 dictionary-sized jobs),
-    * then applied via the distinct-word join. No DuckDB oracle: the
-    * training loop (argmax per iteration) is iterative and not
-    * SQL-replayable — the driver records the rows-only check; BpeSpec
-    * pins the merges and tokenization against an independent reference
-    * implementation of the published algorithm.
+  /** REAL BPE application at corpus scale: the 16-merge table learned once
+    * from this corpus's word dictionary ([[graft.tools.TrainArtifacts]],
+    * pinned as [[PinnedArtifacts.BpeMerges16]] — the "ship the trained
+    * tokenizer as a build artifact" pattern) applied via the distinct-word
+    * join. With the merge table injected, tokenization is pure exact string
+    * work, so the oracle can replay it: the recursive CTE walks every
+    * distinct word symbol-by-symbol through the 16 ranked greedy merge
+    * passes (the same left-to-right fold as [[graft.operators.Bpe
+    * .applyMerges]]), then re-aggregates token counts per document. The
+    * TRAINING loop (argmax per merge) stays spec-gated: BpeSpec pins
+    * `trainBpe` against an independent reference implementation.
     */
   def bpeTokenize(s: SparkSession, dir: String): DataFrame =
-    graft.operators.Bpe.trainAndTokenize(
-        T(s, dir, "documents"), col("doc_id"), col("text"), numMerges = 16)
+    graft.operators.Bpe.tokenizeCorpus(
+        T(s, dir, "documents"), col("doc_id"), col("text"),
+        PinnedArtifacts.BpeMerges16)
       .select(col("id").as("doc_id"), col("n_tokens"))
       .orderBy(col("doc_id"))
+
+  def bpeTokenizeOracle: String =
+    s"""WITH RECURSIVE
+       |m(mrank, ml, mr) AS (VALUES
+       |${PinnedArtifacts.bpeMergesSqlValues}
+       |),
+       |w AS (
+       |  SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS word
+       |  FROM documents WHERE trim(text) <> ''),
+       |dict AS (SELECT DISTINCT word FROM w),
+       |-- one greedy left-to-right merge pass per rank: state advances one
+       |-- symbol per iteration (pos into syms, acc = folded output); when a
+       |-- pass ends, acc becomes the next rank's syms. rk = 17 is final.
+       |step(word, rk, pos, syms, acc) AS (
+       |  SELECT word, 1, 1,
+       |    list_append(regexp_extract_all(word, '.'), '</w>'),
+       |    []::VARCHAR[]
+       |  FROM dict
+       |  UNION ALL
+       |  SELECT word,
+       |    CASE WHEN pos <= len(syms) THEN rk ELSE rk + 1 END,
+       |    CASE WHEN pos <= len(syms) THEN pos + 1 ELSE 1 END,
+       |    CASE WHEN pos <= len(syms) THEN syms ELSE acc END,
+       |    CASE WHEN pos > len(syms) THEN []::VARCHAR[]
+       |         WHEN len(acc) > 0 AND acc[-1] = m.ml AND syms[pos] = m.mr
+       |         THEN list_append(array_pop_back(acc), m.ml || m.mr)
+       |         ELSE list_append(acc, syms[pos]) END
+       |  FROM step JOIN m ON m.mrank = step.rk
+       |  WHERE step.rk <= 16),
+       |tok AS (SELECT word, len(syms) AS n_sub FROM step WHERE rk = 17),
+       |cnt AS (
+       |  SELECT w.doc_id, SUM(t.n_sub) AS n
+       |  FROM w JOIN tok t ON t.word = w.word
+       |  GROUP BY w.doc_id)
+       |SELECT d.doc_id, CAST(COALESCE(c.n, 0) AS INTEGER) AS n_tokens
+       |FROM documents d LEFT JOIN cnt c ON c.doc_id = d.doc_id
+       |ORDER BY d.doc_id""".stripMargin
 
   // ------------------------------------------------------ fuzzy (linkage) join
 
@@ -1777,7 +1854,7 @@ object Pipeline {
     Q("repeated_substrings", repeatedSubstrings, Some(repeatedSubstringsOracle)),
     Q("fuzzy_join", fuzzyJoin, Some(fuzzyJoinOracle)),
     Q("token_counts", tokenCounts, Some(tokenCountsOracle)),
-    Q("bpe_tokenize", bpeTokenize, None),
+    Q("bpe_tokenize", bpeTokenize, Some(bpeTokenizeOracle)),
     Q("zorder_key", zorderKeyQ, Some(zorderKeyOracle)),
     Q("hilbert_key", hilbertKeyQ, Some(hilbertKeyOracle)),
     Q("quality_filter", qualityFilterQ, Some(qualityFilterOracle)),
@@ -1818,7 +1895,7 @@ object Pipeline {
     Q("sim_lsh_topk", simLsh, Some(simLshOracle)),
     Q("sim_lsh_multiprobe", simLshMultiprobe, Some(simLshMultiprobeOracle)),
     Q("sim_ivf_topk", simIvf, Some(simIvfOracle)),
-    Q("sim_ivf_trained", simIvfTrained, None),
+    Q("sim_ivf_trained", simIvfTrained, Some(simIvfTrainedOracle)),
     Q("sim_pq_topk", simPq, Some(simPqOracle)),
     Q("sim_ivfpq_topk", simIvfPq, Some(simIvfPqOracle))
   )

@@ -21,15 +21,11 @@ class EntrySpec extends SparkSpec {
   }
 
   test("every declared query is oracle-checked (no weaker rows-only entries)") {
-    // Explicit, justified exceptions only: sim_ivf_trained's quantizer is
-    // MLlib k-means|| — seeded-deterministic but not replayable in DuckDB
-    // SQL (the driver records its rows-only check; SimilaritySpec gates the
-    // trained-centroid semantics). bpe_tokenize's merge training is an
-    // iterative argmax loop — deterministic but not SQL-replayable; BpeSpec
-    // pins it against an independent reference implementation. Everything
-    // else must carry an oracle.
-    val allowedRowsOnly = Set("sim_ivf_trained", "bpe_tokenize")
-    val weak = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet -- allowedRowsOnly
+    // Since round 6 there are NO exceptions: the two former rows-only
+    // entries (sim_ivf_trained, bpe_tokenize) inject their trained
+    // artifacts from PinnedArtifacts, so their post-training math is
+    // oracle-replayable like everything else.
+    val weak = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
     assert(weak.isEmpty, s"queries without oracle SQL: $weak")
   }
 }
