@@ -72,39 +72,199 @@ object Bpe {
           concat(slice(acc, lit(1), size(acc) - 1), array(lit(l + r))))
           .otherwise(concat(acc, array(x)))))
 
-  /** Learns `numMerges` merges from a [[wordCounts]] dictionary. Each
-    * iteration: count adjacent pairs (one small agg job), take the most
-    * frequent (ties → lexicographically smallest, for engine-independent
-    * determinism), rewrite the dictionary with that pair merged. The
-    * dictionary is localCheckpointed per iteration so plan depth stays
-    * constant. Stops early when no pair is left. Returns the ranked merge
-    * table — driver-sized (≤ numMerges rows) by construction.
+  /** Learns `numMerges` merges from a [[wordCounts]] dictionary, one per
+    * dictionary pass — exact classic BPE (ties → lexicographically smallest,
+    * for engine-independent determinism). Delegates to [[trainBpeBatched]]
+    * with `batch = 1`; use a larger batch for production vocabulary sizes
+    * (30k–50k merges), where one Spark job per merge is days of scheduler
+    * overhead regardless of cluster size.
     */
-  def trainBpe(dict0: DataFrame, numMerges: Int): Seq[(String, String)] = {
+  def trainBpe(dict0: DataFrame, numMerges: Int): Seq[(String, String)] =
+    trainBpeBatched(dict0, numMerges, batch = 1)
+
+  /** Batched BPE training: each dictionary pass counts adjacent pairs ONCE
+    * (one small agg job), then learns up to `batch` merges from that single
+    * snapshot — the top pairs by (count desc, l, r) that are pairwise
+    * SYMBOL-DISJOINT (no shared l/r symbols, and no pair uses another's
+    * merged `l+r` output). Disjointness makes the snapshot exact for every
+    * selected pair — none of the batch's earlier merges can change a later
+    * member's occurrences — so applying the batch in rank order in one
+    * stacked rewrite is identical to applying those same merges one pass
+    * each. This is the classic batched-BPE trade (what production trainers
+    * do to avoid a counting round per merge): jobs drop ~batch×, and the
+    * only deviation from strict sequential BPE is ORDERING ACROSS BATCHES —
+    * a merge can CREATE a new pair (e.g. `(x, l+r)`) whose count exceeds a
+    * later batch member's, which strict BPE would learn first. At
+    * `batch = 1` the algorithm is exactly sequential.
+    *
+    * The dictionary is localCheckpointed every few applied merges so plan
+    * depth stays O(1). Stops early when no pair is left. Returns the ranked
+    * merge table — driver-sized (≤ numMerges rows) by construction.
+    */
+  def trainBpeBatched(dict0: DataFrame, numMerges: Int, batch: Int)
+      : Seq[(String, String)] = {
+    require(batch >= 1, s"batch must be >= 1, got $batch")
     var dict = dict0.select(col("n"), col("syms")).localCheckpoint()
     val merges = Seq.newBuilder[(String, String)]
-    var i = 0
+    var learned = 0
     var done = false
     var pendingMerges = 0
-    while (i < numMerges && !done) {
+    while (learned < numMerges && !done) {
+      val want = math.min(batch, numMerges - learned)
+      // over-collect so the disjointness filter can still fill the batch;
+      // driver-sized by construction (a few × batch rows)
       val top = pairCounts(dict)
-        .orderBy(col("cnt").desc, col("l"), col("r")).limit(1)
-        .collect() // exactly one tiny row per iteration — the argmax scalar
+        .orderBy(col("cnt").desc, col("l"), col("r"))
+        .limit(math.max(4 * want, 16))
+        .collect()
       if (top.isEmpty) done = true
       else {
-        val (l, r) = (top(0).getString(0), top(0).getString(1))
-        merges += ((l, r))
-        dict = dict.withColumn("syms", mergeOnce(col("syms"), l, r))
+        val sel = selectDisjoint(
+          top.map(r => (r.getString(0), r.getString(1))).toSeq, want)
+        merges ++= sel // never empty: the top-1 row always passes
+        learned += sel.length
+        sel.foreach { case (l, r) =>
+          dict = dict.withColumn("syms", mergeOnce(col("syms"), l, r))
+        }
         // checkpoint every few merges, not every merge: a handful of
         // stacked fold projections over the dictionary is cheaper than a
         // materialization job per iteration, while plan depth stays O(1)
-        pendingMerges += 1
+        pendingMerges += sel.length
         if (pendingMerges >= 4) {
           dict = dict.localCheckpoint()
           pendingMerges = 0
         }
       }
-      i += 1
+    }
+    merges.result()
+  }
+
+  /** Greedy prefix of `ranked` (already sorted by priority) whose members
+    * are pairwise symbol-disjoint: no shared l/r symbols, and no member
+    * uses another's merged `l+r` output. Keeps at most `want`.
+    */
+  private[operators] def selectDisjoint(ranked: Seq[(String, String)],
+      want: Int): Seq[(String, String)] = {
+    val used = scala.collection.mutable.Set.empty[String]
+    val picked = Seq.newBuilder[(String, String)]
+    var n = 0
+    val it = ranked.iterator
+    while (it.hasNext && n < want) {
+      val (l, r) = it.next()
+      if (!used(l) && !used(r) && !used(l + r)) {
+        picked += ((l, r))
+        used ++= Seq(l, r, l + r)
+        n += 1
+      }
+    }
+    picked.result()
+  }
+
+  /** EXACT sequential BPE at production vocabulary sizes: one Spark job
+    * total. The word dictionary is collected once (Heaps-law-bounded —
+    * independent of corpus size, the same move production tokenizer
+    * trainers make: distributed counting, local merge learning), then every
+    * merge is learned with INCREMENTAL pair-count maintenance — applying a
+    * merge touches only the words containing that pair (tracked by a
+    * postings index), and the argmax comes from a lazy-deletion max-heap,
+    * so a 50k-merge vocabulary costs no scheduler round-trips at all.
+    * Semantics are identical to [[trainBpe]] (same (count desc, l, r)
+    * tie-break, same greedy left-to-right pass); BpeSpec asserts the
+    * equivalence. Use [[trainBpeBatched]] only when the dictionary itself
+    * exceeds driver memory.
+    */
+  def trainBpeLocal(dict0: DataFrame, numMerges: Int): Seq[(String, String)] = {
+    val rows = dict0.select(col("n"), col("syms")).collect()
+    val freq = rows.map(_.getLong(0))
+    val words = rows.map(_.getSeq[String](1).toArray)
+
+    // pair -> weighted count; pair -> indices of words containing it
+    val counts = scala.collection.mutable.HashMap.empty[(String, String), Long]
+    val postings =
+      scala.collection.mutable.HashMap.empty[(String, String), scala.collection.mutable.Set[Int]]
+    def wordPairs(syms: Array[String]): Iterator[(String, String)] =
+      if (syms.length < 2) Iterator.empty
+      else (0 until syms.length - 1).iterator.map(i => (syms(i), syms(i + 1)))
+
+    // max-heap on (count, then lexicographically smallest pair) with lazy
+    // deletion: stale entries are skipped at pop time by re-checking counts
+    val ord = new Ordering[(Long, String, String)] {
+      def compare(a: (Long, String, String), b: (Long, String, String)): Int = {
+        val c = java.lang.Long.compare(a._1, b._1)
+        if (c != 0) c
+        else {
+          val cl = b._2.compareTo(a._2)
+          if (cl != 0) cl else b._3.compareTo(a._3)
+        }
+      }
+    }
+    val heap = scala.collection.mutable.PriorityQueue.empty[(Long, String, String)](ord)
+
+    var wi = 0
+    while (wi < words.length) {
+      for (p <- wordPairs(words(wi))) {
+        counts(p) = counts.getOrElse(p, 0L) + freq(wi)
+        postings.getOrElseUpdate(p, scala.collection.mutable.Set.empty) += wi
+      }
+      wi += 1
+    }
+    counts.foreach { case ((l, r), c) => heap.enqueue((c, l, r)) }
+
+    val merges = Seq.newBuilder[(String, String)]
+    var learned = 0
+    var done = false
+    while (learned < numMerges && !done) {
+      // pop stale entries until the top reflects the live count
+      var top: Option[(String, String)] = None
+      while (top.isEmpty && heap.nonEmpty) {
+        val (c, l, r) = heap.dequeue()
+        if (counts.get((l, r)).contains(c)) top = Some((l, r))
+      }
+      top match {
+        case None => done = true
+        case Some((l, r)) =>
+          merges += ((l, r))
+          learned += 1
+          val touched = postings.getOrElse((l, r), scala.collection.mutable.Set.empty)
+          for (w <- touched.toArray) {
+            val before = words(w)
+            val out = scala.collection.mutable.ArrayBuffer.empty[String]
+            var i = 0
+            while (i < before.length) {
+              if (out.nonEmpty && out.last == l && before(i) == r)
+                out(out.length - 1) = l + r
+              else out += before(i)
+              i += 1
+            }
+            val after = out.toArray
+            if (!java.util.Arrays.equals(
+                before.asInstanceOf[Array[AnyRef]], after.asInstanceOf[Array[AnyRef]])) {
+              val delta = scala.collection.mutable.HashMap.empty[(String, String), Long]
+              for (p <- wordPairs(before)) delta(p) = delta.getOrElse(p, 0L) - 1L
+              for (p <- wordPairs(after)) delta(p) = delta.getOrElse(p, 0L) + 1L
+              delta.foreach { case (p, d) =>
+                if (d != 0L) {
+                  val nc = counts.getOrElse(p, 0L) + d * freq(w)
+                  if (nc <= 0L) {
+                    counts.remove(p)
+                    postings.get(p).foreach(_ -= w)
+                  } else {
+                    counts(p) = nc
+                    heap.enqueue((nc, p._1, p._2))
+                    if (d > 0) postings.getOrElseUpdate(
+                      p, scala.collection.mutable.Set.empty) += w
+                  }
+                }
+              }
+              // drop this word from postings of pairs it no longer contains
+              val afterSet = wordPairs(after).toSet
+              for (p <- wordPairs(before)) {
+                if (!afterSet(p)) postings.get(p).foreach(_ -= w)
+              }
+              words(w) = after
+            }
+          }
+      }
     }
     merges.result()
   }
