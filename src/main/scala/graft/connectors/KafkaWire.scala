@@ -37,6 +37,7 @@ import java.nio.charset.StandardCharsets
   */
 object KafkaWire {
 
+  val ApiFetch: Short = 1
   val ApiMetadata: Short = 3
   val ApiListOffsets: Short = 2
 
@@ -51,6 +52,10 @@ object KafkaWire {
       topicErrors: Map[String, Short])
   final case class PartitionOffset(topic: String, partition: Int,
       errorCode: Short, timestamp: Long, offset: Long)
+  final case class FetchedRecord(topic: String, partition: Int, offset: Long,
+      timestamp: Long, key: Array[Byte], value: Array[Byte])
+  final case class PartitionFetch(topic: String, partition: Int,
+      errorCode: Short, highWatermark: Long, records: Seq[FetchedRecord])
 
   // ------------------------------------------------------------ primitives
 
@@ -69,6 +74,17 @@ object KafkaWire {
         int16(b.length.toShort)
         out.write(b); this
       }
+    def raw(b: Array[Byte]): Writer = { out.write(b); this }
+    /** Zigzag varint (protocol `varint` — record fields). */
+    def varint(v: Int): Writer = uvarlong(((v << 1) ^ (v >> 31)).toLong & 0xffffffffL)
+    /** Zigzag varlong. */
+    def varlong(v: Long): Writer = uvarlong((v << 1) ^ (v >> 63))
+    private def uvarlong(v0: Long): Writer = {
+      var v = v0
+      while ((v & ~0x7fL) != 0L) { out.writeByte(((v & 0x7f) | 0x80).toInt); v >>>= 7 }
+      out.writeByte(v.toInt)
+      this
+    }
     def bytes: Array[Byte] = { out.flush(); bos.toByteArray }
   }
 
@@ -90,6 +106,31 @@ object KafkaWire {
     def array[A](read: => A): Seq[A] = {
       val n = buf.getInt()
       if (n < 0) Seq.empty else Seq.fill(n)(read)
+    }
+    def raw(n: Int): Array[Byte] = {
+      val b = new Array[Byte](n)
+      buf.get(b)
+      b
+    }
+    def remaining: Int = buf.remaining()
+    def varint(): Int = {
+      val v = uvarlong()
+      ((v >>> 1) ^ -(v & 1)).toInt
+    }
+    def varlong(): Long = {
+      val v = uvarlong()
+      (v >>> 1) ^ -(v & 1)
+    }
+    private def uvarlong(): Long = {
+      var v = 0L
+      var shift = 0
+      var b = 0
+      do {
+        b = buf.get() & 0xff
+        v |= (b & 0x7fL) << shift
+        shift += 7
+      } while ((b & 0x80) != 0)
+      v
     }
   }
 
@@ -167,6 +208,161 @@ object KafkaWire {
         PartitionOffset(topic, r.int32(), r.int16(), r.int64(), r.int64())
       }
     }.flatten
+
+  // --------------------------------------------------------------- Fetch v4
+
+  /** Fetch v4 request body: replica_id -1, wait/min/max bytes,
+    * isolation_level 0 (READ_UNCOMMITTED), then topic → (partition,
+    * fetch_offset, partition_max_bytes). v4 is the first version carrying
+    * the magic-v2 RecordBatch format on the wire (KIP-98), still with
+    * non-flexible encodings — same pinning rationale as Metadata v1.
+    */
+  def encodeFetchRequest(correlationId: Int, clientId: String,
+      targets: Seq[(String, Int, Long)], maxWaitMs: Int = 0,
+      minBytes: Int = 0, maxBytes: Int = 16 << 20,
+      partitionMaxBytes: Int = 1 << 20): Array[Byte] = {
+    val w = header(ApiFetch, 4, correlationId, clientId)
+    w.int32(-1).int32(maxWaitMs).int32(minBytes).int32(maxBytes).int8(0)
+    val byTopic = targets.groupBy(_._1).toSeq.sortBy(_._1)
+    w.int32(byTopic.size)
+    byTopic.foreach { case (topic, ps) =>
+      w.string(topic)
+      w.int32(ps.size)
+      ps.foreach { case (_, p, off) =>
+        w.int32(p).int64(off).int32(partitionMaxBytes)
+      }
+    }
+    w.bytes
+  }
+
+  /** Fetch v4 response body (after the int32 correlation id): throttle, then
+    * topic → partition header (error, high watermark, last stable offset,
+    * aborted transactions) + a raw record set decoded by
+    * [[decodeRecordSet]].
+    */
+  def parseFetchResponse(r: Reader): Seq[PartitionFetch] = {
+    r.int32() // throttle_time_ms
+    r.array {
+      val topic = r.string()
+      r.array {
+        val partition = r.int32()
+        val err = r.int16()
+        val hw = r.int64()
+        r.int64() // last_stable_offset
+        r.array { (r.int64(), r.int64()) } // aborted_transactions (nullable)
+        val setLen = r.int32()
+        val set = if (setLen <= 0) Array.empty[Byte] else r.raw(setLen)
+        PartitionFetch(topic, partition, err, hw,
+          decodeRecordSet(topic, partition, set))
+      }
+    }.flatten
+  }
+
+  // ----------------------------------------------------- RecordBatch (magic 2)
+
+  /** Encodes one magic-v2 RecordBatch (the public on-disk/wire record format
+    * since Kafka 0.11): batch header with real CRC-32C (JDK CRC32C,
+    * covering attributes→end per the spec), zigzag-varint record bodies, no
+    * compression, no headers. `records` are (timestampMs, key, value) with
+    * offsets `baseOffset + index`. Used by the FakeBroker test double and
+    * usable as a producer-side record set.
+    */
+  def encodeRecordBatch(baseOffset: Long,
+      records: Seq[(Long, Array[Byte], Array[Byte])]): Array[Byte] = {
+    require(records.nonEmpty, "empty record batch")
+    val baseTs = records.head._1
+    val maxTs = records.map(_._1).max
+    // everything the CRC covers: attributes → records
+    val tail = new Writer()
+    tail.int16(0) // attributes: no compression, create-time timestamps
+    tail.int32(records.length - 1) // lastOffsetDelta
+    tail.int64(baseTs).int64(maxTs)
+    tail.int64(-1L).int16(-1).int32(-1) // producerId/Epoch/baseSequence
+    tail.int32(records.length)
+    records.zipWithIndex.foreach { case ((ts, key, value), i) =>
+      val body = new Writer()
+      body.int8(0) // record attributes
+      body.varlong(ts - baseTs)
+      body.varint(i)
+      if (key == null) body.varint(-1) else { body.varint(key.length); body.raw(key) }
+      if (value == null) body.varint(-1) else { body.varint(value.length); body.raw(value) }
+      body.varint(0) // headers
+      val b = body.bytes
+      tail.varint(b.length)
+      tail.raw(b)
+    }
+    val tailBytes = tail.bytes
+    val crc = new java.util.zip.CRC32C()
+    crc.update(tailBytes)
+    // partitionLeaderEpoch + magic + crc + tail = the length-prefixed region
+    val w = new Writer()
+    w.int64(baseOffset)
+    w.int32(4 + 1 + 4 + tailBytes.length) // batchLength
+    w.int32(-1) // partitionLeaderEpoch
+    w.int8(2) // magic
+    w.int32(crc.getValue.toInt)
+    w.raw(tailBytes)
+    w.bytes
+  }
+
+  /** Decodes a record set (concatenated magic-v2 batches) into records.
+    * A trailing partial batch (brokers truncate at partition_max_bytes) is
+    * dropped, per protocol. CRC-32C is verified per batch; compressed
+    * batches are rejected (the engine's wire scope is uncompressed).
+    */
+  def decodeRecordSet(topic: String, partition: Int,
+      bytes: Array[Byte]): Seq[FetchedRecord] = {
+    val buf = new Reader(bytes)
+    val out = Seq.newBuilder[FetchedRecord]
+    var halt = false
+    while (!halt && buf.remaining >= 12) {
+      val baseOffset = buf.int64()
+      val batchLength = buf.int32()
+      if (batchLength <= 0 || batchLength > buf.remaining) halt = true // partial
+      else {
+        val batch = buf.raw(batchLength)
+        val br = new Reader(batch)
+        br.int32() // partitionLeaderEpoch
+        val magic = br.int8()
+        require(magic == 2, s"unsupported record batch magic $magic")
+        val crcStored = br.int32()
+        val crc = new java.util.zip.CRC32C()
+        crc.update(batch, 9, batch.length - 9)
+        require(crc.getValue.toInt == crcStored,
+          s"record batch CRC mismatch at offset $baseOffset")
+        val attributes = br.int16()
+        require((attributes & 0x7) == 0,
+          s"compressed record batch (codec ${attributes & 0x7}) not supported")
+        br.int32() // lastOffsetDelta
+        val baseTs = br.int64()
+        br.int64() // maxTimestamp
+        br.int64(); br.int16(); br.int32() // producerId/Epoch/baseSequence
+        val count = br.int32()
+        var i = 0
+        while (i < count) {
+          br.varint() // record length — fields below are self-delimiting
+          br.int8() // record attributes
+          val tsDelta = br.varlong()
+          val offDelta = br.varint()
+          val keyLen = br.varint()
+          val key = if (keyLen < 0) null else br.raw(keyLen)
+          val valLen = br.varint()
+          val value = if (valLen < 0) null else br.raw(valLen)
+          val headers = br.varint()
+          var h = 0
+          while (h < headers) { // skip headers
+            val hk = br.varint(); br.raw(math.max(hk, 0))
+            val hv = br.varint(); if (hv > 0) br.raw(hv)
+            h += 1
+          }
+          out += FetchedRecord(topic, partition, baseOffset + offDelta,
+            baseTs + tsDelta, key, value)
+          i += 1
+        }
+      }
+    }
+    out.result()
+  }
 
   // ------------------------------------------------------------- framing
 
@@ -273,4 +469,56 @@ class KafkaWireClient(bootstrapHost: String, bootstrapPort: Int,
       p -> (s, math.max(s, e))
     }
   }
+
+  /** DATA-plane poll loop over Fetch v4: drains exactly the records in each
+    * partition's `[start, end)` offset range — the single-node mirror of the
+    * reference's consumer poll (kafka/KafkaHelper.java:173-254), kept for
+    * driver-sized pulls and integration tests; at scale the same ranges go
+    * to Spark's Kafka source via [[KafkaWindow.sourceOptionsResolved]].
+    * Follows partition leaders like [[offsetsForTimes]]. Brokers may return
+    * a stored batch STARTING BELOW the requested offset (batch alignment) —
+    * leading records are skipped; records at/after `end` are discarded.
+    */
+  def fetchWindow(topic: String,
+      ranges: Map[Int, (Long, Long)]): Seq[KafkaWire.FetchedRecord] = {
+    val md = metadata(Some(Seq(topic)))
+    val brokerById = md.brokers.map(b => b.nodeId -> b).toMap
+    val byLeader = md.partitions
+      .filter(p => p.topic == topic && p.errorCode == 0)
+      .groupBy(_.leader).toSeq.sortBy(_._1)
+    byLeader.flatMap { case (leader, parts) =>
+      val broker = brokerById.getOrElse(leader,
+        throw new IllegalStateException(s"no broker metadata for leader $leader"))
+      withSocket(broker.host, broker.port) { s =>
+        parts.sortBy(_.partition).flatMap { pm =>
+          val (start, end) = ranges.getOrElse(pm.partition, (0L, 0L))
+          val out = Seq.newBuilder[FetchedRecord]
+          var off = start
+          var stalled = false
+          while (off < end && !stalled) {
+            val id = corr.getAndIncrement()
+            val resp = parseFetchResponse(roundTrip(s,
+              encodeFetchRequest(id, clientId, Seq((topic, pm.partition, off))), id))
+            val recs = resp
+              .filter(p => p.topic == topic && p.partition == pm.partition &&
+                p.errorCode == 0)
+              .flatMap(_.records)
+            out ++= recs.filter(r => r.offset >= off && r.offset < end)
+            val maxOff = recs.foldLeft(-1L)((m, r) => math.max(m, r.offset))
+            if (maxOff < off) stalled = true // no progress: log end or error
+            else off = maxOff + 1
+          }
+          out.result()
+        }
+      }
+    }
+  }
+
+  /** The reference `kf_pull` contract end to end over the wire: resolve the
+    * `[startMs, endMs)` creation-time window to offset ranges, then drain
+    * those ranges with the Fetch poll loop.
+    */
+  def pullWindow(topic: String, startMs: Long,
+      endMs: Long): Seq[KafkaWire.FetchedRecord] =
+    fetchWindow(topic, offsetRangeForWindow(topic, startMs, endMs))
 }

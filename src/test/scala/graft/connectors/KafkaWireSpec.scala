@@ -93,6 +93,89 @@ class KafkaWireSpec extends AnyFunSuite {
     } finally broker.close()
   }
 
+  test("RecordBatch v2 codec round-trips offsets/timestamps/keys/values " +
+      "and rejects CRC corruption") {
+    val recs = Seq(
+      (1000L, "a".getBytes("UTF-8"), "va".getBytes("UTF-8")),
+      (1005L, null, "vb".getBytes("UTF-8")),
+      (1010L, "c".getBytes("UTF-8"), null))
+    val batch = encodeRecordBatch(7L, recs)
+    val got = decodeRecordSet("t", 3, batch)
+    assert(got.map(_.offset) === Seq(7L, 8L, 9L))
+    assert(got.map(_.timestamp) === Seq(1000L, 1005L, 1010L))
+    assert(got.map(r => Option(r.key).map(new String(_, "UTF-8"))) ===
+      Seq(Some("a"), None, Some("c")))
+    assert(got.map(r => Option(r.value).map(new String(_, "UTF-8"))) ===
+      Seq(Some("va"), Some("vb"), None))
+    assert(got.forall(r => r.topic == "t" && r.partition == 3))
+    // two concatenated batches decode in sequence
+    val two = batch ++ encodeRecordBatch(20L, recs.take(1))
+    assert(decodeRecordSet("t", 3, two).map(_.offset) === Seq(7L, 8L, 9L, 20L))
+    // a truncated trailing batch is dropped, per protocol
+    assert(decodeRecordSet("t", 3, two.dropRight(5)).map(_.offset) ===
+      Seq(7L, 8L, 9L))
+    // flip one payload byte -> CRC verification must fail
+    val corrupt = batch.clone()
+    corrupt(corrupt.length - 1) = (corrupt(corrupt.length - 1) ^ 0x1).toByte
+    assertThrows[IllegalArgumentException](decodeRecordSet("t", 3, corrupt))
+  }
+
+  test("Fetch v4 request bytes match the protocol spec") {
+    val b = encodeFetchRequest(11, "cid", Seq(("t", 0, 42L)), maxWaitMs = 5)
+    val r = new Reader(b)
+    assert(r.int16() === ApiFetch)
+    assert(r.int16() === 4)
+    assert(r.int32() === 11)
+    assert(r.string() === "cid")
+    assert(r.int32() === -1)      // replica_id
+    assert(r.int32() === 5)       // max_wait_ms
+    assert(r.int32() === 0)       // min_bytes
+    assert(r.int32() === 16 << 20) // max_bytes
+    assert(r.int8() === 0)        // isolation_level
+    assert(r.int32() === 1 && r.string() === "t")
+    assert(r.int32() === 1)
+    assert(r.int32() === 0 && r.int64() === 42L && r.int32() === (1 << 20))
+  }
+
+  test("offsetRangeForWindow -> Fetch poll loop round-trips a [start,end) " +
+      "window's exact records, batch alignment and off-by-ones included") {
+    // batchSize 2: a 3-record range needs 2 fetches; a window starting at
+    // offset 1 or 3 gets a batch based below it and must skip the head
+    val broker = new FakeBroker(Map(
+      ("ev", 0) -> Seq(100L, 200L, 300L, 400L, 500L),
+      ("ev", 1) -> Seq(150L, 250L, 350L)))
+    try {
+      val c = new KafkaWireClient("127.0.0.1", broker.port)
+
+      // [200, 500): p0 offsets [1,4) -> k1..k3; p1 offsets [1,3) -> k1..k2
+      val got = c.pullWindow("ev", 200L, 500L)
+        .map(r => (r.partition, r.offset, r.timestamp, new String(r.value, "UTF-8")))
+        .sorted
+      assert(got === Seq(
+        (0, 1L, 200L, "v1"), (0, 2L, 300L, "v2"), (0, 3L, 400L, "v3"),
+        (1, 1L, 250L, "v1"), (1, 2L, 350L, "v2")))
+
+      // end bound EXCLUSIVE: a record exactly at endMs stays out
+      assert(c.pullWindow("ev", 100L, 200L).map(r => (r.partition, r.offset))
+        === Seq((0, 0L), (1, 0L)))
+      // full log
+      assert(c.pullWindow("ev", 0L, Long.MaxValue / 2).size === 8)
+      // empty window past the log end
+      assert(c.pullWindow("ev", 600L, 700L) === Seq.empty)
+      // narrow window catching a single mid-log record on p0 only
+      assert(c.pullWindow("ev", 260L, 350L).map(r => (r.partition, r.offset))
+        === Seq((0, 2L)))
+      // window falling entirely between records on both partitions
+      assert(c.pullWindow("ev", 260L, 300L) === Seq.empty)
+
+      // explicit ranges: start inside a stored batch (skip), end mid-batch
+      val mid = c.fetchWindow("ev", Map(0 -> (1L, 2L)))
+      assert(mid.map(r => (r.offset, new String(r.value, "UTF-8"))) ===
+        Seq((1L, "v1")))
+      assert(c.fetchWindow("ev", Map(0 -> (3L, 3L))) === Seq.empty)
+    } finally broker.close()
+  }
+
   test("fake broker routes ListOffsets by leader (multi-broker metadata)") {
     // leader for p1 is a second broker; client must follow metadata
     val b2 = new FakeBroker(Map(("ev", 1) -> Seq(500L, 600L)))
@@ -107,15 +190,20 @@ class KafkaWireSpec extends AnyFunSuite {
   }
 }
 
-/** In-process Kafka broker stand-in for the two control-plane APIs. Holds a
-  * timestamp log per (topic, partition); offsetsForTimes semantics follow
-  * the protocol: first offset with ts >= target, -1 when none, -2/-1
+/** In-process Kafka broker stand-in for the control- and data-plane APIs.
+  * Holds a timestamp log per (topic, partition); offsetsForTimes semantics
+  * follow the protocol: first offset with ts >= target, -1 when none, -2/-1
   * sentinels for log start/end. `extraPartitions` lets a broker advertise
-  * partitions led by ANOTHER node (leader routing tests).
+  * partitions led by ANOTHER node (leader routing tests). Fetch v4 serves
+  * real magic-v2 record batches (key `k<off>`, value `v<off>`), ALIGNED to
+  * `batchSize` boundaries like a broker returning stored batches — a fetch
+  * offset inside a batch returns records starting below it, which clients
+  * must skip; at most one batch per fetch, so multi-record ranges exercise
+  * the client poll loop.
   */
 final class FakeBroker(logs: Map[(String, Int), Seq[Long]],
     extraPartitions: Map[(String, Int), (Int, String, Int)] = Map.empty,
-    nodeId: Int = 0) extends AutoCloseable {
+    nodeId: Int = 0, batchSize: Int = 2) extends AutoCloseable {
 
   private val server = new ServerSocket(0, 8, java.net.InetAddress.getByName("127.0.0.1"))
   def port: Int = server.getLocalPort
@@ -149,6 +237,7 @@ final class FakeBroker(logs: Map[(String, Int), Seq[Long]],
         apiKey match {
           case ApiMetadata => metadataResponse(r, body)
           case ApiListOffsets => listOffsetsResponse(r, body)
+          case ApiFetch => fetchResponse(r, body)
           case other => throw new IllegalStateException(s"unsupported api $other")
         }
         val frame = body.bytes
@@ -209,6 +298,36 @@ final class FakeBroker(logs: Map[(String, Int), Seq[Long]],
         }
         val respTs = if (offset >= 0 && offset < ts.length) ts(offset.toInt) else -1L
         w.int32(p).int16(0).int64(respTs).int64(offset)
+      }
+    }
+  }
+
+  private def fetchResponse(r: Reader, w: Writer): Unit = {
+    r.int32(); r.int32(); r.int32(); r.int32(); r.int8() // replica/wait/min/max/isolation
+    val topics = r.array {
+      val t = r.string()
+      (t, r.array { val p = r.int32(); val off = r.int64(); r.int32(); (p, off) })
+    }
+    w.int32(0) // throttle_time_ms
+    w.int32(topics.size)
+    topics.foreach { case (t, ps) =>
+      w.string(t)
+      w.int32(ps.size)
+      ps.foreach { case (p, fetchOff) =>
+        val ts = logs.getOrElse((t, p), Seq.empty)
+        val hw = ts.length.toLong
+        w.int32(p).int16(0).int64(hw).int64(hw)
+        w.int32(0) // aborted_transactions: empty
+        if (fetchOff < 0 || fetchOff >= hw) w.int32(0) // no record set
+        else {
+          val base = (fetchOff / batchSize) * batchSize
+          val recs = (base until math.min(base + batchSize, hw)).map { o =>
+            (ts(o.toInt), s"k$o".getBytes("UTF-8"), s"v$o".getBytes("UTF-8"))
+          }
+          val batch = KafkaWire.encodeRecordBatch(base, recs)
+          w.int32(batch.length)
+          w.raw(batch)
+        }
       }
     }
   }
