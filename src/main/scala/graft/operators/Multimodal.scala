@@ -10,12 +10,14 @@ import org.apache.spark.sql.types._
   * with typed metadata, decoded/feature-extracted through a batched
   * partition-level codec interface.
   *
-  * [[ImageIoCodec]] is a REAL image decode path (JDK javax.imageio header
-  * parse — format/width/height with no extra dependency). Audio/video have
-  * no JDK demuxer, so [[FakeCodec]] remains as a clearly-marked
-  * deterministic STUB (md5-derived pseudo-metadata) for those and for the
-  * SQL-oracle-checkable query. The Spark-side plumbing is shared and is the
-  * part that matters at 100 TB:
+  * All three modalities have REAL header codecs, pure JVM, no new
+  * dependency: [[ImageIoCodec]] (JDK javax.imageio — format/pixel
+  * dimensions), [[WavCodec]] (RIFF/WAVE chunk parse — rate/channels/
+  * frames), [[Mp4Codec]] (ISO BMFF box parse — duration/timescale/tracks).
+  * [[FakeCodec]] remains only as the clearly-marked deterministic FIXTURE
+  * (md5-derived pseudo-metadata) backing the SQL-oracle-checkable query —
+  * an oracle can recompute its fields, which no real decoder allows. The
+  * Spark-side plumbing is shared and is the part that matters at 100 TB:
   *  - payloads stay `BinaryType` end to end (no string round-trips);
   *  - the codec is opened once per partition and fed fixed-size batches
   *    (the JVM mirror of Arrow-batch UDF shape — batching amortizes codec
@@ -157,13 +159,91 @@ object Multimodal {
     def decode(batch: Seq[Array[Byte]]): Seq[MediaMeta] = batch.map(parse)
   }
 
+  /** REAL video header codec: ISO BMFF / MP4 box parsing in pure JVM code
+    * (the container layout is a public spec — ISO/IEC 14496-12: big-endian
+    * `[size][type][payload]` boxes, nestable). Walks the top-level boxes to
+    * `moov`, reads `mvhd` (movie header: timescale + duration) and counts
+    * `trak` children. Field mapping onto [[MediaMeta]], documented here as
+    * the video contract: `format` = "mp4", `width` = duration in
+    * MILLISECONDS (duration/timescale·1000 — the presentation length; pixel
+    * dimensions live per-track in `tkhd` and are codec-specific),
+    * `height` = track count, `n_frames` = mvhd timescale (ticks/second),
+    * `n_bytes` = payload size. Malformed/truncated payloads yield a null
+    * format rather than failing the task — same never-fail contract as the
+    * other codecs.
+    */
+  object Mp4Codec extends Codec {
+    private def be32(b: Array[Byte], i: Int): Long =
+      ((b(i) & 0xffL) << 24) | ((b(i + 1) & 0xffL) << 16) |
+        ((b(i + 2) & 0xffL) << 8) | (b(i + 3) & 0xffL)
+    private def be64(b: Array[Byte], i: Int): Long =
+      (be32(b, i) << 32) | be32(b, i + 4)
+    private def tag(b: Array[Byte], i: Int): String =
+      new String(b, i, 4, java.nio.charset.StandardCharsets.US_ASCII)
+
+    /** Walk sibling boxes in [from, to); returns (boxType → (payloadStart,
+      * payloadEnd)) for the FIRST occurrence plus a count per type. Long
+      * cursor + explicit bounds: 64-bit `size == 1` boxes and crafted sizes
+      * must not wrap or index out of range.
+      */
+    private def walk(b: Array[Byte], from: Long, to: Long)
+        : (Map[String, (Long, Long)], Map[String, Int]) = {
+      var i = from
+      var first = Map.empty[String, (Long, Long)]
+      var counts = Map.empty[String, Int]
+      while (i + 8 <= to) {
+        val size32 = be32(b, i.toInt)
+        val tp = tag(b, i.toInt + 4)
+        val (payload, boxEnd) =
+          if (size32 == 1L && i + 16 <= to) (i + 16, i + be64(b, i.toInt + 8))
+          else if (size32 == 0L) (i + 8, to) // box extends to end
+          else (i + 8, i + size32)
+        if (boxEnd < payload || boxEnd > to) return (first, counts) // malformed
+        if (!first.contains(tp)) first += tp -> (payload, boxEnd)
+        counts += tp -> (counts.getOrElse(tp, 0) + 1)
+        i = boxEnd
+      }
+      (first, counts)
+    }
+
+    private[operators] def parse(b: Array[Byte]): MediaMeta = {
+      if (b == null) return MediaMeta(null, 0, 0, 0, 0)
+      val none = MediaMeta(null, 0, 0, 0, b.length)
+      try {
+        // an MP4 starts with an ftyp box (spec-recommended first box)
+        if (b.length < 12 || tag(b, 4) != "ftyp") return none
+        val (top, _) = walk(b, 0L, b.length.toLong)
+        val (moovStart, moovEnd) = top.getOrElse("moov", return none)
+        val (inMoov, moovCounts) = walk(b, moovStart, moovEnd)
+        val (mv, mvEnd) = inMoov.getOrElse("mvhd", return none)
+        // mvhd: version(1) flags(3), then v0: ctime(4) mtime(4)
+        // timescale(4) duration(4); v1: ctime(8) mtime(8) timescale(4)
+        // duration(8)
+        val version = b(mv.toInt)
+        val (timescale, duration) =
+          if (version == 1 && mv + 28 <= mvEnd)
+            (be32(b, mv.toInt + 20), be64(b, mv.toInt + 24))
+          else if (version == 0 && mv + 20 <= mvEnd)
+            (be32(b, mv.toInt + 12), be32(b, mv.toInt + 16))
+          else return none
+        if (timescale <= 0L) return none
+        val durMs = duration * 1000L / timescale
+        MediaMeta("mp4", durMs.toInt, moovCounts.getOrElse("trak", 0),
+          timescale.toInt, b.length)
+      } catch { case _: Exception => none }
+    }
+
+    def decode(batch: Seq[Array[Byte]]): Seq[MediaMeta] = batch.map(parse)
+  }
+
   /** Magic-byte auto-dispatch codec — the honest production default: image
     * signatures route to [[ImageIoCodec]] (real header decode), RIFF/WAVE
-    * to [[WavCodec]] (real header parse), and anything unrecognized yields
+    * to [[WavCodec]] (real header parse), `ftyp` to [[Mp4Codec]] (real ISO
+    * BMFF box parse), and anything unrecognized yields
     * a null-format meta carrying only `n_bytes` (NOT [[FakeCodec]]'s
     * pseudo-metadata — an unknown payload should look unknown downstream,
     * so quality filters can quarantine it instead of trusting fabricated
-    * dimensions). Video stays stubbed: no demuxer in the JDK.
+    * dimensions).
     */
   object AutoCodec extends Codec {
     private def isImage(b: Array[Byte]): Boolean =
@@ -178,10 +258,13 @@ object Multimodal {
     private def isWav(b: Array[Byte]): Boolean =
       b.length >= 12 && b(0) == 'R' && b(1) == 'I' && b(2) == 'F' &&
         b(3) == 'F' && b(8) == 'W' && b(9) == 'A' && b(10) == 'V' && b(11) == 'E'
+    private def isMp4(b: Array[Byte]): Boolean =
+      b.length >= 12 && b(4) == 'f' && b(5) == 't' && b(6) == 'y' && b(7) == 'p'
 
     def decode(batch: Seq[Array[Byte]]): Seq[MediaMeta] = batch.map { b =>
       if (b == null) MediaMeta(null, 0, 0, 0, 0)
       else if (isWav(b)) WavCodec.parse(b)
+      else if (isMp4(b)) Mp4Codec.parse(b)
       else if (isImage(b)) ImageIoCodec.decode(Seq(b)).head
       else MediaMeta(null, 0, 0, 0, b.length)
     }

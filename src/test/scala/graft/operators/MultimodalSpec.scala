@@ -109,6 +109,58 @@ class MultimodalSpec extends SparkSpec {
     assert(Multimodal.WavCodec.decode(Seq(null)).head === MediaMeta(null, 0, 0, 0, 0))
   }
 
+  /** Hand-assembled minimal ISO BMFF file — built from the public
+    * ISO/IEC 14496-12 box layout, independent of Mp4Codec: ftyp, then moov
+    * containing mvhd (v0: timescale + duration) and `traks` empty trak
+    * boxes.
+    */
+  private def makeMp4(timescale: Int, duration: Int, traks: Int,
+      mvhdVersion: Int = 0): Array[Byte] = {
+    def box(tp: String, payload: Array[Byte]): Array[Byte] = {
+      val bb = java.nio.ByteBuffer.allocate(8 + payload.length)
+      bb.putInt(8 + payload.length).put(tp.getBytes("US-ASCII")).put(payload)
+      bb.array()
+    }
+    val ftyp = box("ftyp", "isom".getBytes("US-ASCII") ++ Array[Byte](0, 0, 2, 0))
+    val mvhdBody =
+      if (mvhdVersion == 0) {
+        val bb = java.nio.ByteBuffer.allocate(4 + 4 + 4 + 4 + 4)
+        bb.putInt(0) // version 0 + flags
+          .putInt(0).putInt(0) // ctime, mtime
+          .putInt(timescale).putInt(duration)
+        bb.array()
+      } else {
+        val bb = java.nio.ByteBuffer.allocate(4 + 8 + 8 + 4 + 8)
+        bb.putInt(0x01000000) // version 1 + flags
+          .putLong(0L).putLong(0L)
+          .putInt(timescale).putLong(duration.toLong)
+        bb.array()
+      }
+    val trakBoxes = Array.fill(traks)(box("trak", Array.empty[Byte]))
+      .flatten
+    val moov = box("moov", box("mvhd", mvhdBody) ++ trakBoxes)
+    ftyp ++ moov
+  }
+
+  test("Mp4Codec parses duration/timescale/track count from a real " +
+      "ISO BMFF box tree; malformed payloads degrade to null format") {
+    // 90 s at timescale 600: duration field 54000 ticks, 2 tracks
+    val mp4 = makeMp4(timescale = 600, duration = 54000, traks = 2)
+    val Seq(m) = Multimodal.Mp4Codec.decode(Seq(mp4))
+    assert(m === MediaMeta("mp4", 90000, 2, 600, mp4.length))
+    // version-1 mvhd (64-bit times) parses identically
+    val v1 = makeMp4(timescale = 1000, duration = 1500, traks = 1, mvhdVersion = 1)
+    assert(Multimodal.Mp4Codec.decode(Seq(v1)).head ===
+      MediaMeta("mp4", 1500, 1, 1000, v1.length))
+    // no moov / truncated / crafted box sizes degrade, never throw
+    assert(Multimodal.Mp4Codec.decode(Seq(mp4.take(20))).head.format === null)
+    val crafted = mp4.clone()
+    crafted(16) = 0x7f // moov size now overruns the payload
+    assert(Multimodal.Mp4Codec.decode(Seq(crafted)).head.format === null)
+    assert(Multimodal.Mp4Codec.decode(Seq(null)).head === MediaMeta(null, 0, 0, 0, 0))
+    assert(Multimodal.Mp4Codec.decode(Seq("ftypnope".getBytes)).head.format === null)
+  }
+
   test("AutoCodec routes by magic bytes: PNG→ImageIO, WAVE→WavCodec, " +
       "unknown→null meta (no fabricated dimensions)") {
     val img = new java.awt.image.BufferedImage(
@@ -117,10 +169,11 @@ class MultimodalSpec extends SparkSpec {
     javax.imageio.ImageIO.write(img, "png", bos)
     val png = bos.toByteArray
     val wav = makeWav(rate = 8000, channels = 1, bitsPerSample = 8, frames = 64)
+    val mp4 = makeMp4(timescale = 1000, duration = 2500, traks = 1)
     val junk = "neither image nor audio".getBytes("UTF-8")
 
     val out = Multimodal.decodeMeta(
-        Seq((1L, png), (2L, wav), (3L, junk)).toDF("id", "payload"),
+        Seq((1L, png), (2L, wav), (3L, junk), (4L, mp4)).toDF("id", "payload"),
         col("payload"), codec = Multimodal.AutoCodec)
       .select($"id", $"meta.format", $"meta.width", $"meta.height",
         $"meta.n_frames", $"meta.n_bytes")
@@ -128,6 +181,7 @@ class MultimodalSpec extends SparkSpec {
     assert(out(0) === ((1L, "png", 10, 7, 1, png.length)))
     assert(out(1) === ((2L, "wav", 8000, 1, 64, wav.length)))
     assert(out(2) === ((3L, null, 0, 0, 0, junk.length)))
+    assert(out(3) === ((4L, "mp4", 2500, 1, 1000, mp4.length)))
   }
 
   test("sampleFrames: evenly spaced fixed-size frames, deduped when short") {
