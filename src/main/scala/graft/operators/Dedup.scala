@@ -260,33 +260,63 @@ object Dedup {
   def minHashIncremental(fresh: DataFrame, id: Column, text: Column,
       state: NearDupState, shingleK: Int = 3, numHashes: Int = 128,
       bands: Int = 16, threshold: Double = 0.8): (DataFrame, NearDupState) = {
-    // 1. within-batch collapse: verified pairs → components → min-id reps.
-    // The pair set is checkpointed (id-pair longs — tiny) because
-    // components() drives several actions over it; the empty-pair fast path
-    // skips the whole propagation loop — at streaming cadence most batches
-    // have no within-batch near-dups, and the loop costs a handful of jobs
-    // even on empty input.
-    val pairs = minHashPairs(fresh, id, text, shingleK, numHashes, bands, threshold)
+    require(numHashes % bands == 0, s"numHashes=$numHashes not divisible by bands=$bands")
+    // 0. ONE signature/shingle pass over the batch text: (id, sig, set) is
+    // computed in a single widened projection (WSCG shares the tokenization
+    // subexpression) and pinned — every later stage (within-batch pairs,
+    // band table, postings) derives from this frame by projection or
+    // id-filter, never by re-reading batch text. This is the per-batch
+    // job-count floor: the batch is tokenized/shingled exactly once.
+    val combined = widen(fresh.select(id.as("id"), text.as("__t")))
+      .select(col("id"),
+        minHashSignature(col("__t"), shingleK, numHashes).as("sig"),
+        HashFunctions.wordShingleSet(
+          TextFunctions.tokensWs(col("__t")), shingleK).as("set"))
       .localCheckpoint()
-    val reps0 =
-      if (pairs.isEmpty) fresh
+    val rows = numHashes / bands
+    val batchBands = combined.select(col("id"), posexplode(
+      transform(sequence(lit(0), lit(bands - 1)),
+        b => md5(concat_ws(",", slice(col("sig"), b * rows + 1, lit(rows)))))
+    ).as(Seq("band", "band_key")))
+
+    // 1. within-batch collapse: verified pairs → components → min-id reps.
+    // Same verification as minHashPairs (exact Jaccard over the shingle
+    // arrays), but candidates and sets come from the pinned frame. The pair
+    // set is checkpointed (id-pair longs — tiny) because components()
+    // drives several actions over it; the empty-pair fast path skips the
+    // whole propagation loop — at streaming cadence most batches have no
+    // within-batch near-dups.
+    val bl = batchBands.select(col("band"), col("band_key"), col("id").as("id_a"))
+    val br = batchBands.select(col("band"), col("band_key"), col("id").as("id_b"))
+    val batchCand = bl.join(br, Seq("band", "band_key"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b")).distinct()
+    val sets = combined.select(col("id"), col("set"))
+    val pairs = batchCand
+      .join(sets.select(col("id").as("id_a"), col("set").as("set_a")), Seq("id_a"))
+      .join(sets.select(col("id").as("id_b"), col("set").as("set_b")), Seq("id_b"))
+      .withColumn("inter", size(array_intersect(col("set_a"), col("set_b"))))
+      .withColumn("jaccard", col("inter").cast("double") /
+        (size(col("set_a")) + size(col("set_b")) - col("inter")).cast("double"))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"))
+      .localCheckpoint()
+    val (reps, repIds) =
+      if (pairs.isEmpty) (fresh, combined.select(col("id")))
       else {
         val nonReps = components(pairs)
           .filter(col("id") =!= col("component"))
           .select(col("id").as("__nonrep_id"))
-        fresh.join(nonReps, id === col("__nonrep_id"), "left_anti")
+        (fresh.join(nonReps, id === col("__nonrep_id"), "left_anti"),
+          combined.select(col("id"))
+            .join(nonReps, col("id") === col("__nonrep_id"), "left_anti"))
       }
-    // Checkpoint the representatives: repBands, repPost and the survivor
-    // anti-join each re-drive this frame, and without pinning every one of
-    // them re-tokenizes/re-shingles the batch text from the source — the
-    // dominant per-batch cost paid 3× over.
-    val reps = reps0.localCheckpoint()
 
-    // 2. compact representations of the representatives
-    val repBands = lshBands(reps, id, text, shingleK, numHashes, bands)
-    val repPost = shinglePostings(widen(reps.select(id.as("id"), text.as("__t")))
-      .select(col("id"), HashFunctions.wordShingleSet(
-        TextFunctions.tokensWs(col("__t")), shingleK).as("set")))
+    // 2. compact representations of the representatives — FILTERED from the
+    // pinned batch frames (round-5 cost: these re-shingled the batch text
+    // from the source, paying the signature pass 3× per batch)
+    val repBands = batchBands.join(repIds, Seq("id"), "left_semi")
+    val repPost = shinglePostings(sets.join(repIds, Seq("id"), "left_semi"))
 
     // 3. candidates against the corpus: band-collision equality join
     val cand = repBands.select(col("band"), col("band_key"), col("id").as("fresh_id"))
