@@ -100,6 +100,44 @@ object Engine {
       |GROUP BY event_type
       |ORDER BY event_type""".stripMargin
 
+  /** XML sink + scan roundtrip over customer (Spark 4's built-in `xml`
+    * source — the reference era's spark-xml, now in sql/core). Write with
+    * an explicit rowTag, re-read through an explicit schema (inference
+    * would widen int32 keys), and aggregate; entity escaping round-trips
+    * names losslessly, so the oracle runs on the parquet original. Doubles
+    * survive because the writer emits shortest-exact representations; min()
+    * keeps the double output order-independent for the hash compare.
+    */
+  def xmlRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-xml").toString
+    T(s, dir, "customer")
+      .select(col("c_custkey"), col("c_name"), col("c_nationkey"),
+        col("c_acctbal"), col("c_mktsegment"))
+      .write.mode("overwrite").option("rowTag", "customer").format("xml").save(tmp)
+    s.read.option("rowTag", "customer")
+      .schema("c_custkey BIGINT, c_name STRING, c_nationkey INT, " +
+        "c_acctbal DOUBLE, c_mktsegment STRING")
+      .format("xml").load(tmp)
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n"),
+        min(col("c_custkey")).as("min_key"),
+        max(col("c_custkey")).as("max_key"),
+        sum(col("c_nationkey").cast("long")).as("sum_nation"),
+        sum(length(col("c_name"))).as("sum_name_len"),
+        min(col("c_acctbal")).as("min_bal"))
+      .orderBy(col("c_mktsegment"))
+  }
+
+  val xmlRoundtripOracle: String =
+    """SELECT c_mktsegment, COUNT(*) AS n,
+      |  MIN(c_custkey) AS min_key, MAX(c_custkey) AS max_key,
+      |  CAST(SUM(c_nationkey) AS BIGINT) AS sum_nation,
+      |  CAST(SUM(length(c_name)) AS BIGINT) AS sum_name_len,
+      |  MIN(c_acctbal) AS min_bal
+      |FROM customer
+      |GROUP BY c_mktsegment
+      |ORDER BY c_mktsegment""".stripMargin
+
   /** Hot-compiled script job (ToolBox ≈ the reference's IMain): the script
     * text itself declares the plan; the engine compiles and invokes it.
     */
@@ -296,6 +334,7 @@ object Engine {
     Q("stream_stream_join", streamStreamJoin, Some(streamStreamJoinOracle)),
     Q("session_window", sessionWindow, Some(sessionWindowOracle)),
     Q("csv_roundtrip", csvRoundtrip, Some(csvRoundtripOracle)),
-    Q("jsonl_roundtrip", jsonlRoundtrip, Some(jsonlRoundtripOracle))
+    Q("jsonl_roundtrip", jsonlRoundtrip, Some(jsonlRoundtripOracle)),
+    Q("xml_roundtrip", xmlRoundtrip, Some(xmlRoundtripOracle))
   )
 }
