@@ -95,6 +95,17 @@ object Dedup {
   def minHashSignature(text: Column, shingleK: Int, numHashes: Int): Column =
     HashFunctions.minHashSignature(TextFunctions.tokensWs(text), shingleK, numHashes)
 
+  /** Explode a frame holding (id, sig) into (id, band, band_key) rows —
+    * THE band-key derivation (md5 of the comma-joined signature slice):
+    * every band table in the engine (batch, corpus bootstrap, persisted
+    * state) must come through here so keys stay joinable across them.
+    */
+  private def explodeBands(withSig: DataFrame, bands: Int, rows: Int): DataFrame =
+    withSig.select(col("id"), posexplode(
+      transform(sequence(lit(0), lit(bands - 1)),
+        b => md5(concat_ws(",", slice(col("sig"), b * rows + 1, lit(rows)))))
+    ).as(Seq("band", "band_key")))
+
   /** (id, band, band_key) rows: `bands` LSH buckets per document, the band
     * key being the md5 of that band's signature slice. Join key is ~20
     * bytes/row regardless of document size.
@@ -103,12 +114,10 @@ object Dedup {
       shingleK: Int, numHashes: Int, bands: Int): DataFrame = {
     require(numHashes % bands == 0, s"numHashes=$numHashes not divisible by bands=$bands")
     val rows = numHashes / bands
-    widen(df.select(id.as("id"), text.as("__text")))
-      .select(col("id"), minHashSignature(col("__text"), shingleK, numHashes).as("sig"))
-      .select(col("id"), posexplode(
-        transform(sequence(lit(0), lit(bands - 1)),
-          b => md5(concat_ws(",", slice(col("sig"), b * rows + 1, lit(rows)))))
-      ).as(Seq("band", "band_key")))
+    explodeBands(
+      widen(df.select(id.as("id"), text.as("__text")))
+        .select(col("id"), minHashSignature(col("__text"), shingleK, numHashes).as("sig")),
+      bands, rows)
   }
 
   /** Candidate pairs (id_a < id_b) that collide in at least one LSH band.
@@ -159,14 +168,30 @@ object Dedup {
   final case class NearDupState(bands: DataFrame, postings: DataFrame)
 
   object NearDupState {
-    /** Bootstrap state from an already-deduplicated corpus. */
+    /** Bootstrap state from an already-deduplicated corpus. The corpus text
+      * is tokenized/shingled ONCE into a persisted (id, sig, set) frame;
+      * bands and postings are both projections of it — without the persist,
+      * materializing the two state tables would pay the signature pass
+      * twice over the full corpus. MEMORY_AND_DISK, not localCheckpoint:
+      * a corpus-sized bootstrap frame may exceed executor memory, and
+      * spilled blocks are still one ORDER of magnitude cheaper than
+      * re-tokenizing. Call [[save]] right after a large bootstrap — the two
+      * bucketed writes consume the cached frame once each, after which the
+      * state lives as tables and the cache can be dropped.
+      */
     def build(corpus: DataFrame, id: Column, text: Column,
-        shingleK: Int = 3, numHashes: Int = 128, bands: Int = 16): NearDupState =
+        shingleK: Int = 3, numHashes: Int = 128, bands: Int = 16): NearDupState = {
+      require(numHashes % bands == 0, s"numHashes=$numHashes not divisible by bands=$bands")
+      val combined = widen(corpus.select(id.as("id"), text.as("__t")))
+        .select(col("id"),
+          minHashSignature(col("__t"), shingleK, numHashes).as("sig"),
+          HashFunctions.wordShingleSet(
+            TextFunctions.tokensWs(col("__t")), shingleK).as("set"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       NearDupState(
-        lshBands(corpus, id, text, shingleK, numHashes, bands),
-        shinglePostings(widen(corpus.select(id.as("id"), text.as("__t")))
-          .select(col("id"), HashFunctions.wordShingleSet(
-            TextFunctions.tokensWs(col("__t")), shingleK).as("set"))))
+        explodeBands(combined, bands, numHashes / bands),
+        shinglePostings(combined.select(col("id"), col("set"))))
+    }
 
     /** Persist the carried state as two BUCKETED tables
       * (`<prefix>_bands` bucketed+sorted by `band_key`, `<prefix>_postings`
@@ -273,11 +298,7 @@ object Dedup {
         HashFunctions.wordShingleSet(
           TextFunctions.tokensWs(col("__t")), shingleK).as("set"))
       .localCheckpoint()
-    val rows = numHashes / bands
-    val batchBands = combined.select(col("id"), posexplode(
-      transform(sequence(lit(0), lit(bands - 1)),
-        b => md5(concat_ws(",", slice(col("sig"), b * rows + 1, lit(rows)))))
-    ).as(Seq("band", "band_key")))
+    val batchBands = explodeBands(combined, bands, numHashes / bands)
 
     // 1. within-batch collapse: verified pairs → components → min-id reps.
     // Same verification as minHashPairs (exact Jaccard over the shingle
