@@ -275,15 +275,21 @@ object Similarity {
     * bit-stable across engines and across any aggregation order — the same
     * design throughline as [[quantizedTopK]].
     *
-    * SCALE WARNING: like [[ivfTopK]], a fixed `entryEvery` grows the
-    * codebook with the corpus (J = n/entryEvery) — assignment work is
-    * n×m×J. Fine for the oracle fixture; at corpus scale use
-    * [[pqCodebookTrained]] (fixed J → linear n×m×J assignment, J ≤ 128 so
-    * codes pack one byte per subspace).
+    * `maxEntries` caps the codebook at a FIXED size (default 128, so
+    * entry ids pack one byte per subspace): a codebook is a model, and
+    * letting J track the corpus (J = n/entryEvery) made encode-side
+    * assignment n×m×J = quadratic in n — the same pathology as
+    * [[ivfTopK]]'s modulus centroids, but here it is avoidable without
+    * losing SQL replayability (the cap is one more deterministic
+    * predicate). Below n = entryEvery×maxEntries the cap is inert; above
+    * it, assignment is linear. [[pqCodebookTrained]] remains the
+    * content-adaptive production quantizer.
     */
-  def pqCodebook(corpus: DataFrame, m: Int, entryEvery: Long): DataFrame =
+  def pqCodebook(corpus: DataFrame, m: Int, entryEvery: Long,
+      maxEntries: Int = 128): DataFrame =
     subSplit(
-      corpus.filter(pmod(col("vec_id"), lit(entryEvery)) === 0)
+      corpus.filter(pmod(col("vec_id"), lit(entryEvery)) === 0 &&
+          col("vec_id") < lit(entryEvery * maxEntries))
         .select(expr(s"vec_id div $entryEvery").as("entry"),
           VectorFunctions.quantizeInt8(col("embedding")).as("code")),
       m)

@@ -450,7 +450,8 @@ object Pipeline {
        |sq AS (
        |  SELECT vec_id, sub, code[(sub * 8 + 1):(sub * 8 + 8)] AS scode
        |  FROM qz CROSS JOIN (SELECT unnest(range(0, 8)) AS sub) subs),
-       |cb AS (SELECT vec_id // 25 AS entry, sub, scode FROM sq WHERE vec_id % 25 = 0),
+       |cb AS (SELECT vec_id // 25 AS entry, sub, scode FROM sq
+       |       WHERE vec_id % 25 = 0 AND vec_id < 25 * 128),
        |asg AS (
        |  SELECT vec_id, sub, entry FROM (
        |    SELECT x.vec_id, x.sub, c.entry,
@@ -512,7 +513,8 @@ object Pipeline {
        |sq AS (
        |  SELECT vec_id, sub, code[(sub * 8 + 1):(sub * 8 + 8)] AS scode
        |  FROM qz CROSS JOIN (SELECT unnest(range(0, 8)) AS sub) subs),
-       |cb AS (SELECT vec_id // 25 AS entry, sub, scode FROM sq WHERE vec_id % 25 = 0),
+       |cb AS (SELECT vec_id // 25 AS entry, sub, scode FROM sq
+       |       WHERE vec_id % 25 = 0 AND vec_id < 25 * 128),
        |asg AS (
        |  SELECT vec_id, sub, entry FROM (
        |    SELECT x.vec_id, x.sub, c.entry,
