@@ -78,15 +78,19 @@ case class MapUnionLastWin(children: Seq[Expression]) extends Expression {
   }
 
   override def eval(input: InternalRow): Any = {
+    // evaluate EVERY child before deciding nullness — the generated code
+    // does (children are emitted unconditionally), and a short-circuiting
+    // interpreter would make `m_add(null, throwing_expr)` return null
+    // interpreted but throw under whole-stage codegen
     val maps = new Array[MapData](children.length)
+    var anyNull = false
     var ci = 0
     while (ci < children.length) {
       val m = children(ci).eval(input)
-      if (m == null) return null
-      maps(ci) = m.asInstanceOf[MapData]
+      if (m == null) anyNull = true else maps(ci) = m.asInstanceOf[MapData]
       ci += 1
     }
-    unionMaps(maps)
+    if (anyNull) null else unionMaps(maps)
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {

@@ -111,15 +111,17 @@ object Http {
 
   private def withFetch(df: DataFrame, url: Column, body: Column, timeoutMs: Int,
       headers: Map[String, String], resultCol: String, post: Boolean): DataFrame = {
-    // HTTP is latency-bound: concurrency = partition count. Widen narrow
-    // inputs to default parallelism, but never NARROW a deliberately wide
-    // input — its width IS the caller's requested concurrency. That needs a
-    // partition-count probe (`df.rdd` materializes the physical plan and
-    // under AQE may run upstream exchanges), a one-time cost that is noise
-    // next to per-row network round-trips.
+    // HTTP is latency-bound: concurrency = partition count, and the rows
+    // must be SPREAD across those partitions (a prior filter can leave a
+    // "wide" input with all rows in one partition, serializing the fetch).
+    // So: always round-robin repartition — it rebalances skew — to
+    // max(default parallelism, current width), which never NARROWS a
+    // deliberately wide input (its width is the caller's requested
+    // concurrency). The `df.rdd` partition-count probe materializes the
+    // physical plan (under AQE it may run upstream exchanges), a one-time
+    // cost that is noise next to per-row network round-trips.
     val par = df.sparkSession.sparkContext.defaultParallelism
-    val widened =
-      if (df.rdd.getNumPartitions >= par) df else df.repartition(par)
+    val widened = df.repartition(math.max(par, df.rdd.getNumPartitions))
     val in = widened.withColumn("__graft_url", url).withColumn("__graft_body", body)
     val n = in.schema.size
     val outSchema = StructType(df.schema.fields :+ StructField(resultCol, resultType))

@@ -499,13 +499,19 @@ class KafkaWireClient(bootstrapHost: String, bootstrapPort: Int,
             val id = corr.getAndIncrement()
             val resp = parseFetchResponse(roundTrip(s,
               encodeFetchRequest(id, clientId, Seq((topic, pm.partition, off))), id))
-            val recs = resp
-              .filter(p => p.topic == topic && p.partition == pm.partition &&
-                p.errorCode == 0)
-              .flatMap(_.records)
+            val mine = resp.filter(p =>
+              p.topic == topic && p.partition == pm.partition)
+            // a partition-level error (leader moved, offset out of range)
+            // must FAIL the pull, not silently truncate it — the contract
+            // is "exactly the records in [start, end)"; callers retry
+            mine.find(_.errorCode != 0).foreach { p =>
+              throw new IllegalStateException(
+                s"fetch error ${p.errorCode} for $topic-${pm.partition} at offset $off")
+            }
+            val recs = mine.flatMap(_.records)
             out ++= recs.filter(r => r.offset >= off && r.offset < end)
             val maxOff = recs.foldLeft(-1L)((m, r) => math.max(m, r.offset))
-            if (maxOff < off) stalled = true // no progress: log end or error
+            if (maxOff < off) stalled = true // no progress: log end reached
             else off = maxOff + 1
           }
           out.result()

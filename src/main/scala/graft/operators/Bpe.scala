@@ -92,10 +92,15 @@ object Bpe {
     * stacked rewrite is identical to applying those same merges one pass
     * each. This is the classic batched-BPE trade (what production trainers
     * do to avoid a counting round per merge): jobs drop ~batch×, and the
-    * only deviation from strict sequential BPE is ORDERING ACROSS BATCHES —
-    * a merge can CREATE a new pair (e.g. `(x, l+r)`) whose count exceeds a
-    * later batch member's, which strict BPE would learn first. At
-    * `batch = 1` the algorithm is exactly sequential.
+    * deviations from strict sequential BPE are ORDERING ones, two ways:
+    * across batches, a merge can CREATE a new pair (e.g. `(x, l+r)`) whose
+    * count exceeds a later batch member's, which strict BPE would learn
+    * first; and within a batch, a skipped non-disjoint pair (it shared a
+    * symbol with a higher-ranked member) may still outrank the remaining
+    * members under strict BPE if its post-merge count stays high — the
+    * snapshot exactness claim above covers the SELECTED pairs' counts, not
+    * the skipped pair's rank. At `batch = 1` the algorithm is exactly
+    * sequential.
     *
     * The dictionary is localCheckpointed every few applied merges so plan
     * depth stays O(1). Stops early when no pair is left. Returns the ranked
@@ -187,14 +192,31 @@ object Bpe {
       else (0 until syms.length - 1).iterator.map(i => (syms(i), syms(i + 1)))
 
     // max-heap on (count, then lexicographically smallest pair) with lazy
-    // deletion: stale entries are skipped at pop time by re-checking counts
+    // deletion: stale entries are skipped at pop time by re-checking counts.
+    // Ties compare in UTF-8 BYTE order (what Spark's orderBy on strings
+    // uses) — String.compareTo is UTF-16 code-unit order, which disagrees
+    // for non-BMP symbols (an emoji's surrogates sort below U+E000..U+FFFF
+    // chars in UTF-16 but above them in UTF-8), and the contract here is
+    // merge-for-merge equality with the distributed trainers.
+    def utf8Compare(a: String, b: String): Int = {
+      val x = a.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      val y = b.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      var i = 0
+      val n = math.min(x.length, y.length)
+      while (i < n) {
+        val c = (x(i) & 0xff) - (y(i) & 0xff)
+        if (c != 0) return c
+        i += 1
+      }
+      x.length - y.length
+    }
     val ord = new Ordering[(Long, String, String)] {
       def compare(a: (Long, String, String), b: (Long, String, String)): Int = {
         val c = java.lang.Long.compare(a._1, b._1)
         if (c != 0) c
         else {
-          val cl = b._2.compareTo(a._2)
-          if (cl != 0) cl else b._3.compareTo(a._3)
+          val cl = utf8Compare(b._2, a._2)
+          if (cl != 0) cl else utf8Compare(b._3, a._3)
         }
       }
     }

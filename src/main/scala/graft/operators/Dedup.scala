@@ -164,8 +164,14 @@ object Dedup {
     * admitted corpus TEXT is never part of the state, which is what makes
     * continuous near-dup ingestion O(batch), not O(corpus): persist both
     * tables partitioned/bucketed by their join key between runs.
+    *
+    * `cached` is the bootstrap's persisted (id, sig, set) frame, carried so
+    * [[NearDupState.save]] can unpersist it once the state lives as tables
+    * — without the handle the corpus-sized blocks would stay pinned for the
+    * session lifetime.
     */
-  final case class NearDupState(bands: DataFrame, postings: DataFrame)
+  final case class NearDupState(bands: DataFrame, postings: DataFrame,
+      cached: Option[DataFrame] = None)
 
   object NearDupState {
     /** Bootstrap state from an already-deduplicated corpus. The corpus text
@@ -190,7 +196,8 @@ object Dedup {
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       NearDupState(
         explodeBands(combined, bands, numHashes / bands),
-        shinglePostings(combined.select(col("id"), col("set"))))
+        shinglePostings(combined.select(col("id"), col("set"))),
+        cached = Some(combined))
     }
 
     /** Persist the carried state as two BUCKETED tables
@@ -220,6 +227,10 @@ object Dedup {
       stageBucketed(state.postings, s"${prefix}_postings", buckets, "sfp")
       swapStaged(state.bands.sparkSession, s"${prefix}_bands")
       swapStaged(state.postings.sparkSession, s"${prefix}_postings")
+      // the state now lives as tables; release the bootstrap's persisted
+      // signature frame (kept alive until here because both staged writes
+      // read through it)
+      state.cached.foreach(_.unpersist(blocking = false))
     }
 
     /** Reload state persisted by [[save]]; the returned frames carry the
@@ -366,7 +377,8 @@ object Dedup {
     val survPost = repPost.join(matched, col("id") === col("fresh_id"), "left_anti")
     (survivors, NearDupState(
       state.bands.unionAll(survBands),
-      state.postings.unionAll(survPost)))
+      state.postings.unionAll(survPost),
+      state.cached)) // carry the bootstrap cache handle so save() can drop it
   }
 
   /** Connected components over a near-duplicate pair graph by iterative

@@ -221,13 +221,21 @@ object Multimodal {
         // duration(8)
         val version = b(mv.toInt)
         val (timescale, duration) =
-          if (version == 1 && mv + 28 <= mvEnd)
+          // guards cover the LAST byte each branch reads: v1's be64 at
+          // mv+24 needs mv+32, v0's be32 at mv+16 needs mv+20
+          if (version == 1 && mv + 32 <= mvEnd)
             (be32(b, mv.toInt + 20), be64(b, mv.toInt + 24))
           else if (version == 0 && mv + 20 <= mvEnd)
             (be32(b, mv.toInt + 12), be32(b, mv.toInt + 16))
           else return none
-        if (timescale <= 0L) return none
+        // degrade to null-format on values the Int meta cannot carry
+        // (crafted timescale > 2^31, 64-bit duration whose *1000 would
+        // overflow, duration in ms beyond Int range) — fabricating wrapped
+        // numbers would violate the never-fail-never-lie contract
+        if (timescale <= 0L || timescale > Int.MaxValue ||
+          duration < 0L || duration > Long.MaxValue / 1000L) return none
         val durMs = duration * 1000L / timescale
+        if (durMs > Int.MaxValue) return none
         MediaMeta("mp4", durMs.toInt, moovCounts.getOrElse("trak", 0),
           timescale.toInt, b.length)
       } catch { case _: Exception => none }

@@ -75,6 +75,20 @@ class BpeSpec extends SparkSpec {
       === referenceBpe(corpus, numMerges = 500))
   }
 
+  test("trainBpeLocal tie-break matches the distributed trainer on non-BMP " +
+      "symbols (UTF-8 byte order, not UTF-16 code-unit order)") {
+    // counts tie at 1; U+FFFD sorts BEFORE the emoji in UTF-8 bytes
+    // (EF BF BD < F0 9F 98 80) but AFTER it in UTF-16 code units
+    // (� > \uD83D) — a String.compareTo tie-break would diverge here
+    val dict = Seq(
+      (1L, Seq("😀", "x")),
+      (1L, Seq("�", "x"))).toDF("n", "syms")
+    val dist = Bpe.trainBpe(dict, numMerges = 2)
+    val local = Bpe.trainBpeLocal(dict, numMerges = 2)
+    assert(dist === local)
+    assert(dist.head === ("�", "x"))
+  }
+
   test("batched training: batch = 1 is exactly sequential; larger batches " +
       "pick disjoint snapshot pairs (documented cross-batch reordering)") {
     val df = corpus.zipWithIndex.map { case (t, i) => (i.toLong, t) }

@@ -161,6 +161,33 @@ class MultimodalSpec extends SparkSpec {
     assert(Multimodal.Mp4Codec.decode(Seq("ftypnope".getBytes)).head.format === null)
   }
 
+  test("Mp4Codec: truncated v1 mvhd (28-31 B payload) degrades to null " +
+      "format instead of reading the next sibling box as duration bytes") {
+    def box(tp: String, payload: Array[Byte]): Array[Byte] = {
+      val bb = java.nio.ByteBuffer.allocate(8 + payload.length)
+      bb.putInt(8 + payload.length).put(tp.getBytes("US-ASCII")).put(payload)
+      bb.array()
+    }
+    val ftyp = box("ftyp", "isom".getBytes("US-ASCII") ++ Array[Byte](0, 0, 2, 0))
+    // v1 mvhd cut 4 bytes into the 8-byte duration field: 4 (ver+flags)
+    // + 8 + 8 (ctime/mtime) + 4 (timescale) + 4 of 8 duration bytes
+    val cut = java.nio.ByteBuffer.allocate(28)
+      .putInt(0x01000000).putLong(0L).putLong(0L).putInt(1000).putInt(0)
+      .array()
+    // a trak sibling follows — its size/type bytes are exactly what an
+    // unguarded be64 at mvhd+24 would swallow as the duration's low half
+    val moov = box("moov", box("mvhd", cut) ++ box("trak", Array.empty[Byte]))
+    assert(Multimodal.Mp4Codec.decode(Seq(ftyp ++ moov)).head.format === null)
+  }
+
+  test("Mp4Codec: durations/timescales exceeding the Int meta degrade to " +
+      "null format rather than wrapping") {
+    // timescale 1, duration ticks > Int.MaxValue ms: durMs overflows Int
+    val big = makeMp4(timescale = 1, duration = Int.MaxValue, traks = 1,
+      mvhdVersion = 1)
+    assert(Multimodal.Mp4Codec.decode(Seq(big)).head.format === null)
+  }
+
   test("AutoCodec routes by magic bytes: PNG→ImageIO, WAVE→WavCodec, " +
       "unknown→null meta (no fabricated dimensions)") {
     val img = new java.awt.image.BufferedImage(
