@@ -182,17 +182,23 @@ object Similarity {
     * nprobe/centroids of the corpus. Swap the modulus sampler for trained
     * centroids without touching the plan.
     *
-    * SCALE WARNING: a FIXED `centroidEvery` makes the centroid count grow
-    * with the corpus (C = n/centroidEvery), so the map-side assignment
-    * scores n×C = n²/centroidEvery pairs — measured super-linear in the
-    * stress harness (BASELINE.md round 5). Fine for the oracle-reproducible
-    * bench fixture; at corpus scale use [[trainCentroids]] (fixed K →
-    * linear n×K assignment) or pick centroidEvery ≈ n/√n so C ≈ √n.
+    * `maxCentroids` caps the cell count at a FIXED size (default 128,
+    * like real IVF's fixed nlist): an uncapped modulus sampler grows C
+    * with the corpus (C = n/centroidEvery) and assignment becomes
+    * n×C = n²/centroidEvery — measured super-linear in the stress harness
+    * (905 s at stress ×64 pre-cap). The cap is one more deterministic
+    * predicate, so the oracle replays it; below centroidEvery×maxCentroids
+    * vectors it is inert. Cells then grow with n at fixed C — each query
+    * still touches nprobe/C of the corpus, which is how production IVF
+    * scales. [[trainCentroids]] remains the content-adaptive quantizer
+    * (tighter cells → fewer probes at equal recall).
     */
   def ivfTopK(queries: DataFrame, corpus: DataFrame, k: Int,
-      centroidEvery: Long = 50, nprobe: Int = 2): DataFrame =
+      centroidEvery: Long = 50, nprobe: Int = 2,
+      maxCentroids: Int = 128): DataFrame =
     ivfTopKWith(queries, corpus,
-      corpus.filter(pmod(col("vec_id"), lit(centroidEvery)) === 0)
+      corpus.filter(pmod(col("vec_id"), lit(centroidEvery)) === 0 &&
+          col("vec_id") < lit(centroidEvery * maxCentroids))
         .select(col("vec_id").as("cid"), col("embedding").as("cv")),
       k, nprobe)
 
@@ -488,9 +494,13 @@ object Similarity {
     */
   def ivfPqTopK(queries: DataFrame, corpus: DataFrame, k: Int, m: Int = 8,
       entryEvery: Long = 25, centroidEvery: Long = 50, nprobe: Int = 2,
-      includeSelf: Boolean = false): DataFrame =
+      includeSelf: Boolean = false, maxCentroids: Int = 128): DataFrame =
     ivfPqTopKWith(queries, corpus,
-      corpus.filter(pmod(col("vec_id"), lit(centroidEvery)) === 0)
+      // same fixed-size cap as ivfTopK/pqCodebook: both the coarse cells
+      // and the codebook are MODELS — neither may grow with the corpus,
+      // or assignment turns quadratic (232 s at stress ×64 pre-cap)
+      corpus.filter(pmod(col("vec_id"), lit(centroidEvery)) === 0 &&
+          col("vec_id") < lit(centroidEvery * maxCentroids))
         .select(col("vec_id").as("cid"), col("embedding").as("cv")),
       pqCodebook(corpus, m, entryEvery), k, m, nprobe, includeSelf)
 

@@ -331,7 +331,8 @@ object Pipeline {
 
   val simIvfOracle: String =
     s"""WITH $normsCte,
-       |cent AS (SELECT vec_id AS cid, embedding, nrm FROM n WHERE vec_id % 50 = 0),
+       |cent AS (SELECT vec_id AS cid, embedding, nrm FROM n
+       |         WHERE vec_id % 50 = 0 AND vec_id < 50 * 128),
        |ccand AS (
        |  SELECT v.vec_id, c.cid,
        |    ROW_NUMBER() OVER (PARTITION BY v.vec_id
@@ -496,7 +497,8 @@ object Pipeline {
     def idot(a: String, b: String): String =
       s"list_reduce(list_transform(range(1, 9), i -> $a[i] * $b[i]), (x, y) -> x + y)"
     s"""WITH $normsCte,
-       |cent AS (SELECT vec_id AS cid, embedding, nrm FROM n WHERE vec_id % 50 = 0),
+       |cent AS (SELECT vec_id AS cid, embedding, nrm FROM n
+       |         WHERE vec_id % 50 = 0 AND vec_id < 50 * 128),
        |ccand AS (
        |  SELECT v.vec_id, c.cid,
        |    ROW_NUMBER() OVER (PARTITION BY v.vec_id
