@@ -29,7 +29,8 @@ object Stress {
     "dedup_simhash128", "dedup_components", "dedup_incremental",
     "repeated_substrings", "winnow_fingerprints", "segment_dedup",
     "sim_bruteforce_topk", "sim_lsh_topk", "sim_ivf_topk", "sim_ivf_trained",
-    "sim_quantized_topk", "text_metrics", "token_counts",
+    "sim_quantized_topk", "sim_pq_topk", "sim_ivfpq_topk",
+    "text_metrics", "token_counts",
     "bpe_tokenize", "curation_pipeline")
 
   private val IdStride = 1000000L // well above any sf0.1 id; keeps ids unique
