@@ -262,6 +262,24 @@ class SimilaritySpec extends SparkSpec {
     assert(codes.forall(_.length === 4)) // m bytes, 16× smaller than floats
   }
 
+  test("sampling quantizers are CAPPED: codebook entries and coarse cells " +
+      "stop growing with the corpus (the models-don't-track-data contract)") {
+    // 400 vectors with entryEvery=4/maxEntries=32 and centroidEvery=4/
+    // maxCentroids=16: uncapped would give 100 entries and 100 cells
+    val corpus = vectors(400, 16, seed = 11).cache()
+    val cb = Similarity.pqCodebook(corpus, m = 4, entryEvery = 4, maxEntries = 32)
+      .groupBy(col("sub")).agg(countDistinct(col("entry")).as("j"))
+      .select(col("j")).distinct().as[Long].collect()
+    assert(cb === Array(32L), "codebook must be rectangular at exactly maxEntries")
+    // capped queries still return full, well-formed top-k
+    val probes = corpus.filter(col("vec_id") < 2)
+    assert(Similarity.ivfTopK(probes, corpus, k = 3, centroidEvery = 4,
+      nprobe = 2, maxCentroids = 16).count() === 6)
+    assert(Similarity.ivfPqTopK(probes, corpus, k = 3, entryEvery = 4,
+      centroidEvery = 4, nprobe = 16, maxCentroids = 16).count() === 6)
+    corpus.unpersist()
+  }
+
   test("trained PQ codebook: fixed m×j size, packed ≡ relational, decent recall") {
     val df = vectors(60, 16, seed = 19).cache()
     val qs = df.filter(col("vec_id") < 5)
