@@ -21,6 +21,13 @@ import org.apache.spark.sql.functions._
   * Usage: `runMain graft.Stress <mult> [queries...]` — writes scaled
   * parquet under /tmp/graft_stress/x<mult> (reused if present), prints one
   * JSON line: {"mult":N,"rows":R,"queries":{name:sec,...}}.
+  *
+  * ×64 notes (BASELINE.md round 6): run the output-quadratic pair queries
+  * (`dedup_ngram_jaccard`, `dedup_components`) only up to ×16 — beyond
+  * that their wall time is the ~11M-pair ANSWER, not the plan, and the
+  * pair shuffle needs `SPARK_DRIVER_MEM=64g` (default 8 GB aborts) while
+  * the big heap itself slows the pair join (G1 churn). Compare per-query
+  * MINIMA across repeated windows, never single cold passes.
   */
 object Stress {
 
