@@ -54,8 +54,16 @@ object KafkaWire {
       errorCode: Short, timestamp: Long, offset: Long)
   final case class FetchedRecord(topic: String, partition: Int, offset: Long,
       timestamp: Long, key: Array[Byte], value: Array[Byte])
+  /** `nextOffset` is the offset AFTER the last complete batch in the fetched
+    * record set (-1 when the set held no complete batch) — the poll loop's
+    * progress marker. It is derived from batch headers, not decoded records,
+    * so a fetch consisting entirely of control batches (whose records are
+    * skipped) still advances the consumer, exactly like a real client's
+    * position bookkeeping.
+    */
   final case class PartitionFetch(topic: String, partition: Int,
-      errorCode: Short, highWatermark: Long, records: Seq[FetchedRecord])
+      errorCode: Short, highWatermark: Long, records: Seq[FetchedRecord],
+      nextOffset: Long)
 
   // ------------------------------------------------------------ primitives
 
@@ -252,8 +260,8 @@ object KafkaWire {
         r.array { (r.int64(), r.int64()) } // aborted_transactions (nullable)
         val setLen = r.int32()
         val set = if (setLen <= 0) Array.empty[Byte] else r.raw(setLen)
-        PartitionFetch(topic, partition, err, hw,
-          decodeRecordSet(topic, partition, set))
+        val (records, nextOffset) = decodeRecordSetWithNext(topic, partition, set)
+        PartitionFetch(topic, partition, err, hw, records, nextOffset)
       }
     }.flatten
   }
@@ -268,13 +276,14 @@ object KafkaWire {
     * usable as a producer-side record set.
     */
   def encodeRecordBatch(baseOffset: Long,
-      records: Seq[(Long, Array[Byte], Array[Byte])]): Array[Byte] = {
+      records: Seq[(Long, Array[Byte], Array[Byte])],
+      attributes: Short = 0): Array[Byte] = {
     require(records.nonEmpty, "empty record batch")
     val baseTs = records.head._1
     val maxTs = records.map(_._1).max
     // everything the CRC covers: attributes → records
     val tail = new Writer()
-    tail.int16(0) // attributes: no compression, create-time timestamps
+    tail.int16(attributes) // default 0: no compression, create-time timestamps
     tail.int32(records.length - 1) // lastOffsetDelta
     tail.int64(baseTs).int64(maxTs)
     tail.int64(-1L).int16(-1).int32(-1) // producerId/Epoch/baseSequence
@@ -309,11 +318,28 @@ object KafkaWire {
     * A trailing partial batch (brokers truncate at partition_max_bytes) is
     * dropped, per protocol. CRC-32C is verified per batch; compressed
     * batches are rejected (the engine's wire scope is uncompressed).
+    * CONTROL batches (attributes bit 0x20 — transaction commit/abort
+    * markers, KIP-98) are skipped without emitting records, mirroring
+    * consumer control-batch handling: their offsets are consumed but they
+    * carry no data.
     */
   def decodeRecordSet(topic: String, partition: Int,
-      bytes: Array[Byte]): Seq[FetchedRecord] = {
+      bytes: Array[Byte]): Seq[FetchedRecord] =
+    decodeRecordSetWithNext(topic, partition, bytes)._1
+
+  /** Control-batch attribute flag (magic-v2 batch attributes bit 5). */
+  val ControlBatchFlag: Int = 0x20
+
+  /** [[decodeRecordSet]] plus the poll loop's progress marker: the offset
+    * after the last COMPLETE batch (`baseOffset + lastOffsetDelta + 1`), or
+    * -1 when the set held no complete batch. Computed from batch headers so
+    * control batches — skipped from the record output — still advance it.
+    */
+  def decodeRecordSetWithNext(topic: String, partition: Int,
+      bytes: Array[Byte]): (Seq[FetchedRecord], Long) = {
     val buf = new Reader(bytes)
     val out = Seq.newBuilder[FetchedRecord]
+    var nextOffset = -1L
     var halt = false
     while (!halt && buf.remaining >= 12) {
       val baseOffset = buf.int64()
@@ -333,35 +359,38 @@ object KafkaWire {
         val attributes = br.int16()
         require((attributes & 0x7) == 0,
           s"compressed record batch (codec ${attributes & 0x7}) not supported")
-        br.int32() // lastOffsetDelta
-        val baseTs = br.int64()
-        br.int64() // maxTimestamp
-        br.int64(); br.int16(); br.int32() // producerId/Epoch/baseSequence
-        val count = br.int32()
-        var i = 0
-        while (i < count) {
-          br.varint() // record length — fields below are self-delimiting
-          br.int8() // record attributes
-          val tsDelta = br.varlong()
-          val offDelta = br.varint()
-          val keyLen = br.varint()
-          val key = if (keyLen < 0) null else br.raw(keyLen)
-          val valLen = br.varint()
-          val value = if (valLen < 0) null else br.raw(valLen)
-          val headers = br.varint()
-          var h = 0
-          while (h < headers) { // skip headers
-            val hk = br.varint(); br.raw(math.max(hk, 0))
-            val hv = br.varint(); if (hv > 0) br.raw(hv)
-            h += 1
+        val lastOffsetDelta = br.int32()
+        nextOffset = math.max(nextOffset, baseOffset + lastOffsetDelta + 1)
+        if ((attributes & ControlBatchFlag) == 0) {
+          val baseTs = br.int64()
+          br.int64() // maxTimestamp
+          br.int64(); br.int16(); br.int32() // producerId/Epoch/baseSequence
+          val count = br.int32()
+          var i = 0
+          while (i < count) {
+            br.varint() // record length — fields below are self-delimiting
+            br.int8() // record attributes
+            val tsDelta = br.varlong()
+            val offDelta = br.varint()
+            val keyLen = br.varint()
+            val key = if (keyLen < 0) null else br.raw(keyLen)
+            val valLen = br.varint()
+            val value = if (valLen < 0) null else br.raw(valLen)
+            val headers = br.varint()
+            var h = 0
+            while (h < headers) { // skip headers
+              val hk = br.varint(); br.raw(math.max(hk, 0))
+              val hv = br.varint(); if (hv > 0) br.raw(hv)
+              h += 1
+            }
+            out += FetchedRecord(topic, partition, baseOffset + offDelta,
+              baseTs + tsDelta, key, value)
+            i += 1
           }
-          out += FetchedRecord(topic, partition, baseOffset + offDelta,
-            baseTs + tsDelta, key, value)
-          i += 1
         }
       }
     }
-    out.result()
+    (out.result(), nextOffset)
   }
 
   // ------------------------------------------------------------- framing
@@ -494,8 +523,7 @@ class KafkaWireClient(bootstrapHost: String, bootstrapPort: Int,
           val (start, end) = ranges.getOrElse(pm.partition, (0L, 0L))
           val out = Seq.newBuilder[FetchedRecord]
           var off = start
-          var stalled = false
-          while (off < end && !stalled) {
+          while (off < end) {
             val id = corr.getAndIncrement()
             val resp = parseFetchResponse(roundTrip(s,
               encodeFetchRequest(id, clientId, Seq((topic, pm.partition, off))), id))
@@ -510,9 +538,18 @@ class KafkaWireClient(bootstrapHost: String, bootstrapPort: Int,
             }
             val recs = mine.flatMap(_.records)
             out ++= recs.filter(r => r.offset >= off && r.offset < end)
-            val maxOff = recs.foldLeft(-1L)((m, r) => math.max(m, r.offset))
-            if (maxOff < off) stalled = true // no progress: log end reached
-            else off = maxOff + 1
+            // progress comes from batch headers (control batches advance it
+            // despite emitting no records); a non-error fetch that makes NO
+            // progress while off < end breaks the exactness contract — fail
+            // loudly rather than return a silently short window
+            val next = mine.foldLeft(-1L)((m, p) => math.max(m, p.nextOffset))
+            if (next <= off)
+              throw new IllegalStateException(
+                s"fetch stalled for $topic-${pm.partition}: no progress at " +
+                s"offset $off with end $end (high watermark " +
+                s"${mine.map(_.highWatermark).maxOption.getOrElse(-1L)}) — " +
+                "cannot return exactly [start, end)")
+            off = next
           }
           out.result()
         }

@@ -176,6 +176,46 @@ class KafkaWireSpec extends AnyFunSuite {
     } finally broker.close()
   }
 
+  test("control batches (attributes bit 0x20) are skipped but advance the " +
+      "poll position") {
+    val recs = Seq((1000L, "a".getBytes("UTF-8"), "va".getBytes("UTF-8")),
+      (1005L, "b".getBytes("UTF-8"), "vb".getBytes("UTF-8")))
+    val data = encodeRecordBatch(0L, recs)
+    val ctrl = encodeRecordBatch(2L, recs.take(1), ControlBatchFlag.toShort)
+    val data2 = encodeRecordBatch(3L, recs.take(1))
+    // control-only set: no records, but nextOffset moves past the marker
+    assert(decodeRecordSet("t", 0, ctrl) === Seq.empty)
+    assert(decodeRecordSetWithNext("t", 0, ctrl)._2 === 3L)
+    // data + control + data: only the data records come out, in order
+    val (got, next) = decodeRecordSetWithNext("t", 0, data ++ ctrl ++ data2)
+    assert(got.map(_.offset) === Seq(0L, 1L, 3L))
+    assert(next === 4L)
+    // control batch CRC is still verified
+    val corrupt = ctrl.clone()
+    corrupt(corrupt.length - 1) = (corrupt(corrupt.length - 1) ^ 0x1).toByte
+    assertThrows[IllegalArgumentException](decodeRecordSet("t", 0, corrupt))
+  }
+
+  test("fetchWindow drains through a control batch mid-range and fails " +
+      "loudly on a no-progress stall") {
+    // p0 log: offsets 0..5 in batches of 2; the batch based at offset 2
+    // (offsets 2-3) is a transaction marker — its records must not appear,
+    // but the poll must advance past it to offsets 4-5
+    val broker = new FakeBroker(
+      Map(("ev", 0) -> Seq(100L, 200L, 300L, 400L, 500L, 600L)),
+      controlBases = Map(("ev", 0) -> Set(2L)))
+    try {
+      val c = new KafkaWireClient("127.0.0.1", broker.port)
+      val got = c.fetchWindow("ev", Map(0 -> (0L, 6L)))
+      assert(got.map(_.offset) === Seq(0L, 1L, 4L, 5L))
+      // a range extending past the log end can never satisfy "exactly
+      // [start, end)": the stalled poll must throw, not truncate
+      val ex = intercept[IllegalStateException](
+        c.fetchWindow("ev", Map(0 -> (4L, 9L))))
+      assert(ex.getMessage.contains("stalled"))
+    } finally broker.close()
+  }
+
   test("fake broker routes ListOffsets by leader (multi-broker metadata)") {
     // leader for p1 is a second broker; client must follow metadata
     val b2 = new FakeBroker(Map(("ev", 1) -> Seq(500L, 600L)))
@@ -203,7 +243,9 @@ class KafkaWireSpec extends AnyFunSuite {
   */
 final class FakeBroker(logs: Map[(String, Int), Seq[Long]],
     extraPartitions: Map[(String, Int), (Int, String, Int)] = Map.empty,
-    nodeId: Int = 0, batchSize: Int = 2) extends AutoCloseable {
+    nodeId: Int = 0, batchSize: Int = 2,
+    controlBases: Map[(String, Int), Set[Long]] = Map.empty)
+    extends AutoCloseable {
 
   private val server = new ServerSocket(0, 8, java.net.InetAddress.getByName("127.0.0.1"))
   def port: Int = server.getLocalPort
@@ -324,7 +366,11 @@ final class FakeBroker(logs: Map[(String, Int), Seq[Long]],
           val recs = (base until math.min(base + batchSize, hw)).map { o =>
             (ts(o.toInt), s"k$o".getBytes("UTF-8"), s"v$o".getBytes("UTF-8"))
           }
-          val batch = KafkaWire.encodeRecordBatch(base, recs)
+          val attrs: Short =
+            if (controlBases.getOrElse((t, p), Set.empty)(base))
+              KafkaWire.ControlBatchFlag.toShort
+            else 0
+          val batch = KafkaWire.encodeRecordBatch(base, recs, attrs)
           w.int32(batch.length)
           w.raw(batch)
         }
