@@ -186,21 +186,34 @@ object Similarity {
     * like real IVF's fixed nlist): an uncapped modulus sampler grows C
     * with the corpus (C = n/centroidEvery) and assignment becomes
     * n×C = n²/centroidEvery — measured super-linear in the stress harness
-    * (905 s at stress ×64 pre-cap). The cap is one more deterministic
-    * predicate, so the oracle replays it; below centroidEvery×maxCentroids
-    * vectors it is inert. Cells then grow with n at fixed C — each query
-    * still touches nprobe/C of the corpus, which is how production IVF
-    * scales. [[trainCentroids]] remains the content-adaptive quantizer
-    * (tighter cells → fewer probes at equal recall).
+    * (905 s at stress ×64 pre-cap). The cap takes the FIRST `maxCentroids`
+    * pmod-selected ids in `vec_id` order (a distributed top-k —
+    * TakeOrderedAndProject, no single-partition window), so it is
+    * deterministic, oracle-replayable (`ORDER BY vec_id LIMIT maxCentroids`),
+    * and — unlike a `vec_id < centroidEvery*maxCentroids` range predicate —
+    * correct for corpora whose ids do NOT start at 0: any corpus containing
+    * at least one multiple of `centroidEvery` yields a non-empty centroid
+    * set. Cells then grow with n at fixed C — each query still touches
+    * nprobe/C of the corpus, which is how production IVF scales.
+    * [[trainCentroids]] remains the content-adaptive quantizer (tighter
+    * cells → fewer probes at equal recall).
     */
   def ivfTopK(queries: DataFrame, corpus: DataFrame, k: Int,
       centroidEvery: Long = 50, nprobe: Int = 2,
       maxCentroids: Int = 128): DataFrame =
     ivfTopKWith(queries, corpus,
-      corpus.filter(pmod(col("vec_id"), lit(centroidEvery)) === 0 &&
-          col("vec_id") < lit(centroidEvery * maxCentroids))
-        .select(col("vec_id").as("cid"), col("embedding").as("cv")),
-      k, nprobe)
+      modulusCentroids(corpus, centroidEvery, maxCentroids), k, nprobe)
+
+  /** First `maxCentroids` corpus vectors whose id is a multiple of
+    * `centroidEvery`, in `vec_id` order, as a `(cid, cv)` centroid frame.
+    * Sort+limit (not a range predicate on raw ids) so sparse or offset id
+    * spaces still produce centroids; executes as TakeOrderedAndProject.
+    */
+  private def modulusCentroids(corpus: DataFrame, centroidEvery: Long,
+      maxCentroids: Int): DataFrame =
+    corpus.filter(pmod(col("vec_id"), lit(centroidEvery)) === 0)
+      .select(col("vec_id").as("cid"), col("embedding").as("cv"))
+      .orderBy(col("cid")).limit(maxCentroids)
 
   /** Trained coarse quantizer for IVF: seeded k-means|| over the corpus
     * embeddings, returned as a `(cid, cv)` centroid frame for
@@ -286,20 +299,27 @@ object Similarity {
     * letting J track the corpus (J = n/entryEvery) made encode-side
     * assignment n×m×J = quadratic in n — the same pathology as
     * [[ivfTopK]]'s modulus centroids, but here it is avoidable without
-    * losing SQL replayability (the cap is one more deterministic
-    * predicate). Below n = entryEvery×maxEntries the cap is inert; above
-    * it, assignment is linear. [[pqCodebookTrained]] remains the
+    * losing SQL replayability. The cap takes the FIRST `maxEntries`
+    * pmod-selected vectors in `vec_id` order (sort+limit →
+    * TakeOrderedAndProject) and assigns entry ids by RANK in that order
+    * (0..J−1, dense by construction — the packed one-byte-per-subspace
+    * layout requires it) rather than `vec_id div entryEvery`, so corpora
+    * whose ids do not start at 0 still produce a full, dense codebook.
+    * The rank window runs over the already-limited ≤`maxEntries` rows —
+    * constant-size, not corpus-sized. [[pqCodebookTrained]] remains the
     * content-adaptive production quantizer.
     */
   def pqCodebook(corpus: DataFrame, m: Int, entryEvery: Long,
-      maxEntries: Int = 128): DataFrame =
-    subSplit(
-      corpus.filter(pmod(col("vec_id"), lit(entryEvery)) === 0 &&
-          col("vec_id") < lit(entryEvery * maxEntries))
-        .select(expr(s"vec_id div $entryEvery").as("entry"),
-          VectorFunctions.quantizeInt8(col("embedding")).as("code")),
-      m)
-      .select(col("sub"), col("entry"), col("scode"))
+      maxEntries: Int = 128): DataFrame = {
+    val sel = corpus.filter(pmod(col("vec_id"), lit(entryEvery)) === 0)
+      .select(col("vec_id"), col("embedding"))
+      .orderBy(col("vec_id")).limit(maxEntries)
+      .select(
+        (row_number().over(Window.orderBy(col("vec_id"))).cast("long") - 1L)
+          .as("entry"),
+        VectorFunctions.quantizeInt8(col("embedding")).as("code"))
+    subSplit(sel, m).select(col("sub"), col("entry"), col("scode"))
+  }
 
   /** Trained PQ codebook: an independent seeded k-means per subspace over
     * the int8 sub-codes (classic PQ training, Jégou et al., TPAMI 2011 —
@@ -499,9 +519,7 @@ object Similarity {
       // same fixed-size cap as ivfTopK/pqCodebook: both the coarse cells
       // and the codebook are MODELS — neither may grow with the corpus,
       // or assignment turns quadratic (232 s at stress ×64 pre-cap)
-      corpus.filter(pmod(col("vec_id"), lit(centroidEvery)) === 0 &&
-          col("vec_id") < lit(centroidEvery * maxCentroids))
-        .select(col("vec_id").as("cid"), col("embedding").as("cv")),
+      modulusCentroids(corpus, centroidEvery, maxCentroids),
       pqCodebook(corpus, m, entryEvery), k, m, nprobe, includeSelf)
 
   /** [[ivfPqTopK]] with explicit centroids (`cid`, `cv`) and PQ codebook

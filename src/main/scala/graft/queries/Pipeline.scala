@@ -332,7 +332,7 @@ object Pipeline {
   val simIvfOracle: String =
     s"""WITH $normsCte,
        |cent AS (SELECT vec_id AS cid, embedding, nrm FROM n
-       |         WHERE vec_id % 50 = 0 AND vec_id < 50 * 128),
+       |         WHERE vec_id % 50 = 0 ORDER BY vec_id LIMIT 128),
        |ccand AS (
        |  SELECT v.vec_id, c.cid,
        |    ROW_NUMBER() OVER (PARTITION BY v.vec_id
@@ -451,8 +451,11 @@ object Pipeline {
        |sq AS (
        |  SELECT vec_id, sub, code[(sub * 8 + 1):(sub * 8 + 8)] AS scode
        |  FROM qz CROSS JOIN (SELECT unnest(range(0, 8)) AS sub) subs),
-       |cb AS (SELECT vec_id // 25 AS entry, sub, scode FROM sq
-       |       WHERE vec_id % 25 = 0 AND vec_id < 25 * 128),
+       |cbids AS (SELECT vec_id, ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS entry
+       |          FROM (SELECT vec_id FROM qz WHERE vec_id % 25 = 0
+       |                ORDER BY vec_id LIMIT 128)),
+       |cb AS (SELECT i.entry, s.sub, s.scode
+       |       FROM sq s JOIN cbids i ON i.vec_id = s.vec_id),
        |asg AS (
        |  SELECT vec_id, sub, entry FROM (
        |    SELECT x.vec_id, x.sub, c.entry,
@@ -498,7 +501,7 @@ object Pipeline {
       s"list_reduce(list_transform(range(1, 9), i -> $a[i] * $b[i]), (x, y) -> x + y)"
     s"""WITH $normsCte,
        |cent AS (SELECT vec_id AS cid, embedding, nrm FROM n
-       |         WHERE vec_id % 50 = 0 AND vec_id < 50 * 128),
+       |         WHERE vec_id % 50 = 0 ORDER BY vec_id LIMIT 128),
        |ccand AS (
        |  SELECT v.vec_id, c.cid,
        |    ROW_NUMBER() OVER (PARTITION BY v.vec_id
@@ -515,8 +518,11 @@ object Pipeline {
        |sq AS (
        |  SELECT vec_id, sub, code[(sub * 8 + 1):(sub * 8 + 8)] AS scode
        |  FROM qz CROSS JOIN (SELECT unnest(range(0, 8)) AS sub) subs),
-       |cb AS (SELECT vec_id // 25 AS entry, sub, scode FROM sq
-       |       WHERE vec_id % 25 = 0 AND vec_id < 25 * 128),
+       |cbids AS (SELECT vec_id, ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS entry
+       |          FROM (SELECT vec_id FROM qz WHERE vec_id % 25 = 0
+       |                ORDER BY vec_id LIMIT 128)),
+       |cb AS (SELECT i.entry, s.sub, s.scode
+       |       FROM sq s JOIN cbids i ON i.vec_id = s.vec_id),
        |asg AS (
        |  SELECT vec_id, sub, entry FROM (
        |    SELECT x.vec_id, x.sub, c.entry,

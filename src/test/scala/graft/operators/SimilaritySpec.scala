@@ -364,4 +364,54 @@ class SimilaritySpec extends SparkSpec {
       .collect()
     assert(outOfRange.head.isNullAt(0))
   }
+
+  test("capped quantizers survive non-dense ids: corpus offset by 10^9 " +
+      "returns the id-shifted dense results, never empty") {
+    // The old `vec_id < every*max` cap predicate assumed ids dense from 0;
+    // a corpus whose ids all exceed the bound produced an EMPTY centroid
+    // table / codebook and silently zero neighbors. The sort+limit +
+    // rank-entry selection must pick the same vectors under any id offset
+    // that preserves the modulus classes (10^9 is divisible by 25 and 50).
+    val off = 1_000_000_000L
+    val dense = vectors(400, 16, seed = 13).cache()
+    val shifted = dense.select((col("vec_id") + off).as("vec_id"),
+      col("embedding")).cache()
+    val qDense = dense.filter(col("vec_id") < 10)
+    val qShift = shifted.filter(col("vec_id") < off + 10)
+
+    def collect3(df: org.apache.spark.sql.DataFrame) =
+      df.select("query_id", "neighbor_id", "rank")
+        .orderBy("query_id", "rank").as[(Long, Long, Int)].collect().toSeq
+
+    // IVF: centroidEvery=50, maxCentroids=4 — dense corpus uses ids
+    // {0,50,100,150}; shifted must use {off, off+50, …}, not go empty.
+    val ivfDense = collect3(Similarity.ivfTopK(qDense, dense, k = 3,
+      centroidEvery = 50, nprobe = 2, maxCentroids = 4))
+    val ivfShift = collect3(Similarity.ivfTopK(qShift, shifted, k = 3,
+      centroidEvery = 50, nprobe = 2, maxCentroids = 4))
+    assert(ivfDense.nonEmpty)
+    assert(ivfShift === ivfDense.map { case (q, n, r) => (q + off, n + off, r) })
+
+    // PQ: entryEvery=25, maxEntries=8 — entry ids must stay dense 0..7
+    // under the offset (rank-based, not vec_id div entryEvery).
+    val cb = Similarity.pqCodebook(shifted, m = 4, entryEvery = 25,
+        maxEntries = 8)
+    val entries = cb.select("entry").distinct()
+      .as[Long].collect().toSet
+    assert(entries === (0L until 8L).toSet)
+    val pqDense = collect3(Similarity.pqTopK(qDense, dense, k = 3, m = 4,
+      entryEvery = 25))
+    val pqShift = collect3(Similarity.pqTopK(qShift, shifted, k = 3, m = 4,
+      entryEvery = 25))
+    assert(pqDense.nonEmpty)
+    assert(pqShift === pqDense.map { case (q, n, r) => (q + off, n + off, r) })
+
+    // IVF-PQ composed
+    val ipDense = collect3(Similarity.ivfPqTopK(qDense, dense, k = 3, m = 4,
+      entryEvery = 25, centroidEvery = 50, nprobe = 2, maxCentroids = 4))
+    val ipShift = collect3(Similarity.ivfPqTopK(qShift, shifted, k = 3, m = 4,
+      entryEvery = 25, centroidEvery = 50, nprobe = 2, maxCentroids = 4))
+    assert(ipDense.nonEmpty)
+    assert(ipShift === ipDense.map { case (q, n, r) => (q + off, n + off, r) })
+  }
 }
