@@ -98,20 +98,39 @@ case class MapUnionLastWin(children: Seq[Expression]) extends Expression {
     val md = classOf[MapData].getName
     val javaType = CodeGenerator.javaType(dataType)
     val maps = ctx.freshName("maps")
+    val hasNull = ctx.freshName("hasNull")
     val evals = children.map(_.genCode(ctx))
     // children evaluate unconditionally (pure expressions); a single null
-    // child nulls the result, matching eval()
-    val gather = evals.zipWithIndex.map { case (e, i) =>
+    // child nulls the result, matching eval(). The reference fn is n-ary
+    // varargs, so a wide m_add is in-contract: inlining every child's
+    // evaluation into one method would blow the 64 KB JVM method limit and
+    // fail Janino at runtime — split the per-child gather blocks into
+    // helper functions like Spark's own n-ary expressions (MapConcat,
+    // Concat). Split functions cannot write the caller's locals, so each
+    // helper threads the null flag through its return value.
+    val gathers = evals.zipWithIndex.map { case (e, i) =>
       s"""${e.code}
-         |if (${e.isNull}) { ${ev.isNull} = true; } else { $maps[$i] = ${e.value}; }
+         |if (${e.isNull}) { $hasNull = true; } else { $maps[$i] = ${e.value}; }
          |""".stripMargin
-    }.mkString("\n")
+    }
+    val gatherCode = ctx.splitExpressionsWithCurrentInputs(
+      expressions = gathers,
+      funcName = "mAddGather",
+      extraArguments = (s"$md[]", maps) :: ("boolean", hasNull) :: Nil,
+      returnType = "boolean",
+      makeSplitFunction = body =>
+        s"""
+           |$body
+           |return $hasNull;
+           |""".stripMargin,
+      foldFunctions = _.map(call => s"$hasNull = $call;").mkString("\n"))
     ev.copy(code =
       code"""
-        |boolean ${ev.isNull} = false;
-        |$javaType ${ev.value} = null;
+        |boolean $hasNull = false;
         |$md[] $maps = new $md[${children.length}];
-        |$gather
+        |$gatherCode
+        |boolean ${ev.isNull} = $hasNull;
+        |$javaType ${ev.value} = null;
         |if (!${ev.isNull}) {
         |  ${ev.value} = ($javaType) $ref.unionMaps($maps);
         |}

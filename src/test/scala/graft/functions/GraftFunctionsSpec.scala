@@ -39,6 +39,50 @@ class GraftFunctionsSpec extends SparkSpec {
     }
   }
 
+  test("m_add wide arity: a 200-child call evaluates under codegen with " +
+      "split gather functions (no 64 KB method blowup), interpreted agrees") {
+    // The reference fn is n-ary varargs, so wide calls are in-contract.
+    // CODEGEN_ONLY forbids the silent fall-back to interpreted evaluation,
+    // so a Janino method-too-large failure would surface as a thrown error
+    // instead of quietly passing.
+    val args = (0 until 200).map(i => s"map('k${i % 50}','v$i')").mkString(", ")
+    def run(): Map[String, String] =
+      spark.range(1).selectExpr(s"m_add($args) AS m")
+        .as[Map[String, String]].head()
+    val prev = spark.conf.getOption("spark.sql.codegen.factoryMode")
+    spark.conf.set("spark.sql.codegen.factoryMode", "CODEGEN_ONLY")
+    val gen =
+      try run()
+      finally prev match {
+        case Some(v) => spark.conf.set("spark.sql.codegen.factoryMode", v)
+        case None => spark.conf.unset("spark.sql.codegen.factoryMode")
+      }
+    // last win: for key k_j the winning child is i = 150 + j
+    assert(gen.size === 50)
+    for (j <- 0 until 50) assert(gen(s"k$j") === s"v${150 + j}")
+    spark.conf.set("spark.sql.codegen.factoryMode", "NO_CODEGEN")
+    val interp =
+      try run()
+      finally prev match {
+        case Some(v) => spark.conf.set("spark.sql.codegen.factoryMode", v)
+        case None => spark.conf.unset("spark.sql.codegen.factoryMode")
+      }
+    assert(interp === gen)
+
+    // The split itself fires in a plain codegen context (the non-WSCG
+    // projection path — exactly where a huge-method WSCG compile falls
+    // back to, so that fallback now succeeds instead of re-failing Janino).
+    // Inside WholeStageCodegen, splitExpressionsWithCurrentInputs inlines
+    // by design; WSCG's own hugeMethodLimit check handles that case.
+    val ctx = new org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext
+    val kids = (0 until 200).map(i =>
+      org.apache.spark.sql.catalyst.expressions.CreateMap(Seq(
+        org.apache.spark.sql.catalyst.expressions.Literal(s"k${i % 50}"),
+        org.apache.spark.sql.catalyst.expressions.Literal(s"v$i"))))
+    org.apache.spark.sql.graft.MapUnionLastWin(kids).genCode(ctx)
+    assert(ctx.declareAddedFunctions().contains("mAddGather"))
+  }
+
   test("redactPii masks emails, IPs, digit runs — and leaves clean text alone") {
     val out = Seq(
       "reach me at jane.doe+x@mail.example.org today",
