@@ -268,26 +268,43 @@ object KafkaWire {
 
   // ----------------------------------------------------- RecordBatch (magic 2)
 
+  /** Gzip codec id in the batch attributes' 3-bit compression field
+    * (public protocol constant; the reference's own default producer
+    * compression — kafka/KafkaHelper.java:103-115).
+    */
+  val GzipCodec: Int = 1
+
   /** Encodes one magic-v2 RecordBatch (the public on-disk/wire record format
     * since Kafka 0.11): batch header with real CRC-32C (JDK CRC32C,
     * covering attributes→end per the spec), zigzag-varint record bodies, no
-    * compression, no headers. `records` are (timestampMs, key, value) with
-    * offsets `baseOffset + index`. Used by the FakeBroker test double and
-    * usable as a producer-side record set.
+    * headers. `records` are (timestampMs, key, value) with offsets
+    * `baseOffset + index`. `codec` 0 (none) or [[GzipCodec]]: gzip
+    * compresses the record bodies AFTER the records-count field, exactly
+    * the region real brokers compress (the 61-byte batch header stays
+    * plaintext so consumers can skip batches without inflating them).
+    * Used by the FakeBroker test double and usable as a producer-side
+    * record set — EXCEPT that the `attributes` param exists for test
+    * fixtures only: a batch flagged [[ControlBatchFlag]] here wraps
+    * ordinary key/value records, not the spec's control-record key schema
+    * (version+type int16s), so a real consumer would misparse such a
+    * marker. Produce control markers with a real transactional client,
+    * not this encoder.
     */
   def encodeRecordBatch(baseOffset: Long,
       records: Seq[(Long, Array[Byte], Array[Byte])],
-      attributes: Short = 0): Array[Byte] = {
+      attributes: Short = 0, codec: Int = 0): Array[Byte] = {
     require(records.nonEmpty, "empty record batch")
+    require(codec == 0 || codec == GzipCodec, s"unsupported codec $codec")
     val baseTs = records.head._1
     val maxTs = records.map(_._1).max
     // everything the CRC covers: attributes → records
     val tail = new Writer()
-    tail.int16(attributes) // default 0: no compression, create-time timestamps
+    tail.int16((attributes | codec).toShort) // compression codec in bits 0-2
     tail.int32(records.length - 1) // lastOffsetDelta
     tail.int64(baseTs).int64(maxTs)
     tail.int64(-1L).int16(-1).int32(-1) // producerId/Epoch/baseSequence
     tail.int32(records.length)
+    val recs = new Writer()
     records.zipWithIndex.foreach { case ((ts, key, value), i) =>
       val body = new Writer()
       body.int8(0) // record attributes
@@ -297,9 +314,10 @@ object KafkaWire {
       if (value == null) body.varint(-1) else { body.varint(value.length); body.raw(value) }
       body.varint(0) // headers
       val b = body.bytes
-      tail.varint(b.length)
-      tail.raw(b)
+      recs.varint(b.length)
+      recs.raw(b)
     }
+    tail.raw(if (codec == GzipCodec) gzip(recs.bytes) else recs.bytes)
     val tailBytes = tail.bytes
     val crc = new java.util.zip.CRC32C()
     crc.update(tailBytes)
@@ -316,8 +334,10 @@ object KafkaWire {
 
   /** Decodes a record set (concatenated magic-v2 batches) into records.
     * A trailing partial batch (brokers truncate at partition_max_bytes) is
-    * dropped, per protocol. CRC-32C is verified per batch; compressed
-    * batches are rejected (the engine's wire scope is uncompressed).
+    * dropped, per protocol. CRC-32C is verified per batch. Gzip-compressed
+    * batches (codec 1 — the reference's own default producer compression,
+    * kafka/KafkaHelper.java:103-115) are inflated and decoded; other codecs
+    * (snappy/lz4/zstd need non-JDK libraries) are rejected loudly.
     * CONTROL batches (attributes bit 0x20 — transaction commit/abort
     * markers, KIP-98) are skipped without emitting records, mirroring
     * consumer control-batch handling: their offsets are consumed but they
@@ -357,8 +377,10 @@ object KafkaWire {
         require(crc.getValue.toInt == crcStored,
           s"record batch CRC mismatch at offset $baseOffset")
         val attributes = br.int16()
-        require((attributes & 0x7) == 0,
-          s"compressed record batch (codec ${attributes & 0x7}) not supported")
+        val codec = attributes & 0x7
+        require(codec == 0 || codec == GzipCodec,
+          s"compressed record batch (codec $codec) not supported — " +
+            "only none (0) and gzip (1) decode without non-JDK libraries")
         val lastOffsetDelta = br.int32()
         nextOffset = math.max(nextOffset, baseOffset + lastOffsetDelta + 1)
         if ((attributes & ControlBatchFlag) == 0) {
@@ -366,21 +388,25 @@ object KafkaWire {
           br.int64() // maxTimestamp
           br.int64(); br.int16(); br.int32() // producerId/Epoch/baseSequence
           val count = br.int32()
+          // compression covers exactly the record bodies after the count
+          // field (the 61-byte batch header is always plaintext)
+          val rr = if (codec == GzipCodec) new Reader(gunzip(br.raw(br.remaining)))
+                   else br
           var i = 0
           while (i < count) {
-            br.varint() // record length — fields below are self-delimiting
-            br.int8() // record attributes
-            val tsDelta = br.varlong()
-            val offDelta = br.varint()
-            val keyLen = br.varint()
-            val key = if (keyLen < 0) null else br.raw(keyLen)
-            val valLen = br.varint()
-            val value = if (valLen < 0) null else br.raw(valLen)
-            val headers = br.varint()
+            rr.varint() // record length — fields below are self-delimiting
+            rr.int8() // record attributes
+            val tsDelta = rr.varlong()
+            val offDelta = rr.varint()
+            val keyLen = rr.varint()
+            val key = if (keyLen < 0) null else rr.raw(keyLen)
+            val valLen = rr.varint()
+            val value = if (valLen < 0) null else rr.raw(valLen)
+            val headers = rr.varint()
             var h = 0
             while (h < headers) { // skip headers
-              val hk = br.varint(); br.raw(math.max(hk, 0))
-              val hv = br.varint(); if (hv > 0) br.raw(hv)
+              val hk = rr.varint(); rr.raw(math.max(hk, 0))
+              val hv = rr.varint(); if (hv > 0) rr.raw(hv)
               h += 1
             }
             out += FetchedRecord(topic, partition, baseOffset + offDelta,
@@ -391,6 +417,20 @@ object KafkaWire {
       }
     }
     (out.result(), nextOffset)
+  }
+
+  private def gzip(bytes: Array[Byte]): Array[Byte] = {
+    val bos = new ByteArrayOutputStream()
+    val gz = new java.util.zip.GZIPOutputStream(bos)
+    gz.write(bytes)
+    gz.close()
+    bos.toByteArray
+  }
+
+  private def gunzip(bytes: Array[Byte]): Array[Byte] = {
+    val gz = new java.util.zip.GZIPInputStream(
+      new java.io.ByteArrayInputStream(bytes))
+    try gz.readAllBytes() finally gz.close()
   }
 
   // ------------------------------------------------------------- framing
@@ -541,7 +581,15 @@ class KafkaWireClient(bootstrapHost: String, bootstrapPort: Int,
             // progress comes from batch headers (control batches advance it
             // despite emitting no records); a non-error fetch that makes NO
             // progress while off < end breaks the exactness contract — fail
-            // loudly rather than return a silently short window
+            // loudly rather than return a silently short window.
+            // This fail-loud check relies on each Fetch targeting a SINGLE
+            // partition (one (topic, partition) per request above): KIP-74
+            // guarantees the FIRST partition's first batch is returned
+            // whole even when it exceeds partition_max_bytes. A future
+            // multi-partition fetch could see a later partition truncated
+            // before its first batch completes — that is a legitimate
+            // empty-but-retryable response, not a stall, and would need a
+            // retry here instead of a throw.
             val next = mine.foldLeft(-1L)((m, p) => math.max(m, p.nextOffset))
             if (next <= off)
               throw new IllegalStateException(

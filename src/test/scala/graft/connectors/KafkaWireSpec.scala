@@ -176,6 +176,61 @@ class KafkaWireSpec extends AnyFunSuite {
     } finally broker.close()
   }
 
+  test("gzip record batches round-trip; CRC still guards the compressed " +
+      "bytes; unsupported codecs stay loud") {
+    val recs = Seq(
+      (1000L, "a".getBytes("UTF-8"), "va".getBytes("UTF-8")),
+      (1005L, null, "vb".getBytes("UTF-8")),
+      (1010L, "c".getBytes("UTF-8"), null))
+    val gz = encodeRecordBatch(7L, recs, codec = GzipCodec)
+    val plain = encodeRecordBatch(7L, recs)
+    assert(gz.toSeq !== plain.toSeq) // really compressed on the wire
+    val got = decodeRecordSet("t", 3, gz)
+    val want = decodeRecordSet("t", 3, plain)
+    assert(got.map(r => (r.offset, r.timestamp,
+        Option(r.key).map(_.toSeq), Option(r.value).map(_.toSeq))) ===
+      want.map(r => (r.offset, r.timestamp,
+        Option(r.key).map(_.toSeq), Option(r.value).map(_.toSeq))))
+    // mixed plain + gzip batches decode in sequence
+    val two = plain ++ encodeRecordBatch(20L, recs.take(1), codec = GzipCodec)
+    assert(decodeRecordSet("t", 3, two).map(_.offset) === Seq(7L, 8L, 9L, 20L))
+    // CRC covers the compressed bytes: flipping one fails verification
+    val corrupt = gz.clone()
+    corrupt(corrupt.length - 1) = (corrupt(corrupt.length - 1) ^ 0x1).toByte
+    assertThrows[IllegalArgumentException](decodeRecordSet("t", 3, corrupt))
+    // snappy/lz4/zstd (codecs 2-4) are rejected loudly, not skipped
+    val snappyAttrs = plain.clone()
+    intercept[IllegalArgumentException] {
+      encodeRecordBatch(7L, recs, codec = 2)
+    }
+    // hand-flip the codec bits in a decoded batch to 2 and re-CRC
+    val attrsOff = 8 + 4 + 4 + 1 + 4 // baseOffset+len+epoch+magic+crc
+    snappyAttrs(attrsOff + 1) = 2
+    val crc = new java.util.zip.CRC32C()
+    crc.update(snappyAttrs, attrsOff, snappyAttrs.length - attrsOff)
+    val cv = crc.getValue.toInt
+    snappyAttrs(attrsOff - 4) = (cv >> 24).toByte
+    snappyAttrs(attrsOff - 3) = (cv >> 16).toByte
+    snappyAttrs(attrsOff - 2) = (cv >> 8).toByte
+    snappyAttrs(attrsOff - 1) = cv.toByte
+    val e = intercept[IllegalArgumentException](
+      decodeRecordSet("t", 3, snappyAttrs))
+    assert(e.getMessage.contains("codec 2"))
+  }
+
+  test("fetchWindow drains a gzip-compressed topic end to end (the " +
+      "reference's default producer compression)") {
+    val broker = new FakeBroker(Map(
+      ("ev", 0) -> Seq(100L, 200L, 300L, 400L, 500L)),
+      codec = KafkaWire.GzipCodec)
+    try {
+      val c = new KafkaWireClient("127.0.0.1", broker.port)
+      val got = c.fetchWindow("ev", Map(0 -> (1L, 4L)))
+        .map(r => (r.offset, r.timestamp, new String(r.value, "UTF-8")))
+      assert(got === Seq((1L, 200L, "v1"), (2L, 300L, "v2"), (3L, 400L, "v3")))
+    } finally broker.close()
+  }
+
   test("control batches (attributes bit 0x20) are skipped but advance the " +
       "poll position") {
     val recs = Seq((1000L, "a".getBytes("UTF-8"), "va".getBytes("UTF-8")),
@@ -244,7 +299,8 @@ class KafkaWireSpec extends AnyFunSuite {
 final class FakeBroker(logs: Map[(String, Int), Seq[Long]],
     extraPartitions: Map[(String, Int), (Int, String, Int)] = Map.empty,
     nodeId: Int = 0, batchSize: Int = 2,
-    controlBases: Map[(String, Int), Set[Long]] = Map.empty)
+    controlBases: Map[(String, Int), Set[Long]] = Map.empty,
+    codec: Int = 0)
     extends AutoCloseable {
 
   private val server = new ServerSocket(0, 8, java.net.InetAddress.getByName("127.0.0.1"))
@@ -370,7 +426,7 @@ final class FakeBroker(logs: Map[(String, Int), Seq[Long]],
             if (controlBases.getOrElse((t, p), Set.empty)(base))
               KafkaWire.ControlBatchFlag.toShort
             else 0
-          val batch = KafkaWire.encodeRecordBatch(base, recs, attrs)
+          val batch = KafkaWire.encodeRecordBatch(base, recs, attrs, codec)
           w.int32(batch.length)
           w.raw(batch)
         }
