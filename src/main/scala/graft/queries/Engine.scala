@@ -109,7 +109,10 @@ object Engine {
     * keeps the double output order-independent for the hash compare.
     */
   def xmlRoundtrip(s: SparkSession, dir: String): DataFrame = {
-    val tmp = java.nio.file.Files.createTempDirectory("graft-xml").toString
+    // fixed path + overwrite, NOT createTempDirectory: a fresh dir per
+    // invocation leaks a customer-sized XML dump into /tmp every sweep
+    val tmp = java.nio.file.Paths.get(
+      System.getProperty("java.io.tmpdir"), "graft-xml-roundtrip").toString
     T(s, dir, "customer")
       .select(col("c_custkey"), col("c_name"), col("c_nationkey"),
         col("c_acctbal"), col("c_mktsegment"))
