@@ -13,10 +13,14 @@ import org.apache.spark.sql.types._
   * All three modalities have REAL header codecs, pure JVM, no new
   * dependency: [[ImageIoCodec]] (JDK javax.imageio — format/pixel
   * dimensions), [[WavCodec]] (RIFF/WAVE chunk parse — rate/channels/
-  * frames), [[Mp4Codec]] (ISO BMFF box parse — duration/timescale/tracks).
-  * [[FakeCodec]] remains only as the clearly-marked deterministic FIXTURE
-  * (md5-derived pseudo-metadata) backing the SQL-oracle-checkable query —
-  * an oracle can recompute its fields, which no real decoder allows. The
+  * frames), [[Mp4Codec]] (ISO BMFF box parse — video track width/height
+  * via tkhd/stsd + duration, and real sample DEMUX via the stbl tables:
+  * [[demuxFrames]] slices the track's actual encoded access units out of
+  * mdat; only pixel DECODE of those units stays out of scope — it needs a
+  * codec library the JDK lacks). [[FakeCodec]] remains only as the
+  * clearly-marked deterministic FIXTURE (md5-derived pseudo-metadata)
+  * backing the SQL-oracle-checkable query — an oracle can recompute its
+  * fields, which no real decoder allows. The
   * Spark-side plumbing is shared and is the part that matters at 100 TB:
   *  - payloads stay `BinaryType` end to end (no string round-trips);
   *  - the codec is opened once per partition and fed fixed-size batches
@@ -161,18 +165,25 @@ object Multimodal {
 
   /** REAL video header codec: ISO BMFF / MP4 box parsing in pure JVM code
     * (the container layout is a public spec — ISO/IEC 14496-12: big-endian
-    * `[size][type][payload]` boxes, nestable). Walks the top-level boxes to
-    * `moov`, reads `mvhd` (movie header: timescale + duration) and counts
-    * `trak` children. Field mapping onto [[MediaMeta]], documented here as
-    * the video contract: `format` = "mp4", `width` = duration in
-    * MILLISECONDS (duration/timescale·1000 — the presentation length; pixel
-    * dimensions live per-track in `tkhd` and are codec-specific),
-    * `height` = track count, `n_frames` = mvhd timescale (ticks/second),
-    * `n_bytes` = payload size. Malformed/truncated payloads yield a null
-    * format rather than failing the task — same never-fail contract as the
-    * other codecs.
+    * `[size][type][payload]` boxes, nestable). Walks the box tree to
+    * `moov`, reads `mvhd` (movie header: timescale + duration), then
+    * descends into each `trak` for the video track's pixel dimensions:
+    * `tkhd`'s 16.16 fixed-point width/height, falling back to the 16-bit
+    * width/height of the first `stsd` visual sample entry when the track
+    * header carries zeros (both are spec locations for the same fact; a
+    * track is "video" when its `hdlr` handler is `vide`, or — absent an
+    * `hdlr` — when either location carries nonzero dimensions). Field
+    * mapping onto [[MediaMeta]], documented here as the video contract:
+    * `format` = "mp4", `width`/`height` = the FIRST video track's pixel
+    * dimensions (0 when the file has no video track — audio-only MP4s
+    * exist), `n_frames` = presentation duration in MILLISECONDS
+    * (duration/timescale·1000), `n_bytes` = payload size.
+    * Malformed/truncated payloads yield a null format rather than failing
+    * the task — same never-fail contract as the other codecs.
     */
   object Mp4Codec extends Codec {
+    private def be16(b: Array[Byte], i: Int): Int =
+      ((b(i) & 0xff) << 8) | (b(i + 1) & 0xff)
     private def be32(b: Array[Byte], i: Int): Long =
       ((b(i) & 0xffL) << 24) | ((b(i + 1) & 0xffL) << 16) |
         ((b(i + 2) & 0xffL) << 8) | (b(i + 3) & 0xffL)
@@ -181,29 +192,93 @@ object Multimodal {
     private def tag(b: Array[Byte], i: Int): String =
       new String(b, i, 4, java.nio.charset.StandardCharsets.US_ASCII)
 
-    /** Walk sibling boxes in [from, to); returns (boxType → (payloadStart,
-      * payloadEnd)) for the FIRST occurrence plus a count per type. Long
-      * cursor + explicit bounds: 64-bit `size == 1` boxes and crafted sizes
-      * must not wrap or index out of range.
+    /** All sibling boxes in [from, to) in file order, as (boxType,
+      * payloadStart, payloadEnd). Long cursor + explicit bounds: 64-bit
+      * `size == 1` boxes and crafted sizes must not wrap or index out of
+      * range; a malformed box terminates the walk (prefix stays usable).
       */
-    private def walk(b: Array[Byte], from: Long, to: Long)
-        : (Map[String, (Long, Long)], Map[String, Int]) = {
+    private def boxes(b: Array[Byte], from: Long, to: Long)
+        : Seq[(String, Long, Long)] = {
       var i = from
-      var first = Map.empty[String, (Long, Long)]
-      var counts = Map.empty[String, Int]
-      while (i + 8 <= to) {
+      val out = Seq.newBuilder[(String, Long, Long)]
+      var halt = false
+      while (!halt && i + 8 <= to) {
         val size32 = be32(b, i.toInt)
         val tp = tag(b, i.toInt + 4)
         val (payload, boxEnd) =
           if (size32 == 1L && i + 16 <= to) (i + 16, i + be64(b, i.toInt + 8))
           else if (size32 == 0L) (i + 8, to) // box extends to end
           else (i + 8, i + size32)
-        if (boxEnd < payload || boxEnd > to) return (first, counts) // malformed
-        if (!first.contains(tp)) first += tp -> (payload, boxEnd)
-        counts += tp -> (counts.getOrElse(tp, 0) + 1)
-        i = boxEnd
+        if (boxEnd < payload || boxEnd > to) halt = true // malformed
+        else {
+          out += ((tp, payload, boxEnd))
+          i = boxEnd
+        }
       }
-      (first, counts)
+      out.result()
+    }
+
+    private def first(kids: Seq[(String, Long, Long)],
+        tp: String): Option[(Long, Long)] =
+      kids.collectFirst { case (`tp`, s, e) => (s, e) }
+
+    /** The `stbl` (sample table) payload span of a trak, via the fixed
+      * mdia → minf → stbl spec nesting.
+      */
+    private def stblOf(b: Array[Byte], trakKids: Seq[(String, Long, Long)])
+        : Option[(Long, Long)] =
+      for {
+        (ms, me) <- first(trakKids, "mdia")
+        (is, ie) <- first(boxes(b, ms, me), "minf")
+        (ss, se) <- first(boxes(b, is, ie), "stbl")
+      } yield (ss, se)
+
+    /** Pixel dimensions of a trak if it is a video track: `tkhd`'s 16.16
+      * fixed-point width/height (v0 payload offset 76, v1 offset 88),
+      * falling back to the first `stsd` sample entry's 16-bit
+      * width/height at entry offset 32 (the VisualSampleEntry layout).
+      */
+    private def videoDims(b: Array[Byte], trakStart: Long,
+        trakEnd: Long): Option[(Int, Int)] = {
+      val kids = boxes(b, trakStart, trakEnd)
+      val mdiaKids = first(kids, "mdia")
+        .map { case (s, e) => boxes(b, s, e) }.getOrElse(Seq.empty)
+      val handler = first(mdiaKids, "hdlr").collect {
+        // hdlr payload: version+flags(4) pre_defined(4) handler_type(4)
+        case (s, e) if s + 12 <= e => tag(b, s.toInt + 8)
+      }
+      if (handler.exists(_ != "vide")) return None // declared non-video
+      val fromTkhd = first(kids, "tkhd").flatMap { case (s, e) =>
+        if (e <= s) None
+        else {
+          // tkhd v0: ver+flags(4) ctime(4) mtime(4) id(4) rsvd(4) dur(4)
+          //   rsvd(8) layer(2) alt(2) vol(2) rsvd(2) matrix(36) → w at 76
+          // tkhd v1: 64-bit ctime/mtime/duration → w at 88
+          val off = if (b(s.toInt) == 1) 88 else 76
+          if (s + off + 8 <= e) {
+            val w = (be32(b, s.toInt + off) >> 16).toInt
+            val h = (be32(b, s.toInt + off + 4) >> 16).toInt
+            if (w > 0 && h > 0) Some((w, h)) else None
+          } else None
+        }
+      }
+      lazy val fromStsd = for {
+        (ss, se) <- stblOf(b, kids)
+        (ds, de) <- first(boxes(b, ss, se), "stsd")
+        // stsd payload: version+flags(4) entry_count(4), then sample
+        // entries; VisualSampleEntry: size(4) type(4) reserved(6)
+        // data_ref_idx(2) pre_defined(2) reserved(2) pre_defined(12)
+        // width(2) height(2)
+        dims <- {
+          val entry = ds + 8
+          if (entry + 36 <= de) {
+            val w = be16(b, entry.toInt + 32)
+            val h = be16(b, entry.toInt + 34)
+            if (w > 0 && h > 0) Some((w, h)) else None
+          } else None
+        }
+      } yield dims
+      fromTkhd.orElse(fromStsd)
     }
 
     private[operators] def parse(b: Array[Byte]): MediaMeta = {
@@ -212,10 +287,10 @@ object Multimodal {
       try {
         // an MP4 starts with an ftyp box (spec-recommended first box)
         if (b.length < 12 || tag(b, 4) != "ftyp") return none
-        val (top, _) = walk(b, 0L, b.length.toLong)
-        val (moovStart, moovEnd) = top.getOrElse("moov", return none)
-        val (inMoov, moovCounts) = walk(b, moovStart, moovEnd)
-        val (mv, mvEnd) = inMoov.getOrElse("mvhd", return none)
+        val top = boxes(b, 0L, b.length.toLong)
+        val (moovStart, moovEnd) = first(top, "moov").getOrElse(return none)
+        val inMoov = boxes(b, moovStart, moovEnd)
+        val (mv, mvEnd) = first(inMoov, "mvhd").getOrElse(return none)
         // mvhd: version(1) flags(3), then v0: ctime(4) mtime(4)
         // timescale(4) duration(4); v1: ctime(8) mtime(8) timescale(4)
         // duration(8)
@@ -236,9 +311,106 @@ object Multimodal {
           duration < 0L || duration > Long.MaxValue / 1000L) return none
         val durMs = duration * 1000L / timescale
         if (durMs > Int.MaxValue) return none
-        MediaMeta("mp4", durMs.toInt, moovCounts.getOrElse("trak", 0),
-          timescale.toInt, b.length)
+        val (w, h) = inMoov.collect { case ("trak", s, e) => (s, e) }
+          .iterator.map { case (s, e) => videoDims(b, s, e) }
+          .collectFirst { case Some(d) => d }
+          .getOrElse((0, 0))
+        MediaMeta("mp4", w, h, durMs.toInt, b.length)
       } catch { case _: Exception => none }
+    }
+
+    /** REAL video sample (frame) extraction — an ISO BMFF DEMUXER in pure
+      * JVM code, no decoder: the sample table (`stbl`) of the first video
+      * track locates every encoded sample in the file — `stsz` (per-sample
+      * sizes), `stsc` (sample→chunk runs), `stco`/`co64` (chunk offsets) —
+      * and `k` evenly-spaced samples are sliced straight out of `mdat`
+      * byte-exactly, the same spacing rule as [[sampleFrames]]. These are
+      * the track's actual encoded access units (e.g. H.264 NAL units);
+      * DECODING them to pixels would need a codec library the JDK lacks —
+      * that boundary is honest: container demux is spec-level byte
+      * arithmetic, pixel decode is not. Malformed tables yield an empty
+      * result, never a throw.
+      */
+    private[operators] def videoSamples(b: Array[Byte], k: Int): Seq[Array[Byte]] = {
+      if (b == null || k <= 0) return Seq.empty
+      try {
+        if (b.length < 12 || tag(b, 4) != "ftyp") return Seq.empty
+        val top = boxes(b, 0L, b.length.toLong)
+        val (moovStart, moovEnd) = first(top, "moov").getOrElse(return Seq.empty)
+        val inMoov = boxes(b, moovStart, moovEnd)
+        val stbl = inMoov.collect { case ("trak", s, e) => (s, e) }
+          .iterator.flatMap { case (s, e) =>
+            val kids = boxes(b, s, e)
+            if (videoDims(b, s, e).isDefined) stblOf(b, kids) else None
+          }.nextOption().getOrElse(return Seq.empty)
+        val stblKids = boxes(b, stbl._1, stbl._2)
+
+        // stsz: version+flags(4) sample_size(4) sample_count(4) [sizes]
+        val (zs, ze) = first(stblKids, "stsz").getOrElse(return Seq.empty)
+        if (zs + 12 > ze) return Seq.empty
+        val fixedSize = be32(b, zs.toInt + 4)
+        val nSamples = be32(b, zs.toInt + 8)
+        if (nSamples <= 0L || nSamples > Int.MaxValue) return Seq.empty
+        val n = nSamples.toInt
+        val sizes: Int => Long =
+          if (fixedSize != 0L) _ => fixedSize
+          else if (zs + 12 + 4L * n <= ze) i => be32(b, (zs + 12 + 4L * i).toInt)
+          else return Seq.empty
+
+        // stco/co64: version+flags(4) entry_count(4) [offsets]
+        val (chunkOff, nChunks): (Int => Long, Int) = {
+          first(stblKids, "stco").map { case (cs, ce) =>
+            val c = if (cs + 8 <= ce) be32(b, cs.toInt + 4).toInt else 0
+            if (c <= 0 || cs + 8 + 4L * c > ce) return Seq.empty
+            ((i: Int) => be32(b, (cs + 8 + 4L * i).toInt), c)
+          }.orElse(first(stblKids, "co64").map { case (cs, ce) =>
+            val c = if (cs + 8 <= ce) be32(b, cs.toInt + 4).toInt else 0
+            if (c <= 0 || cs + 8 + 8L * c > ce) return Seq.empty
+            ((i: Int) => be64(b, (cs + 8 + 8L * i).toInt), c)
+          }).getOrElse(return Seq.empty)
+        }
+
+        // stsc: version+flags(4) entry_count(4) [(first_chunk,
+        // samples_per_chunk, desc_idx)] — runs apply until the next entry's
+        // first_chunk
+        val (ts, te) = first(stblKids, "stsc").getOrElse(return Seq.empty)
+        val nRuns = if (ts + 8 <= te) be32(b, ts.toInt + 4).toInt else 0
+        if (nRuns <= 0 || ts + 8 + 12L * nRuns > te) return Seq.empty
+        def runFirstChunk(r: Int) = be32(b, (ts + 8 + 12L * r).toInt)
+        def runPerChunk(r: Int) = be32(b, (ts + 8 + 12L * r + 4).toInt)
+
+        // absolute file offset of every sample, chunk by chunk
+        val offsets = new Array[Long](n)
+        var run = 0
+        var sample = 0
+        var chunk = 0
+        while (chunk < nChunks && sample < n) {
+          while (run + 1 < nRuns && runFirstChunk(run + 1) <= chunk + 1) run += 1
+          var within = 0L
+          var pos = chunkOff(chunk)
+          val perChunk = runPerChunk(run)
+          while (within < perChunk && sample < n) {
+            offsets(sample) = pos
+            pos += sizes(sample)
+            sample += 1
+            within += 1
+          }
+          chunk += 1
+        }
+        if (sample < n) return Seq.empty // tables disagree — malformed
+
+        // k evenly-spaced distinct sample indices, sampleFrames' rule
+        val step = math.max(n / k, 1)
+        val picked = (0 until k).map(i => math.min(i * step, n - 1)).distinct
+        picked.flatMap { i =>
+          val off = offsets(i)
+          val len = sizes(i)
+          if (off >= 0 && len > 0 && len <= Int.MaxValue &&
+              off + len <= b.length)
+            Some(java.util.Arrays.copyOfRange(b, off.toInt, (off + len).toInt))
+          else None
+        }
+      } catch { case _: Exception => Seq.empty }
     }
 
     def decode(batch: Seq[Array[Byte]]): Seq[MediaMeta] = batch.map(parse)
@@ -318,10 +490,11 @@ object Multimodal {
     }(Encoders.row(outSchema))
   }
 
-  /** Deterministic frame sampling for "video" payloads: `k` evenly-spaced
-    * [[FrameBytes]]-sized frames as `array<binary>` — the Spark-side shape
-    * of frame extraction (a real implementation swaps the slicer for a
-    * demuxer). Codegen'd built-ins only; no UDF.
+  /** Deterministic frame sampling for OPAQUE payloads: `k` evenly-spaced
+    * [[FrameBytes]]-sized slices as `array<binary>` — the SQL-replayable
+    * fixture shape of frame extraction (the oracle recomputes the slices).
+    * For real ISO BMFF video, [[demuxFrames]] replaces this slicer with the
+    * actual container demux. Codegen'd built-ins only; no UDF.
     */
   def sampleFrames(payload: Column, k: Int): Column = {
     val nFrames = ceil(length(payload).cast("double") / FrameBytes).cast("int")
@@ -329,5 +502,31 @@ object Multimodal {
       least(i * greatest(floor(nFrames / lit(k)).cast("int"), lit(1)), nFrames - 1))
     transform(array_distinct(idx), i =>
       substring(payload, (i * FrameBytes + 1).cast("int"), lit(FrameBytes)))
+  }
+
+  /** REAL video frame extraction: appends `out: array<binary>` holding `k`
+    * evenly-spaced ENCODED samples (access units) of each payload's first
+    * video track, demuxed from the container by
+    * [[Mp4Codec.videoSamples]]'s stsz/stsc/stco walk — byte slices of the
+    * file's own mdat, not [[FrameBytes]] fakes. Non-MP4 or malformed
+    * payloads get an empty array (quarantine signal, consistent with the
+    * codecs' null-format contract). Same batched mapPartitions shape as
+    * [[decodeMeta]]: per-row imperative binary parsing is the one place
+    * [[Codec]]-style partition code beats an expression, and the payload
+    * column can be dropped immediately after so wide binaries don't cross
+    * shuffles.
+    */
+  def demuxFrames(df: DataFrame, payload: Column, k: Int,
+      out: String = "frames"): DataFrame = {
+    val in = df.withColumn("__graft_payload", payload)
+    val n = in.schema.size
+    val outSchema = StructType(df.schema.fields :+
+      StructField(out, ArrayType(BinaryType)))
+    in.mapPartitions { rows =>
+      rows.map { r =>
+        val frames = Mp4Codec.videoSamples(r.getAs[Array[Byte]](n - 1), k)
+        Row.fromSeq(r.toSeq.dropRight(1) :+ frames)
+      }
+    }(Encoders.row(outSchema))
   }
 }

@@ -109,18 +109,20 @@ class MultimodalSpec extends SparkSpec {
     assert(Multimodal.WavCodec.decode(Seq(null)).head === MediaMeta(null, 0, 0, 0, 0))
   }
 
+  /** ISO BMFF box: 32-bit size + 4-char type + payload. */
+  private def box(tp: String, payload: Array[Byte]): Array[Byte] = {
+    val bb = java.nio.ByteBuffer.allocate(8 + payload.length)
+    bb.putInt(8 + payload.length).put(tp.getBytes("US-ASCII")).put(payload)
+    bb.array()
+  }
+
   /** Hand-assembled minimal ISO BMFF file — built from the public
     * ISO/IEC 14496-12 box layout, independent of Mp4Codec: ftyp, then moov
     * containing mvhd (v0: timescale + duration) and `traks` empty trak
-    * boxes.
+    * boxes (no video track).
     */
   private def makeMp4(timescale: Int, duration: Int, traks: Int,
       mvhdVersion: Int = 0): Array[Byte] = {
-    def box(tp: String, payload: Array[Byte]): Array[Byte] = {
-      val bb = java.nio.ByteBuffer.allocate(8 + payload.length)
-      bb.putInt(8 + payload.length).put(tp.getBytes("US-ASCII")).put(payload)
-      bb.array()
-    }
     val ftyp = box("ftyp", "isom".getBytes("US-ASCII") ++ Array[Byte](0, 0, 2, 0))
     val mvhdBody =
       if (mvhdVersion == 0) {
@@ -142,16 +144,93 @@ class MultimodalSpec extends SparkSpec {
     ftyp ++ moov
   }
 
-  test("Mp4Codec parses duration/timescale/track count from a real " +
-      "ISO BMFF box tree; malformed payloads degrade to null format") {
-    // 90 s at timescale 600: duration field 54000 ticks, 2 tracks
+  /** tkhd v0 payload: 84 bytes, 16.16 fixed-point width/height at 76/80. */
+  private def tkhdBody(w: Int, h: Int): Array[Byte] = {
+    val bb = java.nio.ByteBuffer.allocate(84)
+    bb.position(76)
+    bb.putInt(w << 16).putInt(h << 16)
+    bb.array()
+  }
+
+  /** hdlr payload: version+flags, pre_defined, handler_type, reserved. */
+  private def hdlrBody(handler: String): Array[Byte] = {
+    val bb = java.nio.ByteBuffer.allocate(24)
+    bb.putInt(0).putInt(0).put(handler.getBytes("US-ASCII"))
+    bb.array()
+  }
+
+  /** stsd payload with ONE VisualSampleEntry (avc1): 16-bit width/height
+    * at entry offset 32/34 per the public layout.
+    */
+  private def stsdBody(w: Int, h: Int): Array[Byte] = {
+    val entry = java.nio.ByteBuffer.allocate(86)
+    entry.putInt(86).put("avc1".getBytes("US-ASCII"))
+    entry.position(32)
+    entry.putShort(w.toShort).putShort(h.toShort)
+    val bb = java.nio.ByteBuffer.allocate(8 + 86)
+    bb.putInt(0).putInt(1).put(entry.array())
+    bb.array()
+  }
+
+  /** Full playable-layout fixture: ftyp, mdat holding `samples` packed into
+    * `chunks` runs, then moov with a video trak whose stbl tables (stsz per
+    * -sample sizes, stsc runs, stco absolute offsets) locate every sample —
+    * the real demux surface. tkhd carries (w,h); stsd carries (sw,sh).
+    */
+  private def makeVideoMp4(timescale: Int, duration: Int, w: Int, h: Int,
+      samples: Seq[Array[Byte]], chunks: Seq[Int],
+      stsdW: Int = 0, stsdH: Int = 0,
+      handler: String = "vide"): Array[Byte] = {
+    require(chunks.sum == samples.length)
+    val ftyp = box("ftyp", "isom".getBytes("US-ASCII") ++ Array[Byte](0, 0, 2, 0))
+    val mdat = box("mdat", samples.toArray.flatten)
+    // absolute chunk offsets: ftyp + mdat header precede the sample bytes
+    val chunkOffsets = chunks.scanLeft(0)(_ + _).take(chunks.length)
+      .map(nBefore => ftyp.length + 8L +
+        samples.take(nBefore).map(_.length).sum)
+    val mvhd = {
+      val bb = java.nio.ByteBuffer.allocate(20)
+      bb.putInt(0).putInt(0).putInt(0).putInt(timescale).putInt(duration)
+      box("mvhd", bb.array())
+    }
+    val stsz = {
+      val bb = java.nio.ByteBuffer.allocate(12 + 4 * samples.length)
+      bb.putInt(0).putInt(0).putInt(samples.length)
+      samples.foreach(s => bb.putInt(s.length))
+      box("stsz", bb.array())
+    }
+    val stsc = {
+      val bb = java.nio.ByteBuffer.allocate(8 + 12 * chunks.length)
+      bb.putInt(0).putInt(chunks.length)
+      chunks.zipWithIndex.foreach { case (n, i) =>
+        bb.putInt(i + 1).putInt(n).putInt(1) }
+      box("stsc", bb.array())
+    }
+    val stco = {
+      val bb = java.nio.ByteBuffer.allocate(8 + 4 * chunkOffsets.length)
+      bb.putInt(0).putInt(chunkOffsets.length)
+      chunkOffsets.foreach(o => bb.putInt(o.toInt))
+      box("stco", bb.array())
+    }
+    val stbl = box("stbl",
+      box("stsd", stsdBody(stsdW, stsdH)) ++ stsz ++ stsc ++ stco)
+    val minf = box("minf", stbl)
+    val mdia = box("mdia", box("hdlr", hdlrBody(handler)) ++ minf)
+    val trak = box("trak", box("tkhd", tkhdBody(w, h)) ++ mdia)
+    ftyp ++ mdat ++ box("moov", mvhd ++ trak)
+  }
+
+  test("Mp4Codec parses duration and (video-less) zero dimensions from a " +
+      "real ISO BMFF box tree; malformed payloads degrade to null format") {
+    // 90 s at timescale 600: duration field 54000 ticks; empty traks carry
+    // no video dimensions
     val mp4 = makeMp4(timescale = 600, duration = 54000, traks = 2)
     val Seq(m) = Multimodal.Mp4Codec.decode(Seq(mp4))
-    assert(m === MediaMeta("mp4", 90000, 2, 600, mp4.length))
+    assert(m === MediaMeta("mp4", 0, 0, 90000, mp4.length))
     // version-1 mvhd (64-bit times) parses identically
     val v1 = makeMp4(timescale = 1000, duration = 1500, traks = 1, mvhdVersion = 1)
     assert(Multimodal.Mp4Codec.decode(Seq(v1)).head ===
-      MediaMeta("mp4", 1500, 1, 1000, v1.length))
+      MediaMeta("mp4", 0, 0, 1500, v1.length))
     // no moov / truncated / crafted box sizes degrade, never throw
     assert(Multimodal.Mp4Codec.decode(Seq(mp4.take(20))).head.format === null)
     val crafted = mp4.clone()
@@ -208,7 +287,70 @@ class MultimodalSpec extends SparkSpec {
     assert(out(0) === ((1L, "png", 10, 7, 1, png.length)))
     assert(out(1) === ((2L, "wav", 8000, 1, 64, wav.length)))
     assert(out(2) === ((3L, null, 0, 0, 0, junk.length)))
-    assert(out(3) === ((4L, "mp4", 2500, 1, 1000, mp4.length)))
+    assert(out(3) === ((4L, "mp4", 0, 0, 2500, mp4.length)))
+  }
+
+  test("Mp4Codec reads the video track's pixel dimensions from tkhd, " +
+      "falls back to stsd, and skips non-video tracks") {
+    val samples = (0 until 10).map(i => Array.fill(i + 1)(i.toByte))
+    // tkhd carries 640x360 (stsd disagrees on purpose — tkhd wins)
+    val withTkhd = makeVideoMp4(timescale = 1000, duration = 7500,
+      w = 640, h = 360, samples = samples, chunks = Seq(4, 6),
+      stsdW = 320, stsdH = 240)
+    assert(Multimodal.Mp4Codec.decode(Seq(withTkhd)).head ===
+      MediaMeta("mp4", 640, 360, 7500, withTkhd.length))
+    // zeroed tkhd -> the stsd VisualSampleEntry's 16-bit dims
+    val viaStsd = makeVideoMp4(timescale = 1000, duration = 7500,
+      w = 0, h = 0, samples = samples, chunks = Seq(10),
+      stsdW = 320, stsdH = 240)
+    assert(Multimodal.Mp4Codec.decode(Seq(viaStsd)).head ===
+      MediaMeta("mp4", 320, 240, 7500, viaStsd.length))
+    // an audio track (hdlr "soun") contributes no dimensions even if its
+    // boxes carry plausible numbers
+    val audio = makeVideoMp4(timescale = 1000, duration = 7500,
+      w = 640, h = 360, samples = samples, chunks = Seq(10),
+      handler = "soun")
+    assert(Multimodal.Mp4Codec.decode(Seq(audio)).head ===
+      MediaMeta("mp4", 0, 0, 7500, audio.length))
+  }
+
+  test("Mp4Codec.videoSamples demuxes the track's real encoded samples " +
+      "from mdat via stsz/stsc/stco — byte-exact, never FrameBytes fakes") {
+    val samples = (0 until 10).map(i => Array.fill(i + 1)(i.toByte))
+    val mp4 = makeVideoMp4(timescale = 1000, duration = 7500,
+      w = 640, h = 360, samples = samples, chunks = Seq(4, 6))
+    // k=4 over 10 samples: step max(10/4,1)=2 -> indices 0,2,4,6
+    val got = Multimodal.Mp4Codec.videoSamples(mp4, 4)
+    assert(got.map(_.toSeq) ===
+      Seq(0, 2, 4, 6).map(i => samples(i).toSeq))
+    // k > n picks each sample at most once
+    assert(Multimodal.Mp4Codec.videoSamples(mp4, 100).map(_.toSeq) ===
+      samples.map(_.toSeq))
+    // non-MP4, truncated, and audio-only payloads yield empty, not throw
+    assert(Multimodal.Mp4Codec.videoSamples("junk".getBytes, 4) === Seq.empty)
+    assert(Multimodal.Mp4Codec.videoSamples(mp4.take(40), 4) === Seq.empty)
+    assert(Multimodal.Mp4Codec.videoSamples(null, 4) === Seq.empty)
+    val audio = makeVideoMp4(timescale = 1000, duration = 7500,
+      w = 640, h = 360, samples = samples, chunks = Seq(10),
+      handler = "soun")
+    assert(Multimodal.Mp4Codec.videoSamples(audio, 4) === Seq.empty)
+  }
+
+  test("demuxFrames appends real demuxed access units as array<binary>; " +
+      "non-video payloads quarantine as empty arrays") {
+    val samples = (0 until 6).map(i => Array.fill(3)(i.toByte))
+    val mp4 = makeVideoMp4(timescale = 1000, duration = 3000,
+      w = 320, h = 240, samples = samples, chunks = Seq(6))
+    val df = Seq((1L, mp4), (2L, "not a video".getBytes("UTF-8")))
+      .toDF("id", "payload")
+    val out = Multimodal.demuxFrames(df, col("payload"), k = 3)
+      .select($"id", size($"frames").as("n"), $"frames")
+      .as[(Long, Int, Array[Array[Byte]])].collect().sortBy(_._1)
+    // k=3 over 6 samples: step 2 -> indices 0,2,4
+    assert(out(0)._2 === 3)
+    assert(out(0)._3.map(_.toSeq).toSeq ===
+      Seq(0, 2, 4).map(i => samples(i).toSeq))
+    assert(out(1)._2 === 0)
   }
 
   test("sampleFrames: evenly spaced fixed-size frames, deduped when short") {
