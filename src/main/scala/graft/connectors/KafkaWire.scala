@@ -40,6 +40,8 @@ object KafkaWire {
   val ApiFetch: Short = 1
   val ApiMetadata: Short = 3
   val ApiListOffsets: Short = 2
+  val ApiSaslHandshake: Short = 17
+  val ApiSaslAuthenticate: Short = 36
 
   /** ListOffsets sentinel timestamps (public protocol constants). */
   val LatestTimestamp: Long = -1L
@@ -147,6 +149,66 @@ object KafkaWire {
       clientId: String): Writer =
     new Writer().int16(apiKey).int16(apiVersion).int32(correlationId)
       .string(clientId)
+
+  // ------------------------------------------------------------ SASL/PLAIN
+
+  /** SASL/PLAIN initial client response per the public RFC 4616:
+    * `[authzid] NUL authcid NUL passwd`, authzid left empty.
+    */
+  def plainSaslToken(username: String, password: String): Array[Byte] =
+    ("\u0000" + username + "\u0000" + password)
+      .getBytes(StandardCharsets.UTF_8)
+
+  /** SaslHandshake v1 request body: the mechanism string. v1 (not v0) so
+    * the auth token travels in Kafka-framed SaslAuthenticate requests
+    * (KIP-152) instead of raw unframed tokens.
+    */
+  def encodeSaslHandshakeRequest(correlationId: Int, clientId: String,
+      mechanism: String): Array[Byte] =
+    header(ApiSaslHandshake, 1, correlationId, clientId)
+      .string(mechanism).bytes
+
+  /** SaslHandshake response: (error_code, enabled_mechanisms). */
+  def parseSaslHandshakeResponse(r: Reader): (Short, Seq[String]) =
+    (r.int16(), r.array { r.string() })
+
+  /** SaslAuthenticate v0 request body: the opaque auth bytes. */
+  def encodeSaslAuthenticateRequest(correlationId: Int, clientId: String,
+      token: Array[Byte]): Array[Byte] = {
+    val w = header(ApiSaslAuthenticate, 0, correlationId, clientId)
+    w.int32(token.length)
+    w.raw(token)
+    w.bytes
+  }
+
+  /** SaslAuthenticate response: (error_code, error_message) — the auth
+    * bytes that follow are mechanism data PLAIN does not use.
+    */
+  def parseSaslAuthenticateResponse(r: Reader): (Short, String) =
+    (r.int16(), r.string())
+
+  /** Authenticates a freshly-connected socket via SASL/PLAIN: handshake v1
+    * then one framed SaslAuthenticate round-trip. SASL state is
+    * PER-CONNECTION (the broker ties it to the socket), so every new
+    * socket must pass through here before any other request. Fails loudly
+    * on a rejected mechanism or bad credentials — same contract as
+    * [[graft.connectors.RespKvClient]]'s AUTH.
+    */
+  def saslPlainAuthenticate(socket: Socket, clientId: String,
+      nextCorr: () => Int, username: String, password: String): Unit = {
+    val hid = nextCorr()
+    val (herr, mechs) = parseSaslHandshakeResponse(roundTrip(socket,
+      encodeSaslHandshakeRequest(hid, clientId, "PLAIN"), hid))
+    require(herr == 0,
+      s"SASL handshake failed: error $herr (broker offers: ${mechs.mkString(",")})")
+    val aid = nextCorr()
+    val (aerr, msg) = parseSaslAuthenticateResponse(roundTrip(socket,
+      encodeSaslAuthenticateRequest(aid, clientId,
+        plainSaslToken(username, password)), aid))
+    require(aerr == 0,
+      s"SASL authentication failed: error $aerr" +
+        Option(msg).fold("")(m => s" ($m)"))
+  }
 
   // ------------------------------------------------------------- Metadata v1
 
@@ -463,7 +525,8 @@ object KafkaWire {
   * nothing and leaks sockets on long-running drivers.
   */
 class KafkaWireClient(bootstrapHost: String, bootstrapPort: Int,
-    clientId: String = "graft", timeoutMs: Int = 10000) {
+    clientId: String = "graft", timeoutMs: Int = 10000,
+    sasl: Option[(String, String)] = None) {
   import KafkaWire._
 
   private val corr = new java.util.concurrent.atomic.AtomicInteger(1)
@@ -473,6 +536,12 @@ class KafkaWireClient(bootstrapHost: String, bootstrapPort: Int,
     try {
       s.connect(new java.net.InetSocketAddress(host, port), timeoutMs)
       s.setSoTimeout(timeoutMs)
+      // SASL state is per-connection: authenticate every fresh socket
+      // before its first real request (auth parity with RespKvClient)
+      sasl.foreach { case (user, pass) =>
+        saslPlainAuthenticate(s, clientId, () => corr.getAndIncrement(),
+          user, pass)
+      }
       f(s)
     } finally s.close()
   }

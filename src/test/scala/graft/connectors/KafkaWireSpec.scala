@@ -231,6 +231,36 @@ class KafkaWireSpec extends AnyFunSuite {
     } finally broker.close()
   }
 
+  test("SASL/PLAIN: authenticated client works end to end; bad credentials " +
+      "and unauthenticated requests fail loudly") {
+    val broker = new FakeBroker(Map(
+      ("ev", 0) -> Seq(100L, 200L, 300L)),
+      saslUsers = Map("alice" -> "secret"))
+    try {
+      // every connection authenticates, then the normal surface works
+      val c = new KafkaWireClient("127.0.0.1", broker.port,
+        sasl = Some(("alice", "secret")))
+      assert(c.listTopics() === Seq(("ev", 0)))
+      assert(c.pullWindow("ev", 100L, 300L).map(_.offset) === Seq(0L, 1L))
+
+      // wrong password: loud SASL error, not a hang or empty result
+      val bad = new KafkaWireClient("127.0.0.1", broker.port,
+        sasl = Some(("alice", "wrong")))
+      val e = intercept[IllegalArgumentException](bad.listTopics())
+      assert(e.getMessage.contains("SASL authentication failed"))
+
+      // no credentials against an auth-required broker: the broker kills
+      // the connection instead of answering
+      val anon = new KafkaWireClient("127.0.0.1", broker.port)
+      intercept[Exception](anon.listTopics())
+    } finally broker.close()
+  }
+
+  test("plainSaslToken encodes RFC 4616 NUL-delimited fields") {
+    assert(plainSaslToken("u", "p").toSeq ===
+      ("\u0000u\u0000p").getBytes("UTF-8").toSeq)
+  }
+
   test("control batches (attributes bit 0x20) are skipped but advance the " +
       "poll position") {
     val recs = Seq((1000L, "a".getBytes("UTF-8"), "va".getBytes("UTF-8")),
@@ -300,7 +330,8 @@ final class FakeBroker(logs: Map[(String, Int), Seq[Long]],
     extraPartitions: Map[(String, Int), (Int, String, Int)] = Map.empty,
     nodeId: Int = 0, batchSize: Int = 2,
     controlBases: Map[(String, Int), Set[Long]] = Map.empty,
-    codec: Int = 0)
+    codec: Int = 0,
+    saslUsers: Map[String, String] = Map.empty)
     extends AutoCloseable {
 
   private val server = new ServerSocket(0, 8, java.net.InetAddress.getByName("127.0.0.1"))
@@ -322,6 +353,8 @@ final class FakeBroker(logs: Map[(String, Int), Seq[Long]],
     try {
       val in = new DataInputStream(s.getInputStream)
       val out = new DataOutputStream(s.getOutputStream)
+      // SASL state is per-connection, like a real broker's
+      var authed = saslUsers.isEmpty
       while (running) {
         val size = in.readInt()
         val req = new Array[Byte](size)
@@ -333,6 +366,21 @@ final class FakeBroker(logs: Map[(String, Int), Seq[Long]],
         r.string() // client id
         val body = new Writer().int32(corr)
         apiKey match {
+          case ApiSaslHandshake =>
+            val mech = r.string()
+            if (mech == "PLAIN") body.int16(0).int32(1).string("PLAIN")
+            else body.int16(33).int32(1).string("PLAIN") // UNSUPPORTED_SASL_MECHANISM
+          case ApiSaslAuthenticate =>
+            val tok = new String(r.raw(r.int32()), "UTF-8").split("\u0000", -1)
+            // RFC 4616: [authzid] NUL authcid NUL passwd
+            if (tok.length == 3 && saslUsers.get(tok(1)).contains(tok(2))) {
+              authed = true
+              body.int16(0).string(null).int32(0)
+            } else
+              body.int16(58).string("bad credentials").int32(0) // SASL_AUTHENTICATION_FAILED
+          case _ if !authed =>
+            // a real broker kills unauthenticated connections
+            throw new IllegalStateException("request before SASL auth")
           case ApiMetadata => metadataResponse(r, body)
           case ApiListOffsets => listOffsetsResponse(r, body)
           case ApiFetch => fetchResponse(r, body)
