@@ -336,14 +336,30 @@ object KafkaWire {
     */
   val GzipCodec: Int = 1
 
+  /** Snappy codec id — xerial stream framing ([[org.xerial.snappy.SnappyOutputStream]]),
+    * the framing Kafka's own clients use for magic-v2 batches.
+    */
+  val SnappyCodec: Int = 2
+
+  /** LZ4 codec id — standard LZ4 Frame format for magic-v2 batches
+    * (magic v0/v1's broken-HC-checksum legacy variant predates the batch
+    * format this client speaks, so plain [[net.jpountz.lz4.LZ4FrameInputStream]]
+    * interops).
+    */
+  val Lz4Codec: Int = 3
+
+  /** Zstandard codec id (KIP-110), standard zstd stream framing. */
+  val ZstdCodec: Int = 4
+
   /** Encodes one magic-v2 RecordBatch (the public on-disk/wire record format
     * since Kafka 0.11): batch header with real CRC-32C (JDK CRC32C,
     * covering attributes→end per the spec), zigzag-varint record bodies, no
     * headers. `records` are (timestampMs, key, value) with offsets
-    * `baseOffset + index`. `codec` 0 (none) or [[GzipCodec]]: gzip
-    * compresses the record bodies AFTER the records-count field, exactly
-    * the region real brokers compress (the 61-byte batch header stays
-    * plaintext so consumers can skip batches without inflating them).
+    * `baseOffset + index`. `codec` 0 (none) or [[GzipCodec]]/[[SnappyCodec]]/
+    * [[Lz4Codec]]/[[ZstdCodec]]: compresses the record bodies AFTER the
+    * records-count field, exactly the region real brokers compress (the
+    * 61-byte batch header stays plaintext so consumers can skip batches
+    * without inflating them).
     * Used by the FakeBroker test double and usable as a producer-side
     * record set — EXCEPT that the `attributes` param exists for test
     * fixtures only: a batch flagged [[ControlBatchFlag]] here wraps
@@ -356,7 +372,7 @@ object KafkaWire {
       records: Seq[(Long, Array[Byte], Array[Byte])],
       attributes: Short = 0, codec: Int = 0): Array[Byte] = {
     require(records.nonEmpty, "empty record batch")
-    require(codec == 0 || codec == GzipCodec, s"unsupported codec $codec")
+    require(codec >= 0 && codec <= ZstdCodec, s"unsupported codec $codec")
     val baseTs = records.head._1
     val maxTs = records.map(_._1).max
     // everything the CRC covers: attributes → records
@@ -379,7 +395,7 @@ object KafkaWire {
       recs.varint(b.length)
       recs.raw(b)
     }
-    tail.raw(if (codec == GzipCodec) gzip(recs.bytes) else recs.bytes)
+    tail.raw(compress(codec, recs.bytes))
     val tailBytes = tail.bytes
     val crc = new java.util.zip.CRC32C()
     crc.update(tailBytes)
@@ -396,10 +412,13 @@ object KafkaWire {
 
   /** Decodes a record set (concatenated magic-v2 batches) into records.
     * A trailing partial batch (brokers truncate at partition_max_bytes) is
-    * dropped, per protocol. CRC-32C is verified per batch. Gzip-compressed
-    * batches (codec 1 — the reference's own default producer compression,
-    * kafka/KafkaHelper.java:103-115) are inflated and decoded; other codecs
-    * (snappy/lz4/zstd need non-JDK libraries) are rejected loudly.
+    * dropped, per protocol. CRC-32C is verified per batch. All four
+    * protocol codecs decode: gzip (JDK; the reference's own default
+    * producer compression, kafka/KafkaHelper.java:103-115), snappy
+    * (xerial framing), lz4 (LZ4 Frame), and zstd — the compression
+    * libraries Spark itself ships, so the wire client reads anything the
+    * engine's producers (or Kafka's stock clients) write. Reserved codec
+    * ids 5-7 are rejected loudly.
     * CONTROL batches (attributes bit 0x20 — transaction commit/abort
     * markers, KIP-98) are skipped without emitting records, mirroring
     * consumer control-batch handling: their offsets are consumed but they
@@ -440,9 +459,9 @@ object KafkaWire {
           s"record batch CRC mismatch at offset $baseOffset")
         val attributes = br.int16()
         val codec = attributes & 0x7
-        require(codec == 0 || codec == GzipCodec,
-          s"compressed record batch (codec $codec) not supported — " +
-            "only none (0) and gzip (1) decode without non-JDK libraries")
+        require(codec <= ZstdCodec,
+          s"compressed record batch (reserved codec $codec) not supported — " +
+            "known codecs: none(0) gzip(1) snappy(2) lz4(3) zstd(4)")
         val lastOffsetDelta = br.int32()
         nextOffset = math.max(nextOffset, baseOffset + lastOffsetDelta + 1)
         if ((attributes & ControlBatchFlag) == 0) {
@@ -452,8 +471,8 @@ object KafkaWire {
           val count = br.int32()
           // compression covers exactly the record bodies after the count
           // field (the 61-byte batch header is always plaintext)
-          val rr = if (codec == GzipCodec) new Reader(gunzip(br.raw(br.remaining)))
-                   else br
+          val rr = if (codec == 0) br
+                   else new Reader(decompress(codec, br.raw(br.remaining)))
           var i = 0
           while (i < count) {
             rr.varint() // record length — fields below are self-delimiting
@@ -481,18 +500,38 @@ object KafkaWire {
     (out.result(), nextOffset)
   }
 
-  private def gzip(bytes: Array[Byte]): Array[Byte] = {
+  /** Compresses `bytes` with the protocol codec's framing: gzip (JDK),
+    * snappy (xerial stream — Kafka's client framing), lz4 (LZ4 Frame),
+    * zstd. Codec 0 passes through. The three non-JDK codecs use the
+    * compression libraries Spark ships on every executor classpath
+    * (snappy-java, lz4-java, zstd-jni), so no extra dependency is added.
+    */
+  private def compress(codec: Int, bytes: Array[Byte]): Array[Byte] = {
+    if (codec == 0) return bytes
     val bos = new ByteArrayOutputStream()
-    val gz = new java.util.zip.GZIPOutputStream(bos)
-    gz.write(bytes)
-    gz.close()
+    val out: java.io.OutputStream = codec match {
+      case GzipCodec => new java.util.zip.GZIPOutputStream(bos)
+      case SnappyCodec => new org.xerial.snappy.SnappyOutputStream(bos)
+      case Lz4Codec => new net.jpountz.lz4.LZ4FrameOutputStream(bos)
+      case ZstdCodec => new com.github.luben.zstd.ZstdOutputStream(bos)
+      case c => throw new IllegalArgumentException(s"unsupported codec $c")
+    }
+    out.write(bytes)
+    out.close()
     bos.toByteArray
   }
 
-  private def gunzip(bytes: Array[Byte]): Array[Byte] = {
-    val gz = new java.util.zip.GZIPInputStream(
-      new java.io.ByteArrayInputStream(bytes))
-    try gz.readAllBytes() finally gz.close()
+  /** Inverse of [[compress]] for the same four codec framings. */
+  private def decompress(codec: Int, bytes: Array[Byte]): Array[Byte] = {
+    val bis = new java.io.ByteArrayInputStream(bytes)
+    val in: java.io.InputStream = codec match {
+      case GzipCodec => new java.util.zip.GZIPInputStream(bis)
+      case SnappyCodec => new org.xerial.snappy.SnappyInputStream(bis)
+      case Lz4Codec => new net.jpountz.lz4.LZ4FrameInputStream(bis)
+      case ZstdCodec => new com.github.luben.zstd.ZstdInputStream(bis)
+      case c => throw new IllegalArgumentException(s"unsupported codec $c")
+    }
+    try in.readAllBytes() finally in.close()
   }
 
   // ------------------------------------------------------------- framing

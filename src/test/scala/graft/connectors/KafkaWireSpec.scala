@@ -198,24 +198,69 @@ class KafkaWireSpec extends AnyFunSuite {
     val corrupt = gz.clone()
     corrupt(corrupt.length - 1) = (corrupt(corrupt.length - 1) ^ 0x1).toByte
     assertThrows[IllegalArgumentException](decodeRecordSet("t", 3, corrupt))
-    // snappy/lz4/zstd (codecs 2-4) are rejected loudly, not skipped
-    val snappyAttrs = plain.clone()
+    // reserved codec ids (5-7) are rejected loudly, not skipped
+    val reserved = plain.clone()
     intercept[IllegalArgumentException] {
-      encodeRecordBatch(7L, recs, codec = 2)
+      encodeRecordBatch(7L, recs, codec = 5)
     }
-    // hand-flip the codec bits in a decoded batch to 2 and re-CRC
+    // hand-flip the codec bits in a decoded batch to 5 and re-CRC
     val attrsOff = 8 + 4 + 4 + 1 + 4 // baseOffset+len+epoch+magic+crc
-    snappyAttrs(attrsOff + 1) = 2
+    reserved(attrsOff + 1) = 5
     val crc = new java.util.zip.CRC32C()
-    crc.update(snappyAttrs, attrsOff, snappyAttrs.length - attrsOff)
+    crc.update(reserved, attrsOff, reserved.length - attrsOff)
     val cv = crc.getValue.toInt
-    snappyAttrs(attrsOff - 4) = (cv >> 24).toByte
-    snappyAttrs(attrsOff - 3) = (cv >> 16).toByte
-    snappyAttrs(attrsOff - 2) = (cv >> 8).toByte
-    snappyAttrs(attrsOff - 1) = cv.toByte
+    reserved(attrsOff - 4) = (cv >> 24).toByte
+    reserved(attrsOff - 3) = (cv >> 16).toByte
+    reserved(attrsOff - 2) = (cv >> 8).toByte
+    reserved(attrsOff - 1) = cv.toByte
     val e = intercept[IllegalArgumentException](
-      decodeRecordSet("t", 3, snappyAttrs))
-    assert(e.getMessage.contains("codec 2"))
+      decodeRecordSet("t", 3, reserved))
+    assert(e.getMessage.contains("codec 5"))
+  }
+
+  test("snappy, lz4 and zstd record batches round-trip like gzip — the " +
+      "full protocol codec set decodes") {
+    val recs = Seq(
+      (1000L, "k0".getBytes("UTF-8"), ("v" * 500).getBytes("UTF-8")),
+      (1005L, null, "vb".getBytes("UTF-8")),
+      (1010L, "k2".getBytes("UTF-8"), null))
+    val plainRecords = decodeRecordSet("t", 0, encodeRecordBatch(7L, recs))
+      .map(r => (r.offset, r.timestamp,
+        Option(r.key).map(_.toSeq), Option(r.value).map(_.toSeq)))
+    for (codec <- Seq(KafkaWire.SnappyCodec, KafkaWire.Lz4Codec,
+        KafkaWire.ZstdCodec)) {
+      val enc = encodeRecordBatch(7L, recs, codec = codec)
+      assert(enc.toSeq !== encodeRecordBatch(7L, recs).toSeq,
+        s"codec $codec really changed the wire bytes")
+      val got = decodeRecordSet("t", 0, enc).map(r => (r.offset, r.timestamp,
+        Option(r.key).map(_.toSeq), Option(r.value).map(_.toSeq)))
+      assert(got === plainRecords, s"codec $codec")
+      // CRC still guards the compressed bytes
+      val corrupt = enc.clone()
+      corrupt(corrupt.length - 1) = (corrupt(corrupt.length - 1) ^ 0x1).toByte
+      assertThrows[IllegalArgumentException](decodeRecordSet("t", 0, corrupt))
+    }
+    // a mixed set with one batch per codec decodes in offset sequence
+    val mixed = Seq(0, 1, 2, 3, 4).zipWithIndex.map { case (codec, i) =>
+      encodeRecordBatch(i * 10L, recs.take(1), codec = codec)
+    }.reduce(_ ++ _)
+    assert(decodeRecordSet("t", 0, mixed).map(_.offset)
+      === Seq(0L, 10L, 20L, 30L, 40L))
+  }
+
+  test("fetchWindow drains snappy/lz4/zstd-compressed topics end to end") {
+    for (codec <- Seq(KafkaWire.SnappyCodec, KafkaWire.Lz4Codec,
+        KafkaWire.ZstdCodec)) {
+      val broker = new FakeBroker(Map(
+        ("ev", 0) -> Seq(100L, 200L, 300L, 400L, 500L)), codec = codec)
+      try {
+        val c = new KafkaWireClient("127.0.0.1", broker.port)
+        val got = c.fetchWindow("ev", Map(0 -> (1L, 4L)))
+          .map(r => (r.offset, r.timestamp, new String(r.value, "UTF-8")))
+        assert(got === Seq((1L, 200L, "v1"), (2L, 300L, "v2"),
+          (3L, 400L, "v3")), s"codec $codec")
+      } finally broker.close()
+    }
   }
 
   test("fetchWindow drains a gzip-compressed topic end to end (the " +
