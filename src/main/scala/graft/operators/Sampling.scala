@@ -96,6 +96,80 @@ object Sampling {
     df.join(broadcast(keep), id.cast("long") === col("__keep_id"), "left_semi")
   }
 
+  /** Deterministic training-epoch shuffle: every row gets a shard id and a
+    * position within its shard, both pure functions of (key, epoch) — the
+    * global random-order pass a training run needs before sharding data
+    * across workers, without `rand()` (not reproducible) or a single
+    * global sort by random key (one total order through range
+    * partitioning). The seeded 32-bit hash `h = hash32(key || ':' ||
+    * epoch)` drives both: `shard = h mod numShards` and `pos = row_number
+    * within shard ordered by (h, key)`. Changing `epoch` re-deals every
+    * row to a new shard and order; the same (corpus, epoch) always deals
+    * identically, so a crashed epoch resumes bit-for-bit.
+    *
+    * Scale shape: one hash shuffle on `shard` plus an independent sort per
+    * shard — with numShards sized to O(cluster cores) each sort is
+    * partition-local and they all run in parallel (this is exactly
+    * Window.partitionBy(shard), no corpus-wide window). The canonical
+    * epoch-shuffle cost: you cannot order data randomly without moving it
+    * once.
+    */
+  def epochShuffle(df: DataFrame, key: Column, numShards: Int, epoch: Int,
+      shardOut: String = "shard", posOut: String = "pos"): DataFrame = {
+    require(numShards > 0, s"numShards must be positive, got $numShards")
+    require(epoch >= 0, s"epoch must be >= 0, got $epoch")
+    import org.apache.spark.sql.expressions.Window
+    // hash32 is a non-negative 32-bit value in a long, so % == pmod here
+    val h = TextFunctions.hash32(
+      concat(key.cast("string"), lit(":"), lit(epoch.toString)))
+    val w = Window.partitionBy(col(shardOut)).orderBy(col("__h"), key)
+    df.withColumn("__h", h)
+      .withColumn(shardOut, (col("__h") % numShards).cast("int"))
+      .withColumn(posOut, row_number().over(w))
+      .drop("__h")
+  }
+
+  /** Domain-mixture rebalancing to a token budget: given relative integer
+    * `weights` per domain and a target budget of `budgetNum/budgetDen` of
+    * the corpus's total tokens, down-samples each domain so its share of
+    * the sampled TOKENS (not rows) approaches `weight/Σweights` — the
+    * "data mixture" step of a pre-training pipeline, where e.g. web text
+    * is capped and code upweighted by token count. Domains absent from
+    * `weights` are dropped.
+    *
+    * Membership is `hash32(key) < threshold(domain)` with thresholds
+    * computed in EXACT integer arithmetic (BigInt here, HUGEINT in the
+    * SQL oracle): `thr_d = min(2^32, 2^32 * budget * w_d / (Σw * tok_d))`
+    * with floor division — bit-identical across engines, no doubles. A
+    * domain whose target exceeds its size keeps all rows (thr = 2^32);
+    * under-represented domains can't be over-sampled (no repetition), the
+    * standard single-epoch mixture behavior.
+    *
+    * Scale shape: one small aggregate (rows = #domains — collected to the
+    * driver like [[temperatureSample]]'s counts) to learn per-domain token
+    * totals, then a map-only filter with the thresholds folded in as
+    * literals. No join, no second shuffle.
+    */
+  def mixtureSampleByTokens(df: DataFrame, domain: Column, key: Column,
+      text: Column, weights: Map[String, Long],
+      budgetNum: Long, budgetDen: Long): DataFrame = {
+    require(weights.nonEmpty && weights.values.forall(_ >= 0), "bad weights")
+    require(budgetNum >= 0 && budgetDen > 0, "bad budget fraction")
+    val Full = BigInt(4294967296L) // 2^32 — hash32's exclusive upper bound
+    val toks = df.groupBy(domain.cast("string").as("__d"))
+      .agg(sum(TextFunctions.tokenCountWs(text).cast("long")).as("__t"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val budget = BigInt(toks.values.sum) * budgetNum / budgetDen
+    val sw = BigInt(weights.values.sum)
+    val cut = weights.foldLeft(lit(-1L)) { case (acc, (d, w)) =>
+      val t = toks.getOrElse(d, 0L)
+      val thr = if (t <= 0 || sw == 0) BigInt(0)
+                else (Full * budget * w / (sw * t)).min(Full)
+      when(domain.cast("string") === d, lit(thr.toLong)).otherwise(acc)
+    }
+    df.filter(TextFunctions.hash32(key.cast("string")) < cut)
+  }
+
   /** Deterministic train/validation/test split: every row lands in exactly
     * one named split, chosen by its 32-bit content hash against cumulative
     * weight cuts — a pure function of the key, so assignment is stable

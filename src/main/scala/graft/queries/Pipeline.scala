@@ -795,6 +795,83 @@ object Pipeline {
        |ORDER BY doc_id""".stripMargin
   }
 
+  // ------------------------------------------------------- shuffle & mixture
+
+  /** Deterministic training-epoch shuffle: every doc dealt to one of 16
+    * shards with an in-shard position, both pure functions of
+    * (doc_id, epoch) — see [[graft.operators.Sampling.epochShuffle]]. The
+    * oracle replays the identical seeded hash, modulus, and
+    * ROW_NUMBER-over-shard.
+    */
+  def epochShuffleQ(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Sampling.epochShuffle(
+        T(s, dir, "documents").select(col("doc_id")),
+        col("doc_id"), numShards = 16, epoch = 3)
+      .select(col("doc_id"), col("shard"), col("pos"))
+      .orderBy(col("shard"), col("pos"))
+
+  val epochShuffleOracle: String =
+    """WITH h AS (
+      |  SELECT doc_id,
+      |    ('0x' || substring(md5(CAST(doc_id AS VARCHAR) || ':3'), 1, 8))::BIGINT AS h
+      |  FROM documents)
+      |SELECT doc_id, CAST(h % 16 AS INTEGER) AS shard,
+      |  CAST(ROW_NUMBER() OVER (PARTITION BY h % 16 ORDER BY h, doc_id) AS INTEGER) AS pos
+      |FROM h
+      |ORDER BY shard, pos""".stripMargin
+
+  /** Mixture weights for [[mixtureSampleQ]] — en capped hardest despite
+    * being the largest domain, de upweighted past its size (threshold
+    * saturates: keep all), es absent (dropped). Shared with the oracle
+    * builder so the two can't drift.
+    */
+  private val MixtureWeights: Seq[(String, Long)] =
+    Seq("en" -> 4L, "de" -> 3L, "fr" -> 2L, "zh" -> 1L)
+
+  /** Domain-mixture rebalancing to a token budget (half the corpus's
+    * tokens, split by [[MixtureWeights]]) — see
+    * [[graft.operators.Sampling.mixtureSampleByTokens]]. Thresholds are
+    * exact integer arithmetic on both sides (BigInt in Scala, HUGEINT in
+    * DuckDB), so the oracle recomputes them from the raw table rather
+    * than embedding constants.
+    */
+  def mixtureSampleQ(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Sampling.mixtureSampleByTokens(
+        T(s, dir, "documents"), col("lang"), col("doc_id"), col("text"),
+        MixtureWeights.toMap, budgetNum = 1, budgetDen = 2)
+      .select(col("doc_id"), col("lang"),
+        TextFunctions.tokenCountWs(col("text")).cast("long").as("n_tok"))
+      .orderBy(col("doc_id"))
+
+  val mixtureSampleOracle: String = {
+    val sw = MixtureWeights.map(_._2).sum
+    val wCase = MixtureWeights.map { case (d, w) =>
+      s"WHEN '$d' THEN CAST($w AS HUGEINT)"
+    }.mkString(" ")
+    s"""WITH tok AS (
+       |  SELECT lang,
+       |    SUM(CAST(CASE WHEN trim(text) = '' THEN 0
+       |        ELSE len(string_split_regex(trim(text), '\\s+')) END AS BIGINT)) AS t
+       |  FROM documents GROUP BY lang
+       |), tot AS (
+       |  SELECT (CAST(SUM(t) AS HUGEINT) * 1) // 2 AS budget FROM tok
+       |), thr AS (
+       |  SELECT lang,
+       |    LEAST(CAST(4294967296 AS HUGEINT),
+       |      (CAST(4294967296 AS HUGEINT) * (SELECT budget FROM tot)
+       |        * (CASE lang $wCase END))
+       |      // (CAST($sw AS HUGEINT) * CAST(t AS HUGEINT))) AS thr
+       |  FROM tok WHERE lang IN (${MixtureWeights.map("'" + _._1 + "'").mkString(", ")})
+       |)
+       |SELECT d.doc_id, d.lang,
+       |  CAST(CASE WHEN trim(d.text) = '' THEN 0
+       |       ELSE len(string_split_regex(trim(d.text), '\\s+')) END AS BIGINT) AS n_tok
+       |FROM documents d JOIN thr ON d.lang = thr.lang
+       |WHERE ('0x' || substring(md5(CAST(d.doc_id AS VARCHAR)), 1, 8))::BIGINT
+       |      < CAST(thr.thr AS BIGINT)
+       |ORDER BY d.doc_id""".stripMargin
+  }
+
   // ---------------------------------------------------------------- hll sketches
 
   /** Distinct counting with mergeable HLL sketches (DataSketches): per-group
@@ -1892,6 +1969,8 @@ object Pipeline {
     Q("sample_docs", sampleDocs, Some(sampleDocsOracle)),
     Q("sample_per_class", samplePerClass, Some(samplePerClassOracle)),
     Q("split_by_hash", splitByHashQ, Some(splitByHashOracle)),
+    Q("epoch_shuffle", epochShuffleQ, Some(epochShuffleOracle)),
+    Q("mixture_sample", mixtureSampleQ, Some(mixtureSampleOracle)),
     Q("heavy_hitters", heavyHittersQ, Some(heavyHittersOracle)),
     Q("hll_cardinality", hllCardinality, Some(hllCardinalityOracle)),
     Q("top_terms", topTerms, Some(topTermsOracle)),

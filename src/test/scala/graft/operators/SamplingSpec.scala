@@ -98,4 +98,66 @@ class SamplingSpec extends SparkSpec {
       Sampling.splitByHash(df, col("id"), Seq.empty)
     }
   }
+
+  test("epochShuffle: a permutation into shards, stable per epoch, " +
+      "re-dealt across epochs") {
+    val e3 = Sampling.epochShuffle(df, col("id"), numShards = 8, epoch = 3)
+    // every row exactly once, shards in range, original columns survive
+    assert(e3.count() === 99)
+    assert(e3.select("id").distinct().count() === 99)
+    assert(e3.columns === Array("id", "cls", "payload", "shard", "pos"))
+    val shards = e3.select("shard").distinct().as[Int].collect().sorted
+    assert(shards.forall(s => s >= 0 && s < 8))
+    // positions are 1..n_shard within each shard (a dense in-shard order)
+    val bad = e3.groupBy("shard")
+      .agg(count("*").as("n"), max("pos").as("mx"), min("pos").as("mn"))
+      .filter(col("mx") =!= col("n") || col("mn") =!= 1)
+    assert(bad.count() === 0)
+    // deterministic: same (corpus, epoch) deals identically
+    val again = Sampling.epochShuffle(df, col("id"), 8, 3)
+      .select("id", "shard", "pos").as[(Long, Int, Int)].collect().toSet
+    assert(e3.select("id", "shard", "pos")
+      .as[(Long, Int, Int)].collect().toSet === again)
+    // a different epoch re-deals (some row changes shard or position)
+    val e4 = Sampling.epochShuffle(df, col("id"), 8, 4)
+      .select("id", "shard", "pos").as[(Long, Int, Int)].collect().toSet
+    assert(e4 !== again)
+    intercept[IllegalArgumentException] {
+      Sampling.epochShuffle(df, col("id"), 0, 1)
+    }
+  }
+
+  test("mixtureSampleByTokens: saturated domains keep all rows, absent " +
+      "domains drop, thresholds are exact and deterministic") {
+    // three domains with very different token masses: a=1-token docs,
+    // b=10-token docs, c=5-token docs
+    val docs = ((1 to 60).map(i => (i.toLong, "a", "t")) ++
+      (61 to 90).map(i => (i.toLong, "b", Seq.fill(10)("w").mkString(" "))) ++
+      (91 to 99).map(i => (i.toLong, "c", Seq.fill(5)("w").mkString(" "))))
+      .toDF("id", "dom", "text")
+    // total tokens = 60 + 300 + 45 = 405; budget = 405/2 = 202 (floor)
+    // weights: a=1, b=1 (c absent -> dropped)
+    val out = Sampling.mixtureSampleByTokens(docs, col("dom"), col("id"),
+      col("text"), Map("a" -> 1L, "b" -> 1L), 1, 2)
+    val byDom = out.groupBy("dom").count().as[(String, Long)].collect().toMap
+    // a's target (101 tokens) exceeds its 60-token mass -> keep ALL of a
+    assert(byDom("a") === 60L)
+    // b is down-sampled: target 101 of 300 tokens -> roughly a third
+    assert(byDom("b") > 0L && byDom("b") < 30L)
+    assert(!byDom.contains("c"))
+    // pure function of the key: identical on re-evaluation
+    val ids1 = out.select("id").as[Long].collect().sorted.toSeq
+    val ids2 = Sampling.mixtureSampleByTokens(docs, col("dom"), col("id"),
+      col("text"), Map("a" -> 1L, "b" -> 1L), 1, 2)
+      .select("id").as[Long].collect().sorted.toSeq
+    assert(ids1 === ids2)
+    intercept[IllegalArgumentException] {
+      Sampling.mixtureSampleByTokens(docs, col("dom"), col("id"),
+        col("text"), Map.empty, 1, 2)
+    }
+    intercept[IllegalArgumentException] {
+      Sampling.mixtureSampleByTokens(docs, col("dom"), col("id"),
+        col("text"), Map("a" -> 1L), 1, 0)
+    }
+  }
 }
