@@ -187,16 +187,17 @@ object Similarity {
     * with the corpus (C = n/centroidEvery) and assignment becomes
     * n×C = n²/centroidEvery — measured super-linear in the stress harness
     * (905 s at stress ×64 pre-cap). The cap takes the FIRST `maxCentroids`
-    * pmod-selected ids in `vec_id` order (a distributed top-k —
-    * TakeOrderedAndProject, no single-partition window), so it is
-    * deterministic, oracle-replayable (`ORDER BY vec_id LIMIT maxCentroids`),
-    * and — unlike a `vec_id < centroidEvery*maxCentroids` range predicate —
-    * correct for corpora whose ids do NOT start at 0: any corpus containing
-    * at least one multiple of `centroidEvery` yields a non-empty centroid
-    * set. Cells then grow with n at fixed C — each query still touches
-    * nprobe/C of the corpus, which is how production IVF scales.
-    * [[trainCentroids]] remains the content-adaptive quantizer (tighter
-    * cells → fewer probes at equal recall).
+    * pmod-selected ids in `vec_id` order, so it is deterministic,
+    * oracle-replayable (`ORDER BY vec_id LIMIT maxCentroids`), and —
+    * unlike a `vec_id < centroidEvery*maxCentroids` range predicate —
+    * correct for corpora whose ids do NOT start at 0: any corpus
+    * containing at least one multiple of `centroidEvery` yields a
+    * non-empty centroid set (and an empty selection now fails loudly
+    * instead of silently returning zero neighbors). Cells then grow with
+    * n at fixed C — each query still touches nprobe/C of the corpus,
+    * which is how production IVF scales. [[trainCentroids]] remains the
+    * content-adaptive quantizer (tighter cells → fewer probes at equal
+    * recall).
     */
   def ivfTopK(queries: DataFrame, corpus: DataFrame, k: Int,
       centroidEvery: Long = 50, nprobe: Int = 2,
@@ -206,14 +207,40 @@ object Similarity {
 
   /** First `maxCentroids` corpus vectors whose id is a multiple of
     * `centroidEvery`, in `vec_id` order, as a `(cid, cv)` centroid frame.
-    * Sort+limit (not a range predicate on raw ids) so sparse or offset id
-    * spaces still produce centroids; executes as TakeOrderedAndProject.
+    * The cutoff id comes from [[selectionBound]] (one tiny scalar job), so
+    * the frame itself is a plain `pmod = 0 AND vec_id <= bound` filter —
+    * the bound is a LITERAL, so the parquet scan prunes on it
+    * (PushedFilters) and every re-execution of this subplan (it feeds two
+    * broadcast exchanges in [[ivfTopKWith]]) stays a pruned scan rather
+    * than a full-corpus sort: a naive `orderBy.limit` selection here
+    * measured +75% on `sim_pq_topk` at stress ×16 purely from losing
+    * pushdown on the re-executed subplan.
     */
   private def modulusCentroids(corpus: DataFrame, centroidEvery: Long,
-      maxCentroids: Int): DataFrame =
-    corpus.filter(pmod(col("vec_id"), lit(centroidEvery)) === 0)
+      maxCentroids: Int): DataFrame = {
+    val bound = selectionBound(corpus, centroidEvery, maxCentroids)
+    corpus.filter(pmod(col("vec_id"), lit(centroidEvery)) === 0 &&
+        col("vec_id") <= bound)
       .select(col("vec_id").as("cid"), col("embedding").as("cv"))
-      .orderBy(col("cid")).limit(maxCentroids)
+  }
+
+  /** The `max`-th smallest corpus id divisible by `every` (or the largest
+    * such id when fewer exist), computed once as a driver-side scalar from
+    * a column-pruned top-k job — the id-offset-robust replacement for the
+    * old dense-id `< every * max` bound. Fails loudly when NO id is
+    * divisible by `every` (the silent-empty-result footgun this selection
+    * family had pre-round-8).
+    */
+  private def selectionBound(corpus: DataFrame, every: Long, max: Int): Long = {
+    val rows = corpus.select(col("vec_id"))
+      .filter(pmod(col("vec_id"), lit(every)) === 0)
+      .orderBy(col("vec_id")).limit(max)
+      .agg(org.apache.spark.sql.functions.max(col("vec_id"))).collect()
+    require(rows.nonEmpty && !rows(0).isNullAt(0),
+      s"no vec_id divisible by $every — the modulus quantizer selection " +
+        "is empty; lower the sampling interval or use a trained quantizer")
+    rows(0).getLong(0)
+  }
 
   /** Trained coarse quantizer for IVF: seeded k-means|| over the corpus
     * embeddings, returned as a `(cid, cv)` centroid frame for
@@ -300,20 +327,23 @@ object Similarity {
     * assignment n×m×J = quadratic in n — the same pathology as
     * [[ivfTopK]]'s modulus centroids, but here it is avoidable without
     * losing SQL replayability. The cap takes the FIRST `maxEntries`
-    * pmod-selected vectors in `vec_id` order (sort+limit →
-    * TakeOrderedAndProject) and assigns entry ids by RANK in that order
-    * (0..J−1, dense by construction — the packed one-byte-per-subspace
-    * layout requires it) rather than `vec_id div entryEvery`, so corpora
-    * whose ids do not start at 0 still produce a full, dense codebook.
-    * The rank window runs over the already-limited ≤`maxEntries` rows —
-    * constant-size, not corpus-sized. [[pqCodebookTrained]] remains the
-    * content-adaptive production quantizer.
+    * pmod-selected vectors in `vec_id` order — via [[selectionBound]]'s
+    * literal cutoff, so the selection scan stays pushdown-pruned on every
+    * re-execution (see [[modulusCentroids]]) — and assigns entry ids by
+    * RANK in that order (0..J−1, dense by construction — the packed
+    * one-byte-per-subspace layout requires it) rather than
+    * `vec_id div entryEvery`, so corpora whose ids do not start at 0
+    * still produce a full, dense codebook. The rank window runs over the
+    * bound-filtered ≤`maxEntries` rows — constant-size, not corpus-sized.
+    * [[pqCodebookTrained]] remains the content-adaptive production
+    * quantizer.
     */
   def pqCodebook(corpus: DataFrame, m: Int, entryEvery: Long,
       maxEntries: Int = 128): DataFrame = {
-    val sel = corpus.filter(pmod(col("vec_id"), lit(entryEvery)) === 0)
+    val bound = selectionBound(corpus, entryEvery, maxEntries)
+    val sel = corpus.filter(pmod(col("vec_id"), lit(entryEvery)) === 0 &&
+        col("vec_id") <= bound)
       .select(col("vec_id"), col("embedding"))
-      .orderBy(col("vec_id")).limit(maxEntries)
       .select(
         (row_number().over(Window.orderBy(col("vec_id"))).cast("long") - 1L)
           .as("entry"),
