@@ -55,6 +55,27 @@ object Similarity {
     topKPerQuery(scored, k)
   }
 
+  /** Metadata-filtered (pre-filter) top-k: restricts the corpus to ids in
+    * `keep` (a one-column `vec_id` frame — e.g. doc ids passing a language
+    * or quality predicate on another table) BEFORE any scoring, then runs
+    * the exact scan. Pre-filtering is the standard shape for selective
+    * predicates: post-filtering an ANN result under-delivers k when the
+    * predicate is selective, while here selectivity directly shrinks the
+    * scored space.
+    *
+    * Scale shape: one equality semi-join on 8-byte ids reduces the corpus
+    * (bucket/co-partition both sides by id to make it shuffle-free), then
+    * the scan streams with broadcast probes and bounded top-k aggregation
+    * — no window, no candidate blowup. For low-selectivity predicates at
+    * 10⁹+ vectors, swap [[bruteForceTopK]] for the bucketed
+    * [[lshTopK]]/[[ivfTopKWith]] over the same kept frame.
+    */
+  def filteredTopK(queries: DataFrame, corpus: DataFrame, keep: DataFrame,
+      k: Int, includeSelf: Boolean = false): DataFrame = {
+    val kept = corpus.join(keep.select(col("vec_id")), Seq("vec_id"), "left_semi")
+    bruteForceTopK(queries, kept, k, includeSelf)
+  }
+
   /** Int8-quantized exact-scan top-k: both sides are compressed to ±127
     * integer codes by the codegen'd [[org.apache.spark.sql.graft.QuantizeInt8]]
     * (L2-normalize, round — one global scale, no calibration stats), and

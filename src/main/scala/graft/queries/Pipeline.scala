@@ -378,6 +378,35 @@ object Pipeline {
        |FROM ranked WHERE rank <= 5
        |ORDER BY query_id, rank""".stripMargin
 
+  /** Metadata-filtered search: top-5 among ENGLISH documents only — the
+    * corpus is pre-filtered by a predicate on the documents table
+    * (semi-join on id), then scored. See
+    * [[graft.operators.Similarity.filteredTopK]].
+    */
+  def simFilteredTopk(s: SparkSession, dir: String): DataFrame = {
+    val emb = T(s, dir, "embeddings")
+    val en = T(s, dir, "documents").filter(col("lang") === "en")
+      .select(col("doc_id").as("vec_id"))
+    graft.operators.Similarity.filteredTopK(
+        emb.filter(col("vec_id") < 20), emb, en, k = 5)
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  val simFilteredTopkOracle: String =
+    s"""WITH scored AS (
+       |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+       |    ${cosSql("q.embedding", "c.embedding")} AS cos
+       |  FROM embeddings q
+       |  JOIN embeddings c ON q.vec_id < 20 AND q.vec_id <> c.vec_id
+       |  JOIN documents d ON c.vec_id = d.doc_id AND d.lang = 'en'
+       |), ranked AS (
+       |  SELECT query_id, neighbor_id, cos,
+       |    CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS INTEGER) AS rank
+       |  FROM scored)
+       |SELECT query_id, neighbor_id, rank, cos
+       |FROM ranked WHERE rank <= 5
+       |ORDER BY query_id, rank""".stripMargin
+
   /** Int8-quantized top-5 for the first 20 vectors: L2-normalize, round to
     * ±127 codes, rank by exact integer dot product — all integer math after
     * quantization, so the oracle reproduces scores bit-for-bit. The
@@ -1978,6 +2007,7 @@ object Pipeline {
     Q("winnow_fingerprints", winnowFps, Some(winnowFpsOracle)),
     Q("dedup_embedding", dedupEmbedding, Some(dedupEmbeddingOracle)),
     Q("sim_bruteforce_topk", simBruteForce, Some(simBruteForceOracle)),
+    Q("sim_filtered_topk", simFilteredTopk, Some(simFilteredTopkOracle)),
     Q("sim_quantized_topk", simQuantized, Some(simQuantizedOracle)),
     Q("sim_knn_label", simKnnLabel, Some(simKnnLabelOracle)),
     Q("sim_jl_topk", simJlTopk, Some(simJlTopkOracle)),

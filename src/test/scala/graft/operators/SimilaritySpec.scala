@@ -414,4 +414,26 @@ class SimilaritySpec extends SparkSpec {
     assert(ipDense.nonEmpty)
     assert(ipShift === ipDense.map { case (q, n, r) => (q + off, n + off, r) })
   }
+
+  test("filteredTopK scores only kept ids and equals brute-force over the " +
+      "kept corpus") {
+    val corpus = vectors(40, 8, seed = 7).cache()
+    val queries = corpus.filter(col("vec_id") < 3)
+    val keepIds = (0L until 40L).filter(_ % 3 == 0)
+    val keep = keepIds.toDF("vec_id")
+    val got = Similarity.filteredTopK(queries, corpus, keep, k = 4)
+    val gotRows = got.select("query_id", "neighbor_id", "rank")
+      .as[(Long, Long, Int)].collect().toSet
+    // neighbors come only from the keep set
+    assert(gotRows.forall { case (_, n, _) => keepIds.contains(n) })
+    // identical to brute force over the pre-filtered corpus
+    val want = Similarity.bruteForceTopK(queries,
+        corpus.filter(pmod(col("vec_id"), lit(3L)) === 0), k = 4)
+      .select("query_id", "neighbor_id", "rank")
+      .as[(Long, Long, Int)].collect().toSet
+    assert(gotRows === want)
+    // each query gets its full k (enough kept candidates exist)
+    assert(got.groupBy("query_id").count().as[(Long, Long)].collect()
+      .forall(_._2 === 4L))
+  }
 }
