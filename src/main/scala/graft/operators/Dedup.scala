@@ -803,6 +803,51 @@ object Dedup {
       .filter(col("cos") >= threshold)
   }
 
+  /** SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    * arXiv:2303.09540): assign every vector to its nearest centroid from a
+    * trained coarse quantizer, then prune near-duplicates WITHIN each
+    * cluster only — a doc is dropped when some lower-id doc in the same
+    * cluster has cosine >= `threshold` with it (the deterministic
+    * keep-lowest-id variant of the paper's keep-one-per-dup-group rule;
+    * single-pass, so a dropped doc's own duplicates are judged against it
+    * too, like [[exact]]'s keep-first convention).
+    *
+    * Output: one row per input vector — (id, cid, kept) — so the result
+    * doubles as the cluster assignment table.
+    *
+    * Scale shape: the quantizer is broadcast and assignment is an argmax
+    * partial-aggregated before its shuffle (n rows exchanged, not n×K, same
+    * as [[graft.operators.Similarity.ivfTopKWith]]); the pair scan is an
+    * equality self-join on `cid`, so candidate count is Σ cluster² — K
+    * controls the quadratic term exactly as in the paper (K ≈ n/expected
+    * cluster size; with balanced clusters the scan is n²/K, and vectors
+    * travel once per side of one equality join). For skewed clusters, cap
+    * or split hot cells upstream (AQE skew-join handles the shuffle side).
+    */
+  def semanticDedup(df: DataFrame, id: Column, vec: Column,
+      centroids: DataFrame, threshold: Double): DataFrame = {
+    import org.apache.spark.sql.graft.VectorFunctions
+    val v = widen(df.select(id.as("id"), vec.as("v")))
+    val cents = broadcast(centroids.select(col("cid"), col("cv")))
+    // argmax over broadcast centroids; tie toward the smaller cid via
+    // max over (cos, -cid) — matches the oracle's ORDER BY cos DESC, cid
+    val assigned = v.join(cents, lit(true))
+      .withColumn("__ccos", VectorFunctions.cosineSim(col("v"), col("cv")))
+      .groupBy(col("id"))
+      .agg(max_by(struct(col("cid"), col("v")),
+        struct(col("__ccos"), (-col("cid")).as("nc"))).as("m"))
+      .select(col("id"), col("m.cid").as("cid"), col("m.v").as("v"))
+    val l = assigned.select(col("cid"), col("id").as("id_a"), col("v").as("va"))
+    val r = assigned.select(col("cid"), col("id").as("id_b"), col("v").as("vb"))
+    val dropped = l.join(r, Seq("cid"))
+      .filter(col("id_a") < col("id_b"))
+      .filter(VectorFunctions.cosineSim(col("va"), col("vb")) >= threshold)
+      .select(col("id_b").as("id")).distinct()
+    assigned.select(col("id"), col("cid"))
+      .join(dropped.withColumn("__dup", lit(true)), Seq("id"), "left")
+      .select(col("id"), col("cid"), col("__dup").isNull.as("kept"))
+  }
+
   /** Near-duplicate pairs by SimHash hamming distance <= maxHamming.
     *
     * Candidates via the block trick: the 60-bit signature in `blocks` equal

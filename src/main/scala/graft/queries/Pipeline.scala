@@ -269,6 +269,47 @@ object Pipeline {
        |WHERE cos >= 0.45
        |ORDER BY id_a, id_b""".stripMargin
 
+  /** SemDeDup (Abbas et al. 2023): cluster with the pinned k-means||
+    * quantizer ([[PinnedArtifacts.IvfCentroids16]]), then drop docs with a
+    * lower-id same-cluster neighbor at cosine >= 0.45. Output is the full
+    * assignment table (id, cid, kept), so the oracle checks BOTH the
+    * nearest-centroid assignment of every vector and the prune decisions.
+    */
+  def dedupSemantic(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val cents = PinnedArtifacts.IvfCentroids16.toDF("cid", "cv")
+    graft.operators.Dedup.semanticDedup(
+        T(s, dir, "embeddings"), col("vec_id"), col("embedding"), cents,
+        threshold = 0.45)
+      .orderBy(col("id"))
+  }
+
+  def dedupSemanticOracle: String =
+    s"""WITH $normsCte,
+       |cent AS (
+       |  SELECT cid, embedding,
+       |    sqrt(list_reduce(list_transform(range(1, len(embedding) + 1),
+       |      i -> embedding[i]::DOUBLE * embedding[i]::DOUBLE), (x, y) -> x + y)) AS nrm
+       |  FROM (VALUES
+       |${PinnedArtifacts.ivfCentroidsSqlValues}
+       |  ) AS c(cid, embedding)),
+       |ccand AS (
+       |  SELECT v.vec_id, c.cid,
+       |    ROW_NUMBER() OVER (PARTITION BY v.vec_id
+       |      ORDER BY ${dotSql("v", "c")} / (v.nrm * c.nrm) DESC, c.cid) AS crn
+       |  FROM n v CROSS JOIN cent c),
+       |assign AS (SELECT vec_id, cid FROM ccand WHERE crn = 1),
+       |dropped AS (
+       |  SELECT DISTINCT b.vec_id
+       |  FROM assign x JOIN assign b ON x.cid = b.cid AND x.vec_id < b.vec_id
+       |  JOIN n q ON q.vec_id = x.vec_id
+       |  JOIN n nb ON nb.vec_id = b.vec_id
+       |  WHERE ${dotSql("q", "nb")} / (q.nrm * nb.nrm) >= 0.45)
+       |SELECT a.vec_id AS id, CAST(a.cid AS BIGINT) AS cid,
+       |  (d.vec_id IS NULL) AS kept
+       |FROM assign a LEFT JOIN dropped d ON a.vec_id = d.vec_id
+       |ORDER BY id""".stripMargin
+
   /** IVF-Flat top-5: deterministic modulus-sampled centroids, nprobe=2. */
   def simIvf(s: SparkSession, dir: String): DataFrame = {
     val emb = T(s, dir, "embeddings")
@@ -2006,6 +2047,7 @@ object Pipeline {
     Q("top_relevant_terms", topRelevantTerms, Some(topRelevantTermsOracle)),
     Q("winnow_fingerprints", winnowFps, Some(winnowFpsOracle)),
     Q("dedup_embedding", dedupEmbedding, Some(dedupEmbeddingOracle)),
+    Q("dedup_semantic", dedupSemantic, Some(dedupSemanticOracle)),
     Q("sim_bruteforce_topk", simBruteForce, Some(simBruteForceOracle)),
     Q("sim_filtered_topk", simFilteredTopk, Some(simFilteredTopkOracle)),
     Q("sim_quantized_topk", simQuantized, Some(simQuantizedOracle)),

@@ -63,4 +63,44 @@ class EmbeddingDedupSpec extends SparkSpec {
     }
     assert(got.nonEmpty)
   }
+
+  test("semanticDedup matches driver-side assign + keep-lowest-id prune") {
+    val rnd = new Random(7)
+    val dim = 16
+    val bases = Array.fill(4)(Array.fill(dim)(rnd.nextFloat() * 2 - 1))
+    // tight perturbations → same-cluster near-dups; loose ones → kept
+    val rows = (0 until 50).map { i =>
+      val b = bases(i % 4)
+      val jitter = if (i < 12) 0.005f else 0.8f
+      (i.toLong, b.map(x => x + (rnd.nextFloat() * 2 - 1) * jitter))
+    }
+    val df = rows.toDF("vec_id", "embedding").cache()
+    val cents = bases.zipWithIndex
+      .map { case (c, i) => (i.toLong, c.toSeq) }.toSeq.toDF("cid", "cv")
+
+    val got = Dedup.semanticDedup(df, col("vec_id"), col("embedding"),
+        cents, threshold = 0.98)
+      .as[(Long, Long, Boolean)].collect().sortBy(_._1)
+
+    def cos(a: Array[Float], b: Array[Float]) = {
+      var d = 0.0; var na = 0.0; var nb = 0.0
+      for (i <- a.indices) { d += a(i).toDouble * b(i).toDouble
+        na += a(i).toDouble * a(i).toDouble; nb += b(i).toDouble * b(i).toDouble }
+      d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val assign = rows.map { case (id, v) =>
+      val cid = bases.zipWithIndex
+        .map { case (c, i) => (cos(v, c), i) }
+        .maxBy { case (c, i) => (c, -i) }._2.toLong
+      (id, cid, v)
+    }
+    val expect = assign.map { case (id, cid, v) =>
+      val kept = !assign.exists { case (id2, cid2, v2) =>
+        id2 < id && cid2 == cid && cos(v, v2) >= 0.98 }
+      (id, cid, kept)
+    }
+    assert(got.toSeq === expect)
+    assert(got.exists(!_._3), "the planted near-dups must be dropped")
+    assert(got.count(_._3) > 30, "loose vectors must survive")
+  }
 }
