@@ -143,6 +143,96 @@ object TextIndex {
           x => x.getField("chunk")), " ").as("clean_text"))
   }
 
+  /** Positional word n-grams hashed to 60-bit fingerprints: (id, pos, gfp)
+    * with `pos` the 0-based start token. Shares [[TextFunctions.wordShingles]]
+    * semantics (a document shorter than `n` tokens yields ONE whole-text
+    * gram at pos 0), so profiles/masks agree with the shingle-based dedup
+    * family. The explode is a narrow projection; everything downstream
+    * joins on the 8-byte fingerprint, never gram text.
+    */
+  private def positionalGrams(df: DataFrame, id: Column, text: Column,
+      n: Int): DataFrame =
+    df.select(id.as("id"),
+        posexplode(TextFunctions.wordShingles(text, n)).as(Seq("pos", "gram")))
+      .select(col("id"), col("pos"),
+        TextFunctions.fingerprint64(col("gram")).as("gfp"))
+
+  /** Corpus-level duplicated-n-gram profile — the measurement half of
+    * exact-substring train-set dedup (Lee et al. 2022, "Deduplicating
+    * Training Data Makes Language Models Better", arXiv:2107.06499): for
+    * each document, how many of its positional word `n`-grams also occur in
+    * at least `minDf - 1` OTHER documents. High `dup_ratio` flags
+    * boilerplate-heavy or templated docs before any text surgery. Output:
+    * (id, total_ngrams, dup_ngrams, dup_ratio), ratio an exact
+    * integer-ratio double.
+    *
+    * Scale shape: the df table aggregates (gfp, id) distinct pairs —
+    * 16-byte rows, map-side partial — and the flag join is one equality
+    * hash join on the 8-byte gfp; document text never shuffles. This is
+    * the n-gram analogue of [[segmentDedup]]'s df count with overlapping
+    * windows instead of disjoint segments.
+    */
+  def duplicateNgramProfile(df: DataFrame, id: Column, text: Column,
+      n: Int = 5, minDf: Long = 2): DataFrame = {
+    require(minDf >= 2, s"minDf must be >= 2, got $minDf")
+    val g = positionalGrams(df, id, text, n)
+    val dup = g.select(col("gfp"), col("id")).distinct()
+      .groupBy(col("gfp")).agg(count(lit(1)).as("df"))
+      .filter(col("df") >= minDf)
+      .select(col("gfp"), lit(1).as("__dup"))
+    g.join(dup, Seq("gfp"), "left")
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("total_ngrams"),
+        sum(when(col("__dup").isNotNull, 1L).otherwise(0L)).as("dup_ngrams"))
+      .withColumn("dup_ratio",
+        when(col("total_ngrams") > 0,
+          col("dup_ngrams").cast("double") / col("total_ngrams").cast("double"))
+          .otherwise(lit(0.0)))
+  }
+
+  /** Corpus-level duplicated-n-gram REMOVAL — the surgery half of Lee et
+    * al. 2022: a token is dropped when any corpus-duplicated `n`-gram
+    * (document frequency >= `minDf`) covers it, i.e. starts at most `n-1`
+    * tokens before it; survivors are rejoined with single spaces. This is
+    * the deterministic remove-all-occurrences variant (the paper keeps one
+    * occurrence; choosing which one is inherently order-dependent, so the
+    * engine removes every occurrence — the convention C4 uses for its
+    * line-level filter). Output: (id, n_tok, n_removed, clean_text).
+    *
+    * Scale shape: duplicated-gram START POSITIONS travel back to each doc
+    * as (id, pos) ints via one semi-join on the 8-byte gfp + a groupBy id
+    * (dup positions per doc are few unless the doc IS boilerplate); the
+    * final coverage filter is a per-row array scan over (tokens ×
+    * doc-local dup starts) — map-only, no second text shuffle.
+    */
+  def duplicateNgramMask(df: DataFrame, id: Column, text: Column,
+      n: Int = 5, minDf: Long = 2): DataFrame = {
+    require(minDf >= 2, s"minDf must be >= 2, got $minDf")
+    val base = df.select(id.as("id"), text.as("__text"))
+      .select(col("id"), TextFunctions.tokensWs(col("__text")).as("toks"),
+        TextFunctions.wordShingles(col("__text"), n).as("grams"))
+    val g = base.select(col("id"),
+        posexplode(col("grams")).as(Seq("pos", "gram")))
+      .select(col("id"), col("pos"),
+        TextFunctions.fingerprint64(col("gram")).as("gfp"))
+    val dup = g.select(col("gfp"), col("id")).distinct()
+      .groupBy(col("gfp")).agg(count(lit(1)).as("df"))
+      .filter(col("df") >= minDf)
+      .select(col("gfp"))
+    val dpos = g.join(dup, Seq("gfp"), "left_semi")
+      .groupBy(col("id")).agg(sort_array(collect_list(col("pos"))).as("dps"))
+    val covered = (i: Column, dps: Column) =>
+      exists(dps, s => s <= i && s + lit(n - 1) >= i)
+    base.join(dpos, Seq("id"), "left")
+      .withColumn("dps",
+        coalesce(col("dps"), array().cast("array<int>")))
+      .withColumn("kept",
+        filter(col("toks"), (t, i) => !covered(i, col("dps"))))
+      .select(col("id"), size(col("toks")).as("n_tok"),
+        (size(col("toks")) - size(col("kept"))).as("n_removed"),
+        array_join(col("kept"), " ").as("clean_text"))
+  }
+
   /** Common-token coverage quality signal: the fraction of each document's
     * token occurrences that fall in the corpus's top-`k` vocabulary (by
     * total frequency, ties broken by term) — low coverage flags gibberish,

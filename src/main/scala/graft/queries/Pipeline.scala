@@ -1402,6 +1402,78 @@ object Pipeline {
       |GROUP BY doc_id
       |ORDER BY doc_id""".stripMargin
 
+  // ----------------------------------------------- corpus duplicate n-grams
+
+  /** Corpus-duplicated 5-gram profile per document (Lee et al. 2022 shape):
+    * integer counts + exact-ratio double, over the full documents table.
+    */
+  def dupNgramProfileQ(s: SparkSession, dir: String): DataFrame =
+    graft.operators.TextIndex.duplicateNgramProfile(
+        T(s, dir, "documents"), col("doc_id"), col("text"), n = 5, minDf = 2)
+      .select(col("id").as("doc_id"), col("total_ngrams"), col("dup_ngrams"),
+        col("dup_ratio"))
+      .orderBy(col("doc_id"))
+
+  val dupNgramProfileOracle: String =
+    """WITH t AS (
+      |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
+      |  FROM documents),
+      |g AS (
+      |  SELECT doc_id,
+      |    CASE WHEN len(toks) < 5 THEN [array_to_string(toks, ' ')]
+      |         ELSE list_transform(range(1, len(toks) - 3),
+      |                i -> array_to_string(toks[i:i+4], ' ')) END AS grams
+      |  FROM t),
+      |posting AS (SELECT doc_id, unnest(grams) AS gram FROM g),
+      |dfs AS (SELECT gram AS gv, COUNT(DISTINCT doc_id) AS df
+      |        FROM posting GROUP BY gram)
+      |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS total_ngrams,
+      |  CAST(SUM(CASE WHEN df >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS dup_ngrams,
+      |  CASE WHEN COUNT(*) > 0
+      |       THEN SUM(CASE WHEN df >= 2 THEN 1 ELSE 0 END)::DOUBLE / COUNT(*)::DOUBLE
+      |       ELSE 0.0 END AS dup_ratio
+      |FROM posting JOIN dfs ON posting.gram = dfs.gv
+      |GROUP BY doc_id
+      |ORDER BY doc_id""".stripMargin
+
+  /** Corpus-duplicated 5-gram REMOVAL: tokens covered by any cross-document
+    * duplicated 5-gram are dropped and the survivors rejoined. md5 keeps
+    * the rebuilt text compact in the compare, as in [[segmentDedupQ]].
+    */
+  def dedupNgramMaskQ(s: SparkSession, dir: String): DataFrame =
+    graft.operators.TextIndex.duplicateNgramMask(
+        T(s, dir, "documents"), col("doc_id"), col("text"), n = 5, minDf = 2)
+      .select(col("id").as("doc_id"), col("n_tok"), col("n_removed"),
+        md5(col("clean_text")).as("clean_md5"))
+      .orderBy(col("doc_id"))
+
+  val dedupNgramMaskOracle: String =
+    """WITH t AS (
+      |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
+      |  FROM documents),
+      |g AS (
+      |  SELECT doc_id, toks,
+      |    CASE WHEN len(toks) < 5 THEN [array_to_string(toks, ' ')]
+      |         ELSE list_transform(range(1, len(toks) - 3),
+      |                i -> array_to_string(toks[i:i+4], ' ')) END AS grams
+      |  FROM t),
+      |gp AS (SELECT doc_id, unnest(grams) AS gram,
+      |         unnest(range(0, len(grams))) AS pos FROM g),
+      |dfs AS (SELECT gram AS gv, COUNT(DISTINCT doc_id) AS df
+      |        FROM gp GROUP BY gram),
+      |dpos AS (SELECT gp.doc_id, list_sort(list(gp.pos)) AS dps
+      |         FROM gp JOIN dfs ON gp.gram = dfs.gv
+      |         WHERE dfs.df >= 2 GROUP BY gp.doc_id),
+      |m AS (SELECT g.doc_id, g.toks, COALESCE(d.dps, CAST([] AS BIGINT[])) AS dps
+      |      FROM g LEFT JOIN dpos d ON g.doc_id = d.doc_id)
+      |SELECT doc_id, CAST(len(toks) AS INTEGER) AS n_tok,
+      |  CAST(len(toks) - len(list_filter(toks, (x, i) ->
+      |    len(list_filter(dps, s -> s <= i - 1 AND s + 4 >= i - 1)) = 0)) AS INTEGER) AS n_removed,
+      |  md5(COALESCE(array_to_string(list_filter(toks, (x, i) ->
+      |    len(list_filter(dps, s -> s <= i - 1 AND s + 4 >= i - 1)) = 0), ' '), '')) AS clean_md5
+      |FROM m
+      |ORDER BY doc_id""".stripMargin
+
   // ------------------------------------------------------- vocabulary coverage
 
   /** Top-10-vocabulary coverage per document — the common-token quality
@@ -2020,6 +2092,8 @@ object Pipeline {
     Q("source_overlap", sourceOverlap, Some(sourceOverlapOracle)),
     Q("dedup_canonical", dedupCanonical, Some(dedupCanonicalOracle)),
     Q("segment_dedup", segmentDedupQ, Some(segmentDedupOracle)),
+    Q("dup_ngram_profile", dupNgramProfileQ, Some(dupNgramProfileOracle)),
+    Q("dedup_ngram_mask", dedupNgramMaskQ, Some(dedupNgramMaskOracle)),
     Q("vocab_coverage", vocabCoverageQ, Some(vocabCoverageOracle)),
     Q("bigram_familiarity", bigramFamiliarityQ, Some(bigramFamiliarityOracle)),
     Q("dedup_exact", dedupExact, Some(dedupExactOracle)),

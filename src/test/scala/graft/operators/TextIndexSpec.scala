@@ -76,4 +76,44 @@ class TextIndexSpec extends SparkSpec {
     assert(out(2) === ((3L, 0L, 0L, 0L, 0.0)))
     assert(out(3) === ((4L, 0L, 0L, 0L, 0.0)))
   }
+
+  test("duplicateNgramProfile counts corpus-duplicated positional n-grams") {
+    val docs = Seq(
+      (1L, "a b c d e f g"),     // 3-grams: abc bcd cde def efg
+      (2L, "x y a b c d w"),     // shares "a b c", "b c d" with doc 1
+      (3L, "p q r"),             // one 3-gram, unique
+      (4L, "s t")                // short doc → ONE whole-text gram
+    ).toDF("id", "text")
+    val out = TextIndex.duplicateNgramProfile(docs, col("id"), col("text"), n = 3)
+      .as[(Long, Long, Long, Double)].collect().sortBy(_._1)
+    assert(out(0) === ((1L, 5L, 2L, 0.4)))  // abc + bcd duplicated
+    assert(out(1) === ((2L, 5L, 2L, 0.4)))
+    assert(out(2) === ((3L, 1L, 0L, 0.0)))
+    assert(out(3) === ((4L, 1L, 0L, 0.0)))
+  }
+
+  test("duplicateNgramMask removes covered tokens, keeps the rest in order") {
+    val docs = Seq(
+      (1L, "a b c d e f g"),     // dup grams at pos 0 (abc), 1 (bcd) → tokens 0..3 covered
+      (2L, "x y a b c d w"),     // dup grams at pos 2, 3 → tokens 2..5 covered
+      (3L, "p q r")              // untouched
+    ).toDF("id", "text")
+    val out = TextIndex.duplicateNgramMask(docs, col("id"), col("text"), n = 3)
+      .as[(Long, Int, Int, String)].collect().sortBy(_._1)
+    assert(out(0) === ((1L, 7, 4, "e f g")))
+    assert(out(1) === ((2L, 7, 4, "x y w")))
+    assert(out(2) === ((3L, 3, 0, "p q r")))
+  }
+
+  test("duplicateNgramMask: a short doc duplicated whole empties out") {
+    val docs = Seq(
+      (1L, "s t"), (2L, "s t"),  // whole-text gram duplicated → all covered
+      (3L, "u v")
+    ).toDF("id", "text")
+    val out = TextIndex.duplicateNgramMask(docs, col("id"), col("text"), n = 3)
+      .as[(Long, Int, Int, String)].collect().sortBy(_._1)
+    assert(out(0) === ((1L, 2, 2, "")))
+    assert(out(1) === ((2L, 2, 2, "")))
+    assert(out(2) === ((3L, 2, 0, "u v")))
+  }
 }
