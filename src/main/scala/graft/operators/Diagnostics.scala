@@ -22,6 +22,34 @@ object Diagnostics {
     * exact pass is too much and an approximate answer steers the decision.
     * Output: (key, cnt, share, salt_factor), heaviest first.
     */
+  /** Dataset-card summary of a text corpus, per language plus an all-corpus
+    * rollup row (lang = "*"): doc counts, distinct sources, token/char
+    * totals, exact-ratio mean length, and the count of sub-`shortTokens`
+    * docs — the first page of a dataset card, from one aggregation.
+    *
+    * One pass: a map-only projection (token count is a native one-pass
+    * size, no explode) into a ROLLUP aggregation — partial-aggregated
+    * map-side, shuffling one row per (lang, partition). countDistinct
+    * expands the rollup internally but stays keyed on (lang, source):
+    * thousands of groups at most, independent of corpus size.
+    */
+  def corpusReport(df: DataFrame, lang: Column, source: Column, text: Column,
+      shortTokens: Int = 16): DataFrame =
+    df.select(lang.as("lang"), source.as("source"),
+        graft.functions.TextFunctions.tokenCountWs(text).as("ntok"),
+        length(text).as("nchr"))
+      .rollup(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(col("source")).as("n_sources"),
+        sum(col("ntok").cast("long")).as("total_tokens"),
+        sum(col("nchr").cast("long")).as("total_chars"),
+        sum(when(col("ntok") < shortTokens, 1L).otherwise(0L)).as("n_short"))
+      .select(coalesce(col("lang"), lit("*")).as("lang"), col("n_docs"),
+        col("n_sources"), col("total_tokens"), col("total_chars"),
+        (col("total_tokens").cast("double") / col("n_docs").cast("double"))
+          .as("avg_tokens"),
+        col("n_short"))
+
   def skewReport(df: DataFrame, key: Column, topN: Int = 20,
       partitions: Int = 32): DataFrame = {
     require(topN > 0 && partitions > 0, s"topN=$topN partitions=$partitions")

@@ -1633,6 +1633,32 @@ object Pipeline {
       |ORDER BY cnt DESC, key
       |LIMIT 20""".stripMargin
 
+  /** Dataset-card summary of the documents corpus: per-language rows plus
+    * the all-corpus rollup (lang = "*").
+    */
+  def corpusReportQ(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Diagnostics.corpusReport(
+        T(s, dir, "documents"), col("lang"), col("source"), col("text"),
+        shortTokens = 16)
+      .orderBy(col("lang"))
+
+  val corpusReportOracle: String =
+    """WITH d AS (
+      |  SELECT lang, source,
+      |    len(string_split_regex(trim(text), '\s+')) AS ntok,
+      |    length(text) AS nchr
+      |  FROM documents)
+      |SELECT COALESCE(lang, '*') AS lang,
+      |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |  CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources,
+      |  CAST(SUM(ntok) AS BIGINT) AS total_tokens,
+      |  CAST(SUM(nchr) AS BIGINT) AS total_chars,
+      |  SUM(ntok)::DOUBLE / COUNT(*)::DOUBLE AS avg_tokens,
+      |  CAST(SUM(CASE WHEN ntok < 16 THEN 1 ELSE 0 END) AS BIGINT) AS n_short
+      |FROM d
+      |GROUP BY ROLLUP(lang)
+      |ORDER BY lang""".stripMargin
+
   // ------------------------------------------------- incremental near-dup dedup
 
   /** Continuous-ingestion near-dup dedup: docs < 250 are the admitted
@@ -2089,6 +2115,7 @@ object Pipeline {
     Q("quality_filter", qualityFilterQ, Some(qualityFilterOracle)),
     Q("dedup_incremental", dedupIncremental, Some(dedupIncrementalOracle)),
     Q("skew_report", skewReportQ, Some(skewReportOracle)),
+    Q("corpus_report", corpusReportQ, Some(corpusReportOracle)),
     Q("source_overlap", sourceOverlap, Some(sourceOverlapOracle)),
     Q("dedup_canonical", dedupCanonical, Some(dedupCanonicalOracle)),
     Q("segment_dedup", segmentDedupQ, Some(segmentDedupOracle)),

@@ -30,4 +30,20 @@ class DiagnosticsSpec extends SparkSpec {
     assert(got.length === 5)
     assert(got.map(_._2).toSeq === Seq(50L, 49L, 48L, 47L, 46L))
   }
+
+  test("corpusReport: per-lang rows plus an all-corpus rollup, exact ratios") {
+    val docs = Seq(
+      ("en", "web", "one two three"),
+      ("en", "books", "a b"),
+      ("de", "web", "eins zwei drei vier")
+    ).toDF("lang", "source", "text")
+    val got = Diagnostics.corpusReport(docs, col("lang"), col("source"),
+        col("text"), shortTokens = 3)
+      .as[(String, Long, Long, Long, Long, Double, Long)]
+      .collect().sortBy(_._1)
+    //                       lang docs srcs toks chars      avg  short
+    assert(got(0) === (("*",   3L,  2L,  9L, 35L, 3.0, 1L)))
+    assert(got(1) === (("de",  1L,  1L,  4L, 19L, 4.0, 0L)))
+    assert(got(2) === (("en",  2L,  2L,  5L, 16L, 2.5, 1L)))
+  }
 }
