@@ -70,6 +70,78 @@ object Similarity {
     * 10⁹+ vectors, swap [[bruteForceTopK]] for the bucketed
     * [[lshTopK]]/[[ivfTopKWith]] over the same kept frame.
     */
+  /** Diverse top-k by maximal marginal relevance (Carbonell & Goldstein
+    * 1998): shortlist the `shortlist` most-relevant candidates per query
+    * exactly, then greedily re-rank — each step picks the candidate
+    * maximizing `relWeight·rel(c) − divWeight·max_{s∈selected} cos(c, s)`
+    * (ties toward the smaller id). Returns (query_id, neighbor_id, rank,
+    * score) with `rank` the greedy pick order.
+    *
+    * The greedy loop is inherently sequential per query, so it runs in
+    * [[org.apache.spark.sql.KeyValueGroupedDataset.flatMapGroups]] over
+    * BOUNDED groups: each group holds at most `shortlist` (id, vector, rel)
+    * rows by construction — O(k·shortlist·dim) work per query, no window
+    * over the corpus, and the only data past the shortlist scan is
+    * shortlist×(8-byte id + vector) per query. The corpus-sized work stays
+    * in [[bruteForceTopK]]'s broadcast scan (swap in an ANN shortlist —
+    * [[lshTopK]]/[[ivfTopKWith]] — for 10⁹-vector corpora).
+    *
+    * Float discipline: rel and pairwise cos come from the same index-order
+    * double folds as the native expression, and the score is always
+    * computed as `relWeight·rel − divWeight·maxSim` (maxSim = 0.0 for the
+    * first pick), so results replay bit-identically in SQL.
+    */
+  def mmrTopK(queries: DataFrame, corpus: DataFrame, k: Int,
+      shortlist: Int = 10, relWeight: Double = 0.7,
+      divWeight: Double = 0.3): DataFrame = {
+    require(k <= shortlist, s"k=$k must be <= shortlist=$shortlist")
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val short = bruteForceTopK(queries, corpus, shortlist)
+    val cand = short.join(
+        corpus.select(col("vec_id").as("neighbor_id"), col("embedding").as("nv")),
+        Seq("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"), col("cos"), col("nv"))
+      .as[(Long, Long, Double, Seq[Float])]
+    def cos(a: Seq[Float], b: Seq[Float]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) {
+        d += a(i).toDouble * b(i).toDouble
+        na += a(i).toDouble * a(i).toDouble
+        nb += b(i).toDouble * b(i).toDouble
+        i += 1
+      }
+      d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    cand.groupByKey(_._1).flatMapGroups { (qid, it) =>
+      val cs = it.toArray.sortBy(c => (c._2))
+      val used = new Array[Boolean](cs.length)
+      val sel = scala.collection.mutable.ArrayBuffer.empty[Seq[Float]]
+      val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Int, Double)]
+      var r = 1
+      while (r <= k && out.length < cs.length) {
+        var bi = -1; var bestScore = Double.NegativeInfinity
+        var i = 0
+        while (i < cs.length) {
+          if (!used(i)) {
+            val maxSim = if (sel.isEmpty) 0.0
+              else { var m = Double.NegativeInfinity
+                sel.foreach(s => m = math.max(m, cos(cs(i)._4, s))); m }
+            val score = relWeight * cs(i)._3 - divWeight * maxSim
+            // ids ascend in cs, so strict > keeps the smallest id on ties
+            if (score > bestScore) { bestScore = score; bi = i }
+          }
+          i += 1
+        }
+        used(bi) = true
+        sel += cs(bi)._4
+        out += ((qid, cs(bi)._2, r, bestScore))
+        r += 1
+      }
+      out.iterator
+    }.toDF("query_id", "neighbor_id", "rank", "score")
+  }
+
   def filteredTopK(queries: DataFrame, corpus: DataFrame, keep: DataFrame,
       k: Int, includeSelf: Boolean = false): DataFrame = {
     val kept = corpus.join(keep.select(col("vec_id")), Seq("vec_id"), "left_semi")

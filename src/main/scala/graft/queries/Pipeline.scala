@@ -310,6 +310,82 @@ object Pipeline {
        |FROM assign a LEFT JOIN dropped d ON a.vec_id = d.vec_id
        |ORDER BY id""".stripMargin
 
+  /** Diverse top-5 via maximal marginal relevance: exact top-10 shortlist,
+    * then greedy re-rank with weights 0.7·relevance − 0.3·max-similarity.
+    */
+  def simMmrTopk(s: SparkSession, dir: String): DataFrame = {
+    val emb = T(s, dir, "embeddings")
+    graft.operators.Similarity.mmrTopK(
+        emb.filter(col("vec_id") < 20), emb, k = 5, shortlist = 10,
+        relWeight = 0.7, divWeight = 0.3)
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  /** The greedy MMR loop unrolled to `k` argmax CTE stages — each stage
+    * picks ROW_NUMBER()=1 by score (ties → smaller id) among candidates
+    * not yet selected, carrying the picks forward. Identical float ops to
+    * the engine (wRel·rel − wDiv·maxSim, maxSim via GREATEST), so scores
+    * replay bit-identically.
+    */
+  private def mmrOracle(k: Int, shortlist: Int,
+      wRel: String, wDiv: String): String = {
+    val stages = (1 to k).map { r =>
+      if (r == 1)
+        s"""s1 AS (
+           |  SELECT query_id, neighbor_id AS p1, score AS sc1 FROM (
+           |    SELECT query_id, neighbor_id, $wRel * rel - $wDiv * 0 AS score,
+           |      ROW_NUMBER() OVER (PARTITION BY query_id
+           |        ORDER BY $wRel * rel - $wDiv * 0 DESC, neighbor_id) AS rn
+           |    FROM cand) t WHERE rn = 1)""".stripMargin
+      else {
+        val carryOut = (1 until r).map(j => s"p$j, sc$j").mkString(", ")
+        val carryIn = (1 until r).map(j => s"s.p$j, s.sc$j").mkString(", ")
+        val simJoins = (1 until r).map(j =>
+          s"""  JOIN cc m$j ON m$j.query_id = c.query_id
+             |    AND m$j.ia = c.neighbor_id AND m$j.ib = s.p$j""".stripMargin)
+          .mkString("\n")
+        val score = s"$wRel * c.rel - $wDiv * GREATEST(${
+          (1 until r).map(j => s"m$j.sim").mkString(", ")})"
+        val excl = (1 until r).map(j => s"c.neighbor_id <> s.p$j")
+          .mkString(" AND ")
+        s"""s$r AS (
+           |  SELECT query_id, $carryOut, neighbor_id AS p$r, score AS sc$r FROM (
+           |    SELECT c.query_id, $carryIn, c.neighbor_id, $score AS score,
+           |      ROW_NUMBER() OVER (PARTITION BY c.query_id
+           |        ORDER BY $score DESC, c.neighbor_id) AS rn
+           |    FROM cand c JOIN s${r - 1} s ON c.query_id = s.query_id
+           |$simJoins
+           |    WHERE $excl) t WHERE rn = 1)""".stripMargin
+      }
+    }.mkString(",\n")
+    val finalSel = (1 to k).map(r =>
+      s"SELECT query_id, p$r AS neighbor_id, CAST($r AS INTEGER) AS rank, sc$r AS score FROM s$k")
+      .mkString("\nUNION ALL ")
+    s"""WITH $normsCte,
+       |scored AS (
+       |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+       |    ${dotSql("q", "c")} / (q.nrm * c.nrm) AS rel
+       |  FROM n q JOIN n c ON q.vec_id < 20 AND q.vec_id <> c.vec_id),
+       |cand AS (
+       |  SELECT query_id, neighbor_id, rel FROM (
+       |    SELECT query_id, neighbor_id, rel,
+       |      ROW_NUMBER() OVER (PARTITION BY query_id
+       |        ORDER BY rel DESC, neighbor_id) AS rn
+       |    FROM scored) t WHERE rn <= $shortlist),
+       |cc AS (
+       |  SELECT a.query_id, a.neighbor_id AS ia, b.neighbor_id AS ib,
+       |    ${dotSql("na", "nb")} / (na.nrm * nb.nrm) AS sim
+       |  FROM cand a JOIN cand b ON a.query_id = b.query_id
+       |    AND a.neighbor_id <> b.neighbor_id
+       |  JOIN n na ON na.vec_id = a.neighbor_id
+       |  JOIN n nb ON nb.vec_id = b.neighbor_id),
+       |$stages
+       |$finalSel
+       |ORDER BY query_id, rank""".stripMargin
+  }
+
+  val simMmrTopkOracle: String = mmrOracle(5, 10, "0.7", "0.3")
+
   /** IVF-Flat top-5: deterministic modulus-sampled centroids, nprobe=2. */
   def simIvf(s: SparkSession, dir: String): DataFrame = {
     val emb = T(s, dir, "embeddings")
@@ -2150,6 +2226,7 @@ object Pipeline {
     Q("dedup_embedding", dedupEmbedding, Some(dedupEmbeddingOracle)),
     Q("dedup_semantic", dedupSemantic, Some(dedupSemanticOracle)),
     Q("sim_bruteforce_topk", simBruteForce, Some(simBruteForceOracle)),
+    Q("sim_mmr_topk", simMmrTopk, Some(simMmrTopkOracle)),
     Q("sim_filtered_topk", simFilteredTopk, Some(simFilteredTopkOracle)),
     Q("sim_quantized_topk", simQuantized, Some(simQuantizedOracle)),
     Q("sim_knn_label", simKnnLabel, Some(simKnnLabelOracle)),

@@ -436,4 +436,46 @@ class SimilaritySpec extends SparkSpec {
     assert(got.groupBy("query_id").count().as[(Long, Long)].collect()
       .forall(_._2 === 4L))
   }
+
+  test("mmrTopK replays a driver-side greedy MMR over the exact shortlist") {
+    val df = vectors(30, 8, seed = 11).cache()
+    val (wRel, wDiv, k, shortlist) = (0.7, 0.3, 4, 8)
+    val got = Similarity.mmrTopK(df.filter(col("vec_id") < 3), df,
+        k = k, shortlist = shortlist, relWeight = wRel, divWeight = wDiv)
+      .orderBy("query_id", "rank")
+      .as[(Long, Long, Int, Double)].collect()
+
+    val all = df.as[(Long, Array[Float])].collect()
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0
+      for (i <- a.indices) {
+        d += a(i).toDouble * b(i).toDouble
+        na += a(i).toDouble * a(i).toDouble
+        nb += b(i).toDouble * b(i).toDouble
+      }
+      d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val expect = all.filter(_._1 < 3).sortBy(_._1).flatMap { case (qid, qv) =>
+      val cand = all.filter(_._1 != qid)
+        .map { case (nid, nv) => (nid, nv, cos(qv, nv)) }
+        .sortBy { case (nid, _, c) => (-c, nid) }.take(shortlist)
+      val sel = scala.collection.mutable.ArrayBuffer.empty[(Long, Array[Float])]
+      val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Int, Double)]
+      (1 to k).foreach { r =>
+        val scored = cand.filter(c => !sel.exists(_._1 == c._1)).map { c =>
+          val maxSim = if (sel.isEmpty) 0.0 else sel.map(s => cos(c._2, s._2)).max
+          (c._1, c._2, wRel * c._3 - wDiv * maxSim)
+        }
+        val best = scored.minBy { case (nid, _, sc) => (-sc, nid) }
+        sel += ((best._1, best._2))
+        out += ((qid, best._1, r, best._3))
+      }
+      out
+    }
+    assert(got.toSeq === expect.toSeq)
+    // diversity actually kicks in: greedy order differs from pure relevance
+    val pureRel = Similarity.bruteForceTopK(df.filter(col("vec_id") < 3), df, k)
+      .orderBy("query_id", "rank").as[(Long, Long, Int, Double)].collect()
+    assert(got.map(r => (r._1, r._2)).toSeq !== pureRel.map(r => (r._1, r._2)).toSeq)
+  }
 }
