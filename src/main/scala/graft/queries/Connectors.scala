@@ -275,7 +275,7 @@ object Connectors {
     * Window: [2024-01-10, 2024-01-20) UTC.
     */
   def kfPullWindow(s: SparkSession, dir: String): DataFrame = {
-    val log = KafkaWindow.fromEvents(T(s, dir, "events"))
+    val log = KafkaWindow.fromEvents(T.events(s, dir))
     KafkaWindow.pull(log, 1704844800000L, 1705708800000L, "click", "view")
       .groupBy(col("t"))
       .agg(count(lit(1)).as("n"), min(col("ct")).as("min_ct"), max(col("ct")).as("max_ct"),
@@ -295,7 +295,7 @@ object Connectors {
 
   /** kf_topics: distinct (topic, partition) of the log. */
   def kfTopics(s: SparkSession, dir: String): DataFrame =
-    KafkaWindow.topics(KafkaWindow.fromEvents(T(s, dir, "events")))
+    KafkaWindow.topics(KafkaWindow.fromEvents(T.events(s, dir)))
       .orderBy(col("t"), col("p"))
 
   val kfTopicsOracle: String =

@@ -358,9 +358,10 @@ object Relational {
 
   /** Sessionization: 30-minute-gap sessions per user via lag window. */
   def q14Sessionize(s: SparkSession, dir: String): DataFrame = {
-    // events.ts arrives as BIGINT nanoseconds (see GraftSession.configure);
-    // integer-divide to microseconds to match DuckDB's epoch_us truncation.
-    val e = T(s, dir, "events")
+    // T.events normalizes ts to BIGINT nanoseconds whichever physical type
+    // the file carries; integer-divide to microseconds to match DuckDB's
+    // epoch_us truncation.
+    val e = T.events(s, dir)
     e.select(col("user_id"), col("event_id"), expr("ts DIV 1000").as("us"))
       .withColumn("prev_us", lag(col("us"), 1).over(
         Window.partitionBy(col("user_id")).orderBy(col("us"), col("event_id"))))

@@ -1,6 +1,8 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.{col, unix_micros}
+import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
 
 package object queries {
 
@@ -20,5 +22,33 @@ package object queries {
   object T {
     def apply(spark: SparkSession, dir: String, name: String): DataFrame =
       spark.read.parquet(s"$dir/$name.parquet")
+
+    /** events table with `ts` normalized to BIGINT epoch NANOSECONDS —
+      * the engine-wide contract every ts consumer codes against
+      * ([[graft.streaming.Streams.withEventTime]],
+      * [[graft.connectors.KafkaWindow.fromEvents]]).
+      *
+      * The driver has generated this file with two different physical
+      * types across rounds — TIMESTAMP(NANOS) (read as BIGINT under
+      * `spark.sql.legacy.parquet.nanosAsLong`, set in
+      * GraftSession.configure) and TIMESTAMP(MICROS) (read as
+      * TIMESTAMP_NTZ) — so normalize by the ARRIVED type instead of
+      * assuming either. The UTC session time zone (same place) makes the
+      * NTZ→instant cast exact; the micros→nanos multiply cannot overflow
+      * until year 2262. DuckDB oracles are unaffected: they read the
+      * timestamp natively and use epoch_us/epoch_ms.
+      */
+    def events(spark: SparkSession, dir: String): DataFrame = {
+      val raw = apply(spark, dir, "events")
+      raw.schema("ts").dataType match {
+        case LongType => raw // TIMESTAMP(NANOS) + nanosAsLong → already nanos
+        case TimestampNTZType | TimestampType =>
+          raw.withColumn("ts",
+            unix_micros(col("ts").cast(TimestampType)) * 1000L)
+        case other =>
+          throw new IllegalStateException(
+            s"events.ts arrived as unsupported type $other")
+      }
+    }
   }
 }

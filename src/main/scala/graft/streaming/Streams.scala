@@ -111,10 +111,26 @@ object Streams {
     }
   }
 
-  /** events table (ts = BIGINT nanoseconds) → typed event-time column. */
+  /** events table → typed event-time column, normalizing whichever
+    * physical type `ts` arrived as: BIGINT epoch nanoseconds (the
+    * TIMESTAMP(NANOS) parquet encoding under `nanosAsLong` — truncated to
+    * the microsecond Spark can represent) or a timestamp column directly
+    * (TIMESTAMP(MICROS); NTZ values are wall-clock UTC under the engine's
+    * UTC session zone, so the cast is exact). See `queries.T.events` for
+    * the same dual-encoding note on the batch side.
+    */
   def withEventTime(events: DataFrame, tsCol: String = "ts",
       out: String = "event_time"): DataFrame =
-    events.withColumn(out, timestamp_micros(expr(s"$tsCol DIV 1000")))
+    events.schema(tsCol).dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        events.withColumn(out, timestamp_micros(expr(s"$tsCol DIV 1000")))
+      case org.apache.spark.sql.types.TimestampNTZType |
+           org.apache.spark.sql.types.TimestampType =>
+        events.withColumn(out,
+          col(tsCol).cast(org.apache.spark.sql.types.TimestampType))
+      case other => throw new IllegalStateException(
+        s"$tsCol arrived as unsupported event-time type $other")
+    }
 
   /** Tumbling-window counts per key with a watermark: the canonical
     * windowed aggregation (append-safe on streams).

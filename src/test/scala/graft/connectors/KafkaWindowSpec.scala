@@ -110,7 +110,9 @@ class KafkaWindowSpec extends SparkSpec {
 
   test("fromEvents maps the events table to the log contract") {
     val dir = "/root/testdata/sf0.001"
-    val ev = spark.read.parquet(s"$dir/events.parquet")
+    // T.events normalizes ts to BIGINT nanos (fromEvents's input contract)
+    // whichever physical type the driver generated the file with
+    val ev = graft.queries.T.events(spark, dir)
     val l = KafkaWindow.fromEvents(ev)
     assert(l.columns === Array("t", "p", "o", "ct", "k", "v"))
     assert(l.count() === ev.count())
