@@ -50,6 +50,31 @@ object Diagnostics {
           .as("avg_tokens"),
         col("n_short"))
 
+  /** Corpus snapshot diff for incremental pipelines: compare two versions
+    * of a document table by content fingerprint and classify every id as
+    * added / removed / changed / unchanged — the pre-flight that decides
+    * whether an incremental run (dedup state update, embedding refresh)
+    * is worth it and which ids it must touch. Output: (id, status).
+    *
+    * One full-outer join on the id carrying only 8-byte md5-derived
+    * fingerprints — document bodies are hashed where they lie and never
+    * shuffle. Co-partition/bucket both versions by id to make the join
+    * shuffle-free on repeated runs.
+    */
+  def corpusDiff(oldDf: DataFrame, newDf: DataFrame, id: Column,
+      text: Column): DataFrame = {
+    val o = oldDf.select(id.as("id"),
+      graft.functions.TextFunctions.fingerprint64(text).as("__ofp"))
+    val n = newDf.select(id.as("id"),
+      graft.functions.TextFunctions.fingerprint64(text).as("__nfp"))
+    o.join(n, Seq("id"), "full_outer")
+      .select(col("id"),
+        when(col("__ofp").isNull, lit("added"))
+          .when(col("__nfp").isNull, lit("removed"))
+          .when(col("__ofp") =!= col("__nfp"), lit("changed"))
+          .otherwise(lit("unchanged")).as("status"))
+  }
+
   def skewReport(df: DataFrame, key: Column, topN: Int = 20,
       partitions: Int = 32): DataFrame = {
     require(topN > 0 && partitions > 0, s"topN=$topN partitions=$partitions")

@@ -142,6 +142,37 @@ object Similarity {
     }.toDF("query_id", "neighbor_id", "rank", "score")
   }
 
+  /** Hard-negative mining for contrastive training: for each query, the
+    * `k` most-similar corpus vectors whose `label` DIFFERS from the
+    * query's — the near-misses a contrastive loss learns most from
+    * (in-batch random negatives are mostly trivial). Both frames need
+    * (vec_id, embedding, label). Output: (query_id, neighbor_id,
+    * neighbor_label, rank, cos).
+    *
+    * Same scale shape as [[bruteForceTopK]]: queries broadcast, one corpus
+    * scan, the label predicate fused into the join condition (filtered
+    * before scoring), bounded partial top-k — no window, no shuffle of
+    * corpus rows. For 10⁹-vector corpora swap the scan for an ANN
+    * shortlist and post-filter by label with a larger k.
+    */
+  def hardNegatives(queries: DataFrame, corpus: DataFrame, k: Int): DataFrame = {
+    val q = broadcast(queries.select(col("vec_id").as("query_id"),
+      col("embedding").as("qv"), col("label").as("qlabel")))
+    val c = corpus.select(col("vec_id").as("neighbor_id"),
+      col("embedding").as("cv"), col("label").as("nlabel"))
+    val scored = c.join(q,
+        col("query_id") =!= col("neighbor_id") && col("qlabel") =!= col("nlabel"))
+      .select(col("query_id"), col("neighbor_id"), col("nlabel"),
+        VectorFunctions.cosineSim(col("qv"), col("cv")).as("cos"))
+    // carry the label through the bounded top-k by re-joining on the
+    // (small) result instead of widening the aggregator payload
+    topKPerQuery(scored.select(col("query_id"), col("neighbor_id"), col("cos")), k)
+      .join(c.select(col("neighbor_id"), col("nlabel").as("neighbor_label")),
+        Seq("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"), col("neighbor_label"),
+        col("rank"), col("cos"))
+  }
+
   def filteredTopK(queries: DataFrame, corpus: DataFrame, keep: DataFrame,
       k: Int, includeSelf: Boolean = false): DataFrame = {
     val kept = corpus.join(keep.select(col("vec_id")), Seq("vec_id"), "left_semi")

@@ -310,6 +310,32 @@ object Pipeline {
        |FROM assign a LEFT JOIN dropped d ON a.vec_id = d.vec_id
        |ORDER BY id""".stripMargin
 
+  /** Hard negatives for contrastive training: top-5 most-similar vectors
+    * with a DIFFERENT label per query.
+    */
+  def simHardNegatives(s: SparkSession, dir: String): DataFrame = {
+    val emb = T(s, dir, "embeddings")
+    graft.operators.Similarity.hardNegatives(
+        emb.filter(col("vec_id") < 20), emb, k = 5)
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  val simHardNegativesOracle: String =
+    s"""WITH scored AS (
+       |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+       |    c.label AS neighbor_label,
+       |    ${cosSql("q.embedding", "c.embedding")} AS cos
+       |  FROM embeddings q JOIN embeddings c
+       |    ON q.vec_id < 20 AND q.vec_id <> c.vec_id AND q.label <> c.label
+       |), ranked AS (
+       |  SELECT query_id, neighbor_id, neighbor_label, cos,
+       |    CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+       |      ORDER BY cos DESC, neighbor_id) AS INTEGER) AS rank
+       |  FROM scored)
+       |SELECT query_id, neighbor_id, neighbor_label, rank, cos
+       |FROM ranked WHERE rank <= 5
+       |ORDER BY query_id, rank""".stripMargin
+
   /** Diverse top-5 via maximal marginal relevance: exact top-10 shortlist,
     * then greedy re-rank with weights 0.7·relevance − 0.3·max-similarity.
     */
@@ -1709,6 +1735,33 @@ object Pipeline {
       |ORDER BY cnt DESC, key
       |LIMIT 20""".stripMargin
 
+  /** Corpus snapshot diff: v1 = docs < 450, v2 = docs >= 50 with every
+    * 7th doc's text amended — exercises all four statuses.
+    */
+  def corpusDiffQ(s: SparkSession, dir: String): DataFrame = {
+    val docs = T(s, dir, "documents")
+    val v1 = docs.filter(col("doc_id") < 450)
+    val v2 = docs.filter(col("doc_id") >= 50)
+      .withColumn("text",
+        when(col("doc_id") % 7 === 0, concat(col("text"), lit(" v2")))
+          .otherwise(col("text")))
+    graft.operators.Diagnostics.corpusDiff(v1, v2, col("doc_id"), col("text"))
+      .orderBy(col("id"))
+  }
+
+  val corpusDiffOracle: String =
+    """WITH o AS (SELECT doc_id AS id, text FROM documents WHERE doc_id < 450),
+      |nw AS (SELECT doc_id AS id,
+      |         CASE WHEN doc_id % 7 = 0 THEN text || ' v2' ELSE text END AS text
+      |       FROM documents WHERE doc_id >= 50)
+      |SELECT COALESCE(o.id, nw.id) AS id,
+      |  CASE WHEN o.id IS NULL THEN 'added'
+      |       WHEN nw.id IS NULL THEN 'removed'
+      |       WHEN o.text <> nw.text THEN 'changed'
+      |       ELSE 'unchanged' END AS status
+      |FROM o FULL OUTER JOIN nw ON o.id = nw.id
+      |ORDER BY id""".stripMargin
+
   /** Dataset-card summary of the documents corpus: per-language rows plus
     * the all-corpus rollup (lang = "*").
     */
@@ -2192,6 +2245,7 @@ object Pipeline {
     Q("dedup_incremental", dedupIncremental, Some(dedupIncrementalOracle)),
     Q("skew_report", skewReportQ, Some(skewReportOracle)),
     Q("corpus_report", corpusReportQ, Some(corpusReportOracle)),
+    Q("corpus_diff", corpusDiffQ, Some(corpusDiffOracle)),
     Q("source_overlap", sourceOverlap, Some(sourceOverlapOracle)),
     Q("dedup_canonical", dedupCanonical, Some(dedupCanonicalOracle)),
     Q("segment_dedup", segmentDedupQ, Some(segmentDedupOracle)),
@@ -2227,6 +2281,7 @@ object Pipeline {
     Q("dedup_semantic", dedupSemantic, Some(dedupSemanticOracle)),
     Q("sim_bruteforce_topk", simBruteForce, Some(simBruteForceOracle)),
     Q("sim_mmr_topk", simMmrTopk, Some(simMmrTopkOracle)),
+    Q("sim_hard_negatives", simHardNegatives, Some(simHardNegativesOracle)),
     Q("sim_filtered_topk", simFilteredTopk, Some(simFilteredTopkOracle)),
     Q("sim_quantized_topk", simQuantized, Some(simQuantizedOracle)),
     Q("sim_knn_label", simKnnLabel, Some(simKnnLabelOracle)),

@@ -31,6 +31,15 @@ class DiagnosticsSpec extends SparkSpec {
     assert(got.map(_._2).toSeq === Seq(50L, 49L, 48L, 47L, 46L))
   }
 
+  test("corpusDiff classifies added/removed/changed/unchanged by content") {
+    val v1 = Seq((1L, "alpha"), (2L, "beta"), (3L, "gamma")).toDF("id", "text")
+    val v2 = Seq((2L, "beta"), (3L, "gamma prime"), (4L, "delta")).toDF("id", "text")
+    val got = Diagnostics.corpusDiff(v1, v2, col("id"), col("text"))
+      .as[(Long, String)].collect().sortBy(_._1)
+    assert(got.toSeq === Seq(
+      (1L, "removed"), (2L, "unchanged"), (3L, "changed"), (4L, "added")))
+  }
+
   test("corpusReport: per-lang rows plus an all-corpus rollup, exact ratios") {
     val docs = Seq(
       ("en", "web", "one two three"),

@@ -437,6 +437,28 @@ class SimilaritySpec extends SparkSpec {
       .forall(_._2 === 4L))
   }
 
+  test("hardNegatives returns only cross-label neighbors, ranked like " +
+      "brute force over the cross-label corpus") {
+    val base = vectors(40, 8, seed = 21)
+    val df = base.withColumn("label",
+      (col("vec_id") % 3).cast("int")).cache()
+    val got = Similarity.hardNegatives(df.filter(col("vec_id") < 4), df, k = 5)
+      .orderBy("query_id", "rank")
+      .as[(Long, Long, Int, Int, Double)].collect()
+    // no neighbor shares its query's label
+    got.foreach { case (qid, nid, nlabel, _, _) =>
+      assert(nlabel !== (qid % 3).toInt)
+      assert(nlabel === (nid % 3).toInt)
+    }
+    // ranks are per-query 1..5 with non-increasing cosine
+    got.groupBy(_._1).foreach { case (_, rows) =>
+      assert(rows.map(_._4).sorted.toSeq === (1 to 5))
+      val byRank = rows.sortBy(_._4).map(_._5)
+      assert(byRank.zip(byRank.tail).forall { case (a, b) => a >= b })
+    }
+    assert(got.length === 4 * 5)
+  }
+
   test("mmrTopK replays a driver-side greedy MMR over the exact shortlist") {
     val df = vectors(30, 8, seed = 11).cache()
     val (wRel, wDiv, k, shortlist) = (0.7, 0.3, 4, 8)

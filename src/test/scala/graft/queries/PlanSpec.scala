@@ -209,6 +209,41 @@ class PlanSpec extends SparkSpec {
     assert("ObjectHashAggregate".r.findAllIn(p).size >= 2, p)
   }
 
+  test("dedup_semantic: quantizer broadcasts, assignment is max_by " +
+      "aggregation, no corpus window") {
+    val p = plan(Pipeline.dedupSemantic(spark, dir))
+    assert(p.contains("BroadcastExchange") || p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.contains("max_by"), p)
+    assert("\\bWindow\\b".r.findAllIn(p).isEmpty, p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("dup_ngram_profile: shuffles carry gram fingerprints, no text columns") {
+    val p = plan(Pipeline.dupNgramProfileQ(spark, dir))
+    // every exchange's payload is ids + the 8-byte gram fingerprint; the
+    // gram STRING itself must die in a projection before any exchange
+    val lines = p.linesIterator.toVector
+    val exchangeInputs = lines.zipWithIndex.collect {
+      case (l, i) if l.matches("\\(\\d+\\) (Broadcast)?Exchange.*") => lines(i + 1)
+    }
+    assert(exchangeInputs.nonEmpty, p)
+    exchangeInputs.foreach(inp =>
+      assert(!inp.contains("gram#") && !inp.contains("text#"), inp))
+  }
+
+  test("sim_hard_negatives: probes broadcast, bounded top-k agg, no window") {
+    val p = plan(Pipeline.simHardNegatives(spark, dir))
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"), p)
+    assert(p.contains("ObjectHashAggregate"), p)
+    assert("\\bWindow\\b".r.findAllIn(p).isEmpty, p)
+  }
+
+  test("corpus_report: one partial-then-final aggregation pass, no explode") {
+    val p = plan(Pipeline.corpusReportQ(spark, dir))
+    assert("HashAggregate".r.findAllIn(p).size >= 2, p) // partial map-side
+    assert(!p.contains("Generate"), p) // token count is a size, not explode
+  }
+
   test("zorder key: map-only projection over the pruned scan") {
     val df = T(spark, dir, "orders")
       .filter(org.apache.spark.sql.functions.col("o_orderkey") <= 5000)
