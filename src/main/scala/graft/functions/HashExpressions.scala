@@ -313,6 +313,52 @@ case class WordShingleSet(child: Expression, shingleK: Int)
     copy(child = newChild)
 }
 
+/** POSITIONAL word k-gram 60-bit fingerprints of a token array, one
+  * compiled pass: output[i] = md5-60 of the space-joined gram starting at
+  * token i (docs shorter than k yield ONE whole-text fingerprint) —
+  * bit-identical to `posexplode(wordShingles(text,k))` +
+  * `TextFunctions.fingerprint64(gram)`, but the gram strings never leave
+  * the loop (no per-gram UTF8String allocation in the plan, no
+  * interpreted lambda). Non-distinct by design: the profile/mask
+  * operators need every occurrence with its position.
+  */
+case class ShingleFps60(child: Expression, shingleK: Int)
+    extends UnaryExpression with NativeUnaryCodegen {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = child.nullable
+  override def prettyName: String = "shingle_fps60"
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val toks = input.asInstanceOf[ArrayData]
+    val n = toks.numElements()
+    val words = Array.tabulate(n)(i => toks.getUTF8String(i).toString)
+    val out: Array[Long] =
+      if (n < shingleK) Array(Md5Hash.hash60(words.mkString(" ")))
+      else {
+        val res = new Array[Long](n - shingleK + 1)
+        val sb = new java.lang.StringBuilder
+        var i = 0
+        while (i <= n - shingleK) {
+          sb.setLength(0)
+          var j = 0
+          while (j < shingleK) {
+            if (j > 0) sb.append(' ')
+            sb.append(words(i + j))
+            j += 1
+          }
+          res(i) = Md5Hash.hash60(sb.toString)
+          i += 1
+        }
+        res
+      }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** Winnowing fingerprints (Schleimer/Wilkens/Aiken, SIGMOD'03) over a token
   * array, one compiled pass: ordered word k-shingles → md5-32 hashes →
   * minimum of every `window`-wide sliding window → distinct (first-seen
@@ -383,6 +429,9 @@ object HashFunctions {
   def winnowFingerprints(tokens: Column, shingleK: Int, window: Int): Column =
     ExpressionUtilsShim.column(
       WinnowFingerprints(ExpressionUtilsShim.expr(tokens), shingleK, window))
+  def shingleFps60(tokens: Column, shingleK: Int): Column =
+    ExpressionUtilsShim.column(
+      ShingleFps60(ExpressionUtilsShim.expr(tokens), shingleK))
   def minHashSignature(tokens: Column, shingleK: Int, numHashes: Int): Column =
     ExpressionUtilsShim.column(MinHashSignature(ExpressionUtilsShim.expr(tokens), shingleK, numHashes))
   def simHash60(tokens: Column): Column =

@@ -828,15 +828,8 @@ object Dedup {
       centroids: DataFrame, threshold: Double): DataFrame = {
     import org.apache.spark.sql.graft.VectorFunctions
     val v = widen(df.select(id.as("id"), vec.as("v")))
-    val cents = broadcast(centroids.select(col("cid"), col("cv")))
-    // argmax over broadcast centroids; tie toward the smaller cid via
-    // max over (cos, -cid) — matches the oracle's ORDER BY cos DESC, cid
-    val assigned = v.join(cents, lit(true))
-      .withColumn("__ccos", VectorFunctions.cosineSim(col("v"), col("cv")))
-      .groupBy(col("id"))
-      .agg(max_by(struct(col("cid"), col("v")),
-        struct(col("__ccos"), (-col("cid")).as("nc"))).as("m"))
-      .select(col("id"), col("m.cid").as("cid"), col("m.v").as("v"))
+    val assigned =
+      Similarity.assignToCentroids(v, col("id"), col("v"), centroids)
     val l = assigned.select(col("cid"), col("id").as("id_a"), col("v").as("va"))
     val r = assigned.select(col("cid"), col("id").as("id_b"), col("v").as("vb"))
     val dropped = l.join(r, Seq("cid"))

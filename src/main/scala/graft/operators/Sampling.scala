@@ -96,6 +96,26 @@ object Sampling {
     df.join(broadcast(keep), id.cast("long") === col("__keep_id"), "left_semi")
   }
 
+  /** Cluster-balanced subsampling: assign every embedding to its nearest
+    * centroid ([[Similarity.assignToCentroids]]) and keep a deterministic
+    * fixed-size sample per cluster ([[fixedSizeSample]] on the cell id) —
+    * the diversity-preserving selection step of SemDeDup-style curation
+    * (drop mass from dense regions, keep coverage of sparse ones: uniform
+    * per-cluster instead of uniform per-row). Output: (cid, id).
+    *
+    * Scale shape: broadcast-argmax assignment (n rows exchanged) into the
+    * bounded per-stratum top-k — no per-cluster sort, kept ids broadcast
+    * back as a semi-join. K × n kept rows; everything shuffled is ids and
+    * cell ids.
+    */
+  def clusterBalancedSample(df: DataFrame, id: Column, vec: Column,
+      centroids: DataFrame, nPerCluster: Int): DataFrame = {
+    val asg = Similarity.assignToCentroids(df, id, vec, centroids)
+      .select(col("id"), col("cid"))
+    fixedSizeSample(asg, col("cid"), col("id"), nPerCluster)
+      .select(col("cid"), col("id"))
+  }
+
   /** Deterministic training-epoch shuffle: every row gets a shard id and a
     * position within its shard, both pure functions of (key, epoch) — the
     * global random-order pass a training run needs before sharding data

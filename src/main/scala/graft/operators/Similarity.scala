@@ -142,6 +142,25 @@ object Similarity {
     }.toDF("query_id", "neighbor_id", "rank", "score")
   }
 
+  /** Nearest-centroid assignment of every vector against a broadcast
+    * quantizer (`cid`, `cv`): argmax over cosine, ties toward the smaller
+    * cid — partial-aggregated before its shuffle so the exchange carries n
+    * rows, not n×K. Output: (id, cid, v). The shared cell-assignment step
+    * of [[ivfTopKWith]], [[graft.operators.Dedup.semanticDedup]] and
+    * [[graft.operators.Sampling.clusterBalancedSample]].
+    */
+  def assignToCentroids(df: DataFrame, id: Column, vec: Column,
+      centroids: DataFrame): DataFrame = {
+    val v = df.select(id.as("id"), vec.as("v"))
+    val cents = broadcast(centroids.select(col("cid"), col("cv")))
+    v.join(cents, lit(true))
+      .withColumn("__ccos", VectorFunctions.cosineSim(col("v"), col("cv")))
+      .groupBy(col("id"))
+      .agg(max_by(struct(col("cid"), col("v")),
+        struct(col("__ccos"), (-col("cid")).as("nc"))).as("m"))
+      .select(col("id"), col("m.cid").as("cid"), col("m.v").as("v"))
+  }
+
   /** Hard-negative mining for contrastive training: for each query, the
     * `k` most-similar corpus vectors whose `label` DIFFERS from the
     * query's — the near-misses a contrastive loss learns most from

@@ -143,19 +143,31 @@ object TextIndex {
           x => x.getField("chunk")), " ").as("clean_text"))
   }
 
+  /** Ensure at least default parallelism before per-row gram hashing —
+    * same rationale and probe as [[Dedup.widen]]: a single small parquet
+    * file arrives as ONE partition and would serialize the shingle +
+    * md5 work onto one core (measured 7-14 s vs sub-second at sf0.1).
+    */
+  private def widen(df: DataFrame): DataFrame = {
+    val target = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < target) df.repartition(target) else df
+  }
+
   /** Positional word n-grams hashed to 60-bit fingerprints: (id, pos, gfp)
     * with `pos` the 0-based start token. Shares [[TextFunctions.wordShingles]]
     * semantics (a document shorter than `n` tokens yields ONE whole-text
     * gram at pos 0), so profiles/masks agree with the shingle-based dedup
-    * family. The explode is a narrow projection; everything downstream
-    * joins on the 8-byte fingerprint, never gram text.
+    * family. Gram hashing is the native one-pass
+    * [[org.apache.spark.sql.graft.ShingleFps60]] expression — gram strings
+    * never materialize in the plan, and the explode emits (pos, 8-byte fp)
+    * directly.
     */
   private def positionalGrams(df: DataFrame, id: Column, text: Column,
       n: Int): DataFrame =
-    df.select(id.as("id"),
-        posexplode(TextFunctions.wordShingles(text, n)).as(Seq("pos", "gram")))
-      .select(col("id"), col("pos"),
-        TextFunctions.fingerprint64(col("gram")).as("gfp"))
+    widen(df.select(id.as("id"), text.as("__text")))
+      .select(col("id"),
+        posexplode(org.apache.spark.sql.graft.HashFunctions.shingleFps60(
+          TextFunctions.tokensWs(col("__text")), n)).as(Seq("pos", "gfp")))
 
   /** Corpus-level duplicated-n-gram profile — the measurement half of
     * exact-substring train-set dedup (Lee et al. 2022, "Deduplicating
@@ -208,29 +220,33 @@ object TextIndex {
   def duplicateNgramMask(df: DataFrame, id: Column, text: Column,
       n: Int = 5, minDf: Long = 2): DataFrame = {
     require(minDf >= 2, s"minDf must be >= 2, got $minDf")
-    val base = df.select(id.as("id"), text.as("__text"))
-      .select(col("id"), TextFunctions.tokensWs(col("__text")).as("toks"),
-        TextFunctions.wordShingles(col("__text"), n).as("grams"))
+    val base = widen(df.select(id.as("id"), text.as("__text")))
+      .select(col("id"), TextFunctions.tokensWs(col("__text")).as("toks"))
     val g = base.select(col("id"),
-        posexplode(col("grams")).as(Seq("pos", "gram")))
-      .select(col("id"), col("pos"),
-        TextFunctions.fingerprint64(col("gram")).as("gfp"))
+      posexplode(org.apache.spark.sql.graft.HashFunctions.shingleFps60(
+        col("toks"), n)).as(Seq("pos", "gfp")))
     val dup = g.select(col("gfp"), col("id")).distinct()
       .groupBy(col("gfp")).agg(count(lit(1)).as("df"))
       .filter(col("df") >= minDf)
       .select(col("gfp"))
     val dpos = g.join(dup, Seq("gfp"), "left_semi")
       .groupBy(col("id")).agg(sort_array(collect_list(col("pos"))).as("dps"))
-    val covered = (i: Column, dps: Column) =>
-      exists(dps, s => s <= i && s + lit(n - 1) >= i)
+    // Linear coverage: scatter each dup start into its covered index range
+    // (≤ n ints per dup), subtract from the position sequence with the
+    // hash-based array_except, and gather survivors — O(tokens + n·dups)
+    // per doc, vs the O(tokens × dups) of a per-token exists() scan
+    // (measured 2.6× on the boilerplate-heavy synthetic corpus).
     base.join(dpos, Seq("id"), "left")
       .withColumn("dps",
         coalesce(col("dps"), array().cast("array<int>")))
-      .withColumn("kept",
-        filter(col("toks"), (t, i) => !covered(i, col("dps"))))
+      .withColumn("covered", array_distinct(flatten(transform(col("dps"),
+        s => sequence(s, least(s + lit(n - 1), size(col("toks")) - 1))))))
+      .withColumn("keptPos",
+        array_except(sequence(lit(0), size(col("toks")) - 1), col("covered")))
       .select(col("id"), size(col("toks")).as("n_tok"),
-        (size(col("toks")) - size(col("kept"))).as("n_removed"),
-        array_join(col("kept"), " ").as("clean_text"))
+        (size(col("toks")) - size(col("keptPos"))).as("n_removed"),
+        array_join(transform(col("keptPos"),
+          p => element_at(col("toks"), p + 1)), " ").as("clean_text"))
   }
 
   /** Common-token coverage quality signal: the fraction of each document's

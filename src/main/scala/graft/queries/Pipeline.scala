@@ -412,6 +412,44 @@ object Pipeline {
 
   val simMmrTopkOracle: String = mmrOracle(5, 10, "0.7", "0.3")
 
+  /** Cluster-balanced subsample: nearest-centroid assignment over the
+    * pinned quantizer, then exactly 10 vectors per cluster by md5 rank —
+    * the diversity-preserving selection companion to [[dedupSemantic]].
+    */
+  def samplePerCluster(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val cents = PinnedArtifacts.IvfCentroids16.toDF("cid", "cv")
+    graft.operators.Sampling.clusterBalancedSample(
+        T(s, dir, "embeddings"), col("vec_id"), col("embedding"), cents,
+        nPerCluster = 10)
+      .orderBy(col("cid"), col("id"))
+  }
+
+  def samplePerClusterOracle: String =
+    s"""WITH $normsCte,
+       |cent AS (
+       |  SELECT cid, embedding,
+       |    sqrt(list_reduce(list_transform(range(1, len(embedding) + 1),
+       |      i -> embedding[i]::DOUBLE * embedding[i]::DOUBLE), (x, y) -> x + y)) AS nrm
+       |  FROM (VALUES
+       |${PinnedArtifacts.ivfCentroidsSqlValues}
+       |  ) AS c(cid, embedding)),
+       |ccand AS (
+       |  SELECT v.vec_id, c.cid,
+       |    ROW_NUMBER() OVER (PARTITION BY v.vec_id
+       |      ORDER BY ${dotSql("v", "c")} / (v.nrm * c.nrm) DESC, c.cid) AS crn
+       |  FROM n v CROSS JOIN cent c),
+       |assign AS (SELECT vec_id, cid FROM ccand WHERE crn = 1),
+       |ranked AS (
+       |  SELECT cid, vec_id,
+       |    ROW_NUMBER() OVER (PARTITION BY cid
+       |      ORDER BY ('0x' || substring(md5(CAST(vec_id AS VARCHAR)), 1, 8))::BIGINT,
+       |               vec_id) AS rk
+       |  FROM assign)
+       |SELECT CAST(cid AS BIGINT) AS cid, vec_id AS id
+       |FROM ranked WHERE rk <= 10
+       |ORDER BY cid, id""".stripMargin
+
   /** IVF-Flat top-5: deterministic modulus-sampled centroids, nprobe=2. */
   def simIvf(s: SparkSession, dir: String): DataFrame = {
     val emb = T(s, dir, "embeddings")
@@ -2269,6 +2307,7 @@ object Pipeline {
     Q("decontaminate_bloom", decontaminateBloom, Some(decontaminateBloomOracle)),
     Q("sample_docs", sampleDocs, Some(sampleDocsOracle)),
     Q("sample_per_class", samplePerClass, Some(samplePerClassOracle)),
+    Q("sample_per_cluster", samplePerCluster, Some(samplePerClusterOracle)),
     Q("split_by_hash", splitByHashQ, Some(splitByHashOracle)),
     Q("epoch_shuffle", epochShuffleQ, Some(epochShuffleOracle)),
     Q("mixture_sample", mixtureSampleQ, Some(mixtureSampleOracle)),

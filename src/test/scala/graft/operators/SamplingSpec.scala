@@ -27,6 +27,31 @@ class SamplingSpec extends SparkSpec {
     assert(kept.count() === 99) // every class has 33 rows — all kept
   }
 
+  test("clusterBalancedSample: exactly n per cluster, assignment by " +
+      "nearest centroid, deterministic") {
+    val rnd = new scala.util.Random(5)
+    val bases = Array.fill(3)(Array.fill(8)(rnd.nextFloat() * 2 - 1))
+    // 60 tight satellites of 3 bases → clusters of 20 each
+    val vecs = (0 until 60).map { i =>
+      val b = bases(i % 3)
+      (i.toLong, b.map(x => x + (rnd.nextFloat() * 2 - 1) * 0.01f))
+    }.toDF("vec_id", "embedding")
+    val cents = bases.zipWithIndex.map { case (c, i) => (i.toLong, c.toSeq) }
+      .toSeq.toDF("cid", "cv")
+    val got = Sampling.clusterBalancedSample(vecs, col("vec_id"),
+        col("embedding"), cents, nPerCluster = 5)
+      .as[(Long, Long)].collect().sortBy(r => (r._1, r._2))
+    // exactly 5 per cluster, and each member really belongs to its cluster
+    assert(got.groupBy(_._1).view.mapValues(_.length).toMap ===
+      Map(0L -> 5, 1L -> 5, 2L -> 5))
+    got.foreach { case (cid, id) => assert(cid === id % 3) }
+    // reproducible
+    val again = Sampling.clusterBalancedSample(vecs, col("vec_id"),
+        col("embedding"), cents, nPerCluster = 5)
+      .as[(Long, Long)].collect().sortBy(r => (r._1, r._2))
+    assert(again.toSeq === got.toSeq)
+  }
+
   test("mixtureFractions: alpha=1 is proportional, alpha=0 uniform, caps at 1.0") {
     val counts = Map("big" -> 800L, "mid" -> 150L, "small" -> 50L)
     val prop = Sampling.mixtureFractions(counts, alpha = 1.0, targetRows = 100)

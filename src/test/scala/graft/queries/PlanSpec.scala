@@ -220,14 +220,17 @@ class PlanSpec extends SparkSpec {
 
   test("dup_ngram_profile: shuffles carry gram fingerprints, no text columns") {
     val p = plan(Pipeline.dupNgramProfileQ(spark, dir))
-    // every exchange's payload is ids + the 8-byte gram fingerprint; the
-    // gram STRING itself must die in a projection before any exchange
+    // every KEYED exchange's payload is ids + the 8-byte gram fingerprint
+    // — gram strings/text die in a projection first. (The widen()
+    // round-robin exchange is allowed to move (id, text) once, same as
+    // the minhash plan contract.)
     val lines = p.linesIterator.toVector
-    val exchangeInputs = lines.zipWithIndex.collect {
-      case (l, i) if l.matches("\\(\\d+\\) (Broadcast)?Exchange.*") => lines(i + 1)
+    val keyedInputs = lines.zipWithIndex.collect {
+      case (l, i) if l.matches("\\(\\d+\\) (Broadcast)?Exchange.*") &&
+        !lines(i + 2).contains("RoundRobinPartitioning") => lines(i + 1)
     }
-    assert(exchangeInputs.nonEmpty, p)
-    exchangeInputs.foreach(inp =>
+    assert(keyedInputs.nonEmpty, p)
+    keyedInputs.foreach(inp =>
       assert(!inp.contains("gram#") && !inp.contains("text#"), inp))
   }
 
