@@ -38,7 +38,13 @@ object Stress {
     "sim_bruteforce_topk", "sim_lsh_topk", "sim_ivf_topk", "sim_ivf_trained",
     "sim_quantized_topk", "sim_pq_topk", "sim_ivfpq_topk",
     "text_metrics", "token_counts",
-    "bpe_tokenize", "curation_pipeline")
+    "bpe_tokenize", "curation_pipeline",
+    // round-9 additions: the clustered-embedding family and the
+    // corpus-duplicated-n-gram family are the new candidate-generation
+    // paths worth watching for quadratic creep
+    "dedup_semantic", "sample_per_cluster",
+    "dup_ngram_profile", "dedup_ngram_mask",
+    "sim_mmr_topk", "sim_hard_negatives")
 
   private val IdStride = 1000000L // well above any sf0.1 id; keeps ids unique
 

@@ -77,6 +77,37 @@ object NativeExprAdversarialProps extends Properties("NativeExprAdversarial") {
     agreeToks(WordShingleSet(_, shingleK = 2))
   property("WinnowFingerprints codegen == interpreted on adversarial Unicode") =
     agreeToks(WinnowFingerprints(_, shingleK = 3, window = 4))
+  property("ShingleFps60 codegen == interpreted on adversarial Unicode") =
+    agreeToks(ShingleFps60(_, shingleK = 3))
+
+  /** ShingleFps60 must equal the HOF formulation it replaces: positional
+    * space-joined k-grams (whole text when shorter than k) hashed with
+    * fingerprint64's md5-60 truncation. Valid-UTF-16 tokens only — lone
+    * surrogates take different replacement-char paths in String.getBytes
+    * vs UTF8String, which the codegen==interpreted property covers.
+    */
+  property("ShingleFps60 == positional gram + fingerprint64 model") = {
+    val tokGen = Gen.chooseNum(0, 9).flatMap(n => Gen.listOfN(n,
+      Gen.oneOf(Gen.alphaNumStr.map(_.take(6)),
+        Gen.oneOf("the", "über", "😀", "a b", ""))))
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        .map(b => f"$b%02x").mkString
+    def fp60(s: String): Long = java.lang.Long.parseLong(md5hex(s).take(15), 16)
+    val k = 3
+    val expr = ShingleFps60(
+      BoundReference(0, ArrayType(StringType), nullable = true), k)
+    val inConv = CatalystTypeConverters.createToCatalystConverter(ArrayType(StringType))
+    val outConv = CatalystTypeConverters.createToScalaConverter(expr.dataType)
+    forAll(tokGen) { toks =>
+      val got = outConv(expr.eval(InternalRow(inConv(toks)))).asInstanceOf[Seq[Long]]
+      val want =
+        if (toks.length < k) Seq(fp60(toks.mkString(" ")))
+        else toks.sliding(k).map(g => fp60(g.mkString(" "))).toSeq
+      got == want
+    }
+  }
 
   // --------------------------------------------------- m_add properties
 
