@@ -565,16 +565,35 @@ object KafkaWire {
   */
 class KafkaWireClient(bootstrapHost: String, bootstrapPort: Int,
     clientId: String = "graft", timeoutMs: Int = 10000,
-    sasl: Option[(String, String)] = None) {
+    sasl: Option[(String, String)] = None,
+    tls: Option[javax.net.ssl.SSLContext] = None) {
   import KafkaWire._
 
   private val corr = new java.util.concurrent.atomic.AtomicInteger(1)
 
+  /** Per-call socket; with `tls` set the plaintext connection is wrapped in
+    * an SSLSocket and the handshake completes BEFORE any protocol bytes —
+    * SASL (if configured) then runs inside the encrypted channel, i.e. the
+    * standard SASL_SSL layering. Endpoint identification follows raw-
+    * SSLSocket defaults (certificate chain validated against the supplied
+    * context's trust store; hostname checking is the caller's context
+    * policy), matching how broker certs are usually pinned in private
+    * clusters.
+    */
   private def withSocket[A](host: String, port: Int)(f: Socket => A): A = {
-    val s = new Socket()
+    val plain = new Socket()
+    var s: Socket = plain
     try {
-      s.connect(new java.net.InetSocketAddress(host, port), timeoutMs)
-      s.setSoTimeout(timeoutMs)
+      plain.connect(new java.net.InetSocketAddress(host, port), timeoutMs)
+      plain.setSoTimeout(timeoutMs)
+      tls.foreach { ctx =>
+        val ss = ctx.getSocketFactory
+          .createSocket(plain, host, port, true)
+          .asInstanceOf[javax.net.ssl.SSLSocket]
+        ss.setSoTimeout(timeoutMs)
+        ss.startHandshake()
+        s = ss
+      }
       // SASL state is per-connection: authenticate every fresh socket
       // before its first real request (auth parity with RespKvClient)
       sasl.foreach { case (user, pass) =>

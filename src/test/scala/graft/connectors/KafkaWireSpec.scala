@@ -301,6 +301,33 @@ class KafkaWireSpec extends AnyFunSuite {
     } finally broker.close()
   }
 
+  test("TLS: full surface over an encrypted connection; plaintext client " +
+      "fails loudly; SASL runs inside the TLS channel") {
+    val (serverCtx, clientCtx) = KafkaWireSpec.makeTlsContexts()
+    val broker = new FakeBroker(Map(("ev", 0) -> Seq(100L, 200L, 300L)),
+      saslUsers = Map("alice" -> "secret"), tlsContext = Some(serverCtx))
+    try {
+      // SASL_SSL layering: handshake first, then auth, then the protocol
+      val c = new KafkaWireClient("127.0.0.1", broker.port,
+        sasl = Some(("alice", "secret")), tls = Some(clientCtx))
+      assert(c.listTopics() === Seq(("ev", 0)))
+      assert(c.pullWindow("ev", 100L, 300L).map(_.offset) === Seq(0L, 1L))
+
+      // a plaintext client against the TLS listener dies on garbage bytes,
+      // never silently returns short data
+      val plain = new KafkaWireClient("127.0.0.1", broker.port,
+        sasl = Some(("alice", "secret")))
+      intercept[Exception](plain.listTopics())
+
+      // a client that does not trust the broker's cert fails the handshake
+      val untrusting = javax.net.ssl.SSLContext.getInstance("TLS")
+      untrusting.init(null, null, null) // JDK default trust store
+      val distrust = new KafkaWireClient("127.0.0.1", broker.port,
+        sasl = Some(("alice", "secret")), tls = Some(untrusting))
+      intercept[Exception](distrust.listTopics())
+    } finally broker.close()
+  }
+
   test("plainSaslToken encodes RFC 4616 NUL-delimited fields") {
     assert(plainSaslToken("u", "p").toSeq ===
       ("\u0000u\u0000p").getBytes("UTF-8").toSeq)
@@ -371,15 +398,67 @@ class KafkaWireSpec extends AnyFunSuite {
   * must skip; at most one batch per fetch, so multi-record ranges exercise
   * the client poll loop.
   */
+object KafkaWireSpec {
+  /** Self-signed broker keystore + matching client truststore, generated
+    * at test time with the JDK's own keytool (no fixture files, no
+    * external deps, no egress): server context serves the key pair,
+    * client context trusts exactly that one exported certificate.
+    */
+  def makeTlsContexts(): (javax.net.ssl.SSLContext, javax.net.ssl.SSLContext) = {
+    import java.nio.file.{Files, Paths}
+    val dir = Files.createTempDirectory("graft-tls")
+    val ks = dir.resolve("server.p12").toString
+    val cert = dir.resolve("server.cer").toString
+    val ts = dir.resolve("trust.p12").toString
+    val keytool = new java.io.File(new java.io.File(
+      System.getProperty("java.home"), "bin"), "keytool").getAbsolutePath
+    def run(args: String*): Unit = {
+      val p = new ProcessBuilder((keytool +: args): _*)
+        .redirectErrorStream(true).start()
+      val out = new String(p.getInputStream.readAllBytes(), "UTF-8")
+      require(p.waitFor() == 0, s"keytool failed: $out")
+    }
+    run("-genkeypair", "-alias", "broker", "-keyalg", "RSA", "-keysize", "2048",
+      "-storetype", "PKCS12", "-keystore", ks, "-storepass", "changeit",
+      "-dname", "CN=127.0.0.1", "-validity", "2", "-ext", "SAN=IP:127.0.0.1")
+    run("-exportcert", "-alias", "broker", "-keystore", ks,
+      "-storepass", "changeit", "-file", cert)
+    run("-importcert", "-noprompt", "-alias", "broker", "-storetype", "PKCS12",
+      "-keystore", ts, "-storepass", "changeit", "-file", cert)
+    def load(path: String) = {
+      val st = java.security.KeyStore.getInstance("PKCS12")
+      val in = Files.newInputStream(Paths.get(path))
+      try st.load(in, "changeit".toCharArray) finally in.close()
+      st
+    }
+    val kmf = javax.net.ssl.KeyManagerFactory.getInstance(
+      javax.net.ssl.KeyManagerFactory.getDefaultAlgorithm)
+    kmf.init(load(ks), "changeit".toCharArray)
+    val serverCtx = javax.net.ssl.SSLContext.getInstance("TLS")
+    serverCtx.init(kmf.getKeyManagers, null, null)
+    val tmf = javax.net.ssl.TrustManagerFactory.getInstance(
+      javax.net.ssl.TrustManagerFactory.getDefaultAlgorithm)
+    tmf.init(load(ts))
+    val clientCtx = javax.net.ssl.SSLContext.getInstance("TLS")
+    clientCtx.init(null, tmf.getTrustManagers, null)
+    (serverCtx, clientCtx)
+  }
+}
+
 final class FakeBroker(logs: Map[(String, Int), Seq[Long]],
     extraPartitions: Map[(String, Int), (Int, String, Int)] = Map.empty,
     nodeId: Int = 0, batchSize: Int = 2,
     controlBases: Map[(String, Int), Set[Long]] = Map.empty,
     codec: Int = 0,
-    saslUsers: Map[String, String] = Map.empty)
+    saslUsers: Map[String, String] = Map.empty,
+    tlsContext: Option[javax.net.ssl.SSLContext] = None)
     extends AutoCloseable {
 
-  private val server = new ServerSocket(0, 8, java.net.InetAddress.getByName("127.0.0.1"))
+  private val server = tlsContext match {
+    case Some(ctx) => ctx.getServerSocketFactory
+      .createServerSocket(0, 8, java.net.InetAddress.getByName("127.0.0.1"))
+    case None => new ServerSocket(0, 8, java.net.InetAddress.getByName("127.0.0.1"))
+  }
   def port: Int = server.getLocalPort
   @volatile private var running = true
 
