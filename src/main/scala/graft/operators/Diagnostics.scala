@@ -50,6 +50,26 @@ object Diagnostics {
           .as("avg_tokens"),
         col("n_short"))
 
+  /** Sequence-length histogram in power-of-two buckets — the planning
+    * report for [[Packing]] budgets and inference batch shaping: how much
+    * of the corpus (docs and token mass) sits in each length doubling.
+    * Bucket k covers [2^k, 2^(k+1)); the bucket index is
+    * `length(bin(n)) - 1`, an exact integer formulation (a float
+    * floor(log2(n)) would sit one ulp from the boundary at exact powers
+    * of two in some engines). Output: (bucket, lo_tokens, n_docs,
+    * total_tokens, max_tokens), one aggregation pass, map-side partial.
+    */
+  def lengthHistogram(df: DataFrame, text: Column): DataFrame =
+    df.select(graft.functions.TextFunctions.tokenCountWs(text)
+        .cast("long").as("ntok"))
+      .select(col("ntok"), (length(bin(col("ntok"))) - 1).cast("int").as("bucket"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("ntok")).as("total_tokens"),
+        max(col("ntok")).as("max_tokens"))
+      .select(col("bucket"), expr("shiftleft(1L, bucket)").as("lo_tokens"),
+        col("n_docs"), col("total_tokens"), col("max_tokens"))
+
   /** Corpus snapshot diff for incremental pipelines: compare two versions
     * of a document table by content fingerprint and classify every id as
     * added / removed / changed / unchanged — the pre-flight that decides

@@ -1800,6 +1800,26 @@ object Pipeline {
       |FROM o FULL OUTER JOIN nw ON o.id = nw.id
       |ORDER BY id""".stripMargin
 
+  /** Token-length histogram of the documents corpus in power-of-two
+    * buckets — the packing/batch-shape planning report.
+    */
+  def lengthHistogramQ(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Diagnostics.lengthHistogram(
+        T(s, dir, "documents"), col("text"))
+      .orderBy(col("bucket"))
+
+  val lengthHistogramOracle: String =
+    """WITH d AS (
+      |  SELECT CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS ntok
+      |  FROM documents),
+      |b AS (SELECT ntok, CAST(length(bin(ntok)) - 1 AS INTEGER) AS bucket FROM d)
+      |SELECT bucket, (CAST(1 AS BIGINT) << bucket) AS lo_tokens,
+      |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |  CAST(SUM(ntok) AS BIGINT) AS total_tokens,
+      |  CAST(MAX(ntok) AS BIGINT) AS max_tokens
+      |FROM b GROUP BY bucket
+      |ORDER BY bucket""".stripMargin
+
   /** Dataset-card summary of the documents corpus: per-language rows plus
     * the all-corpus rollup (lang = "*").
     */
@@ -2284,6 +2304,7 @@ object Pipeline {
     Q("skew_report", skewReportQ, Some(skewReportOracle)),
     Q("corpus_report", corpusReportQ, Some(corpusReportOracle)),
     Q("corpus_diff", corpusDiffQ, Some(corpusDiffOracle)),
+    Q("length_histogram", lengthHistogramQ, Some(lengthHistogramOracle)),
     Q("source_overlap", sourceOverlap, Some(sourceOverlapOracle)),
     Q("dedup_canonical", dedupCanonical, Some(dedupCanonicalOracle)),
     Q("segment_dedup", segmentDedupQ, Some(segmentDedupOracle)),

@@ -31,6 +31,18 @@ class DiagnosticsSpec extends SparkSpec {
     assert(got.map(_._2).toSeq === Seq(50L, 49L, 48L, 47L, 46L))
   }
 
+  test("lengthHistogram: exact power-of-two buckets, counts and token mass") {
+    val docs = Seq("a", "a b", "a b c", "a b c d", "1 2 3 4 5 6 7 8 9")
+      .toDF("text") // token counts 1, 2, 3, 4, 9
+    val got = Diagnostics.lengthHistogram(docs, col("text"))
+      .as[(Int, Long, Long, Long, Long)].collect().sortBy(_._1)
+    assert(got.toSeq === Seq(
+      (0, 1L, 1L, 1L, 1L),   // [1,2): the 1-token doc
+      (1, 2L, 2L, 5L, 3L),   // [2,4): 2 + 3 tokens
+      (2, 4L, 1L, 4L, 4L),   // [4,8)
+      (3, 8L, 1L, 9L, 9L))) // [8,16)
+  }
+
   test("corpusDiff classifies added/removed/changed/unchanged by content") {
     val v1 = Seq((1L, "alpha"), (2L, "beta"), (3L, "gamma")).toDF("id", "text")
     val v2 = Seq((2L, "beta"), (3L, "gamma prime"), (4L, "delta")).toDF("id", "text")
