@@ -304,6 +304,59 @@ object TextIndex {
           .otherwise(col("n_common").cast("double") / col("n_bigrams").cast("double")))
   }
 
+  /** Trigram familiarity with stupid backoff (Brants et al. 2007, in the
+    * same exact-integer form as [[bigramFamiliarity]]): each positional
+    * trigram is corpus-common if seen in >= 2 places; an uncommon trigram
+    * BACKS OFF to its leading bigram and counts at the canonical 0.4
+    * discount if that bigram is corpus-common. The per-doc score
+    * `(n_tri_common + 0.4·n_backoff) / n_trigrams` separates "novel but
+    * locally plausible" text from outright garble — the distinction a
+    * single-order familiarity cannot make. Docs with < 3 tokens report
+    * zeros (no trigram evidence), as in the bigram filter.
+    *
+    * Output: (id, n_trigrams, n_tri_common, n_backoff, familiarity).
+    *
+    * Scale shape: positional 3- and 2-gram fingerprints come from one
+    * native [[org.apache.spark.sql.graft.ShingleFps60]] pass each,
+    * position-aligned with arrays_zip (no self-join to pair a trigram
+    * with its backoff bigram); both count tables key on 8-byte fps with
+    * map-side partials; text never shuffles after widen().
+    */
+  def backoffFamiliarity(df: DataFrame, id: Column, text: Column): DataFrame = {
+    import org.apache.spark.sql.graft.HashFunctions
+    val base = widen(df.select(id.as("id"), text.as("__text")))
+      .select(col("id"), TextFunctions.tokensWs(col("__text")).as("toks"))
+    // (g3, g2) pairs aligned by start position: trigram i backs off to
+    // the bigram starting at the same token
+    val tri = base.filter(size(col("toks")) >= 3)
+      .select(col("id"), explode(arrays_zip(
+        HashFunctions.shingleFps60(col("toks"), 3),
+        slice(HashFunctions.shingleFps60(col("toks"), 2), lit(1),
+          size(col("toks")) - 2))).as("z"))
+      .select(col("id"), col("z.0").as("g3"), col("z.1").as("g2"))
+    val c3 = tri.groupBy(col("g3")).agg(count(lit(1)).as("c3"))
+    val allBi = base.filter(size(col("toks")) >= 2)
+      .select(explode(HashFunctions.shingleFps60(col("toks"), 2)).as("g2"))
+    val c2 = allBi.groupBy(col("g2")).agg(count(lit(1)).as("c2"))
+    val scored = tri.join(c3, Seq("g3")).join(c2, Seq("g2"))
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_trigrams"),
+        sum(when(col("c3") >= 2, 1L).otherwise(0L)).as("n_tri_common"),
+        sum(when(col("c3") < 2 && col("c2") >= 2, 1L).otherwise(0L))
+          .as("n_backoff"))
+    base.select(col("id"))
+      .join(scored, Seq("id"), "left")
+      .select(col("id"),
+        coalesce(col("n_trigrams"), lit(0L)).as("n_trigrams"),
+        coalesce(col("n_tri_common"), lit(0L)).as("n_tri_common"),
+        coalesce(col("n_backoff"), lit(0L)).as("n_backoff"))
+      .withColumn("familiarity",
+        when(col("n_trigrams") === 0, lit(0.0))
+          .otherwise((col("n_tri_common").cast("double") +
+            lit(0.4) * col("n_backoff").cast("double")) /
+            col("n_trigrams").cast("double")))
+  }
+
   def vocabCoverage(df: DataFrame, id: Column, text: Column,
       k: Int = 100): DataFrame = {
     require(k > 0, s"k must be positive, got $k")

@@ -1179,6 +1179,50 @@ object Pipeline {
        |GROUP BY id
        |ORDER BY id""".stripMargin
 
+  /** Near-dup cluster size histogram — the dedup effectiveness report:
+    * how many duplicate clusters of each size exist and how many docs
+    * they hold (singletons — docs with no near-dup — are absent by
+    * construction; corpus total minus n_docs gives them). Reuses the
+    * pair/component machinery, so the report costs one extra tiny
+    * aggregation over (id, component).
+    */
+  def dupClusterSizes(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Dedup.components(
+        graft.operators.Dedup.minHashPairs(
+          T(s, dir, "documents"), col("doc_id"), col("text"),
+          shingleK = 3, numHashes = 128, bands = 16, threshold = 0.8))
+      .groupBy(col("component")).agg(count(lit(1)).as("cluster_size"))
+      .groupBy(col("cluster_size")).agg(count(lit(1)).as("n_clusters"))
+      .select(col("cluster_size"), col("n_clusters"),
+        (col("cluster_size") * col("n_clusters")).as("n_docs"))
+      .orderBy(col("cluster_size"))
+
+  val dupClusterSizesOracle: String =
+    s"""WITH RECURSIVE $shingleSetsSql,
+       |posting AS (SELECT doc_id, unnest(s) AS sp FROM sets),
+       |cand AS (
+       |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS inter
+       |  FROM posting a JOIN posting b ON a.sp = b.sp AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2),
+       |pairs AS (
+       |  SELECT id_a, id_b FROM cand
+       |  JOIN sets sa ON sa.doc_id = id_a
+       |  JOIN sets sb ON sb.doc_id = id_b
+       |  WHERE CAST(inter AS DOUBLE) / CAST(len(sa.s) + len(sb.s) - inter AS DOUBLE) >= 0.8),
+       |edges AS (SELECT id_a AS s, id_b AS d FROM pairs
+       |          UNION ALL SELECT id_b, id_a FROM pairs),
+       |reach(id, r) AS (
+       |  SELECT DISTINCT s, s FROM edges
+       |  UNION
+       |  SELECT reach.id, e.d FROM reach JOIN edges e ON e.s = reach.r),
+       |comp AS (SELECT id, MIN(r) AS component FROM reach GROUP BY id),
+       |sizes AS (SELECT component, CAST(COUNT(*) AS BIGINT) AS cluster_size
+       |          FROM comp GROUP BY component)
+       |SELECT cluster_size, CAST(COUNT(*) AS BIGINT) AS n_clusters,
+       |  CAST(cluster_size * COUNT(*) AS BIGINT) AS n_docs
+       |FROM sizes GROUP BY cluster_size
+       |ORDER BY cluster_size""".stripMargin
+
   /** Priority-based cluster collapse: near-dup components (as
     * `dedup_components`), keeping per component the member with the most
     * characters (tie → smaller doc_id) — the curation move that keeps the
@@ -1615,6 +1659,51 @@ object Pipeline {
       |ORDER BY doc_id""".stripMargin
 
   // ------------------------------------------------------- vocabulary coverage
+
+  /** Trigram familiarity with 0.4 stupid backoff to the leading bigram —
+    * exact-integer counts, fixed-order double score.
+    */
+  def trigramBackoffQ(s: SparkSession, dir: String): DataFrame =
+    graft.operators.TextIndex.backoffFamiliarity(
+        T(s, dir, "documents"), col("doc_id"), col("text"))
+      .select(col("id").as("doc_id"), col("n_trigrams"), col("n_tri_common"),
+        col("n_backoff"), col("familiarity"))
+      .orderBy(col("doc_id"))
+
+  val trigramBackoffOracle: String =
+    """WITH toks AS (
+      |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS t FROM documents),
+      |g AS (
+      |  SELECT doc_id,
+      |    CASE WHEN len(t) < 3 THEN CAST([] AS VARCHAR[])
+      |         ELSE list_transform(range(1, len(t) - 1),
+      |                i -> array_to_string(t[i:i+2], ' ')) END AS g3s,
+      |    CASE WHEN len(t) < 3 THEN CAST([] AS VARCHAR[])
+      |         ELSE list_transform(range(1, len(t) - 1),
+      |                i -> array_to_string(t[i:i+1], ' ')) END AS g2s
+      |  FROM toks),
+      |tripos AS (SELECT doc_id, unnest(g3s) AS g3, unnest(g2s) AS g2 FROM g),
+      |c3 AS (SELECT g3 AS k3, COUNT(*) AS c FROM tripos GROUP BY g3),
+      |allbi AS (
+      |  SELECT unnest(CASE WHEN len(t) < 2 THEN CAST([] AS VARCHAR[])
+      |    ELSE list_transform(range(1, len(t)),
+      |           i -> array_to_string(t[i:i+1], ' ')) END) AS g2
+      |  FROM toks),
+      |c2 AS (SELECT g2 AS k2, COUNT(*) AS c FROM allbi GROUP BY g2),
+      |scored AS (
+      |  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_trigrams,
+      |    CAST(SUM(CASE WHEN c3.c >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_tri_common,
+      |    CAST(SUM(CASE WHEN c3.c < 2 AND c2.c >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_backoff
+      |  FROM tripos JOIN c3 ON tripos.g3 = c3.k3 JOIN c2 ON tripos.g2 = c2.k2
+      |  GROUP BY doc_id)
+      |SELECT t.doc_id, COALESCE(n_trigrams, 0) AS n_trigrams,
+      |  COALESCE(n_tri_common, 0) AS n_tri_common,
+      |  COALESCE(n_backoff, 0) AS n_backoff,
+      |  CASE WHEN COALESCE(n_trigrams, 0) = 0 THEN 0.0
+      |       ELSE (n_tri_common::DOUBLE + 0.4 * n_backoff::DOUBLE) / n_trigrams::DOUBLE
+      |  END AS familiarity
+      |FROM toks t LEFT JOIN scored ON t.doc_id = scored.doc_id
+      |ORDER BY t.doc_id""".stripMargin
 
   /** Top-10-vocabulary coverage per document — the common-token quality
     * filter; exact integer-ratio double. (k = 10 because the synthetic
@@ -2312,6 +2401,7 @@ object Pipeline {
     Q("dedup_ngram_mask", dedupNgramMaskQ, Some(dedupNgramMaskOracle)),
     Q("vocab_coverage", vocabCoverageQ, Some(vocabCoverageOracle)),
     Q("bigram_familiarity", bigramFamiliarityQ, Some(bigramFamiliarityOracle)),
+    Q("trigram_backoff", trigramBackoffQ, Some(trigramBackoffOracle)),
     Q("dedup_exact", dedupExact, Some(dedupExactOracle)),
     Q("mm_decode_meta", mmDecodeMeta, Some(mmDecodeMetaOracle)),
     Q("dedup_minhash_lsh", dedupMinHash, Some(dedupMinHashOracle)),
@@ -2323,6 +2413,7 @@ object Pipeline {
     Q("doc_chunks", docChunks, Some(docChunksOracle)),
     Q("quality_repetition", qualityRepetition, Some(qualityRepetitionOracle)),
     Q("dedup_components", dedupComponents, Some(dedupComponentsOracle)),
+    Q("dup_cluster_sizes", dupClusterSizes, Some(dupClusterSizesOracle)),
     Q("dedup_collapse", dedupCollapse, Some(dedupCollapseOracle)),
     Q("decontaminate", decontaminate, Some(decontaminateOracle)),
     Q("decontaminate_bloom", decontaminateBloom, Some(decontaminateBloomOracle)),

@@ -77,6 +77,24 @@ class TextIndexSpec extends SparkSpec {
     assert(out(3) === ((4L, 0L, 0L, 0L, 0.0)))
   }
 
+  test("backoffFamiliarity: common trigrams counted, uncommon ones back " +
+      "off to their leading bigram; short docs report zeros") {
+    val docs = Seq(
+      (1L, "a b c d"),   // trigrams: (a b c), (b c d); bigrams a b, b c, c d
+      (2L, "a b c e"),   // (a b c) common; (b c e) unique → backoff (b c) common
+      (3L, "x y z w"),   // all trigrams unique, bigrams x y, y z, z w unique
+      (4L, "p q")        // no trigrams → zeros
+    ).toDF("id", "text")
+    val out = TextIndex.backoffFamiliarity(docs, col("id"), col("text"))
+      .as[(Long, Long, Long, Long, Double)].collect().sortBy(_._1)
+    // doc 1: (a b c) seen twice → common; (b c d) unique, backoff (b c)
+    // appears in docs 1 and 2 → common backoff
+    assert(out(0) === ((1L, 2L, 1L, 1L, (1.0 + 0.4 * 1.0) / 2.0)))
+    assert(out(1) === ((2L, 2L, 1L, 1L, (1.0 + 0.4 * 1.0) / 2.0)))
+    assert(out(2) === ((3L, 2L, 0L, 0L, 0.0)))
+    assert(out(3) === ((4L, 0L, 0L, 0L, 0.0)))
+  }
+
   test("duplicateNgramProfile counts corpus-duplicated positional n-grams") {
     val docs = Seq(
       (1L, "a b c d e f g"),     // 3-grams: abc bcd cde def efg
