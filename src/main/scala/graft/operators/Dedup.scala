@@ -841,6 +841,38 @@ object Dedup {
       .select(col("id"), col("cid"), col("__dup").isNull.as("kept"))
   }
 
+  /** Incremental SemDeDup for continuous ingestion: the admitted corpus
+    * lives as an assignment-table state (id, cid, v); a new batch is
+    * cluster-assigned, pruned within itself (keep-lowest-id, as
+    * [[semanticDedup]]), then members with a same-cluster state neighbor
+    * at cosine >= `threshold` are dropped; survivors join the state.
+    * Returns (admitted (id, cid), next state). O(batch × cluster-slice of
+    * state) per run — the batch meets only its own clusters' state rows
+    * via the cid equality join, never the whole corpus; bucket the
+    * persisted state by cid to make that join shuffle-free.
+    */
+  def semanticDedupIncremental(batch: DataFrame, id: Column, vec: Column,
+      centroids: DataFrame, state: DataFrame, threshold: Double)
+      : (DataFrame, DataFrame) = {
+    import org.apache.spark.sql.graft.VectorFunctions
+    val asg = Similarity.assignToCentroids(
+      widen(batch.select(id.as("id"), vec.as("v"))), col("id"), col("v"),
+      centroids)
+    val l = asg.select(col("cid"), col("id").as("id_a"), col("v").as("va"))
+    val r = asg.select(col("cid"), col("id").as("id_b"), col("v").as("vb"))
+    val dropIntra = l.join(r, Seq("cid"))
+      .filter(col("id_a") < col("id_b"))
+      .filter(VectorFunctions.cosineSim(col("va"), col("vb")) >= threshold)
+      .select(col("id_b").as("id")).distinct()
+    val intra = asg.join(dropIntra, Seq("id"), "left_anti")
+    val dropVsState = intra
+      .join(state.select(col("cid"), col("v").as("sv")), Seq("cid"))
+      .filter(VectorFunctions.cosineSim(col("v"), col("sv")) >= threshold)
+      .select(col("id")).distinct()
+    val admitted = intra.join(dropVsState, Seq("id"), "left_anti")
+    (admitted.select(col("id"), col("cid")), state.unionAll(admitted))
+  }
+
   /** Near-duplicate pairs by SimHash hamming distance <= maxHamming.
     *
     * Candidates via the block trick: the 60-bit signature in `blocks` equal

@@ -111,6 +111,51 @@ object Streams {
     }
   }
 
+  /** Streaming SemDeDup ingestion: foreachBatch over
+    * [[graft.operators.Dedup.semanticDedupIncremental]] — each micro-batch
+    * is cluster-assigned against the (broadcast) quantizer, pruned within
+    * itself and against the admitted state, survivors emitted and unioned
+    * into state. Same at-least-once idempotency contract as
+    * [[nearDupIngest]]: a replay of the last applied batch re-emits the
+    * pinned survivors without touching state (an unguarded replay would
+    * self-match at cosine 1.0 and silently drop everything).
+    */
+  def semanticIngest(stream: DataFrame, id: Column, vec: Column,
+      centroids: DataFrame, state0: DataFrame,
+      onSurvivors: (DataFrame, Long) => Unit, threshold: Double)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    stream.writeStream.foreachBatch(
+      semanticBatchHandler(state0, onSurvivors, id, vec, centroids, threshold))
+
+  /** The idempotent per-batch handler behind [[semanticIngest]], exposed
+    * for batch-mode tests and custom sinks (mirror of
+    * [[nearDupBatchHandler]]). State and survivors are localCheckpoint-
+    * pinned: state is replay-proof and survivor re-emission is exact.
+    */
+  def semanticBatchHandler(state0: DataFrame,
+      onSurvivors: (DataFrame, Long) => Unit,
+      id: Column, vec: Column, centroids: DataFrame,
+      threshold: Double): (DataFrame, Long) => Unit = {
+    var state = state0
+    var lastApplied = -1L
+    var lastSurvivors: DataFrame = null
+    (batch: DataFrame, batchId: Long) => {
+      if (batchId <= lastApplied) {
+        if (batchId == lastApplied && lastSurvivors != null)
+          onSurvivors(lastSurvivors, batchId)
+      } else {
+        val (admitted, next) = graft.operators.Dedup.semanticDedupIncremental(
+          batch, id, vec, centroids, state, threshold)
+        val pinned = admitted.localCheckpoint(true)
+        onSurvivors(pinned, batchId)
+        state = next.localCheckpoint(true)
+        lastApplied = batchId
+        lastSurvivors = pinned
+      }
+      ()
+    }
+  }
+
   /** events table → typed event-time column, normalizing whichever
     * physical type `ts` arrived as: BIGINT epoch nanoseconds (the
     * TIMESTAMP(NANOS) parquet encoding under `nanosAsLong` — truncated to

@@ -169,6 +169,43 @@ class StreamsSpec extends SparkSpec {
     assert(seen.size === 3)
   }
 
+  test("semanticBatchHandler: cluster-assigned dedup vs state, " +
+      "idempotent on replay") {
+    import graft.operators.Dedup
+    val rnd = new scala.util.Random(9)
+    val bases = Array.fill(2)(Array.fill(8)(rnd.nextFloat() * 2 - 1))
+    def near(b: Int) = bases(b).map(x => x + (rnd.nextFloat() * 2 - 1) * 0.005f)
+    def far() = Array.fill(8)(rnd.nextFloat() * 2 - 1)
+    val cents = bases.zipWithIndex.map { case (c, i) => (i.toLong, c.toSeq) }
+      .toSeq.toDF("cid", "cv")
+    // admitted state: one doc tight on base 0
+    val state0 = graft.operators.Similarity.assignToCentroids(
+      Seq((1L, near(0))).toDF("vec_id", "embedding"),
+      col("vec_id"), col("embedding"), cents)
+    val seen = scala.collection.mutable.ArrayBuffer.empty[(Long, Seq[Long])]
+    val handler = Streams.semanticBatchHandler(state0,
+      (survivors, batchId) => seen += batchId -> survivors.select(col("id"))
+        .collect().map(_.getLong(0)).toSeq.sorted,
+      col("vec_id"), col("embedding"), cents, threshold = 0.98)
+
+    // batch 0: a state dup (base 0), an intra-batch dup pair (base 1 twice,
+    // lowest id wins), and the far vector may land anywhere but is unique
+    val b0 = Seq((10L, near(0)), (11L, near(1)), (12L, near(1)))
+      .toDF("vec_id", "embedding")
+    handler(b0, 0L)
+    assert(seen.toList === List(0L -> Seq(11L)))
+    // sink retry replays batch 0: same survivors, state untouched
+    handler(b0, 0L)
+    assert(seen.toList === List(0L -> Seq(11L), 0L -> Seq(11L)))
+    // batch 1: dup of the batch-0 survivor is dropped against state
+    val b1 = Seq((20L, near(1))).toDF("vec_id", "embedding")
+    handler(b1, 1L)
+    assert(seen.last === (1L -> Seq()))
+    // an older batchId is a guarded no-op
+    handler(b0, 0L)
+    assert(seen.size === 3)
+  }
+
   test("sessionCounts merges events within the gap, splits beyond it") {
     val df = Seq(
       (ts("2024-01-01 00:00:00"), 1L),
