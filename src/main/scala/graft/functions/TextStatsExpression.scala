@@ -124,4 +124,34 @@ object TextStats {
 
   def textStats(c: Column): Column =
     ExpressionUtilsShim.column(TextStats(ExpressionUtilsShim.expr(c)))
+
+  def nfcNormalize(c: Column): Column =
+    ExpressionUtilsShim.column(NfcNormalize(ExpressionUtilsShim.expr(c)))
+}
+
+/** Unicode canonical composition (NFC, java.text.Normalizer) as a native
+  * codegen'd expression — the normalization pass that belongs BEFORE any
+  * fingerprint/dedup/shingle step: composed ("é" U+00E9) and decomposed
+  * ("e"+U+0301) spellings are visually identical but hash apart, so a
+  * crawl mixing editors silently defeats exact and near dedup without it.
+  * DuckDB's nfc_normalize implements the same Unicode algorithm, so
+  * results replay in the oracle.
+  */
+case class NfcNormalize(child: Expression)
+    extends UnaryExpression with NativeUnaryCodegen {
+
+  override def dataType: DataType = StringType
+  override def nullable: Boolean = child.nullable
+  override def prettyName: String = "nfc_normalize"
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val s = input.asInstanceOf[UTF8String].toString
+    if (java.text.Normalizer.isNormalized(s, java.text.Normalizer.Form.NFC))
+      input // common case (ASCII, already-composed): no re-encode
+    else UTF8String.fromString(
+      java.text.Normalizer.normalize(s, java.text.Normalizer.Form.NFC))
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
 }

@@ -1223,6 +1223,54 @@ object Pipeline {
        |FROM sizes GROUP BY cluster_size
        |ORDER BY cluster_size""".stripMargin
 
+  /** Soft dedup: every doc keeps weight 1/|its near-dup cluster| (1.0 for
+    * singletons) — the downweight-instead-of-drop alternative (each
+    * duplicated CONTENT contributes total mass 1 to training, but all
+    * copies stay available). Exact integer-ratio doubles over the same
+    * component machinery.
+    */
+  def dedupWeights(s: SparkSession, dir: String): DataFrame = {
+    val comp = graft.operators.Dedup.components(
+      graft.operators.Dedup.minHashPairs(
+        T(s, dir, "documents"), col("doc_id"), col("text"),
+        shingleK = 3, numHashes = 128, bands = 16, threshold = 0.8))
+    val sizes = comp.groupBy(col("component")).agg(count(lit(1)).as("sz"))
+    val docWeights = comp.join(sizes, Seq("component"))
+      .select(col("id").as("doc_id"),
+        (lit(1.0) / col("sz").cast("double")).as("weight"))
+    T(s, dir, "documents").select(col("doc_id"))
+      .join(docWeights, Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("weight"), lit(1.0)).as("weight"))
+      .orderBy(col("doc_id"))
+  }
+
+  val dedupWeightsOracle: String =
+    s"""WITH RECURSIVE $shingleSetsSql,
+       |posting AS (SELECT doc_id, unnest(s) AS sp FROM sets),
+       |cand AS (
+       |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS inter
+       |  FROM posting a JOIN posting b ON a.sp = b.sp AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2),
+       |pairs AS (
+       |  SELECT id_a, id_b FROM cand
+       |  JOIN sets sa ON sa.doc_id = id_a
+       |  JOIN sets sb ON sb.doc_id = id_b
+       |  WHERE CAST(inter AS DOUBLE) / CAST(len(sa.s) + len(sb.s) - inter AS DOUBLE) >= 0.8),
+       |edges AS (SELECT id_a AS s, id_b AS d FROM pairs
+       |          UNION ALL SELECT id_b, id_a FROM pairs),
+       |reach(id, r) AS (
+       |  SELECT DISTINCT s, s FROM edges
+       |  UNION
+       |  SELECT reach.id, e.d FROM reach JOIN edges e ON e.s = reach.r),
+       |comp AS (SELECT id, MIN(r) AS component FROM reach GROUP BY id),
+       |sizes AS (SELECT component, COUNT(*) AS sz FROM comp GROUP BY component)
+       |SELECT d.doc_id,
+       |  COALESCE(CAST(1.0 AS DOUBLE) / CAST(sz AS DOUBLE), CAST(1.0 AS DOUBLE)) AS weight
+       |FROM documents d
+       |LEFT JOIN comp ON comp.id = d.doc_id
+       |LEFT JOIN sizes ON sizes.component = comp.component
+       |ORDER BY d.doc_id""".stripMargin
+
   /** Priority-based cluster collapse: near-dup components (as
     * `dedup_components`), keeping per component the member with the most
     * characters (tie → smaller doc_id) — the curation move that keeps the
@@ -1587,6 +1635,22 @@ object Pipeline {
       |ORDER BY doc_id""".stripMargin
 
   // ----------------------------------------------- corpus duplicate n-grams
+
+  /** Unicode NFC normalization over the corpus, with a planted decomposed
+    * accent so the oracle actually exercises composition (the synthetic
+    * corpus is ASCII, where NFC is the identity).
+    */
+  def textNormalizeQ(s: SparkSession, dir: String): DataFrame =
+    T(s, dir, "documents").select(col("doc_id"),
+        md5(org.apache.spark.sql.graft.TextStats.nfcNormalize(
+          concat(col("text"), lit(" caf"), lit("e\u0301")))).as("norm_md5"))
+      .orderBy(col("doc_id"))
+
+  val textNormalizeOracle: String =
+    """SELECT doc_id,
+      |  md5(nfc_normalize(text || ' caf' || chr(101) || chr(769))) AS norm_md5
+      |FROM documents
+      |ORDER BY doc_id""".stripMargin
 
   /** Corpus-duplicated 5-gram profile per document (Lee et al. 2022 shape):
     * integer counts + exact-ratio double, over the full documents table.
@@ -2410,10 +2474,12 @@ object Pipeline {
     Q("dedup_simhash128", dedupSimHash128, Some(dedupSimHash128Oracle)),
     Q("text_metrics", textMetrics, Some(textMetricsOracle)),
     Q("text_redact", textRedact, Some(textRedactOracle)),
+    Q("text_normalize", textNormalizeQ, Some(textNormalizeOracle)),
     Q("doc_chunks", docChunks, Some(docChunksOracle)),
     Q("quality_repetition", qualityRepetition, Some(qualityRepetitionOracle)),
     Q("dedup_components", dedupComponents, Some(dedupComponentsOracle)),
     Q("dup_cluster_sizes", dupClusterSizes, Some(dupClusterSizesOracle)),
+    Q("dedup_weights", dedupWeights, Some(dedupWeightsOracle)),
     Q("dedup_collapse", dedupCollapse, Some(dedupCollapseOracle)),
     Q("decontaminate", decontaminate, Some(decontaminateOracle)),
     Q("decontaminate_bloom", decontaminateBloom, Some(decontaminateBloomOracle)),

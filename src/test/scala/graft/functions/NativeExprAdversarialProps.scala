@@ -79,6 +79,8 @@ object NativeExprAdversarialProps extends Properties("NativeExprAdversarial") {
     agreeToks(WinnowFingerprints(_, shingleK = 3, window = 4))
   property("ShingleFps60 codegen == interpreted on adversarial Unicode") =
     agreeToks(ShingleFps60(_, shingleK = 3))
+  property("NfcNormalize codegen == interpreted on adversarial Unicode") =
+    agreeStr(NfcNormalize(_))
 
   /** ShingleFps60 must equal the HOF formulation it replaces: positional
     * space-joined k-grams (whole text when shorter than k) hashed with

@@ -44,4 +44,21 @@ class TextStatsSpec extends SparkSpec {
       assert(r.getStruct(0) === r.getStruct(1), s"text=<${r.getString(2)}>")
     }
   }
+
+  test("NfcNormalize composes decomposed accents; ASCII passes through; " +
+      "composed == decomposed after normalization") {
+    import spark.implicits._
+    val df = Seq(
+      ("plain ascii", "plain ascii"),
+      ("caf\u00e9", "cafe\u0301"), // composed vs decomposed é
+      ("\u00c5ngstr\u00f6m", "A\u030angstro\u0308m") // composed vs decomposed
+    ).toDF("a", "b")
+    val out = df.select(
+      TextStats.nfcNormalize(col("a")).as("na"),
+      TextStats.nfcNormalize(col("b")).as("nb"))
+      .as[(String, String)].collect()
+    out.foreach { case (na, nb) => assert(na === nb) }
+    assert(out(0)._1 === "plain ascii")
+    assert(out(1)._1 === "caf\u00e9") // normalized to the composed form
+  }
 }
