@@ -51,7 +51,11 @@ object Engine {
     * the hash.
     */
   def csvRoundtrip(s: SparkSession, dir: String): DataFrame = {
-    val tmp = java.nio.file.Files.createTempDirectory("graft-csv").toString
+    // fixed path + overwrite, NOT createTempDirectory — same /tmp-growth
+    // fix as xmlRoundtrip (a fresh dir per invocation accumulates a
+    // documents-sized dump every sweep)
+    val tmp = java.nio.file.Paths.get(
+      System.getProperty("java.io.tmpdir"), "graft-csv-roundtrip").toString
     T(s, dir, "documents")
       .select(col("doc_id"), col("lang"), col("source"), col("n_chars"), col("text"))
       .write.mode("overwrite").option("header", "true").csv(tmp)
@@ -78,7 +82,9 @@ object Engine {
     * JSON `props` string, re-extracted after the roundtrip).
     */
   def jsonlRoundtrip(s: SparkSession, dir: String): DataFrame = {
-    val tmp = java.nio.file.Files.createTempDirectory("graft-jsonl").toString
+    // fixed path + overwrite — see csvRoundtrip
+    val tmp = java.nio.file.Paths.get(
+      System.getProperty("java.io.tmpdir"), "graft-jsonl-roundtrip").toString
     T(s, dir, "events")
       .select(col("event_id"), col("event_type"), col("props"))
       .write.mode("overwrite").json(tmp)
@@ -299,7 +305,10 @@ object Engine {
         unix_timestamp(get_json_object(col("ev"), "$.timestamp"),
           "yyyy-MM-dd'T'HH:mm").as("ts_epoch"),
         get_json_object(col("ev"), "$.type").as("type"))
-    val orcDir = java.nio.file.Files.createTempDirectory("graft-sp-events").toString
+    // fixed path + overwrite — see csvRoundtrip (the journal beside it
+    // appends to one parquet dir instead of minting a new pair per run)
+    val orcDir = java.nio.file.Paths.get(
+      System.getProperty("java.io.tmpdir"), "graft-sp-events").toString
     events.write.mode("overwrite").orc(orcDir)
     new graft.engine.Journal(s, s"$orcDir-journal").save(graft.engine.ExecutionRecord(
       "etl_readme_slice", System.currentTimeMillis(), System.currentTimeMillis(),
