@@ -1598,6 +1598,49 @@ object Pipeline {
       |FROM r
       |ORDER BY source, doc_id""".stripMargin
 
+  /** Packing efficiency report per source shard: packs produced, sequences
+    * and token mass packed, and the fill ratio against the ideal
+    * (tokens / (packs × budget)) — the number that says whether the greedy
+    * budget is leaving GPU batch capacity on the table. Exact integer
+    * counts + integer-ratio double.
+    */
+  def packingStats(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Packing.packGreedy(
+        T(s, dir, "documents").select(col("source"), col("doc_id"),
+          TextFunctions.tokenCountWs(col("text")).as("n_tok")),
+        col("source"), col("doc_id"), col("n_tok"), budget = 512L)
+      .groupBy(col("group").as("source"))
+      .agg(max(col("pack_id")).as("n_packs"),
+        count(lit(1)).as("n_seqs"),
+        sum(col("size")).as("n_tokens"))
+      .select(col("source"), col("n_packs"), col("n_seqs"), col("n_tokens"),
+        (col("n_tokens").cast("double") /
+          (col("n_packs") * lit(512L)).cast("double")).as("fill_ratio"))
+      .orderBy(col("source"))
+
+  val packingStatsOracle: String =
+    """WITH RECURSIVE t AS (
+      |  SELECT source, doc_id,
+      |    CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tok,
+      |    row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rn
+      |  FROM documents),
+      |r AS (
+      |  SELECT source, doc_id, n_tok, rn, CAST(1 AS BIGINT) AS pack_id,
+      |    n_tok AS acc
+      |  FROM t WHERE rn = 1
+      |  UNION ALL
+      |  SELECT t.source, t.doc_id, t.n_tok, t.rn,
+      |    CASE WHEN r.acc + t.n_tok > 512 THEN r.pack_id + 1 ELSE r.pack_id END,
+      |    CASE WHEN r.acc + t.n_tok > 512 THEN t.n_tok ELSE r.acc + t.n_tok END
+      |  FROM r JOIN t ON t.source = r.source AND t.rn = r.rn + 1)
+      |SELECT source, CAST(MAX(pack_id) AS BIGINT) AS n_packs,
+      |  CAST(COUNT(*) AS BIGINT) AS n_seqs,
+      |  CAST(SUM(n_tok) AS BIGINT) AS n_tokens,
+      |  CAST(SUM(n_tok) AS DOUBLE) / CAST(MAX(pack_id) * 512 AS DOUBLE) AS fill_ratio
+      |FROM r
+      |GROUP BY source
+      |ORDER BY source""".stripMargin
+
   // --------------------------------------------------- cross-doc segment dedup
 
   /** C4-style cross-document segment dedup on 16-token segments, keeping
@@ -2445,6 +2488,7 @@ object Pipeline {
 
   val all: Seq[Q] = Seq(
     Q("pack_sequences", packSequences, Some(packSequencesOracle)),
+    Q("packing_stats", packingStats, Some(packingStatsOracle)),
     Q("curation_pipeline", curationPipeline, Some(curationPipelineOracle)),
     Q("repeated_substrings", repeatedSubstrings, Some(repeatedSubstringsOracle)),
     Q("fuzzy_join", fuzzyJoin, Some(fuzzyJoinOracle)),
