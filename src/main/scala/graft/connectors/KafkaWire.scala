@@ -566,7 +566,8 @@ object KafkaWire {
 class KafkaWireClient(bootstrapHost: String, bootstrapPort: Int,
     clientId: String = "graft", timeoutMs: Int = 10000,
     sasl: Option[(String, String)] = None,
-    tls: Option[javax.net.ssl.SSLContext] = None) {
+    tls: Option[javax.net.ssl.SSLContext] = None,
+    tlsVerifyHostname: Boolean = true) {
   import KafkaWire._
 
   private val corr = new java.util.concurrent.atomic.AtomicInteger(1)
@@ -574,11 +575,13 @@ class KafkaWireClient(bootstrapHost: String, bootstrapPort: Int,
   /** Per-call socket; with `tls` set the plaintext connection is wrapped in
     * an SSLSocket and the handshake completes BEFORE any protocol bytes —
     * SASL (if configured) then runs inside the encrypted channel, i.e. the
-    * standard SASL_SSL layering. Endpoint identification follows raw-
-    * SSLSocket defaults (certificate chain validated against the supplied
-    * context's trust store; hostname checking is the caller's context
-    * policy), matching how broker certs are usually pinned in private
-    * clusters.
+    * standard SASL_SSL layering. The certificate chain is validated against
+    * the supplied context's trust store AND, by default, the broker hostname
+    * is verified against the cert (HTTPS-style endpoint identification —
+    * raw SSLSockets skip this unless asked, which would accept any cert
+    * from the trust store's CAs for any host). Clusters that pin a
+    * hostname-less self-signed cert can opt out via
+    * `tlsVerifyHostname = false`.
     */
   private def withSocket[A](host: String, port: Int)(f: Socket => A): A = {
     val plain = new Socket()
@@ -591,6 +594,11 @@ class KafkaWireClient(bootstrapHost: String, bootstrapPort: Int,
           .createSocket(plain, host, port, true)
           .asInstanceOf[javax.net.ssl.SSLSocket]
         ss.setSoTimeout(timeoutMs)
+        if (tlsVerifyHostname) {
+          val params = ss.getSSLParameters
+          params.setEndpointIdentificationAlgorithm("HTTPS")
+          ss.setSSLParameters(params)
+        }
         ss.startHandshake()
         s = ss
       }

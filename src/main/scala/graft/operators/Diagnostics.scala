@@ -39,12 +39,18 @@ object Diagnostics {
         graft.functions.TextFunctions.tokenCountWs(text).as("ntok"),
         length(text).as("nchr"))
       .rollup(col("lang"))
-      .agg(count(lit(1)).as("n_docs"),
+      // grouping() (legal only inside the rollup aggregate) distinguishes
+      // the grand-total row from a genuine NULL-lang group — a plain
+      // coalesce would collapse both to "*"
+      .agg(grouping(col("lang")).as("__g"),
+        count(lit(1)).as("n_docs"),
         countDistinct(col("source")).as("n_sources"),
         sum(col("ntok").cast("long")).as("total_tokens"),
         sum(col("nchr").cast("long")).as("total_chars"),
         sum(when(col("ntok") < shortTokens, 1L).otherwise(0L)).as("n_short"))
-      .select(coalesce(col("lang"), lit("*")).as("lang"), col("n_docs"),
+      .select(when(col("__g") === 1, lit("*"))
+          .otherwise(coalesce(col("lang"), lit("<null>"))).as("lang"),
+        col("n_docs"),
         col("n_sources"), col("total_tokens"), col("total_chars"),
         (col("total_tokens").cast("double") / col("n_docs").cast("double"))
           .as("avg_tokens"),

@@ -119,7 +119,8 @@ object Similarity {
       val sel = scala.collection.mutable.ArrayBuffer.empty[Seq[Float]]
       val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Int, Double)]
       var r = 1
-      while (r <= k && out.length < cs.length) {
+      var exhausted = false
+      while (!exhausted && r <= k && out.length < cs.length) {
         var bi = -1; var bestScore = Double.NegativeInfinity
         var i = 0
         while (i < cs.length) {
@@ -133,10 +134,15 @@ object Similarity {
           }
           i += 1
         }
-        used(bi) = true
-        sel += cs(bi)._4
-        out += ((qid, cs(bi)._2, r, bestScore))
-        r += 1
+        // zero-norm embeddings make cos NaN, so every comparison above is
+        // false and bi stays -1 — stop cleanly instead of indexing used(-1)
+        if (bi < 0) exhausted = true
+        else {
+          used(bi) = true
+          sel += cs(bi)._4
+          out += ((qid, cs(bi)._2, r, bestScore))
+          r += 1
+        }
       }
       out.iterator
     }.toDF("query_id", "neighbor_id", "rank", "score")

@@ -14,6 +14,20 @@ import graft.streaming.Streams
   */
 object Engine {
 
+  /** Fixed-but-scoped scratch dir for sink-roundtrip queries: stable across
+    * invocations (so `overwrite` reuses one path instead of accumulating a
+    * table-sized dump in /tmp every sweep) yet unique per OS user and per
+    * source-data dir — concurrent runs over different SFs, or different
+    * users on a shared host, get disjoint paths instead of overwriting each
+    * other mid-read.
+    */
+  private def scratchPath(name: String, dataDir: String): String = {
+    val scope = s"${System.getProperty("user.name", "anon")}-${
+      Integer.toHexString(dataDir.hashCode)}"
+    java.nio.file.Paths.get(
+      System.getProperty("java.io.tmpdir"), s"$name-$scope").toString
+  }
+
   /** Multi-statement SQL script through SqlRunner: comments, temp-view DDL,
     * a TEMPORARY MACRO (rewritten to a registered function), and a final
     * SELECT whose DataFrame is the query result.
@@ -51,11 +65,7 @@ object Engine {
     * the hash.
     */
   def csvRoundtrip(s: SparkSession, dir: String): DataFrame = {
-    // fixed path + overwrite, NOT createTempDirectory — same /tmp-growth
-    // fix as xmlRoundtrip (a fresh dir per invocation accumulates a
-    // documents-sized dump every sweep)
-    val tmp = java.nio.file.Paths.get(
-      System.getProperty("java.io.tmpdir"), "graft-csv-roundtrip").toString
+    val tmp = scratchPath("graft-csv-roundtrip", dir)
     T(s, dir, "documents")
       .select(col("doc_id"), col("lang"), col("source"), col("n_chars"), col("text"))
       .write.mode("overwrite").option("header", "true").csv(tmp)
@@ -82,9 +92,7 @@ object Engine {
     * JSON `props` string, re-extracted after the roundtrip).
     */
   def jsonlRoundtrip(s: SparkSession, dir: String): DataFrame = {
-    // fixed path + overwrite — see csvRoundtrip
-    val tmp = java.nio.file.Paths.get(
-      System.getProperty("java.io.tmpdir"), "graft-jsonl-roundtrip").toString
+    val tmp = scratchPath("graft-jsonl-roundtrip", dir)
     T(s, dir, "events")
       .select(col("event_id"), col("event_type"), col("props"))
       .write.mode("overwrite").json(tmp)
@@ -115,10 +123,7 @@ object Engine {
     * keeps the double output order-independent for the hash compare.
     */
   def xmlRoundtrip(s: SparkSession, dir: String): DataFrame = {
-    // fixed path + overwrite, NOT createTempDirectory: a fresh dir per
-    // invocation leaks a customer-sized XML dump into /tmp every sweep
-    val tmp = java.nio.file.Paths.get(
-      System.getProperty("java.io.tmpdir"), "graft-xml-roundtrip").toString
+    val tmp = scratchPath("graft-xml-roundtrip", dir)
     T(s, dir, "customer")
       .select(col("c_custkey"), col("c_name"), col("c_nationkey"),
         col("c_acctbal"), col("c_mktsegment"))
@@ -305,10 +310,9 @@ object Engine {
         unix_timestamp(get_json_object(col("ev"), "$.timestamp"),
           "yyyy-MM-dd'T'HH:mm").as("ts_epoch"),
         get_json_object(col("ev"), "$.type").as("type"))
-    // fixed path + overwrite — see csvRoundtrip (the journal beside it
-    // appends to one parquet dir instead of minting a new pair per run)
-    val orcDir = java.nio.file.Paths.get(
-      System.getProperty("java.io.tmpdir"), "graft-sp-events").toString
+    // the journal beside the ORC dir appends to one parquet dir instead of
+    // minting a new pair per run
+    val orcDir = scratchPath("graft-sp-events", dir)
     events.write.mode("overwrite").orc(orcDir)
     new graft.engine.Journal(s, s"$orcDir-journal").save(graft.engine.ExecutionRecord(
       "etl_readme_slice", System.currentTimeMillis(), System.currentTimeMillis(),

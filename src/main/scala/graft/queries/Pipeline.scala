@@ -2031,7 +2031,8 @@ object Pipeline {
       |    len(string_split_regex(trim(text), '\s+')) AS ntok,
       |    length(text) AS nchr
       |  FROM documents)
-      |SELECT COALESCE(lang, '*') AS lang,
+      |SELECT CASE WHEN GROUPING(lang) = 1 THEN '*'
+      |            ELSE COALESCE(lang, '<null>') END AS lang,
       |  CAST(COUNT(*) AS BIGINT) AS n_docs,
       |  CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources,
       |  CAST(SUM(ntok) AS BIGINT) AS total_tokens,

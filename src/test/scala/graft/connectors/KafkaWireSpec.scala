@@ -328,6 +328,26 @@ class KafkaWireSpec extends AnyFunSuite {
     } finally broker.close()
   }
 
+  test("TLS: endpoint identification rejects a cert whose SAN does not " +
+      "match the broker host unless explicitly opted out") {
+    // cert for some OTHER host — trusted CA-wise, wrong identity
+    val (serverCtx, clientCtx) =
+      KafkaWireSpec.makeTlsContexts(san = "DNS:not-this-broker.example")
+    val broker = new FakeBroker(Map(("ev", 0) -> Seq(100L)),
+      tlsContext = Some(serverCtx))
+    try {
+      // default: hostname verification on → handshake must fail even though
+      // the trust store contains the cert (the MITM shape ADVICE flagged)
+      val strict = new KafkaWireClient("127.0.0.1", broker.port,
+        tls = Some(clientCtx))
+      intercept[Exception](strict.listTopics())
+      // pinned-cert clusters can opt out and still get encryption
+      val pinned = new KafkaWireClient("127.0.0.1", broker.port,
+        tls = Some(clientCtx), tlsVerifyHostname = false)
+      assert(pinned.listTopics() === Seq(("ev", 0)))
+    } finally broker.close()
+  }
+
   test("plainSaslToken encodes RFC 4616 NUL-delimited fields") {
     assert(plainSaslToken("u", "p").toSeq ===
       ("\u0000u\u0000p").getBytes("UTF-8").toSeq)
@@ -404,7 +424,8 @@ object KafkaWireSpec {
     * external deps, no egress): server context serves the key pair,
     * client context trusts exactly that one exported certificate.
     */
-  def makeTlsContexts(): (javax.net.ssl.SSLContext, javax.net.ssl.SSLContext) = {
+  def makeTlsContexts(san: String = "IP:127.0.0.1")
+      : (javax.net.ssl.SSLContext, javax.net.ssl.SSLContext) = {
     import java.nio.file.{Files, Paths}
     val dir = Files.createTempDirectory("graft-tls")
     val ks = dir.resolve("server.p12").toString
@@ -420,7 +441,7 @@ object KafkaWireSpec {
     }
     run("-genkeypair", "-alias", "broker", "-keyalg", "RSA", "-keysize", "2048",
       "-storetype", "PKCS12", "-keystore", ks, "-storepass", "changeit",
-      "-dname", "CN=127.0.0.1", "-validity", "2", "-ext", "SAN=IP:127.0.0.1")
+      "-dname", "CN=127.0.0.1", "-validity", "2", "-ext", s"SAN=$san")
     run("-exportcert", "-alias", "broker", "-keystore", ks,
       "-storepass", "changeit", "-file", cert)
     run("-importcert", "-noprompt", "-alias", "broker", "-storetype", "PKCS12",

@@ -67,4 +67,17 @@ class DiagnosticsSpec extends SparkSpec {
     assert(got(1) === (("de",  1L,  1L,  4L, 19L, 4.0, 0L)))
     assert(got(2) === (("en",  2L,  2L,  5L, 16L, 2.5, 1L)))
   }
+
+  test("corpusReport: a genuine NULL-lang group stays distinct from the " +
+      "rollup total row") {
+    val docs = Seq(
+      (Option("en"), "web", "one two three"),
+      (Option.empty[String], "web", "mystery tongue")
+    ).toDF("lang", "source", "text")
+    val langs = Diagnostics.corpusReport(docs, col("lang"), col("source"),
+        col("text"))
+      .select("lang").as[String].collect().sorted
+    // one total row, one NULL-lang row, one en row — no "*" collision
+    assert(langs.toSeq === Seq("*", "<null>", "en"))
+  }
 }

@@ -500,4 +500,21 @@ class SimilaritySpec extends SparkSpec {
       .orderBy("query_id", "rank").as[(Long, Long, Int, Double)].collect()
     assert(got.map(r => (r._1, r._2)).toSeq !== pureRel.map(r => (r._1, r._2)).toSeq)
   }
+
+  test("mmrTopK survives zero-norm embeddings (NaN cosine) instead of " +
+      "crashing the query group") {
+    // vec 99 is all-zeros: its cosine against anything is 0/0 = NaN, so its
+    // greedy score never compares true — the loop must stop cleanly, not
+    // index used(-1)
+    val base = vectors(6, 8, seed = 33)
+    val zero = Seq((99L, Array.fill(8)(0f))).toDF("vec_id", "embedding")
+    val corpus = base.unionByName(zero)
+    val got = Similarity.mmrTopK(base.filter(col("vec_id") < 2), corpus,
+        k = 4, shortlist = 7)
+      .as[(Long, Long, Int, Double)].collect()
+    // both query groups completed, never picked the NaN-scored zero vector
+    assert(got.map(_._1).distinct.sorted.toSeq === Seq(0L, 1L))
+    assert(!got.exists(_._2 == 99L))
+    assert(got.forall(r => !r._4.isNaN))
+  }
 }
