@@ -90,20 +90,29 @@ object TextIndex {
     * rarer-in-corpus terms outrank raw frequency. The weight is a ratio of
     * exact integers (a single IEEE division — identical in any engine), not
     * `ln`, so relevance outputs stay bit-comparable with the oracle; a
-    * consumer wanting the logarithmic damping applies it on top. The df dim
-    * (one row per distinct term) broadcasts; the per-doc rank window
-    * partitions on doc_id with per-doc input bounded by document length.
+    * consumer wanting the logarithmic damping applies it on top.
+    *
+    * Scale shape: the df dim is one row per DISTINCT CORPUS TERM — Heaps'
+    * law puts that in the hundreds of millions at 100 TB, so it carries NO
+    * broadcast hint; the planner shuffle-joins on `term` (partial-aggregated
+    * dim side, AQE upgrades to broadcast adaptively when the dictionary is
+    * actually small). The corpus size N rides along as a one-row broadcast
+    * dim instead of a separate driver-side count() job, so the whole
+    * operator is one plan. The per-doc rank window partitions on doc_id
+    * with per-doc input bounded by document length.
     */
   def relevantTerms(df: DataFrame, id: Column, text: Column, k: Int,
       minLen: Int = 1): DataFrame = {
     val p = postings(df, id, text).filter(length(col("term")) >= minLen)
-    val n = df.count()
+    val nDim = df.agg(count(lit(1)).as("__n"))
     val dfDim = p.groupBy(col("term")).agg(count(lit(1)).as("df"))
     val w = Window.partitionBy(col("doc_id"))
       .orderBy(col("relevance").desc, col("term"))
-    p.join(broadcast(dfDim), Seq("term"))
+    p.join(dfDim, Seq("term"))
+      .crossJoin(broadcast(nDim))
       .withColumn("relevance",
-        col("tf").cast("double") * (lit(n).cast("double") / col("df").cast("double")))
+        col("tf").cast("double") *
+          (col("__n").cast("double") / col("df").cast("double")))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("doc_id"), col("rank").cast("int").as("rank"), col("term"),

@@ -247,6 +247,26 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Generate"), p) // token count is a size, not explode
   }
 
+  test("top_relevant_terms: the term dictionary is never FORCE-broadcast — " +
+      "when stats say it is big (threshold off) the term join degrades to " +
+      "a shuffle join; only the hinted one-row corpus-size dim broadcasts") {
+    // at sf0.001 the planner broadcasts dfDim BY STATISTICS (fine — AQE/
+    // stats scale that decision); an unconditional broadcast() hint would
+    // instead persist below, trying to ship a Heaps'-law dictionary of
+    // hundreds of millions of terms at 100 TB
+    val key = "spark.sql.autoBroadcastJoinThreshold"
+    val old = spark.conf.get(key)
+    try {
+      spark.conf.set(key, "-1")
+      val p = plan(Pipeline.topRelevantTerms(spark, dir))
+      assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin"), p)
+      assert(!p.contains("BroadcastHashJoin"), p)
+      // N folds into the plan as the hinted one-row dim — no separate
+      // driver-side count job remains
+      assert(p.contains("BroadcastNestedLoopJoin"), p)
+    } finally spark.conf.set(key, old)
+  }
+
   test("zorder key: map-only projection over the pruned scan") {
     val df = T(spark, dir, "orders")
       .filter(org.apache.spark.sql.functions.col("o_orderkey") <= 5000)
