@@ -96,6 +96,17 @@ class DedupSpec extends SparkSpec {
       (20L, 20L), (21L, 20L), (22L, 20L), (23L, 20L)))
   }
 
+  test("components: a 300-hop chain converges inside the default round " +
+      "budget (star rounds are O(log² n), not O(diameter))") {
+    // plain min-label propagation needs ~300 rounds here and would return
+    // unconverged labels under maxIter=20; large-star/small-star collapses
+    // the chain in a handful of rounds
+    val chain = (0L until 300L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val got = Dedup.components(chain).as[(Long, Long)].collect()
+    assert(got.length === 301)
+    assert(got.forall(_._2 == 0L))
+  }
+
   test("dedup operators handle empty and single-doc inputs") {
     val empty = docs.filter(col("doc_id") < 0)
     assert(Dedup.exact(empty, col("doc_id"), col("text")).count() === 0)
