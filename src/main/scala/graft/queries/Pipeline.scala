@@ -1996,6 +1996,35 @@ object Pipeline {
       |FROM o FULL OUTER JOIN nw ON o.id = nw.id
       |ORDER BY id""".stripMargin
 
+  /** Mergeable KLL quantile sketch over order totals per priority — the
+    * 100-TB percentile path (q22's exact `percentile_disc` is a full sort
+    * per group by definition; the sketch shuffles O(k log(n/k)) doubles).
+    * At sf0.01 every priority group (~3k orders) fits inside the k=4096
+    * capacity, so the sketch runs its EXACT regime and the oracle is
+    * DuckDB's `quantile_disc` — a hash gate on the full aggregation
+    * plumbing; the lossy regime (which the same query exercises at sf0.1+
+    * in Bench) is spec-gated with rank-error bounds in QuantileSketchSpec.
+    */
+  def quantileSketchQ(s: SparkSession, dir: String): DataFrame =
+    T(s, dir, "orders")
+      .groupBy(col("o_orderpriority"))
+      .agg(graft.functions.QuantileSketch
+          .kllQuantiles(4096, Seq(0.5, 0.9, 0.99))(col("o_totalprice")).as("qs"),
+        count(lit(1)).as("n"))
+      .select(col("o_orderpriority"), col("qs")(0).as("p50"),
+        col("qs")(1).as("p90"), col("qs")(2).as("p99"), col("n"))
+      .orderBy(col("o_orderpriority"))
+
+  val quantileSketchOracle: String =
+    """SELECT o_orderpriority,
+      |  quantile_disc(o_totalprice, 0.5) AS p50,
+      |  quantile_disc(o_totalprice, 0.9) AS p90,
+      |  quantile_disc(o_totalprice, 0.99) AS p99,
+      |  CAST(COUNT(*) AS BIGINT) AS n
+      |FROM orders
+      |GROUP BY o_orderpriority
+      |ORDER BY o_orderpriority""".stripMargin
+
   /** Token-length histogram of the documents corpus in power-of-two
     * buckets — the packing/batch-shape planning report.
     */
@@ -2503,6 +2532,7 @@ object Pipeline {
     Q("corpus_report", corpusReportQ, Some(corpusReportOracle)),
     Q("corpus_diff", corpusDiffQ, Some(corpusDiffOracle)),
     Q("length_histogram", lengthHistogramQ, Some(lengthHistogramOracle)),
+    Q("quantile_sketch", quantileSketchQ, Some(quantileSketchOracle)),
     Q("source_overlap", sourceOverlap, Some(sourceOverlapOracle)),
     Q("dedup_canonical", dedupCanonical, Some(dedupCanonicalOracle)),
     Q("segment_dedup", segmentDedupQ, Some(segmentDedupOracle)),

@@ -47,6 +47,27 @@ class WriteSpec extends SparkSpec {
     assert(math.abs(r.getDouble(2) - r.getDouble(3)) / r.getDouble(3) < 0.1)
   }
 
+  test("kllQuantiles (lossy regime) tracks exact percentile_disc within " +
+      "the rank-error envelope on real data") {
+    val o = spark.read.parquet(s"$dir/orders.parquet")
+    // k=64 forces compaction (orders >> capacity): genuinely approximate
+    val r = o.agg(
+      graft.functions.QuantileSketch
+        .kllQuantiles(64, Seq(0.5, 0.9))(col("o_totalprice")).as("qs"),
+      expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY o_totalprice)").as("e50"),
+      expr("percentile_disc(0.9) WITHIN GROUP (ORDER BY o_totalprice)").as("e90"),
+      count(lit(1)).as("n")).head()
+    val qs = r.getSeq[Double](0)
+    val n = r.getLong(3).toDouble
+    assert(n > 1000) // lossy regime actually engaged
+    // compare in RANK space (value space has no bound): the estimated
+    // value's true rank must sit within ~3/k of the target rank
+    def rankOf(v: Double): Double =
+      o.filter(col("o_totalprice") <= v).count() / n
+    assert(math.abs(rankOf(qs(0)) - 0.5) <= 3.0 / 64, s"p50=${qs(0)}")
+    assert(math.abs(rankOf(qs(1)) - 0.9) <= 3.0 / 64, s"p90=${qs(1)}")
+  }
+
   test("GROUPING SETS via SQL (beyond rollup/cube)") {
     spark.read.parquet(s"$dir/orders.parquet").createOrReplaceTempView("ws_orders")
     val got = spark.sql(
