@@ -44,7 +44,11 @@ object Stress {
     // paths worth watching for quadratic creep
     "dedup_semantic", "sample_per_cluster",
     "dup_ngram_profile", "dedup_ngram_mask",
-    "sim_mmr_topk", "sim_hard_negatives")
+    "sim_mmr_topk", "sim_hard_negatives",
+    // round-10 additions: the n-gram-LM text scorers (corpus-frequency
+    // joins over exploded grams — the same posting-aggregation shape as
+    // the n-gram dedup family, worth the same quadratic-creep watch)
+    "trigram_backoff", "bigram_familiarity")
 
   private val IdStride = 1000000L // well above any sf0.1 id; keeps ids unique
 
@@ -116,11 +120,28 @@ object Stress {
       new java.math.BigDecimal(String.format(java.util.Locale.ROOT, "%.3f", Double.box(v)))
         .stripTrailingZeros().toPlainString
     val results = queries.map(q => q -> timeOnce(q))
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + num(v) }
+    // Merge with any prior recording for this multiplier: a partial run
+    // (e.g. two new queries at ×64) must not erase the earlier sweep.
+    val path = java.nio.file.Paths.get(s"stress_x$mult.json")
+    val prior: Seq[(String, String)] =
+      if (java.nio.file.Files.exists(path)) {
+        val txt = new String(java.nio.file.Files.readAllBytes(path),
+          java.nio.charset.StandardCharsets.UTF_8)
+        val obj = txt.indexOf("\"queries\":{") match {
+          case -1 => ""
+          case i => txt.substring(i + 11, txt.indexOf('}', i))
+        }
+        """"([A-Za-z0-9_]+)":(-?[0-9.]+)""".r.findAllMatchIn(obj)
+          .map(m => m.group(1) -> m.group(2)).toSeq
+      } else Seq.empty
+    val ran = results.map(_._1).toSet
+    val merged = prior.filterNot(p => ran.contains(p._1)) ++
+      results.map { case (k, v) => k -> num(v) }
+    val qs = merged.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val line = s"""{"mult":$mult,"rows":$rows,"queries":$qs}"""
     try {
-      java.nio.file.Files.write(java.nio.file.Paths.get(s"stress_x$mult.json"),
+      java.nio.file.Files.write(path,
         (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     } catch { case _: Throwable => () }
     System.out.println(line)
