@@ -395,11 +395,36 @@ object Dedup {
     * chain finishes in a handful of rounds instead of 1000. Every round is
     * two groupBy+join passes over (long, long) edges; frames are
     * localCheckpoint-ed per round so iterated plans never nest. `maxIter`
-    * bounds pathology; the fixpoint probe (count + anti-join on the
-    * just-materialized blocks) stops early. Output: (id, component) — one
-    * row per node appearing in `pairs`.
+    * bounds pathology.
+    *
+    * Fixpoint probe: a state is a fixpoint of the alternation iff it is a
+    * disjoint union of downhill STARS — every src has out-degree exactly 1
+    * AND no edge's dst also appears as a src (every non-root points
+    * directly at a root). Such a state maps to itself under both stars
+    * (direct computation: large-star re-emits each (v, m); small-star's
+    * per-src minimum IS the sole neighbor), and the paper's fixpoint
+    * theorem says the only fixpoints are the correct min-rooted component
+    * stars — so one degree-aggregation + semi-join action over the
+    * just-checkpointed blocks decides termination. Both conditions are
+    * needed: edges {(3,1),(3,2)} have no dst-as-src yet are NOT a fixpoint
+    * (components 1 and 2 still merge through 3). (The first version probed
+    * with count() + exceptAll — two extra multi-stage jobs per round that
+    * made the loop SLOWER than the min-label one it replaced on shallow
+    * near-dup graphs.)
+    *
+    * Adaptive small-graph path: verified near-dup pair sets are usually
+    * TINY relative to the corpus (233 pairs from 4 750 sf0.1 batch docs),
+    * and any distributed iteration pays multi-second scheduler overhead on
+    * them — so when the deduplicated edge count is at most
+    * `localEdgeThreshold` (and ids are integral), the edges collect to the
+    * driver and a path-compressed min-root union-find labels them in one
+    * pass (the same measured-auto-strategy stance as the Jaccard join).
+    * 2 M edges is ~32 MB of longs — trivially driver-safe — while the ×64
+    * stress corpus (~11 M pairs) still takes the distributed star loop.
+    * Output: (id, component) — one row per node appearing in `pairs`.
     */
-  def components(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
+  def components(pairs: DataFrame, maxIter: Int = 20,
+      localEdgeThreshold: Long = 2000000L): DataFrame = {
     // evaluate the (often expensive — LSH band joins) pair plan EXACTLY
     // once: canonicalize to downhill (larger → smaller) edges, self-loops
     // still included, and checkpoint; everything below feeds off these
@@ -408,13 +433,29 @@ object Dedup {
       .select(greatest(col("id_a"), col("id_b")).as("src"),
         least(col("id_a"), col("id_b")).as("dst"))
       .distinct().localCheckpoint()
+    val integral = edges0.schema.fields.forall(f =>
+      f.dataType == org.apache.spark.sql.types.LongType ||
+        f.dataType == org.apache.spark.sql.types.IntegerType)
+    if (integral && edges0.count() <= localEdgeThreshold)
+      return componentsLocal(edges0)
     // one row per node, kept aside so fixpoint roots (and self-pair-only
     // nodes, whose edges drop with the self-loop filter) label themselves
     val allNodes = edges0
       .select(explode(array(col("src"), col("dst"))).as("id")).distinct()
     var edges = edges0.filter(col("src") =!= col("dst"))
-    var cnt = edges.count()
-    var converged = cnt == 0L
+    // fixpoint witness nodes: out-degree > 1, or appearing as BOTH a src
+    // and a dst — none ⟺ disjoint downhill stars ⟺ fixpoint. One tagged
+    // union + groupBy = a single shuffle of (long, int) rows per probe.
+    def notStars(e: DataFrame): Boolean = {
+      val witnesses = e.select(col("src").as("n"), lit(1).as("o"))
+        .unionAll(e.select(col("dst").as("n"), lit(0).as("o")))
+        .groupBy(col("n"))
+        .agg(sum(col("o")).as("outdeg"), min(col("o")).as("mn"))
+        .filter(col("outdeg") > 1 ||
+          (col("outdeg") >= 1 && col("mn") === 0))
+      !witnesses.isEmpty
+    }
+    var converged = edges.isEmpty
     var i = 0
     while (!converged && i < maxIter) {
       // -- large-star: over the SYMMETRIC neighbor relation, u's minimum
@@ -435,12 +476,8 @@ object Dedup {
         .select(col("dst").as("src"), col("m").as("dst"))
         .unionAll(ssMin.select(col("src"), col("m").as("dst")))
         .distinct().localCheckpoint()
-      // fixpoint probe over the just-materialized blocks: same edge count
-      // AND nothing new ⇒ the (distinct) edge sets are identical
-      val nextCnt = next.count()
-      converged = nextCnt == cnt && next.exceptAll(edges).isEmpty
+      converged = !notStars(next)
       edges = next
-      cnt = nextCnt
       i += 1
     }
     // at fixpoint edges are stars (node → component minimum); roots never
@@ -449,6 +486,43 @@ object Dedup {
     val labeled = edges.select(col("src").as("id"), col("dst").as("component"))
     allNodes.join(labeled, Seq("id"), "left")
       .select(col("id"), coalesce(col("component"), col("id")).as("component"))
+  }
+
+  /** Driver-side union-find for small edge sets (see [[components]]):
+    * weighted-by-min linking (the larger root always hangs under the
+    * smaller, so each set's root IS its minimum id) with full path
+    * compression — O(E α(E)) over collected (long, long) edges. Self-loop
+    * nodes label themselves; output ids are cast back to the input id
+    * type so downstream anti-joins see the caller's schema.
+    */
+  private def componentsLocal(edges0: DataFrame): DataFrame = {
+    val spark = edges0.sparkSession
+    val idType = edges0.schema.fields.head.dataType
+    val rows = edges0
+      .select(col("src").cast("long"), col("dst").cast("long")).collect()
+    val parent = new java.util.HashMap[java.lang.Long, java.lang.Long]()
+    def find(x: Long): Long = {
+      var r = x
+      while ({ val p = parent.get(r); p != null && p != r }) r = parent.get(r)
+      var c = x
+      while (c != r) { val n = parent.get(c); parent.put(c, r); c = n }
+      r
+    }
+    val nodes = new java.util.LinkedHashSet[java.lang.Long]()
+    rows.foreach { row =>
+      val s = row.getLong(0); val d = row.getLong(1)
+      nodes.add(s); nodes.add(d)
+      if (s != d) {
+        val rs = find(s); val rd = find(d)
+        if (rs != rd) parent.put(math.max(rs, rd), math.min(rs, rd))
+      }
+    }
+    import scala.jdk.CollectionConverters._
+    val out = nodes.asScala.iterator
+      .map(n => (n.longValue(), find(n.longValue()))).toSeq
+    spark.createDataFrame(out).toDF("id", "component")
+      .select(col("id").cast(idType).as("id"),
+        col("component").cast(idType).as("component"))
   }
 
   /** Corpus minus near-duplicates: drops every id that appears as the larger

@@ -100,11 +100,30 @@ class DedupSpec extends SparkSpec {
       "budget (star rounds are O(log² n), not O(diameter))") {
     // plain min-label propagation needs ~300 rounds here and would return
     // unconverged labels under maxIter=20; large-star/small-star collapses
-    // the chain in a handful of rounds
+    // the chain in a handful of rounds. localEdgeThreshold = 0 forces the
+    // DISTRIBUTED star loop — the default would collect 300 edges and
+    // union-find them on the driver, testing nothing about the rounds.
     val chain = (0L until 300L).map(i => (i, i + 1)).toDF("id_a", "id_b")
-    val got = Dedup.components(chain).as[(Long, Long)].collect()
+    val got = Dedup.components(chain, localEdgeThreshold = 0L)
+      .as[(Long, Long)].collect()
     assert(got.length === 301)
     assert(got.forall(_._2 == 0L))
+  }
+
+  test("components: local union-find and distributed star loop agree on a " +
+      "mixed graph (chains, merged stars, self-loops, singleton pairs)") {
+    // the {(3,1),(3,2)} shape is the probe counterexample: no dst is a src,
+    // yet 1 and 2 must still merge through 3 — an early-terminating
+    // flatness-only probe returns two components here
+    val pairs = Seq((3L, 1L), (3L, 2L), (7L, 7L), (5L, 4L), (6L, 5L),
+      (10L, 12L), (12L, 11L), (20L, 21L)).toDF("id_a", "id_b")
+    val local = Dedup.components(pairs).as[(Long, Long)].collect().sortBy(_._1)
+    val dist = Dedup.components(pairs, localEdgeThreshold = 0L)
+      .as[(Long, Long)].collect().sortBy(_._1)
+    assert(local === dist)
+    assert(local === Array((1L, 1L), (2L, 1L), (3L, 1L), (4L, 4L), (5L, 4L),
+      (6L, 4L), (7L, 7L), (10L, 10L), (11L, 10L), (12L, 10L),
+      (20L, 20L), (21L, 20L)))
   }
 
   test("dedup operators handle empty and single-doc inputs") {
