@@ -283,26 +283,30 @@ object TextIndex {
     *
     * Output: (id, n_bigrams, sum_freq, n_common, common_frac).
     *
-    * Scale shape: bigram extraction is a map-only array transform (no
-    * per-doc window); the count table aggregates on the pair key
-    * map-side-partial; the scoring join is a plain equality hash join —
-    * at corpus scale, fingerprint the pair to 8 bytes for the join key
-    * and bucket the count table, exactly like the shingle joins.
+    * Scale shape: same as [[backoffFamiliarity]] — bigrams become 8-byte
+    * positional fingerprints in one native
+    * [[org.apache.spark.sql.graft.ShingleFps60]] pass (the first version
+    * built (w1, w2) STRING structs with an interpreted transform and no
+    * widen(), shuffled the strings through both the count groupBy and the
+    * scoring join, and measured 8× slower than the trigram scorer at
+    * stress ×4); the count table keys on the fp with map-side partials;
+    * text never shuffles after widen(). Counts are exact modulo 60-bit
+    * fp collisions — the same accepted stance as every other fp-keyed
+    * text operator here, and the oracle hash-gate would catch one.
     */
   def bigramFamiliarity(df: DataFrame, id: Column, text: Column): DataFrame = {
-    val bg = df.select(id.as("id"), TextFunctions.tokensWs(text).as("t"))
-      .select(col("id"), explode(when(size(col("t")) >= 2,
-        transform(sequence(lit(0), size(col("t")) - 2),
-          i => struct(element_at(col("t"), i + 1).as("w1"),
-            element_at(col("t"), i + 2).as("w2"))))
-        .otherwise(array().cast("array<struct<w1:string,w2:string>>"))).as("b"))
-      .select(col("id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
-    val counts = bg.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c"))
-    val scored = bg.join(counts, Seq("w1", "w2"))
+    import org.apache.spark.sql.graft.HashFunctions
+    val base = widen(df.select(id.as("id"), text.as("__text")))
+      .select(col("id"), TextFunctions.tokensWs(col("__text")).as("toks"))
+    val bg = base.filter(size(col("toks")) >= 2)
+      .select(col("id"),
+        explode(HashFunctions.shingleFps60(col("toks"), 2)).as("g2"))
+    val counts = bg.groupBy(col("g2")).agg(count(lit(1)).as("c"))
+    val scored = bg.join(counts, Seq("g2"))
       .groupBy(col("id"))
       .agg(count(lit(1)).as("n_bigrams"), sum(col("c")).as("sum_freq"),
         sum(when(col("c") > 1, 1L).otherwise(0L)).as("n_common"))
-    df.select(id.as("id")).distinct()
+    base.select(col("id"))
       .join(scored, Seq("id"), "left")
       .select(col("id"),
         coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
