@@ -2025,6 +2025,41 @@ object Pipeline {
       |GROUP BY o_orderpriority
       |ORDER BY o_orderpriority""".stripMargin
 
+  /** Mergeable Misra-Gries heavy-hitters sketch over per-language tokens —
+    * the 100-TB frequent-items path (the exact `heavy_hitters` shuffles one
+    * row per distinct key; the sketch's partial buffer is capped at k
+    * entries per group however large the vocabulary). The synthetic corpus
+    * has far fewer distinct tokens than k = 4096, so the sketch runs its
+    * EXACT regime and DuckDB's per-group top-5 replays it — a hash gate on
+    * the full aggregation plumbing; the lossy regime (undercount ≤ n/(k+1),
+    * heavy-hitter retention, merge associativity) is spec-gated in
+    * FrequencySketchSpec.
+    */
+  def heavyHittersSketchQ(s: SparkSession, dir: String): DataFrame =
+    T(s, dir, "documents")
+      .select(col("lang"),
+        explode(graft.functions.TextFunctions.tokensWs(col("text"))).as("term"))
+      .groupBy(col("lang"))
+      .agg(graft.functions.FrequencySketch.mgTopK(4096, 5)(col("term")).as("top"))
+      .select(col("lang"), posexplode(col("top")).as(Seq("pos", "kv")))
+      .select(col("lang"), (col("pos") + 1).as("rank"),
+        col("kv._1").as("term"), col("kv._2").as("cnt"))
+      .orderBy(col("lang"), col("rank"))
+
+  val heavyHittersSketchOracle: String =
+    """WITH toks AS (
+      |  SELECT lang, unnest(string_split_regex(trim(text), '\s+')) AS term
+      |  FROM documents),
+      |c AS (SELECT lang, term, COUNT(*) AS cnt FROM toks GROUP BY 1, 2),
+      |r AS (
+      |  SELECT lang, term, cnt,
+      |    CAST(ROW_NUMBER() OVER (PARTITION BY lang ORDER BY cnt DESC, term)
+      |      AS INTEGER) AS rank
+      |  FROM c)
+      |SELECT lang, rank, term, CAST(cnt AS BIGINT) AS cnt
+      |FROM r WHERE rank <= 5
+      |ORDER BY lang, rank""".stripMargin
+
   /** Token-length histogram of the documents corpus in power-of-two
     * buckets — the packing/batch-shape planning report.
     */
@@ -2533,6 +2568,7 @@ object Pipeline {
     Q("corpus_diff", corpusDiffQ, Some(corpusDiffOracle)),
     Q("length_histogram", lengthHistogramQ, Some(lengthHistogramOracle)),
     Q("quantile_sketch", quantileSketchQ, Some(quantileSketchOracle)),
+    Q("heavy_hitters_sketch", heavyHittersSketchQ, Some(heavyHittersSketchOracle)),
     Q("source_overlap", sourceOverlap, Some(sourceOverlapOracle)),
     Q("dedup_canonical", dedupCanonical, Some(dedupCanonicalOracle)),
     Q("segment_dedup", segmentDedupQ, Some(segmentDedupOracle)),
