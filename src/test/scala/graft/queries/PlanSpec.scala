@@ -267,6 +267,21 @@ class PlanSpec extends SparkSpec {
     } finally spark.conf.set(key, old)
   }
 
+  test("sketch aggregators: KLL and Misra-Gries aggregate partially before " +
+      "the shuffle — the whole point of a mergeable summary") {
+    // ObjectHashAggregate(partial) below the Exchange means each map task
+    // ships one k-bounded buffer per group, not its raw rows — the
+    // property that makes the sketches the 100-TB path
+    for (q <- Seq(Pipeline.quantileSketchQ(spark, dir),
+        Pipeline.heavyHittersSketchQ(spark, dir))) {
+      val p = plan(q)
+      assert("ObjectHashAggregate".r.findAllIn(p).size >= 2, p)
+      val partialIdx = p.indexOf("ObjectHashAggregate")
+      val exchangeIdx = p.indexOf("Exchange", partialIdx)
+      assert(exchangeIdx > partialIdx, p) // a partial instance feeds an exchange
+    }
+  }
+
   test("zorder key: map-only projection over the pruned scan") {
     val df = T(spark, dir, "orders")
       .filter(org.apache.spark.sql.functions.col("o_orderkey") <= 5000)
