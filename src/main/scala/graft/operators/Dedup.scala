@@ -520,7 +520,18 @@ object Dedup {
     import scala.jdk.CollectionConverters._
     val out = nodes.asScala.iterator
       .map(n => (n.longValue(), find(n.longValue()))).toSeq
-    spark.createDataFrame(out).toDF("id", "component")
+    // RDD-backed, not createDataFrame(Seq): a LocalRelation embeds every
+    // row in the logical plan, which at the threshold's ~4M node rows
+    // bloats analysis and scans on a single partition
+    val slices = math.max(1, math.min(32, out.size / 200000))
+    val labeledRdd = spark.sparkContext.parallelize(
+      out.map(p => org.apache.spark.sql.Row(p._1, p._2)), slices)
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("id",
+        org.apache.spark.sql.types.LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("component",
+        org.apache.spark.sql.types.LongType, nullable = false)))
+    spark.createDataFrame(labeledRdd, schema)
       .select(col("id").cast(idType).as("id"),
         col("component").cast(idType).as("component"))
   }
