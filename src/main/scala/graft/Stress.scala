@@ -122,16 +122,22 @@ object Stress {
     val results = queries.map(q => q -> timeOnce(q))
     // Merge with any prior recording for this multiplier: a partial run
     // (e.g. two new queries at ×64) must not erase the earlier sweep.
+    // Prior entries are kept ONLY when the recorded row count matches —
+    // timings measured against a different base corpus must not be
+    // stitched under the new "rows" value.
     val path = java.nio.file.Paths.get(s"stress_x$mult.json")
     val prior: Seq[(String, String)] =
       if (java.nio.file.Files.exists(path)) {
         val txt = new String(java.nio.file.Files.readAllBytes(path),
           java.nio.charset.StandardCharsets.UTF_8)
+        val sameCorpus = """"rows":(\d+)""".r.findFirstMatchIn(txt)
+          .exists(_.group(1).toLong == rows)
         val obj = txt.indexOf("\"queries\":{") match {
           case -1 => ""
           case i => txt.substring(i + 11, txt.indexOf('}', i))
         }
-        """"([A-Za-z0-9_]+)":(-?[0-9.]+)""".r.findAllMatchIn(obj)
+        if (!sameCorpus) Seq.empty
+        else """"([A-Za-z0-9_]+)":(-?[0-9.]+)""".r.findAllMatchIn(obj)
           .map(m => m.group(1) -> m.group(2)).toSeq
       } else Seq.empty
     val ran = results.map(_._1).toSet

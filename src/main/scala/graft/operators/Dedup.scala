@@ -419,12 +419,15 @@ object Dedup {
     * `localEdgeThreshold` (and ids are integral), the edges collect to the
     * driver and a path-compressed min-root union-find labels them in one
     * pass (the same measured-auto-strategy stance as the Jaccard join).
-    * 2 M edges is ~32 MB of longs — trivially driver-safe — while the ×64
-    * stress corpus (~11 M pairs) still takes the distributed star loop.
+    * Memory honesty: at the 1 M-edge default the transient driver cost is
+    * a few hundred MB (collected Rows plus boxed HashMap/node-set entries
+    * — NOT just the 16 MB of raw longs); raise the threshold only with
+    * driver heap to match. The ×16 stress corpus (~665 k pairs) stays
+    * local; the ×64 one (~11 M) takes the distributed star loop.
     * Output: (id, component) — one row per node appearing in `pairs`.
     */
   def components(pairs: DataFrame, maxIter: Int = 20,
-      localEdgeThreshold: Long = 2000000L): DataFrame = {
+      localEdgeThreshold: Long = 1000000L): DataFrame = {
     // evaluate the (often expensive — LSH band joins) pair plan EXACTLY
     // once: canonicalize to downhill (larger → smaller) edges, self-loops
     // still included, and checkpoint; everything below feeds off these
@@ -482,8 +485,18 @@ object Dedup {
     }
     // at fixpoint edges are stars (node → component minimum); roots never
     // appear on the src side (src > dst invariant), so they self-label via
-    // the anti-join, as do nodes whose only pairs were self-loops
-    val labeled = edges.select(col("src").as("id"), col("dst").as("component"))
+    // the anti-join, as do nodes whose only pairs were self-loops. If
+    // maxIter ran out before the star fixpoint, a node may still carry
+    // several outgoing edges — the per-src min keeps the labeling
+    // WELL-FORMED (exactly one row per node; labels are a valid downhill
+    // over-approximation, same contract the old min-label loop had when
+    // its budget ran out) instead of emitting duplicate conflicting rows.
+    if (!converged)
+      org.slf4j.LoggerFactory.getLogger(getClass).warn(
+        s"components: star alternation did not converge within $maxIter " +
+          "rounds; returning per-node minimum labels (over-approximation)")
+    val labeled = edges.groupBy(col("src")).agg(min(col("dst")).as("component"))
+      .select(col("src").as("id"), col("component"))
     allNodes.join(labeled, Seq("id"), "left")
       .select(col("id"), coalesce(col("component"), col("id")).as("component"))
   }

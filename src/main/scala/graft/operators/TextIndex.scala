@@ -306,7 +306,7 @@ object TextIndex {
       .groupBy(col("id"))
       .agg(count(lit(1)).as("n_bigrams"), sum(col("c")).as("sum_freq"),
         sum(when(col("c") > 1, 1L).otherwise(0L)).as("n_common"))
-    base.select(col("id"))
+    base.select(col("id")).distinct()
       .join(scored, Seq("id"), "left")
       .select(col("id"),
         coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
@@ -357,7 +357,7 @@ object TextIndex {
         sum(when(col("c3") >= 2, 1L).otherwise(0L)).as("n_tri_common"),
         sum(when(col("c3") < 2 && col("c2") >= 2, 1L).otherwise(0L))
           .as("n_backoff"))
-    base.select(col("id"))
+    base.select(col("id")).distinct()
       .join(scored, Seq("id"), "left")
       .select(col("id"),
         coalesce(col("n_trigrams"), lit(0L)).as("n_trigrams"),

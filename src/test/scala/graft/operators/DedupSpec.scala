@@ -110,6 +110,19 @@ class DedupSpec extends SparkSpec {
     assert(got.forall(_._2 == 0L))
   }
 
+  test("components: an exhausted round budget still yields exactly one " +
+      "well-formed downhill label per node") {
+    // a 40-hop chain cannot converge in one star round; the labeling must
+    // stay one-row-per-node with downhill labels (an over-approximation),
+    // never duplicate conflicting rows
+    val chain = (0L until 40L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val got = Dedup.components(chain, maxIter = 1, localEdgeThreshold = 0L)
+      .as[(Long, Long)].collect()
+    assert(got.length === 41)
+    assert(got.map(_._1).distinct.length === 41, "duplicate node rows")
+    assert(got.forall { case (id, c) => c <= id }, "label not downhill")
+  }
+
   test("components: local union-find and distributed star loop agree on a " +
       "mixed graph (chains, merged stars, self-loops, singleton pairs)") {
     // the {(3,1),(3,2)} shape is the probe counterexample: no dst is a src,
