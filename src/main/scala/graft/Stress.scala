@@ -47,8 +47,10 @@ object Stress {
     "sim_mmr_topk", "sim_hard_negatives",
     // round-10 additions: the n-gram-LM text scorers (corpus-frequency
     // joins over exploded grams — the same posting-aggregation shape as
-    // the n-gram dedup family, worth the same quadratic-creep watch)
-    "trigram_backoff", "bigram_familiarity")
+    // the n-gram dedup family, worth the same quadratic-creep watch), and
+    // the Misra-Gries sketch whose exchange payload must stay k-bounded
+    // however large the corpus grows
+    "trigram_backoff", "bigram_familiarity", "heavy_hitters_sketch")
 
   private val IdStride = 1000000L // well above any sf0.1 id; keeps ids unique
 
