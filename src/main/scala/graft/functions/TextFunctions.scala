@@ -86,17 +86,44 @@ object TextFunctions {
     * tokens; argmax with fixed precedence (en > de > es > fr > und on ties).
     */
   def langId(c: Column): Column = {
-    val toks = tokensWs(c)
-    val en = tokenHits(toks, StopwordsEn)
-    val de = tokenHits(toks, StopwordsDe)
-    val es = tokenHits(toks, StopwordsEs)
-    val fr = tokenHits(toks, StopwordsFr)
-    val best = greatest(en, de, es, fr)
+    val s = langScores(c)
+    val en = s.getField("en")
+    val de = s.getField("de")
+    val es = s.getField("es")
+    val fr = s.getField("fr")
+    val zh = s.getField("zh")
+    val best = greatest(en, de, es, fr, zh)
     when(best === 0, lit("und"))
       .when(en === best, lit("en"))
       .when(de === best, lit("de"))
       .when(es === best, lit("es"))
-      .otherwise(lit("fr"))
+      .when(fr === best, lit("fr"))
+      .otherwise(lit("zh"))
+  }
+
+  /** Count of CJK Unified Ideograph characters — the zh signal for
+    * [[langId]]: scripts identify themselves per CHARACTER, so one count
+    * over the ideograph block outweighs any stopword evidence on genuinely
+    * Chinese text without a tokenizer (Chinese has no whitespace tokens to
+    * hit a stopword list with).
+    */
+  def cjkCount(c: Column): Column =
+    size(regexp_extract_all(c, lit("[一-鿿]"), lit(0)))
+
+  /** Per-language evidence counts behind [[langId]], as a struct
+    * (en, de, es, fr, zh) — stopword token hits for the Latin-script
+    * languages, CJK character count for zh. Every field is a codegen'd
+    * builtin over one tokenization, map-only at any scale, and exactly
+    * replayable in ANSI SQL (list_contains filters + one regexp count).
+    */
+  def langScores(c: Column): Column = {
+    val toks = tokensWs(c)
+    struct(
+      tokenHits(toks, StopwordsEn).as("en"),
+      tokenHits(toks, StopwordsDe).as("de"),
+      tokenHits(toks, StopwordsEs).as("es"),
+      tokenHits(toks, StopwordsFr).as("fr"),
+      cjkCount(c).as("zh"))
   }
 
   /** 60-bit content fingerprint: first 15 hex digits of md5, as BIGINT.

@@ -22,7 +22,9 @@ import org.apache.spark.unsafe.types.UTF8String
   *  - stop_ratio / lang hits: token membership in the four stopword lists;
   *  - mean_tok_len: exact integer sum of token lengths / token count;
   *  - quality: the same double formula, same operation order;
-  *  - lang: argmax with en > de > es > fr precedence, "und" on zero hits.
+  *  - lang: argmax with en > de > es > fr > zh precedence (zh evidence is
+  *    the CJK-ideograph character count, not token hits), "und" on zero
+  *    hits.
   *
   * One ~100-entry hash-set lookup per token replaces four `filter` +
   * `array_contains` higher-order chains, and the two regex scans replace
@@ -56,9 +58,10 @@ case class TextStats(child: Expression)
       i += 1
     }
 
-    // single scan for punct count + BPE-ish token count
+    // single scan for punct count + BPE-ish token count + CJK count
     var punct = 0
     var bpe = 0
+    var cjk = 0
     var j = 0
     var inLetter = false
     var inDigit = false
@@ -71,6 +74,7 @@ case class TextStats(child: Expression)
       if (isLetter) { if (!inLetter) bpe += 1 }
       else if (isDigit) { if (!inDigit) bpe += 1 }
       else if (!isWs) { punct += 1; bpe += 1 }
+      if (c >= '一' && c <= '鿿') cjk += 1
       inLetter = isLetter
       inDigit = isDigit
       j += 1
@@ -82,13 +86,15 @@ case class TextStats(child: Expression)
     val lenOk = if (meanLen >= 3.0 && meanLen <= 10.0) 1.0 else 0.0
     val quality = math.min(1.0, math.max(0.0,
       0.4 * math.min(1.0, stopRatio * 4.0) + 0.3 * lenOk + 0.3 * (1.0 - punctRatio)))
-    val best = math.max(math.max(hitEn, hitDe), math.max(hitEs, hitFr))
+    val best = math.max(cjk,
+      math.max(math.max(hitEn, hitDe), math.max(hitEs, hitFr)))
     val lang =
       if (best == 0) "und"
       else if (hitEn == best) "en"
       else if (hitDe == best) "de"
       else if (hitEs == best) "es"
-      else "fr"
+      else if (hitFr == best) "fr"
+      else "zh"
 
     InternalRow(nTok, bpe, punctRatio, stopRatio, meanLen, quality,
       UTF8String.fromString(lang))

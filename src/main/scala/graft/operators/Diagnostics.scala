@@ -101,6 +101,57 @@ object Diagnostics {
           .otherwise(lit("unchanged")).as("status"))
   }
 
+  /** Pairwise corpus-overlap matrix from KMV sketches — the 100-TB scale
+    * path for the exact `source_overlap` report: per group (source), ONE
+    * aggregation reduces all of its shingle hashes to the k smallest
+    * distinct values ([[graft.functions.DistinctSketch]]); every pairwise
+    * estimate is then sketch-against-sketch algebra on rows the size of a
+    * group count, with the corpus never joined against itself. The exact
+    * report's verified-pair join touches O(pairs) rows of text-derived
+    * data; this touches O(groups · k) longs however large the corpus.
+    *
+    * Per pair: L = the k smallest distinct hashes of A ∪ B (a valid union
+    * sketch, computable from the two sketches alone), Jaccard estimate
+    * ρ = |L ∩ A ∩ B| / |L|, union estimate from L's kth minimum, and
+    * intersection estimate ρ·|A∪B|. While every group's distinct-shingle
+    * count stays ≤ k these are EXACT distinct-set statistics (the
+    * oracle-gated regime); saturated sketches estimate with relative
+    * error ~1/sqrt(k-2).
+    *
+    * Output: (source_a, source_b, d_a, d_b, d_union, common_k, jaccard,
+    * d_inter) for every unordered group pair. The pair join is a
+    * nested-loop over group-count-sized sides — thousands of groups at
+    * most; the corpus-sized work is all in the one sketch aggregation.
+    */
+  def sourceOverlapSketch(df: DataFrame, source: Column, text: Column,
+      shingleK: Int = 3, k: Int = 4096): DataFrame = {
+    import graft.functions.{DistinctSketch, TextFunctions}
+    val sk = df
+      .select(source.as("source"),
+        explode(TextFunctions.wordShingles(text, shingleK)).as("g"))
+      .select(col("source"), TextFunctions.hash32(col("g")).as("h"))
+      .groupBy(col("source"))
+      .agg(DistinctSketch.kmv(k)(col("h")).as("sk"))
+    val a = sk.select(col("source").as("source_a"), col("sk").as("sk_a"))
+    val b = sk.select(col("source").as("source_b"), col("sk").as("sk_b"))
+    val l = DistinctSketch.unionSketch(k, col("sk_a"), col("sk_b"))
+    a.join(broadcast(b), col("source_a") < col("source_b"))
+      .select(col("source_a"), col("source_b"), col("sk_a"), col("sk_b"),
+        l.as("l"))
+      .select(col("source_a"), col("source_b"),
+        DistinctSketch.estimate(k, col("sk_a")).as("d_a"),
+        DistinctSketch.estimate(k, col("sk_b")).as("d_b"),
+        DistinctSketch.estimate(k, col("l")).as("d_union"),
+        size(array_intersect(array_intersect(col("l"), col("sk_a")),
+          col("sk_b"))).cast("long").as("common_k"),
+        col("l"))
+      .select(col("source_a"), col("source_b"), col("d_a"), col("d_b"),
+        col("d_union"), col("common_k"),
+        (col("common_k").cast("double") / size(col("l")).cast("double"))
+          .as("jaccard"))
+      .withColumn("d_inter", col("jaccard") * col("d_union"))
+  }
+
   def skewReport(df: DataFrame, key: Column, topN: Int = 20,
       partitions: Int = 32): DataFrame = {
     require(topN > 0 && partitions > 0, s"topN=$topN partitions=$partitions")

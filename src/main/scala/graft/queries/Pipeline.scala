@@ -206,7 +206,8 @@ object Pipeline {
        |    len(list_filter(toks, x -> list_contains($swEn, x))) AS hit_en,
        |    len(list_filter(toks, x -> list_contains($swDe, x))) AS hit_de,
        |    len(list_filter(toks, x -> list_contains($swEs, x))) AS hit_es,
-       |    len(list_filter(toks, x -> list_contains($swFr, x))) AS hit_fr
+       |    len(list_filter(toks, x -> list_contains($swFr, x))) AS hit_fr,
+       |    len(regexp_extract_all(text, '[\\x{4e00}-\\x{9fff}]')) AS hit_zh
        |  FROM t)
        |SELECT doc_id,
        |  CAST(n_tok AS INTEGER) AS n_tok,
@@ -216,11 +217,12 @@ object Pipeline {
        |    0.4 * least(1.0, stop_ratio * 4.0)
        |    + 0.3 * (CASE WHEN mean_tok_len >= 3.0 AND mean_tok_len <= 10.0 THEN 1.0 ELSE 0.0 END)
        |    + 0.3 * (1.0 - punct_ratio))) AS quality,
-       |  CASE WHEN greatest(hit_en, hit_de, hit_es, hit_fr) = 0 THEN 'und'
-       |       WHEN hit_en = greatest(hit_en, hit_de, hit_es, hit_fr) THEN 'en'
-       |       WHEN hit_de = greatest(hit_en, hit_de, hit_es, hit_fr) THEN 'de'
-       |       WHEN hit_es = greatest(hit_en, hit_de, hit_es, hit_fr) THEN 'es'
-       |       ELSE 'fr' END AS lang_pred,
+       |  CASE WHEN greatest(hit_en, hit_de, hit_es, hit_fr, hit_zh) = 0 THEN 'und'
+       |       WHEN hit_en = greatest(hit_en, hit_de, hit_es, hit_fr, hit_zh) THEN 'en'
+       |       WHEN hit_de = greatest(hit_en, hit_de, hit_es, hit_fr, hit_zh) THEN 'de'
+       |       WHEN hit_es = greatest(hit_en, hit_de, hit_es, hit_fr, hit_zh) THEN 'es'
+       |       WHEN hit_fr = greatest(hit_en, hit_de, hit_es, hit_fr, hit_zh) THEN 'fr'
+       |       ELSE 'zh' END AS lang_pred,
        |  ('0x' || substring(md5(text), 1, 15))::BIGINT AS fp
        |FROM m
        |ORDER BY doc_id""".stripMargin
@@ -1946,6 +1948,101 @@ object Pipeline {
        |GROUP BY 1, 2
        |ORDER BY src_a, src_b""".stripMargin
 
+  /** KMV-sketch overlap matrix over the same corpus — the 100-TB scale path
+    * for [[sourceOverlap]]: one aggregation reduces each source to its
+    * k = 4096 smallest distinct shingle hashes; all pairwise distinct/
+    * union/Jaccard estimates are then sketch-vs-sketch algebra. Every
+    * source's distinct-shingle count at sf0.01 sits far below k, so the
+    * sketches run their EXACT regime and DuckDB replays the md5-prefix
+    * hashes bit-for-bit — a hash gate on the full aggregation + estimator
+    * plumbing; the lossy regime (which this same query exercises at sf0.1+
+    * in Bench, ~13k shingles per source) is spec-gated with error bounds
+    * in DistinctSketchSpec.
+    */
+  def overlapSketchQ(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Diagnostics.sourceOverlapSketch(
+        T(s, dir, "documents"), col("source"), col("text"),
+        shingleK = 3, k = 4096)
+      .orderBy(col("source_a"), col("source_b"))
+
+  val overlapSketchOracle: String =
+    """WITH sh AS (
+      |  SELECT source, unnest(
+      |    CASE WHEN len(t) < 3 THEN [array_to_string(t, ' ')]
+      |         ELSE list_transform(range(1, len(t) - 1), i -> array_to_string(t[i:i+2], ' ')) END
+      |  ) AS g
+      |  FROM (SELECT source, string_split_regex(trim(text), '\s+') AS t FROM documents)),
+      |hs AS (SELECT DISTINCT source,
+      |         ('0x' || substring(md5(g), 1, 8))::BIGINT AS h FROM sh),
+      |sk AS (SELECT source, list_sort(list(h))[1:4096] AS s FROM hs GROUP BY source),
+      |pairs AS (
+      |  SELECT a.source AS source_a, b.source AS source_b, a.s AS sa, b.s AS sb,
+      |    list_sort(list_distinct(a.s || b.s))[1:4096] AS l
+      |  FROM sk a JOIN sk b ON a.source < b.source)
+      |SELECT source_a, source_b,
+      |  CASE WHEN len(sa) < 4096 THEN CAST(len(sa) AS DOUBLE)
+      |       ELSE 4095 * 4294967296.0 / CAST(sa[4096] AS DOUBLE) END AS d_a,
+      |  CASE WHEN len(sb) < 4096 THEN CAST(len(sb) AS DOUBLE)
+      |       ELSE 4095 * 4294967296.0 / CAST(sb[4096] AS DOUBLE) END AS d_b,
+      |  CASE WHEN len(l) < 4096 THEN CAST(len(l) AS DOUBLE)
+      |       ELSE 4095 * 4294967296.0 / CAST(l[4096] AS DOUBLE) END AS d_union,
+      |  CAST(len(list_intersect(list_intersect(l, sa), sb)) AS BIGINT) AS common_k,
+      |  CAST(len(list_intersect(list_intersect(l, sa), sb)) AS DOUBLE)
+      |    / CAST(len(l) AS DOUBLE) AS jaccard,
+      |  CAST(len(list_intersect(list_intersect(l, sa), sb)) AS DOUBLE)
+      |    / CAST(len(l) AS DOUBLE)
+      |    * (CASE WHEN len(l) < 4096 THEN CAST(len(l) AS DOUBLE)
+      |            ELSE 4095 * 4294967296.0 / CAST(l[4096] AS DOUBLE) END) AS d_inter
+      |FROM pairs
+      |ORDER BY source_a, source_b""".stripMargin
+
+  // ----------------------------------------------------------- language id
+
+  /** Heuristic n-gram language ID over the documents corpus: per-language
+    * stopword token hits (en/de/es/fr) plus CJK character count (zh),
+    * argmax with fixed precedence — a pure map-only function of the text,
+    * every piece a codegen'd builtin. On this synthetic corpus the `lang`
+    * column is uncorrelated with the text (the words are English-ish for
+    * every label), so the oracle gates the SCORING function, not
+    * discrimination power — TextStatsSpec proves discrimination on a
+    * genuinely multilingual fixture.
+    */
+  def langIdQ(s: SparkSession, dir: String): DataFrame =
+    T(s, dir, "documents")
+      .select(col("doc_id"),
+        TextFunctions.langScores(col("text")).as("s"),
+        TextFunctions.langId(col("text")).as("pred_lang"))
+      .select(col("doc_id"),
+        col("s.en").as("hits_en"), col("s.de").as("hits_de"),
+        col("s.es").as("hits_es"), col("s.fr").as("hits_fr"),
+        col("s.zh").as("hits_zh"), col("pred_lang"))
+      .orderBy(col("doc_id"))
+
+  val langIdOracle: String = {
+    def lst(ws: Seq[String]) = ws.map(w => s"'$w'").mkString("[", ", ", "]")
+    s"""WITH t AS (
+       |  SELECT doc_id, text, string_split_regex(trim(text), '\\s+') AS toks
+       |  FROM documents),
+       |h AS (
+       |  SELECT doc_id,
+       |    CAST(len(list_filter(toks, x -> list_contains(${lst(TextFunctions.StopwordsEn)}, x))) AS INTEGER) AS hits_en,
+       |    CAST(len(list_filter(toks, x -> list_contains(${lst(TextFunctions.StopwordsDe)}, x))) AS INTEGER) AS hits_de,
+       |    CAST(len(list_filter(toks, x -> list_contains(${lst(TextFunctions.StopwordsEs)}, x))) AS INTEGER) AS hits_es,
+       |    CAST(len(list_filter(toks, x -> list_contains(${lst(TextFunctions.StopwordsFr)}, x))) AS INTEGER) AS hits_fr,
+       |    CAST(len(regexp_extract_all(text, '[\\x{4e00}-\\x{9fff}]')) AS INTEGER) AS hits_zh
+       |  FROM t),
+       |p AS (SELECT *, greatest(hits_en, hits_de, hits_es, hits_fr, hits_zh) AS best FROM h)
+       |SELECT doc_id, hits_en, hits_de, hits_es, hits_fr, hits_zh,
+       |  CASE WHEN best = 0 THEN 'und'
+       |       WHEN hits_en = best THEN 'en'
+       |       WHEN hits_de = best THEN 'de'
+       |       WHEN hits_es = best THEN 'es'
+       |       WHEN hits_fr = best THEN 'fr'
+       |       ELSE 'zh' END AS pred_lang
+       |FROM p
+       |ORDER BY doc_id""".stripMargin
+  }
+
   // --------------------------------------------------------- skew diagnostics
 
   /** Exact join-key skew report over lineitem's l_suppkey: the 20 heaviest
@@ -2570,6 +2667,8 @@ object Pipeline {
     Q("quantile_sketch", quantileSketchQ, Some(quantileSketchOracle)),
     Q("heavy_hitters_sketch", heavyHittersSketchQ, Some(heavyHittersSketchOracle)),
     Q("source_overlap", sourceOverlap, Some(sourceOverlapOracle)),
+    Q("overlap_sketch", overlapSketchQ, Some(overlapSketchOracle)),
+    Q("lang_id", langIdQ, Some(langIdOracle)),
     Q("dedup_canonical", dedupCanonical, Some(dedupCanonicalOracle)),
     Q("segment_dedup", segmentDedupQ, Some(segmentDedupOracle)),
     Q("dup_ngram_profile", dupNgramProfileQ, Some(dupNgramProfileOracle)),

@@ -45,6 +45,32 @@ class TextStatsSpec extends SparkSpec {
     }
   }
 
+  test("langId discriminates genuinely multilingual text, including zh " +
+      "via CJK characters, and native TextStats agrees") {
+    import TextFunctions._
+    val fixtures = Seq(
+      ("the cat sat on the mat and it was warm", "en"),
+      ("der Hund und die Katze sind bei dem Haus", "de"),
+      ("el perro y la casa en la calle con los amigos", "es"),
+      ("le chien et la maison sur la rue avec les amis", "fr"),
+      ("这是一个中文句子没有空格也没有停用词", "zh"),
+      ("mixed 中文 with the english words around it the the", "en"),
+      ("xyzzy qwerty 12345", "und"),
+      ("", "und"))
+    val got = fixtures.map(_._1).toDF("text")
+      .select(col("text"), langId(col("text")).as("pred"),
+        TextStats.textStats(col("text")).getField("lang_pred").as("native"))
+      .collect()
+    got.zip(fixtures).foreach { case (r, (text, expect)) =>
+      assert(r.getString(1) === expect, s"text=<$text>")
+      assert(r.getString(2) === expect, s"native disagrees on <$text>")
+    }
+    // zh evidence is per CHARACTER: 2 ideographs beat 1 stopword hit
+    val zhWins = Seq("the 中文").toDF("text")
+      .select(langId(col("text"))).head().getString(0)
+    assert(zhWins === "zh")
+  }
+
   test("NfcNormalize composes decomposed accents; ASCII passes through; " +
       "composed == decomposed after normalization") {
     import spark.implicits._
