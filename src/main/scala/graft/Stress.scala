@@ -50,7 +50,11 @@ object Stress {
     // the n-gram dedup family, worth the same quadratic-creep watch), and
     // the Misra-Gries sketch whose exchange payload must stay k-bounded
     // however large the corpus grows
-    "trigram_backoff", "bigram_familiarity", "heavy_hitters_sketch")
+    "trigram_backoff", "bigram_familiarity", "heavy_hitters_sketch",
+    // KMV overlap sketch: same k-bounded-exchange claim as the MG sketch,
+    // plus a per-group saturation cut that must not regress with corpus
+    // growth (the pair algebra is group-count-sized and scale-inert)
+    "overlap_sketch")
 
   private val IdStride = 1000000L // well above any sf0.1 id; keeps ids unique
 

@@ -5,11 +5,18 @@ import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
 import org.apache.spark.sql.expressions.Aggregator
 import org.apache.spark.sql.functions._
 
-/** Serialized KMV state: the at-most-`k` smallest DISTINCT hash values seen
-  * so far, sorted ascending. A plain product type so the partial-aggregate
-  * buffer rides Spark's row encoder — no Kryo, no opaque binary.
+/** Serialized KMV state. `base` holds at most `k` of the smallest DISTINCT
+  * hash values seen so far, sorted ascending; `spill` is an unsorted
+  * append-only run of admitted values not yet folded in (each < the
+  * current admission bound, possibly duplicated). Compaction merges the
+  * two every ~k appends, so a reduce is an O(1) append + amortized
+  * O(log k) share of the periodic sort — NOT an O(k) sorted-vector insert
+  * per row, which is what makes the growth phase affordable (a saturating
+  * group pays O(n log k), not O(n·k)). A plain product type so the
+  * partial-aggregate buffer rides Spark's row encoder — no Kryo, no
+  * opaque binary.
   */
-case class KmvBuf(hashes: Seq[Long])
+case class KmvBuf(base: Seq[Long], spill: Seq[Long])
 
 /** Mergeable distinct-count / set-overlap sketch — K-Minimum-Values (Bar-
   * Yossef et al., RANDOM'02; set operations per Beyer et al., SIGMOD'07) as
@@ -27,13 +34,12 @@ case class KmvBuf(hashes: Seq[Long])
   * The input is an already-hashed 32-bit value in a long (the
   * [[TextFunctions.hash32]] md5 prefix — the same replayable hash the
   * sampling operators use), so the sketch itself is hash-agnostic
-  * plumbing: keep the k smallest distinct values, where "keep" is a
-  * sorted-vector insert with a constant-time reject once saturated (a new
-  * value ≥ the current k-th minimum cannot enter — at that point most
-  * inputs short-circuit). Merging two sketches is a sorted merge keeping
-  * the k smallest distinct — associative and commutative, so any
-  * partition/merge tree yields the same buffer, and the shuffle carries at
-  * most k longs per group however many rows stream through.
+  * plumbing. A new value ≥ the current k-th-minimum bound is rejected in
+  * O(1) — once saturated, most inputs short-circuit there. Merging two
+  * sketches is a sorted merge keeping the k smallest distinct —
+  * associative and commutative, so any partition/merge tree yields the
+  * same buffer, and the shuffle carries at most ~2k longs per group
+  * however many rows stream through.
   *
   * While a group's distinct-hash count stays ≤ k the sketch IS the exact
   * distinct-hash set regardless of partitioning — which is what
@@ -48,29 +54,29 @@ case class KmvBuf(hashes: Seq[Long])
 case class KmvAggregator(k: Int) extends Aggregator[Long, KmvBuf, Seq[Long]] {
   require(k >= 2, s"k must be >= 2, got $k")
 
-  override def zero: KmvBuf = KmvBuf(Vector.empty)
+  override def zero: KmvBuf = KmvBuf(Vector.empty, Vector.empty)
 
   override def reduce(b: KmvBuf, x: Long): KmvBuf = {
     require(x >= 0, s"kmv input must be a non-negative hash, got $x")
-    val hs = b.hashes
-    if (hs.size >= k && x >= hs.last) return b
-    val i = lowerBound(hs, x)
-    if (i < hs.size && hs(i) == x) b
-    else {
-      val ins = (hs.take(i) :+ x) ++ hs.drop(i)
-      KmvBuf(if (ins.size > k) ins.take(k) else ins)
-    }
+    // admission bound: only meaningful once base saturated; spill may
+    // lower the true k-th minimum, but admitting against the stale bound
+    // is still correct (a superset survives to the next compaction)
+    if (b.base.size >= k && x >= b.base.last) return b
+    val spilled = KmvBuf(b.base, b.spill :+ x)
+    if (spilled.spill.size >= k) compact(spilled) else spilled
   }
 
   override def merge(a: KmvBuf, b: KmvBuf): KmvBuf = {
-    if (a.hashes.isEmpty) return b
-    if (b.hashes.isEmpty) return a
+    val ca = compact(a)
+    val cb = compact(b)
+    if (ca.base.isEmpty) return cb
+    if (cb.base.isEmpty) return ca
     val out = Vector.newBuilder[Long]
     var i = 0
     var j = 0
     var n = 0
-    val av = a.hashes
-    val bv = b.hashes
+    val av = ca.base
+    val bv = cb.base
     while (n < k && (i < av.size || j < bv.size)) {
       val take =
         if (i >= av.size) { val v = bv(j); j += 1; v }
@@ -81,20 +87,28 @@ case class KmvAggregator(k: Int) extends Aggregator[Long, KmvBuf, Seq[Long]] {
       out += take
       n += 1
     }
-    KmvBuf(out.result())
+    KmvBuf(out.result(), Vector.empty)
   }
 
-  override def finish(b: KmvBuf): Seq[Long] = b.hashes
+  override def finish(b: KmvBuf): Seq[Long] = compact(b).base
 
-  /** First index whose value is >= x (insertion point in a sorted seq). */
-  private def lowerBound(hs: Seq[Long], x: Long): Int = {
-    var lo = 0
-    var hi = hs.size
-    while (lo < hi) {
-      val mid = (lo + hi) >>> 1
-      if (hs(mid) < x) lo = mid + 1 else hi = mid
+  /** Fold the spill into the sorted base: one sort + dedup-merge pass,
+    * then trim to the k smallest.
+    */
+  private def compact(b: KmvBuf): KmvBuf = {
+    if (b.spill.isEmpty) return b
+    val all = (b.base ++ b.spill).toArray
+    java.util.Arrays.sort(all)
+    val out = Vector.newBuilder[Long]
+    var i = 0
+    var n = 0
+    var prev = -1L
+    while (i < all.length && n < k) {
+      val v = all(i)
+      if (v != prev) { out += v; n += 1; prev = v }
+      i += 1
     }
-    lo
+    KmvBuf(out.result(), Vector.empty)
   }
 
   override def bufferEncoder: Encoder[KmvBuf] = ExpressionEncoder[KmvBuf]()

@@ -313,6 +313,53 @@ case class WordShingleSet(child: Expression, shingleK: Int)
     copy(child = newChild)
 }
 
+/** POSITIONAL word k-gram 32-bit hashes of a token array — the
+  * [[ShingleFps60]] loop with the [[Md5Hash.hash32]] fold, for consumers
+  * that need the [0, 2^32) hash domain (the KMV overlap sketch's
+  * estimator): output[i] = first-8-md5-hex-digits of the space-joined
+  * gram at token i, docs shorter than k yield one whole-text hash.
+  * Bit-identical to `explode(wordShingles(text,k))` +
+  * `TextFunctions.hash32(gram)` — and to DuckDB
+  * `('0x' || substring(md5(gram), 1, 8))::BIGINT` — but the gram strings
+  * never leave the compiled loop.
+  */
+case class ShingleFps32(child: Expression, shingleK: Int)
+    extends UnaryExpression with NativeUnaryCodegen {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = child.nullable
+  override def prettyName: String = "shingle_fps32"
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val toks = input.asInstanceOf[ArrayData]
+    val n = toks.numElements()
+    val words = Array.tabulate(n)(i => toks.getUTF8String(i).toString)
+    val out: Array[Long] =
+      if (n < shingleK) Array(Md5Hash.hash32(words.mkString(" ")))
+      else {
+        val res = new Array[Long](n - shingleK + 1)
+        val sb = new java.lang.StringBuilder
+        var i = 0
+        while (i <= n - shingleK) {
+          sb.setLength(0)
+          var j = 0
+          while (j < shingleK) {
+            if (j > 0) sb.append(' ')
+            sb.append(words(i + j))
+            j += 1
+          }
+          res(i) = Md5Hash.hash32(sb.toString)
+          i += 1
+        }
+        res
+      }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** POSITIONAL word k-gram 60-bit fingerprints of a token array, one
   * compiled pass: output[i] = md5-60 of the space-joined gram starting at
   * token i (docs shorter than k yield ONE whole-text fingerprint) —
@@ -432,6 +479,9 @@ object HashFunctions {
   def shingleFps60(tokens: Column, shingleK: Int): Column =
     ExpressionUtilsShim.column(
       ShingleFps60(ExpressionUtilsShim.expr(tokens), shingleK))
+  def shingleFps32(tokens: Column, shingleK: Int): Column =
+    ExpressionUtilsShim.column(
+      ShingleFps32(ExpressionUtilsShim.expr(tokens), shingleK))
   def minHashSignature(tokens: Column, shingleK: Int, numHashes: Int): Column =
     ExpressionUtilsShim.column(MinHashSignature(ExpressionUtilsShim.expr(tokens), shingleK, numHashes))
   def simHash60(tokens: Column): Column =

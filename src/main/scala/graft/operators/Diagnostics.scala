@@ -126,10 +126,14 @@ object Diagnostics {
   def sourceOverlapSketch(df: DataFrame, source: Column, text: Column,
       shingleK: Int = 3, k: Int = 4096): DataFrame = {
     import graft.functions.{DistinctSketch, TextFunctions}
+    import org.apache.spark.sql.graft.HashFunctions
+    // one native compiled pass per document: gram strings never become
+    // rows (explode(wordShingles) + hash32 is the bit-identical spec form,
+    // ~4× slower — the n-gram-family lesson from the LM scorers)
     val sk = df
       .select(source.as("source"),
-        explode(TextFunctions.wordShingles(text, shingleK)).as("g"))
-      .select(col("source"), TextFunctions.hash32(col("g")).as("h"))
+        explode(HashFunctions.shingleFps32(
+          TextFunctions.tokensWs(text), shingleK)).as("h"))
       .groupBy(col("source"))
       .agg(DistinctSketch.kmv(k)(col("h")).as("sk"))
     val a = sk.select(col("source").as("source_a"), col("sk").as("sk_a"))

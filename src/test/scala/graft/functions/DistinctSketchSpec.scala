@@ -48,10 +48,10 @@ class DistinctSketchSpec extends SparkSpec {
       universe.take(100), universe.slice(50, 300), universe.drop(4000))
       .map(vs => vs.foldLeft(agg.zero)(agg.reduce))
     val Seq(a, b, c) = bufs
-    assert(agg.merge(a, b).hashes === agg.merge(b, a).hashes)
-    assert(agg.merge(agg.merge(a, b), c).hashes ===
-      agg.merge(a, agg.merge(b, c)).hashes)
-    assert(agg.merge(a, agg.zero).hashes === a.hashes)
+    assert(agg.merge(a, b).base === agg.merge(b, a).base)
+    assert(agg.merge(agg.merge(a, b), c).base ===
+      agg.merge(a, agg.merge(b, c)).base)
+    assert(agg.merge(a, agg.zero).base === agg.finish(a))
   }
 
   test("lossy regime: the (k-1)/U_(k) estimator lands within the " +
@@ -78,9 +78,9 @@ class DistinctSketchSpec extends SparkSpec {
     val aVals = universe.take(2000)
     val bVals = universe.drop(1000) // overlaps a on [1000, 2000)
     val agg = KmvAggregator(k)
-    val ska = aVals.foldLeft(agg.zero)(agg.reduce).hashes
-    val skb = bVals.foldLeft(agg.zero)(agg.reduce).hashes
-    val direct = (aVals ++ bVals).foldLeft(agg.zero)(agg.reduce).hashes
+    val ska = agg.finish(aVals.foldLeft(agg.zero)(agg.reduce))
+    val skb = agg.finish(bVals.foldLeft(agg.zero)(agg.reduce))
+    val direct = agg.finish((aVals ++ bVals).foldLeft(agg.zero)(agg.reduce))
     val viaSketches = Seq((ska, skb)).toDF("a", "b")
       .select(DistinctSketch.unionSketch(k, col("a"), col("b")).as("l"))
       .as[Seq[Long]].head()

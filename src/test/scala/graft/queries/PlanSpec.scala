@@ -273,13 +273,23 @@ class PlanSpec extends SparkSpec {
     // ships one k-bounded buffer per group, not its raw rows — the
     // property that makes the sketches the 100-TB path
     for (q <- Seq(Pipeline.quantileSketchQ(spark, dir),
-        Pipeline.heavyHittersSketchQ(spark, dir))) {
+        Pipeline.heavyHittersSketchQ(spark, dir),
+        Pipeline.overlapSketchQ(spark, dir))) {
       val p = plan(q)
       assert("ObjectHashAggregate".r.findAllIn(p).size >= 2, p)
       val partialIdx = p.indexOf("ObjectHashAggregate")
       val exchangeIdx = p.indexOf("Exchange", partialIdx)
       assert(exchangeIdx > partialIdx, p) // a partial instance feeds an exchange
     }
+  }
+
+  test("lang_id: map-only — the whole operator is one projection, " +
+      "no exchange anywhere") {
+    val p = plan(T(spark, dir, "documents")
+      .select(org.apache.spark.sql.functions.col("doc_id"),
+        graft.functions.TextFunctions.langId(
+          org.apache.spark.sql.functions.col("text")).as("pred")))
+    assert(!p.contains("Exchange"), p)
   }
 
   test("zorder key: map-only projection over the pruned scan") {
