@@ -471,6 +471,72 @@ case class WinnowFingerprints(child: Expression, shingleK: Int, window: Int)
     copy(child = newChild)
 }
 
+/** Content-defined chunking of a token array — one compiled pass. A chunk
+  * boundary opens BEFORE token i (0-based, i ≥ 1) when the 32-bit hash of
+  * the k-gram STARTING at i satisfies `hash & (2^maskBits - 1) == 0`:
+  * boundaries are a pure function of local content, so inserting or
+  * deleting a token reshapes only the chunks it touches — unlike
+  * fixed-stride windows, where one insertion shifts every downstream
+  * segment (the rsync/LBFS boundary idea, applied to token streams for
+  * chunk-level dedup). Expected chunk length ≈ 2^maskBits tokens.
+  *
+  * Output: array<struct<start_tok, n_tok, chunk_text>> with 1-based
+  * start positions; docs shorter than k tokens (or empty) yield one
+  * whole-text chunk. Gram hashing is bit-identical to [[ShingleFps32]],
+  * so DuckDB replays the boundary rule with the same md5-prefix modulus.
+  */
+case class CdcChunks(child: Expression, shingleK: Int, maskBits: Int)
+    extends UnaryExpression with NativeUnaryCodegen {
+  require(shingleK >= 1, s"shingleK must be >= 1, got $shingleK")
+  require(maskBits >= 1 && maskBits <= 30,
+    s"maskBits must be in [1, 30], got $maskBits")
+
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("start_tok", IntegerType, nullable = false),
+    StructField("n_tok", IntegerType, nullable = false),
+    StructField("chunk_text", StringType, nullable = false))),
+    containsNull = false)
+  override def nullable: Boolean = child.nullable
+  override def prettyName: String = "cdc_chunks"
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val toks = input.asInstanceOf[ArrayData]
+    val n = toks.numElements()
+    val words = Array.tabulate(n)(i => toks.getUTF8String(i).toString)
+    val mask = (1 << maskBits) - 1
+    val starts = scala.collection.mutable.ArrayBuffer(0)
+    if (n >= shingleK) {
+      val sb = new java.lang.StringBuilder
+      var i = 1
+      while (i <= n - shingleK) {
+        sb.setLength(0)
+        var j = 0
+        while (j < shingleK) {
+          if (j > 0) sb.append(' ')
+          sb.append(words(i + j))
+          j += 1
+        }
+        if ((Md5Hash.hash32(sb.toString) & mask) == 0L) starts += i
+        i += 1
+      }
+    }
+    val rows = new Array[Any](starts.length)
+    var c = 0
+    while (c < starts.length) {
+      val s = starts(c)
+      val e = if (c + 1 < starts.length) starts(c + 1) else n
+      val text = words.slice(s, e).mkString(" ")
+      rows(c) = org.apache.spark.sql.catalyst.InternalRow(
+        s + 1, e - s, UTF8String.fromString(text))
+      c += 1
+    }
+    new GenericArrayData(rows)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** Column-level entry points. */
 object HashFunctions {
   def winnowFingerprints(tokens: Column, shingleK: Int, window: Int): Column =
@@ -482,6 +548,9 @@ object HashFunctions {
   def shingleFps32(tokens: Column, shingleK: Int): Column =
     ExpressionUtilsShim.column(
       ShingleFps32(ExpressionUtilsShim.expr(tokens), shingleK))
+  def cdcChunks(tokens: Column, shingleK: Int, maskBits: Int): Column =
+    ExpressionUtilsShim.column(
+      CdcChunks(ExpressionUtilsShim.expr(tokens), shingleK, maskBits))
   def minHashSignature(tokens: Column, shingleK: Int, numHashes: Int): Column =
     ExpressionUtilsShim.column(MinHashSignature(ExpressionUtilsShim.expr(tokens), shingleK, numHashes))
   def simHash60(tokens: Column): Column =

@@ -152,6 +152,33 @@ object TextIndex {
           x => x.getField("chunk")), " ").as("clean_text"))
   }
 
+  /** Content-defined chunking: split each document at token positions
+    * where the local k-gram hash satisfies a modulus condition — see
+    * [[org.apache.spark.sql.graft.CdcChunks]]. Where [[chunks]]' fixed
+    * stride shifts every downstream segment when one token is inserted,
+    * CDC boundaries are functions of local content, so an edit reshapes
+    * only the chunks it touches — which is what makes CHUNK-level dedup
+    * (run [[Dedup.exact]] or [[segmentDedup]]-style df counting on
+    * `chunk_fp`) robust to insertions at 100 TB. Expected chunk length
+    * ≈ 2^maskBits tokens.
+    *
+    * Map-only: one native compiled pass per document, then an explode of
+    * (start, n_tok, text) structs — no shuffle, no window; the chunk
+    * fingerprint is the codegen'd md5 builtin over the chunk text.
+    * Output: (id, chunk_idx, start_tok, n_tok, chunk_text, chunk_fp).
+    */
+  def cdcChunks(df: DataFrame, id: Column, text: Column,
+      shingleK: Int = 3, maskBits: Int = 6): DataFrame =
+    widen(df)
+      .select(id.as("id"), posexplode(
+        org.apache.spark.sql.graft.HashFunctions.cdcChunks(
+          TextFunctions.tokensWs(text), shingleK, maskBits))
+        .as(Seq("__pos", "c")))
+      .select(col("id"), (col("__pos") + 1).as("chunk_idx"),
+        col("c.start_tok").as("start_tok"), col("c.n_tok").as("n_tok"),
+        col("c.chunk_text").as("chunk_text"),
+        TextFunctions.fingerprint64(col("c.chunk_text")).as("chunk_fp"))
+
   /** Ensure at least default parallelism before per-row gram hashing —
     * same rationale and probe as [[Dedup.widen]]: a single small parquet
     * file arrives as ONE partition and would serialize the shingle +

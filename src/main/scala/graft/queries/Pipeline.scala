@@ -1342,6 +1342,46 @@ object Pipeline {
       |FROM idx
       |ORDER BY doc_id, chunk_id""".stripMargin
 
+  /** Content-defined chunking (3-gram boundary hash, maskBits = 6 →
+    * ~64-token expected chunks): boundaries are functions of local
+    * content, so chunk-level dedup on `chunk_fp` survives token
+    * insertions that would shift every fixed-stride window. The oracle
+    * replays the boundary rule with the same md5-prefix modulus over
+    * DuckDB list ranges.
+    */
+  def cdcChunksQ(s: SparkSession, dir: String): DataFrame =
+    graft.operators.TextIndex.cdcChunks(
+        T(s, dir, "documents"), col("doc_id"), col("text"),
+        shingleK = 3, maskBits = 6)
+      .select(col("id").as("doc_id"), col("chunk_idx"), col("start_tok"),
+        col("n_tok"), col("chunk_fp"))
+      .orderBy(col("doc_id"), col("chunk_idx"))
+
+  val cdcChunksOracle: String =
+    """WITH t AS (
+      |  SELECT doc_id,
+      |    CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
+      |         ELSE string_split_regex(trim(text), '\s+') END AS w
+      |  FROM documents),
+      |b AS (
+      |  SELECT doc_id, w,
+      |    [1] || coalesce(list_filter(range(2, greatest(len(w) - 3 + 2, 2)),
+      |      i -> ('0x' || substring(md5(array_to_string(w[i:i+2], ' ')), 1, 8))::BIGINT % 64 = 0),
+      |      []) AS starts
+      |  FROM t),
+      |sp AS (
+      |  SELECT doc_id, w,
+      |    unnest(list_transform(range(1, len(starts) + 1), j -> struct_pack(
+      |      idx := j,
+      |      s := starts[j],
+      |      e := coalesce(starts[j + 1], len(w) + 1))), recursive := true)
+      |  FROM b)
+      |SELECT doc_id, CAST(idx AS INTEGER) AS chunk_idx,
+      |  CAST(s AS INTEGER) AS start_tok, CAST(e - s AS INTEGER) AS n_tok,
+      |  ('0x' || substring(md5(array_to_string(w[s:e-1], ' ')), 1, 15))::BIGINT AS chunk_fp
+      |FROM sp
+      |ORDER BY doc_id, chunk_idx""".stripMargin
+
   /** PII redaction battery: plant a deterministic email + IPv4 + phone per
     * document, redact, and fingerprint the cleaned text. Patterns stay in
     * the RE2-compatible subset so DuckDB reproduces them byte-for-byte.
@@ -2686,6 +2726,7 @@ object Pipeline {
     Q("text_redact", textRedact, Some(textRedactOracle)),
     Q("text_normalize", textNormalizeQ, Some(textNormalizeOracle)),
     Q("doc_chunks", docChunks, Some(docChunksOracle)),
+    Q("cdc_chunks", cdcChunksQ, Some(cdcChunksOracle)),
     Q("quality_repetition", qualityRepetition, Some(qualityRepetitionOracle)),
     Q("dedup_components", dedupComponents, Some(dedupComponentsOracle)),
     Q("dup_cluster_sizes", dupClusterSizes, Some(dupClusterSizesOracle)),

@@ -79,6 +79,10 @@ object NativeExprAdversarialProps extends Properties("NativeExprAdversarial") {
     agreeToks(WinnowFingerprints(_, shingleK = 3, window = 4))
   property("ShingleFps60 codegen == interpreted on adversarial Unicode") =
     agreeToks(ShingleFps60(_, shingleK = 3))
+  property("ShingleFps32 codegen == interpreted on adversarial Unicode") =
+    agreeToks(ShingleFps32(_, shingleK = 3))
+  property("CdcChunks codegen == interpreted on adversarial Unicode") =
+    agreeToks(CdcChunks(_, shingleK = 3, maskBits = 2))
   property("NfcNormalize codegen == interpreted on adversarial Unicode") =
     agreeStr(NfcNormalize(_))
 
@@ -107,6 +111,33 @@ object NativeExprAdversarialProps extends Properties("NativeExprAdversarial") {
       val want =
         if (toks.length < k) Seq(fp60(toks.mkString(" ")))
         else toks.sliding(k).map(g => fp60(g.mkString(" "))).toSeq
+      got == want
+    }
+  }
+
+  /** ShingleFps32 must equal the same positional-gram model under the
+    * hash32 (first-8-md5-hex) fold — the contract the overlap_sketch
+    * DuckDB oracle replays.
+    */
+  property("ShingleFps32 == positional gram + hash32 model") = {
+    val tokGen = Gen.chooseNum(0, 9).flatMap(n => Gen.listOfN(n,
+      Gen.oneOf(Gen.alphaNumStr.map(_.take(6)),
+        Gen.oneOf("the", "über", "😀", "a b", ""))))
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        .map(b => f"$b%02x").mkString
+    def h32(s: String): Long = java.lang.Long.parseLong(md5hex(s).take(8), 16)
+    val k = 3
+    val expr = ShingleFps32(
+      BoundReference(0, ArrayType(StringType), nullable = true), k)
+    val inConv = CatalystTypeConverters.createToCatalystConverter(ArrayType(StringType))
+    val outConv = CatalystTypeConverters.createToScalaConverter(expr.dataType)
+    forAll(tokGen) { toks =>
+      val got = outConv(expr.eval(InternalRow(inConv(toks)))).asInstanceOf[Seq[Long]]
+      val want =
+        if (toks.length < k) Seq(h32(toks.mkString(" ")))
+        else toks.sliding(k).map(g => h32(g.mkString(" "))).toSeq
       got == want
     }
   }

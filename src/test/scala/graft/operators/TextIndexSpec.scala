@@ -8,6 +8,72 @@ class TextIndexSpec extends SparkSpec {
 
   private val boiler = (1 to 16).map(i => s"b$i").mkString(" ")
 
+  test("cdcChunks: chunks tile the document exactly and boundaries are " +
+      "content-defined (same text -> same chunks, any doc id)") {
+    val words = new scala.util.Random(7)
+      .shuffle((1 to 400).map(i => s"tok${i % 97}")).mkString(" ")
+    val out = TextIndex.cdcChunks(
+        Seq((1L, words), (2L, words)).toDF("id", "text"),
+        col("id"), col("text"), shingleK = 3, maskBits = 4)
+      .as[(Long, Int, Int, Int, String, Long)].collect()
+    val byId = out.groupBy(_._1)
+    // identical text => identical chunking regardless of id
+    assert(byId(1L).map(t => (t._2, t._3, t._4, t._5)).toSeq ===
+      byId(2L).map(t => (t._2, t._3, t._4, t._5)).toSeq)
+    // chunks tile: starts/lengths cover [1, n] without gap or overlap,
+    // and the concatenation reproduces the document
+    val cs = byId(1L).sortBy(_._2)
+    assert(cs.head._3 === 1)
+    cs.sliding(2).foreach {
+      case Array(a, b) => assert(b._3 === a._3 + a._4, s"gap at ${b._2}")
+      case _ =>
+    }
+    assert(cs.map(_._4).sum === 400)
+    assert(cs.map(_._5).mkString(" ") === words)
+    assert(cs.length > 3, s"maskBits=4 over 400 tokens should split: ${cs.length}")
+  }
+
+  test("cdcChunks boundaries resist an insertion: only the edited chunk " +
+      "changes, unlike fixed-stride windows where everything downstream shifts") {
+    val base = (1 to 300).map(i => s"w${i * 31 % 101}x$i").mkString(" ")
+    val baseToks = base.split(" ")
+    // insert one token near the front
+    val edited = (baseToks.take(5) :+ "INSERTED").++(baseToks.drop(5)).mkString(" ")
+    def fps(text: String): Set[Long] = TextIndex.cdcChunks(
+        Seq((1L, text)).toDF("id", "text"),
+        col("id"), col("text"), shingleK = 3, maskBits = 4)
+      .select(col("chunk_fp")).as[Long].collect().toSet
+    val a = fps(base)
+    val b = fps(edited)
+    val shared = (a & b).size
+    // every chunk whose window never sees the edit keeps its fingerprint;
+    // only the chunk containing the insertion (and at most its neighbor,
+    // if the edit lands near a boundary gram) may change
+    assert(shared >= a.size - 2,
+      s"CDC lost ${a.size - shared} of ${a.size} chunks to one insertion")
+    assert(shared < a.size, "the edited chunk itself must change")
+    // the fixed-stride comparison: same edit shifts every window after it
+    def fixedFps(text: String): Set[Long] = TextIndex.chunks(
+        Seq((1L, text)).toDF("id", "text"), col("id"), col("text"),
+        window = 16, stride = 16)
+      .select(graft.functions.TextFunctions.fingerprint64(col("chunk")))
+      .as[Long].collect().toSet
+    val fa = fixedFps(base)
+    val fb = fixedFps(edited)
+    assert((fa & fb).size <= 1, "fixed windows should lose ~all chunks")
+  }
+
+  test("cdcChunks: short and empty docs yield one whole-text chunk") {
+    val out = TextIndex.cdcChunks(
+        Seq((1L, "a b"), (2L, "")).toDF("id", "text"),
+        col("id"), col("text"), shingleK = 3, maskBits = 4)
+      .as[(Long, Int, Int, Int, String, Long)].collect().sortBy(_._1)
+    assert(out.length === 2)
+    assert(out(0) ._2 === 1 && out(0)._3 === 1 && out(0)._4 === 2 &&
+      out(0)._5 === "a b")
+    assert(out(1)._2 === 1 && out(1)._4 === 0 && out(1)._5 === "")
+  }
+
   test("segmentDedup removes cross-document boilerplate, keeps unique segments in order") {
     // docs 1 and 2 share an aligned 16-token boilerplate prefix; their tails differ
     val docs = Seq(
