@@ -116,6 +116,112 @@ case class KmvAggregator(k: Int) extends Aggregator[Long, KmvBuf, Seq[Long]] {
     ExpressionEncoder[Seq[Long]]()
 }
 
+/** Serialized counted-KMV state: `baseH`/`baseC` are the at-most-k
+  * smallest distinct hashes (sorted) with their occurrence counts;
+  * `spill` is the unsorted append run (weight 1 each) awaiting
+  * compaction — same amortization as [[KmvBuf]].
+  */
+case class KmvCntBuf(baseH: Seq[Long], baseC: Seq[Long], spill: Seq[Long])
+
+/** Counted K-Minimum-Values — the KMV synopsis with an occurrence count
+  * riding on each tracked hash: correlated sampling for JOIN-SIZE
+  * estimation (Vengerov et al., VLDB'15 shape). Both join sides sample
+  * the SAME keys (those hashing below θ), so
+  * Σ cA(h)·cB(h) over common tracked hashes, scaled by 2^32/θ, estimates
+  * |A ⋈ B| — the pre-flight diagnostic that tells you a join will
+  * explode BEFORE you pay its shuffle ([[graft.operators.Diagnostics
+  * .joinSizeEstimate]]); independent uniform samples of two tables
+  * almost never collide on the join key, which is why the shared-hash
+  * trick beats row sampling for this.
+  *
+  * Count exactness: a key that SURVIVES to the final sketch was never
+  * rejected at any reduce (the admission bound is the running k-th
+  * minimum, which only decreases — a surviving key sits below the final
+  * bound, hence below every earlier one), and a merge can only drop a
+  * key entirely (if one side rejected it, that side owns k smaller keys
+  * and the merged trim discards it), never keep it with a partial
+  * count. So surviving counts are exact over ANY partition/merge tree —
+  * which is what lets the exact regime reproduce true join sizes
+  * bit-for-bit for the oracle.
+  */
+case class KmvCountedAggregator(k: Int)
+    extends Aggregator[Long, KmvCntBuf, Seq[(Long, Long)]] {
+  require(k >= 2, s"k must be >= 2, got $k")
+
+  override def zero: KmvCntBuf = KmvCntBuf(Vector.empty, Vector.empty, Vector.empty)
+
+  override def reduce(b: KmvCntBuf, x: Long): KmvCntBuf = {
+    require(x >= 0, s"kmv input must be a non-negative hash, got $x")
+    if (b.baseH.size >= k) {
+      val last = b.baseH.last
+      if (x > last) return b
+      if (x == last)
+        return KmvCntBuf(b.baseH,
+          b.baseC.updated(b.baseC.size - 1, b.baseC.last + 1), b.spill)
+    }
+    val spilled = KmvCntBuf(b.baseH, b.baseC, b.spill :+ x)
+    if (spilled.spill.size >= k) compact(spilled) else spilled
+  }
+
+  override def merge(a: KmvCntBuf, b: KmvCntBuf): KmvCntBuf = {
+    val ca = compact(a)
+    val cb = compact(b)
+    if (ca.baseH.isEmpty) return cb
+    if (cb.baseH.isEmpty) return ca
+    val hs = Vector.newBuilder[Long]
+    val cs = Vector.newBuilder[Long]
+    var i = 0
+    var j = 0
+    var n = 0
+    while (n < k && (i < ca.baseH.size || j < cb.baseH.size)) {
+      if (j >= cb.baseH.size || (i < ca.baseH.size && ca.baseH(i) < cb.baseH(j))) {
+        hs += ca.baseH(i); cs += ca.baseC(i); i += 1
+      } else if (i >= ca.baseH.size || cb.baseH(j) < ca.baseH(i)) {
+        hs += cb.baseH(j); cs += cb.baseC(j); j += 1
+      } else {
+        hs += ca.baseH(i); cs += ca.baseC(i) + cb.baseC(j); i += 1; j += 1
+      }
+      n += 1
+    }
+    KmvCntBuf(hs.result(), cs.result(), Vector.empty)
+  }
+
+  override def finish(b: KmvCntBuf): Seq[(Long, Long)] = {
+    val c = compact(b)
+    c.baseH.zip(c.baseC)
+  }
+
+  /** Sort the (hash, count) pairs with the weight-1 spill appended,
+    * sum counts per hash in one merge pass, trim to the k smallest.
+    */
+  private def compact(b: KmvCntBuf): KmvCntBuf = {
+    if (b.spill.isEmpty) return b
+    val m = b.baseH.size + b.spill.size
+    val hs = new Array[Long](m)
+    val cs = new Array[Long](m)
+    var i = 0
+    while (i < b.baseH.size) { hs(i) = b.baseH(i); cs(i) = b.baseC(i); i += 1 }
+    var j = 0
+    while (j < b.spill.size) { hs(i) = b.spill(j); cs(i) = 1L; i += 1; j += 1 }
+    val order = Array.range(0, m).sortBy(hs)
+    val outH = Vector.newBuilder[Long]
+    val outC = Vector.newBuilder[Long]
+    var n = 0
+    var p = 0
+    while (p < m && n < k) {
+      val h = hs(order(p))
+      var c = 0L
+      while (p < m && hs(order(p)) == h) { c += cs(order(p)); p += 1 }
+      outH += h; outC += c; n += 1
+    }
+    KmvCntBuf(outH.result(), outC.result(), Vector.empty)
+  }
+
+  override def bufferEncoder: Encoder[KmvCntBuf] = ExpressionEncoder[KmvCntBuf]()
+  override def outputEncoder: Encoder[Seq[(Long, Long)]] =
+    ExpressionEncoder[Seq[(Long, Long)]]()
+}
+
 object DistinctSketch {
   /** The hash domain size: [[TextFunctions.hash32]] values lie in [0, 2^32). */
   val HashDomain: Double = 4294967296.0
@@ -125,6 +231,13 @@ object DistinctSketch {
     * [[estimate]] / [[unionSketch]] for cardinality and overlap algebra.
     */
   def kmv(k: Int)(hash: Column): Column = udaf(KmvAggregator(k)).apply(hash)
+
+  /** Counted form: `kmvCounted(k)(hash)` aggregates to an
+    * array<struct<_1: hash, _2: count>> of the k smallest distinct hashes
+    * with exact occurrence counts — the join-size-estimation synopsis.
+    */
+  def kmvCounted(k: Int)(hash: Column): Column =
+    udaf(KmvCountedAggregator(k)).apply(hash)
 
   /** Distinct-count estimate from a sketch: exact size while unsaturated,
     * else the KMV estimator (k-1) / U_(k) with U normalized to [0,1] —

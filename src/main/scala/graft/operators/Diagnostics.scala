@@ -156,6 +156,59 @@ object Diagnostics {
       .withColumn("d_inter", col("jaccard") * col("d_union"))
   }
 
+  /** Pre-flight join-size estimate from counted KMV sketches
+    * ([[graft.functions.KmvCountedAggregator]]): one k-bounded aggregation
+    * per side reduces each table to its k smallest distinct key-hashes
+    * with exact occurrence counts; because both sides hash with the SAME
+    * function, they sample the SAME keys (everything below
+    * θ = min of the two admission thresholds), and
+    * Σ cA(h)·cB(h) over the common tracked hashes, scaled by 2^32/θ,
+    * estimates |A ⋈ B| — row-sampling two tables independently almost
+    * never collides on the join key, which is why the shared-hash trick
+    * is the standard fix (correlated sampling). The answer arrives for
+    * the cost of two scans + two k-long exchanges, BEFORE the join's
+    * shuffle is paid — the "will this join explode" sibling of
+    * [[skewReport]].
+    *
+    * While both sides' distinct-key counts stay ≤ k the estimate is the
+    * EXACT join cardinality (θ = 2^32, scale = 1, counts exact — see the
+    * aggregator's survival argument). Output (one row): d_a, d_b
+    * (distinct-key estimates), common_keys (tracked hashes shared below
+    * θ), est_join_rows.
+    */
+  def joinSizeEstimate(dfA: DataFrame, keyA: Column,
+      dfB: DataFrame, keyB: Column, k: Int = 4096): DataFrame = {
+    import graft.functions.{DistinctSketch, TextFunctions}
+    def sketch(df: DataFrame, key: Column, out: String): DataFrame =
+      df.select(TextFunctions.hash32(key.cast("string")).as("h"))
+        .agg(DistinctSketch.kmvCounted(k)(col("h")).as(out))
+    def theta(sk: Column): Column =
+      when(size(sk) < k, lit(4294967296L))
+        .otherwise(element_at(sk, size(sk)).getField("_1"))
+    def dEst(sk: Column): Column =
+      when(size(sk) < k, size(sk).cast("double"))
+        .otherwise(lit((k - 1) * DistinctSketch.HashDomain) /
+          element_at(sk, size(sk)).getField("_1").cast("double"))
+    val a = sketch(dfA, keyA, "sk_a")
+    val b = sketch(dfB, keyB, "sk_b")
+    val scal = a.crossJoin(b).select(
+      dEst(col("sk_a")).as("d_a"), dEst(col("sk_b")).as("d_b"),
+      least(theta(col("sk_a")), theta(col("sk_b"))).as("theta"),
+      col("sk_a"), col("sk_b"))
+    val ea = scal.select(col("theta"), explode(col("sk_a")).as("kv"))
+      .select(col("theta"), col("kv._1").as("h"), col("kv._2").as("ca"))
+    val eb = scal.select(explode(col("sk_b")).as("kv"))
+      .select(col("kv._1").as("h"), col("kv._2").as("cb"))
+    val raw = ea.join(eb, Seq("h"))
+      .filter(col("h") < col("theta"))
+      .agg(count(lit(1)).as("common_keys"),
+        coalesce(sum(col("ca") * col("cb")), lit(0L)).as("raw"))
+    scal.crossJoin(raw).select(col("d_a"), col("d_b"), col("common_keys"),
+      (col("raw").cast("double") *
+        (lit(DistinctSketch.HashDomain) / col("theta").cast("double")))
+        .as("est_join_rows"))
+  }
+
   def skewReport(df: DataFrame, key: Column, topN: Int = 20,
       partitions: Int = 32): DataFrame = {
     require(topN > 0 && partitions > 0, s"topN=$topN partitions=$partitions")

@@ -2106,6 +2106,50 @@ object Pipeline {
       |ORDER BY cnt DESC, key
       |LIMIT 20""".stripMargin
 
+  /** Pre-flight join-size estimate from counted KMV sketches: customer ⋈
+    * orders on custkey, k = 4096 — both sides' distinct custkey counts at
+    * sf0.01 sit below k, so the estimate is the EXACT join cardinality
+    * and DuckDB replays it bit-for-bit (hash grouping, k-smallest cut,
+    * threshold CASEs, and the ×1.0 scale all included); the saturated
+    * regime (sf0.1 exercises it in Bench — 15k distinct custkeys) is
+    * spec-gated with error bounds in DistinctSketchSpec.
+    */
+  def joinSizeSketchQ(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Diagnostics.joinSizeEstimate(
+      T(s, dir, "customer"), col("c_custkey"),
+      T(s, dir, "orders"), col("o_custkey"), k = 4096)
+
+  val joinSizeSketchOracle: String =
+    """WITH ha AS (
+      |  SELECT ('0x' || substring(md5(CAST(c_custkey AS VARCHAR)), 1, 8))::BIGINT AS h,
+      |    CAST(COUNT(*) AS BIGINT) AS c
+      |  FROM customer GROUP BY 1),
+      |hb AS (
+      |  SELECT ('0x' || substring(md5(CAST(o_custkey AS VARCHAR)), 1, 8))::BIGINT AS h,
+      |    CAST(COUNT(*) AS BIGINT) AS c
+      |  FROM orders GROUP BY 1),
+      |sa AS (SELECT h, c FROM ha ORDER BY h LIMIT 4096),
+      |sb AS (SELECT h, c FROM hb ORDER BY h LIMIT 4096),
+      |st AS (SELECT
+      |  (SELECT COUNT(*) FROM sa) AS na, (SELECT COUNT(*) FROM sb) AS nb,
+      |  (SELECT max(h) FROM sa) AS ma, (SELECT max(h) FROM sb) AS mb),
+      |th AS (SELECT na, nb, ma, mb,
+      |  least(CASE WHEN na < 4096 THEN 4294967296 ELSE ma END,
+      |        CASE WHEN nb < 4096 THEN 4294967296 ELSE mb END) AS theta
+      |  FROM st),
+      |j AS (SELECT CAST(COUNT(*) AS BIGINT) AS common_keys,
+      |        COALESCE(SUM(sa.c * sb.c), 0) AS raw
+      |      FROM sa JOIN sb ON sa.h = sb.h CROSS JOIN th
+      |      WHERE sa.h < th.theta)
+      |SELECT
+      |  CASE WHEN na < 4096 THEN CAST(na AS DOUBLE)
+      |       ELSE 4095 * 4294967296.0 / CAST(ma AS DOUBLE) END AS d_a,
+      |  CASE WHEN nb < 4096 THEN CAST(nb AS DOUBLE)
+      |       ELSE 4095 * 4294967296.0 / CAST(mb AS DOUBLE) END AS d_b,
+      |  common_keys,
+      |  CAST(raw AS DOUBLE) * (4294967296.0 / CAST(theta AS DOUBLE)) AS est_join_rows
+      |FROM j CROSS JOIN th""".stripMargin
+
   /** Corpus snapshot diff: v1 = docs < 450, v2 = docs >= 50 with every
     * 7th doc's text amended — exercises all four statuses.
     */
@@ -2708,6 +2752,7 @@ object Pipeline {
     Q("heavy_hitters_sketch", heavyHittersSketchQ, Some(heavyHittersSketchOracle)),
     Q("source_overlap", sourceOverlap, Some(sourceOverlapOracle)),
     Q("overlap_sketch", overlapSketchQ, Some(overlapSketchOracle)),
+    Q("join_size_sketch", joinSizeSketchQ, Some(joinSizeSketchOracle)),
     Q("lang_id", langIdQ, Some(langIdOracle)),
     Q("dedup_canonical", dedupCanonical, Some(dedupCanonicalOracle)),
     Q("segment_dedup", segmentDedupQ, Some(segmentDedupOracle)),

@@ -119,6 +119,59 @@ class DistinctSketchSpec extends SparkSpec {
     assert(exact === 500.0 / 1500.0)
   }
 
+  test("counted KMV: exact regime reproduces the true join size under " +
+      "any partitioning") {
+    // A: key i appears i%3+1 times; B: overlapping key range, i%2+1 times
+    val aRows = (0 until 300).flatMap(i => Seq.fill(i % 3 + 1)(s"k$i"))
+    val bRows = (150 until 450).flatMap(i => Seq.fill(i % 2 + 1)(s"k$i"))
+    val truth = (150 until 300).map(i => (i % 3 + 1) * (i % 2 + 1)).sum.toLong
+    for (parts <- Seq(1, 7)) {
+      val out = graft.operators.Diagnostics.joinSizeEstimate(
+          aRows.toDF("ka").repartition(parts), col("ka"),
+          bRows.toDF("kb").repartition(parts), col("kb"), k = 1024)
+        .as[(Double, Double, Long, Double)].head()
+      assert(out._1 === 300.0, s"d_a parts=$parts")
+      assert(out._2 === 300.0, s"d_b parts=$parts")
+      assert(out._3 === 150L, s"common parts=$parts")
+      assert(out._4 === truth.toDouble, s"est parts=$parts")
+    }
+  }
+
+  test("counted KMV: saturated sketches estimate the join size within " +
+      "the correlated-sampling error regime") {
+    val aRows = (0 until 3000).flatMap(i => Seq.fill(i % 3 + 1)(s"k$i"))
+    val bRows = (1000 until 4000).flatMap(i => Seq.fill(i % 2 + 1)(s"k$i"))
+    val truth = (1000 until 3000).map(i => (i % 3 + 1) * (i % 2 + 1)).sum.toDouble
+    val out = graft.operators.Diagnostics.joinSizeEstimate(
+        aRows.toDF("ka"), col("ka"), bRows.toDF("kb"), col("kb"), k = 512)
+      .as[(Double, Double, Long, Double)].head()
+    assert(math.abs(out._4 - truth) / truth < 0.30,
+      s"est=${out._4} truth=$truth")
+    assert(math.abs(out._1 - 3000.0) / 3000.0 < 0.25, s"d_a=${out._1}")
+  }
+
+  test("counted KMV: merge is associative/commutative and surviving " +
+      "counts are exact (never partial)") {
+    val agg = KmvCountedAggregator(16)
+    // three streams over a shared small hash space with repeats
+    val streams = Seq(
+      universe.take(40) ++ universe.take(10),
+      universe.slice(20, 60) ++ universe.slice(20, 30),
+      universe.slice(5, 45))
+    val bufs = streams.map(vs => vs.foldLeft(agg.zero)(agg.reduce))
+    val Seq(a, b, c) = bufs
+    assert(agg.finish(agg.merge(a, b)) === agg.finish(agg.merge(b, a)))
+    assert(agg.finish(agg.merge(agg.merge(a, b), c)) ===
+      agg.finish(agg.merge(a, agg.merge(b, c))))
+    // surviving counts equal the true multiplicity across all streams
+    val all = streams.flatten
+    val trueCounts = all.groupBy(identity).map { case (h, v) => h -> v.size.toLong }
+    val merged = agg.finish(bufs.reduce(agg.merge))
+    merged.foreach { case (h, cnt) =>
+      assert(cnt === trueCounts(h), s"hash $h: partial count $cnt")
+    }
+  }
+
   test("negative input is rejected (hash-domain contract)") {
     val agg = KmvAggregator(8)
     intercept[IllegalArgumentException] {
