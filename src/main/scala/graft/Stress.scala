@@ -53,8 +53,12 @@ object Stress {
     "trigram_backoff", "bigram_familiarity", "heavy_hitters_sketch",
     // KMV overlap sketch: same k-bounded-exchange claim as the MG sketch,
     // plus a per-group saturation cut that must not regress with corpus
-    // growth (the pair algebra is group-count-sized and scale-inert)
-    "overlap_sketch")
+    // growth (the pair algebra is group-count-sized and scale-inert);
+    // cdc_chunks is map-only by claim — growth must be linear-in-corpus.
+    // join_size_sketch is NOT here: it reads customer/orders, which the
+    // stress corpus doesn't replicate; its exchange is k-bounded by the
+    // same aggregator these sketches stress, and spec-gated.
+    "overlap_sketch", "cdc_chunks")
 
   private val IdStride = 1000000L // well above any sf0.1 id; keeps ids unique
 

@@ -139,6 +139,32 @@ object TextIndex {
     val segs = chunks(df, id, text, window, window)
       .select(col("id"), col("chunk_id"), col("chunk"),
         TextFunctions.fingerprint64(col("chunk")).as("sfp"))
+    dedupeSegments(segs, maxDf)
+  }
+
+  /** [[segmentDedup]] over content-defined chunks instead of fixed
+    * windows: because [[cdcChunks]] boundaries are functions of local
+    * content, the SAME duplicated passage chunks identically in every
+    * document that contains it even when it sits at different offsets —
+    * fixed windows only catch boilerplate that happens to be
+    * stride-aligned. Same df-count + broadcast-hot-set + reassembly
+    * shape, same output: (id, n_seg, n_kept, clean_text).
+    */
+  def cdcSegmentDedup(df: DataFrame, id: Column, text: Column,
+      shingleK: Int = 3, maskBits: Int = 6, maxDf: Long = 1): DataFrame = {
+    require(maxDf >= 1, s"maxDf must be >= 1, got $maxDf")
+    val segs = cdcChunks(df, id, text, shingleK, maskBits)
+      .select(col("id"), col("chunk_idx").as("chunk_id"),
+        col("chunk_text").as("chunk"), col("chunk_fp").as("sfp"))
+    dedupeSegments(segs, maxDf)
+  }
+
+  /** Shared boilerplate-removal tail: count each segment fingerprint's
+    * distinct-document frequency, broadcast the (small by construction)
+    * hot set back as an 8-byte-fp filter, and reassemble survivors in
+    * chunk order. `segs`: (id, chunk_id, chunk, sfp).
+    */
+  private def dedupeSegments(segs: DataFrame, maxDf: Long): DataFrame = {
     val hot = segs.select(col("sfp"), col("id")).distinct()
       .groupBy(col("sfp")).agg(count(lit(1)).as("df"))
       .filter(col("df") > maxDf)

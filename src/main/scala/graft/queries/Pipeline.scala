@@ -1690,6 +1690,52 @@ object Pipeline {
     * share every aligned segment, so their content empties out; unique docs
     * survive untouched. Doc-level md5 keeps the compare compact.
     */
+  /** Cross-document boilerplate removal over CONTENT-DEFINED chunks: a
+    * duplicated passage chunks identically wherever it sits, so the df
+    * count catches offset-shifted boilerplate that stride-aligned fixed
+    * windows ([[segmentDedupQ]]) miss. Same df/broadcast/reassembly
+    * shape; the oracle replays CDC boundaries + df + ordered
+    * reassembly.
+    */
+  def cdcSegmentDedupQ(s: SparkSession, dir: String): DataFrame =
+    graft.operators.TextIndex.cdcSegmentDedup(
+        T(s, dir, "documents"), col("doc_id"), col("text"),
+        shingleK = 3, maskBits = 6, maxDf = 1L)
+      .select(col("id").as("doc_id"), col("n_seg"), col("n_kept"),
+        md5(col("clean_text")).as("clean_md5"))
+      .orderBy(col("doc_id"))
+
+  val cdcSegmentDedupOracle: String =
+    """WITH t AS (
+      |  SELECT doc_id,
+      |    CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
+      |         ELSE string_split_regex(trim(text), '\s+') END AS w
+      |  FROM documents),
+      |b AS (
+      |  SELECT doc_id, w,
+      |    [1] || coalesce(list_filter(range(2, greatest(len(w) - 3 + 2, 2)),
+      |      i -> ('0x' || substring(md5(array_to_string(w[i:i+2], ' ')), 1, 8))::BIGINT % 64 = 0),
+      |      []) AS starts
+      |  FROM t),
+      |seg AS (
+      |  SELECT doc_id, idx AS cid,
+      |    array_to_string(w[s:e-1], ' ') AS seg
+      |  FROM (
+      |    SELECT doc_id, w,
+      |      unnest(list_transform(range(1, len(starts) + 1), j -> struct_pack(
+      |        idx := j,
+      |        s := starts[j],
+      |        e := coalesce(starts[j + 1], len(w) + 1))), recursive := true)
+      |    FROM b) x),
+      |dfs AS (SELECT seg AS sv, COUNT(DISTINCT doc_id) AS df FROM seg GROUP BY seg)
+      |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_seg,
+      |  CAST(SUM(CASE WHEN df <= 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+      |  md5(COALESCE(string_agg(CASE WHEN df <= 1 THEN seg END, ' '
+      |    ORDER BY cid), '')) AS clean_md5
+      |FROM seg JOIN dfs ON seg.seg = dfs.sv
+      |GROUP BY doc_id
+      |ORDER BY doc_id""".stripMargin
+
   def segmentDedupQ(s: SparkSession, dir: String): DataFrame =
     graft.operators.TextIndex.segmentDedup(
         T(s, dir, "documents"), col("doc_id"), col("text"),
@@ -2756,6 +2802,7 @@ object Pipeline {
     Q("lang_id", langIdQ, Some(langIdOracle)),
     Q("dedup_canonical", dedupCanonical, Some(dedupCanonicalOracle)),
     Q("segment_dedup", segmentDedupQ, Some(segmentDedupOracle)),
+    Q("cdc_segment_dedup", cdcSegmentDedupQ, Some(cdcSegmentDedupOracle)),
     Q("dup_ngram_profile", dupNgramProfileQ, Some(dupNgramProfileOracle)),
     Q("dedup_ngram_mask", dedupNgramMaskQ, Some(dedupNgramMaskOracle)),
     Q("vocab_coverage", vocabCoverageQ, Some(vocabCoverageOracle)),

@@ -63,6 +63,37 @@ class TextIndexSpec extends SparkSpec {
     assert((fa & fb).size <= 1, "fixed windows should lose ~all chunks")
   }
 
+  test("cdcSegmentDedup removes OFFSET-SHIFTED boilerplate that " +
+      "stride-aligned fixed windows miss entirely") {
+    // a 96-token boilerplate passage, at offset 0 in doc 1 and offset 5
+    // in doc 2 — fixed 16-token windows tile it differently in each doc
+    val passage = (1 to 96).map(i => s"bp${i * 7 % 89}n$i").mkString(" ")
+    val docs = Seq(
+      (1L, passage + " " + (1 to 30).map(i => s"ua$i").mkString(" ")),
+      (2L, (1 to 5).map(i => s"vb$i").mkString(" ") + " " + passage + " " +
+        (1 to 30).map(i => s"vc$i").mkString(" "))
+    ).toDF("id", "text")
+    val cdc = TextIndex.cdcSegmentDedup(docs, col("id"), col("text"),
+        shingleK = 3, maskBits = 4, maxDf = 1)
+      .as[(Long, Long, Long, String)].collect().sortBy(_._1)
+    // CDC: the passage's interior chunks fingerprint identically in both
+    // docs (boundaries re-synchronize on content), so both docs lose
+    // segments; the unique tails survive
+    cdc.foreach { case (id, nSeg, nKept, clean) =>
+      assert(nKept < nSeg, s"doc $id: CDC removed nothing")
+    }
+    assert(cdc(0)._4.contains("ua30"))
+    assert(cdc(1)._4.contains("vc30"))
+    // fixed windows: the 5-token offset misaligns every 16-token segment,
+    // so no segment repeats across docs and nothing is removed
+    val fixed = TextIndex.segmentDedup(docs, col("id"), col("text"),
+        window = 16, maxDf = 1)
+      .as[(Long, Long, Long, String)].collect()
+    fixed.foreach { case (id, nSeg, nKept, _) =>
+      assert(nKept === nSeg, s"doc $id: fixed windows should miss the shift")
+    }
+  }
+
   test("cdcChunks: short and empty docs yield one whole-text chunk") {
     val out = TextIndex.cdcChunks(
         Seq((1L, "a b"), (2L, "")).toDF("id", "text"),
