@@ -16,7 +16,9 @@ object Plans {
       "dedup_exact", "dedup_minhash_lsh", "dedup_ngram_jaccard",
       "sim_bruteforce_topk", "sim_ivf_topk", "sample_per_class",
       "decontaminate", "repeated_substrings", "fuzzy_join",
-      "sim_quantized_topk", "zorder_key", "sim_pq_topk", "sim_ivfpq_topk")
+      "sim_quantized_topk", "zorder_key", "sim_pq_topk", "sim_ivfpq_topk",
+      "overlap_sketch", "join_size_sketch", "cdc_chunks", "lang_id",
+      "cdc_segment_dedup")
     val spark = SparkSession.builder().master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.ui.enabled", "false").getOrCreate()

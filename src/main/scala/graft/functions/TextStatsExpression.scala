@@ -111,10 +111,10 @@ object TextStats {
     StructField("mean_tok_len", DoubleType), StructField("quality", DoubleType),
     StructField("lang_pred", StringType)))
 
-  private val Ws = Pattern.compile("\\s+")
+  private[graft] val Ws = Pattern.compile("\\s+")
 
   /** Spark `trim` semantics: strips ASCII space (0x20) only. */
-  private def trimSpaces(s: String): String = {
+  private[graft] def trimSpaces(s: String): String = {
     var a = 0
     var b = s.length
     while (a < b && s.charAt(a) == ' ') a += 1
@@ -123,16 +123,71 @@ object TextStats {
   }
 
   import graft.functions.TextFunctions
-  private val En = TextFunctions.StopwordsEn.toSet
-  private val De = TextFunctions.StopwordsDe.toSet
-  private val Es = TextFunctions.StopwordsEs.toSet
-  private val Fr = TextFunctions.StopwordsFr.toSet
+  private[graft] val En = TextFunctions.StopwordsEn.toSet
+  private[graft] val De = TextFunctions.StopwordsDe.toSet
+  private[graft] val Es = TextFunctions.StopwordsEs.toSet
+  private[graft] val Fr = TextFunctions.StopwordsFr.toSet
 
   def textStats(c: Column): Column =
     ExpressionUtilsShim.column(TextStats(ExpressionUtilsShim.expr(c)))
 
   def nfcNormalize(c: Column): Column =
     ExpressionUtilsShim.column(NfcNormalize(ExpressionUtilsShim.expr(c)))
+}
+
+/** The per-language evidence counts behind lang-id as ONE compiled pass —
+  * bit-for-bit the column-composed `TextFunctions.langScores` (which
+  * remains the executable spec and feeds the DuckDB oracle): stopword
+  * token hits for en/de/es/fr, CJK-ideograph character count for zh.
+  * Four interpreted `filter` + `array_contains` chains (plus a
+  * `regexp_extract_all` materializing its match array) collapse into one
+  * token loop over the shared hash sets and one char scan.
+  */
+case class LangScores(child: Expression)
+    extends UnaryExpression with NativeUnaryCodegen {
+
+  override def dataType: DataType = LangScores.schema
+  override def nullable: Boolean = child.nullable
+  override def prettyName: String = "lang_scores"
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val text = input.asInstanceOf[UTF8String].toString
+    val trimmed = TextStats.trimSpaces(text)
+    val toks: Array[String] =
+      if (trimmed.isEmpty) Array.empty
+      else TextStats.Ws.split(trimmed, -1)
+    var hitEn = 0; var hitDe = 0; var hitEs = 0; var hitFr = 0
+    var i = 0
+    while (i < toks.length) {
+      val t = toks(i)
+      if (TextStats.En.contains(t)) hitEn += 1
+      if (TextStats.De.contains(t)) hitDe += 1
+      if (TextStats.Es.contains(t)) hitEs += 1
+      if (TextStats.Fr.contains(t)) hitFr += 1
+      i += 1
+    }
+    var cjk = 0
+    var j = 0
+    while (j < text.length) {
+      val c = text.charAt(j)
+      if (c >= '一' && c <= '鿿') cjk += 1
+      j += 1
+    }
+    InternalRow(hitEn, hitDe, hitEs, hitFr, cjk)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object LangScores {
+  val schema: StructType = StructType(Seq(
+    StructField("en", IntegerType), StructField("de", IntegerType),
+    StructField("es", IntegerType), StructField("fr", IntegerType),
+    StructField("zh", IntegerType)))
+
+  def langScores(c: Column): Column =
+    ExpressionUtilsShim.column(LangScores(ExpressionUtilsShim.expr(c)))
 }
 
 /** Unicode canonical composition (NFC, java.text.Normalizer) as a native

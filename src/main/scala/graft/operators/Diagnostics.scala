@@ -179,34 +179,37 @@ object Diagnostics {
   def joinSizeEstimate(dfA: DataFrame, keyA: Column,
       dfB: DataFrame, keyB: Column, k: Int = 4096): DataFrame = {
     import graft.functions.{DistinctSketch, TextFunctions}
-    def sketch(df: DataFrame, key: Column, out: String): DataFrame =
+    val spark = dfA.sparkSession
+    import spark.implicits._
+    // One aggregation job per side; the collected synopsis is ≤ k (hash,
+    // count) pairs — 64 KB at k = 4096 — the same bounded-scalar-job
+    // stance as the quantizer caps. Keeping the pair algebra relational
+    // instead re-evaluates each sketch subtree at every reference (the
+    // first cut's plan re-scanned both tables SIX times; ReuseExchange
+    // does not fire across these independent global aggregates).
+    def sketchOf(df: DataFrame, key: Column): Seq[(Long, Long)] =
       df.select(TextFunctions.hash32(key.cast("string")).as("h"))
-        .agg(DistinctSketch.kmvCounted(k)(col("h")).as(out))
-    def theta(sk: Column): Column =
-      when(size(sk) < k, lit(4294967296L))
-        .otherwise(element_at(sk, size(sk)).getField("_1"))
-    def dEst(sk: Column): Column =
-      when(size(sk) < k, size(sk).cast("double"))
-        .otherwise(lit((k - 1) * DistinctSketch.HashDomain) /
-          element_at(sk, size(sk)).getField("_1").cast("double"))
-    val a = sketch(dfA, keyA, "sk_a")
-    val b = sketch(dfB, keyB, "sk_b")
-    val scal = a.crossJoin(b).select(
-      dEst(col("sk_a")).as("d_a"), dEst(col("sk_b")).as("d_b"),
-      least(theta(col("sk_a")), theta(col("sk_b"))).as("theta"),
-      col("sk_a"), col("sk_b"))
-    val ea = scal.select(col("theta"), explode(col("sk_a")).as("kv"))
-      .select(col("theta"), col("kv._1").as("h"), col("kv._2").as("ca"))
-    val eb = scal.select(explode(col("sk_b")).as("kv"))
-      .select(col("kv._1").as("h"), col("kv._2").as("cb"))
-    val raw = ea.join(eb, Seq("h"))
-      .filter(col("h") < col("theta"))
-      .agg(count(lit(1)).as("common_keys"),
-        coalesce(sum(col("ca") * col("cb")), lit(0L)).as("raw"))
-    scal.crossJoin(raw).select(col("d_a"), col("d_b"), col("common_keys"),
-      (col("raw").cast("double") *
-        (lit(DistinctSketch.HashDomain) / col("theta").cast("double")))
-        .as("est_join_rows"))
+        .agg(DistinctSketch.kmvCounted(k)(col("h")).as("sk"))
+        .as[Seq[(Long, Long)]].head()
+    val ska = sketchOf(dfA, keyA)
+    val skb = sketchOf(dfB, keyB)
+    def thetaOf(sk: Seq[(Long, Long)]): Long =
+      if (sk.size < k) 4294967296L else sk.last._1
+    def dEst(sk: Seq[(Long, Long)]): Double =
+      if (sk.size < k) sk.size.toDouble
+      else (k - 1) * DistinctSketch.HashDomain / sk.last._1.toDouble
+    val theta = math.min(thetaOf(ska), thetaOf(skb))
+    val bMap = skb.toMap
+    var common = 0L
+    var raw = 0L
+    ska.foreach { case (h, ca) =>
+      if (h < theta) bMap.get(h).foreach { cb => common += 1; raw += ca * cb }
+    }
+    // identical operation order to the DuckDB oracle: raw as double times
+    // one double division — bit-stable across engines
+    val est = raw.toDouble * (DistinctSketch.HashDomain / theta.toDouble)
+    Seq((dEst(ska), dEst(skb), common, est))
+      .toDF("d_a", "d_b", "common_keys", "est_join_rows")
   }
 
   def skewReport(df: DataFrame, key: Column, topN: Int = 20,

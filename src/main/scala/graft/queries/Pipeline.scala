@@ -2093,16 +2093,26 @@ object Pipeline {
     * discrimination power — TextStatsSpec proves discrimination on a
     * genuinely multilingual fixture.
     */
-  def langIdQ(s: SparkSession, dir: String): DataFrame =
+  def langIdQ(s: SparkSession, dir: String): DataFrame = {
+    // native one-pass scorer (the HOF TextFunctions.langScores form is the
+    // executable spec; TextStatsSpec pins native == spec)
+    val sc = org.apache.spark.sql.graft.LangScores.langScores(col("text"))
+    val hits = Seq("en", "de", "es", "fr", "zh")
+      .map(l => col(s"s.$l").as(s"hits_$l"))
+    val best = greatest(col("hits_en"), col("hits_de"), col("hits_es"),
+      col("hits_fr"), col("hits_zh"))
     T(s, dir, "documents")
-      .select(col("doc_id"),
-        TextFunctions.langScores(col("text")).as("s"),
-        TextFunctions.langId(col("text")).as("pred_lang"))
-      .select(col("doc_id"),
-        col("s.en").as("hits_en"), col("s.de").as("hits_de"),
-        col("s.es").as("hits_es"), col("s.fr").as("hits_fr"),
-        col("s.zh").as("hits_zh"), col("pred_lang"))
+      .select(col("doc_id"), sc.as("s"))
+      .select(col("doc_id") +: hits: _*)
+      .select(col("*"),
+        when(best === 0, lit("und"))
+          .when(col("hits_en") === best, lit("en"))
+          .when(col("hits_de") === best, lit("de"))
+          .when(col("hits_es") === best, lit("es"))
+          .when(col("hits_fr") === best, lit("fr"))
+          .otherwise(lit("zh")).as("pred_lang"))
       .orderBy(col("doc_id"))
+  }
 
   val langIdOracle: String = {
     def lst(ws: Seq[String]) = ws.map(w => s"'$w'").mkString("[", ", ", "]")

@@ -85,6 +85,8 @@ object NativeExprAdversarialProps extends Properties("NativeExprAdversarial") {
     agreeToks(CdcChunks(_, shingleK = 3, maskBits = 2))
   property("NfcNormalize codegen == interpreted on adversarial Unicode") =
     agreeStr(NfcNormalize(_))
+  property("LangScores codegen == interpreted on adversarial Unicode") =
+    agreeStr(LangScores(_))
 
   /** ShingleFps60 must equal the HOF formulation it replaces: positional
     * space-joined k-grams (whole text when shorter than k) hashed with

@@ -65,6 +65,16 @@ class TextStatsSpec extends SparkSpec {
       assert(r.getString(1) === expect, s"text=<$text>")
       assert(r.getString(2) === expect, s"native disagrees on <$text>")
     }
+    // the native one-pass scorer agrees with the HOF spec field-for-field
+    val scores = fixtures.map(_._1).toDF("text")
+      .select(col("text"),
+        org.apache.spark.sql.graft.LangScores.langScores(col("text")).as("n"),
+        langScores(col("text")).as("s"))
+      .collect()
+    scores.foreach { r =>
+      assert(r.getStruct(1) === r.getStruct(2),
+        s"LangScores native != spec on <${r.getString(0)}>")
+    }
     // zh evidence is per CHARACTER: 2 ideographs beat 1 stopword hit
     val zhWins = Seq("the 中文").toDF("text")
       .select(langId(col("text"))).head().getString(0)
