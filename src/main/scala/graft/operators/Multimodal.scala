@@ -529,4 +529,129 @@ object Multimodal {
       }
     }(Encoders.row(outSchema))
   }
+
+  /** 64-bit difference hash (dHash) over REAL decoded pixels: the image is
+    * box-averaged onto a 9×8 grayscale grid (integer-arithmetic cell
+    * bounds and BT.601 luma — deterministic for a given decoded bitmap,
+    * and javax.imageio's PNG/BMP decodes are bit-exact), then each of the
+    * 8 rows compares its 9 cells pairwise left-to-right: bit set when the
+    * left cell is brighter. Downscaling to a fixed grid makes the hash
+    * invariant to resolution, and the gradient-sign encoding makes it
+    * robust to brightness/contrast shifts and small pixel noise — the
+    * standard perceptual fingerprint for image NEAR-dup detection, where
+    * a byte fingerprint only catches exact re-uploads.
+    */
+  private[operators] def dHash64(img: java.awt.image.BufferedImage): Long = {
+    val w = img.getWidth
+    val h = img.getHeight
+    val cells = Array.ofDim[Long](8, 9)
+    var cy = 0
+    while (cy < 8) {
+      var cx = 0
+      while (cx < 9) {
+        val x0 = cx * w / 9
+        val x1 = math.max((cx + 1) * w / 9, x0 + 1)
+        val y0 = cy * h / 8
+        val y1 = math.max((cy + 1) * h / 8, y0 + 1)
+        var sum = 0L
+        var n = 0
+        var y = y0
+        while (y < y1) {
+          var x = x0
+          while (x < x1) {
+            val rgb = img.getRGB(x, y)
+            sum += 299L * ((rgb >> 16) & 0xff) + 587L * ((rgb >> 8) & 0xff) +
+              114L * (rgb & 0xff)
+            n += 1
+            x += 1
+          }
+          y += 1
+        }
+        cells(cy)(cx) = sum / n
+        cx += 1
+      }
+      cy += 1
+    }
+    var hash = 0L
+    cy = 0
+    while (cy < 8) {
+      var cx = 0
+      while (cx < 8) {
+        if (cells(cy)(cx) > cells(cy)(cx + 1)) hash |= 1L << (cy * 8 + cx)
+        cx += 1
+      }
+      cy += 1
+    }
+    hash
+  }
+
+  /** Appends `out: bigint` — the [[dHash64]] perceptual hash of each
+    * binary payload, null when the payload doesn't decode as an image
+    * (the quarantine signal, consistent with the codecs' null-format
+    * contract). Same batched mapPartitions shape as [[decodeMeta]]; drop
+    * the payload column right after so wide binaries don't cross the
+    * shuffles downstream dedup adds.
+    */
+  def perceptualHash(df: DataFrame, payload: Column,
+      out: String = "phash"): DataFrame = {
+    val in = df.withColumn("__graft_payload", payload)
+    val n = in.schema.size
+    val outSchema = StructType(df.schema.fields :+ StructField(out, LongType))
+    in.mapPartitions { rows =>
+      rows.map { r =>
+        val b = r.getAs[Array[Byte]](n - 1)
+        val hash: Any =
+          if (b == null) null
+          else {
+            val img =
+              try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(b))
+              catch { case _: Exception => null }
+            if (img == null || img.getWidth <= 0 || img.getHeight <= 0) null
+            else java.lang.Long.valueOf(dHash64(img))
+          }
+        Row.fromSeq(r.toSeq.dropRight(1) :+ hash)
+      }
+    }(Encoders.row(outSchema))
+  }
+
+  /** Image near-dup pairs by perceptual hash: [[perceptualHash]] each
+    * payload, then find id pairs whose dHashes differ in at most
+    * `maxHamming` bits — the image-modality sibling of
+    * [[Dedup.simHashPairs]], same block-key shape: the 64 bits split into
+    * `maxHamming + 1` nearly-equal blocks, so any pair within the radius
+    * agrees on at least one whole block (pigeonhole — recall is EXACT,
+    * not probabilistic); candidates come from block-key equality joins on
+    * 8-byte keys and only they pay the `bit_count(xor)` verification.
+    * Undecodable payloads drop out before the join. Output:
+    * (id_a, id_b, hamming), id_a < id_b, distinct.
+    */
+  def imageDedupPairs(df: DataFrame, id: Column, payload: Column,
+      maxHamming: Int = 3): DataFrame = {
+    require(maxHamming >= 0 && maxHamming < 16,
+      s"maxHamming must be in [0, 16), got $maxHamming")
+    val bands = maxHamming + 1
+    val hashed = perceptualHash(
+        df.select(id.as("id"), payload.as("__p")), col("__p"))
+      .select(col("id"), col("phash"))
+      .filter(col("phash").isNotNull)
+    // block b = bits [b*64/bands, (b+1)*64/bands) of the hash, tagged by
+    // block index so different blocks never collide in the join key
+    val keyed = hashed.select(col("id"), col("phash"),
+      posexplode(array((0 until bands).map { b =>
+        val lo = b * 64 / bands
+        val hi = (b + 1) * 64 / bands
+        val mask = if (hi - lo == 64) -1L else (1L << (hi - lo)) - 1
+        shiftright(col("phash"), lo).bitwiseAND(lit(mask))
+      }: _*)).as(Seq("block", "key")))
+    val a = keyed.select(col("block"), col("key"),
+      col("id").as("id_a"), col("phash").as("ha"))
+    val b = keyed.select(col("block"), col("key"),
+      col("id").as("id_b"), col("phash").as("hb"))
+    a.join(b, Seq("block", "key"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        bit_count(col("ha").bitwiseXOR(col("hb"))).as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+      .distinct()
+  }
 }

@@ -2139,6 +2139,63 @@ object Pipeline {
        |ORDER BY doc_id""".stripMargin
   }
 
+  // ------------------------------------------------------ image near-dup
+
+  /** Deterministic grayscale test pattern rendered at any resolution and
+    * PNG-encoded in-JVM — relative coordinates, so the same `seedShift`
+    * draws the same PICTURE at every size. Drives [[mmPhashPairsQ]].
+    */
+  private def patternPng(w: Int, h: Int, seedShift: Int,
+      noise: Int = 0): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val fx = x * 255 / (w - 1)
+        val fy = y * 255 / (h - 1)
+        val base = ((fx + seedShift) ^ (fy >> 2)) & 0xff
+        val v = if ((x * 8 / w + y * 8 / h) % 2 == 0) base else 255 - base
+        img.setRGB(x, y, (v << 16) | (v << 8) | v)
+        x += 1
+      }
+      y += 1
+    }
+    val rnd = new scala.util.Random(noise * 7919 + 13)
+    var i = 0
+    while (i < noise) {
+      img.setRGB(rnd.nextInt(w), rnd.nextInt(h), 0x808080)
+      i += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  /** Image near-dup pairs over REAL decoded pixels: 10 distinct pictures,
+    * each with a pixel-noised copy and a 2× rescale — dHash + pigeonhole
+    * block-key join ([[graft.operators.Multimodal.imageDedupPairs]])
+    * recovers copy/rescale pairs without matching different pictures.
+    * javax.imageio pixel decode has no SQL equivalent, so this entry has
+    * NO DuckDB oracle (the driver records a rows-only check); the
+    * semantics are spec-gated in MultimodalSpec (resolution invariance,
+    * noise robustness, separation, exact block recall).
+    */
+  def mmPhashPairsQ(s: SparkSession, dir: String): DataFrame = {
+    val images = (0 until 10).flatMap { i =>
+      Seq(
+        (i * 3L, patternPng(72, 64, i * 29)),
+        (i * 3L + 1, patternPng(72, 64, i * 29, noise = 6)),
+        (i * 3L + 2, patternPng(144, 128, i * 29)))
+    }
+    import s.implicits._
+    graft.operators.Multimodal.imageDedupPairs(
+        images.toDF("id", "payload"), col("id"), col("payload"),
+        maxHamming = 4)
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
   // --------------------------------------------------------- skew diagnostics
 
   /** Exact join-key skew report over lineitem's l_suppkey: the 20 heaviest
@@ -2809,6 +2866,7 @@ object Pipeline {
     Q("source_overlap", sourceOverlap, Some(sourceOverlapOracle)),
     Q("overlap_sketch", overlapSketchQ, Some(overlapSketchOracle)),
     Q("join_size_sketch", joinSizeSketchQ, Some(joinSizeSketchOracle)),
+    Q("mm_phash_pairs", mmPhashPairsQ, None),
     Q("lang_id", langIdQ, Some(langIdOracle)),
     Q("dedup_canonical", dedupCanonical, Some(dedupCanonicalOracle)),
     Q("segment_dedup", segmentDedupQ, Some(segmentDedupOracle)),

@@ -372,6 +372,82 @@ class MultimodalSpec extends SparkSpec {
     val out = spark.sql("SELECT graft_probe(1, 'x') AS p").as[String].head()
     assert(out.contains("host=") && out.contains("args=[1,x]"))
   }
+
+  // ---- perceptual hashing over REAL decoded pixels -----------------------
+
+  /** Render a deterministic pattern at any resolution and encode as PNG. */
+  private def patternPng(w: Int, h: Int, seedShift: Int,
+      noisePixels: Int = 0): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until h; x <- 0 until w) {
+      // smooth gradient + a diagonal step: structure dHash can see,
+      // defined in RELATIVE coordinates so any resolution renders the
+      // same picture
+      val fx = x * 255 / (w - 1)
+      val fy = y * 255 / (h - 1)
+      val base = ((fx + seedShift) ^ (fy >> 2)) & 0xff
+      val v = if ((x * 8 / w + y * 8 / h) % 2 == 0) base else 255 - base
+      img.setRGB(x, y, (v << 16) | (v << 8) | v)
+    }
+    val rnd = new scala.util.Random(99)
+    for (_ <- 0 until noisePixels) {
+      val x = rnd.nextInt(w); val y = rnd.nextInt(h)
+      img.setRGB(x, y, 0x808080)
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  test("dHash64 is resolution-invariant and separates different pictures") {
+    def hashOf(png: Array[Byte]): Long =
+      Multimodal.dHash64(javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(png)))
+    val small = hashOf(patternPng(72, 64, 0))
+    val big = hashOf(patternPng(144, 128, 0))
+    // same picture at 2x resolution: the 9x8 box averages agree up to
+    // rounding, so at most a couple of gradient signs flip
+    assert(java.lang.Long.bitCount(small ^ big) <= 4,
+      s"rescale moved ${java.lang.Long.bitCount(small ^ big)} bits")
+    // a genuinely different picture lands far away
+    val other = hashOf(patternPng(72, 64, 131))
+    assert(java.lang.Long.bitCount(small ^ other) >= 12,
+      s"different pictures only ${java.lang.Long.bitCount(small ^ other)} bits apart")
+  }
+
+  test("perceptualHash: images hash, non-images and nulls yield null") {
+    val rows = Seq(
+      (1L, patternPng(72, 64, 0)),
+      (2L, "not an image at all".getBytes("UTF-8")),
+      (3L, null.asInstanceOf[Array[Byte]]))
+    val out = Multimodal.perceptualHash(
+        rows.toDF("id", "payload"), col("payload"))
+      .select(col("id"), col("phash")).collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getLong(1))))
+      .toMap
+    assert(out(1L).isDefined)
+    assert(out(2L).isEmpty && out(3L).isEmpty)
+  }
+
+  test("imageDedupPairs finds noised/rescaled near-dups, not different " +
+      "pictures, with exact block-key recall") {
+    val rows = Seq(
+      (1L, patternPng(72, 64, 0)),
+      (2L, patternPng(72, 64, 0, noisePixels = 6)), // near-dup of 1
+      (3L, patternPng(144, 128, 0)),                // rescale of 1
+      (4L, patternPng(72, 64, 131)),                // different picture
+      (5L, "junk".getBytes("UTF-8")))               // undecodable
+    val pairs = Multimodal.imageDedupPairs(
+        rows.toDF("id", "payload"), col("id"), col("payload"),
+        maxHamming = 4)
+      .as[(Long, Long, Int)].collect().map(p => (p._1, p._2)).toSet
+    assert(pairs.contains((1L, 2L)), s"noised copy missed: $pairs")
+    assert(pairs.contains((1L, 3L)), s"rescaled copy missed: $pairs")
+    assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L),
+      s"different picture matched: $pairs")
+    assert(!pairs.exists(p => p._1 == 5L || p._2 == 5L))
+  }
 }
 
 object MultimodalSpec {
