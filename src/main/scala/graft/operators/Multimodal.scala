@@ -626,32 +626,148 @@ object Multimodal {
     * (id_a, id_b, hamming), id_a < id_b, distinct.
     */
   def imageDedupPairs(df: DataFrame, id: Column, payload: Column,
-      maxHamming: Int = 3): DataFrame = {
+      maxHamming: Int = 3): DataFrame =
+    hammingPairs64(
+      perceptualHash(df.select(id.as("id"), payload.as("__p")), col("__p"))
+        .select(col("id"), col("phash").as("hash")),
+      maxHamming)
+
+  /** Audio near-dup pairs by energy-envelope hash: the audio sibling of
+    * [[imageDedupPairs]] over [[energyHash64]], same block-key machinery.
+    */
+  def audioDedupPairs(df: DataFrame, id: Column, payload: Column,
+      maxHamming: Int = 3): DataFrame =
+    hammingPairs64(
+      audioHash(df.select(id.as("id"), payload.as("__p")), col("__p"))
+        .select(col("id"), col("ahash").as("hash")),
+      maxHamming)
+
+  /** Shared hamming-radius self-join over 64-bit perceptual hashes —
+    * the [[Dedup.simHashPairs]] block-key shape: the 64 bits split into
+    * `maxHamming + 1` nearly-equal blocks, so any pair within the radius
+    * agrees on at least one whole block (pigeonhole — recall is EXACT,
+    * not probabilistic); candidates come from block-key equality joins on
+    * 8-byte keys and only they pay the `bit_count(xor)` verification.
+    * `hashed`: (id, hash), nulls already filtered. Output:
+    * (id_a, id_b, hamming), id_a < id_b, distinct.
+    */
+  private def hammingPairs64(hashed: DataFrame, maxHamming: Int): DataFrame = {
     require(maxHamming >= 0 && maxHamming < 16,
       s"maxHamming must be in [0, 16), got $maxHamming")
     val bands = maxHamming + 1
-    val hashed = perceptualHash(
-        df.select(id.as("id"), payload.as("__p")), col("__p"))
-      .select(col("id"), col("phash"))
-      .filter(col("phash").isNotNull)
     // block b = bits [b*64/bands, (b+1)*64/bands) of the hash, tagged by
     // block index so different blocks never collide in the join key
-    val keyed = hashed.select(col("id"), col("phash"),
-      posexplode(array((0 until bands).map { b =>
-        val lo = b * 64 / bands
-        val hi = (b + 1) * 64 / bands
-        val mask = if (hi - lo == 64) -1L else (1L << (hi - lo)) - 1
-        shiftright(col("phash"), lo).bitwiseAND(lit(mask))
-      }: _*)).as(Seq("block", "key")))
+    val keyed = hashed.filter(col("hash").isNotNull)
+      .select(col("id"), col("hash"),
+        posexplode(array((0 until bands).map { b =>
+          val lo = b * 64 / bands
+          val hi = (b + 1) * 64 / bands
+          val mask = if (hi - lo == 64) -1L else (1L << (hi - lo)) - 1
+          shiftright(col("hash"), lo).bitwiseAND(lit(mask))
+        }: _*)).as(Seq("block", "key")))
     val a = keyed.select(col("block"), col("key"),
-      col("id").as("id_a"), col("phash").as("ha"))
+      col("id").as("id_a"), col("hash").as("ha"))
     val b = keyed.select(col("block"), col("key"),
-      col("id").as("id_b"), col("phash").as("hb"))
+      col("id").as("id_b"), col("hash").as("hb"))
     a.join(b, Seq("block", "key"))
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"),
         bit_count(col("ha").bitwiseXOR(col("hb"))).as("hamming"))
       .filter(col("hamming") <= maxHamming)
       .distinct()
+  }
+
+  /** 64-bit energy-envelope hash (eHash) over REAL PCM samples: walk the
+    * RIFF chunks to the 16-bit PCM `data` payload, mono-mix, split the
+    * sample stream into 65 equal-duration windows, and set bit i when
+    * window i's mean square energy exceeds window i+1's — the temporal
+    * analogue of [[dHash64]]'s gradient signs. Windows are RELATIVE
+    * fractions of the duration, so the hash is sample-rate-invariant
+    * (a resampled copy partitions the same waveform the same way), and
+    * energy COMPARISONS are invariant under constant gain (both sides
+    * scale by the gain squared) — the two transformations innocent
+    * re-encodes actually apply. Non-PCM16 / malformed payloads yield
+    * None (quarantine). Mean comparisons cross-multiply in double
+    * (deterministic IEEE rounding), no division loss.
+    */
+  private[operators] def energyHash64(wav: Array[Byte]): Option[Long] = {
+    def le16(i: Int): Int = (wav(i) & 0xff) | ((wav(i + 1) & 0xff) << 8)
+    def le32(i: Int): Long = (wav(i) & 0xffL) | ((wav(i + 1) & 0xffL) << 8) |
+      ((wav(i + 2) & 0xffL) << 16) | ((wav(i + 3) & 0xffL) << 24)
+    def tag(i: Int): String =
+      new String(wav.slice(i, i + 4), java.nio.charset.StandardCharsets.US_ASCII)
+    if (wav.length < 44 || tag(0) != "RIFF" || tag(8) != "WAVE") return None
+    var pos = 12
+    var channels = 0
+    var bits = 0
+    var fmt = 0
+    var dataAt = -1
+    var dataLen = 0L
+    while (pos + 8 <= wav.length) {
+      val t = tag(pos)
+      val sz = le32(pos + 4)
+      if (t == "fmt " && pos + 24 <= wav.length) {
+        fmt = le16(pos + 8)
+        channels = le16(pos + 10)
+        bits = le16(pos + 22)
+      } else if (t == "data") {
+        dataAt = pos + 8
+        dataLen = math.min(sz, (wav.length - dataAt).toLong)
+      }
+      pos += 8 + sz.toInt + (sz.toInt & 1) // chunks are word-aligned
+    }
+    if (fmt != 1 || bits != 16 || channels < 1 || dataAt < 0) return None
+    val frames = (dataLen / 2 / channels).toInt
+    if (frames < 130) return None // need >= 2 samples per window
+    // per-window sum of squared mono samples + window sample counts
+    val sums = new Array[Long](65)
+    val counts = new Array[Long](65)
+    var f = 0
+    while (f < frames) {
+      var acc = 0L
+      var c = 0
+      while (c < channels) {
+        val raw = le16(dataAt + (f * channels + c) * 2).toShort.toLong
+        acc += raw
+        c += 1
+      }
+      val mono = acc / channels
+      val w = (f.toLong * 65 / frames).toInt
+      sums(w) += mono * mono
+      counts(w) += 1
+      f += 1
+    }
+    var hash = 0L
+    var i = 0
+    while (i < 64) {
+      // mean(i) > mean(i+1) without division: cross-multiply in double
+      if (sums(i).toDouble * counts(i + 1) >
+          sums(i + 1).toDouble * counts(i)) hash |= 1L << i
+      i += 1
+    }
+    Some(hash)
+  }
+
+  /** Appends `out: bigint` — the [[energyHash64]] of each binary payload,
+    * null when it isn't decodable 16-bit PCM WAV. Same partition shape as
+    * [[perceptualHash]].
+    */
+  def audioHash(df: DataFrame, payload: Column,
+      out: String = "ahash"): DataFrame = {
+    val in = df.withColumn("__graft_payload", payload)
+    val n = in.schema.size
+    val outSchema = StructType(df.schema.fields :+ StructField(out, LongType))
+    in.mapPartitions { rows =>
+      rows.map { r =>
+        val b = r.getAs[Array[Byte]](n - 1)
+        val hash: Any =
+          if (b == null) null
+          else energyHash64(b) match {
+            case Some(v) => java.lang.Long.valueOf(v)
+            case None => null
+          }
+        Row.fromSeq(r.toSeq.dropRight(1) :+ hash)
+      }
+    }(Encoders.row(outSchema))
   }
 }

@@ -430,6 +430,83 @@ class MultimodalSpec extends SparkSpec {
     assert(out(2L).isEmpty && out(3L).isEmpty)
   }
 
+  // ---- audio energy-envelope hashing over real PCM -----------------------
+
+  /** Minimal 16-bit PCM WAV encoder (LE samples, interleaved channels). */
+  private def wavOf(samples: Array[Short], rate: Int,
+      channels: Int = 1): Array[Byte] = {
+    val dataLen = samples.length * 2
+    val bos = new java.io.ByteArrayOutputStream()
+    val o = new java.io.DataOutputStream(bos)
+    def le32(v: Int): Unit = { o.write(v); o.write(v >> 8); o.write(v >> 16); o.write(v >> 24) }
+    def le16(v: Int): Unit = { o.write(v); o.write(v >> 8) }
+    o.writeBytes("RIFF"); le32(36 + dataLen); o.writeBytes("WAVE")
+    o.writeBytes("fmt "); le32(16); le16(1); le16(channels); le32(rate)
+    le32(rate * channels * 2); le16(channels * 2); le16(16)
+    o.writeBytes("data"); le32(dataLen)
+    samples.foreach(s => le16(s & 0xffff))
+    bos.toByteArray
+  }
+
+  /** Deterministic test signal: 65 segments of 40 samples, each a sine
+    * burst whose AMPLITUDE follows a seed-dependent pattern — structure
+    * the energy envelope can see, defined per segment so any resampling
+    * of whole segments keeps the same envelope.
+    */
+  private def envelopeSignal(seed: Int, repeat: Int = 1): Array[Short] = {
+    (0 until 65).flatMap { seg =>
+      val amp = ((seg * 31 + seed) * 257 % 9000) + 500
+      (0 until 40 * repeat).map { i =>
+        (amp * math.sin(2 * math.Pi * i / (8.0 * repeat))).toShort
+      }
+    }.toArray
+  }
+
+  test("energyHash64 is sample-rate and exact-gain invariant, separates " +
+      "different envelopes, quarantines non-PCM") {
+    val base = envelopeSignal(0)
+    val h = Multimodal.energyHash64(wavOf(base, 8000)).get
+    // 2x resample (each segment rendered at twice the samples): windows
+    // partition the same waveform identically
+    val resampled = Multimodal.energyHash64(
+      wavOf(envelopeSignal(0, repeat = 2), 16000)).get
+    assert(java.lang.Long.bitCount(h ^ resampled) <= 2,
+      s"resample moved ${java.lang.Long.bitCount(h ^ resampled)} bits")
+    // exact 2x gain: every squared energy scales by 4, comparisons equal
+    val louder = Multimodal.energyHash64(
+      wavOf(base.map(s => (s * 2).toShort), 8000)).get
+    assert(louder === h)
+    // stereo copy (same signal in both channels) mono-mixes to the same
+    val stereo = Multimodal.energyHash64(
+      wavOf(base.flatMap(s => Array(s, s)), 8000, channels = 2)).get
+    assert(stereo === h)
+    // a different envelope lands far away
+    val other = Multimodal.energyHash64(wavOf(envelopeSignal(77), 8000)).get
+    assert(java.lang.Long.bitCount(h ^ other) >= 12,
+      s"different envelopes ${java.lang.Long.bitCount(h ^ other)} bits apart")
+    // quarantine: junk and too-short payloads
+    assert(Multimodal.energyHash64("junk".getBytes("UTF-8")).isEmpty)
+    assert(Multimodal.energyHash64(wavOf(new Array[Short](64), 8000)).isEmpty)
+  }
+
+  test("audioDedupPairs finds resampled/regained copies, not different " +
+      "audio, and drops undecodable payloads") {
+    val rows = Seq(
+      (1L, wavOf(envelopeSignal(0), 8000)),
+      (2L, wavOf(envelopeSignal(0, repeat = 2), 16000)), // resample of 1
+      (3L, wavOf(envelopeSignal(0).map(s => (s * 2).toShort), 8000)), // gain
+      (4L, wavOf(envelopeSignal(77), 8000)),             // different audio
+      (5L, "junk".getBytes("UTF-8")))
+    val pairs = Multimodal.audioDedupPairs(
+        rows.toDF("id", "payload"), col("id"), col("payload"), maxHamming = 3)
+      .as[(Long, Long, Int)].collect().map(p => (p._1, p._2)).toSet
+    assert(pairs.contains((1L, 2L)), s"resampled copy missed: $pairs")
+    assert(pairs.contains((1L, 3L)), s"gained copy missed: $pairs")
+    assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L),
+      s"different audio matched: $pairs")
+    assert(!pairs.exists(p => p._1 == 5L || p._2 == 5L))
+  }
+
   test("imageDedupPairs finds noised/rescaled near-dups, not different " +
       "pictures, with exact block-key recall") {
     val rows = Seq(
