@@ -748,6 +748,58 @@ object Multimodal {
     Some(hash)
   }
 
+  /** 64-bit container-invariant video fingerprint: md5 over `k`
+    * evenly-spaced DEMUXED access units ([[Mp4Codec.videoSamples]] —
+    * byte slices of the track's own encoded samples), folded to a long.
+    * Re-muxing a video (new chunk layout, edited mvhd/tkhd metadata,
+    * different box order) rewrites the container but not the codec
+    * payload, so a remuxed re-upload fingerprints identically while a
+    * whole-file fingerprint sees a different blob — the video-modality
+    * exact-dup key, one rung below the image/audio perceptual hashes
+    * (re-ENCODED video would need codec-level decode the JVM lacks).
+    * None for non-MP4 / track-less payloads (quarantine).
+    */
+  private[operators] def videoFingerprint64(b: Array[Byte],
+      k: Int = 8): Option[Long] = {
+    val samples = try Mp4Codec.videoSamples(b, k) catch {
+      case _: Exception => Seq.empty
+    }
+    if (samples.isEmpty) None
+    else {
+      val md = MessageDigest.getInstance("MD5")
+      samples.foreach(md.update)
+      val d = md.digest()
+      var v = 0L
+      var i = 0
+      while (i < 8) { v = (v << 8) | (d(i) & 0xffL); i += 1 }
+      Some(v)
+    }
+  }
+
+  /** Appends `out: bigint` — [[videoFingerprint64]] per payload, null for
+    * non-video (quarantine). Same partition shape as [[perceptualHash]];
+    * feed the result to [[Dedup.exact]]-style grouping for
+    * container-invariant video dedup.
+    */
+  def videoFingerprint(df: DataFrame, payload: Column, k: Int = 8,
+      out: String = "vfp"): DataFrame = {
+    val in = df.withColumn("__graft_payload", payload)
+    val n = in.schema.size
+    val outSchema = StructType(df.schema.fields :+ StructField(out, LongType))
+    in.mapPartitions { rows =>
+      rows.map { r =>
+        val b = r.getAs[Array[Byte]](n - 1)
+        val fp: Any =
+          if (b == null) null
+          else videoFingerprint64(b, k) match {
+            case Some(v) => java.lang.Long.valueOf(v)
+            case None => null
+          }
+        Row.fromSeq(r.toSeq.dropRight(1) :+ fp)
+      }
+    }(Encoders.row(outSchema))
+  }
+
   /** Appends `out: bigint` — the [[energyHash64]] of each binary payload,
     * null when it isn't decodable 16-bit PCM WAV. Same partition shape as
     * [[perceptualHash]].

@@ -373,6 +373,37 @@ class MultimodalSpec extends SparkSpec {
     assert(out.contains("host=") && out.contains("args=[1,x]"))
   }
 
+  test("videoFingerprint64 is container-invariant: remuxed chunk layouts " +
+      "and edited metadata fingerprint identically, different samples " +
+      "differently") {
+    val samples = (0 until 6).map(i =>
+      Array.tabulate[Byte](50 + i * 7)(j => ((i * 31 + j) & 0xff).toByte))
+    val oneChunk = makeVideoMp4(600, 1200, 640, 360, samples, Seq(6))
+    // remux: same samples split into three chunks, different timescale/
+    // duration/display-size metadata
+    val remuxed = makeVideoMp4(1000, 99000, 1280, 720, samples, Seq(2, 2, 2))
+    val a = Multimodal.videoFingerprint64(oneChunk)
+    val b = Multimodal.videoFingerprint64(remuxed)
+    assert(a.isDefined && a === b, s"remux changed the fingerprint: $a vs $b")
+    // different codec payload -> different fingerprint
+    val other = makeVideoMp4(600, 1200, 640, 360,
+      samples.updated(3, Array[Byte](1, 2, 3)), Seq(6))
+    assert(Multimodal.videoFingerprint64(other) !== a)
+    // quarantine: junk and track-less mp4
+    assert(Multimodal.videoFingerprint64("junk".getBytes("UTF-8")).isEmpty)
+    assert(Multimodal.videoFingerprint64(
+      makeMp4(timescale = 600, duration = 600, traks = 0)).isEmpty)
+    // the DataFrame form carries the fingerprint and nulls junk
+    val out = Multimodal.videoFingerprint(
+        Seq((1L, oneChunk), (2L, remuxed), (3L, "x".getBytes("UTF-8")))
+          .toDF("id", "payload"), col("payload"))
+      .select(col("id"), col("vfp")).collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getLong(1))))
+      .toMap
+    assert(out(1L) === out(2L) && out(1L).isDefined)
+    assert(out(3L).isEmpty)
+  }
+
   // ---- perceptual hashing over REAL decoded pixels -----------------------
 
   /** Render a deterministic pattern at any resolution and encode as PNG. */
