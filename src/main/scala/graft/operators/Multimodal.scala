@@ -652,19 +652,7 @@ object Multimodal {
     * (id_a, id_b, hamming), id_a < id_b, distinct.
     */
   private def hammingPairs64(hashed: DataFrame, maxHamming: Int): DataFrame = {
-    require(maxHamming >= 0 && maxHamming < 16,
-      s"maxHamming must be in [0, 16), got $maxHamming")
-    val bands = maxHamming + 1
-    // block b = bits [b*64/bands, (b+1)*64/bands) of the hash, tagged by
-    // block index so different blocks never collide in the join key
-    val keyed = hashed.filter(col("hash").isNotNull)
-      .select(col("id"), col("hash"),
-        posexplode(array((0 until bands).map { b =>
-          val lo = b * 64 / bands
-          val hi = (b + 1) * 64 / bands
-          val mask = if (hi - lo == 64) -1L else (1L << (hi - lo)) - 1
-          shiftright(col("hash"), lo).bitwiseAND(lit(mask))
-        }: _*)).as(Seq("block", "key")))
+    val keyed = blockKeyed(hashed, maxHamming)
     val a = keyed.select(col("block"), col("key"),
       col("id").as("id_a"), col("hash").as("ha"))
     val b = keyed.select(col("block"), col("key"),
@@ -675,6 +663,81 @@ object Multimodal {
         bit_count(col("ha").bitwiseXOR(col("hb"))).as("hamming"))
       .filter(col("hamming") <= maxHamming)
       .distinct()
+  }
+
+  /** Cross-table form of the radius join: pairs (id_a ∈ a, id_b ∈ b)
+    * within `maxHamming` bits — the batch-vs-admitted-state probe of the
+    * incremental dedup. Same exact-recall block keys.
+    */
+  private def hammingJoin64(a: DataFrame, b: DataFrame,
+      maxHamming: Int): DataFrame = {
+    val ka = blockKeyed(a, maxHamming).select(col("block"), col("key"),
+      col("id").as("id_a"), col("hash").as("ha"))
+    val kb = blockKeyed(b, maxHamming).select(col("block"), col("key"),
+      col("id").as("id_b"), col("hash").as("hb"))
+    ka.join(kb, Seq("block", "key"))
+      .select(col("id_a"), col("id_b"),
+        bit_count(col("ha").bitwiseXOR(col("hb"))).as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+      .distinct()
+  }
+
+  /** block b = bits [b*64/bands, (b+1)*64/bands) of the hash, tagged by
+    * block index so different blocks never collide in the join key.
+    */
+  private def blockKeyed(hashed: DataFrame, maxHamming: Int): DataFrame = {
+    require(maxHamming >= 0 && maxHamming < 16,
+      s"maxHamming must be in [0, 16), got $maxHamming")
+    val bands = maxHamming + 1
+    hashed.filter(col("hash").isNotNull)
+      .select(col("id"), col("hash"),
+        posexplode(array((0 until bands).map { b =>
+          val lo = b * 64 / bands
+          val hi = (b + 1) * 64 / bands
+          val mask = if (hi - lo == 64) -1L else (1L << (hi - lo)) - 1
+          shiftright(col("hash"), lo).bitwiseAND(lit(mask))
+        }: _*)).as(Seq("block", "key")))
+  }
+
+  /** Empty admitted-hash state for [[imageDedupIncremental]]. */
+  def emptyPhashState(spark: org.apache.spark.sql.SparkSession): DataFrame =
+    spark.createDataFrame(
+      new java.util.ArrayList[Row](),
+      StructType(Seq(StructField("id", LongType),
+        StructField("phash", LongType))))
+
+  /** Incremental image near-dup dedup for continuous ingestion — the
+    * multimodal sibling of [[Dedup.minHashIncremental]]: hash the batch
+    * ONCE (pinned — every later stage derives from the (id, phash) frame,
+    * never re-decoding pixels), collapse within-batch near-dup clusters
+    * to their minimum id via the adaptive components machinery, then drop
+    * any winner within `maxHamming` bits of an already-admitted hash.
+    * State is just (id, phash) — 16 bytes per admitted image, no pixels;
+    * per batch the work is O(batch) hashing plus block-key joins against
+    * a state that only ever ships 8-byte keys.
+    *
+    * Returns (survivors (id, phash), newState). At-least-once replay
+    * semantics follow the text version's contract: persist the returned
+    * state only after the sink commit.
+    */
+  def imageDedupIncremental(batch: DataFrame, state: DataFrame, id: Column,
+      payload: Column, maxHamming: Int = 3): (DataFrame, DataFrame) = {
+    val hb = perceptualHash(
+        batch.select(id.as("id"), payload.as("__p")), col("__p"))
+      .select(col("id"), col("phash"))
+      .filter(col("phash").isNotNull)
+      .localCheckpoint()
+    val pairs = hammingPairs64(
+      hb.select(col("id"), col("phash").as("hash")), maxHamming)
+    val losers = Dedup.components(pairs.select(col("id_a"), col("id_b")))
+      .filter(col("id") =!= col("component")).select(col("id"))
+    val winners = hb.join(losers, Seq("id"), "left_anti")
+    val dupOfState = hammingJoin64(
+        winners.select(col("id"), col("phash").as("hash")),
+        state.select(col("id"), col("phash").as("hash")), maxHamming)
+      .select(col("id_a").as("id")).distinct()
+    val survivors = winners.join(dupOfState, Seq("id"), "left_anti")
+    (survivors, state.unionByName(survivors))
   }
 
   /** 64-bit energy-envelope hash (eHash) over REAL PCM samples: walk the

@@ -538,6 +538,32 @@ class MultimodalSpec extends SparkSpec {
     assert(!pairs.exists(p => p._1 == 5L || p._2 == 5L))
   }
 
+  test("imageDedupIncremental: within-batch collapse, state-dup drop, " +
+      "state evolves by survivors only") {
+    // batch 1: picture P (id 1), its noised copy (id 2 — within-batch
+    // dup), and picture Q (id 3)
+    val b1 = Seq(
+      (1L, patternPng(72, 64, 0)),
+      (2L, patternPng(72, 64, 0, noisePixels = 6)),
+      (3L, patternPng(72, 64, 131))).toDF("id", "payload")
+    val (s1, st1) = Multimodal.imageDedupIncremental(
+      b1, Multimodal.emptyPhashState(spark), col("id"), col("payload"),
+      maxHamming = 4)
+    assert(s1.select(col("id")).as[Long].collect().sorted === Seq(1L, 3L))
+    assert(st1.count() === 2)
+    // batch 2: a 2x rescale of P (dup of STATE), a fresh picture R, junk
+    val b2 = Seq(
+      (10L, patternPng(144, 128, 0)),
+      (11L, patternPng(72, 64, 57)),
+      (12L, "junk".getBytes("UTF-8"))).toDF("id", "payload")
+    val (s2, st2) = Multimodal.imageDedupIncremental(
+      b2, st1, col("id"), col("payload"), maxHamming = 4)
+    assert(s2.select(col("id")).as[Long].collect().sorted === Seq(11L))
+    assert(st2.count() === 3)
+    assert(st2.select(col("id")).as[Long].collect().sorted ===
+      Seq(1L, 3L, 11L))
+  }
+
   test("imageDedupPairs finds noised/rescaled near-dups, not different " +
       "pictures, with exact block-key recall") {
     val rows = Seq(
