@@ -156,6 +156,47 @@ object Streams {
     }
   }
 
+  /** Streaming image-near-dup ingestion: foreachBatch over
+    * [[graft.operators.Multimodal.imageDedupIncremental]] — each
+    * micro-batch of binary payloads is perceptually hashed once, collapsed
+    * within itself, probed against the admitted-hash state, survivors
+    * emitted and unioned into state (16 B per admitted image, no pixels).
+    * Same at-least-once idempotency contract as [[nearDupIngest]].
+    */
+  def imageIngest(stream: DataFrame, id: Column, payload: Column,
+      state0: DataFrame, onSurvivors: (DataFrame, Long) => Unit,
+      maxHamming: Int = 3)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    stream.writeStream.foreachBatch(
+      imageBatchHandler(state0, onSurvivors, id, payload, maxHamming))
+
+  /** The idempotent per-batch handler behind [[imageIngest]], exposed for
+    * batch-mode tests and custom sinks (mirror of [[nearDupBatchHandler]]).
+    */
+  def imageBatchHandler(state0: DataFrame,
+      onSurvivors: (DataFrame, Long) => Unit,
+      id: Column, payload: Column,
+      maxHamming: Int = 3): (DataFrame, Long) => Unit = {
+    var state = state0
+    var lastApplied = -1L
+    var lastSurvivors: DataFrame = null
+    (batch: DataFrame, batchId: Long) => {
+      if (batchId <= lastApplied) {
+        if (batchId == lastApplied && lastSurvivors != null)
+          onSurvivors(lastSurvivors, batchId)
+      } else {
+        val (admitted, next) = graft.operators.Multimodal
+          .imageDedupIncremental(batch, state, id, payload, maxHamming)
+        val pinned = admitted.localCheckpoint(true)
+        onSurvivors(pinned, batchId)
+        state = next.localCheckpoint(true)
+        lastApplied = batchId
+        lastSurvivors = pinned
+      }
+      ()
+    }
+  }
+
   /** events table → typed event-time column, normalizing whichever
     * physical type `ts` arrived as: BIGINT epoch nanoseconds (the
     * TIMESTAMP(NANOS) parquet encoding under `nanosAsLong` — truncated to

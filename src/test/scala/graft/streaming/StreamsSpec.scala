@@ -169,6 +169,36 @@ class StreamsSpec extends SparkSpec {
     assert(seen.size === 3)
   }
 
+  test("imageBatchHandler: perceptual dedup vs state, idempotent on replay") {
+    import graft.operators.Multimodal
+    def png(seedShift: Int, w: Int = 72, h: Int = 64): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until h; x <- 0 until w) {
+        val v = (((x * 255 / (w - 1)) + seedShift) ^ ((y * 255 / (h - 1)) >> 2)) & 0xff
+        img.setRGB(x, y, (v << 16) | (v << 8) | v)
+      }
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      bos.toByteArray
+    }
+    val seen = scala.collection.mutable.ArrayBuffer.empty[(Long, Seq[Long])]
+    val handler = Streams.imageBatchHandler(
+      Multimodal.emptyPhashState(spark),
+      (survivors, batchId) => seen += batchId -> survivors.select(col("id"))
+        .collect().map(_.getLong(0)).toSeq.sorted,
+      col("id"), col("payload"), maxHamming = 4)
+    // batch 0: picture A and a rescale of A (within-batch dup)
+    val b0 = Seq((1L, png(0)), (2L, png(0, 144, 128))).toDF("id", "payload")
+    handler(b0, 0L)
+    // replay of batch 0 re-emits, does not self-match against state
+    handler(b0, 0L)
+    // batch 1: another rescale of A (state dup) + a fresh picture
+    val b1 = Seq((10L, png(0, 108, 96)), (11L, png(131))).toDF("id", "payload")
+    handler(b1, 1L)
+    assert(seen.toList === List(0L -> Seq(1L), 0L -> Seq(1L), 1L -> Seq(11L)))
+  }
+
   test("semanticBatchHandler: cluster-assigned dedup vs state, " +
       "idempotent on replay") {
     import graft.operators.Dedup
