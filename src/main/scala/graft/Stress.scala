@@ -58,7 +58,10 @@ object Stress {
     // join_size_sketch is NOT here: it reads customer/orders, which the
     // stress corpus doesn't replicate; its exchange is k-bounded by the
     // same aggregator these sketches stress, and spec-gated.
-    "overlap_sketch", "cdc_chunks")
+    "overlap_sketch", "cdc_chunks",
+    // cdc_segment_dedup adds the df-count + reassembly shuffles on top of
+    // the map-only chunk pass — the claim is fp-sized exchanges only
+    "cdc_segment_dedup")
 
   private val IdStride = 1000000L // well above any sf0.1 id; keeps ids unique
 
