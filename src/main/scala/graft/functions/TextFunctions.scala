@@ -93,7 +93,11 @@ object TextFunctions {
     val fr = s.getField("fr")
     val zh = s.getField("zh")
     val best = greatest(en, de, es, fr, zh)
-    when(best === 0, lit("und"))
+    // null text → null label: without the guard every when-condition
+    // evaluates null (not true) and control falls through to the LAST
+    // branch, confidently labeling absent text
+    when(c.isNull, lit(null).cast("string"))
+      .when(best === 0, lit("und"))
       .when(en === best, lit("en"))
       .when(de === best, lit("de"))
       .when(es === best, lit("es"))

@@ -593,7 +593,21 @@ object Multimodal {
     * shuffles downstream dedup adds.
     */
   def perceptualHash(df: DataFrame, payload: Column,
-      out: String = "phash"): DataFrame = {
+      out: String = "phash"): DataFrame =
+    appendHash(df, payload, out) { b =>
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(b))
+      if (img == null || img.getWidth <= 0 || img.getHeight <= 0) None
+      else Some(dHash64(img))
+    }
+
+  /** Shared binary→optional-long kernel wrapper: appends `out: bigint`
+    * computed per payload row, null for null payloads, kernel misses
+    * (None), or kernel throws — undecodable media is a QUARANTINE signal,
+    * never a task failure. One copy of the withColumn/schema-append
+    * plumbing for the image/audio/video hashers.
+    */
+  private def appendHash(df: DataFrame, payload: Column, out: String)(
+      kernel: Array[Byte] => Option[Long]): DataFrame = {
     val in = df.withColumn("__graft_payload", payload)
     val n = in.schema.size
     val outSchema = StructType(df.schema.fields :+ StructField(out, LongType))
@@ -602,12 +616,9 @@ object Multimodal {
         val b = r.getAs[Array[Byte]](n - 1)
         val hash: Any =
           if (b == null) null
-          else {
-            val img =
-              try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(b))
-              catch { case _: Exception => null }
-            if (img == null || img.getWidth <= 0 || img.getHeight <= 0) null
-            else java.lang.Long.valueOf(dHash64(img))
+          else (try kernel(b) catch { case _: Exception => None }) match {
+            case Some(v) => java.lang.Long.valueOf(v)
+            case None => null
           }
         Row.fromSeq(r.toSeq.dropRight(1) :+ hash)
       }
@@ -651,23 +662,16 @@ object Multimodal {
     * `hashed`: (id, hash), nulls already filtered. Output:
     * (id_a, id_b, hamming), id_a < id_b, distinct.
     */
-  private def hammingPairs64(hashed: DataFrame, maxHamming: Int): DataFrame = {
-    val keyed = blockKeyed(hashed, maxHamming)
-    val a = keyed.select(col("block"), col("key"),
-      col("id").as("id_a"), col("hash").as("ha"))
-    val b = keyed.select(col("block"), col("key"),
-      col("id").as("id_b"), col("hash").as("hb"))
-    a.join(b, Seq("block", "key"))
+  /** Self-join form of the radius join: unordered pairs within
+    * `maxHamming` bits, id_a < id_b.
+    */
+  private def hammingPairs64(hashed: DataFrame, maxHamming: Int): DataFrame =
+    hammingJoin64(hashed, hashed, maxHamming)
       .filter(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"),
-        bit_count(col("ha").bitwiseXOR(col("hb"))).as("hamming"))
-      .filter(col("hamming") <= maxHamming)
-      .distinct()
-  }
 
-  /** Cross-table form of the radius join: pairs (id_a ∈ a, id_b ∈ b)
-    * within `maxHamming` bits — the batch-vs-admitted-state probe of the
-    * incremental dedup. Same exact-recall block keys.
+  /** Cross-table radius join: pairs (id_a ∈ a, id_b ∈ b) within
+    * `maxHamming` bits — also the batch-vs-admitted-state probe of the
+    * incremental dedup. Exact-recall block keys ([[blockKeyed]]).
     */
   private def hammingJoin64(a: DataFrame, b: DataFrame,
       maxHamming: Int): DataFrame = {
@@ -736,7 +740,12 @@ object Multimodal {
         winners.select(col("id"), col("phash").as("hash")),
         state.select(col("id"), col("phash").as("hash")), maxHamming)
       .select(col("id_a").as("id")).distinct()
+    // pin the survivors: the state union references this subtree, and an
+    // unpinned plan would re-run the batch-vs-state probe join (the
+    // dominant per-batch cost after hashing) a second time when the new
+    // state first evaluates
     val survivors = winners.join(dupOfState, Seq("id"), "left_anti")
+      .localCheckpoint()
     (survivors, state.unionByName(survivors))
   }
 
@@ -760,24 +769,29 @@ object Multimodal {
     def tag(i: Int): String =
       new String(wav.slice(i, i + 4), java.nio.charset.StandardCharsets.US_ASCII)
     if (wav.length < 44 || tag(0) != "RIFF" || tag(8) != "WAVE") return None
-    var pos = 12
+    // Long cursor: a crafted/corrupt 32-bit chunk size would wrap an Int
+    // cursor negative (index crash) or stall it (infinite loop) — same
+    // hazard WavCodec.parse guards against; quarantine instead of hanging
+    // the task
+    var pos = 12L
     var channels = 0
     var bits = 0
     var fmt = 0
     var dataAt = -1
     var dataLen = 0L
     while (pos + 8 <= wav.length) {
-      val t = tag(pos)
-      val sz = le32(pos + 4)
+      val p = pos.toInt
+      val t = tag(p)
+      val sz = le32(p + 4)
       if (t == "fmt " && pos + 24 <= wav.length) {
-        fmt = le16(pos + 8)
-        channels = le16(pos + 10)
-        bits = le16(pos + 22)
+        fmt = le16(p + 8)
+        channels = le16(p + 10)
+        bits = le16(p + 22)
       } else if (t == "data") {
-        dataAt = pos + 8
+        dataAt = p + 8
         dataLen = math.min(sz, (wav.length - dataAt).toLong)
       }
-      pos += 8 + sz.toInt + (sz.toInt & 1) // chunks are word-aligned
+      pos += 8L + sz + (sz & 1L) // chunks are word-aligned
     }
     if (fmt != 1 || bits != 16 || channels < 1 || dataAt < 0) return None
     val frames = (dataLen / 2 / channels).toInt
@@ -845,44 +859,14 @@ object Multimodal {
     * container-invariant video dedup.
     */
   def videoFingerprint(df: DataFrame, payload: Column, k: Int = 8,
-      out: String = "vfp"): DataFrame = {
-    val in = df.withColumn("__graft_payload", payload)
-    val n = in.schema.size
-    val outSchema = StructType(df.schema.fields :+ StructField(out, LongType))
-    in.mapPartitions { rows =>
-      rows.map { r =>
-        val b = r.getAs[Array[Byte]](n - 1)
-        val fp: Any =
-          if (b == null) null
-          else videoFingerprint64(b, k) match {
-            case Some(v) => java.lang.Long.valueOf(v)
-            case None => null
-          }
-        Row.fromSeq(r.toSeq.dropRight(1) :+ fp)
-      }
-    }(Encoders.row(outSchema))
-  }
+      out: String = "vfp"): DataFrame =
+    appendHash(df, payload, out)(videoFingerprint64(_, k))
 
   /** Appends `out: bigint` — the [[energyHash64]] of each binary payload,
     * null when it isn't decodable 16-bit PCM WAV. Same partition shape as
     * [[perceptualHash]].
     */
   def audioHash(df: DataFrame, payload: Column,
-      out: String = "ahash"): DataFrame = {
-    val in = df.withColumn("__graft_payload", payload)
-    val n = in.schema.size
-    val outSchema = StructType(df.schema.fields :+ StructField(out, LongType))
-    in.mapPartitions { rows =>
-      rows.map { r =>
-        val b = r.getAs[Array[Byte]](n - 1)
-        val hash: Any =
-          if (b == null) null
-          else energyHash64(b) match {
-            case Some(v) => java.lang.Long.valueOf(v)
-            case None => null
-          }
-        Row.fromSeq(r.toSeq.dropRight(1) :+ hash)
-      }
-    }(Encoders.row(outSchema))
-  }
+      out: String = "ahash"): DataFrame =
+    appendHash(df, payload, out)(energyHash64)
 }

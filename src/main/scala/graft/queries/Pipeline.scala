@@ -2105,7 +2105,10 @@ object Pipeline {
       .select(col("doc_id"), sc.as("s"))
       .select(col("doc_id") +: hits: _*)
       .select(col("*"),
-        when(best === 0, lit("und"))
+        // null-text guard mirrors TextFunctions.langId (and the oracle):
+        // without it the all-null when-chain falls through to 'zh'
+        when(col("hits_en").isNull, lit(null).cast("string"))
+          .when(best === 0, lit("und"))
           .when(col("hits_en") === best, lit("en"))
           .when(col("hits_de") === best, lit("de"))
           .when(col("hits_es") === best, lit("es"))
@@ -2129,7 +2132,8 @@ object Pipeline {
        |  FROM t),
        |p AS (SELECT *, greatest(hits_en, hits_de, hits_es, hits_fr, hits_zh) AS best FROM h)
        |SELECT doc_id, hits_en, hits_de, hits_es, hits_fr, hits_zh,
-       |  CASE WHEN best = 0 THEN 'und'
+       |  CASE WHEN hits_en IS NULL THEN NULL
+       |       WHEN best = 0 THEN 'und'
        |       WHEN hits_en = best THEN 'en'
        |       WHEN hits_de = best THEN 'de'
        |       WHEN hits_es = best THEN 'es'
@@ -2145,7 +2149,7 @@ object Pipeline {
     * PNG-encoded in-JVM — relative coordinates, so the same `seedShift`
     * draws the same PICTURE at every size. Drives [[mmPhashPairsQ]].
     */
-  private def patternPng(w: Int, h: Int, seedShift: Int,
+  private[graft] def patternPng(w: Int, h: Int, seedShift: Int,
       noise: Int = 0): Array[Byte] = {
     val img = new java.awt.image.BufferedImage(
       w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)

@@ -56,7 +56,8 @@ class TextStatsSpec extends SparkSpec {
       ("这是一个中文句子没有空格也没有停用词", "zh"),
       ("mixed 中文 with the english words around it the the", "en"),
       ("xyzzy qwerty 12345", "und"),
-      ("", "und"))
+      ("", "und"),
+      (null, null)) // null text → null label, never a confident language
     val got = fixtures.map(_._1).toDF("text")
       .select(col("text"), langId(col("text")).as("pred"),
         TextStats.textStats(col("text")).getField("lang_pred").as("native"))
@@ -66,7 +67,9 @@ class TextStatsSpec extends SparkSpec {
       assert(r.getString(2) === expect, s"native disagrees on <$text>")
     }
     // the native one-pass scorer agrees with the HOF spec field-for-field
-    val scores = fixtures.map(_._1).toDF("text")
+    // (non-null texts: null-in yields a null STRUCT natively vs a struct
+    // of null fields from the column composition — langId guards both)
+    val scores = fixtures.map(_._1).filter(_ != null).toDF("text")
       .select(col("text"),
         org.apache.spark.sql.graft.LangScores.langScores(col("text")).as("n"),
         langScores(col("text")).as("s"))

@@ -406,30 +406,13 @@ class MultimodalSpec extends SparkSpec {
 
   // ---- perceptual hashing over REAL decoded pixels -----------------------
 
-  /** Render a deterministic pattern at any resolution and encode as PNG. */
+  /** The ONE deterministic pattern renderer, shared with the registry
+    * query and StreamsSpec so the exercised picture can never drift
+    * between the spec gates and `mm_phash_pairs`.
+    */
   private def patternPng(w: Int, h: Int, seedShift: Int,
-      noisePixels: Int = 0): Array[Byte] = {
-    val img = new java.awt.image.BufferedImage(
-      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
-    for (y <- 0 until h; x <- 0 until w) {
-      // smooth gradient + a diagonal step: structure dHash can see,
-      // defined in RELATIVE coordinates so any resolution renders the
-      // same picture
-      val fx = x * 255 / (w - 1)
-      val fy = y * 255 / (h - 1)
-      val base = ((fx + seedShift) ^ (fy >> 2)) & 0xff
-      val v = if ((x * 8 / w + y * 8 / h) % 2 == 0) base else 255 - base
-      img.setRGB(x, y, (v << 16) | (v << 8) | v)
-    }
-    val rnd = new scala.util.Random(99)
-    for (_ <- 0 until noisePixels) {
-      val x = rnd.nextInt(w); val y = rnd.nextInt(h)
-      img.setRGB(x, y, 0x808080)
-    }
-    val bos = new java.io.ByteArrayOutputStream()
-    javax.imageio.ImageIO.write(img, "png", bos)
-    bos.toByteArray
-  }
+      noisePixels: Int = 0): Array[Byte] =
+    graft.queries.Pipeline.patternPng(w, h, seedShift, noisePixels)
 
   test("dHash64 is resolution-invariant and separates different pictures") {
     def hashOf(png: Array[Byte]): Long =
@@ -518,6 +501,17 @@ class MultimodalSpec extends SparkSpec {
     // quarantine: junk and too-short payloads
     assert(Multimodal.energyHash64("junk".getBytes("UTF-8")).isEmpty)
     assert(Multimodal.energyHash64(wavOf(new Array[Short](64), 8000)).isEmpty)
+    // crafted chunk sizes must quarantine, not spin or crash: 0xFFFFFFF8
+    // stalls an Int cursor (advance == 0) and 0x80000000 wraps it negative
+    for (bad <- Seq(0xFFFFFFF8, 0x80000000)) {
+      val crafted = wavOf(envelopeSignal(0), 8000)
+      crafted(16) = (bad & 0xff).toByte // fmt chunk size, little-endian
+      crafted(17) = ((bad >> 8) & 0xff).toByte
+      crafted(18) = ((bad >> 16) & 0xff).toByte
+      crafted(19) = ((bad >> 24) & 0xff).toByte
+      assert(Multimodal.energyHash64(crafted).isEmpty,
+        s"crafted size 0x${bad.toHexString} not quarantined")
+    }
   }
 
   test("audioDedupPairs finds resampled/regained copies, not different " +

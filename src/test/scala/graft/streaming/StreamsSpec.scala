@@ -171,17 +171,10 @@ class StreamsSpec extends SparkSpec {
 
   test("imageBatchHandler: perceptual dedup vs state, idempotent on replay") {
     import graft.operators.Multimodal
-    def png(seedShift: Int, w: Int = 72, h: Int = 64): Array[Byte] = {
-      val img = new java.awt.image.BufferedImage(
-        w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
-      for (y <- 0 until h; x <- 0 until w) {
-        val v = (((x * 255 / (w - 1)) + seedShift) ^ ((y * 255 / (h - 1)) >> 2)) & 0xff
-        img.setRGB(x, y, (v << 16) | (v << 8) | v)
-      }
-      val bos = new java.io.ByteArrayOutputStream()
-      javax.imageio.ImageIO.write(img, "png", bos)
-      bos.toByteArray
-    }
+    // the shared deterministic renderer (same picture as MultimodalSpec
+    // and the mm_phash_pairs registry query)
+    def png(seedShift: Int, w: Int = 72, h: Int = 64): Array[Byte] =
+      graft.queries.Pipeline.patternPng(w, h, seedShift)
     val seen = scala.collection.mutable.ArrayBuffer.empty[(Long, Seq[Long])]
     val handler = Streams.imageBatchHandler(
       Multimodal.emptyPhashState(spark),
