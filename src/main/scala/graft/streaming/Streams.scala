@@ -228,6 +228,31 @@ object Streams {
       .groupBy(window(col("__et"), windowDur).as("w"), key)
       .agg(count(lit(1)).as("n"))
 
+  /** Streaming trending terms: per event-time window, the topN estimated-
+    * frequency tokens via the mergeable Misra-Gries sketch — the sketch
+    * family under Structured Streaming. The streaming state per open
+    * window is ONE k-bounded MG buffer (however many distinct tokens
+    * stream through), and micro-batch partials merge into it with the
+    * same associative merge the batch path shuffles — an exact
+    * `groupBy(window, term).count()` would instead hold state per
+    * DISTINCT (window, term), unbounded on an open vocabulary. Runs
+    * identically in batch (used by the spec's batch-equivalence check).
+    */
+  def trendingTerms(df: DataFrame, eventTime: Column, text: Column,
+      windowDur: String, watermark: String,
+      k: Int = 1024, topN: Int = 10): DataFrame =
+    df.withColumn("__et", eventTime)
+      .withWatermark("__et", watermark)
+      .select(col("__et"),
+        explode(graft.functions.TextFunctions.tokensWs(text)).as("term"))
+      .groupBy(window(col("__et"), windowDur).as("w"))
+      .agg(graft.functions.FrequencySketch.mgTopK(k, topN)(col("term"))
+        .as("top"))
+      .select(col("w.start").as("win_start"),
+        posexplode(col("top")).as(Seq("pos", "kv")))
+      .select(col("win_start"), (col("pos") + 1).as("rank"),
+        col("kv._1").as("term"), col("kv._2").as("cnt"))
+
   /** Gap-based sessionization via the native session_window operator —
     * replaces hand-rolled lag/flag logic in streaming contexts and runs
     * identically in batch (used by the session-window oracle query).

@@ -37,6 +37,43 @@ class StreamsSpec extends SparkSpec {
       ("2024-01-01 00:10:00", "b", 1L)))
   }
 
+  test("trendingTerms: windowed Misra-Gries top terms over a stream, " +
+      "identical to the batch plan") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Timestamp, String)]
+    val sdf = mem.toDF().toDF("et", "text")
+    val trend = Streams.trendingTerms(sdf, col("et"), col("text"),
+      "10 minutes", "0 seconds", k = 64, topN = 3)
+    val q = trend.writeStream.format("memory").queryName("trend_test")
+      .outputMode("complete").start()
+    val rows = Seq(
+      (ts("2024-01-01 00:01:00"), "alpha alpha beta"),
+      (ts("2024-01-01 00:04:00"), "alpha gamma"),
+      (ts("2024-01-01 00:12:00"), "delta delta delta epsilon"))
+    mem.addData(rows.take(2): _*)
+    q.processAllAvailable()
+    mem.addData(rows.drop(2): _*)
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("trend_test")
+      .select(col("win_start").cast("string"), col("rank"), col("term"),
+        col("cnt"))
+      .as[(String, Int, String, Long)].collect().sortBy(r => (r._1, r._2))
+    assert(got === Array(
+      ("2024-01-01 00:00:00", 1, "alpha", 3L),
+      ("2024-01-01 00:00:00", 2, "beta", 1L),
+      ("2024-01-01 00:00:00", 3, "gamma", 1L),
+      ("2024-01-01 00:10:00", 1, "delta", 3L),
+      ("2024-01-01 00:10:00", 2, "epsilon", 1L)))
+    // batch equivalence: the same frame through the same operator
+    val batch = Streams.trendingTerms(rows.toDF("et", "text"), col("et"),
+        col("text"), "10 minutes", "0 seconds", k = 64, topN = 3)
+      .select(col("win_start").cast("string"), col("rank"), col("term"),
+        col("cnt"))
+      .as[(String, Int, String, Long)].collect().sortBy(r => (r._1, r._2))
+    assert(batch === got)
+  }
+
   test("dedupWithinWatermark drops in-horizon duplicates with bounded state") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(Timestamp, String)]
