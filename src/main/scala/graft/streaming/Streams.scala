@@ -253,6 +253,28 @@ object Streams {
       .select(col("win_start"), (col("pos") + 1).as("rank"),
         col("kv._1").as("term"), col("kv._2").as("cnt"))
 
+  /** Streaming windowed quantiles: per event-time window, discrete
+    * quantile estimates of a value column via the mergeable KLL sketch —
+    * the latency-percentile dashboard query. Same state discipline as
+    * [[trendingTerms]]: one O(k log(n/k)) buffer per open window instead
+    * of every raw value; exact (== percentile_disc) while a window's
+    * count stays within sketch capacity. Runs identically in batch.
+    */
+  def windowQuantiles(df: DataFrame, eventTime: Column, value: Column,
+      windowDur: String, watermark: String,
+      probs: Seq[Double] = Seq(0.5, 0.9, 0.99), k: Int = 1024): DataFrame =
+    df.withColumn("__et", eventTime)
+      .withWatermark("__et", watermark)
+      .select(col("__et"), value.cast("double").as("v"))
+      .groupBy(window(col("__et"), windowDur).as("w"))
+      .agg(graft.functions.QuantileSketch.kllQuantiles(k, probs)(col("v"))
+          .as("qs"),
+        count(lit(1)).as("n"))
+      .select(col("w.start").as("win_start") +:
+        probs.zipWithIndex.map { case (p, i) =>
+          col("qs")(i).as(s"p${(p * 100).round}")
+        } :+ col("n"): _*)
+
   /** Gap-based sessionization via the native session_window operator —
     * replaces hand-rolled lag/flag logic in streaming contexts and runs
     * identically in batch (used by the session-window oracle query).

@@ -74,6 +74,34 @@ class StreamsSpec extends SparkSpec {
     assert(batch === got)
   }
 
+  test("windowQuantiles: windowed KLL percentiles over a stream, exact " +
+      "in-capacity and identical to batch") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Timestamp, Double)]
+    val sdf = mem.toDF().toDF("et", "ms")
+    val q = Streams.windowQuantiles(sdf, col("et"), col("ms"),
+        "10 minutes", "0 seconds", probs = Seq(0.5, 0.9), k = 64)
+      .writeStream.format("memory").queryName("wq_test")
+      .outputMode("complete").start()
+    // window 0: 1..10 (p50 = 5, p90 = 9); window 1: 100, 200 (p50 = 100)
+    val rows = (1 to 10).map(i => (ts("2024-01-01 00:01:00"), i.toDouble)) ++
+      Seq((ts("2024-01-01 00:11:00"), 100.0), (ts("2024-01-01 00:12:00"), 200.0))
+    mem.addData(rows: _*)
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("wq_test")
+      .select(col("win_start").cast("string"), col("p50"), col("p90"), col("n"))
+      .as[(String, Double, Double, Long)].collect().sortBy(_._1)
+    assert(got === Array(
+      ("2024-01-01 00:00:00", 5.0, 9.0, 10L),
+      ("2024-01-01 00:10:00", 100.0, 200.0, 2L)))
+    val batch = Streams.windowQuantiles(rows.toDF("et", "ms"), col("et"),
+        col("ms"), "10 minutes", "0 seconds", probs = Seq(0.5, 0.9), k = 64)
+      .select(col("win_start").cast("string"), col("p50"), col("p90"), col("n"))
+      .as[(String, Double, Double, Long)].collect().sortBy(_._1)
+    assert(batch === got)
+  }
+
   test("dedupWithinWatermark drops in-horizon duplicates with bounded state") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(Timestamp, String)]
