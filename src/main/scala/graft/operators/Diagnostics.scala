@@ -156,6 +156,26 @@ object Diagnostics {
       .withColumn("d_inter", col("jaccard") * col("d_union"))
   }
 
+  /** Content-addressed corpus manifest: one row per underlying data FILE
+    * with its row count and the XOR-fold of per-row content fingerprints —
+    * the bookkeeping primitive behind manifest-driven incremental
+    * processing: re-running the manifest after a delivery and diffing it
+    * against the stored one identifies exactly which files changed
+    * (rewritten, appended, corrupted) WITHOUT re-reading unchanged
+    * content downstream. XOR is order-insensitive and overflow-free, so
+    * the digest is stable under any row order or partitioning — and two
+    * files differing in any row differ in the digest (barring md5-prefix
+    * cancellation). Map-only per file + a file-count-sized aggregation;
+    * at 100 TB the output is one row per parquet file.
+    */
+  def corpusManifest(df: DataFrame, content: Column): DataFrame =
+    df.select(
+        regexp_extract(col("_metadata.file_path"), "[^/]+$", 0).as("file"),
+        graft.functions.TextFunctions.fingerprint64(content).as("__fp"))
+      .groupBy(col("file"))
+      .agg(count(lit(1)).as("n_rows"),
+        expr("bit_xor(__fp)").as("fp_xor"))
+
   /** Pre-flight join-size estimate from counted KMV sketches
     * ([[graft.functions.KmvCountedAggregator]]): one k-bounded aggregation
     * per side reduces each table to its k smallest distinct key-hashes

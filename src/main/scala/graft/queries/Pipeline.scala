@@ -2267,6 +2267,25 @@ object Pipeline {
       |  CAST(raw AS DOUBLE) * (4294967296.0 / CAST(theta AS DOUBLE)) AS est_join_rows
       |FROM j CROSS JOIN th""".stripMargin
 
+  /** Content-addressed corpus manifest over the documents table: per
+    * underlying parquet file, row count + XOR-folded content
+    * fingerprints — the manifest-driven-incremental-processing
+    * primitive. The driver tables are single files, so the oracle can
+    * replay the XOR fold over the `documents` view with the literal file
+    * name; the per-file grouping itself is spec-gated against a
+    * deliberately two-file table in DiagnosticsSpec.
+    */
+  def corpusManifestQ(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Diagnostics.corpusManifest(
+        s.read.parquet(s"$dir/documents.parquet"), col("text"))
+      .orderBy(col("file"))
+
+  val corpusManifestOracle: String =
+    """SELECT 'documents.parquet' AS file,
+      |  CAST(COUNT(*) AS BIGINT) AS n_rows,
+      |  bit_xor(('0x' || substring(md5(text), 1, 15))::BIGINT) AS fp_xor
+      |FROM documents""".stripMargin
+
   /** Corpus snapshot diff: v1 = docs < 450, v2 = docs >= 50 with every
     * 7th doc's text amended — exercises all four statuses.
     */
@@ -2864,6 +2883,7 @@ object Pipeline {
     Q("skew_report", skewReportQ, Some(skewReportOracle)),
     Q("corpus_report", corpusReportQ, Some(corpusReportOracle)),
     Q("corpus_diff", corpusDiffQ, Some(corpusDiffOracle)),
+    Q("corpus_manifest", corpusManifestQ, Some(corpusManifestOracle)),
     Q("length_histogram", lengthHistogramQ, Some(lengthHistogramOracle)),
     Q("quantile_sketch", quantileSketchQ, Some(quantileSketchOracle)),
     Q("heavy_hitters_sketch", heavyHittersSketchQ, Some(heavyHittersSketchOracle)),

@@ -80,4 +80,34 @@ class DiagnosticsSpec extends SparkSpec {
     // one total row, one NULL-lang row, one en row — no "*" collision
     assert(langs.toSeq === Seq("*", "<null>", "en"))
   }
+
+  test("corpusManifest: one digest row per file; digests XOR-compose to " +
+      "the table digest; total digest is row-order invariant") {
+    val docs = (1 to 40).map(i => (i.toLong, s"document number $i body"))
+      .toDF("id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("graft-manifest")
+      .toString
+    docs.repartition(2).write.mode("overwrite").parquet(dir)
+    val m = Diagnostics.corpusManifest(
+        spark.read.parquet(dir), col("text"))
+      .as[(String, Long, Long)].collect()
+    assert(m.length === 2, s"expected one row per file: ${m.toSeq}")
+    assert(m.map(_._2).sum === 40)
+    // per-file digests compose: xor of the file digests == whole-table fold
+    val whole = docs.select(
+        graft.functions.TextFunctions.fingerprint64(col("text")).as("fp"))
+      .agg(org.apache.spark.sql.functions.expr("bit_xor(fp)"))
+      .as[Long].head()
+    assert(m.map(_._3).reduce(_ ^ _) === whole)
+    // rewriting the same rows in a different order/partitioning moves rows
+    // between files but cannot change the composed digest
+    val dir2 = java.nio.file.Files.createTempDirectory("graft-manifest2")
+      .toString
+    docs.orderBy(col("id").desc).repartition(5).write
+      .mode("overwrite").parquet(dir2)
+    val m2 = Diagnostics.corpusManifest(
+        spark.read.parquet(dir2), col("text"))
+      .as[(String, Long, Long)].collect()
+    assert(m2.map(_._3).reduce(_ ^ _) === whole)
+  }
 }
