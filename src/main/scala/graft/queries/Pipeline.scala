@@ -1246,6 +1246,66 @@ object Pipeline {
       .orderBy(col("doc_id"))
   }
 
+  /** LEAKAGE-FREE train/val/test split: the split key is the near-dup
+    * CLUSTER id (component min-id; singletons key on their own id), so
+    * near-duplicate documents can never straddle a split boundary — the
+    * contamination channel a per-document hash split leaves open (a test
+    * document's near-copy in train is memorized, not generalized). Same
+    * deterministic hash-cut machinery as [[splitByHashQ]], keyed one
+    * level up.
+    */
+  def splitLeakFreeQ(s: SparkSession, dir: String): DataFrame = {
+    val comp = graft.operators.Dedup.components(
+      graft.operators.Dedup.minHashPairs(
+        T(s, dir, "documents"), col("doc_id"), col("text"),
+        shingleK = 3, numHashes = 128, bands = 16, threshold = 0.8))
+    val keyed = T(s, dir, "documents").select(col("doc_id"))
+      .join(comp.select(col("id").as("doc_id"), col("component")),
+        Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("component"), col("doc_id")).as("ck"))
+    graft.operators.Sampling.splitByHash(keyed, col("ck"), SplitWeights)
+      .select(col("doc_id"), col("split"))
+      .orderBy(col("doc_id"))
+  }
+
+  val splitLeakFreeOracle: String = {
+    val total = SplitWeights.map(_._2).sum
+    val cuts = SplitWeights.dropRight(1)
+      .scanLeft(("", 0.0)) { case ((_, acc), (name, w)) => (name, acc + w) }
+      .drop(1)
+      .map { case (name, acc) => (name, (acc / total * 4294967296.0).toLong) }
+    val cases = cuts.map { case (name, cut) =>
+      s"WHEN ('0x' || substring(md5(CAST(ck AS VARCHAR)), 1, 8))::BIGINT < $cut THEN '$name'"
+    }.mkString("\n|       ")
+    s"""WITH RECURSIVE $shingleSetsSql,
+       |posting AS (SELECT doc_id, unnest(s) AS sp FROM sets),
+       |cand AS (
+       |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS inter
+       |  FROM posting a JOIN posting b ON a.sp = b.sp AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2),
+       |pairs AS (
+       |  SELECT id_a, id_b FROM cand
+       |  JOIN sets sa ON sa.doc_id = id_a
+       |  JOIN sets sb ON sb.doc_id = id_b
+       |  WHERE CAST(inter AS DOUBLE) / CAST(len(sa.s) + len(sb.s) - inter AS DOUBLE) >= 0.8),
+       |edges AS (SELECT id_a AS s, id_b AS d FROM pairs
+       |          UNION ALL SELECT id_b, id_a FROM pairs),
+       |reach(id, r) AS (
+       |  SELECT DISTINCT s, s FROM edges
+       |  UNION
+       |  SELECT reach.id, e.d FROM reach JOIN edges e ON e.s = reach.r),
+       |comp AS (SELECT id, MIN(r) AS component FROM reach GROUP BY id),
+       |keyed AS (
+       |  SELECT d.doc_id, COALESCE(comp.component, d.doc_id) AS ck
+       |  FROM documents d LEFT JOIN comp ON comp.id = d.doc_id)
+       |SELECT doc_id,
+       |  CASE $cases
+       |       ELSE '${SplitWeights.last._1}' END AS split
+       |FROM keyed
+       |ORDER BY doc_id""".stripMargin
+  }
+
   val dedupWeightsOracle: String =
     s"""WITH RECURSIVE $shingleSetsSql,
        |posting AS (SELECT doc_id, unnest(s) AS sp FROM sets),
@@ -2915,6 +2975,7 @@ object Pipeline {
     Q("dedup_components", dedupComponents, Some(dedupComponentsOracle)),
     Q("dup_cluster_sizes", dupClusterSizes, Some(dupClusterSizesOracle)),
     Q("dedup_weights", dedupWeights, Some(dedupWeightsOracle)),
+    Q("split_leakfree", splitLeakFreeQ, Some(splitLeakFreeOracle)),
     Q("dedup_collapse", dedupCollapse, Some(dedupCollapseOracle)),
     Q("decontaminate", decontaminate, Some(decontaminateOracle)),
     Q("decontaminate_bloom", decontaminateBloom, Some(decontaminateBloomOracle)),

@@ -185,4 +185,34 @@ class SamplingSpec extends SparkSpec {
         col("text"), Map("a" -> 1L), 1, 0)
     }
   }
+
+  test("cluster-keyed split is leakage-free: near-dup cluster members " +
+      "always land in the same split") {
+    // three near-identical docs (one token changed) + enough distinct
+    // docs that multiple splits actually appear
+    val base = (1 to 40).map(i => s"w${i * 13 % 101}t$i").mkString(" ")
+    val docs = (Seq(
+      (1L, base),
+      (2L, base.replace("t5", "t5x")),
+      (3L, base.replace("t7", "t7y"))) ++
+      (10 to 69).map(i => (i.toLong,
+        new scala.util.Random(i).shuffle((1 to 40).map(j => s"u${i}v$j")).mkString(" ")))
+    ).toDF("doc_id", "text")
+    val comp = Dedup.components(Dedup.minHashPairs(
+      docs, col("doc_id"), col("text"),
+      shingleK = 3, numHashes = 128, bands = 16, threshold = 0.8))
+    val keyed = docs.select(col("doc_id"))
+      .join(comp.select(col("id").as("doc_id"), col("component")),
+        Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("component"), col("doc_id")).as("ck"))
+    val split = Sampling.splitByHash(keyed, col("ck"),
+        Seq("train" -> 0.5, "val" -> 0.25, "test" -> 0.25))
+      .select(col("doc_id"), col("split"))
+      .as[(Long, String)].collect().toMap
+    // the planted cluster stays together
+    assert(split(1L) === split(2L) && split(2L) === split(3L))
+    // and the split machinery actually splits (multiple labels appear)
+    assert(split.values.toSet.size >= 2, split.values.toSet)
+  }
 }
