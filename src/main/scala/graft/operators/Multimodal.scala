@@ -869,4 +869,61 @@ object Multimodal {
   def audioHash(df: DataFrame, payload: Column,
       out: String = "ahash"): DataFrame =
     appendHash(df, payload, out)(energyHash64)
+
+  /** Deterministic nearest-neighbor resize of one decoded image,
+    * re-encoded as PNG (lossless, JDK-only): target pixel (x, y) copies
+    * source pixel (x·sw/tw, y·sh/th) in integer arithmetic — no AWT
+    * rendering pipeline, no interpolation, so the result is bit-identical
+    * on every JVM (and for integer downscale factors each kept pixel is
+    * EXACTLY a source pixel, which the spec pins). None when the payload
+    * doesn't decode (quarantine).
+    */
+  private[operators] def resizeImage(b: Array[Byte], tw: Int,
+      th: Int): Option[Array[Byte]] = {
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(b))
+    if (img == null || img.getWidth <= 0 || img.getHeight <= 0) None
+    else {
+      val sw = img.getWidth
+      val sh = img.getHeight
+      val outImg = new java.awt.image.BufferedImage(
+        tw, th, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      var y = 0
+      while (y < th) {
+        var x = 0
+        while (x < tw) {
+          outImg.setRGB(x, y, img.getRGB(x * sw / tw, y * sh / th) | 0xff000000)
+          x += 1
+        }
+        y += 1
+      }
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(outImg, "png", bos)
+      Some(bos.toByteArray)
+    }
+  }
+
+  /** Appends `out: binary` — each image payload resized to (tw, th) and
+    * re-encoded as PNG; null for undecodable payloads. The standard
+    * pre-embedding normalization step (models want fixed input shapes);
+    * same batched partition discipline as [[decodeMeta]] — drop the
+    * original payload right after so only the (usually much smaller)
+    * normalized bytes cross any downstream shuffle.
+    */
+  def resizeImages(df: DataFrame, payload: Column, tw: Int, th: Int,
+      out: String = "resized"): DataFrame = {
+    require(tw > 0 && th > 0, s"target dims must be positive, got ($tw, $th)")
+    val in = df.withColumn("__graft_payload", payload)
+    val n = in.schema.size
+    val outSchema = StructType(df.schema.fields :+ StructField(out, BinaryType))
+    in.mapPartitions { rows =>
+      rows.map { r =>
+        val b = r.getAs[Array[Byte]](n - 1)
+        val res: Any =
+          if (b == null) null
+          else (try resizeImage(b, tw, th)
+                catch { case _: Exception => None }).orNull
+        Row.fromSeq(r.toSeq.dropRight(1) :+ res)
+      }
+    }(Encoders.row(outSchema))
+  }
 }

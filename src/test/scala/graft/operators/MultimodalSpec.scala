@@ -532,6 +532,30 @@ class MultimodalSpec extends SparkSpec {
     assert(!pairs.exists(p => p._1 == 5L || p._2 == 5L))
   }
 
+  test("resizeImages: exact nearest-neighbor pixels on integer downscale, " +
+      "perceptual identity preserved, undecodable payloads null") {
+    val bigPng = patternPng(144, 128, 0)
+    val out = Multimodal.resizeImages(
+        Seq((1L, bigPng), (2L, "junk".getBytes("UTF-8"))).toDF("id", "payload"),
+        col("payload"), tw = 72, th = 64)
+      .select(col("id"), col("resized")).collect()
+      .map(r => r.getLong(0) -> Option(r.get(1)).map(_.asInstanceOf[Array[Byte]]))
+      .toMap
+    assert(out(2L).isEmpty)
+    val resized = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(out(1L).get))
+    assert(resized.getWidth === 72 && resized.getHeight === 64)
+    // integer 2x downscale: every kept pixel is EXACTLY source (2x, 2y)
+    val src = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bigPng))
+    for (y <- Seq(0, 13, 63); x <- Seq(0, 31, 71))
+      assert((resized.getRGB(x, y) & 0xffffff) ===
+        (src.getRGB(x * 2, y * 2) & 0xffffff), s"pixel ($x,$y)")
+    // the resized copy stays a perceptual near-dup of the original
+    val hOrig = Multimodal.dHash64(src)
+    val hRes = Multimodal.dHash64(resized)
+    assert(java.lang.Long.bitCount(hOrig ^ hRes) <= 4)
+  }
+
   test("imageDedupIncremental: within-batch collapse, state-dup drop, " +
       "state evolves by survivors only") {
     // batch 1: picture P (id 1), its noised copy (id 2 — within-batch
