@@ -870,6 +870,99 @@ object Multimodal {
       out: String = "ahash"): DataFrame =
     appendHash(df, payload, out)(energyHash64)
 
+  /** Deterministic nearest-sample PCM resample of one 16-bit WAV to
+    * `targetRate`, mono-mixed, re-encoded as a canonical mono WAV —
+    * the audio sibling of [[resizeImage]] and the fixed-input-shape step
+    * before audio embedding models: out[i] = in[i·srcRate/targetRate] in
+    * integer arithmetic, no filtering, bit-identical on every JVM.
+    * Reuses the guarded RIFF walk semantics of [[energyHash64]]
+    * (Long cursor, clamped data); non-PCM16 payloads yield None.
+    */
+  private[operators] def resampleWav(b: Array[Byte],
+      targetRate: Int): Option[Array[Byte]] = {
+    def le16(i: Int): Int = (b(i) & 0xff) | ((b(i + 1) & 0xff) << 8)
+    def le32v(i: Int): Long = (b(i) & 0xffL) | ((b(i + 1) & 0xffL) << 8) |
+      ((b(i + 2) & 0xffL) << 16) | ((b(i + 3) & 0xffL) << 24)
+    def tag(i: Int): String =
+      new String(b.slice(i, i + 4), java.nio.charset.StandardCharsets.US_ASCII)
+    if (b.length < 44 || tag(0) != "RIFF" || tag(8) != "WAVE") return None
+    var pos = 12L
+    var channels = 0
+    var bits = 0
+    var fmt = 0
+    var rate = 0
+    var dataAt = -1
+    var dataLen = 0L
+    while (pos + 8 <= b.length) {
+      val p = pos.toInt
+      val t = tag(p)
+      val sz = le32v(p + 4)
+      if (t == "fmt " && pos + 24 <= b.length) {
+        fmt = le16(p + 8)
+        channels = le16(p + 10)
+        rate = le32v(p + 12).toInt
+        bits = le16(p + 22)
+      } else if (t == "data") {
+        dataAt = p + 8
+        dataLen = math.min(sz, (b.length - dataAt).toLong)
+      }
+      pos += 8L + sz + (sz & 1L)
+    }
+    if (fmt != 1 || bits != 16 || channels < 1 || rate <= 0 || dataAt < 0)
+      return None
+    val srcFrames = (dataLen / 2 / channels).toInt
+    if (srcFrames == 0) return None
+    def monoAt(f: Int): Int = {
+      var acc = 0L
+      var c = 0
+      while (c < channels) {
+        acc += le16(dataAt + (f * channels + c) * 2).toShort.toLong
+        c += 1
+      }
+      (acc / channels).toInt
+    }
+    val outFrames = (srcFrames.toLong * targetRate / rate).toInt.max(1)
+    val out = new java.io.ByteArrayOutputStream()
+    val o = new java.io.DataOutputStream(out)
+    def w32(v: Int): Unit = {
+      o.write(v); o.write(v >> 8); o.write(v >> 16); o.write(v >> 24)
+    }
+    def w16(v: Int): Unit = { o.write(v); o.write(v >> 8) }
+    o.writeBytes("RIFF"); w32(36 + outFrames * 2); o.writeBytes("WAVE")
+    o.writeBytes("fmt "); w32(16); w16(1); w16(1); w32(targetRate)
+    w32(targetRate * 2); w16(2); w16(16)
+    o.writeBytes("data"); w32(outFrames * 2)
+    var i = 0
+    while (i < outFrames) {
+      val src = (i.toLong * rate / targetRate).toInt.min(srcFrames - 1)
+      w16(monoAt(src) & 0xffff)
+      i += 1
+    }
+    Some(out.toByteArray)
+  }
+
+  /** Appends `out: binary` — each WAV payload resampled to `targetRate`
+    * mono PCM16; null for non-PCM16 payloads (quarantine). Same batched
+    * partition discipline as [[resizeImages]].
+    */
+  def resampleAudio(df: DataFrame, payload: Column, targetRate: Int,
+      out: String = "resampled"): DataFrame = {
+    require(targetRate > 0, s"targetRate must be positive, got $targetRate")
+    val in = df.withColumn("__graft_payload", payload)
+    val n = in.schema.size
+    val outSchema = StructType(df.schema.fields :+ StructField(out, BinaryType))
+    in.mapPartitions { rows =>
+      rows.map { r =>
+        val b = r.getAs[Array[Byte]](n - 1)
+        val res: Any =
+          if (b == null) null
+          else (try resampleWav(b, targetRate)
+                catch { case _: Exception => None }).orNull
+        Row.fromSeq(r.toSeq.dropRight(1) :+ res)
+      }
+    }(Encoders.row(outSchema))
+  }
+
   /** Deterministic nearest-neighbor resize of one decoded image,
     * re-encoded as PNG (lossless, JDK-only): target pixel (x, y) copies
     * source pixel (x·sw/tw, y·sh/th) in integer arithmetic — no AWT

@@ -514,6 +514,34 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("resampleAudio: exact nearest-sample PCM on integer factors, " +
+      "energy envelope preserved, stereo mono-mixed, non-PCM null") {
+    val sig = envelopeSignal(0, repeat = 2) // 5200 frames
+    val wav16k = wavOf(sig, 16000)
+    val out = Multimodal.resampleAudio(
+        Seq((1L, wav16k), (2L, "junk".getBytes("UTF-8"))).toDF("id", "payload"),
+        col("payload"), targetRate = 8000)
+      .select(col("id"), col("resampled")).collect()
+      .map(r => r.getLong(0) -> Option(r.get(1)).map(_.asInstanceOf[Array[Byte]]))
+      .toMap
+    assert(out(2L).isEmpty)
+    val down = out(1L).get
+    // integer 2x downsample: every kept sample is EXACTLY source 2i —
+    // i.e. the repeat=1 rendering of the same envelope
+    val expect = wavOf(envelopeSignal(0), 8000)
+    assert(java.util.Arrays.equals(down, expect),
+      "2x nearest-sample downsample must equal the half-rate rendering")
+    // the energy-envelope hash survives the resample
+    assert(Multimodal.energyHash64(down).get ===
+      Multimodal.energyHash64(wav16k).get)
+    // stereo input mono-mixes during resample
+    val stereo = wavOf(sig.flatMap(s => Array(s, s)), 16000, channels = 2)
+    val downStereo = Multimodal.resampleAudio(
+        Seq((1L, stereo)).toDF("id", "payload"), col("payload"), 8000)
+      .select(col("resampled")).head().get(0).asInstanceOf[Array[Byte]]
+    assert(java.util.Arrays.equals(downStereo, expect))
+  }
+
   test("audioDedupPairs finds resampled/regained copies, not different " +
       "audio, and drops undecodable payloads") {
     val rows = Seq(
