@@ -169,12 +169,20 @@ object Diagnostics {
     * at 100 TB the output is one row per parquet file.
     */
   def corpusManifest(df: DataFrame, content: Column): DataFrame =
-    df.select(
-        regexp_extract(col("_metadata.file_path"), "[^/]+$", 0).as("file"),
+    df.select(col("_metadata.file_path").as("path"),
         graft.functions.TextFunctions.fingerprint64(content).as("__fp"))
-      .groupBy(col("file"))
+      // the FULL path is the grouping key: basenames repeat across
+      // partition directories (date=…/data.parquet), and merging
+      // same-named files would hide row moves between them
+      .groupBy(col("path"))
       .agg(count(lit(1)).as("n_rows"),
-        expr("bit_xor(__fp)").as("fp_xor"))
+        expr("bit_xor(__fp)").as("fp_xor"),
+        // sum-fold companion: XOR alone is blind to EVEN-multiplicity
+        // changes ([A,B,B]→[A,C,C] keeps count and XOR), which a
+        // change-detection digest must catch; DECIMAL(38) absorbs 2^60
+        // values × any realistic row count without overflow, stays exact,
+        // and is as order/partitioning-invariant as the XOR
+        sum(col("__fp").cast("decimal(38,0)")).as("fp_sum"))
 
   /** Pre-flight join-size estimate from counted KMV sketches
     * ([[graft.functions.KmvCountedAggregator]]): one k-bounded aggregation

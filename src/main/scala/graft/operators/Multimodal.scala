@@ -588,9 +588,11 @@ object Multimodal {
   /** Appends `out: bigint` — the [[dHash64]] perceptual hash of each
     * binary payload, null when the payload doesn't decode as an image
     * (the quarantine signal, consistent with the codecs' null-format
-    * contract). Same batched mapPartitions shape as [[decodeMeta]]; drop
-    * the payload column right after so wide binaries don't cross the
-    * shuffles downstream dedup adds.
+    * contract). One per-row partition pass via the shared [[appendKernel]]
+    * plumbing (these kernels hold no cross-row codec state, so
+    * [[decodeMeta]]'s batch amortization buys nothing); drop the payload
+    * column right after so wide binaries don't cross the shuffles
+    * downstream dedup adds.
     */
   def perceptualHash(df: DataFrame, payload: Column,
       out: String = "phash"): DataFrame =
@@ -600,30 +602,33 @@ object Multimodal {
       else Some(dHash64(img))
     }
 
-  /** Shared binary→optional-long kernel wrapper: appends `out: bigint`
+  /** Shared binary-kernel wrapper: appends one `out` column of `dt`
     * computed per payload row, null for null payloads, kernel misses
     * (None), or kernel throws — undecodable media is a QUARANTINE signal,
-    * never a task failure. One copy of the withColumn/schema-append
-    * plumbing for the image/audio/video hashers.
+    * never a task failure. THE one copy of the withColumn/schema-append/
+    * row-rebuild plumbing for every per-payload transform (hashers,
+    * resize, resample).
     */
-  private def appendHash(df: DataFrame, payload: Column, out: String)(
-      kernel: Array[Byte] => Option[Long]): DataFrame = {
+  private def appendKernel(df: DataFrame, payload: Column, out: String,
+      dt: DataType)(kernel: Array[Byte] => Option[Any]): DataFrame = {
     val in = df.withColumn("__graft_payload", payload)
     val n = in.schema.size
-    val outSchema = StructType(df.schema.fields :+ StructField(out, LongType))
+    val outSchema = StructType(df.schema.fields :+ StructField(out, dt))
     in.mapPartitions { rows =>
       rows.map { r =>
         val b = r.getAs[Array[Byte]](n - 1)
-        val hash: Any =
+        val v: Any =
           if (b == null) null
-          else (try kernel(b) catch { case _: Exception => None }) match {
-            case Some(v) => java.lang.Long.valueOf(v)
-            case None => null
-          }
-        Row.fromSeq(r.toSeq.dropRight(1) :+ hash)
+          else (try kernel(b) catch { case _: Exception => None }).orNull
+        Row.fromSeq(r.toSeq.dropRight(1) :+ v)
       }
     }(Encoders.row(outSchema))
   }
+
+  private def appendHash(df: DataFrame, payload: Column, out: String)(
+      kernel: Array[Byte] => Option[Long]): DataFrame =
+    appendKernel(df, payload, out, LongType)(
+      kernel(_).map(java.lang.Long.valueOf))
 
   /** Image near-dup pairs by perceptual hash: [[perceptualHash]] each
     * payload, then find id pairs whose dHashes differ in at most
@@ -921,7 +926,12 @@ object Multimodal {
       }
       (acc / channels).toInt
     }
-    val outFrames = (srcFrames.toLong * targetRate / rate).toInt.max(1)
+    // guard the Long→Int narrowing: a large upsample would wrap negative
+    // and silently emit a 1-frame "success" — quarantine instead (the cap
+    // bounds the output at ~200 MB of PCM, far past any sane normalization)
+    val outFramesL = srcFrames.toLong * targetRate / rate
+    if (outFramesL < 1 || outFramesL > 100000000L) return None
+    val outFrames = outFramesL.toInt
     val out = new java.io.ByteArrayOutputStream()
     val o = new java.io.DataOutputStream(out)
     def w32(v: Int): Unit = {
@@ -942,25 +952,13 @@ object Multimodal {
   }
 
   /** Appends `out: binary` — each WAV payload resampled to `targetRate`
-    * mono PCM16; null for non-PCM16 payloads (quarantine). Same batched
-    * partition discipline as [[resizeImages]].
+    * mono PCM16; null for non-PCM16 payloads (quarantine). Same per-row
+    * partition pass as [[resizeImages]].
     */
   def resampleAudio(df: DataFrame, payload: Column, targetRate: Int,
       out: String = "resampled"): DataFrame = {
     require(targetRate > 0, s"targetRate must be positive, got $targetRate")
-    val in = df.withColumn("__graft_payload", payload)
-    val n = in.schema.size
-    val outSchema = StructType(df.schema.fields :+ StructField(out, BinaryType))
-    in.mapPartitions { rows =>
-      rows.map { r =>
-        val b = r.getAs[Array[Byte]](n - 1)
-        val res: Any =
-          if (b == null) null
-          else (try resampleWav(b, targetRate)
-                catch { case _: Exception => None }).orNull
-        Row.fromSeq(r.toSeq.dropRight(1) :+ res)
-      }
-    }(Encoders.row(outSchema))
+    appendKernel(df, payload, out, BinaryType)(resampleWav(_, targetRate))
   }
 
   /** Deterministic nearest-neighbor resize of one decoded image,
@@ -998,25 +996,13 @@ object Multimodal {
   /** Appends `out: binary` — each image payload resized to (tw, th) and
     * re-encoded as PNG; null for undecodable payloads. The standard
     * pre-embedding normalization step (models want fixed input shapes);
-    * same batched partition discipline as [[decodeMeta]] — drop the
+    * same per-row partition pass as the hashers — drop the
     * original payload right after so only the (usually much smaller)
     * normalized bytes cross any downstream shuffle.
     */
   def resizeImages(df: DataFrame, payload: Column, tw: Int, th: Int,
       out: String = "resized"): DataFrame = {
     require(tw > 0 && th > 0, s"target dims must be positive, got ($tw, $th)")
-    val in = df.withColumn("__graft_payload", payload)
-    val n = in.schema.size
-    val outSchema = StructType(df.schema.fields :+ StructField(out, BinaryType))
-    in.mapPartitions { rows =>
-      rows.map { r =>
-        val b = r.getAs[Array[Byte]](n - 1)
-        val res: Any =
-          if (b == null) null
-          else (try resizeImage(b, tw, th)
-                catch { case _: Exception => None }).orNull
-        Row.fromSeq(r.toSeq.dropRight(1) :+ res)
-      }
-    }(Encoders.row(outSchema))
+    appendKernel(df, payload, out, BinaryType)(resizeImage(_, tw, th))
   }
 }

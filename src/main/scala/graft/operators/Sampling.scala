@@ -198,6 +198,24 @@ object Sampling {
     * at any scale. Weights are relative (they need not sum to 1); splits
     * are cut in the given order.
     */
+  /** LEAKAGE-FREE deterministic split: [[splitByHash]] keyed on the
+    * near-dup CLUSTER id instead of the document id, so near-duplicates
+    * can never straddle a split boundary (the contamination channel a
+    * per-document split leaves open — a test document's near-copy in
+    * train scores memorization as generalization). `components` is the
+    * (id, component) frame from [[Dedup.components]] over whatever pair
+    * generator fits the corpus; documents absent from it (singletons) key
+    * on their own id, preserving the plain split's distribution. One
+    * 8-byte-key left join on top of the map-only split.
+    */
+  def splitByCluster(df: DataFrame, id: Column, components: DataFrame,
+      splits: Seq[(String, Double)], out: String = "split"): DataFrame = {
+    val keyed = df.select(id.as("id"))
+      .join(components.select(col("id"), col("component")), Seq("id"), "left")
+      .select(col("id"), coalesce(col("component"), col("id")).as("__ck"))
+    splitByHash(keyed, col("__ck"), splits, out).drop("__ck")
+  }
+
   def splitByHash(df: DataFrame, key: Column,
       splits: Seq[(String, Double)], out: String = "split"): DataFrame = {
     require(splits.nonEmpty, "need at least one split")

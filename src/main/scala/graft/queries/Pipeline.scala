@@ -987,25 +987,30 @@ object Pipeline {
       .select(col("doc_id"), col("split"))
       .orderBy(col("doc_id"))
 
-  /** The oracle recomputes the cut points with the SAME Scala double fold as
-    * Sampling.splitByHash (0.8+0.1+0.1 != 1.0 in doubles — embedding the
-    * exact longs keeps boundary hashes on the same side in both engines).
+  /** The split oracles recompute the cut points with the SAME Scala double
+    * fold as Sampling.splitByHash (0.8+0.1+0.1 != 1.0 in doubles —
+    * embedding the exact longs keeps boundary hashes on the same side in
+    * both engines). ONE builder serves both split oracles so the
+    * precision-sensitive cut arithmetic cannot drift between them.
     */
-  val splitByHashOracle: String = {
+  private def hashCutCaseSql(keyExpr: String): String = {
     val total = SplitWeights.map(_._2).sum
     val cuts = SplitWeights.dropRight(1)
       .scanLeft(("", 0.0)) { case ((_, acc), (name, w)) => (name, acc + w) }
       .drop(1)
       .map { case (name, acc) => (name, (acc / total * 4294967296.0).toLong) }
     val cases = cuts.map { case (name, cut) =>
-      s"WHEN ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT < $cut THEN '$name'"
-    }.mkString("\n|  ")
+      s"WHEN ('0x' || substring(md5(CAST($keyExpr AS VARCHAR)), 1, 8))::BIGINT < $cut THEN '$name'"
+    }.mkString("\n       ")
+    s"""CASE $cases
+       |       ELSE '${SplitWeights.last._1}' END""".stripMargin
+  }
+
+  val splitByHashOracle: String =
     s"""SELECT doc_id,
-       |  CASE $cases
-       |  ELSE '${SplitWeights.last._1}' END AS split
+       |  ${hashCutCaseSql("doc_id")} AS split
        |FROM documents
        |ORDER BY doc_id""".stripMargin
-  }
 
   // ------------------------------------------------------- shuffle & mixture
 
@@ -1259,25 +1264,13 @@ object Pipeline {
       graft.operators.Dedup.minHashPairs(
         T(s, dir, "documents"), col("doc_id"), col("text"),
         shingleK = 3, numHashes = 128, bands = 16, threshold = 0.8))
-    val keyed = T(s, dir, "documents").select(col("doc_id"))
-      .join(comp.select(col("id").as("doc_id"), col("component")),
-        Seq("doc_id"), "left")
-      .select(col("doc_id"),
-        coalesce(col("component"), col("doc_id")).as("ck"))
-    graft.operators.Sampling.splitByHash(keyed, col("ck"), SplitWeights)
-      .select(col("doc_id"), col("split"))
+    graft.operators.Sampling.splitByCluster(
+        T(s, dir, "documents"), col("doc_id"), comp, SplitWeights)
+      .select(col("id").as("doc_id"), col("split"))
       .orderBy(col("doc_id"))
   }
 
   val splitLeakFreeOracle: String = {
-    val total = SplitWeights.map(_._2).sum
-    val cuts = SplitWeights.dropRight(1)
-      .scanLeft(("", 0.0)) { case ((_, acc), (name, w)) => (name, acc + w) }
-      .drop(1)
-      .map { case (name, acc) => (name, (acc / total * 4294967296.0).toLong) }
-    val cases = cuts.map { case (name, cut) =>
-      s"WHEN ('0x' || substring(md5(CAST(ck AS VARCHAR)), 1, 8))::BIGINT < $cut THEN '$name'"
-    }.mkString("\n|       ")
     s"""WITH RECURSIVE $shingleSetsSql,
        |posting AS (SELECT doc_id, unnest(s) AS sp FROM sets),
        |cand AS (
@@ -1300,8 +1293,7 @@ object Pipeline {
        |  SELECT d.doc_id, COALESCE(comp.component, d.doc_id) AS ck
        |  FROM documents d LEFT JOIN comp ON comp.id = d.doc_id)
        |SELECT doc_id,
-       |  CASE $cases
-       |       ELSE '${SplitWeights.last._1}' END AS split
+       |  ${hashCutCaseSql("ck")} AS split
        |FROM keyed
        |ORDER BY doc_id""".stripMargin
   }
@@ -2338,12 +2330,17 @@ object Pipeline {
   def corpusManifestQ(s: SparkSession, dir: String): DataFrame =
     graft.operators.Diagnostics.corpusManifest(
         s.read.parquet(s"$dir/documents.parquet"), col("text"))
+      // the operator keys on the FULL path; project the basename only for
+      // the oracle gate (the driver table is a single known file)
+      .select(regexp_extract(col("path"), "[^/]+$", 0).as("file"),
+        col("n_rows"), col("fp_xor"), col("fp_sum"))
       .orderBy(col("file"))
 
   val corpusManifestOracle: String =
     """SELECT 'documents.parquet' AS file,
       |  CAST(COUNT(*) AS BIGINT) AS n_rows,
-      |  bit_xor(('0x' || substring(md5(text), 1, 15))::BIGINT) AS fp_xor
+      |  bit_xor(('0x' || substring(md5(text), 1, 15))::BIGINT) AS fp_xor,
+      |  CAST(SUM(('0x' || substring(md5(text), 1, 15))::BIGINT) AS DECIMAL(38,0)) AS fp_sum
       |FROM documents""".stripMargin
 
   /** Corpus snapshot diff: v1 = docs < 450, v2 = docs >= 50 with every

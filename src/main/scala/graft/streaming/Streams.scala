@@ -262,18 +262,29 @@ object Streams {
     */
   def windowQuantiles(df: DataFrame, eventTime: Column, value: Column,
       windowDur: String, watermark: String,
-      probs: Seq[Double] = Seq(0.5, 0.9, 0.99), k: Int = 1024): DataFrame =
+      probs: Seq[Double] = Seq(0.5, 0.9, 0.99), k: Int = 1024): DataFrame = {
+    // label from the decimal form of p (not a rounded percent, which
+    // conflates 0.995 and 1.0): p = 0.5 → p50, 0.125 → p12_5
+    val labels = probs.map(p =>
+      "p" + (BigDecimal(p.toString) * 100).underlying
+        .stripTrailingZeros.toPlainString.replace(".", "_"))
+    require(labels.distinct.size == labels.size,
+      s"probs must yield distinct column labels, got $labels")
     df.withColumn("__et", eventTime)
       .withWatermark("__et", watermark)
       .select(col("__et"), value.cast("double").as("v"))
+      // null/uncastable values never reach the sketch (its contract), so
+      // filter them BEFORE counting — n must describe the sketch's
+      // population or the capacity/exactness claims key to the wrong count
+      .filter(col("v").isNotNull)
       .groupBy(window(col("__et"), windowDur).as("w"))
       .agg(graft.functions.QuantileSketch.kllQuantiles(k, probs)(col("v"))
           .as("qs"),
         count(lit(1)).as("n"))
       .select(col("w.start").as("win_start") +:
-        probs.zipWithIndex.map { case (p, i) =>
-          col("qs")(i).as(s"p${(p * 100).round}")
-        } :+ col("n"): _*)
+        labels.zipWithIndex.map { case (l, i) => col("qs")(i).as(l) } :+
+        col("n"): _*)
+  }
 
   /** Gap-based sessionization via the native session_window operator —
     * replaces hand-rolled lag/flag logic in streaming contexts and runs

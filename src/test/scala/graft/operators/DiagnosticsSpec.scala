@@ -81,8 +81,9 @@ class DiagnosticsSpec extends SparkSpec {
     assert(langs.toSeq === Seq("*", "<null>", "en"))
   }
 
-  test("corpusManifest: one digest row per file; digests XOR-compose to " +
-      "the table digest; total digest is row-order invariant") {
+  test("corpusManifest: one digest row per file; digests compose to the " +
+      "table digest; total digest is row-order invariant; the sum fold " +
+      "catches even-multiplicity edits XOR is blind to") {
     val docs = (1 to 40).map(i => (i.toLong, s"document number $i body"))
       .toDF("id", "text")
     val dir = java.nio.file.Files.createTempDirectory("graft-manifest")
@@ -90,24 +91,42 @@ class DiagnosticsSpec extends SparkSpec {
     docs.repartition(2).write.mode("overwrite").parquet(dir)
     val m = Diagnostics.corpusManifest(
         spark.read.parquet(dir), col("text"))
-      .as[(String, Long, Long)].collect()
+      .as[(String, Long, Long, BigDecimal)].collect()
     assert(m.length === 2, s"expected one row per file: ${m.toSeq}")
     assert(m.map(_._2).sum === 40)
-    // per-file digests compose: xor of the file digests == whole-table fold
+    // per-file digests compose to the whole-table folds
     val whole = docs.select(
         graft.functions.TextFunctions.fingerprint64(col("text")).as("fp"))
-      .agg(org.apache.spark.sql.functions.expr("bit_xor(fp)"))
-      .as[Long].head()
-    assert(m.map(_._3).reduce(_ ^ _) === whole)
+      .agg(org.apache.spark.sql.functions.expr("bit_xor(fp)"),
+        org.apache.spark.sql.functions.sum(col("fp").cast("decimal(38,0)")))
+      .as[(Long, BigDecimal)].head()
+    assert(m.map(_._3).reduce(_ ^ _) === whole._1)
+    assert(m.map(_._4).sum === whole._2)
     // rewriting the same rows in a different order/partitioning moves rows
-    // between files but cannot change the composed digest
+    // between files but cannot change the composed digests
     val dir2 = java.nio.file.Files.createTempDirectory("graft-manifest2")
       .toString
     docs.orderBy(col("id").desc).repartition(5).write
       .mode("overwrite").parquet(dir2)
     val m2 = Diagnostics.corpusManifest(
         spark.read.parquet(dir2), col("text"))
-      .as[(String, Long, Long)].collect()
-    assert(m2.map(_._3).reduce(_ ^ _) === whole)
+      .as[(String, Long, Long, BigDecimal)].collect()
+    assert(m2.map(_._3).reduce(_ ^ _) === whole._1)
+    assert(m2.map(_._4).sum === whole._2)
+    // [A,B,B] -> [A,C,C]: count and XOR both blind (fp^fp = 0), the sum
+    // fold must catch it — the one failure mode a change manifest can't have
+    def digest(texts: Seq[String]): (Long, BigDecimal) = {
+      val d = java.nio.file.Files.createTempDirectory("graft-m3").toString
+      texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("id", "text").coalesce(1).write.mode("overwrite").parquet(d)
+      val r = Diagnostics.corpusManifest(spark.read.parquet(d), col("text"))
+        .as[(String, Long, Long, BigDecimal)].collect()
+      assert(r.length === 1)
+      (r.head._3, r.head._4)
+    }
+    val before = digest(Seq("aaa", "bbb", "bbb"))
+    val after = digest(Seq("aaa", "ccc", "ccc"))
+    assert(before._1 === after._1, "XOR is expected blind here")
+    assert(before._2 !== after._2, "sum fold must detect the edit")
   }
 }

@@ -201,14 +201,9 @@ class SamplingSpec extends SparkSpec {
     val comp = Dedup.components(Dedup.minHashPairs(
       docs, col("doc_id"), col("text"),
       shingleK = 3, numHashes = 128, bands = 16, threshold = 0.8))
-    val keyed = docs.select(col("doc_id"))
-      .join(comp.select(col("id").as("doc_id"), col("component")),
-        Seq("doc_id"), "left")
-      .select(col("doc_id"),
-        coalesce(col("component"), col("doc_id")).as("ck"))
-    val split = Sampling.splitByHash(keyed, col("ck"),
+    val split = Sampling.splitByCluster(docs, col("doc_id"), comp,
         Seq("train" -> 0.5, "val" -> 0.25, "test" -> 0.25))
-      .select(col("doc_id"), col("split"))
+      .select(col("id"), col("split"))
       .as[(Long, String)].collect().toMap
     // the planted cluster stays together
     assert(split(1L) === split(2L) && split(2L) === split(3L))
