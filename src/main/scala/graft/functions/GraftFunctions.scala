@@ -101,6 +101,24 @@ object GraftFunctions {
       exprs => org.apache.spark.sql.graft.CosineSimilarity(exprs(0), exprs(1)),
       "built-in")
 
+    // text-pipeline natives for SQL users (same expressions the Scala
+    // operators compose): per-language evidence + heuristic language id,
+    // positional shingle hashes, and content-defined chunking. Int args
+    // must be literals (they parameterize the compiled kernel).
+    def litInt(e: Expression, what: String): Int = {
+      require(e.foldable, s"$what must be a constant")
+      String.valueOf(e.eval()).toInt
+    }
+    reg.createOrReplaceTempFunction("lang_scores",
+      exprs => org.apache.spark.sql.graft.LangScores(exprs.head), "built-in")
+    reg.createOrReplaceTempFunction("shingle_fps32",
+      exprs => org.apache.spark.sql.graft.ShingleFps32(exprs(0),
+        litInt(exprs(1), "shingle_fps32 k")), "built-in")
+    reg.createOrReplaceTempFunction("cdc_chunks",
+      exprs => org.apache.spark.sql.graft.CdcChunks(exprs(0),
+        litInt(exprs(1), "cdc_chunks k"),
+        litInt(exprs(2), "cdc_chunks maskBits")), "built-in")
+
     // http_get(url [, timeoutMs [, headers]]) / http_post(url, content |
     // url, timeoutMs, headers, content) → struct<code,headers,content>.
     // Nondeterministic scalar UDFs (Catalyst must not reorder/dedupe them —

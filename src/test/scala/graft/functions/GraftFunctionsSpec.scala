@@ -179,6 +179,29 @@ class GraftFunctionsSpec extends SparkSpec {
     assert(row.isNullAt(2))
   }
 
+  test("text-pipeline natives are SQL-callable: lang_scores, " +
+      "shingle_fps32, cdc_chunks; int args must be constants") {
+    val row = spark.sql(
+      """SELECT lang_scores('the cat and the dog') AS ls,
+        |       shingle_fps32(split('a b c d', ' '), 3) AS fps,
+        |       cdc_chunks(split('a b c d e f', ' '), 3, 2) AS chunks
+        |""".stripMargin).head()
+    assert(row.getStruct(0).getInt(0) === 3) // en hits: the, and, the
+    assert(row.getSeq[Long](1).length === 2) // 4 tokens → 2 trigrams
+    val chunks = row.getSeq[org.apache.spark.sql.Row](2)
+    assert(chunks.map(_.getInt(1)).sum === 6) // chunks tile all 6 tokens
+    // SQL form == column form (same expressions underneath)
+    val viaCol = Seq("the cat and the dog").toDF("t")
+      .select(graft.functions.TextFunctions.langScores(
+        org.apache.spark.sql.functions.col("t")).getField("en"))
+      .head().getInt(0)
+    assert(viaCol === 3)
+    intercept[Exception] {
+      spark.sql("SELECT cdc_chunks(split('a b', ' '), 3, CAST(rand()*2 AS INT))")
+        .head()
+    }
+  }
+
   test("cosine_sim null on length mismatch; matches scala reference fold") {
     val rnd = new Random(3)
     val a = Array.fill(16)(rnd.nextFloat() * 2 - 1)
