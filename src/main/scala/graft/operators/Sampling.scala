@@ -96,6 +96,17 @@ object Sampling {
     df.join(broadcast(keep), id.cast("long") === col("__keep_id"), "left_semi")
   }
 
+  /** Exact-n GLOBAL deterministic sample: the n rows with the smallest
+    * content hash of `id` (ties toward the smaller id) — "give me exactly
+    * 10k documents, reproducibly" regardless of partitioning, insertion
+    * order, or cluster size. [[fixedSizeSample]] with one stratum: the
+    * bounded top-k aggregator partial-aggregates map-side (each task
+    * ships at most n candidates, no global sort), kept ids broadcast back
+    * as a semi-join.
+    */
+  def fixedSizeSampleGlobal(df: DataFrame, id: Column, n: Int): DataFrame =
+    fixedSizeSample(df, lit(1), id, n)
+
   /** Cluster-balanced subsampling: assign every embedding to its nearest
     * centroid ([[Similarity.assignToCentroids]]) and keep a deterministic
     * fixed-size sample per cluster ([[fixedSizeSample]] on the cell id) —

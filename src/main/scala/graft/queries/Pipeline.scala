@@ -973,6 +973,24 @@ object Pipeline {
       |                    ELSE -1 END) t
       |ORDER BY sample, doc_id""".stripMargin
 
+  /** Exact-n global deterministic sample: exactly 100 documents by
+    * smallest content hash (ties toward the smaller id) — reproducible
+    * under any partitioning; the oracle replays the identical hash
+    * ordering and cut.
+    */
+  def sampleFixedNQ(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Sampling.fixedSizeSampleGlobal(
+        T(s, dir, "documents"), col("doc_id"), n = 100)
+      .select(col("doc_id"))
+      .orderBy(col("doc_id"))
+
+  val sampleFixedNOracle: String =
+    """SELECT doc_id FROM (
+      |  SELECT doc_id FROM documents
+      |  ORDER BY ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT, doc_id
+      |  LIMIT 100) t
+      |ORDER BY doc_id""".stripMargin
+
   // ---------------------------------------------------------------- splits
 
   private val SplitWeights = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)
@@ -2980,6 +2998,7 @@ object Pipeline {
     Q("sample_per_class", samplePerClass, Some(samplePerClassOracle)),
     Q("sample_per_cluster", samplePerCluster, Some(samplePerClusterOracle)),
     Q("split_by_hash", splitByHashQ, Some(splitByHashOracle)),
+    Q("sample_fixed_n", sampleFixedNQ, Some(sampleFixedNOracle)),
     Q("epoch_shuffle", epochShuffleQ, Some(epochShuffleOracle)),
     Q("mixture_sample", mixtureSampleQ, Some(mixtureSampleOracle)),
     Q("heavy_hitters", heavyHittersQ, Some(heavyHittersOracle)),
