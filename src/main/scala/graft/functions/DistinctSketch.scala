@@ -249,6 +249,13 @@ object DistinctSketch {
       .otherwise(lit((k - 1) * HashDomain) /
         element_at(sk, size(sk)).cast("double"))
 
+  /** Driver-side form of [[estimate]] for collected sketches (one
+    * formula, two access paths — keep them from drifting): exact size
+    * while unsaturated, else (k-1) · 2^32 / kth-minimum.
+    */
+  def estimateLocal(k: Int, size: Int, kthMin: Long): Double =
+    if (size < k) size.toDouble else (k - 1) * HashDomain / kthMin.toDouble
+
   /** The k smallest distinct hashes of A ∪ B, computed from the two
     * sketches alone — itself a valid KMV sketch of the union (closure
     * under union is what makes KMV an overlap sketch, not just a counter).

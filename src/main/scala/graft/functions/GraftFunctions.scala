@@ -109,15 +109,24 @@ object GraftFunctions {
       require(e.foldable, s"$what must be a constant")
       String.valueOf(e.eval()).toInt
     }
-    reg.createOrReplaceTempFunction("lang_scores",
-      exprs => org.apache.spark.sql.graft.LangScores(exprs.head), "built-in")
-    reg.createOrReplaceTempFunction("shingle_fps32",
-      exprs => org.apache.spark.sql.graft.ShingleFps32(exprs(0),
-        litInt(exprs(1), "shingle_fps32 k")), "built-in")
-    reg.createOrReplaceTempFunction("cdc_chunks",
-      exprs => org.apache.spark.sql.graft.CdcChunks(exprs(0),
+    def arity(exprs: Seq[Expression], n: Int, sig: String): Unit =
+      require(exprs.length == n,
+        s"$sig expects $n arguments, got ${exprs.length}")
+    reg.createOrReplaceTempFunction("lang_scores", exprs => {
+      arity(exprs, 1, "lang_scores(text)")
+      org.apache.spark.sql.graft.LangScores(exprs.head)
+    }, "built-in")
+    reg.createOrReplaceTempFunction("shingle_fps32", exprs => {
+      arity(exprs, 2, "shingle_fps32(tokens, k)")
+      org.apache.spark.sql.graft.ShingleFps32(exprs(0),
+        litInt(exprs(1), "shingle_fps32 k"))
+    }, "built-in")
+    reg.createOrReplaceTempFunction("cdc_chunks", exprs => {
+      arity(exprs, 3, "cdc_chunks(tokens, k, maskBits)")
+      org.apache.spark.sql.graft.CdcChunks(exprs(0),
         litInt(exprs(1), "cdc_chunks k"),
-        litInt(exprs(2), "cdc_chunks maskBits")), "built-in")
+        litInt(exprs(2), "cdc_chunks maskBits"))
+    }, "built-in")
 
     // http_get(url [, timeoutMs [, headers]]) / http_post(url, content |
     // url, timeoutMs, headers, content) → struct<code,headers,content>.

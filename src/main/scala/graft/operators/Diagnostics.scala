@@ -245,10 +245,10 @@ object Diagnostics {
     val ska = sketchOf(dfA, keyA)
     val skb = sketchOf(dfB, keyB)
     def thetaOf(sk: Seq[(Long, Long)]): Long =
-      if (sk.size < k) 4294967296L else sk.last._1
+      if (sk.size < k) DistinctSketch.HashDomain.toLong else sk.last._1
     def dEst(sk: Seq[(Long, Long)]): Double =
-      if (sk.size < k) sk.size.toDouble
-      else (k - 1) * DistinctSketch.HashDomain / sk.last._1.toDouble
+      DistinctSketch.estimateLocal(k, sk.size,
+        if (sk.isEmpty) 1L else sk.last._1)
     val theta = math.min(thetaOf(ska), thetaOf(skb))
     val bMap = skb.toMap
     var common = 0L

@@ -611,7 +611,14 @@ object Multimodal {
     */
   private def appendKernel(df: DataFrame, payload: Column, out: String,
       dt: DataType)(kernel: Array[Byte] => Option[Any]): DataFrame = {
-    val in = df.withColumn("__graft_payload", payload)
+    // a colliding output name would produce an ambiguous duplicate column;
+    // a colliding staging name would REPLACE the caller's column in place
+    // and make the kernel read the wrong bytes — guard both
+    require(!df.columns.contains(out),
+      s"output column '$out' already exists; pass a different `out`")
+    val stage = Iterator.from(0).map(i => s"__graft_payload$i")
+      .find(c => !df.columns.contains(c)).get
+    val in = df.withColumn(stage, payload)
     val n = in.schema.size
     val outSchema = StructType(df.schema.fields :+ StructField(out, dt))
     in.mapPartitions { rows =>
@@ -767,21 +774,26 @@ object Multimodal {
     * None (quarantine). Mean comparisons cross-multiply in double
     * (deterministic IEEE rounding), no division loss.
     */
-  private[operators] def energyHash64(wav: Array[Byte]): Option[Long] = {
+  /** The ONE guarded RIFF walk behind [[energyHash64]] and
+    * [[resampleWav]]: locate the canonical 16-bit PCM payload. A Long
+    * cursor because a crafted/corrupt 32-bit chunk size would wrap an
+    * Int cursor negative (index crash) or stall it (infinite loop) —
+    * same hazard WavCodec.parse guards against; both consumers
+    * quarantine on None instead of hanging the task. Returns
+    * (channels, sampleRate, dataAt, dataLen).
+    */
+  private def parsePcm16(wav: Array[Byte]): Option[(Int, Int, Int, Long)] = {
     def le16(i: Int): Int = (wav(i) & 0xff) | ((wav(i + 1) & 0xff) << 8)
     def le32(i: Int): Long = (wav(i) & 0xffL) | ((wav(i + 1) & 0xffL) << 8) |
       ((wav(i + 2) & 0xffL) << 16) | ((wav(i + 3) & 0xffL) << 24)
     def tag(i: Int): String =
       new String(wav.slice(i, i + 4), java.nio.charset.StandardCharsets.US_ASCII)
     if (wav.length < 44 || tag(0) != "RIFF" || tag(8) != "WAVE") return None
-    // Long cursor: a crafted/corrupt 32-bit chunk size would wrap an Int
-    // cursor negative (index crash) or stall it (infinite loop) — same
-    // hazard WavCodec.parse guards against; quarantine instead of hanging
-    // the task
     var pos = 12L
     var channels = 0
     var bits = 0
     var fmt = 0
+    var rate = 0L
     var dataAt = -1
     var dataLen = 0L
     while (pos + 8 <= wav.length) {
@@ -791,6 +803,7 @@ object Multimodal {
       if (t == "fmt " && pos + 24 <= wav.length) {
         fmt = le16(p + 8)
         channels = le16(p + 10)
+        rate = le32(p + 12)
         bits = le16(p + 22)
       } else if (t == "data") {
         dataAt = p + 8
@@ -798,7 +811,17 @@ object Multimodal {
       }
       pos += 8L + sz + (sz & 1L) // chunks are word-aligned
     }
-    if (fmt != 1 || bits != 16 || channels < 1 || dataAt < 0) return None
+    if (fmt != 1 || bits != 16 || channels < 1 || rate <= 0L ||
+      rate > Int.MaxValue || dataAt < 0) None
+    else Some((channels, rate.toInt, dataAt, dataLen))
+  }
+
+  private[operators] def energyHash64(wav: Array[Byte]): Option[Long] = {
+    def le16(i: Int): Int = (wav(i) & 0xff) | ((wav(i + 1) & 0xff) << 8)
+    val (channels, _, dataAt, dataLen) = parsePcm16(wav) match {
+      case Some(p) => p
+      case None => return None
+    }
     val frames = (dataLen / 2 / channels).toInt
     if (frames < 130) return None // need >= 2 samples per window
     // per-window sum of squared mono samples + window sample counts
@@ -880,41 +903,16 @@ object Multimodal {
     * the audio sibling of [[resizeImage]] and the fixed-input-shape step
     * before audio embedding models: out[i] = in[i·srcRate/targetRate] in
     * integer arithmetic, no filtering, bit-identical on every JVM.
-    * Reuses the guarded RIFF walk semantics of [[energyHash64]]
-    * (Long cursor, clamped data); non-PCM16 payloads yield None.
+    * Locates the payload through the shared [[parsePcm16]] guarded RIFF
+    * walk; non-PCM16 payloads yield None.
     */
   private[operators] def resampleWav(b: Array[Byte],
       targetRate: Int): Option[Array[Byte]] = {
     def le16(i: Int): Int = (b(i) & 0xff) | ((b(i + 1) & 0xff) << 8)
-    def le32v(i: Int): Long = (b(i) & 0xffL) | ((b(i + 1) & 0xffL) << 8) |
-      ((b(i + 2) & 0xffL) << 16) | ((b(i + 3) & 0xffL) << 24)
-    def tag(i: Int): String =
-      new String(b.slice(i, i + 4), java.nio.charset.StandardCharsets.US_ASCII)
-    if (b.length < 44 || tag(0) != "RIFF" || tag(8) != "WAVE") return None
-    var pos = 12L
-    var channels = 0
-    var bits = 0
-    var fmt = 0
-    var rate = 0
-    var dataAt = -1
-    var dataLen = 0L
-    while (pos + 8 <= b.length) {
-      val p = pos.toInt
-      val t = tag(p)
-      val sz = le32v(p + 4)
-      if (t == "fmt " && pos + 24 <= b.length) {
-        fmt = le16(p + 8)
-        channels = le16(p + 10)
-        rate = le32v(p + 12).toInt
-        bits = le16(p + 22)
-      } else if (t == "data") {
-        dataAt = p + 8
-        dataLen = math.min(sz, (b.length - dataAt).toLong)
-      }
-      pos += 8L + sz + (sz & 1L)
+    val (channels, rate, dataAt, dataLen) = parsePcm16(b) match {
+      case Some(p) => p
+      case None => return None
     }
-    if (fmt != 1 || bits != 16 || channels < 1 || rate <= 0 || dataAt < 0)
-      return None
     val srcFrames = (dataLen / 2 / channels).toInt
     if (srcFrames == 0) return None
     def monoAt(f: Int): Int = {

@@ -2227,8 +2227,8 @@ object Pipeline {
     while (y < h) {
       var x = 0
       while (x < w) {
-        val fx = x * 255 / (w - 1)
-        val fy = y * 255 / (h - 1)
+        val fx = x * 255 / math.max(w - 1, 1)
+        val fy = y * 255 / math.max(h - 1, 1)
         val base = ((fx + seedShift) ^ (fy >> 2)) & 0xff
         val v = if ((x * 8 / w + y * 8 / h) % 2 == 0) base else 255 - base
         img.setRGB(x, y, (v << 16) | (v << 8) | v)

@@ -273,10 +273,11 @@ object Streams {
     df.withColumn("__et", eventTime)
       .withWatermark("__et", watermark)
       .select(col("__et"), value.cast("double").as("v"))
-      // null/uncastable values never reach the sketch (its contract), so
-      // filter them BEFORE counting — n must describe the sketch's
-      // population or the capacity/exactness claims key to the wrong count
-      .filter(col("v").isNotNull)
+      // null/uncastable AND NaN values never reach the sketch (nulls by
+      // its contract, NaNs because reduce skips them), so filter BOTH
+      // before counting — n must describe the sketch's population or the
+      // capacity/exactness claims key to the wrong count
+      .filter(col("v").isNotNull && !isnan(col("v")))
       .groupBy(window(col("__et"), windowDur).as("w"))
       .agg(graft.functions.QuantileSketch.kllQuantiles(k, probs)(col("v"))
           .as("qs"),

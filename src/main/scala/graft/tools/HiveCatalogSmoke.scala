@@ -49,10 +49,13 @@ object HiveCatalogSmoke {
       .saveAsTable("smoke_bucketed")
     check(spark.catalog.tableExists("smoke_bucketed"), "table not in metastore")
     check(spark.table("smoke_bucketed").count() == 1000L, "bucketed count")
-    val desc = spark.sql("DESCRIBE EXTENDED smoke_bucketed").collect()
-      .map(r => s"${r.get(0)}=${r.get(1)}").mkString("\n")
-    check(desc.contains("Num Buckets") && desc.contains("4"),
-      s"bucket spec lost in metastore round-trip:\n$desc")
+    // match the Num Buckets ROW's value specifically — a bare
+    // contains("4") is vacuous (paths/stats contain digits regardless)
+    val bucketRow = spark.sql("DESCRIBE EXTENDED smoke_bucketed").collect()
+      .find(r => String.valueOf(r.get(0)).trim == "Num Buckets")
+      .map(r => String.valueOf(r.get(1)).trim)
+    check(bucketRow.contains("4"),
+      s"bucket spec lost in metastore round-trip: Num Buckets=$bucketRow")
 
     // 2. SQL DDL + insertInto
     spark.sql("CREATE TABLE smoke_ins (id BIGINT, k BIGINT) USING parquet")
