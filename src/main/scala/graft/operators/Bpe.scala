@@ -349,6 +349,45 @@ object Bpe {
       .withColumn("n_tokens", size(col("tokens")))
   }
 
+  /** Tokenizer fertility diagnostics per group (the per-language tokenizer
+    * audit run before committing to a vocab: a tokenizer that spends 3×
+    * the subwords per word on one language starves it of effective context
+    * at training time). For each `group` (language, source, domain):
+    * document/char/word/BPE-token counts plus `tokens_per_word` (fertility)
+    * and `chars_per_token` (compression) as single exact-integer-ratio
+    * divisions.
+    *
+    * Scale shape: word counts aggregate to (group, word) with map-side
+    * partials — document text never shuffles; the merge loop runs once per
+    * DISTINCT word (the dictionary, not the corpus); token totals come from
+    * `Σ count·n_sub` so per-doc token arrays are never materialized
+    * (unlike [[tokenizeCorpus]], which exists to EMIT tokens).
+    */
+  def fertilityByGroup(df: DataFrame, text: Column, group: Column,
+      merges: Seq[(String, String)]): DataFrame = {
+    val words = df.select(group.as("grp"), explode(TextFunctions.tokensWs(text)).as("word"))
+      .groupBy(col("grp"), col("word")).agg(count(lit(1)).as("n"))
+    val tokn = udf((w: String) => applyMerges(w, merges).size)
+    val dict = words.select(col("word")).distinct()
+      .withColumn("n_sub", tokn(col("word")))
+    val tok = words.join(dict, Seq("word"))
+      .groupBy(col("grp"))
+      .agg(sum(col("n")).as("n_words"),
+        sum(col("n") * col("n_sub")).as("n_tokens"))
+    val base = df.groupBy(group.as("grp"))
+      .agg(count(lit(1)).as("n_docs"), sum(length(text)).as("n_chars"))
+    base.join(tok, Seq("grp"), "left")
+      .select(col("grp"), col("n_docs"), col("n_chars"),
+        coalesce(col("n_words"), lit(0L)).as("n_words"),
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"))
+      .withColumn("tokens_per_word",
+        when(col("n_words") === 0, lit(0.0))
+          .otherwise(col("n_tokens").cast("double") / col("n_words").cast("double")))
+      .withColumn("chars_per_token",
+        when(col("n_tokens") === 0, lit(0.0))
+          .otherwise(col("n_chars").cast("double") / col("n_tokens").cast("double")))
+  }
+
   /** Train on a corpus and tokenize it in one call (the registry entry's
     * shape): one corpus pass for counts, `numMerges` dictionary jobs, one
     * dictionary tokenization, one corpus join.

@@ -227,6 +227,91 @@ object Sampling {
     splitByHash(keyed, col("__ck"), splits, out).drop("__ck")
   }
 
+  /** DSIR-style importance scores (Xie et al. 2023, "Data Selection for
+    * Language Models via Importance Resampling", arXiv:2302.03169): score
+    * every document by how target-domain-like its hashed-unigram bucket
+    * profile is. `weights(b)` is the per-bucket log likelihood ratio
+    * `ln(p_target(b) / p_raw(b))` of a trained bucket model — trained ONCE
+    * ([[trainDsirWeights]]) and shipped as a build artifact (the same
+    * pinned-artifact pattern as the IVF quantizer and BPE merge table:
+    * training runs `ln`, which is not bit-stable across engines, but the
+    * APPLICATION is pure exact arithmetic over the pinned weight literals,
+    * so it oracle-checks at any scale). A document's score is
+    * `Σ_b count_doc(b) · weights(b)` — its log importance weight under the
+    * bag-of-hashed-unigrams model.
+    *
+    * The per-doc sum folds bucket contributions in ascending-bucket order
+    * (floats are order-sensitive; a plain SUM lets the engine pick).
+    * Documents with no tokens score 0.0 and are retained — the caller's
+    * threshold or top-n decides.
+    *
+    * Scale shape: map-only tokenize + bucket-hash (md5 builtin, codegen),
+    * one groupBy (id, bucket) with map-side partials over 20-byte rows —
+    * text never shuffles — then a per-doc fold over ≤ |buckets| entries.
+    * The weight table is a literal array in the plan (no join).
+    */
+  def dsirScores(df: DataFrame, id: Column, text: Column,
+      weights: Seq[Double]): DataFrame = {
+    require(weights.nonEmpty, "need at least one bucket weight")
+    val nB = weights.size
+    val warr = array(weights.map(lit): _*)
+    val bucketed = df.select(id.as("id"),
+        explode(TextFunctions.tokensWs(text)).as("term"))
+      .select(col("id"), pmod(TextFunctions.hash32(col("term")), lit(nB)).as("b"))
+      .groupBy(col("id"), col("b")).agg(count(lit(1)).as("c"))
+    val scored = bucketed
+      .select(col("id"), col("b"),
+        (col("c").cast("double") * element_at(warr, col("b").cast("int") + 1))
+          .as("cw"))
+      .groupBy(col("id"))
+      .agg(aggregate(array_sort(collect_list(struct(col("b"), col("cw")))),
+        lit(0.0), (acc, x) => acc + x.getField("cw")).as("score"))
+    df.select(id.as("id")).join(scored, Seq("id"), "left")
+      .select(col("id"), coalesce(col("score"), lit(0.0)).as("score"))
+  }
+
+  /** [[dsirScores]] + keep the `n` highest-importance documents (score
+    * desc, id asc) — the selection half of importance resampling. Bounded
+    * top-k aggregation (map-side partial prune to n), never a global sort.
+    */
+  def dsirTopN(df: DataFrame, id: Column, text: Column,
+      weights: Seq[Double], n: Int): DataFrame = {
+    require(n > 0, s"n must be positive, got $n")
+    val topk = graft.functions.TopKAggregator.topK(n)
+    dsirScores(df, id, text, weights)
+      .groupBy(lit(1).as("__g"))
+      .agg(topk(col("id"), col("score")).as("top"))
+      .select(explode(col("top")).as("s"))
+      .select(col("s.id").as("id"), col("s.score").as("score"))
+  }
+
+  /** Train the DSIR bucket weights: hashed-unigram token counts over the
+    * target and raw corpora, Laplace-smoothed to probabilities, one `ln`
+    * per bucket on the DRIVER over the collected (≤ numBuckets-sized)
+    * count arrays. Returns `weights(b) = ln(p_t(b) / p_r(b))` ready to pin
+    * ([[graft.queries.PinnedArtifacts.DsirWeights64]]). The two count
+    * aggregations are distributed; only 2·numBuckets longs ever reach the
+    * driver.
+    */
+  def trainDsirWeights(target: DataFrame, raw: DataFrame, text: Column,
+      numBuckets: Int = 64): Seq[Double] = {
+    require(numBuckets > 0, s"numBuckets must be positive, got $numBuckets")
+    def bucketCounts(df: DataFrame): Map[Int, Long] =
+      df.select(explode(TextFunctions.tokensWs(text)).as("term"))
+        .select(pmod(TextFunctions.hash32(col("term")), lit(numBuckets)).as("b"))
+        .groupBy(col("b")).agg(count(lit(1)).as("c"))
+        .collect().map(r => r.getLong(0).toInt -> r.getLong(1)).toMap
+    val t = bucketCounts(target)
+    val r = bucketCounts(raw)
+    val tTot = t.values.sum.toDouble + numBuckets
+    val rTot = r.values.sum.toDouble + numBuckets
+    (0 until numBuckets).map { b =>
+      val pt = (t.getOrElse(b, 0L) + 1.0) / tTot
+      val pr = (r.getOrElse(b, 0L) + 1.0) / rTot
+      math.log(pt / pr)
+    }
+  }
+
   def splitByHash(df: DataFrame, key: Column,
       splits: Seq[(String, Double)], out: String = "split"): DataFrame = {
     require(splits.nonEmpty, "need at least one split")

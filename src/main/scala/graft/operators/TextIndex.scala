@@ -423,6 +423,76 @@ object TextIndex {
             col("n_trigrams").cast("double")))
   }
 
+  /** BM25 ranked retrieval (Robertson & Walker 1994, Okapi BM25): score
+    * each query's terms against the corpus inverted index and return the
+    * top-`k` documents per query. `queryTerms` is a (qid, term) frame — an
+    * eval suite, search workload, or RAG retrieval batch; it is small BY
+    * CONSTRUCTION relative to the corpus and broadcasts.
+    *
+    * Scoring follows the standard shape
+    * `idf(t) · tf·(k1+1) / (tf + k1·(1 − b + b·dl/avgdl))` with one
+    * deliberate deviation: `idf` is the raw Robertson–Spärck-Jones ratio
+    * `(N − df + 0.5)/(df + 0.5)` WITHOUT the `ln` — the same stance as
+    * [[relevantTerms]] (libm's last ulp differs across engines, so `ln`
+    * would hang the oracle hash-gate; a consumer wanting log damping
+    * applies it per term on top, which preserves nothing the top-k needs
+    * here because every per-term weight is a monotone transform). All
+    * remaining arithmetic is IEEE +,·,/ over exact integers — bit-identical
+    * in any engine. The per-(query, doc) score folds term contributions in
+    * ascending-term order (`array_sort` + `aggregate` over a ≤|query|-sized
+    * array), because a float sum is order-sensitive and a plain SUM() lets
+    * the engine pick the order.
+    *
+    * Scale shape: query terms and their df dim (≤ |query terms| rows)
+    * broadcast; candidate rows = Σ posting-list lengths of the query's
+    * terms, joined to the (doc_id, dl) dim with a shuffle hash join on
+    * doc_id (narrow 16-byte rows on the dim side); corpus size and total
+    * token count ride along as a one-row broadcast dim (no driver-side
+    * count() job). The final top-k per query is the bounded
+    * [[graft.functions.TopKAggregator]] — partial aggregation prunes each
+    * partition to k before the shuffle, never a per-query window sort over
+    * every candidate. Document text never shuffles.
+    */
+  def bm25TopK(df: DataFrame, id: Column, text: Column,
+      queryTerms: DataFrame, k: Int,
+      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    val p = postings(df, id, text)
+    val dl = p.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
+    val nDim = df.agg(count(lit(1)).as("__n"))
+    val totDim = p.agg(coalesce(sum(col("tf")), lit(0L)).as("__tot"))
+    val statsDim = nDim.crossJoin(totDim)
+    val qt = queryTerms.select(col("qid"), col("term")).distinct()
+    val dfq = p.join(broadcast(qt.select(col("term")).distinct()),
+        Seq("term"), "left_semi")
+      .groupBy(col("term")).agg(count(lit(1)).as("df"))
+
+    val nd = col("__n").cast("double")
+    val dfd = col("df").cast("double")
+    val tfd = col("tf").cast("double")
+    val dld = col("dl").cast("double")
+    val avgdl = col("__tot").cast("double") / nd
+    val idf = (nd - dfd + lit(0.5)) / (dfd + lit(0.5))
+    val norm = lit(k1) * (lit(1.0) - lit(b) + lit(b) * (dld / avgdl))
+    val contrib = idf * ((tfd * lit(k1 + 1.0)) / (tfd + norm))
+
+    val cand = p.join(broadcast(qt), Seq("term"))
+      .join(broadcast(dfq), Seq("term"))
+      .join(dl, Seq("doc_id"))
+      .crossJoin(broadcast(statsDim))
+      .select(col("qid"), col("doc_id"), col("term"), contrib.as("w"))
+    val scored = cand.groupBy(col("qid"), col("doc_id"))
+      .agg(aggregate(
+        array_sort(collect_list(struct(col("term"), col("w")))),
+        lit(0.0), (acc, x) => acc + x.getField("w")).as("score"))
+    val topk = graft.functions.TopKAggregator.topK(k)
+    scored.groupBy(col("qid"))
+      .agg(topk(col("doc_id"), col("score")).as("top"))
+      .select(col("qid"), posexplode(col("top")).as(Seq("pos", "s")))
+      .select(col("qid"), (col("pos") + 1).cast("int").as("rank"),
+        col("s.id").as("doc_id"), col("s.score").as("score"))
+  }
+
   def vocabCoverage(df: DataFrame, id: Column, text: Column,
       k: Int = 100): DataFrame = {
     require(k > 0, s"k must be positive, got $k")

@@ -1599,6 +1599,119 @@ object Pipeline {
       |FROM r WHERE rank <= 3
       |ORDER BY doc_id, rank""".stripMargin
 
+  /** BM25 ranked retrieval: a deterministic query workload derived from the
+    * corpus itself (every doc_id % 101 == 0 contributes its 4
+    * alphabetically-first distinct terms of length >= 4 as one query),
+    * scored with [[graft.operators.TextIndex.bm25TopK]] (k1 = 1.2,
+    * b = 0.75, ln-free RSJ idf), top-5 docs per query. The oracle rebuilds
+    * the same inverted index, folds per-term contributions in
+    * ascending-term order (float sums are order-sensitive), and ranks with
+    * the same (score desc, doc_id) tie-break.
+    */
+  def bm25Topk(s: SparkSession, dir: String): DataFrame = {
+    val docs = T(s, dir, "documents")
+    val qt = docs.filter(col("doc_id") % 101 === 0)
+      .select(col("doc_id").as("qid"),
+        explode(slice(array_sort(array_distinct(
+          filter(graft.functions.TextFunctions.tokensWs(col("text")),
+            t => length(t) >= 4))), 1, 4)).as("term"))
+    graft.operators.TextIndex.bm25TopK(docs, col("doc_id"), col("text"),
+        qt, k = 5)
+      .orderBy(col("qid"), col("rank"))
+  }
+
+  val bm25TopkOracle: String = {
+    val k1 = 1.2
+    val b = 0.75
+    val k1p1 = k1 + 1.0
+    s"""WITH w AS (
+       |  SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS term
+       |  FROM documents WHERE trim(text) <> ''),
+       |p AS (SELECT doc_id, term, COUNT(*) AS tf FROM w GROUP BY 1, 2),
+       |dl AS (SELECT doc_id, SUM(tf) AS dl FROM p GROUP BY 1),
+       |st AS (SELECT (SELECT COUNT(*) FROM documents) AS n,
+       |              (SELECT SUM(tf) FROM p) AS tot),
+       |qt AS (
+       |  SELECT qid, unnest(terms4) AS term FROM (
+       |    SELECT doc_id AS qid,
+       |      list_sort(list_distinct(list_filter(
+       |        string_split_regex(trim(text), '\\s+'),
+       |        t -> length(t) >= 4)))[1:4] AS terms4
+       |    FROM documents WHERE doc_id % 101 = 0 AND trim(text) <> '')),
+       |dfq AS (
+       |  SELECT term, COUNT(*) AS df FROM p
+       |  WHERE term IN (SELECT term FROM qt) GROUP BY 1),
+       |cand AS (
+       |  SELECT q.qid, p.doc_id, p.term,
+       |    ((CAST(st.n AS DOUBLE) - CAST(dfq.df AS DOUBLE) + 0.5)
+       |      / (CAST(dfq.df AS DOUBLE) + 0.5))
+       |    * ((CAST(p.tf AS DOUBLE) * CAST('$k1p1' AS DOUBLE))
+       |      / (CAST(p.tf AS DOUBLE) + CAST('$k1' AS DOUBLE)
+       |        * (1.0 - CAST('$b' AS DOUBLE) + CAST('$b' AS DOUBLE)
+       |        * (CAST(dl.dl AS DOUBLE)
+       |          / (CAST(st.tot AS DOUBLE) / CAST(st.n AS DOUBLE)))))) AS cw
+       |  FROM qt q JOIN p ON p.term = q.term
+       |  JOIN dfq ON dfq.term = p.term
+       |  JOIN dl ON dl.doc_id = p.doc_id
+       |  CROSS JOIN st),
+       |sc AS (
+       |  SELECT qid, doc_id,
+       |    list_reduce(list_prepend(0.0, list(cw ORDER BY term)),
+       |      (a, x) -> a + x) AS score
+       |  FROM cand GROUP BY 1, 2),
+       |r AS (
+       |  SELECT qid, doc_id, score,
+       |    ROW_NUMBER() OVER (PARTITION BY qid
+       |      ORDER BY score DESC, doc_id) AS rank
+       |  FROM sc)
+       |SELECT qid, CAST(rank AS INTEGER) AS rank, doc_id, score
+       |FROM r WHERE rank <= 5
+       |ORDER BY qid, rank""".stripMargin
+  }
+
+  /** DSIR importance selection over the pinned bucket weights
+    * ([[PinnedArtifacts.DsirWeights64]]): per-doc log importance = ordered
+    * fold of hashed-unigram bucket counts x pinned log-ratio weights, keep
+    * the top-100 (score desc, doc_id). The ln lives in the trainer; query
+    * arithmetic is exact-integer counts times identical literal doubles.
+    */
+  def dsirSample(s: SparkSession, dir: String): DataFrame = {
+    val docs = T(s, dir, "documents")
+    graft.operators.Sampling.dsirTopN(docs, col("doc_id"), col("text"),
+        PinnedArtifacts.DsirWeights64, n = 100)
+      .select(col("id").as("doc_id"), col("score"))
+      .orderBy(col("doc_id"))
+  }
+
+  val dsirSampleOracle: String =
+    s"""WITH wt(b, w) AS (VALUES
+       |${PinnedArtifacts.dsirWeightsSqlValues}
+       |),
+       |tok AS (
+       |  SELECT doc_id,
+       |    ('0x' || substring(md5(term), 1, 8))::BIGINT % 64 AS b
+       |  FROM (SELECT doc_id,
+       |          unnest(string_split_regex(trim(text), '\\s+')) AS term
+       |        FROM documents WHERE trim(text) <> '')),
+       |bc AS (SELECT doc_id, b, COUNT(*) AS c FROM tok GROUP BY 1, 2),
+       |contrib AS (
+       |  SELECT doc_id, bc.b, CAST(c AS DOUBLE) * wt.w AS cw
+       |  FROM bc JOIN wt ON wt.b = bc.b),
+       |sc AS (
+       |  SELECT doc_id,
+       |    list_reduce(list_prepend(0.0, list(cw ORDER BY b)),
+       |      (a, x) -> a + x) AS score
+       |  FROM contrib GROUP BY 1),
+       |alldocs AS (
+       |  SELECT d.doc_id, COALESCE(sc.score, 0.0) AS score
+       |  FROM documents d LEFT JOIN sc ON sc.doc_id = d.doc_id),
+       |r AS (
+       |  SELECT doc_id, score,
+       |    ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS rk
+       |  FROM alldocs)
+       |SELECT doc_id, score FROM r WHERE rk <= 100
+       |ORDER BY doc_id""".stripMargin
+
   /** Winnowing fingerprints exploded to (doc_id, fp) rows — the oracle
     * recomputes the k-shingle hash sequence and per-window minima in SQL.
     */
@@ -2821,6 +2934,32 @@ object Pipeline {
       .select(col("id").as("doc_id"), col("n_tokens"))
       .orderBy(col("doc_id"))
 
+  /** The greedy-merge-application CTE block shared by [[bpeTokenizeOracle]]
+    * and [[tokenizerFertilityOracle]]: expects a `dict(word)` CTE defined
+    * before it, yields `tok(word, n_sub)`. One greedy left-to-right merge
+    * pass per rank: state advances one symbol per iteration (pos into
+    * syms, acc = folded output); when a pass ends, acc becomes the next
+    * rank's syms. rk = 17 is final.
+    */
+  private val bpeStepTokCte: String =
+    """step(word, rk, pos, syms, acc) AS (
+      |  SELECT word, 1, 1,
+      |    list_append(regexp_extract_all(word, '.'), '</w>'),
+      |    []::VARCHAR[]
+      |  FROM dict
+      |  UNION ALL
+      |  SELECT word,
+      |    CASE WHEN pos <= len(syms) THEN rk ELSE rk + 1 END,
+      |    CASE WHEN pos <= len(syms) THEN pos + 1 ELSE 1 END,
+      |    CASE WHEN pos <= len(syms) THEN syms ELSE acc END,
+      |    CASE WHEN pos > len(syms) THEN []::VARCHAR[]
+      |         WHEN len(acc) > 0 AND acc[-1] = m.ml AND syms[pos] = m.mr
+      |         THEN list_append(array_pop_back(acc), m.ml || m.mr)
+      |         ELSE list_append(acc, syms[pos]) END
+      |  FROM step JOIN m ON m.mrank = step.rk
+      |  WHERE step.rk <= 16),
+      |tok AS (SELECT word, len(syms) AS n_sub FROM step WHERE rk = 17)""".stripMargin
+
   def bpeTokenizeOracle: String =
     s"""WITH RECURSIVE
        |m(mrank, ml, mr) AS (VALUES
@@ -2830,26 +2969,7 @@ object Pipeline {
        |  SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS word
        |  FROM documents WHERE trim(text) <> ''),
        |dict AS (SELECT DISTINCT word FROM w),
-       |-- one greedy left-to-right merge pass per rank: state advances one
-       |-- symbol per iteration (pos into syms, acc = folded output); when a
-       |-- pass ends, acc becomes the next rank's syms. rk = 17 is final.
-       |step(word, rk, pos, syms, acc) AS (
-       |  SELECT word, 1, 1,
-       |    list_append(regexp_extract_all(word, '.'), '</w>'),
-       |    []::VARCHAR[]
-       |  FROM dict
-       |  UNION ALL
-       |  SELECT word,
-       |    CASE WHEN pos <= len(syms) THEN rk ELSE rk + 1 END,
-       |    CASE WHEN pos <= len(syms) THEN pos + 1 ELSE 1 END,
-       |    CASE WHEN pos <= len(syms) THEN syms ELSE acc END,
-       |    CASE WHEN pos > len(syms) THEN []::VARCHAR[]
-       |         WHEN len(acc) > 0 AND acc[-1] = m.ml AND syms[pos] = m.mr
-       |         THEN list_append(array_pop_back(acc), m.ml || m.mr)
-       |         ELSE list_append(acc, syms[pos]) END
-       |  FROM step JOIN m ON m.mrank = step.rk
-       |  WHERE step.rk <= 16),
-       |tok AS (SELECT word, len(syms) AS n_sub FROM step WHERE rk = 17),
+       |$bpeStepTokCte,
        |cnt AS (
        |  SELECT w.doc_id, SUM(t.n_sub) AS n
        |  FROM w JOIN tok t ON t.word = w.word
@@ -2857,6 +2977,51 @@ object Pipeline {
        |SELECT d.doc_id, CAST(COALESCE(c.n, 0) AS INTEGER) AS n_tokens
        |FROM documents d LEFT JOIN cnt c ON c.doc_id = d.doc_id
        |ORDER BY d.doc_id""".stripMargin
+
+  /** Tokenizer fertility audit per language over the same pinned 16-merge
+    * table: tokens-per-word and chars-per-token by lang — the check that a
+    * candidate tokenizer doesn't starve some language of effective context.
+    * The oracle replays the merge walk over the distinct-word dictionary
+    * (shared [[bpeStepTokCte]]) and re-aggregates per lang; the ratios are
+    * single IEEE divisions of exact integer sums.
+    */
+  def tokenizerFertility(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Bpe.fertilityByGroup(
+        T(s, dir, "documents"), col("text"), col("lang"),
+        PinnedArtifacts.BpeMerges16)
+      .select(col("grp").as("lang"), col("n_docs"), col("n_chars"),
+        col("n_words"), col("n_tokens"),
+        col("tokens_per_word"), col("chars_per_token"))
+      .orderBy(col("lang"))
+
+  def tokenizerFertilityOracle: String =
+    s"""WITH RECURSIVE
+       |m(mrank, ml, mr) AS (VALUES
+       |${PinnedArtifacts.bpeMergesSqlValues}
+       |),
+       |w AS (
+       |  SELECT lang, unnest(string_split_regex(trim(text), '\\s+')) AS word
+       |  FROM documents WHERE trim(text) <> ''),
+       |dict AS (SELECT DISTINCT word FROM w),
+       |$bpeStepTokCte,
+       |agg AS (
+       |  SELECT w.lang, COUNT(*) AS n_words, SUM(t.n_sub) AS n_tokens
+       |  FROM w JOIN tok t ON t.word = w.word
+       |  GROUP BY w.lang),
+       |base AS (
+       |  SELECT lang, COUNT(*) AS n_docs, SUM(length(text)) AS n_chars
+       |  FROM documents GROUP BY lang)
+       |SELECT b.lang, b.n_docs, CAST(b.n_chars AS BIGINT) AS n_chars,
+       |  CAST(COALESCE(a.n_words, 0) AS BIGINT) AS n_words,
+       |  CAST(COALESCE(a.n_tokens, 0) AS BIGINT) AS n_tokens,
+       |  CASE WHEN COALESCE(a.n_words, 0) = 0 THEN 0.0
+       |       ELSE CAST(a.n_tokens AS DOUBLE) / CAST(a.n_words AS DOUBLE) END
+       |    AS tokens_per_word,
+       |  CASE WHEN COALESCE(a.n_tokens, 0) = 0 THEN 0.0
+       |       ELSE CAST(b.n_chars AS DOUBLE) / CAST(a.n_tokens AS DOUBLE) END
+       |    AS chars_per_token
+       |FROM base b LEFT JOIN agg a ON a.lang = b.lang
+       |ORDER BY b.lang""".stripMargin
 
   // ------------------------------------------------------ fuzzy (linkage) join
 
@@ -3005,6 +3170,9 @@ object Pipeline {
     Q("hll_cardinality", hllCardinality, Some(hllCardinalityOracle)),
     Q("top_terms", topTerms, Some(topTermsOracle)),
     Q("top_relevant_terms", topRelevantTerms, Some(topRelevantTermsOracle)),
+    Q("bm25_topk", bm25Topk, Some(bm25TopkOracle)),
+    Q("dsir_sample", dsirSample, Some(dsirSampleOracle)),
+    Q("tokenizer_fertility", tokenizerFertility, Some(tokenizerFertilityOracle)),
     Q("winnow_fingerprints", winnowFps, Some(winnowFpsOracle)),
     Q("dedup_embedding", dedupEmbedding, Some(dedupEmbeddingOracle)),
     Q("dedup_semantic", dedupSemantic, Some(dedupSemanticOracle)),

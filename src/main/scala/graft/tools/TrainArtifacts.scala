@@ -62,6 +62,16 @@ object TrainArtifacts {
     merges.zipWithIndex.foreach { case ((l, r), i) =>
       println(s"""       |  (${i + 1}, ${sqlStr(l)}, ${sqlStr(r)}),""")
     }
+
+    // ---- DSIR bucket weights: target = source 'src0', raw = the rest,
+    // 64 hashed-unigram buckets (trainDsirWeights runs the ln on the
+    // driver; the pinned literals keep query-time arithmetic ln-free)
+    val target = docs.filter(col("source") === "src0")
+    val raw = docs.filter(col("source") =!= "src0")
+    val dw = graft.operators.Sampling.trainDsirWeights(target, raw, col("text"), 64)
+    println("// ---- Scala literal: DsirWeights64")
+    println("    " + dw.map(d => s"$d").mkString(", "))
+
     spark.stop()
   }
 }

@@ -1,0 +1,151 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+/** BM25 retrieval ([[TextIndex.bm25TopK]]) and DSIR importance resampling
+  * ([[Sampling.dsirScores]]/[[Sampling.dsirTopN]]/[[Sampling.trainDsirWeights]]).
+  */
+class RetrievalSpec extends SparkSpec {
+  import spark.implicits._
+
+  // ------------------------------------------------------------------ BM25
+
+  private def bm25Ref(tf: Long, df: Long, n: Long, dl: Long, avgdl: Double,
+      k1: Double = 1.2, b: Double = 0.75): Double = {
+    val idf = (n.toDouble - df.toDouble + 0.5) / (df.toDouble + 0.5)
+    idf * ((tf.toDouble * (k1 + 1.0)) /
+      (tf.toDouble + k1 * (1.0 - b + b * (dl.toDouble / avgdl))))
+  }
+
+  test("bm25TopK: single-term query scores match the closed form and rank " +
+      "by tf with the doc-length penalty") {
+    // doc 1: apple x2 in 4 tokens; doc 2: apple x2 in 8 tokens (longer ->
+    // penalized); doc 3: apple x1; doc 4: no apple
+    val docs = Seq(
+      (1L, "apple apple pear plum"),
+      (2L, "apple apple pear plum fig fig fig fig"),
+      (3L, "apple pear plum fig"),
+      (4L, "pear plum fig date")).toDF("doc_id", "text")
+    val q = Seq((10L, "apple")).toDF("qid", "term")
+    val out = TextIndex.bm25TopK(docs, col("doc_id"), col("text"), q, k = 4)
+      .as[(Long, Int, Long, Double)].collect().sortBy(_._2)
+    val avgdl = 20.0 / 4.0
+    assert(out.map(_._3).toSeq === Seq(1L, 2L, 3L)) // doc 4 never matches
+    assert(out.map(_._2).toSeq === Seq(1, 2, 3))
+    val expected = Seq(
+      bm25Ref(tf = 2, df = 3, n = 4, dl = 4, avgdl = avgdl),
+      bm25Ref(tf = 2, df = 3, n = 4, dl = 8, avgdl = avgdl),
+      bm25Ref(tf = 1, df = 3, n = 4, dl = 4, avgdl = avgdl))
+    out.map(_._4).zip(expected).foreach { case (got, want) =>
+      assert(got === want, s"exact closed-form mismatch: $got vs $want")
+    }
+  }
+
+  test("bm25TopK: multi-term scores add per-term contributions; rare terms " +
+      "outweigh common ones at equal tf; k bounds the result") {
+    val docs = Seq(
+      (1L, "common rare alpha beta"),
+      (2L, "common alpha beta gamma"),
+      (3L, "common alpha beta gamma"),
+      (4L, "common alpha beta gamma"),
+      (5L, "common alpha beta gamma")).toDF("doc_id", "text")
+    val q = Seq((7L, "common"), (7L, "rare")).toDF("qid", "term")
+    val out = TextIndex.bm25TopK(docs, col("doc_id"), col("text"), q, k = 2)
+      .as[(Long, Int, Long, Double)].collect().sortBy(_._2)
+    assert(out.length === 2, "k = 2 must cap the per-query rows")
+    // doc 1 matches both terms (and 'rare' has df = 1 -> big idf): rank 1
+    assert(out.head._3 === 1L)
+    assert(out.head._4 > out(1)._4)
+    // rank-2 tie between docs 2..5 (identical score) -> smallest id
+    assert(out(1)._3 === 2L)
+  }
+
+  test("bm25TopK: deterministic under repartitioning (ordered fold, " +
+      "bounded top-k)") {
+    val docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    val q = Seq((1L, "the"), (1L, "data"), (2L, "with")).toDF("qid", "term")
+    def run(df: org.apache.spark.sql.DataFrame) =
+      TextIndex.bm25TopK(df, col("doc_id"), col("text"), q, k = 5)
+        .as[(Long, Int, Long, Double)].collect().sortBy(t => (t._1, t._2)).toSeq
+    assert(run(docs) === run(docs.repartition(13)))
+  }
+
+  // ------------------------------------------------------------------ DSIR
+
+  test("trainDsirWeights: target-only vocabulary gets positive weight, " +
+      "raw-only negative, both-unseen buckets get the corpus-size baseline") {
+    val target = Seq(Tuple1("aa aa aa"), Tuple1("aa bb")).toDF("text")
+    val raw = Seq(Tuple1("cc cc"), Tuple1("cc dd dd")).toDF("text")
+    val w = Sampling.trainDsirWeights(target, raw, col("text"), numBuckets = 8)
+    assert(w.size === 8)
+    def bucket(t: String): Int = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(t.getBytes("UTF-8")).take(4).map("%02x".format(_)).mkString
+      (java.lang.Long.parseLong(hex, 16) % 8).toInt
+    }
+    assert(w(bucket("aa")) > 0, "target-dominant bucket must score positive")
+    assert(w(bucket("cc")) < 0, "raw-dominant bucket must score negative")
+    val occupied = Set("aa", "bb", "cc", "dd").map(bucket)
+    val baseline = math.log((1.0 / (5 + 8)) / (1.0 / (5 + 8)))
+    (0 until 8).filterNot(occupied).foreach { b =>
+      assert(w(b) === baseline, s"empty bucket $b gets the smoothed baseline")
+    }
+  }
+
+  test("dsirScores: per-doc score is the ordered fold of count x weight; " +
+      "docs without tokens score 0 and are retained") {
+    val weights = (0 until 8).map(b => b * 0.125 - 0.5)
+    val df = Seq((1L, "aa aa bb"), (2L, ""), (3L, "cc")).toDF("id", "text")
+    val out = Sampling.dsirScores(df, col("id"), col("text"), weights)
+      .as[(Long, Double)].collect().toMap
+    assert(out.keySet === Set(1L, 2L, 3L))
+    assert(out(2L) === 0.0)
+    def bucket(t: String): Int = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(t.getBytes("UTF-8")).take(4).map("%02x".format(_)).mkString
+      (java.lang.Long.parseLong(hex, 16) % 8).toInt
+    }
+    val exp1 = Seq(bucket("aa") -> 2L, bucket("bb") -> 1L)
+      .groupMapReduce(_._1)(_._2)(_ + _).toSeq.sortBy(_._1)
+      .foldLeft(0.0) { case (acc, (b, c)) => acc + c.toDouble * weights(b) }
+    assert(out(1L) === exp1)
+    assert(out(3L) === 1.0 * weights(bucket("cc")))
+  }
+
+  test("dsirTopN: selects the n highest-importance docs, score desc then " +
+      "id asc, stable under repartitioning") {
+    val docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    val w = graft.queries.PinnedArtifacts.DsirWeights64
+    val all = Sampling.dsirScores(docs, col("doc_id"), col("text"), w)
+      .as[(Long, Double)].collect()
+    val expect = all.sortBy { case (id, s) => (-s, id) }.take(10).toSeq
+    val got = Sampling.dsirTopN(docs, col("doc_id"), col("text"), w, n = 10)
+      .as[(Long, Double)].collect().sortBy { case (id, s) => (-s, id) }.toSeq
+    assert(got === expect)
+    val got2 = Sampling.dsirTopN(docs.repartition(11), col("doc_id"),
+        col("text"), w, n = 10)
+      .as[(Long, Double)].collect().sortBy { case (id, s) => (-s, id) }.toSeq
+    assert(got2 === expect)
+  }
+
+  // ----------------------------------------------------------- fertility
+
+  test("fertilityByGroup: counts and ratios match hand computation over a " +
+      "pinned merge table") {
+    // merges: (a,b) -> "ab"; ("ab","</w>") -> word "ab" = 1 token
+    val merges = Seq(("a", "b"), ("ab", "</w>"))
+    val df = Seq(
+      ("en", "ab ab cd"), // ab=1 tok x2, cd=3 toks (c,d,</w>) -> 5 tokens
+      ("en", ""),         // empty: counts docs and chars only
+      ("de", "ba")        // b,a,</w> -> 3 tokens
+    ).toDF("lang", "text")
+    val out = Bpe.fertilityByGroup(df, col("text"), col("lang"), merges)
+      .orderBy(col("grp"))
+      .as[(String, Long, Long, Long, Long, Double, Double)].collect()
+    assert(out.length === 2)
+    val Array(de, en) = out
+    assert(de === (("de", 1L, 2L, 1L, 3L, 3.0, 2.0 / 3.0)))
+    assert(en === (("en", 2L, 8L, 3L, 5L, 5.0 / 3.0, 8.0 / 5.0)))
+  }
+}
