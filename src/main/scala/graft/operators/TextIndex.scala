@@ -438,10 +438,16 @@ object TextIndex {
     * applies it per term on top, which preserves nothing the top-k needs
     * here because every per-term weight is a monotone transform). All
     * remaining arithmetic is IEEE +,·,/ over exact integers — bit-identical
-    * in any engine. The per-(query, doc) score folds term contributions in
-    * ascending-term order (`array_sort` + `aggregate` over a ≤|query|-sized
-    * array), because a float sum is order-sensitive and a plain SUM() lets
-    * the engine pick the order.
+    * in any engine. The per-(query, doc) score sums term contributions in
+    * FIXED POINT: each contribution is scaled by [[Bm25Scale]] (2^20) and
+    * rounded to a long, so the sum is order-free exact integer addition (a
+    * float SUM lets the engine pick the order and changes the last ulp per
+    * plan), and the final divide by 2^20 is a pure exponent shift — no
+    * extra rounding. Quantization error is ≤ 2^-21 per term, below anything
+    * a ranking can see, and ties after quantization break by doc_id
+    * identically in any engine. This keeps the aggregation in
+    * whole-stage-codegen'd sum(long) instead of a collect_list +
+    * interpreted ordered fold.
     *
     * Scale shape: query terms and their df dim (≤ |query terms| rows)
     * broadcast; candidate rows = Σ posting-list lengths of the query's
@@ -451,21 +457,35 @@ object TextIndex {
     * count() job). The final top-k per query is the bounded
     * [[graft.functions.TopKAggregator]] — partial aggregation prunes each
     * partition to k before the shuffle, never a per-query window sort over
-    * every candidate. Document text never shuffles.
+    * every candidate. Document text never shuffles, and the corpus pays
+    * TWO posting passes, not four: the df dim hangs off the same
+    * query-term posting subplan the candidates use (its (doc, term)
+    * exchange resolves to a ReusedExchange at runtime), and the total
+    * token count folds over the dl dim instead of re-aggregating the
+    * postings; N is a column-less count-pushdown scan.
     */
+  /** 2^20 — the BM25 fixed-point scale (quantization ≤ 2^-21 per term,
+    * far below ranking resolution). Bounds: a per-term contribution is at
+    * most idf·(k1+1) ≈ 2.2·N at df = 1, so a billion-document corpus puts
+    * ≈ 2.2e9·2^20 ≈ 2^51 in one scaled long and a thousand-term query sum
+    * stays ≈ 2^61 < 2^63 even in that worst case; ANSI mode would throw on
+    * overflow rather than corrupt a score.
+    */
+  val Bm25Scale: Double = 1048576.0
+
   def bm25TopK(df: DataFrame, id: Column, text: Column,
       queryTerms: DataFrame, k: Int,
       k1: Double = 1.2, b: Double = 0.75): DataFrame = {
     require(k > 0, s"k must be positive, got $k")
-    val p = postings(df, id, text)
+    val src = df.select(id.as("__id"), text.as("__text"))
+    val p = postings(src, col("__id"), col("__text"))
     val dl = p.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
-    val nDim = df.agg(count(lit(1)).as("__n"))
-    val totDim = p.agg(coalesce(sum(col("tf")), lit(0L)).as("__tot"))
+    val nDim = src.agg(count(lit(1)).as("__n"))
+    val totDim = dl.agg(coalesce(sum(col("dl")), lit(0L)).as("__tot"))
     val statsDim = nDim.crossJoin(totDim)
     val qt = queryTerms.select(col("qid"), col("term")).distinct()
-    val dfq = p.join(broadcast(qt.select(col("term")).distinct()),
-        Seq("term"), "left_semi")
-      .groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val qp = p.join(broadcast(qt.select(col("term")).distinct()), Seq("term"))
+    val dfq = qp.groupBy(col("term")).agg(count(lit(1)).as("df"))
 
     val nd = col("__n").cast("double")
     val dfd = col("df").cast("double")
@@ -476,15 +496,14 @@ object TextIndex {
     val norm = lit(k1) * (lit(1.0) - lit(b) + lit(b) * (dld / avgdl))
     val contrib = idf * ((tfd * lit(k1 + 1.0)) / (tfd + norm))
 
-    val cand = p.join(broadcast(qt), Seq("term"))
+    val cand = qp.join(broadcast(qt), Seq("term"))
       .join(broadcast(dfq), Seq("term"))
       .join(dl, Seq("doc_id"))
       .crossJoin(broadcast(statsDim))
-      .select(col("qid"), col("doc_id"), col("term"), contrib.as("w"))
+      .select(col("qid"), col("doc_id"),
+        round(contrib * lit(Bm25Scale)).cast("long").as("wfx"))
     val scored = cand.groupBy(col("qid"), col("doc_id"))
-      .agg(aggregate(
-        array_sort(collect_list(struct(col("term"), col("w")))),
-        lit(0.0), (acc, x) => acc + x.getField("w")).as("score"))
+      .agg((sum(col("wfx")).cast("double") / lit(Bm25Scale)).as("score"))
     val topk = graft.functions.TopKAggregator.topK(k)
     scored.groupBy(col("qid"))
       .agg(topk(col("doc_id"), col("score")).as("top"))

@@ -1604,9 +1604,10 @@ object Pipeline {
     * alphabetically-first distinct terms of length >= 4 as one query),
     * scored with [[graft.operators.TextIndex.bm25TopK]] (k1 = 1.2,
     * b = 0.75, ln-free RSJ idf), top-5 docs per query. The oracle rebuilds
-    * the same inverted index, folds per-term contributions in
-    * ascending-term order (float sums are order-sensitive), and ranks with
-    * the same (score desc, doc_id) tie-break.
+    * the same inverted index, sums per-term contributions in the same 2^20
+    * fixed point (order-free exact integer addition — a float SUM's order
+    * is engine-chosen), and ranks with the same (score desc, doc_id)
+    * tie-break.
     */
   def bm25Topk(s: SparkSession, dir: String): DataFrame = {
     val docs = T(s, dir, "documents")
@@ -1656,8 +1657,8 @@ object Pipeline {
        |  CROSS JOIN st),
        |sc AS (
        |  SELECT qid, doc_id,
-       |    list_reduce(list_prepend(0.0, list(cw ORDER BY term)),
-       |      (a, x) -> a + x) AS score
+       |    CAST(SUM(CAST(round(cw * 1048576.0) AS BIGINT)) AS DOUBLE)
+       |      / 1048576.0 AS score
        |  FROM cand GROUP BY 1, 2),
        |r AS (
        |  SELECT qid, doc_id, score,

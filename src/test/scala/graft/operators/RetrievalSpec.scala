@@ -14,8 +14,10 @@ class RetrievalSpec extends SparkSpec {
   private def bm25Ref(tf: Long, df: Long, n: Long, dl: Long, avgdl: Double,
       k1: Double = 1.2, b: Double = 0.75): Double = {
     val idf = (n.toDouble - df.toDouble + 0.5) / (df.toDouble + 0.5)
-    idf * ((tf.toDouble * (k1 + 1.0)) /
+    val contrib = idf * ((tf.toDouble * (k1 + 1.0)) /
       (tf.toDouble + k1 * (1.0 - b + b * (dl.toDouble / avgdl))))
+    // the engine's 2^20 fixed-point quantization (single-term query)
+    math.round(contrib * TextIndex.Bm25Scale).toDouble / TextIndex.Bm25Scale
   }
 
   test("bm25TopK: single-term query scores match the closed form and rank " +
