@@ -1,0 +1,108 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deterministic embedding-corpus statistics.
+  *
+  * The problem these solve: float sums across ROWS are order-sensitive, and
+  * a distributed engine picks the order per plan/partitioning — so a naive
+  * `avg(embedding[d])` is not reproducible run-to-run, let alone across
+  * engines. The fix is the fixed-point pattern (same as
+  * [[TextIndex.bm25TopK]]'s score sum): quantize each per-row term to a
+  * long at a power-of-two scale, sum exactly in integers (order-free), and
+  * convert once at the end — the divide by 2^bits is an exponent shift
+  * with no rounding. Quantization error is bounded and identical
+  * everywhere; reproducibility is what a curation audit needs (per-class
+  * embedding drift between corpus versions must not depend on partition
+  * count).
+  */
+object EmbeddingStats {
+
+  /** Per-(label, dimension) centroid and variance over an
+    * `array<float>` column, deterministically.
+    *
+    * Output: (label, dim, n, mean, variance) — mean in 2^meanBits fixed
+    * point, variance via E[x²] − E[x]² with E[x²] in 2^sqBits fixed point
+    * (coarser, because x² of unit-scale embeddings needs headroom: the
+    * scaled x² stays ≤ 2^sqBits·max x², so a billion-row label sums to
+    * ≈ 2^50 at the defaults — inside long range, and every per-label sum
+    * stays exactly representable when n·2^meanBits < 2^53). Variance can
+    * quantize epsilon-negative for a near-constant dimension; both engines
+    * agree bit-for-bit, so the oracle is unaffected — clamp downstream if
+    * sign matters.
+    *
+    * Scale shape: one posexplode to (label, dim, q) ints, then a single
+    * 2-phase HashAggregate keyed on (label, dim) — map-side partials
+    * reduce every partition to |labels|·dims rows before the exchange;
+    * vectors themselves never shuffle.
+    */
+  def labelCentroids(df: DataFrame, label: Column, vec: Column,
+      meanBits: Int = 24, sqBits: Int = 20): DataFrame = {
+    require(meanBits > 0 && meanBits < 31, s"meanBits out of range: $meanBits")
+    require(sqBits > 0 && sqBits < 31, s"sqBits out of range: $sqBits")
+    val mScale = math.pow(2, meanBits)
+    val sScale = math.pow(2, sqBits)
+    val xd = col("x").cast("double")
+    val e = df.select(label.as("label"), posexplode(vec).as(Seq("dim", "x")))
+      .select(col("label"), col("dim"),
+        round(xd * lit(mScale)).cast("long").as("qm"),
+        round(xd * xd * lit(sScale)).cast("long").as("qs"))
+    val mean = col("sm").cast("double") / (col("n").cast("double") * lit(mScale))
+    val ex2 = col("ss").cast("double") / (col("n").cast("double") * lit(sScale))
+    e.groupBy(col("label"), col("dim"))
+      .agg(count(lit(1)).as("n"), sum(col("qm")).as("sm"),
+        sum(col("qs")).as("ss"))
+      .select(col("label"), col("dim"), col("n"),
+        mean.as("mean"), (ex2 - mean * mean).as("variance"))
+  }
+
+  /** The [[labelCentroids]] means reassembled to one `array<double>` per
+    * label (dims in order) — the join-ready centroid table.
+    */
+  def centroidVectors(df: DataFrame, label: Column, vec: Column,
+      meanBits: Int = 24): DataFrame =
+    labelCentroids(df, label, vec, meanBits)
+      .groupBy(col("label"))
+      .agg(transform(array_sort(collect_list(struct(col("dim"), col("mean")))),
+        x => x.getField("mean")).as("centroid"))
+
+  /** Embedding outliers: the `k` vectors farthest (squared L2) from their
+    * own label's deterministic centroid — the mislabeled / noisy-encode
+    * screen run before contrastive training or kNN labeling. Output:
+    * (vec_id, label, dist2), score desc then id asc.
+    *
+    * Determinism: the centroid is fixed-point exact ([[labelCentroids]]),
+    * and the per-row distance folds (x_d − c_d)² in DIMENSION order — a
+    * within-row fold over the array, so no cross-row float-sum ordering
+    * exists anywhere. The fold is a higher-order function (interpreted):
+    * fine at report cardinalities; lift it into a codegen'd expression
+    * next to [[org.apache.spark.sql.graft]]'s cosine kernel if it ever
+    * sits on a corpus-sized hot path.
+    *
+    * Scale shape: centroids are a |labels|-row broadcast; the corpus is
+    * scanned once map-only, then pruned by the bounded global top-k
+    * aggregator (partition-local k buffers, one |k| merge).
+    */
+  def embeddingOutliers(df: DataFrame, id: Column, label: Column,
+      vec: Column, k: Int, meanBits: Int = 24): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    val base = df.select(id.as("vec_id"), label.as("label"), vec.as("__v"))
+    val cents = centroidVectors(df, label, vec, meanBits)
+    val dist2 = aggregate(
+      zip_with(col("__v"), col("centroid"),
+        (x, c) => (x.cast("double") - c) * (x.cast("double") - c)),
+      lit(0.0), (acc, d) => acc + d)
+    val scored = base.join(broadcast(cents), Seq("label"))
+      .select(col("vec_id"), dist2.as("dist2"))
+    val topk = graft.functions.TopKAggregator.topK(k)
+    val kept = scored.groupBy(lit(1).as("__g"))
+      .agg(topk(col("vec_id"), col("dist2")).as("top"))
+      .select(explode(col("top")).as("s"))
+      .select(col("s.id").as("vec_id"), col("s.score").as("dist2"))
+    // label rides back in via the k-row broadcast (reports want it; the
+    // top-k buffer itself carries only (id, score))
+    base.select(col("vec_id"), col("label")).join(broadcast(kept), Seq("vec_id"))
+      .select(col("vec_id"), col("label"), col("dist2"))
+  }
+}

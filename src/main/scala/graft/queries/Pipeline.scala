@@ -271,6 +271,78 @@ object Pipeline {
        |WHERE cos >= 0.45
        |ORDER BY id_a, id_b""".stripMargin
 
+  /** Deterministic per-label centroid/variance over the embedding corpus
+    * ([[graft.operators.EmbeddingStats.labelCentroids]]): the fixed-point
+    * sum makes the per-dimension mean independent of partitioning and
+    * engine — the property a corpus-drift audit needs. The oracle
+    * requantizes every element at the same 2^24 / 2^20 scales and replays
+    * the exact integer sums.
+    */
+  def labelCentroidsQ(s: SparkSession, dir: String): DataFrame =
+    graft.operators.EmbeddingStats.labelCentroids(
+        T(s, dir, "embeddings"), col("label"), col("embedding"))
+      .orderBy(col("label"), col("dim"))
+
+  /** Shared oracle CTE prefix: per-(label, dim) exact fixed-point sums. */
+  private val centroidSumsCte: String =
+    """e1 AS (
+      |  SELECT label, embedding, unnest(range(1, len(embedding) + 1)) AS i
+      |  FROM embeddings),
+      |e AS (
+      |  SELECT label, CAST(i - 1 AS INTEGER) AS dim,
+      |    CAST(round(embedding[i]::DOUBLE * 16777216.0) AS BIGINT) AS qm,
+      |    CAST(round(embedding[i]::DOUBLE * embedding[i]::DOUBLE * 1048576.0)
+      |      AS BIGINT) AS qs
+      |  FROM e1),
+      |a AS (
+      |  SELECT label, dim, COUNT(*) AS n, SUM(qm) AS sm, SUM(qs) AS ss
+      |  FROM e GROUP BY 1, 2)""".stripMargin
+
+  val labelCentroidsOracle: String =
+    s"""WITH $centroidSumsCte
+       |SELECT label, dim, CAST(n AS BIGINT) AS n,
+       |  CAST(sm AS DOUBLE) / (CAST(n AS DOUBLE) * 16777216.0) AS mean,
+       |  CAST(ss AS DOUBLE) / (CAST(n AS DOUBLE) * 1048576.0)
+       |    - (CAST(sm AS DOUBLE) / (CAST(n AS DOUBLE) * 16777216.0))
+       |      * (CAST(sm AS DOUBLE) / (CAST(n AS DOUBLE) * 16777216.0))
+       |    AS variance
+       |FROM a ORDER BY label, dim""".stripMargin
+
+  /** Top-25 embedding outliers by squared L2 from their own label's
+    * deterministic centroid — the mislabeled/noisy-encode screen. The
+    * per-row distance folds in dimension order (within-row, so no
+    * cross-row float ordering exists); the oracle replays centroid,
+    * fold, and the (dist2 desc, vec_id) cut.
+    */
+  def embeddingOutliersQ(s: SparkSession, dir: String): DataFrame =
+    graft.operators.EmbeddingStats.embeddingOutliers(
+        T(s, dir, "embeddings"), col("vec_id"), col("label"),
+        col("embedding"), k = 25)
+      .orderBy(col("vec_id"))
+
+  val embeddingOutliersOracle: String =
+    s"""WITH $centroidSumsCte,
+       |cent AS (
+       |  SELECT label, list(mean ORDER BY dim) AS c FROM (
+       |    SELECT label, dim,
+       |      CAST(sm AS DOUBLE) / (CAST(n AS DOUBLE) * 16777216.0) AS mean
+       |    FROM a)
+       |  GROUP BY label),
+       |d AS (
+       |  SELECT v.vec_id, v.label,
+       |    list_reduce(list_prepend(0.0,
+       |      list_transform(range(1, len(v.embedding) + 1),
+       |        i -> (v.embedding[i]::DOUBLE - c.c[i])
+       |           * (v.embedding[i]::DOUBLE - c.c[i]))),
+       |      (acc, x) -> acc + x) AS dist2
+       |  FROM embeddings v JOIN cent c ON c.label = v.label),
+       |r AS (
+       |  SELECT vec_id, label, dist2,
+       |    ROW_NUMBER() OVER (ORDER BY dist2 DESC, vec_id) AS rk
+       |  FROM d)
+       |SELECT vec_id, label, dist2 FROM r WHERE rk <= 25
+       |ORDER BY vec_id""".stripMargin
+
   /** SemDeDup (Abbas et al. 2023): cluster with the pinned k-means||
     * quantizer ([[PinnedArtifacts.IvfCentroids16]]), then drop docs with a
     * lower-id same-cluster neighbor at cosine >= 0.45. Output is the full
@@ -3176,6 +3248,8 @@ object Pipeline {
     Q("tokenizer_fertility", tokenizerFertility, Some(tokenizerFertilityOracle)),
     Q("winnow_fingerprints", winnowFps, Some(winnowFpsOracle)),
     Q("dedup_embedding", dedupEmbedding, Some(dedupEmbeddingOracle)),
+    Q("label_centroids", labelCentroidsQ, Some(labelCentroidsOracle)),
+    Q("embedding_outliers", embeddingOutliersQ, Some(embeddingOutliersOracle)),
     Q("dedup_semantic", dedupSemantic, Some(dedupSemanticOracle)),
     Q("sim_bruteforce_topk", simBruteForce, Some(simBruteForceOracle)),
     Q("sim_mmr_topk", simMmrTopk, Some(simMmrTopkOracle)),

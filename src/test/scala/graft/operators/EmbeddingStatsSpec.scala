@@ -1,0 +1,64 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+class EmbeddingStatsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def df3 = Seq(
+    (1L, 0, Seq(1.0f, 0.0f)),
+    (2L, 0, Seq(0.0f, 1.0f)),
+    (3L, 1, Seq(4.0f, 4.0f))).toDF("vec_id", "label", "embedding")
+
+  test("labelCentroids: fixed-point mean/variance match the closed form " +
+      "exactly for representable inputs") {
+    val out = EmbeddingStats.labelCentroids(df3, col("label"), col("embedding"))
+      .as[(Int, Int, Long, Double, Double)].collect()
+      .map(r => (r._1, r._2) -> r).toMap
+    // label 0, both dims: values {1, 0} -> mean .5, E[x^2] = .5, var = .25
+    // (all exactly representable at 2^24 / 2^20 — no quantization loss)
+    assert(out((0, 0)) === ((0, 0, 2L, 0.5, 0.25)))
+    assert(out((0, 1)) === ((0, 1, 2L, 0.5, 0.25)))
+    assert(out((1, 0)) === ((1, 0, 1L, 4.0, 0.0)))
+    assert(out((1, 1)) === ((1, 1, 1L, 4.0, 0.0)))
+  }
+
+  test("labelCentroids: bit-identical under repartitioning (the float-avg " +
+      "failure mode this operator exists to remove)") {
+    val emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    def run(df: org.apache.spark.sql.DataFrame) =
+      EmbeddingStats.labelCentroids(df, col("label"), col("embedding"))
+        .as[(Int, Int, Long, Double, Double)].collect()
+        .sortBy(t => (t._1, t._2)).toSeq
+    assert(run(emb) === run(emb.repartition(17)))
+    // and close to the naive double mean (within quantization of the sum)
+    val naive = emb
+      .select(col("label"), posexplode(col("embedding")).as(Seq("dim", "x")))
+      .groupBy(col("label"), col("dim"))
+      .agg(avg(col("x").cast("double")).as("m"))
+      .as[(Int, Int, Double)].collect().map(t => (t._1, t._2) -> t._3).toMap
+    run(emb).foreach { case (l, d, n, mean, _) =>
+      assert(math.abs(mean - naive((l, d))) < 1e-6,
+        s"fixed-point mean drifted from naive at ($l,$d)")
+    }
+  }
+
+  test("embeddingOutliers: a planted far point wins; ties and order are " +
+      "deterministic under repartitioning") {
+    val base = (1L to 40L).map(i =>
+      (i, (i % 3).toInt, Seq(0.1f * (i % 5), 0.1f * ((i + 1) % 5))))
+    val planted = (99L, 0, Seq(50.0f, -50.0f))
+    val df = (base :+ planted).toDF("vec_id", "label", "embedding")
+    val out = EmbeddingStats.embeddingOutliers(df, col("vec_id"),
+        col("label"), col("embedding"), k = 5)
+      .as[(Long, Int, Double)].collect().sortBy(t => (-t._3, t._1))
+    assert(out.length === 5)
+    assert(out.head._1 === 99L, s"planted outlier must rank first: ${out.toSeq}")
+    assert(out.head._2 === 0)
+    val out2 = EmbeddingStats.embeddingOutliers(df.repartition(7),
+        col("vec_id"), col("label"), col("embedding"), k = 5)
+      .as[(Long, Int, Double)].collect().sortBy(t => (-t._3, t._1))
+    assert(out.toSeq === out2.toSeq)
+  }
+}
