@@ -771,4 +771,30 @@ object Similarity {
         VectorFunctions.cosineSim(col("qv"), col("cv")).as("cos"))
     topKPerQuery(scored, k)
   }
+
+  /** ANN index quality report: per-query recall of an approximate top-k
+    * result against the exact one — the acceptance gate run before an IVF /
+    * LSH / PQ index (or its nprobe / bits / code-size settings) is allowed
+    * to serve a corpus. Both inputs are (query_id, neighbor_id[, ...])
+    * frames from any pair of this module's search operators; recall is an
+    * exact integer ratio, so the report oracle-checks.
+    *
+    * Scale shape: in production the exact side comes from a SAMPLED probe
+    * set (a few thousand queries) — both frames are then probe-set-sized,
+    * the semi-join keys on (query_id, neighbor_id) pairs, and nothing
+    * corpus-sized is exchanged. Queries the approximate index missed
+    * entirely still report (n_hit = 0) via the left join.
+    */
+  def recallReport(exact: DataFrame, approx: DataFrame): DataFrame = {
+    val e = exact.select(col("query_id"), col("neighbor_id"))
+    val a = approx.select(col("query_id"), col("neighbor_id"))
+    val hits = e.join(a, Seq("query_id", "neighbor_id"), "left_semi")
+      .groupBy(col("query_id")).agg(count(lit(1)).as("n_hit"))
+    e.groupBy(col("query_id")).agg(count(lit(1)).as("n_exact"))
+      .join(hits, Seq("query_id"), "left")
+      .select(col("query_id"), col("n_exact"),
+        coalesce(col("n_hit"), lit(0L)).as("n_hit"))
+      .withColumn("recall",
+        col("n_hit").cast("double") / col("n_exact").cast("double"))
+  }
 }

@@ -610,6 +610,73 @@ object Pipeline {
        |WHERE rank <= 5
        |ORDER BY query_id, rank""".stripMargin
 
+  /** ANN index acceptance gate ([[graft.operators.Similarity.recallReport]]):
+    * recall@5 of the pinned-quantizer IVF (nprobe = 2) against exact
+    * brute force on the same probe set — per-query hit counts and the
+    * exact-integer-ratio recall. The oracle replays BOTH sides (the
+    * brute-force ranking and the centroid-assignment + probe chain over
+    * the same pinned literals) and intersects them.
+    */
+  def annRecallQ(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val emb = T(s, dir, "embeddings")
+    val probes = emb.filter(col("vec_id") < 20)
+    val cents = PinnedArtifacts.IvfCentroids16.toDF("cid", "cv")
+    graft.operators.Similarity.recallReport(
+        graft.operators.Similarity.bruteForceTopK(probes, emb, k = 5),
+        graft.operators.Similarity.ivfTopKWith(probes, emb, cents, k = 5,
+          nprobe = 2))
+      .orderBy(col("query_id"))
+  }
+
+  val annRecallOracle: String =
+    s"""WITH $normsCte,
+       |ex AS (
+       |  SELECT query_id, neighbor_id FROM (
+       |    SELECT q.vec_id AS query_id, nb.vec_id AS neighbor_id,
+       |      ROW_NUMBER() OVER (PARTITION BY q.vec_id
+       |        ORDER BY ${dotSql("q", "nb")} / (q.nrm * nb.nrm) DESC,
+       |                 nb.vec_id) AS rk
+       |    FROM n q JOIN n nb ON q.vec_id < 20 AND q.vec_id <> nb.vec_id) t
+       |  WHERE rk <= 5),
+       |cent AS (
+       |  SELECT cid, embedding,
+       |    sqrt(list_reduce(list_transform(range(1, len(embedding) + 1),
+       |      i -> embedding[i]::DOUBLE * embedding[i]::DOUBLE), (x, y) -> x + y)) AS nrm
+       |  FROM (VALUES
+       |${PinnedArtifacts.ivfCentroidsSqlValues}
+       |  ) AS c(cid, embedding)),
+       |ccand AS (
+       |  SELECT v.vec_id, c.cid,
+       |    ROW_NUMBER() OVER (PARTITION BY v.vec_id
+       |      ORDER BY ${dotSql("v", "c")} / (v.nrm * c.nrm) DESC, c.cid) AS crn
+       |  FROM n v CROSS JOIN cent c),
+       |assign AS (SELECT vec_id AS neighbor_id, cid FROM ccand WHERE crn = 1),
+       |probes AS (SELECT vec_id AS query_id, cid FROM ccand
+       |           WHERE crn <= 2 AND vec_id < 20),
+       |ap AS (
+       |  SELECT query_id, neighbor_id FROM (
+       |    SELECT p.query_id, a.neighbor_id,
+       |      ROW_NUMBER() OVER (PARTITION BY p.query_id
+       |        ORDER BY ${dotSql("q", "nb")} / (q.nrm * nb.nrm) DESC,
+       |                 a.neighbor_id) AS rk
+       |    FROM probes p
+       |    JOIN assign a ON a.cid = p.cid
+       |    JOIN n q ON q.vec_id = p.query_id
+       |    JOIN n nb ON nb.vec_id = a.neighbor_id
+       |    WHERE a.neighbor_id <> p.query_id) t
+       |  WHERE rk <= 5),
+       |hits AS (
+       |  SELECT query_id, COUNT(*) AS n_hit FROM (
+       |    SELECT * FROM ex INTERSECT SELECT * FROM ap) GROUP BY 1),
+       |ne AS (SELECT query_id, COUNT(*) AS n_exact FROM ex GROUP BY 1)
+       |SELECT ne.query_id, ne.n_exact,
+       |  COALESCE(h.n_hit, 0) AS n_hit,
+       |  CAST(COALESCE(h.n_hit, 0) AS DOUBLE) / CAST(ne.n_exact AS DOUBLE)
+       |    AS recall
+       |FROM ne LEFT JOIN hits h ON h.query_id = ne.query_id
+       |ORDER BY ne.query_id""".stripMargin
+
   /** Exact brute-force cosine top-5 for the first 20 vectors against the full
     * corpus: broadcast the probe set, one scan of the corpus, per-query top-k.
     */
@@ -3252,6 +3319,7 @@ object Pipeline {
     Q("embedding_outliers", embeddingOutliersQ, Some(embeddingOutliersOracle)),
     Q("dedup_semantic", dedupSemantic, Some(dedupSemanticOracle)),
     Q("sim_bruteforce_topk", simBruteForce, Some(simBruteForceOracle)),
+    Q("ann_recall", annRecallQ, Some(annRecallOracle)),
     Q("sim_mmr_topk", simMmrTopk, Some(simMmrTopkOracle)),
     Q("sim_hard_negatives", simHardNegatives, Some(simHardNegativesOracle)),
     Q("sim_filtered_topk", simFilteredTopk, Some(simFilteredTopkOracle)),

@@ -131,6 +131,20 @@ class RetrievalSpec extends SparkSpec {
     assert(got2 === expect)
   }
 
+  // ---------------------------------------------------------- ann recall
+
+  test("recallReport: exact per-query hit ratio, zero-hit and missing " +
+      "queries included") {
+    val exact = Seq((1L, 10L), (1L, 11L), (2L, 20L), (2L, 21L), (3L, 30L))
+      .toDF("query_id", "neighbor_id")
+    val approx = Seq((1L, 10L), (1L, 99L), (2L, 21L), (2L, 20L), (9L, 1L))
+      .toDF("query_id", "neighbor_id")
+    val out = Similarity.recallReport(exact, approx)
+      .as[(Long, Long, Long, Double)].collect().sortBy(_._1).toSeq
+    // q1: 1/2, q2: 2/2, q3: 0/1; approx-only q9 doesn't appear (no truth)
+    assert(out === Seq((1L, 2L, 1L, 0.5), (2L, 2L, 2L, 1.0), (3L, 1L, 0L, 0.0)))
+  }
+
   // ----------------------------------------------------------- fertility
 
   test("fertilityByGroup: counts and ratios match hand computation over a " +
