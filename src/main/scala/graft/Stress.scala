@@ -61,7 +61,15 @@ object Stress {
     "overlap_sketch", "cdc_chunks",
     // cdc_segment_dedup adds the df-count + reassembly shuffles on top of
     // the map-only chunk pass — the claim is fp-sized exchanges only
-    "cdc_segment_dedup")
+    "cdc_segment_dedup",
+    // round-11 additions: BM25's candidate join grows with the posting
+    // lists of the query terms (the quadratic-creep watch is Σ df over
+    // query terms × replicas), DSIR and fertility are claimed
+    // map+partial-agg shapes, the embedding-stats pair is claimed one
+    // explode + one 2-phase agg, and ann_recall composes two probe-bound
+    // searches
+    "bm25_topk", "dsir_sample", "tokenizer_fertility",
+    "label_centroids", "embedding_outliers", "ann_recall")
 
   private val IdStride = 1000000L // well above any sf0.1 id; keeps ids unique
 
