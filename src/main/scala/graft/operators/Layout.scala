@@ -44,6 +44,34 @@ object Layout {
     * cover tighter (a, b) rectangles and min/max pruning skips more of
     * them (see [[org.apache.spark.sql.graft.HilbertIndex]]).
     */
+  /** Curriculum sharding: assign every row to one of `numShards` buckets by
+    * the quantile band of a difficulty/quality `score` — the
+    * short-to-long (or clean-to-noisy) ordering curriculum training
+    * consumes, produced WITHOUT a global sort. Cut points come from one
+    * mergeable KLL sketch aggregation ([[graft.functions.QuantileSketch]]:
+    * each map task ships an O(k) summary, exact while n ≤ the k buffer,
+    * rank-error-bounded beyond); the numShards−1 cuts then broadcast and
+    * assignment is a map-only membership count — `shard` = how many cuts
+    * the score exceeds (boundary scores go to the lower shard, matching
+    * the discrete-quantile convention). Output: (id, score, shard).
+    *
+    * Scale shape: one O(k)-exchange aggregation + one map-only pass. The
+    * alternative — ntile() over a corpus-wide Window — funnels every row
+    * through one reducer and is exactly the shape this engine bans.
+    */
+  def curriculumShards(df: DataFrame, id: Column, score: Column,
+      numShards: Int, sketchK: Int = 4096): DataFrame = {
+    require(numShards >= 2, s"numShards must be >= 2, got $numShards")
+    val probs = (1 until numShards).map(_.toDouble / numShards)
+    val cuts = df.agg(graft.functions.QuantileSketch
+      .kllQuantiles(sketchK, probs)(score.cast("double")).as("__cuts"))
+    df.select(id.as("id"), score.as("score"))
+      .crossJoin(broadcast(cuts))
+      .select(col("id"), col("score"),
+        size(filter(col("__cuts"), c => col("score").cast("double") > c))
+          .as("shard"))
+  }
+
   def hilbertKey(a: Column, b: Column): Column = LayoutFunctions.hilbertKey(a, b)
 
   /** [[zorder]] with the Hilbert key — identical shuffle cost (one range

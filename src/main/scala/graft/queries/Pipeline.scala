@@ -3118,6 +3118,42 @@ object Pipeline {
        |FROM documents d LEFT JOIN cnt c ON c.doc_id = d.doc_id
        |ORDER BY d.doc_id""".stripMargin
 
+  /** Length-curriculum sharding ([[graft.operators.Layout.curriculumShards]]):
+    * 4 shards cut at the token-count quartiles from ONE mergeable KLL
+    * aggregation (exact at this n; rank-bounded beyond the sketch buffer),
+    * then a map-only membership count — no corpus-wide ntile() window.
+    * The oracle recomputes the discrete quartiles and the same
+    * boundary-to-lower-shard assignment.
+    */
+  def curriculumShardsQ(s: SparkSession, dir: String): DataFrame = {
+    val scored = T(s, dir, "documents").select(col("doc_id"),
+      TextFunctions.tokenCountWs(col("text")).cast("long").as("n_tok"))
+    graft.operators.Layout.curriculumShards(
+        scored, col("doc_id"), col("n_tok"), numShards = 4)
+      .select(col("id").as("doc_id"), col("score").as("n_tok"), col("shard"))
+      .orderBy(col("doc_id"))
+  }
+
+  val curriculumShardsOracle: String =
+    """WITH s AS (
+      |  SELECT doc_id,
+      |    CAST(CASE WHEN trim(text) = '' THEN 0
+      |         ELSE len(string_split_regex(trim(text), '\s+')) END AS BIGINT)
+      |      AS n_tok
+      |  FROM documents),
+      |c AS (
+      |  SELECT quantile_disc(CAST(n_tok AS DOUBLE), 0.25) AS q1,
+      |         quantile_disc(CAST(n_tok AS DOUBLE), 0.5) AS q2,
+      |         quantile_disc(CAST(n_tok AS DOUBLE), 0.75) AS q3
+      |  FROM s)
+      |SELECT doc_id, n_tok,
+      |  CAST((CASE WHEN CAST(n_tok AS DOUBLE) > q1 THEN 1 ELSE 0 END)
+      |     + (CASE WHEN CAST(n_tok AS DOUBLE) > q2 THEN 1 ELSE 0 END)
+      |     + (CASE WHEN CAST(n_tok AS DOUBLE) > q3 THEN 1 ELSE 0 END)
+      |    AS INTEGER) AS shard
+      |FROM s CROSS JOIN c
+      |ORDER BY doc_id""".stripMargin
+
   /** Tokenizer fertility audit per language over the same pinned 16-merge
     * table: tokens-per-word and chars-per-token by lang — the check that a
     * candidate tokenizer doesn't starve some language of effective context.
@@ -3313,6 +3349,7 @@ object Pipeline {
     Q("bm25_topk", bm25Topk, Some(bm25TopkOracle)),
     Q("dsir_sample", dsirSample, Some(dsirSampleOracle)),
     Q("tokenizer_fertility", tokenizerFertility, Some(tokenizerFertilityOracle)),
+    Q("curriculum_shards", curriculumShardsQ, Some(curriculumShardsOracle)),
     Q("winnow_fingerprints", winnowFps, Some(winnowFpsOracle)),
     Q("dedup_embedding", dedupEmbedding, Some(dedupEmbeddingOracle)),
     Q("label_centroids", labelCentroidsQ, Some(labelCentroidsOracle)),

@@ -110,4 +110,29 @@ class LayoutSpec extends SparkSpec {
     val compact = sliced.count(s => s._2 <= 15 && s._3 <= 15)
     assert(compact >= 13, sliced.mkString(","))
   }
+
+  test("curriculumShards: quartile bands match the sorted-order ntile on " +
+      "distinct scores, boundary scores go to the LOWER shard, and the " +
+      "assignment is repartition-invariant") {
+    import spark.implicits._
+    // scores 1..100 (distinct): exact quartile cuts 25/50/75
+    val df = (1L to 100L).map(i => (i, i)).toDF("id", "sc")
+    val out = Layout.curriculumShards(df, col("id"), col("sc"), numShards = 4)
+      .as[(Long, Long, Int)].collect().sortBy(_._1)
+    assert(out.map(_._3).distinct.sorted.toSeq === Seq(0, 1, 2, 3))
+    out.foreach { case (id, sc, shard) =>
+      val expect = if (sc <= 25) 0 else if (sc <= 50) 1 else if (sc <= 75) 2 else 3
+      assert(shard === expect, s"id $id score $sc")
+    }
+    // boundary duplicates: every copy of the cut value lands in ONE shard
+    val dup = Seq.fill(40)(5L).zipWithIndex.map { case (s, i) => (i.toLong, s) } ++
+      Seq((100L, 9L), (101L, 9L))
+    val out2 = Layout.curriculumShards(dup.toDF("id", "sc"), col("id"),
+        col("sc"), numShards = 2)
+      .as[(Long, Long, Int)].collect()
+    assert(out2.filter(_._2 == 5L).map(_._3).distinct.length === 1)
+    val a = Layout.curriculumShards(df.repartition(9), col("id"), col("sc"),
+        numShards = 4).as[(Long, Long, Int)].collect().sortBy(_._1).toSeq
+    assert(a === out.toSeq)
+  }
 }
