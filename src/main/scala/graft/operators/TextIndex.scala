@@ -29,6 +29,28 @@ object TextIndex {
       .groupBy(col("term"))
       .agg(count(lit(1)).as("df"), sum(col("tf")).as("tf_total"))
 
+  /** Incremental index maintenance: fold one ingest batch into a
+    * maintained posting table without rebuilding it. Documents present in
+    * the batch REPLACE their state postings (re-ingestion = the document
+    * changed); everything else carries over untouched. This is the
+    * indexing twin of [[Dedup]]'s incremental state pattern: at 100 TB the
+    * index is orders of magnitude larger than any batch, so per-batch cost
+    * must be O(state ⋈ batch-ids) + O(batch), never O(corpus re-tokenize).
+    *
+    * Scale shape: the batch's doc-id set is tiny and broadcasts into the
+    * anti-join (8-byte keys; with the state bucketed by doc_id the probe
+    * is shuffle-free); only the batch pays tokenization. The union is
+    * plan-level — no data moves for it.
+    */
+  def postingsIncremental(statePostings: DataFrame, batch: DataFrame,
+      id: Column, text: Column): DataFrame = {
+    val bp = postings(batch, id, text)
+    statePostings
+      .join(broadcast(bp.select(col("doc_id")).distinct()),
+        Seq("doc_id"), "left_anti")
+      .unionByName(bp)
+  }
+
   /** Sliding token-window chunks for embedding/generation pipelines: windows
     * of `window` whitespace tokens advancing by `stride` (overlap = window −
     * stride), the final window clamped to the text end; documents shorter

@@ -3118,6 +3118,38 @@ object Pipeline {
        |FROM documents d LEFT JOIN cnt c ON c.doc_id = d.doc_id
        |ORDER BY d.doc_id""".stripMargin
 
+  /** Incremental inverted-index maintenance
+    * ([[graft.operators.TextIndex.postingsIncremental]]): the state holds
+    * postings for the even docs PLUS deliberately STALE postings for some
+    * odd docs (their first-3-token prefix); folding in the odd-doc batch
+    * must replace the stale rows and preserve the even ones — so the
+    * result hash-matches a clean full-corpus posting build (the oracle)
+    * ONLY if the anti-join replacement semantics are right.
+    */
+  def indexIncrementalQ(s: SparkSession, dir: String): DataFrame = {
+    val docs = T(s, dir, "documents")
+    val even = docs.filter(col("doc_id") % 2 === 0)
+    val oddStale = docs.filter(col("doc_id") % 2 === 1)
+      .select(col("doc_id"),
+        array_join(slice(TextFunctions.tokensWs(col("text")), 1, 3), " ")
+          .as("text"))
+    val state = graft.operators.TextIndex.postings(
+        even, col("doc_id"), col("text"))
+      .unionByName(graft.operators.TextIndex.postings(
+        oddStale, col("doc_id"), col("text")))
+    val batch = docs.filter(col("doc_id") % 2 === 1)
+    graft.operators.TextIndex.postingsIncremental(
+        state, batch, col("doc_id"), col("text"))
+      .orderBy(col("doc_id"), col("term"))
+  }
+
+  val indexIncrementalOracle: String =
+    """SELECT doc_id, term, COUNT(*) AS tf
+      |FROM (SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS term
+      |      FROM documents WHERE trim(text) <> '')
+      |GROUP BY 1, 2
+      |ORDER BY doc_id, term""".stripMargin
+
   /** Length-curriculum sharding ([[graft.operators.Layout.curriculumShards]]):
     * 4 shards cut at the token-count quartiles from ONE mergeable KLL
     * aggregation (exact at this n; rank-bounded beyond the sketch buffer),
@@ -3350,6 +3382,7 @@ object Pipeline {
     Q("dsir_sample", dsirSample, Some(dsirSampleOracle)),
     Q("tokenizer_fertility", tokenizerFertility, Some(tokenizerFertilityOracle)),
     Q("curriculum_shards", curriculumShardsQ, Some(curriculumShardsOracle)),
+    Q("index_incremental", indexIncrementalQ, Some(indexIncrementalOracle)),
     Q("winnow_fingerprints", winnowFps, Some(winnowFpsOracle)),
     Q("dedup_embedding", dedupEmbedding, Some(dedupEmbeddingOracle)),
     Q("label_centroids", labelCentroidsQ, Some(labelCentroidsOracle)),

@@ -231,4 +231,27 @@ class TextIndexSpec extends SparkSpec {
     assert(out(1) === ((2L, 2, 2, "")))
     assert(out(2) === ((3L, 2, 0, "u v")))
   }
+
+  test("postingsIncremental: batch docs replace their state postings, " +
+      "untouched docs carry over, and the result equals a clean rebuild") {
+    val v1 = Seq((1L, "a a b"), (2L, "c d")).toDF("doc_id", "text")
+    val v2docs = Seq((2L, "x y y"), (3L, "z")).toDF("doc_id", "text")
+    val state = TextIndex.postings(v1, col("doc_id"), col("text"))
+    val out = TextIndex.postingsIncremental(state, v2docs,
+        col("doc_id"), col("text"))
+      .as[(Long, String, Long)].collect().sortBy(t => (t._1, t._2)).toSeq
+    val rebuilt = TextIndex.postings(
+        Seq((1L, "a a b"), (2L, "x y y"), (3L, "z")).toDF("doc_id", "text"),
+        col("doc_id"), col("text"))
+      .as[(Long, String, Long)].collect().sortBy(t => (t._1, t._2)).toSeq
+    assert(out === rebuilt)
+    assert(out.contains((2L, "y", 2L)) && !out.exists(t => t._1 == 2L && t._2 == "c"))
+    // empty batch: state passes through unchanged
+    val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    val out2 = TextIndex.postingsIncremental(state, empty,
+        col("doc_id"), col("text"))
+      .as[(Long, String, Long)].collect().sortBy(t => (t._1, t._2)).toSeq
+    assert(out2 === state.as[(Long, String, Long)].collect()
+      .sortBy(t => (t._1, t._2)).toSeq)
+  }
 }
