@@ -197,6 +197,50 @@ object Streams {
     }
   }
 
+  /** Streaming inverted-index maintenance: each micro-batch folds into the
+    * posting table via [[graft.operators.TextIndex.postingsIncremental]]
+    * (batch docs REPLACE their state postings — a re-ingested document
+    * changed; everything else carries over), the batch's own postings are
+    * emitted as the delta, and `current` always exposes the up-to-date
+    * index. Same at-least-once replay contract as [[nearDupIngest]]: a
+    * retry of the last applied batch re-emits the pinned delta without
+    * re-folding (an unguarded re-fold is harmless for idempotent replace
+    * semantics but would recompute the batch tokenization for nothing).
+    */
+  final class IndexIngest(state0: DataFrame, id: Column, text: Column) {
+    @volatile private var state = state0
+    private var lastApplied = -1L
+    private var lastDelta: DataFrame = null
+
+    /** The maintained posting table after every applied batch. */
+    def current: DataFrame = state
+
+    val handler: (DataFrame, Long) => Unit =
+      (batch: DataFrame, batchId: Long) => {
+        if (batchId <= lastApplied) {
+          if (batchId == lastApplied && lastDelta != null)
+            onDelta(lastDelta, batchId)
+        } else {
+          val delta = graft.operators.TextIndex.postings(batch, id, text)
+            .localCheckpoint(true)
+          state = graft.operators.TextIndex.postingsIncremental(
+              state, batch, id, text)
+            .localCheckpoint(true)
+          onDelta(delta, batchId)
+          lastApplied = batchId
+          lastDelta = delta
+        }
+        ()
+      }
+
+    /** Override point for delta consumers; default is a no-op. */
+    var onDelta: (DataFrame, Long) => Unit = (_, _) => ()
+
+    def ingest(stream: DataFrame)
+        : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+      stream.writeStream.foreachBatch(handler)
+  }
+
   /** events table → typed event-time column, normalizing whichever
     * physical type `ts` arrived as: BIGINT epoch nanoseconds (the
     * TIMESTAMP(NANOS) parquet encoding under `nanosAsLong` — truncated to

@@ -257,6 +257,35 @@ class StreamsSpec extends SparkSpec {
     assert(seen.toList === List(0L -> Seq(1L), 0L -> Seq(1L), 1L -> Seq(11L)))
   }
 
+  test("IndexIngest: batches fold into the posting table with replace " +
+      "semantics; replay re-emits the pinned delta without re-folding") {
+    import graft.operators.TextIndex
+    val state0 = TextIndex.postings(
+      Seq((1L, "a a b"), (2L, "c d")).toDF("doc_id", "text"),
+      col("doc_id"), col("text"))
+    val ing = new Streams.IndexIngest(state0, col("doc_id"), col("text"))
+    val seen = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+    ing.onDelta = (delta, batchId) => seen += batchId -> delta.count()
+    // batch 0 re-ingests doc 2 (changed) and adds doc 3
+    val b0 = Seq((2L, "x y y"), (3L, "z")).toDF("doc_id", "text")
+    ing.handler(b0, 0L)
+    val expect = TextIndex.postings(
+        Seq((1L, "a a b"), (2L, "x y y"), (3L, "z")).toDF("doc_id", "text"),
+        col("doc_id"), col("text"))
+      .as[(Long, String, Long)].collect().sortBy(t => (t._1, t._2)).toSeq
+    def cur = ing.current.as[(Long, String, Long)].collect()
+      .sortBy(t => (t._1, t._2)).toSeq
+    assert(cur === expect)
+    // replay: delta re-emitted, state untouched
+    ing.handler(b0, 0L)
+    assert(seen.toList === List(0L -> 3L, 0L -> 3L))
+    assert(cur === expect)
+    // next batch folds on top
+    ing.handler(Seq((1L, "q")).toDF("doc_id", "text"), 1L)
+    assert(cur.filter(_._1 == 1L) === Seq((1L, "q", 1L)))
+    assert(seen.last === (1L -> 1L))
+  }
+
   test("semanticBatchHandler: cluster-assigned dedup vs state, " +
       "idempotent on replay") {
     import graft.operators.Dedup
