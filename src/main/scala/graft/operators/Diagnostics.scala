@@ -263,6 +263,41 @@ object Diagnostics {
       .toDF("d_a", "d_b", "common_keys", "est_join_rows")
   }
 
+  /** MinHash estimator quality report — the sketch-side twin of
+    * [[Similarity.recallReport]]: for every TRUE near-dup pair (exact
+    * shingle Jaccard >= `threshold`), the signature-match estimate
+    * `matches / numHashes` next to the exact value and the absolute
+    * error. Run before trusting a (numHashes, bands) configuration on a
+    * new corpus: the estimator's error concentrates as
+    * ~1/sqrt(numHashes), and a domain whose shingle distribution breaks
+    * that needs more hashes before LSH thresholds mean anything.
+    *
+    * Everything is exact integer arithmetic over the deterministic
+    * signature (match count, one division), so the report oracle-checks.
+    * Scale shape: one signature projection (map-only native expression)
+    * joined to the pair table on 8-byte ids; the fold compares
+    * numHashes-length arrays per PAIR — pairs, not the corpus, bound the
+    * work.
+    */
+  def minhashErrorReport(df: DataFrame, id: Column, text: Column,
+      shingleK: Int = 3, numHashes: Int = 128,
+      threshold: Double = 0.5): DataFrame = {
+    val pairs = Dedup.jaccardPairs(df, id, text, shingleK, threshold)
+    val sigs = df.select(id.as("id"),
+      Dedup.minHashSignature(text, shingleK, numHashes).as("sig"))
+    pairs
+      .join(sigs.select(col("id").as("id_a"), col("sig").as("sig_a")), Seq("id_a"))
+      .join(sigs.select(col("id").as("id_b"), col("sig").as("sig_b")), Seq("id_b"))
+      .withColumn("n_match", aggregate(
+        zip_with(col("sig_a"), col("sig_b"),
+          (x, y) => when(x === y, 1).otherwise(0)),
+        lit(0), (a, x) => a + x))
+      .select(col("id_a"), col("id_b"), col("jaccard"),
+        (col("n_match").cast("double") / lit(numHashes.toDouble))
+          .as("est_jaccard"))
+      .withColumn("abs_err", abs(col("est_jaccard") - col("jaccard")))
+  }
+
   def skewReport(df: DataFrame, key: Column, topN: Int = 20,
       partitions: Int = 32): DataFrame = {
     require(topN > 0 && partitions > 0, s"topN=$topN partitions=$partitions")

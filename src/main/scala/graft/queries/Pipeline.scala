@@ -79,6 +79,60 @@ object Pipeline {
 
   val dedupMinHashOracle: String = jaccardOracle(0.8)
 
+  /** MinHash estimator quality over the true near-dup pairs
+    * ([[graft.operators.Diagnostics.minhashErrorReport]]): the oracle
+    * replays the signature itself — h = md5-32 of the shingle,
+    * a_j = ((j·1103515245 + 12345) mod 1073741789) + 1,
+    * b_j = (j·69069 + 362437) mod 4294967311, sig_j = min (a_j·h + b_j)
+    * mod 4294967311 over the doc's distinct shingles (1-based j — the
+    * engine's (j+1) over 0-based) — then counts per-pair signature
+    * matches. Exact integers end to end; a_j·h tops out near 2^62, inside
+    * BIGINT.
+    */
+  def minhashErrReportQ(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Diagnostics.minhashErrorReport(
+        T(s, dir, "documents"), col("doc_id"), col("text"),
+        shingleK = 3, numHashes = 128, threshold = 0.5)
+      .orderBy(col("id_a"), col("id_b"))
+
+  val minhashErrReportOracle: String =
+    s"""WITH $shingleSetsSql,
+       |posting AS (SELECT doc_id, unnest(s) AS sp FROM sets),
+       |pairs AS (
+       |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS inter
+       |  FROM posting a JOIN posting b ON a.sp = b.sp AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2),
+       |jac AS (
+       |  SELECT id_a, id_b,
+       |    CAST(inter AS DOUBLE) / CAST(len(sa.s) + len(sb.s) - inter AS DOUBLE)
+       |      AS jaccard
+       |  FROM pairs
+       |  JOIN sets sa ON sa.doc_id = id_a
+       |  JOIN sets sb ON sb.doc_id = id_b
+       |  WHERE CAST(inter AS DOUBLE) / CAST(len(sa.s) + len(sb.s) - inter AS DOUBLE)
+       |    >= 0.5),
+       |ph AS (
+       |  SELECT doc_id, ('0x' || substring(md5(sp), 1, 8))::BIGINT AS h
+       |  FROM posting),
+       |sig AS (
+       |  SELECT doc_id, j,
+       |    MIN(((((j * 1103515245 + 12345) % 1073741789) + 1) * h
+       |       + ((j * 69069 + 362437) % 4294967311)) % 4294967311) AS v
+       |  FROM ph CROSS JOIN (SELECT unnest(range(1, 129)) AS j) js
+       |  GROUP BY 1, 2),
+       |m AS (
+       |  SELECT p.id_a, p.id_b,
+       |    SUM(CASE WHEN sa.v = sb.v THEN 1 ELSE 0 END) AS n_match
+       |  FROM jac p
+       |  JOIN sig sa ON sa.doc_id = p.id_a
+       |  JOIN sig sb ON sb.doc_id = p.id_b AND sb.j = sa.j
+       |  GROUP BY 1, 2)
+       |SELECT j.id_a, j.id_b, j.jaccard,
+       |  CAST(m.n_match AS DOUBLE) / 128.0 AS est_jaccard,
+       |  abs(CAST(m.n_match AS DOUBLE) / 128.0 - j.jaccard) AS abs_err
+       |FROM jac j JOIN m ON m.id_a = j.id_a AND m.id_b = j.id_b
+       |ORDER BY j.id_a, j.id_b""".stripMargin
+
   /** Exact n-gram (word-3-shingle) Jaccard similarity join at 0.5 via
     * inverted-index candidate generation — no approximation, so the oracle
     * is the same computation in SQL.
@@ -3383,6 +3437,7 @@ object Pipeline {
     Q("tokenizer_fertility", tokenizerFertility, Some(tokenizerFertilityOracle)),
     Q("curriculum_shards", curriculumShardsQ, Some(curriculumShardsOracle)),
     Q("index_incremental", indexIncrementalQ, Some(indexIncrementalOracle)),
+    Q("minhash_err_report", minhashErrReportQ, Some(minhashErrReportOracle)),
     Q("winnow_fingerprints", winnowFps, Some(winnowFpsOracle)),
     Q("dedup_embedding", dedupEmbedding, Some(dedupEmbeddingOracle)),
     Q("label_centroids", labelCentroidsQ, Some(labelCentroidsOracle)),

@@ -148,4 +148,31 @@ class DiagnosticsSpec extends SparkSpec {
       "x" -> "removed",
       "y" -> "added"))
   }
+
+  test("minhashErrorReport: identical docs estimate 1.0 exactly; near-dups " +
+      "estimate within the ~1/sqrt(numHashes) concentration band") {
+    import spark.implicits._
+    val words = (1 to 60).map(i => s"w$i")
+    val near = words.updated(30, "EDIT")
+    val df = Seq(
+      (1L, words.mkString(" ")),
+      (2L, words.mkString(" ")),   // exact dup of 1
+      (3L, near.mkString(" ")),    // near dup of 1 (3 shingles differ)
+      (4L, (1 to 60).map(i => s"z$i").mkString(" "))) // unrelated
+      .toDF("doc_id", "text")
+    val out = Diagnostics.minhashErrorReport(df, col("doc_id"), col("text"),
+        shingleK = 3, numHashes = 128, threshold = 0.5)
+      .as[(Long, Long, Double, Double, Double)].collect()
+      .map(r => (r._1, r._2) -> r).toMap
+    // identical sets -> identical signatures -> est exactly 1.0, err 0
+    assert(out((1L, 2L))._4 === 1.0)
+    assert(out((1L, 2L))._5 === 0.0)
+    // true near-dup pairs present, unrelated doc absent
+    assert(out.keySet === Set((1L, 2L), (1L, 3L), (2L, 3L)))
+    // 128 hashes: sd ~ sqrt(j(1-j)/128) ~ 0.02 at j~0.9; 5 sd bound
+    out.values.foreach { case (a, b, jac, est, err) =>
+      assert(err <= 0.12, s"estimator off for ($a,$b): jac=$jac est=$est")
+      assert(err === math.abs(est - jac))
+    }
+  }
 }
