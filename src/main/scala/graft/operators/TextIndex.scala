@@ -534,6 +534,56 @@ object TextIndex {
         col("s.id").as("doc_id"), col("s.score").as("score"))
   }
 
+  /** Hashed TF-IDF document vectors (the "hashing trick", Weinberger et
+    * al. 2009): every term lands in `hash32(term) mod dims` and
+    * contributes `tf · (N/df)` weight (the same ln-free raw idf as
+    * [[relevantTerms]]) — a dense `array<float>` per document with NO
+    * trained model, which plugs straight into the [[Similarity]] stack
+    * (cosine top-k, LSH, IVF) for embedding-free similarity search,
+    * clustering, and near-dup screening.
+    *
+    * Determinism: several terms share a bucket, and a float sum's order
+    * is engine-chosen — so bucket values accumulate in 2^scaleBits FIXED
+    * POINT (exact long addition, the [[bm25TopK]] pattern), convert once
+    * (exponent shift), then round to float (correctly rounded, identical
+    * everywhere). Documents with no tokens get the zero vector —
+    * exclude them before cosine (zero norm ⇒ NaN).
+    *
+    * Scale shape: postings + df dim is the [[relevantTerms]] shape (the
+    * dictionary dim carries NO broadcast hint — Heaps' law; AQE upgrades
+    * when it is actually small); bucketing is a map-side projection; the
+    * only new exchange carries (doc, bucket, long) rows, ≤ dims per doc.
+    */
+  def hashedTfidfVectors(df: DataFrame, id: Column, text: Column,
+      dims: Int = 64, scaleBits: Int = 20): DataFrame = {
+    require(dims > 0, s"dims must be positive, got $dims")
+    require(scaleBits > 0 && scaleBits < 31, s"scaleBits out of range: $scaleBits")
+    val s = math.pow(2, scaleBits)
+    val p = postings(df, id, text)
+    val nDim = df.agg(count(lit(1)).as("__n"))
+    val dfDim = p.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val vals = p.join(dfDim, Seq("term"))
+      .crossJoin(broadcast(nDim))
+      .select(col("doc_id"),
+        pmod(TextFunctions.hash32(col("term")), lit(dims)).as("b"),
+        round((col("tf").cast("double") *
+          (col("__n").cast("double") / col("df").cast("double"))) * lit(s))
+          .cast("long").as("qv"))
+      .groupBy(col("doc_id"), col("b"))
+      .agg(sum(col("qv")).as("sv"))
+    val dense = vals.groupBy(col("doc_id"))
+      .agg(map_from_entries(collect_list(struct(col("b"), col("sv"))))
+        .as("m"))
+      .select(col("doc_id"),
+        transform(sequence(lit(0), lit(dims - 1)),
+          d => (coalesce(element_at(col("m"), d.cast("long")), lit(0L))
+            .cast("double") / lit(s)).cast("float")).as("vec"))
+    df.select(id.as("doc_id")).join(dense, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("vec"),
+          array_repeat(lit(0.0f), dims)).as("vec"))
+  }
+
   def vocabCoverage(df: DataFrame, id: Column, text: Column,
       k: Int = 100): DataFrame = {
     require(k > 0, s"k must be positive, got $k")

@@ -731,6 +731,77 @@ object Pipeline {
        |FROM ne LEFT JOIN hits h ON h.query_id = ne.query_id
        |ORDER BY ne.query_id""".stripMargin
 
+  /** Embedding-free text similarity search end to end: documents →
+    * [[graft.operators.TextIndex.hashedTfidfVectors]] (feature hashing,
+    * ln-free idf, 2^20 fixed-point bucket sums, float vectors) → the
+    * SAME brute-force cosine top-k the neural-embedding queries use.
+    * Probes = non-blank docs with doc_id % 97 == 0, top-3. The oracle
+    * replays the hashing + fixed-point sums and folds sparse dot/norm in
+    * bucket order — identical to the engine's dense index-order fold
+    * because the absent buckets contribute exact +0.0 no-ops.
+    */
+  def simHashedTfidf(s: SparkSession, dir: String): DataFrame = {
+    val docs = T(s, dir, "documents")
+      .filter(length(trim(col("text"))) > 0)
+    val vecs = graft.operators.TextIndex.hashedTfidfVectors(
+        docs, col("doc_id"), col("text"), dims = 64)
+      .select(col("doc_id").as("vec_id"), col("vec").as("embedding"))
+    graft.operators.Similarity.bruteForceTopK(
+        vecs.filter(col("vec_id") % 97 === 0), vecs, k = 3)
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  val simHashedTfidfOracle: String =
+    """WITH w AS (
+      |  SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS term
+      |  FROM documents WHERE trim(text) <> ''),
+      |p AS (SELECT doc_id, term, COUNT(*) AS tf FROM w GROUP BY 1, 2),
+      |dfd AS (SELECT term, COUNT(*) AS df FROM p GROUP BY 1),
+      |nn AS (SELECT COUNT(*) AS n FROM documents WHERE trim(text) <> ''),
+      |v AS (
+      |  SELECT doc_id,
+      |    ('0x' || substring(md5(term), 1, 8))::BIGINT % 64 AS b,
+      |    SUM(CAST(round((CAST(tf AS DOUBLE)
+      |      * (CAST(nn.n AS DOUBLE) / CAST(dfd.df AS DOUBLE)))
+      |      * 1048576.0) AS BIGINT)) AS sv
+      |  FROM p JOIN dfd USING (term) CROSS JOIN nn
+      |  GROUP BY 1, 2),
+      |vf AS (
+      |  SELECT doc_id, b,
+      |    CAST(CAST(sv AS DOUBLE) / 1048576.0 AS FLOAT) AS val
+      |  FROM v),
+      |nrm AS (
+      |  SELECT doc_id,
+      |    sqrt(list_reduce(list_prepend(0.0,
+      |      list(CAST(val AS DOUBLE) * CAST(val AS DOUBLE) ORDER BY b)),
+      |      (a, x) -> a + x)) AS nrm
+      |  FROM vf GROUP BY doc_id),
+      |dots AS (
+      |  SELECT qa.doc_id AS query_id, ca.doc_id AS neighbor_id,
+      |    list_reduce(list_prepend(0.0,
+      |      list(CAST(qa.val AS DOUBLE) * CAST(ca.val AS DOUBLE) ORDER BY qa.b)),
+      |      (a, x) -> a + x) AS dot
+      |  FROM vf qa JOIN vf ca ON qa.b = ca.b
+      |    AND qa.doc_id % 97 = 0 AND qa.doc_id <> ca.doc_id
+      |  GROUP BY 1, 2),
+      |allp AS (
+      |  SELECT q.doc_id AS query_id, c.doc_id AS neighbor_id,
+      |    q.nrm AS qn, c.nrm AS cn
+      |  FROM nrm q JOIN nrm c ON q.doc_id % 97 = 0 AND q.doc_id <> c.doc_id),
+      |sc AS (
+      |  SELECT a.query_id, a.neighbor_id,
+      |    COALESCE(d.dot, 0.0) / (a.qn * a.cn) AS cos
+      |  FROM allp a
+      |  LEFT JOIN dots d ON d.query_id = a.query_id
+      |    AND d.neighbor_id = a.neighbor_id),
+      |r AS (
+      |  SELECT query_id, neighbor_id, cos,
+      |    CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+      |      ORDER BY cos DESC, neighbor_id) AS INTEGER) AS rank
+      |  FROM sc)
+      |SELECT query_id, neighbor_id, rank, cos FROM r WHERE rank <= 3
+      |ORDER BY query_id, rank""".stripMargin
+
   /** Exact brute-force cosine top-5 for the first 20 vectors against the full
     * corpus: broadcast the probe set, one scan of the corpus, per-query top-k.
     */
@@ -3445,6 +3516,7 @@ object Pipeline {
     Q("dedup_semantic", dedupSemantic, Some(dedupSemanticOracle)),
     Q("sim_bruteforce_topk", simBruteForce, Some(simBruteForceOracle)),
     Q("ann_recall", annRecallQ, Some(annRecallOracle)),
+    Q("sim_hashed_tfidf", simHashedTfidf, Some(simHashedTfidfOracle)),
     Q("sim_mmr_topk", simMmrTopk, Some(simMmrTopkOracle)),
     Q("sim_hard_negatives", simHardNegatives, Some(simHardNegativesOracle)),
     Q("sim_filtered_topk", simFilteredTopk, Some(simFilteredTopkOracle)),

@@ -131,6 +131,32 @@ class RetrievalSpec extends SparkSpec {
     assert(got2 === expect)
   }
 
+  // --------------------------------------------------- hashed tf-idf vectors
+
+  test("hashedTfidfVectors: hand-checkable weights, zero vector for blank " +
+      "docs, bit-identical under repartitioning") {
+    def bucket(t: String, dims: Int): Int = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(t.getBytes("UTF-8")).take(4).map("%02x".format(_)).mkString
+      (java.lang.Long.parseLong(hex, 16) % dims).toInt
+    }
+    val df = Seq((1L, "aa aa bb"), (2L, "aa cc"), (3L, "")).toDF("doc_id", "text")
+    val out = TextIndex.hashedTfidfVectors(df, col("doc_id"), col("text"),
+        dims = 16).as[(Long, Seq[Float])].collect().toMap
+    assert(out(3L).forall(_ === 0.0f), "blank doc must get the zero vector")
+    // doc 1: aa tf=2 df=2 -> 2*(3/2)=3.0; bb tf=1 df=1 -> 1*3=3.0
+    // (fixed-point longs summed per bucket, ONE conversion at the end —
+    // robust to aa/bb hashing into the same bucket)
+    val s = 1048576.0
+    val sums = Seq("aa" -> 2.0 * (3.0 / 2.0), "bb" -> 3.0)
+      .groupMapReduce(e => bucket(e._1, 16))(e => math.rint(e._2 * s).toLong)(_ + _)
+    val v1 = Array.tabulate(16)(d => (sums.getOrElse(d, 0L).toDouble / s).toFloat)
+    assert(out(1L).toArray.toSeq === v1.toSeq)
+    val out2 = TextIndex.hashedTfidfVectors(df.repartition(5), col("doc_id"),
+        col("text"), dims = 16).as[(Long, Seq[Float])].collect().toMap
+    assert((1L to 3L).forall(i => out(i) === out2(i)))
+  }
+
   // ---------------------------------------------------------- ann recall
 
   test("recallReport: exact per-query hit ratio, zero-hit and missing " +
