@@ -69,7 +69,13 @@ object Stress {
     // explode + one 2-phase agg, and ann_recall composes two probe-bound
     // searches
     "bm25_topk", "dsir_sample", "tokenizer_fertility",
-    "label_centroids", "embedding_outliers", "ann_recall")
+    "label_centroids", "embedding_outliers", "ann_recall",
+    // late round-11: the hashed-vector build (posting + df-dim join shape),
+    // the signature-replay error report (pair-bounded by claim), the
+    // incremental index fold (O(state-anti-join + batch) by claim), and
+    // the sketch-cut curriculum (one O(k) agg + map-only assign)
+    "sim_hashed_tfidf", "minhash_err_report", "index_incremental",
+    "curriculum_shards")
 
   private val IdStride = 1000000L // well above any sf0.1 id; keeps ids unique
 
