@@ -70,7 +70,9 @@ object EmbeddingStats {
   /** Embedding outliers: the `k` vectors farthest (squared L2) from their
     * own label's deterministic centroid — the mislabeled / noisy-encode
     * screen run before contrastive training or kNN labeling. Output:
-    * (vec_id, label, dist2), score desc then id asc.
+    * (vec_id, label, dist2, rank) with `rank` the (dist2 desc, vec_id
+    * asc) position — carried as a COLUMN because the final label
+    * re-join does not preserve row order.
     *
     * Determinism: the centroid is fixed-point exact ([[labelCentroids]]),
     * and the per-row distance folds (x_d − c_d)² in DIMENSION order — a
@@ -98,11 +100,12 @@ object EmbeddingStats {
     val topk = graft.functions.TopKAggregator.topK(k)
     val kept = scored.groupBy(lit(1).as("__g"))
       .agg(topk(col("vec_id"), col("dist2")).as("top"))
-      .select(explode(col("top")).as("s"))
-      .select(col("s.id").as("vec_id"), col("s.score").as("dist2"))
+      .select(posexplode(col("top")).as(Seq("pos", "s")))
+      .select(col("s.id").as("vec_id"), col("s.score").as("dist2"),
+        (col("pos") + 1).cast("int").as("rank"))
     // label rides back in via the k-row broadcast (reports want it; the
     // top-k buffer itself carries only (id, score))
     base.select(col("vec_id"), col("label")).join(broadcast(kept), Seq("vec_id"))
-      .select(col("vec_id"), col("label"), col("dist2"))
+      .select(col("vec_id"), col("label"), col("dist2"), col("rank"))
   }
 }

@@ -39,11 +39,6 @@ object Layout {
       .drop("__z")
   }
 
-  /** Hilbert-curve clustering key — same 62-bit contract as [[zOrderKey]]
-    * but with no long jumps between consecutive cells, so clustered files
-    * cover tighter (a, b) rectangles and min/max pruning skips more of
-    * them (see [[org.apache.spark.sql.graft.HilbertIndex]]).
-    */
   /** Curriculum sharding: assign every row to one of `numShards` buckets by
     * the quantile band of a difficulty/quality `score` — the
     * short-to-long (or clean-to-noisy) ordering curriculum training
@@ -72,6 +67,11 @@ object Layout {
           .as("shard"))
   }
 
+  /** Hilbert-curve clustering key — same 62-bit contract as [[zOrderKey]]
+    * but with no long jumps between consecutive cells, so clustered files
+    * cover tighter (a, b) rectangles and min/max pruning skips more of
+    * them (see [[org.apache.spark.sql.graft.HilbertIndex]]).
+    */
   def hilbertKey(a: Column, b: Column): Column = LayoutFunctions.hilbertKey(a, b)
 
   /** [[zorder]] with the Hilbert key — identical shuffle cost (one range

@@ -43,13 +43,25 @@ object TextIndex {
     * plan-level — no data moves for it.
     */
   def postingsIncremental(statePostings: DataFrame, batch: DataFrame,
-      id: Column, text: Column): DataFrame = {
-    val bp = postings(batch, id, text)
+      id: Column, text: Column): DataFrame =
+    postingsIncrementalFrom(statePostings,
+      batch.select(id.as("doc_id")),
+      postings(batch, id, text))
+
+  /** [[postingsIncremental]] with the batch's pieces precomputed — the
+    * form streaming ingestion uses so the batch is tokenized exactly once
+    * (the delta is already pinned there). `batchIds` MUST come from the
+    * raw batch frame, not from `batchPostings`: a re-ingested document
+    * whose new text is EMPTY has no posting rows, but its stale state
+    * postings still have to go — deriving the replace-key set from the
+    * postings would silently keep them.
+    */
+  def postingsIncrementalFrom(statePostings: DataFrame, batchIds: DataFrame,
+      batchPostings: DataFrame): DataFrame =
     statePostings
-      .join(broadcast(bp.select(col("doc_id")).distinct()),
+      .join(broadcast(batchIds.select(col("doc_id")).distinct()),
         Seq("doc_id"), "left_anti")
-      .unionByName(bp)
-  }
+      .unionByName(batchPostings)
 
   /** Sliding token-window chunks for embedding/generation pipelines: windows
     * of `window` whitespace tokens advancing by `stride` (overlap = window −

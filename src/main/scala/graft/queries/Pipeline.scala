@@ -394,7 +394,8 @@ object Pipeline {
        |  SELECT vec_id, label, dist2,
        |    ROW_NUMBER() OVER (ORDER BY dist2 DESC, vec_id) AS rk
        |  FROM d)
-       |SELECT vec_id, label, dist2 FROM r WHERE rk <= 25
+       |SELECT vec_id, label, dist2, CAST(rk AS INTEGER) AS rank
+       |FROM r WHERE rk <= 25
        |ORDER BY vec_id""".stripMargin
 
   /** SemDeDup (Abbas et al. 2023): cluster with the pinned k-means||

@@ -223,8 +223,12 @@ object Streams {
         } else {
           val delta = graft.operators.TextIndex.postings(batch, id, text)
             .localCheckpoint(true)
-          state = graft.operators.TextIndex.postingsIncremental(
-              state, batch, id, text)
+          // fold with the ALREADY-PINNED delta (one tokenization per
+          // batch) but key the replacement on the raw batch ids — a doc
+          // re-ingested with empty text has no delta rows, yet its stale
+          // state postings must still be dropped
+          state = graft.operators.TextIndex.postingsIncrementalFrom(
+              state, batch.select(id.as("doc_id")), delta)
             .localCheckpoint(true)
           onDelta(delta, batchId)
           lastApplied = batchId

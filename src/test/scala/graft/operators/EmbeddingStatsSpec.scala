@@ -52,13 +52,16 @@ class EmbeddingStatsSpec extends SparkSpec {
     val df = (base :+ planted).toDF("vec_id", "label", "embedding")
     val out = EmbeddingStats.embeddingOutliers(df, col("vec_id"),
         col("label"), col("embedding"), k = 5)
-      .as[(Long, Int, Double)].collect().sortBy(t => (-t._3, t._1))
+      .as[(Long, Int, Double, Int)].collect().sortBy(_._4)
     assert(out.length === 5)
+    assert(out.map(_._4).toSeq === (1 to 5).toSeq, "rank column is 1..k")
     assert(out.head._1 === 99L, s"planted outlier must rank first: ${out.toSeq}")
     assert(out.head._2 === 0)
+    // rank agrees with (dist2 desc, id asc)
+    assert(out.sortBy(t => (-t._3, t._1)).map(_._4).toSeq === (1 to 5).toSeq)
     val out2 = EmbeddingStats.embeddingOutliers(df.repartition(7),
         col("vec_id"), col("label"), col("embedding"), k = 5)
-      .as[(Long, Int, Double)].collect().sortBy(t => (-t._3, t._1))
+      .as[(Long, Int, Double, Int)].collect().sortBy(_._4)
     assert(out.toSeq === out2.toSeq)
   }
 }

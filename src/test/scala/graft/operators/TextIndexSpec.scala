@@ -253,5 +253,13 @@ class TextIndexSpec extends SparkSpec {
       .as[(Long, String, Long)].collect().sortBy(t => (t._1, t._2)).toSeq
     assert(out2 === state.as[(Long, String, Long)].collect()
       .sortBy(t => (t._1, t._2)).toSeq)
+    // a doc re-ingested with EMPTY text loses its stale postings (the
+    // replace-key set comes from batch IDS, not batch postings — a blank
+    // doc has no posting rows but still tombstones its state entries)
+    val blanked = TextIndex.postingsIncremental(state,
+        Seq((2L, "")).toDF("doc_id", "text"), col("doc_id"), col("text"))
+      .as[(Long, String, Long)].collect().sortBy(t => (t._1, t._2)).toSeq
+    assert(blanked === Seq((1L, "a", 2L), (1L, "b", 1L)),
+      s"stale postings of the emptied doc must be dropped: $blanked")
   }
 }
