@@ -36,6 +36,34 @@ import org.apache.spark.sql.types._
   */
 case class HttpResult(code: Int, headers: Map[String, String], content: String)
 
+/** Retry policy for HTTP calls. `retryOn` decides from the status code
+  * (−1 = transport error); the delay is exponential from `baseDelayMs`
+  * doubling per attempt, capped at `maxDelayMs`, and a server-provided
+  * `Retry-After: <seconds>` header overrides the computed delay (still
+  * capped). Deliberately jitter-free: deterministic behavior is worth
+  * more to the engine's test contract than decorrelation, and at
+  * partition-level concurrency the per-task phase differences decorrelate
+  * the fleet anyway. The default retries transport errors, 429, and 5xx —
+  * the transient class; 4xx (except 429) are NEVER transient.
+  *
+  * POST caveat: retrying an effectful call is at-least-once ON TOP of
+  * Spark's own task retries — only enable a POST policy when the endpoint
+  * is idempotent (the same stance the at-least-once note above takes).
+  */
+case class HttpRetryPolicy(maxAttempts: Int = 3, baseDelayMs: Long = 200,
+    maxDelayMs: Long = 5000) {
+  require(maxAttempts >= 1, s"maxAttempts must be >= 1, got $maxAttempts")
+  require(baseDelayMs >= 0 && maxDelayMs >= baseDelayMs,
+    s"bad delays: base=$baseDelayMs max=$maxDelayMs")
+  def retryOn(code: Int): Boolean =
+    code == -1 || code == 429 || (code >= 500 && code <= 599)
+}
+
+object HttpRetryPolicy {
+  /** Single attempt — the default everywhere (no behavior change). */
+  val None: HttpRetryPolicy = HttpRetryPolicy(maxAttempts = 1)
+}
+
 object Http {
 
   val resultType: StructType = StructType(Seq(
@@ -86,10 +114,38 @@ object Http {
       case e: Exception => HttpResult(-1, null, String.valueOf(e.getMessage))
     }
 
+  /** [[fetchResult]] under a retry policy: re-issues the request while
+    * `policy.retryOn(code)` holds, sleeping the policy's (Retry-After-
+    * aware) backoff between attempts, and returns the LAST response
+    * either way — the caller still sees the terminal failure's code/body.
+    */
+  def fetchResultRetry(url: String, policy: HttpRetryPolicy,
+      timeoutMs: Int = DefaultTimeoutMs,
+      headers: Map[String, String] = Map.empty,
+      postBody: Option[String] = None): HttpResult = {
+    var attempt = 1
+    var last = fetchResult(url, timeoutMs, headers, postBody)
+    while (attempt < policy.maxAttempts && policy.retryOn(last.code)) {
+      val retryAfterMs = Option(last.headers).flatMap(_.collectFirst {
+        case (k, v) if k.equalsIgnoreCase("retry-after") =>
+          v.trim.toLongOption
+      }.flatten).map(_ * 1000L)
+      val backoff = policy.baseDelayMs << (attempt - 1)
+      val delay = math.min(retryAfterMs.getOrElse(backoff), policy.maxDelayMs)
+      if (delay > 0) Thread.sleep(delay)
+      last = fetchResult(url, timeoutMs, headers, postBody)
+      attempt += 1
+    }
+    last
+  }
+
   def fetch(url: String, timeoutMs: Int = DefaultTimeoutMs,
       headers: Map[String, String] = Map.empty,
-      postBody: Option[String] = None): Row = {
-    val r = fetchResult(url, timeoutMs, headers, postBody)
+      postBody: Option[String] = None,
+      retry: HttpRetryPolicy = HttpRetryPolicy.None): Row = {
+    val r =
+      if (retry.maxAttempts <= 1) fetchResult(url, timeoutMs, headers, postBody)
+      else fetchResultRetry(url, retry, timeoutMs, headers, postBody)
     Row(r.code, r.headers, r.content)
   }
 
@@ -99,18 +155,22 @@ object Http {
     */
   def withGet(df: DataFrame, url: Column, timeoutMs: Int = DefaultTimeoutMs,
       headers: Map[String, String] = Map.empty,
-      resultCol: String = "resp"): DataFrame =
-    withFetch(df, url, lit(null).cast("string"), timeoutMs, headers, resultCol, post = false)
+      resultCol: String = "resp",
+      retry: HttpRetryPolicy = HttpRetryPolicy.None): DataFrame =
+    withFetch(df, url, lit(null).cast("string"), timeoutMs, headers, resultCol,
+      post = false, retry)
 
   /** POST variant: `body` is evaluated per row and sent as a string entity. */
   def withPost(df: DataFrame, url: Column, body: Column,
       timeoutMs: Int = DefaultTimeoutMs,
       headers: Map[String, String] = Map.empty,
-      resultCol: String = "resp"): DataFrame =
-    withFetch(df, url, body, timeoutMs, headers, resultCol, post = true)
+      resultCol: String = "resp",
+      retry: HttpRetryPolicy = HttpRetryPolicy.None): DataFrame =
+    withFetch(df, url, body, timeoutMs, headers, resultCol, post = true, retry)
 
   private def withFetch(df: DataFrame, url: Column, body: Column, timeoutMs: Int,
-      headers: Map[String, String], resultCol: String, post: Boolean): DataFrame = {
+      headers: Map[String, String], resultCol: String, post: Boolean,
+      retry: HttpRetryPolicy = HttpRetryPolicy.None): DataFrame = {
     // HTTP is latency-bound: concurrency = partition count, and the rows
     // must be SPREAD across those partitions (a prior filter can leave a
     // "wide" input with all rows in one partition, serializing the fetch).
@@ -131,7 +191,8 @@ object Http {
         val b = if (post) Option(r.getString(n - 1)) else None
         val res =
           if (u == null) Row(-1, null, "null url")
-          else fetch(u, timeoutMs, headers, b.orElse(Some("")).filter(_ => post))
+          else fetch(u, timeoutMs, headers,
+            b.orElse(Some("")).filter(_ => post), retry)
         Row.fromSeq(r.toSeq.dropRight(2) :+ res)
       }
     }(Encoders.row(outSchema))

@@ -24,6 +24,11 @@ object LocalHttpServer {
 
   @volatile private var server: HttpServer = _
 
+  // per-key hit counters for /flaky — lets retry policies be tested
+  // deterministically (first n hits fail, then success)
+  private val flakyCounts =
+    new java.util.concurrent.ConcurrentHashMap[String, Integer]()
+
   /** Base URL, e.g. `http://127.0.0.1:PORT` — starts the server on first use. */
   lazy val base: String = synchronized {
     if (server == null) {
@@ -55,6 +60,18 @@ object LocalHttpServer {
               s"""{"timestamp":"2024-03-0${i}T0$i:1$i","type":"ev${(city.length + i) % 2}"}"""
             }
             (200, s"""{"results":[${events.mkString(",")}]}""")
+          } else if (path.startsWith("/flaky/")) {
+            // /flaky/<n>/<key>: 503 (with Retry-After: 0) for the first n
+            // hits of <key>, then 200 "ok-<key>" — the retry-policy fixture
+            val parts = path.stripPrefix("/flaky/").split("/", 2)
+            val n = parts(0).toInt
+            val key = if (parts.length > 1) parts(1) else ""
+            val c: Int = flakyCounts.merge(key, Integer.valueOf(1),
+              (a: Integer, b: Integer) => Integer.valueOf(a.intValue + b.intValue))
+            if (c <= n) {
+              x.getResponseHeaders.set("Retry-After", "0")
+              (503, s"try-$c")
+            } else (200, s"ok-$key")
           } else (404, "not found")
         val bytes = body.getBytes(StandardCharsets.UTF_8)
         x.getResponseHeaders.set("Content-Type", "text/plain; charset=utf-8")

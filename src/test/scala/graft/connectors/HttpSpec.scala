@@ -54,4 +54,29 @@ class HttpSpec extends SparkSpec {
       .as[(String, String)].head()
     assert(r === (("x=1", "x=2")))
   }
+
+  test("retry policy: transient 503s are retried to success (honoring " +
+      "Retry-After: 0), exhaustion returns the LAST failure, and " +
+      "non-transient 4xx are never retried") {
+    // 2 failures then success; 3 attempts suffice
+    val ok = Http.fetchResultRetry(s"$base/flaky/2/rt-ok",
+      graft.connectors.HttpRetryPolicy(maxAttempts = 3, baseDelayMs = 1))
+    assert(ok.code === 200 && ok.content === "ok-rt-ok")
+    // 5 failures, only 3 attempts: terminal response is the 3rd failure
+    val exhausted = Http.fetchResultRetry(s"$base/flaky/5/rt-exh",
+      graft.connectors.HttpRetryPolicy(maxAttempts = 3, baseDelayMs = 1))
+    assert(exhausted.code === 503 && exhausted.content === "try-3")
+    // 404 is not transient: single attempt even with retries allowed
+    val nf = Http.fetchResultRetry(s"$base/status/404",
+      graft.connectors.HttpRetryPolicy(maxAttempts = 5, baseDelayMs = 1))
+    assert(nf.code === 404)
+    // the partition operator path: each row's URL recovers independently
+    val df = Seq("a", "b").toDF("k")
+      .withColumn("url", concat(lit(s"$base/flaky/1/rt-df-"), $"k"))
+    val out = Http.withGet(df, $"url",
+        retry = graft.connectors.HttpRetryPolicy(maxAttempts = 2, baseDelayMs = 1))
+      .select($"k", $"resp.code", $"resp.content")
+      .as[(String, Int, String)].collect().sortBy(_._1)
+    assert(out.toSeq === Seq(("a", 200, "ok-rt-df-a"), ("b", 200, "ok-rt-df-b")))
+  }
 }
