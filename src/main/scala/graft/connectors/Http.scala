@@ -64,6 +64,30 @@ object HttpRetryPolicy {
   val None: HttpRetryPolicy = HttpRetryPolicy(maxAttempts = 1)
 }
 
+/** Minimum-interval rate limiter: at most `permitsPerSec` acquisitions per
+  * second for whoever shares the instance, enforced by spacing consecutive
+  * calls `1000/permitsPerSec` ms apart (token-bucket with burst 1 — the
+  * shape that never bursts past a polite endpoint's limit). One instance
+  * per PARTITION in [[Http.withGet]]/[[Http.withPost]], so the cluster-wide
+  * rate is `permitsPerSec × partitions`: size the partition count times the
+  * per-task rate to the endpoint's budget — a global cluster limiter would
+  * serialize through one coordinator, which is exactly what a partitioned
+  * reach-out exists to avoid.
+  */
+final class RateLimiter(permitsPerSec: Double) {
+  require(permitsPerSec > 0, s"permitsPerSec must be > 0, got $permitsPerSec")
+  private val intervalNanos = (1e9 / permitsPerSec).toLong
+  private var nextFree = 0L
+  def acquire(): Unit = synchronized {
+    val now = System.nanoTime()
+    if (now < nextFree) {
+      val waitNs = nextFree - now
+      Thread.sleep(waitNs / 1000000L, (waitNs % 1000000L).toInt)
+      nextFree += intervalNanos
+    } else nextFree = now + intervalNanos
+  }
+}
+
 object Http {
 
   val resultType: StructType = StructType(Seq(
@@ -156,21 +180,25 @@ object Http {
   def withGet(df: DataFrame, url: Column, timeoutMs: Int = DefaultTimeoutMs,
       headers: Map[String, String] = Map.empty,
       resultCol: String = "resp",
-      retry: HttpRetryPolicy = HttpRetryPolicy.None): DataFrame =
+      retry: HttpRetryPolicy = HttpRetryPolicy.None,
+      maxRequestsPerSecond: Double = 0): DataFrame =
     withFetch(df, url, lit(null).cast("string"), timeoutMs, headers, resultCol,
-      post = false, retry)
+      post = false, retry, maxRequestsPerSecond)
 
   /** POST variant: `body` is evaluated per row and sent as a string entity. */
   def withPost(df: DataFrame, url: Column, body: Column,
       timeoutMs: Int = DefaultTimeoutMs,
       headers: Map[String, String] = Map.empty,
       resultCol: String = "resp",
-      retry: HttpRetryPolicy = HttpRetryPolicy.None): DataFrame =
-    withFetch(df, url, body, timeoutMs, headers, resultCol, post = true, retry)
+      retry: HttpRetryPolicy = HttpRetryPolicy.None,
+      maxRequestsPerSecond: Double = 0): DataFrame =
+    withFetch(df, url, body, timeoutMs, headers, resultCol, post = true, retry,
+      maxRequestsPerSecond)
 
   private def withFetch(df: DataFrame, url: Column, body: Column, timeoutMs: Int,
       headers: Map[String, String], resultCol: String, post: Boolean,
-      retry: HttpRetryPolicy = HttpRetryPolicy.None): DataFrame = {
+      retry: HttpRetryPolicy = HttpRetryPolicy.None,
+      maxRequestsPerSecond: Double = 0): DataFrame = {
     // HTTP is latency-bound: concurrency = partition count, and the rows
     // must be SPREAD across those partitions (a prior filter can leave a
     // "wide" input with all rows in one partition, serializing the fetch).
@@ -186,7 +214,12 @@ object Http {
     val n = in.schema.size
     val outSchema = StructType(df.schema.fields :+ StructField(resultCol, resultType))
     in.mapPartitions { rows =>
+      // per-PARTITION limiter: cluster-wide rate = rps x partitions
+      val limiter =
+        if (maxRequestsPerSecond > 0) Some(new RateLimiter(maxRequestsPerSecond))
+        else scala.None
       rows.map { r =>
+        limiter.foreach(_.acquire())
         val u = r.getString(n - 2)
         val b = if (post) Option(r.getString(n - 1)) else None
         val res =

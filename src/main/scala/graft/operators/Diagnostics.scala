@@ -298,6 +298,46 @@ object Diagnostics {
       .withColumn("abs_err", abs(col("est_jaccard") - col("jaccard")))
   }
 
+  /** Pairwise source/domain vocabulary affinity: cosine similarity between
+    * the exact term-count vectors of every pair of groups — the corpus-
+    * mixing diagnostic ("which sources are near-duplicates of each other,
+    * which one is the odd domain out") run before choosing mixture weights.
+    * All sums are exact integers (dot = Σ c_a·c_b, norms = Σ c², order-free
+    * long addition), so the only float ops are two correctly-rounded sqrts
+    * and one divide — deterministic in any engine. Output:
+    * (grp_a, grp_b, dot, cos) for grp_a < grp_b, zero-overlap pairs
+    * included with cos = 0.
+    *
+    * Scale shape: (group, term) counts with map-side partials; the pair
+    * dot joins counts on `term` (the same posting-join family as the
+    * n-gram dedups — Σ over terms of groups-sharing-term², bounded by
+    * |groups|²·|vocab|); norms are one more partial agg. At trillion-token
+    * groups the c² products approach int64 — ANSI mode throws rather than
+    * corrupts; switch the aggregation to DecimalType(38,0) there.
+    */
+  def sourceAffinity(df: DataFrame, group: Column, text: Column): DataFrame = {
+    val counts = df.select(group.as("grp"),
+        explode(graft.functions.TextFunctions.tokensWs(text)).as("term"))
+      .groupBy(col("grp"), col("term")).agg(count(lit(1)).as("c"))
+    val norms = counts.groupBy(col("grp"))
+      .agg(sum(col("c") * col("c")).as("n2"))
+    val dots = counts.as("a")
+      .join(counts.as("b"),
+        col("a.term") === col("b.term") && col("a.grp") < col("b.grp"))
+      .groupBy(col("a.grp").as("grp_a"), col("b.grp").as("grp_b"))
+      .agg(sum(col("a.c") * col("b.c")).as("dot"))
+    norms.as("na")
+      .join(norms.as("nb"), col("na.grp") < col("nb.grp"))
+      .select(col("na.grp").as("grp_a"), col("nb.grp").as("grp_b"),
+        col("na.n2").as("na2"), col("nb.n2").as("nb2"))
+      .join(dots, Seq("grp_a", "grp_b"), "left")
+      .select(col("grp_a"), col("grp_b"),
+        coalesce(col("dot"), lit(0L)).as("dot"),
+        (coalesce(col("dot"), lit(0L)).cast("double") /
+          (sqrt(col("na2").cast("double")) * sqrt(col("nb2").cast("double"))))
+          .as("cos"))
+  }
+
   def skewReport(df: DataFrame, key: Column, topN: Int = 20,
       partitions: Int = 32): DataFrame = {
     require(topN > 0 && partitions > 0, s"topN=$topN partitions=$partitions")

@@ -3276,6 +3276,37 @@ object Pipeline {
       |GROUP BY 1, 2
       |ORDER BY doc_id, term""".stripMargin
 
+  /** Pairwise source vocabulary affinity
+    * ([[graft.operators.Diagnostics.sourceAffinity]]): exact-integer
+    * cosine between term-count vectors of every source pair — the
+    * mixture-design diagnostic. Integer dot/norm sums are order-free, so
+    * no fold gymnastics are needed; the oracle recomputes the same counts
+    * and the same two sqrts + divide.
+    */
+  def sourceAffinityQ(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Diagnostics.sourceAffinity(
+        T(s, dir, "documents"), col("source"), col("text"))
+      .orderBy(col("grp_a"), col("grp_b"))
+
+  val sourceAffinityOracle: String =
+    """WITH w AS (
+      |  SELECT source AS grp,
+      |    unnest(string_split_regex(trim(text), '\s+')) AS term
+      |  FROM documents WHERE trim(text) <> ''),
+      |c AS (SELECT grp, term, COUNT(*) AS c FROM w GROUP BY 1, 2),
+      |n AS (SELECT grp, SUM(c * c) AS n2 FROM c GROUP BY 1),
+      |d AS (
+      |  SELECT a.grp AS ga, b.grp AS gb, SUM(a.c * b.c) AS dot
+      |  FROM c a JOIN c b ON a.term = b.term AND a.grp < b.grp
+      |  GROUP BY 1, 2)
+      |SELECT na.grp AS grp_a, nb.grp AS grp_b,
+      |  CAST(COALESCE(d.dot, 0) AS BIGINT) AS dot,
+      |  CAST(COALESCE(d.dot, 0) AS DOUBLE)
+      |    / (sqrt(CAST(na.n2 AS DOUBLE)) * sqrt(CAST(nb.n2 AS DOUBLE))) AS cos
+      |FROM n na JOIN n nb ON na.grp < nb.grp
+      |LEFT JOIN d ON d.ga = na.grp AND d.gb = nb.grp
+      |ORDER BY grp_a, grp_b""".stripMargin
+
   /** Length-curriculum sharding ([[graft.operators.Layout.curriculumShards]]):
     * 4 shards cut at the token-count quartiles from ONE mergeable KLL
     * aggregation (exact at this n; rank-bounded beyond the sketch buffer),
@@ -3510,6 +3541,7 @@ object Pipeline {
     Q("curriculum_shards", curriculumShardsQ, Some(curriculumShardsOracle)),
     Q("index_incremental", indexIncrementalQ, Some(indexIncrementalOracle)),
     Q("minhash_err_report", minhashErrReportQ, Some(minhashErrReportOracle)),
+    Q("source_affinity", sourceAffinityQ, Some(sourceAffinityOracle)),
     Q("winnow_fingerprints", winnowFps, Some(winnowFpsOracle)),
     Q("dedup_embedding", dedupEmbedding, Some(dedupEmbeddingOracle)),
     Q("label_centroids", labelCentroidsQ, Some(labelCentroidsOracle)),

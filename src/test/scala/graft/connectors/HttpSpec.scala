@@ -79,4 +79,19 @@ class HttpSpec extends SparkSpec {
       .as[(String, Int, String)].collect().sortBy(_._1)
     assert(out.toSeq === Seq(("a", 200, "ok-rt-df-a"), ("b", 200, "ok-rt-df-b")))
   }
+
+  test("RateLimiter: n acquisitions at r permits/sec take at least " +
+      "(n-1)/r seconds; an idle limiter admits the first call immediately") {
+    val rl = new graft.connectors.RateLimiter(permitsPerSec = 100.0)
+    val t0 = System.nanoTime()
+    (1 to 6).foreach(_ => rl.acquire())
+    val elapsedMs = (System.nanoTime() - t0) / 1000000L
+    assert(elapsedMs >= 50, s"6 acquires at 100/s must span >= 50 ms: $elapsedMs")
+    // fresh limiter: first acquire returns without sleeping (well under
+    // one interval)
+    val rl2 = new graft.connectors.RateLimiter(permitsPerSec = 1.0)
+    val t1 = System.nanoTime()
+    rl2.acquire()
+    assert((System.nanoTime() - t1) / 1000000L < 500)
+  }
 }
