@@ -1,0 +1,91 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Event-stream analytics over the (user, timestamp, type) shape — the
+  * funnel/retention queries the reference's operators ran against their
+  * event warehouse via delegated HiveQL, restated as engine operators.
+  * Timestamps are the engine's BIGINT-nanoseconds contract
+  * ([[graft.queries.T.events]]).
+  */
+object EventAnalytics {
+
+  /** Ordered-funnel conversion: how many users performed `steps` in order
+    * (strictly increasing timestamps — an equal-timestamp pair does NOT
+    * advance, matching the SQL min-chain `ts > prev` the oracle replays).
+    * Matching is greedy-earliest, which is equivalent to the sequential
+    * "min ts of step k+1 after step k's min" chain. Output: one row per
+    * step — (step, step_name, users_reached), users_reached
+    * monotonically non-increasing.
+    *
+    * Scale shape: events are filtered to the step types map-side, then ONE
+    * groupBy(user) collects each user's (ts, type) list — per-user input
+    * is that user's step-typed events only, the classic funnel bound; the
+    * greedy fold is a per-row linear scan. No corpus-wide window, no
+    * self-join per step (an n-step chain as n joins would shuffle the
+    * event table n times).
+    */
+  def funnel(df: DataFrame, user: Column, tsNanos: Column, eventType: Column,
+      steps: Seq[String]): DataFrame = {
+    require(steps.nonEmpty, "need at least one funnel step")
+    require(steps.distinct.size == steps.size, s"duplicate steps: $steps")
+    val n = steps.size
+    val stepArr = array(steps.map(lit): _*)
+    val depths = df
+      .select(user.as("user_id"), tsNanos.as("ts"), eventType.as("et"))
+      .filter(col("et").isin(steps: _*))
+      .groupBy(col("user_id"))
+      .agg(array_sort(collect_list(struct(col("ts"), col("et")))).as("evs"))
+      .select(col("user_id"),
+        aggregate(col("evs"),
+          struct(lit(0).as("d"), lit(Long.MinValue).as("t")),
+          (acc, e) =>
+            when(acc.getField("d") < n &&
+                e.getField("et") === element_at(stepArr, acc.getField("d") + 1) &&
+                e.getField("ts") > acc.getField("t"),
+              struct((acc.getField("d") + 1).as("d"),
+                e.getField("ts").as("t")))
+            .otherwise(acc),
+          acc => acc.getField("d")).as("depth"))
+    depths
+      .select(explode(sequence(lit(1), lit(n))).as("step"), col("depth"))
+      .groupBy(col("step"))
+      .agg(sum(when(col("depth") >= col("step"), 1L).otherwise(0L))
+        .as("users_reached"))
+      .select(col("step").cast("int").as("step"),
+        element_at(stepArr, col("step")).as("step_name"),
+        col("users_reached"))
+  }
+
+  /** Retention cohorts: users grouped by their first-active epoch day, and
+    * for each day offset 0..`maxOffset`, how many of that cohort were
+    * active. Day = integer division of the nanosecond timestamp (exact;
+    * no timezone math — the engine's UTC contract). Output:
+    * (cohort_day, day_offset, users).
+    *
+    * Scale shape: the (user, day) distinct projection collapses the event
+    * table to at most users × active-days rows before anything else; the
+    * cohort min and the offset count are two more partial-aggregated
+    * groupBys over those narrow rows.
+    */
+  def retentionCohorts(df: DataFrame, user: Column, tsNanos: Column,
+      maxOffset: Int = 7): DataFrame = {
+    require(maxOffset >= 0, s"maxOffset must be >= 0, got $maxOffset")
+    // `div` is INTEGRAL division — Column./ is double division, and a
+    // ~1.7e18 nanosecond timestamp is far past 2^53, so the double round
+    // trip would land whole events on the wrong day
+    val days = df
+      .select(user.as("user_id"), tsNanos.cast("long").as("__ts"))
+      .select(col("user_id"), expr("__ts div 86400000000000").as("day"))
+      .distinct()
+    val cohorts = days.groupBy(col("user_id"))
+      .agg(min(col("day")).as("cohort_day"))
+    days.join(cohorts, Seq("user_id"))
+      .select(col("cohort_day"),
+        (col("day") - col("cohort_day")).cast("int").as("day_offset"))
+      .filter(col("day_offset") <= maxOffset)
+      .groupBy(col("cohort_day"), col("day_offset"))
+      .agg(count(lit(1)).as("users"))
+  }
+}

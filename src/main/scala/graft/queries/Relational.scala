@@ -388,6 +388,63 @@ object Relational {
       |GROUP BY user_id
       |ORDER BY user_id""".stripMargin
 
+  /** Ordered funnel view → click → purchase over the events table
+    * ([[graft.operators.EventAnalytics.funnel]]): greedy strict-ordering
+    * chain per user, counts per step. The oracle replays the equivalent
+    * sequential min-chain (min ts of each step strictly after the
+    * previous step's min).
+    */
+  def funnelReport(s: SparkSession, dir: String): DataFrame = {
+    val e = T.events(s, dir)
+    graft.operators.EventAnalytics.funnel(e, col("user_id"), col("ts"),
+        col("event_type"), Seq("view", "click", "purchase"))
+      .orderBy(col("step"))
+  }
+
+  val funnelReportOracle: String =
+    """WITH e AS (
+      |  SELECT user_id, epoch_us(ts) * 1000 AS tsn, event_type AS et
+      |  FROM events),
+      |t1 AS (SELECT user_id, MIN(tsn) AS t FROM e WHERE et = 'view' GROUP BY 1),
+      |t2 AS (
+      |  SELECT e.user_id, MIN(tsn) AS t FROM e
+      |  JOIN t1 ON e.user_id = t1.user_id
+      |  WHERE et = 'click' AND tsn > t1.t GROUP BY 1),
+      |t3 AS (
+      |  SELECT e.user_id, MIN(tsn) AS t FROM e
+      |  JOIN t2 ON e.user_id = t2.user_id
+      |  WHERE et = 'purchase' AND tsn > t2.t GROUP BY 1)
+      |SELECT * FROM (
+      |  SELECT 1 AS step, 'view' AS step_name,
+      |    (SELECT COUNT(*) FROM t1) AS users_reached
+      |  UNION ALL SELECT 2, 'click', (SELECT COUNT(*) FROM t2)
+      |  UNION ALL SELECT 3, 'purchase', (SELECT COUNT(*) FROM t3))
+      |ORDER BY step""".stripMargin
+
+  /** Retention cohorts by first-active epoch day, offsets 0..7
+    * ([[graft.operators.EventAnalytics.retentionCohorts]]); day arithmetic
+    * is exact integral division of the nanosecond timestamps.
+    */
+  def retentionCohortsQ(s: SparkSession, dir: String): DataFrame = {
+    val e = T.events(s, dir)
+    graft.operators.EventAnalytics.retentionCohorts(
+        e, col("user_id"), col("ts"), maxOffset = 7)
+      .orderBy(col("cohort_day"), col("day_offset"))
+  }
+
+  val retentionCohortsOracle: String =
+    """WITH d AS (
+      |  SELECT DISTINCT user_id,
+      |    (epoch_us(ts) * 1000) // 86400000000000 AS day
+      |  FROM events),
+      |c AS (SELECT user_id, MIN(day) AS cohort_day FROM d GROUP BY 1)
+      |SELECT c.cohort_day, CAST(d.day - c.cohort_day AS INTEGER) AS day_offset,
+      |  COUNT(*) AS users
+      |FROM d JOIN c ON d.user_id = c.user_id
+      |WHERE d.day - c.cohort_day <= 7
+      |GROUP BY 1, 2
+      |ORDER BY cohort_day, day_offset""".stripMargin
+
   /** CUBE over region × market segment with grouping id (q06 covers ROLLUP). */
   def q15Cube(s: SparkSession, dir: String): DataFrame = {
     val c = T(s, dir, "customer")
@@ -635,6 +692,8 @@ object Relational {
     Q("q12_max_with", q12MaxWith, Some(q12Oracle)),
     Q("q13_m_add", q13MapAdd, Some(q13Oracle)),
     Q("q14_sessionize", q14Sessionize, Some(q14Oracle)),
+    Q("funnel_report", funnelReport, Some(funnelReportOracle)),
+    Q("retention_cohorts", retentionCohortsQ, Some(retentionCohortsOracle)),
     Q("q15_cube", q15Cube, Some(q15Oracle)),
     Q("q16_pivot", q16Pivot, Some(q16Oracle)),
     Q("q17_anti_join", q17AntiJoin, Some(q17Oracle)),

@@ -1,0 +1,46 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+class EventAnalyticsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("funnel: order matters, equal timestamps do not advance, greedy " +
+      "matching equals the sequential min-chain") {
+    val e = Seq(
+      // u1 completes A->B->C
+      (1L, 10L, "A"), (1L, 20L, "B"), (1L, 30L, "C"),
+      // u2 has all three but B precedes A: depth stops after B-less chain A(15) -> C(40)? no B after 15
+      (2L, 12L, "B"), (2L, 15L, "A"), (2L, 40L, "C"),
+      // u3: B at the SAME ts as A must not advance; later B does
+      (3L, 10L, "A"), (3L, 10L, "B"), (3L, 50L, "B"),
+      // u4: only noise types
+      (4L, 10L, "X")).toDF("user_id", "ts", "et")
+    val out = EventAnalytics.funnel(e, col("user_id"), col("ts"), col("et"),
+        Seq("A", "B", "C"))
+      .as[(Int, String, Long)].collect().sortBy(_._1).toSeq
+    // step A: u1, u2, u3 -> 3; step B: u1 (B@20), u3 (B@50) -> 2
+    // (u2's only B is before its A); step C: u1 only
+    assert(out === Seq((1, "A", 3L), (2, "B", 2L), (3, "C", 1L)))
+  }
+
+  test("retentionCohorts: cohort is the first-active day, offsets count " +
+      "distinct active days, and the day math is exact at nanosecond scale") {
+    val day = 86400000000000L
+    val base = 1700000000L * 1000000000L // realistic epoch-nanos magnitude
+    val d0 = (base / day) * day // align to a day boundary
+    val e = Seq(
+      (1L, d0 + 1L), (1L, d0 + 2L),           // day 0 twice -> one row
+      (1L, d0 + day + 5L),                     // day 1
+      (2L, d0 + day),                          // cohort day 1
+      (2L, d0 + 3 * day + 1L),                 // offset 2
+      (2L, d0 + 20 * day)                      // offset 19 > 7: dropped
+    ).toDF("user_id", "ts")
+    val out = EventAnalytics.retentionCohorts(e, col("user_id"), col("ts"),
+        maxOffset = 7)
+      .as[(Long, Int, Long)].collect().sortBy(t => (t._1, t._2)).toSeq
+    val c0 = d0 / day
+    assert(out === Seq((c0, 0, 1L), (c0, 1, 1L), (c0 + 1, 0, 1L), (c0 + 1, 2, 1L)))
+  }
+}
