@@ -75,7 +75,13 @@ object Stress {
     // incremental index fold (O(state-anti-join + batch) by claim), and
     // the sketch-cut curriculum (one O(k) agg + map-only assign)
     "sim_hashed_tfidf", "minhash_err_report", "index_incremental",
-    "curriculum_shards")
+    "curriculum_shards",
+    // events-table analytics (events scale as new users with identical
+    // schedules): the funnel's per-user fold, the retention distinct
+    // projection, the session window, and the pairwise source-affinity
+    // posting join
+    "funnel_report", "retention_cohorts", "q14_sessionize",
+    "source_affinity")
 
   private val IdStride = 1000000L // well above any sf0.1 id; keeps ids unique
 
@@ -95,6 +101,17 @@ object Stress {
       transform(col("embedding"),
         x => x + col("rep").cast("float") * lit(0.001f)).as("embedding"),
       col("label"))
+
+  /** Events scale as NEW USERS with identical schedules (ids offset,
+    * timestamps kept): funnel/retention/session costs grow with the user
+    * population, which is the dimension that grows in production.
+    */
+  def scaleEvents(base: DataFrame, mult: Int): DataFrame =
+    replicate(base, mult).select(
+      (col("event_id") + col("rep") * IdStride).as("event_id"),
+      col("ts"),
+      (col("user_id") + col("rep") * IdStride).as("user_id"),
+      col("event_type"), col("value"), col("props"))
 
   def main(args: Array[String]): Unit = {
     val mult = if (args.isEmpty) 4 else args(0).toInt
@@ -124,6 +141,16 @@ object Stress {
       // copy of the small remaining tables is unnecessary
       marker.getParentFile.mkdirs()
       marker.createNewFile()
+      ()
+    }
+    // events arrived later than the docs/embeddings harness: generate into
+    // EXISTING scaled dirs too (separate marker keeps old dirs reusable)
+    val evMarker = new java.io.File(s"$outDir/_DONE_EVENTS")
+    if (!evMarker.exists()) {
+      scaleEvents(spark.read.parquet(s"$baseDir/events.parquet"), mult)
+        .write.mode("overwrite").parquet(s"$outDir/events.parquet")
+      evMarker.getParentFile.mkdirs()
+      evMarker.createNewFile()
       ()
     }
 
