@@ -71,4 +71,41 @@ object QualityFilter {
     df.join(filterWithReasons(df, id, text, th).filter(col("kept"))
         .select(col("id").as("__keep_id")),
       id === col("__keep_id"), "left_semi")
+
+  /** Segment-level mixed-language detection: language-id each
+    * `window`-token segment ([[TextIndex.chunks]] + [[graft.functions
+    * .TextFunctions.langId]]) and report, per document, the segment
+    * count, how many segments carried language evidence, how many
+    * DISTINCT languages, the primary language (most segments, ties to
+    * the alphabetically smaller code, 'und' when no segment has
+    * evidence), and a `mixed` flag (>= 2 distinct languages) — the
+    * curation screen for concatenation artifacts and code-switched docs
+    * that a whole-document argmax silently mislabels.
+    *
+    * Scale shape: chunking is a bounded map-side explode; the language
+    * vote is one (id, lang) count agg plus a per-doc fold over ≤ 5
+    * language entries; document text shuffles only inside its own
+    * segments.
+    */
+  def mixedLanguageReport(df: DataFrame, id: Column, text: Column,
+      window: Int = 16): DataFrame = {
+    val segs = TextIndex.chunks(df, id, text, window, window)
+    val lids = segs.select(col("id"),
+      graft.functions.TextFunctions.langId(col("chunk")).as("lang"))
+    val tot = lids.groupBy(col("id")).agg(count(lit(1)).as("n_segs"))
+    val perLang = lids.filter(col("lang") =!= "und")
+      .groupBy(col("id"), col("lang")).agg(count(lit(1)).as("n"))
+    val agg = perLang.groupBy(col("id"))
+      .agg(count(lit(1)).as("n_langs"), sum(col("n")).as("n_lang_segs"),
+        array_sort(collect_list(struct((-col("n")).as("negn"), col("lang"))))
+          .as("ls"))
+      .select(col("id"), col("n_langs"), col("n_lang_segs"),
+        element_at(col("ls"), 1).getField("lang").as("primary_lang"))
+    tot.join(agg, Seq("id"), "left")
+      .select(col("id"), col("n_segs"),
+        coalesce(col("n_lang_segs"), lit(0L)).as("n_lang_segs"),
+        coalesce(col("n_langs"), lit(0L)).as("n_langs"),
+        coalesce(col("primary_lang"), lit("und")).as("primary_lang"),
+        (coalesce(col("n_langs"), lit(0L)) >= 2).as("mixed"))
+  }
 }

@@ -3276,6 +3276,65 @@ object Pipeline {
       |GROUP BY 1, 2
       |ORDER BY doc_id, term""".stripMargin
 
+  /** Segment-level mixed-language screen
+    * ([[graft.operators.QualityFilter.mixedLanguageReport]]): language-id
+    * every 16-token window and report per-doc distinct-language counts,
+    * primary language, and the mixed flag. The oracle replays the window
+    * slicing and the stopword/CJK argmax per segment.
+    */
+  def mixedLanguageQ(s: SparkSession, dir: String): DataFrame =
+    graft.operators.QualityFilter.mixedLanguageReport(
+        T(s, dir, "documents"), col("doc_id"), col("text"), window = 16)
+      .select(col("id").as("doc_id"), col("n_segs"), col("n_lang_segs"),
+        col("n_langs"), col("primary_lang"), col("mixed"))
+      .orderBy(col("doc_id"))
+
+  val mixedLanguageOracle: String =
+    s"""WITH t AS (
+       |  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks
+       |  FROM documents),
+       |nn AS (SELECT doc_id, toks, len(toks) AS nt FROM t),
+       |idx AS (
+       |  SELECT doc_id, toks, unnest(range(0,
+       |    CASE WHEN nt <= 16 THEN 1
+       |         ELSE CAST(ceil((nt - 16)::DOUBLE / 16) AS BIGINT) + 1 END)) AS cid
+       |  FROM nn),
+       |seg AS (
+       |  SELECT doc_id, toks[(cid*16+1):(cid*16+16)] AS ct,
+       |    array_to_string(toks[(cid*16+1):(cid*16+16)], ' ') AS cs
+       |  FROM idx),
+       |sc AS (
+       |  SELECT doc_id,
+       |    len(list_filter(ct, x -> list_contains($swEn, x))) AS he,
+       |    len(list_filter(ct, x -> list_contains($swDe, x))) AS hd,
+       |    len(list_filter(ct, x -> list_contains($swEs, x))) AS hs,
+       |    len(list_filter(ct, x -> list_contains($swFr, x))) AS hf,
+       |    len(regexp_extract_all(cs, '[\\x{4e00}-\\x{9fff}]')) AS hz
+       |  FROM seg),
+       |lid AS (
+       |  SELECT doc_id,
+       |    CASE WHEN greatest(he, hd, hs, hf, hz) = 0 THEN 'und'
+       |         WHEN he = greatest(he, hd, hs, hf, hz) THEN 'en'
+       |         WHEN hd = greatest(he, hd, hs, hf, hz) THEN 'de'
+       |         WHEN hs = greatest(he, hd, hs, hf, hz) THEN 'es'
+       |         WHEN hf = greatest(he, hd, hs, hf, hz) THEN 'fr'
+       |         ELSE 'zh' END AS lang
+       |  FROM sc),
+       |tot AS (SELECT doc_id, COUNT(*) AS n_segs FROM lid GROUP BY 1),
+       |pl AS (SELECT doc_id, lang, COUNT(*) AS n FROM lid
+       |       WHERE lang <> 'und' GROUP BY 1, 2),
+       |agg AS (
+       |  SELECT doc_id, COUNT(*) AS n_langs, SUM(n) AS n_lang_segs,
+       |    FIRST(lang ORDER BY n DESC, lang) AS primary_lang
+       |  FROM pl GROUP BY 1)
+       |SELECT tot.doc_id, tot.n_segs,
+       |  CAST(COALESCE(a.n_lang_segs, 0) AS BIGINT) AS n_lang_segs,
+       |  CAST(COALESCE(a.n_langs, 0) AS BIGINT) AS n_langs,
+       |  COALESCE(a.primary_lang, 'und') AS primary_lang,
+       |  COALESCE(a.n_langs, 0) >= 2 AS mixed
+       |FROM tot LEFT JOIN agg a ON a.doc_id = tot.doc_id
+       |ORDER BY tot.doc_id""".stripMargin
+
   /** Pairwise source vocabulary affinity
     * ([[graft.operators.Diagnostics.sourceAffinity]]): exact-integer
     * cosine between term-count vectors of every source pair — the
@@ -3542,6 +3601,7 @@ object Pipeline {
     Q("index_incremental", indexIncrementalQ, Some(indexIncrementalOracle)),
     Q("minhash_err_report", minhashErrReportQ, Some(minhashErrReportOracle)),
     Q("source_affinity", sourceAffinityQ, Some(sourceAffinityOracle)),
+    Q("mixed_language", mixedLanguageQ, Some(mixedLanguageOracle)),
     Q("winnow_fingerprints", winnowFps, Some(winnowFpsOracle)),
     Q("dedup_embedding", dedupEmbedding, Some(dedupEmbeddingOracle)),
     Q("label_centroids", labelCentroidsQ, Some(labelCentroidsOracle)),

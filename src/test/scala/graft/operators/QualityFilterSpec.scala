@@ -61,4 +61,24 @@ class QualityFilterSpec extends SparkSpec {
       "repeated_segments", "dominant_segment").indexOf))
     assert(reasons.head === "too_few_tokens")
   }
+
+  test("mixedLanguageReport: code-switched docs flag mixed with the " +
+      "majority language primary; monolingual and blank docs do not") {
+    import spark.implicits._
+    // 16-token windows: doc 1 = two English windows + one German window;
+    // doc 2 = one English window; doc 3 = blank
+    val en16 = Seq.fill(8)("the cat").mkString(" ")    // 16 tokens, 8 'the' hits
+    val de16 = Seq.fill(8)("der hund").mkString(" ")
+    val df = Seq(
+      (1L, s"$en16 $en16 $de16"),
+      (2L, en16),
+      (3L, "")).toDF("doc_id", "text")
+    val out = QualityFilter.mixedLanguageReport(df, col("doc_id"),
+        col("text"), window = 16)
+      .as[(Long, Long, Long, Long, String, Boolean)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(out(1L) === ((1L, 3L, 3L, 2L, "en", true)))
+    assert(out(2L) === ((2L, 1L, 1L, 1L, "en", false)))
+    assert(out(3L) === ((3L, 1L, 0L, 0L, "und", false)))
+  }
 }
