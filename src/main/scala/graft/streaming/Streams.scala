@@ -245,6 +245,45 @@ object Streams {
       stream.writeStream.foreachBatch(handler)
   }
 
+  /** Streaming funnel tracker: keyed state carries each user's
+    * (depth, last-step timestamp) across micro-batches; every batch
+    * re-emits the user's current depth (Update mode). Within a batch the
+    * user's events fold in (ts, type) order, so the semantics match
+    * [[graft.operators.EventAnalytics.funnel]]'s greedy strict-order
+    * chain exactly WHEN events arrive batch-ordered; a step event landing
+    * in an earlier batch than its predecessor is gone (state never
+    * rewinds) — the documented streaming relaxation, same as any
+    * cross-batch ordering contract. State is 12 bytes per user.
+    */
+  def funnelIngest(df: DataFrame, user: Column, tsNanos: Column,
+      eventType: Column, steps: Seq[String])
+      : org.apache.spark.sql.Dataset[(Long, Int)] = {
+    require(steps.nonEmpty, "need at least one funnel step")
+    import org.apache.spark.sql.Encoders
+    import org.apache.spark.sql.streaming.GroupStateTimeout
+    implicit val tupEnc = Encoders.tuple(Encoders.scalaLong,
+      Encoders.scalaLong, Encoders.STRING)
+    implicit val stEnc = Encoders.tuple(Encoders.scalaInt, Encoders.scalaLong)
+    implicit val outEnc = Encoders.tuple(Encoders.scalaLong, Encoders.scalaInt)
+    val keyed = df
+      .select(user.cast("long").as("u"), tsNanos.cast("long").as("ts"),
+        eventType.as("et"))
+      .filter(col("et").isin(steps: _*))
+      .as[(Long, Long, String)]
+      .groupByKey(_._1)(Encoders.scalaLong)
+    keyed.mapGroupsWithState[(Int, Long), (Long, Int)](
+      GroupStateTimeout.NoTimeout()) {
+      (u: Long, rows: Iterator[(Long, Long, String)],
+          state: org.apache.spark.sql.streaming.GroupState[(Int, Long)]) =>
+        var (d, t) = state.getOption.getOrElse((0, Long.MinValue))
+        rows.toSeq.sortBy(r => (r._2, r._3)).foreach { case (_, ts, et) =>
+          if (d < steps.size && et == steps(d) && ts > t) { d += 1; t = ts }
+        }
+        state.update((d, t))
+        (u, d)
+    }
+  }
+
   /** events table → typed event-time column, normalizing whichever
     * physical type `ts` arrived as: BIGINT epoch nanoseconds (the
     * TIMESTAMP(NANOS) parquet encoding under `nanosAsLong` — truncated to

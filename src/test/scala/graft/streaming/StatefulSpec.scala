@@ -42,6 +42,28 @@ class StatefulSpec extends SparkSpec {
     assert(last === Map("a" -> 3L, "b" -> 1L, "c" -> 1L))
   }
 
+  test("funnelIngest: depth advances across micro-batches, within-batch " +
+      "events fold in time order, and equal timestamps do not advance") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, Long, String)] // (user, ts, type)
+    val out = Streams.funnelIngest(mem.toDF().toDF("u", "ts", "et"),
+      $"u", $"ts", $"et", Seq("A", "B", "C"))
+    val q = out.toDF("user_id", "depth").writeStream
+      .format("memory").queryName("funnel_state").outputMode("update").start()
+    // batch 0: u1 does A,B OUT OF ORDER in the batch (B row added first);
+    // u2 does B only (no A yet -> depth 0)
+    mem.addData((1L, 20L, "B"), (1L, 10L, "A"), (2L, 10L, "B"))
+    q.processAllAvailable()
+    // batch 1: u1 completes C; u2 does A then B at the SAME ts (no advance
+    // past A), then B later (advance)
+    mem.addData((1L, 30L, "C"), (2L, 20L, "A"), (2L, 20L, "B"), (2L, 40L, "B"))
+    q.processAllAvailable()
+    q.stop()
+    val last = spark.table("funnel_state").as[(Long, Int)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).max).toMap
+    assert(last === Map(1L -> 3, 2L -> 2))
+  }
+
   test("cross-batch exact dedup with keyed seen-state (Streams.dedupByKey)") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(String, String)] // (doc_id, payload)
