@@ -77,7 +77,11 @@ object HttpRetryPolicy {
 final class RateLimiter(permitsPerSec: Double) {
   require(permitsPerSec > 0, s"permitsPerSec must be > 0, got $permitsPerSec")
   private val intervalNanos = (1e9 / permitsPerSec).toLong
-  private var nextFree = 0L
+  // nanoTime's origin is arbitrary (may be negative per its contract) — a
+  // zero init would compare against it and could sleep for decades on the
+  // first acquire; starting at construction time admits the first call
+  // immediately on every platform
+  private var nextFree = System.nanoTime()
   def acquire(): Unit = synchronized {
     val now = System.nanoTime()
     if (now < nextFree) {
@@ -146,17 +150,29 @@ object Http {
   def fetchResultRetry(url: String, policy: HttpRetryPolicy,
       timeoutMs: Int = DefaultTimeoutMs,
       headers: Map[String, String] = Map.empty,
-      postBody: Option[String] = None): HttpResult = {
+      postBody: Option[String] = None,
+      beforeAttempt: () => Unit = () => ()): HttpResult = {
     var attempt = 1
+    beforeAttempt()
     var last = fetchResult(url, timeoutMs, headers, postBody)
     while (attempt < policy.maxAttempts && policy.retryOn(last.code)) {
+      // clamp both delay sources BEFORE any arithmetic that could
+      // overflow: a large attempt count would shift past 63 bits and a
+      // hostile Retry-After near Long.MaxValue/1000 would wrap the *1000
+      // — either way a negative "delay" becomes a sleepless hot loop
+      // against an already-failing server
       val retryAfterMs = Option(last.headers).flatMap(_.collectFirst {
         case (k, v) if k.equalsIgnoreCase("retry-after") =>
-          v.trim.toLongOption
-      }.flatten).map(_ * 1000L)
-      val backoff = policy.baseDelayMs << (attempt - 1)
+          v.trim.toLongOption.filter(_ >= 0)
+      }.flatten).map(sec =>
+        if (sec > policy.maxDelayMs / 1000L) policy.maxDelayMs else sec * 1000L)
+      val k = attempt - 1
+      val backoff =
+        if (k >= 40 || policy.baseDelayMs > (Long.MaxValue >> k)) policy.maxDelayMs
+        else math.min(policy.baseDelayMs << k, policy.maxDelayMs)
       val delay = math.min(retryAfterMs.getOrElse(backoff), policy.maxDelayMs)
       if (delay > 0) Thread.sleep(delay)
+      beforeAttempt()
       last = fetchResult(url, timeoutMs, headers, postBody)
       attempt += 1
     }
@@ -166,10 +182,12 @@ object Http {
   def fetch(url: String, timeoutMs: Int = DefaultTimeoutMs,
       headers: Map[String, String] = Map.empty,
       postBody: Option[String] = None,
-      retry: HttpRetryPolicy = HttpRetryPolicy.None): Row = {
-    val r =
-      if (retry.maxAttempts <= 1) fetchResult(url, timeoutMs, headers, postBody)
-      else fetchResultRetry(url, retry, timeoutMs, headers, postBody)
+      retry: HttpRetryPolicy = HttpRetryPolicy.None,
+      beforeAttempt: () => Unit = () => ()): Row = {
+    // maxAttempts = 1 degenerates to exactly one fetchResult call inside
+    // fetchResultRetry — one code path, no special case
+    val r = fetchResultRetry(url, retry, timeoutMs, headers, postBody,
+      beforeAttempt)
     Row(r.code, r.headers, r.content)
   }
 
@@ -218,14 +236,18 @@ object Http {
       val limiter =
         if (maxRequestsPerSecond > 0) Some(new RateLimiter(maxRequestsPerSecond))
         else scala.None
+      // the limiter gates every ATTEMPT, not every row — a retrying row
+      // must not fire maxAttempts back-to-back requests on one permit
+      // (that would multiply the configured rate exactly while the
+      // endpoint is signaling overload)
+      val gate: () => Unit = () => limiter.foreach(_.acquire())
       rows.map { r =>
-        limiter.foreach(_.acquire())
         val u = r.getString(n - 2)
         val b = if (post) Option(r.getString(n - 1)) else None
         val res =
           if (u == null) Row(-1, null, "null url")
           else fetch(u, timeoutMs, headers,
-            b.orElse(Some("")).filter(_ => post), retry)
+            b.orElse(Some("")).filter(_ => post), retry, gate)
         Row.fromSeq(r.toSeq.dropRight(2) :+ res)
       }
     }(Encoders.row(outSchema))

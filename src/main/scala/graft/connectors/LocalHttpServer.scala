@@ -18,6 +18,9 @@ import com.sun.net.httpserver.{HttpExchange, HttpServer}
   *    reference's README ETL example shape: `{"results":[{...},{...}]}`
   *    with `length(NAME) % 3 + 2` events of
   *    `{"timestamp":"2024-03-0i T0i:1i","type":"ev<(len+i)%2>"}`;
+  *  - `/flaky/<n>/<key>` → 503 (`Retry-After: 0`) for the FIRST n hits of
+  *    `<key>`, then 200 `ok-<key>` — the only STATEFUL endpoint (per-key
+  *    counters live for the JVM), so retry tests must use fresh keys;
   *  - anything else → 404 "not found".
   */
 object LocalHttpServer {

@@ -312,8 +312,9 @@ object Diagnostics {
     * dot joins counts on `term` (the same posting-join family as the
     * n-gram dedups — Σ over terms of groups-sharing-term², bounded by
     * |groups|²·|vocab|); norms are one more partial agg. At trillion-token
-    * groups the c² products approach int64 — ANSI mode throws rather than
-    * corrupts; switch the aggregation to DecimalType(38,0) there.
+    * groups the c² products approach int64 — ANSI mode (Spark 4's
+    * default, which this engine keeps) throws on the overflow rather
+    * than corrupting; switch the aggregation to DecimalType(38,0) there.
     */
   def sourceAffinity(df: DataFrame, group: Column, text: Column): DataFrame = {
     val counts = df.select(group.as("grp"),

@@ -48,14 +48,20 @@ object EventAnalytics {
                 e.getField("ts").as("t")))
             .otherwise(acc),
           acc => acc.getField("d")).as("depth"))
-    depths
+    val counts = depths
       .select(explode(sequence(lit(1), lit(n))).as("step"), col("depth"))
       .groupBy(col("step"))
       .agg(sum(when(col("depth") >= col("step"), 1L).otherwise(0L))
-        .as("users_reached"))
-      .select(col("step").cast("int").as("step"),
+        .as("__reached"))
+    // anchor on a literal step frame so the contract "one row per step"
+    // holds even when NO user has any step-typed event (the aggregation
+    // above is empty then, but the report must still show zeros)
+    df.sparkSession.range(1, n + 1)
+      .select(col("id").cast("int").as("step"))
+      .join(counts, Seq("step"), "left")
+      .select(col("step"),
         element_at(stepArr, col("step")).as("step_name"),
-        col("users_reached"))
+        coalesce(col("__reached"), lit(0L)).as("users_reached"))
   }
 
   /** Retention cohorts: users grouped by their first-active epoch day, and

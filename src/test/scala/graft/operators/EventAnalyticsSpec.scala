@@ -23,6 +23,11 @@ class EventAnalyticsSpec extends SparkSpec {
     // step A: u1, u2, u3 -> 3; step B: u1 (B@20), u3 (B@50) -> 2
     // (u2's only B is before its A); step C: u1 only
     assert(out === Seq((1, "A", 3L), (2, "B", 2L), (3, "C", 1L)))
+    // a corpus with NO step-typed events still reports every step at 0
+    val none = EventAnalytics.funnel(e.filter(col("et") === "Z"),
+        col("user_id"), col("ts"), col("et"), Seq("A", "B"))
+      .as[(Int, String, Long)].collect().sortBy(_._1).toSeq
+    assert(none === Seq((1, "A", 0L), (2, "B", 0L)))
   }
 
   test("retentionCohorts: cohort is the first-active day, offsets count " +
