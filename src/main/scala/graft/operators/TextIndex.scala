@@ -491,12 +491,15 @@ object TextIndex {
     * count() job). The final top-k per query is the bounded
     * [[graft.functions.TopKAggregator]] — partial aggregation prunes each
     * partition to k before the shuffle, never a per-query window sort over
-    * every candidate. Document text never shuffles, and the corpus pays
-    * TWO posting passes, not four: the df dim hangs off the same
-    * query-term posting subplan the candidates use (its (doc, term)
-    * exchange resolves to a ReusedExchange at runtime), and the total
+    * every candidate. Document text never shuffles. The df dim hangs off
+    * the same query-term posting subplan the candidates use and the total
     * token count folds over the dl dim instead of re-aggregating the
-    * postings; N is a column-less count-pushdown scan.
+    * postings, so the plan holds three (doc, term) posting aggregations
+    * over narrow 2-column scans plus a column-less count — measured in
+    * `graft.tools.PlanProbe`: AQE does NOT currently fuse the identical
+    * posting exchanges across the branches, so at an extreme corpus the
+    * further step is materializing `postings` once (the production move
+    * is a persisted inverted index anyway — see [[postingsIncremental]]).
     */
   /** 2^20 — the BM25 fixed-point scale (quantization ≤ 2^-21 per term,
     * far below ranking resolution). Bounds: a per-term contribution is at

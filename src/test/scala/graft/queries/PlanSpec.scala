@@ -302,4 +302,57 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("PushedFilters: [IsNotNull(o_orderkey), LessThanOrEqual(o_orderkey"), p)
     assert(!p.contains("Exchange"), p)
   }
+
+  test("bm25_topk: no Window over candidates (bounded top-k aggregator), " +
+      "no collect_list in the score path, query terms broadcast") {
+    val p = plan(Pipeline.bm25Topk(spark, dir))
+    assert(!p.contains("Window"), p)
+    assert(!p.contains("collect_list"), p)
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 2, p)
+    assert(p.contains("topkaggregator"), p)
+  }
+
+  test("dsir_sample: the weight table is a plan literal — no join for it; " +
+      "bounded global top-k, no Window") {
+    val p = plan(Pipeline.dsirSample(spark, dir))
+    assert(!p.contains("Window"), p)
+    assert(p.contains("topkaggregator"), p)
+    // only the retain-blank-docs left join exists; a regression to
+    // weights-as-joined-VALUES would surface as a LocalTableScan and a
+    // second join (formatted mode prints each node twice: tree + details)
+    assert(!p.contains("LocalTableScan"), p)
+    assert("BroadcastHashJoin".r.findAllIn(p).size <= 2, p)
+  }
+
+  test("label_centroids: one 2-phase aggregate over the explode — exactly " +
+      "one exchange, vectors never shuffle") {
+    val p = plan(Pipeline.labelCentroidsQ(spark, dir))
+    // one hash exchange for (label, dim) + the final orderBy range
+    // exchange — nothing else (numbered details list each node once)
+    assert("\\(\\d+\\) Exchange".r.findAllIn(p).size === 2, p)
+    assert("\\(\\d+\\) HashAggregate".r.findAllIn(p).size >= 2, p)
+  }
+
+  test("curriculum_shards: sketch cuts broadcast, assignment is map-only " +
+      "(no hash exchange after the O(k) aggregation)") {
+    val p = plan(graft.operators.Layout.curriculumShards(
+      T(spark, dir, "documents").select(
+        org.apache.spark.sql.functions.col("doc_id"),
+        graft.functions.TextFunctions.tokenCountWs(
+          org.apache.spark.sql.functions.col("text")).cast("long").as("n_tok")),
+      org.apache.spark.sql.functions.col("doc_id"),
+      org.apache.spark.sql.functions.col("n_tok"), numShards = 4))
+    assert(p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("Exchange hashpartitioning"), p)
+  }
+
+  test("funnel_report: no per-step self-joins — the only join anchors the " +
+      "literal step frame; no Window") {
+    val p = plan(Relational.funnelReport(spark, dir))
+    assert(!p.contains("Window"), p)
+    // exactly one join — the literal step-frame anchor (each node prints
+    // twice in formatted mode)
+    assert("BroadcastHashJoin".r.findAllIn(p).size <= 2, p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
 }
