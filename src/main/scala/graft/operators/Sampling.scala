@@ -312,6 +312,39 @@ object Sampling {
     }
   }
 
+  /** Deterministic weighted sampling WITHOUT replacement (Efraimidis &
+    * Spirakis 2006, A-ES): keep the `n` rows with the largest
+    * `u^(1/w)` where `u` is the row's content-hash uniform in (0,1) —
+    * inclusion probability proportional to weight, membership a pure
+    * function of (key, weight) like every sampler here (reproducible
+    * across runs, partitionings, and cluster layouts; no RNG state).
+    * Rows with weight <= 0 are excluded. Spec-gated, not oracle-gated:
+    * the rank needs `pow`, whose last ulp is libm's — fine for a
+    * SAMPLING decision (a one-ulp rank flip just swaps two
+    * equal-probability candidates), not for a hash-compared output.
+    *
+    * Scale shape: one map-only rank projection, then the bounded global
+    * top-k aggregator — no sort, no shuffle of the payload; kept keys
+    * broadcast back as a semi-join.
+    */
+  def weightedSample(df: DataFrame, key: Column, weight: Column,
+      n: Int): DataFrame = {
+    require(n > 0, s"n must be positive, got $n")
+    val topk = graft.functions.TopKAggregator.topK(n)
+    // u in (0,1): (hash32 + 1) / (2^32 + 1) keeps both endpoints open
+    // (u = 0 would tie every zero-rank row; u = 1 would erase weights)
+    val u = (TextFunctions.hash32(col("__id").cast("string")) + lit(1.0)) /
+      lit(4294967297.0)
+    val keyed = df.select(key.cast("long").as("__id"),
+        weight.cast("double").as("__w"))
+      .filter(col("__w") > 0)
+      .select(col("__id"), pow(u, lit(1.0) / col("__w")).as("__rank"))
+    val keep = keyed.groupBy(lit(1).as("__g"))
+      .agg(topk(col("__id"), col("__rank")).as("top"))
+      .select(explode(col("top.id")).as("__keep_id"))
+    df.join(broadcast(keep), key.cast("long") === col("__keep_id"), "left_semi")
+  }
+
   def splitByHash(df: DataFrame, key: Column,
       splits: Seq[(String, Double)], out: String = "split"): DataFrame = {
     require(splits.nonEmpty, "need at least one split")

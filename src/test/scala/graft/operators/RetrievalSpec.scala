@@ -171,6 +171,31 @@ class RetrievalSpec extends SparkSpec {
     assert(out === Seq((1L, 2L, 1L, 0.5), (2L, 2L, 2L, 1.0), (3L, 1L, 0L, 0.0)))
   }
 
+  // ------------------------------------------------- weighted sampling
+
+  test("weightedSample: exact-n, reproducible, zero/negative weights " +
+      "excluded, and heavier rows are sampled proportionally more often") {
+    val df = (1L to 400L).map(i => (i, if (i <= 200) 1.0 else 9.0))
+      .toDF("id", "w")
+    val kept = Sampling.weightedSample(df, col("id"), col("w"), n = 100)
+      .as[(Long, Double)].collect()
+    assert(kept.length === 100)
+    // E[heavy kept] >> E[light kept]: with 9:1 weights, the heavy half
+    // should dominate the sample decisively (prob. of this failing for a
+    // correct A-ES sampler is negligible)
+    val heavy = kept.count(_._1 > 200)
+    assert(heavy >= 75, s"heavy rows under-sampled: $heavy/100")
+    // reproducible under repartitioning
+    val kept2 = Sampling.weightedSample(df.repartition(7), col("id"),
+        col("w"), n = 100).as[(Long, Double)].collect()
+    assert(kept.map(_._1).sorted.toSeq === kept2.map(_._1).sorted.toSeq)
+    // zero/negative weights never selected even with room
+    val z = Seq((1L, 1.0), (2L, 0.0), (3L, -1.0)).toDF("id", "w")
+    val kz = Sampling.weightedSample(z, col("id"), col("w"), n = 3)
+      .as[(Long, Double)].collect().map(_._1).toSeq
+    assert(kz === Seq(1L))
+  }
+
   // ----------------------------------------------------------- fertility
 
   test("fertilityByGroup: counts and ratios match hand computation over a " +
