@@ -513,13 +513,26 @@ object TextIndex {
   def bm25TopK(df: DataFrame, id: Column, text: Column,
       queryTerms: DataFrame, k: Int,
       k1: Double = 1.2, b: Double = 0.75): DataFrame = {
-    require(k > 0, s"k must be positive, got $k")
     val src = df.select(id.as("__id"), text.as("__text"))
     val p = postings(src, col("__id"), col("__text"))
-    val dl = p.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
     val nDim = src.agg(count(lit(1)).as("__n"))
+    bm25TopKFromPostings(p, nDim, queryTerms, k, k1, b)
+  }
+
+  /** [[bm25TopK]] served from a MAINTAINED posting table — the production
+    * shape once the index is persisted/bucketed and folded per batch with
+    * [[postingsIncremental]]: no tokenization at query time, and with the
+    * postings bucketed by `term` the candidate prune is shuffle-free.
+    * `corpusSize` is a one-row (`__n`) frame so the caller can keep it as
+    * maintained state too (e.g. from the index's distinct doc count).
+    */
+  def bm25TopKFromPostings(p: DataFrame, corpusSize: DataFrame,
+      queryTerms: DataFrame, k: Int,
+      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    val dl = p.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
     val totDim = dl.agg(coalesce(sum(col("dl")), lit(0L)).as("__tot"))
-    val statsDim = nDim.crossJoin(totDim)
+    val statsDim = corpusSize.crossJoin(totDim)
     val qt = queryTerms.select(col("qid"), col("term")).distinct()
     val qp = p.join(broadcast(qt.select(col("term")).distinct()), Seq("term"))
     val dfq = qp.groupBy(col("term")).agg(count(lit(1)).as("df"))

@@ -171,6 +171,26 @@ class RetrievalSpec extends SparkSpec {
     assert(out === Seq((1L, 2L, 1L, 0.5), (2L, 2L, 2L, 1.0), (3L, 1L, 0L, 0.0)))
   }
 
+  test("bm25TopKFromPostings: serving from a maintained (incrementally " +
+      "folded) index equals scoring the raw corpus") {
+    val v1 = Seq((1L, "apple pear plum"), (2L, "apple apple fig")).toDF("doc_id", "text")
+    val batch = Seq((2L, "apple fig fig"), (3L, "pear pear apple")).toDF("doc_id", "text")
+    val finalCorpus = Seq((1L, "apple pear plum"), (2L, "apple fig fig"),
+      (3L, "pear pear apple")).toDF("doc_id", "text")
+    val idx = TextIndex.postingsIncremental(
+      TextIndex.postings(v1, col("doc_id"), col("text")),
+      batch, col("doc_id"), col("text"))
+    val q = Seq((9L, "apple"), (9L, "pear")).toDF("qid", "term")
+    val n = idx.select(col("doc_id")).distinct()
+      .agg(count(lit(1)).as("__n"))
+    val served = TextIndex.bm25TopKFromPostings(idx, n, q, k = 3)
+      .as[(Long, Int, Long, Double)].collect().sortBy(_._2).toSeq
+    val direct = TextIndex.bm25TopK(finalCorpus, col("doc_id"), col("text"),
+        q, k = 3)
+      .as[(Long, Int, Long, Double)].collect().sortBy(_._2).toSeq
+    assert(served === direct)
+  }
+
   // ------------------------------------------------- weighted sampling
 
   test("weightedSample: exact-n, reproducible, zero/negative weights " +
