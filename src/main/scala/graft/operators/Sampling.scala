@@ -313,17 +313,26 @@ object Sampling {
   }
 
   /** Deterministic weighted sampling WITHOUT replacement (Efraimidis &
-    * Spirakis 2006, A-ES): keep the `n` rows with the largest
-    * `u^(1/w)` where `u` is the row's content-hash uniform in (0,1) —
-    * inclusion probability proportional to weight, membership a pure
-    * function of (key, weight) like every sampler here (reproducible
-    * across runs, partitionings, and cluster layouts; no RNG state).
-    * Rows with weight <= 0 are excluded. Spec-gated, not oracle-gated:
-    * the rank needs `pow`, whose last ulp is libm's — fine for a
-    * SAMPLING decision (a one-ulp rank flip just swaps two
-    * equal-probability candidates), not for a hash-compared output.
+    * Spirakis 2006, A-ES): keep the `n` keys with the largest
+    * `ln(u)/w` where `u` is the key's content-hash uniform in (0,1) —
+    * the log-space form of the paper's `u^(1/w)` rank (same selection,
+    * monotone transform) chosen because the direct power rounds to
+    * exactly 1.0 for every key once `w` is huge (|ln u|/w < 2^-53),
+    * which would silently collapse the sample to an id-ordered head;
+    * the log form keeps resolution to astronomically large weights.
+    * Inclusion probability is weight-proportional and membership is a
+    * pure function of (key, weight) like every sampler here
+    * (reproducible across runs, partitionings, and cluster layouts; no
+    * RNG state). Rows with weight <= 0 or NaN are excluded (NaN would
+    * poison the top-k comparator). Duplicate keys are collapsed to
+    * their MAX weight before ranking (one slot per key, deterministic)
+    * — the semi-join then keeps every row of a selected key, so with
+    * duplicate keys "exact-n" means n distinct KEYS. Spec-gated, not
+    * oracle-gated: the rank needs libm `ln` — fine for a SAMPLING
+    * decision, not for a hash-compared output.
     *
-    * Scale shape: one map-only rank projection, then the bounded global
+    * Scale shape: one map-only rank projection (plus a key-collapse agg
+    * only meaningful under duplicate keys), then the bounded global
     * top-k aggregator — no sort, no shuffle of the payload; kept keys
     * broadcast back as a semi-join.
     */
@@ -332,13 +341,14 @@ object Sampling {
     require(n > 0, s"n must be positive, got $n")
     val topk = graft.functions.TopKAggregator.topK(n)
     // u in (0,1): (hash32 + 1) / (2^32 + 1) keeps both endpoints open
-    // (u = 0 would tie every zero-rank row; u = 1 would erase weights)
+    // (u = 0 would make ln diverge; u = 1 would erase weights)
     val u = (TextFunctions.hash32(col("__id").cast("string")) + lit(1.0)) /
       lit(4294967297.0)
     val keyed = df.select(key.cast("long").as("__id"),
         weight.cast("double").as("__w"))
-      .filter(col("__w") > 0)
-      .select(col("__id"), pow(u, lit(1.0) / col("__w")).as("__rank"))
+      .filter(col("__w") > 0 && !isnan(col("__w")))
+      .groupBy(col("__id")).agg(max(col("__w")).as("__w"))
+      .select(col("__id"), (log(u) / col("__w")).as("__rank"))
     val keep = keyed.groupBy(lit(1).as("__g"))
       .agg(topk(col("__id"), col("__rank")).as("top"))
       .select(explode(col("top.id")).as("__keep_id"))

@@ -524,7 +524,12 @@ object TextIndex {
     * [[postingsIncremental]]: no tokenization at query time, and with the
     * postings bucketed by `term` the candidate prune is shuffle-free.
     * `corpusSize` is a one-row (`__n`) frame so the caller can keep it as
-    * maintained state too (e.g. from the index's distinct doc count).
+    * maintained state too. NOTE: it must count ALL corpus documents, not
+    * the index's distinct doc ids — zero-token docs have no posting rows
+    * but still belong in N, so an index-derived count would shift every
+    * idf when blank docs exist; maintain the doc count alongside the
+    * index (the [[graft.streaming.Streams.IndexIngest]] batch sizes sum
+    * to exactly it).
     */
   def bm25TopKFromPostings(p: DataFrame, corpusSize: DataFrame,
       queryTerms: DataFrame, k: Int,

@@ -209,11 +209,25 @@ class RetrievalSpec extends SparkSpec {
     val kept2 = Sampling.weightedSample(df.repartition(7), col("id"),
         col("w"), n = 100).as[(Long, Double)].collect()
     assert(kept.map(_._1).sorted.toSeq === kept2.map(_._1).sorted.toSeq)
-    // zero/negative weights never selected even with room
-    val z = Seq((1L, 1.0), (2L, 0.0), (3L, -1.0)).toDF("id", "w")
-    val kz = Sampling.weightedSample(z, col("id"), col("w"), n = 3)
+    // zero/negative/NaN weights never selected even with room
+    val z = Seq((1L, 1.0), (2L, 0.0), (3L, -1.0), (4L, Double.NaN))
+      .toDF("id", "w")
+    val kz = Sampling.weightedSample(z, col("id"), col("w"), n = 4)
       .as[(Long, Double)].collect().map(_._1).toSeq
     assert(kz === Seq(1L))
+    // duplicate keys collapse to one slot (max weight); every row of a
+    // selected key survives the semi-join
+    val dup = Seq((1L, 5.0), (1L, 0.5), (2L, 5.0), (3L, 5.0)).toDF("id", "w")
+    val kd = Sampling.weightedSample(dup, col("id"), col("w"), n = 2)
+      .as[(Long, Double)].collect()
+    assert(kd.map(_._1).distinct.length === 2)
+    // astronomically large weights still rank by hash, not by id order
+    // (the direct u^(1/w) form would round every rank to exactly 1.0 and
+    // degenerate to the n smallest ids)
+    val big = (1L to 200L).map(i => (i, 1e18)).toDF("id", "w")
+    val kb = Sampling.weightedSample(big, col("id"), col("w"), n = 50)
+      .as[(Long, Double)].collect().map(_._1).sorted.toSeq
+    assert(kb !== (1L to 50L).toSeq, "huge equal weights must not collapse to the id head")
   }
 
   // ----------------------------------------------------------- fertility
