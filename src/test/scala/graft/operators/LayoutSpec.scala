@@ -135,4 +135,31 @@ class LayoutSpec extends SparkSpec {
         numShards = 4).as[(Long, Long, Int)].collect().sortBy(_._1).toSeq
     assert(a === out.toSeq)
   }
+
+  test("curriculumShards: exact-regime agreement with the reference " +
+      "discrete-quantile rule on seeded random multisets (ties included)") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(42)
+    for (trial <- 1 to 5) {
+      val n = 30 + rnd.nextInt(120)
+      val scores = Seq.fill(n)(rnd.nextInt(12).toLong) // heavy ties
+      val df = scores.zipWithIndex.map { case (s, i) => (i.toLong, s) }
+        .toDF("id", "sc")
+      val shards = 2 + rnd.nextInt(4)
+      // reference: smallest value whose cumulative relative weight >= p
+      // (the KLL exact-regime rule), boundary scores to the LOWER shard
+      val sorted = scores.map(_.toDouble).sorted.toVector
+      def disc(p: Double): Double =
+        sorted.zipWithIndex.collectFirst {
+          case (v, i) if (i + 1).toDouble / n >= p => v
+        }.getOrElse(sorted.last)
+      val cuts = (1 until shards).map(i => disc(i.toDouble / shards))
+      val expect = scores.zipWithIndex.map { case (s, i) =>
+        i.toLong -> cuts.count(c => s.toDouble > c)
+      }.toMap
+      val got = Layout.curriculumShards(df, col("id"), col("sc"), shards)
+        .as[(Long, Long, Int)].collect().map(t => t._1 -> t._3).toMap
+      assert(got === expect, s"trial $trial (n=$n shards=$shards)")
+    }
+  }
 }

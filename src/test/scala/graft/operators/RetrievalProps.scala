@@ -56,6 +56,21 @@ object RetrievalProps extends Properties("Retrieval") {
       math.abs(q / s - x) <= 1.0 / (2.0 * s) + math.ulp(x)
     }
 
+  property("weighted-sample rank: scaling every weight by a constant " +
+      "preserves the selection order (A-ES scale invariance), and higher " +
+      "weight at equal hash never ranks lower") =
+    forAll(Gen.chooseNum(0.001, 0.999), Gen.chooseNum(0.001, 0.999),
+        Gen.chooseNum(1, 1000), Gen.chooseNum(1, 1000),
+        Gen.chooseNum(1, 100000)) { (u1, u2, w1, w2, c) =>
+      def rank(u: Double, w: Double): Double = math.log(u) / w
+      val order = rank(u1, w1.toDouble) > rank(u2, w2.toDouble)
+      val scaled = rank(u1, w1.toDouble * c) > rank(u2, w2.toDouble * c)
+      // scale invariance (ranks divide by the same positive constant)
+      order == scaled &&
+        // monotone in w at fixed u: ln(u) < 0, so /w grows toward 0
+        rank(u1, (w1 + 1).toDouble) >= rank(u1, w1.toDouble)
+    }
+
   property("dsir weight algebra: a bucket seen only in target scores " +
       "positive, only in raw negative, and equal profiles score the " +
       "corpus-size baseline everywhere") =
