@@ -262,4 +262,34 @@ class TextIndexSpec extends SparkSpec {
     assert(blanked === Seq((1L, "a", 2L), (1L, "b", 1L)),
       s"stale postings of the emptied doc must be dropped: $blanked")
   }
+
+  test("postingsIncremental invariant: ANY seeded random batch sequence " +
+      "folds to exactly the latest-version rebuild (re-ingests, blanks, " +
+      "new docs interleaved)") {
+    val rnd = new scala.util.Random(1234)
+    val vocab = Vector("aa", "bb", "cc", "dd", "ee")
+    def randText(): String =
+      if (rnd.nextInt(6) == 0) "" // occasional blank re-ingest
+      else Seq.fill(1 + rnd.nextInt(6))(vocab(rnd.nextInt(vocab.size)))
+        .mkString(" ")
+    for (trial <- 1 to 3) {
+      val batches = Seq.fill(4)(
+        Seq.fill(1 + rnd.nextInt(5))((rnd.nextInt(8).toLong, randText()))
+          // one version of a doc per batch (last write in the batch wins
+          // is NOT part of the contract; dedupe within the batch)
+          .groupBy(_._1).map(_._2.last).toSeq)
+      val folded = batches.foldLeft(
+        TextIndex.postings(Seq.empty[(Long, String)].toDF("doc_id", "text"),
+          col("doc_id"), col("text"))) { (st, b) =>
+        TextIndex.postingsIncremental(st, b.toDF("doc_id", "text"),
+          col("doc_id"), col("text"))
+      }.as[(Long, String, Long)].collect().sortBy(t => (t._1, t._2)).toSeq
+      val latest = batches.flatten.zipWithIndex
+        .groupBy(_._1._1).map(_._2.maxBy(_._2)._1).toSeq // last version wins
+      val rebuilt = TextIndex.postings(latest.toDF("doc_id", "text"),
+          col("doc_id"), col("text"))
+        .as[(Long, String, Long)].collect().sortBy(t => (t._1, t._2)).toSeq
+      assert(folded === rebuilt, s"trial $trial: fold != rebuild")
+    }
+  }
 }
