@@ -57,6 +57,26 @@ case class HttpRetryPolicy(maxAttempts: Int = 3, baseDelayMs: Long = 200,
     s"bad delays: base=$baseDelayMs max=$maxDelayMs")
   def retryOn(code: Int): Boolean =
     code == -1 || code == 429 || (code >= 500 && code <= 599)
+
+  /** Delay before retry number `attempt` (1-based count of attempts
+    * already made), given an optional server `Retry-After: <seconds>`.
+    * Total: clamp both sources BEFORE any arithmetic that could
+    * overflow — a large attempt count would shift past 63 bits and a
+    * hostile Retry-After near Long.MaxValue/1000 would wrap the ×1000;
+    * either way a negative "delay" would become a sleepless hot loop
+    * against an already-failing server. Result is always in
+    * [0, maxDelayMs].
+    */
+  def delayMs(attempt: Int, retryAfterSec: Option[Long]): Long = {
+    val fromHeader = retryAfterSec.filter(_ >= 0).map(sec =>
+      if (sec > maxDelayMs / 1000L) maxDelayMs else sec * 1000L)
+    val k = attempt - 1
+    val backoff =
+      if (k >= 40 || baseDelayMs > (Long.MaxValue >> math.max(k, 0)))
+        maxDelayMs
+      else math.min(baseDelayMs << k, maxDelayMs)
+    math.min(fromHeader.getOrElse(backoff), maxDelayMs)
+  }
 }
 
 object HttpRetryPolicy {
@@ -156,21 +176,11 @@ object Http {
     beforeAttempt()
     var last = fetchResult(url, timeoutMs, headers, postBody)
     while (attempt < policy.maxAttempts && policy.retryOn(last.code)) {
-      // clamp both delay sources BEFORE any arithmetic that could
-      // overflow: a large attempt count would shift past 63 bits and a
-      // hostile Retry-After near Long.MaxValue/1000 would wrap the *1000
-      // — either way a negative "delay" becomes a sleepless hot loop
-      // against an already-failing server
-      val retryAfterMs = Option(last.headers).flatMap(_.collectFirst {
+      val retryAfterSec = Option(last.headers).flatMap(_.collectFirst {
         case (k, v) if k.equalsIgnoreCase("retry-after") =>
-          v.trim.toLongOption.filter(_ >= 0)
-      }.flatten).map(sec =>
-        if (sec > policy.maxDelayMs / 1000L) policy.maxDelayMs else sec * 1000L)
-      val k = attempt - 1
-      val backoff =
-        if (k >= 40 || policy.baseDelayMs > (Long.MaxValue >> k)) policy.maxDelayMs
-        else math.min(policy.baseDelayMs << k, policy.maxDelayMs)
-      val delay = math.min(retryAfterMs.getOrElse(backoff), policy.maxDelayMs)
+          v.trim.toLongOption
+      }.flatten)
+      val delay = policy.delayMs(attempt, retryAfterSec)
       if (delay > 0) Thread.sleep(delay)
       beforeAttempt()
       last = fetchResult(url, timeoutMs, headers, postBody)
