@@ -284,6 +284,12 @@ class StreamsSpec extends SparkSpec {
     ing.handler(Seq((1L, "q")).toDF("doc_id", "text"), 1L)
     assert(cur.filter(_._1 == 1L) === Seq((1L, "q", 1L)))
     assert(seen.last === (1L -> 1L))
+    // an out-of-order OLDER batchId is a guarded no-op: no re-emit, no
+    // state change (Structured Streaming only ever retries the latest)
+    val snapshot = cur
+    ing.handler(b0, 0L)
+    assert(cur === snapshot)
+    assert(seen.size === 3)
   }
 
   test("semanticBatchHandler: cluster-assigned dedup vs state, " +
