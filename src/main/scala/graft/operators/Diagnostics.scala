@@ -339,6 +339,32 @@ object Diagnostics {
           .as("cos"))
   }
 
+  /** Duplicate-rate attribution: per source/domain, how many documents
+    * are exact duplicates of ANY corpus document (corpus-wide fingerprint
+    * df > 1, so a doc duplicated across two sources counts against both)
+    * — the "which feed is polluting the corpus" dashboard row that
+    * decides where dedup budget and crawler fixes go. Output:
+    * (grp, n_docs, n_dup, dup_rate) with the rate an exact integer-ratio
+    * double.
+    *
+    * Scale shape: one fingerprint projection (text never shuffles), a
+    * (fp, count) aggregation with map-side partials, and one 8-byte-key
+    * join back; the hot-fp set is dup-count-sized by construction.
+    */
+  def dupRateByGroup(df: DataFrame, group: Column, text: Column): DataFrame = {
+    val f = df.select(group.as("grp"),
+      graft.functions.TextFunctions.fingerprint64(text).as("fp"))
+    val dups = f.groupBy(col("fp")).agg(count(lit(1)).as("__n"))
+      .filter(col("__n") > 1)
+      .select(col("fp"), lit(1).as("__dup"))
+    f.join(dups, Seq("fp"), "left")
+      .groupBy(col("grp"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("__dup").isNotNull, 1L).otherwise(0L)).as("n_dup"))
+      .withColumn("dup_rate",
+        col("n_dup").cast("double") / col("n_docs").cast("double"))
+  }
+
   def skewReport(df: DataFrame, key: Column, topN: Int = 20,
       partitions: Int = 32): DataFrame = {
     require(topN > 0 && partitions > 0, s"topN=$topN partitions=$partitions")

@@ -3276,6 +3276,32 @@ object Pipeline {
       |GROUP BY 1, 2
       |ORDER BY doc_id, term""".stripMargin
 
+  /** Duplicate-rate attribution per source
+    * ([[graft.operators.Diagnostics.dupRateByGroup]]): corpus-wide exact
+    * duplicates charged to every source that carries them. Counts and
+    * one exact-ratio division — the oracle recomputes the fingerprint
+    * df directly.
+    */
+  def dupRateBySourceQ(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Diagnostics.dupRateByGroup(
+        T(s, dir, "documents"), col("source"), col("text"))
+      .orderBy(col("grp"))
+
+  val dupRateBySourceOracle: String =
+    """WITH f AS (
+      |  SELECT source AS grp,
+      |    ('0x' || substring(md5(text), 1, 15))::BIGINT AS fp
+      |  FROM documents),
+      |d AS (SELECT fp, 1 AS dup FROM f GROUP BY fp HAVING COUNT(*) > 1)
+      |SELECT f.grp, COUNT(*) AS n_docs,
+      |  CAST(SUM(CASE WHEN d.dup IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_dup,
+      |  CAST(SUM(CASE WHEN d.dup IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+      |    / CAST(COUNT(*) AS DOUBLE) AS dup_rate
+      |FROM f LEFT JOIN d ON d.fp = f.fp
+      |GROUP BY f.grp
+      |ORDER BY f.grp""".stripMargin
+
   /** Segment-level mixed-language screen
     * ([[graft.operators.QualityFilter.mixedLanguageReport]]): language-id
     * every 16-token window and report per-doc distinct-language counts,
@@ -3602,6 +3628,7 @@ object Pipeline {
     Q("minhash_err_report", minhashErrReportQ, Some(minhashErrReportOracle)),
     Q("source_affinity", sourceAffinityQ, Some(sourceAffinityOracle)),
     Q("mixed_language", mixedLanguageQ, Some(mixedLanguageOracle)),
+    Q("dup_rate_by_source", dupRateBySourceQ, Some(dupRateBySourceOracle)),
     Q("winnow_fingerprints", winnowFps, Some(winnowFpsOracle)),
     Q("dedup_embedding", dedupEmbedding, Some(dedupEmbeddingOracle)),
     Q("label_centroids", labelCentroidsQ, Some(labelCentroidsOracle)),
