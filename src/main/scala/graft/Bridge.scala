@@ -18,4 +18,18 @@ object Bridge {
     */
   def scalaUdf(f: UserDefinedFunction, children: Seq[Expression]): Expression =
     UserDefinedFunctionUtils.toScalaUDF(f.asInstanceOf[SparkUserDefinedFunction], children)
+
+  /** Release the storage blocks behind a `localCheckpoint(true)`-pinned
+    * Dataset. Such a Dataset is a `LogicalRDD` leaf over a persisted RDD;
+    * `Dataset.unpersist` only consults the SQL cache manager and never
+    * reaches it, so long-running foreachBatch state loops must free
+    * superseded pins explicitly or executor storage grows
+    * O(batches × state size). No-op on plans without RDD leaves.
+    */
+  def unpin(df: org.apache.spark.sql.Dataset[_]): Unit =
+    df.queryExecution.analyzed.foreach {
+      case lr: org.apache.spark.sql.execution.LogicalRDD =>
+        lr.rdd.unpersist(blocking = false)
+      case _ => ()
+    }
 }

@@ -102,13 +102,21 @@ final class RateLimiter(permitsPerSec: Double) {
   // first acquire; starting at construction time admits the first call
   // immediately on every platform
   private var nextFree = System.nanoTime()
-  def acquire(): Unit = synchronized {
-    val now = System.nanoTime()
-    if (now < nextFree) {
-      val waitNs = nextFree - now
+  // reserve the slot under the lock, sleep OUTSIDE it — concurrent callers
+  // on a shared instance each compute their own slot instead of queueing
+  // behind a sleeping lock-holder (where a task-cancel interrupt would
+  // surface from inside the monitor)
+  def acquire(): Unit = {
+    val waitNs = synchronized {
+      val now = System.nanoTime()
+      if (now < nextFree) {
+        val slot = nextFree
+        nextFree += intervalNanos
+        slot - now
+      } else { nextFree = now + intervalNanos; 0L }
+    }
+    if (waitNs > 0L)
       Thread.sleep(waitNs / 1000000L, (waitNs % 1000000L).toInt)
-      nextFree += intervalNanos
-    } else nextFree = now + intervalNanos
   }
 }
 

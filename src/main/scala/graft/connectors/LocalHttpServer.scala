@@ -49,7 +49,10 @@ object LocalHttpServer {
             if (x.getRequestMethod == "POST")
               (200, q + (if (q.isEmpty) "" else "&") + s"blen=${reqBody.length}")
             else (200, q)
-          } else if (path.startsWith("/status/")) {
+          } else if (path.startsWith("/status/") &&
+              path.stripPrefix("/status/").toIntOption.exists(_ >= 100)) {
+            // non-numeric (or sub-100, which sendResponseHeaders rejects)
+            // codes fall through to 404 instead of killing the connection
             val c = path.stripPrefix("/status/").toInt
             (c, c.toString)
           } else if (path == "/events") {
@@ -67,14 +70,20 @@ object LocalHttpServer {
             // /flaky/<n>/<key>: 503 (with Retry-After: 0) for the first n
             // hits of <key>, then 200 "ok-<key>" — the retry-policy fixture
             val parts = path.stripPrefix("/flaky/").split("/", 2)
-            val n = parts(0).toInt
-            val key = if (parts.length > 1) parts(1) else ""
-            val c: Int = flakyCounts.merge(key, Integer.valueOf(1),
-              (a: Integer, b: Integer) => Integer.valueOf(a.intValue + b.intValue))
-            if (c <= n) {
-              x.getResponseHeaders.set("Retry-After", "0")
-              (503, s"try-$c")
-            } else (200, s"ok-$key")
+            parts(0).toIntOption match {
+              case None =>
+                // malformed <n> responds 404 instead of throwing inside
+                // the handler (which would abort the connection)
+                (404, "not found")
+              case Some(n) =>
+                val key = if (parts.length > 1) parts(1) else ""
+                val c: Int = flakyCounts.merge(key, Integer.valueOf(1),
+                  (a: Integer, b: Integer) => Integer.valueOf(a.intValue + b.intValue))
+                if (c <= n) {
+                  x.getResponseHeaders.set("Retry-After", "0")
+                  (503, s"try-$c")
+                } else (200, s"ok-$key")
+            }
           } else (404, "not found")
         val bytes = body.getBytes(StandardCharsets.UTF_8)
         x.getResponseHeaders.set("Content-Type", "text/plain; charset=utf-8")

@@ -2729,15 +2729,18 @@ object Pipeline {
         s.read.parquet(s"$dir/documents.parquet"), col("text"))
       // the operator keys on the FULL path; project the basename only for
       // the oracle gate (the driver table is a single known file)
+      // fp_sum is DECIMAL(38,0) (a 21-digit value at sf0.01) — emit it as a
+      // STRING so the driver's hash canonicalization (which coerces numerics
+      // through int64/float64) cannot lose precision on either side.
       .select(regexp_extract(col("path"), "[^/]+$", 0).as("file"),
-        col("n_rows"), col("fp_xor"), col("fp_sum"))
+        col("n_rows"), col("fp_xor"), col("fp_sum").cast("string").as("fp_sum"))
       .orderBy(col("file"))
 
   val corpusManifestOracle: String =
     """SELECT 'documents.parquet' AS file,
       |  CAST(COUNT(*) AS BIGINT) AS n_rows,
       |  bit_xor(('0x' || substring(md5(text), 1, 15))::BIGINT) AS fp_xor,
-      |  CAST(SUM(('0x' || substring(md5(text), 1, 15))::BIGINT) AS DECIMAL(38,0)) AS fp_sum
+      |  CAST(CAST(SUM(('0x' || substring(md5(text), 1, 15))::BIGINT) AS DECIMAL(38,0)) AS VARCHAR) AS fp_sum
       |FROM documents""".stripMargin
 
   /** Corpus snapshot diff: v1 = docs < 450, v2 = docs >= 50 with every

@@ -2,6 +2,7 @@ package graft.streaming
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graft.Bridge
 import org.apache.spark.sql.streaming.StreamingQuery
 
 /** Structured Streaming restatement of the reference's micro-batch layer.
@@ -88,6 +89,7 @@ object Streams {
     var state = state0
     var lastApplied = -1L
     var lastSurvivors: DataFrame = null
+    var ownsState = false // state0 belongs to the caller — never unpin it
     (batch: DataFrame, batchId: Long) => {
       if (batchId <= lastApplied) {
         // at-least-once replay after the state union already ran: re-emit
@@ -101,9 +103,17 @@ object Streams {
           batch, id, text, state, shingleK, numHashes, bands, threshold)
         val pinned = survivors.localCheckpoint(true)
         onSurvivors(pinned, batchId)
-        state = graft.operators.Dedup.NearDupState(
+        val nextState = graft.operators.Dedup.NearDupState(
           next.bands.localCheckpoint(true),
           next.postings.localCheckpoint(true))
+        // the new pins are eager — the superseded state and the previous
+        // batch's survivors can never be read again (replays only target
+        // the LATEST batch), so free their blocks or executor storage
+        // grows O(batches × state size) on a long-running stream
+        if (ownsState) { Bridge.unpin(state.bands); Bridge.unpin(state.postings) }
+        if (lastSurvivors != null) Bridge.unpin(lastSurvivors)
+        state = nextState
+        ownsState = true
         lastApplied = batchId
         lastSurvivors = pinned
       }
@@ -139,6 +149,7 @@ object Streams {
     var state = state0
     var lastApplied = -1L
     var lastSurvivors: DataFrame = null
+    var ownsState = false // state0 belongs to the caller — never unpin it
     (batch: DataFrame, batchId: Long) => {
       if (batchId <= lastApplied) {
         if (batchId == lastApplied && lastSurvivors != null)
@@ -148,7 +159,13 @@ object Streams {
           batch, id, vec, centroids, state, threshold)
         val pinned = admitted.localCheckpoint(true)
         onSurvivors(pinned, batchId)
-        state = next.localCheckpoint(true)
+        val nextState = next.localCheckpoint(true)
+        // free superseded pins (see nearDupBatchHandler) — replays only
+        // ever target the latest batch
+        if (ownsState) Bridge.unpin(state)
+        if (lastSurvivors != null) Bridge.unpin(lastSurvivors)
+        state = nextState
+        ownsState = true
         lastApplied = batchId
         lastSurvivors = pinned
       }
@@ -180,6 +197,7 @@ object Streams {
     var state = state0
     var lastApplied = -1L
     var lastSurvivors: DataFrame = null
+    var ownsState = false // state0 belongs to the caller — never unpin it
     (batch: DataFrame, batchId: Long) => {
       if (batchId <= lastApplied) {
         if (batchId == lastApplied && lastSurvivors != null)
@@ -189,7 +207,13 @@ object Streams {
           .imageDedupIncremental(batch, state, id, payload, maxHamming)
         val pinned = admitted.localCheckpoint(true)
         onSurvivors(pinned, batchId)
-        state = next.localCheckpoint(true)
+        val nextState = next.localCheckpoint(true)
+        // free superseded pins (see nearDupBatchHandler) — replays only
+        // ever target the latest batch
+        if (ownsState) Bridge.unpin(state)
+        if (lastSurvivors != null) Bridge.unpin(lastSurvivors)
+        state = nextState
+        ownsState = true
         lastApplied = batchId
         lastSurvivors = pinned
       }
@@ -211,6 +235,7 @@ object Streams {
     @volatile private var state = state0
     private var lastApplied = -1L
     private var lastDelta: DataFrame = null
+    private var ownsState = false // state0 belongs to the caller
 
     /** The maintained posting table after every applied batch. */
     def current: DataFrame = state
@@ -227,9 +252,17 @@ object Streams {
           // batch) but key the replacement on the raw batch ids — a doc
           // re-ingested with empty text has no delta rows, yet its stale
           // state postings must still be dropped
-          state = graft.operators.TextIndex.postingsIncrementalFrom(
+          val next = graft.operators.TextIndex.postingsIncrementalFrom(
               state, batch.select(id.as("doc_id")), delta)
             .localCheckpoint(true)
+          // the index is CORPUS-sized: freeing the superseded state pin
+          // and the previous delta (replays only target the latest batch)
+          // is what keeps executor storage at O(index), not
+          // O(batches × index)
+          if (ownsState) Bridge.unpin(state)
+          if (lastDelta != null) Bridge.unpin(lastDelta)
+          state = next
+          ownsState = true
           onDelta(delta, batchId)
           lastApplied = batchId
           lastDelta = delta

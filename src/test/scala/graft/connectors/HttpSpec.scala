@@ -87,11 +87,14 @@ class HttpSpec extends SparkSpec {
     (1 to 6).foreach(_ => rl.acquire())
     val elapsedMs = (System.nanoTime() - t0) / 1000000L
     assert(elapsedMs >= 50, s"6 acquires at 100/s must span >= 50 ms: $elapsedMs")
-    // fresh limiter: first acquire returns without sleeping (well under
-    // one interval)
+    // fresh limiter: first acquire returns without sleeping. The bound is
+    // a full interval (1000 ms) rather than a tight one — a GC/scheduler
+    // pause between construction and acquire must not flake the assert;
+    // what matters is that it does NOT wait the interval it would have
+    // waited had the slot been taken (a second acquire would sleep ~1 s).
     val rl2 = new graft.connectors.RateLimiter(permitsPerSec = 1.0)
     val t1 = System.nanoTime()
     rl2.acquire()
-    assert((System.nanoTime() - t1) / 1000000L < 500)
+    assert((System.nanoTime() - t1) / 1000000L < 1000)
   }
 }

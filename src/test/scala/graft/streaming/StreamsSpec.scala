@@ -290,6 +290,16 @@ class StreamsSpec extends SparkSpec {
     ing.handler(b0, 0L)
     assert(cur === snapshot)
     assert(seen.size === 3)
+    // superseded state/delta pins are FREED as batches advance: the index
+    // is corpus-sized, so a long-running stream must hold O(index) blocks,
+    // not O(batches × index). Steady state per applied batch = 2 pins
+    // (state + last delta); more batches must not grow the persisted set.
+    val pinned2 = spark.sparkContext.getPersistentRDDs.size
+    (2 to 6).foreach(i =>
+      ing.handler(Seq((100L + i, s"w$i")).toDF("doc_id", "text"), i.toLong))
+    assert(spark.sparkContext.getPersistentRDDs.size <= pinned2,
+      "IndexIngest leaked superseded localCheckpoint pins across batches")
+    assert(cur.filter(_._1 == 106L) === Seq((106L, "w6", 1L)))
   }
 
   test("semanticBatchHandler: cluster-assigned dedup vs state, " +
