@@ -25,6 +25,14 @@ object Bridge {
     * reaches it, so long-running foreachBatch state loops must free
     * superseded pins explicitly or executor storage grows
     * O(batches × state size). No-op on plans without RDD leaves.
+    *
+    * OWNERSHIP: this unpersists EVERY `LogicalRDD` leaf in the plan, with
+    * no ownership check — unlike `Dataset.unpersist`, which is scoped to
+    * the cache manager. Call it only on a Dataset whose RDD leaves the
+    * caller exclusively owns, i.e. the `localCheckpoint` result itself;
+    * called on a composite plan (a join/union that includes someone
+    * else's pinned or `createDataFrame(rdd)` leaf) it would release
+    * blocks the caller does not own.
     */
   def unpin(df: org.apache.spark.sql.Dataset[_]): Unit =
     df.queryExecution.analyzed.foreach {

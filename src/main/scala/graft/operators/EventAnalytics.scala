@@ -25,16 +25,42 @@ object EventAnalytics {
     * greedy fold is a per-row linear scan. No corpus-wide window, no
     * self-join per step (an n-step chain as n joins would shuffle the
     * event table n times).
+    *
+    * `maxEventsPerUser` is the skew guard (the pattern of the other
+    * operators' K-caps): a single bot/power user with millions of
+    * step-typed events would otherwise materialize one unbounded array in
+    * the aggregation buffer. With a cap, each user keeps only their
+    * EARLIEST `maxEventsPerUser` step-typed events — sliced by a
+    * spillable per-user window sort BEFORE the collect, so the array is
+    * ≤ cap — and the funnel depth is computed over that slice. Users at
+    * or under the cap are untouched (the greedy-earliest chain over all
+    * events equals the chain over the earliest-cap slice whenever the
+    * chain completes inside it); a conversion whose k-th step first
+    * occurs after the user's cap-th event is not counted — the documented
+    * bound, deterministic via the (ts, et) tie-broken slice order.
+    * 0 = uncapped (no window pass is added).
     */
   def funnel(df: DataFrame, user: Column, tsNanos: Column, eventType: Column,
-      steps: Seq[String]): DataFrame = {
+      steps: Seq[String], maxEventsPerUser: Int = 0): DataFrame = {
     require(steps.nonEmpty, "need at least one funnel step")
     require(steps.distinct.size == steps.size, s"duplicate steps: $steps")
+    require(maxEventsPerUser >= 0,
+      s"maxEventsPerUser must be >= 0 (0 = uncapped), got $maxEventsPerUser")
     val n = steps.size
     val stepArr = array(steps.map(lit): _*)
-    val depths = df
+    val typed = df
       .select(user.as("user_id"), tsNanos.as("ts"), eventType.as("et"))
       .filter(col("et").isin(steps: _*))
+    val sliced =
+      if (maxEventsPerUser == 0) typed
+      else {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("user_id")).orderBy(col("ts"), col("et"))
+        typed.withColumn("__rn", row_number().over(w))
+          .filter(col("__rn") <= maxEventsPerUser)
+          .drop("__rn")
+      }
+    val depths = sliced
       .groupBy(col("user_id"))
       .agg(array_sort(collect_list(struct(col("ts"), col("et")))).as("evs"))
       .select(col("user_id"),

@@ -803,6 +803,100 @@ object Pipeline {
       |SELECT query_id, neighbor_id, rank, cos FROM r WHERE rank <= 3
       |ORDER BY query_id, rank""".stripMargin
 
+  /** The 10⁹-document shape of [[simHashedTfidf]]: the SAME hashed
+    * TF-IDF vectors served through the LSH searcher instead of
+    * brute-force — [[graft.operators.TextIndex.hashedTfidfVectors]] →
+    * [[graft.operators.Similarity.lshTopK]] (8-bit sign-random-projection
+    * buckets, exact cosine rescoring inside the bucket). Same probe set
+    * (doc_id % 97) and k as the brute entry, so the two results are
+    * directly comparable and [[graft.operators.Similarity.recallReport]]
+    * can gate the swap. Candidate work per query is its bucket's
+    * occupancy (~corpus/2^bits), not the corpus — the composition the
+    * brute-force entry's scale adjudication promises. The oracle replays
+    * hashing-trick vectors (fixed-point bucket sums), SRP buckets
+    * (md5-derived planes; the sparse b-ordered fold equals the engine's
+    * dense index-ordered fold because absent buckets contribute exact
+    * +0.0 no-ops and all tf-idf values are positive, so no -0.0 can
+    * arise), and in-bucket cosine top-3.
+    */
+  def simHashedLsh(s: SparkSession, dir: String): DataFrame = {
+    val docs = T(s, dir, "documents")
+      .filter(length(trim(col("text"))) > 0)
+    val vecs = graft.operators.TextIndex.hashedTfidfVectors(
+        docs, col("doc_id"), col("text"), dims = 64)
+      .select(col("doc_id").as("vec_id"), col("vec").as("embedding"))
+    graft.operators.Similarity.lshTopK(
+        vecs.filter(col("vec_id") % 97 === 0), vecs, k = 3, bits = 8)
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  val simHashedLshOracle: String =
+    """WITH w AS (
+      |  SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS term
+      |  FROM documents WHERE trim(text) <> ''),
+      |p AS (SELECT doc_id, term, COUNT(*) AS tf FROM w GROUP BY 1, 2),
+      |dfd AS (SELECT term, COUNT(*) AS df FROM p GROUP BY 1),
+      |nn AS (SELECT COUNT(*) AS n FROM documents WHERE trim(text) <> ''),
+      |v AS (
+      |  SELECT doc_id,
+      |    ('0x' || substring(md5(term), 1, 8))::BIGINT % 64 AS b,
+      |    SUM(CAST(round((CAST(tf AS DOUBLE)
+      |      * (CAST(nn.n AS DOUBLE) / CAST(dfd.df AS DOUBLE)))
+      |      * 1048576.0) AS BIGINT)) AS sv
+      |  FROM p JOIN dfd USING (term) CROSS JOIN nn
+      |  GROUP BY 1, 2),
+      |vf AS (
+      |  SELECT doc_id, b,
+      |    CAST(CAST(sv AS DOUBLE) / 1048576.0 AS FLOAT) AS val
+      |  FROM v),
+      |dj AS (
+      |  SELECT doc_id, j,
+      |    list_reduce(list_prepend(0.0,
+      |      list(CAST(val AS DOUBLE)
+      |        * (('0x' || substring(md5('plane:' || j || ':' || b), 1, 8))::BIGINT::DOUBLE
+      |           / 2147483648.0 - 1.0) ORDER BY b)),
+      |      (a, x) -> a + x) AS dot
+      |  FROM vf CROSS JOIN range(0, 8) AS js(j)
+      |  GROUP BY doc_id, j),
+      |bk AS (
+      |  SELECT doc_id,
+      |    CAST(SUM(CASE WHEN dot > 0 THEN 1::BIGINT << j ELSE 0 END) AS BIGINT)
+      |      AS bucket
+      |  FROM dj GROUP BY doc_id),
+      |nrm AS (
+      |  SELECT doc_id,
+      |    sqrt(list_reduce(list_prepend(0.0,
+      |      list(CAST(val AS DOUBLE) * CAST(val AS DOUBLE) ORDER BY b)),
+      |      (a, x) -> a + x)) AS nrm
+      |  FROM vf GROUP BY doc_id),
+      |cand AS (
+      |  SELECT q.doc_id AS query_id, c.doc_id AS neighbor_id
+      |  FROM bk q JOIN bk c ON q.bucket = c.bucket
+      |    AND q.doc_id % 97 = 0 AND q.doc_id <> c.doc_id),
+      |dots AS (
+      |  SELECT qa.doc_id AS query_id, ca.doc_id AS neighbor_id,
+      |    list_reduce(list_prepend(0.0,
+      |      list(CAST(qa.val AS DOUBLE) * CAST(ca.val AS DOUBLE) ORDER BY qa.b)),
+      |      (a, x) -> a + x) AS dot
+      |  FROM vf qa JOIN vf ca ON qa.b = ca.b
+      |    AND qa.doc_id % 97 = 0 AND qa.doc_id <> ca.doc_id
+      |  GROUP BY 1, 2),
+      |sc AS (
+      |  SELECT cand.query_id, cand.neighbor_id,
+      |    COALESCE(d.dot, 0.0) / (qn.nrm * cn.nrm) AS cos
+      |  FROM cand
+      |  JOIN nrm qn ON qn.doc_id = cand.query_id
+      |  JOIN nrm cn ON cn.doc_id = cand.neighbor_id
+      |  LEFT JOIN dots d ON d.query_id = cand.query_id
+      |    AND d.neighbor_id = cand.neighbor_id),
+      |r AS (
+      |  SELECT query_id, neighbor_id, cos,
+      |    CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+      |      ORDER BY cos DESC, neighbor_id) AS INTEGER) AS rank
+      |  FROM sc)
+      |SELECT query_id, neighbor_id, rank, cos FROM r WHERE rank <= 3
+      |ORDER BY query_id, rank""".stripMargin
+
   /** Exact brute-force cosine top-5 for the first 20 vectors against the full
     * corpus: broadcast the probe set, one scan of the corpus, per-query top-k.
     */
@@ -2626,28 +2720,51 @@ object Pipeline {
     bos.toByteArray
   }
 
-  /** Image near-dup pairs over REAL decoded pixels: 10 distinct pictures,
-    * each with a pixel-noised copy and a 2× rescale — dHash + pigeonhole
-    * block-key join ([[graft.operators.Multimodal.imageDedupPairs]])
-    * recovers copy/rescale pairs without matching different pictures.
-    * javax.imageio pixel decode has no SQL equivalent, so this entry has
-    * NO DuckDB oracle (the driver records a rows-only check); the
-    * semantics are spec-gated in MultimodalSpec (resolution invariance,
-    * noise robustness, separation, exact block recall).
+  /** The mm fixture corpus: 10 distinct pictures, each with a pixel-noised
+    * copy and a 2× rescale. Shared by [[mmPhashPairsQ]] and the
+    * [[graft.tools.TrainArtifacts]] run that pins the decoded dHash64
+    * values ([[PinnedArtifacts.MmFixtureHashes64]]).
     */
-  def mmPhashPairsQ(s: SparkSession, dir: String): DataFrame = {
-    val images = (0 until 10).flatMap { i =>
+  private[graft] def mmFixtureImages: Seq[(Long, Array[Byte])] =
+    (0 until 10).flatMap { i =>
       Seq(
         (i * 3L, patternPng(72, 64, i * 29)),
         (i * 3L + 1, patternPng(72, 64, i * 29, noise = 6)),
         (i * 3L + 2, patternPng(144, 128, i * 29)))
     }
+
+  /** Image near-dup pairs over REAL decoded pixels — dHash + pigeonhole
+    * block-key join ([[graft.operators.Multimodal.imageDedupPairs]])
+    * recovers copy/rescale pairs without matching different pictures.
+    * The Spark side decodes pixels via javax.imageio at query time; the
+    * oracle replays the PAIR semantics (all unordered pairs within
+    * Hamming radius 4 — pigeonhole recall is exact, so block keys are an
+    * optimization, not a semantic) over the PINNED decode results
+    * ([[PinnedArtifacts.MmFixtureHashes64]], regenerated by
+    * `graft.tools.TrainArtifacts`; MultimodalSpec pins decode → hash
+    * equality per image, so a decode-path change fails the spec before
+    * it can silently diverge from the oracle).
+    */
+  def mmPhashPairsQ(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     graft.operators.Multimodal.imageDedupPairs(
-        images.toDF("id", "payload"), col("id"), col("payload"),
+        mmFixtureImages.toDF("id", "payload"), col("id"), col("payload"),
         maxHamming = 4)
       .orderBy(col("id_a"), col("id_b"))
   }
+
+  /** Pair replay over the pinned hashes: every unordered pair within 4
+    * bits. `bit_count`/`xor` are exact integer ops in both engines.
+    */
+  val mmPhashPairsOracle: String =
+    s"""WITH h(id, hash) AS (VALUES
+       |${PinnedArtifacts.mmFixtureHashSqlValues}
+       |)
+       |SELECT a.id AS id_a, b.id AS id_b,
+       |  CAST(bit_count(xor(a.hash, b.hash)) AS INTEGER) AS hamming
+       |FROM h a JOIN h b ON a.id < b.id
+       |WHERE bit_count(xor(a.hash, b.hash)) <= 4
+       |ORDER BY id_a, id_b""".stripMargin
 
   // --------------------------------------------------------- skew diagnostics
 
@@ -3279,6 +3396,47 @@ object Pipeline {
       |GROUP BY 1, 2
       |ORDER BY doc_id, term""".stripMargin
 
+  /** The composed production retrieval path: BM25 SERVED FROM THE
+    * MAINTAINED INDEX. The index is the [[indexIncrementalQ]] state (even
+    * docs' postings plus deliberately STALE prefix postings for the odd
+    * docs) folded with the odd-doc batch via
+    * [[graft.operators.TextIndex.postingsIncremental]]; serving is
+    * [[graft.operators.TextIndex.bm25TopKFromPostings]] over that folded
+    * table — no corpus tokenization at query time (PlanSpec asserts the
+    * serve plan over a posting table is tokenize-free; the tokenization
+    * visible in THIS query's plan belongs to the in-test index build,
+    * which production amortizes across ingest batches). Corpus size is the
+    * maintained doc count, NOT an index-derived distinct (blank docs have
+    * no postings but belong in N). The oracle is [[bm25TopkOracle]]
+    * verbatim — a clean full-corpus build + BM25 — so the composition
+    * hash-matches ONLY if the incremental fold's replace semantics AND
+    * the served scoring are both exact.
+    */
+  def bm25FromIndexQ(s: SparkSession, dir: String): DataFrame = {
+    val docs = T(s, dir, "documents")
+    val even = docs.filter(col("doc_id") % 2 === 0)
+    val oddStale = docs.filter(col("doc_id") % 2 === 1)
+      .select(col("doc_id"),
+        array_join(slice(TextFunctions.tokensWs(col("text")), 1, 3), " ")
+          .as("text"))
+    val state = graft.operators.TextIndex.postings(
+        even, col("doc_id"), col("text"))
+      .unionByName(graft.operators.TextIndex.postings(
+        oddStale, col("doc_id"), col("text")))
+    val batch = docs.filter(col("doc_id") % 2 === 1)
+    val index = graft.operators.TextIndex.postingsIncremental(
+      state, batch, col("doc_id"), col("text"))
+    val corpusSize = docs.agg(count(lit(1)).as("__n"))
+    val qt = docs.filter(col("doc_id") % 101 === 0)
+      .select(col("doc_id").as("qid"),
+        explode(slice(array_sort(array_distinct(
+          filter(graft.functions.TextFunctions.tokensWs(col("text")),
+            t => length(t) >= 4))), 1, 4)).as("term"))
+    graft.operators.TextIndex.bm25TopKFromPostings(
+        index, corpusSize, qt, k = 5)
+      .orderBy(col("qid"), col("rank"))
+  }
+
   /** Duplicate-rate attribution per source
     * ([[graft.operators.Diagnostics.dupRateByGroup]]): corpus-wide exact
     * duplicates charged to every source that carries them. Counts and
@@ -3583,7 +3741,7 @@ object Pipeline {
     Q("source_overlap", sourceOverlap, Some(sourceOverlapOracle)),
     Q("overlap_sketch", overlapSketchQ, Some(overlapSketchOracle)),
     Q("join_size_sketch", joinSizeSketchQ, Some(joinSizeSketchOracle)),
-    Q("mm_phash_pairs", mmPhashPairsQ, None),
+    Q("mm_phash_pairs", mmPhashPairsQ, Some(mmPhashPairsOracle)),
     Q("lang_id", langIdQ, Some(langIdOracle)),
     Q("dedup_canonical", dedupCanonical, Some(dedupCanonicalOracle)),
     Q("segment_dedup", segmentDedupQ, Some(segmentDedupOracle)),
@@ -3628,6 +3786,7 @@ object Pipeline {
     Q("tokenizer_fertility", tokenizerFertility, Some(tokenizerFertilityOracle)),
     Q("curriculum_shards", curriculumShardsQ, Some(curriculumShardsOracle)),
     Q("index_incremental", indexIncrementalQ, Some(indexIncrementalOracle)),
+    Q("bm25_from_index", bm25FromIndexQ, Some(bm25TopkOracle)),
     Q("minhash_err_report", minhashErrReportQ, Some(minhashErrReportOracle)),
     Q("source_affinity", sourceAffinityQ, Some(sourceAffinityOracle)),
     Q("mixed_language", mixedLanguageQ, Some(mixedLanguageOracle)),
@@ -3640,6 +3799,7 @@ object Pipeline {
     Q("sim_bruteforce_topk", simBruteForce, Some(simBruteForceOracle)),
     Q("ann_recall", annRecallQ, Some(annRecallOracle)),
     Q("sim_hashed_tfidf", simHashedTfidf, Some(simHashedTfidfOracle)),
+    Q("sim_hashed_lsh", simHashedLsh, Some(simHashedLshOracle)),
     Q("sim_mmr_topk", simMmrTopk, Some(simMmrTopkOracle)),
     Q("sim_hard_negatives", simHardNegatives, Some(simHardNegativesOracle)),
     Q("sim_filtered_topk", simFilteredTopk, Some(simFilteredTopkOracle)),

@@ -79,6 +79,14 @@ object Streams {
     * are pinned with a localCheckpoint before emission — a replay must
     * re-emit the EXACT rows of the original run, and an unpinned plan would
     * recompute against the already-mutated state.
+    *
+    * LIFETIME: the emitted survivors frame is valid only until the NEXT
+    * batch is applied — superseded pins are freed then (storage must not
+    * grow O(batches)), and a localCheckpoint has no lineage to recompute
+    * from. `onSurvivors` must fully consume (collect/write) the frame
+    * before returning control to the stream; the same holds for
+    * [[semanticIngest]]/[[imageIngest]] survivors and
+    * [[IndexIngest.onDelta]] deltas.
     */
   def nearDupBatchHandler(state0: graft.operators.Dedup.NearDupState,
       onSurvivors: (DataFrame, Long) => Unit,
@@ -237,7 +245,13 @@ object Streams {
     private var lastDelta: DataFrame = null
     private var ownsState = false // state0 belongs to the caller
 
-    /** The maintained posting table after every applied batch. */
+    /** The maintained posting table after every applied batch. A returned
+      * snapshot is INVALIDATED by the next applied batch (its pins are
+      * freed then, and a localCheckpoint has no lineage fallback) — a
+      * cross-thread reader holding one across a batch boundary can fail
+      * mid-collect. Collect under the same single-threaded discipline as
+      * the handler, or re-read `current` per use.
+      */
     def current: DataFrame = state
 
     val handler: (DataFrame, Long) => Unit =

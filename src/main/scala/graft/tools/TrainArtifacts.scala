@@ -72,6 +72,18 @@ object TrainArtifacts {
     println("// ---- Scala literal: DsirWeights64")
     println("    " + dw.map(d => s"$d").mkString(", "))
 
+    // ---- mm fixture dHash64 pins: decode the mm_phash_pairs fixture
+    // corpus through the production path ONCE and print the (id, hash)
+    // literals for PinnedArtifacts.MmFixtureHashes64
+    import spark.implicits._
+    val mmHashes = graft.operators.Multimodal.perceptualHash(
+        graft.queries.Pipeline.mmFixtureImages.toDF("id", "payload"),
+        col("payload"))
+      .select(col("id"), col("phash")).orderBy(col("id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    println("// ---- Scala literal: MmFixtureHashes64")
+    mmHashes.foreach { case (id, h) => println(s"    ${id}L -> ${h}L,") }
+
     spark.stop()
   }
 }

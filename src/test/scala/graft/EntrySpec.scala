@@ -20,19 +20,16 @@ class EntrySpec extends SparkSpec {
     assert(missing.isEmpty, s"oracles without queries: $missing")
   }
 
-  test("every declared query is oracle-checked, except the explicit " +
-      "pixel-decode allowlist") {
+  test("every declared query is oracle-checked — the allowlist is empty") {
     // Since round 6 the two former rows-only entries (sim_ivf_trained,
     // bpe_tokenize) inject their trained artifacts from PinnedArtifacts,
     // so their post-training math is oracle-replayable like everything
-    // else. Round 10 adds exactly ONE genuinely non-replayable entry:
-    // mm_phash_pairs hashes REAL javax.imageio-decoded pixels, which no
-    // SQL engine can reproduce (its semantics are spec-gated in
-    // MultimodalSpec). The allowlist is exact-equality, so any
-    // accidentally oracle-less query still fails here.
-    val allowedRowsOnly = Set("mm_phash_pairs")
+    // else. Round 13 closed the last gap: mm_phash_pairs pins its
+    // javax.imageio decode results (PinnedArtifacts.MmFixtureHashes64,
+    // decode→pin equality asserted per image in MultimodalSpec) and the
+    // oracle replays the Hamming-radius pair join over the pinned 64-bit
+    // values — so EVERY registry entry is now hash-gated.
     val weak = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
-    assert(weak == allowedRowsOnly,
-      s"queries without oracle SQL beyond the allowlist: ${weak -- allowedRowsOnly}")
+    assert(weak.isEmpty, s"queries without oracle SQL: $weak")
   }
 }

@@ -30,6 +30,28 @@ class EventAnalyticsSpec extends SparkSpec {
     assert(none === Seq((1, "A", 0L), (2, "B", 0L)))
   }
 
+  test("funnel maxEventsPerUser: slices each user to their EARLIEST cap " +
+      "step events — under-cap users unchanged, conversions inside the " +
+      "slice kept, conversions first completed after it dropped") {
+    // u1 (skewed): 10k A-spam events then the B at the very end — the
+    // conversion only exists past the cap, so cap=100 must not count it
+    val u1 = (0 until 10000).map(i => (1L, 100L + i, "A")) :+ ((1L, 99999L, "B"))
+    // u2 converts inside the first 3 events; u3 is under the cap entirely
+    val u2 = Seq((2L, 10L, "A"), (2L, 20L, "B"), (2L, 30L, "A"))
+    val u3 = Seq((3L, 10L, "A"), (3L, 20L, "B"))
+    val e = (u1 ++ u2 ++ u3).toDF("user_id", "ts", "et")
+    def run(cap: Int) =
+      EventAnalytics.funnel(e, col("user_id"), col("ts"), col("et"),
+          Seq("A", "B"), maxEventsPerUser = cap)
+        .as[(Int, String, Long)].collect().sortBy(_._1).toSeq
+    // uncapped: all three users reach A, all three convert to B
+    assert(run(0) === Seq((1, "A", 3L), (2, "B", 3L)))
+    // cap=100: u1's B is outside its earliest-100 slice -> only u2, u3 at B
+    assert(run(100) === Seq((1, "A", 3L), (2, "B", 2L)))
+    // a cap at/above every user's event count is a no-op
+    assert(run(20000) === run(0))
+  }
+
   test("retentionCohorts: cohort is the first-active day, offsets count " +
       "distinct active days, and the day math is exact at nanosecond scale") {
     val day = 86400000000000L

@@ -628,6 +628,25 @@ class MultimodalSpec extends SparkSpec {
       s"different picture matched: $pairs")
     assert(!pairs.exists(p => p._1 == 5L || p._2 == 5L))
   }
+
+  test("mm fixture decode matches the pinned dHash64 values — the " +
+      "mm_phash_pairs oracle replays pairs over these pins, so a decode-" +
+      "path change must fail HERE, not silently diverge from the oracle") {
+    val got = Multimodal.perceptualHash(
+        graft.queries.Pipeline.mmFixtureImages.toDF("id", "payload"),
+        col("payload"))
+      .select(col("id"), col("phash"))
+      .as[(Long, Long)].collect().toMap
+    val pinned = graft.queries.PinnedArtifacts.MmFixtureHashes64.toMap
+    assert(got.keySet === pinned.keySet,
+      s"fixture ids drifted: ${got.keySet} vs ${pinned.keySet}")
+    val diff = pinned.collect {
+      case (id, h) if got(id) != h => (id, h, got(id))
+    }
+    assert(diff.isEmpty,
+      s"decode drifted from pins (id, pinned, got): $diff — regenerate " +
+        "via graft.tools.TrainArtifacts ONLY if the decode change is intended")
+  }
 }
 
 object MultimodalSpec {

@@ -312,6 +312,22 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("topkaggregator"), p)
   }
 
+  test("bm25 served from a maintained posting table: the serve plan is " +
+      "TOKENIZE-FREE (no split over any text) and keeps the bm25 shape — " +
+      "the production contract of bm25_from_index once the index persists") {
+    import spark.implicits._
+    val postings = Seq((1L, "alpha", 2L), (1L, "beta", 1L), (2L, "alpha", 1L))
+      .toDF("doc_id", "term", "tf")
+    val n = Seq(Tuple1(2L)).toDF("__n")
+    val qt = Seq((10L, "alpha"), (10L, "beta")).toDF("qid", "term")
+    val p = plan(graft.operators.TextIndex.bm25TopKFromPostings(
+      postings, n, qt, k = 5))
+    assert(!p.contains("split("), p) // tokensWs' marker — no query-time tokenize
+    assert(!p.contains("Window"), p)
+    assert(!p.contains("collect_list"), p)
+    assert(p.contains("topkaggregator"), p)
+  }
+
   test("dsir_sample: the weight table is a plan literal — no join for it; " +
       "bounded global top-k, no Window") {
     val p = plan(Pipeline.dsirSample(spark, dir))

@@ -232,6 +232,15 @@ class StreamsSpec extends SparkSpec {
     // an out-of-order older batchId is a guarded no-op, not a wrong re-emit
     handler(b0, 0L)
     assert(seen.size === 3)
+    // superseded state/survivor pins are FREED as batches advance (same
+    // non-growth contract as IndexIngest): steady state per applied batch
+    // is the current state's pins + the last survivors, never O(batches)
+    val pinned = spark.sparkContext.getPersistentRDDs.size
+    (2 to 6).foreach(i => handler(
+      Seq((100L + i, s"a uniquely worded fresh document number $i unlike anything else written"))
+        .toDF("doc_id", "text"), i.toLong))
+    assert(spark.sparkContext.getPersistentRDDs.size <= pinned,
+      "nearDupBatchHandler leaked superseded localCheckpoint pins")
   }
 
   test("imageBatchHandler: perceptual dedup vs state, idempotent on replay") {
@@ -255,6 +264,12 @@ class StreamsSpec extends SparkSpec {
     val b1 = Seq((10L, png(0, 108, 96)), (11L, png(131))).toDF("id", "payload")
     handler(b1, 1L)
     assert(seen.toList === List(0L -> Seq(1L), 0L -> Seq(1L), 1L -> Seq(11L)))
+    // pins must not grow with batch count (the IndexIngest contract)
+    val pinned = spark.sparkContext.getPersistentRDDs.size
+    (2 to 6).foreach(i => handler(
+      Seq((100L + i, png(17 * i + 3))).toDF("id", "payload"), i.toLong))
+    assert(spark.sparkContext.getPersistentRDDs.size <= pinned,
+      "imageBatchHandler leaked superseded localCheckpoint pins")
   }
 
   test("IndexIngest: batches fold into the posting table with replace " +
@@ -337,6 +352,12 @@ class StreamsSpec extends SparkSpec {
     // an older batchId is a guarded no-op
     handler(b0, 0L)
     assert(seen.size === 3)
+    // pins must not grow with batch count (the IndexIngest contract)
+    val pinned = spark.sparkContext.getPersistentRDDs.size
+    (2 to 6).foreach(i => handler(
+      Seq((100L + i.toLong, far().toSeq)).toDF("vec_id", "embedding"), i.toLong))
+    assert(spark.sparkContext.getPersistentRDDs.size <= pinned,
+      "semanticBatchHandler leaked superseded localCheckpoint pins")
   }
 
   test("sessionCounts merges events within the gap, splits beyond it") {
