@@ -81,7 +81,15 @@ object Stress {
     // projection, the session window, and the pairwise source-affinity
     // posting join
     "funnel_report", "retention_cohorts", "q14_sessionize",
-    "source_affinity")
+    "source_affinity",
+    // round-13 additions: the hashed-TFIDF × LSH composition serves a
+    // FIXED probe set (ids below IdStride — replica 0 only), so its
+    // growth must be linear in the corpus (bucket occupancy per probe),
+    // unlike the brute entry whose harness-scaled probe count confounds
+    // the ×64 reading; bm25_from_index adds the state anti-join fold on
+    // top of bm25_topk's posting shapes (query workload harness-scaled,
+    // same adjudication as bm25_topk)
+    "sim_hashed_lsh", "bm25_from_index")
 
   private val IdStride = 1000000L // well above any sf0.1 id; keeps ids unique
 

@@ -818,6 +818,14 @@ object Pipeline {
     * dense index-ordered fold because absent buckets contribute exact
     * +0.0 no-ops and all tf-idf values are positive, so no -0.0 can
     * arise), and in-bucket cosine top-3.
+    *
+    * The probe set is additionally bounded to ids below the
+    * [[graft.Stress]] replica stride (1 000 000) — a no-op at every
+    * oracle SF (all real doc_ids sit far below it), but under stress
+    * replication it pins the probe WORKLOAD fixed while the corpus
+    * grows, so the stress rows measure the per-probe serve cost's
+    * linearity rather than a harness-scaled probe count (the
+    * brute-force entry's ×64 adjudication is exactly that confound).
     */
   def simHashedLsh(s: SparkSession, dir: String): DataFrame = {
     val docs = T(s, dir, "documents")
@@ -826,7 +834,8 @@ object Pipeline {
         docs, col("doc_id"), col("text"), dims = 64)
       .select(col("doc_id").as("vec_id"), col("vec").as("embedding"))
     graft.operators.Similarity.lshTopK(
-        vecs.filter(col("vec_id") % 97 === 0), vecs, k = 3, bits = 8)
+        vecs.filter(col("vec_id") % 97 === 0 && col("vec_id") < 1000000L),
+        vecs, k = 3, bits = 8)
       .orderBy(col("query_id"), col("rank"))
   }
 
@@ -872,14 +881,16 @@ object Pipeline {
       |cand AS (
       |  SELECT q.doc_id AS query_id, c.doc_id AS neighbor_id
       |  FROM bk q JOIN bk c ON q.bucket = c.bucket
-      |    AND q.doc_id % 97 = 0 AND q.doc_id <> c.doc_id),
+      |    AND q.doc_id % 97 = 0 AND q.doc_id < 1000000
+      |    AND q.doc_id <> c.doc_id),
       |dots AS (
       |  SELECT qa.doc_id AS query_id, ca.doc_id AS neighbor_id,
       |    list_reduce(list_prepend(0.0,
       |      list(CAST(qa.val AS DOUBLE) * CAST(ca.val AS DOUBLE) ORDER BY qa.b)),
       |      (a, x) -> a + x) AS dot
       |  FROM vf qa JOIN vf ca ON qa.b = ca.b
-      |    AND qa.doc_id % 97 = 0 AND qa.doc_id <> ca.doc_id
+      |    AND qa.doc_id % 97 = 0 AND qa.doc_id < 1000000
+      |    AND qa.doc_id <> ca.doc_id
       |  GROUP BY 1, 2),
       |sc AS (
       |  SELECT cand.query_id, cand.neighbor_id,
