@@ -91,7 +91,13 @@ object Stress {
     // same adjudication as bm25_topk)
     "sim_hashed_lsh", "bm25_from_index")
 
-  private val IdStride = 1000000L // well above any sf0.1 id; keeps ids unique
+  /** Replica id offset — well above any sf0.1 id, keeps replica ids
+    * unique. PUBLIC because `Pipeline.simHashedLsh` pins its probe set
+    * below this stride (so stress probes stay scale-fixed); the query and
+    * its oracle SQL interpolate THIS constant — change it here and both
+    * stay in lockstep.
+    */
+  val IdStride = 1000000L
 
   private def replicate(base: DataFrame, mult: Int): DataFrame =
     base.select(col("*"),

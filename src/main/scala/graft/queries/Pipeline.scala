@@ -752,8 +752,15 @@ object Pipeline {
       .orderBy(col("query_id"), col("rank"))
   }
 
-  val simHashedTfidfOracle: String =
-    """WITH w AS (
+  /** Shared replay of [[graft.operators.TextIndex.hashedTfidfVectors]] as
+    * DuckDB CTEs — sparse (doc_id, b, val) vectors `vf` plus per-doc L2
+    * norms `nrm`. ONE copy (the hash-bucket formula, 2^20 fixed point,
+    * float cast, and fold order must stay bit-identical wherever the
+    * vectors are replayed): both [[simHashedTfidfOracle]] (brute serve)
+    * and [[simHashedLshOracle]] (LSH serve) build on it.
+    */
+  private val hashedTfidfVfCtes: String =
+    """w AS (
       |  SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS term
       |  FROM documents WHERE trim(text) <> ''),
       |p AS (SELECT doc_id, term, COUNT(*) AS tf FROM w GROUP BY 1, 2),
@@ -776,7 +783,10 @@ object Pipeline {
       |    sqrt(list_reduce(list_prepend(0.0,
       |      list(CAST(val AS DOUBLE) * CAST(val AS DOUBLE) ORDER BY b)),
       |      (a, x) -> a + x)) AS nrm
-      |  FROM vf GROUP BY doc_id),
+      |  FROM vf GROUP BY doc_id)""".stripMargin
+
+  val simHashedTfidfOracle: String =
+    s"""WITH $hashedTfidfVfCtes,
       |dots AS (
       |  SELECT qa.doc_id AS query_id, ca.doc_id AS neighbor_id,
       |    list_reduce(list_prepend(0.0,
@@ -834,30 +844,14 @@ object Pipeline {
         docs, col("doc_id"), col("text"), dims = 64)
       .select(col("doc_id").as("vec_id"), col("vec").as("embedding"))
     graft.operators.Similarity.lshTopK(
-        vecs.filter(col("vec_id") % 97 === 0 && col("vec_id") < 1000000L),
+        vecs.filter(col("vec_id") % 97 === 0 &&
+          col("vec_id") < graft.Stress.IdStride),
         vecs, k = 3, bits = 8)
       .orderBy(col("query_id"), col("rank"))
   }
 
   val simHashedLshOracle: String =
-    """WITH w AS (
-      |  SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS term
-      |  FROM documents WHERE trim(text) <> ''),
-      |p AS (SELECT doc_id, term, COUNT(*) AS tf FROM w GROUP BY 1, 2),
-      |dfd AS (SELECT term, COUNT(*) AS df FROM p GROUP BY 1),
-      |nn AS (SELECT COUNT(*) AS n FROM documents WHERE trim(text) <> ''),
-      |v AS (
-      |  SELECT doc_id,
-      |    ('0x' || substring(md5(term), 1, 8))::BIGINT % 64 AS b,
-      |    SUM(CAST(round((CAST(tf AS DOUBLE)
-      |      * (CAST(nn.n AS DOUBLE) / CAST(dfd.df AS DOUBLE)))
-      |      * 1048576.0) AS BIGINT)) AS sv
-      |  FROM p JOIN dfd USING (term) CROSS JOIN nn
-      |  GROUP BY 1, 2),
-      |vf AS (
-      |  SELECT doc_id, b,
-      |    CAST(CAST(sv AS DOUBLE) / 1048576.0 AS FLOAT) AS val
-      |  FROM v),
+    s"""WITH $hashedTfidfVfCtes,
       |dj AS (
       |  SELECT doc_id, j,
       |    list_reduce(list_prepend(0.0,
@@ -872,25 +866,19 @@ object Pipeline {
       |    CAST(SUM(CASE WHEN dot > 0 THEN 1::BIGINT << j ELSE 0 END) AS BIGINT)
       |      AS bucket
       |  FROM dj GROUP BY doc_id),
-      |nrm AS (
-      |  SELECT doc_id,
-      |    sqrt(list_reduce(list_prepend(0.0,
-      |      list(CAST(val AS DOUBLE) * CAST(val AS DOUBLE) ORDER BY b)),
-      |      (a, x) -> a + x)) AS nrm
-      |  FROM vf GROUP BY doc_id),
       |cand AS (
       |  SELECT q.doc_id AS query_id, c.doc_id AS neighbor_id
       |  FROM bk q JOIN bk c ON q.bucket = c.bucket
-      |    AND q.doc_id % 97 = 0 AND q.doc_id < 1000000
+      |    AND q.doc_id % 97 = 0 AND q.doc_id < ${graft.Stress.IdStride}
       |    AND q.doc_id <> c.doc_id),
       |dots AS (
-      |  SELECT qa.doc_id AS query_id, ca.doc_id AS neighbor_id,
+      |  SELECT cd.query_id, cd.neighbor_id,
       |    list_reduce(list_prepend(0.0,
       |      list(CAST(qa.val AS DOUBLE) * CAST(ca.val AS DOUBLE) ORDER BY qa.b)),
       |      (a, x) -> a + x) AS dot
-      |  FROM vf qa JOIN vf ca ON qa.b = ca.b
-      |    AND qa.doc_id % 97 = 0 AND qa.doc_id < 1000000
-      |    AND qa.doc_id <> ca.doc_id
+      |  FROM cand cd
+      |  JOIN vf qa ON qa.doc_id = cd.query_id
+      |  JOIN vf ca ON ca.doc_id = cd.neighbor_id AND ca.b = qa.b
       |  GROUP BY 1, 2),
       |sc AS (
       |  SELECT cand.query_id, cand.neighbor_id,
@@ -2745,12 +2733,18 @@ object Pipeline {
     }
 
   /** Image near-dup pairs over REAL decoded pixels — dHash + pigeonhole
-    * block-key join ([[graft.operators.Multimodal.imageDedupPairs]])
-    * recovers copy/rescale pairs without matching different pictures.
-    * The Spark side decodes pixels via javax.imageio at query time; the
-    * oracle replays the PAIR semantics (all unordered pairs within
-    * Hamming radius 4 — pigeonhole recall is exact, so block keys are an
-    * optimization, not a semantic) over the PINNED decode results
+    * block-key join ([[graft.operators.Multimodal.imageDedupPairs]]),
+    * all unordered pairs within Hamming radius 4. NOTE on the fixture's
+    * pair structure (visible in the pinned hashes): exact copies and
+    * noised copies pair at distance 0; most rescales pair within the
+    * radius, but two rescale hashes land at distance 6/8 (absent) and
+    * pictures 4 and 5 near-collide at exactly 4 (present) — the entry
+    * gates the RADIUS-JOIN SEMANTICS bit-for-bit, while the
+    * separation/recall demonstrations live in MultimodalSpec's dedicated
+    * fixtures. The Spark side decodes pixels via javax.imageio at query
+    * time; the oracle replays the pair semantics (pigeonhole recall is
+    * exact, so block keys are an optimization, not a semantic) over the
+    * PINNED decode results
     * ([[PinnedArtifacts.MmFixtureHashes64]], regenerated by
     * `graft.tools.TrainArtifacts`; MultimodalSpec pins decode → hash
     * equality per image, so a decode-path change fails the spec before
