@@ -997,6 +997,44 @@ object Dedup {
     (admitted.select(col("id"), col("cid")), state.unionAll(admitted))
   }
 
+  /** Semantic decontamination: screen the training corpus against an
+    * eval/benchmark set in EMBEDDING space — the SemDeDup-style complement
+    * to the n-gram [[containmentPairs]] screen (paraphrased benchmark
+    * leakage has no shingle overlap but sits close in embedding space).
+    * Per corpus document: the max cosine to ANY needle, the worst
+    * (closest) needle's id (ties → lowest id), and the `contaminated`
+    * flag at `threshold`. Keep the report, not just the drop — leakage
+    * audits need to see WHICH benchmark item a document matched.
+    *
+    * Scale shape: eval sets are 10³–10⁶ rows — tiny against a 100 TB
+    * corpus — so the needles broadcast and scoring is a map-side
+    * broadcast loop over the corpus scan; the per-id max is partial-
+    * aggregated before its exchange, so the one shuffle carries a single
+    * (id, needle, cos, flag)-sized row per corpus document and corpus
+    * vectors never shuffle. Beyond broadcastable needle sets, pre-bucket
+    * both sides by SRP key ([[Similarity.lshTopK]]'s shape) and screen
+    * within buckets. Zero-norm vectors have no cosine — exclude them
+    * upstream (their NaN would rank as the max on both engines, but the
+    * report would be meaningless).
+    */
+  def semanticDecontaminate(corpus: DataFrame, id: Column, vec: Column,
+      needles: DataFrame, needleId: Column, needleVec: Column,
+      threshold: Double): DataFrame = {
+    import org.apache.spark.sql.graft.VectorFunctions
+    val c = widen(corpus.select(id.as("id"), vec.as("__cv")))
+    val n = needles.select(needleId.as("__nid"), needleVec.as("__nv"))
+    c.join(broadcast(n))
+      .select(col("id"), col("__nid"),
+        VectorFunctions.cosineSim(col("__cv"), col("__nv")).as("__cos"))
+      .groupBy(col("id"))
+      .agg(max(col("__cos")).as("max_cos"),
+        max_by(col("__nid"),
+          struct(col("__cos").as("c"), (-col("__nid")).as("t")))
+          .as("worst_needle"))
+      .select(col("id"), col("worst_needle"), col("max_cos"),
+        (col("max_cos") >= threshold).as("contaminated"))
+  }
+
   /** Near-duplicate pairs by SimHash hamming distance <= maxHamming.
     *
     * Candidates via the block trick: the 60-bit signature in `blocks` equal

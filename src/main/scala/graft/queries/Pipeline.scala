@@ -316,6 +316,46 @@ object Pipeline {
         T(s, dir, "embeddings"), col("vec_id"), col("embedding"), threshold = 0.45)
       .orderBy(col("id_a"), col("id_b"))
 
+  /** Semantic decontamination report
+    * ([[graft.operators.Dedup.semanticDecontaminate]]): the corpus
+    * (vec_id % 149 != 0) screened against a benchmark needle set
+    * (vec_id % 149 == 0) in embedding space — per doc, the closest
+    * needle, its cosine, and the contamination flag at 0.5. The oracle
+    * replays every (doc, needle) cosine and picks the (cos desc,
+    * needle_id) argmax — identical to the engine's max/max_by with the
+    * same tie-break.
+    */
+  def semanticDecontaminateQ(s: SparkSession, dir: String): DataFrame = {
+    val emb = T(s, dir, "embeddings")
+    graft.operators.Dedup.semanticDecontaminate(
+        emb.filter(col("vec_id") % 149 =!= 0), col("vec_id"), col("embedding"),
+        emb.filter(col("vec_id") % 149 === 0), col("vec_id"), col("embedding"),
+        threshold = 0.5)
+      .select(col("id").as("vec_id"), col("worst_needle"), col("max_cos"),
+        col("contaminated"))
+      .orderBy(col("vec_id"))
+  }
+
+  val semanticDecontaminateOracle: String =
+    s"""WITH nd AS (
+       |  SELECT vec_id AS needle_id, embedding AS nv
+       |  FROM embeddings WHERE vec_id % 149 = 0),
+       |cp AS (
+       |  SELECT vec_id, embedding FROM embeddings WHERE vec_id % 149 <> 0),
+       |sc AS (
+       |  SELECT cp.vec_id, nd.needle_id,
+       |    ${cosSql("cp.embedding", "nd.nv")} AS cos
+       |  FROM cp CROSS JOIN nd),
+       |r AS (
+       |  SELECT vec_id, needle_id, cos,
+       |    ROW_NUMBER() OVER (PARTITION BY vec_id
+       |      ORDER BY cos DESC, needle_id) AS rk
+       |  FROM sc)
+       |SELECT vec_id, needle_id AS worst_needle, cos AS max_cos,
+       |  cos >= CAST('0.5' AS DOUBLE) AS contaminated
+       |FROM r WHERE rk = 1
+       |ORDER BY vec_id""".stripMargin
+
   val dedupEmbeddingOracle: String =
     s"""WITH $normsCte
        |SELECT id_a, id_b, cos FROM (
@@ -3798,6 +3838,8 @@ object Pipeline {
     Q("dup_rate_by_source", dupRateBySourceQ, Some(dupRateBySourceOracle)),
     Q("winnow_fingerprints", winnowFps, Some(winnowFpsOracle)),
     Q("dedup_embedding", dedupEmbedding, Some(dedupEmbeddingOracle)),
+    Q("semantic_decontaminate", semanticDecontaminateQ,
+      Some(semanticDecontaminateOracle)),
     Q("label_centroids", labelCentroidsQ, Some(labelCentroidsOracle)),
     Q("embedding_outliers", embeddingOutliersQ, Some(embeddingOutliersOracle)),
     Q("dedup_semantic", dedupSemantic, Some(dedupSemanticOracle)),

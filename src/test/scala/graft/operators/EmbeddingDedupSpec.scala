@@ -103,4 +103,39 @@ class EmbeddingDedupSpec extends SparkSpec {
     assert(got.exists(!_._3), "the planted near-dups must be dropped")
     assert(got.count(_._3) > 30, "loose vectors must survive")
   }
+
+  test("semanticDecontaminate: per-doc closest needle + flag matches the " +
+      "driver calc; planted leak flagged, orthogonal doc clean, cosine " +
+      "ties break to the lowest needle id") {
+    import spark.implicits._
+    val needles = Seq(
+      (100L, Seq(1f, 0f, 0f, 0f)),
+      (101L, Seq(0f, 1f, 0f, 0f)),
+      // needle 102 duplicates needle 100's direction — a corpus doc along
+      // it ties at cosine 1.0 against both; the report must name 100
+      (102L, Seq(2f, 0f, 0f, 0f)))
+      .toDF("vec_id", "embedding")
+    val corpus = Seq(
+      (1L, Seq(0.9f, 0.1f, 0f, 0f)),   // leaked: near needle 100/102
+      (2L, Seq(0f, 0f, 1f, 0f)),       // orthogonal to every needle
+      (3L, Seq(3f, 0f, 0f, 0f)))       // exact direction: cos 1.0 tie
+      .toDF("vec_id", "embedding")
+    val got = Dedup.semanticDecontaminate(
+        corpus, col("vec_id"), col("embedding"),
+        needles, col("vec_id"), col("embedding"), threshold = 0.9)
+      .as[(Long, Long, Double, Boolean)].collect().sortBy(_._1).toSeq
+    def cos(a: Seq[Float], b: Seq[Float]) = {
+      var d = 0.0; var na = 0.0; var nb = 0.0
+      for (i <- a.indices) { d += a(i).toDouble * b(i).toDouble
+        na += a(i).toDouble * a(i).toDouble; nb += b(i).toDouble * b(i).toDouble }
+      d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val c1 = cos(Seq(0.9f, 0.1f, 0f, 0f), Seq(1f, 0f, 0f, 0f))
+    assert(got(0) === ((1L, 100L, c1, true)))
+    // doc 2 is orthogonal to every needle: cos 0.0 three-way tie → the
+    // lowest needle id is reported, and the flag stays clean
+    assert(got(1) === ((2L, 100L, 0.0, false)))
+    assert(got(2) === ((3L, 100L, 1.0, true)),
+      "cosine tie must resolve to the LOWEST needle id")
+  }
 }

@@ -328,6 +328,22 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("topkaggregator"), p)
   }
 
+  test("semantic_decontaminate: needles broadcast into a map-side loop, " +
+      "per-id max partial-aggregated — one hash exchange plus the output " +
+      "sort, corpus vectors never shuffle") {
+    val p = plan(Pipeline.semanticDecontaminateQ(spark, dir))
+    assert(p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("Window"), p)
+    // the groupBy(id) exchange + the orderBy range exchange + widen's
+    // round-robin input widening on the corpus scan (a test-SF artifact:
+    // one small parquet file arrives as one partition); the needle side
+    // is a BroadcastExchange (not matched by this pattern). The
+    // aggregation is partial BEFORE its exchange, so only one narrow row
+    // per corpus id crosses it — vectors stay put.
+    assert("\\(\\d+\\) Exchange".r.findAllIn(p).size <= 3, p)
+  }
+
   test("dsir_sample: the weight table is a plan literal — no join for it; " +
       "bounded global top-k, no Window") {
     val p = plan(Pipeline.dsirSample(spark, dir))
