@@ -514,9 +514,30 @@ object TextIndex {
       queryTerms: DataFrame, k: Int,
       k1: Double = 1.2, b: Double = 0.75): DataFrame = {
     val src = df.select(id.as("__id"), text.as("__text"))
-    val p = postings(src, col("__id"), col("__text"))
     val nDim = src.agg(count(lit(1)).as("__n"))
-    bm25TopKFromPostings(p, nDim, queryTerms, k, k1, b)
+    // Two inline-build optimizations over the naive postings() feed, both
+    // exact (AQE does not fuse identical posting exchanges —
+    // PlanProbe-verified — so every avoided aggregation is real):
+    // 1. the query-term prune is pushed BELOW the posting aggregation:
+    //    tokens semi-join the broadcast term set before the (doc, term)
+    //    count, so the aggregation and its exchange carry query-term
+    //    tokens only, never the corpus dictionary (group counts are
+    //    per-(doc, term), so pruning before or after aggregating is the
+    //    same result);
+    // 2. the doc-length dim is a MAP-ONLY token count — identical to
+    //    Σ tf per doc by construction, sparing the corpus-wide posting
+    //    aggregation that dl would otherwise pay. Zero-token docs
+    //    contribute dl = 0 rows no candidate joins, adding nothing.
+    val qterms = queryTerms.select(col("term")).distinct()
+    val prunedP = src
+      .select(col("__id").as("doc_id"),
+        explode(TextFunctions.tokensWs(col("__text"))).as("term"))
+      .join(broadcast(qterms), Seq("term"))
+      .groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val dl = src.select(col("__id").as("doc_id"),
+      size(TextFunctions.tokensWs(col("__text"))).cast("long").as("dl"))
+    bm25Serve(prunedP, dl, nDim, queryTerms, k, k1, b)
   }
 
   /** [[bm25TopK]] served from a MAINTAINED posting table — the production
@@ -533,9 +554,25 @@ object TextIndex {
     */
   def bm25TopKFromPostings(p: DataFrame, corpusSize: DataFrame,
       queryTerms: DataFrame, k: Int,
-      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+      k1: Double = 1.2, b: Double = 0.75): DataFrame =
+    bm25Serve(p,
+      p.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl")),
+      corpusSize, queryTerms, k, k1, b)
+
+  /** Shared BM25 serve core: scoring over a posting table with the
+    * doc-length dim supplied by the caller — posting-derived
+    * ([[bm25TopKFromPostings]]) or a map-only token count when the text
+    * is at hand ([[bm25TopK]]); the two are identical by construction
+    * (dl = Σ tf per doc). `dlDim`: (doc_id, dl: long), one row per doc
+    * with ≥ 0 tokens (zero-token docs may appear with dl = 0 or be
+    * absent — they have no postings, so no candidate ever joins them,
+    * and a 0 adds nothing to the total).
+    */
+  private def bm25Serve(p: DataFrame, dlDim: DataFrame,
+      corpusSize: DataFrame, queryTerms: DataFrame, k: Int,
+      k1: Double, b: Double): DataFrame = {
     require(k > 0, s"k must be positive, got $k")
-    val dl = p.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
+    val dl = dlDim
     val totDim = dl.agg(coalesce(sum(col("dl")), lit(0L)).as("__tot"))
     val statsDim = corpusSize.crossJoin(totDim)
     val qt = queryTerms.select(col("qid"), col("term")).distinct()
