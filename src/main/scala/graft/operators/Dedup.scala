@@ -708,6 +708,62 @@ object Dedup {
     }
   }
 
+  /** Pairwise-similarity histogram for dedup-THRESHOLD CALIBRATION: the
+    * distribution of exact n-gram Jaccard over all candidate pairs
+    * (pairs sharing ≥ 1 shingle), in `bins` equal-width buckets — run it
+    * before committing to a near-dup threshold, so the cut is chosen
+    * where the corpus's similarity mass actually bimodalizes instead of
+    * folklore 0.8. Buckets are PURE INTEGER math
+    * (`(inter · bins) div union`, top edge folded into the last bucket),
+    * so the oracle replays bit-for-bit with no float-boundary risk.
+    * Output: one row per bucket 0..bins-1 — (bucket, lo, hi, n_pairs) —
+    * every bucket present even at zero.
+    *
+    * Scale shape: the [[jaccardPairs]] count-strategy machinery — compact
+    * (id, sz, sfp) postings (shingled once via localCheckpoint), an
+    * 8-byte-key posting self-join, and a (pair → bucket) projection into
+    * a bins-bounded aggregation; nothing wider than longs shuffles and
+    * the result is `bins` rows. `maxDocFreq` caps stop-shingle candidate
+    * blowup on real corpora (dropped shingles then undercount `inter` —
+    * the histogram shifts conservatively left; at the oracle SFs the
+    * default None drops nothing).
+    */
+  def jaccardHistogram(df: DataFrame, id: Column, text: Column,
+      bins: Int = 20, shingleK: Int = 3,
+      maxDocFreq: Option[Long] = None): DataFrame = {
+    require(bins > 0, s"bins must be positive, got $bins")
+    val sets = widen(df.select(id.as("id"), text.as("__text")))
+      .select(col("id"), HashFunctions.wordShingleSet(
+        TextFunctions.tokensWs(col("__text")), shingleK).as("set"))
+    val posting = shinglePostings(sets).localCheckpoint(false)
+    val sizes = posting.select(col("id"), col("sz")).distinct()
+    val indexed = maxDocFreq.fold(posting) { m =>
+      val keep = posting.groupBy(col("sfp")).agg(count(lit(1)).as("df"))
+        .filter(col("df") <= m).select(col("sfp"))
+      posting.join(keep, Seq("sfp"))
+    }
+    val inter = indexed.select(col("sfp"), col("id").as("id_a"))
+      .join(indexed.select(col("sfp"), col("id").as("id_b")), Seq("sfp"))
+      .filter(col("id_a") < col("id_b"))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(count(lit(1)).as("inter"))
+    val bucketed = inter
+      .join(broadcast(sizes.select(col("id").as("id_a"), col("sz").as("sz_a"))),
+        Seq("id_a"))
+      .join(broadcast(sizes.select(col("id").as("id_b"), col("sz").as("sz_b"))),
+        Seq("id_b"))
+      .select(least(expr(s"(inter * $bins) div (sz_a + sz_b - inter)"),
+        lit(bins - 1).cast("long")).cast("int").as("bucket"))
+      .groupBy(col("bucket")).agg(count(lit(1)).as("n_pairs"))
+    df.sparkSession.range(0, bins)
+      .select(col("id").cast("int").as("bucket"))
+      .join(bucketed, Seq("bucket"), "left")
+      .select(col("bucket"),
+        (col("bucket").cast("double") / bins).as("lo"),
+        ((col("bucket") + 1).cast("double") / bins).as("hi"),
+        coalesce(col("n_pairs"), lit(0L)).as("n_pairs"))
+  }
+
   /** (id, sz, sfp) inverted-index postings from (id, set) shingle-set rows:
     * one row per (document, shingle fingerprint), with the set size carried
     * for Jaccard arithmetic. Shuffle payloads are (long, int, long) — never

@@ -145,6 +145,39 @@ object Pipeline {
 
   val dedupNgramJaccardOracle: String = jaccardOracle(0.5)
 
+  /** Dedup-threshold calibration histogram
+    * ([[graft.operators.Dedup.jaccardHistogram]]): exact Jaccard over
+    * every candidate pair, 20 integer-math buckets — the report read
+    * BEFORE choosing a near-dup threshold. The oracle replays the pair
+    * machinery and the `(inter·bins) div union` bucketing.
+    */
+  def jaccardHistogramQ(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Dedup.jaccardHistogram(
+        T(s, dir, "documents"), col("doc_id"), col("text"),
+        bins = 20, shingleK = 3)
+      .orderBy(col("bucket"))
+
+  val jaccardHistogramOracle: String =
+    s"""WITH $shingleSetsSql,
+       |posting AS (SELECT doc_id, unnest(s) AS sp FROM sets),
+       |pairs AS (
+       |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS inter
+       |  FROM posting a JOIN posting b ON a.sp = b.sp AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2),
+       |bk AS (
+       |  SELECT least((inter * 20) // (len(sa.s) + len(sb.s) - inter), 19)
+       |    AS bucket
+       |  FROM pairs
+       |  JOIN sets sa ON sa.doc_id = id_a
+       |  JOIN sets sb ON sb.doc_id = id_b),
+       |h AS (SELECT bucket, COUNT(*) AS n_pairs FROM bk GROUP BY 1)
+       |SELECT CAST(r.range AS INTEGER) AS bucket,
+       |  CAST(r.range AS DOUBLE) / 20.0 AS lo,
+       |  CAST(r.range + 1 AS DOUBLE) / 20.0 AS hi,
+       |  COALESCE(h.n_pairs, 0) AS n_pairs
+       |FROM range(0, 20) r LEFT JOIN h ON h.bucket = r.range
+       |ORDER BY bucket""".stripMargin
+
   // ---------------------------------------------------------------- SimHash
 
   /** SimHash near-dup pairs at hamming <= 3 over 60-bit signatures; the
@@ -3800,6 +3833,7 @@ object Pipeline {
     Q("mm_decode_meta", mmDecodeMeta, Some(mmDecodeMetaOracle)),
     Q("dedup_minhash_lsh", dedupMinHash, Some(dedupMinHashOracle)),
     Q("dedup_ngram_jaccard", dedupNgramJaccard, Some(dedupNgramJaccardOracle)),
+    Q("jaccard_histogram", jaccardHistogramQ, Some(jaccardHistogramOracle)),
     Q("dedup_simhash", dedupSimHash, Some(dedupSimHashOracle)),
     Q("dedup_simhash128", dedupSimHash128, Some(dedupSimHash128Oracle)),
     Q("text_metrics", textMetrics, Some(textMetricsOracle)),

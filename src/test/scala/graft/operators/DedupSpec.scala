@@ -88,6 +88,43 @@ class DedupSpec extends SparkSpec {
     assert(got.toSeq === expect)
   }
 
+  test("jaccardHistogram: integer buckets match the driver calc, every " +
+      "bin reported, exact dups fold into the top bucket, df cap drops " +
+      "stop-shingle candidates") {
+    val got = Dedup.jaccardHistogram(docs, col("doc_id"), col("text"),
+        bins = 10, shingleK = 2)
+      .orderBy("bucket").as[(Int, Double, Double, Long)].collect().toSeq
+    assert(got.map(_._1) === (0 until 10))
+    assert(got.map(_._2) === (0 until 10).map(_ / 10.0))
+    // driver brute force over the same fixture (candidates = pairs with
+    // at least one shared shingle; bucket = (inter * bins) div union,
+    // jaccard 1.0 folded into the last bin)
+    def shingles(t: String) = {
+      val w = t.split("\\s+")
+      if (w.length < 2) Set(t) else w.sliding(2).map(_.mkString(" ")).toSet
+    }
+    val texts = Seq(1L -> "the quick brown fox jumps over the lazy dog",
+      2L -> "the quick brown fox jumps over the lazy dog",
+      3L -> "the quick brown fox jumps over the lazy cat",
+      4L -> "completely different content here entirely now",
+      5L -> "short")
+    val expect = (for {
+      (ia, ta) <- texts; (ib, tb) <- texts if ia < ib
+      inter = shingles(ta).intersect(shingles(tb)).size
+      if inter > 0
+      union = shingles(ta).union(shingles(tb)).size
+    } yield math.min(inter * 10 / union, 9))
+      .groupBy(identity).map { case (b, xs) => (b, xs.size.toLong) }
+    assert(got.map(g => g._1 -> g._4).toMap.filter(_._2 > 0) === expect)
+    // the identical pair (1, 2) must land in the top bucket
+    assert(got(9)._4 >= 1L)
+    // a df cap of 1 drops every shared shingle -> no candidates at all
+    val capped = Dedup.jaccardHistogram(docs, col("doc_id"), col("text"),
+        bins = 10, shingleK = 2, maxDocFreq = Some(1L))
+      .as[(Int, Double, Double, Long)].collect()
+    assert(capped.map(_._4).sum === 0L)
+  }
+
   test("components: chains collapse to the minimum id per component") {
     val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L), (20L, 21L), (21L, 22L), (22L, 23L))
       .toDF("id_a", "id_b")
