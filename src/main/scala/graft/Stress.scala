@@ -89,7 +89,13 @@ object Stress {
     // the ×64 reading; bm25_from_index adds the state anti-join fold on
     // top of bm25_topk's posting shapes (query workload harness-scaled,
     // same adjudication as bm25_topk)
-    "sim_hashed_lsh", "bm25_from_index")
+    "sim_hashed_lsh", "bm25_from_index",
+    // semantic_decontaminate screens a FIXED needle set (ids below
+    // IdStride) against the growing corpus — the claim is one broadcast
+    // loop + a per-id partial max, linear in the corpus;
+    // jaccard_histogram rides the ngram-jaccard pair machinery and must
+    // track ITS growth (pair-count-driven) while emitting bins rows
+    "semantic_decontaminate", "jaccard_histogram")
 
   /** Replica id offset — well above any sf0.1 id, keeps replica ids
     * unique. PUBLIC because `Pipeline.simHashedLsh` pins its probe set

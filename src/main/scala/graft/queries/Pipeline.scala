@@ -360,9 +360,15 @@ object Pipeline {
     */
   def semanticDecontaminateQ(s: SparkSession, dir: String): DataFrame = {
     val emb = T(s, dir, "embeddings")
+    // the needle set is additionally bounded below the stress replica
+    // stride (a no-op at every oracle SF): a benchmark is FIXED-SIZE in
+    // production, so the stress rows must measure corpus growth against
+    // fixed needles, not a harness-scaled needle set
     graft.operators.Dedup.semanticDecontaminate(
         emb.filter(col("vec_id") % 149 =!= 0), col("vec_id"), col("embedding"),
-        emb.filter(col("vec_id") % 149 === 0), col("vec_id"), col("embedding"),
+        emb.filter(col("vec_id") % 149 === 0 &&
+          col("vec_id") < graft.Stress.IdStride),
+        col("vec_id"), col("embedding"),
         threshold = 0.5)
       .select(col("id").as("vec_id"), col("worst_needle"), col("max_cos"),
         col("contaminated"))
@@ -372,7 +378,8 @@ object Pipeline {
   val semanticDecontaminateOracle: String =
     s"""WITH nd AS (
        |  SELECT vec_id AS needle_id, embedding AS nv
-       |  FROM embeddings WHERE vec_id % 149 = 0),
+       |  FROM embeddings
+       |  WHERE vec_id % 149 = 0 AND vec_id < ${graft.Stress.IdStride}),
        |cp AS (
        |  SELECT vec_id, embedding FROM embeddings WHERE vec_id % 149 <> 0),
        |sc AS (
