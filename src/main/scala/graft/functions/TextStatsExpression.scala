@@ -190,6 +190,78 @@ object LangScores {
     ExpressionUtilsShim.column(LangScores(ExpressionUtilsShim.expr(c)))
 }
 
+/** Per-window language labels over a token array in ONE compiled pass —
+  * bit-for-bit the composition `chunkTokens(stride = window)` →
+  * `langId(chunk)` that remains the executable spec (QualityFilterSpec
+  * asserts equality on random inputs) and feeds the DuckDB oracle:
+  * windows of `window` tokens advancing by `window` (final window
+  * clamped; an empty token array yields ONE "und" window, matching the
+  * whole-text chunk of a blank doc), per-window stopword-hit counts for
+  * en/de/es/fr and CJK-ideograph char count for zh (counting token chars
+  * equals counting the joined chunk's chars — the separators are plain
+  * spaces), argmax with en > de > es > fr > zh precedence, "und" on zero
+  * evidence. Replaces a `transform`+`sequence`+`slice`+`array_join` HOF
+  * chain that materialized every chunk as a string and re-tokenized it
+  * inside `langScores`.
+  */
+case class WindowedLangLabels(child: Expression, window: Int)
+    extends UnaryExpression with NativeUnaryCodegen {
+  require(window > 0, s"window must be positive, got $window")
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullable: Boolean = child.nullable
+  override def prettyName: String = "windowed_lang_labels"
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+    val n = arr.numElements()
+    // = chunkTokens' count: 1 when n <= window, ceil((n-window)/window)+1
+    // above — both collapse to (n-1)/window + 1 for n >= 1
+    val nChunks = if (n == 0) 1 else (n - 1) / window + 1
+    val out = new Array[Any](nChunks)
+    var ci = 0
+    while (ci < nChunks) {
+      val lo = ci * window
+      val hi = math.min(lo + window, n)
+      var en = 0; var de = 0; var es = 0; var fr = 0; var zh = 0
+      var i = lo
+      while (i < hi) {
+        val t = arr.getUTF8String(i).toString
+        if (TextStats.En.contains(t)) en += 1
+        if (TextStats.De.contains(t)) de += 1
+        if (TextStats.Es.contains(t)) es += 1
+        if (TextStats.Fr.contains(t)) fr += 1
+        var j = 0
+        while (j < t.length) {
+          val c = t.charAt(j)
+          if (c >= '一' && c <= '鿿') zh += 1
+          j += 1
+        }
+        i += 1
+      }
+      val best = math.max(math.max(math.max(en, de), math.max(es, fr)), zh)
+      out(ci) = UTF8String.fromString(
+        if (best == 0) "und"
+        else if (en == best) "en"
+        else if (de == best) "de"
+        else if (es == best) "es"
+        else if (fr == best) "fr"
+        else "zh")
+      ci += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object WindowedLangLabels {
+  def windowedLangLabels(tokens: Column, window: Int): Column =
+    ExpressionUtilsShim.column(
+      WindowedLangLabels(ExpressionUtilsShim.expr(tokens), window))
+}
+
 /** Unicode canonical composition (NFC, java.text.Normalizer) as a native
   * codegen'd expression — the normalization pass that belongs BEFORE any
   * fingerprint/dedup/shingle step: composed ("é" U+00E9) and decomposed

@@ -89,9 +89,16 @@ object QualityFilter {
     */
   def mixedLanguageReport(df: DataFrame, id: Column, text: Column,
       window: Int = 16): DataFrame = {
-    val segs = TextIndex.chunks(df, id, text, window, window)
-    val lids = segs.select(col("id"),
-      graft.functions.TextFunctions.langId(col("chunk")).as("lang"))
+    // one compiled pass: token array → per-window labels (bit-for-bit the
+    // former chunks() → langId(chunk) composition — WindowedLangLabels'
+    // scaladoc carries the equivalence argument; QualityFilterSpec asserts
+    // it on random inputs). The HOF chunk materialization re-tokenized
+    // every chunk string inside langScores; this never builds the chunks.
+    val lids = df.select(id.as("id"),
+      explode(org.apache.spark.sql.graft.WindowedLangLabels
+        .windowedLangLabels(
+          graft.functions.TextFunctions.tokensWs(text), window))
+        .as("lang"))
     val tot = lids.groupBy(col("id")).agg(count(lit(1)).as("n_segs"))
     val perLang = lids.filter(col("lang") =!= "und")
       .groupBy(col("id"), col("lang")).agg(count(lit(1)).as("n"))

@@ -81,4 +81,31 @@ class QualityFilterSpec extends SparkSpec {
     assert(out(2L) === ((2L, 1L, 1L, 1L, "en", false)))
     assert(out(3L) === ((3L, 1L, 0L, 0L, "und", false)))
   }
+
+  test("WindowedLangLabels equals the chunks->langId HOF composition it " +
+      "replaced (the executable spec), over random multi-script inputs " +
+      "including blanks, partial windows, and odd whitespace") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(41)
+    val words = Seq("the", "and", "der", "und", "el", "la", "le", "les",
+      "一二三", "word", "zx", "", "\tq", "x y")
+    val docs = (0 until 200).map { i =>
+      val n = rnd.nextInt(40)
+      (i.toLong, Seq.fill(n)(words(rnd.nextInt(words.size))).mkString(" "))
+    } :+ ((200L, "")) :+ ((201L, "   "))
+    val df = docs.toDF("doc_id", "text")
+    val toks = graft.functions.TextFunctions.tokensWs(col("text"))
+    val native = df.select(col("doc_id"),
+        org.apache.spark.sql.graft.WindowedLangLabels
+          .windowedLangLabels(toks, 7).as("l"))
+      .as[(Long, Seq[String])].collect().sortBy(_._1).toSeq
+    val hof = TextIndex.chunks(df, col("doc_id"), col("text"), 7, 7)
+      .select(col("id"), col("chunk_id"),
+        graft.functions.TextFunctions.langId(col("chunk")).as("lang"))
+      .as[(Long, Int, String)].collect().groupBy(_._1)
+      .map { case (id, xs) => id -> xs.sortBy(_._2).map(_._3).toSeq }
+    native.foreach { case (id, ls) =>
+      assert(hof(id) === ls, s"doc $id diverged")
+    }
+  }
 }
