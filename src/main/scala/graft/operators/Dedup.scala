@@ -645,38 +645,15 @@ object Dedup {
       autoSampleFraction: Double = 1.0): DataFrame = {
     require(autoSampleFraction > 0 && autoSampleFraction <= 1,
       s"autoSampleFraction out of (0,1]: $autoSampleFraction")
-    val sets = widen(df.select(id.as("id"), text.as("__text")))
-      .select(col("id"), HashFunctions.wordShingleSet(
-        TextFunctions.tokensWs(col("__text")), shingleK).as("set"))
-    // The postings feed the stats pass AND both sides of the self-join;
-    // without a checkpoint each scan re-tokenizes and re-shingles every
-    // document (3× the per-row hash work, and the corpus text re-read each
-    // time). localCheckpoint pins the compact (id, sz, sfp) long-rows —
-    // far smaller than the text — so shingling runs exactly once. Lazy:
-    // materializes on first downstream job.
-    val posting = shinglePostings(sets).localCheckpoint(false)
-    val sizes = posting.select(col("id"), col("sz").as("sz")).distinct()
+    val ShingleIndex(sets, indexed, sizes) =
+      shingleIndex(df, id, text, shingleK, maxDocFreq)
 
-    val indexed = maxDocFreq.fold(posting) { m =>
-      val keep = posting.groupBy(col("sfp")).agg(count(lit(1)).as("df"))
-        .filter(col("df") <= m).select(col("sfp"))
-      posting.join(keep, Seq("sfp"))
-    }
-
-    def countPairs: DataFrame = {
-      val inter = indexed.select(col("sfp"), col("id").as("id_a"))
-        .join(indexed.select(col("sfp"), col("id").as("id_b")), Seq("sfp"))
-        .filter(col("id_a") < col("id_b"))
-        .groupBy(col("id_a"), col("id_b"))
-        .agg(count(lit(1)).as("inter"))
-      inter
-        .join(broadcast(sizes.select(col("id").as("id_a"), col("sz").as("sz_a"))), Seq("id_a"))
-        .join(broadcast(sizes.select(col("id").as("id_b"), col("sz").as("sz_b"))), Seq("id_b"))
+    def countPairs: DataFrame =
+      interSizedPairs(indexed, sizes)
         .withColumn("jaccard", col("inter").cast("double") /
           (col("sz_a") + col("sz_b") - col("inter")).cast("double"))
         .filter(col("jaccard") >= threshold)
         .select(col("id_a"), col("id_b"), col("jaccard"))
-    }
 
     def prefixPairs: DataFrame =
       prefixCandidates(indexed, threshold)
@@ -732,26 +709,8 @@ object Dedup {
       bins: Int = 20, shingleK: Int = 3,
       maxDocFreq: Option[Long] = None): DataFrame = {
     require(bins > 0, s"bins must be positive, got $bins")
-    val sets = widen(df.select(id.as("id"), text.as("__text")))
-      .select(col("id"), HashFunctions.wordShingleSet(
-        TextFunctions.tokensWs(col("__text")), shingleK).as("set"))
-    val posting = shinglePostings(sets).localCheckpoint(false)
-    val sizes = posting.select(col("id"), col("sz")).distinct()
-    val indexed = maxDocFreq.fold(posting) { m =>
-      val keep = posting.groupBy(col("sfp")).agg(count(lit(1)).as("df"))
-        .filter(col("df") <= m).select(col("sfp"))
-      posting.join(keep, Seq("sfp"))
-    }
-    val inter = indexed.select(col("sfp"), col("id").as("id_a"))
-      .join(indexed.select(col("sfp"), col("id").as("id_b")), Seq("sfp"))
-      .filter(col("id_a") < col("id_b"))
-      .groupBy(col("id_a"), col("id_b"))
-      .agg(count(lit(1)).as("inter"))
-    val bucketed = inter
-      .join(broadcast(sizes.select(col("id").as("id_a"), col("sz").as("sz_a"))),
-        Seq("id_a"))
-      .join(broadcast(sizes.select(col("id").as("id_b"), col("sz").as("sz_b"))),
-        Seq("id_b"))
+    val idx = shingleIndex(df, id, text, shingleK, maxDocFreq)
+    val bucketed = interSizedPairs(idx.indexed, idx.sizes)
       .select(least(expr(s"(inter * $bins) div (sz_a + sz_b - inter)"),
         lit(bins - 1).cast("long")).cast("int").as("bucket"))
       .groupBy(col("bucket")).agg(count(lit(1)).as("n_pairs"))
@@ -763,6 +722,53 @@ object Dedup {
         ((col("bucket") + 1).cast("double") / bins).as("hi"),
         coalesce(col("n_pairs"), lit(0L)).as("n_pairs"))
   }
+
+  /** The shared shingle-index prologue of [[jaccardPairs]] and
+    * [[jaccardHistogram]] — ONE copy of the candidate machinery, so the
+    * histogram that calibrates the join's threshold can never silently
+    * diverge from the join itself. `sets`: (id, set); `indexed`: the
+    * (id, sz, sfp) postings after the optional df cap; `sizes`: one
+    * (id, sz) row per doc.
+    */
+  private[operators] case class ShingleIndex(
+      sets: DataFrame, indexed: DataFrame, sizes: DataFrame)
+
+  private def shingleIndex(df: DataFrame, id: Column, text: Column,
+      shingleK: Int, maxDocFreq: Option[Long]): ShingleIndex = {
+    val sets = widen(df.select(id.as("id"), text.as("__text")))
+      .select(col("id"), HashFunctions.wordShingleSet(
+        TextFunctions.tokensWs(col("__text")), shingleK).as("set"))
+    // The postings feed the stats pass AND both sides of the self-join;
+    // without a checkpoint each scan re-tokenizes and re-shingles every
+    // document (3× the per-row hash work, and the corpus text re-read each
+    // time). localCheckpoint pins the compact (id, sz, sfp) long-rows —
+    // far smaller than the text — so shingling runs exactly once. Lazy:
+    // materializes on first downstream job.
+    val posting = shinglePostings(sets).localCheckpoint(false)
+    val sizes = posting.select(col("id"), col("sz").as("sz")).distinct()
+    val indexed = maxDocFreq.fold(posting) { m =>
+      val keep = posting.groupBy(col("sfp")).agg(count(lit(1)).as("df"))
+        .filter(col("df") <= m).select(col("sfp"))
+      posting.join(keep, Seq("sfp"))
+    }
+    ShingleIndex(sets, indexed, sizes)
+  }
+
+  /** (id_a, id_b, inter, sz_a, sz_b) candidate pairs from the capped
+    * postings: the 8-byte-key self-join + per-pair intersection count +
+    * broadcast size joins — the count-strategy core shared verbatim by
+    * the threshold join and the calibration histogram.
+    */
+  private def interSizedPairs(indexed: DataFrame, sizes: DataFrame): DataFrame =
+    indexed.select(col("sfp"), col("id").as("id_a"))
+      .join(indexed.select(col("sfp"), col("id").as("id_b")), Seq("sfp"))
+      .filter(col("id_a") < col("id_b"))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(count(lit(1)).as("inter"))
+      .join(broadcast(sizes.select(col("id").as("id_a"), col("sz").as("sz_a"))),
+        Seq("id_a"))
+      .join(broadcast(sizes.select(col("id").as("id_b"), col("sz").as("sz_b"))),
+        Seq("id_b"))
 
   /** (id, sz, sfp) inverted-index postings from (id, set) shingle-set rows:
     * one row per (document, shingle fingerprint), with the set size carried
@@ -1079,7 +1085,14 @@ object Dedup {
     import org.apache.spark.sql.graft.VectorFunctions
     val c = widen(corpus.select(id.as("id"), vec.as("__cv")))
     val n = needles.select(needleId.as("__nid"), needleVec.as("__nv"))
-    c.join(broadcast(n))
+    // LEFT join on an always-true condition: with needles present it is
+    // the plain broadcast loop, but an EMPTY needle set (a mistyped
+    // benchmark predicate) still yields one all-null row per corpus doc —
+    // the report keeps its one-row-per-document contract (null needle,
+    // null cosine, contaminated = false) instead of silently returning
+    // nothing, which a "keep NOT contaminated" inner join downstream
+    // would have turned into dropping the whole corpus
+    c.join(broadcast(n), lit(true), "left")
       .select(col("id"), col("__nid"),
         VectorFunctions.cosineSim(col("__cv"), col("__nv")).as("__cos"))
       .groupBy(col("id"))
@@ -1088,7 +1101,7 @@ object Dedup {
           struct(col("__cos").as("c"), (-col("__nid")).as("t")))
           .as("worst_needle"))
       .select(col("id"), col("worst_needle"), col("max_cos"),
-        (col("max_cos") >= threshold).as("contaminated"))
+        coalesce(col("max_cos") >= threshold, lit(false)).as("contaminated"))
   }
 
   /** Near-duplicate pairs by SimHash hamming distance <= maxHamming.

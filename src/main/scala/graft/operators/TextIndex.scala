@@ -535,9 +535,16 @@ object TextIndex {
       .join(broadcast(qterms), Seq("term"))
       .groupBy(col("doc_id"), col("term"))
       .agg(count(lit(1)).as("tf"))
-    val dl = src.select(col("__id").as("doc_id"),
-      size(TextFunctions.tokensWs(col("__text"))).cast("long").as("dl"))
-    bm25Serve(prunedP, dl, nDim, queryTerms, k, k1, b)
+    // summed per doc_id, not per input row: a corpus with duplicate ids
+    // (an un-deduped batch union) must merge into one logical doc here
+    // exactly as the posting aggregation merges its tf — a per-row dl
+    // would fan the candidate join out and double-score those docs. The
+    // exchange carries one (id, long) row per doc after partials.
+    val dl = src
+      .select(col("__id").as("doc_id"),
+        size(TextFunctions.tokensWs(col("__text"))).cast("long").as("__dl0"))
+      .groupBy(col("doc_id")).agg(sum(col("__dl0")).as("dl"))
+    bm25Serve(prunedP, dl, nDim, queryTerms, k, k1, b, prePruned = true)
   }
 
   /** [[bm25TopK]] served from a MAINTAINED posting table — the production
@@ -570,13 +577,19 @@ object TextIndex {
     */
   private def bm25Serve(p: DataFrame, dlDim: DataFrame,
       corpusSize: DataFrame, queryTerms: DataFrame, k: Int,
-      k1: Double, b: Double): DataFrame = {
+      k1: Double, b: Double, prePruned: Boolean = false): DataFrame = {
     require(k > 0, s"k must be positive, got $k")
     val dl = dlDim
     val totDim = dl.agg(coalesce(sum(col("dl")), lit(0L)).as("__tot"))
     val statsDim = corpusSize.crossJoin(totDim)
     val qt = queryTerms.select(col("qid"), col("term")).distinct()
-    val qp = p.join(broadcast(qt.select(col("term")).distinct()), Seq("term"))
+    // prePruned: the caller already restricted p to the query's terms
+    // (bm25TopK pushes the prune below its posting aggregation) — a
+    // second broadcast join here would be an identity filter paying one
+    // exchange and a probe per posting row
+    val qp =
+      if (prePruned) p
+      else p.join(broadcast(qt.select(col("term")).distinct()), Seq("term"))
     val dfq = qp.groupBy(col("term")).agg(count(lit(1)).as("df"))
 
     val nd = col("__n").cast("double")
