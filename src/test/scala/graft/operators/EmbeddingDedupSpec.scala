@@ -137,5 +137,18 @@ class EmbeddingDedupSpec extends SparkSpec {
     assert(got(1) === ((2L, 100L, 0.0, false)))
     assert(got(2) === ((3L, 100L, 1.0, true)),
       "cosine tie must resolve to the LOWEST needle id")
+    // an EMPTY needle set (mistyped benchmark predicate) must still
+    // report every corpus doc — clean, null needle/cosine — not return
+    // an empty frame a downstream inner join would turn into dropping
+    // the whole corpus
+    val none = Dedup.semanticDecontaminate(
+        corpus, col("vec_id"), col("embedding"),
+        needles.filter(col("vec_id") < 0), col("vec_id"), col("embedding"),
+        threshold = 0.9)
+      .collect().sortBy(_.getLong(0))
+    assert(none.length === 3)
+    none.foreach { r =>
+      assert(r.isNullAt(1) && r.isNullAt(2) && !r.getBoolean(3))
+    }
   }
 }
