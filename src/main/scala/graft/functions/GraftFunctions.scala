@@ -127,6 +127,11 @@ object GraftFunctions {
         litInt(exprs(1), "cdc_chunks k"),
         litInt(exprs(2), "cdc_chunks maskBits"))
     }, "built-in")
+    reg.createOrReplaceTempFunction("windowed_lang_labels", exprs => {
+      arity(exprs, 2, "windowed_lang_labels(tokens, window)")
+      org.apache.spark.sql.graft.WindowedLangLabels(exprs(0),
+        litInt(exprs(1), "windowed_lang_labels window"))
+    }, "built-in")
 
     // http_get(url [, timeoutMs [, headers]]) / http_post(url, content |
     // url, timeoutMs, headers, content) → struct<code,headers,content>.

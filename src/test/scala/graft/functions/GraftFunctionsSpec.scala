@@ -200,6 +200,11 @@ class GraftFunctionsSpec extends SparkSpec {
       spark.sql("SELECT cdc_chunks(split('a b', ' '), 3, CAST(rand()*2 AS INT))")
         .head()
     }
+    // windowed_lang_labels: one label per window of `window` tokens
+    val wl = spark.sql(
+      "SELECT windowed_lang_labels(split('the cat and a dog der und', ' '), 4)")
+      .head().getSeq[String](0)
+    assert(wl === Seq("en", "de")) // [the cat and a] -> en; [dog der und] -> de
   }
 
   test("cosine_sim null on length mismatch; matches scala reference fold") {

@@ -328,6 +328,20 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("topkaggregator"), p)
   }
 
+  test("sim_hashed_lsh: the probe-corpus match is a bucket-key EQUALITY " +
+      "join (vector-build one-row stat dims aside, no nested loop over " +
+      "the corpus), no corpus Window, bounded per-query top-k") {
+    val p = plan(Pipeline.simHashedLsh(spark, dir))
+    assert(!p.contains("CartesianProduct"), p)
+    // the only nested-loop joins are the vector build's ONE-ROW dims
+    // (corpus count / token total riding along); the search join itself
+    // must key on the SRP bucket
+    assert("BroadcastNestedLoopJoin".r.findAllIn(p).size <= 4, p)
+    assert(p.contains("bucket"), p)
+    assert(!p.contains("Window"), p)
+    assert(p.contains("topkaggregator"), p)
+  }
+
   test("semantic_decontaminate: needles broadcast into a map-side loop, " +
       "per-id max partial-aggregated — one hash exchange plus the output " +
       "sort, corpus vectors never shuffle") {
