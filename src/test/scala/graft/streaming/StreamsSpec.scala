@@ -303,6 +303,39 @@ class StreamsSpec extends SparkSpec {
     emitted.dropRight(1).foreach(assertFreed(_, "imageBatchHandler"))
   }
 
+  test("streaming index serves BM25: bm25TopKFromPostings over " +
+      "IndexIngest.current after several batches equals the clean batch " +
+      "build over the same corpus — the end-to-end retrieval composition " +
+      "(maintain while streaming, serve without tokenizing)") {
+    import graft.operators.TextIndex
+    val ing = new Streams.IndexIngest(
+      TextIndex.postings(spark.emptyDataset[(Long, String)]
+        .toDF("doc_id", "text"), col("doc_id"), col("text")),
+      col("doc_id"), col("text"))
+    val batches = Seq(
+      Seq((1L, "alpha beta beta gamma"), (2L, "alpha alpha delta")),
+      Seq((3L, "beta gamma gamma gamma"), (1L, "alpha beta epsilon")), // doc 1 CHANGED
+      Seq((4L, "delta epsilon alpha beta")))
+    batches.zipWithIndex.foreach { case (b, i) =>
+      ing.handler(b.toDF("doc_id", "text"), i.toLong)
+    }
+    // the effective corpus after replace semantics: latest text per doc
+    val corpus = Seq((1L, "alpha beta epsilon"), (2L, "alpha alpha delta"),
+      (3L, "beta gamma gamma gamma"), (4L, "delta epsilon alpha beta"))
+      .toDF("doc_id", "text")
+    val qt = Seq((10L, "alpha"), (10L, "gamma"), (11L, "epsilon"))
+      .toDF("qid", "term")
+    // maintained doc count rides alongside the index (the corpusSize
+    // contract: ALL docs, not an index-derived distinct)
+    val n = Seq(Tuple1(4L)).toDF("__n")
+    val served = TextIndex.bm25TopKFromPostings(ing.current, n, qt, k = 3)
+      .as[(Long, Int, Long, Double)].collect().sortBy(r => (r._1, r._2)).toSeq
+    val clean = TextIndex.bm25TopK(corpus, col("doc_id"), col("text"), qt, k = 3)
+      .as[(Long, Int, Long, Double)].collect().sortBy(r => (r._1, r._2)).toSeq
+    assert(served === clean)
+    assert(served.nonEmpty)
+  }
+
   test("IndexIngest: batches fold into the posting table with replace " +
       "semantics; replay re-emits the pinned delta without re-folding") {
     import graft.operators.TextIndex
