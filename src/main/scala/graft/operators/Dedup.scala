@@ -707,9 +707,21 @@ object Dedup {
     */
   def jaccardHistogram(df: DataFrame, id: Column, text: Column,
       bins: Int = 20, shingleK: Int = 3,
-      maxDocFreq: Option[Long] = None): DataFrame = {
+      maxDocFreq: Option[Long] = None,
+      sampleFraction: Double = 1.0): DataFrame = {
     require(bins > 0, s"bins must be positive, got $bins")
-    val idx = shingleIndex(df, id, text, shingleK, maxDocFreq)
+    require(sampleFraction > 0 && sampleFraction <= 1,
+      s"sampleFraction out of (0,1]: $sampleFraction")
+    // the production scale knob the pair-driven stress adjudication
+    // points at: a similarity DISTRIBUTION estimate does not need every
+    // pair, so hash-sample the DOCS deterministically (same id keeps the
+    // same fate on every run/engine — the jaccardPairs auto-stats
+    // pattern) and pay ~fraction² of the candidate pairs
+    val base =
+      if (sampleFraction >= 1.0) df
+      else df.filter(TextFunctions.hash32(id.cast("string")) <
+        lit((sampleFraction * 4294967296.0).toLong))
+    val idx = shingleIndex(base, id, text, shingleK, maxDocFreq)
     val bucketed = interSizedPairs(idx.indexed, idx.sizes)
       .select(least(expr(s"(inter * $bins) div (sz_a + sz_b - inter)"),
         lit(bins - 1).cast("long")).cast("int").as("bucket"))
@@ -1100,6 +1112,54 @@ object Dedup {
         max_by(col("__nid"),
           struct(col("__cos").as("c"), (-col("__nid")).as("t")))
           .as("worst_needle"))
+      .select(col("id"), col("worst_needle"), col("max_cos"),
+        coalesce(col("max_cos") >= threshold, lit(false)).as("contaminated"))
+  }
+
+  /** [[semanticDecontaminate]] for needle sets too large to broadcast
+    * (screening one corpus snapshot against another, not against a small
+    * benchmark): both sides get an SRP bucket key
+    * ([[Similarity.srpBucket]], deterministic md5 planes) and candidates
+    * come from an 8-byte bucket EQUALITY join — per-doc work is the
+    * needle occupancy of its bucket (~needles/2^bits), never the needle
+    * set. With `multiProbe` the NEEDLE side additionally lands in every
+    * bucket at Hamming distance 1 (bits+1 keys per needle — the standard
+    * multi-probe trade, exploded on whichever side is smaller; here the
+    * needles, so the corpus stays one row per doc).
+    *
+    * PRECISION is exact (every reported cosine is really computed);
+    * RECALL is probabilistic — a distant-bucket near-needle can be
+    * missed, so `max_cos` is a LOWER bound and `contaminated = false` is
+    * "no evidence found", not a proof. Gate a bits/multiProbe setting
+    * with [[Similarity.recallReport]] against the exact screen on a
+    * sampled probe set before trusting it, exactly like the ANN indexes.
+    * Docs whose bucket holds no needle candidate report (null, null,
+    * false) — the per-document output contract is kept via the left
+    * join on the candidate maxima.
+    */
+  def semanticDecontaminateLsh(corpus: DataFrame, id: Column, vec: Column,
+      needles: DataFrame, needleId: Column, needleVec: Column,
+      threshold: Double, bits: Int = 8,
+      multiProbe: Boolean = true): DataFrame = {
+    import org.apache.spark.sql.graft.VectorFunctions
+    val c = widen(corpus.select(id.as("id"), vec.as("__cv")))
+      .withColumn("__bkt", Similarity.srpBucket(col("__cv"), bits))
+    val n0 = needles.select(needleId.as("__nid"), needleVec.as("__nv"))
+      .withColumn("__bkt", Similarity.srpBucket(col("__nv"), bits))
+    val n =
+      if (!multiProbe) n0
+      else n0.select(col("__nid"), col("__nv"), explode(expr(
+        s"array_union(array(__bkt), transform(sequence(0, ${bits - 1}), j -> __bkt ^ shiftleft(1L, j)))"))
+        .as("__bkt"))
+    val maxima = c.join(n, Seq("__bkt"))
+      .select(col("id"), col("__nid"),
+        VectorFunctions.cosineSim(col("__cv"), col("__nv")).as("__cos"))
+      .groupBy(col("id"))
+      .agg(max(col("__cos")).as("max_cos"),
+        max_by(col("__nid"),
+          struct(col("__cos").as("c"), (-col("__nid")).as("t")))
+          .as("worst_needle"))
+    c.select(col("id")).join(maxima, Seq("id"), "left")
       .select(col("id"), col("worst_needle"), col("max_cos"),
         coalesce(col("max_cos") >= threshold, lit(false)).as("contaminated"))
   }

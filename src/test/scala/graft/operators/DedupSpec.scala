@@ -123,6 +123,19 @@ class DedupSpec extends SparkSpec {
         bins = 10, shingleK = 2, maxDocFreq = Some(1L))
       .as[(Int, Double, Double, Long)].collect()
     assert(capped.map(_._4).sum === 0L)
+    // sampleFraction is a DETERMINISTIC doc hash-sample: the sampled
+    // histogram equals the full histogram of the hash-selected subset
+    val cut = (0.5 * 4294967296.0).toLong
+    val subset = docs.filter(
+      graft.functions.TextFunctions.hash32(col("doc_id").cast("string"))
+        < cut)
+    val sampled = Dedup.jaccardHistogram(docs, col("doc_id"), col("text"),
+        bins = 10, shingleK = 2, sampleFraction = 0.5)
+      .as[(Int, Double, Double, Long)].collect().toSeq
+    val ofSubset = Dedup.jaccardHistogram(subset, col("doc_id"), col("text"),
+        bins = 10, shingleK = 2)
+      .as[(Int, Double, Double, Long)].collect().toSeq
+    assert(sampled === ofSubset)
   }
 
   test("components: chains collapse to the minimum id per component") {

@@ -151,4 +151,39 @@ class EmbeddingDedupSpec extends SparkSpec {
       assert(r.isNullAt(1) && r.isNullAt(2) && !r.getBoolean(3))
     }
   }
+
+  test("semanticDecontaminateLsh: exact precision (flags are a subset of " +
+      "the exact screen's), planted near-copies of needles recovered, " +
+      "one report row per corpus doc") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    def unit() = Array.fill(8)(rnd.nextFloat() * 2 - 1)
+    val needleVecs = (0 until 10).map(i => (100L + i, unit()))
+    // planted leaks: tiny perturbations of the first 5 needles; the rest
+    // of the corpus is random (may or may not brush a needle's bucket)
+    val planted = needleVecs.take(5).zipWithIndex.map { case ((_, v), i) =>
+      (i.toLong, v.map(x => x + (rnd.nextFloat() * 2 - 1) * 0.002f).toSeq)
+    }
+    val rest = (10 until 30).map(i => (i.toLong, unit().toSeq))
+    val corpus = (planted ++ rest).toDF("vec_id", "embedding")
+    val needles = needleVecs.map { case (id, v) => (id, v.toSeq) }
+      .toDF("vec_id", "embedding")
+    def run(f: => org.apache.spark.sql.DataFrame) =
+      f.collect().map(r => (r.getLong(0),
+        if (r.isNullAt(3)) false else r.getBoolean(3))).toMap
+    val exact = run(Dedup.semanticDecontaminate(
+      corpus, col("vec_id"), col("embedding"),
+      needles, col("vec_id"), col("embedding"), threshold = 0.98))
+    val lsh = run(Dedup.semanticDecontaminateLsh(
+      corpus, col("vec_id"), col("embedding"),
+      needles, col("vec_id"), col("embedding"), threshold = 0.98))
+    assert(lsh.keySet === corpus.select("vec_id").as[Long].collect().toSet,
+      "one row per corpus doc even when a doc's bucket holds no needle")
+    // precision is exact: anything the LSH screen flags, the exact
+    // screen flags too (every reported cosine is really computed)
+    assert(lsh.filter(_._2).keySet.subsetOf(exact.filter(_._2).keySet))
+    // the planted 0.002-perturbed copies land in their needle's bucket
+    // (or a 1-bit neighbor under multiprobe) and must all be recovered
+    (0L until 5L).foreach(i => assert(lsh(i), s"planted leak $i missed"))
+  }
 }
