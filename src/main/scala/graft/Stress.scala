@@ -95,7 +95,10 @@ object Stress {
     // loop + a per-id partial max, linear in the corpus;
     // jaccard_histogram rides the ngram-jaccard pair machinery and must
     // track ITS growth (pair-count-driven) while emitting bins rows
-    "semantic_decontaminate", "jaccard_histogram")
+    "semantic_decontaminate", "jaccard_histogram",
+    // the SRP-bucketed screen: per-doc work = bucket needle occupancy;
+    // with the fixed needle set its growth must stay linear in the corpus
+    "semantic_decontaminate_lsh")
 
   /** Replica id offset — well above any sf0.1 id, keeps replica ids
     * unique. PUBLIC because `Pipeline.simHashedLsh` pins its probe set

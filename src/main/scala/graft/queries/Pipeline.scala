@@ -375,6 +375,63 @@ object Pipeline {
       .orderBy(col("vec_id"))
   }
 
+  /** The scale path of [[semanticDecontaminateQ]] hash-gated: the same
+    * screen served through the SRP-bucketed variant
+    * ([[graft.operators.Dedup.semanticDecontaminateLsh]], 8 bits, 1-bit
+    * needle-side multiprobe). Candidates are exactly the (doc, needle)
+    * pairs whose buckets differ in ≤ 1 bit, so the oracle replays the
+    * md5-plane buckets (the `sim_lsh_multiprobe` machinery) and the
+    * per-doc argmax over those candidates; docs with no candidate keep
+    * their all-null clean row via the left join.
+    */
+  def semanticDecontaminateLshQ(s: SparkSession, dir: String): DataFrame = {
+    val emb = T(s, dir, "embeddings")
+    graft.operators.Dedup.semanticDecontaminateLsh(
+        emb.filter(col("vec_id") % 149 =!= 0), col("vec_id"), col("embedding"),
+        emb.filter(col("vec_id") % 149 === 0 &&
+          col("vec_id") < graft.Stress.IdStride),
+        col("vec_id"), col("embedding"),
+        threshold = 0.5, bits = 8, multiProbe = true)
+      .select(col("id").as("vec_id"), col("worst_needle"), col("max_cos"),
+        col("contaminated"))
+      .orderBy(col("vec_id"))
+  }
+
+  val semanticDecontaminateLshOracle: String =
+    s"""WITH buckets AS (
+       |  SELECT vec_id, embedding,
+       |    list_sum(list_transform(range(0, 8), j ->
+       |      CASE WHEN list_reduce(
+       |          list_transform(range(1, len(embedding) + 1), i ->
+       |            embedding[i]::DOUBLE *
+       |            (('0x' || substring(md5('plane:' || j || ':' || (i - 1)), 1, 8))::BIGINT::DOUBLE
+       |             / 2147483648.0 - 1.0)),
+       |          (x, y) -> x + y) > 0
+       |      THEN 1::BIGINT << j ELSE 0 END)) AS bucket
+       |  FROM embeddings
+       |),
+       |nd AS (
+       |  SELECT vec_id AS needle_id, embedding AS nv, bucket AS nb
+       |  FROM buckets
+       |  WHERE vec_id % 149 = 0 AND vec_id < ${graft.Stress.IdStride}),
+       |cp AS (
+       |  SELECT vec_id, embedding, bucket FROM buckets
+       |  WHERE vec_id % 149 <> 0),
+       |sc AS (
+       |  SELECT cp.vec_id, nd.needle_id,
+       |    ${cosSql("cp.embedding", "nd.nv")} AS cos
+       |  FROM cp JOIN nd ON bit_count(xor(cp.bucket, nd.nb)) <= 1),
+       |r AS (
+       |  SELECT vec_id, needle_id, cos,
+       |    ROW_NUMBER() OVER (PARTITION BY vec_id
+       |      ORDER BY cos DESC, needle_id) AS rk
+       |  FROM sc)
+       |SELECT b.vec_id, r.needle_id AS worst_needle, r.cos AS max_cos,
+       |  COALESCE(r.cos >= CAST('0.5' AS DOUBLE), FALSE) AS contaminated
+       |FROM (SELECT vec_id FROM embeddings WHERE vec_id % 149 <> 0) b
+       |LEFT JOIN r ON r.vec_id = b.vec_id AND r.rk = 1
+       |ORDER BY b.vec_id""".stripMargin
+
   val semanticDecontaminateOracle: String =
     s"""WITH nd AS (
        |  SELECT vec_id AS needle_id, embedding AS nv
@@ -3881,6 +3938,8 @@ object Pipeline {
     Q("dedup_embedding", dedupEmbedding, Some(dedupEmbeddingOracle)),
     Q("semantic_decontaminate", semanticDecontaminateQ,
       Some(semanticDecontaminateOracle)),
+    Q("semantic_decontaminate_lsh", semanticDecontaminateLshQ,
+      Some(semanticDecontaminateLshOracle)),
     Q("label_centroids", labelCentroidsQ, Some(labelCentroidsOracle)),
     Q("embedding_outliers", embeddingOutliersQ, Some(embeddingOutliersOracle)),
     Q("dedup_semantic", dedupSemantic, Some(dedupSemanticOracle)),
