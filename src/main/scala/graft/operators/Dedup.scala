@@ -721,7 +721,14 @@ object Dedup {
       if (sampleFraction >= 1.0) df
       else df.filter(TextFunctions.hash32(id.cast("string")) <
         lit((sampleFraction * 4294967296.0).toLong))
-    val idx = shingleIndex(base, id, text, shingleK, maxDocFreq)
+    // the df cap was tuned on FULL-corpus frequencies; a sampled shingle
+    // sees ~fraction·df docs, so the cap must scale with the sample or a
+    // boilerplate shingle with full df ≫ cap sneaks under it and re-opens
+    // the quadratic-candidate blowup the cap exists to stop (the
+    // jaccardPairs auto-stats rescale, applied in the other direction)
+    val scaledCap = maxDocFreq.map(m =>
+      math.max(1L, math.ceil(m * sampleFraction).toLong))
+    val idx = shingleIndex(base, id, text, shingleK, scaledCap)
     val bucketed = interSizedPairs(idx.indexed, idx.sizes)
       .select(least(expr(s"(inter * $bins) div (sz_a + sz_b - inter)"),
         lit(bins - 1).cast("long")).cast("int").as("bucket"))
@@ -1148,10 +1155,13 @@ object Dedup {
       .withColumn("__bkt", Similarity.srpBucket(col("__nv"), bits))
     val n =
       if (!multiProbe) n0
-      else n0.select(col("__nid"), col("__nv"), explode(expr(
-        s"array_union(array(__bkt), transform(sequence(0, ${bits - 1}), j -> __bkt ^ shiftleft(1L, j)))"))
-        .as("__bkt"))
-    val maxima = c.join(n, Seq("__bkt"))
+      else n0.select(col("__nid"), col("__nv"),
+        explode(Similarity.multiProbeKeys(col("__bkt"), bits)).as("__bkt"))
+    // LEFT join on the bucket key: docs whose bucket holds no needle get
+    // one null-needle row, so the per-document contract holds in the
+    // SAME pass (max/max_by ignore nulls → (null, null, false)) — no
+    // second corpus scan, no extra id-keyed spine join
+    c.join(n, Seq("__bkt"), "left")
       .select(col("id"), col("__nid"),
         VectorFunctions.cosineSim(col("__cv"), col("__nv")).as("__cos"))
       .groupBy(col("id"))
@@ -1159,7 +1169,6 @@ object Dedup {
         max_by(col("__nid"),
           struct(col("__cos").as("c"), (-col("__nid")).as("t")))
           .as("worst_needle"))
-    c.select(col("id")).join(maxima, Seq("id"), "left")
       .select(col("id"), col("worst_needle"), col("max_cos"),
         coalesce(col("max_cos") >= threshold, lit(false)).as("contaminated"))
   }

@@ -319,6 +319,18 @@ object Similarity {
   def srpBucket(vec: Column, bits: Int): Column =
     org.apache.spark.sql.graft.HashFunctions.srpBucket(vec, bits)
 
+  /** The 1-bit multiprobe key set of an SRP bucket: the bucket itself
+    * plus every bucket at Hamming distance 1 (each of the `bits` sign
+    * bits flipped) — `bits + 1` distinct keys. ONE copy of the expansion
+    * (shared by [[lshTopK]] and
+    * [[graft.operators.Dedup.semanticDecontaminateLsh]]) so the engine
+    * side can never drift from the oracles' `bit_count(xor) <= 1`
+    * candidate replay.
+    */
+  private[operators] def multiProbeKeys(bucket: Column, bits: Int): Column =
+    array_union(array(bucket),
+      array((0 until bits).map(j => bucket.bitwiseXOR(lit(1L << j))): _*))
+
   /** IVF-Flat approximate top-k: a deterministic coarse quantizer (every
     * `centroidEvery`-th corpus vector by id acts as a centroid — content-
     * independent and reproducible, where k-means would make the oracle
@@ -760,9 +772,8 @@ object Similarity {
       srpBucket(col("embedding"), bits).as("bucket"))
     val q =
       if (!multiProbe) q0
-      else q0.select(col("query_id"), col("qv"), explode(expr(
-        s"array_union(array(bucket), transform(sequence(0, ${bits - 1}), j -> bucket ^ shiftleft(1L, j)))"))
-        .as("bucket"))
+      else q0.select(col("query_id"), col("qv"),
+        explode(multiProbeKeys(col("bucket"), bits)).as("bucket"))
     val c = corpus.select(col("vec_id").as("neighbor_id"), col("embedding").as("cv"),
       srpBucket(col("embedding"), bits).as("bucket"))
     val scored = q.join(c, Seq("bucket"))

@@ -92,41 +92,59 @@ object Streams {
       onSurvivors: (DataFrame, Long) => Unit,
       id: Column, text: Column,
       shingleK: Int = 3, numHashes: Int = 128, bands: Int = 16,
-      threshold: Double = 0.8): (DataFrame, Long) => Unit = {
+      threshold: Double = 0.8): (DataFrame, Long) => Unit =
+    new NearDupIngest(state0, onSurvivors, id, text, shingleK, numHashes,
+      bands, threshold).handler
+
+  /** Class form of [[nearDupBatchHandler]] (the [[IndexIngest]] shape):
+    * exposes the maintained state so callers can checkpoint it at
+    * shutdown and tests can assert superseded pins are freed. `current`
+    * has the same lifetime contract as [[IndexIngest.current]] — a
+    * snapshot is invalidated by the next applied batch.
+    */
+  final class NearDupIngest(state0: graft.operators.Dedup.NearDupState,
+      onSurvivors: (DataFrame, Long) => Unit,
+      id: Column, text: Column,
+      shingleK: Int, numHashes: Int, bands: Int, threshold: Double) {
     // mutable cells, touched only by the single-threaded batch callback
-    var state = state0
-    var lastApplied = -1L
-    var lastSurvivors: DataFrame = null
-    var ownsState = false // state0 belongs to the caller — never unpin it
-    (batch: DataFrame, batchId: Long) => {
-      if (batchId <= lastApplied) {
-        // at-least-once replay after the state union already ran: re-emit
-        // the recorded survivors, do NOT re-apply the batch to state.
-        // Structured Streaming only ever retries the LATEST batch; anything
-        // older would re-emit the wrong set, so it is a guarded no-op.
-        if (batchId == lastApplied && lastSurvivors != null)
-          onSurvivors(lastSurvivors, batchId)
-      } else {
-        val (survivors, next) = graft.operators.Dedup.minHashIncremental(
-          batch, id, text, state, shingleK, numHashes, bands, threshold)
-        val pinned = survivors.localCheckpoint(true)
-        onSurvivors(pinned, batchId)
-        val nextState = graft.operators.Dedup.NearDupState(
-          next.bands.localCheckpoint(true),
-          next.postings.localCheckpoint(true))
-        // the new pins are eager — the superseded state and the previous
-        // batch's survivors can never be read again (replays only target
-        // the LATEST batch), so free their blocks or executor storage
-        // grows O(batches × state size) on a long-running stream
-        if (ownsState) { Bridge.unpin(state.bands); Bridge.unpin(state.postings) }
-        if (lastSurvivors != null) Bridge.unpin(lastSurvivors)
-        state = nextState
-        ownsState = true
-        lastApplied = batchId
-        lastSurvivors = pinned
+    private var state = state0
+    private var lastApplied = -1L
+    private var lastSurvivors: DataFrame = null
+    private var ownsState = false // state0 belongs to the caller — never unpin it
+
+    /** The admitted-corpus state after every applied batch. */
+    def current: graft.operators.Dedup.NearDupState = state
+
+    val handler: (DataFrame, Long) => Unit =
+      (batch: DataFrame, batchId: Long) => {
+        if (batchId <= lastApplied) {
+          // at-least-once replay after the state union already ran: re-emit
+          // the recorded survivors, do NOT re-apply the batch to state.
+          // Structured Streaming only ever retries the LATEST batch; anything
+          // older would re-emit the wrong set, so it is a guarded no-op.
+          if (batchId == lastApplied && lastSurvivors != null)
+            onSurvivors(lastSurvivors, batchId)
+        } else {
+          val (survivors, next) = graft.operators.Dedup.minHashIncremental(
+            batch, id, text, state, shingleK, numHashes, bands, threshold)
+          val pinned = survivors.localCheckpoint(true)
+          onSurvivors(pinned, batchId)
+          val nextState = graft.operators.Dedup.NearDupState(
+            next.bands.localCheckpoint(true),
+            next.postings.localCheckpoint(true))
+          // the new pins are eager — the superseded state and the previous
+          // batch's survivors can never be read again (replays only target
+          // the LATEST batch), so free their blocks or executor storage
+          // grows O(batches × state size) on a long-running stream
+          if (ownsState) { Bridge.unpin(state.bands); Bridge.unpin(state.postings) }
+          if (lastSurvivors != null) Bridge.unpin(lastSurvivors)
+          state = nextState
+          ownsState = true
+          lastApplied = batchId
+          lastSurvivors = pinned
+        }
+        ()
       }
-      ()
-    }
   }
 
   /** Streaming SemDeDup ingestion: foreachBatch over
@@ -153,32 +171,45 @@ object Streams {
   def semanticBatchHandler(state0: DataFrame,
       onSurvivors: (DataFrame, Long) => Unit,
       id: Column, vec: Column, centroids: DataFrame,
-      threshold: Double): (DataFrame, Long) => Unit = {
-    var state = state0
-    var lastApplied = -1L
-    var lastSurvivors: DataFrame = null
-    var ownsState = false // state0 belongs to the caller — never unpin it
-    (batch: DataFrame, batchId: Long) => {
-      if (batchId <= lastApplied) {
-        if (batchId == lastApplied && lastSurvivors != null)
-          onSurvivors(lastSurvivors, batchId)
-      } else {
-        val (admitted, next) = graft.operators.Dedup.semanticDedupIncremental(
-          batch, id, vec, centroids, state, threshold)
-        val pinned = admitted.localCheckpoint(true)
-        onSurvivors(pinned, batchId)
-        val nextState = next.localCheckpoint(true)
-        // free superseded pins (see nearDupBatchHandler) — replays only
-        // ever target the latest batch
-        if (ownsState) Bridge.unpin(state)
-        if (lastSurvivors != null) Bridge.unpin(lastSurvivors)
-        state = nextState
-        ownsState = true
-        lastApplied = batchId
-        lastSurvivors = pinned
+      threshold: Double): (DataFrame, Long) => Unit =
+    new SemanticIngest(state0, onSurvivors, id, vec, centroids, threshold)
+      .handler
+
+  /** Class form of [[semanticBatchHandler]] — same `current` lifetime
+    * contract as [[NearDupIngest]]. */
+  final class SemanticIngest(state0: DataFrame,
+      onSurvivors: (DataFrame, Long) => Unit,
+      id: Column, vec: Column, centroids: DataFrame, threshold: Double) {
+    private var state = state0
+    private var lastApplied = -1L
+    private var lastSurvivors: DataFrame = null
+    private var ownsState = false // state0 belongs to the caller — never unpin it
+
+    /** The admitted (id, cid, v) state after every applied batch. */
+    def current: DataFrame = state
+
+    val handler: (DataFrame, Long) => Unit =
+      (batch: DataFrame, batchId: Long) => {
+        if (batchId <= lastApplied) {
+          if (batchId == lastApplied && lastSurvivors != null)
+            onSurvivors(lastSurvivors, batchId)
+        } else {
+          val (admitted, next) = graft.operators.Dedup.semanticDedupIncremental(
+            batch, id, vec, centroids, state, threshold)
+          val pinned = admitted.localCheckpoint(true)
+          onSurvivors(pinned, batchId)
+          val nextState = next.localCheckpoint(true)
+          // free superseded pins (see NearDupIngest) — replays only
+          // ever target the latest batch
+          if (ownsState) Bridge.unpin(state)
+          if (lastSurvivors != null) Bridge.unpin(lastSurvivors)
+          state = nextState
+          ownsState = true
+          lastApplied = batchId
+          lastSurvivors = pinned
+        }
+        ()
       }
-      ()
-    }
   }
 
   /** Streaming image-near-dup ingestion: foreachBatch over
@@ -201,32 +232,44 @@ object Streams {
   def imageBatchHandler(state0: DataFrame,
       onSurvivors: (DataFrame, Long) => Unit,
       id: Column, payload: Column,
-      maxHamming: Int = 3): (DataFrame, Long) => Unit = {
-    var state = state0
-    var lastApplied = -1L
-    var lastSurvivors: DataFrame = null
-    var ownsState = false // state0 belongs to the caller — never unpin it
-    (batch: DataFrame, batchId: Long) => {
-      if (batchId <= lastApplied) {
-        if (batchId == lastApplied && lastSurvivors != null)
-          onSurvivors(lastSurvivors, batchId)
-      } else {
-        val (admitted, next) = graft.operators.Multimodal
-          .imageDedupIncremental(batch, state, id, payload, maxHamming)
-        val pinned = admitted.localCheckpoint(true)
-        onSurvivors(pinned, batchId)
-        val nextState = next.localCheckpoint(true)
-        // free superseded pins (see nearDupBatchHandler) — replays only
-        // ever target the latest batch
-        if (ownsState) Bridge.unpin(state)
-        if (lastSurvivors != null) Bridge.unpin(lastSurvivors)
-        state = nextState
-        ownsState = true
-        lastApplied = batchId
-        lastSurvivors = pinned
+      maxHamming: Int = 3): (DataFrame, Long) => Unit =
+    new ImageIngest(state0, onSurvivors, id, payload, maxHamming).handler
+
+  /** Class form of [[imageBatchHandler]] — same `current` lifetime
+    * contract as [[NearDupIngest]]. */
+  final class ImageIngest(state0: DataFrame,
+      onSurvivors: (DataFrame, Long) => Unit,
+      id: Column, payload: Column, maxHamming: Int) {
+    private var state = state0
+    private var lastApplied = -1L
+    private var lastSurvivors: DataFrame = null
+    private var ownsState = false // state0 belongs to the caller — never unpin it
+
+    /** The admitted (id, phash) state after every applied batch. */
+    def current: DataFrame = state
+
+    val handler: (DataFrame, Long) => Unit =
+      (batch: DataFrame, batchId: Long) => {
+        if (batchId <= lastApplied) {
+          if (batchId == lastApplied && lastSurvivors != null)
+            onSurvivors(lastSurvivors, batchId)
+        } else {
+          val (admitted, next) = graft.operators.Multimodal
+            .imageDedupIncremental(batch, state, id, payload, maxHamming)
+          val pinned = admitted.localCheckpoint(true)
+          onSurvivors(pinned, batchId)
+          val nextState = next.localCheckpoint(true)
+          // free superseded pins (see NearDupIngest) — replays only
+          // ever target the latest batch
+          if (ownsState) Bridge.unpin(state)
+          if (lastSurvivors != null) Bridge.unpin(lastSurvivors)
+          state = nextState
+          ownsState = true
+          lastApplied = batchId
+          lastSurvivors = pinned
+        }
+        ()
       }
-      ()
-    }
   }
 
   /** Streaming inverted-index maintenance: each micro-batch folds into the

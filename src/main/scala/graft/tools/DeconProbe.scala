@@ -45,6 +45,13 @@ object DeconProbe {
         needles: org.apache.spark.sql.DataFrame): Unit = {
       val nC = corpus.count()
       val nN = needles.count()
+      if (nC == 0 || nN == 0) {
+        // an x1 dir has no replicas — regime 2's split is empty there; a
+        // vacuous {recall: 1.0} row must not look like an adjudication
+        println(s"""{"regime":"$regime","n_corpus":$nC,"n_needles":$nN,""" +
+          """"skipped":"degenerate split — nothing to screen"}""")
+        return
+      }
       val (lshSec, lshFlagged) = time(
         graft.operators.Dedup.semanticDecontaminateLsh(
           corpus, col("vec_id"), col("embedding"),
@@ -61,6 +68,21 @@ object DeconProbe {
         s""""recall":${num(recall)}}""")
     }
 
+    // untimed warm-up: whichever screen runs first otherwise pays the
+    // one-time codegen/classloading/parquet-footer cost and the printed
+    // ratio biases against it (the adjudication readings matter here)
+    emb.filter(col("vec_id") < 64).count()
+    graft.operators.Dedup.semanticDecontaminateLsh(
+        emb.filter(col("vec_id") < 64), col("vec_id"), col("embedding"),
+        emb.filter(col("vec_id") < 8), col("vec_id"), col("embedding"),
+        threshold = 0.9)
+      .count()
+    graft.operators.Dedup.semanticDecontaminate(
+        emb.filter(col("vec_id") < 64), col("vec_id"), col("embedding"),
+        emb.filter(col("vec_id") < 8), col("vec_id"), col("embedding"),
+        threshold = 0.9)
+      .count()
+
     // regime 1 — the PRODUCT shape: small fixed benchmark (the base
     // snapshot, rep 0) vs the replica corpus; every replica is an
     // epsilon-perturbation of a base vector, so recall reads on a corpus
@@ -76,8 +98,7 @@ object DeconProbe {
     // integral div — Column./ is double division (the retention-cohorts
     // nanosecond gotcha; harmless at these magnitudes but keep the idiom)
     val rep = expr(s"vec_id div ${graft.Stress.IdStride}")
-    val mid = spark.read.parquet(s"$dir/embeddings.parquet")
-      .select(max(rep).as("m")).head().getLong(0) / 2
+    val mid = emb.select(max(rep).as("m")).head().getLong(0) / 2
     probe("corpus_needles",
       emb.filter(rep > mid), emb.filter(rep <= mid))
     spark.stop()

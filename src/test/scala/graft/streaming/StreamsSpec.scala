@@ -229,13 +229,15 @@ class StreamsSpec extends SparkSpec {
     val seen = scala.collection.mutable.ArrayBuffer.empty[(Long, Seq[Long])]
     val emitted =
       scala.collection.mutable.ArrayBuffer.empty[org.apache.spark.sql.DataFrame]
-    val handler = Streams.nearDupBatchHandler(state0,
+    val ing = new Streams.NearDupIngest(state0,
       (survivors, batchId) => {
         emitted += survivors
         seen += batchId -> survivors.select(col("doc_id"))
           .collect().map(_.getLong(0)).toSeq.sorted
       },
-      col("doc_id"), col("text"), threshold = 0.7)
+      col("doc_id"), col("text"), shingleK = 3, numHashes = 128,
+      bands = 16, threshold = 0.7)
+    val handler = ing.handler
 
     val b0 = Seq(
       (10L, "a brand new document with fresh wording nobody has seen before now"))
@@ -255,19 +257,30 @@ class StreamsSpec extends SparkSpec {
     // an out-of-order older batchId is a guarded no-op, not a wrong re-emit
     handler(b0, 0L)
     assert(seen.size === 3)
-    // superseded survivor pins are FREED as batches advance (the
-    // IndexIngest non-growth contract): every emitted frame except the
-    // LATEST batch's must have its checkpoint blocks released — asserted
-    // per-RDD (the global persistent-RDD count races with concurrent
-    // suites in the shared session)
-    (2 to 6).foreach(i => handler(
-      Seq((100L + i, s"a uniquely worded fresh document number $i unlike anything else written"))
-        .toDF("doc_id", "text"), i.toLong))
-    emitted.dropRight(1).foreach(assertFreed(_, "nearDupBatchHandler"))
+    // superseded SURVIVOR and STATE pins are FREED as batches advance
+    // (the IndexIngest non-growth contract) — asserted per-RDD (the
+    // global persistent-RDD count races with concurrent suites in the
+    // shared session); the LATEST survivors/state must stay pinned
+    val supersededStates = scala.collection.mutable.ArrayBuffer
+      .empty[graft.operators.Dedup.NearDupState]
+    (2 to 6).foreach { i =>
+      supersededStates += ing.current
+      handler(Seq((100L + i,
+        s"a uniquely worded fresh document number $i unlike anything else written"))
+        .toDF("doc_id", "text"), i.toLong)
+    }
+    emitted.dropRight(1).foreach(assertFreed(_, "nearDupBatchHandler survivors"))
+    supersededStates.foreach { s =>
+      assertFreed(s.bands, "nearDupBatchHandler state.bands")
+      assertFreed(s.postings, "nearDupBatchHandler state.postings")
+    }
     assert(pinnedRdds(emitted.last).nonEmpty &&
       pinnedRdds(emitted.last).forall(
         _.getStorageLevel != org.apache.spark.storage.StorageLevel.NONE),
       "the LATEST batch's survivors must stay pinned for replay")
+    assert(pinnedRdds(ing.current.bands).forall(
+      _.getStorageLevel != org.apache.spark.storage.StorageLevel.NONE),
+      "the CURRENT state must stay pinned")
   }
 
   test("imageBatchHandler: perceptual dedup vs state, idempotent on replay") {
@@ -279,7 +292,7 @@ class StreamsSpec extends SparkSpec {
     val seen = scala.collection.mutable.ArrayBuffer.empty[(Long, Seq[Long])]
     val emitted =
       scala.collection.mutable.ArrayBuffer.empty[org.apache.spark.sql.DataFrame]
-    val handler = Streams.imageBatchHandler(
+    val ing = new Streams.ImageIngest(
       Multimodal.emptyPhashState(spark),
       (survivors, batchId) => {
         emitted += survivors
@@ -287,6 +300,7 @@ class StreamsSpec extends SparkSpec {
           .collect().map(_.getLong(0)).toSeq.sorted
       },
       col("id"), col("payload"), maxHamming = 4)
+    val handler = ing.handler
     // batch 0: picture A and a rescale of A (within-batch dup)
     val b0 = Seq((1L, png(0)), (2L, png(0, 144, 128))).toDF("id", "payload")
     handler(b0, 0L)
@@ -296,11 +310,24 @@ class StreamsSpec extends SparkSpec {
     val b1 = Seq((10L, png(0, 108, 96)), (11L, png(131))).toDF("id", "payload")
     handler(b1, 1L)
     assert(seen.toList === List(0L -> Seq(1L), 0L -> Seq(1L), 1L -> Seq(11L)))
-    // superseded survivor pins are freed as batches advance — per-RDD
-    // assertion (a global persistent-RDD count races with other suites)
-    (2 to 6).foreach(i => handler(
-      Seq((100L + i, png(17 * i + 3))).toDF("id", "payload"), i.toLong))
-    emitted.dropRight(1).foreach(assertFreed(_, "imageBatchHandler"))
+    // superseded survivor AND state pins are freed as batches advance —
+    // per-RDD assertion (a global count races with other suites); the
+    // latest survivors/state must stay pinned
+    val supersededStates =
+      scala.collection.mutable.ArrayBuffer.empty[org.apache.spark.sql.DataFrame]
+    (2 to 6).foreach { i =>
+      supersededStates += ing.current
+      handler(Seq((100L + i, png(17 * i + 3))).toDF("id", "payload"), i.toLong)
+    }
+    emitted.dropRight(1).foreach(assertFreed(_, "imageBatchHandler survivors"))
+    supersededStates.foreach(assertFreed(_, "imageBatchHandler state"))
+    assert(pinnedRdds(emitted.last).nonEmpty &&
+      pinnedRdds(emitted.last).forall(
+        _.getStorageLevel != org.apache.spark.storage.StorageLevel.NONE),
+      "the LATEST batch's survivors must stay pinned for replay")
+    assert(pinnedRdds(ing.current).forall(
+      _.getStorageLevel != org.apache.spark.storage.StorageLevel.NONE),
+      "the CURRENT state must stay pinned")
   }
 
   test("streaming index serves BM25: bm25TopKFromPostings over " +
@@ -403,13 +430,14 @@ class StreamsSpec extends SparkSpec {
     val seen = scala.collection.mutable.ArrayBuffer.empty[(Long, Seq[Long])]
     val emitted =
       scala.collection.mutable.ArrayBuffer.empty[org.apache.spark.sql.DataFrame]
-    val handler = Streams.semanticBatchHandler(state0,
+    val ing = new Streams.SemanticIngest(state0,
       (survivors, batchId) => {
         emitted += survivors
         seen += batchId -> survivors.select(col("id"))
           .collect().map(_.getLong(0)).toSeq.sorted
       },
       col("vec_id"), col("embedding"), cents, threshold = 0.98)
+    val handler = ing.handler
 
     // batch 0: a state dup (base 0), an intra-batch dup pair (base 1 twice,
     // lowest id wins), and the far vector may land anywhere but is unique
@@ -427,11 +455,20 @@ class StreamsSpec extends SparkSpec {
     // an older batchId is a guarded no-op
     handler(b0, 0L)
     assert(seen.size === 3)
-    // superseded survivor pins are freed as batches advance — per-RDD
-    // assertion (a global persistent-RDD count races with other suites)
-    (2 to 6).foreach(i => handler(
-      Seq((100L + i.toLong, far().toSeq)).toDF("vec_id", "embedding"), i.toLong))
-    emitted.dropRight(1).foreach(assertFreed(_, "semanticBatchHandler"))
+    // superseded survivor AND state pins are freed as batches advance —
+    // per-RDD assertion (a global count races with other suites)
+    val supersededStates =
+      scala.collection.mutable.ArrayBuffer.empty[org.apache.spark.sql.DataFrame]
+    (2 to 6).foreach { i =>
+      supersededStates += ing.current
+      handler(Seq((100L + i.toLong, far().toSeq))
+        .toDF("vec_id", "embedding"), i.toLong)
+    }
+    emitted.dropRight(1).foreach(assertFreed(_, "semanticBatchHandler survivors"))
+    supersededStates.foreach(assertFreed(_, "semanticBatchHandler state"))
+    assert(pinnedRdds(ing.current).forall(
+      _.getStorageLevel != org.apache.spark.storage.StorageLevel.NONE),
+      "the CURRENT state must stay pinned")
   }
 
   test("sessionCounts merges events within the gap, splits beyond it") {
