@@ -249,4 +249,38 @@ class RetrievalSpec extends SparkSpec {
     assert(de === (("de", 1L, 2L, 1L, 3L, 3.0, 2.0 / 3.0)))
     assert(en === (("en", 2L, 8L, 3L, 5L, 5.0 / 3.0, 8.0 / 5.0)))
   }
+
+  test("the documented brute->LSH swap gate composes end to end: hashed " +
+      "TF-IDF vectors feed BOTH searchers and recallReport scores the " +
+      "approximate one against the exact one per query") {
+    // clustered corpus: 3 topic vocabularies, several docs each — docs of
+    // a topic share terms, so their hashed vectors are close and LSH
+    // buckets them together; probes are one doc per topic
+    val topics = Seq(
+      Seq("alpha", "beta", "gamma", "delta"),
+      Seq("epsilon", "zeta", "eta", "theta"),
+      Seq("iota", "kappa", "lambda", "mu"))
+    val docs = (for {
+      (vocab, t) <- topics.zipWithIndex
+      d <- 0 until 4
+    } yield ((t * 10 + d).toLong,
+      (vocab ++ vocab.take(d + 1)).mkString(" "))).toDF("doc_id", "text")
+    val vecs = TextIndex.hashedTfidfVectors(
+        docs, col("doc_id"), col("text"), dims = 64)
+      .select(col("doc_id").as("vec_id"), col("vec").as("embedding"))
+    val probes = vecs.filter(col("vec_id") % 10 === 0)
+    val exact = Similarity.bruteForceTopK(probes, vecs, k = 3)
+    val approx = Similarity.lshTopK(probes, vecs, k = 3, bits = 8,
+      multiProbe = true)
+    val report = Similarity.recallReport(exact, approx)
+      .as[(Long, Long, Long, Double)].collect().sortBy(_._1).toSeq
+    assert(report.map(_._1) === Seq(0L, 10L, 20L), "one row per probe")
+    report.foreach { case (qid, nExact, nHit, recall) =>
+      assert(nExact === 3L)
+      assert(recall === nHit.toDouble / nExact)
+      // same-topic docs dominate each probe's exact top-k and share the
+      // probe's bucket — the swap gate must show high recall here
+      assert(recall >= 2.0 / 3.0, s"probe $qid recall $recall")
+    }
+  }
 }
