@@ -90,6 +90,59 @@ object EventAnalytics {
         coalesce(col("__reached"), lit(0L)).as("users_reached"))
   }
 
+  /** Per-variant conversion stats for experiment analysis: users grouped
+    * by `variant`, conversion = the user has ≥ 1 row with `converted`
+    * true. Output: (variant, n_users, n_converted, cvr), one row per
+    * variant. A user's variant must be a function of the user (a hash
+    * bucket, an assignment column) — a user appearing under two variants
+    * is counted in both, which is an experiment-integrity bug upstream,
+    * not something this report papers over.
+    *
+    * Scale shape: one (user, variant) 2-phase aggregation collapses the
+    * event table to a row per user, then a |variants|-row aggregation —
+    * both partial-aggregated; events never shuffle wider than
+    * (user, variant, bit).
+    */
+  def conversionByVariant(df: DataFrame, user: Column, variant: Column,
+      converted: Column): DataFrame =
+    df.select(user.as("user_id"), variant.as("variant"), converted.as("__c"))
+      .groupBy(col("user_id"), col("variant"))
+      .agg(max(when(col("__c"), 1L).otherwise(0L)).as("__conv"))
+      .groupBy(col("variant"))
+      .agg(count(lit(1)).as("n_users"), sum(col("__conv")).as("n_converted"))
+      .select(col("variant"), col("n_users"), col("n_converted"),
+        (col("n_converted").cast("double") / col("n_users").cast("double"))
+          .as("cvr"))
+
+  /** Two-proportion z-test between variants `a` and `b` (the standard
+    * pooled-SE A/B readout): one row — per-variant counts and rates, the
+    * absolute lift (cvr_a − cvr_b), and
+    * z = lift / sqrt(p̂(1−p̂)(1/n_a + 1/n_b)) with p̂ the pooled rate.
+    * Every step is a two-operand IEEE op in a FIXED order (sqrt is
+    * correctly rounded), so the oracle replays it bit-for-bit; a variant
+    * with zero or universal conversion yields an infinite/NaN z — gate on
+    * the counts before reading z there.
+    */
+  def abTestZ(df: DataFrame, user: Column, variant: Column,
+      converted: Column, a: String, b: String): DataFrame = {
+    val s = conversionByVariant(df, user, variant, converted)
+    def side(v: String, suffix: String) =
+      s.filter(col("variant").cast("string") === v)
+        .select(col("n_users").as(s"n_$suffix"),
+          col("n_converted").as(s"conv_$suffix"),
+          col("cvr").as(s"cvr_$suffix"))
+    side(a, "a").crossJoin(side(b, "b"))
+      .withColumn("lift", col("cvr_a") - col("cvr_b"))
+      .withColumn("__pooled",
+        (col("conv_a") + col("conv_b")).cast("double") /
+          (col("n_a") + col("n_b")).cast("double"))
+      .withColumn("z",
+        col("lift") / sqrt(col("__pooled") * (lit(1.0) - col("__pooled")) *
+          (lit(1.0) / col("n_a").cast("double") +
+            lit(1.0) / col("n_b").cast("double"))))
+      .drop("__pooled")
+  }
+
   /** Retention cohorts: users grouped by their first-active epoch day, and
     * for each day offset 0..`maxOffset`, how many of that cohort were
     * active. Day = integer division of the nanosecond timestamp (exact;

@@ -401,6 +401,49 @@ object Relational {
       .orderBy(col("step"))
   }
 
+  /** A/B experiment readout ([[graft.operators.EventAnalytics.abTestZ]]):
+    * variants by user-id parity, conversion = a HIGH-VALUE purchase
+    * (value > 180 — a plain 'any purchase' converts every synthetic
+    * user, making the pooled rate 1.0 and the z-denominator 0, which
+    * ANSI mode rightly refuses to divide by) — one row with per-variant
+    * counts/rates, absolute lift, and the pooled two-proportion z.
+    * Counts are exact integers; the rate/lift/z chain is fixed-order
+    * two-operand IEEE arithmetic (sqrt is correctly rounded), so the
+    * oracle replays it bit-for-bit.
+    */
+  def abTestReportQ(s: SparkSession, dir: String): DataFrame = {
+    val e = T.events(s, dir)
+    graft.operators.EventAnalytics.abTestZ(e, col("user_id"),
+      pmod(col("user_id"), lit(2L)),
+      col("event_type") === "purchase" && col("value") > 180.0,
+      a = "0", b = "1")
+  }
+
+  val abTestReportOracle: String =
+    """WITH u AS (
+      |  SELECT user_id, user_id % 2 AS variant,
+      |    MAX(CASE WHEN event_type = 'purchase' AND value > 180
+      |        THEN 1 ELSE 0 END) AS conv
+      |  FROM events GROUP BY 1, 2),
+      |v AS (
+      |  SELECT variant, COUNT(*) AS n_users,
+      |    CAST(SUM(conv) AS BIGINT) AS n_converted
+      |  FROM u GROUP BY 1),
+      |a AS (SELECT n_users AS n_a, n_converted AS conv_a,
+      |        CAST(n_converted AS DOUBLE) / CAST(n_users AS DOUBLE) AS cvr_a
+      |      FROM v WHERE variant = 0),
+      |b AS (SELECT n_users AS n_b, n_converted AS conv_b,
+      |        CAST(n_converted AS DOUBLE) / CAST(n_users AS DOUBLE) AS cvr_b
+      |      FROM v WHERE variant = 1)
+      |SELECT a.n_a, a.conv_a, a.cvr_a, b.n_b, b.conv_b, b.cvr_b,
+      |  a.cvr_a - b.cvr_b AS lift,
+      |  (a.cvr_a - b.cvr_b) / sqrt(
+      |    (CAST(a.conv_a + b.conv_b AS DOUBLE) / CAST(a.n_a + b.n_b AS DOUBLE))
+      |    * (1.0 - (CAST(a.conv_a + b.conv_b AS DOUBLE)
+      |              / CAST(a.n_a + b.n_b AS DOUBLE)))
+      |    * (1.0 / CAST(a.n_a AS DOUBLE) + 1.0 / CAST(b.n_b AS DOUBLE))) AS z
+      |FROM a, b""".stripMargin
+
   val funnelReportOracle: String =
     """WITH e AS (
       |  SELECT user_id, epoch_us(ts) * 1000 AS tsn, event_type AS et
@@ -693,6 +736,7 @@ object Relational {
     Q("q13_m_add", q13MapAdd, Some(q13Oracle)),
     Q("q14_sessionize", q14Sessionize, Some(q14Oracle)),
     Q("funnel_report", funnelReport, Some(funnelReportOracle)),
+    Q("ab_test_report", abTestReportQ, Some(abTestReportOracle)),
     Q("retention_cohorts", retentionCohortsQ, Some(retentionCohortsOracle)),
     Q("q15_cube", q15Cube, Some(q15Oracle)),
     Q("q16_pivot", q16Pivot, Some(q16Oracle)),

@@ -52,6 +52,28 @@ class EventAnalyticsSpec extends SparkSpec {
     assert(run(20000) === run(0))
   }
 
+  test("conversionByVariant + abTestZ: per-user dedup, hand-checked " +
+      "rates, lift, and pooled z") {
+    // variant A: 3 users, 2 convert (u1 twice — must count once);
+    // variant B: 2 users, 1 converts
+    val e = Seq(
+      (1L, "A", true), (1L, "A", true), (2L, "A", false), (3L, "A", true),
+      (10L, "B", true), (11L, "B", false), (11L, "B", false))
+      .toDF("user_id", "variant", "conv")
+    val by = EventAnalytics.conversionByVariant(e, col("user_id"),
+        col("variant"), col("conv"))
+      .as[(String, Long, Long, Double)].collect().sortBy(_._1).toSeq
+    assert(by === Seq(("A", 3L, 2L, 2.0 / 3.0), ("B", 2L, 1L, 0.5)))
+    val z = EventAnalytics.abTestZ(e, col("user_id"), col("variant"),
+        col("conv"), a = "A", b = "B")
+      .as[(Long, Long, Double, Long, Long, Double, Double, Double)]
+      .collect().head
+    val (pa, pb) = (2.0 / 3.0, 0.5)
+    val pooled = 3.0 / 5.0
+    val se = math.sqrt(pooled * (1.0 - pooled) * (1.0 / 3.0 + 1.0 / 2.0))
+    assert(z === ((3L, 2L, pa, 2L, 1L, pb, pa - pb, (pa - pb) / se)))
+  }
+
   test("retentionCohorts: cohort is the first-active day, offsets count " +
       "distinct active days, and the day math is exact at nanosecond scale") {
     val day = 86400000000000L
