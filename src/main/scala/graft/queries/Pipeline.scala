@@ -2102,11 +2102,17 @@ object Pipeline {
     * the same inverted index, sums per-term contributions in the same 2^20
     * fixed point (order-free exact integer addition — a float SUM's order
     * is engine-chosen), and ranks with the same (score desc, doc_id)
-    * tie-break.
+    * tie-break. The query workload is bounded below [[graft.Stress.IdStride]]
+    * (replica 0 only — a no-op at the oracle SFs) so the stress harness
+    * measures a FIXED query set against a growing corpus, matching the
+    * operator's small-broadcast queryTerms contract; an unbounded corpus-
+    * derived workload grows with replication and reads as harness-quadratic
+    * (the [[simHashedLsh]] precedent).
     */
   def bm25Topk(s: SparkSession, dir: String): DataFrame = {
     val docs = T(s, dir, "documents")
-    val qt = docs.filter(col("doc_id") % 101 === 0)
+    val qt = docs.filter(col("doc_id") % 101 === 0 &&
+        col("doc_id") < graft.Stress.IdStride)
       .select(col("doc_id").as("qid"),
         explode(slice(array_sort(array_distinct(
           filter(graft.functions.TextFunctions.tokensWs(col("text")),
@@ -2133,7 +2139,9 @@ object Pipeline {
        |      list_sort(list_distinct(list_filter(
        |        string_split_regex(trim(text), '\\s+'),
        |        t -> length(t) >= 4)))[1:4] AS terms4
-       |    FROM documents WHERE doc_id % 101 = 0 AND trim(text) <> '')),
+       |    FROM documents
+       |    WHERE doc_id % 101 = 0 AND doc_id < ${graft.Stress.IdStride}
+       |      AND trim(text) <> '')),
        |dfq AS (
        |  SELECT term, COUNT(*) AS df FROM p
        |  WHERE term IN (SELECT term FROM qt) GROUP BY 1),
@@ -3569,7 +3577,8 @@ object Pipeline {
     val index = graft.operators.TextIndex.postingsIncremental(
       state, batch, col("doc_id"), col("text"))
     val corpusSize = docs.agg(count(lit(1)).as("__n"))
-    val qt = docs.filter(col("doc_id") % 101 === 0)
+    val qt = docs.filter(col("doc_id") % 101 === 0 &&
+        col("doc_id") < graft.Stress.IdStride)
       .select(col("doc_id").as("qid"),
         explode(slice(array_sort(array_distinct(
           filter(graft.functions.TextFunctions.tokensWs(col("text")),
