@@ -926,6 +926,70 @@ object Dedup {
       .select(col("needle_id"), col("doc_id"), col("containment"))
   }
 
+  /** Deletion propagation ("right to be forgotten" / poisoned-source
+    * removal): given a set of document ids to purge, produce the purge
+    * MANIFEST — every corpus document that must go, with why. Three
+    * reasons, by priority:
+    *   1. `direct`    — the id is in the deletion set;
+    *   2. `exact_dup` — byte-identical text to some deleted document
+    *                    (same 60-bit fingerprint);
+    *   3. `near_dup`  — word-`shingleK`-gram Jaccard ≥ `threshold` with
+    *                    some deleted document (a trivially edited copy
+    *                    survives an id/exact purge and keeps the content
+    *                    in the corpus — the reason naive deletes fail).
+    * `matched_id` is the smallest deleted id that triggered the row
+    * (deterministic tiebreak); the surviving corpus is the caller's
+    * anti-join against this manifest, kept separate so the purge is
+    * auditable before it is applied.
+    *
+    * Scale shape: the deletion set is request-sized BY CONSTRUCTION —
+    * its ids and its documents' shingle postings broadcast. The direct
+    * pass is a broadcast semi-join; the exact pass is a map-side
+    * fingerprint + broadcast probe (corpus text never shuffles); the
+    * near pass is the [[jaccardJoin]] inverted-index machinery with the
+    * deleted docs as the small side — candidates are bounded by the
+    * deleted shingles' corpus document frequency, and `maxDocFreq` caps
+    * the stop-shingle worst case. Reason arbitration is a min(struct)
+    * aggregation over the union — manifest-sized, not corpus-sized.
+    */
+  def purgeDeletes(df: DataFrame, id: Column, text: Column,
+      deleteIds: DataFrame, deleteId: Column,
+      shingleK: Int = 3, threshold: Double = 0.5,
+      maxDocFreq: Option[Long] = None): DataFrame = {
+    require(threshold > 0 && threshold <= 1,
+      s"threshold out of (0,1]: $threshold")
+    val src = df.select(id.as("id"), text.as("__text"))
+    val dels = deleteIds.select(deleteId.as("del_id")).distinct()
+    val delDocs = src.join(broadcast(dels), col("id") === col("del_id"), "semi")
+    val direct = src.join(broadcast(dels), col("id") === col("del_id"), "semi")
+      .select(col("id"), lit(1).as("pri"), col("id").as("matched_id"))
+    // one (fp → min deleted id) row per distinct deleted fingerprint;
+    // request-sized, broadcasts
+    val delFps = delDocs
+      .select(TextFunctions.fingerprint64(col("__text")).as("fp"),
+        col("id").as("del_id"))
+      .groupBy(col("fp")).agg(min(col("del_id")).as("matched_id"))
+    val exact = src
+      .select(col("id"), TextFunctions.fingerprint64(col("__text")).as("fp"))
+      .join(broadcast(delFps), Seq("fp"))
+      .select(col("id"), lit(2).as("pri"), col("matched_id"))
+    val near = jaccardJoin(
+        src, col("id"), col("__text"),
+        delDocs, col("id"), col("__text"),
+        shingleK, threshold, maxDocFreq)
+      .groupBy(col("left_id").as("id"))
+      .agg(min(col("right_id")).as("matched_id"))
+      .select(col("id"), lit(3).as("pri"), col("matched_id"))
+    direct.unionByName(exact).unionByName(near)
+      .groupBy(col("id"))
+      .agg(min(struct(col("pri"), col("matched_id"))).as("m"))
+      .select(col("id").as("doc_id"),
+        when(col("m.pri") === 1, "direct")
+          .when(col("m.pri") === 2, "exact_dup")
+          .otherwise("near_dup").as("reason"),
+        col("m.matched_id").as("matched_id"))
+  }
+
   // --------------------------------------------------------------- SimHash
 
   /** Number of SimHash bits: 60 (what a 15-hex-digit md5 prefix yields),

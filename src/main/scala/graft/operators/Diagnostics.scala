@@ -365,6 +365,69 @@ object Diagnostics {
         col("n_dup").cast("double") / col("n_docs").cast("double"))
   }
 
+  /** Character-class drift per source — the ingestion-monitoring screen
+    * that catches a feed going bad (markup bleed-through, encoding
+    * corruption, a scraper suddenly returning JS) WITHOUT a trained
+    * model: each source's {letter, digit, whitespace, other} character
+    * distribution is scored against the corpus-wide distribution with
+    * Pearson's chi-square statistic Σ (o−e)²/e. A healthy source sits
+    * near the corpus profile (χ² small relative to its char count); a
+    * drifting source's χ² explodes. This is a RANKING statistic here, not
+    * a hypothesis test — compare sources against each other and against
+    * yesterday's run; no p-value (that would need the incomplete gamma,
+    * a transcendental the oracle gate can't replay — consumers apply it
+    * on top).
+    *
+    * Determinism: all counts are exact integers (length arithmetic over
+    * ASCII classes, identical in any engine); the χ² chain is two-operand
+    * IEEE arithmetic over those integers in a FIXED class order
+    * (letter → digit → space → other), so DuckDB replays it bit-for-bit.
+    * A class absent from the whole corpus contributes 0 (guarded — its
+    * observed count is necessarily 0 everywhere too).
+    *
+    * Scale shape: one map-only projection (three regexp strips per doc —
+    * codegen'd built-ins) into a per-source partial-aggregated groupBy:
+    * |sources| rows. The corpus totals re-aggregate that same projection
+    * (one more linear map+partial-agg pass — the [[skewReport]] pattern)
+    * and broadcast as one row. Nothing wider than five longs shuffles;
+    * the output is |sources| rows.
+    */
+  def sourceDrift(df: DataFrame, group: Column, text: Column): DataFrame = {
+    val classed = df.select(group.as("grp"),
+      length(text).cast("long").as("n_all"),
+      length(regexp_replace(text, "[^A-Za-z]", "")).cast("long").as("n_letter"),
+      length(regexp_replace(text, "[^0-9]", "")).cast("long").as("n_digit"),
+      length(regexp_replace(text, "[^ \t\n\f\r]", "")).cast("long")
+        .as("n_space"))
+    val perSource = classed.groupBy(col("grp"))
+      .agg(sum(col("n_all")).as("n_chars"),
+        sum(col("n_letter")).as("n_letters"),
+        sum(col("n_digit")).as("n_digits"),
+        sum(col("n_space")).as("n_spaces"))
+      .withColumn("n_other",
+        col("n_chars") - col("n_letters") - col("n_digits") - col("n_spaces"))
+    val totals = broadcast(perSource.agg(
+      sum(col("n_chars")).as("g_all"), sum(col("n_letters")).as("g_letter"),
+      sum(col("n_digits")).as("g_digit"), sum(col("n_spaces")).as("g_space"),
+      sum(col("n_other")).as("g_other")))
+    def term(o: Column, g: Column) = {
+      val e = col("n_chars").cast("double") *
+        (g.cast("double") / col("g_all").cast("double"))
+      // g = 0: the class is absent corpus-wide, so o = 0 too — contributes
+      // nothing. n_chars = 0: an all-empty source has e = 0 for every
+      // class and o = 0, and 0/0 is NaN, not the 0 the statistic means.
+      when(g === 0L || col("n_chars") === 0L, lit(0.0))
+        .otherwise((o.cast("double") - e) * (o.cast("double") - e) / e)
+    }
+    perSource.crossJoin(totals)
+      .select(col("grp"), col("n_chars"), col("n_letters"), col("n_digits"),
+        col("n_spaces"), col("n_other"),
+        (((term(col("n_letters"), col("g_letter")) +
+          term(col("n_digits"), col("g_digit"))) +
+          term(col("n_spaces"), col("g_space"))) +
+          term(col("n_other"), col("g_other"))).as("chi2"))
+  }
+
   def skewReport(df: DataFrame, key: Column, topN: Int = 20,
       partitions: Int = 32): DataFrame = {
     require(topN > 0 && partitions > 0, s"topN=$topN partitions=$partitions")

@@ -143,6 +143,51 @@ object EventAnalytics {
       .drop("__pooled")
   }
 
+  /** Session-aware event-transition counts — the Markov/Sankey source
+    * table behind "where do users go after X" product analytics: for each
+    * pair of CONSECUTIVE events by the same user within one session
+    * (gap ≤ `sessionGapNanos`, the [[graft.queries.Relational.q14Sessionize]]
+    * gap rule), count the (from_type → to_type) transition. Output: one
+    * row per observed ordered pair — (from_type, to_type, n_transitions,
+    * n_users) — with n_users the number of distinct users who made that
+    * transition at least once.
+    *
+    * Ordering inside a user is (ts, `tieBreak`); pass a unique-per-row
+    * column (an event id) so equal-timestamp events order identically in
+    * any engine — without it the transition multiset is
+    * nondeterministic exactly at ts collisions.
+    *
+    * Scale shape: ONE window pass partitioned by user (Spark's window
+    * sort spills; no per-user array materializes — the funnel's
+    * collect-and-fold is wrong here because transitions need adjacency,
+    * not a custom fold), then two partial-aggregated groupBys over
+    * (type, type, user) / (type, type) rows — narrow strings, cardinality
+    * ≤ |event types|² · |users| and typically far below it. Events never
+    * shuffle wider than (user, ts, type, tiebreak).
+    */
+  def eventTransitions(df: DataFrame, user: Column, tsNanos: Column,
+      eventType: Column, tieBreak: Column,
+      sessionGapNanos: Long = 1800L * 1000000000L): DataFrame = {
+    require(sessionGapNanos > 0,
+      s"sessionGapNanos must be positive, got $sessionGapNanos")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("ts"), col("tb"))
+    val byUser = df.select(user.as("user_id"), tsNanos.cast("long").as("ts"),
+        eventType.as("et"), tieBreak.as("tb"))
+      .select(col("user_id"), col("et"), col("ts"),
+        lag(col("et"), 1).over(w).as("prev_et"),
+        lag(col("ts"), 1).over(w).as("prev_ts"))
+      .filter(col("prev_et").isNotNull &&
+        col("ts") - col("prev_ts") <= sessionGapNanos)
+    byUser
+      .groupBy(col("prev_et").as("from_type"), col("et").as("to_type"),
+        col("user_id"))
+      .agg(count(lit(1)).as("__c"))
+      .groupBy(col("from_type"), col("to_type"))
+      .agg(sum(col("__c")).as("n_transitions"),
+        count(lit(1)).as("n_users"))
+  }
+
   /** Retention cohorts: users grouped by their first-active epoch day, and
     * for each day offset 0..`maxOffset`, how many of that cohort were
     * active. Day = integer division of the nanosecond timestamp (exact;

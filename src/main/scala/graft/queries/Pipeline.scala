@@ -178,6 +178,93 @@ object Pipeline {
        |FROM range(0, 20) r LEFT JOIN h ON h.bucket = r.range
        |ORDER BY bucket""".stripMargin
 
+  /** Deletion propagation ([[graft.operators.Dedup.purgeDeletes]]): the
+    * purge manifest for a fixed deletion set (doc_id % 45, bounded below
+    * the replica stride so the set stays request-sized under stress —
+    * members with organic ≥ 0.5-Jaccard partners at both oracle SFs, so
+    * the near pass is exercised) — direct ids, exact-fingerprint
+    * duplicates, and word-3-shingle Jaccard ≥ 0.5 near-duplicates, with
+    * the smallest triggering deleted id and the priority-arbitrated
+    * reason. The synthetic corpus has no byte-identical pair, so the
+    * fixture unions in a re-keyed copy (id + 500 000 — below the replica
+    * stride, above every base id) of each deleted document: the copies
+    * MUST come back as `exact_dup` rows or the purge leaks verbatim
+    * content. The oracle replays all three passes and the
+    * (priority, matched_id) arbitration over the same unioned corpus.
+    */
+  def purgeDeletesQ(s: SparkSession, dir: String): DataFrame = {
+    val base = T(s, dir, "documents")
+    val dels = base.filter(col("doc_id") % 45 === 0 &&
+        col("doc_id") < graft.Stress.IdStride)
+      .select(col("doc_id").as("del_id"))
+    val copies = base
+      .join(broadcast(dels), col("doc_id") === col("del_id"), "semi")
+      .select((col("doc_id") + 500000L).as("doc_id"), col("text"))
+    val corpus = base.select(col("doc_id"), col("text")).unionByName(copies)
+    graft.operators.Dedup.purgeDeletes(corpus, col("doc_id"), col("text"),
+        dels, col("del_id"), shingleK = 3, threshold = 0.5)
+      .orderBy(col("doc_id"))
+  }
+
+  val purgeDeletesOracle: String =
+    s"""WITH dels AS (
+       |  SELECT doc_id AS del_id FROM documents
+       |  WHERE doc_id % 45 = 0 AND doc_id < ${graft.Stress.IdStride}),
+       |corpus AS (
+       |  SELECT doc_id, text FROM documents
+       |  UNION ALL
+       |  SELECT d.doc_id + 500000, d.text FROM documents d
+       |  JOIN dels ON d.doc_id = dels.del_id),
+       |sets AS (
+       |  SELECT doc_id, list_distinct(
+       |    CASE WHEN len(t) < 3 THEN [array_to_string(t, ' ')]
+       |         ELSE list_transform(range(1, len(t) - 1),
+       |                i -> array_to_string(t[i:i+2], ' ')) END
+       |  ) AS s
+       |  FROM (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t
+       |        FROM corpus)),
+       |fps AS (
+       |  SELECT doc_id, ('0x' || substring(md5(text), 1, 15))::BIGINT AS fp
+       |  FROM corpus),
+       |delfp AS (
+       |  SELECT f.fp, MIN(f.doc_id) AS matched_id
+       |  FROM fps f JOIN dels d ON f.doc_id = d.del_id GROUP BY 1),
+       |direct AS (
+       |  SELECT f.doc_id AS id, 1 AS pri, f.doc_id AS matched_id
+       |  FROM fps f JOIN dels d ON f.doc_id = d.del_id),
+       |ex AS (
+       |  SELECT f.doc_id AS id, 2 AS pri, d.matched_id
+       |  FROM fps f JOIN delfp d ON f.fp = d.fp),
+       |posting AS (SELECT doc_id, unnest(s) AS sp FROM sets),
+       |delpost AS (
+       |  SELECT p.doc_id, p.sp FROM posting p
+       |  JOIN dels d ON p.doc_id = d.del_id),
+       |pairs AS (
+       |  SELECT a.doc_id AS id, b.doc_id AS del_id, COUNT(*) AS inter
+       |  FROM posting a JOIN delpost b ON a.sp = b.sp
+       |  GROUP BY 1, 2),
+       |near0 AS (
+       |  SELECT p.id, p.del_id FROM pairs p
+       |  JOIN sets sa ON sa.doc_id = p.id
+       |  JOIN sets sb ON sb.doc_id = p.del_id
+       |  WHERE CAST(p.inter AS DOUBLE)
+       |    / CAST(len(sa.s) + len(sb.s) - p.inter AS DOUBLE) >= 0.5),
+       |near AS (
+       |  SELECT id, 3 AS pri, MIN(del_id) AS matched_id FROM near0 GROUP BY 1),
+       |allr AS (
+       |  SELECT * FROM direct UNION ALL SELECT * FROM ex
+       |  UNION ALL SELECT * FROM near),
+       |pick AS (
+       |  SELECT id, pri, matched_id,
+       |    ROW_NUMBER() OVER (PARTITION BY id ORDER BY pri, matched_id) AS rk
+       |  FROM allr)
+       |SELECT id AS doc_id,
+       |  CASE pri WHEN 1 THEN 'direct' WHEN 2 THEN 'exact_dup'
+       |       ELSE 'near_dup' END AS reason,
+       |  matched_id
+       |FROM pick WHERE rk = 1
+       |ORDER BY doc_id""".stripMargin
+
   // ---------------------------------------------------------------- SimHash
 
   /** SimHash near-dup pairs at hamming <= 3 over 60-bit signatures; the
@@ -3614,6 +3701,70 @@ object Pipeline {
       |GROUP BY f.grp
       |ORDER BY f.grp""".stripMargin
 
+  /** Character-class drift per source
+    * ([[graft.operators.Diagnostics.sourceDrift]]): each source's
+    * {letter, digit, whitespace, other} distribution chi-squared against
+    * the corpus profile — the model-free ingestion-drift screen. Counts
+    * are exact integers; the χ² chain is fixed-order two-operand IEEE
+    * arithmetic, replayed verbatim by the oracle.
+    */
+  def sourceDriftQ(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Diagnostics.sourceDrift(
+        T(s, dir, "documents"), col("source"), col("text"))
+      .orderBy(col("grp"))
+
+  val sourceDriftOracle: String =
+    """WITH cl AS (
+      |  SELECT source AS grp, CAST(length(text) AS BIGINT) AS n_all,
+      |    CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS BIGINT)
+      |      AS n_letter,
+      |    CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS BIGINT)
+      |      AS n_digit,
+      |    CAST(length(regexp_replace(text, e'[^ \\t\\n\\f\\r]', '', 'g'))
+      |      AS BIGINT) AS n_space
+      |  FROM documents),
+      |ps AS (
+      |  SELECT grp, SUM(n_all) AS n_chars, SUM(n_letter) AS n_letters,
+      |    SUM(n_digit) AS n_digits, SUM(n_space) AS n_spaces,
+      |    SUM(n_all) - SUM(n_letter) - SUM(n_digit) - SUM(n_space) AS n_other
+      |  FROM cl GROUP BY 1),
+      |tot AS (
+      |  SELECT SUM(n_chars) AS g_all, SUM(n_letters) AS g_letter,
+      |    SUM(n_digits) AS g_digit, SUM(n_spaces) AS g_space,
+      |    SUM(n_other) AS g_other
+      |  FROM ps)
+      |SELECT grp, n_chars, n_letters, n_digits, n_spaces, n_other,
+      |  CASE WHEN g_letter = 0 OR n_chars = 0 THEN 0.0
+      |      ELSE (CAST(n_letters AS DOUBLE) - CAST(n_chars AS DOUBLE)
+      |        * (CAST(g_letter AS DOUBLE) / CAST(g_all AS DOUBLE)))
+      |        * (CAST(n_letters AS DOUBLE) - CAST(n_chars AS DOUBLE)
+      |        * (CAST(g_letter AS DOUBLE) / CAST(g_all AS DOUBLE)))
+      |        / (CAST(n_chars AS DOUBLE)
+      |        * (CAST(g_letter AS DOUBLE) / CAST(g_all AS DOUBLE))) END
+      |  + CASE WHEN g_digit = 0 OR n_chars = 0 THEN 0.0
+      |      ELSE (CAST(n_digits AS DOUBLE) - CAST(n_chars AS DOUBLE)
+      |        * (CAST(g_digit AS DOUBLE) / CAST(g_all AS DOUBLE)))
+      |        * (CAST(n_digits AS DOUBLE) - CAST(n_chars AS DOUBLE)
+      |        * (CAST(g_digit AS DOUBLE) / CAST(g_all AS DOUBLE)))
+      |        / (CAST(n_chars AS DOUBLE)
+      |        * (CAST(g_digit AS DOUBLE) / CAST(g_all AS DOUBLE))) END
+      |  + CASE WHEN g_space = 0 OR n_chars = 0 THEN 0.0
+      |      ELSE (CAST(n_spaces AS DOUBLE) - CAST(n_chars AS DOUBLE)
+      |        * (CAST(g_space AS DOUBLE) / CAST(g_all AS DOUBLE)))
+      |        * (CAST(n_spaces AS DOUBLE) - CAST(n_chars AS DOUBLE)
+      |        * (CAST(g_space AS DOUBLE) / CAST(g_all AS DOUBLE)))
+      |        / (CAST(n_chars AS DOUBLE)
+      |        * (CAST(g_space AS DOUBLE) / CAST(g_all AS DOUBLE))) END
+      |  + CASE WHEN g_other = 0 OR n_chars = 0 THEN 0.0
+      |      ELSE (CAST(n_other AS DOUBLE) - CAST(n_chars AS DOUBLE)
+      |        * (CAST(g_other AS DOUBLE) / CAST(g_all AS DOUBLE)))
+      |        * (CAST(n_other AS DOUBLE) - CAST(n_chars AS DOUBLE)
+      |        * (CAST(g_other AS DOUBLE) / CAST(g_all AS DOUBLE)))
+      |        / (CAST(n_chars AS DOUBLE)
+      |        * (CAST(g_other AS DOUBLE) / CAST(g_all AS DOUBLE))) END AS chi2
+      |FROM ps CROSS JOIN tot
+      |ORDER BY grp""".stripMargin
+
   /** Segment-level mixed-language screen
     * ([[graft.operators.QualityFilter.mixedLanguageReport]]): language-id
     * every 16-token window and report per-doc distinct-language counts,
@@ -3907,6 +4058,7 @@ object Pipeline {
     Q("dedup_minhash_lsh", dedupMinHash, Some(dedupMinHashOracle)),
     Q("dedup_ngram_jaccard", dedupNgramJaccard, Some(dedupNgramJaccardOracle)),
     Q("jaccard_histogram", jaccardHistogramQ, Some(jaccardHistogramOracle)),
+    Q("purge_deletes", purgeDeletesQ, Some(purgeDeletesOracle)),
     Q("dedup_simhash", dedupSimHash, Some(dedupSimHashOracle)),
     Q("dedup_simhash128", dedupSimHash128, Some(dedupSimHash128Oracle)),
     Q("text_metrics", textMetrics, Some(textMetricsOracle)),
@@ -3943,6 +4095,7 @@ object Pipeline {
     Q("source_affinity", sourceAffinityQ, Some(sourceAffinityOracle)),
     Q("mixed_language", mixedLanguageQ, Some(mixedLanguageOracle)),
     Q("dup_rate_by_source", dupRateBySourceQ, Some(dupRateBySourceOracle)),
+    Q("source_drift", sourceDriftQ, Some(sourceDriftOracle)),
     Q("winnow_fingerprints", winnowFps, Some(winnowFpsOracle)),
     Q("dedup_embedding", dedupEmbedding, Some(dedupEmbeddingOracle)),
     Q("semantic_decontaminate", semanticDecontaminateQ,

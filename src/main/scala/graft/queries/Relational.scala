@@ -488,6 +488,41 @@ object Relational {
       |GROUP BY 1, 2
       |ORDER BY cohort_day, day_offset""".stripMargin
 
+  /** Session-aware transition counts
+    * ([[graft.operators.EventAnalytics.eventTransitions]]): the
+    * Markov/Sankey source table — (from_type → to_type) counts over
+    * consecutive same-user events within the 30-minute session gap,
+    * event_id as the equal-timestamp tiebreak. Pure counts; the oracle
+    * replays the same LAG chain.
+    */
+  def eventTransitionsQ(s: SparkSession, dir: String): DataFrame = {
+    val e = T.events(s, dir)
+    graft.operators.EventAnalytics.eventTransitions(
+        e, col("user_id"), col("ts"), col("event_type"), col("event_id"))
+      .orderBy(col("from_type"), col("to_type"))
+  }
+
+  val eventTransitionsOracle: String =
+    """WITH e AS (
+      |  SELECT user_id, event_id, epoch_us(ts) * 1000 AS tsn,
+      |    event_type AS et
+      |  FROM events),
+      |t AS (
+      |  SELECT user_id, et, tsn,
+      |    LAG(et) OVER (PARTITION BY user_id ORDER BY tsn, event_id) AS pet,
+      |    LAG(tsn) OVER (PARTITION BY user_id ORDER BY tsn, event_id) AS ptsn
+      |  FROM e),
+      |tr AS (
+      |  SELECT user_id, pet AS from_type, et AS to_type FROM t
+      |  WHERE pet IS NOT NULL AND tsn - ptsn <= 1800000000000),
+      |g AS (
+      |  SELECT from_type, to_type, user_id, COUNT(*) AS c
+      |  FROM tr GROUP BY 1, 2, 3)
+      |SELECT from_type, to_type, CAST(SUM(c) AS BIGINT) AS n_transitions,
+      |  COUNT(*) AS n_users
+      |FROM g GROUP BY 1, 2
+      |ORDER BY from_type, to_type""".stripMargin
+
   /** CUBE over region × market segment with grouping id (q06 covers ROLLUP). */
   def q15Cube(s: SparkSession, dir: String): DataFrame = {
     val c = T(s, dir, "customer")
@@ -738,6 +773,7 @@ object Relational {
     Q("funnel_report", funnelReport, Some(funnelReportOracle)),
     Q("ab_test_report", abTestReportQ, Some(abTestReportOracle)),
     Q("retention_cohorts", retentionCohortsQ, Some(retentionCohortsOracle)),
+    Q("event_transitions", eventTransitionsQ, Some(eventTransitionsOracle)),
     Q("q15_cube", q15Cube, Some(q15Oracle)),
     Q("q16_pivot", q16Pivot, Some(q16Oracle)),
     Q("q17_anti_join", q17AntiJoin, Some(q17Oracle)),

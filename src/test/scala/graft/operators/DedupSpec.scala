@@ -523,6 +523,38 @@ class DedupSpec extends SparkSpec {
     assert(near._3 > 0.5 && near._3 < 1.0)
   }
 
+  test("purgeDeletes: direct / exact / near reasons with priority " +
+      "arbitration and smallest-deleted-id matching") {
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "the quick brown fox jumps over the lazy dog"), // exact copy of 1
+      (3L, "the quick brown fox jumps over the lazy cat"), // near dup of 1
+      (4L, "an entirely unrelated description of a product"),
+      (5L, "the quick brown fox jumps over the lazy dog")  // exact copy, 2nd
+    ).toDF("doc_id", "text")
+    val dels = Seq(1L, 5L).toDF("id")
+    val out = Dedup.purgeDeletes(docs, col("doc_id"), col("text"),
+        dels, col("id"), shingleK = 3, threshold = 0.5)
+      .as[(Long, String, Long)].collect().sortBy(_._1).toSeq
+    // 1, 5: direct (self-matched). 2: byte-identical to BOTH deleted docs
+    //   -> exact_dup, matched to the SMALLEST (1) -- and although it also
+    //   near-matches at jaccard 1.0, exact wins the arbitration.
+    // 3: near_dup of 1. 4: survives -- not in the manifest.
+    assert(out === Seq(
+      (1L, "direct", 1L), (2L, "exact_dup", 1L),
+      (3L, "near_dup", 1L), (5L, "direct", 5L)))
+    // empty deletion set -> empty manifest (nothing to purge)
+    val none = Dedup.purgeDeletes(docs, col("doc_id"), col("text"),
+        dels.filter(col("id") < 0), col("id"))
+      .collect()
+    assert(none.isEmpty)
+    // deleting a doc with no copies purges exactly itself
+    val solo = Dedup.purgeDeletes(docs, col("doc_id"), col("text"),
+        Seq(4L).toDF("id"), col("id"), threshold = 0.5)
+      .as[(Long, String, Long)].collect().toSeq
+    assert(solo === Seq((4L, "direct", 4L)))
+  }
+
   test("jaccardJoin maxDocFreq drops stop-shingles from both indexes") {
     // A shingle present in EVERY row of both sides ("common common common")
     // would contribute |L|x|R| join rows; capped at df<=1 it is never

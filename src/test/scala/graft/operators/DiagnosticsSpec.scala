@@ -175,4 +175,45 @@ class DiagnosticsSpec extends SparkSpec {
       assert(err === math.abs(est - jac))
     }
   }
+
+  test("sourceDrift: exact class counts, hand-computed chi-square, and a " +
+      "source matching the corpus profile scores below a drifted one") {
+    val docs = Seq(
+      // clean: 8 letters, 1 space, 1 digit per doc
+      ("clean", "abcd efgh1"), ("clean", "ijkl mnop2"),
+      // drifted: all punctuation/other
+      ("junk", "!!!$$$%%%&")).toDF("source", "text")
+    val out = Diagnostics.sourceDrift(docs, col("source"), col("text"))
+      .as[(String, Long, Long, Long, Long, Long, Double)]
+      .collect().sortBy(_._1).toMap2
+    val (cn, cl, cd, cs, co, cChi) = out("clean")
+    val (jn, jl, jd, js, jo, jChi) = out("junk")
+    assert((cn, cl, cd, cs, co) === (20L, 16L, 2L, 2L, 0L))
+    assert((jn, jl, jd, js, jo) === (10L, 0L, 0L, 0L, 10L))
+    // replay the fixed-order chain: g = (30, 16, 2, 2, 10)
+    def chi(n: Long, o: Seq[Long], g: Seq[Long], gAll: Long): Double =
+      o.zip(g).map { case (oc, gc) =>
+        if (gc == 0L || n == 0L) 0.0
+        else {
+          val e = n.toDouble * (gc.toDouble / gAll.toDouble)
+          (oc.toDouble - e) * (oc.toDouble - e) / e
+        }
+      }.reduceLeft(_ + _)
+    val g = Seq(16L, 2L, 2L, 10L)
+    assert(cChi === chi(20L, Seq(16L, 2L, 2L, 0L), g, 30L))
+    assert(jChi === chi(10L, Seq(0L, 0L, 0L, 10L), g, 30L))
+    assert(jChi > cChi, "the drifted source must outscore the clean one")
+    // an all-empty source contributes zeros, never NaN
+    val withEmpty = docs.union(Seq(("blank", "")).toDF("source", "text"))
+    val blank = Diagnostics.sourceDrift(withEmpty, col("source"), col("text"))
+      .filter(col("grp") === "blank")
+      .as[(String, Long, Long, Long, Long, Long, Double)].collect().head
+    assert(blank._7 === 0.0)
+  }
+
+  private implicit class ToMap2(
+      rows: Array[(String, Long, Long, Long, Long, Long, Double)]) {
+    def toMap2: Map[String, (Long, Long, Long, Long, Long, Double)] =
+      rows.map(r => r._1 -> ((r._2, r._3, r._4, r._5, r._6, r._7))).toMap
+  }
 }

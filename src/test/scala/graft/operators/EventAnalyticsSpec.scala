@@ -92,4 +92,39 @@ class EventAnalyticsSpec extends SparkSpec {
     val c0 = d0 / day
     assert(out === Seq((c0, 0, 1L), (c0, 1, 1L), (c0 + 1, 0, 1L), (c0 + 1, 2, 1L)))
   }
+
+  test("eventTransitions: adjacency within the session gap only, " +
+      "equal-ts order fixed by the tiebreak, n_users deduplicates") {
+    val gap = 100L
+    val e = Seq(
+      // u1: A->B->B (two transitions), then a gap > 100 breaks the
+      // session -- C after the break contributes NO (B->C) edge, but the
+      // next pair C->A inside the new session does
+      (1L, 10L, "A", 1L), (1L, 20L, "B", 2L), (1L, 30L, "B", 3L),
+      (1L, 500L, "C", 4L), (1L, 510L, "A", 5L),
+      // u2: equal timestamps -- tiebreak (event_id) orders A(6) then
+      // B(7), so the edge is A->B, never B->A; also a second A->B so
+      // n_transitions=2 while n_users counts u2 once
+      (2L, 40L, "A", 6L), (2L, 40L, "B", 7L), (2L, 60L, "A", 8L),
+      (2L, 70L, "B", 9L),
+      // u3: single event -- no transitions
+      (3L, 10L, "A", 10L)).toDF("user_id", "ts", "et", "eid")
+    val out = EventAnalytics.eventTransitions(e, col("user_id"), col("ts"),
+        col("et"), col("eid"), sessionGapNanos = gap)
+      .as[(String, String, Long, Long)].collect()
+      .sortBy(t => (t._1, t._2)).toSeq
+    assert(out === Seq(
+      ("A", "B", 3L, 2L), // u1 once + u2 twice; 2 distinct users
+      ("B", "A", 1L, 1L), // u2's B@40 -> A@60
+      ("B", "B", 1L, 1L),
+      ("C", "A", 1L, 1L)))
+    // exactly at the gap is still the same session; one past it is not
+    val edge = Seq((1L, 0L, "A", 1L), (1L, gap, "B", 2L),
+        (1L, 2 * gap + 1L, "C", 3L))
+      .toDF("user_id", "ts", "et", "eid")
+    val out2 = EventAnalytics.eventTransitions(edge, col("user_id"),
+        col("ts"), col("et"), col("eid"), sessionGapNanos = gap)
+      .as[(String, String, Long, Long)].collect().toSeq
+    assert(out2 === Seq(("A", "B", 1L, 1L)))
+  }
 }
