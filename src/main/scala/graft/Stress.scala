@@ -98,7 +98,15 @@ object Stress {
     "semantic_decontaminate", "jaccard_histogram",
     // the SRP-bucketed screen: per-doc work = bucket needle occupancy;
     // with the fixed needle set its growth must stay linear in the corpus
-    "semantic_decontaminate_lsh")
+    "semantic_decontaminate_lsh",
+    // round-13 closing additions: event_transitions is one user-
+    // partitioned window + two narrow aggs (events scale as new users —
+    // per-user work constant); source_drift is a map-only class
+    // projection + |sources|-row aggs (linear by claim); purge_deletes
+    // has a FIXED deletion set (ids below IdStride) whose replicas are
+    // deliberate near-dups — the manifest grows linearly with the
+    // replication factor, and the candidate join must track it
+    "event_transitions", "source_drift", "purge_deletes")
 
   /** Replica id offset — well above any sf0.1 id, keeps replica ids
     * unique. PUBLIC because `Pipeline.simHashedLsh` pins its probe set
