@@ -106,7 +106,13 @@ object Stress {
     // has a FIXED deletion set (ids below IdStride) whose replicas are
     // deliberate near-dups — the manifest grows linearly with the
     // replication factor, and the candidate join must track it
-    "event_transitions", "source_drift", "purge_deletes")
+    "event_transitions", "source_drift", "purge_deletes",
+    // hybrid_retrieval composes the two fixed-probe retrieval stacks —
+    // growth must track the slower input (the bm25 build); phrase_mining
+    // is dictionary-sized aggregation by claim (the replicaN token makes
+    // each replica's pairs distinct, so the bigram dictionary grows
+    // linearly while the zip pass stays map-side)
+    "hybrid_retrieval", "phrase_mining")
 
   /** Replica id offset — well above any sf0.1 id, keeps replica ids
     * unique. PUBLIC because `Pipeline.simHashedLsh` pins its probe set

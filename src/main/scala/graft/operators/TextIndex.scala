@@ -617,6 +617,105 @@ object TextIndex {
         col("s.id").as("doc_id"), col("s.score").as("score"))
   }
 
+  /** Collocation mining: the top-`k` adjacent word pairs by LIFT — the
+    * observed/expected ratio `c(ab)·N / (c(a)·c(b))` with unigram-MLE
+    * expectations (pointwise mutual information WITHOUT the log: the
+    * same ranking, since log is monotone, and the ln-free stance every
+    * oracle-gated scorer here takes). The phrase-vocabulary induction
+    * step before tokenizer training or query segmentation: "new york"
+    * scores far above chance, "of the" sits near 1 despite its raw
+    * frequency. `minCount` floors the pair count — a hapax pair next to
+    * two hapax words has infinite-looking lift and no statistical
+    * support (the standard collocation-mining floor).
+    *
+    * Determinism: all counts are exact integers; the lift is the fixed
+    * two-operand chain `(c_ab · N) / (c_a · c_b)` evaluated in doubles
+    * (each product of exact integers, one division), identical in any
+    * engine; final order (lift desc, w1, w2).
+    *
+    * Scale shape: one tokenize pass feeds BOTH counts — unigrams via a
+    * dictionary-sized (Heaps-law) aggregation, adjacent pairs via a
+    * map-side zip of the token array with its tail (no self-join of
+    * positions); the pair aggregation is bigram-dictionary-sized. The
+    * two unigram-count joins attach a dictionary dim to the pair table
+    * (AQE broadcasts when it is genuinely small). The final top-k is a
+    * TakeOrdered over pair-dictionary rows — never a corpus-sized sort.
+    */
+  def phraseMining(df: DataFrame, text: Column, k: Int = 50,
+      minCount: Long = 5L): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    require(minCount >= 1, s"minCount must be >= 1, got $minCount")
+    val toks = df.select(TextFunctions.tokensWs(text).as("ts"))
+    val uni = toks.select(explode(col("ts")).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("c"))
+    val nDim = uni.agg(coalesce(sum(col("c")), lit(0L)).as("__n"))
+    val pairs = toks
+      .select(explode(arrays_zip(
+        slice(col("ts"), lit(1), greatest(size(col("ts")) - 1, lit(0))),
+        slice(col("ts"), lit(2), greatest(size(col("ts")) - 1, lit(0)))))
+        .as("p"))
+      .select(col("p.0").as("w1"), col("p.1").as("w2"))
+      .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("n_pair"))
+      .filter(col("n_pair") >= minCount)
+    pairs
+      .join(uni.select(col("w").as("w1"), col("c").as("n_w1")), Seq("w1"))
+      .join(uni.select(col("w").as("w2"), col("c").as("n_w2")), Seq("w2"))
+      .crossJoin(broadcast(nDim))
+      .select(col("w1"), col("w2"), col("n_pair"), col("n_w1"), col("n_w2"),
+        ((col("n_pair").cast("double") * col("__n").cast("double")) /
+          (col("n_w1").cast("double") * col("n_w2").cast("double")))
+          .as("lift"))
+      .orderBy(col("lift").desc, col("w1"), col("w2"))
+      .limit(k)
+  }
+
+  /** Reciprocal-rank fusion (Cormack, Clarke & Büttcher 2009) of `lists`
+    * ranked retrieval results — the standard HYBRID-RETRIEVAL combiner
+    * (BM25 ∪ dense ANN in RAG stacks): each list contributes
+    * `1/(c + rank)` per (query, doc), absent docs contribute 0, and the
+    * fused top-`k` per query wins. Rank-based fusion needs NO score
+    * calibration between retrievers — the reason it beats score
+    * averaging across heterogeneous scorers (a BM25 score and a cosine
+    * live on unrelated scales).
+    *
+    * Every input frame must carry (qid, doc_id, rank); `rank` is
+    * 1-based. Determinism: each term is one exact IEEE division of small
+    * integers and the per-doc total is a FIXED left-to-right chain over
+    * the lists (never a cross-row float SUM whose order the engine
+    * picks), so any engine replays it bit-for-bit; final ties break by
+    * doc_id.
+    *
+    * Scale shape: lists are top-K-per-query BY CONSTRUCTION, so every
+    * frame here is |queries|·K rows — the fusion is full-outer joins on
+    * (qid, doc_id) across list-sized frames and one bounded
+    * [[graft.functions.TopKAggregator]] per query; the corpus is never
+    * touched. Output: (qid, rank, doc_id, rrf).
+    */
+  def rrfFuse(lists: Seq[DataFrame], k: Int, c: Int = 60): DataFrame = {
+    require(lists.nonEmpty, "need at least one ranked list")
+    require(k > 0, s"k must be positive, got $k")
+    require(c >= 0, s"c must be non-negative, got $c")
+    val renamed = lists.zipWithIndex.map { case (df, i) =>
+      df.select(col("qid"), col("doc_id"),
+        col("rank").cast("int").as(s"__r$i"))
+    }
+    val joined = renamed.reduceLeft(
+      (a, b) => a.join(b, Seq("qid", "doc_id"), "full_outer"))
+    val score = lists.indices.map { i =>
+      // a doc absent from list i has a null rank: 1/(c+null) is null,
+      // coalesced to the 0 contribution RRF defines
+      coalesce(lit(1.0) / (lit(c.toDouble) + col(s"__r$i").cast("double")),
+        lit(0.0))
+    }.reduceLeft(_ + _)
+    val topk = graft.functions.TopKAggregator.topK(k)
+    joined.select(col("qid"), col("doc_id"), score.as("rrf"))
+      .groupBy(col("qid"))
+      .agg(topk(col("doc_id"), col("rrf")).as("top"))
+      .select(col("qid"), posexplode(col("top")).as(Seq("pos", "s")))
+      .select(col("qid"), (col("pos") + 1).cast("int").as("rank"),
+        col("s.id").as("doc_id"), col("s.score").as("rrf"))
+  }
+
   /** Hashed TF-IDF document vectors (the "hashing trick", Weinberger et
     * al. 2009): every term lands in `hash32(term) mod dims` and
     * contributes `tf · (N/df)` weight (the same ln-free raw idf as

@@ -2260,6 +2260,144 @@ object Pipeline {
        |ORDER BY qid, rank""".stripMargin
   }
 
+  /** Collocation mining ([[graft.operators.TextIndex.phraseMining]]):
+    * top-50 adjacent word pairs by ln-free PMI lift
+    * `c(ab)·N / (c(a)·c(b))`, pair count floored at 5. Exact integer
+    * counts, one fixed-order double chain; the oracle replays the
+    * adjacent-pair zip, both count joins, and the (lift desc, w1, w2)
+    * take-ordered.
+    */
+  def phraseMiningQ(s: SparkSession, dir: String): DataFrame =
+    graft.operators.TextIndex.phraseMining(
+      T(s, dir, "documents"), col("text"), k = 50, minCount = 5L)
+
+  val phraseMiningOracle: String =
+    """WITH t AS (
+      |  SELECT string_split_regex(trim(text), '\s+') AS ts
+      |  FROM documents WHERE trim(text) <> ''),
+      |uni AS (
+      |  SELECT w, COUNT(*) AS c
+      |  FROM (SELECT unnest(ts) AS w FROM t) GROUP BY 1),
+      |nn AS (SELECT SUM(c) AS n FROM uni),
+      |idx AS (SELECT ts, unnest(range(1, len(ts))) AS j FROM t),
+      |pc AS (
+      |  SELECT ts[j] AS w1, ts[j+1] AS w2, COUNT(*) AS n_pair
+      |  FROM idx GROUP BY 1, 2 HAVING COUNT(*) >= 5)
+      |SELECT pc.w1, pc.w2, pc.n_pair, u1.c AS n_w1, u2.c AS n_w2,
+      |  (CAST(pc.n_pair AS DOUBLE) * CAST(nn.n AS DOUBLE))
+      |    / (CAST(u1.c AS DOUBLE) * CAST(u2.c AS DOUBLE)) AS lift
+      |FROM pc
+      |JOIN uni u1 ON u1.w = pc.w1
+      |JOIN uni u2 ON u2.w = pc.w2
+      |CROSS JOIN nn
+      |ORDER BY lift DESC, pc.w1, pc.w2
+      |LIMIT 50""".stripMargin
+
+  /** Hybrid retrieval ([[graft.operators.TextIndex.rrfFuse]]): the
+    * standard RAG-stack combination — BM25 over the text (lexical) and
+    * brute-force cosine over the aligned embeddings (dense), each top-20
+    * per query, fused with reciprocal-rank fusion (c = 60) to a top-10.
+    * Query set fixed below the replica stride (doc_id % 149 — the sim
+    * probe pattern), so stress measures per-query cost against the
+    * growing corpus. The oracle replays BOTH retrieval pipelines rank
+    * for rank and the fixed-order RRF chain.
+    */
+  def hybridRetrievalQ(s: SparkSession, dir: String): DataFrame = {
+    val docs = T(s, dir, "documents")
+    val emb = T(s, dir, "embeddings")
+    val stride = graft.Stress.IdStride
+    val qt = docs.filter(col("doc_id") % 149 === 0 && col("doc_id") < stride)
+      .select(col("doc_id").as("qid"),
+        explode(slice(array_sort(array_distinct(
+          filter(graft.functions.TextFunctions.tokensWs(col("text")),
+            t => length(t) >= 4))), 1, 4)).as("term"))
+    val lex = graft.operators.TextIndex.bm25TopK(
+        docs, col("doc_id"), col("text"), qt, k = 20)
+      .select(col("qid"), col("doc_id"), col("rank"))
+    val dense = graft.operators.Similarity.bruteForceTopK(
+        emb.filter(col("vec_id") % 149 === 0 && col("vec_id") < stride),
+        emb, k = 20)
+      .select(col("query_id").as("qid"), col("neighbor_id").as("doc_id"),
+        col("rank"))
+    graft.operators.TextIndex.rrfFuse(Seq(lex, dense), k = 10)
+      .orderBy(col("qid"), col("rank"))
+  }
+
+  val hybridRetrievalOracle: String = {
+    val k1 = 1.2
+    val b = 0.75
+    val k1p1 = k1 + 1.0
+    s"""WITH w AS (
+       |  SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS term
+       |  FROM documents WHERE trim(text) <> ''),
+       |p AS (SELECT doc_id, term, COUNT(*) AS tf FROM w GROUP BY 1, 2),
+       |dl AS (SELECT doc_id, SUM(tf) AS dl FROM p GROUP BY 1),
+       |st AS (SELECT (SELECT COUNT(*) FROM documents) AS n,
+       |              (SELECT SUM(tf) FROM p) AS tot),
+       |qt AS (
+       |  SELECT qid, unnest(terms4) AS term FROM (
+       |    SELECT doc_id AS qid,
+       |      list_sort(list_distinct(list_filter(
+       |        string_split_regex(trim(text), '\\s+'),
+       |        t -> length(t) >= 4)))[1:4] AS terms4
+       |    FROM documents
+       |    WHERE doc_id % 149 = 0 AND doc_id < ${graft.Stress.IdStride}
+       |      AND trim(text) <> '')),
+       |dfq AS (
+       |  SELECT term, COUNT(*) AS df FROM p
+       |  WHERE term IN (SELECT term FROM qt) GROUP BY 1),
+       |cand AS (
+       |  SELECT q.qid, p.doc_id, p.term,
+       |    ((CAST(st.n AS DOUBLE) - CAST(dfq.df AS DOUBLE) + 0.5)
+       |      / (CAST(dfq.df AS DOUBLE) + 0.5))
+       |    * ((CAST(p.tf AS DOUBLE) * CAST('$k1p1' AS DOUBLE))
+       |      / (CAST(p.tf AS DOUBLE) + CAST('$k1' AS DOUBLE)
+       |        * (1.0 - CAST('$b' AS DOUBLE) + CAST('$b' AS DOUBLE)
+       |        * (CAST(dl.dl AS DOUBLE)
+       |          / (CAST(st.tot AS DOUBLE) / CAST(st.n AS DOUBLE)))))) AS cw
+       |  FROM qt q JOIN p ON p.term = q.term
+       |  JOIN dfq ON dfq.term = p.term
+       |  JOIN dl ON dl.doc_id = p.doc_id
+       |  CROSS JOIN st),
+       |sc AS (
+       |  SELECT qid, doc_id,
+       |    CAST(SUM(CAST(round(cw * 1048576.0) AS BIGINT)) AS DOUBLE)
+       |      / 1048576.0 AS score
+       |  FROM cand GROUP BY 1, 2),
+       |lex AS (
+       |  SELECT qid, doc_id,
+       |    ROW_NUMBER() OVER (PARTITION BY qid
+       |      ORDER BY score DESC, doc_id) AS r
+       |  FROM sc),
+       |lex20 AS (SELECT qid, doc_id, r FROM lex WHERE r <= 20),
+       |den0 AS (
+       |  SELECT q.vec_id AS qid, c.vec_id AS doc_id,
+       |    ${cosSql("q.embedding", "c.embedding")} AS cos
+       |  FROM embeddings q JOIN embeddings c
+       |    ON q.vec_id % 149 = 0 AND q.vec_id < ${graft.Stress.IdStride}
+       |    AND q.vec_id <> c.vec_id),
+       |den AS (
+       |  SELECT qid, doc_id,
+       |    ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, doc_id) AS r
+       |  FROM den0),
+       |den20 AS (SELECT qid, doc_id, r FROM den WHERE r <= 20),
+       |fused AS (
+       |  SELECT COALESCE(l.qid, d.qid) AS qid,
+       |    COALESCE(l.doc_id, d.doc_id) AS doc_id,
+       |    COALESCE(1.0 / (60.0 + CAST(l.r AS DOUBLE)), 0.0)
+       |    + COALESCE(1.0 / (60.0 + CAST(d.r AS DOUBLE)), 0.0) AS rrf
+       |  FROM lex20 l FULL OUTER JOIN den20 d
+       |    ON l.qid = d.qid AND l.doc_id = d.doc_id),
+       |rk AS (
+       |  SELECT qid, doc_id, rrf,
+       |    ROW_NUMBER() OVER (PARTITION BY qid ORDER BY rrf DESC, doc_id)
+       |      AS rank
+       |  FROM fused)
+       |SELECT qid, CAST(rank AS INTEGER) AS rank, doc_id, rrf
+       |FROM rk WHERE rank <= 10
+       |ORDER BY qid, rank""".stripMargin
+  }
+
   /** DSIR importance selection over the pinned bucket weights
     * ([[PinnedArtifacts.DsirWeights64]]): per-doc log importance = ordered
     * fold of hashed-unigram bucket counts x pinned log-ratio weights, keep
@@ -4091,6 +4229,8 @@ object Pipeline {
     Q("curriculum_shards", curriculumShardsQ, Some(curriculumShardsOracle)),
     Q("index_incremental", indexIncrementalQ, Some(indexIncrementalOracle)),
     Q("bm25_from_index", bm25FromIndexQ, Some(bm25TopkOracle)),
+    Q("hybrid_retrieval", hybridRetrievalQ, Some(hybridRetrievalOracle)),
+    Q("phrase_mining", phraseMiningQ, Some(phraseMiningOracle)),
     Q("minhash_err_report", minhashErrReportQ, Some(minhashErrReportOracle)),
     Q("source_affinity", sourceAffinityQ, Some(sourceAffinityOracle)),
     Q("mixed_language", mixedLanguageQ, Some(mixedLanguageOracle)),

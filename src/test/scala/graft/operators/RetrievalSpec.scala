@@ -283,4 +283,61 @@ class RetrievalSpec extends SparkSpec {
       assert(recall >= 2.0 / 3.0, s"probe $qid recall $recall")
     }
   }
+
+  test("rrfFuse: both-list docs beat single-list docs, absent ranks " +
+      "contribute zero, ties break by doc_id, order is hand-checked") {
+    def rrf(ranks: Int*): Double =
+      ranks.map(r => 1.0 / (60.0 + r)).reduceLeft(_ + _)
+    val lex = Seq((1L, 10L, 1), (1L, 11L, 2), (1L, 12L, 3))
+      .toDF("qid", "doc_id", "rank")
+    val dense = Seq((1L, 11L, 1), (1L, 13L, 2), (1L, 12L, 3))
+      .toDF("qid", "doc_id", "rank")
+    val out = TextIndex.rrfFuse(Seq(lex, dense), k = 4)
+      .as[(Long, Int, Long, Double)].collect().sortBy(_._2).toSeq
+    // 11: 1/(60+2)+1/(60+1); 12: 1/(60+3)+1/(60+3);
+    // 10: 1/(60+1); 13: 1/(60+2)
+    assert(out === Seq(
+      (1L, 1, 11L, 1.0 / 62 + 1.0 / 61),
+      (1L, 2, 12L, rrf(3, 3)),
+      (1L, 3, 10L, 1.0 / 61),
+      (1L, 4, 13L, 1.0 / 62)))
+    // equal fused scores (both single-list at the same rank) break by id:
+    // docs 10 (lex r1) and 13 (dense r1, after removing the overlaps)
+    val lexOnly = Seq((2L, 20L, 1)).toDF("qid", "doc_id", "rank")
+    val denseOnly = Seq((2L, 19L, 1)).toDF("qid", "doc_id", "rank")
+    val tied = TextIndex.rrfFuse(Seq(lexOnly, denseOnly), k = 2)
+      .as[(Long, Int, Long, Double)].collect().sortBy(_._2).toSeq
+    assert(tied.map(_._3) === Seq(19L, 20L))
+    // fusing a single list preserves its order (monotone transform)
+    val solo = TextIndex.rrfFuse(Seq(lex), k = 3)
+      .as[(Long, Int, Long, Double)].collect().sortBy(_._2).map(_._3).toSeq
+    assert(solo === Seq(10L, 11L, 12L))
+  }
+
+  test("phraseMining: exact counts and lift, collocations outrank " +
+      "frequent-but-independent pairs, minCount floors hapax pairs") {
+    // "new york" always adjacent (5x); "of" and "the" frequent but paired
+    // only twice out of many occurrences; "rare gem" appears once (floored)
+    val docs = Seq(
+      "new york of the of a the b of c the d",
+      "new york of e the f of g the h rare gem",
+      "new york new york new york of the").toDF("text")
+    val out = TextIndex.phraseMining(docs, col("text"), k = 10,
+        minCount = 2L)
+      .as[(String, String, Long, Long, Long, Double)].collect().toSeq
+    val byPair = out.map(r => (r._1, r._2) -> r).toMap
+    val ny = byPair(("new", "york"))
+    // counts: new=5, york=5, (new,york)=5; N = total tokens
+    val nTokens = docs.as[String].collect()
+      .map(_.split("\\s+").length).sum.toLong
+    assert((ny._3, ny._4, ny._5) === (5L, 5L, 5L))
+    assert(ny._6 === 5.0 * nTokens / (5.0 * 5.0))
+    val ofThe = byPair(("of", "the"))
+    assert(ofThe._3 === 2L)
+    assert(ny._6 > ofThe._6,
+      "the true collocation must outrank the frequent-word pair")
+    // hapax pair floored out; ranking is lift desc with (w1, w2) ties
+    assert(!byPair.contains(("rare", "gem")))
+    assert(out === out.sortBy(r => (-r._6, r._1, r._2)))
+  }
 }
