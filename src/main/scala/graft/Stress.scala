@@ -112,7 +112,10 @@ object Stress {
     // is dictionary-sized aggregation by claim (the replicaN token makes
     // each replica's pairs distinct, so the bigram dictionary grows
     // linearly while the zip pass stays map-side)
-    "hybrid_retrieval", "phrase_mining")
+    "hybrid_retrieval", "phrase_mining",
+    // novelty_score: corpus distinct-fp set + batch-posting left join —
+    // both sides grow linearly with the corpus (batch = odd half)
+    "novelty_score")
 
   /** Replica id offset — well above any sf0.1 id, keeps replica ids
     * unique. PUBLIC because `Pipeline.simHashedLsh` pins its probe set

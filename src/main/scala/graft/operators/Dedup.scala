@@ -926,6 +926,62 @@ object Dedup {
       .select(col("needle_id"), col("doc_id"), col("containment"))
   }
 
+  /** N-gram novelty of a candidate batch against a reference corpus: for
+    * each batch document, the fraction of its DISTINCT word-`shingleK`-
+    * grams that appear NOWHERE in the corpus — the memorization-risk /
+    * freshness screen (a "new" document with novelty ≈ 0 is recombined
+    * corpus text; an eval candidate with novelty ≈ 0 is leaked). The dual
+    * of [[containmentPairs]]: containment asks "how much of the needle is
+    * in THIS document", novelty asks "how much of the candidate exists
+    * ANYWHERE in the corpus" — set membership against the corpus-wide
+    * shingle union, not per-pair overlap.
+    *
+    * Output: (doc_id, n_shingles, n_seen, novelty) — novelty the exact
+    * integer ratio `(n_shingles − n_seen) / n_shingles`. A blank document
+    * carries one whole-text "" shingle (the sub-k contract of
+    * [[graft.functions.HashFunctions.wordShingleSet]], identical in the
+    * SQL replay), so n_shingles ≥ 1 always; the n_shingles = 0 guard is
+    * defensive only.
+    *
+    * Scale shape: the corpus collapses to DISTINCT shingle fingerprints
+    * once (8-byte rows — at extreme scale swap in the
+    * [[graft.functions.BloomExpressions]] filter for the membership
+    * probe and accept its false-positive rate as a novelty
+    * UNDER-estimate); the batch's postings LEFT-join that set on the
+    * 8-byte key and one partial-aggregated count per doc follows. Batch
+    * text never shuffles; candidates are batch-posting-sized, never
+    * corpus × batch.
+    */
+  def noveltyScores(batch: DataFrame, bId: Column, bText: Column,
+      corpus: DataFrame, cText: Column, shingleK: Int = 3): DataFrame = {
+    val bSets = widen(batch.select(bId.as("doc_id"), bText.as("__t")))
+      .select(col("doc_id"), HashFunctions.wordShingleSet(
+        TextFunctions.tokensWs(col("__t")), shingleK).as("set"))
+    val bPost = bSets.select(col("doc_id"), explode(col("set")).as("s"))
+      .select(col("doc_id"), TextFunctions.fingerprint64(col("s")).as("sfp"))
+    val cFps = widen(corpus.select(cText.as("__t")))
+      .select(explode(HashFunctions.wordShingleSet(
+        TextFunctions.tokensWs(col("__t")), shingleK)).as("s"))
+      .select(TextFunctions.fingerprint64(col("s")).as("sfp"))
+      .distinct()
+      .select(col("sfp"), lit(1).as("__seen"))
+    val counts = bPost.join(cFps, Seq("sfp"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(when(col("__seen").isNotNull, 1L).otherwise(0L)).as("n_seen"))
+    // left-anchor on the batch ids so blank documents (empty shingle
+    // sets -> no posting rows) still report a row
+    bSets.select(col("doc_id")).distinct()
+      .join(counts, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_shingles"), lit(0L)).as("n_shingles"),
+        coalesce(col("n_seen"), lit(0L)).as("n_seen"))
+      .withColumn("novelty",
+        when(col("n_shingles") === 0L, lit(0.0))
+          .otherwise((col("n_shingles") - col("n_seen")).cast("double") /
+            col("n_shingles").cast("double")))
+  }
+
   /** Deletion propagation ("right to be forgotten" / poisoned-source
     * removal): given a set of document ids to purge, produce the purge
     * MANIFEST — every corpus document that must go, with why. Three

@@ -178,6 +178,56 @@ object Pipeline {
        |FROM range(0, 20) r LEFT JOIN h ON h.bucket = r.range
        |ORDER BY bucket""".stripMargin
 
+  /** Batch novelty screen ([[graft.operators.Dedup.noveltyScores]]): odd
+    * docs as the candidate batch, even docs as the reference corpus —
+    * per-doc fraction of distinct 3-shingles unseen in the corpus. Exact
+    * integer counts and ratio; the oracle replays the distinct-shingle
+    * membership join.
+    */
+  def noveltyScoreQ(s: SparkSession, dir: String): DataFrame = {
+    val docs = T(s, dir, "documents")
+    graft.operators.Dedup.noveltyScores(
+        docs.filter(col("doc_id") % 2 === 1), col("doc_id"), col("text"),
+        docs.filter(col("doc_id") % 2 === 0), col("text"), shingleK = 3)
+      .orderBy(col("doc_id"))
+  }
+
+  val noveltyScoreOracle: String =
+    """WITH ab AS (
+      |  SELECT doc_id, list_distinct(
+      |    CASE WHEN len(t) < 3 THEN [array_to_string(t, ' ')]
+      |         ELSE list_transform(range(1, len(t) - 1),
+      |                i -> array_to_string(t[i:i+2], ' ')) END
+      |  ) AS s
+      |  FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
+      |        FROM documents WHERE doc_id % 2 = 1)),
+      |cset AS (
+      |  SELECT DISTINCT unnest(s) AS sp FROM (
+      |    SELECT list_distinct(
+      |      CASE WHEN len(t) < 3 THEN [array_to_string(t, ' ')]
+      |           ELSE list_transform(range(1, len(t) - 1),
+      |                  i -> array_to_string(t[i:i+2], ' ')) END
+      |    ) AS s
+      |    FROM (SELECT string_split_regex(trim(text), '\s+') AS t
+      |          FROM documents WHERE doc_id % 2 = 0))),
+      |bpost AS (SELECT doc_id, unnest(s) AS sp FROM ab),
+      |counts AS (
+      |  SELECT b.doc_id, COUNT(*) AS n_shingles,
+      |    CAST(SUM(CASE WHEN c.sp IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS n_seen
+      |  FROM bpost b LEFT JOIN cset c ON b.sp = c.sp
+      |  GROUP BY 1)
+      |SELECT a.doc_id,
+      |  COALESCE(n_shingles, 0) AS n_shingles,
+      |  COALESCE(n_seen, 0) AS n_seen,
+      |  CASE WHEN COALESCE(n_shingles, 0) = 0 THEN 0.0
+      |       ELSE CAST(COALESCE(n_shingles, 0) - COALESCE(n_seen, 0)
+      |              AS DOUBLE)
+      |            / CAST(COALESCE(n_shingles, 0) AS DOUBLE) END AS novelty
+      |FROM (SELECT DISTINCT doc_id FROM ab) a
+      |LEFT JOIN counts ON counts.doc_id = a.doc_id
+      |ORDER BY a.doc_id""".stripMargin
+
   /** Deletion propagation ([[graft.operators.Dedup.purgeDeletes]]): the
     * purge manifest for a fixed deletion set (doc_id % 45, bounded below
     * the replica stride so the set stays request-sized under stress —
@@ -4197,6 +4247,7 @@ object Pipeline {
     Q("dedup_ngram_jaccard", dedupNgramJaccard, Some(dedupNgramJaccardOracle)),
     Q("jaccard_histogram", jaccardHistogramQ, Some(jaccardHistogramOracle)),
     Q("purge_deletes", purgeDeletesQ, Some(purgeDeletesOracle)),
+    Q("novelty_score", noveltyScoreQ, Some(noveltyScoreOracle)),
     Q("dedup_simhash", dedupSimHash, Some(dedupSimHashOracle)),
     Q("dedup_simhash128", dedupSimHash128, Some(dedupSimHash128Oracle)),
     Q("text_metrics", textMetrics, Some(textMetricsOracle)),

@@ -374,6 +374,64 @@ object Streams {
     }
   }
 
+  /** Streaming companion of
+    * [[graft.operators.EventAnalytics.eventTransitions]]: emits one
+    * (user, from_type, to_type) row per observed session transition,
+    * maintaining each user's LAST event as 24-byte keyed state so a
+    * transition spanning a micro-batch boundary (last event of batch N →
+    * first event of batch N+1) is still produced — the cross-batch edge
+    * a per-batch window recompute would silently drop. Aggregate the
+    * emitted rows downstream for the running transition matrix.
+    *
+    * Replay contract (the [[funnelIngest]] stance): within a batch,
+    * events fold in (ts, tieBreak) order regardless of arrival order;
+    * ACROSS batches, the stream must deliver each user's events in
+    * event-time order (the Kafka-keyed-by-user layout) — a late event
+    * that time-travels behind the stored state produces the transitions
+    * of its ARRIVAL position, exactly like every stateful operator
+    * without a watermark-delayed reorder buffer. When batches partition
+    * the stream in per-user time order, the emitted multiset equals the
+    * batch operator's transitions over the union of all batches.
+    */
+  def transitionsIngest(df: DataFrame, user: Column, tsNanos: Column,
+      eventType: Column, tieBreak: Column,
+      sessionGapNanos: Long = 1800L * 1000000000L)
+      : org.apache.spark.sql.Dataset[(Long, String, String)] = {
+    require(sessionGapNanos > 0,
+      s"sessionGapNanos must be positive, got $sessionGapNanos")
+    import org.apache.spark.sql.Encoders
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+    implicit val inEnc = Encoders.tuple(Encoders.scalaLong,
+      Encoders.scalaLong, Encoders.STRING, Encoders.scalaLong)
+    implicit val stEnc = Encoders.tuple(Encoders.scalaLong,
+      Encoders.scalaLong, Encoders.STRING)
+    implicit val outEnc = Encoders.tuple(Encoders.scalaLong,
+      Encoders.STRING, Encoders.STRING)
+    val keyed = df
+      .select(user.cast("long").as("u"), tsNanos.cast("long").as("ts"),
+        eventType.as("et"), tieBreak.cast("long").as("tb"))
+      .as[(Long, Long, String, Long)]
+      .groupByKey(_._1)(Encoders.scalaLong)
+    keyed.flatMapGroupsWithState[(Long, Long, String),
+        (Long, String, String)](
+      OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
+      (u: Long, rows: Iterator[(Long, Long, String, Long)],
+          state: org.apache.spark.sql.streaming.GroupState[(Long, Long, String)]) =>
+        var last = state.getOption
+        val out = Seq.newBuilder[(Long, String, String)]
+        rows.toSeq.sortBy(r => (r._2, r._4)).foreach { case (_, ts, et, tb) =>
+          last match {
+            case Some((pts, _, pet)) if ts - pts <= sessionGapNanos =>
+              out += ((u, pet, et))
+            case _ => ()
+          }
+          last = Some((ts, tb, et))
+        }
+        last.foreach(state.update)
+        out.result().iterator
+    }
+  }
+
   /** events table → typed event-time column, normalizing whichever
     * physical type `ts` arrived as: BIGINT epoch nanoseconds (the
     * TIMESTAMP(NANOS) parquet encoding under `nanosAsLong` — truncated to

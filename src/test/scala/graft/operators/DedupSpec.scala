@@ -523,6 +523,29 @@ class DedupSpec extends SparkSpec {
     assert(near._3 > 0.5 && near._3 < 1.0)
   }
 
+  test("noveltyScores: zero for recombined corpus text, one for fresh " +
+      "text, exact fractions in between, blank docs report a row") {
+    val corpus = Seq(
+      "alpha beta gamma delta epsilon",
+      "one two three four five").toDF("text")
+    val batch = Seq(
+      (1L, "alpha beta gamma delta"),          // all 2 shingles seen -> 0.0
+      (2L, "totally novel words here now"),    // nothing seen -> 1.0
+      // 4 shingles: "alpha beta gamma" and "beta gamma delta" seen,
+      // the two crossing into novel text unseen -> 2/4
+      (3L, "alpha beta gamma delta novel tail"),
+      (4L, "")                                  // one "" shingle, unseen
+    ).toDF("doc_id", "text")
+    val out = Dedup.noveltyScores(batch, col("doc_id"), col("text"),
+        corpus, col("text"), shingleK = 3)
+      .as[(Long, Long, Long, Double)].collect().sortBy(_._1).toSeq
+    assert(out === Seq(
+      (1L, 2L, 2L, 0.0),
+      (2L, 3L, 0L, 1.0),
+      (3L, 4L, 2L, 0.5),
+      (4L, 1L, 0L, 1.0)))
+  }
+
   test("purgeDeletes: direct / exact / near reasons with priority " +
       "arbitration and smallest-deleted-id matching") {
     val docs = Seq(

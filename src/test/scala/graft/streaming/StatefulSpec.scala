@@ -64,6 +64,42 @@ class StatefulSpec extends SparkSpec {
     assert(last === Map(1L -> 3, 2L -> 2))
   }
 
+  test("transitionsIngest: cross-batch edges are produced, the session " +
+      "gap is honored, and the two-batch multiset equals the batch " +
+      "operator over the union") {
+    implicit val sqlCtx = spark.sqlContext
+    val gap = 100L
+    val mem = MemoryStream[(Long, Long, String, Long)] // (u, ts, et, eid)
+    val out = Streams.transitionsIngest(mem.toDF().toDF("u", "ts", "et", "eid"),
+      $"u", $"ts", $"et", $"eid", sessionGapNanos = gap)
+    val q = out.toDF("user_id", "from_type", "to_type").writeStream
+      .format("memory").queryName("trans_state").outputMode("update").start()
+    // batch 0: u1 A->B (out of arrival order); u2 lone event
+    mem.addData((1L, 20L, "B", 2L), (1L, 10L, "A", 1L), (2L, 10L, "A", 3L))
+    q.processAllAvailable()
+    // batch 1: u1's C at 30 links across the BATCH BOUNDARY to B@20;
+    // u2's next event is past the gap (no edge), then one inside it
+    mem.addData((1L, 30L, "C", 4L), (2L, 300L, "B", 5L), (2L, 350L, "C", 6L))
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("trans_state")
+      .as[(Long, String, String)].collect().sorted.toSeq
+    assert(streamed === Seq(
+      (1L, "A", "B"), (1L, "B", "C"), (2L, "B", "C")))
+    // multiset equivalence with the batch operator over the union
+    val union = Seq(
+      (1L, 10L, "A", 1L), (1L, 20L, "B", 2L), (2L, 10L, "A", 3L),
+      (1L, 30L, "C", 4L), (2L, 300L, "B", 5L), (2L, 350L, "C", 6L))
+      .toDF("u", "ts", "et", "eid")
+    val batch = graft.operators.EventAnalytics.eventTransitions(union,
+        $"u", $"ts", $"et", $"eid", sessionGapNanos = gap)
+      .as[(String, String, Long, Long)].collect().sorted.toSeq
+    val streamedCounts = streamed.groupBy(t => (t._2, t._3)).view
+      .mapValues(v => (v.size.toLong, v.map(_._1).distinct.size.toLong))
+      .toMap.toSeq.map { case ((f, t), (n, u)) => (f, t, n, u) }.sorted
+    assert(streamedCounts === batch)
+  }
+
   test("cross-batch exact dedup with keyed seen-state (Streams.dedupByKey)") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(String, String)] // (doc_id, payload)
