@@ -969,8 +969,10 @@ object Dedup {
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_shingles"),
         sum(when(col("__seen").isNotNull, 1L).otherwise(0L)).as("n_seen"))
-    // left-anchor on the batch ids so blank documents (empty shingle
-    // sets -> no posting rows) still report a row
+    // left-anchor on the batch ids: blank docs DO post one "" shingle
+    // (the sub-k contract), so this anchor is only reachable for
+    // NULL-text rows (tokensWs(null) -> null set -> no postings), which
+    // must still report a row rather than vanish from the screen
     bSets.select(col("doc_id")).distinct()
       .join(counts, Seq("doc_id"), "left")
       .select(col("doc_id"),
@@ -1016,8 +1018,13 @@ object Dedup {
       s"threshold out of (0,1]: $threshold")
     val src = df.select(id.as("id"), text.as("__text"))
     val dels = deleteIds.select(deleteId.as("del_id")).distinct()
+    // request-sized by contract, but its subtree is a full-corpus
+    // semi-join and it feeds THREE consumers (direct, delFps, the
+    // jaccardJoin right side) — checkpoint so the corpus pays that scan
+    // once (the shingleIndex pattern; lazy, materializes on first use)
     val delDocs = src.join(broadcast(dels), col("id") === col("del_id"), "semi")
-    val direct = src.join(broadcast(dels), col("id") === col("del_id"), "semi")
+      .localCheckpoint(false)
+    val direct = delDocs
       .select(col("id"), lit(1).as("pri"), col("id").as("matched_id"))
     // one (fp → min deleted id) row per distinct deleted fingerprint;
     // request-sized, broadcasts

@@ -633,13 +633,16 @@ object TextIndex {
     * (each product of exact integers, one division), identical in any
     * engine; final order (lift desc, w1, w2).
     *
-    * Scale shape: one tokenize pass feeds BOTH counts — unigrams via a
-    * dictionary-sized (Heaps-law) aggregation, adjacent pairs via a
-    * map-side zip of the token array with its tail (no self-join of
-    * positions); the pair aggregation is bigram-dictionary-sized. The
-    * two unigram-count joins attach a dictionary dim to the pair table
-    * (AQE broadcasts when it is genuinely small). The final top-k is a
-    * TakeOrdered over pair-dictionary rows — never a corpus-sized sort.
+    * Scale shape: the corpus tokenizes twice — once into the unigram
+    * aggregation (dictionary-sized by Heaps' law; the aggregated dim is
+    * CHECKPOINTED because it feeds three consumers — N and both count
+    * joins — and identical subtrees are not fused, PlanProbe-verified on
+    * bm25), once into the map-side adjacent-pair zip (the token array
+    * with its tail — no self-join of positions; pinning the tokenized
+    * corpus to save this second pass would cost corpus-sized storage).
+    * The pair aggregation is bigram-dictionary-sized, the unigram joins
+    * attach a dictionary dim (AQE broadcasts when genuinely small), and
+    * the final top-k is a TakeOrdered — never a corpus-sized sort.
     */
   def phraseMining(df: DataFrame, text: Column, k: Int = 50,
       minCount: Long = 5L): DataFrame = {
@@ -648,6 +651,7 @@ object TextIndex {
     val toks = df.select(TextFunctions.tokensWs(text).as("ts"))
     val uni = toks.select(explode(col("ts")).as("w"))
       .groupBy(col("w")).agg(count(lit(1)).as("c"))
+      .localCheckpoint(false)
     val nDim = uni.agg(coalesce(sum(col("c")), lit(0L)).as("__n"))
     val pairs = toks
       .select(explode(arrays_zip(

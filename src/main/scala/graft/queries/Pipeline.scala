@@ -236,11 +236,12 @@ object Pipeline {
     * duplicates, and word-3-shingle Jaccard ≥ 0.5 near-duplicates, with
     * the smallest triggering deleted id and the priority-arbitrated
     * reason. The synthetic corpus has no byte-identical pair, so the
-    * fixture unions in a re-keyed copy (id + 500 000 — below the replica
-    * stride, above every base id) of each deleted document: the copies
-    * MUST come back as `exact_dup` rows or the purge leaks verbatim
-    * content. The oracle replays all three passes and the
-    * (priority, matched_id) arbitration over the same unioned corpus.
+    * fixture unions in a re-keyed copy (id = −(doc_id + 1) — negative,
+    * so it can NEVER collide with a real id at any corpus scale) of each
+    * deleted document: the copies MUST come back as `exact_dup` rows or
+    * the purge leaks verbatim content. The oracle replays all three
+    * passes and the (priority, matched_id) arbitration over the same
+    * unioned corpus.
     */
   def purgeDeletesQ(s: SparkSession, dir: String): DataFrame = {
     val base = T(s, dir, "documents")
@@ -249,7 +250,7 @@ object Pipeline {
       .select(col("doc_id").as("del_id"))
     val copies = base
       .join(broadcast(dels), col("doc_id") === col("del_id"), "semi")
-      .select((col("doc_id") + 500000L).as("doc_id"), col("text"))
+      .select((-(col("doc_id") + 1L)).as("doc_id"), col("text"))
     val corpus = base.select(col("doc_id"), col("text")).unionByName(copies)
     graft.operators.Dedup.purgeDeletes(corpus, col("doc_id"), col("text"),
         dels, col("del_id"), shingleK = 3, threshold = 0.5)
@@ -263,7 +264,7 @@ object Pipeline {
        |corpus AS (
        |  SELECT doc_id, text FROM documents
        |  UNION ALL
-       |  SELECT d.doc_id + 500000, d.text FROM documents d
+       |  SELECT -(d.doc_id + 1), d.text FROM documents d
        |  JOIN dels ON d.doc_id = dels.del_id),
        |sets AS (
        |  SELECT doc_id, list_distinct(
@@ -2349,8 +2350,12 @@ object Pipeline {
     * per query, fused with reciprocal-rank fusion (c = 60) to a top-10.
     * Query set fixed below the replica stride (doc_id % 149 — the sim
     * probe pattern), so stress measures per-query cost against the
-    * growing corpus. The oracle replays BOTH retrieval pipelines rank
-    * for rank and the fixed-order RRF chain.
+    * growing corpus. Queries are corpus documents, so BOTH sides
+    * exclude the self-hit (the dense searcher by default; the lexical
+    * side retrieves k+1 and drops qid = doc_id before re-ranking — the
+    * query's own doc would otherwise burn a fused slot at the maximum
+    * possible RRF contribution in every query). The oracle replays BOTH
+    * retrieval pipelines rank for rank and the fixed-order RRF chain.
     */
   def hybridRetrievalQ(s: SparkSession, dir: String): DataFrame = {
     val docs = T(s, dir, "documents")
@@ -2361,8 +2366,15 @@ object Pipeline {
         explode(slice(array_sort(array_distinct(
           filter(graft.functions.TextFunctions.tokensWs(col("text")),
             t => length(t) >= 4))), 1, 4)).as("term"))
+    // k+1, drop self, re-rank by the original order: the top-20 non-self
+    // docs of the full ranking are always inside the top-21 overall
+    val lexW = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("qid")).orderBy(col("rank"))
     val lex = graft.operators.TextIndex.bm25TopK(
-        docs, col("doc_id"), col("text"), qt, k = 20)
+        docs, col("doc_id"), col("text"), qt, k = 21)
+      .filter(col("qid") =!= col("doc_id"))
+      .withColumn("rank", row_number().over(lexW))
+      .filter(col("rank") <= 20)
       .select(col("qid"), col("doc_id"), col("rank"))
     val dense = graft.operators.Similarity.bruteForceTopK(
         emb.filter(col("vec_id") % 149 === 0 && col("vec_id") < stride),
@@ -2418,7 +2430,7 @@ object Pipeline {
        |  SELECT qid, doc_id,
        |    ROW_NUMBER() OVER (PARTITION BY qid
        |      ORDER BY score DESC, doc_id) AS r
-       |  FROM sc),
+       |  FROM sc WHERE qid <> doc_id),
        |lex20 AS (SELECT qid, doc_id, r FROM lex WHERE r <= 20),
        |den0 AS (
        |  SELECT q.vec_id AS qid, c.vec_id AS doc_id,

@@ -386,12 +386,16 @@ object Streams {
     * Replay contract (the [[funnelIngest]] stance): within a batch,
     * events fold in (ts, tieBreak) order regardless of arrival order;
     * ACROSS batches, the stream must deliver each user's events in
-    * event-time order (the Kafka-keyed-by-user layout) — a late event
-    * that time-travels behind the stored state produces the transitions
-    * of its ARRIVAL position, exactly like every stateful operator
-    * without a watermark-delayed reorder buffer. When batches partition
-    * the stream in per-user time order, the emitted multiset equals the
-    * batch operator's transitions over the union of all batches.
+    * (ts, tieBreak) order (the Kafka-keyed-by-user layout — note the
+    * TIEBREAK is part of the boundary contract too: two equal-ts events
+    * split across batches in tiebreak-reversed order fold in arrival
+    * order, not tiebreak order). A late event that time-travels behind
+    * the stored state produces the transitions of its ARRIVAL position,
+    * exactly like every stateful operator without a watermark-delayed
+    * reorder buffer. When batches partition the stream in per-user
+    * (ts, tieBreak) order, the emitted multiset equals the batch
+    * operator's transitions over the union of all batches. State per
+    * user: 16 bytes (last ts + type).
     */
   def transitionsIngest(df: DataFrame, user: Column, tsNanos: Column,
       eventType: Column, tieBreak: Column,
@@ -403,8 +407,7 @@ object Streams {
     import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
     implicit val inEnc = Encoders.tuple(Encoders.scalaLong,
       Encoders.scalaLong, Encoders.STRING, Encoders.scalaLong)
-    implicit val stEnc = Encoders.tuple(Encoders.scalaLong,
-      Encoders.scalaLong, Encoders.STRING)
+    implicit val stEnc = Encoders.tuple(Encoders.scalaLong, Encoders.STRING)
     implicit val outEnc = Encoders.tuple(Encoders.scalaLong,
       Encoders.STRING, Encoders.STRING)
     val keyed = df
@@ -412,20 +415,19 @@ object Streams {
         eventType.as("et"), tieBreak.cast("long").as("tb"))
       .as[(Long, Long, String, Long)]
       .groupByKey(_._1)(Encoders.scalaLong)
-    keyed.flatMapGroupsWithState[(Long, Long, String),
-        (Long, String, String)](
+    keyed.flatMapGroupsWithState[(Long, String), (Long, String, String)](
       OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
       (u: Long, rows: Iterator[(Long, Long, String, Long)],
-          state: org.apache.spark.sql.streaming.GroupState[(Long, Long, String)]) =>
+          state: org.apache.spark.sql.streaming.GroupState[(Long, String)]) =>
         var last = state.getOption
         val out = Seq.newBuilder[(Long, String, String)]
-        rows.toSeq.sortBy(r => (r._2, r._4)).foreach { case (_, ts, et, tb) =>
+        rows.toSeq.sortBy(r => (r._2, r._4)).foreach { case (_, ts, et, _) =>
           last match {
-            case Some((pts, _, pet)) if ts - pts <= sessionGapNanos =>
+            case Some((pts, pet)) if ts - pts <= sessionGapNanos =>
               out += ((u, pet, et))
             case _ => ()
           }
-          last = Some((ts, tb, et))
+          last = Some((ts, et))
         }
         last.foreach(state.update)
         out.result().iterator
