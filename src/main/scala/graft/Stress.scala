@@ -115,7 +115,12 @@ object Stress {
     "hybrid_retrieval", "phrase_mining",
     // novelty_score: corpus distinct-fp set + batch-posting left join —
     // both sides grow linearly with the corpus (batch = odd half)
-    "novelty_score")
+    "novelty_score",
+    // events-family: funnel_latency is the funnel fold + a per-step
+    // percentile over users-reached rows; rfm_segments collapses events
+    // to |users| rows then pays three |users|-row NTILE sorts — the
+    // growth to watch is the single-reducer window at high user counts
+    "funnel_latency", "rfm_segments")
 
   /** Replica id offset — well above any sf0.1 id, keeps replica ids
     * unique. PUBLIC because `Pipeline.simHashedLsh` pins its probe set

@@ -953,17 +953,32 @@ object Dedup {
     * corpus × batch.
     */
   def noveltyScores(batch: DataFrame, bId: Column, bText: Column,
-      corpus: DataFrame, cText: Column, shingleK: Int = 3): DataFrame = {
+      corpus: DataFrame, cText: Column, shingleK: Int = 3): DataFrame =
+    noveltyScoresAgainstFps(batch, bId, bText,
+      corpusShingleFps(corpus, cText, shingleK), shingleK)
+
+  /** The DISTINCT shingle-fingerprint set of a corpus — the reference
+    * side of [[noveltyScores]], exposed so a maintained/streamed state
+    * ([[graft.streaming.Streams.NoveltyIngest]]) can be folded
+    * incrementally instead of rebuilt. One (sfp) long column.
+    */
+  def corpusShingleFps(corpus: DataFrame, cText: Column,
+      shingleK: Int = 3): DataFrame =
+    widen(corpus.select(cText.as("__t")))
+      .select(explode(HashFunctions.wordShingleSet(
+        TextFunctions.tokensWs(col("__t")), shingleK)).as("s"))
+      .select(TextFunctions.fingerprint64(col("s")).as("sfp"))
+      .distinct()
+
+  /** [[noveltyScores]] against a pre-built (sfp) reference set. */
+  def noveltyScoresAgainstFps(batch: DataFrame, bId: Column, bText: Column,
+      corpusFps: DataFrame, shingleK: Int = 3): DataFrame = {
     val bSets = widen(batch.select(bId.as("doc_id"), bText.as("__t")))
       .select(col("doc_id"), HashFunctions.wordShingleSet(
         TextFunctions.tokensWs(col("__t")), shingleK).as("set"))
     val bPost = bSets.select(col("doc_id"), explode(col("set")).as("s"))
       .select(col("doc_id"), TextFunctions.fingerprint64(col("s")).as("sfp"))
-    val cFps = widen(corpus.select(cText.as("__t")))
-      .select(explode(HashFunctions.wordShingleSet(
-        TextFunctions.tokensWs(col("__t")), shingleK)).as("s"))
-      .select(TextFunctions.fingerprint64(col("s")).as("sfp"))
-      .distinct()
+    val cFps = corpusFps.select(col("sfp")).distinct()
       .select(col("sfp"), lit(1).as("__seen"))
     val counts = bPost.join(cFps, Seq("sfp"), "left")
       .groupBy(col("doc_id"))

@@ -90,6 +90,118 @@ object EventAnalytics {
         coalesce(col("__reached"), lit(0L)).as("users_reached"))
   }
 
+  /** Funnel LATENCY: for every user on the greedy chain of [[funnel]],
+    * the time from their step-1 match to each later step they reached —
+    * reported per step as (users_reached, p50, p90) in nanoseconds. The
+    * "how long does conversion take" half of the funnel readout;
+    * percentiles are DISCRETE (values drawn from the data — exact longs,
+    * bit-identical in any engine; interpolated percentiles are avoided
+    * for the usual cross-engine float reason). Step 1's latency is 0 by
+    * definition; steps no user reached emit no row (there is no latency
+    * to summarize — unlike [[funnel]]'s zero-anchored counts).
+    *
+    * Scale shape: the [[funnel]] fold with the chain timestamps carried
+    * in the accumulator (bounded by |steps|), one posexplode of those
+    * ≤ |steps| entries per user, and a per-step percentile aggregation —
+    * `percentile_disc` sorts each step's latency list, the exactness
+    * trade [[graft.queries.Relational.q22Percentiles]] documents (the
+    * KLL sketch is the approximate scale path).
+    */
+  def funnelLatency(df: DataFrame, user: Column, tsNanos: Column,
+      eventType: Column, steps: Seq[String]): DataFrame = {
+    require(steps.nonEmpty, "need at least one funnel step")
+    require(steps.distinct.size == steps.size, s"duplicate steps: $steps")
+    val n = steps.size
+    val stepArr = array(steps.map(lit): _*)
+    val chains = df
+      .select(user.as("user_id"), tsNanos.cast("long").as("ts"),
+        eventType.as("et"))
+      .filter(col("et").isin(steps: _*))
+      .groupBy(col("user_id"))
+      .agg(array_sort(collect_list(struct(col("ts"), col("et")))).as("evs"))
+      .select(col("user_id"),
+        aggregate(col("evs"),
+          struct(lit(0).as("d"), lit(Long.MinValue).as("t"),
+            array().cast("array<long>").as("ch")),
+          (acc, e) =>
+            when(acc.getField("d") < n &&
+                e.getField("et") === element_at(stepArr, acc.getField("d") + 1) &&
+                e.getField("ts") > acc.getField("t"),
+              struct((acc.getField("d") + 1).as("d"),
+                e.getField("ts").as("t"),
+                concat(acc.getField("ch"), array(e.getField("ts"))).as("ch")))
+            .otherwise(acc),
+          acc => acc.getField("ch")).as("ch"))
+      .filter(size(col("ch")) > 0)
+    chains
+      .select(element_at(col("ch"), 1).as("t0"),
+        posexplode(col("ch")).as(Seq("pos", "tk")))
+      .select((col("pos") + 1).cast("int").as("step"),
+        (col("tk") - col("t0")).as("lat"))
+      .groupBy(col("step"))
+      .agg(count(lit(1)).as("users_reached"),
+        // percentile_disc returns DOUBLE; the value is drawn from the
+        // data (an exact long), so cast back — a latency would need to
+        // exceed 2^53 ns (~104 days) before the round-trip could lose a
+        // ulp, and keeping the column integral is what lets the oracle
+        // compare exactly
+        expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY lat)")
+          .cast("long").as("p50_nanos"),
+        expr("percentile_disc(0.9) WITHIN GROUP (ORDER BY lat)")
+          .cast("long").as("p90_nanos"))
+      .select(col("step"), element_at(stepArr, col("step")).as("step_name"),
+        col("users_reached"), col("p50_nanos"), col("p90_nanos"))
+  }
+
+  /** RFM segmentation (recency / frequency / monetary — the classic
+    * customer-value grid): per user, days since their last qualifying
+    * event (relative to the dataset's last event day, so the report is
+    * self-contained and replayable), the count of qualifying events, and
+    * the exact DECIMAL(18,2) sum of `value` (decimal, not float — a money
+    * SUM's float order is engine-chosen); each dimension then scores 1–5
+    * by NTILE over (metric, user_id) — rank-based quintiles with a unique
+    * tiebreak, so equal metrics land deterministically and both engines
+    * replay the standard SQL NTILE distribution. Higher score = better:
+    * more recent, more frequent, bigger spend.
+    *
+    * Scale shape: events collapse to one row per user in a 2-phase
+    * aggregation before anything else; the three NTILEs are global sorts
+    * of |users| rows — the RFM contract (rank quintiles over the whole
+    * user base). At 10⁹ users swap the NTILEs for KLL quantile cuts
+    * (the [[Layout]] curriculum machinery) and accept the sketch's rank
+    * error; here the exact ranks are the gate.
+    */
+  def rfmSegments(df: DataFrame, user: Column, tsNanos: Column,
+      qualifying: Column, value: Column): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val day = 86400000000000L
+    val asOf = broadcast(df
+      .select(tsNanos.cast("long").as("__ts"))
+      .agg(expr(s"max(__ts div $day)").as("__asof")))
+    val perUser = df
+      .select(user.as("user_id"), tsNanos.cast("long").as("__ts"),
+        qualifying.as("__q"), value.cast("decimal(18,2)").as("__v"))
+      .filter(col("__q"))
+      .select(col("user_id"), expr(s"__ts div $day").as("__day"), col("__v"))
+      .groupBy(col("user_id"))
+      .agg(max(col("__day")).as("__last"),
+        count(lit(1)).as("frequency"),
+        sum(col("__v")).as("monetary"))
+      .crossJoin(asOf)
+      .select(col("user_id"),
+        (col("__asof") - col("__last")).cast("int").as("recency_days"),
+        col("frequency"), col("monetary"))
+    val r = Window.orderBy(col("recency_days").desc, col("user_id"))
+    val f = Window.orderBy(col("frequency"), col("user_id"))
+    val m = Window.orderBy(col("monetary"), col("user_id"))
+    perUser
+      .withColumn("r_score", ntile(5).over(r))
+      .withColumn("f_score", ntile(5).over(f))
+      .withColumn("m_score", ntile(5).over(m))
+      .withColumn("segment",
+        concat(col("r_score"), col("f_score"), col("m_score")))
+  }
+
   /** Per-variant conversion stats for experiment analysis: users grouped
     * by `variant`, conversion = the user has ≥ 1 row with `converted`
     * true. Output: (variant, n_users, n_converted, cvr), one row per

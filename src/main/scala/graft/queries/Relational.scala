@@ -488,6 +488,89 @@ object Relational {
       |GROUP BY 1, 2
       |ORDER BY cohort_day, day_offset""".stripMargin
 
+  /** Funnel latency ([[graft.operators.EventAnalytics.funnelLatency]]):
+    * per funnel step, how many users reached it and the exact discrete
+    * p50/p90 of the time from their step-1 match — the "how long does
+    * conversion take" readout. The oracle replays the sequential
+    * min-chain (provably the greedy chain) and quantile_disc.
+    */
+  def funnelLatencyQ(s: SparkSession, dir: String): DataFrame = {
+    val e = T.events(s, dir)
+    graft.operators.EventAnalytics.funnelLatency(e, col("user_id"),
+        col("ts"), col("event_type"), Seq("view", "click", "purchase"))
+      .orderBy(col("step"))
+  }
+
+  val funnelLatencyOracle: String =
+    """WITH e AS (
+      |  SELECT user_id, epoch_us(ts) * 1000 AS tsn, event_type AS et
+      |  FROM events),
+      |t1 AS (SELECT user_id, MIN(tsn) AS t FROM e WHERE et = 'view' GROUP BY 1),
+      |t2 AS (
+      |  SELECT e.user_id, MIN(tsn) AS t FROM e
+      |  JOIN t1 ON e.user_id = t1.user_id
+      |  WHERE et = 'click' AND tsn > t1.t GROUP BY 1),
+      |t3 AS (
+      |  SELECT e.user_id, MIN(tsn) AS t FROM e
+      |  JOIN t2 ON e.user_id = t2.user_id
+      |  WHERE et = 'purchase' AND tsn > t2.t GROUP BY 1),
+      |lat AS (
+      |  SELECT 1 AS step, 'view' AS step_name, 0::BIGINT AS lat FROM t1
+      |  UNION ALL
+      |  SELECT 2, 'click', t2.t - t1.t FROM t2
+      |  JOIN t1 ON t1.user_id = t2.user_id
+      |  UNION ALL
+      |  SELECT 3, 'purchase', t3.t - t1.t FROM t3
+      |  JOIN t1 ON t1.user_id = t3.user_id)
+      |SELECT step, step_name, COUNT(*) AS users_reached,
+      |  quantile_disc(lat, 0.5) AS p50_nanos,
+      |  quantile_disc(lat, 0.9) AS p90_nanos
+      |FROM lat GROUP BY 1, 2
+      |ORDER BY step""".stripMargin
+
+  /** RFM segmentation ([[graft.operators.EventAnalytics.rfmSegments]]):
+    * purchases only, monetary as an exact DECIMAL(18,2) sum, quintile
+    * scores via NTILE over (metric, user_id). The oracle replays the
+    * day math, the decimal sum, and all three NTILEs.
+    */
+  def rfmSegmentsQ(s: SparkSession, dir: String): DataFrame = {
+    val e = T.events(s, dir)
+    graft.operators.EventAnalytics.rfmSegments(e, col("user_id"),
+        col("ts"), col("event_type") === "purchase", col("value"))
+      .orderBy(col("user_id"))
+  }
+
+  val rfmSegmentsOracle: String =
+    """WITH e AS (
+      |  SELECT user_id, (epoch_us(ts) * 1000) // 86400000000000 AS day,
+      |    event_type, CAST(value AS DECIMAL(18,2)) AS v
+      |  FROM events),
+      |ao AS (SELECT MAX(day) AS as_of FROM e),
+      |pu AS (
+      |  SELECT user_id, MAX(day) AS last_day, COUNT(*) AS frequency,
+      |    SUM(v) AS monetary
+      |  FROM e WHERE event_type = 'purchase' GROUP BY 1),
+      |base AS (
+      |  SELECT user_id,
+      |    CAST(ao.as_of - pu.last_day AS INTEGER) AS recency_days,
+      |    frequency, monetary
+      |  FROM pu CROSS JOIN ao),
+      |scored AS (
+      |  SELECT user_id, recency_days, frequency, monetary,
+      |    CAST(NTILE(5) OVER (ORDER BY recency_days DESC, user_id)
+      |      AS INTEGER) AS r_score,
+      |    CAST(NTILE(5) OVER (ORDER BY frequency, user_id)
+      |      AS INTEGER) AS f_score,
+      |    CAST(NTILE(5) OVER (ORDER BY monetary, user_id)
+      |      AS INTEGER) AS m_score
+      |  FROM base)
+      |SELECT user_id, recency_days, frequency, monetary,
+      |  r_score, f_score, m_score,
+      |  CAST(r_score AS VARCHAR) || CAST(f_score AS VARCHAR)
+      |    || CAST(m_score AS VARCHAR) AS segment
+      |FROM scored
+      |ORDER BY user_id""".stripMargin
+
   /** Session-aware transition counts
     * ([[graft.operators.EventAnalytics.eventTransitions]]): the
     * Markov/Sankey source table — (from_type → to_type) counts over
@@ -774,6 +857,8 @@ object Relational {
     Q("ab_test_report", abTestReportQ, Some(abTestReportOracle)),
     Q("retention_cohorts", retentionCohortsQ, Some(retentionCohortsOracle)),
     Q("event_transitions", eventTransitionsQ, Some(eventTransitionsOracle)),
+    Q("funnel_latency", funnelLatencyQ, Some(funnelLatencyOracle)),
+    Q("rfm_segments", rfmSegmentsQ, Some(rfmSegmentsOracle)),
     Q("q15_cube", q15Cube, Some(q15Oracle)),
     Q("q16_pivot", q16Pivot, Some(q16Oracle)),
     Q("q17_anti_join", q17AntiJoin, Some(q17Oracle)),

@@ -374,6 +374,83 @@ object Streams {
     }
   }
 
+  /** Novelty-gated admission for continuous ingestion: each micro-batch
+    * is scored with
+    * [[graft.operators.Dedup.noveltyScoresAgainstFps]] against the
+    * DISTINCT shingle fingerprints of everything admitted so far, docs
+    * with novelty ≥ `minNovelty` are admitted (delivered via
+    * `onSurvivors`), and the admitted docs' fingerprints fold into the
+    * state — the content-overlap crawl gate ("only keep pages that add
+    * ≥ 30% new n-grams"), one rung coarser than near-dup admission
+    * (which pairs documents; this thresholds aggregate overlap with the
+    * WHOLE admitted corpus).
+    *
+    * Admission unit is the BATCH: batch members are scored against the
+    * pre-batch state only, never against each other (two mutually-
+    * duplicate docs in one batch are both admitted — run the batch
+    * operator inside the handler first if intra-batch screening
+    * matters). Replay-idempotent: a redelivered batch re-emits its
+    * recorded survivors without re-folding. State is the admitted
+    * corpus's distinct (sfp) longs — O(corpus shingles), the
+    * [[IndexIngest]] state class — and superseded pins are freed per
+    * batch so executor storage stays O(state), not O(batches × state).
+    * Survivors must be fully consumed before the next batch is applied
+    * (the localCheckpoint truncation contract of the other handlers).
+    */
+  final class NoveltyIngest(state0: DataFrame, id: Column, text: Column,
+      minNovelty: Double, shingleK: Int = 3) {
+    require(minNovelty >= 0 && minNovelty <= 1,
+      s"minNovelty out of [0,1]: $minNovelty")
+    @volatile private var state = state0
+    private var lastApplied = -1L
+    private var lastSurvivors: DataFrame = null
+    private var ownsState = false
+
+    /** The admitted distinct-shingle-fp frame after every applied batch;
+      * snapshots are invalidated by the next applied batch (pins freed).
+      */
+    def current: DataFrame = state
+
+    val handler: (DataFrame, Long) => Unit =
+      (batch: DataFrame, batchId: Long) => {
+        if (batchId <= lastApplied) {
+          if (batchId == lastApplied && lastSurvivors != null)
+            onSurvivors(lastSurvivors, batchId)
+        } else {
+          val scored = graft.operators.Dedup.noveltyScoresAgainstFps(
+            batch, id, text, state, shingleK)
+          // unique right-side name so the caller's id expression can only
+          // resolve against the batch in the join condition
+          val admitted = scored
+            .filter(col("novelty") >= minNovelty)
+            .select(col("doc_id").as("__adm_id"))
+          val survivors = batch
+            .join(admitted, id === col("__adm_id"), "semi")
+            .localCheckpoint(true)
+          val next = state
+            .unionByName(graft.operators.Dedup.corpusShingleFps(
+              survivors, text, shingleK))
+            .distinct()
+            .localCheckpoint(true)
+          if (ownsState) Bridge.unpin(state)
+          if (lastSurvivors != null) Bridge.unpin(lastSurvivors)
+          state = next
+          ownsState = true
+          onSurvivors(survivors, batchId)
+          lastApplied = batchId
+          lastSurvivors = survivors
+        }
+        ()
+      }
+
+    /** Override point for admitted-docs consumers; default no-op. */
+    var onSurvivors: (DataFrame, Long) => Unit = (_, _) => ()
+
+    def ingest(stream: DataFrame)
+        : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+      stream.writeStream.foreachBatch(handler)
+  }
+
   /** Streaming companion of
     * [[graft.operators.EventAnalytics.eventTransitions]]: emits one
     * (user, from_type, to_type) row per observed session transition,

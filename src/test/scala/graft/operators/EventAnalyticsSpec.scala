@@ -93,6 +93,59 @@ class EventAnalyticsSpec extends SparkSpec {
     assert(out === Seq((c0, 0, 1L), (c0, 1, 1L), (c0 + 1, 0, 1L), (c0 + 1, 2, 1L)))
   }
 
+  test("funnelLatency: latency measured from each user's step-1 match, " +
+      "discrete percentiles, unreached steps emit no row") {
+    val e = Seq(
+      // u1: A@10 -> B@30 (lat 20); u2: A@100 -> B@150 (lat 50);
+      // u3: A@5 only; u4: B-before-A never matches B
+      (1L, 10L, "A"), (1L, 30L, "B"),
+      (2L, 100L, "A"), (2L, 150L, "B"),
+      (3L, 5L, "A"),
+      (4L, 7L, "B"), (4L, 9L, "A")).toDF("user_id", "ts", "et")
+    val out = EventAnalytics.funnelLatency(e, col("user_id"), col("ts"),
+        col("et"), Seq("A", "B", "C"))
+      .as[(Int, String, Long, Long, Long)].collect().sortBy(_._1).toSeq
+    // step A: 4 users, all latencies 0; step B: u1 (20), u2 (50) --
+    // quantile_disc(0.5) of [20, 50] is the lower value, p90 the upper;
+    // step C reached by nobody -> absent
+    assert(out === Seq(
+      (1, "A", 4L, 0L, 0L),
+      (2, "B", 2L, 20L, 50L)))
+  }
+
+  test("rfmSegments: recency vs the dataset's last day, decimal monetary, " +
+      "ntile quintiles with deterministic ties, and non-purchases only " +
+      "move the as-of day") {
+    val day = 86400000000000L
+    // 5 purchasing users with strictly increasing recency/frequency/spend
+    // so each lands in its own quintile; u6 has only a view -- excluded
+    // from the report but its (latest) day defines as-of
+    val rows =
+      (1 to 5).flatMap { i =>
+        (0 until i).map(j =>
+          (i.toLong, (i.toLong * day) + j, "purchase", i * 10.0))
+      } :+ ((6L, 9L * day, "view", 999.0))
+    val e = rows.toDF("user_id", "ts", "et", "value")
+    val out = EventAnalytics.rfmSegments(e, col("user_id"), col("ts"),
+        col("et") === "purchase", col("value"))
+      .select(col("user_id"), col("recency_days"), col("frequency"),
+        col("monetary").cast("double"), col("r_score"), col("f_score"),
+        col("m_score"), col("segment"))
+      .as[(Long, Int, Long, Double, Int, Int, Int, String)]
+      .collect().sortBy(_._1).toSeq
+    // as-of day = 9 (u6's view); user i purchased last on day i ->
+    // recency 9-i; frequency i; monetary i*10*i
+    out.foreach { case (u, rec, freq, mon, r, f, m, seg) =>
+      assert(rec === (9 - u).toInt)
+      assert(freq === u)
+      assert(mon === u * 10.0 * u)
+      // 5 users, 5 buckets: recency DESC puts the most recent (u5) in
+      // bucket 5; frequency/monetary ascending put u5 in bucket 5 too
+      assert((r, f, m) === ((u.toInt, u.toInt, u.toInt)))
+      assert(seg === s"$u$u$u")
+    }
+  }
+
   test("eventTransitions: adjacency within the session gap only, " +
       "equal-ts order fixed by the tiebreak, n_users deduplicates") {
     val gap = 100L

@@ -219,6 +219,58 @@ class StreamsSpec extends SparkSpec {
     assert(seen.toList === List(0L -> Seq(11L), 1L -> Seq(21L)))
   }
 
+  test("NoveltyIngest: admits by novelty vs the folded state, batch unit " +
+      "semantics, replay idempotent, superseded pins freed") {
+    import graft.operators.Dedup
+    val seed = Seq((0L, "alpha beta gamma delta epsilon zeta eta theta"))
+      .toDF("doc_id", "text")
+    val state0 = Dedup.corpusShingleFps(seed, col("text"), shingleK = 3)
+    val seen = scala.collection.mutable.ArrayBuffer.empty[(Long, Seq[Long])]
+    val emitted =
+      scala.collection.mutable.ArrayBuffer.empty[org.apache.spark.sql.DataFrame]
+    val states =
+      scala.collection.mutable.ArrayBuffer.empty[org.apache.spark.sql.DataFrame]
+    val ing = new Streams.NoveltyIngest(state0, col("doc_id"), col("text"),
+      minNovelty = 0.5, shingleK = 3)
+    ing.onSurvivors = (survivors, batchId) => {
+      emitted += survivors
+      seen += batchId -> survivors.select(col("doc_id"))
+        .collect().map(_.getLong(0)).toSeq.sorted
+    }
+    // batch 0: doc 10 restates the seed (novelty 0 -> rejected);
+    // doc 11 is fresh (novelty 1 -> admitted)
+    val b0 = Seq(
+      (10L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (11L, "one two three four five six seven eight nine"))
+      .toDF("doc_id", "text")
+    ing.handler(b0, 0L)
+    states += ing.current
+    // batch 1: doc 20 duplicates the ADMITTED doc 11 — rejected only if
+    // batch 0's fingerprints actually folded into state; doc 21 fresh
+    val b1 = Seq(
+      (20L, "one two three four five six seven eight nine"),
+      (21L, "completely different material about something else entirely"))
+      .toDF("doc_id", "text")
+    ing.handler(b1, 1L)
+    states += ing.current
+    assert(seen.toList === List(0L -> Seq(11L), 1L -> Seq(21L)))
+    // replay of the last batch re-emits, does not re-fold
+    val stateBefore = ing.current
+    ing.handler(b1, 1L)
+    assert(seen.toList ===
+      List(0L -> Seq(11L), 1L -> Seq(21L), 1L -> Seq(21L)))
+    assert(ing.current eq stateBefore)
+    // older batchId: guarded no-op
+    ing.handler(b0, 0L)
+    assert(seen.size === 3)
+    // pins: superseded state and survivors freed, latest still pinned
+    assertFreed(states.head, "NoveltyIngest superseded state")
+    assertFreed(emitted.head, "NoveltyIngest superseded survivors")
+    assert(pinnedRdds(ing.current).nonEmpty && pinnedRdds(ing.current)
+      .forall(_.getStorageLevel !=
+        org.apache.spark.storage.StorageLevel.NONE))
+  }
+
   test("nearDupBatchHandler: replayed batchId re-emits survivors without " +
       "re-applying state (at-least-once retry safety)") {
     import graft.operators.Dedup
