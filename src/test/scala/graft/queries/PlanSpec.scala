@@ -401,4 +401,73 @@ class PlanSpec extends SparkSpec {
     assert("BroadcastHashJoin".r.findAllIn(p).size <= 2, p)
     assert(!p.contains("SortMergeJoin"), p)
   }
+
+  test("event_transitions: ONE user-partitioned window pass, no per-user " +
+      "arrays (no collect_list), partial-aggregated counts") {
+    val p = plan(Relational.eventTransitionsQ(spark, dir))
+    assert("(\\d+) Window".r.findAllIn(p).size <= 2, p) // one node, 2 prints
+    assert(!p.contains("collect_list"), p)
+    assert("HashAggregate".r.findAllIn(p).size >= 2, p)
+  }
+
+  test("source_drift: no corpus-sized join or window — per-source agg " +
+      "plus a one-row broadcast totals dim") {
+    val p = plan(Pipeline.sourceDriftQ(spark, dir))
+    assert(!p.contains("Window"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+    assert(p.contains("BroadcastNestedLoopJoin") ||
+      p.contains("BroadcastHashJoin"), p) // the one-row totals cross
+  }
+
+  test("purge_deletes: the deletion set broadcasts (semi-join + fp probe " +
+      "stay broadcast-side); no cartesian product") {
+    val p = plan(Pipeline.purgeDeletesQ(spark, dir))
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("LeftSemi"), p)
+    assert("BroadcastHashJoin|BroadcastExchange".r.findAllIn(p).nonEmpty, p)
+  }
+
+  test("hybrid_retrieval: fusion is a join over list-sized frames with a " +
+      "bounded top-k agg — no window over candidates beyond the k+1 " +
+      "self-drop re-rank, no cartesian") {
+    val p = plan(Pipeline.hybridRetrievalQ(spark, dir))
+    assert(!p.contains("CartesianProduct"), p)
+    // windows: ONLY the lexical k+1 self-drop re-rank (row_number over
+    // <=21-row lists); the fused top-k is the bounded aggregator
+    assert("(\\d+) Window".r.findAllIn(p).size <= 2, p)
+    assert(p.contains("FullOuter"), p)
+  }
+
+  test("phrase_mining: TakeOrdered for the top-k (no global sort) and " +
+      "no position self-join (single pair-zip projection)") {
+    val p = plan(Pipeline.phraseMiningQ(spark, dir))
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("novelty_score: membership via an 8-byte-key join — no cartesian, " +
+      "no window; distinct + counts partial-aggregate") {
+    val p = plan(Pipeline.noveltyScoreQ(spark, dir))
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("Window"), p)
+    assert("HashAggregate".r.findAllIn(p).size >= 2, p)
+  }
+
+  test("rfm_segments: events collapse to per-user rows BEFORE the NTILE " +
+      "windows (aggregate below every window)") {
+    val p = plan(Relational.rfmSegmentsQ(spark, dir))
+    // three logical windows may fuse; all of them sit above the per-user
+    // HashAggregate, so the aggregate must appear in the plan
+    assert(p.contains("Window"), p)
+    assert("HashAggregate".r.findAllIn(p).size >= 2, p)
+    assert(!p.contains("CartesianProduct") ||
+      p.contains("BroadcastNestedLoopJoin"), p) // one-row as-of cross only
+  }
+
+  test("funnel_latency: the chain fold replaces per-step self-joins — at " +
+      "most the percentile agg shuffles; no step-count SortMergeJoin") {
+    val p = plan(Relational.funnelLatencyQ(spark, dir))
+    assert(!p.contains("SortMergeJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
 }
