@@ -120,7 +120,16 @@ object Stress {
     // percentile over users-reached rows; rfm_segments collapses events
     // to |users| rows then pays three |users|-row NTILE sorts — the
     // growth to watch is the single-reducer window at high user counts
-    "funnel_latency", "rfm_segments")
+    "funnel_latency", "rfm_segments",
+    // late round-13: preference_report's ballot join is 3 shifted
+    // equi-joins (per-doc work constant — linear); annotator_agreement
+    // is two marginal aggs + a |classes|-row join (linear scan, tiny
+    // exchanges); text_strip_markup is map-only; calibration_report is
+    // map-only + a |bins|-row agg; link_rank pays the transitions window
+    // (linear in events) + 3 node-table-sized join/agg rounds over a
+    // FIXED node set (event types don't grow with replication)
+    "preference_report", "annotator_agreement", "text_strip_markup",
+    "calibration_report", "link_rank")
 
   /** Replica id offset — well above any sf0.1 id, keeps replica ids
     * unique. PUBLIC because `Pipeline.simHashedLsh` pins its probe set

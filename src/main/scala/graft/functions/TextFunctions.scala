@@ -28,6 +28,39 @@ object TextFunctions {
   def tokenCountBpe(c: Column): Column =
     size(regexp_extract_all(c, lit(BpeLikePattern), lit(0)))
 
+  /** Strip HTML/XML-ish markup from scraped text — the first normalization
+    * pass of a web-crawl curation pipeline: tags (`<...>`) are replaced by
+    * a space (so `a<br>b` stays two tokens), the six entities that
+    * dominate crawled text are decoded ONE level (`&amp;` last, so
+    * `&amp;lt;` correctly becomes the literal `&lt;` rather than
+    * double-decoding to `<`), runs of whitespace collapse to one space,
+    * and the result is trimmed.
+    *
+    * Deliberately regex-based, not a DOM parse: it is one codegen'd
+    * expression chain (no UDF) over arbitrarily malformed input, and the
+    * exact same chain replays in the ANSI-SQL oracle. Malformed markup is
+    * handled lossily by design: a `<` with no later `>` survives as text,
+    * while everything from a `<` to the NEXT `>` is consumed as one tag
+    * even if it spans what a browser would render. The whitespace class
+    * is spelled `[ \t\n\r]` (not `\s`) because Java and RE2 disagree on
+    * `\s`'s vertical-tab membership.
+    */
+  def stripMarkup(c: Column): Column = {
+    val noTags = regexp_replace(c, "<[^>]*>", " ")
+    val decoded = replace(
+      replace(
+        replace(
+          replace(
+            replace(
+              replace(noTags, lit("&lt;"), lit("<")),
+              lit("&gt;"), lit(">")),
+            lit("&quot;"), lit("\"")),
+          lit("&#39;"), lit("'")),
+        lit("&nbsp;"), lit(" ")),
+      lit("&amp;"), lit("&"))
+    trim(regexp_replace(decoded, "[ \\t\\n\\r]+", " "))
+  }
+
   /** Ratio of punctuation/symbol characters to total characters (0 when empty). */
   def punctRatio(c: Column): Column = {
     val punct = size(regexp_extract_all(c, lit("[^A-Za-z0-9\\s]"), lit(0)))

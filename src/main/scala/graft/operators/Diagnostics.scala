@@ -442,4 +442,84 @@ object Diagnostics {
       .orderBy(col("cnt").desc, col("key"))
       .limit(topN)
   }
+
+  /** Cohen's kappa between two label columns — the inter-annotator
+    * agreement gate for labeling pipelines (two human raters, or a new
+    * model-annotator audited against a gold column): chance-corrected
+    * agreement κ = (p_o − p_e)/(1 − p_e), with p_o the observed agreement
+    * rate and p_e the agreement expected from the two annotators'
+    * marginal label distributions alone. κ ≈ 0 means the "agreement" is
+    * what random labeling with those marginals would produce; labeling
+    * runs are typically gated on κ ≥ 0.6–0.8 before the labels feed
+    * training.
+    *
+    * Output: ONE row — (n_items, n_agree, p_o, p_e, kappa). All counts
+    * exact; the marginal cross-product Σ_k cntA(k)·cntB(k) accumulates
+    * in DECIMAL(38,0) so it cannot overflow at any realistic corpus size
+    * (two 10¹²-row marginals still fit); the p_o/p_e/κ chain is
+    * fixed-order IEEE. Degenerate input where one annotator is constant
+    * and agrees perfectly gives p_e = 1 and κ = NaN — gate on the counts
+    * before reading κ there.
+    *
+    * Scale shape: one two-column projection feeds one global aggregate
+    * plus two |classes|-sized marginal aggregates (all partial-aggregated
+    * map-side) and a |classes|-row join — the item table never shuffles
+    * more than the two label strings per row.
+    */
+  def cohenKappa(df: DataFrame, a: Column, b: Column): DataFrame = {
+    val t = df.select(a.cast("string").as("la"), b.cast("string").as("lb"))
+    val totals = t.agg(count(lit(1)).as("n_items"),
+      sum(when(col("la") === col("lb"), 1L).otherwise(0L)).as("n_agree"))
+    val ma = t.groupBy(col("la")).agg(count(lit(1)).as("ca"))
+    val mb = t.groupBy(col("lb")).agg(count(lit(1)).as("cb"))
+    val cross = ma.join(mb, col("la") === col("lb"))
+      .agg(coalesce(sum(col("ca").cast("decimal(38,0)") *
+        col("cb").cast("decimal(38,0)")),
+        lit(java.math.BigDecimal.ZERO).cast("decimal(38,0)")).as("exp_prod"))
+    val po = col("n_agree").cast("double") / col("n_items").cast("double")
+    val pe = col("exp_prod").cast("double") /
+      (col("n_items").cast("double") * col("n_items").cast("double"))
+    totals.crossJoin(broadcast(cross))
+      .select(col("n_items"), col("n_agree"), po.as("p_o"), pe.as("p_e"))
+      .withColumn("kappa",
+        (col("p_o") - col("p_e")) / (lit(1.0) - col("p_e")))
+  }
+
+  /** Classifier-score calibration (reliability) report: bucket a score in
+    * [0,1] into `bins` equal-width confidence bins and compare each bin's
+    * empirical positive rate against the bin midpoint — the table behind
+    * a reliability diagram, and the audit that decides whether a quality
+    * classifier's score can be used as a sampling weight (calibrated) or
+    * only as a ranking (not). Output: one row per non-empty bin —
+    * (bin, conf_mid, n, n_pos, pos_rate, gap) with gap = pos_rate −
+    * conf_mid (positive = under-confident, negative = over-confident),
+    * ordered by bin.
+    *
+    * Determinism: the bin index floor(score·bins) is the same IEEE
+    * multiply+floor in any engine given the same score expression;
+    * scores ≥ 1.0 clamp into the last bin (scores outside [0,1] are a
+    * caller bug — negatives would floor below bin 0 and are clamped to
+    * 0 to keep the report total).
+    *
+    * Scale shape: map-only projection into one |bins|-sized
+    * partial-aggregated groupBy; nothing else shuffles.
+    */
+  def calibrationReport(df: DataFrame, score: Column, positive: Column,
+      bins: Int = 10): DataFrame = {
+    require(bins > 0, s"bins must be positive, got $bins")
+    df.select(
+        greatest(least(floor(score * lit(bins)).cast("int"), lit(bins - 1)),
+          lit(0)).as("bin"),
+        when(positive, 1L).otherwise(0L).as("pos"))
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n"), sum(col("pos")).as("n_pos"))
+      .select(col("bin"),
+        ((col("bin").cast("double") + lit(0.5)) / lit(bins.toDouble))
+          .as("conf_mid"),
+        col("n"), col("n_pos"),
+        (col("n_pos").cast("double") / col("n").cast("double"))
+          .as("pos_rate"))
+      .withColumn("gap", col("pos_rate") - col("conf_mid"))
+      .orderBy(col("bin"))
+  }
 }

@@ -4221,7 +4221,261 @@ object Pipeline {
       |FROM documents d LEFT JOIN agg a ON a.doc_id = d.doc_id
       |ORDER BY d.doc_id""".stripMargin
 
+  // ------------------------------------------------ preference aggregation
+
+  /** Pairwise-preference aggregation ([[graft.operators.Preference.winRates]]):
+    * comparison ballots are derived deterministically — each doc is
+    * compared against the next three doc ids, the longer text wins (the
+    * earlier id on ties) — then collapsed to per-item wins/losses,
+    * win-rate, and the Wilson 95% lower bound, the ranking key a reward-
+    * data pipeline sorts by. The z and z² constants are interpolated from
+    * the same Scala doubles the operator uses, so the fixed-order IEEE
+    * chain replays bit-for-bit.
+    */
+  def preferenceReportQ(s: SparkSession, dir: String): DataFrame = {
+    val d = T(s, dir, "documents").select(col("doc_id"), col("n_chars"))
+    val shifts = s.range(1, 4).select(col("id").as("shift"))
+    val pairs = d.select(col("doc_id").as("a_id"), col("n_chars").as("a_n"))
+      .crossJoin(broadcast(shifts))
+      .withColumn("b_id", col("a_id") + col("shift"))
+      .join(d.select(col("doc_id").as("b_id"), col("n_chars").as("b_n")),
+        "b_id")
+    val ballots = pairs.select(
+      when(col("b_n") > col("a_n"), col("b_id")).otherwise(col("a_id"))
+        .as("win"),
+      when(col("b_n") > col("a_n"), col("a_id")).otherwise(col("b_id"))
+        .as("lose"))
+    graft.operators.Preference.winRates(ballots, col("win"), col("lose"))
+      .orderBy(col("item"))
+  }
+
+  private val wilsonZ = 1.96
+  private val wilsonZz = wilsonZ * wilsonZ
+
+  val preferenceReportOracle: String =
+    s"""WITH s(shift) AS (VALUES (1), (2), (3)),
+       |p AS (
+       |  SELECT a.doc_id AS a_id, a.n_chars AS a_n,
+       |    b.doc_id AS b_id, b.n_chars AS b_n
+       |  FROM documents a JOIN s ON TRUE
+       |  JOIN documents b ON b.doc_id = a.doc_id + s.shift),
+       |v AS (
+       |  SELECT CASE WHEN b_n > a_n THEN b_id ELSE a_id END AS item, 1 AS w
+       |  FROM p
+       |  UNION ALL
+       |  SELECT CASE WHEN b_n > a_n THEN a_id ELSE b_id END AS item, 0 AS w
+       |  FROM p),
+       |g AS (
+       |  SELECT item, CAST(SUM(w) AS BIGINT) AS wins,
+       |    CAST(COUNT(*) AS BIGINT) AS n
+       |  FROM v GROUP BY 1),
+       |r AS (
+       |  SELECT item, wins, n - wins AS losses, n,
+       |    CAST(wins AS DOUBLE) / CAST(n AS DOUBLE) AS win_rate,
+       |    CAST('$wilsonZz' AS DOUBLE) AS zz,
+       |    CAST('$wilsonZ' AS DOUBLE) AS z,
+       |    CAST(n AS DOUBLE) AS nd
+       |  FROM g)
+       |SELECT item, wins, losses, n, win_rate,
+       |  ((win_rate + zz / (2.0 * nd))
+       |   - z * sqrt((win_rate * (1.0 - win_rate) + zz / (4.0 * nd)) / nd))
+       |  / (1.0 + zz / nd) AS wilson_lb
+       |FROM r
+       |ORDER BY item""".stripMargin
+
+  // ------------------------------------------------ annotator agreement
+
+  /** Cohen's kappa ([[graft.operators.Diagnostics.cohenKappa]]) between
+    * the embeddings table's label column and a deterministically
+    * perturbed second annotator (every 7th item shifted one class) — the
+    * inter-annotator QC gate. One row; the marginal cross-product and the
+    * p_o/p_e/κ chain replay exactly.
+    */
+  def annotatorAgreementQ(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Diagnostics.cohenKappa(
+      T(s, dir, "embeddings"), col("label"),
+      when(pmod(col("vec_id"), lit(7L)) === 0,
+        pmod(col("label") + 1, lit(10))).otherwise(col("label")))
+
+  val annotatorAgreementOracle: String =
+    """WITH t AS (
+      |  SELECT CAST(label AS VARCHAR) AS la,
+      |    CAST(CASE WHEN vec_id % 7 = 0 THEN (label + 1) % 10 ELSE label END
+      |      AS VARCHAR) AS lb
+      |  FROM embeddings),
+      |tot AS (
+      |  SELECT COUNT(*) AS n_items,
+      |    CAST(SUM(CASE WHEN la = lb THEN 1 ELSE 0 END) AS BIGINT) AS n_agree
+      |  FROM t),
+      |ma AS (SELECT la, COUNT(*) AS ca FROM t GROUP BY 1),
+      |mb AS (SELECT lb, COUNT(*) AS cb FROM t GROUP BY 1),
+      |x AS (
+      |  SELECT COALESCE(SUM(CAST(ca AS HUGEINT) * CAST(cb AS HUGEINT)),
+      |    0) AS exp_prod
+      |  FROM ma JOIN mb ON ma.la = mb.lb),
+      |r AS (
+      |  SELECT n_items, n_agree,
+      |    CAST(n_agree AS DOUBLE) / CAST(n_items AS DOUBLE) AS p_o,
+      |    CAST(exp_prod AS DOUBLE)
+      |      / (CAST(n_items AS DOUBLE) * CAST(n_items AS DOUBLE)) AS p_e
+      |  FROM tot, x)
+      |SELECT n_items, n_agree, p_o, p_e,
+      |  (p_o - p_e) / (1.0 - p_e) AS kappa
+      |FROM r""".stripMargin
+
+  // ------------------------------------------------ markup stripping
+
+  /** Markup stripping ([[graft.functions.TextFunctions.stripMarkup]]):
+    * each doc is wrapped in deterministic HTML with attribute-bearing
+    * tags, one-level-escaped entities, and a double-escaped `&amp;amp;`
+    * (which must decode to the literal `&amp;`, not `&`), then stripped.
+    * Output fingerprints the cleaned text; raw/clean lengths catch
+    * off-by-one whitespace handling the md5 alone would hide.
+    */
+  def textStripMarkupQ(s: SparkSession, dir: String): DataFrame = {
+    val html = concat(lit("<div class=\""), col("source"),
+      lit("\"><p>&quot;"), col("text"),
+      lit("&quot; &amp;amp; x &lt;tag&gt;</p>\n<br/>&nbsp;</div>"))
+    val clean = TextFunctions.stripMarkup(html)
+    T(s, dir, "documents")
+      .select(col("doc_id"), length(html).as("len_raw"),
+        length(clean).as("len_clean"), md5(clean).as("clean_md5"))
+      .orderBy(col("doc_id"))
+  }
+
+  val textStripMarkupOracle: String =
+    """WITH h AS (
+      |  SELECT doc_id,
+      |    '<div class="' || source || '"><p>&quot;' || text ||
+      |    '&quot; &amp;amp; x &lt;tag&gt;</p>' || chr(10) ||
+      |    '<br/>&nbsp;</div>' AS html
+      |  FROM documents),
+      |c AS (
+      |  SELECT doc_id, html,
+      |    trim(regexp_replace(
+      |      replace(replace(replace(replace(replace(replace(
+      |        regexp_replace(html, '<[^>]*>', ' ', 'g'),
+      |        '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&#39;', ''''),
+      |        '&nbsp;', ' '), '&amp;', '&'),
+      |      '[ \t\n\r]+', ' ', 'g')) AS clean
+      |  FROM h)
+      |SELECT doc_id, length(html) AS len_raw, length(clean) AS len_clean,
+      |  md5(clean) AS clean_md5
+      |FROM c
+      |ORDER BY doc_id""".stripMargin
+
+  // ------------------------------------------------ score calibration
+
+  /** Calibration/reliability report
+    * ([[graft.operators.Diagnostics.calibrationReport]]) auditing the
+    * stopword-ratio score as an is-English classifier: decile confidence
+    * bins vs the empirical lang='en' rate. The bin index, midpoints, and
+    * rates all replay exactly (the score is an exact integer ratio in
+    * doubles, and both engines run the identical multiply-floor chain).
+    */
+  def calibrationReportQ(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Diagnostics.calibrationReport(
+      T(s, dir, "documents"),
+      TextFunctions.stopwordRatio(col("text")),
+      col("lang") === "en", bins = 10)
+
+  val calibrationReportOracle: String =
+    s"""WITH t AS (
+       |  SELECT CASE WHEN len(trim(text)) = 0 THEN []::VARCHAR[]
+       |         ELSE string_split_regex(trim(text), '\\s+') END AS toks,
+       |    lang
+       |  FROM documents),
+       |m AS (
+       |  SELECT CASE WHEN len(toks) = 0 THEN 0.0
+       |    ELSE CAST(len(list_filter(toks, x -> list_contains($swEn, x)))
+       |           AS DOUBLE) / CAST(len(toks) AS DOUBLE) END AS s,
+       |    CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS pos
+       |  FROM t),
+       |b AS (
+       |  SELECT GREATEST(LEAST(CAST(FLOOR(s * 10) AS INTEGER), 9), 0) AS bin,
+       |    pos
+       |  FROM m),
+       |g AS (
+       |  SELECT bin, COUNT(*) AS n, CAST(SUM(pos) AS BIGINT) AS n_pos
+       |  FROM b GROUP BY 1)
+       |SELECT bin, (CAST(bin AS DOUBLE) + 0.5) / 10.0 AS conf_mid, n, n_pos,
+       |  CAST(n_pos AS DOUBLE) / CAST(n AS DOUBLE) AS pos_rate,
+       |  CAST(n_pos AS DOUBLE) / CAST(n AS DOUBLE)
+       |    - (CAST(bin AS DOUBLE) + 0.5) / 10.0 AS gap
+       |FROM g
+       |ORDER BY bin""".stripMargin
+
+  // ------------------------------------------------ graph link rank
+
+  /** Fixed-point weighted PageRank ([[graft.operators.Graph.linkRank]])
+    * over the session-transition graph — event types ranked by where
+    * session flow concentrates, the same shape as crawl-pipeline domain
+    * ranking. Three iterations unroll into three CTE rounds in the
+    * oracle; every step is integer multiply/`div`/sum, so the ranks match
+    * to the unit.
+    */
+  def linkRankQ(s: SparkSession, dir: String): DataFrame = {
+    val e = T.events(s, dir)
+    val trans = graft.operators.EventAnalytics.eventTransitions(
+      e, col("user_id"), col("ts"), col("event_type"), col("event_id"))
+    graft.operators.Graph.linkRank(trans, col("from_type"), col("to_type"),
+        col("n_transitions"), iters = 3)
+      .orderBy(col("rank").desc, col("node"))
+  }
+
+  val linkRankOracle: String =
+    """WITH e AS (
+      |  SELECT user_id, event_id, epoch_us(ts) * 1000 AS tsn,
+      |    event_type AS et
+      |  FROM events),
+      |t AS (
+      |  SELECT user_id, et, tsn,
+      |    LAG(et) OVER (PARTITION BY user_id ORDER BY tsn, event_id) AS pet,
+      |    LAG(tsn) OVER (PARTITION BY user_id ORDER BY tsn, event_id) AS ptsn
+      |  FROM e),
+      |tr AS (
+      |  SELECT user_id, pet AS from_type, et AS to_type FROM t
+      |  WHERE pet IS NOT NULL AND tsn - ptsn <= 1800000000000),
+      |ed AS (
+      |  SELECT from_type AS src, to_type AS dst, CAST(COUNT(*) AS BIGINT) AS w
+      |  FROM tr GROUP BY 1, 2),
+      |outw AS (SELECT src, CAST(SUM(w) AS BIGINT) AS out_w FROM ed GROUP BY 1),
+      |nodes AS (SELECT src AS node FROM ed UNION SELECT dst FROM ed),
+      |r0 AS (SELECT node, CAST(1000000000 AS BIGINT) AS r FROM nodes),
+      |c1 AS (
+      |  SELECT ed.dst AS node, CAST(SUM(r0.r * ed.w // outw.out_w) AS BIGINT) AS cs
+      |  FROM ed JOIN outw ON outw.src = ed.src JOIN r0 ON r0.node = ed.src
+      |  GROUP BY 1),
+      |r1 AS (
+      |  SELECT n.node,
+      |    CAST(150000000 + (17 * COALESCE(c1.cs, 0)) // 20 AS BIGINT) AS r
+      |  FROM nodes n LEFT JOIN c1 ON c1.node = n.node),
+      |c2 AS (
+      |  SELECT ed.dst AS node, CAST(SUM(r1.r * ed.w // outw.out_w) AS BIGINT) AS cs
+      |  FROM ed JOIN outw ON outw.src = ed.src JOIN r1 ON r1.node = ed.src
+      |  GROUP BY 1),
+      |r2 AS (
+      |  SELECT n.node,
+      |    CAST(150000000 + (17 * COALESCE(c2.cs, 0)) // 20 AS BIGINT) AS r
+      |  FROM nodes n LEFT JOIN c2 ON c2.node = n.node),
+      |c3 AS (
+      |  SELECT ed.dst AS node, CAST(SUM(r2.r * ed.w // outw.out_w) AS BIGINT) AS cs
+      |  FROM ed JOIN outw ON outw.src = ed.src JOIN r2 ON r2.node = ed.src
+      |  GROUP BY 1),
+      |r3 AS (
+      |  SELECT n.node,
+      |    CAST(150000000 + (17 * COALESCE(c3.cs, 0)) // 20 AS BIGINT) AS r
+      |  FROM nodes n LEFT JOIN c3 ON c3.node = n.node)
+      |SELECT node, r AS rank FROM r3
+      |ORDER BY rank DESC, node""".stripMargin
+
   val all: Seq[Q] = Seq(
+    Q("preference_report", preferenceReportQ, Some(preferenceReportOracle)),
+    Q("annotator_agreement", annotatorAgreementQ,
+      Some(annotatorAgreementOracle)),
+    Q("text_strip_markup", textStripMarkupQ, Some(textStripMarkupOracle)),
+    Q("calibration_report", calibrationReportQ, Some(calibrationReportOracle)),
+    Q("link_rank", linkRankQ, Some(linkRankOracle)),
     Q("pack_sequences", packSequences, Some(packSequencesOracle)),
     Q("packing_stats", packingStats, Some(packingStatsOracle)),
     Q("curation_pipeline", curationPipeline, Some(curationPipelineOracle)),

@@ -223,4 +223,38 @@ class GraftFunctionsSpec extends SparkSpec {
       .selectExpr("cosine_sim(a, b) AS c").head()
     assert(mismatch.isNullAt(0))
   }
+
+  private def strip(s: String): String =
+    Seq(s).toDF("t")
+      .select(TextFunctions.stripMarkup(org.apache.spark.sql.functions.col("t"))
+        .as("c"))
+      .as[String].head()
+
+  test("stripMarkup: tags become token boundaries, attributes vanish") {
+    assert(strip("""<p class="big">Hello<br/>world</p>""") === "Hello world")
+    assert(strip("a<b>c") === "a c")
+    assert(strip("no markup at all") === "no markup at all")
+  }
+
+  test("stripMarkup decodes entities exactly one level") {
+    assert(strip("a &amp; b &lt;tag&gt; &quot;q&quot; &#39;s&#39;") ===
+      """a & b <tag> "q" 's'""")
+    // double-escaped: &amp;lt; is the TEXT "&lt;", not a decoded <
+    assert(strip("x &amp;lt;y") === "x &lt;y")
+    assert(strip("a&nbsp;b") === "a b")
+  }
+
+  test("stripMarkup collapses whitespace runs and trims") {
+    assert(strip("  a\n\n\tb   c\r\n  ") === "a b c")
+    assert(strip("<div>\n  <p>x</p>\n</div>") === "x")
+    assert(strip("") === "")
+    assert(strip("<only></tags>") === "")
+  }
+
+  test("stripMarkup: an unclosed tag drops the rest (lossy by design)") {
+    assert(strip("keep <unclosed forever") === "keep <unclosed forever")
+    // a '<' with no '>' anywhere matches no tag — the text survives;
+    // with a later '>' everything between is consumed as one tag
+    assert(strip("keep <a b c> tail") === "keep tail")
+  }
 }

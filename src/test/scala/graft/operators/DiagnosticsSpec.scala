@@ -211,6 +211,75 @@ class DiagnosticsSpec extends SparkSpec {
     assert(blank._7 === 0.0)
   }
 
+  test("cohenKappa matches the textbook 2x2 example") {
+    // 20 yes/yes, 15 no/no, 10 yes/no, 5 no/yes over 50 items:
+    // p_o = 35/50 = 0.7; marginals A(yes)=30, B(yes)=25 →
+    // p_e = (30·25 + 20·25)/2500 = 0.5; κ = (0.7 − 0.5)/0.5 = 0.4
+    val rows = Seq.fill(20)(("y", "y")) ++ Seq.fill(15)(("n", "n")) ++
+      Seq.fill(10)(("y", "n")) ++ Seq.fill(5)(("n", "y"))
+    val got = Diagnostics.cohenKappa(rows.toDF("a", "b"), col("a"), col("b"))
+      .as[(Long, Long, Double, Double, Double)].collect().head
+    assert(got === ((50L, 35L, 0.7, 0.5,
+      (0.7 - 0.5) / (1.0 - 0.5))))
+  }
+
+  test("cohenKappa: perfect agreement gives κ = 1, chance-level gives κ ≈ 0") {
+    val perfect = Seq(("x", "x"), ("y", "y"), ("z", "z"), ("x", "x"))
+    val g1 = Diagnostics.cohenKappa(perfect.toDF("a", "b"), col("a"), col("b"))
+      .as[(Long, Long, Double, Double, Double)].collect().head
+    assert(g1._5 === 1.0)
+    // annotator b is constant: agreement equals b's marginal share of a,
+    // which is exactly p_e → κ = 0
+    val indep = Seq(("x", "x"), ("y", "x"), ("x", "x"), ("y", "x"))
+    val g2 = Diagnostics.cohenKappa(indep.toDF("a", "b"), col("a"), col("b"))
+      .as[(Long, Long, Double, Double, Double)].collect().head
+    assert(g2._5 === 0.0)
+  }
+
+  test("cohenKappa: disjoint label sets give zero expected agreement") {
+    val rows = Seq(("x", "p"), ("y", "q"))
+    val got = Diagnostics.cohenKappa(rows.toDF("a", "b"), col("a"), col("b"))
+      .as[(Long, Long, Double, Double, Double)].collect().head
+    assert(got === ((2L, 0L, 0.0, 0.0, 0.0)))
+  }
+
+  test("cohenKappa is partitioning-independent") {
+    val rnd = new scala.util.Random(3)
+    val rows = Seq.fill(500)((s"c${rnd.nextInt(5)}", s"c${rnd.nextInt(5)}"))
+    val a = Diagnostics.cohenKappa(rows.toDF("a", "b"), col("a"), col("b"))
+      .collect().toSeq
+    val b = Diagnostics.cohenKappa(rows.toDF("a", "b").repartition(13),
+      col("a"), col("b")).collect().toSeq
+    assert(a === b)
+  }
+
+  test("calibrationReport: hand bins, clamping, and empty bins absent") {
+    val rows = Seq((0.1, true), (0.3, false), (0.26, true), (0.6, false),
+      (0.9, true), (1.0, true)) // 1.0 clamps into the top bin
+    val got = Diagnostics.calibrationReport(
+        rows.toDF("s", "p"), col("s"), col("p"), bins = 4)
+      .as[(Int, Double, Long, Long, Double, Double)].collect().toSeq
+    assert(got.map(_._1) === Seq(0, 1, 2, 3)) // bin 2 covers 0.5-0.75
+    val byBin = got.map(r => r._1 -> r).toMap
+    assert(byBin(0) === ((0, 0.125, 1L, 1L, 1.0, 1.0 - 0.125)))
+    assert(byBin(1) === ((1, 0.375, 2L, 1L, 0.5, 0.5 - 0.375)))
+    assert(byBin(2) === ((2, 0.625, 1L, 0L, 0.0, 0.0 - 0.625)))
+    assert(byBin(3) === ((3, 0.875, 2L, 2L, 1.0, 1.0 - 0.875)))
+  }
+
+  test("calibrationReport: a perfectly calibrated score has small gaps") {
+    // score = k/10 + 0.05 with exactly that fraction positive per bucket
+    val rows = (0 until 10).flatMap { k =>
+      (0 until 20).map(i => (k / 10.0 + 0.05, i < 2 * k))
+    }
+    val got = Diagnostics.calibrationReport(
+        rows.toDF("s", "p"), col("s"), col("p"), bins = 10)
+      .as[(Int, Double, Long, Long, Double, Double)].collect()
+    assert(got.length === 10)
+    got.foreach(r => assert(math.abs(r._6) <= 0.05 + 1e-12,
+      s"bin ${r._1} gap ${r._6}"))
+  }
+
   private implicit class ToMap2(
       rows: Array[(String, Long, Long, Long, Long, Long, Double)]) {
     def toMap2: Map[String, (Long, Long, Long, Long, Long, Double)] =

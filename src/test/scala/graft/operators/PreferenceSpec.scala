@@ -1,0 +1,63 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+class PreferenceSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def wilson(wins: Long, n: Long, z: Double = 1.96): Double = {
+    val zz = z * z
+    val nd = n.toDouble
+    val p = wins.toDouble / nd
+    val center = p + zz / (2.0 * nd)
+    val margin = z * math.sqrt((p * (1.0 - p) + zz / (4.0 * nd)) / nd)
+    (center - margin) / (1.0 + zz / nd)
+  }
+
+  test("winRates: exact counts and the hand-computed Wilson chain") {
+    // A beats B twice and C once; C beats B once. A: 3/3, B: 0/3, C: 1/2.
+    val pairs = Seq(("A", "B"), ("A", "B"), ("A", "C"), ("C", "B"))
+      .toDF("w", "l")
+    val got = Preference.winRates(pairs, col("w"), col("l"))
+      .as[(String, Long, Long, Long, Double, Double)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(got("A") === (("A", 3L, 0L, 3L, 1.0, wilson(3, 3))))
+    assert(got("B") === (("B", 0L, 3L, 3L, 0.0, wilson(0, 3))))
+    assert(got("C") === (("C", 1L, 1L, 2L, 0.5, wilson(1, 2))))
+  }
+
+  test("winRates: Wilson lower bound ranks 90/100 above 2/2") {
+    val many = Seq.fill(90)(("big", "x")) ++ Seq.fill(10)(("x", "big")) ++
+      Seq.fill(2)(("small", "y"))
+    val got = Preference.winRates(many.toDF("w", "l"), col("w"), col("l"))
+      .select(col("item"), col("win_rate"), col("wilson_lb"))
+      .as[(String, Double, Double)].collect().map(r => r._1 -> r).toMap
+    // raw rate would invert this ranking (1.0 > 0.9)
+    assert(got("small")._2 === 1.0 && got("big")._2 === 0.9)
+    assert(got("big")._3 > got("small")._3)
+  }
+
+  test("winRates: an item that only ever loses still gets a row") {
+    val got = Preference.winRates(Seq(("a", "b")).toDF("w", "l"),
+        col("w"), col("l"))
+      .as[(String, Long, Long, Long, Double, Double)].collect()
+      .sortBy(_._1)
+    assert(got.map(_._1).toSeq === Seq("a", "b"))
+    assert(got(1)._2 === 0L && got(1)._3 === 1L)
+    // lb must stay within [0, 1] even at p̂ = 0
+    assert(got(1)._6 >= 0.0 && got(1)._6 <= 1.0)
+  }
+
+  test("winRates is partitioning-independent") {
+    val pairs = (1 to 400)
+      .map(i => (s"i${i % 13}", s"i${(i * 7) % 13}"))
+      .filter(p => p._1 != p._2)
+    val a = Preference.winRates(pairs.toDF("w", "l"), col("w"), col("l"))
+      .orderBy("item").collect().toSeq
+    val b = Preference.winRates(pairs.toDF("w", "l").repartition(7),
+        col("w"), col("l"))
+      .orderBy("item").collect().toSeq
+    assert(a === b)
+  }
+}

@@ -470,4 +470,45 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin"), p)
     assert(!p.contains("CartesianProduct"), p)
   }
+
+  test("preference_report: the 3-row shift dim broadcasts; ballots collapse " +
+      "in a partial-aggregated groupBy — no window, no cartesian blowup") {
+    val p = plan(Pipeline.preferenceReportQ(spark, dir))
+    assert(!p.contains("Window"), p)
+    assert(p.contains("BroadcastNestedLoopJoin"), p) // the 3-row shift cross
+    assert("HashAggregate".r.findAllIn(p).size >= 2, p)
+  }
+
+  test("annotator_agreement: one corpus scan pattern — marginal aggs plus " +
+      "a classes-row join; nothing corpus-sized shuffles twice") {
+    val p = plan(Pipeline.annotatorAgreementQ(spark, dir))
+    assert(!p.contains("Window"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert("HashAggregate".r.findAllIn(p).size >= 2, p)
+  }
+
+  test("text_strip_markup: map-only — a single projection over the scan, " +
+      "no exchange except the output sort") {
+    val p = plan(Pipeline.textStripMarkupQ(spark, dir))
+    assert(!p.contains("Window"), p)
+    assert(!p.contains("HashAggregate"), p)
+    assert(!p.contains("Join"), p)
+  }
+
+  test("calibration_report: map-only bucket projection into one " +
+      "bins-sized partial-aggregated groupBy — no join, no window") {
+    val p = plan(Pipeline.calibrationReportQ(spark, dir))
+    assert(!p.contains("Window"), p)
+    assert(!p.contains("Join"), p)
+    assert("HashAggregate".r.findAllIn(p).size >= 2, p)
+  }
+
+  test("link_rank: the iteration joins stay equi-joins (no cartesian); " +
+      "contribution sums partial-aggregate") {
+    val p = plan(Pipeline.linkRankQ(spark, dir))
+    assert(!p.contains("CartesianProduct"), p)
+    assert("HashAggregate".r.findAllIn(p).size >= 2, p)
+    // exactly the ONE transitions window pass feeds the edge table
+    assert("(\\d+) Window".r.findAllIn(p).size <= 2, p)
+  }
 }
