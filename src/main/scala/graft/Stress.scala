@@ -129,7 +129,13 @@ object Stress {
     // (linear in events) + 3 node-table-sized join/agg rounds over a
     // FIXED node set (event types don't grow with replication)
     "preference_report", "annotator_agreement", "text_strip_markup",
-    "calibration_report", "link_rank")
+    "calibration_report", "link_rank",
+    // label_noise_screen: FIXED probe set (vec_id < 100, replica 0 only)
+    // kNN-voted against the growing corpus — per-probe work linear in the
+    // corpus, same claim as sim_bruteforce_topk; score_quantile_normalize
+    // pays one per-source window (sources don't grow with replication, so
+    // the per-group sort is the growth to watch)
+    "label_noise_screen", "score_quantile_normalize")
 
   /** Replica id offset — well above any sf0.1 id, keeps replica ids
     * unique. PUBLIC because `Pipeline.simHashedLsh` pins its probe set

@@ -35,22 +35,36 @@ object Preference {
     * upstream (emit no row, or one row each way for a split ballot).
     */
   def winRates(pairs: DataFrame, winner: Column, loser: Column,
-      z: Double = 1.96): DataFrame = {
-    require(z > 0, s"z must be positive, got $z")
-    val votes = pairs.select(winner.as("item"), lit(1L).as("w"))
+      z: Double = 1.96): DataFrame =
+    ratesFromCounts(ballotCounts(pairs, winner, loser), z)
+
+  /** The count half of [[winRates]]: ballots → (item, wins, n). Exposed
+    * so incremental consumers ([[graft.streaming.Streams.PreferenceIngest]])
+    * can FOLD counts across batches — counts are the sufficient statistic
+    * (plain sums), the rate/Wilson chain is derived per read.
+    */
+  def ballotCounts(pairs: DataFrame, winner: Column,
+      loser: Column): DataFrame =
+    pairs.select(winner.as("item"), lit(1L).as("w"))
       .unionByName(pairs.select(loser.as("item"), lit(0L).as("w")))
-    val zz = lit(z * z)
-    val agg = votes.groupBy(col("item"))
+      .groupBy(col("item"))
       .agg(sum(col("w")).as("wins"), count(lit(1)).as("n"))
-      .select(col("item"), col("wins"), (col("n") - col("wins")).as("losses"),
-        col("n"), (col("wins").cast("double") / col("n").cast("double"))
-          .as("win_rate"))
+
+  /** The derivation half of [[winRates]] over a (item, wins, n) count
+    * table — map-only, no shuffle.
+    */
+  def ratesFromCounts(counts: DataFrame, z: Double = 1.96): DataFrame = {
+    require(z > 0, s"z must be positive, got $z")
+    val zz = lit(z * z)
+    val base = counts.select(col("item"), col("wins"),
+      (col("n") - col("wins")).as("losses"), col("n"),
+      (col("wins").cast("double") / col("n").cast("double")).as("win_rate"))
     val nD = col("n").cast("double")
     val p = col("win_rate")
     // fixed-order chain: center, then margin, then the denominator
     val center = p + zz / (lit(2.0) * nD)
     val margin = lit(z) * sqrt((p * (lit(1.0) - p) + zz / (lit(4.0) * nD)) / nD)
     val denom = lit(1.0) + zz / nD
-    agg.withColumn("wilson_lb", (center - margin) / denom)
+    base.withColumn("wilson_lb", (center - margin) / denom)
   }
 }

@@ -355,6 +355,34 @@ object Sampling {
     df.join(broadcast(keep), key.cast("long") === col("__keep_id"), "left_semi")
   }
 
+  /** Per-group quantile normalization of a score — map each row's score
+    * to its percent-rank WITHIN its group, so scores from differently-
+    * calibrated sources become comparable before cross-source mixing or
+    * thresholding (a 90th-percentile wiki doc and a 90th-percentile crawl
+    * doc get the same 0.9, whatever their raw scales). `q` is the SQL
+    * standard percent_rank (rank−1)/(n−1); a single-row group gets 0.0.
+    *
+    * Ordering inside a group is (score, `tieBreak`) — pass a unique id so
+    * ties rank identically in any engine; equal scores therefore get
+    * DISTINCT quantiles (the price of bit-determinism — use the rank
+    * semantics deliberately).
+    *
+    * Scale shape: ONE window partitioned by group (Spark's window sort
+    * spills, so a big group is slow but not fatal); the skew ceiling is
+    * the largest single group on one reducer — past ~10⁸ rows/group, cut
+    * with [[Layout.curriculumShards]]'s KLL-sketch band assignment
+    * instead (approximate quantiles, map-only assign, no per-group
+    * window).
+    */
+  def quantileNormalize(df: DataFrame, group: Column, score: Column,
+      tieBreak: Column, out: String = "q"): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("__qn_g")).orderBy(score, tieBreak)
+    df.withColumn("__qn_g", group)
+      .withColumn(out, percent_rank().over(w))
+      .drop("__qn_g")
+  }
+
   def splitByHash(df: DataFrame, key: Column,
       splits: Seq[(String, Double)], out: String = "split"): DataFrame = {
     require(splits.nonEmpty, "need at least one split")

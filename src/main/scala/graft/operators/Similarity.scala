@@ -309,6 +309,32 @@ object Similarity {
         col("w.votes").as("votes"))
   }
 
+  /** Label-noise screen — the mislabel detector for labeled training
+    * sets: each query item is [[knnLabel]]-voted against the labeled
+    * corpus (self-matches excluded by the underlying top-k), and items
+    * whose OWN label disagrees with their neighborhood's majority are
+    * returned as mislabel candidates — (query_id, own_label, knn_label,
+    * votes). Confident-learning pipelines triage exactly this list for
+    * re-annotation; rank by `votes` descending for the most-suspect
+    * first.
+    *
+    * Scale shape: adds one broadcast-keyed join (own labels onto the
+    * vote table, |queries| rows) over [[knnLabel]]'s cost; swap the
+    * brute-force top-k for the LSH/IVF searchers upstream at 10⁹+
+    * corpus sizes, same as every other consumer of the searcher stack.
+    */
+  def labelNoiseScreen(queries: DataFrame, corpus: DataFrame,
+      k: Int): DataFrame = {
+    val voted = knnLabel(queries.select(col("vec_id"), col("embedding")),
+      corpus, k)
+    voted.join(
+        queries.select(col("vec_id").as("query_id"),
+          col("label").as("own_label")), "query_id")
+      .filter(col("label") =!= col("own_label"))
+      .select(col("query_id"), col("own_label"),
+        col("label").as("knn_label"), col("votes"))
+  }
+
   /** Sign-random-projection bucket id: `bits` sign bits of hyperplane dot
     * products, plane_j[d] = md5-hash32("plane:j:d") / 2^31 - 1. Pure
     * projection (no shuffle); the same expression buckets both corpus (once,

@@ -4405,6 +4405,72 @@ object Pipeline {
        |FROM g
        |ORDER BY bin""".stripMargin
 
+  // ------------------------------------------------ label-noise screen
+
+  /** Label-noise screen ([[graft.operators.Similarity.labelNoiseScreen]]):
+    * the first 100 vectors are kNN-voted (k=5, exact cosine, self
+    * excluded) against the whole labeled corpus; rows where the
+    * neighborhood majority disagrees with the item's own label are the
+    * re-annotation queue. The oracle replays the vote (cosine ranking,
+    * vote count, smaller-label tie) plus the disagreement filter.
+    */
+  def labelNoiseScreenQ(s: SparkSession, dir: String): DataFrame = {
+    val emb = T(s, dir, "embeddings")
+    graft.operators.Similarity.labelNoiseScreen(
+        emb.filter(col("vec_id") < 100), emb, k = 5)
+      .orderBy(col("query_id"))
+  }
+
+  val labelNoiseScreenOracle: String =
+    s"""WITH scored AS (
+       |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, c.label,
+       |    ${cosSql("q.embedding", "c.embedding")} AS cos
+       |  FROM embeddings q JOIN embeddings c
+       |    ON q.vec_id < 100 AND q.vec_id <> c.vec_id
+       |), ranked AS (
+       |  SELECT query_id, label,
+       |    ROW_NUMBER() OVER (PARTITION BY query_id
+       |      ORDER BY cos DESC, neighbor_id) AS rank
+       |  FROM scored),
+       |votes AS (
+       |  SELECT query_id, label, CAST(COUNT(*) AS BIGINT) AS votes
+       |  FROM ranked WHERE rank <= 5
+       |  GROUP BY 1, 2),
+       |best AS (
+       |  SELECT query_id, label, votes,
+       |    ROW_NUMBER() OVER (PARTITION BY query_id
+       |      ORDER BY votes DESC, label) AS rk
+       |  FROM votes)
+       |SELECT b.query_id, e.label AS own_label, b.label AS knn_label,
+       |  b.votes
+       |FROM best b JOIN embeddings e ON e.vec_id = b.query_id
+       |WHERE b.rk = 1 AND b.label <> e.label
+       |ORDER BY b.query_id""".stripMargin
+
+  // ------------------------------------------------ quantile normalization
+
+  /** Per-source score quantile normalization
+    * ([[graft.operators.Sampling.quantileNormalize]]): every document's
+    * length score mapped to its percent-rank within its source — the
+    * cross-source comparability transform applied before mixing
+    * differently-calibrated quality scores. Unique (score, doc_id)
+    * ordering makes the rank — and thus the (rank−1)/(n−1) double —
+    * identical in any engine.
+    */
+  def scoreQuantileNormalizeQ(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Sampling.quantileNormalize(
+        T(s, dir, "documents").select(col("doc_id"), col("source"),
+          col("n_chars")),
+        col("source"), col("n_chars"), col("doc_id"))
+      .orderBy(col("doc_id"))
+
+  val scoreQuantileNormalizeOracle: String =
+    """SELECT doc_id, source, n_chars,
+      |  PERCENT_RANK() OVER (PARTITION BY source
+      |    ORDER BY n_chars, doc_id) AS q
+      |FROM documents
+      |ORDER BY doc_id""".stripMargin
+
   // ------------------------------------------------ graph link rank
 
   /** Fixed-point weighted PageRank ([[graft.operators.Graph.linkRank]])
@@ -4476,6 +4542,9 @@ object Pipeline {
     Q("text_strip_markup", textStripMarkupQ, Some(textStripMarkupOracle)),
     Q("calibration_report", calibrationReportQ, Some(calibrationReportOracle)),
     Q("link_rank", linkRankQ, Some(linkRankOracle)),
+    Q("label_noise_screen", labelNoiseScreenQ, Some(labelNoiseScreenOracle)),
+    Q("score_quantile_normalize", scoreQuantileNormalizeQ,
+      Some(scoreQuantileNormalizeOracle)),
     Q("pack_sequences", packSequences, Some(packSequencesOracle)),
     Q("packing_stats", packingStats, Some(packingStatsOracle)),
     Q("curation_pipeline", curationPipeline, Some(curationPipelineOracle)),

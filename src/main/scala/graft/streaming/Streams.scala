@@ -682,6 +682,56 @@ object Streams {
     glob.fold(r)(g => r.option("pathGlobFilter", g)).parquet(dir)
   }
 
+  /** Streaming pairwise-preference aggregation: fold each micro-batch of
+    * comparison ballots into a per-item (wins, n) count state — the
+    * sufficient statistic of [[graft.operators.Preference.winRates]] —
+    * so a reward-data pipeline keeps live item rankings while comparisons
+    * stream in. `rates(z)` derives win-rate + Wilson bound from the
+    * current counts map-only; after any prefix of batches it equals the
+    * batch operator run over the same ballots (StreamsSpec asserts the
+    * fold ≡ batch multiset).
+    *
+    * Same contracts as the other ingest handlers: replay-idempotent (a
+    * redelivered last batch does not double-count), state pinned via
+    * localCheckpoint with superseded pins freed per batch (storage stays
+    * O(items), not O(batches × items)), and `current` snapshots are
+    * invalidated by the next applied batch.
+    */
+  final class PreferenceIngest(state0: DataFrame, winner: Column,
+      loser: Column) {
+    @volatile private var state = state0 // (item, wins, n)
+    private var lastApplied = -1L
+    private var ownsState = false
+
+    /** The (item, wins, n) count table after every applied batch. */
+    def current: DataFrame = state
+
+    /** Rankings derived from the current counts (map-only). */
+    def rates(z: Double = 1.96): DataFrame =
+      graft.operators.Preference.ratesFromCounts(state, z)
+
+    val handler: (DataFrame, Long) => Unit =
+      (batch: DataFrame, batchId: Long) => {
+        if (batchId > lastApplied) {
+          val delta = graft.operators.Preference.ballotCounts(
+            batch, winner, loser)
+          val next = state.unionByName(delta)
+            .groupBy(col("item"))
+            .agg(sum(col("wins")).as("wins"), sum(col("n")).as("n"))
+            .localCheckpoint(true)
+          if (ownsState) Bridge.unpin(state)
+          state = next
+          ownsState = true
+          lastApplied = batchId
+        }
+        ()
+      }
+
+    def ingest(stream: DataFrame)
+        : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+      stream.writeStream.foreachBatch(handler)
+  }
+
   /** Run a streaming DataFrame into an in-memory sink until exhausted;
     * returns the result table name. Complete mode: deterministic final state
     * for finite inputs regardless of micro-batch boundaries.

@@ -210,4 +210,34 @@ class SamplingSpec extends SparkSpec {
     // and the split machinery actually splits (multiple labels appear)
     assert(split.values.toSet.size >= 2, split.values.toSet)
   }
+
+  test("quantileNormalize: percent-rank within group, hand-computed") {
+    val rows = Seq(
+      (1L, "a", 10L), (2L, "a", 20L), (3L, "a", 30L), (4L, "a", 40L),
+      (5L, "a", 50L),
+      (6L, "b", 1000L), (7L, "b", 3000L),
+      (8L, "c", 7L)) // single-row group → 0.0
+    val got = Sampling.quantileNormalize(
+        rows.toDF("id", "src", "score"), col("src"), col("score"), col("id"))
+      .as[(Long, String, Long, Double)].collect()
+      .map(r => r._1 -> r._4).toMap
+    assert(got(1L) === 0.0 && got(2L) === 0.25 && got(3L) === 0.5 &&
+      got(4L) === 0.75 && got(5L) === 1.0)
+    assert(got(6L) === 0.0 && got(7L) === 1.0)
+    assert(got(8L) === 0.0)
+  }
+
+  test("quantileNormalize: score ties rank deterministically by tiebreak") {
+    val rows = Seq((1L, "a", 5L), (2L, "a", 5L), (3L, "a", 5L))
+    val got = Sampling.quantileNormalize(
+        rows.toDF("id", "src", "score"), col("src"), col("score"), col("id"))
+      .as[(Long, String, Long, Double)].collect().map(r => r._1 -> r._4).toMap
+    assert(got === Map(1L -> 0.0, 2L -> 0.5, 3L -> 1.0))
+    // and it is stable across partitionings
+    val re = Sampling.quantileNormalize(
+        rows.toDF("id", "src", "score").repartition(3),
+        col("src"), col("score"), col("id"))
+      .as[(Long, String, Long, Double)].collect().map(r => r._1 -> r._4).toMap
+    assert(re === got)
+  }
 }

@@ -517,4 +517,34 @@ class SimilaritySpec extends SparkSpec {
     assert(!got.exists(_._2 == 99L))
     assert(got.forall(r => !r._4.isNaN))
   }
+
+  test("labelNoiseScreen flags exactly the planted mislabel") {
+    // two tight clusters; vec 4 sits in cluster A but carries label 9
+    def near(x: Float, y: Float, eps: Float) = Array(x + eps, y, 0f, 0f)
+    val rows = Seq(
+      (0L, near(1f, 0f, 0.00f), 0),
+      (1L, near(1f, 0f, 0.01f), 0),
+      (2L, near(1f, 0f, 0.02f), 0),
+      (3L, near(1f, 0f, 0.03f), 0),
+      (4L, near(1f, 0f, 0.04f), 9), // mislabeled
+      (10L, near(0f, 1f, 0.00f), 1),
+      (11L, near(0f, 1f, 0.01f), 1),
+      (12L, near(0f, 1f, 0.02f), 1),
+      (13L, near(0f, 1f, 0.03f), 1)
+    ).toDF("vec_id", "embedding", "label")
+    val got = Similarity.labelNoiseScreen(rows, rows, k = 3)
+      .as[(Long, Int, Int, Long)].collect().toSeq
+    assert(got === Seq((4L, 9, 0, 3L)))
+  }
+
+  test("labelNoiseScreen: a clean labeling yields an empty screen") {
+    def near(x: Float, y: Float, eps: Float) = Array(x + eps, y, 0f, 0f)
+    val rows = Seq(
+      (0L, near(1f, 0f, 0.00f), 0), (1L, near(1f, 0f, 0.01f), 0),
+      (2L, near(1f, 0f, 0.02f), 0), (3L, near(1f, 0f, 0.03f), 0),
+      (10L, near(0f, 1f, 0.00f), 1), (11L, near(0f, 1f, 0.01f), 1),
+      (12L, near(0f, 1f, 0.02f), 1), (13L, near(0f, 1f, 0.03f), 1)
+    ).toDF("vec_id", "embedding", "label")
+    assert(Similarity.labelNoiseScreen(rows, rows, k = 3).count() === 0L)
+  }
 }

@@ -503,6 +503,22 @@ class PlanSpec extends SparkSpec {
     assert("HashAggregate".r.findAllIn(p).size >= 2, p)
   }
 
+  test("label_noise_screen: probes broadcast against the corpus scan " +
+      "(the knnLabel shape); the own-label join is key-equi, no cartesian") {
+    val p = plan(Pipeline.labelNoiseScreenQ(spark, dir))
+    assert(p.contains("BroadcastNestedLoopJoin"), p) // bounded probe cross
+    assert(!p.contains("CartesianProduct"), p)
+    assert("HashAggregate".r.findAllIn(p).size >= 2, p)
+  }
+
+  test("score_quantile_normalize: exactly the one per-group window — " +
+      "no join, no aggregate, nothing else shuffles") {
+    val p = plan(Pipeline.scoreQuantileNormalizeQ(spark, dir))
+    assert("(\\d+) Window".r.findAllIn(p).size <= 2, p) // one node, 2 prints
+    assert(!p.contains("Join"), p)
+    assert(!p.contains("HashAggregate"), p)
+  }
+
   test("link_rank: the iteration joins stay equi-joins (no cartesian); " +
       "contribution sums partial-aggregate") {
     val p = plan(Pipeline.linkRankQ(spark, dir))

@@ -562,4 +562,40 @@ class StreamsSpec extends SparkSpec {
       .select(col("n")).as[Long].collect()
     assert(firstWindow === Array(1L)) // late 00:02 event was not counted
   }
+
+  test("PreferenceIngest: two-batch count fold equals the batch operator, " +
+      "replay does not double-count, superseded pins freed") {
+    import graft.operators.Preference
+    val state0 = Preference.ballotCounts(
+      Seq(("a", "b")).toDF("w", "l"), col("w"), col("l"))
+    val ing = new Streams.PreferenceIngest(state0, col("w"), col("l"))
+    val b0 = Seq(("a", "c"), ("c", "b")).toDF("w", "l")
+    val b1 = Seq(("b", "a"), ("a", "c"), ("d", "a")).toDF("w", "l")
+    ing.handler(b0, 0L)
+    val midState = ing.current
+    ing.handler(b1, 1L)
+    // fold ≡ the batch operator over all ballots seen so far
+    val allBallots = Seq(("a", "b"), ("a", "c"), ("c", "b"),
+      ("b", "a"), ("a", "c"), ("d", "a")).toDF("w", "l")
+    val want = Preference.ballotCounts(allBallots, col("w"), col("l"))
+      .orderBy("item").as[(String, Long, Long)].collect().toSeq
+    val got = ing.current.orderBy("item")
+      .as[(String, Long, Long)].collect().toSeq
+    assert(got === want)
+    // the derived rates match winRates over the same ballots
+    val wantRates = Preference.winRates(allBallots, col("w"), col("l"))
+      .orderBy("item").collect().toSeq
+    assert(ing.rates().orderBy("item").collect().toSeq === wantRates)
+    // replay of the applied batch: counts unchanged (same object, no re-fold)
+    val before = ing.current
+    ing.handler(b1, 1L)
+    assert(ing.current eq before)
+    ing.handler(b0, 0L) // older batch: guarded no-op
+    assert(ing.current eq before)
+    // superseded state pin freed; latest still pinned
+    assertFreed(midState, "PreferenceIngest superseded state")
+    assert(pinnedRdds(ing.current).nonEmpty && pinnedRdds(ing.current)
+      .forall(_.getStorageLevel !=
+        org.apache.spark.storage.StorageLevel.NONE))
+  }
 }
