@@ -135,7 +135,16 @@ object Stress {
     // corpus, same claim as sim_bruteforce_topk; score_quantile_normalize
     // pays one per-source window (sources don't grow with replication, so
     // the per-group sort is the growth to watch)
-    "label_noise_screen", "score_quantile_normalize")
+    "label_noise_screen", "score_quantile_normalize",
+    // preference_bt_strength re-pays the ballot join then iterates over
+    // the |items|-sized strength table — growth must track the ballots
+    // (linear); conversion_attribution is the transitions window shape
+    // plus a touch-type-sized agg; robust_stats is a percentile agg +
+    // broadcast clamp pass (percentile buffers are the watched cost)
+    "preference_bt_strength", "conversion_attribution", "robust_stats",
+    // event_anomaly's corpus-sized work is ONE (type, day) partial agg;
+    // the trailing window runs over |types|×|days| rows at any scale
+    "event_anomaly")
 
   /** Replica id offset — well above any sf0.1 id, keeps replica ids
     * unique. PUBLIC because `Pipeline.simHashedLsh` pins its probe set

@@ -443,6 +443,50 @@ object Diagnostics {
       .limit(topN)
   }
 
+  /** Robust per-group statistics of an integral metric — the outlier-
+    * resistant dashboard row for per-source monitoring (mean doc length
+    * is ruined by one 100 MB page; the winsorized mean is not): exact
+    * discrete percentiles (percentile_disc at `pLo`/0.5/`pHi`) plus the
+    * winsorized mean (values clamped into [p_lo, p_hi] before
+    * averaging). Output: (grp, n, p_lo, p50, p_hi, wins_mean), one row
+    * per group.
+    *
+    * Determinism: percentile_disc picks an actual data value (no
+    * interpolation); the clamped sum is an exact long sum (order-free),
+    * and the mean is one double division — all replayable. `value` must
+    * be integral (the exact-sum contract; scale floats to fixed-point
+    * upstream, the [[graft.operators.EmbeddingStats]] pattern).
+    *
+    * Scale shape: two passes over the (grp, value) projection — the
+    * percentile agg (Spark's percentile_disc buffers per group; at
+    * extreme group sizes swap in the KLL sketch,
+    * [[graft.functions.QuantileSketch]]) broadcast back onto the rows,
+    * then one partial-aggregated clamped-sum pass. Nothing wider than
+    * (grp, value) ever shuffles.
+    */
+  def robustStats(df: DataFrame, group: Column, value: Column,
+      pLo: Double = 0.05, pHi: Double = 0.95): DataFrame = {
+    require(pLo >= 0 && pLo <= pHi && pHi <= 1, s"bad bounds [$pLo,$pHi]")
+    val base = df.select(group.as("grp"), value.cast("long").as("v"))
+    // percentile_disc returns an ACTUAL data value; the long cast is
+    // exact and keeps the clamp + sum in order-free integer arithmetic
+    val pcts = base.groupBy(col("grp")).agg(
+      expr(s"CAST(percentile_disc($pLo) WITHIN GROUP (ORDER BY v) AS BIGINT)")
+        .as("p_lo"),
+      expr("CAST(percentile_disc(0.5) WITHIN GROUP (ORDER BY v) AS BIGINT)")
+        .as("p50"),
+      expr(s"CAST(percentile_disc($pHi) WITHIN GROUP (ORDER BY v) AS BIGINT)")
+        .as("p_hi"))
+    base.join(broadcast(pcts), Seq("grp"))
+      .select(col("grp"), col("p_lo"), col("p50"), col("p_hi"),
+        greatest(col("p_lo"), least(col("p_hi"), col("v"))).as("w"))
+      .groupBy(col("grp"), col("p_lo"), col("p50"), col("p_hi"))
+      .agg(count(lit(1)).as("n"), sum(col("w")).as("__ws"))
+      .select(col("grp"), col("n"), col("p_lo"), col("p50"), col("p_hi"),
+        (col("__ws").cast("double") / col("n").cast("double"))
+          .as("wins_mean"))
+  }
+
   /** Cohen's kappa between two label columns — the inter-annotator
     * agreement gate for labeling pipelines (two human raters, or a new
     * model-annotator audited against a gold column): chance-corrected

@@ -330,4 +330,111 @@ object EventAnalytics {
       .groupBy(col("cohort_day"), col("day_offset"))
       .agg(count(lit(1)).as("users"))
   }
+
+  /** Trailing-window anomaly screen over daily event volumes — the
+    * model-free "did a feed break / spike today" monitor: per event type,
+    * each day's count is z-scored against the mean/std of the `trailing`
+    * OBSERVED days before it (days with zero events don't appear —
+    * calendar gaps are the upstream signal [[graft.operators.Diagnostics
+    * .sourceDrift]] catches content-wise; this screen reads volumes).
+    * Output: (event_type, day, n_events, mean_prior, std_prior, z), only
+    * rows with a full `trailing`-day prior (a partial prior makes z
+    * noise); z is NULL when the prior is constant (std 0 — a division
+    * there would manufacture ±Inf alerts from one-count jitter).
+    *
+    * Determinism: counts and the frame sums (Σx, Σx²) are exact longs;
+    * mean/var/z is a fixed-order IEEE chain with the variance floored at
+    * 0 before sqrt (the exact-math identity can land one ulp negative).
+    *
+    * Scale shape: events collapse to (type, day) rows FIRST (one
+    * partial-aggregated groupBy — the only corpus-sized exchange), then
+    * one window per event type over its day series (|types| × |days|
+    * rows — trivially small at any corpus scale).
+    */
+  def eventAnomaly(df: DataFrame, eventType: Column, tsNanos: Column,
+      trailing: Int = 7): DataFrame = {
+    require(trailing >= 2, s"trailing must be >= 2, got $trailing")
+    val daily = df.select(eventType.as("event_type"),
+        tsNanos.cast("long").as("__ts"))
+      .select(col("event_type"), expr("__ts div 86400000000000").as("day"))
+      .groupBy(col("event_type"), col("day"))
+      .agg(count(lit(1)).as("n_events"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("event_type")).orderBy(col("day"))
+      .rowsBetween(-trailing, -1)
+    val nD = lit(trailing.toDouble)
+    val withSums = daily
+      .withColumn("__np", count(lit(1)).over(w))
+      .withColumn("__s", sum(col("n_events")).over(w))
+      .withColumn("__s2", sum(col("n_events") * col("n_events")).over(w))
+      .filter(col("__np") === trailing)
+    val mean = col("__s").cast("double") / nD
+    val variance = greatest(lit(0.0),
+      (col("__s2").cast("double") -
+        col("__s").cast("double") * col("__s").cast("double") / nD) /
+        (nD - lit(1.0)))
+    withSums
+      .withColumn("mean_prior", mean)
+      .withColumn("std_prior", sqrt(variance))
+      .withColumn("z", when(col("std_prior") > 0,
+        (col("n_events").cast("double") - col("mean_prior")) /
+          col("std_prior")))
+      .select(col("event_type"), col("day"), col("n_events"),
+        col("mean_prior"), col("std_prior"), col("z"))
+  }
+
+  /** Session-scoped conversion attribution — the first-touch/last-touch
+    * report behind "which channel gets credit for this purchase":
+    * sessions are cut at `sessionGapNanos` (the [[eventTransitions]] gap
+    * rule), and every conversion event is attributed to the FIRST and the
+    * LAST non-conversion event earlier in its own session. Output: one
+    * row per touch type — (touch_type, n_first_touch, n_last_touch) —
+    * the two classic attribution models side by side (they disagree
+    * exactly where multi-step paths exist, which is the point of reading
+    * both). Conversions with no preceding touch in their session are
+    * counted under touch_type "(none)".
+    *
+    * Ordering inside a user is (ts, `tieBreak`) — pass a unique column so
+    * equal-timestamp events attribute identically in any engine.
+    *
+    * Scale shape: TWO window passes over the same user partitioning (the
+    * session cumsum, then the first/last frame — Catalyst fuses them
+    * into one sort), then a touch-type-sized aggregation; events never
+    * shuffle wider than (user, ts, type, tiebreak). The window sort
+    * spills, so a bot user is slow but not fatal.
+    */
+  def conversionAttribution(df: DataFrame, user: Column, tsNanos: Column,
+      eventType: Column, tieBreak: Column, conversion: Column,
+      sessionGapNanos: Long = 1800L * 1000000000L): DataFrame = {
+    require(sessionGapNanos > 0,
+      s"sessionGapNanos must be positive, got $sessionGapNanos")
+    val wOrd = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("u")).orderBy(col("ts"), col("tb"))
+    val base = df.select(user.as("u"), tsNanos.cast("long").as("ts"),
+        eventType.as("et"), tieBreak.as("tb"), conversion.as("conv"))
+      .withColumn("__new", when(lag(col("ts"), 1).over(wOrd).isNull ||
+        col("ts") - lag(col("ts"), 1).over(wOrd) > sessionGapNanos, 1L)
+        .otherwise(0L))
+      .withColumn("sess", sum(col("__new")).over(wOrd))
+    val wSess = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("u"), col("sess")).orderBy(col("ts"), col("tb"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        -1)
+    val attributed = base
+      .withColumn("first_touch",
+        first(when(!col("conv"), col("et")), ignoreNulls = true).over(wSess))
+      .withColumn("last_touch",
+        last(when(!col("conv"), col("et")), ignoreNulls = true).over(wSess))
+      .filter(col("conv"))
+      .select(coalesce(col("first_touch"), lit("(none)")).as("ft"),
+        coalesce(col("last_touch"), lit("(none)")).as("lt"))
+    val byFirst = attributed.groupBy(col("ft").as("touch_type"))
+      .agg(count(lit(1)).as("n_first_touch"))
+    val byLast = attributed.groupBy(col("lt").as("touch_type"))
+      .agg(count(lit(1)).as("n_last_touch"))
+    byFirst.join(byLast, Seq("touch_type"), "full_outer")
+      .select(col("touch_type"),
+        coalesce(col("n_first_touch"), lit(0L)).as("n_first_touch"),
+        coalesce(col("n_last_touch"), lit(0L)).as("n_last_touch"))
+  }
 }

@@ -50,6 +50,68 @@ object Preference {
       .groupBy(col("item"))
       .agg(sum(col("w")).as("wins"), count(lit(1)).as("n"))
 
+  /** Bradley–Terry strength fitting over comparison ballots — the model
+    * the Wilson ranking ([[winRates]]) cannot replace when opponents
+    * differ in strength: beating a strong item must count for more than
+    * beating a weak one (Elo-style leaderboards, matchmaking, LLM-arena
+    * rankings all fit this model). Runs `iters` rounds of the standard
+    * minorization-maximization update (Hunter 2004)
+    *
+    *   s_i ← W_i / Σ_j n_ij / (s_i + s_j)
+    *
+    * in FIXED-POINT integer arithmetic: strengths at `scale`, the inner
+    * reciprocal at `prec`, every step an integer multiply / `div` /
+    * order-free long sum — bit-deterministic on any partitioning and
+    * replayable by an ANSI-SQL oracle as `iters` unrolled CTEs (the
+    * win-total numerator rides DECIMAL(38,0) so it cannot overflow).
+    * A zero-win item floors at strength 1 (the MM update is degenerate
+    * there; the floor keeps later divisions defined and ranks such items
+    * last, which is the right answer). Strengths are unnormalized —
+    * ratios are meaningful, the absolute level is `scale`-relative.
+    *
+    * Overflow bound: n_ij · prec < 2^63 ⇒ at the default prec each
+    * opponent pair supports ≤ ~9 200 comparisons; shrink `prec` for
+    * heavier pairs (resolution degrades gracefully).
+    *
+    * Output: (item, wins, losses, n, strength_fp) with `strength_fp` the
+    * fixed-point Long. Fixed iteration count by design — rank order
+    * stabilizes in a few rounds; convergence-driven looping belongs in a
+    * driver loop with checkpoints, like [[graft.operators.Graph.linkRank]].
+    *
+    * Scale shape: per iteration, the opponent table (two rows per
+    * distinct comparison pair) joins the |items|-sized strength table
+    * twice (broadcast when items fit) and partial-aggregates back to
+    * |items| rows; ballots themselves are touched once, up front.
+    */
+  def btStrengths(pairs: DataFrame, winner: Column, loser: Column,
+      iters: Int = 2, scale: Long = 1000000000L,
+      prec: Long = 1000000000000000L): DataFrame = {
+    require(iters >= 1 && iters <= 8, s"iters must be in [1,8], got $iters")
+    require(scale > 0 && prec > 0, s"scale=$scale prec=$prec")
+    val ord = pairs.select(winner.as("item"), loser.as("opp"), lit(1L).as("w"))
+      .unionByName(pairs.select(loser.as("item"), winner.as("opp"),
+        lit(0L).as("w")))
+      .groupBy(col("item"), col("opp"))
+      .agg(count(lit(1)).as("n_io"), sum(col("w")).as("w_io"))
+    val wins = ord.groupBy(col("item"))
+      .agg(sum(col("w_io")).as("wins"), sum(col("n_io")).as("n"))
+    var s = wins.select(col("item"), lit(scale).as("s"))
+    for (_ <- 1 to iters) {
+      val d = ord
+        .join(s, "item")
+        .join(s.select(col("item").as("opp"), col("s").as("s_opp")), "opp")
+        .select(col("item"),
+          expr(s"n_io * ${prec}L div (s + s_opp)").as("t"))
+        .groupBy(col("item")).agg(sum(col("t")).as("d"))
+      s = wins.join(d, "item")
+        .select(col("item"), greatest(lit(1L),
+          expr(s"CAST(wins AS DECIMAL(38,0)) * ${prec}L div d")).as("s"))
+    }
+    wins.join(s, "item")
+      .select(col("item"), col("wins"), (col("n") - col("wins")).as("losses"),
+        col("n"), col("s").as("strength_fp"))
+  }
+
   /** The derivation half of [[winRates]] over a (item, wins, n) count
     * table — map-only, no shuffle.
     */

@@ -4283,6 +4283,212 @@ object Pipeline {
        |FROM r
        |ORDER BY item""".stripMargin
 
+  // ------------------------------------------------ Bradley–Terry strengths
+
+  /** Bradley–Terry strength fitting
+    * ([[graft.operators.Preference.btStrengths]]) over the same ballot
+    * fixture as `preference_report` — two MM iterations in fixed-point
+    * integer arithmetic, replayed by the oracle as two unrolled CTE
+    * rounds (HUGEINT carries the win-total numerator the engine holds in
+    * DECIMAL(38,0)).
+    */
+  def preferenceBtStrengthQ(s: SparkSession, dir: String): DataFrame = {
+    val d = T(s, dir, "documents").select(col("doc_id"), col("n_chars"))
+    val shifts = s.range(1, 4).select(col("id").as("shift"))
+    val pairs = d.select(col("doc_id").as("a_id"), col("n_chars").as("a_n"))
+      .crossJoin(broadcast(shifts))
+      .withColumn("b_id", col("a_id") + col("shift"))
+      .join(d.select(col("doc_id").as("b_id"), col("n_chars").as("b_n")),
+        "b_id")
+    val ballots = pairs.select(
+      when(col("b_n") > col("a_n"), col("b_id")).otherwise(col("a_id"))
+        .as("win"),
+      when(col("b_n") > col("a_n"), col("a_id")).otherwise(col("b_id"))
+        .as("lose"))
+    graft.operators.Preference.btStrengths(ballots, col("win"), col("lose"),
+        iters = 2)
+      .orderBy(col("item"))
+  }
+
+  val preferenceBtStrengthOracle: String =
+    """WITH s(shift) AS (VALUES (1), (2), (3)),
+      |p AS (
+      |  SELECT a.doc_id AS a_id, a.n_chars AS a_n,
+      |    b.doc_id AS b_id, b.n_chars AS b_n
+      |  FROM documents a JOIN s ON TRUE
+      |  JOIN documents b ON b.doc_id = a.doc_id + s.shift),
+      |v AS (
+      |  SELECT CASE WHEN b_n > a_n THEN b_id ELSE a_id END AS item,
+      |    CASE WHEN b_n > a_n THEN a_id ELSE b_id END AS opp, 1 AS w
+      |  FROM p
+      |  UNION ALL
+      |  SELECT CASE WHEN b_n > a_n THEN a_id ELSE b_id END,
+      |    CASE WHEN b_n > a_n THEN b_id ELSE a_id END, 0
+      |  FROM p),
+      |ord AS (
+      |  SELECT item, opp, CAST(COUNT(*) AS BIGINT) AS n_io,
+      |    CAST(SUM(w) AS BIGINT) AS w_io
+      |  FROM v GROUP BY 1, 2),
+      |wins AS (
+      |  SELECT item, CAST(SUM(w_io) AS BIGINT) AS wins,
+      |    CAST(SUM(n_io) AS BIGINT) AS n
+      |  FROM ord GROUP BY 1),
+      |s0 AS (SELECT item, CAST(1000000000 AS BIGINT) AS s FROM wins),
+      |d1 AS (
+      |  SELECT o.item,
+      |    CAST(SUM(o.n_io * 1000000000000000 // (si.s + so.s)) AS BIGINT)
+      |      AS d
+      |  FROM ord o JOIN s0 si ON si.item = o.item
+      |  JOIN s0 so ON so.item = o.opp
+      |  GROUP BY 1),
+      |s1 AS (
+      |  SELECT w.item, GREATEST(1, CAST(
+      |    CAST(w.wins AS HUGEINT) * 1000000000000000 // d1.d AS BIGINT))
+      |    AS s
+      |  FROM wins w JOIN d1 ON d1.item = w.item),
+      |d2 AS (
+      |  SELECT o.item,
+      |    CAST(SUM(o.n_io * 1000000000000000 // (si.s + so.s)) AS BIGINT)
+      |      AS d
+      |  FROM ord o JOIN s1 si ON si.item = o.item
+      |  JOIN s1 so ON so.item = o.opp
+      |  GROUP BY 1),
+      |s2 AS (
+      |  SELECT w.item, GREATEST(1, CAST(
+      |    CAST(w.wins AS HUGEINT) * 1000000000000000 // d2.d AS BIGINT))
+      |    AS s
+      |  FROM wins w JOIN d2 ON d2.item = w.item)
+      |SELECT w.item, w.wins, w.n - w.wins AS losses, w.n,
+      |  s2.s AS strength_fp
+      |FROM wins w JOIN s2 ON s2.item = w.item
+      |ORDER BY w.item""".stripMargin
+
+  // ------------------------------------------------ conversion attribution
+
+  /** Session-scoped first/last-touch attribution
+    * ([[graft.operators.EventAnalytics.conversionAttribution]]):
+    * purchases attributed to the first and last non-purchase event
+    * earlier in their 30-minute-gap session, counted per touch type.
+    * The oracle replays the session cumsum and the IGNORE NULLS window
+    * frames exactly.
+    */
+  def conversionAttributionQ(s: SparkSession, dir: String): DataFrame = {
+    val e = T.events(s, dir)
+    graft.operators.EventAnalytics.conversionAttribution(
+        e, col("user_id"), col("ts"), col("event_type"), col("event_id"),
+        col("event_type") === "purchase")
+      .orderBy(col("touch_type"))
+  }
+
+  val conversionAttributionOracle: String =
+    """WITH e AS (
+      |  SELECT user_id, event_id, epoch_us(ts) * 1000 AS tsn,
+      |    event_type AS et
+      |  FROM events),
+      |sflag AS (
+      |  SELECT user_id, event_id, tsn, et,
+      |    CASE WHEN LAG(tsn) OVER w IS NULL
+      |           OR tsn - LAG(tsn) OVER w > 1800000000000
+      |         THEN 1 ELSE 0 END AS nw
+      |  FROM e
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY tsn, event_id)),
+      |sess AS (
+      |  SELECT *, SUM(nw) OVER (PARTITION BY user_id
+      |    ORDER BY tsn, event_id) AS sid
+      |  FROM sflag),
+      |att AS (
+      |  SELECT et,
+      |    FIRST_VALUE(CASE WHEN et <> 'purchase' THEN et END IGNORE NULLS)
+      |      OVER ws AS ft,
+      |    LAST_VALUE(CASE WHEN et <> 'purchase' THEN et END IGNORE NULLS)
+      |      OVER ws AS lt
+      |  FROM sess
+      |  WINDOW ws AS (PARTITION BY user_id, sid ORDER BY tsn, event_id
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)),
+      |c AS (
+      |  SELECT COALESCE(ft, '(none)') AS ft, COALESCE(lt, '(none)') AS lt
+      |  FROM att WHERE et = 'purchase'),
+      |f AS (SELECT ft AS touch_type, COUNT(*) AS n_first_touch
+      |      FROM c GROUP BY 1),
+      |l AS (SELECT lt AS touch_type, COUNT(*) AS n_last_touch
+      |      FROM c GROUP BY 1)
+      |SELECT COALESCE(f.touch_type, l.touch_type) AS touch_type,
+      |  COALESCE(f.n_first_touch, 0) AS n_first_touch,
+      |  COALESCE(l.n_last_touch, 0) AS n_last_touch
+      |FROM f FULL OUTER JOIN l ON f.touch_type = l.touch_type
+      |ORDER BY touch_type""".stripMargin
+
+  // ------------------------------------------------ event volume anomaly
+
+  /** Trailing-window volume anomaly screen
+    * ([[graft.operators.EventAnalytics.eventAnomaly]]): each (event_type,
+    * day) count z-scored against its 7 prior observed days. Counts and
+    * frame sums are exact; the mean/var/z chain replays in fixed order
+    * with the variance floored at 0 and a NULL z on constant priors.
+    */
+  def eventAnomalyQ(s: SparkSession, dir: String): DataFrame = {
+    val e = T.events(s, dir)
+    graft.operators.EventAnalytics.eventAnomaly(
+        e, col("event_type"), col("ts"))
+      .orderBy(col("event_type"), col("day"))
+  }
+
+  val eventAnomalyOracle: String =
+    """WITH daily AS (
+      |  SELECT event_type, (epoch_us(ts) * 1000) // 86400000000000 AS day,
+      |    COUNT(*) AS n_events
+      |  FROM events GROUP BY 1, 2),
+      |f AS (
+      |  SELECT event_type, day, n_events,
+      |    COUNT(*) OVER w AS np,
+      |    CAST(SUM(n_events) OVER w AS BIGINT) AS s,
+      |    CAST(SUM(n_events * n_events) OVER w AS BIGINT) AS s2
+      |  FROM daily
+      |  WINDOW w AS (PARTITION BY event_type ORDER BY day
+      |    ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING)),
+      |m AS (
+      |  SELECT event_type, day, n_events,
+      |    CAST(s AS DOUBLE) / 7.0 AS mean_prior,
+      |    sqrt(GREATEST(0.0,
+      |      (CAST(s2 AS DOUBLE)
+      |       - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / 7.0) / (7.0 - 1.0)))
+      |      AS std_prior
+      |  FROM f WHERE np = 7)
+      |SELECT event_type, day, n_events, mean_prior, std_prior,
+      |  CASE WHEN std_prior > 0
+      |    THEN (CAST(n_events AS DOUBLE) - mean_prior) / std_prior END AS z
+      |FROM m
+      |ORDER BY event_type, day""".stripMargin
+
+  // ------------------------------------------------ robust group stats
+
+  /** Winsorized per-source length statistics
+    * ([[graft.operators.Diagnostics.robustStats]]): exact discrete
+    * p05/p50/p95 plus the mean of values clamped into [p05, p95] — the
+    * outlier-resistant dashboard row. Percentiles, the integer clamp,
+    * and the one final division all replay exactly.
+    */
+  def robustStatsQ(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Diagnostics.robustStats(
+        T(s, dir, "documents"), col("source"), col("n_chars"))
+      .orderBy(col("grp"))
+
+  val robustStatsOracle: String =
+    """WITH p AS (
+      |  SELECT source AS grp,
+      |    quantile_disc(n_chars, 0.05) AS p_lo,
+      |    quantile_disc(n_chars, 0.5) AS p50,
+      |    quantile_disc(n_chars, 0.95) AS p_hi
+      |  FROM documents GROUP BY 1),
+      |j AS (
+      |  SELECT d.source AS grp, p.p_lo, p.p50, p.p_hi,
+      |    GREATEST(p.p_lo, LEAST(p.p_hi, d.n_chars)) AS w
+      |  FROM documents d JOIN p ON p.grp = d.source)
+      |SELECT grp, COUNT(*) AS n, p_lo, p50, p_hi,
+      |  CAST(SUM(w) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS wins_mean
+      |FROM j GROUP BY grp, p_lo, p50, p_hi
+      |ORDER BY grp""".stripMargin
+
   // ------------------------------------------------ annotator agreement
 
   /** Cohen's kappa ([[graft.operators.Diagnostics.cohenKappa]]) between
@@ -4545,6 +4751,12 @@ object Pipeline {
     Q("label_noise_screen", labelNoiseScreenQ, Some(labelNoiseScreenOracle)),
     Q("score_quantile_normalize", scoreQuantileNormalizeQ,
       Some(scoreQuantileNormalizeOracle)),
+    Q("preference_bt_strength", preferenceBtStrengthQ,
+      Some(preferenceBtStrengthOracle)),
+    Q("conversion_attribution", conversionAttributionQ,
+      Some(conversionAttributionOracle)),
+    Q("robust_stats", robustStatsQ, Some(robustStatsOracle)),
+    Q("event_anomaly", eventAnomalyQ, Some(eventAnomalyOracle)),
     Q("pack_sequences", packSequences, Some(packSequencesOracle)),
     Q("packing_stats", packingStats, Some(packingStatsOracle)),
     Q("curation_pipeline", curationPipeline, Some(curationPipelineOracle)),

@@ -267,6 +267,33 @@ class DiagnosticsSpec extends SparkSpec {
     assert(byBin(3) === ((3, 0.875, 2L, 2L, 1.0, 1.0 - 0.875)))
   }
 
+  test("robustStats: hand percentiles, clamped mean resists the outlier") {
+    // group g: 1..10 plus one 1000-outlier
+    val rows = (1L to 10L).map(("g", _)) :+ (("g", 1000L))
+    val got = Diagnostics.robustStats(rows.toDF("s", "v"), col("s"),
+        col("v"), pLo = 0.1, pHi = 0.8)
+      .as[(String, Long, Long, Long, Long, Double)].collect().head
+    // discrete percentiles over 11 values: ceil(0.1*11)=2nd=2,
+    // ceil(0.5*11)=6th=6, ceil(0.8*11)=9th=9
+    assert(got._2 === 11L && got._3 === 2L && got._4 === 6L && got._5 === 9L)
+    // clamp to [2,9]: 2,2,3,4,5,6,7,8,9,9,9 -> sum 64
+    assert(got._6 === 64.0 / 11.0)
+    // the raw mean (~97) is ruined by the outlier; the winsorized one isn't
+    assert(got._6 < 10.0)
+  }
+
+  test("robustStats: per-group independence and exact n") {
+    val rows = Seq(("a", 1L), ("a", 100L), ("b", 5L))
+    val got = Diagnostics.robustStats(rows.toDF("s", "v"), col("s"),
+        col("v"))
+      .as[(String, Long, Long, Long, Long, Double)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(got("a")._2 === 2L && got("b")._2 === 1L)
+    // a single-value group: all percentiles and the mean are that value
+    assert(got("b")._3 === 5L && got("b")._4 === 5L && got("b")._5 === 5L)
+    assert(got("b")._6 === 5.0)
+  }
+
   test("calibrationReport: a perfectly calibrated score has small gaps") {
     // score = k/10 + 0.05 with exactly that fraction positive per bucket
     val rows = (0 until 10).flatMap { k =>

@@ -180,4 +180,64 @@ class EventAnalyticsSpec extends SparkSpec {
       .as[(String, String, Long, Long)].collect().toSeq
     assert(out2 === Seq(("A", "B", 1L, 1L)))
   }
+
+  test("eventAnomaly: hand-computed z over the trailing window; partial " +
+      "priors excluded; constant priors give NULL z") {
+    val dayNs = 86400000000000L
+    // type "t": days 1..7 counts 1..7, day 8 a 100-event spike
+    val tRows = (1 to 7).flatMap(d => (1 to d).map(i =>
+      ("t", d * dayNs + i))) ++ (1 to 100).map(i => ("t", 8 * dayNs + i))
+    // type "c": constant 3/day for 8 days -> std 0 -> z NULL on day 8
+    val cRows = (1 to 8).flatMap(d => (1 to 3).map(i =>
+      ("c", d * dayNs + i)))
+    val df = (tRows ++ cRows).toDF("et", "ts")
+    val got = EventAnalytics.eventAnomaly(df, col("et"), col("ts"))
+      .as[(String, Long, Long, Double, Double, Option[Double])]
+      .collect().sortBy(r => (r._1, r._2)).toSeq
+    // only day 8 of each type has a full 7-day prior
+    assert(got.map(r => (r._1, r._2)) === Seq(("c", 8L), ("t", 8L)))
+    val c8 = got.head
+    assert(c8._4 === 3.0 && c8._5 === 0.0 && c8._6.isEmpty)
+    val t8 = got(1)
+    val mean = 28.0 / 7.0
+    val variance = ((1 to 7).map(x => x.toDouble * x).sum - 28.0 * 28.0 / 7.0) / 6.0
+    assert(t8._3 === 100L && t8._4 === mean)
+    assert(t8._5 === math.sqrt(variance))
+    assert(t8._6.contains((100.0 - mean) / math.sqrt(variance)))
+  }
+
+  test("conversionAttribution: first/last touch within the session, " +
+      "(none) for touchless conversions, sessions cut at the gap") {
+    val gap = 1800L * 1000000000L
+    val rows = Seq(
+      // user 1, session 1: view -> click -> purchase
+      (1L, 1L, "view", 1L), (1L, 2L, "click", 2L), (1L, 3L, "purchase", 3L),
+      // user 1, session 2 (past the gap): signup -> purchase
+      (1L, gap * 3, "signup", 4L), (1L, gap * 3 + 5L, "purchase", 5L),
+      // user 2: purchase with no preceding touch
+      (2L, 1L, "purchase", 6L),
+      // user 3: touch in the PREVIOUS session must not attribute
+      (3L, 1L, "view", 7L), (3L, gap * 9, "purchase", 8L))
+      .toDF("user_id", "ts", "et", "eid")
+    val got = EventAnalytics.conversionAttribution(rows, col("user_id"),
+        col("ts"), col("et"), col("eid"), col("et") === "purchase")
+      .as[(String, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(got === Seq(
+      ("(none)", 2L, 2L),   // users 2 and 3
+      ("click", 0L, 1L),    // last touch of u1 session 1
+      ("signup", 1L, 1L),   // both models, u1 session 2
+      ("view", 1L, 0L)))    // first touch of u1 session 1
+  }
+
+  test("conversionAttribution: equal-timestamp touches order by tiebreak") {
+    val rows = Seq(
+      (1L, 1L, "view", 10L), (1L, 1L, "click", 20L),
+      (1L, 2L, "purchase", 30L))
+      .toDF("user_id", "ts", "et", "eid")
+    val got = EventAnalytics.conversionAttribution(rows, col("user_id"),
+        col("ts"), col("et"), col("eid"), col("et") === "purchase")
+      .as[(String, Long, Long)].collect().sortBy(_._1).toSeq
+    // eid 10 (view) sorts before eid 20 (click) at the same ts
+    assert(got === Seq(("click", 0L, 1L), ("view", 1L, 0L)))
+  }
 }

@@ -49,6 +49,82 @@ class PreferenceSpec extends SparkSpec {
     assert(got(1)._6 >= 0.0 && got(1)._6 <= 1.0)
   }
 
+  /** Driver-side reference of btStrengths' exact integer recurrence. */
+  private def btRef(ballots: Seq[(String, String)], iters: Int,
+      scale: Long = 1000000000L, prec: Long = 1000000000000000L)
+      : Map[String, Long] = {
+    val ord = ballots.flatMap { case (w, l) => Seq((w, l, 1L), (l, w, 0L)) }
+      .groupBy(t => (t._1, t._2)).map { case ((i, o), ts) =>
+        (i, o, ts.size.toLong, ts.map(_._3).sum)
+      }.toSeq
+    val wins = ord.groupBy(_._1).view
+      .mapValues(ts => (ts.map(_._4).sum, ts.map(_._3).sum)).toMap
+    var s = wins.keys.map(_ -> scale).toMap
+    for (_ <- 1 to iters) {
+      val d = ord.groupBy(_._1).view.mapValues(
+        _.map { case (i, o, n, _) => n * prec / (s(i) + s(o)) }.sum).toMap
+      s = wins.map { case (i, (w, _)) =>
+        i -> math.max(1L,
+          (BigInt(w) * prec / d(i)).toLong)
+      }
+    }
+    s
+  }
+
+  test("btStrengths matches the integer recurrence on a hand fixture") {
+    val ballots = Seq(("A", "B"), ("A", "B"), ("B", "C"), ("A", "C"),
+      ("C", "B"), ("A", "B"))
+    for (iters <- Seq(1, 2, 3)) {
+      val got = Preference.btStrengths(ballots.toDF("w", "l"), col("w"),
+          col("l"), iters = iters)
+        .select(col("item"), col("strength_fp"))
+        .as[(String, Long)].collect().toMap
+      assert(got === btRef(ballots, iters), s"iters=$iters")
+    }
+  }
+
+  test("btStrengths: beating a STRONG opponent outranks beating a weak " +
+      "one at the same record (what the Wilson ranking cannot see)") {
+    // A beats c,d,e; B loses to c,d,e. X beats A once, Y beats B once:
+    // X and Y are both 1/1, but X's win is over the strongest item.
+    val ballots = Seq(("A", "c"), ("A", "d"), ("A", "e"),
+      ("c", "B"), ("d", "B"), ("e", "B"),
+      ("X", "A"), ("Y", "B"))
+    val got = Preference.btStrengths(ballots.toDF("w", "l"), col("w"),
+        col("l"), iters = 3)
+      .select(col("item"), col("strength_fp"))
+      .as[(String, Long)].collect().toMap
+    assert(got("X") > got("Y"),
+      s"X=${got("X")} must outrank Y=${got("Y")}")
+    // while the Wilson view ties them exactly
+    val wr = Preference.winRates(ballots.toDF("w", "l"), col("w"), col("l"))
+      .select(col("item"), col("wilson_lb")).as[(String, Double)]
+      .collect().toMap
+    assert(wr("X") === wr("Y"))
+  }
+
+  test("btStrengths: an all-losses item floors at 1, never divides by zero") {
+    val ballots = Seq(("a", "z"), ("b", "z"), ("a", "b"))
+    val got = Preference.btStrengths(ballots.toDF("w", "l"), col("w"),
+        col("l"), iters = 2)
+      .as[(String, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(got("z")._2 === 0L && got("z")._3 === 2L)
+    assert(got("z")._5 >= 1L)
+    assert(got("a")._5 > got("z")._5)
+  }
+
+  test("btStrengths is partitioning-independent") {
+    val ballots = (1 to 300).map(i => (s"i${i % 11}", s"i${(i * 3) % 11}"))
+      .filter(p => p._1 != p._2)
+    val a = Preference.btStrengths(ballots.toDF("w", "l"), col("w"), col("l"))
+      .orderBy("item").collect().toSeq
+    val b = Preference.btStrengths(ballots.toDF("w", "l").repartition(7),
+        col("w"), col("l"))
+      .orderBy("item").collect().toSeq
+    assert(a === b)
+  }
+
   test("winRates is partitioning-independent") {
     val pairs = (1 to 400)
       .map(i => (s"i${i % 13}", s"i${(i * 7) % 13}"))

@@ -519,6 +519,39 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("HashAggregate"), p)
   }
 
+  test("preference_bt_strength: iteration joins are equi-joins over the " +
+      "items-sized strength table — no window, no cartesian beyond the " +
+      "3-row shift dim") {
+    val p = plan(Pipeline.preferenceBtStrengthQ(spark, dir))
+    assert(!p.contains("Window"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert("HashAggregate".r.findAllIn(p).size >= 2, p)
+  }
+
+  test("conversion_attribution: the session cumsum and the touch frames " +
+      "are at most two window nodes over ONE user sort lineage; no " +
+      "cartesian") {
+    val p = plan(Pipeline.conversionAttributionQ(spark, dir))
+    assert("(\\d+) Window".r.findAllIn(p).size <= 4, p) // 2 nodes, 2 prints
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("robust_stats: the percentile dim broadcasts back onto the rows " +
+      "(no shuffle of the corpus for the clamp); no window") {
+    val p = plan(Pipeline.robustStatsQ(spark, dir))
+    assert(!p.contains("Window"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
+  test("event_anomaly: events collapse to (type, day) rows BEFORE the " +
+      "trailing window — the window input is days, not events") {
+    val p = plan(Pipeline.eventAnomalyQ(spark, dir))
+    assert("HashAggregate".r.findAllIn(p).size >= 2, p) // 2-phase daily agg
+    assert("(\\d+) Window".r.findAllIn(p).size <= 2, p) // one frame node
+    assert(!p.contains("Join"), p)
+  }
+
   test("link_rank: the iteration joins stay equi-joins (no cartesian); " +
       "contribution sums partial-aggregate") {
     val p = plan(Pipeline.linkRankQ(spark, dir))
