@@ -467,7 +467,11 @@ object Diagnostics {
   def robustStats(df: DataFrame, group: Column, value: Column,
       pLo: Double = 0.05, pHi: Double = 0.95): DataFrame = {
     require(pLo >= 0 && pLo <= pHi && pHi <= 1, s"bad bounds [$pLo,$pHi]")
+    // drop NULL values up front: percentile_disc already excludes them,
+    // and letting them reach the clamp would count each as p_hi in the
+    // winsorized mean (Spark's least/greatest skip nulls)
     val base = df.select(group.as("grp"), value.cast("long").as("v"))
+      .filter(col("v").isNotNull)
     // percentile_disc returns an ACTUAL data value; the long cast is
     // exact and keeps the clamp + sum in order-free integer arithmetic
     val pcts = base.groupBy(col("grp")).agg(
@@ -543,7 +547,10 @@ object Diagnostics {
     * multiply+floor in any engine given the same score expression;
     * scores ≥ 1.0 clamp into the last bin (scores outside [0,1] are a
     * caller bug — negatives would floor below bin 0 and are clamped to
-    * 0 to keep the report total).
+    * 0 to keep the report total). NULL and NaN scores are DROPPED — a
+    * null would otherwise ride Spark's null-skipping `least` into the
+    * top-confidence bin and silently inflate exactly the bin that gates
+    * "can this score be a sampling weight".
     *
     * Scale shape: map-only projection into one |bins|-sized
     * partial-aggregated groupBy; nothing else shuffles.
@@ -551,7 +558,8 @@ object Diagnostics {
   def calibrationReport(df: DataFrame, score: Column, positive: Column,
       bins: Int = 10): DataFrame = {
     require(bins > 0, s"bins must be positive, got $bins")
-    df.select(
+    df.filter(score.isNotNull && !isnan(score.cast("double")))
+      .select(
         greatest(least(floor(score * lit(bins)).cast("int"), lit(bins - 1)),
           lit(0)).as("bin"),
         when(positive, 1L).otherwise(0L).as("pos"))

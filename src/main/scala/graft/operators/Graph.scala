@@ -30,11 +30,16 @@ object Graph {
     * their mass, the standard simplification; sinks still accumulate rank
     * through the teleport term.
     *
-    * Overflow bound: intermediate products stay within Long while
-    * dampNum · (total rank mass) < 2^63, i.e. roughly
-    * N_nodes · scale < 5·10^17 — at the default scale 10^9 that is 5·10^8
-    * nodes; shrink `scale` for bigger graphs (rank resolution degrades
-    * gracefully: ties that split below 1/scale merge).
+    * Overflow bound: the per-edge product r(u)·w(u,v) is the binding
+    * term — it must stay under 2^63, and r(u) can approach the total
+    * rank mass ≈ N_nodes·scale on a star graph, so require
+    * N_nodes · scale · w_max < 2^63 (and the looser
+    * dampNum · N_nodes · scale < 2^63 for the teleport sum). At the
+    * default scale 10^9 that is N·w_max < 9·10^9 — shrink `scale` for
+    * bigger graphs or pre-normalize heavy edge weights (rank resolution
+    * degrades gracefully: ties that split below 1/scale merge). Under
+    * the engine's ANSI mode an overflow THROWS rather than wrapping, so
+    * a violated bound is loud, not silently wrong.
     *
     * Scale shape: per iteration, one equi-join of the edge table against
     * the |nodes|-sized rank table (broadcast when nodes fit, shuffle

@@ -4232,7 +4232,12 @@ object Pipeline {
     * the same Scala doubles the operator uses, so the fixed-order IEEE
     * chain replays bit-for-bit.
     */
-  def preferenceReportQ(s: SparkSession, dir: String): DataFrame = {
+  /** The shared comparison-ballot fixture of `preference_report` and
+    * `preference_bt_strength`: each doc vs the next three doc ids, the
+    * longer text wins (earlier id on ties). Both oracles replay THIS
+    * derivation — change it here and in both SQL texts together.
+    */
+  private def prefBallots(s: SparkSession, dir: String): DataFrame = {
     val d = T(s, dir, "documents").select(col("doc_id"), col("n_chars"))
     val shifts = s.range(1, 4).select(col("id").as("shift"))
     val pairs = d.select(col("doc_id").as("a_id"), col("n_chars").as("a_n"))
@@ -4240,14 +4245,17 @@ object Pipeline {
       .withColumn("b_id", col("a_id") + col("shift"))
       .join(d.select(col("doc_id").as("b_id"), col("n_chars").as("b_n")),
         "b_id")
-    val ballots = pairs.select(
+    pairs.select(
       when(col("b_n") > col("a_n"), col("b_id")).otherwise(col("a_id"))
         .as("win"),
       when(col("b_n") > col("a_n"), col("a_id")).otherwise(col("b_id"))
         .as("lose"))
-    graft.operators.Preference.winRates(ballots, col("win"), col("lose"))
-      .orderBy(col("item"))
   }
+
+  def preferenceReportQ(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Preference.winRates(prefBallots(s, dir), col("win"),
+        col("lose"))
+      .orderBy(col("item"))
 
   private val wilsonZ = 1.96
   private val wilsonZz = wilsonZ * wilsonZ
@@ -4292,23 +4300,10 @@ object Pipeline {
     * rounds (HUGEINT carries the win-total numerator the engine holds in
     * DECIMAL(38,0)).
     */
-  def preferenceBtStrengthQ(s: SparkSession, dir: String): DataFrame = {
-    val d = T(s, dir, "documents").select(col("doc_id"), col("n_chars"))
-    val shifts = s.range(1, 4).select(col("id").as("shift"))
-    val pairs = d.select(col("doc_id").as("a_id"), col("n_chars").as("a_n"))
-      .crossJoin(broadcast(shifts))
-      .withColumn("b_id", col("a_id") + col("shift"))
-      .join(d.select(col("doc_id").as("b_id"), col("n_chars").as("b_n")),
-        "b_id")
-    val ballots = pairs.select(
-      when(col("b_n") > col("a_n"), col("b_id")).otherwise(col("a_id"))
-        .as("win"),
-      when(col("b_n") > col("a_n"), col("a_id")).otherwise(col("b_id"))
-        .as("lose"))
-    graft.operators.Preference.btStrengths(ballots, col("win"), col("lose"),
-        iters = 2)
+  def preferenceBtStrengthQ(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Preference.btStrengths(prefBallots(s, dir), col("win"),
+        col("lose"), iters = 2)
       .orderBy(col("item"))
-  }
 
   val preferenceBtStrengthOracle: String =
     """WITH s(shift) AS (VALUES (1), (2), (3)),

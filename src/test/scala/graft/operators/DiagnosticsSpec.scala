@@ -294,6 +294,28 @@ class DiagnosticsSpec extends SparkSpec {
     assert(got("b")._6 === 5.0)
   }
 
+  test("calibrationReport drops NULL and NaN scores instead of " +
+      "mis-bucketing them") {
+    val rows = Seq((Some(0.15), true), (None, true), (Some(Double.NaN), true),
+      (Some(0.95), false))
+    val got = Diagnostics.calibrationReport(
+        rows.toDF("s", "p"), col("s"), col("p"), bins = 10)
+      .as[(Int, Double, Long, Long, Double, Double)].collect().toSeq
+    // only the two finite scores appear; the null did NOT land in bin 9
+    assert(got.map(r => (r._1, r._3)) === Seq((1, 1L), (9, 1L)))
+  }
+
+  test("robustStats ignores NULL values in n, percentiles, and the " +
+      "winsorized mean") {
+    val rows = Seq(("g", Some(1L)), ("g", Some(2L)), ("g", Some(3L)),
+      ("g", None), ("g", None))
+    val got = Diagnostics.robustStats(rows.toDF("s", "v"), col("s"),
+        col("v"))
+      .as[(String, Long, Long, Long, Long, Double)].collect().head
+    assert(got._2 === 3L) // nulls not counted
+    assert(got._6 === 2.0) // mean of 1,2,3 — no p_hi-clamped phantom rows
+  }
+
   test("calibrationReport: a perfectly calibrated score has small gaps") {
     // score = k/10 + 0.05 with exactly that fraction positive per bucket
     val rows = (0 until 10).flatMap { k =>
