@@ -144,7 +144,17 @@ object Stress {
     "preference_bt_strength", "conversion_attribution", "robust_stats",
     // event_anomaly's corpus-sized work is ONE (type, day) partial agg;
     // the trailing window runs over |types|×|days| rows at any scale
-    "event_anomaly")
+    "event_anomaly",
+    // final round-13: keyword_extract is the posting + df-join shape with
+    // a per-doc rank window (groups are doc-vocabulary-sized — linear by
+    // claim); vocab_richness is one (source, term) partial agg (the
+    // replicaN token adds one fresh type per replica, so vocab grows
+    // linearly while token mass replicates); session_paths pays one
+    // user-partitioned window + |types|³-bounded aggs (events scale as
+    // new users — per-user work constant); event_pairs collapses to
+    // distinct (user, type) then a user-keyed a<b self-join bounded by
+    // |types|²/user — all four linear by claim
+    "keyword_extract", "vocab_richness", "session_paths", "event_pairs")
 
   /** Replica id offset — well above any sf0.1 id, keeps replica ids
     * unique. PUBLIC because `Pipeline.simHashedLsh` pins its probe set

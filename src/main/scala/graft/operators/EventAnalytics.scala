@@ -437,4 +437,97 @@ object EventAnalytics {
         coalesce(col("n_first_touch"), lit(0L)).as("n_first_touch"),
         coalesce(col("n_last_touch"), lit(0L)).as("n_last_touch"))
   }
+
+  /** Three-step session path mining — the "what do users actually do"
+    * readout one hop deeper than [[eventTransitions]]: every consecutive
+    * (e1 → e2 → e3) triple whose BOTH gaps fall inside one session
+    * (each step-to-step gap ≤ `sessionGapNanos` — the same boundary rule
+    * as the transition operator, applied per hop), counted across the
+    * corpus with the number of distinct users walking the path.
+    * Output: (step1, step2, step3, n_paths, n_users), most-walked first
+    * with the (step1, step2, step3) lexicographic tiebreak.
+    *
+    * Determinism: adjacency comes from two `lag`s over the same
+    * (ts, tieBreak) user ordering as [[eventTransitions]] — the caller's
+    * unique tiebreak makes the walk order (and so every triple)
+    * well-defined at timestamp collisions.
+    *
+    * Scale shape: ONE window pass partitioned by user (two lags share
+    * one sort lineage), then the two-level (triple, user) / (triple)
+    * partial-aggregated groupBys — output cardinality is bounded by
+    * |event types|³, never by the corpus. Events shuffle once, as
+    * (user, ts, type, tiebreak).
+    */
+  def sessionPaths(df: DataFrame, user: Column, tsNanos: Column,
+      eventType: Column, tieBreak: Column,
+      sessionGapNanos: Long = 1800L * 1000000000L): DataFrame = {
+    require(sessionGapNanos > 0,
+      s"sessionGapNanos must be positive, got $sessionGapNanos")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("ts"), col("tb"))
+    df.select(user.as("user_id"), tsNanos.cast("long").as("ts"),
+        eventType.as("et"), tieBreak.as("tb"))
+      .select(col("user_id"), col("et"), col("ts"),
+        lag(col("et"), 1).over(w).as("e2"),
+        lag(col("ts"), 1).over(w).as("ts2"),
+        lag(col("et"), 2).over(w).as("e1"),
+        lag(col("ts"), 2).over(w).as("ts1"))
+      .filter(col("e1").isNotNull &&
+        col("ts") - col("ts2") <= sessionGapNanos &&
+        col("ts2") - col("ts1") <= sessionGapNanos)
+      .groupBy(col("e1").as("step1"), col("e2").as("step2"),
+        col("et").as("step3"), col("user_id"))
+      .agg(count(lit(1)).as("__c"))
+      .groupBy(col("step1"), col("step2"), col("step3"))
+      .agg(sum(col("__c")).as("n_paths"), count(lit(1)).as("n_users"))
+      .orderBy(col("n_paths").desc, col("step1"), col("step2"), col("step3"))
+  }
+
+  /** Event-type association pairs (market-basket over user behavior):
+    * for every unordered pair of event types, how many users did BOTH,
+    * each type's own user count, and the lift
+    * `n_both · N / (n_a · n_b)` — lift > 1 means the behaviors co-occur
+    * beyond what their individual popularity predicts ([[sessionPaths]]
+    * reads ORDER within a session; this reads per-user co-occurrence
+    * across the whole history). Output: (type_a, type_b, n_both, n_a,
+    * n_b, n_users, lift) with type_a < type_b, lift-descending with the
+    * pair tiebreak.
+    *
+    * Determinism: all counts are exact longs; lift is one fixed-shape
+    * IEEE double expression over them — any engine replays it
+    * bit-for-bit.
+    *
+    * Scale shape: events collapse FIRST to the distinct (user, type)
+    * frame (one partial-aggregated exchange — the only corpus-sized
+    * shuffle); the pair self-join is user-keyed over rows bounded by
+    * |types| per user, so its output is ≤ |types|²/2 per user and the
+    * final agg is |types|²-sized. The type marginals and the user total
+    * are dimension-sized one-row/|types|-row frames broadcast into the
+    * result.
+    */
+  def eventPairs(df: DataFrame, user: Column, eventType: Column): DataFrame = {
+    val ut = df.select(user.as("user_id"), eventType.as("et")).distinct()
+      .localCheckpoint(false)
+    val marg = ut.groupBy(col("et")).agg(count(lit(1)).as("n_et"))
+    // countDistinct, NOT distinct+count(1): NULL user ids must not count
+    // toward N (the oracle's COUNT(DISTINCT user_id) excludes them)
+    val nUsers = ut.agg(countDistinct(col("user_id")).as("__n"))
+    val a = ut.select(col("user_id"), col("et").as("type_a"))
+    val b = ut.select(col("user_id"), col("et").as("type_b"))
+    a.join(b, Seq("user_id"))
+      .filter(col("type_a") < col("type_b"))
+      .groupBy(col("type_a"), col("type_b"))
+      .agg(count(lit(1)).as("n_both"))
+      .join(broadcast(marg.select(col("et").as("type_a"),
+        col("n_et").as("n_a"))), Seq("type_a"))
+      .join(broadcast(marg.select(col("et").as("type_b"),
+        col("n_et").as("n_b"))), Seq("type_b"))
+      .crossJoin(broadcast(nUsers))
+      .select(col("type_a"), col("type_b"), col("n_both"), col("n_a"),
+        col("n_b"), col("__n").as("n_users"),
+        ((col("n_both").cast("double") * col("__n").cast("double")) /
+          (col("n_a").cast("double") * col("n_b").cast("double")))
+          .as("lift"))
+      .orderBy(col("lift").desc, col("type_a"), col("type_b"))
+  }
 }

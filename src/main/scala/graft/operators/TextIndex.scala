@@ -786,4 +786,76 @@ object TextIndex {
         (col("n_vocab").cast("double") / col("n_tok").cast("double"))
           .as("coverage"))
   }
+
+  /** Per-document keyword extraction: each document's top-`k` most
+    * DISTINCTIVE terms by the ln-free tf-idf lift `tf · N / df` (N = all
+    * input documents, df = documents containing the term) — the corpus
+    * tagger behind search facets, topic labeling, and dedup-cluster
+    * naming. Stopwords self-suppress: their df approaches N so the lift
+    * collapses toward their in-doc tf, while a term concentrated in few
+    * documents multiplies by the full N/df ratio. Output:
+    * (doc_id, rank, term, tf, df, score), rank 1-based per document.
+    *
+    * Determinism: tf/df/N are exact longs and the score is one
+    * fixed-shape IEEE expression over them; the rank orders by
+    * (score desc, term) — bit-replayable in any engine.
+    *
+    * Scale shape: the posting agg and the term-keyed df join are the two
+    * corpus-sized exchanges (narrow (doc, term, counts) rows — text
+    * never shuffles); the per-doc rank window partitions by doc_id, so
+    * its groups are document-vocabulary-sized and parallelize across the
+    * corpus. N rides a one-row broadcast.
+    */
+  def keywordExtract(df: DataFrame, id: Column, text: Column,
+      k: Int = 5): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    val nDocs = df.agg(count(lit(1)).as("__n"))
+    val tf = postings(df, id, text)
+    val dfc = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("score").desc, col("term"))
+    tf.join(dfc, Seq("term"))
+      .crossJoin(broadcast(nDocs))
+      .select(col("doc_id"), col("term"), col("tf"), col("df"),
+        ((col("tf").cast("double") * col("__n").cast("double")) /
+          col("df").cast("double")).as("score"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("doc_id"), col("rank"), col("term"), col("tf"), col("df"),
+        col("score"))
+      .orderBy(col("doc_id"), col("rank"))
+  }
+
+  /** Per-source vocabulary-richness report — the OCR-noise / gibberish /
+    * boilerplate triage numbers a corpus card carries per slice: token
+    * mass, vocabulary size, hapax legomena (terms seen exactly once in
+    * the slice), and the two classic ratios. A noisy-OCR source shows a
+    * hapax ratio far ABOVE the corpus band (every scanno is a fresh
+    * "word"); template/boilerplate farms show type-token ratios far
+    * BELOW it (the same words over and over). Output: (source, n_tokens,
+    * vocab, hapax, hapax_ratio, type_token_ratio), one row per source.
+    *
+    * Determinism: counts are exact longs; each ratio is a single IEEE
+    * division.
+    *
+    * Scale shape: one (source, term) partial-aggregated count — the only
+    * corpus-sized exchange, narrow rows — then a |sources|-row rollup.
+    * Per-source dictionaries never sit in one buffer; the hapax test is
+    * a WHERE on the count, not a distinct-collect.
+    */
+  def vocabRichness(df: DataFrame, source: Column, text: Column): DataFrame =
+    df.select(source.as("source"),
+        explode(TextFunctions.tokensWs(text)).as("term"))
+      .groupBy(col("source"), col("term"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy(col("source"))
+      .agg(sum(col("c")).as("n_tokens"),
+        count(lit(1)).as("vocab"),
+        sum(when(col("c") === 1L, 1L).otherwise(0L)).as("hapax"))
+      .select(col("source"), col("n_tokens"), col("vocab"), col("hapax"),
+        (col("hapax").cast("double") / col("vocab").cast("double"))
+          .as("hapax_ratio"),
+        (col("vocab").cast("double") / col("n_tokens").cast("double"))
+          .as("type_token_ratio"))
+      .orderBy(col("source"))
 }

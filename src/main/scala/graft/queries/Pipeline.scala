@@ -4736,7 +4736,137 @@ object Pipeline {
       |SELECT node, r AS rank FROM r3
       |ORDER BY rank DESC, node""".stripMargin
 
+  // ------------------------------------------- keyword / vocabulary / paths
+
+  /** Per-doc keyword extraction ([[graft.operators.TextIndex
+    * .keywordExtract]]): top-3 distinctive terms by the ln-free tf-idf
+    * lift tf·N/df. Counts are exact longs, the score one IEEE division
+    * chain, the per-doc rank ordered (score desc, term) — the oracle
+    * replays the posting agg, the df join, and the ranked window.
+    */
+  def keywordExtractQ(s: SparkSession, dir: String): DataFrame =
+    graft.operators.TextIndex.keywordExtract(
+      T(s, dir, "documents"), col("doc_id"), col("text"), k = 3)
+
+  val keywordExtractOracle: String =
+    """WITH t AS (
+      |  SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS term
+      |  FROM documents WHERE trim(text) <> ''),
+      |tf AS (
+      |  SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+      |  FROM t GROUP BY 1, 2),
+      |dfc AS (
+      |  SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+      |nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM documents),
+      |sc AS (
+      |  SELECT tf.doc_id, tf.term, tf.tf, dfc.df,
+      |    (CAST(tf.tf AS DOUBLE) * CAST(nn.n AS DOUBLE))
+      |      / CAST(dfc.df AS DOUBLE) AS score
+      |  FROM tf JOIN dfc USING (term) CROSS JOIN nn),
+      |r AS (
+      |  SELECT doc_id, term, tf, df, score,
+      |    ROW_NUMBER() OVER (PARTITION BY doc_id
+      |      ORDER BY score DESC, term) AS rank
+      |  FROM sc)
+      |SELECT doc_id, CAST(rank AS INTEGER) AS rank, term, tf, df, score
+      |FROM r WHERE rank <= 3
+      |ORDER BY doc_id, rank""".stripMargin
+
+  /** Per-source vocabulary richness ([[graft.operators.TextIndex
+    * .vocabRichness]]): token mass, vocab, hapax count and the
+    * hapax/type-token ratios — the OCR-noise / boilerplate triage row of
+    * a corpus card. All counts exact; each ratio one IEEE division.
+    */
+  def vocabRichnessQ(s: SparkSession, dir: String): DataFrame =
+    graft.operators.TextIndex.vocabRichness(
+      T(s, dir, "documents"), col("source"), col("text"))
+
+  val vocabRichnessOracle: String =
+    """WITH t AS (
+      |  SELECT source, unnest(string_split_regex(trim(text), '\s+')) AS term
+      |  FROM documents WHERE trim(text) <> ''),
+      |c AS (
+      |  SELECT source, term, CAST(COUNT(*) AS BIGINT) AS c
+      |  FROM t GROUP BY 1, 2),
+      |agg AS (
+      |  SELECT source, CAST(SUM(c) AS BIGINT) AS n_tokens,
+      |    CAST(COUNT(*) AS BIGINT) AS vocab,
+      |    CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS hapax
+      |  FROM c GROUP BY 1)
+      |SELECT source, n_tokens, vocab, hapax,
+      |  CAST(hapax AS DOUBLE) / CAST(vocab AS DOUBLE) AS hapax_ratio,
+      |  CAST(vocab AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS type_token_ratio
+      |FROM agg
+      |ORDER BY source""".stripMargin
+
+  /** Three-step session path mining ([[graft.operators.EventAnalytics
+    * .sessionPaths]]): consecutive in-session event-type triples with
+    * path and walker counts — [[eventTransitionsQ]] one hop deeper. The
+    * oracle replays both lags, both per-hop gap checks, and the
+    * two-level aggregation.
+    */
+  def sessionPathsQ(s: SparkSession, dir: String): DataFrame = {
+    val e = T.events(s, dir)
+    graft.operators.EventAnalytics.sessionPaths(
+      e, col("user_id"), col("ts"), col("event_type"), col("event_id"))
+  }
+
+  val sessionPathsOracle: String =
+    """WITH e AS (
+      |  SELECT user_id, event_id, epoch_us(ts) * 1000 AS tsn,
+      |    event_type AS et
+      |  FROM events),
+      |t AS (
+      |  SELECT user_id, et, tsn,
+      |    LAG(et, 1) OVER w AS e2, LAG(tsn, 1) OVER w AS ts2,
+      |    LAG(et, 2) OVER w AS e1, LAG(tsn, 2) OVER w AS ts1
+      |  FROM e
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY tsn, event_id)),
+      |p AS (
+      |  SELECT user_id, e1 AS step1, e2 AS step2, et AS step3 FROM t
+      |  WHERE e1 IS NOT NULL AND tsn - ts2 <= 1800000000000
+      |    AND ts2 - ts1 <= 1800000000000),
+      |pu AS (
+      |  SELECT step1, step2, step3, user_id, CAST(COUNT(*) AS BIGINT) AS c
+      |  FROM p GROUP BY 1, 2, 3, 4)
+      |SELECT step1, step2, step3, CAST(SUM(c) AS BIGINT) AS n_paths,
+      |  CAST(COUNT(*) AS BIGINT) AS n_users
+      |FROM pu GROUP BY 1, 2, 3
+      |ORDER BY n_paths DESC, step1, step2, step3""".stripMargin
+
+  /** Event-type association pairs ([[graft.operators.EventAnalytics
+    * .eventPairs]]): per-user co-occurrence with exact counts and the
+    * lift n_both·N/(n_a·n_b). The oracle replays the distinct
+    * (user, type) collapse, the a<b self-join, both marginals, and the
+    * one fixed-shape double expression.
+    */
+  def eventPairsQ(s: SparkSession, dir: String): DataFrame =
+    graft.operators.EventAnalytics.eventPairs(
+      T.events(s, dir), col("user_id"), col("event_type"))
+
+  val eventPairsOracle: String =
+    """WITH ut AS (SELECT DISTINCT user_id, event_type AS et FROM events),
+      |marg AS (SELECT et, CAST(COUNT(*) AS BIGINT) AS n_et FROM ut GROUP BY 1),
+      |nn AS (SELECT CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n FROM ut),
+      |pr AS (
+      |  SELECT a.et AS type_a, b.et AS type_b, CAST(COUNT(*) AS BIGINT) AS n_both
+      |  FROM ut a JOIN ut b ON a.user_id = b.user_id AND a.et < b.et
+      |  GROUP BY 1, 2)
+      |SELECT pr.type_a, pr.type_b, pr.n_both, ma.n_et AS n_a, mb.n_et AS n_b,
+      |  nn.n AS n_users,
+      |  (CAST(pr.n_both AS DOUBLE) * CAST(nn.n AS DOUBLE))
+      |    / (CAST(ma.n_et AS DOUBLE) * CAST(mb.n_et AS DOUBLE)) AS lift
+      |FROM pr
+      |JOIN marg ma ON ma.et = pr.type_a
+      |JOIN marg mb ON mb.et = pr.type_b
+      |CROSS JOIN nn
+      |ORDER BY lift DESC, type_a, type_b""".stripMargin
+
   val all: Seq[Q] = Seq(
+    Q("keyword_extract", keywordExtractQ, Some(keywordExtractOracle)),
+    Q("vocab_richness", vocabRichnessQ, Some(vocabRichnessOracle)),
+    Q("session_paths", sessionPathsQ, Some(sessionPathsOracle)),
+    Q("event_pairs", eventPairsQ, Some(eventPairsOracle)),
     Q("preference_report", preferenceReportQ, Some(preferenceReportOracle)),
     Q("annotator_agreement", annotatorAgreementQ,
       Some(annotatorAgreementOracle)),

@@ -240,4 +240,98 @@ class EventAnalyticsSpec extends SparkSpec {
     // eid 10 (view) sorts before eid 20 (click) at the same ts
     assert(got === Seq(("click", 0L, 1L), ("view", 1L, 0L)))
   }
+
+  test("sessionPaths: triples need BOTH hops inside the gap, count paths " +
+      "and distinct walkers, order by n_paths desc then path") {
+    val gap = 1800L * 1000000000L
+    val rows = Seq(
+      // u1 walks A->B->C twice (one session)
+      (1L, 10L, "A", 1L), (1L, 20L, "B", 2L), (1L, 30L, "C", 3L),
+      (1L, 40L, "A", 4L), (1L, 50L, "B", 5L), (1L, 60L, "C", 6L),
+      // u2 walks A->B->C once; its SECOND hop exactly AT the gap counts
+      (2L, 10L, "A", 7L), (2L, 20L, "B", 8L), (2L, 20L + gap, "C", 9L),
+      // u3: second hop one past the gap -> no triple
+      (3L, 10L, "A", 10L), (3L, 20L, "B", 11L),
+      (3L, 21L + gap, "C", 12L),
+      // u4: only two events -> no triple
+      (4L, 10L, "A", 13L), (4L, 20L, "B", 14L))
+      .toDF("user_id", "ts", "et", "eid")
+    val got = EventAnalytics.sessionPaths(rows, col("user_id"), col("ts"),
+        col("et"), col("eid"))
+      .as[(String, String, String, Long, Long)].collect().toSeq
+    // u1 contributes A,B,C / B,C,A / C,A,B / A,B,C -> ABC x2 + the two
+    // cross-cycle triples; u2 contributes ABC x1
+    assert(got.head === ("A", "B", "C", 3L, 2L))
+    assert(got.toSet === Set(
+      ("A", "B", "C", 3L, 2L),
+      ("B", "C", "A", 1L, 1L),
+      ("C", "A", "B", 1L, 1L)))
+  }
+
+  test("sessionPaths: equal timestamps order by tiebreak") {
+    val rows = Seq(
+      (1L, 10L, "A", 2L), (1L, 10L, "B", 1L), (1L, 20L, "C", 3L))
+      .toDF("user_id", "ts", "et", "eid")
+    val got = EventAnalytics.sessionPaths(rows, col("user_id"), col("ts"),
+        col("et"), col("eid"))
+      .as[(String, String, String, Long, Long)].collect().toSeq
+    // eid 1 (B) precedes eid 2 (A) at ts 10 -> the only triple is B,A,C
+    assert(got === Seq(("B", "A", "C", 1L, 1L)))
+  }
+
+  test("eventPairs: distinct collapse, exact marginals, hand lift") {
+    val rows = Seq(
+      // u1 does A (three times - must collapse) and B
+      (1L, "A"), (1L, "A"), (1L, "A"), (1L, "B"),
+      // u2 does A and B
+      (2L, "A"), (2L, "B"),
+      // u3 does A and C
+      (3L, "A"), (3L, "C"),
+      // u4 does only D - counts toward n_users, joins no pair
+      (4L, "D"))
+      .toDF("user_id", "et")
+    val got = EventAnalytics.eventPairs(rows, col("user_id"), col("et"))
+      .as[(String, String, Long, Long, Long, Long, Double)]
+      .collect().toSeq
+    // n_users=4; A:3 users, B:2, C:1, D:1
+    // (A,B): both=2, lift = 2*4/(3*2) = 4/3
+    // (A,C): both=1, lift = 1*4/(3*1) = 4/3
+    val ab = got.find(r => r._1 == "A" && r._2 == "B").get
+    assert(ab === ("A", "B", 2L, 3L, 2L, 4L, 8.0 / 6.0))
+    val ac = got.find(r => r._1 == "A" && r._2 == "C").get
+    assert(ac === ("A", "C", 1L, 3L, 1L, 4L, 4.0 / 3.0))
+    assert(got.size === 2) // no self-pairs, no D pairs
+  }
+
+  test("eventPairs: NULL user ids never count toward n_users (and never " +
+      "join a pair) — SQL COUNT(DISTINCT) semantics") {
+    val rows = Seq(
+      (java.lang.Long.valueOf(1L), "A"), (java.lang.Long.valueOf(1L), "B"),
+      (java.lang.Long.valueOf(2L), "A"), (java.lang.Long.valueOf(2L), "B"),
+      (null.asInstanceOf[java.lang.Long], "A"),
+      (null.asInstanceOf[java.lang.Long], "B"))
+      .toDF("user_id", "et")
+    val got = EventAnalytics.eventPairs(rows, col("user_id"), col("et"))
+      .as[(String, String, Long, Long, Long, Long, Double)]
+      .collect().toSeq
+    // the NULL row reaches the marginals (n_a = n_b = 3) but neither the
+    // user total (n_users = 2) nor any pair (NULL never equi-joins)
+    assert(got === Seq(("A", "B", 2L, 3L, 3L, 2L, 2.0 * 2.0 / 9.0)))
+  }
+
+  test("eventPairs: lift above and below 1 separates associated from " +
+      "anti-associated behaviors") {
+    // A and B always together (10 users); C popular but never with A
+    val rows = (1L to 10L).flatMap(u => Seq((u, "A"), (u, "B"))) ++
+      (11L to 20L).map(u => (u, "C")) ++ (1L to 20L).map(u => (u, "E"))
+    val got = EventAnalytics.eventPairs(rows.toDF("user_id", "et"),
+        col("user_id"), col("et"))
+      .as[(String, String, Long, Long, Long, Long, Double)]
+      .collect().toSeq
+    val ab = got.find(r => r._1 == "A" && r._2 == "B").get
+    assert(ab._7 === 2.0) // 10*20/(10*10)
+    assert(got.find(r => r._1 == "A" && r._2 == "C").isEmpty) // no co-user
+    val ae = got.find(r => r._1 == "A" && r._2 == "E").get
+    assert(ae._7 === 1.0) // independent of the universal E
+  }
 }

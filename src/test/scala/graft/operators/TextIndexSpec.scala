@@ -292,4 +292,54 @@ class TextIndexSpec extends SparkSpec {
       assert(folded === rebuilt, s"trial $trial: fold != rebuild")
     }
   }
+
+  test("keywordExtract: hand tf/df lift, distinctive beats frequent, " +
+      "ties break by term, blank docs count toward N but emit nothing") {
+    val docs = Seq(
+      (1L, "the the the rare"),
+      (2L, "the common common"),
+      (3L, "the common unique"),
+      (4L, "   ")) // blank: in N, no keywords
+      .toDF("doc_id", "text")
+    val got = TextIndex.keywordExtract(docs, col("doc_id"), col("text"),
+        k = 2)
+      .as[(Long, Int, String, Long, Long, Double)].collect().toSeq
+    // N = 4 (blank included). df: the=3, common=2, rare=1, unique=1
+    // doc1: rare tf=1 -> 1*4/1 = 4; the tf=3 -> 3*4/3 = 4; TIE -> rare first
+    assert(got.filter(_._1 == 1L) === Seq(
+      (1L, 1, "rare", 1L, 1L, 4.0), (1L, 2, "the", 3L, 3L, 4.0)))
+    // doc2: common tf=2 -> 2*4/2 = 4 beats the tf=1 -> 4/3
+    assert(got.filter(_._1 == 2L).map(_._3) === Seq("common", "the"))
+    // doc3: unique 1*4/1=4 beats common 4/2=2 beats the 4/3 (k=2 cuts it)
+    assert(got.filter(_._1 == 3L).map(_._3) === Seq("unique", "common"))
+    assert(got.filter(_._1 == 4L).isEmpty)
+  }
+
+  test("vocabRichness: hand counts per source, hapax and type-token " +
+      "ratios, blank-only sources absent") {
+    val docs = Seq(
+      ("clean", "a a b"), ("clean", "a c"),
+      ("noisy", "x1 x2 x3 x3"),
+      ("blank", "  "))
+      .toDF("source", "text")
+    val got = TextIndex.vocabRichness(docs, col("source"), col("text"))
+      .as[(String, Long, Long, Long, Double, Double)].collect().toSeq
+    // clean: tokens a,a,b,a,c -> n=5, vocab=3 (a=3,b=1,c=1), hapax=2
+    // noisy: x1,x2,x3,x3 -> n=4, vocab=3, hapax=2
+    assert(got === Seq(
+      ("clean", 5L, 3L, 2L, 2.0 / 3.0, 3.0 / 5.0),
+      ("noisy", 4L, 3L, 2L, 2.0 / 3.0, 3.0 / 4.0)))
+  }
+
+  test("vocabRichness flags the noisy-OCR shape: unique-garbage text " +
+      "has a hapax ratio near 1, template text near 0") {
+    val template = (1 to 50).map(i => ("tmpl", "buy now limited offer"))
+    val ocr = (1 to 50).map(i => ("ocr", s"w${i}a w${i}b w${i}c"))
+    val got = TextIndex.vocabRichness((template ++ ocr)
+        .toDF("source", "text"), col("source"), col("text"))
+      .as[(String, Long, Long, Long, Double, Double)].collect()
+      .map(r => r._1 -> r._5).toMap
+    assert(got("ocr") === 1.0)
+    assert(got("tmpl") === 0.0)
+  }
 }

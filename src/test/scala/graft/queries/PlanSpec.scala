@@ -560,4 +560,39 @@ class PlanSpec extends SparkSpec {
     // exactly the ONE transitions window pass feeds the edge table
     assert("(\\d+) Window".r.findAllIn(p).size <= 2, p)
   }
+
+  test("keyword_extract: text never shuffles (postings collapse first), " +
+      "the df join is key-equi, N rides a one-row broadcast, and the " +
+      "rank window partitions by doc") {
+    val p = plan(Pipeline.keywordExtractQ(spark, dir))
+    assert(!p.contains("CartesianProduct"), p)
+    assert("HashAggregate".r.findAllIn(p).size >= 2, p)
+    assert(p.contains("BroadcastNestedLoopJoin"), p) // the one-row N cross
+    assert("(\\d+) Window".r.findAllIn(p).size <= 2, p) // one rank node
+  }
+
+  test("vocab_richness: one (source, term) partial agg then a sources-row " +
+      "rollup — no join, no window, text never shuffles") {
+    val p = plan(Pipeline.vocabRichnessQ(spark, dir))
+    assert(!p.contains("Join"), p)
+    assert(!p.contains("Window"), p)
+    assert("HashAggregate".r.findAllIn(p).size >= 4, p) // both aggs 2-phase
+  }
+
+  test("session_paths: ONE user-partitioned window pass (both lags share " +
+      "the sort), no per-user arrays, partial-aggregated counts") {
+    val p = plan(Pipeline.sessionPathsQ(spark, dir))
+    assert("(\\d+) Window".r.findAllIn(p).size <= 2, p) // one node, 2 prints
+    assert(!p.contains("collect_list"), p)
+    assert("HashAggregate".r.findAllIn(p).size >= 2, p)
+  }
+
+  test("event_pairs: events collapse to the distinct (user, type) frame " +
+      "before the pair self-join; the marginals and N broadcast; no " +
+      "cartesian") {
+    val p = plan(Pipeline.eventPairsQ(spark, dir))
+    assert(!p.contains("CartesianProduct"), p)
+    assert("HashAggregate".r.findAllIn(p).size >= 2, p)
+    assert(p.contains("BroadcastHashJoin"), p) // the |types|-row marginals
+  }
 }
