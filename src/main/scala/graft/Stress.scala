@@ -154,7 +154,16 @@ object Stress {
     // new users — per-user work constant); event_pairs collapses to
     // distinct (user, type) then a user-keyed a<b self-join bounded by
     // |types|²/user — all four linear by claim
-    "keyword_extract", "vocab_richness", "session_paths", "event_pairs")
+    "keyword_extract", "vocab_richness", "session_paths", "event_pairs",
+    // time_decayed_popularity is one map projection + a |types|-row agg
+    // (linear by claim); event_cadence pays the (user, type) lag window +
+    // per-type percentile buffers (corpus/|types| values each — the
+    // watched cost); char_trigram_profile is the (source, gram) count
+    // shape with the O(len) native gram pass (replica tokens add a few
+    // fresh grams; the head is scale-stable). table_profile reads
+    // lineitem, which the stress corpus doesn't replicate — spec/plan
+    // gated instead (single-scan single-agg shape).
+    "time_decayed_popularity", "event_cadence", "char_trigram_profile")
 
   /** Replica id offset — well above any sf0.1 id, keeps replica ids
     * unique. PUBLIC because `Pipeline.simHashedLsh` pins its probe set

@@ -133,6 +133,9 @@ object TextStats {
 
   def nfcNormalize(c: Column): Column =
     ExpressionUtilsShim.column(NfcNormalize(ExpressionUtilsShim.expr(c)))
+
+  def charNgrams(c: Column, n: Int): Column =
+    ExpressionUtilsShim.column(CharNgrams(ExpressionUtilsShim.expr(c), n))
 }
 
 /** The per-language evidence counts behind lang-id as ONE compiled pass —
@@ -283,6 +286,53 @@ case class NfcNormalize(child: Expression)
       input // common case (ASCII, already-composed): no re-encode
     else UTF8String.fromString(
       java.text.Normalizer.normalize(s, java.text.Normalizer.Form.NFC))
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** All character `n`-grams of a string in ONE compiled pass — by CODE
+  * POINT, matching SQL `substring` semantics in Spark and DuckDB (so the
+  * oracle can replay any downstream aggregation with
+  * `substring(text, i, n)`). The naive declarative form —
+  * `explode(sequence(...))` + `substring(text, i, n)` — re-scans the
+  * string from the start for every position (code-point offsets aren't
+  * indexable), turning a length-L document into O(L²) work; this pass is
+  * O(L). Feeds the per-source trigram fingerprint
+  * ([[graft.operators.TextIndex.charNgramProfile]]) and any future
+  * char-gram LM. Empty array when the string has fewer than `n` code
+  * points.
+  */
+case class CharNgrams(child: Expression, n: Int)
+    extends UnaryExpression with NativeUnaryCodegen {
+  require(n > 0, s"n must be positive, got $n")
+
+  override def dataType: DataType =
+    ArrayType(StringType, containsNull = false)
+  override def nullable: Boolean = child.nullable
+  override def prettyName: String = "char_ngrams"
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val s = input.asInstanceOf[UTF8String].toString
+    // one pass collecting code-point start offsets (UTF-16 indices)
+    val starts = new java.util.ArrayList[Integer]()
+    var i = 0
+    while (i < s.length) {
+      starts.add(i)
+      i += Character.charCount(s.codePointAt(i))
+    }
+    val cps = starts.size
+    val count = math.max(0, cps - n + 1)
+    val out = new Array[AnyRef](count)
+    var g = 0
+    while (g < count) {
+      val from = starts.get(g).intValue
+      val to = if (g + n < cps) starts.get(g + n).intValue else s.length
+      out(g) = UTF8String.fromString(s.substring(from, to))
+      g += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
   }
 
   override protected def withNewChildInternal(newChild: Expression): Expression =

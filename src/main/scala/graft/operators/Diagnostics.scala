@@ -574,4 +574,47 @@ object Diagnostics {
       .withColumn("gap", col("pos_rate") - col("conf_mid"))
       .orderBy(col("bin"))
   }
+
+  /** One-pass numeric table profiler — the pre-ingestion sanity page for
+    * any fact table: per column, row count, null count, min/max, mean,
+    * and the exact discrete median. The input columns must be pre-cast
+    * to an EXACT type (long or decimal) by the caller — that is what
+    * makes the mean deterministic (exact sum, ONE IEEE division) instead
+    * of an order-dependent float fold. Output: (col_name, n, n_null,
+    * min_v, max_v, mean, p50) as doubles, one row per profiled column,
+    * ordered by col_name.
+    *
+    * Scale shape: ALL columns profile in ONE 2-phase aggregation over a
+    * single scan — no per-column pass, no melt (an explode to
+    * (row, col, value) would multiply the corpus by |cols| before the
+    * shuffle). The one-row aggregate then explodes into |cols| output
+    * rows driver-side-free. The per-column percentile buffer holds that
+    * column's values — the [[robustStats]] bound; profile a sampled
+    * slice or swap the KLL sketch for wide-row tables at extreme scale.
+    */
+  def tableProfile(df: DataFrame, cols: Seq[(String, Column)]): DataFrame = {
+    require(cols.nonEmpty, "tableProfile needs at least one column")
+    val sel = df.select(cols.map { case (n, c) => c.as(s"__v_$n") }: _*)
+    val aggs = Seq(count(lit(1)).as("__rows")) ++ cols.flatMap { case (n, _) =>
+      Seq(count(col(s"__v_$n")).as(s"__n_$n"),
+        min(col(s"__v_$n")).as(s"__min_$n"),
+        max(col(s"__v_$n")).as(s"__max_$n"),
+        sum(col(s"__v_$n")).as(s"__sum_$n"),
+        expr(s"percentile_disc(0.5) WITHIN GROUP (ORDER BY __v_$n)")
+          .as(s"__p50_$n"))
+    }
+    sel.agg(aggs.head, aggs.tail: _*)
+      .select(explode(array(cols.map { case (n, _) =>
+        struct(lit(n).as("col_name"),
+          col("__rows").as("n"),
+          (col("__rows") - col(s"__n_$n")).as("n_null"),
+          col(s"__min_$n").cast("double").as("min_v"),
+          col(s"__max_$n").cast("double").as("max_v"),
+          (col(s"__sum_$n").cast("double") /
+            col(s"__n_$n").cast("double")).as("mean"),
+          col(s"__p50_$n").cast("double").as("p50"))
+      }: _*)).as("__s"))
+      .select(col("__s.*"))
+      .orderBy(col("col_name"))
+  }
 }

@@ -530,4 +530,93 @@ object EventAnalytics {
           .as("lift"))
       .orderBy(col("lift").desc, col("type_a"), col("type_b"))
   }
+
+  /** Time-decayed event popularity — the feed/trending readout that a raw
+    * count cannot give: each event contributes `2^-age`, where age is the
+    * number of whole `halfLifeDays`-day periods between the event and the
+    * dataset's newest event (so yesterday's burst outranks last month's
+    * even when the old total is larger). Output: (event_type, n_events,
+    * decayed), hottest first with the type tiebreak.
+    *
+    * Determinism: the decay is EXACT binary arithmetic, not a float pow
+    * chain — each event's weight is the integer `2^(maxShift - age)`
+    * (0 beyond `maxShift` periods: a contribution below 2^-36 of the
+    * newest event's is noise by construction, and the cutoff is part of
+    * the contract), weights sum as DECIMAL(38,0), and the single IEEE
+    * division by `2^maxShift` happens once per output row. Any engine
+    * replays it bit-for-bit — no cross-row float addition anywhere.
+    *
+    * Scale shape: one map-side projection (period index off the
+    * timestamp), a one-row broadcast for the as-of period (the same
+    * pattern as [[rfmSegments]]' as-of day), then ONE 2-phase
+    * groupBy(type) over (type, weight) longs — the corpus shuffles
+    * nothing but partial sums. |types|-row output at any scale.
+    */
+  def timeDecayedPopularity(df: DataFrame, eventType: Column,
+      tsNanos: Column, halfLifeDays: Int = 7,
+      maxShift: Int = 36): DataFrame = {
+    require(halfLifeDays > 0, s"halfLifeDays must be positive, got $halfLifeDays")
+    require(maxShift > 0 && maxShift <= 62,
+      s"maxShift must be in [1, 62], got $maxShift")
+    val period = 86400L * 1000000000L * halfLifeDays
+    val base = df.select(eventType.as("et"), tsNanos.cast("long").as("ts"))
+      .select(col("et"), expr(s"ts div $period").as("hl"))
+    val asOf = broadcast(base.agg(max(col("hl")).as("__asof")))
+    base.crossJoin(asOf)
+      .select(col("et"),
+        when(col("__asof") - col("hl") <= maxShift,
+          expr(s"shiftleft(CAST(1 AS BIGINT), CAST($maxShift - (__asof - hl) AS INT))"))
+          .otherwise(0L).as("wfp"))
+      .groupBy(col("et").as("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("wfp").cast("decimal(38,0)")).as("__w"))
+      .select(col("event_type"), col("n_events"),
+        (col("__w").cast("double") / lit(math.pow(2.0, maxShift)))
+          .as("decayed"))
+      .orderBy(col("decayed").desc, col("event_type"))
+  }
+
+  /** Per-type inter-arrival cadence — the bot/automation screen over
+    * event timing: for every event type, the distribution of gaps between
+    * a user's CONSECUTIVE events of that type (n_gaps, exact discrete
+    * p50/p95 in nanoseconds, IEEE mean). A scripted client shows a p95
+    * within a hair of its p50 (metronomic posting); organic behavior
+    * spreads decades. Complements [[funnelLatency]] (which times BETWEEN
+    * steps) with same-type rhythm.
+    *
+    * Determinism: gaps are exact long differences over the
+    * (ts, tieBreak) user ordering; percentile_disc picks actual data
+    * values; the mean is one IEEE division of an exact long sum.
+    *
+    * Scale shape: events shuffle ONCE to the (user, type) window
+    * partitioning, then partial-aggregate to |types| rows. The per-type
+    * percentile buffer holds that type's gaps (corpus/|types| values) —
+    * the same documented bound as [[graft.operators.Diagnostics
+    * .robustStats]]; swap in the KLL sketch
+    * ([[graft.functions.QuantileSketch]]) for extreme group sizes.
+    */
+  def eventCadence(df: DataFrame, user: Column, tsNanos: Column,
+      eventType: Column, tieBreak: Column): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id"), col("et")).orderBy(col("ts"), col("tb"))
+    df.select(user.as("user_id"), tsNanos.cast("long").as("ts"),
+        eventType.as("et"), tieBreak.as("tb"))
+      .select(col("et"), (col("ts") - lag(col("ts"), 1).over(w)).as("gap"))
+      .filter(col("gap").isNotNull)
+      .groupBy(col("et").as("event_type"))
+      .agg(count(lit(1)).as("n_gaps"),
+        expr("CAST(percentile_disc(0.5) WITHIN GROUP (ORDER BY gap) AS BIGINT)")
+          .as("p50_gap_ns"),
+        expr("CAST(percentile_disc(0.95) WITHIN GROUP (ORDER BY gap) AS BIGINT)")
+          .as("p95_gap_ns"),
+        // DECIMAL(38,0) sum: a type's total gap mass is |users| · span
+        // nanoseconds, which overflows BIGINT long before 100 TB (ANSI
+        // would throw); DuckDB's SUM(BIGINT) is HUGEINT-backed already
+        sum(col("gap").cast("decimal(38,0)")).as("__s"))
+      .select(col("event_type"), col("n_gaps"), col("p50_gap_ns"),
+        col("p95_gap_ns"),
+        (col("__s").cast("double") / col("n_gaps").cast("double"))
+          .as("mean_gap_ns"))
+      .orderBy(col("event_type"))
+  }
 }

@@ -843,6 +843,42 @@ object TextIndex {
     * Per-source dictionaries never sit in one buffer; the hapax test is
     * a WHERE on the count, not a distinct-collect.
     */
+  /** Per-source character n-gram fingerprint: each source's top-`k` most
+    * frequent char `n`-grams with counts — the script/encoding/language
+    * drift detector one level BELOW tokenization (mojibake, double-UTF-8,
+    * an unexpected script, or a template's punctuation rhythm all shift
+    * the char-trigram head before any word-level metric moves). Output:
+    * (source, rank, gram, n), rank 1-based per source by
+    * (count desc, gram).
+    *
+    * Determinism: counts are exact longs; grams are code-point slices
+    * identical to SQL `substring(text, i, n)` in both engines (the
+    * [[org.apache.spark.sql.graft.CharNgrams]] native emits them in one
+    * O(len) pass — the declarative substring-per-position form is
+    * O(len²) per document).
+    *
+    * Scale shape: explode → ONE (source, gram) 2-phase count — the only
+    * corpus-sized exchange, ≤ n·4-byte gram keys — then a per-source
+    * rank window over source-vocabulary-sized groups. Output ≤
+    * |sources|·k.
+    */
+  def charNgramProfile(df: DataFrame, source: Column, text: Column,
+      n: Int = 3, k: Int = 10): DataFrame = {
+    require(n > 0, s"n must be positive, got $n")
+    require(k > 0, s"k must be positive, got $k")
+    val w = Window.partitionBy(col("source"))
+      .orderBy(col("n").desc, col("gram"))
+    df.select(source.as("source"),
+        explode(org.apache.spark.sql.graft.TextStats.charNgrams(text, n))
+          .as("gram"))
+      .groupBy(col("source"), col("gram"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("source"), col("rank"), col("gram"), col("n"))
+      .orderBy(col("source"), col("rank"))
+  }
+
   def vocabRichness(df: DataFrame, source: Column, text: Column): DataFrame =
     df.select(source.as("source"),
         explode(TextFunctions.tokensWs(text)).as("term"))

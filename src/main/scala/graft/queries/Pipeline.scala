@@ -4862,7 +4862,125 @@ object Pipeline {
       |CROSS JOIN nn
       |ORDER BY lift DESC, type_a, type_b""".stripMargin
 
+  // ------------------------------------ decay / cadence / profile / grams
+
+  /** Time-decayed event popularity ([[graft.operators.EventAnalytics
+    * .timeDecayedPopularity]], half-life 7 days): exact binary decay —
+    * integer 2^(36-age) weights, DECIMAL(38,0) sum, ONE IEEE division by
+    * 2^36. The oracle replays the period index, the as-of max, the shift,
+    * and the division bit-for-bit (no float pow chain on either side).
+    */
+  def timeDecayedPopularityQ(s: SparkSession, dir: String): DataFrame =
+    graft.operators.EventAnalytics.timeDecayedPopularity(
+      T.events(s, dir), col("event_type"), col("ts"), halfLifeDays = 7)
+
+  val timeDecayedPopularityOracle: String =
+    """WITH e AS (
+      |  SELECT event_type AS et,
+      |    (epoch_us(ts) * 1000) // 604800000000000 AS hl
+      |  FROM events),
+      |mx AS (SELECT MAX(hl) AS mhl FROM e),
+      |w AS (
+      |  SELECT et,
+      |    CASE WHEN mhl - hl <= 36
+      |      THEN CAST(1 AS BIGINT) << CAST(36 - (mhl - hl) AS INTEGER)
+      |      ELSE 0 END AS wfp
+      |  FROM e CROSS JOIN mx)
+      |SELECT et AS event_type, CAST(COUNT(*) AS BIGINT) AS n_events,
+      |  CAST(SUM(CAST(wfp AS DECIMAL(38,0))) AS DOUBLE) / 68719476736.0
+      |    AS decayed
+      |FROM w GROUP BY 1
+      |ORDER BY decayed DESC, event_type""".stripMargin
+
+  /** Per-type inter-arrival cadence ([[graft.operators.EventAnalytics
+    * .eventCadence]]): consecutive same-(user, type) gap percentiles +
+    * IEEE mean of the exact DECIMAL gap sum. The oracle replays the lag
+    * window (same (ts, tiebreak) order), the discrete percentiles, and
+    * the division.
+    */
+  def eventCadenceQ(s: SparkSession, dir: String): DataFrame =
+    graft.operators.EventAnalytics.eventCadence(
+      T.events(s, dir), col("user_id"), col("ts"), col("event_type"),
+      col("event_id"))
+
+  val eventCadenceOracle: String =
+    """WITH e AS (
+      |  SELECT user_id, event_id, epoch_us(ts) * 1000 AS tsn,
+      |    event_type AS et
+      |  FROM events),
+      |g AS (
+      |  SELECT et, tsn - LAG(tsn, 1) OVER (
+      |    PARTITION BY user_id, et ORDER BY tsn, event_id) AS gap
+      |  FROM e),
+      |f AS (SELECT et, gap FROM g WHERE gap IS NOT NULL)
+      |SELECT et AS event_type, CAST(COUNT(*) AS BIGINT) AS n_gaps,
+      |  CAST(quantile_disc(gap, 0.5) AS BIGINT) AS p50_gap_ns,
+      |  CAST(quantile_disc(gap, 0.95) AS BIGINT) AS p95_gap_ns,
+      |  CAST(SUM(CAST(gap AS DECIMAL(38,0))) AS DOUBLE)
+      |    / CAST(COUNT(*) AS DOUBLE) AS mean_gap_ns
+      |FROM f GROUP BY 1
+      |ORDER BY event_type""".stripMargin
+
+  /** One-pass numeric profiler ([[graft.operators.Diagnostics
+    * .tableProfile]]) over lineitem's four measures, DECIMAL(18,2)-cast
+    * so the means are exact-sum/one-division (the established decimal
+    * money-math contract). The oracle replays each column's stats and
+    * unions the rows.
+    */
+  def tableProfileQ(s: SparkSession, dir: String): DataFrame = {
+    val cols = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+      .map(n => n -> col(n).cast("decimal(18,2)"))
+    graft.operators.Diagnostics.tableProfile(T(s, dir, "lineitem"), cols)
+  }
+
+  val tableProfileOracle: String = {
+    def branch(c: String) =
+      s"""SELECT '$c' AS col_name, CAST(COUNT(*) AS BIGINT) AS n,
+         |  CAST(COUNT(*) - COUNT(v) AS BIGINT) AS n_null,
+         |  CAST(MIN(v) AS DOUBLE) AS min_v, CAST(MAX(v) AS DOUBLE) AS max_v,
+         |  CAST(SUM(v) AS DOUBLE) / CAST(COUNT(v) AS DOUBLE) AS mean,
+         |  CAST(quantile_disc(v, 0.5) AS DOUBLE) AS p50
+         |FROM (SELECT CAST($c AS DECIMAL(18,2)) AS v FROM lineitem)""".stripMargin
+    Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+      .map(branch).mkString("", "\nUNION ALL\n", "\nORDER BY col_name")
+  }
+
+  /** Per-source char-trigram fingerprint ([[graft.operators.TextIndex
+    * .charNgramProfile]]): top-10 code-point trigrams per source. The
+    * oracle replays the grams positionally with `substring(text, i, 3)`
+    * (the native emits identical code-point slices in one O(len) pass),
+    * then the count + rank chain.
+    */
+  def charTrigramProfileQ(s: SparkSession, dir: String): DataFrame =
+    graft.operators.TextIndex.charNgramProfile(
+      T(s, dir, "documents"), col("source"), col("text"), n = 3, k = 10)
+
+  val charTrigramProfileOracle: String =
+    """WITH pos AS (
+      |  SELECT source, text,
+      |    unnest(range(1, len(text) - 1)) AS i
+      |  FROM documents),
+      |g AS (
+      |  SELECT source, substring(text, CAST(i AS INTEGER), 3) AS gram
+      |  FROM pos),
+      |c AS (
+      |  SELECT source, gram, CAST(COUNT(*) AS BIGINT) AS n
+      |  FROM g GROUP BY 1, 2),
+      |r AS (
+      |  SELECT source, gram, n, ROW_NUMBER() OVER (
+      |    PARTITION BY source ORDER BY n DESC, gram) AS rank
+      |  FROM c)
+      |SELECT source, CAST(rank AS INTEGER) AS rank, gram, n
+      |FROM r WHERE rank <= 10
+      |ORDER BY source, rank""".stripMargin
+
   val all: Seq[Q] = Seq(
+    Q("time_decayed_popularity", timeDecayedPopularityQ,
+      Some(timeDecayedPopularityOracle)),
+    Q("event_cadence", eventCadenceQ, Some(eventCadenceOracle)),
+    Q("table_profile", tableProfileQ, Some(tableProfileOracle)),
+    Q("char_trigram_profile", charTrigramProfileQ,
+      Some(charTrigramProfileOracle)),
     Q("keyword_extract", keywordExtractQ, Some(keywordExtractOracle)),
     Q("vocab_richness", vocabRichnessQ, Some(vocabRichnessOracle)),
     Q("session_paths", sessionPathsQ, Some(sessionPathsOracle)),

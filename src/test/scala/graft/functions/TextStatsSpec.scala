@@ -100,4 +100,27 @@ class TextStatsSpec extends SparkSpec {
     assert(out(0)._1 === "plain ascii")
     assert(out(1)._1 === "caf\u00e9") // normalized to the composed form
   }
+
+  test("charNgrams: code-point trigrams match SQL substring semantics, " +
+      "including astral chars; short and empty strings give empty") {
+    import spark.implicits._
+    val df = Seq("abcde", "ab", "", "a\ud83d\ude00b\u00e9c").toDF("t")
+    val got = df.select(TextStats.charNgrams(col("t"), 3).as("g"))
+      .as[Seq[String]].collect().toSeq
+    assert(got(0) === Seq("abc", "bcd", "cde"))
+    assert(got(1) === Seq.empty)
+    assert(got(2) === Seq.empty)
+    // "a\ud83d\ude00b\u00e9c" has 5 code points: a, \ud83d\ude00, b, \u00e9, c \u2192 3 trigrams, each
+    // slicing the surrogate pair whole (substring semantics)
+    assert(got(3) === Seq("a\ud83d\ude00b", "\ud83d\ude00b\u00e9", "b\u00e9c"))
+    // parity with Spark SQL's own substring over the same code points
+    val viaSql = df.filter(length(col("t")) >= 3)
+      .select(col("t"), explode(sequence(lit(1),
+        length(col("t")) - 2)).as("i"))
+      .select(expr("substring(t, i, 3)").as("g"))
+      .as[String].collect().toSet
+    val viaNative = df.select(explode(
+      TextStats.charNgrams(col("t"), 3)).as("g")).as[String].collect().toSet
+    assert(viaNative === viaSql)
+  }
 }

@@ -334,4 +334,36 @@ class DiagnosticsSpec extends SparkSpec {
     def toMap2: Map[String, (Long, Long, Long, Long, Long, Double)] =
       rows.map(r => r._1 -> ((r._2, r._3, r._4, r._5, r._6, r._7))).toMap
   }
+
+  test("tableProfile: hand stats for two columns in one pass, nulls " +
+      "counted, exact decimal mean, discrete median") {
+    import spark.implicits._
+    val df = Seq(
+      (Some(1L), Some(BigDecimal("10.50"))),
+      (Some(2L), Some(BigDecimal("20.25"))),
+      (Some(3L), None),
+      (Some(4L), Some(BigDecimal("0.25"))),
+      (None, Some(BigDecimal("1.00"))))
+      .toDF("a", "b")
+    val got = graft.operators.Diagnostics.tableProfile(df,
+        Seq("a" -> col("a"), "b" -> col("b").cast("decimal(18,2)")))
+      .as[(String, Long, Long, Double, Double, Double, Double)]
+      .collect().toSeq
+    // a: n=5, null=1, min 1, max 4, mean 10/4 = 2.5, p50 = 2 (disc)
+    assert(got(0) === ("a", 5L, 1L, 1.0, 4.0, 2.5, 2.0))
+    // b: n=5, null=1, min 0.25, max 20.25, mean 32.00/4 = 8.0, p50 = 1.00
+    assert(got(1) === ("b", 5L, 1L, 0.25, 20.25, 8.0, 1.0))
+  }
+
+  test("tableProfile: an all-null column profiles to nulls, not errors") {
+    import spark.implicits._
+    val df = Seq((1L, Option.empty[Long]), (2L, Option.empty[Long]))
+      .toDF("a", "b")
+    val got = graft.operators.Diagnostics.tableProfile(df,
+        Seq("b" -> col("b")))
+      .select(col("col_name"), col("n"), col("n_null"),
+        col("min_v").isNull, col("mean").isNull, col("p50").isNull)
+      .as[(String, Long, Long, Boolean, Boolean, Boolean)].collect().toSeq
+    assert(got === Seq(("b", 2L, 2L, true, true, true)))
+  }
 }

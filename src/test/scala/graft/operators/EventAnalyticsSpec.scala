@@ -334,4 +334,73 @@ class EventAnalyticsSpec extends SparkSpec {
     val ae = got.find(r => r._1 == "A" && r._2 == "E").get
     assert(ae._7 === 1.0) // independent of the universal E
   }
+
+  test("timeDecayedPopularity: exact binary half-life decay, recency " +
+      "beats raw volume, events beyond maxShift periods contribute 0") {
+    val day = 86400L * 1000000000L
+    // half-life 1 day. Newest event at day 10 -> ages 0, 1, 2, 40
+    val rows = Seq(
+      // "hot": 2 events at day 10 (w=1 each), 1 at day 9 (w=1/2)
+      (1L, 10 * day, "hot"), (2L, 10 * day + 5L, "hot"),
+      (3L, 9 * day, "hot"),
+      // "old": 10 events at day 8 (w=1/4 each) -> 2.5 < hot's 2.5? No:
+      // hot = 2.5, old = 2.5 -- make it 9 events -> 2.25 < 2.5
+      (4L, 8 * day, "old"), (5L, 8 * day, "old"), (6L, 8 * day, "old"),
+      (7L, 8 * day, "old"), (8L, 8 * day, "old"), (9L, 8 * day, "old"),
+      (10L, 8 * day, "old"), (11L, 8 * day, "old"), (12L, 8 * day, "old"),
+      // "dead": far beyond maxShift=36 periods -> exact 0
+      (13L, -30 * day, "dead"))
+      .toDF("event_id", "ts", "event_type")
+    val got = EventAnalytics.timeDecayedPopularity(rows, col("event_type"),
+        col("ts"), halfLifeDays = 1)
+      .as[(String, Long, Double)].collect().toSeq
+    // hot: 1 + 1 + 0.5 = 2.5; old: 9 * 0.25 = 2.25; dead: 0 despite n=1
+    assert(got === Seq(("hot", 3L, 2.5), ("old", 9L, 2.25), ("dead", 1L, 0.0)))
+  }
+
+  test("timeDecayedPopularity: halfLifeDays sets the period width") {
+    val day = 86400L * 1000000000L
+    // half-life 7: days 70 and 72 share the [70, 77) period (age 0);
+    // day 60 is in [56, 63) — two periods older (w = 1/4)
+    val rows = Seq(
+      (1L, 70 * day, "a"), (2L, 72 * day, "a"), (3L, 60 * day, "a"))
+      .toDF("event_id", "ts", "event_type")
+    val got = EventAnalytics.timeDecayedPopularity(rows, col("event_type"),
+        col("ts"), halfLifeDays = 7)
+      .as[(String, Long, Double)].collect().toSeq
+    assert(got === Seq(("a", 3L, 2.25)))
+  }
+
+  test("eventCadence: per-(user, type) consecutive gaps, hand " +
+      "percentiles and mean; cross-user and cross-type gaps never mix") {
+    val s = 1000000000L // 1 second in nanos
+    val rows = Seq(
+      // u1 "ping" at 0, 10, 30 -> gaps 10 s, 20 s
+      (1L, 0L, "ping", 1L), (1L, 10 * s, "ping", 2L), (1L, 30 * s, "ping", 3L),
+      // u2 "ping" at 100 -> no gap (single event)
+      (2L, 100 * s, "ping", 4L),
+      // u1 "click" at 5, 6 -> gap 1 s (must not merge with ping's)
+      (1L, 5 * s, "click", 5L), (1L, 6 * s, "click", 6L))
+      .toDF("user_id", "ts", "et", "eid")
+    val got = EventAnalytics.eventCadence(rows, col("user_id"), col("ts"),
+        col("et"), col("eid"))
+      .as[(String, Long, Long, Long, Double)].collect().toSeq
+    assert(got === Seq(
+      ("click", 1L, 1 * s, 1 * s, 1.0 * s),
+      ("ping", 2L, 10 * s, 20 * s, 15.0 * s)))
+  }
+
+  test("eventCadence: a metronomic (bot) type shows p95 == p50") {
+    val s = 1000000000L
+    val bot = (0 until 50).map(i => (1L, i * 60 * s, "bot", i.toLong))
+    val human = Seq((2L, 0L, "h", 100L), (2L, 10 * s, "h", 101L),
+      (2L, 400 * s, "h", 102L), (2L, 401 * s, "h", 103L))
+    val got = EventAnalytics.eventCadence((bot ++ human)
+        .toDF("user_id", "ts", "et", "eid"),
+        col("user_id"), col("ts"), col("et"), col("eid"))
+      .as[(String, Long, Long, Long, Double)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(got("bot")._3 === got("bot")._4) // p50 == p95: scripted
+    assert(got("h")._4 > got("h")._3)       // organic spread
+  }
 }

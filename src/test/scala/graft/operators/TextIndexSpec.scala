@@ -342,4 +342,23 @@ class TextIndexSpec extends SparkSpec {
     assert(got("ocr") === 1.0)
     assert(got("tmpl") === 0.0)
   }
+
+  test("charNgramProfile: hand trigram counts per source, count-desc " +
+      "then gram tiebreak, k cuts the tail, short docs contribute " +
+      "nothing") {
+    val docs = Seq(
+      ("s1", "ababa"),   // aba x2 (positions 1,3), bab x1
+      ("s1", "abaft"),   // aba, baf, aft
+      ("s1", "x"),       // too short: no grams
+      ("s2", "zzzz"))    // zzz x2
+      .toDF("source", "text")
+    val got = TextIndex.charNgramProfile(docs, col("source"), col("text"),
+        n = 3, k = 2)
+      .as[(String, Int, String, Long)].collect().toSeq
+    // s1 totals: aba=3 (2 from "ababa" + 1 from "abaft"), aft=1, bab=1,
+    // baf=1 — the n=1 tie breaks on gram, so rank 2 is "aft"
+    assert(got === Seq(
+      ("s1", 1, "aba", 3L), ("s1", 2, "aft", 1L),
+      ("s2", 1, "zzz", 2L)))
+  }
 }

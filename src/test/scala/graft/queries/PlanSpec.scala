@@ -595,4 +595,40 @@ class PlanSpec extends SparkSpec {
     assert("HashAggregate".r.findAllIn(p).size >= 2, p)
     assert(p.contains("BroadcastHashJoin"), p) // the |types|-row marginals
   }
+
+  test("time_decayed_popularity: map-side period projection, one-row " +
+      "as-of broadcast, ONE 2-phase type agg — no window, no sort-agg " +
+      "over the corpus") {
+    val p = plan(Pipeline.timeDecayedPopularityQ(spark, dir))
+    assert(!p.contains("Window"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("BroadcastNestedLoopJoin"), p) // the one-row as-of
+    assert("HashAggregate".r.findAllIn(p).size >= 2, p)
+  }
+
+  test("event_cadence: ONE (user, type)-partitioned lag window, then a " +
+      "partial-aggregated |types|-row rollup") {
+    val p = plan(Pipeline.eventCadenceQ(spark, dir))
+    assert("(\\d+) Window".r.findAllIn(p).size <= 2, p) // one node, 2 prints
+    assert(!p.contains("collect_list"), p)
+    assert(!p.contains("Join"), p)
+  }
+
+  test("table_profile: all columns profile in ONE aggregation over one " +
+      "scan — a single leaf, no join, no per-column pass") {
+    val p = plan(Pipeline.tableProfileQ(spark, dir))
+    assert(!p.contains("Join"), p)
+    assert(!p.contains("Union"), p) // NOT the per-column UNION the oracle uses
+    assert("Scan parquet".r.findAllIn(p).size <= 2, p) // one leaf, 2 prints
+  }
+
+  test("char_trigram_profile: explode -> one (source, gram) 2-phase " +
+      "count -> per-source rank window; the native emits grams (no " +
+      "O(len^2) substring-per-position)") {
+    val p = plan(Pipeline.charTrigramProfileQ(spark, dir))
+    assert(p.contains("char_ngrams"), p) // the native, not substring loops
+    assert("HashAggregate".r.findAllIn(p).size >= 2, p)
+    assert("(\\d+) Window".r.findAllIn(p).size <= 2, p)
+    assert(!p.contains("Join"), p)
+  }
 }
