@@ -163,7 +163,16 @@ object Stress {
     // fresh grams; the head is scale-stable). table_profile reads
     // lineitem, which the stress corpus doesn't replicate — spec/plan
     // gated instead (single-scan single-agg shape).
-    "time_decayed_popularity", "event_cadence", "char_trigram_profile")
+    "time_decayed_popularity", "event_cadence", "char_trigram_profile",
+    // doc_compressibility is MAP-ONLY (one native gram pass + per-row
+    // hash dedup — linear in text bytes by claim); mixture_waterfill's
+    // corpus-sized work is one token agg (the windows run over
+    // |sources| rows); time_embargo_split is one percentile agg + a
+    // map labeling pass; edit_distance_linkage keeps a FIXED left half
+    // (base ids < 250 — replicas all land in the right half), so
+    // candidates grow linearly with each left doc's replica count
+    "doc_compressibility", "mixture_waterfill", "time_embargo_split",
+    "edit_distance_linkage")
 
   /** Replica id offset — well above any sf0.1 id, keeps replica ids
     * unique. PUBLIC because `Pipeline.simHashedLsh` pins its probe set

@@ -881,6 +881,55 @@ object Dedup {
       .select(col("left_id"), col("right_id"), col("jaccard"))
   }
 
+  /** Block-and-refine record linkage with an EXACT edit-distance verdict:
+    * candidate pairs come from [[jaccardJoin]]'s inverted-index blocking
+    * at a deliberately LOW `blockJaccard` (recall stage), then each
+    * candidate pays a banded Levenshtein over the first `prefixLen` code
+    * points and survives at distance ≤ `maxDist` (precision stage) — the
+    * classic linkage split: never run O(prefixLen²) DP on the cross
+    * product, never trust set overlap alone (shingle Jaccard is blind to
+    * ORDER — "alpha beta gamma" vs "gamma beta alpha" — and to heavy
+    * in-window edits; edit distance is the exact string metric). Output:
+    * (left_id, right_id, dist), ordered.
+    *
+    * Determinism: Levenshtein is the exact unit-cost DP — an integer any
+    * engine agrees on (Spark `levenshtein` ≡ DuckDB `levenshtein`);
+    * prefixes are code-point slices (SQL `substring` semantics both
+    * sides).
+    *
+    * Scale shape: the blocking stage is the documented [[jaccardJoin]]
+    * shape (8-byte shingle-fp posting join, no text shuffled); only then
+    * do the candidate ids join back to their prefixes — the pair table is
+    * blocking-bounded and broadcast-eligible, so text moves map-side,
+    * once, for matched rows only. The DP itself is `threshold`-banded
+    * (`levenshtein(l, r, maxDist)` is O(maxDist·prefixLen), returning -1
+    * beyond the band instead of filling the full matrix).
+    */
+  def editDistanceLinkage(left: DataFrame, lId: Column, lText: Column,
+      right: DataFrame, rId: Column, rText: Column,
+      shingleK: Int = 3, blockJaccard: Double = 0.5,
+      prefixLen: Int = 100, maxDist: Int = 25,
+      maxDocFreq: Option[Long] = None): DataFrame = {
+    require(prefixLen > 0, s"prefixLen must be positive, got $prefixLen")
+    require(maxDist >= 0, s"maxDist must be >= 0, got $maxDist")
+    // maxDocFreq forwards to the blocking stage — set it at corpus scale
+    // (the jaccardJoin contract): a LOW blockJaccard is exactly where a
+    // stop-shingle's f_L·f_R posting blowup hurts most
+    val cand = jaccardJoin(left, lId, lText, right, rId, rText,
+      shingleK, blockJaccard, maxDocFreq)
+      .select(col("left_id"), col("right_id"))
+    val lp = left.select(lId.as("left_id"),
+      substring(lText, 1, prefixLen).as("__lp"))
+    val rp = right.select(rId.as("right_id"),
+      substring(rText, 1, prefixLen).as("__rp"))
+    cand.join(lp, Seq("left_id")).join(rp, Seq("right_id"))
+      .select(col("left_id"), col("right_id"),
+        levenshtein(col("__lp"), col("__rp"), maxDist).as("dist"))
+      .filter(col("dist") >= 0)
+      .select(col("left_id"), col("right_id"), col("dist"))
+      .orderBy(col("left_id"), col("right_id"))
+  }
+
   /** Containment (decontamination) join: for every needle document, the
     * corpus documents containing at least `threshold` of the needle's
     * k-shingles — `|S(needle) ∩ S(doc)| / |S(needle)|`. Asymmetric on

@@ -115,4 +115,33 @@ object QualityFilter {
         coalesce(col("primary_lang"), lit("und")).as("primary_lang"),
         (coalesce(col("n_langs"), lit(0L)) >= 2).as("mixed"))
   }
+
+  /** Compression-proxy quality signal — the distinct-`n`-gram ratio per
+    * document (MassiveText's compression-ratio filter, restated without a
+    * codec so any engine replays it): highly repetitive text (keyword
+    * stuffing, boilerplate loops, degenerate generation) re-uses the same
+    * character windows and scores LOW; natural prose approaches 1.
+    * Output: (doc_id, n_grams, n_distinct, compress_ratio), ratio NULL
+    * for docs shorter than `n` code points.
+    *
+    * Determinism: both counts are exact (the
+    * [[org.apache.spark.sql.graft.CharNgrams]] code-point grams match
+    * SQL `substring` positionally); the ratio is one IEEE division.
+    *
+    * Scale shape: MAP-ONLY — one O(len) gram pass and one per-row hash
+    * dedup (`array_distinct`) per document; nothing shuffles at all.
+    * At 100 TB this is a pure scan whose cost rides the text bytes.
+    */
+  def docCompressibility(df: DataFrame, id: Column, text: Column,
+      n: Int = 8): DataFrame = {
+    require(n > 0, s"n must be positive, got $n")
+    val grams = org.apache.spark.sql.graft.TextStats.charNgrams(text, n)
+    df.select(id.as("doc_id"),
+        size(grams).cast("long").as("n_grams"),
+        size(array_distinct(grams)).cast("long").as("n_distinct"))
+      .select(col("doc_id"), col("n_grams"), col("n_distinct"),
+        when(col("n_grams") > 0, col("n_distinct").cast("double") /
+          col("n_grams").cast("double")).as("compress_ratio"))
+      .orderBy(col("doc_id"))
+  }
 }

@@ -399,4 +399,106 @@ object Sampling {
     }
     df.withColumn(out, assigned)
   }
+
+  /** Water-filling token-budget allocation across sources — the standard
+    * "spend `budget` tokens as evenly as possible without over-drawing
+    * any source" mixture solve (max-min fair allocation): every source
+    * gets `min(its tokens, level)` where the common level exhausts the
+    * budget exactly. Small sources are fully taken; large sources are
+    * capped at the level — the allocation a token-budget mixture sampler
+    * then executes per source. Output: (source, tokens, alloc),
+    * Σ alloc = min(budget, Σ tokens), 0 ≤ alloc ≤ tokens, ordered by
+    * source.
+    *
+    * Determinism: ENTIRELY integer — the level is found by the sorted
+    * prefix-sum test (source `i` in (tokens, source) order is fully
+    * funded iff cum_i + (n-i)·tokens_i ≤ budget), the residual splits as
+    * `div`/`mod`, and the `mod` remainder goes to the FIRST uncapped
+    * sources in the same sort order. No floats anywhere; any engine
+    * replays it bit-for-bit.
+    *
+    * Scale shape: the input is the per-source token table — dimension-
+    * sized (one row per source), NOT the corpus — so the single-partition
+    * rank/prefix windows here are over |sources| rows by construction
+    * (the corpus-sized token count that produces the input is the
+    * caller's one 2-phase aggregation). Document-level skew never
+    * reaches this operator.
+    */
+  def mixtureWaterfill(counts: DataFrame, source: Column, tokens: Column,
+      budget: Long): DataFrame = {
+    require(budget >= 0, s"budget must be >= 0, got $budget")
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("tokens"), col("source"))
+    val wAll = org.apache.spark.sql.expressions.Window
+      .orderBy(col("tokens"), col("source"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.unboundedFollowing)
+    // explicit ROWS frame: the default ORDER BY frame is RANGE, which
+    // merges ties — (tokens, source) is unique here, but spell it out so
+    // the oracle's ROWS frame is the same expression by construction
+    val wCum = w.rowsBetween(
+      org.apache.spark.sql.expressions.Window.unboundedPreceding,
+      org.apache.spark.sql.expressions.Window.currentRow)
+    val ranked = counts.select(source.as("source"),
+        tokens.cast("long").as("tokens"))
+      .select(col("source"), col("tokens"),
+        row_number().over(w).as("i"),
+        sum(col("tokens")).over(wCum).as("cum"),
+        count(lit(1)).over(wAll).as("n"))
+      .withColumn("funded",
+        col("cum") + (col("n") - col("i")) * col("tokens") <= budget)
+    val ranked2 = ranked
+      .withColumn("k", max(when(col("funded"), col("i")).otherwise(0L))
+        .over(wAll))
+      .withColumn("cumk", max(when(col("funded"), col("cum")).otherwise(0L))
+        .over(wAll))
+      .withColumn("m", col("n") - col("k"))
+    ranked2.select(col("source"), col("tokens"),
+        when(col("i") <= col("k"), col("tokens"))
+          .otherwise(
+            expr(s"($budget - cumk) div m") +
+            when(col("i") - col("k") <= expr(s"($budget - cumk) % m"), 1L)
+              .otherwise(0L))
+          .as("alloc"))
+      .orderBy(col("source"))
+  }
+
+  /** Chronological train/test split with an embargo gap — the temporal
+    * leakage guard for time-series / events data: the cut is the exact
+    * `trainFrac` discrete percentile of the timestamp, TEST is
+    * everything after the cut, TRAIN is everything at least
+    * `embargoNanos` BEFORE it, and rows inside the gap are labeled
+    * `embargo` and excluded from both (a model scoring near-cut test
+    * rows must not have trained on their immediate past — lookahead
+    * features bleed across a gapless boundary). Output: the input keyed
+    * rows as (id, split ∈ train|embargo|test).
+    *
+    * Determinism: the cut is an actual data value (percentile_disc) at
+    * MICROSECOND granularity — Spark's percentile_disc round-trips
+    * through DOUBLE, and a nanosecond epoch (~1.7·10^18) is beyond
+    * 2^53, so a nano-granular cut would shift by up to ~256 ns in the
+    * mantissa; microsecond epochs (~1.7·10^15) are exactly
+    * representable. The cut is the p-th distinct microsecond · 1000;
+    * both boundaries are exact long comparisons. Train: ts ≤ cut −
+    * embargo; embargo: cut − embargo < ts ≤ cut; test: ts > cut.
+    *
+    * Scale shape: ONE percentile aggregation (KLL documented for
+    * extreme corpora), a one-row broadcast, and a map-only labeling
+    * pass — no corpus shuffle.
+    */
+  def timeEmbargoSplit(df: DataFrame, id: Column, tsNanos: Column,
+      trainFrac: Double = 0.8, embargoNanos: Long): DataFrame = {
+    require(trainFrac > 0 && trainFrac < 1, s"bad trainFrac $trainFrac")
+    require(embargoNanos >= 0, s"embargo must be >= 0, got $embargoNanos")
+    val base = df.select(id.as("id"), tsNanos.cast("long").as("ts"))
+    val cut = broadcast(base.select(expr("ts div 1000").as("__us")).agg(
+      (expr(s"CAST(percentile_disc($trainFrac) WITHIN GROUP (ORDER BY __us) AS BIGINT)")
+        * 1000L).as("__cut")))
+    base.crossJoin(cut)
+      .select(col("id"),
+        when(col("ts") <= col("__cut") - embargoNanos, "train")
+          .when(col("ts") <= col("__cut"), "embargo")
+          .otherwise("test").as("split"))
+      .orderBy(col("id"))
+  }
 }

@@ -4974,7 +4974,168 @@ object Pipeline {
       |FROM r WHERE rank <= 10
       |ORDER BY source, rank""".stripMargin
 
+  // --------------------------- compressibility / waterfill / embargo / edit
+
+  /** Compression-proxy quality signal ([[graft.operators.QualityFilter
+    * .docCompressibility]]): per-doc distinct-8-gram ratio — exact
+    * counts (code-point grams ≡ positional SQL substring), one IEEE
+    * division, NULL ratio for sub-8-codepoint docs.
+    */
+  def docCompressibilityQ(s: SparkSession, dir: String): DataFrame =
+    graft.operators.QualityFilter.docCompressibility(
+      T(s, dir, "documents"), col("doc_id"), col("text"), n = 8)
+
+  val docCompressibilityOracle: String =
+    """WITH pos AS (
+      |  SELECT doc_id, text, unnest(range(1, len(text) - 6)) AS i
+      |  FROM documents),
+      |g AS (
+      |  SELECT doc_id, substring(text, CAST(i AS INTEGER), 8) AS gram
+      |  FROM pos),
+      |a AS (
+      |  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_grams,
+      |    CAST(COUNT(DISTINCT gram) AS BIGINT) AS n_distinct
+      |  FROM g GROUP BY 1)
+      |SELECT d.doc_id,
+      |  COALESCE(a.n_grams, 0) AS n_grams,
+      |  COALESCE(a.n_distinct, 0) AS n_distinct,
+      |  CASE WHEN a.n_grams > 0
+      |    THEN CAST(a.n_distinct AS DOUBLE) / CAST(a.n_grams AS DOUBLE)
+      |  END AS compress_ratio
+      |FROM documents d LEFT JOIN a USING (doc_id)
+      |ORDER BY doc_id""".stripMargin
+
+  /** Water-filling token-budget allocation ([[graft.operators.Sampling
+    * .mixtureWaterfill]]): per-source whitespace-token mass, budget =
+    * half the corpus total (computed from the same exact integers on
+    * both sides), allocation entirely in integer div/mod — the oracle
+    * replays the sorted prefix-sum level search and the remainder rule.
+    */
+  def mixtureWaterfillQ(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.functions.TextFunctions
+    // ONE corpus token aggregation, collected as the |sources|-row
+    // dimension table (dimension-seed pattern) — the budget (half the
+    // total, keeping every SF in the partial-funding regime) and the
+    // waterfill input both come from this single pass; re-deriving the
+    // budget from the uncached plan would scan the corpus twice
+    val rows = T(s, dir, "documents")
+      .select(col("source"),
+        TextFunctions.tokenCountWs(col("text")).cast("long").as("tok"))
+      .groupBy(col("source")).agg(sum(col("tok")).as("tokens"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    val total = rows.map(_._2).sum
+    graft.operators.Sampling.mixtureWaterfill(
+      rows.toDF("source", "tokens"), col("source"), col("tokens"),
+      budget = total / 2)
+  }
+
+  val mixtureWaterfillOracle: String =
+    """WITH tc AS (
+      |  SELECT source,
+      |    CAST(CASE WHEN trim(text) = '' THEN 0
+      |      ELSE len(string_split_regex(trim(text), '\s+')) END AS BIGINT)
+      |      AS tok
+      |  FROM documents),
+      |c AS (SELECT source, CAST(SUM(tok) AS BIGINT) AS tokens
+      |  FROM tc GROUP BY 1),
+      |b AS (SELECT CAST(SUM(tokens) // 2 AS BIGINT) AS budget FROM c),
+      |s AS (
+      |  SELECT source, tokens,
+      |    CAST(ROW_NUMBER() OVER (ORDER BY tokens, source) AS BIGINT) AS i,
+      |    CAST(SUM(tokens) OVER (ORDER BY tokens, source
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+      |      AS cum,
+      |    CAST(COUNT(*) OVER () AS BIGINT) AS n
+      |  FROM c),
+      |t AS (
+      |  SELECT s.*, b.budget,
+      |    (cum + (n - i) * tokens <= budget) AS funded
+      |  FROM s, b),
+      |agg AS (
+      |  SELECT MAX(CASE WHEN funded THEN i ELSE 0 END) AS k,
+      |    MAX(CASE WHEN funded THEN cum ELSE 0 END) AS cumk
+      |  FROM t)
+      |SELECT source, tokens,
+      |  CASE WHEN i <= k THEN tokens
+      |    ELSE (budget - cumk) // (n - k)
+      |      + (CASE WHEN i - k <= (budget - cumk) % (n - k)
+      |          THEN 1 ELSE 0 END)
+      |  END AS alloc
+      |FROM t, agg
+      |ORDER BY source""".stripMargin
+
+  /** Chronological split with a 1-day embargo gap ([[graft.operators
+    * .Sampling.timeEmbargoSplit]]): cut = exact p80 timestamp; the
+    * oracle replays the percentile and both boundary comparisons.
+    */
+  def timeEmbargoSplitQ(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Sampling.timeEmbargoSplit(
+      T.events(s, dir), col("event_id"), col("ts"),
+      trainFrac = 0.8, embargoNanos = 86400L * 1000000000L)
+
+  val timeEmbargoSplitOracle: String =
+    """WITH e AS (
+      |  SELECT event_id, epoch_us(ts) * 1000 AS tsn FROM events),
+      |c AS (SELECT CAST(quantile_disc(tsn // 1000, 0.8) AS BIGINT) * 1000
+      |  AS cut FROM e)
+      |SELECT event_id AS id,
+      |  CASE WHEN tsn <= cut - 86400000000000 THEN 'train'
+      |       WHEN tsn <= cut THEN 'embargo'
+      |       ELSE 'test' END AS split
+      |FROM e, c
+      |ORDER BY id""".stripMargin
+
+  /** Block-and-refine edit-distance linkage ([[graft.operators.Dedup
+    * .editDistanceLinkage]]) across the corpus halves: jaccardJoin
+    * blocking at 0.5 (the fuzzy_join machinery, looser), then exact
+    * banded Levenshtein over 100-code-point prefixes at ≤ 25. The
+    * oracle replays the shingle blocking AND the refine with DuckDB's
+    * own levenshtein — the integers must agree exactly.
+    */
+  def editDistanceLinkageQ(s: SparkSession, dir: String): DataFrame = {
+    val docs = T(s, dir, "documents")
+    graft.operators.Dedup.editDistanceLinkage(
+      docs.filter(col("doc_id") < 250), col("doc_id"), col("text"),
+      docs.filter(col("doc_id") >= 250), col("doc_id"), col("text"),
+      shingleK = 3, blockJaccard = 0.5, prefixLen = 100, maxDist = 25)
+  }
+
+  val editDistanceLinkageOracle: String =
+    s"""WITH $shingleSetsSql,
+       |l AS (SELECT doc_id, s FROM sets WHERE doc_id < 250),
+       |r AS (SELECT doc_id, s FROM sets WHERE doc_id >= 250),
+       |lp AS (SELECT doc_id, unnest(s) AS sp FROM l),
+       |rp AS (SELECT doc_id, unnest(s) AS sp FROM r),
+       |pairs AS (
+       |  SELECT a.doc_id AS left_id, b.doc_id AS right_id, COUNT(*) AS inter
+       |  FROM lp a JOIN rp b ON a.sp = b.sp
+       |  GROUP BY 1, 2),
+       |cand AS (
+       |  SELECT left_id, right_id
+       |  FROM pairs
+       |  JOIN l sl ON sl.doc_id = left_id
+       |  JOIN r sr ON sr.doc_id = right_id
+       |  WHERE CAST(inter AS DOUBLE) /
+       |    CAST(len(sl.s) + len(sr.s) - inter AS DOUBLE) >= 0.5),
+       |refined AS (
+       |  SELECT c.left_id, c.right_id,
+       |    CAST(levenshtein(substring(dl.text, 1, 100),
+       |      substring(dr.text, 1, 100)) AS INTEGER) AS dist
+       |  FROM cand c
+       |  JOIN documents dl ON dl.doc_id = c.left_id
+       |  JOIN documents dr ON dr.doc_id = c.right_id)
+       |SELECT left_id, right_id, dist
+       |FROM refined WHERE dist <= 25
+       |ORDER BY left_id, right_id""".stripMargin
+
   val all: Seq[Q] = Seq(
+    Q("doc_compressibility", docCompressibilityQ,
+      Some(docCompressibilityOracle)),
+    Q("mixture_waterfill", mixtureWaterfillQ, Some(mixtureWaterfillOracle)),
+    Q("time_embargo_split", timeEmbargoSplitQ, Some(timeEmbargoSplitOracle)),
+    Q("edit_distance_linkage", editDistanceLinkageQ,
+      Some(editDistanceLinkageOracle)),
     Q("time_decayed_popularity", timeDecayedPopularityQ,
       Some(timeDecayedPopularityOracle)),
     Q("event_cadence", eventCadenceQ, Some(eventCadenceOracle)),

@@ -676,4 +676,42 @@ class DedupSpec extends SparkSpec {
     assert(d1(0)._2 === 0L && d1(0)._3 === 12L)
     assert(d1(1)._2 === 24L && d1(1)._3 === 32L)
   }
+
+  test("editDistanceLinkage: blocking recalls shingle-similar pairs, " +
+      "the edit refine keeps true near-dups and kills reordered text " +
+      "that Jaccard cannot tell apart") {
+    import spark.implicits._
+    val base = "the quick brown fox jumps over the lazy dog again and again"
+    val left = Seq((1L, base), (2L, "totally unrelated content here"))
+      .toDF("id", "text")
+    val right = Seq(
+      (10L, base + " x"),                      // true near-dup: tiny suffix edit
+      (11L, base.split(" ").reverse.mkString(" ")), // same tokens, reversed
+      (12L, "totally different other stuff"))
+      .toDF("id", "text")
+    val got = Dedup.editDistanceLinkage(
+        left, col("id"), col("text"), right, col("id"), col("text"),
+        shingleK = 1, blockJaccard = 0.3, prefixLen = 100, maxDist = 10)
+      .as[(Long, Long, Int)].collect().toSeq
+    // (1, 10): 2 edits (" x"); (1, 11) shares ALL unigram shingles
+    // (Jaccard 1.0 at k=1) but the reversal costs >> 10 edits -> killed
+    // by the refine; doc 2 pairs block out at 0.3
+    assert(got === Seq((1L, 10L, 2)))
+  }
+
+  test("editDistanceLinkage distances are exact Levenshtein and the " +
+      "band returns every pair within maxDist") {
+    import spark.implicits._
+    val l = Seq((1L, "abcdefgh abcdefgh abcdefgh")).toDF("id", "text")
+    val r = Seq(
+      (10L, "abcdefgh abcdefgh abcdefgh"),     // dist 0
+      (11L, "abcdefgh abcdefgX abcdefgh"),     // dist 1 (substitution)
+      (12L, "abcdefgh abcdefgh abcdefghZZZZ")) // dist 4 (insertions)
+      .toDF("id", "text")
+    val got = Dedup.editDistanceLinkage(
+        l, col("id"), col("text"), r, col("id"), col("text"),
+        shingleK = 1, blockJaccard = 0.2, prefixLen = 100, maxDist = 4)
+      .as[(Long, Long, Int)].collect().toSeq
+    assert(got === Seq((1L, 10L, 0), (1L, 11L, 1), (1L, 12L, 4)))
+  }
 }

@@ -108,4 +108,35 @@ class QualityFilterSpec extends SparkSpec {
       assert(hof(id) === ls, s"doc $id diverged")
     }
   }
+
+  test("docCompressibility: hand gram counts, repetitive text scores " +
+      "low, natural text high, short docs get NULL ratio") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "aaaaaaaaaa"),        // 10 chars -> 3 distinct? no: all "aaaaaaaa"
+      (2L, "abcdefghij"),        // all 3 8-grams distinct
+      (3L, "short"))             // < 8 chars -> 0 grams, NULL ratio
+      .toDF("doc_id", "text")
+    val got = graft.operators.QualityFilter.docCompressibility(
+        docs, col("doc_id"), col("text"), n = 8)
+      .as[(Long, Long, Long, Option[Double])].collect().toSeq
+    // doc1: 3 grams, all "aaaaaaaa" -> 1 distinct -> ratio 1/3
+    assert(got(0) === ((1L, 3L, 1L, Some(1.0 / 3.0))))
+    // doc2: 3 grams, 3 distinct -> 1.0
+    assert(got(1) === ((2L, 3L, 3L, Some(1.0))))
+    assert(got(2) === ((3L, 0L, 0L, None)))
+  }
+
+  test("docCompressibility separates keyword stuffing from prose") {
+    import spark.implicits._
+    val stuffed = "buy cheap " * 40            // heavy window re-use
+    val prose = (1 to 80).map(i => s"w$i").mkString(" ") // all-fresh windows
+    val got = graft.operators.QualityFilter.docCompressibility(
+        Seq((1L, stuffed), (2L, prose)).toDF("doc_id", "text"),
+        col("doc_id"), col("text"))
+      .as[(Long, Long, Long, Option[Double])].collect()
+      .map(r => r._1 -> r._4.get).toMap
+    assert(got(1L) < 0.1)
+    assert(got(2L) > 0.9)
+  }
 }

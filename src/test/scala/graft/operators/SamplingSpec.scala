@@ -240,4 +240,74 @@ class SamplingSpec extends SparkSpec {
       .as[(Long, String, Long, Double)].collect().map(r => r._1 -> r._4).toMap
     assert(re === got)
   }
+
+  test("mixtureWaterfill: hand allocation — small sources fully funded, " +
+      "large capped at the level, remainder to the first uncapped, " +
+      "budget exactly spent") {
+    import spark.implicits._
+    val counts = Seq(("a", 10L), ("b", 100L), ("c", 100L), ("d", 5L))
+      .toDF("source", "tokens")
+    // sorted: d(5) a(10) b(100) c(100); budget 85:
+    // d,a fully funded (cum 15); rem 70 over b,c -> level 35, extra 0
+    val got = graft.operators.Sampling.mixtureWaterfill(
+        counts, col("source"), col("tokens"), budget = 85L)
+      .as[(String, Long, Long)].collect().toSeq
+    assert(got === Seq(("a", 10L, 10L), ("b", 100L, 35L),
+      ("c", 100L, 35L), ("d", 5L, 5L)))
+    assert(got.map(_._3).sum === 85L)
+    // budget 86: rem 71 -> level 35, extra 1 -> the FIRST uncapped in
+    // (tokens, source) order (b) gets the +1
+    val got2 = graft.operators.Sampling.mixtureWaterfill(
+        counts, col("source"), col("tokens"), budget = 86L)
+      .as[(String, Long, Long)].collect().map(r => r._1 -> r._3).toMap
+    assert(got2 === Map("a" -> 10L, "b" -> 36L, "c" -> 35L, "d" -> 5L))
+  }
+
+  test("mixtureWaterfill: budget >= total funds everything; tiny budget " +
+      "splits evenly; no allocation ever exceeds its source") {
+    import spark.implicits._
+    val counts = Seq(("a", 7L), ("b", 3L), ("c", 12L))
+      .toDF("source", "tokens")
+    val full = graft.operators.Sampling.mixtureWaterfill(
+        counts, col("source"), col("tokens"), budget = 22L)
+      .as[(String, Long, Long)].collect().toSeq
+    assert(full.forall(r => r._3 === r._2)) // 22 = total -> all funded
+    val tiny = graft.operators.Sampling.mixtureWaterfill(
+        counts, col("source"), col("tokens"), budget = 2L)
+      .as[(String, Long, Long)].collect().toSeq
+    // level 0, extra 2 -> first two in (tokens, source) order: b, a
+    assert(tiny.map(r => r._1 -> r._3).toMap ===
+      Map("a" -> 1L, "b" -> 1L, "c" -> 0L))
+    assert(tiny.forall(r => r._3 <= r._2 && r._3 >= 0))
+  }
+
+  test("timeEmbargoSplit: exact boundaries — train ends a full embargo " +
+      "before the cut, the gap rows are excluded from both sides") {
+    import spark.implicits._
+    val us = 1000L // the cut is micro-granular by contract
+    // 10 events at micros 1..10; p80 discrete of [1..10] = 8
+    val rows = (1L to 10L).map(i => (i, i * us)).toDF("id", "ts")
+    val got = graft.operators.Sampling.timeEmbargoSplit(
+        rows, col("id"), col("ts"), trainFrac = 0.8,
+        embargoNanos = 3 * us)
+      .as[(Long, String)].collect().toMap
+    // cut = 8 us; train: ts <= 5 us; embargo: 5 < ts <= 8; test: > 8
+    assert((1L to 5L).forall(got(_) == "train"))
+    assert((6L to 8L).forall(got(_) == "embargo"))
+    assert((9L to 10L).forall(got(_) == "test"))
+  }
+
+  test("timeEmbargoSplit: no temporal leakage — max train ts + embargo " +
+      "<= min test ts on a realistic spread") {
+    import spark.implicits._
+    val rows = (1L to 500L).map(i => (i, i * 7919L * 1000L))
+      .toDF("id", "ts")
+    val embargo = 100000L
+    val split = graft.operators.Sampling.timeEmbargoSplit(
+      rows, col("id"), col("ts"), trainFrac = 0.7, embargoNanos = embargo)
+    val byTs = split.join(rows, "id").as[(Long, String, Long)].collect()
+    val trainMax = byTs.filter(_._2 == "train").map(_._3).max
+    val testMin = byTs.filter(_._2 == "test").map(_._3).min
+    assert(trainMax + embargo <= testMin)
+  }
 }

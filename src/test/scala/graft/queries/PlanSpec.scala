@@ -631,4 +631,43 @@ class PlanSpec extends SparkSpec {
     assert("(\\d+) Window".r.findAllIn(p).size <= 2, p)
     assert(!p.contains("Join"), p)
   }
+
+  test("doc_compressibility: MAP-ONLY — no exchange, no join, no " +
+      "aggregation touches the corpus; one native gram pass per row") {
+    val p = plan(Pipeline.docCompressibilityQ(spark, dir))
+    assert(p.contains("char_ngrams"), p)
+    assert(!p.contains("Join"), p)
+    assert(!p.contains("HashAggregate"), p)
+    // the only exchange is the output rangepartitioning for ORDER BY
+    assert("Exchange".r.findAllIn(p).size <= 2, p)
+  }
+
+  test("mixture_waterfill: the returned plan is DIMENSION-sized — the " +
+      "one corpus token agg happened at construction (collected seed); " +
+      "the waterfill windows see |sources| local rows, never documents") {
+    val p = plan(Pipeline.mixtureWaterfillQ(spark, dir))
+    assert(p.contains("LocalTableScan"), p) // the collected dim table
+    assert(!p.contains("Scan parquet"), p)  // no corpus re-scan at run time
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("collect_list"), p)
+  }
+
+  test("time_embargo_split: one percentile agg, a one-row cut " +
+      "broadcast, and a map-only labeling pass — no corpus shuffle " +
+      "beyond the output sort") {
+    val p = plan(Pipeline.timeEmbargoSplitQ(spark, dir))
+    assert(p.contains("BroadcastNestedLoopJoin"), p) // the one-row cut
+    assert(!p.contains("Window"), p)
+    assert(!p.contains("SortAggregate") ||
+      "SortAggregate".r.findAllIn(p).size <= 4, p) // the percentile only
+  }
+
+  test("edit_distance_linkage: the blocking join runs on shingle " +
+      "fingerprints (no text), the refine joins text prefixes back on " +
+      "the pair-bounded candidate set — no cartesian") {
+    val p = plan(Pipeline.editDistanceLinkageQ(spark, dir))
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("levenshtein"), p)
+    assert("HashAggregate".r.findAllIn(p).size >= 2, p) // the inter count
+  }
 }
