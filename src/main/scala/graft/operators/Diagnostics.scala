@@ -592,6 +592,104 @@ object Diagnostics {
     * column's values — the [[robustStats]] bound; profile a sampled
     * slice or swap the KLL sketch for wide-row tables at extreme scale.
     */
+  /** Per-group ranking quality — the exact Mann–Whitney AUC of a score
+    * against a boolean label, per group: "if I rank this source's docs
+    * by the score, what fraction of (positive, negative) pairs does it
+    * order correctly?" The standard acceptance gate for a quality /
+    * routing classifier BEFORE its threshold is chosen (a threshold
+    * picks a point on the curve; AUC says whether any good point
+    * exists). Ties get the average rank (the Mann–Whitney convention).
+    * Output: (group, n_pos, n_neg, auc), auc NULL when a group lacks
+    * both classes.
+    *
+    * Determinism: ENTIRELY integer until one final division — the
+    * doubled tie-averaged rank `2·rank_min + cnt − 1` is an integer, so
+    * the positive rank mass sums exactly (DECIMAL(38,0) — n·2n can pass
+    * 2^63 at corpus scale), and
+    * `auc = (Σr2⁺ − np(np+1)) / (2·np·nn)` is one IEEE division of
+    * exact operands.
+    *
+    * Scale shape: one (group)-partitioned rank window + a (group,
+    * score)-partitioned tie count (same shuffle key prefix), then a
+    * 2-phase |groups|-row agg. The per-group sort is the watched cost —
+    * the [[robustStats]] bound; sample per group when a group is a
+    * whole corpus.
+    */
+  def rankingAucReport(df: DataFrame, group: Column, score: Column,
+      label: Column): DataFrame = {
+    val wr = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("grp")).orderBy(col("s"))
+    val wt = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("grp"), col("s"))
+    df.select(group.as("grp"), score.cast("double").as("s"),
+        label.as("y"))
+      .select(col("grp"), col("y"),
+        (lit(2L) * rank().over(wr) - 1L + count(lit(1)).over(wt))
+          .as("r2"))
+      .groupBy(col("grp").as("group"))
+      .agg(sum(when(col("y"), 1L).otherwise(0L)).as("n_pos"),
+        sum(when(col("y"), 0L).otherwise(1L)).as("n_neg"),
+        sum(when(col("y"), col("r2")).otherwise(0L)
+          .cast("decimal(38,0)")).as("__sr2"))
+      .select(col("group"), col("n_pos"), col("n_neg"),
+        when(col("n_pos") > 0 && col("n_neg") > 0,
+          (col("__sr2") - col("n_pos").cast("decimal(38,0)") *
+            (col("n_pos") + lit(1L))).cast("double") /
+          (lit(2.0) * col("n_pos").cast("double") *
+            col("n_neg").cast("double")))
+          .as("auc"))
+      .orderBy(col("group"))
+  }
+
+  /** Shuffle-quality audit for [[graft.operators.Sampling.epochShuffle]]
+    * (or any sharded ordering): per shard, the rate of ADJACENT rows
+    * sharing a group (source) versus the exact rate a uniformly random
+    * order would give (`Σ c_g(c_g−1) / (n(n−1))`). A shard whose
+    * adjacent-same rate sits far above its expected rate feeds a
+    * trainer correlated batches — the failure the epoch shuffle exists
+    * to prevent, and the number that PROVES a shuffle did its job.
+    * Output: (shard, n, adj_same, adj_rate, expected_rate), rates NULL
+    * for single-row shards.
+    *
+    * Determinism: adjacency comes from one lag over the (shard, pos)
+    * order (pos is unique per shard by construction); all counts exact;
+    * each rate is one IEEE division.
+    *
+    * Scale shape: rows shuffle ONCE to the shard partitioning (the lag
+    * window), with the (shard, group) collision counts partial-
+    * aggregated on the same key prefix; output is |shards| rows.
+    */
+  def shuffleQualityReport(df: DataFrame, shard: Column, pos: Column,
+      group: Column): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("shard")).orderBy(col("pos"))
+    val adj = df.select(shard.as("shard"), pos.as("pos"),
+        group.as("g"))
+      .select(col("shard"), col("g"),
+        lag(col("g"), 1).over(w).as("pg"))
+      .groupBy(col("shard"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("g") === col("pg"), 1L).otherwise(0L))
+          .as("adj_same"))
+    val coll = df.select(shard.as("shard"), group.as("g"))
+      .groupBy(col("shard"), col("g"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy(col("shard"))
+      // DECIMAL(38,0) BEFORE the multiply: c(c−1) approaches n² for a
+      // single-group shard, past 2^63 long before 100 TB (ANSI would
+      // throw on the product, not just the sum)
+      .agg(sum(col("c").cast("decimal(38,0)") * (col("c") - 1L))
+        .as("__coll"))
+    adj.join(coll, Seq("shard"))
+      .select(col("shard"), col("n"), col("adj_same"),
+        when(col("n") > 1, col("adj_same").cast("double") /
+          (col("n") - 1L).cast("double")).as("adj_rate"),
+        when(col("n") > 1, col("__coll").cast("double") /
+          (col("n").cast("double") * (col("n") - 1L).cast("double")))
+          .as("expected_rate"))
+      .orderBy(col("shard"))
+  }
+
   def tableProfile(df: DataFrame, cols: Seq[(String, Column)]): DataFrame = {
     require(cols.nonEmpty, "tableProfile needs at least one column")
     val sel = df.select(cols.map { case (n, c) => c.as(s"__v_$n") }: _*)

@@ -5129,7 +5129,107 @@ object Pipeline {
        |FROM refined WHERE dist <= 25
        |ORDER BY left_id, right_id""".stripMargin
 
+  // ------------------------------------------ ranking AUC / shuffle audit
+
+  /** Per-source ranking AUC ([[graft.operators.Diagnostics
+    * .rankingAucReport]]) of the stopword-ratio score against the
+    * lang='en' label — the pre-threshold acceptance gate for the same
+    * (score, label) pair [[calibrationReportQ]] bins. Exact
+    * Mann–Whitney with tie-averaged ranks: the doubled rank
+    * `2·rank − 1 + tie_count` keeps everything integer until the one
+    * closing division, which the oracle replays operand-for-operand.
+    */
+  def rankingAucReportQ(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Diagnostics.rankingAucReport(
+      T(s, dir, "documents"), col("source"),
+      TextFunctions.stopwordRatio(col("text")), col("lang") === "en")
+
+  val rankingAucReportOracle: String =
+    s"""WITH t AS (
+       |  SELECT source,
+       |    CASE WHEN len(trim(text)) = 0 THEN []::VARCHAR[]
+       |         ELSE string_split_regex(trim(text), '\\s+') END AS toks,
+       |    lang
+       |  FROM documents),
+       |m AS (
+       |  SELECT source,
+       |    CASE WHEN len(toks) = 0 THEN 0.0
+       |    ELSE CAST(len(list_filter(toks, x -> list_contains($swEn, x)))
+       |           AS DOUBLE) / CAST(len(toks) AS DOUBLE) END AS s,
+       |    (lang = 'en') AS y
+       |  FROM t),
+       |r AS (
+       |  SELECT source, y,
+       |    2 * CAST(RANK() OVER (PARTITION BY source ORDER BY s) AS BIGINT)
+       |      - 1 + CAST(COUNT(*) OVER (PARTITION BY source, s) AS BIGINT)
+       |      AS r2
+       |  FROM m),
+       |a AS (
+       |  SELECT source AS "group",
+       |    CAST(SUM(CASE WHEN y THEN 1 ELSE 0 END) AS BIGINT) AS n_pos,
+       |    CAST(SUM(CASE WHEN y THEN 0 ELSE 1 END) AS BIGINT) AS n_neg,
+       |    SUM(CASE WHEN y THEN CAST(r2 AS DECIMAL(38,0))
+       |        ELSE CAST(0 AS DECIMAL(38,0)) END) AS sr2
+       |  FROM r GROUP BY 1)
+       |SELECT "group", n_pos, n_neg,
+       |  CASE WHEN n_pos > 0 AND n_neg > 0 THEN
+       |    CAST(sr2 - CAST(n_pos AS DECIMAL(38,0)) * (n_pos + 1) AS DOUBLE)
+       |      / (2.0 * CAST(n_pos AS DOUBLE) * CAST(n_neg AS DOUBLE))
+       |  END AS auc
+       |FROM a
+       |ORDER BY "group"""".stripMargin
+
+  /** Shuffle-quality audit ([[graft.operators.Diagnostics
+    * .shuffleQualityReport]]) over [[epochShuffleQ]]'s exact shard/pos
+    * assignment (same epoch-3, 16-shard constants): adjacent same-source
+    * rate per shard vs the exact random-order expectation
+    * Σc(c−1)/(n(n−1)). The oracle replays the md5 hash32 placement AND
+    * both rates.
+    */
+  def shuffleQualityReportQ(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Diagnostics.shuffleQualityReport(
+      graft.operators.Sampling.epochShuffle(
+        T(s, dir, "documents"), col("doc_id"), numShards = 16, epoch = 3),
+      col("shard"), col("pos"), col("source"))
+
+  val shuffleQualityReportOracle: String =
+    """WITH h AS (
+      |  SELECT doc_id, source,
+      |    ('0x' || substring(md5(CAST(doc_id AS VARCHAR) || ':3'), 1, 8))::BIGINT AS h
+      |  FROM documents),
+      |sp AS (
+      |  SELECT source, CAST(h % 16 AS INTEGER) AS shard,
+      |    ROW_NUMBER() OVER (PARTITION BY h % 16 ORDER BY h, doc_id) AS pos
+      |  FROM h),
+      |lagd AS (
+      |  SELECT shard, source,
+      |    LAG(source, 1) OVER (PARTITION BY shard ORDER BY pos) AS pg
+      |  FROM sp),
+      |adj AS (
+      |  SELECT shard, CAST(COUNT(*) AS BIGINT) AS n,
+      |    CAST(SUM(CASE WHEN source = pg THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS adj_same
+      |  FROM lagd GROUP BY 1),
+      |coll AS (
+      |  SELECT shard, SUM(CAST(c AS DECIMAL(38,0)) * (c - 1)) AS cl
+      |  FROM (SELECT shard, source, CAST(COUNT(*) AS BIGINT) AS c
+      |        FROM sp GROUP BY 1, 2)
+      |  GROUP BY 1)
+      |SELECT a.shard, a.n, a.adj_same,
+      |  CASE WHEN a.n > 1 THEN
+      |    CAST(a.adj_same AS DOUBLE) / CAST(a.n - 1 AS DOUBLE) END
+      |    AS adj_rate,
+      |  CASE WHEN a.n > 1 THEN
+      |    CAST(c.cl AS DOUBLE)
+      |      / (CAST(a.n AS DOUBLE) * CAST(a.n - 1 AS DOUBLE)) END
+      |    AS expected_rate
+      |FROM adj a JOIN coll c ON c.shard = a.shard
+      |ORDER BY a.shard""".stripMargin
+
   val all: Seq[Q] = Seq(
+    Q("ranking_auc_report", rankingAucReportQ, Some(rankingAucReportOracle)),
+    Q("shuffle_quality_report", shuffleQualityReportQ,
+      Some(shuffleQualityReportOracle)),
     Q("doc_compressibility", docCompressibilityQ,
       Some(docCompressibilityOracle)),
     Q("mixture_waterfill", mixtureWaterfillQ, Some(mixtureWaterfillOracle)),

@@ -335,6 +335,65 @@ class DiagnosticsSpec extends SparkSpec {
       rows.map(r => r._1 -> ((r._2, r._3, r._4, r._5, r._6, r._7))).toMap
   }
 
+  test("rankingAucReport: hand AUC — perfect ranking 1.0, inverted 0.0, " +
+      "ties average to 0.5, one-class groups NULL") {
+    import spark.implicits._
+    val rows = Seq(
+      // "good": positives always score higher -> AUC 1
+      ("good", 0.9, true), ("good", 0.8, true), ("good", 0.1, false),
+      ("good", 0.2, false),
+      // "bad": inverted -> AUC 0
+      ("bad", 0.1, true), ("bad", 0.9, false),
+      // "tied": every score equal -> AUC exactly 0.5 via average ranks
+      ("tied", 0.5, true), ("tied", 0.5, false), ("tied", 0.5, false),
+      // "onecls": no negatives -> NULL
+      ("onecls", 0.3, true), ("onecls", 0.7, true))
+      .toDF("src", "s", "y")
+    val got = graft.operators.Diagnostics.rankingAucReport(
+        rows, col("src"), col("s"), col("y"))
+      .as[(String, Long, Long, Option[Double])].collect().toSeq
+    assert(got === Seq(
+      ("bad", 1L, 1L, Some(0.0)),
+      ("good", 2L, 2L, Some(1.0)),
+      ("onecls", 2L, 0L, None),
+      ("tied", 1L, 2L, Some(0.5))))
+  }
+
+  test("rankingAucReport: partial overlap gives the exact pair fraction") {
+    import spark.implicits._
+    // pos scores {3, 1}, neg scores {2, 0}: ordered pairs correct:
+    // (3>2), (3>0), (1>0) = 3 of 4 -> AUC 0.75
+    val rows = Seq(("s", 3.0, true), ("s", 1.0, true),
+      ("s", 2.0, false), ("s", 0.0, false)).toDF("src", "s", "y")
+    val got = graft.operators.Diagnostics.rankingAucReport(
+        rows, col("src"), col("s"), col("y"))
+      .as[(String, Long, Long, Option[Double])].collect().head
+    assert(got === (("s", 2L, 2L, Some(0.75))))
+  }
+
+  test("shuffleQualityReport: hand adjacency counts and exact expected " +
+      "rate; a sorted (unshuffled) shard reads far above expectation") {
+    import spark.implicits._
+    // shard 0: sources A,A,A,B,B in pos order -> adj_same 3 of 4 pairs;
+    // expected = (3*2 + 2*1) / (5*4) = 8/20 = 0.4
+    // shard 1: perfectly interleaved A,B,A,B -> adj_same 0;
+    // expected = (2*1 + 2*1) / (4*3) = 4/12
+    // shard 2: single row -> NULL rates
+    val rows = Seq(
+      (0, 1, "A"), (0, 2, "A"), (0, 3, "A"), (0, 4, "B"), (0, 5, "B"),
+      (1, 1, "A"), (1, 2, "B"), (1, 3, "A"), (1, 4, "B"),
+      (2, 1, "A"))
+      .toDF("shard", "pos", "src")
+    val got = graft.operators.Diagnostics.shuffleQualityReport(
+        rows, col("shard"), col("pos"), col("src"))
+      .as[(Int, Long, Long, Option[Double], Option[Double])]
+      .collect().toSeq
+    assert(got === Seq(
+      (0, 5L, 3L, Some(0.75), Some(0.4)),
+      (1, 4L, 0L, Some(0.0), Some(4.0 / 12.0)),
+      (2, 1L, 0L, None, None)))
+  }
+
   test("tableProfile: hand stats for two columns in one pass, nulls " +
       "counted, exact decimal mean, discrete median") {
     import spark.implicits._

@@ -670,4 +670,23 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("levenshtein"), p)
     assert("HashAggregate".r.findAllIn(p).size >= 2, p) // the inter count
   }
+
+  test("ranking_auc_report: one rank window + one tie-count window on " +
+      "the same group key prefix, then a 2-phase |groups|-row agg — no " +
+      "join, no per-pair work") {
+    val p = plan(Pipeline.rankingAucReportQ(spark, dir))
+    assert(!p.contains("Join"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert("(\\d+) Window".r.findAllIn(p).size <= 4, p) // 2 nodes, 2 prints
+    assert("HashAggregate".r.findAllIn(p).size >= 2, p)
+  }
+
+  test("shuffle_quality_report: rows shuffle to the shard key for the " +
+      "lag window, collision counts partial-aggregate on the same " +
+      "prefix, the final join is |shards|-row — no cartesian") {
+    val p = plan(Pipeline.shuffleQualityReportQ(spark, dir))
+    assert(!p.contains("CartesianProduct"), p)
+    assert("HashAggregate".r.findAllIn(p).size >= 2, p)
+    assert("(\\d+) Window".r.findAllIn(p).size <= 4, p) // shuffle + lag
+  }
 }
