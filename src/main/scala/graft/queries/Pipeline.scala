@@ -3924,9 +3924,15 @@ object Pipeline {
       |      AS BIGINT) AS n_space
       |  FROM documents),
       |ps AS (
-      |  SELECT grp, SUM(n_all) AS n_chars, SUM(n_letter) AS n_letters,
-      |    SUM(n_digit) AS n_digits, SUM(n_space) AS n_spaces,
-      |    SUM(n_all) - SUM(n_letter) - SUM(n_digit) - SUM(n_space) AS n_other
+      |  -- CAST AS BIGINT: DuckDB SUM(BIGINT) is HUGEINT, which pandas
+      |  -- renders float64 — the driver's value hash then sees 7949.0 vs
+      |  -- Spark's 7949 and fails (burned in CORRECTNESS_r13)
+      |  SELECT grp, CAST(SUM(n_all) AS BIGINT) AS n_chars,
+      |    CAST(SUM(n_letter) AS BIGINT) AS n_letters,
+      |    CAST(SUM(n_digit) AS BIGINT) AS n_digits,
+      |    CAST(SUM(n_space) AS BIGINT) AS n_spaces,
+      |    CAST(SUM(n_all) - SUM(n_letter) - SUM(n_digit) - SUM(n_space)
+      |      AS BIGINT) AS n_other
       |  FROM cl GROUP BY 1),
       |tot AS (
       |  SELECT SUM(n_chars) AS g_all, SUM(n_letters) AS g_letter,

@@ -537,6 +537,11 @@ object Relational {
     val e = T.events(s, dir)
     graft.operators.EventAnalytics.rfmSegments(e, col("user_id"),
         col("ts"), col("event_type") === "purchase", col("value"))
+      // gate emits the money sum as DOUBLE (the q01 convention): a raw
+      // DECIMAL column reaches the driver's pandas hash as Decimal
+      // objects vs the oracle's float64 (burned in CORRECTNESS_r13);
+      // the NTILE ranks upstream stay over the exact decimal
+      .withColumn("monetary", col("monetary").cast("double"))
       .orderBy(col("user_id"))
   }
 
@@ -564,7 +569,8 @@ object Relational {
       |    CAST(NTILE(5) OVER (ORDER BY monetary, user_id)
       |      AS INTEGER) AS m_score
       |  FROM base)
-      |SELECT user_id, recency_days, frequency, monetary,
+      |SELECT user_id, recency_days, frequency,
+      |  CAST(monetary AS DOUBLE) AS monetary,
       |  r_score, f_score, m_score,
       |  CAST(r_score AS VARCHAR) || CAST(f_score AS VARCHAR)
       |    || CAST(m_score AS VARCHAR) AS segment

@@ -14,6 +14,7 @@ import math
 import sys
 
 import duckdb
+import pandas as pd
 
 VERIFY_OUT = sys.argv[1] if len(sys.argv) > 1 else "/tmp/verify_out"
 SF_DIR = sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.01"
@@ -49,6 +50,29 @@ def main():
             want = con.sql(sql).fetchdf()
         except Exception as e:
             print(f"FAIL {name}: exec error: {e}")
+            failures += 1
+            continue
+        # Representation audit mirroring the DRIVER's hash, which reads the
+        # Spark parquet via pandas (NOT duckdb): an int64-vs-float64 pair
+        # (e.g. a DuckDB HUGEINT sum) or a decimal128 Spark column (pandas
+        # Decimal objects) hashes differently even when values are equal.
+        # Tolerated (observed green): int-width and date-vs-datetime pairs.
+        raw = pd.read_parquet(f"{VERIFY_OUT}/{name}")
+        rep_bad = []
+        for c in set(raw.columns) & set(want.columns):
+            a, b = str(raw[c].dtype), str(want[c].dtype)
+            ints = ("int8", "int16", "int32", "int64", "uint8", "uint16",
+                    "uint32", "uint64")
+            if (a in ints) != (b in ints) and "float" in a + b:
+                rep_bad.append(f"{c}: spark={a} oracle={b}")
+            if a == "object" and b != "object":
+                import decimal
+                if any(isinstance(v, decimal.Decimal)
+                       for v in raw[c].head(5)):
+                    rep_bad.append(f"{c}: spark=decimal oracle={b}")
+        if rep_bad:
+            print(f"FAIL {name}: driver-hash representation mismatch: "
+                  f"{'; '.join(rep_bad)}")
             failures += 1
             continue
         gcols, wcols = sorted(got.columns), sorted(want.columns)
