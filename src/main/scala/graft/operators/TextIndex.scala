@@ -457,6 +457,95 @@ object TextIndex {
             col("n_trigrams").cast("double")))
   }
 
+  /** Perplexity-proxy quality screen — the CCNet/Gopher n-gram-LM filter
+    * (Wenzek et al. 2020 score docs with a KenLM and drop the
+    * high-perplexity tail) restated in EXACT INTEGER BITS so the oracle
+    * hash-gates it: each adjacent word pair is charged an integer
+    * bit-cost under the corpus's own bigram model,
+    *
+    *   c2 ≥ 2  (pair seen elsewhere):  ⌊log2 c1(prev)⌋ − ⌊log2 (c2−1)⌋
+    *   c2 = 1  (this occurrence only): 1 + ⌊log2 N⌋ − ⌊log2 c1(cur)⌋
+    *
+    * i.e. −log2 of the leave-one-out MLE bigram probability, backing off
+    * to the unigram at a one-bit (≈ the stupid-backoff 0.4×) penalty,
+    * with every log2 the exact floor `length(bin(x)) − 1` — identical in
+    * any engine, no libm. The count self-exclusion (c2−1) is what makes
+    * the screen non-degenerate on its own training corpus: raw MLE gives
+    * every in-corpus bigram p ≥ 1/c1 and never exercises backoff. A doc's
+    * score is total bits / scored positions — bits-per-token, the
+    * perplexity exponent; `keep` flags docs at or under `thresholdBits`.
+    * Unlike [[bigramFamiliarity]]'s common-pair fraction this weights HOW
+    * predictable each transition is (a once-seen pair after a frequent
+    * word costs ~log2 c1 bits, after a rare word almost nothing), which
+    * is the actual LM-filter signal. Docs with < 2 tokens carry no
+    * evidence and report zeros with keep = true, the familiarity
+    * convention.
+    *
+    * Output: (id, n_scored, total_bits, bits_per_token, keep).
+    *
+    * Scale shape: tokens hash to positional 60-bit fingerprints in native
+    * [[org.apache.spark.sql.graft.ShingleFps60]] passes (gram strings
+    * never materialize); the bigram and unigram count tables are
+    * vocabulary-sized fp-keyed aggregations with map-side partials; the
+    * corpus token total broadcasts as one row. The position stream
+    * (id + three 8-byte fps) makes three key-joins against those count
+    * tables — nothing corpus-text-wide shuffles after widen(). At 100 TB
+    * the model tables are the same Heaps-law-bounded dictionaries every
+    * text operator here shuffles; scoring a NEW corpus against a FROZEN
+    * model is the same plan with the count frames read from storage.
+    * Counts are exact modulo 60-bit fp collisions — the accepted stance
+    * of the fp-keyed text family, and the oracle hash-gate would catch
+    * one at test SFs.
+    */
+  def lmPerplexityScreen(df: DataFrame, id: Column, text: Column,
+      thresholdBits: Double = 12.0): DataFrame = {
+    import org.apache.spark.sql.graft.HashFunctions
+    def flog2(c: Column): Column = (length(bin(c)) - 1).cast("long")
+    val base = widen(df.select(id.as("id"), text.as("__text")))
+      .select(col("id"), TextFunctions.tokensWs(col("__text")).as("toks"))
+    // unigram model: per-token corpus counts + the corpus total. The
+    // size-guard matters: ShingleFps60 on an EMPTY token array emits one
+    // whole-text gram (the shingle contract), which here would count a
+    // phantom token per blank doc.
+    val uni = base.filter(size(col("toks")) >= 1)
+      .select(explode(HashFunctions.shingleFps60(col("toks"), 1)).as("u"))
+    val c1 = uni.groupBy(col("u")).agg(count(lit(1)).as("c1"))
+    val nTotal = broadcast(uni.agg(count(lit(1)).as("n_total")))
+    // bigram position stream, each with its prev/cur unigram fps aligned
+    // by start position (arrays_zip, no self-join)
+    val pos = base.filter(size(col("toks")) >= 2)
+      .select(col("id"), explode(arrays_zip(
+        HashFunctions.shingleFps60(col("toks"), 2),
+        slice(HashFunctions.shingleFps60(col("toks"), 1), lit(1),
+          size(col("toks")) - 1),
+        slice(HashFunctions.shingleFps60(col("toks"), 1), lit(2),
+          size(col("toks")) - 1))).as("z"))
+      .select(col("id"), col("z.0").as("g2"), col("z.1").as("up"),
+        col("z.2").as("uc"))
+    val c2 = pos.groupBy(col("g2")).agg(count(lit(1)).as("c2"))
+    val scored = pos
+      .join(c2, Seq("g2"))
+      .join(c1.toDF("up", "c1p"), Seq("up"))
+      .join(c1.toDF("uc", "c1c"), Seq("uc"))
+      .crossJoin(nTotal)
+      .select(col("id"),
+        when(col("c2") >= 2, flog2(col("c1p")) - flog2(col("c2") - 1))
+          .otherwise(lit(1L) + flog2(col("n_total")) - flog2(col("c1c")))
+          .as("bits"))
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_scored"), sum(col("bits")).as("total_bits"))
+    base.select(col("id")).distinct()
+      .join(scored, Seq("id"), "left")
+      .select(col("id"),
+        coalesce(col("n_scored"), lit(0L)).as("n_scored"),
+        coalesce(col("total_bits"), lit(0L)).as("total_bits"))
+      .withColumn("bits_per_token",
+        when(col("n_scored") === 0, lit(0.0))
+          .otherwise(col("total_bits").cast("double") /
+            col("n_scored").cast("double")))
+      .withColumn("keep", col("bits_per_token") <= lit(thresholdBits))
+  }
+
   /** BM25 ranked retrieval (Robertson & Walker 1994, Okapi BM25): score
     * each query's terms against the corpus inverted index and return the
     * top-`k` documents per query. `queryTerms` is a (qid, term) frame — an

@@ -2829,6 +2829,65 @@ object Pipeline {
 
   // ------------------------------------------------------- vocabulary coverage
 
+  /** Perplexity-proxy LM screen
+    * ([[graft.operators.TextIndex.lmPerplexityScreen]]): per-doc
+    * bits-per-token under the corpus's own bigram model with leave-one-out
+    * counts and one-bit unigram backoff — every log2 the exact integer
+    * ⌊log2⌋ via `length(bin(x)) − 1`, so the oracle replays the whole
+    * model bit-for-bit with no libm ln.
+    */
+  def lmPerplexityQ(s: SparkSession, dir: String): DataFrame =
+    graft.operators.TextIndex.lmPerplexityScreen(
+        T(s, dir, "documents"), col("doc_id"), col("text"),
+        // ~75th-pct of the synthetic corpus (band 4.35-5.09) so the flag
+        // actually discriminates at the gate; real corpora use the
+        // 12-bit library default
+        thresholdBits = 4.7)
+      .select(col("id").as("doc_id"), col("n_scored"), col("total_bits"),
+        col("bits_per_token"), col("keep"))
+      .orderBy(col("doc_id"))
+
+  val lmPerplexityOracle: String =
+    """WITH toks AS (
+      |  SELECT doc_id,
+      |    CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[])
+      |         ELSE string_split_regex(trim(text), '\s+') END AS t
+      |  FROM documents),
+      |uni AS (SELECT unnest(t) AS w FROM toks),
+      |c1 AS (SELECT w, COUNT(*) AS c FROM uni GROUP BY w),
+      |tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_total FROM uni),
+      |pos AS (
+      |  SELECT doc_id, t[i] AS wp, t[i+1] AS wc, t[i] || ' ' || t[i+1] AS g2
+      |  FROM (SELECT doc_id, t, unnest(range(1, len(t))) AS i
+      |        FROM toks WHERE len(t) >= 2)),
+      |c2 AS (SELECT g2 AS k2, COUNT(*) AS c FROM pos GROUP BY g2),
+      |bits AS (
+      |  SELECT doc_id,
+      |    CASE WHEN c2.c >= 2
+      |      THEN (length(bin(p1.c)) - 1) - (length(bin(c2.c - 1)) - 1)
+      |      ELSE 1 + (length(bin(tot.n_total)) - 1) - (length(bin(p2.c)) - 1)
+      |    END AS b
+      |  FROM pos
+      |  JOIN c2 ON pos.g2 = c2.k2
+      |  JOIN c1 p1 ON pos.wp = p1.w
+      |  JOIN c1 p2 ON pos.wc = p2.w
+      |  CROSS JOIN tot),
+      |sc AS (
+      |  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_scored,
+      |    CAST(SUM(b) AS BIGINT) AS total_bits
+      |  FROM bits GROUP BY doc_id)
+      |SELECT t.doc_id,
+      |  COALESCE(sc.n_scored, 0) AS n_scored,
+      |  COALESCE(sc.total_bits, 0) AS total_bits,
+      |  CASE WHEN COALESCE(sc.n_scored, 0) = 0 THEN 0.0
+      |       ELSE CAST(sc.total_bits AS DOUBLE) / CAST(sc.n_scored AS DOUBLE)
+      |  END AS bits_per_token,
+      |  (CASE WHEN COALESCE(sc.n_scored, 0) = 0 THEN 0.0
+      |        ELSE CAST(sc.total_bits AS DOUBLE) / CAST(sc.n_scored AS DOUBLE)
+      |   END) <= 4.7 AS keep
+      |FROM toks t LEFT JOIN sc ON t.doc_id = sc.doc_id
+      |ORDER BY t.doc_id""".stripMargin
+
   /** Trigram familiarity with 0.4 stupid backoff to the leading bigram —
     * exact-integer counts, fixed-order double score.
     */
@@ -5298,6 +5357,7 @@ object Pipeline {
     Q("vocab_coverage", vocabCoverageQ, Some(vocabCoverageOracle)),
     Q("bigram_familiarity", bigramFamiliarityQ, Some(bigramFamiliarityOracle)),
     Q("trigram_backoff", trigramBackoffQ, Some(trigramBackoffOracle)),
+    Q("lm_perplexity_screen", lmPerplexityQ, Some(lmPerplexityOracle)),
     Q("dedup_exact", dedupExact, Some(dedupExactOracle)),
     Q("mm_decode_meta", mmDecodeMeta, Some(mmDecodeMetaOracle)),
     Q("dedup_minhash_lsh", dedupMinHash, Some(dedupMinHashOracle)),

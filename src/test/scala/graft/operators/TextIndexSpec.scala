@@ -192,6 +192,25 @@ class TextIndexSpec extends SparkSpec {
     assert(out(3) === ((4L, 0L, 0L, 0L, 0.0)))
   }
 
+  test("lmPerplexityScreen: hand-checked integer bit costs, leave-one-out " +
+      "common path vs one-bit unigram backoff; short docs keep with zeros") {
+    // unigram counts: a=3 b=3 c=1 z=1, N=8; bigram counts: (a b)=3,
+    // (b a)=1, (b c)=1; flog2: 1→0, 2→1, 3→1, 8→3
+    val docs = Seq(
+      (1L, "a b a b"), // (a b):1-1=0, (b a): 1+3-flog2(c1(a)=3)=3, (a b):0
+      (2L, "a b c"),   // (a b):0, (b c): 1+3-flog2(c1(c)=1)=4
+      (3L, "z"),       // no bigrams
+      (4L, "")         // no tokens
+    ).toDF("id", "text")
+    val out = TextIndex.lmPerplexityScreen(docs, col("id"), col("text"),
+        thresholdBits = 1.5)
+      .as[(Long, Long, Long, Double, Boolean)].collect().sortBy(_._1)
+    assert(out(0) === ((1L, 3L, 3L, 1.0, true)))
+    assert(out(1) === ((2L, 2L, 4L, 2.0, false)))
+    assert(out(2) === ((3L, 0L, 0L, 0.0, true)))
+    assert(out(3) === ((4L, 0L, 0L, 0.0, true)))
+  }
+
   test("duplicateNgramProfile counts corpus-duplicated positional n-grams") {
     val docs = Seq(
       (1L, "a b c d e f g"),     // 3-grams: abc bcd cde def efg

@@ -689,4 +689,16 @@ class PlanSpec extends SparkSpec {
     assert("HashAggregate".r.findAllIn(p).size >= 2, p)
     assert("(\\d+) Window".r.findAllIn(p).size <= 4, p) // shuffle + lag
   }
+
+  test("lm_perplexity_screen: count tables partial-aggregate on 8-byte " +
+      "fps, the corpus total broadcasts as one row, no window, no " +
+      "cartesian wider than the one-row total") {
+    val p = plan(Pipeline.lmPerplexityQ(spark, dir))
+    assert(!p.contains("Window"), p)
+    // the only nested-loop join is the one-row n_total broadcast
+    // (formatted explain prints each node twice: tree + details)
+    assert("BroadcastNestedLoopJoin".r.findAllIn(p).size <= 2, p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert("HashAggregate".r.findAllIn(p).size >= 4, p) // c1, c2 partials
+  }
 }
