@@ -1,0 +1,114 @@
+// Multi-pattern text matching. Under org.apache.spark.sql so the codegen
+// shim types are reachable — same rationale as HashExpressions.scala.
+package org.apache.spark.sql.graft
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Aho–Corasick automaton (Aho & Corasick 1975): all `patterns` matched
+  * against a text in ONE left-to-right pass, every match end-position
+  * counted — including overlapping and nested occurrences ("aa" matches
+  * twice in "aaa"; "ab" and "b" both fire on "ab"). Built once per
+  * pattern set and reused across rows; match cost is O(chars + matches)
+  * independent of the number of patterns, which is the entire point at
+  * scale: a 10⁴-phrase blocklist or taxonomy costs ONE text scan per
+  * document instead of 10⁴ contains()/regexp passes.
+  *
+  * Matching is exact on UTF-16 code units (Java String chars). A match
+  * can never split a surrogate pair (the pattern itself is well-formed),
+  * so occurrence COUNTS agree with any code-point-based engine — only
+  * raw offsets would differ, and none are exposed.
+  */
+private[graft] final class AhoCorasick(patterns: Seq[String]) {
+  require(patterns.nonEmpty, "AhoCorasick: empty pattern set")
+  require(patterns.forall(_.nonEmpty), "AhoCorasick: empty pattern")
+
+  private val children =
+    scala.collection.mutable.ArrayBuffer(new java.util.HashMap[Character, Integer]())
+  private val out = scala.collection.mutable.ArrayBuffer[List[Int]](Nil)
+
+  patterns.zipWithIndex.foreach { case (p, pid) =>
+    var s = 0
+    p.foreach { ch =>
+      val nx = children(s).get(ch)
+      if (nx == null) {
+        children += new java.util.HashMap[Character, Integer]()
+        out += Nil
+        children(s).put(ch, children.size - 1)
+        s = children.size - 1
+      } else s = nx
+    }
+    out(s) = pid :: out(s)
+  }
+
+  private val fail = new Array[Int](children.size)
+  locally {
+    val q = scala.collection.mutable.Queue.empty[Int]
+    children(0).values.forEach(v => q.enqueue(v)) // depth-1 fails to root
+    while (q.nonEmpty) {
+      val u = q.dequeue()
+      children(u).forEach { (ch, v) =>
+        var f = fail(u)
+        while (f != 0 && !children(f).containsKey(ch)) f = fail(f)
+        val fv = children(f).get(ch)
+        fail(v) = if (fv != null && fv != v) fv else 0
+        // flatten dictionary-suffix outputs: BFS order guarantees
+        // out(fail(v)) is already complete
+        out(v) = out(v) ::: out(fail(v))
+        q.enqueue(v)
+      }
+    }
+  }
+
+  /** Per-pattern occurrence counts over `text` (all end positions). */
+  def countAll(text: String): Array[Int] = {
+    val counts = new Array[Int](patterns.size)
+    var s = 0
+    var i = 0
+    while (i < text.length) {
+      val ch = text.charAt(i)
+      var st = s
+      while (st != 0 && !children(st).containsKey(ch)) st = fail(st)
+      val nx = children(st).get(ch)
+      s = if (nx != null) nx else 0
+      var o = out(s)
+      while (o.nonEmpty) { counts(o.head) += 1; o = o.tail }
+      i += 1
+    }
+    counts
+  }
+}
+
+/** `multi_pattern_hits(text)` → array<int>: occurrence count per pattern,
+  * aligned with the constructor's pattern order. The automaton is built
+  * lazily ONCE per task from the plan-embedded pattern list (patterns ride
+  * the serialized expression — the broadcast-dim pattern without a join),
+  * then every row pays one O(chars + matches) scan.
+  */
+case class MultiPatternHits(child: Expression, patterns: Seq[String])
+    extends UnaryExpression with NativeUnaryCodegen {
+
+  require(patterns.nonEmpty && patterns.forall(_.nonEmpty),
+    "multi_pattern_hits: patterns must be non-empty strings")
+
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def nullable: Boolean = child.nullable
+  override def prettyName: String = "multi_pattern_hits"
+
+  @transient private lazy val ac = new AhoCorasick(patterns)
+
+  override protected def nullSafeEval(input: Any): Any =
+    new GenericArrayData(ac.countAll(input.asInstanceOf[UTF8String].toString))
+
+  override protected def withNewChildInternal(newChild: Expression): MultiPatternHits =
+    copy(child = newChild)
+}
+
+object PatternFunctions {
+  def multiPatternHits(text: Column, patterns: Seq[String]): Column =
+    ExpressionUtilsShim.column(
+      MultiPatternHits(ExpressionUtilsShim.expr(text), patterns))
+}

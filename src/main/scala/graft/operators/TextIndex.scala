@@ -915,6 +915,38 @@ object TextIndex {
       .orderBy(col("doc_id"), col("rank"))
   }
 
+  /** Multi-pattern keyword tagging — the blocklist / taxonomy / policy
+    * screen: every document matched against ALL `patterns` (phrases,
+    * substrings — raw string matches, not token-aligned) in one native
+    * Aho–Corasick pass, emitting a row per (document, matched pattern)
+    * with its occurrence count (overlapping occurrences counted — "aa"
+    * hits "aaa" twice). Documents matching nothing emit nothing, so the
+    * output is hit-sparse: |matches|, not |docs|·|patterns|.
+    *
+    * Output: (id, pattern, n_hits), n_hits ≥ 1.
+    *
+    * Scale shape: the pattern set rides the serialized
+    * [[org.apache.spark.sql.graft.MultiPatternHits]] expression (built
+    * once per task — the broadcast-dim pattern without a join) and the
+    * scan is O(chars + matches) per document REGARDLESS of pattern count
+    * — a 10⁴-phrase blocklist costs one text pass, where per-pattern
+    * contains()/rlike chains cost 10⁴ passes and a regex alternation
+    * still scans per-position per-alternative. Map-only: explode the
+    * K-int count vector, filter zeros; text never shuffles.
+    */
+  def keywordTag(df: DataFrame, id: Column, text: Column,
+      patterns: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.graft.PatternFunctions
+    require(patterns.nonEmpty, "keywordTag: empty pattern set")
+    widen(df.select(id.as("id"), text.as("__text")))
+      .select(col("id"),
+        posexplode(PatternFunctions.multiPatternHits(col("__text"), patterns)))
+      .filter(col("col") > 0)
+      .select(col("id"),
+        element_at(typedlit(patterns), col("pos") + 1).as("pattern"),
+        col("col").cast("long").as("n_hits"))
+  }
+
   /** Per-source vocabulary-richness report — the OCR-noise / gibberish /
     * boilerplate triage numbers a corpus card carries per slice: token
     * mass, vocabulary size, hapax legomena (terms seen exactly once in

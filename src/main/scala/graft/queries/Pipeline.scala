@@ -2888,6 +2888,37 @@ object Pipeline {
       |FROM toks t LEFT JOIN sc ON t.doc_id = sc.doc_id
       |ORDER BY t.doc_id""".stripMargin
 
+  /** Keyword tagging ([[graft.operators.TextIndex.keywordTag]]): one
+    * native Aho–Corasick pass over every document against a fixed phrase
+    * list; the oracle replays each pattern's overlapping occurrence
+    * count positionally (substring-per-start-position — O(len·K) there,
+    * O(len) here, same counts).
+    */
+  private val keywordTagPatterns = Seq(
+    "hash join", "scan fast", "merge", "vector", "table table",
+    "slow query", "batch window", "never-in-corpus")
+
+  def keywordTagQ(s: SparkSession, dir: String): DataFrame =
+    graft.operators.TextIndex.keywordTag(
+        T(s, dir, "documents"), col("doc_id"), col("text"),
+        keywordTagPatterns)
+      .select(col("id").as("doc_id"), col("pattern"), col("n_hits"))
+      .orderBy(col("doc_id"), col("pattern"))
+
+  val keywordTagOracle: String = {
+    val vals = keywordTagPatterns.map(p => s"('$p')").mkString(", ")
+    s"""WITH pats AS (SELECT * FROM (VALUES $vals) p(pattern)),
+       |hits AS (
+       |  SELECT d.doc_id, p.pattern,
+       |    len(list_filter(range(1, len(d.text) - len(p.pattern) + 2),
+       |        i -> substring(d.text, i, len(p.pattern)) = p.pattern))
+       |      AS n_hits
+       |  FROM documents d CROSS JOIN pats p)
+       |SELECT doc_id, pattern, CAST(n_hits AS BIGINT) AS n_hits
+       |FROM hits WHERE n_hits > 0
+       |ORDER BY doc_id, pattern""".stripMargin
+  }
+
   /** Trigram familiarity with 0.4 stupid backoff to the leading bigram —
     * exact-integer counts, fixed-order double score.
     */
@@ -5358,6 +5389,7 @@ object Pipeline {
     Q("bigram_familiarity", bigramFamiliarityQ, Some(bigramFamiliarityOracle)),
     Q("trigram_backoff", trigramBackoffQ, Some(trigramBackoffOracle)),
     Q("lm_perplexity_screen", lmPerplexityQ, Some(lmPerplexityOracle)),
+    Q("keyword_tag", keywordTagQ, Some(keywordTagOracle)),
     Q("dedup_exact", dedupExact, Some(dedupExactOracle)),
     Q("mm_decode_meta", mmDecodeMeta, Some(mmDecodeMetaOracle)),
     Q("dedup_minhash_lsh", dedupMinHash, Some(dedupMinHashOracle)),

@@ -211,6 +211,24 @@ class TextIndexSpec extends SparkSpec {
     assert(out(3) === ((4L, 0L, 0L, 0.0, true)))
   }
 
+  test("keywordTag: one Aho-Corasick pass counts ALL occurrences — " +
+      "overlapping, nested-suffix, and cross-token phrases; misses emit " +
+      "no row") {
+    val docs = Seq(
+      (1L, "aaa"),        // "aa" overlaps: positions 0 and 1
+      (2L, "xabx"),       // "ab" and its suffix "b" both fire
+      (3L, "a b c d"),    // phrase "b c" spans a token boundary
+      (4L, "nothing here")
+    ).toDF("id", "text")
+    val out = TextIndex.keywordTag(docs, col("id"), col("text"),
+        Seq("aa", "ab", "b", "b c"))
+      .as[(Long, String, Long)].collect().sortBy(t => (t._1, t._2))
+    assert(out.toSeq === Seq(
+      (1L, "aa", 2L),
+      (2L, "ab", 1L), (2L, "b", 1L),
+      (3L, "b", 1L), (3L, "b c", 1L)))
+  }
+
   test("duplicateNgramProfile counts corpus-duplicated positional n-grams") {
     val docs = Seq(
       (1L, "a b c d e f g"),     // 3-grams: abc bcd cde def efg

@@ -690,6 +690,16 @@ class PlanSpec extends SparkSpec {
     assert("(\\d+) Window".r.findAllIn(p).size <= 4, p) // shuffle + lag
   }
 
+  test("keyword_tag: MAP-ONLY — the pattern set rides the expression, " +
+      "no join, no aggregation; the only exchange is the output sort") {
+    val p = plan(Pipeline.keywordTagQ(spark, dir))
+    assert(!p.contains("Join"), p)
+    assert(!p.contains("HashAggregate"), p)
+    assert(p.contains("multi_pattern_hits"), p)
+    // widen() repartition + the orderBy range exchange, nothing else
+    assert("(\\d+) Exchange".r.findAllIn(p).size <= 2, p)
+  }
+
   test("lm_perplexity_screen: count tables partial-aggregate on 8-byte " +
       "fps, the corpus total broadcasts as one row, no window, no " +
       "cartesian wider than the one-row total") {
