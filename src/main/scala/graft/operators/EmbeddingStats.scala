@@ -108,4 +108,55 @@ object EmbeddingStats {
     base.select(col("vec_id"), col("label")).join(broadcast(kept), Seq("vec_id"))
       .select(col("vec_id"), col("label"), col("dist2"), col("rank"))
   }
+
+  /** Full d×d embedding covariance matrix, deterministically — the
+    * whitening / PCA-prep / representation-drift input (compare two corpus
+    * versions' covariance spectra to see a collapsed or rotated encoder
+    * long before downstream metrics move). Same fixed-point stance as
+    * [[labelCentroids]]: quantize to 2^bits, accumulate n / Σq_i / Σq_iq_j
+    * as EXACT longs in one
+    * [[graft.functions.CovMomentsAggregator]] pass, then compute each
+    * entry with a fixed two-operand IEEE chain over exactly-representable
+    * longs — bit-identical in any engine:
+    * cov_ij = (P_ij/n − (S_i·S_j)/n²) / 2^2bits.
+    *
+    * Output: (dim_i, dim_j, n, cov) — d² rows, the full symmetric matrix
+    * (consumers slicing the upper triangle filter dim_j ≥ dim_i).
+    *
+    * Scale shape: ONE aggregation — every partition reduces to a single
+    * (1+d+d²)-long buffer before the exchange (32 KB at d = 64; the
+    * per-row O(d²) accumulate is the irreducible covariance work), the
+    * final merge is |partitions| buffer adds, and the d²-row expansion
+    * happens after, on one row. Vectors never shuffle; no join, no
+    * window. Overflow bound as documented on the aggregator: bits ≤
+    * (62 − log2 n)/2 for unit-scale embeddings.
+    */
+  def embeddingCovariance(df: DataFrame, vec: Column,
+      bits: Int = 20): DataFrame = {
+    val mom = df.select(vec.as("__v"))
+      .agg(graft.functions.VectorAgg.covMoments(bits)(col("__v")).as("m"))
+      .select(col("m.moments").as("mm"))
+    // 1 + d + d² = len ⇒ 4·len − 3 = (2d+1)², exact in double for any
+    // realistic d — recover d from the buffer instead of trusting a param
+    val dC = ((sqrt(size(col("mm")).cast("double") * 4.0 - 3.0) - 1.0) / 2.0)
+      .cast("int")
+    val denom = math.pow(2, 2 * bits)
+    mom
+      .select(element_at(col("mm"), 1).as("n"), dC.as("d"),
+        slice(col("mm"), lit(2), dC).as("s"),
+        slice(col("mm"), dC + 2, dC * dC).as("p"))
+      .select(col("n"), col("d"), col("s"),
+        posexplode(col("p")).as(Seq("k", "pij")))
+      // integer div/mod for the (i, j) unflatten — Column./ is double
+      // division (the funnel_report day-math lesson)
+      .select(expr("CAST(k div d AS INT)").as("dim_i"),
+        expr("CAST(k % d AS INT)").as("dim_j"),
+        col("n"), col("s"), col("pij"))
+      .select(col("dim_i"), col("dim_j"), col("n"),
+        ((col("pij").cast("double") / col("n").cast("double") -
+          (element_at(col("s"), col("dim_i") + 1).cast("double") *
+            element_at(col("s"), col("dim_j") + 1).cast("double")) /
+            (col("n").cast("double") * col("n").cast("double"))) /
+          lit(denom)).as("cov"))
+  }
 }

@@ -673,6 +673,41 @@ object Pipeline {
        |FROM r WHERE rk <= 25
        |ORDER BY vec_id""".stripMargin
 
+  /** Full d×d covariance matrix
+    * ([[graft.operators.EmbeddingStats.embeddingCovariance]]): one-pass
+    * exact integer moments at 2^20 fixed point, each entry a fixed
+    * two-operand IEEE chain over exactly-representable longs. The oracle
+    * rebuilds n / S_i / P_ij from raw vectors and replays the chain.
+    */
+  def embeddingCovarianceQ(s: SparkSession, dir: String): DataFrame =
+    graft.operators.EmbeddingStats.embeddingCovariance(
+        T(s, dir, "embeddings"), col("embedding"), bits = 20)
+      .orderBy(col("dim_i"), col("dim_j"))
+
+  val embeddingCovarianceOracle: String =
+    """WITH e1 AS (
+      |  SELECT vec_id, embedding, unnest(range(1, len(embedding) + 1)) AS i
+      |  FROM embeddings),
+      |q AS (
+      |  SELECT vec_id, CAST(i - 1 AS INTEGER) AS dim,
+      |    CAST(round(embedding[i]::DOUBLE * 1048576.0) AS BIGINT) AS qv
+      |  FROM e1),
+      |nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM embeddings),
+      |s AS (SELECT dim, CAST(SUM(qv) AS BIGINT) AS sv FROM q GROUP BY dim),
+      |p AS (
+      |  SELECT a.dim AS dim_i, b.dim AS dim_j,
+      |    CAST(SUM(a.qv * b.qv) AS BIGINT) AS pv
+      |  FROM q a JOIN q b ON a.vec_id = b.vec_id
+      |  GROUP BY 1, 2)
+      |SELECT p.dim_i, p.dim_j, nn.n,
+      |  (CAST(pv AS DOUBLE) / CAST(nn.n AS DOUBLE)
+      |   - (CAST(si.sv AS DOUBLE) * CAST(sj.sv AS DOUBLE))
+      |     / (CAST(nn.n AS DOUBLE) * CAST(nn.n AS DOUBLE)))
+      |  / 1099511627776.0 AS cov
+      |FROM p JOIN s si ON p.dim_i = si.dim JOIN s sj ON p.dim_j = sj.dim
+      |CROSS JOIN nn
+      |ORDER BY dim_i, dim_j""".stripMargin
+
   /** SemDeDup (Abbas et al. 2023): cluster with the pinned k-means||
     * quantizer ([[PinnedArtifacts.IvfCentroids16]]), then drop docs with a
     * lower-id same-cluster neighbor at cosine >= 0.45. Output is the full
@@ -5444,6 +5479,7 @@ object Pipeline {
       Some(semanticDecontaminateLshOracle)),
     Q("label_centroids", labelCentroidsQ, Some(labelCentroidsOracle)),
     Q("embedding_outliers", embeddingOutliersQ, Some(embeddingOutliersOracle)),
+    Q("embedding_covariance", embeddingCovarianceQ, Some(embeddingCovarianceOracle)),
     Q("dedup_semantic", dedupSemantic, Some(dedupSemanticOracle)),
     Q("sim_bruteforce_topk", simBruteForce, Some(simBruteForceOracle)),
     Q("ann_recall", annRecallQ, Some(annRecallOracle)),

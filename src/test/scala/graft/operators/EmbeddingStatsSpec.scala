@@ -64,4 +64,29 @@ class EmbeddingStatsSpec extends SparkSpec {
       .as[(Long, Int, Double, Int)].collect().sortBy(_._4)
     assert(out.toSeq === out2.toSeq)
   }
+
+  test("embeddingCovariance: hand-checked 2x2 matrix, symmetric, " +
+      "bit-identical under repartitioning") {
+    // dyadic values so 2^20 quantization is exact: cov computed by hand
+    // over x = [(1, 2), (3, 6), (5, 4)]:
+    //   mean = (3, 4); cov_00 = 8/3, cov_11 = 8/3, cov_01 = cov_10 = 4/3
+    val df = Seq(
+      (1L, Seq(1.0f, 2.0f)), (2L, Seq(3.0f, 6.0f)), (3L, Seq(5.0f, 4.0f))
+    ).toDF("vec_id", "embedding")
+    def run(d: org.apache.spark.sql.DataFrame) =
+      EmbeddingStats.embeddingCovariance(d, col("embedding"))
+        .as[(Int, Int, Long, Double)].collect()
+        .map(t => (t._1, t._2) -> (t._3, t._4)).toMap
+    val out = run(df)
+    assert(out.size === 4)
+    assert(out((0, 0))._1 === 3L)
+    assert(math.abs(out((0, 0))._2 - 8.0 / 3.0) < 1e-9)
+    assert(math.abs(out((1, 1))._2 - 8.0 / 3.0) < 1e-9)
+    assert(out((0, 1))._2 === out((1, 0))._2, "matrix must be symmetric")
+    assert(math.abs(out((0, 1))._2 - 4.0 / 3.0) < 1e-9)
+    // order-free moments: any partitioning yields the same bits
+    val out2 = run(df.repartition(5))
+    assert(out.view.mapValues(_._2).toMap ===
+      out2.view.mapValues(_._2).toMap)
+  }
 }

@@ -700,6 +700,16 @@ class PlanSpec extends SparkSpec {
     assert("(\\d+) Exchange".r.findAllIn(p).size <= 2, p)
   }
 
+  test("embedding_covariance: ONE moment aggregation — partitions reduce " +
+      "to single buffers before the exchange; no join, no window, the " +
+      "d-squared expansion happens after on one row") {
+    val p = plan(Pipeline.embeddingCovarianceQ(spark, dir))
+    assert(!p.contains("Join"), p)
+    assert(!p.contains("Window"), p)
+    // the typed aggregator compiles to ObjectHashAggregate partial+final
+    assert("ObjectHashAggregate".r.findAllIn(p).size >= 2, p)
+  }
+
   test("lm_perplexity_screen: count tables partial-aggregate on 8-byte " +
       "fps, the corpus total broadcasts as one row, no window, no " +
       "cartesian wider than the one-row total") {
