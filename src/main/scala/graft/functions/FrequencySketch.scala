@@ -1,5 +1,7 @@
 package graft.functions
 
+import scala.reflect.runtime.universe.TypeTag
+
 import org.apache.spark.sql.{Column, Encoder}
 import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
 import org.apache.spark.sql.expressions.Aggregator
@@ -90,6 +92,84 @@ case class HeavyHittersAggregator(k: Int, topN: Int)
     ExpressionEncoder[Seq[(String, Long)]]()
 }
 
+/** Serialized count-min state: the flattened depth×width counter matrix. */
+case class CmsBuf(counters: Array[Long])
+
+/** Count-min sketch (Cormode & Muthukrishnan 2005) as a typed
+  * [[Aggregator]] — the POINT-QUERY member of the mergeable-sketch family
+  * ([[HeavyHittersAggregator]] answers "which keys are frequent",
+  * this answers "how frequent is THIS key" for keys chosen after the
+  * scan, without keeping the keys at all). Fixed depth×width long matrix:
+  * update adds 1 to one bucket per row (bucket_r(key) =
+  * md5-prefix-hash32(r || ':' || key) mod width — the engine's replayable
+  * hash, so an oracle can rebuild every counter in SQL); merge is
+  * element-wise addition — associative, commutative, any partition tree
+  * yields the same matrix. Estimates (min over rows) NEVER undercount;
+  * they overcount a key by other keys' mass colliding in all `depth`
+  * rows — within εn at confidence 1−δ for width = ⌈e/ε⌉, depth = ⌈ln 1/δ⌉.
+  *
+  * Scale shape: the shuffle carries depth·width longs per group however
+  * many rows stream through — the same fixed-size-exchange contract as
+  * the KLL/MG/KMV members; estimation afterwards is pure projection.
+  */
+case class CmsAggregator(depth: Int, width: Int)
+    extends Aggregator[String, CmsBuf, CmsBuf] {
+  require(depth > 0 && depth <= 16, s"depth out of range: $depth")
+  require(width > 1, s"width out of range: $width")
+
+  override def zero: CmsBuf = CmsBuf(Array.emptyLongArray)
+
+  override def reduce(b: CmsBuf, key: String): CmsBuf = {
+    if (key == null) return b
+    val m = if (b.counters.isEmpty) new Array[Long](depth * width)
+            else b.counters
+    var r = 0
+    while (r < depth) {
+      m(r * width + CmsAggregator.bucket(r, key, width)) += 1L
+      r += 1
+    }
+    CmsBuf(m)
+  }
+
+  override def merge(a: CmsBuf, b: CmsBuf): CmsBuf =
+    if (a.counters.isEmpty) b
+    else if (b.counters.isEmpty) a
+    else {
+      var i = 0
+      while (i < a.counters.length) {
+        a.counters(i) = math.addExact(a.counters(i), b.counters(i))
+        i += 1
+      }
+      a
+    }
+
+  override def finish(r: CmsBuf): CmsBuf =
+    if (r.counters.isEmpty) CmsBuf(new Array[Long](depth * width)) else r
+
+  private def enc[T: TypeTag]: Encoder[T] = ExpressionEncoder[T]()
+  override def bufferEncoder: Encoder[CmsBuf] = enc
+  override def outputEncoder: Encoder[CmsBuf] = enc
+}
+
+object CmsAggregator {
+  import java.nio.charset.StandardCharsets
+  import java.security.MessageDigest
+
+  /** Row-r bucket of `key`: first-8-md5-hex-digits hash of "r:key", mod
+    * width — the engine's standard replayable hash
+    * (`('0x' || substring(md5(r || ':' || key), 1, 8))::BIGINT % width`
+    * in DuckDB), duplicated here because the JVM-side helper in
+    * org.apache.spark.sql.graft is package-private there.
+    */
+  def bucket(r: Int, key: String, width: Int): Int = {
+    val d = MessageDigest.getInstance("MD5")
+    val h = d.digest((r + ":" + key).getBytes(StandardCharsets.UTF_8))
+    val v = ((h(0) & 0xffL) << 24) | ((h(1) & 0xffL) << 16) |
+      ((h(2) & 0xffL) << 8) | (h(3) & 0xffL)
+    (v % width).toInt
+  }
+}
+
 object FrequencySketch {
   /** Column form: `mgTopK(k, topN)(key)` aggregates to an
     * array<struct<_1: string, _2: bigint>> of the topN estimated-count
@@ -99,4 +179,25 @@ object FrequencySketch {
     */
   def mgTopK(k: Int, topN: Int)(key: Column): Column =
     udaf(HeavyHittersAggregator(k, topN)).apply(key)
+
+  /** Column form: `cms(depth, width)(key)` aggregates to
+    * struct(counters: array<long>) — the flattened count-min matrix.
+    */
+  def cms(depth: Int, width: Int): Column => Column = {
+    val f = udaf(CmsAggregator(depth, width))
+    (key: Column) => f(key)
+  }
+
+  /** Point estimate for a LITERAL probe key over a sketch column: min over
+    * rows of the key's bucket — buckets resolve at PLAN TIME (same md5 the
+    * executor-side update uses), so the estimate is a pure element_at
+    * projection.
+    */
+  def cmsEstimate(sketch: Column, key: String, depth: Int,
+      width: Int): Column = {
+    val cells = (0 until depth).map(r =>
+      org.apache.spark.sql.functions.element_at(sketch,
+        r * width + CmsAggregator.bucket(r, key, width) + 1))
+    org.apache.spark.sql.functions.least(cells: _*)
+  }
 }

@@ -3513,6 +3513,58 @@ object Pipeline {
       |FROM r WHERE rank <= 5
       |ORDER BY lang, rank""".stripMargin
 
+  /** Count-min sketch ([[graft.functions.CmsAggregator]]): the point-query
+    * sketch member — build one 4×64 counter matrix over all corpus tokens,
+    * then estimate a fixed probe set. UNLIKE the exact-regime-gated MG
+    * entry, the oracle rebuilds the SKETCH ITSELF (every md5-bucket
+    * counter) and replays the min-over-rows estimates, so the gate is
+    * exact even in the lossy (colliding) regime — which this narrow
+    * width deliberately exercises.
+    */
+  private val cmsProbeTerms =
+    Seq("batch", "hash", "join", "row", "scan", "zz-missing")
+
+  def cmsCountsQ(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.FrequencySketch
+    val depth = 4; val width = 64
+    T(s, dir, "documents")
+      .select(explode(
+        graft.functions.TextFunctions.tokensWs(col("text"))).as("term"))
+      .agg(FrequencySketch.cms(depth, width)(col("term")).as("sk"))
+      .select(col("sk.counters").as("c"))
+      .select(array(cmsProbeTerms.map(t =>
+        struct(lit(t).as("term"),
+          FrequencySketch.cmsEstimate(col("c"), t, depth, width)
+            .cast("long").as("est"))): _*).as("a"))
+      .select(explode(col("a")).as("s"))
+      .select(col("s.term").as("term"), col("s.est").as("est"))
+      .orderBy(col("term"))
+  }
+
+  val cmsCountsOracle: String = {
+    val vals = cmsProbeTerms.map(t => s"('$t')").mkString(", ")
+    s"""WITH toks AS (
+       |  SELECT unnest(string_split_regex(trim(text), '\\s+')) AS term
+       |  FROM documents),
+       |rr AS (SELECT unnest(range(0, 4)) AS r),
+       |bk AS (
+       |  SELECT rr.r,
+       |    CAST(('0x' || substring(md5(CAST(rr.r AS VARCHAR) || ':'
+       |      || t.term), 1, 8)) AS BIGINT) % 64 AS b,
+       |    CAST(COUNT(*) AS BIGINT) AS c
+       |  FROM toks t CROSS JOIN rr GROUP BY 1, 2),
+       |probes AS (SELECT * FROM (VALUES $vals) p(term)),
+       |pe AS (
+       |  SELECT p.term, rr.r,
+       |    CAST(('0x' || substring(md5(CAST(rr.r AS VARCHAR) || ':'
+       |      || p.term), 1, 8)) AS BIGINT) % 64 AS b
+       |  FROM probes p CROSS JOIN rr)
+       |SELECT pe.term, CAST(MIN(COALESCE(bk.c, 0)) AS BIGINT) AS est
+       |FROM pe LEFT JOIN bk ON bk.r = pe.r AND bk.b = pe.b
+       |GROUP BY pe.term
+       |ORDER BY pe.term""".stripMargin
+  }
+
   /** Token-length histogram of the documents corpus in power-of-two
     * buckets — the packing/batch-shape planning report.
     */
@@ -5410,6 +5462,7 @@ object Pipeline {
     Q("length_histogram", lengthHistogramQ, Some(lengthHistogramOracle)),
     Q("quantile_sketch", quantileSketchQ, Some(quantileSketchOracle)),
     Q("heavy_hitters_sketch", heavyHittersSketchQ, Some(heavyHittersSketchOracle)),
+    Q("cms_counts", cmsCountsQ, Some(cmsCountsOracle)),
     Q("source_overlap", sourceOverlap, Some(sourceOverlapOracle)),
     Q("overlap_sketch", overlapSketchQ, Some(overlapSketchOracle)),
     Q("join_size_sketch", joinSizeSketchQ, Some(joinSizeSketchOracle)),

@@ -700,6 +700,14 @@ class PlanSpec extends SparkSpec {
     assert("(\\d+) Exchange".r.findAllIn(p).size <= 2, p)
   }
 
+  test("cms_counts: ONE fixed-size sketch aggregation; probe buckets " +
+      "resolve at plan time so estimation is pure projection — no join") {
+    val p = plan(Pipeline.cmsCountsQ(spark, dir))
+    assert(!p.contains("Join"), p)
+    assert(!p.contains("Window"), p)
+    assert("ObjectHashAggregate".r.findAllIn(p).size >= 2, p)
+  }
+
   test("embedding_covariance: ONE moment aggregation — partitions reduce " +
       "to single buffers before the exchange; no join, no window, the " +
       "d-squared expansion happens after on one row") {
