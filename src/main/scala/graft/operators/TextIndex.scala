@@ -498,19 +498,80 @@ object TextIndex {
     * one at test SFs.
     */
   def lmPerplexityScreen(df: DataFrame, id: Column, text: Column,
-      thresholdBits: Double = 12.0): DataFrame = {
+      thresholdBits: Double = 12.0): DataFrame =
+    lmScoreAgainst(df, id, text, bigramLmCounts(df, text), thresholdBits,
+      selfCounts = true)
+
+  /** The bigram LM as ONE storable count table: ('uni', token-fp, count),
+    * ('bi', bigram-fp, count), plus the single ('n', 0, corpus-token-total)
+    * row — the frozen-model artifact [[lmScoreAgainst]] consumes. Counts
+    * are ADDITIVE, so incremental maintenance is [[foldLmCounts]] (union +
+    * sum), not a rebuild: ingest a batch, fold its counts in, and the
+    * folded table is bit-identical to a clean rebuild over the union
+    * (LmModelSpec pins that).
+    *
+    * Scale shape: two fp-keyed 2-phase aggregations plus a one-row total —
+    * the same vocabulary-sized exchanges as the familiarity operators;
+    * text never shuffles after widen().
+    */
+  def bigramLmCounts(df: DataFrame, text: Column): DataFrame = {
+    import org.apache.spark.sql.graft.HashFunctions
+    val base = widen(df.select(text.as("__text")))
+      .select(TextFunctions.tokensWs(col("__text")).as("toks"))
+    // size-guard: ShingleFps60 on an EMPTY token array emits one
+    // whole-text gram (the shingle contract), which here would count a
+    // phantom token per blank doc
+    val uni = base.filter(size(col("toks")) >= 1)
+      .select(explode(HashFunctions.shingleFps60(col("toks"), 1)).as("fp"))
+    val bi = base.filter(size(col("toks")) >= 2)
+      .select(explode(HashFunctions.shingleFps60(col("toks"), 2)).as("fp"))
+    uni.groupBy(col("fp")).agg(count(lit(1)).as("cnt"))
+      .select(lit("uni").as("kind"), col("fp"), col("cnt"))
+      .unionByName(bi.groupBy(col("fp")).agg(count(lit(1)).as("cnt"))
+        .select(lit("bi").as("kind"), col("fp"), col("cnt")))
+      .unionByName(uni.agg(count(lit(1)).as("cnt"))
+        .select(lit("n").as("kind"), lit(0L).as("fp"), col("cnt")))
+  }
+
+  /** Additive model maintenance: fold a batch's counts into an existing
+    * model table. Union + (kind, fp)-keyed sum — associative and
+    * commutative, so batches fold in any order to the clean-rebuild
+    * counts.
+    */
+  def foldLmCounts(model: DataFrame, batch: DataFrame): DataFrame =
+    model.unionByName(batch)
+      .groupBy(col("kind"), col("fp")).agg(sum(col("cnt")).as("cnt"))
+
+  /** Score documents against a (possibly FROZEN) bigram LM — the actual
+    * CCNet deployment shape: the model is trained once on the reference
+    * corpus ([[bigramLmCounts]], maintained with [[foldLmCounts]]) and
+    * every incoming corpus is screened against it without touching the
+    * model. `selfCounts = true` is the train-on-self mode
+    * ([[lmPerplexityScreen]]): counts include the scored occurrence, so
+    * the common branch uses leave-one-out (c2 − 1). With a frozen model
+    * (`selfCounts = false`) counts are external evidence and c2 ≥ 1 is
+    * the common branch; a bigram the model never saw backs off, and an
+    * OOV token floors at count 1 — the maximum 1 + ⌊log2 N⌋ bit cost,
+    * which is exactly how an unknown word should read.
+    *
+    * Scale shape: the position stream (id + three 8-byte fps) makes three
+    * key-joins against the model's count partitions; the model is
+    * vocabulary-sized, documents never shuffle their text.
+    */
+  def lmScoreAgainst(df: DataFrame, id: Column, text: Column,
+      model: DataFrame, thresholdBits: Double = 12.0,
+      selfCounts: Boolean = false): DataFrame = {
     import org.apache.spark.sql.graft.HashFunctions
     def flog2(c: Column): Column = (length(bin(c)) - 1).cast("long")
+    val discount = if (selfCounts) 1L else 0L
+    val c1 = model.filter(col("kind") === "uni")
+      .select(col("fp"), col("cnt"))
+    val c2m = model.filter(col("kind") === "bi")
+      .select(col("fp").as("g2"), col("cnt").as("c2"))
+    val nTotal = broadcast(model.filter(col("kind") === "n")
+      .select(col("cnt").as("n_total")))
     val base = widen(df.select(id.as("id"), text.as("__text")))
       .select(col("id"), TextFunctions.tokensWs(col("__text")).as("toks"))
-    // unigram model: per-token corpus counts + the corpus total. The
-    // size-guard matters: ShingleFps60 on an EMPTY token array emits one
-    // whole-text gram (the shingle contract), which here would count a
-    // phantom token per blank doc.
-    val uni = base.filter(size(col("toks")) >= 1)
-      .select(explode(HashFunctions.shingleFps60(col("toks"), 1)).as("u"))
-    val c1 = uni.groupBy(col("u")).agg(count(lit(1)).as("c1"))
-    val nTotal = broadcast(uni.agg(count(lit(1)).as("n_total")))
     // bigram position stream, each with its prev/cur unigram fps aligned
     // by start position (arrays_zip, no self-join)
     val pos = base.filter(size(col("toks")) >= 2)
@@ -522,15 +583,20 @@ object TextIndex {
           size(col("toks")) - 1))).as("z"))
       .select(col("id"), col("z.0").as("g2"), col("z.1").as("up"),
         col("z.2").as("uc"))
-    val c2 = pos.groupBy(col("g2")).agg(count(lit(1)).as("c2"))
     val scored = pos
-      .join(c2, Seq("g2"))
-      .join(c1.toDF("up", "c1p"), Seq("up"))
-      .join(c1.toDF("uc", "c1c"), Seq("uc"))
+      .join(c2m, Seq("g2"), "left")
+      .join(c1.toDF("up", "c1p"), Seq("up"), "left")
+      .join(c1.toDF("uc", "c1c"), Seq("uc"), "left")
       .crossJoin(nTotal)
+      // common branch guarantees the prefix was seen (c2 − d ≥ 1 ⇒ the
+      // bigram exists beyond self ⇒ c1p ≥ 1); OOV floors at 1 so flog2
+      // stays defined and the cost lands at its 1 + ⌊log2 N⌋ maximum
       .select(col("id"),
-        when(col("c2") >= 2, flog2(col("c1p")) - flog2(col("c2") - 1))
-          .otherwise(lit(1L) + flog2(col("n_total")) - flog2(col("c1c")))
+        when(coalesce(col("c2"), lit(0L)) - lit(discount) >= 1L,
+          flog2(coalesce(col("c1p"), lit(1L))) -
+            flog2(coalesce(col("c2"), lit(0L)) - lit(discount)))
+          .otherwise(lit(1L) + flog2(col("n_total")) -
+            flog2(coalesce(col("c1c"), lit(1L))))
           .as("bits"))
       .groupBy(col("id"))
       .agg(count(lit(1)).as("n_scored"), sum(col("bits")).as("total_bits"))
