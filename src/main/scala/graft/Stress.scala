@@ -172,7 +172,18 @@ object Stress {
     // (base ids < 250 — replicas all land in the right half), so
     // candidates grow linearly with each left doc's replica count
     "doc_compressibility", "mixture_waterfill", "time_embargo_split",
-    "edit_distance_linkage")
+    "edit_distance_linkage",
+    // round-14 additions: lm_perplexity_screen is the bigram/unigram
+    // count-join shape (three fp-keyed joins over the position stream —
+    // the familiarity family's linear claim); keyword_tag is map-only
+    // (one automaton pass per doc, output hit-sparse); cms_counts'
+    // exchange is a FIXED 4×64 matrix however large the corpus (the
+    // k-bounded-exchange claim of the sketch family);
+    // embedding_covariance reduces every partition to one
+    // (1+d+d²)-long buffer — its corpus-sized work is the O(d²)/row
+    // accumulate, linear by claim
+    "lm_perplexity_screen", "keyword_tag", "cms_counts",
+    "embedding_covariance")
 
   /** Replica id offset — well above any sf0.1 id, keeps replica ids
     * unique. PUBLIC because `Pipeline.simHashedLsh` pins its probe set
