@@ -155,14 +155,19 @@ object CmsAggregator {
   import java.nio.charset.StandardCharsets
   import java.security.MessageDigest
 
+  private val tlMd5 = ThreadLocal.withInitial[MessageDigest](() =>
+    MessageDigest.getInstance("MD5"))
+
   /** Row-r bucket of `key`: first-8-md5-hex-digits hash of "r:key", mod
     * width — the engine's standard replayable hash
     * (`('0x' || substring(md5(r || ':' || key), 1, 8))::BIGINT % width`
     * in DuckDB), duplicated here because the JVM-side helper in
-    * org.apache.spark.sql.graft is package-private there.
+    * org.apache.spark.sql.graft is package-private there. Thread-local
+    * digest: this runs depth× per input row on the corpus-sized hot
+    * path, and getInstance pays a JCA provider lookup per call.
     */
   def bucket(r: Int, key: String, width: Int): Int = {
-    val d = MessageDigest.getInstance("MD5")
+    val d = tlMd5.get(); d.reset()
     val h = d.digest((r + ":" + key).getBytes(StandardCharsets.UTF_8))
     val v = ((h(0) & 0xffL) << 24) | ((h(1) & 0xffL) << 16) |
       ((h(2) & 0xffL) << 8) | (h(3) & 0xffL)
@@ -198,6 +203,8 @@ object FrequencySketch {
     val cells = (0 until depth).map(r =>
       org.apache.spark.sql.functions.element_at(sketch,
         r * width + CmsAggregator.bucket(r, key, width) + 1))
-    org.apache.spark.sql.functions.least(cells: _*)
+    // least() rejects a single argument — a depth-1 sketch is valid
+    if (cells.size == 1) cells.head
+    else org.apache.spark.sql.functions.least(cells: _*)
   }
 }

@@ -109,11 +109,15 @@ case class CovMomentsAggregator(bits: Int)
     m(0) += 1L
     i = 0
     while (i < d) {
-      m(1 + i) += q(i)
+      m(1 + i) = math.addExact(m(1 + i), q(i))
       val row = 1 + d + i * d
       var j = 0
       while (j < d) {
-        m(row + j) = math.addExact(m(row + j), q(i) * q(j))
+        // multiplyExact too: an unchecked q(i)*q(j) wraps silently on
+        // non-unit-scale inputs and defeats the throws-past-the-bound
+        // contract the addExact guard promises
+        m(row + j) = math.addExact(m(row + j),
+          math.multiplyExact(q(i), q(j)))
         j += 1
       }
       i += 1

@@ -525,12 +525,16 @@ object TextIndex {
       .select(explode(HashFunctions.shingleFps60(col("toks"), 1)).as("fp"))
     val bi = base.filter(size(col("toks")) >= 2)
       .select(explode(HashFunctions.shingleFps60(col("toks"), 2)).as("fp"))
-    uni.groupBy(col("fp")).agg(count(lit(1)).as("cnt"))
+    val uniCounts = uni.groupBy(col("fp")).agg(count(lit(1)).as("cnt"))
+    uniCounts
       .select(lit("uni").as("kind"), col("fp"), col("cnt"))
       .unionByName(bi.groupBy(col("fp")).agg(count(lit(1)).as("cnt"))
         .select(lit("bi").as("kind"), col("fp"), col("cnt")))
-      .unionByName(uni.agg(count(lit(1)).as("cnt"))
-        .select(lit("n").as("kind"), lit(0L).as("fp"), col("cnt")))
+      // total = Σ over the vocabulary-sized count table, NOT a third
+      // corpus tokenize pass (AQE reuses the shared count exchange)
+      .unionByName(uniCounts.agg(sum(col("cnt")).as("cnt"))
+        .select(lit("n").as("kind"), lit(0L).as("fp"),
+          col("cnt").cast("long").as("cnt")))
   }
 
   /** Additive model maintenance: fold a batch's counts into an existing

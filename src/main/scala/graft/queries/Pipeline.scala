@@ -692,7 +692,9 @@ object Pipeline {
       |  SELECT vec_id, CAST(i - 1 AS INTEGER) AS dim,
       |    CAST(round(embedding[i]::DOUBLE * 1048576.0) AS BIGINT) AS qv
       |  FROM e1),
-      |nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM embeddings),
+      |-- engine-side reduce skips null vectors; count the same population
+      |nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM embeddings
+      |       WHERE embedding IS NOT NULL),
       |s AS (SELECT dim, CAST(SUM(qv) AS BIGINT) AS sv FROM q GROUP BY dim),
       |p AS (
       |  SELECT a.dim AS dim_i, b.dim AS dim_j,

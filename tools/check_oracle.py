@@ -67,8 +67,10 @@ def main():
                 rep_bad.append(f"{c}: spark={a} oracle={b}")
             if a == "object" and b != "object":
                 import decimal
+                # first NON-NULL value: a decimal column led by nulls
+                # must not slip past the audit
                 if any(isinstance(v, decimal.Decimal)
-                       for v in raw[c].head(5)):
+                       for v in raw[c].dropna().head(5)):
                     rep_bad.append(f"{c}: spark=decimal oracle={b}")
         if rep_bad:
             print(f"FAIL {name}: driver-hash representation mismatch: "
