@@ -183,7 +183,11 @@ object Stress {
     // (1+d+d²)-long buffer — its corpus-sized work is the O(d²)/row
     // accumulate, linear by claim
     "lm_perplexity_screen", "keyword_tag", "cms_counts",
-    "embedding_covariance")
+    "embedding_covariance",
+    // vocab_growth's corpus-sized work is one explode + a vocabulary-
+    // sized min-agg (the NTILE sorts ids only); kanon_release is one
+    // cell-count agg + two tiny passes over |cells| rows
+    "vocab_growth", "kanon_release")
 
   /** Replica id offset — well above any sf0.1 id, keeps replica ids
     * unique. PUBLIC because `Pipeline.simHashedLsh` pins its probe set

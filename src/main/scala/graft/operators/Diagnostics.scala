@@ -428,6 +428,41 @@ object Diagnostics {
           term(col("n_other"), col("g_other"))).as("chi2"))
   }
 
+  /** k-anonymous count release: per-cell counts over `keys`, released
+    * only where the cell holds at least `k` rows; smaller cells are
+    * GENERALIZED to the '*' bucket (every key replaced) and released as
+    * one aggregate row — and that row must itself satisfy k (a suppressed
+    * total under k is dropped entirely, the documented residual loss).
+    * The minimum privacy floor for publishing corpus-composition tables
+    * (source × language × license breakdowns) outside the data-infra
+    * boundary: no released row isolates fewer than k documents/users.
+    *
+    * Output: one string column per key (original value or '*') + `n`.
+    *
+    * Scale shape: one 2-phase count aggregation over the keys, a map-only
+    * generalization CASE, and a second aggregation over the RELEASED
+    * table (≤ |cells| rows). Nothing row-sized survives the first
+    * partial agg.
+    */
+  def kAnonymousRelease(df: DataFrame, keys: Seq[Column],
+      k: Long): DataFrame = {
+    require(keys.nonEmpty, "kAnonymousRelease: no keys")
+    require(k >= 1, s"k must be >= 1, got $k")
+    val names = keys.indices.map(i => s"k$i")
+    val counts = df
+      .select(keys.zipWithIndex.map { case (c, i) =>
+        c.cast("string").as(names(i)) }: _*)
+      .groupBy(names.map(col): _*)
+      .agg(count(lit(1)).as("n"))
+    counts
+      .select(names.map(nm =>
+        when(col("n") >= k, col(nm)).otherwise(lit("*")).as(nm)) :+
+        col("n"): _*)
+      .groupBy(names.map(col): _*)
+      .agg(sum(col("n")).as("n"))
+      .filter(col("n") >= k)
+  }
+
   def skewReport(df: DataFrame, key: Column, topN: Int = 20,
       partitions: Int = 32): DataFrame = {
     require(topN > 0 && partitions > 0, s"topN=$topN partitions=$partitions")

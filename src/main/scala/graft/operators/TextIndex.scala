@@ -1085,4 +1085,50 @@ object TextIndex {
         (col("vocab").cast("double") / col("n_tokens").cast("double"))
           .as("type_token_ratio"))
       .orderBy(col("source"))
+
+  /** Vocabulary-growth curve (the empirical Heaps law V(n) ∝ n^β): the
+    * corpus is cut into `buckets` equal document slices in doc-id order,
+    * and each slice reports its token mass, the terms FIRST seen there,
+    * and the running vocabulary — the "how fast does vocabulary grow as
+    * the corpus grows" readout that sizes tokenizer vocabularies and
+    * predicts dictionary-table growth for every fp-keyed operator here.
+    * A flattening curve (new_terms → 0) says the corpus is saturating
+    * its domain; a straight line says every new slice still brings
+    * fresh vocabulary (OCR noise shows as a SUPER-linear tail — every
+    * scanno is a new term).
+    *
+    * Output: (bucket 1-based, n_docs, tokens, new_terms, cum_vocab).
+    *
+    * Scale shape: the NTILE over doc ids is the one single-reducer sort
+    * (ids only — the rfm_segments stance; swap for KLL range cuts at
+    * 10⁹ docs); the first-seen reduction is a vocabulary-sized
+    * min-aggregation on raw terms; everything after runs on `buckets`
+    * rows.
+    */
+  def vocabGrowth(df: DataFrame, id: Column, text: Column,
+      buckets: Int = 10): DataFrame = {
+    require(buckets > 0, s"buckets must be positive, got $buckets")
+    import org.apache.spark.sql.expressions.Window
+    val b = df.select(id.as("id"), text.as("__text"))
+      .withColumn("bucket", ntile(buckets).over(Window.orderBy(col("id"))))
+    val toks = b.select(col("bucket"),
+      explode(TextFunctions.tokensWs(col("__text"))).as("term"))
+    val docsPer = b.groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_docs"))
+    val tokensPer = toks.groupBy(col("bucket"))
+      .agg(count(lit(1)).as("tokens"))
+    val firstSeen = toks.groupBy(col("term"))
+      .agg(min(col("bucket")).as("bucket"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("new_terms"))
+    docsPer
+      .join(tokensPer, Seq("bucket"), "left")
+      .join(firstSeen, Seq("bucket"), "left")
+      .select(col("bucket"), col("n_docs"),
+        coalesce(col("tokens"), lit(0L)).as("tokens"),
+        coalesce(col("new_terms"), lit(0L)).as("new_terms"))
+      .withColumn("cum_vocab",
+        sum(col("new_terms")).over(Window.orderBy(col("bucket"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+  }
 }

@@ -2956,6 +2956,67 @@ object Pipeline {
        |ORDER BY doc_id, pattern""".stripMargin
   }
 
+  /** k-anonymous composition release
+    * ([[graft.operators.Diagnostics.kAnonymousRelease]]): the
+    * (source, lang) breakdown published only where a cell holds ≥ 5
+    * docs; smaller cells generalize to the '*' aggregate. The oracle
+    * replays the count, the generalization CASE, and the k floor on the
+    * released rows.
+    */
+  def kanonReleaseQ(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Diagnostics.kAnonymousRelease(
+        T(s, dir, "documents"), Seq(col("source"), col("lang")), k = 5)
+      .select(col("k0").as("source"), col("k1").as("lang"), col("n"))
+      .orderBy(col("source"), col("lang"))
+
+  val kanonReleaseOracle: String =
+    """WITH c AS (
+      |  SELECT CAST(source AS VARCHAR) AS source,
+      |    CAST(lang AS VARCHAR) AS lang,
+      |    CAST(COUNT(*) AS BIGINT) AS n
+      |  FROM documents GROUP BY 1, 2),
+      |g AS (
+      |  SELECT CASE WHEN n >= 5 THEN source ELSE '*' END AS source,
+      |    CASE WHEN n >= 5 THEN lang ELSE '*' END AS lang, n
+      |  FROM c)
+      |SELECT source, lang, CAST(SUM(n) AS BIGINT) AS n
+      |FROM g GROUP BY 1, 2 HAVING SUM(n) >= 5
+      |ORDER BY source, lang""".stripMargin
+
+  /** Vocabulary-growth curve ([[graft.operators.TextIndex.vocabGrowth]]):
+    * Heaps-law readout over ten doc-id-ordered corpus slices. The oracle
+    * replays the NTILE cut, the first-seen reduction, and the running
+    * vocabulary sum.
+    */
+  def vocabGrowthQ(s: SparkSession, dir: String): DataFrame =
+    graft.operators.TextIndex.vocabGrowth(
+        T(s, dir, "documents"), col("doc_id"), col("text"))
+      .orderBy(col("bucket"))
+
+  val vocabGrowthOracle: String =
+    """WITH d AS (
+      |  SELECT CAST(NTILE(10) OVER (ORDER BY doc_id) AS INTEGER) AS bucket,
+      |    CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[])
+      |         ELSE string_split_regex(trim(text), '\s+') END AS t
+      |  FROM documents),
+      |toks AS (SELECT bucket, unnest(t) AS term FROM d),
+      |dp AS (SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n_docs
+      |       FROM d GROUP BY bucket),
+      |tp AS (SELECT bucket, CAST(COUNT(*) AS BIGINT) AS tokens
+      |       FROM toks GROUP BY bucket),
+      |ft AS (SELECT term, MIN(bucket) AS bucket FROM toks GROUP BY term),
+      |nt AS (SELECT bucket, CAST(COUNT(*) AS BIGINT) AS new_terms
+      |       FROM ft GROUP BY bucket)
+      |SELECT dp.bucket, dp.n_docs,
+      |  COALESCE(tp.tokens, 0) AS tokens,
+      |  COALESCE(nt.new_terms, 0) AS new_terms,
+      |  CAST(SUM(COALESCE(nt.new_terms, 0)) OVER (ORDER BY dp.bucket
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+      |    AS cum_vocab
+      |FROM dp LEFT JOIN tp ON dp.bucket = tp.bucket
+      |LEFT JOIN nt ON dp.bucket = nt.bucket
+      |ORDER BY dp.bucket""".stripMargin
+
   /** Trigram familiarity with 0.4 stupid backoff to the leading bigram —
     * exact-integer counts, fixed-order double score.
     */
@@ -5480,6 +5541,8 @@ object Pipeline {
     Q("trigram_backoff", trigramBackoffQ, Some(trigramBackoffOracle)),
     Q("lm_perplexity_screen", lmPerplexityQ, Some(lmPerplexityOracle)),
     Q("keyword_tag", keywordTagQ, Some(keywordTagOracle)),
+    Q("vocab_growth", vocabGrowthQ, Some(vocabGrowthOracle)),
+    Q("kanon_release", kanonReleaseQ, Some(kanonReleaseOracle)),
     Q("dedup_exact", dedupExact, Some(dedupExactOracle)),
     Q("mm_decode_meta", mmDecodeMeta, Some(mmDecodeMetaOracle)),
     Q("dedup_minhash_lsh", dedupMinHash, Some(dedupMinHashOracle)),

@@ -335,6 +335,61 @@ object Streams {
       stream.writeStream.foreachBatch(handler)
   }
 
+  /** Streaming bigram-LM maintenance: each micro-batch's counts
+    * ([[graft.operators.TextIndex.bigramLmCounts]]) fold ADDITIVELY into
+    * the model via [[graft.operators.TextIndex.foldLmCounts]];
+    * `current` always exposes the up-to-date count table, ready for
+    * [[graft.operators.TextIndex.lmScoreAgainst]] — the
+    * screen-while-you-ingest composition. One structural difference from
+    * [[IndexIngest]]: the fold is additive, NOT replace-keyed, so the
+    * batchId replay guard is LOAD-BEARING — an unguarded re-fold of a
+    * retried batch would double-count it (replace semantics merely waste
+    * work). Same pin lifecycle: superseded state and delta pins freed
+    * every batch, keeping executor storage at O(model), not
+    * O(batches × model).
+    */
+  final class LmIngest(state0: DataFrame, text: Column) {
+    @volatile private var state = state0
+    private var lastApplied = -1L
+    private var lastDelta: DataFrame = null
+    private var ownsState = false // state0 belongs to the caller
+
+    /** The maintained model after every applied batch. Same snapshot
+      * lifetime contract as [[IndexIngest.current]].
+      */
+    def current: DataFrame = state
+
+    val handler: (DataFrame, Long) => Unit =
+      (batch: DataFrame, batchId: Long) => {
+        if (batchId <= lastApplied) {
+          // at-least-once replay: re-emit WITHOUT re-folding — additive
+          // counts double on a re-fold
+          if (batchId == lastApplied && lastDelta != null)
+            onDelta(lastDelta, batchId)
+        } else {
+          val delta = graft.operators.TextIndex.bigramLmCounts(batch, text)
+            .localCheckpoint(true)
+          val next = graft.operators.TextIndex.foldLmCounts(state, delta)
+            .localCheckpoint(true)
+          if (ownsState) Bridge.unpin(state)
+          if (lastDelta != null) Bridge.unpin(lastDelta)
+          state = next
+          ownsState = true
+          onDelta(delta, batchId)
+          lastApplied = batchId
+          lastDelta = delta
+        }
+        ()
+      }
+
+    /** Override point for delta consumers; default is a no-op. */
+    var onDelta: (DataFrame, Long) => Unit = (_, _) => ()
+
+    def ingest(stream: DataFrame)
+        : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+      stream.writeStream.foreachBatch(handler)
+  }
+
   /** Streaming funnel tracker: keyed state carries each user's
     * (depth, last-step timestamp) across micro-batches; every batch
     * re-emits the user's current depth (Update mode). Within a batch the

@@ -414,6 +414,25 @@ class DiagnosticsSpec extends SparkSpec {
     assert(got(1) === ("b", 5L, 1L, 0.25, 20.25, 8.0, 1.0))
   }
 
+  test("kAnonymousRelease: cells >= k released verbatim, smaller cells " +
+      "generalize to the '*' aggregate, and a suppressed total under k " +
+      "is dropped entirely") {
+    import spark.implicits._
+    def rows(cell: (String, String), n: Int) = Seq.fill(n)(cell)
+    // (a, x): 4 rows -> released; (b, x): 2 + (b, y): 1 -> '*' total 3 >= 3
+    val df = (rows(("a", "x"), 4) ++ rows(("b", "x"), 2) ++
+      rows(("b", "y"), 1)).toDF("s", "l")
+    val out = graft.operators.Diagnostics.kAnonymousRelease(
+        df, Seq(col("s"), col("l")), k = 3)
+      .as[(String, String, Long)].collect().sortBy(t => (t._1, t._2)).toSeq
+    assert(out === Seq(("*", "*", 3L), ("a", "x", 4L)))
+    // raise k to 4: the suppressed total (3) itself violates k -> dropped
+    val out2 = graft.operators.Diagnostics.kAnonymousRelease(
+        df, Seq(col("s"), col("l")), k = 4)
+      .as[(String, String, Long)].collect().toSeq
+    assert(out2 === Seq(("a", "x", 4L)))
+  }
+
   test("tableProfile: an all-null column profiles to nulls, not errors") {
     import spark.implicits._
     val df = Seq((1L, Option.empty[Long]), (2L, Option.empty[Long]))

@@ -229,6 +229,21 @@ class TextIndexSpec extends SparkSpec {
       (3L, "b", 1L), (3L, "b c", 1L)))
   }
 
+  test("vocabGrowth: first-seen terms charge their earliest bucket, " +
+      "running vocabulary accumulates, empty docs hold their slice") {
+    val docs = Seq(
+      (1L, "a b a"),   // bucket 1: new {a, b}
+      (2L, "b c"),     // bucket 1: new {c}
+      (3L, "a d"),     // bucket 2: new {d}
+      (4L, "")         // bucket 2: no tokens
+    ).toDF("id", "text")
+    val out = TextIndex.vocabGrowth(docs, col("id"), col("text"),
+        buckets = 2)
+      .as[(Int, Long, Long, Long, Long)].collect().sortBy(_._1)
+    assert(out(0) === ((1, 2L, 5L, 3L, 3L)))
+    assert(out(1) === ((2, 2L, 2L, 1L, 4L)))
+  }
+
   test("duplicateNgramProfile counts corpus-duplicated positional n-grams") {
     val docs = Seq(
       (1L, "a b c d e f g"),     // 3-grams: abc bcd cde def efg

@@ -700,6 +700,15 @@ class PlanSpec extends SparkSpec {
     assert("(\\d+) Exchange".r.findAllIn(p).size <= 2, p)
   }
 
+  test("vocab_growth: the first-seen reduction is a vocabulary-sized " +
+      "min-agg; the only windows are the id NTILE and the buckets-row " +
+      "cumsum — no cartesian") {
+    val p = plan(Pipeline.vocabGrowthQ(spark, dir))
+    assert(!p.contains("CartesianProduct"), p)
+    assert("HashAggregate".r.findAllIn(p).size >= 4, p)
+    assert("(\\d+) Window".r.findAllIn(p).size <= 4, p) // 2 nodes × 2 prints
+  }
+
   test("cms_counts: ONE fixed-size sketch aggregation; probe buckets " +
       "resolve at plan time so estimation is pure projection — no join") {
     val p = plan(Pipeline.cmsCountsQ(spark, dir))

@@ -466,6 +466,53 @@ class StreamsSpec extends SparkSpec {
     assert(cur.filter(_._1 == 106L) === Seq((106L, "w6", 1L)))
   }
 
+  test("LmIngest: additive count fold across batches equals the clean " +
+      "rebuild; replay re-emits WITHOUT re-folding (a re-fold would " +
+      "double-count); superseded pins freed") {
+    import graft.operators.TextIndex
+    val state0 = TextIndex.bigramLmCounts(
+      Seq("a b a b", "c d").toDF("text"), col("text"))
+    val ing = new Streams.LmIngest(state0, col("text"))
+    val seen = scala.collection.mutable.ArrayBuffer.empty[Long]
+    ing.onDelta = (_, batchId) => seen += batchId
+    val b0 = Seq("a b c", "d").toDF("text")
+    ing.handler(b0, 0L)
+    def cur = ing.current.as[(String, Long, Long)].collect()
+      .map(t => (t._1, t._2) -> t._3).toMap
+    val expect = TextIndex.bigramLmCounts(
+        Seq("a b a b", "c d", "a b c", "d").toDF("text"), col("text"))
+      .as[(String, Long, Long)].collect().map(t => (t._1, t._2) -> t._3).toMap
+    assert(cur === expect)
+    // replay of the SAME batch: counts must not double
+    ing.handler(b0, 0L)
+    assert(cur === expect)
+    assert(seen.toList === List(0L, 0L))
+    // older batchId after progress: guarded no-op
+    ing.handler(Seq("e e").toDF("text"), 1L)
+    val after1 = cur
+    ing.handler(b0, 0L)
+    assert(cur === after1)
+    assert(seen.size === 3)
+    // pin lifecycle: superseded states freed, current stays pinned
+    val superseded =
+      scala.collection.mutable.ArrayBuffer.empty[org.apache.spark.sql.DataFrame]
+    (2 to 5).foreach { i =>
+      superseded += ing.current
+      ing.handler(Seq(s"w$i x$i").toDF("text"), i.toLong)
+    }
+    superseded.foreach(assertFreed(_, "LmIngest state"))
+    assert(pinnedRdds(ing.current).nonEmpty &&
+      pinnedRdds(ing.current).forall(
+        _.getStorageLevel != org.apache.spark.storage.StorageLevel.NONE),
+      "the CURRENT model must stay pinned")
+    // and the maintained model actually serves the frozen-score path
+    val scored = TextIndex.lmScoreAgainst(
+        Seq((1L, "a b")).toDF("id", "text"), col("id"), col("text"),
+        ing.current, thresholdBits = 64.0)
+      .as[(Long, Long, Long, Double, Boolean)].collect()
+    assert(scored.length === 1 && scored.head._2 === 1L)
+  }
+
   test("semanticBatchHandler: cluster-assigned dedup vs state, " +
       "idempotent on replay") {
     import graft.operators.Dedup
