@@ -187,7 +187,10 @@ object Stress {
     // vocab_growth's corpus-sized work is one explode + a vocabulary-
     // sized min-agg (the NTILE sorts ids only); kanon_release is one
     // cell-count agg + two tiny passes over |cells| rows
-    "vocab_growth", "kanon_release")
+    "vocab_growth", "kanon_release",
+    // quality_rule_hits adds one reasons explode + a |rules|-row agg on
+    // top of the quality_filter verdict pipeline (linear by claim)
+    "quality_rule_hits")
 
   /** Replica id offset — well above any sf0.1 id, keeps replica ids
     * unique. PUBLIC because `Pipeline.simHashedLsh` pins its probe set

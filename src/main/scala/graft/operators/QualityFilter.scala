@@ -72,6 +72,36 @@ object QualityFilter {
         .select(col("id").as("__keep_id")),
       id === col("__keep_id"), "left_semi")
 
+  /** Per-rule kill audit over [[filterWithReasons]] — the numbers a
+    * threshold review actually reads: each rule's document kills
+    * (`n_hits`), its SOLO kills (`n_solo` — documents rejected by this
+    * rule alone, i.e. exactly what relaxing just this threshold would
+    * readmit), the corpus size, and the hit rate. A rule with large
+    * n_hits but near-zero n_solo is redundant with its neighbors; a rule
+    * whose n_solo ≈ n_hits owns its rejections outright.
+    *
+    * Output: (rule, n_hits, n_solo, n_docs, hit_rate) — one row per rule
+    * that fired at least once.
+    *
+    * Scale shape: the verdict pipeline's cost plus one reasons explode
+    * into a ≤|rules|-row aggregation and a one-row total broadcast.
+    */
+  def ruleHits(df: DataFrame, id: Column, text: Column,
+      th: Thresholds = Thresholds()): DataFrame = {
+    val fr = filterWithReasons(df, id, text, th).select(col("reasons"))
+    val tot = broadcast(fr.agg(count(lit(1)).as("n_docs")))
+    fr.filter(size(col("reasons")) > 0)
+      .select(explode(col("reasons")).as("rule"),
+        size(col("reasons")).as("__nr"))
+      .groupBy(col("rule"))
+      .agg(count(lit(1)).as("n_hits"),
+        sum(when(col("__nr") === 1, 1L).otherwise(0L)).as("n_solo"))
+      .crossJoin(tot)
+      .select(col("rule"), col("n_hits"), col("n_solo"), col("n_docs"),
+        (col("n_hits").cast("double") / col("n_docs").cast("double"))
+          .as("hit_rate"))
+  }
+
   /** Segment-level mixed-language detection: language-id each
     * `window`-token segment ([[TextIndex.chunks]] + [[graft.functions
     * .TextFunctions.langId]]) and report, per document, the segment

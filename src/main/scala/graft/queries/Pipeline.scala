@@ -3752,7 +3752,17 @@ object Pipeline {
       .orderBy(col("doc_id"))
 
   val qualityFilterOracle: String =
-    s"""WITH t AS (
+    s"""WITH $qualityReasonsCte
+       |SELECT doc_id, reasons = '' AS kept, reasons
+       |FROM r
+       |ORDER BY doc_id""".stripMargin
+
+  /** The shared reason-computation CTE chain (through `r`), reused by the
+    * per-doc verdict oracle above and the rule-hit-rate oracle below —
+    * one definition so the two gates cannot drift.
+    */
+  private lazy val qualityReasonsCte: String =
+    s"""t AS (
        |  SELECT doc_id, text,
        |    CASE WHEN len(trim(text)) = 0 THEN []::VARCHAR[]
        |         ELSE string_split_regex(trim(text), '\\s+') END AS toks
@@ -3790,10 +3800,38 @@ object Pipeline {
        |      CASE WHEN dup_frac > 0.2 THEN 'repeated_segments' END,
        |      CASE WHEN n_seg > 1 AND top_frac > 0.9 THEN 'dominant_segment' END
        |    ) AS reasons
-       |  FROM m JOIN rep ON rep.doc_id = m.doc_id)
-       |SELECT doc_id, reasons = '' AS kept, reasons
-       |FROM r
-       |ORDER BY doc_id""".stripMargin
+       |  FROM m JOIN rep ON rep.doc_id = m.doc_id)""".stripMargin
+
+  /** Per-rule kill audit ([[graft.operators.QualityFilter.ruleHits]]):
+    * how many documents each quality rule rejects, how many it alone
+    * rejects (its marginal contribution — the number that changes when
+    * you relax just that threshold), and the hit rate. Same thresholds
+    * and shared oracle CTEs as `quality_filter`.
+    */
+  def qualityRuleHitsQ(s: SparkSession, dir: String): DataFrame =
+    graft.operators.QualityFilter.ruleHits(
+        T(s, dir, "documents"), col("doc_id"), col("text"),
+        graft.operators.QualityFilter.Thresholds(
+          minTokens = 20, maxTokens = 1000000,
+          minStopRatio = 0.02, maxPunctRatio = 0.5,
+          minMeanTokLen = 3.0, maxMeanTokLen = 5.0,
+          maxDupFrac = 0.2, maxTopFrac = 0.9))
+      .orderBy(col("rule"))
+
+  val qualityRuleHitsOracle: String =
+    s"""WITH $qualityReasonsCte,
+       |rules AS (
+       |  SELECT unnest(string_split(reasons, ',')) AS rule,
+       |    len(string_split(reasons, ',')) AS nr
+       |  FROM r WHERE reasons <> ''),
+       |tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM r)
+       |SELECT rule, CAST(COUNT(*) AS BIGINT) AS n_hits,
+       |  CAST(SUM(CASE WHEN nr = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_solo,
+       |  tot.n_docs,
+       |  CAST(COUNT(*) AS DOUBLE) / CAST(tot.n_docs AS DOUBLE) AS hit_rate
+       |FROM rules CROSS JOIN tot
+       |GROUP BY rule, tot.n_docs
+       |ORDER BY rule""".stripMargin
 
   /** The END-TO-END curation flow as one oracle-checked query — what a
     * user of this engine actually runs before training: exact dedup
@@ -5517,6 +5555,7 @@ object Pipeline {
     Q("zorder_key", zorderKeyQ, Some(zorderKeyOracle)),
     Q("hilbert_key", hilbertKeyQ, Some(hilbertKeyOracle)),
     Q("quality_filter", qualityFilterQ, Some(qualityFilterOracle)),
+    Q("quality_rule_hits", qualityRuleHitsQ, Some(qualityRuleHitsOracle)),
     Q("dedup_incremental", dedupIncremental, Some(dedupIncrementalOracle)),
     Q("skew_report", skewReportQ, Some(skewReportOracle)),
     Q("corpus_report", corpusReportQ, Some(corpusReportOracle)),

@@ -31,6 +31,33 @@ class QualityFilterSpec extends SparkSpec {
     assert(out(5L)._2 === false && out(5L)._3.contains("too_many_tokens"))
   }
 
+  test("ruleHits: n_hits counts every firing, n_solo only documents the " +
+      "rule rejects alone; clean docs count in n_docs only") {
+    // doc 2 (too_few_tokens, solo), doc 3 (high_punct + mean_tok_len ... ),
+    // compute from the planted fixture: read the verdicts first, then
+    // assert the audit agrees with them exactly
+    val verdicts = QualityFilter
+      .filterWithReasons(docs, col("doc_id"), col("text"), th)
+      .select(col("reasons")).as[Seq[String]].collect()
+    val expHits = verdicts.flatten.groupBy(identity).view
+      .mapValues(_.size.toLong).toMap
+    val expSolo = verdicts.filter(_.size == 1).flatten.groupBy(identity)
+      .view.mapValues(_.size.toLong).toMap
+    val out = QualityFilter.ruleHits(docs, col("doc_id"), col("text"), th)
+      .as[(String, Long, Long, Long, Double)].collect()
+    assert(out.map(_._1).toSet === expHits.keySet)
+    out.foreach { case (rule, hits, solo, nDocs, rate) =>
+      assert(hits === expHits(rule), rule)
+      assert(solo === expSolo.getOrElse(rule, 0L), rule)
+      assert(nDocs === 5L)
+      assert(rate === hits.toDouble / 5.0)
+    }
+    // the fixture must exercise BOTH branches: some rule fires solo,
+    // some rule shares its rejections
+    assert(out.exists(r => r._3 > 0), "need a solo-firing rule")
+    assert(out.exists(r => r._2 > r._3), "need a co-firing rule")
+  }
+
   test("dominant_segment needs more than one segment") {
     // one segment repeated 3 of 4 times: top_frac = 0.75 > 0.6 with n_seg=4
     val dom = Seq((1L, "aa bb. aa bb. aa bb. cc dd")).toDF("doc_id", "text")
