@@ -190,7 +190,10 @@ object Stress {
     "vocab_growth", "kanon_release",
     // quality_rule_hits adds one reasons explode + a |rules|-row agg on
     // top of the quality_filter verdict pipeline (linear by claim)
-    "quality_rule_hits")
+    "quality_rule_hits",
+    // cooccurrence explodes window x tokens pair rows into one (a, b)
+    // count agg - corpus-linear rows, vocabulary-squared-bounded keys
+    "cooccurrence_counts")
 
   /** Replica id offset — well above any sf0.1 id, keeps replica ids
     * unique. PUBLIC because `Pipeline.simHashedLsh` pins its probe set

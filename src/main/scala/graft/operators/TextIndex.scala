@@ -1086,6 +1086,46 @@ object TextIndex {
           .as("type_token_ratio"))
       .orderBy(col("source"))
 
+  /** Windowed co-occurrence counts — the GloVe/word2vec count-matrix
+    * precursor (Pennington et al. 2014 train from exactly this table):
+    * every unordered token pair within `window` positions of each other,
+    * counted corpus-wide, top-`k` by count. Pairs are canonicalized
+    * (lexicographically smaller term first), so "a near b" and "b near
+    * a" accumulate together; a token pairing with itself at distance ≤
+    * window counts too (real co-occurrence models do — repeated words
+    * carry signal).
+    *
+    * Output: (term_a, term_b, n), top-k by (n desc, term_a, term_b).
+    *
+    * Scale shape: `window` position-aligned zip projections (NO
+    * self-join — the bigram-familiarity slice trick at each offset),
+    * union, one (a, b) 2-phase count agg, and a bounded global top-k
+    * (TakeOrderedAndProject). The exchange carries term pairs —
+    * vocabulary²-bounded in distinct keys, corpus-linear in rows; at
+    * extreme scale hash terms to fps first and re-join labels for the
+    * k survivors.
+    */
+  def cooccurrenceCounts(df: DataFrame, text: Column, window: Int = 3,
+      k: Int = 200): DataFrame = {
+    require(window >= 1, s"window must be >= 1, got $window")
+    require(k > 0, s"k must be positive, got $k")
+    val base = widen(df.select(text.as("__text")))
+      .select(TextFunctions.tokensWs(col("__text")).as("toks"))
+    val pairs = (1 to window).map { off =>
+      base.filter(size(col("toks")) > off)
+        .select(explode(arrays_zip(
+          slice(col("toks"), lit(1), size(col("toks")) - off),
+          slice(col("toks"), lit(1 + off), size(col("toks")) - off)))
+          .as("z"))
+        .select(least(col("z.0"), col("z.1")).as("term_a"),
+          greatest(col("z.0"), col("z.1")).as("term_b"))
+    }.reduce(_ unionByName _)
+    pairs.groupBy(col("term_a"), col("term_b"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("term_a"), col("term_b"))
+      .limit(k)
+  }
+
   /** Vocabulary-growth curve (the empirical Heaps law V(n) ∝ n^β): the
     * corpus is cut into `buckets` equal document slices in doc-id order,
     * and each slice reports its token mass, the terms FIRST seen there,

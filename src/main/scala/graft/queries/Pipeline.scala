@@ -2983,6 +2983,38 @@ object Pipeline {
       |FROM g GROUP BY 1, 2 HAVING SUM(n) >= 5
       |ORDER BY source, lang""".stripMargin
 
+  /** Windowed co-occurrence counts
+    * ([[graft.operators.TextIndex.cooccurrenceCounts]]): the GloVe-style
+    * count matrix, window 3, top-200 pairs. The oracle replays each
+    * offset's positional pairing, the canonical ordering, and the
+    * (n desc, a, b) cut.
+    */
+  def cooccurrenceQ(s: SparkSession, dir: String): DataFrame =
+    graft.operators.TextIndex.cooccurrenceCounts(
+        T(s, dir, "documents"), col("text"), window = 3, k = 200)
+      .orderBy(col("n").desc, col("term_a"), col("term_b"))
+
+  val cooccurrenceOracle: String =
+    """WITH toks AS (
+      |  SELECT doc_id,
+      |    CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[])
+      |         ELSE string_split_regex(trim(text), '\s+') END AS t
+      |  FROM documents),
+      |offs AS (SELECT unnest(range(1, 4)) AS off),
+      |pos AS (
+      |  SELECT t, off, unnest(range(1, len(t) - off + 1)) AS i
+      |  FROM toks CROSS JOIN offs WHERE len(t) > off),
+      |p AS (
+      |  SELECT CASE WHEN t[i] <= t[i + off] THEN t[i] ELSE t[i + off] END
+      |      AS term_a,
+      |    CASE WHEN t[i] <= t[i + off] THEN t[i + off] ELSE t[i] END
+      |      AS term_b
+      |  FROM pos)
+      |SELECT term_a, term_b, CAST(COUNT(*) AS BIGINT) AS n
+      |FROM p GROUP BY 1, 2
+      |ORDER BY n DESC, term_a, term_b
+      |LIMIT 200""".stripMargin
+
   /** Vocabulary-growth curve ([[graft.operators.TextIndex.vocabGrowth]]):
     * Heaps-law readout over ten doc-id-ordered corpus slices. The oracle
     * replays the NTILE cut, the first-seen reduction, and the running
@@ -5581,6 +5613,7 @@ object Pipeline {
     Q("lm_perplexity_screen", lmPerplexityQ, Some(lmPerplexityOracle)),
     Q("keyword_tag", keywordTagQ, Some(keywordTagOracle)),
     Q("vocab_growth", vocabGrowthQ, Some(vocabGrowthOracle)),
+    Q("cooccurrence_counts", cooccurrenceQ, Some(cooccurrenceOracle)),
     Q("kanon_release", kanonReleaseQ, Some(kanonReleaseOracle)),
     Q("dedup_exact", dedupExact, Some(dedupExactOracle)),
     Q("mm_decode_meta", mmDecodeMeta, Some(mmDecodeMetaOracle)),

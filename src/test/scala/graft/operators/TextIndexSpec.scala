@@ -244,6 +244,27 @@ class TextIndexSpec extends SparkSpec {
     assert(out(1) === ((2, 2L, 2L, 1L, 4L)))
   }
 
+  test("cooccurrenceCounts: pairs within the window accumulate " +
+      "canonically, self-pairs count, beyond-window pairs do not") {
+    // "a b c a": window 2 → offsets 1: (a,b)(b,c)(a,c); 2: (a,c)(a,b)
+    // canonical counts: (a,b)=2, (b,c)=1, (a,c)=2; NO (a,a) — the two
+    // a's sit 3 apart, beyond the window
+    val docs = Seq((1L, "a b c a"), (2L, "x x")).toDF("id", "text")
+    val out = TextIndex.cooccurrenceCounts(docs, col("text"), window = 2,
+        k = 10)
+      .as[(String, String, Long)].collect()
+      .map(t => (t._1, t._2) -> t._3).toMap
+    assert(out === Map(
+      ("a", "b") -> 2L, ("a", "c") -> 2L, ("b", "c") -> 1L,
+      ("x", "x") -> 1L))
+    // widen the window to 3: the distance-3 (a, a) pair appears
+    val out3 = TextIndex.cooccurrenceCounts(docs, col("text"), window = 3,
+        k = 10)
+      .as[(String, String, Long)].collect()
+      .map(t => (t._1, t._2) -> t._3).toMap
+    assert(out3(("a", "a")) === 1L)
+  }
+
   test("duplicateNgramProfile counts corpus-duplicated positional n-grams") {
     val docs = Seq(
       (1L, "a b c d e f g"),     // 3-grams: abc bcd cde def efg

@@ -709,6 +709,14 @@ class PlanSpec extends SparkSpec {
     assert("(\\d+) Window".r.findAllIn(p).size <= 4, p) // 2 nodes × 2 prints
   }
 
+  test("cooccurrence_counts: offset zips, NO self-join, one 2-phase " +
+      "count agg, bounded top-k via TakeOrderedAndProject") {
+    val p = plan(Pipeline.cooccurrenceQ(spark, dir))
+    assert(!p.contains("Join"), p)
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert("HashAggregate".r.findAllIn(p).size >= 2, p)
+  }
+
   test("cms_counts: ONE fixed-size sketch aggregation; probe buckets " +
       "resolve at plan time so estimation is pure projection — no join") {
     val p = plan(Pipeline.cmsCountsQ(spark, dir))
