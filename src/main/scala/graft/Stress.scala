@@ -193,7 +193,10 @@ object Stress {
     "quality_rule_hits",
     // cooccurrence explodes window x tokens pair rows into one (a, b)
     // count agg - corpus-linear rows, vocabulary-squared-bounded keys
-    "cooccurrence_counts")
+    "cooccurrence_counts",
+    // preference_length_bias re-pays the shifted ballot joins plus two
+    // |items|-keyed length joins and one global count - linear by claim
+    "preference_length_bias")
 
   /** Replica id offset — well above any sf0.1 id, keeps replica ids
     * unique. PUBLIC because `Pipeline.simHashedLsh` pins its probe set

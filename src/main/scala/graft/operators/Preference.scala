@@ -129,4 +129,42 @@ object Preference {
     val denom = lit(1.0) + zz / nD
     base.withColumn("wilson_lb", (center - margin) / denom)
   }
+
+  /** Verbosity-bias diagnostic over a comparison log — the standard RLHF
+    * preference-data audit (annotators and LLM judges systematically
+    * prefer LONGER responses; a reward model trained on such ballots
+    * learns length, not quality). Joins each ballot to the items'
+    * lengths and counts which side won: `longer_win_rate` near 0.5 says
+    * length-neutral ballots; near 1.0 says the log mostly ranks by
+    * verbosity and needs debiasing (length-matched pairs, penalties)
+    * before reward training. Ties in length are reported separately and
+    * excluded from the rate; an all-ties log yields a NULL rate rather
+    * than a fabricated 0.5.
+    *
+    * Output: ONE row — (n_ballots, longer_wins, shorter_wins,
+    * len_ties, longer_win_rate).
+    *
+    * Scale shape: two item-keyed broadcast-or-shuffle joins (the item
+    * dimension is |items|-sized) and one global partial-aggregated
+    * count — ballots never shuffle wider than two ids + two longs.
+    */
+  def lengthBias(pairs: DataFrame, winner: Column, loser: Column,
+      items: DataFrame, item: Column, length: Column): DataFrame = {
+    val dim = items.select(item.as("it"), length.cast("long").as("len"))
+    pairs.select(winner.as("w"), loser.as("l"))
+      .join(dim.toDF("w", "wlen"), Seq("w"))
+      .join(dim.toDF("l", "llen"), Seq("l"))
+      .agg(count(lit(1)).as("n_ballots"),
+        sum(when(col("wlen") > col("llen"), 1L).otherwise(0L))
+          .as("longer_wins"),
+        sum(when(col("wlen") < col("llen"), 1L).otherwise(0L))
+          .as("shorter_wins"),
+        sum(when(col("wlen") === col("llen"), 1L).otherwise(0L))
+          .as("len_ties"))
+      .withColumn("longer_win_rate",
+        when(col("longer_wins") + col("shorter_wins") === 0L,
+          lit(null).cast("double"))
+          .otherwise(col("longer_wins").cast("double") /
+            (col("longer_wins") + col("shorter_wins")).cast("double")))
+  }
 }

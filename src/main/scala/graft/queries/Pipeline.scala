@@ -4568,6 +4568,61 @@ object Pipeline {
         .as("lose"))
   }
 
+  /** Verbosity-bias audit ([[graft.operators.Preference.lengthBias]]):
+    * ballots decided by CONTENT (the lexicographically larger md5 of the
+    * text wins — length-independent by construction, unlike the
+    * length-decided `preference_report` fixture where the rate would be
+    * a degenerate 1.0), then each ballot joined to the items' n_chars
+    * and scored for which side was longer. The oracle replays the md5
+    * decision, both length joins, and the tie-excluded rate.
+    */
+  def preferenceLengthBiasQ(s: SparkSession, dir: String): DataFrame = {
+    val d = T(s, dir, "documents")
+    val dd = d.select(col("doc_id"), md5(col("text")).as("h"))
+    val shifts = s.range(1, 4).select(col("id").as("shift"))
+    val pairs = dd.select(col("doc_id").as("a_id"), col("h").as("a_h"))
+      .crossJoin(broadcast(shifts))
+      .withColumn("b_id", col("a_id") + col("shift"))
+      .join(dd.select(col("doc_id").as("b_id"), col("h").as("b_h")), "b_id")
+    val ballots = pairs.select(
+      when(col("b_h") > col("a_h"), col("b_id")).otherwise(col("a_id"))
+        .as("win"),
+      when(col("b_h") > col("a_h"), col("a_id")).otherwise(col("b_id"))
+        .as("lose"))
+    graft.operators.Preference.lengthBias(ballots, col("win"), col("lose"),
+      d, col("doc_id"), col("n_chars"))
+  }
+
+  val preferenceLengthBiasOracle: String =
+    """WITH s(shift) AS (VALUES (1), (2), (3)),
+      |d AS (SELECT doc_id, md5(text) AS h, n_chars FROM documents),
+      |p AS (
+      |  SELECT a.doc_id AS a_id, a.h AS a_h, b.doc_id AS b_id, b.h AS b_h
+      |  FROM d a JOIN s ON TRUE
+      |  JOIN d b ON b.doc_id = a.doc_id + s.shift),
+      |bl AS (
+      |  SELECT CASE WHEN b_h > a_h THEN b_id ELSE a_id END AS w,
+      |    CASE WHEN b_h > a_h THEN a_id ELSE b_id END AS l
+      |  FROM p),
+      |j AS (
+      |  SELECT dw.n_chars AS wlen, dl.n_chars AS llen
+      |  FROM bl JOIN d dw ON dw.doc_id = bl.w JOIN d dl ON dl.doc_id = bl.l),
+      |g AS (
+      |  SELECT CAST(COUNT(*) AS BIGINT) AS n_ballots,
+      |    CAST(SUM(CASE WHEN wlen > llen THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS longer_wins,
+      |    CAST(SUM(CASE WHEN wlen < llen THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS shorter_wins,
+      |    CAST(SUM(CASE WHEN wlen = llen THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS len_ties
+      |  FROM j)
+      |SELECT n_ballots, longer_wins, shorter_wins, len_ties,
+      |  CASE WHEN longer_wins + shorter_wins = 0 THEN NULL
+      |       ELSE CAST(longer_wins AS DOUBLE)
+      |         / CAST(longer_wins + shorter_wins AS DOUBLE)
+      |  END AS longer_win_rate
+      |FROM g""".stripMargin
+
   def preferenceReportQ(s: SparkSession, dir: String): DataFrame =
     graft.operators.Preference.winRates(prefBallots(s, dir), col("win"),
         col("lose"))
@@ -5563,6 +5618,7 @@ object Pipeline {
     Q("session_paths", sessionPathsQ, Some(sessionPathsOracle)),
     Q("event_pairs", eventPairsQ, Some(eventPairsOracle)),
     Q("preference_report", preferenceReportQ, Some(preferenceReportOracle)),
+    Q("preference_length_bias", preferenceLengthBiasQ, Some(preferenceLengthBiasOracle)),
     Q("annotator_agreement", annotatorAgreementQ,
       Some(annotatorAgreementOracle)),
     Q("text_strip_markup", textStripMarkupQ, Some(textStripMarkupOracle)),

@@ -125,6 +125,25 @@ class PreferenceSpec extends SparkSpec {
     assert(a === b)
   }
 
+  test("lengthBias: longer/shorter/tie ballots counted exactly, ties " +
+      "excluded from the rate, all-ties yields NULL not 0.5") {
+    val items = Seq(("a", 10L), ("b", 20L), ("c", 10L))
+      .toDF("item", "len")
+    // b(20) beats a(10): longer wins; a(10) beats b(20): shorter wins;
+    // a(10) vs c(10): length tie
+    val ballots = Seq(("b", "a"), ("a", "b"), ("a", "b"), ("a", "c"))
+      .toDF("w", "l")
+    val out = Preference.lengthBias(ballots, col("w"), col("l"),
+        items, col("item"), col("len"))
+      .as[(Long, Long, Long, Long, Option[Double])].collect().head
+    assert(out === ((4L, 1L, 2L, 1L, Some(1.0 / 3.0))))
+    val allTies = Preference.lengthBias(
+        Seq(("a", "c")).toDF("w", "l"), col("w"), col("l"),
+        items, col("item"), col("len"))
+      .as[(Long, Long, Long, Long, Option[Double])].collect().head
+    assert(allTies === ((1L, 0L, 0L, 1L, None)))
+  }
+
   test("winRates is partitioning-independent") {
     val pairs = (1 to 400)
       .map(i => (s"i${i % 13}", s"i${(i * 7) % 13}"))
