@@ -196,7 +196,10 @@ object Stress {
     "cooccurrence_counts",
     // preference_length_bias re-pays the shifted ballot joins plus two
     // |items|-keyed length joins and one global count - linear by claim
-    "preference_length_bias")
+    "preference_length_bias",
+    // augment_dropout is map-only (tokenize + indexed hash filter +
+    // re-join) - linear in text bytes by claim
+    "augment_dropout")
 
   /** Replica id offset — well above any sf0.1 id, keeps replica ids
     * unique. PUBLIC because `Pipeline.simHashedLsh` pins its probe set

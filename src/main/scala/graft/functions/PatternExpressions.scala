@@ -2,6 +2,8 @@
 // shim types are reachable — same rationale as HashExpressions.scala.
 package org.apache.spark.sql.graft
 
+import java.nio.charset.StandardCharsets
+
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.util.GenericArrayData
@@ -111,4 +113,66 @@ object PatternFunctions {
   def multiPatternHits(text: Column, patterns: Seq[String]): Column =
     ExpressionUtilsShim.column(
       MultiPatternHits(ExpressionUtilsShim.expr(text), patterns))
+
+  def wordDropoutKeep(tokens: Column, id: Column, seed: String,
+      rate: Int): Column =
+    ExpressionUtilsShim.column(WordDropoutKeep(
+      ExpressionUtilsShim.expr(tokens), ExpressionUtilsShim.expr(id),
+      seed, rate))
+}
+
+/** `word_dropout_keep(tokens, id)` → the tokens that SURVIVE hash-decided
+  * dropout: token i (1-based) of document `id` drops iff
+  * hash32("seed:id:i:token") mod rate = 0, where hash32 is the engine's
+  * replayable md5-prefix hash. Bit-for-bit the declarative
+  * conv(substring(md5(concat_ws(':', seed, id, i+1, x)), 1, 8), 16, 10)
+  * higher-order filter it replaces (AugmentSpec asserts equality on
+  * random inputs) — hoisted to a native expression because the HOF runs
+  * interpreted and pays ~4 s/600k docs where one compiled md5 pass pays
+  * a fraction of that.
+  */
+case class WordDropoutKeep(left: Expression, right: Expression,
+    seed: String, rate: Int)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+
+  require(rate >= 2, s"rate must be >= 2, got $rate")
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullable: Boolean = left.nullable || right.nullable
+  override def prettyName: String = "word_dropout_keep"
+
+  /** Public bridge for generated code (protected nullSafeEval). */
+  final def evalPair(toks: Any, id: Any): Any = nullSafeEval(toks, id)
+
+  override protected def nullSafeEval(toksAny: Any, idAny: Any): Any = {
+    val toks = toksAny.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+    val prefix = seed + ":" + idAny.asInstanceOf[Long] + ":"
+    val n = toks.numElements()
+    val kept = new java.util.ArrayList[UTF8String](n)
+    var i = 0
+    while (i < n) {
+      val tok = toks.getUTF8String(i)
+      val key = prefix + (i + 1) + ":" + tok.toString
+      if (Md5Hash.hash32(key.getBytes(StandardCharsets.UTF_8)) % rate != 0L)
+        kept.add(tok)
+      i += 1
+    }
+    new GenericArrayData(kept.toArray)
+  }
+
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode = {
+    val ref = ctx.addReferenceObj("wordDropoutExpr", this,
+      classOf[WordDropoutKeep].getName)
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      s"${ev.value} = (org.apache.spark.sql.catalyst.util.ArrayData) " +
+        s"$ref.evalPair($a, $b);"
+    })
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): WordDropoutKeep =
+    copy(left = newLeft, right = newRight)
 }

@@ -3015,6 +3015,36 @@ object Pipeline {
       |ORDER BY n DESC, term_a, term_b
       |LIMIT 200""".stripMargin
 
+  /** Deterministic word dropout ([[graft.operators.Augment.wordDropout]]):
+    * hash-decided 1/10 token dropout, reproducible across engines. The
+    * oracle replays the per-position md5 decision and the re-join.
+    */
+  def augmentDropoutQ(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Augment.wordDropout(
+        T(s, dir, "documents"), col("doc_id"), col("text"))
+      .select(col("id").as("doc_id"), col("n_tok"), col("n_dropped"),
+        md5(col("text_aug")).as("aug_md5"))
+      .orderBy(col("doc_id"))
+
+  val augmentDropoutOracle: String =
+    """WITH t AS (
+      |  SELECT doc_id,
+      |    CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[])
+      |         ELSE string_split_regex(trim(text), '\s+') END AS toks
+      |  FROM documents),
+      |k AS (
+      |  SELECT doc_id, len(toks) AS n_tok,
+      |    list_filter(toks, (x, i) ->
+      |      CAST(('0x' || substring(md5('aug:' || CAST(doc_id AS VARCHAR)
+      |        || ':' || CAST(i AS VARCHAR) || ':' || x), 1, 8)) AS BIGINT)
+      |        % 10 <> 0) AS kept
+      |  FROM t)
+      |SELECT doc_id, CAST(n_tok AS BIGINT) AS n_tok,
+      |  CAST(n_tok - len(kept) AS BIGINT) AS n_dropped,
+      |  md5(array_to_string(kept, ' ')) AS aug_md5
+      |FROM k
+      |ORDER BY doc_id""".stripMargin
+
   /** Vocabulary-growth curve ([[graft.operators.TextIndex.vocabGrowth]]):
     * Heaps-law readout over ten doc-id-ordered corpus slices. The oracle
     * replays the NTILE cut, the first-seen reduction, and the running
@@ -5669,6 +5699,7 @@ object Pipeline {
     Q("lm_perplexity_screen", lmPerplexityQ, Some(lmPerplexityOracle)),
     Q("keyword_tag", keywordTagQ, Some(keywordTagOracle)),
     Q("vocab_growth", vocabGrowthQ, Some(vocabGrowthOracle)),
+    Q("augment_dropout", augmentDropoutQ, Some(augmentDropoutOracle)),
     Q("cooccurrence_counts", cooccurrenceQ, Some(cooccurrenceOracle)),
     Q("kanon_release", kanonReleaseQ, Some(kanonReleaseOracle)),
     Q("dedup_exact", dedupExact, Some(dedupExactOracle)),

@@ -1,0 +1,69 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+class AugmentSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("wordDropout: deterministic across runs and partitionings, drops " +
+      "roughly 1/rate, preserves surviving token order") {
+    val docs = (1L to 50L)
+      .map(i => (i, (1 to 40).map(j => s"w${(i + j) % 17}").mkString(" ")))
+      .toDF("id", "text")
+    def run(d: org.apache.spark.sql.DataFrame) =
+      Augment.wordDropout(d, col("id"), col("text"), rate = 10)
+        .as[(Long, Int, Int, String)].collect().sortBy(_._1).toSeq
+    val a = run(docs)
+    assert(a === run(docs.repartition(7)), "must not depend on partitioning")
+    val totTok = a.map(_._2.toLong).sum
+    val totDrop = a.map(_._3.toLong).sum
+    assert(totDrop > 0 && totDrop < totTok / 5,
+      s"expected ~10% dropout, got $totDrop/$totTok")
+    // order preserved: the augmented text is a subsequence of the original
+    a.foreach { case (id, _, _, aug) =>
+      val orig = docs.filter(col("id") === id)
+        .select(col("text")).as[String].head().split("\\s+").toList
+      val kept = if (aug.isEmpty) Nil else aug.split(" ").toList
+      def isSubseq(s: List[String], of: List[String]): Boolean = (s, of) match {
+        case (Nil, _) => true
+        case (_, Nil) => false
+        case (x :: xs, y :: ys) =>
+          if (x == y) isSubseq(xs, ys) else isSubseq(s, ys)
+      }
+      assert(isSubseq(kept, orig), s"doc $id: not a subsequence")
+    }
+  }
+
+  test("wordDropout: a position's fate depends on doc, position, and " +
+      "token — the same token at different positions can differ") {
+    // identical tokens: fates vary by position only via the hash
+    val docs = Seq((7L, ("x " * 200).trim)).toDF("id", "text")
+    val out = Augment.wordDropout(docs, col("id"), col("text"), rate = 10)
+      .as[(Long, Int, Int, String)].collect().head
+    assert(out._2 === 200)
+    assert(out._3 > 0 && out._3 < 200,
+      s"positional hashing must drop SOME of identical tokens: ${out._3}")
+  }
+
+  test("native WordDropoutKeep is bit-identical to the declarative " +
+      "md5 higher-order filter it replaced, on random inputs") {
+    val rnd = new scala.util.Random(31)
+    val docs = (1L to 60L).map { i =>
+      (i, (0 until rnd.nextInt(60)).map(_ => s"t${rnd.nextInt(40)}")
+        .mkString(" "))
+    }.toDF("id", "text")
+    def rows(d: org.apache.spark.sql.DataFrame) =
+      d.as[(Long, Int, Int, String)].collect().sortBy(_._1).toSeq
+    assert(
+      rows(Augment.wordDropout(docs, col("id"), col("text"), 7, "sd")) ===
+      rows(Augment.wordDropoutHof(docs, col("id"), col("text"), 7, "sd")))
+  }
+
+  test("wordDropout: empty and blank docs survive with zeros") {
+    val docs = Seq((1L, ""), (2L, "   ")).toDF("id", "text")
+    val out = Augment.wordDropout(docs, col("id"), col("text"))
+      .as[(Long, Int, Int, String)].collect().sortBy(_._1).toSeq
+    assert(out === Seq((1L, 0, 0, ""), (2L, 0, 0, "")))
+  }
+}
