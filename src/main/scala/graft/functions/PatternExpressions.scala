@@ -152,9 +152,14 @@ case class WordDropoutKeep(left: Expression, right: Expression,
     var i = 0
     while (i < n) {
       val tok = toks.getUTF8String(i)
-      val key = prefix + (i + 1) + ":" + tok.toString
-      if (Md5Hash.hash32(key.getBytes(StandardCharsets.UTF_8)) % rate != 0L)
-        kept.add(tok)
+      // hash the token's RAW bytes (concat at the byte level): a
+      // String round-trip would substitute U+FFFD for malformed UTF-8
+      // and diverge from the HOF/oracle md5 over concat_ws bytes
+      val head = (prefix + (i + 1) + ":").getBytes(StandardCharsets.UTF_8)
+      val tokBytes = tok.getBytes
+      val key = java.util.Arrays.copyOf(head, head.length + tokBytes.length)
+      System.arraycopy(tokBytes, 0, key, head.length, tokBytes.length)
+      if (Md5Hash.hash32(key) % rate != 0L) kept.add(tok)
       i += 1
     }
     new GenericArrayData(kept.toArray)

@@ -19,11 +19,11 @@ object Augment {
     * tokens, chosen independently per position, stable under any
     * partitioning. Output: (id, n_tok, n_dropped, text_aug).
     *
-    * Scale shape: MAP-ONLY — one tokenize, one indexed filter, one
-    * re-join per row; nothing shuffles. The per-token hash runs in the
-    * interpreted higher-order filter (fine for an offline augmentation
-    * pass; lift into a native expression beside ShingleFps60 if it ever
-    * sits on a latency path).
+    * Scale shape: MAP-ONLY — one tokenize, one compiled
+    * [[org.apache.spark.sql.graft.WordDropoutKeep]] hash pass, one
+    * re-join per row; nothing shuffles. (The declarative HOF
+    * formulation is retained below as the spec reference — it measured
+    * ~3.9× slower at stress ×64.)
     */
   def wordDropout(df: DataFrame, id: Column, text: Column, rate: Int = 10,
       seed: String = "aug"): DataFrame = {

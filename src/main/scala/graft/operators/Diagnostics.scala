@@ -750,7 +750,13 @@ object Diagnostics {
     }
     def p50Out(n: String): Column = scaleOf(s"__v_$n") match {
       case Some(s) =>
-        col(s"__p50_$n").cast("double") / lit(math.pow(10, s))
+        // reconstruct through DECIMAL, not double division: an unscaled
+        // median above 2^53 would round TWICE (long→double, then /10^s)
+        // where the decimal path rounds once. decimal(20,0)/decimal(19,0)
+        // types to decimal(38,18), which holds the s ≤ 18 rational
+        // exactly; the final cast is the single correctly-rounded step.
+        (col(s"__p50_$n").cast("decimal(20,0)") /
+          lit(math.pow(10, s).toLong).cast("decimal(19,0)")).cast("double")
       case None => col(s"__p50_$n").cast("double")
     }
     val withScaled = sel.select(col("*") +:

@@ -141,25 +141,30 @@ object Preference {
     * excluded from the rate; an all-ties log yields a NULL rate rather
     * than a fabricated 0.5.
     *
-    * Output: ONE row — (n_ballots, longer_wins, shorter_wins,
-    * len_ties, longer_win_rate).
+    * Output: ONE row — (n_ballots, n_unmatched, longer_wins,
+    * shorter_wins, len_ties, longer_win_rate). A ballot whose winner OR
+    * loser is missing from `items` (deleted doc, partial dim load)
+    * counts in `n_unmatched` and is excluded from the rate — an audit
+    * must SURFACE lost rows, never silently shrink its denominator.
     *
-    * Scale shape: two item-keyed broadcast-or-shuffle joins (the item
-    * dimension is |items|-sized) and one global partial-aggregated
-    * count — ballots never shuffle wider than two ids + two longs.
+    * Scale shape: two item-keyed left joins (the item dimension is
+    * |items|-sized) and one global partial-aggregated count — ballots
+    * never shuffle wider than two ids + two longs.
     */
   def lengthBias(pairs: DataFrame, winner: Column, loser: Column,
       items: DataFrame, item: Column, length: Column): DataFrame = {
     val dim = items.select(item.as("it"), length.cast("long").as("len"))
+    val matched = col("wlen").isNotNull && col("llen").isNotNull
     pairs.select(winner.as("w"), loser.as("l"))
-      .join(dim.toDF("w", "wlen"), Seq("w"))
-      .join(dim.toDF("l", "llen"), Seq("l"))
+      .join(dim.toDF("w", "wlen"), Seq("w"), "left")
+      .join(dim.toDF("l", "llen"), Seq("l"), "left")
       .agg(count(lit(1)).as("n_ballots"),
-        sum(when(col("wlen") > col("llen"), 1L).otherwise(0L))
+        sum(when(!matched, 1L).otherwise(0L)).as("n_unmatched"),
+        sum(when(matched && col("wlen") > col("llen"), 1L).otherwise(0L))
           .as("longer_wins"),
-        sum(when(col("wlen") < col("llen"), 1L).otherwise(0L))
+        sum(when(matched && col("wlen") < col("llen"), 1L).otherwise(0L))
           .as("shorter_wins"),
-        sum(when(col("wlen") === col("llen"), 1L).otherwise(0L))
+        sum(when(matched && col("wlen") === col("llen"), 1L).otherwise(0L))
           .as("len_ties"))
       .withColumn("longer_win_rate",
         when(col("longer_wins") + col("shorter_wins") === 0L,

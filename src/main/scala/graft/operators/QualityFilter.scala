@@ -89,7 +89,12 @@ object QualityFilter {
   def ruleHits(df: DataFrame, id: Column, text: Column,
       th: Thresholds = Thresholds()): DataFrame = {
     val fr = filterWithReasons(df, id, text, th).select(col("reasons"))
-    val tot = broadcast(fr.agg(count(lit(1)).as("n_docs")))
+    // n_docs from the INPUT, not a second run of the verdict pipeline
+    // (filterWithReasons emits exactly one row per input doc — blank
+    // docs included: both stat legs retain them — so the counts agree,
+    // and the count branch costs one pruned scan instead of the full
+    // stats + repetition + join subtree again)
+    val tot = broadcast(df.agg(count(lit(1)).as("n_docs")))
     fr.filter(size(col("reasons")) > 0)
       .select(explode(col("reasons")).as("rule"),
         size(col("reasons")).as("__nr"))

@@ -1149,8 +1149,14 @@ object TextIndex {
       buckets: Int = 10): DataFrame = {
     require(buckets > 0, s"buckets must be positive, got $buckets")
     import org.apache.spark.sql.expressions.Window
-    val b = df.select(id.as("id"), text.as("__text"))
+    // the NTILE sorts an IDS-ONLY projection — ranking (id, text) rows
+    // directly would funnel the corpus text through the window's single
+    // reducer (the Layout.zorder anti-pattern); buckets ride back to the
+    // text via an 8-byte equi-join
+    val idBuckets = df.select(id.as("id"))
       .withColumn("bucket", ntile(buckets).over(Window.orderBy(col("id"))))
+    val b = df.select(id.as("id"), text.as("__text"))
+      .join(idBuckets, Seq("id"))
     val toks = b.select(col("bucket"),
       explode(TextFunctions.tokensWs(col("__text"))).as("term"))
     val docsPer = b.groupBy(col("bucket"))

@@ -4636,9 +4636,12 @@ object Pipeline {
       |  FROM p),
       |j AS (
       |  SELECT dw.n_chars AS wlen, dl.n_chars AS llen
-      |  FROM bl JOIN d dw ON dw.doc_id = bl.w JOIN d dl ON dl.doc_id = bl.l),
+      |  FROM bl LEFT JOIN d dw ON dw.doc_id = bl.w
+      |  LEFT JOIN d dl ON dl.doc_id = bl.l),
       |g AS (
       |  SELECT CAST(COUNT(*) AS BIGINT) AS n_ballots,
+      |    CAST(SUM(CASE WHEN wlen IS NULL OR llen IS NULL THEN 1 ELSE 0
+      |      END) AS BIGINT) AS n_unmatched,
       |    CAST(SUM(CASE WHEN wlen > llen THEN 1 ELSE 0 END) AS BIGINT)
       |      AS longer_wins,
       |    CAST(SUM(CASE WHEN wlen < llen THEN 1 ELSE 0 END) AS BIGINT)
@@ -4646,7 +4649,7 @@ object Pipeline {
       |    CAST(SUM(CASE WHEN wlen = llen THEN 1 ELSE 0 END) AS BIGINT)
       |      AS len_ties
       |  FROM j)
-      |SELECT n_ballots, longer_wins, shorter_wins, len_ties,
+      |SELECT n_ballots, n_unmatched, longer_wins, shorter_wins, len_ties,
       |  CASE WHEN longer_wins + shorter_wins = 0 THEN NULL
       |       ELSE CAST(longer_wins AS DOUBLE)
       |         / CAST(longer_wins + shorter_wins AS DOUBLE)

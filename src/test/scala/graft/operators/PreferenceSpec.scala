@@ -131,17 +131,20 @@ class PreferenceSpec extends SparkSpec {
       .toDF("item", "len")
     // b(20) beats a(10): longer wins; a(10) beats b(20): shorter wins;
     // a(10) vs c(10): length tie
-    val ballots = Seq(("b", "a"), ("a", "b"), ("a", "b"), ("a", "c"))
+    // last ballot references an item absent from the dim: it must be
+    // COUNTED as unmatched, never silently dropped
+    val ballots = Seq(("b", "a"), ("a", "b"), ("a", "b"), ("a", "c"),
+        ("a", "ghost"))
       .toDF("w", "l")
     val out = Preference.lengthBias(ballots, col("w"), col("l"),
         items, col("item"), col("len"))
-      .as[(Long, Long, Long, Long, Option[Double])].collect().head
-    assert(out === ((4L, 1L, 2L, 1L, Some(1.0 / 3.0))))
+      .as[(Long, Long, Long, Long, Long, Option[Double])].collect().head
+    assert(out === ((5L, 1L, 1L, 2L, 1L, Some(1.0 / 3.0))))
     val allTies = Preference.lengthBias(
         Seq(("a", "c")).toDF("w", "l"), col("w"), col("l"),
         items, col("item"), col("len"))
-      .as[(Long, Long, Long, Long, Option[Double])].collect().head
-    assert(allTies === ((1L, 0L, 0L, 1L, None)))
+      .as[(Long, Long, Long, Long, Long, Option[Double])].collect().head
+    assert(allTies === ((1L, 0L, 0L, 0L, 1L, None)))
   }
 
   test("winRates is partitioning-independent") {
