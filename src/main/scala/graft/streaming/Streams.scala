@@ -272,30 +272,44 @@ object Streams {
       }
   }
 
-  /** Streaming inverted-index maintenance: each micro-batch folds into the
-    * posting table via [[graft.operators.TextIndex.postingsIncremental]]
-    * (batch docs REPLACE their state postings — a re-ingested document
-    * changed; everything else carries over), the batch's own postings are
-    * emitted as the delta, and `current` always exposes the up-to-date
-    * index. Same at-least-once replay contract as [[nearDupIngest]]: a
-    * retry of the last applied batch re-emits the pinned delta without
-    * re-folding (an unguarded re-fold is harmless for idempotent replace
-    * semantics but would recompute the batch tokenization for nothing).
+  /** The shared scaffold of every fold-shaped ingest (index, LM counts,
+    * novelty admission, preference counts): per micro-batch, derive a
+    * pinned DELTA from (state, batch), FOLD it into the next state, free
+    * the superseded state and delta pins (replays only ever target the
+    * latest batch — holding older pins grows executor storage
+    * O(batches × state)), and re-emit the pinned delta WITHOUT
+    * re-folding on an at-least-once retry of the last applied batch. The
+    * replay guard is LOAD-BEARING for additive folds (a re-fold
+    * double-counts) and a free tokenization saver for idempotent
+    * replace folds. One definition so a fix to the guard or the pin
+    * ordering lands everywhere at once — this scaffold had been copied
+    * per ingest and the copies were already drifting.
+    *
+    * `current` snapshots are INVALIDATED by the next applied batch (pins
+    * freed; a localCheckpoint has no lineage fallback) — collect under
+    * the handler's single-threaded discipline or re-read per use.
     */
-  final class IndexIngest(state0: DataFrame, id: Column, text: Column) {
+  abstract class FoldIngest(state0: DataFrame) {
     @volatile private var state = state0
     private var lastApplied = -1L
     private var lastDelta: DataFrame = null
     private var ownsState = false // state0 belongs to the caller
 
-    /** The maintained posting table after every applied batch. A returned
-      * snapshot is INVALIDATED by the next applied batch (its pins are
-      * freed then, and a localCheckpoint has no lineage fallback) — a
-      * cross-thread reader holding one across a batch boundary can fail
-      * mid-collect. Collect under the same single-threaded discipline as
-      * the handler, or re-read `current` per use.
-      */
+    /** The maintained state after every applied batch. */
     def current: DataFrame = state
+
+    /** The batch's contribution, computed BEFORE the fold and pinned —
+      * what `onDelta` consumers see (and what a replay re-emits). May
+      * read `state` (novelty admission scores against it).
+      */
+    protected def mkDelta(state: DataFrame, batch: DataFrame): DataFrame
+
+    /** Next state from (state, batch, pinned delta). */
+    protected def fold(state: DataFrame, batch: DataFrame,
+        delta: DataFrame): DataFrame
+
+    /** Override point for delta consumers; default is a no-op. */
+    var onDelta: (DataFrame, Long) => Unit = (_, _) => ()
 
     val handler: (DataFrame, Long) => Unit =
       (batch: DataFrame, batchId: Long) => {
@@ -303,19 +317,8 @@ object Streams {
           if (batchId == lastApplied && lastDelta != null)
             onDelta(lastDelta, batchId)
         } else {
-          val delta = graft.operators.TextIndex.postings(batch, id, text)
-            .localCheckpoint(true)
-          // fold with the ALREADY-PINNED delta (one tokenization per
-          // batch) but key the replacement on the raw batch ids — a doc
-          // re-ingested with empty text has no delta rows, yet its stale
-          // state postings must still be dropped
-          val next = graft.operators.TextIndex.postingsIncrementalFrom(
-              state, batch.select(id.as("doc_id")), delta)
-            .localCheckpoint(true)
-          // the index is CORPUS-sized: freeing the superseded state pin
-          // and the previous delta (replays only target the latest batch)
-          // is what keeps executor storage at O(index), not
-          // O(batches × index)
+          val delta = mkDelta(state, batch).localCheckpoint(true)
+          val next = fold(state, batch, delta).localCheckpoint(true)
           if (ownsState) Bridge.unpin(state)
           if (lastDelta != null) Bridge.unpin(lastDelta)
           state = next
@@ -327,12 +330,30 @@ object Streams {
         ()
       }
 
-    /** Override point for delta consumers; default is a no-op. */
-    var onDelta: (DataFrame, Long) => Unit = (_, _) => ()
-
     def ingest(stream: DataFrame)
         : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
       stream.writeStream.foreachBatch(handler)
+  }
+
+  /** Streaming inverted-index maintenance: each micro-batch folds into the
+    * posting table via [[graft.operators.TextIndex.postingsIncremental]]
+    * (batch docs REPLACE their state postings — a re-ingested document
+    * changed; everything else carries over), the batch's own postings are
+    * emitted as the delta, and `current` always exposes the up-to-date
+    * index. The fold keys the replacement on the raw batch ids — a doc
+    * re-ingested with empty text has no delta rows, yet its stale state
+    * postings must still be dropped — and reuses the already-pinned delta
+    * so each batch tokenizes once.
+    */
+  final class IndexIngest(state0: DataFrame, id: Column, text: Column)
+      extends FoldIngest(state0) {
+    override protected def mkDelta(state: DataFrame,
+        batch: DataFrame): DataFrame =
+      graft.operators.TextIndex.postings(batch, id, text)
+    override protected def fold(state: DataFrame, batch: DataFrame,
+        delta: DataFrame): DataFrame =
+      graft.operators.TextIndex.postingsIncrementalFrom(
+        state, batch.select(id.as("doc_id")), delta)
   }
 
   /** Streaming bigram-LM maintenance: each micro-batch's counts
@@ -348,46 +369,14 @@ object Streams {
     * every batch, keeping executor storage at O(model), not
     * O(batches × model).
     */
-  final class LmIngest(state0: DataFrame, text: Column) {
-    @volatile private var state = state0
-    private var lastApplied = -1L
-    private var lastDelta: DataFrame = null
-    private var ownsState = false // state0 belongs to the caller
-
-    /** The maintained model after every applied batch. Same snapshot
-      * lifetime contract as [[IndexIngest.current]].
-      */
-    def current: DataFrame = state
-
-    val handler: (DataFrame, Long) => Unit =
-      (batch: DataFrame, batchId: Long) => {
-        if (batchId <= lastApplied) {
-          // at-least-once replay: re-emit WITHOUT re-folding — additive
-          // counts double on a re-fold
-          if (batchId == lastApplied && lastDelta != null)
-            onDelta(lastDelta, batchId)
-        } else {
-          val delta = graft.operators.TextIndex.bigramLmCounts(batch, text)
-            .localCheckpoint(true)
-          val next = graft.operators.TextIndex.foldLmCounts(state, delta)
-            .localCheckpoint(true)
-          if (ownsState) Bridge.unpin(state)
-          if (lastDelta != null) Bridge.unpin(lastDelta)
-          state = next
-          ownsState = true
-          onDelta(delta, batchId)
-          lastApplied = batchId
-          lastDelta = delta
-        }
-        ()
-      }
-
-    /** Override point for delta consumers; default is a no-op. */
-    var onDelta: (DataFrame, Long) => Unit = (_, _) => ()
-
-    def ingest(stream: DataFrame)
-        : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
-      stream.writeStream.foreachBatch(handler)
+  final class LmIngest(state0: DataFrame, text: Column)
+      extends FoldIngest(state0) {
+    override protected def mkDelta(state: DataFrame,
+        batch: DataFrame): DataFrame =
+      graft.operators.TextIndex.bigramLmCounts(batch, text)
+    override protected def fold(state: DataFrame, batch: DataFrame,
+        delta: DataFrame): DataFrame =
+      graft.operators.TextIndex.foldLmCounts(state, delta)
   }
 
   /** Streaming funnel tracker: keyed state carries each user's
@@ -453,57 +442,34 @@ object Streams {
     * (the localCheckpoint truncation contract of the other handlers).
     */
   final class NoveltyIngest(state0: DataFrame, id: Column, text: Column,
-      minNovelty: Double, shingleK: Int = 3) {
+      minNovelty: Double, shingleK: Int = 3) extends FoldIngest(state0) {
     require(minNovelty >= 0 && minNovelty <= 1,
       s"minNovelty out of [0,1]: $minNovelty")
-    @volatile private var state = state0
-    private var lastApplied = -1L
-    private var lastSurvivors: DataFrame = null
-    private var ownsState = false
 
-    /** The admitted distinct-shingle-fp frame after every applied batch;
-      * snapshots are invalidated by the next applied batch (pins freed).
-      */
-    def current: DataFrame = state
+    // the delta here is the ADMITTED batch docs — scored against the
+    // current state, which is why mkDelta receives it
+    override protected def mkDelta(state: DataFrame,
+        batch: DataFrame): DataFrame = {
+      val scored = graft.operators.Dedup.noveltyScoresAgainstFps(
+        batch, id, text, state, shingleK)
+      // unique right-side name so the caller's id expression can only
+      // resolve against the batch in the join condition
+      val admitted = scored
+        .filter(col("novelty") >= minNovelty)
+        .select(col("doc_id").as("__adm_id"))
+      batch.join(admitted, id === col("__adm_id"), "semi")
+    }
 
-    val handler: (DataFrame, Long) => Unit =
-      (batch: DataFrame, batchId: Long) => {
-        if (batchId <= lastApplied) {
-          if (batchId == lastApplied && lastSurvivors != null)
-            onSurvivors(lastSurvivors, batchId)
-        } else {
-          val scored = graft.operators.Dedup.noveltyScoresAgainstFps(
-            batch, id, text, state, shingleK)
-          // unique right-side name so the caller's id expression can only
-          // resolve against the batch in the join condition
-          val admitted = scored
-            .filter(col("novelty") >= minNovelty)
-            .select(col("doc_id").as("__adm_id"))
-          val survivors = batch
-            .join(admitted, id === col("__adm_id"), "semi")
-            .localCheckpoint(true)
-          val next = state
-            .unionByName(graft.operators.Dedup.corpusShingleFps(
-              survivors, text, shingleK))
-            .distinct()
-            .localCheckpoint(true)
-          if (ownsState) Bridge.unpin(state)
-          if (lastSurvivors != null) Bridge.unpin(lastSurvivors)
-          state = next
-          ownsState = true
-          onSurvivors(survivors, batchId)
-          lastApplied = batchId
-          lastSurvivors = survivors
-        }
-        ()
-      }
+    override protected def fold(state: DataFrame, batch: DataFrame,
+        delta: DataFrame): DataFrame =
+      state
+        .unionByName(graft.operators.Dedup.corpusShingleFps(
+          delta, text, shingleK))
+        .distinct()
 
-    /** Override point for admitted-docs consumers; default no-op. */
-    var onSurvivors: (DataFrame, Long) => Unit = (_, _) => ()
-
-    def ingest(stream: DataFrame)
-        : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
-      stream.writeStream.foreachBatch(handler)
+    /** Domain alias for [[onDelta]]: admitted-docs consumers. */
+    def onSurvivors: (DataFrame, Long) => Unit = onDelta
+    def onSurvivors_=(f: (DataFrame, Long) => Unit): Unit = { onDelta = f }
   }
 
   /** Streaming companion of
@@ -753,38 +719,19 @@ object Streams {
     * invalidated by the next applied batch.
     */
   final class PreferenceIngest(state0: DataFrame, winner: Column,
-      loser: Column) {
-    @volatile private var state = state0 // (item, wins, n)
-    private var lastApplied = -1L
-    private var ownsState = false
-
-    /** The (item, wins, n) count table after every applied batch. */
-    def current: DataFrame = state
+      loser: Column) extends FoldIngest(state0) {
+    override protected def mkDelta(state: DataFrame,
+        batch: DataFrame): DataFrame =
+      graft.operators.Preference.ballotCounts(batch, winner, loser)
+    override protected def fold(state: DataFrame, batch: DataFrame,
+        delta: DataFrame): DataFrame =
+      state.unionByName(delta)
+        .groupBy(col("item"))
+        .agg(sum(col("wins")).as("wins"), sum(col("n")).as("n"))
 
     /** Rankings derived from the current counts (map-only). */
     def rates(z: Double = 1.96): DataFrame =
-      graft.operators.Preference.ratesFromCounts(state, z)
-
-    val handler: (DataFrame, Long) => Unit =
-      (batch: DataFrame, batchId: Long) => {
-        if (batchId > lastApplied) {
-          val delta = graft.operators.Preference.ballotCounts(
-            batch, winner, loser)
-          val next = state.unionByName(delta)
-            .groupBy(col("item"))
-            .agg(sum(col("wins")).as("wins"), sum(col("n")).as("n"))
-            .localCheckpoint(true)
-          if (ownsState) Bridge.unpin(state)
-          state = next
-          ownsState = true
-          lastApplied = batchId
-        }
-        ()
-      }
-
-    def ingest(stream: DataFrame)
-        : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
-      stream.writeStream.foreachBatch(handler)
+      graft.operators.Preference.ratesFromCounts(current, z)
   }
 
   /** Run a streaming DataFrame into an in-memory sink until exhausted;
