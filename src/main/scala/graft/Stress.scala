@@ -199,7 +199,10 @@ object Stress {
     "preference_length_bias",
     // augment_dropout is map-only (tokenize + indexed hash filter +
     // re-join) - linear in text bytes by claim
-    "augment_dropout")
+    "augment_dropout",
+    // dedup_scoped is the exact-dedup shape keyed (scope, fp) plus one
+    // fp-keyed scope count - same 16-byte-exchange claim
+    "dedup_scoped")
 
   /** Replica id offset — well above any sf0.1 id, keeps replica ids
     * unique. PUBLIC because `Pipeline.simHashedLsh` pins its probe set

@@ -54,6 +54,35 @@ object Dedup {
       .agg(min(col("__id")).as("keep_id"), count(lit(1)).as("group_size"))
       .select(col("keep_id"), col("group_size"))
 
+  /** [[exact]] SCOPED to a grouping column: duplicates collapse only
+    * WITHIN each scope; identical content appearing under two scopes
+    * keeps one canonical per scope. This is the licensing/attribution
+    * variant of exact dedup — when sources carry distinct licenses or
+    * provenance obligations, a cross-source collapse silently reassigns
+    * content to whichever source holds the minimum id, and the dropped
+    * source's terms vanish from the audit trail. Output:
+    * (scope, keep_id, group_size, cross_scope_copies) — the last column
+    * counts how many OTHER scopes carry this same content, so the
+    * cross-source duplication the scoped collapse deliberately retains
+    * stays visible instead of silently multiplying training mass.
+    *
+    * Scale shape: one (scope, fp) 2-phase aggregation (16 bytes + scope
+    * per row) plus one fp-keyed count of distinct scopes joined back —
+    * both exchanges carry fingerprints, never bodies.
+    */
+  def exactScoped(df: DataFrame, id: Column, content: Column,
+      scope: Column): DataFrame = {
+    val fps = df.select(scope.as("scope"), id.as("__id"),
+      TextFunctions.fingerprint64(content).as("__fp"))
+    val perScope = fps.groupBy(col("scope"), col("__fp"))
+      .agg(min(col("__id")).as("keep_id"), count(lit(1)).as("group_size"))
+    val scopesPerFp = perScope.groupBy(col("__fp"))
+      .agg(count(lit(1)).as("__n_scopes"))
+    perScope.join(scopesPerFp, Seq("__fp"))
+      .select(col("scope"), col("keep_id"), col("group_size"),
+        (col("__n_scopes") - 1L).as("cross_scope_copies"))
+  }
+
   /** Incremental exact dedup for batch/stream ingestion: collapse duplicate
     * content WITHIN the fresh batch (min id wins), then drop rows whose
     * fingerprint already exists in `seenFps` — the compact `(fp: long)`

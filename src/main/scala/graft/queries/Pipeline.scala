@@ -33,6 +33,28 @@ object Pipeline {
       |GROUP BY text
       |ORDER BY keep_id""".stripMargin
 
+  /** Scoped exact dedup ([[graft.operators.Dedup.exactScoped]]):
+    * duplicates collapse within each source only; cross-source copies
+    * are retained and COUNTED. The oracle replays the per-scope group
+    * and the distinct-scope count per content.
+    */
+  def dedupScoped(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Dedup.exactScoped(T(s, dir, "documents"),
+        col("doc_id"), col("text"), col("source"))
+      .orderBy(col("scope"), col("keep_id"))
+
+  val dedupScopedOracle: String =
+    """WITH ps AS (
+      |  SELECT source AS scope, text, MIN(doc_id) AS keep_id,
+      |    COUNT(*) AS group_size
+      |  FROM documents GROUP BY 1, 2),
+      |sf AS (SELECT text, CAST(COUNT(*) AS BIGINT) AS n_scopes
+      |       FROM ps GROUP BY text)
+      |SELECT ps.scope, ps.keep_id, ps.group_size,
+      |  sf.n_scopes - 1 AS cross_scope_copies
+      |FROM ps JOIN sf ON ps.text = sf.text
+      |ORDER BY ps.scope, ps.keep_id""".stripMargin
+
   // ---------------------------------------------------------------- shared SQL
 
   /** DuckDB: distinct word-3-shingle sets per doc (mirrors
@@ -5706,6 +5728,7 @@ object Pipeline {
     Q("cooccurrence_counts", cooccurrenceQ, Some(cooccurrenceOracle)),
     Q("kanon_release", kanonReleaseQ, Some(kanonReleaseOracle)),
     Q("dedup_exact", dedupExact, Some(dedupExactOracle)),
+    Q("dedup_scoped", dedupScoped, Some(dedupScopedOracle)),
     Q("mm_decode_meta", mmDecodeMeta, Some(mmDecodeMetaOracle)),
     Q("dedup_minhash_lsh", dedupMinHash, Some(dedupMinHashOracle)),
     Q("dedup_ngram_jaccard", dedupNgramJaccard, Some(dedupNgramJaccardOracle)),

@@ -21,6 +21,22 @@ class DedupSpec extends SparkSpec {
     assert(out === Array((1L, 2L), (3L, 1L), (4L, 1L), (5L, 1L)))
   }
 
+  test("exactScoped: collapses within a scope only, retains and counts " +
+      "cross-scope copies") {
+    val d = Seq(
+      (1L, "s1", "same text"), (2L, "s1", "same text"), // in-scope dup
+      (3L, "s2", "same text"),                          // cross-scope copy
+      (4L, "s2", "only here")
+    ).toDF("id", "src", "text")
+    val out = Dedup.exactScoped(d, col("id"), col("text"), col("src"))
+      .as[(String, Long, Long, Long)].collect()
+      .sortBy(t => (t._1, t._2)).toSeq
+    assert(out === Seq(
+      ("s1", 1L, 2L, 1L),  // dup collapsed in s1, one other scope has it
+      ("s2", 3L, 1L, 1L),  // retained in s2, s1 has it too
+      ("s2", 4L, 1L, 0L))) // unique everywhere
+  }
+
   test("wordShingles: sliding k-grams; short docs yield whole-text shingle") {
     val s = Seq(Tuple1("a b c d")).toDF("t")
       .select(TextFunctions.wordShingles(col("t"), 3).as("sh"))
