@@ -202,7 +202,9 @@ object Stress {
     "augment_dropout",
     // dedup_scoped is the exact-dedup shape keyed (scope, fp) plus one
     // fp-keyed scope count - same 16-byte-exchange claim
-    "dedup_scoped")
+    "dedup_scoped",
+    // span_corruption is map-only (one compiled positional-hash pass)
+    "span_corruption")
 
   /** Replica id offset — well above any sf0.1 id, keeps replica ids
     * unique. PUBLIC because `Pipeline.simHashedLsh` pins its probe set

@@ -119,6 +119,12 @@ object PatternFunctions {
     ExpressionUtilsShim.column(WordDropoutKeep(
       ExpressionUtilsShim.expr(tokens), ExpressionUtilsShim.expr(id),
       seed, rate))
+
+  def spanCorrupt(tokens: Column, id: Column, seed: String, rate: Int,
+      spanLen: Int): Column =
+    ExpressionUtilsShim.column(SpanCorrupt(
+      ExpressionUtilsShim.expr(tokens), ExpressionUtilsShim.expr(id),
+      seed, rate, spanLen))
 }
 
 /** `word_dropout_keep(tokens, id)` → the tokens that SURVIVE hash-decided
@@ -179,5 +185,101 @@ case class WordDropoutKeep(left: Expression, right: Expression,
 
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): WordDropoutKeep =
+    copy(left = newLeft, right = newRight)
+}
+
+/** `span_corrupt(tokens, id)` → struct(input, target, n_masked, n_spans):
+  * T5-style span corruption (Raffel et al. 2020) with every random choice
+  * replaced by the engine's replayable md5-prefix hash. Position p
+  * (1-based) STARTS a mask iff hash32("seed:id:p") mod rate = 0; a
+  * position is masked iff some start lies within the trailing `spanLen`
+  * window (overlapping starts merge into one run — stateless, so an SQL
+  * oracle replays it positionally). Each maximal masked run k becomes the
+  * sentinel `<extra_id_k>` in the input; the target lists each sentinel
+  * followed by the tokens it hides and closes with `<extra_id_n_spans>`,
+  * the T5 format. Start decisions hash the POSITION only (not the token):
+  * corruption pattern and content are independent, as the objective
+  * intends.
+  */
+case class SpanCorrupt(left: Expression, right: Expression,
+    seed: String, rate: Int, spanLen: Int)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+
+  require(rate >= 2, s"rate must be >= 2, got $rate")
+  require(spanLen >= 1, s"spanLen must be >= 1, got $spanLen")
+
+  override def dataType: DataType = StructType(Seq(
+    StructField("input", StringType, nullable = false),
+    StructField("target", StringType, nullable = false),
+    StructField("n_masked", IntegerType, nullable = false),
+    StructField("n_spans", IntegerType, nullable = false)))
+  override def nullable: Boolean = left.nullable || right.nullable
+  override def prettyName: String = "span_corrupt"
+
+  /** Public bridge for generated code (protected nullSafeEval). */
+  final def evalPair(toks: Any, id: Any): Any = nullSafeEval(toks, id)
+
+  override protected def nullSafeEval(toksAny: Any, idAny: Any): Any = {
+    val toks = toksAny.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+    val prefix = seed + ":" + idAny.asInstanceOf[Long] + ":"
+    val n = toks.numElements()
+    val starts = new Array[Boolean](n)
+    var p = 0
+    while (p < n) {
+      val key = (prefix + (p + 1)).getBytes(StandardCharsets.UTF_8)
+      starts(p) = Md5Hash.hash32(key) % rate == 0L
+      p += 1
+    }
+    val input = new java.lang.StringBuilder
+    val target = new java.lang.StringBuilder
+    var nMasked = 0
+    var nSpans = 0
+    var sinceStart = spanLen // distance since last start; >= spanLen = unmasked
+    var inRun = false
+    p = 0
+    while (p < n) {
+      if (starts(p)) sinceStart = 0
+      val masked = sinceStart < spanLen
+      if (masked) {
+        if (!inRun) {
+          if (input.length > 0) input.append(' ')
+          input.append("<extra_id_").append(nSpans).append('>')
+          if (target.length > 0) target.append(' ')
+          target.append("<extra_id_").append(nSpans).append('>')
+          nSpans += 1
+          inRun = true
+        }
+        target.append(' ').append(toks.getUTF8String(p).toString)
+        nMasked += 1
+      } else {
+        if (input.length > 0) input.append(' ')
+        input.append(toks.getUTF8String(p).toString)
+        inRun = false
+      }
+      sinceStart += 1
+      p += 1
+    }
+    if (target.length > 0) target.append(' ')
+    target.append("<extra_id_").append(nSpans).append('>')
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](UTF8String.fromString(input.toString),
+        UTF8String.fromString(target.toString),
+        nMasked, nSpans))
+  }
+
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode = {
+    val ref = ctx.addReferenceObj("spanCorruptExpr", this,
+      classOf[SpanCorrupt].getName)
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      s"${ev.value} = (org.apache.spark.sql.catalyst.InternalRow) " +
+        s"$ref.evalPair($a, $b);"
+    })
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): SpanCorrupt =
     copy(left = newLeft, right = newRight)
 }

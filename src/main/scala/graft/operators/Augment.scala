@@ -39,6 +39,39 @@ object Augment {
         array_join(col("__kept"), " ").as("text_aug"))
   }
 
+  /** T5-style span corruption (Raffel et al. 2020): mask hash-decided
+    * contiguous token spans, replace each masked run with an
+    * `<extra_id_k>` sentinel in the input, and emit the target as each
+    * sentinel followed by the tokens it hides, closed with the final
+    * sentinel — the denoising-objective pair, reproducible everywhere
+    * (same [[wordDropout]] stance: a nondeterministic corruptor mints
+    * unscreenable fresh text every epoch). A position starts a mask iff
+    * hash32("seed:id:pos") mod `rate` = 0; every position within
+    * `spanLen` after a start is masked; overlapping starts merge
+    * (stateless — which is what makes the rule SQL-replayable).
+    * Start decisions hash the position only, so corruption pattern and
+    * content are independent, as the objective intends.
+    *
+    * Output: (id, n_tok, n_masked, n_spans, input_text, target_text).
+    *
+    * Scale shape: MAP-ONLY — one tokenize + one compiled
+    * [[org.apache.spark.sql.graft.SpanCorrupt]] pass; nothing shuffles.
+    */
+  def spanCorruption(df: DataFrame, id: Column, text: Column,
+      rate: Int = 10, spanLen: Int = 3, seed: String = "t5"): DataFrame = {
+    import org.apache.spark.sql.graft.PatternFunctions
+    val toks = graft.functions.TextFunctions.tokensWs(text)
+    df.select(id.cast("long").as("id"), toks.as("__toks"))
+      .select(col("id"), size(col("__toks")).as("n_tok"),
+        PatternFunctions.spanCorrupt(col("__toks"), col("id"), seed, rate,
+          spanLen).as("__c"))
+      .select(col("id"), col("n_tok"),
+        col("__c.n_masked").as("n_masked"),
+        col("__c.n_spans").as("n_spans"),
+        col("__c.input").as("input_text"),
+        col("__c.target").as("target_text"))
+  }
+
   /** The declarative formulation [[wordDropout]]'s native expression
     * replaced — retained as the SPEC REFERENCE (AugmentSpec asserts
     * bit-equality on random inputs; the interpreted HOF measured ~18×

@@ -3067,6 +3067,78 @@ object Pipeline {
       |FROM k
       |ORDER BY doc_id""".stripMargin
 
+  /** T5 span corruption ([[graft.operators.Augment.spanCorruption]]):
+    * hash-decided mask spans, sentinel inputs/targets. The oracle replays
+    * the positional start hash, the trailing-window mask, the run
+    * detection, the sentinel numbering, and both text assemblies.
+    */
+  def spanCorruptionQ(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Augment.spanCorruption(
+        T(s, dir, "documents"), col("doc_id"), col("text"))
+      .select(col("id").as("doc_id"), col("n_tok"), col("n_masked"),
+        col("n_spans"), md5(col("input_text")).as("input_md5"),
+        md5(col("target_text")).as("target_md5"))
+      .orderBy(col("doc_id"))
+
+  val spanCorruptionOracle: String =
+    """WITH t AS (
+      |  SELECT doc_id,
+      |    CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[])
+      |         ELSE string_split_regex(trim(text), '\s+') END AS toks
+      |  FROM documents),
+      |c AS (
+      |  SELECT doc_id, toks, len(toks) AS n,
+      |    list_transform(range(1, len(toks) + 1), p ->
+      |      CAST(('0x' || substring(md5('t5:' || CAST(doc_id AS VARCHAR)
+      |        || ':' || CAST(p AS VARCHAR)), 1, 8)) AS BIGINT) % 10 = 0)
+      |      AS starts
+      |  FROM t),
+      |m AS (
+      |  SELECT doc_id, toks, n,
+      |    list_transform(range(1, n + 1), p ->
+      |      len(list_filter(range(greatest(1, p - 2), p + 1),
+      |        s -> starts[s])) > 0) AS msk
+      |  FROM c),
+      |r AS (
+      |  SELECT doc_id, toks, n, msk,
+      |    list_transform(range(1, n + 1), p ->
+      |      msk[p] AND (p = 1 OR NOT msk[p - 1])) AS rst
+      |  FROM m),
+      |k AS (
+      |  SELECT doc_id, toks, n, msk, rst,
+      |    list_transform(range(1, n + 1), p ->
+      |      list_sum(list_transform(range(1, p + 1),
+      |        q -> CASE WHEN rst[q] THEN 1 ELSE 0 END)) - 1) AS kidx,
+      |    len(list_filter(rst, x -> x)) AS n_spans,
+      |    len(list_filter(msk, x -> x)) AS n_masked
+      |  FROM r),
+      |txt AS (
+      |  SELECT doc_id, n, n_masked, n_spans,
+      |    -- COALESCE: DuckDB array_to_string([]) is NULL, Spark's is ''
+      |    COALESCE(array_to_string(list_filter(list_transform(
+      |      range(1, n + 1), p ->
+      |      CASE WHEN NOT msk[p] THEN toks[p]
+      |           WHEN rst[p] THEN '<extra_id_' || CAST(kidx[p] AS VARCHAR)
+      |             || '>'
+      |           ELSE NULL END), x -> x IS NOT NULL), ' '), '')
+      |      AS input_text,
+      |    COALESCE(array_to_string(list_filter(list_transform(
+      |      range(1, n + 1), p ->
+      |      CASE WHEN rst[p] THEN '<extra_id_' || CAST(kidx[p] AS VARCHAR)
+      |             || '> ' || toks[p]
+      |           WHEN msk[p] THEN toks[p]
+      |           ELSE NULL END), x -> x IS NOT NULL), ' '), '')
+      |      AS target_body
+      |  FROM k)
+      |SELECT doc_id, CAST(n AS BIGINT) AS n_tok,
+      |  CAST(n_masked AS INTEGER) AS n_masked,
+      |  CAST(n_spans AS INTEGER) AS n_spans,
+      |  md5(input_text) AS input_md5,
+      |  md5(target_body || CASE WHEN target_body = '' THEN '' ELSE ' ' END
+      |    || '<extra_id_' || CAST(n_spans AS VARCHAR) || '>') AS target_md5
+      |FROM txt
+      |ORDER BY doc_id""".stripMargin
+
   /** Vocabulary-growth curve ([[graft.operators.TextIndex.vocabGrowth]]):
     * Heaps-law readout over ten doc-id-ordered corpus slices. The oracle
     * replays the NTILE cut, the first-seen reduction, and the running
@@ -5725,6 +5797,7 @@ object Pipeline {
     Q("keyword_tag", keywordTagQ, Some(keywordTagOracle)),
     Q("vocab_growth", vocabGrowthQ, Some(vocabGrowthOracle)),
     Q("augment_dropout", augmentDropoutQ, Some(augmentDropoutOracle)),
+    Q("span_corruption", spanCorruptionQ, Some(spanCorruptionOracle)),
     Q("cooccurrence_counts", cooccurrenceQ, Some(cooccurrenceOracle)),
     Q("kanon_release", kanonReleaseQ, Some(kanonReleaseOracle)),
     Q("dedup_exact", dedupExact, Some(dedupExactOracle)),

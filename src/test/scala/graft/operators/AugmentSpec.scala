@@ -60,6 +60,57 @@ class AugmentSpec extends SparkSpec {
       rows(Augment.wordDropoutHof(docs, col("id"), col("text"), 7, "sd")))
   }
 
+  test("spanCorruption: sentinels are numbered in order, the target " +
+      "closes with the final sentinel, and substituting each sentinel's " +
+      "target span back into the input reconstructs the document exactly") {
+    val rnd = new scala.util.Random(17)
+    val docs = (1L to 40L).map { i =>
+      (i, (0 until 5 + rnd.nextInt(60)).map(_ => s"w${rnd.nextInt(30)}")
+        .mkString(" "))
+    }.toDF("id", "text")
+    val out = Augment.spanCorruption(docs, col("id"), col("text"))
+      .as[(Long, Int, Int, Int, String, String)].collect().sortBy(_._1)
+    val orig = docs.as[(Long, String)].collect().toMap
+    def isSentinel(t: String) = t.startsWith("<extra_id_")
+    var sawMask = false
+    out.foreach { case (id, nTok, nMasked, nSpans, input, target) =>
+      val inToks = if (input.isEmpty) Array.empty[String] else input.split(" ")
+      val tgToks = target.split(" ")
+      // target ends with the closing sentinel
+      assert(tgToks.last === s"<extra_id_$nSpans>", s"doc $id")
+      // split the target into spans keyed by sentinel
+      val spans = scala.collection.mutable.Map.empty[String, List[String]]
+      var cur: String = null
+      tgToks.dropRight(1).foreach { t =>
+        if (isSentinel(t)) { cur = t; spans(cur) = Nil }
+        else spans(cur) = spans(cur) :+ t
+      }
+      assert(spans.keys.toSet ===
+        (0 until nSpans).map(k => s"<extra_id_$k>").toSet, s"doc $id")
+      assert(spans.values.map(_.size).sum === nMasked, s"doc $id")
+      // reconstruct
+      val rebuilt = inToks.flatMap(t =>
+        if (isSentinel(t)) spans(t) else List(t)).mkString(" ")
+      assert(rebuilt === orig(id), s"doc $id reconstruction")
+      assert(inToks.count(isSentinel) === nSpans, s"doc $id")
+      if (nSpans > 0) sawMask = true
+    }
+    assert(sawMask, "fixture must exercise masking")
+    // deterministic under repartitioning
+    val out2 = Augment.spanCorruption(docs.repartition(9), col("id"),
+        col("text"))
+      .as[(Long, Int, Int, Int, String, String)].collect().sortBy(_._1)
+    assert(out.toSeq === out2.toSeq)
+  }
+
+  test("spanCorruption: blank docs emit empty input and the bare closing " +
+      "sentinel") {
+    val out = Augment.spanCorruption(Seq((1L, "")).toDF("id", "text"),
+        col("id"), col("text"))
+      .as[(Long, Int, Int, Int, String, String)].collect().head
+    assert(out === ((1L, 0, 0, 0, "", "<extra_id_0>")))
+  }
+
   test("wordDropout: empty and blank docs survive with zeros") {
     val docs = Seq((1L, ""), (2L, "   ")).toDF("id", "text")
     val out = Augment.wordDropout(docs, col("id"), col("text"))
