@@ -132,6 +132,31 @@ object GraftFunctions {
       org.apache.spark.sql.graft.WindowedLangLabels(exprs(0),
         litInt(exprs(1), "windowed_lang_labels window"))
     }, "built-in")
+    // string args that parameterize a compiled kernel must be literals too
+    def litStr(e: Expression, what: String): String = {
+      require(e.foldable, s"$what must be a constant")
+      String.valueOf(e.eval())
+    }
+    reg.createOrReplaceTempFunction("multi_pattern_hits", exprs => {
+      require(exprs.length >= 2,
+        "multi_pattern_hits(text, pattern, ...) needs >= 1 pattern")
+      org.apache.spark.sql.graft.MultiPatternHits(exprs.head,
+        exprs.tail.zipWithIndex.map { case (e, i) =>
+          litStr(e, s"multi_pattern_hits pattern ${i + 1}") })
+    }, "built-in")
+    reg.createOrReplaceTempFunction("word_dropout_keep", exprs => {
+      arity(exprs, 4, "word_dropout_keep(tokens, id, seed, rate)")
+      org.apache.spark.sql.graft.WordDropoutKeep(exprs(0), exprs(1),
+        litStr(exprs(2), "word_dropout_keep seed"),
+        litInt(exprs(3), "word_dropout_keep rate"))
+    }, "built-in")
+    reg.createOrReplaceTempFunction("span_corrupt", exprs => {
+      arity(exprs, 5, "span_corrupt(tokens, id, seed, rate, spanLen)")
+      org.apache.spark.sql.graft.SpanCorrupt(exprs(0), exprs(1),
+        litStr(exprs(2), "span_corrupt seed"),
+        litInt(exprs(3), "span_corrupt rate"),
+        litInt(exprs(4), "span_corrupt spanLen"))
+    }, "built-in")
 
     // http_get(url [, timeoutMs [, headers]]) / http_post(url, content |
     // url, timeoutMs, headers, content) → struct<code,headers,content>.

@@ -205,6 +205,29 @@ class GraftFunctionsSpec extends SparkSpec {
       "SELECT windowed_lang_labels(split('the cat and a dog der und', ' '), 4)")
       .head().getSeq[String](0)
     assert(wl === Seq("en", "de")) // [the cat and a] -> en; [dog der und] -> de
+    // multi_pattern_hits: varargs patterns, counts in pattern order
+    val mp = spark.sql(
+      "SELECT multi_pattern_hits('aaa xabx', 'aa', 'ab')")
+      .head().getSeq[Int](0)
+    assert(mp === Seq(2, 1)) // overlapping "aa" twice; one "ab"
+    // word_dropout_keep / span_corrupt: SQL form matches the column form
+    val wd = spark.sql(
+      "SELECT word_dropout_keep(split('a b c d e', ' '), 7L, 'sd', 7)")
+      .head().getSeq[String](0)
+    val wdCol = Seq((7L, "a b c d e")).toDF("id", "text")
+      .select(org.apache.spark.sql.graft.PatternFunctions.wordDropoutKeep(
+        org.apache.spark.sql.functions.split(
+          org.apache.spark.sql.functions.col("text"), " "),
+        org.apache.spark.sql.functions.col("id"), "sd", 7))
+      .head().getSeq[String](0)
+    assert(wd === wdCol)
+    val sc = spark.sql(
+      "SELECT span_corrupt(split('a b c d e f g h', ' '), 3L, 't5', 3, 2).n_spans")
+      .head().getInt(0)
+    assert(sc >= 0)
+    intercept[Exception] {
+      spark.sql("SELECT multi_pattern_hits('x', rand()::VARCHAR)").head()
+    }
   }
 
   test("cosine_sim null on length mismatch; matches scala reference fold") {
