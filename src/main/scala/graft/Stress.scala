@@ -204,7 +204,10 @@ object Stress {
     // fp-keyed scope count - same 16-byte-exchange claim
     "dedup_scoped",
     // span_corruption is map-only (one compiled positional-hash pass)
-    "span_corruption")
+    "span_corruption",
+    // rouge_overlap's work is per PAIR (adjacent ids): gram counts +
+    // one (pair, fp) match join - linear in pairs by claim
+    "rouge_overlap")
 
   /** Replica id offset — well above any sf0.1 id, keeps replica ids
     * unique. PUBLIC because `Pipeline.simHashedLsh` pins its probe set

@@ -1086,6 +1086,65 @@ object TextIndex {
           .as("type_token_ratio"))
       .orderBy(col("source"))
 
+  /** ROUGE-N (Lin 2004) over explicit (reference, candidate) text pairs —
+    * the n-gram-overlap eval metric summarization/distillation pipelines
+    * report: matched n-grams use CLIPPED counts (a gram occurring twice
+    * in the candidate but once in the reference matches once), recall
+    * divides by reference grams, precision by candidate grams, F1 is the
+    * exact 2m/(n_ref+n_cand) identity. A side with fewer than `n` tokens
+    * has no n-grams; its ratios are NULL (no evidence), never a
+    * fabricated 0 or 1.
+    *
+    * Output: (pair_id, n_ref, n_cand, n_match, recall, precision, f1).
+    *
+    * Scale shape: grams hash to positional 60-bit fps in native
+    * [[org.apache.spark.sql.graft.ShingleFps60]] passes; per-(pair, gram)
+    * counts partial-aggregate, the match join keys on (pair, 8-byte fp),
+    * and every downstream agg is pair-keyed — text never shuffles after
+    * widen(), and nothing is corpus-wide (all work is per pair).
+    */
+  def rougeN(pairs: DataFrame, pairId: Column, refText: Column,
+      candText: Column, n: Int = 2): DataFrame = {
+    import org.apache.spark.sql.graft.HashFunctions
+    require(n >= 1, s"n must be >= 1, got $n")
+    val base = widen(pairs.select(pairId.as("pair_id"), refText.as("__r"),
+      candText.as("__c")))
+    def sideCounts(c: Column) = {
+      val toks = TextFunctions.tokensWs(c)
+      base.select(col("pair_id"), toks.as("__t"))
+        .filter(size(col("__t")) >= n) // < n tokens → no n-grams
+        .select(col("pair_id"),
+          explode(HashFunctions.shingleFps60(col("__t"), n)).as("g"))
+        .groupBy(col("pair_id"), col("g"))
+        .agg(count(lit(1)).as("cnt"))
+    }
+    val rc = sideCounts(col("__r"))
+    val cc = sideCounts(col("__c"))
+    val matches = rc.join(cc.toDF("pair_id", "g", "ccnt"), Seq("pair_id", "g"))
+      .groupBy(col("pair_id"))
+      .agg(sum(least(col("cnt"), col("ccnt"))).as("n_match"))
+    val refTot = rc.groupBy(col("pair_id")).agg(sum(col("cnt")).as("n_ref"))
+    val candTot = cc.groupBy(col("pair_id")).agg(sum(col("cnt")).as("n_cand"))
+    def ratio(num: Column, den: Column) =
+      when(den.isNull || den === 0L, lit(null).cast("double"))
+        .otherwise(num.cast("double") / den.cast("double"))
+    base.select(col("pair_id"))
+      .join(refTot, Seq("pair_id"), "left")
+      .join(candTot, Seq("pair_id"), "left")
+      .join(matches, Seq("pair_id"), "left")
+      .select(col("pair_id"),
+        coalesce(col("n_ref"), lit(0L)).as("n_ref"),
+        coalesce(col("n_cand"), lit(0L)).as("n_cand"),
+        coalesce(col("n_match"), lit(0L)).as("n_match"))
+      .withColumn("recall", ratio(col("n_match"), col("n_ref")))
+      .withColumn("precision", ratio(col("n_match"), col("n_cand")))
+      .withColumn("f1",
+        when(col("n_ref") === 0L || col("n_cand") === 0L,
+          lit(null).cast("double"))
+          .otherwise(lit(2.0) * col("n_match").cast("double") /
+            (col("n_ref") + col("n_cand")).cast("double")))
+  }
+
   /** Windowed co-occurrence counts — the GloVe/word2vec count-matrix
     * precursor (Pennington et al. 2014 train from exactly this table):
     * every unordered token pair within `window` positions of each other,

@@ -3067,6 +3067,72 @@ object Pipeline {
       |FROM k
       |ORDER BY doc_id""".stripMargin
 
+  /** ROUGE-2 over adjacent-doc pairs
+    * ([[graft.operators.TextIndex.rougeN]]): clipped bigram overlap,
+    * recall/precision/F1. The oracle replays the positional bigrams,
+    * the per-gram clipped min, and the ratio guards.
+    */
+  def rougeOverlapQ(s: SparkSession, dir: String): DataFrame = {
+    val d = T(s, dir, "documents").select(col("doc_id"), col("text"))
+    val pairs = d.toDF("a_id", "a_text")
+      .withColumn("b_id", col("a_id") + 1)
+      .join(d.toDF("b_id", "b_text"), "b_id")
+      .select(col("a_id").as("pair_id"), col("a_text"), col("b_text"))
+    graft.operators.TextIndex.rougeN(pairs, col("pair_id"),
+        col("a_text"), col("b_text"), n = 2)
+      .orderBy(col("pair_id"))
+  }
+
+  val rougeOverlapOracle: String =
+    """WITH d AS (
+      |  SELECT doc_id,
+      |    CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[])
+      |         ELSE string_split_regex(trim(text), '\s+') END AS t
+      |  FROM documents),
+      |p AS (
+      |  SELECT a.doc_id AS pair_id, a.t AS rt, b.t AS ct
+      |  FROM d a JOIN d b ON b.doc_id = a.doc_id + 1),
+      |rg AS (
+      |  SELECT pair_id, g, COUNT(*) AS cnt FROM (
+      |    SELECT pair_id, unnest(list_transform(range(1, len(rt)),
+      |      i -> rt[i] || ' ' || rt[i+1])) AS g
+      |    FROM p WHERE len(rt) >= 2)
+      |  GROUP BY 1, 2),
+      |cg AS (
+      |  SELECT pair_id, g, COUNT(*) AS cnt FROM (
+      |    SELECT pair_id, unnest(list_transform(range(1, len(ct)),
+      |      i -> ct[i] || ' ' || ct[i+1])) AS g
+      |    FROM p WHERE len(ct) >= 2)
+      |  GROUP BY 1, 2),
+      |m AS (
+      |  SELECT rg.pair_id,
+      |    CAST(SUM(LEAST(rg.cnt, cg.cnt)) AS BIGINT) AS n_match
+      |  FROM rg JOIN cg ON rg.pair_id = cg.pair_id AND rg.g = cg.g
+      |  GROUP BY 1),
+      |rt AS (SELECT pair_id, CAST(SUM(cnt) AS BIGINT) AS n_ref
+      |       FROM rg GROUP BY 1),
+      |ctt AS (SELECT pair_id, CAST(SUM(cnt) AS BIGINT) AS n_cand
+      |        FROM cg GROUP BY 1)
+      |SELECT p.pair_id,
+      |  COALESCE(rt.n_ref, 0) AS n_ref,
+      |  COALESCE(ctt.n_cand, 0) AS n_cand,
+      |  COALESCE(m.n_match, 0) AS n_match,
+      |  CASE WHEN COALESCE(rt.n_ref, 0) = 0 THEN NULL
+      |       ELSE CAST(COALESCE(m.n_match, 0) AS DOUBLE)
+      |         / CAST(rt.n_ref AS DOUBLE) END AS recall,
+      |  CASE WHEN COALESCE(ctt.n_cand, 0) = 0 THEN NULL
+      |       ELSE CAST(COALESCE(m.n_match, 0) AS DOUBLE)
+      |         / CAST(ctt.n_cand AS DOUBLE) END AS precision,
+      |  CASE WHEN COALESCE(rt.n_ref, 0) = 0 OR COALESCE(ctt.n_cand, 0) = 0
+      |       THEN NULL
+      |       ELSE 2.0 * CAST(COALESCE(m.n_match, 0) AS DOUBLE)
+      |         / CAST(rt.n_ref + ctt.n_cand AS DOUBLE) END AS f1
+      |FROM p
+      |LEFT JOIN rt ON rt.pair_id = p.pair_id
+      |LEFT JOIN ctt ON ctt.pair_id = p.pair_id
+      |LEFT JOIN m ON m.pair_id = p.pair_id
+      |ORDER BY p.pair_id""".stripMargin
+
   /** T5 span corruption ([[graft.operators.Augment.spanCorruption]]):
     * hash-decided mask spans, sentinel inputs/targets. The oracle replays
     * the positional start hash, the trailing-window mask, the run
@@ -5798,6 +5864,7 @@ object Pipeline {
     Q("vocab_growth", vocabGrowthQ, Some(vocabGrowthOracle)),
     Q("augment_dropout", augmentDropoutQ, Some(augmentDropoutOracle)),
     Q("span_corruption", spanCorruptionQ, Some(spanCorruptionOracle)),
+    Q("rouge_overlap", rougeOverlapQ, Some(rougeOverlapOracle)),
     Q("cooccurrence_counts", cooccurrenceQ, Some(cooccurrenceOracle)),
     Q("kanon_release", kanonReleaseQ, Some(kanonReleaseOracle)),
     Q("dedup_exact", dedupExact, Some(dedupExactOracle)),

@@ -265,6 +265,33 @@ class TextIndexSpec extends SparkSpec {
     assert(out3(("a", "a")) === 1L)
   }
 
+  test("rougeN: clipped bigram counts, hand recall/precision/F1, NULL " +
+      "ratios only where a side has no n-grams") {
+    val pairs = Seq(
+      // ref bigrams: (a b)(b c)(c a)(a b) — (a b)×2; cand: (a b)(b x)(x a)
+      // clipped match: min(2,1)=1 → m=1, n_ref=4, n_cand=3
+      (1L, "a b c a b", "a b x a"),
+      (2L, "a b", "z"),   // cand has no bigrams: recall 0, precision NULL
+      (3L, "q", "q w")    // ref has no bigrams: recall NULL, precision 0
+    ).toDF("pair_id", "r", "c")
+    val out = TextIndex.rougeN(pairs, col("pair_id"), col("r"), col("c"),
+        n = 2)
+      .as[(Long, Long, Long, Long, Option[Double], Option[Double],
+        Option[Double])].collect().sortBy(_._1)
+    assert(out(0) === ((1L, 4L, 3L, 1L, Some(0.25), Some(1.0 / 3.0),
+      Some(2.0 / 7.0))))
+    assert(out(1) === ((2L, 1L, 0L, 0L, Some(0.0), None, None)))
+    assert(out(2) === ((3L, 0L, 1L, 0L, None, Some(0.0), None)))
+  }
+
+  test("rougeN: identical texts score perfect 1.0 everywhere") {
+    val pairs = Seq((1L, "x y z w", "x y z w")).toDF("pair_id", "r", "c")
+    val out = TextIndex.rougeN(pairs, col("pair_id"), col("r"), col("c"))
+      .as[(Long, Long, Long, Long, Option[Double], Option[Double],
+        Option[Double])].collect().head
+    assert(out === ((1L, 3L, 3L, 3L, Some(1.0), Some(1.0), Some(1.0))))
+  }
+
   test("duplicateNgramProfile counts corpus-duplicated positional n-grams") {
     val docs = Seq(
       (1L, "a b c d e f g"),     // 3-grams: abc bcd cde def efg
