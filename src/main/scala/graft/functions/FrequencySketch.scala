@@ -193,15 +193,19 @@ object FrequencySketch {
     (key: Column) => f(key)
   }
 
-  /** Point estimate for a LITERAL probe key over a sketch column: min over
-    * rows of the key's bucket — buckets resolve at PLAN TIME (same md5 the
-    * executor-side update uses), so the estimate is a pure element_at
-    * projection.
+  /** Point estimate for a LITERAL probe key: min over rows of the key's
+    * bucket — buckets resolve at PLAN TIME (same md5 the executor-side
+    * update uses), so the estimate is a pure element_at projection.
+    *
+    * `counters` must be the flattened array<long> matrix — i.e. the
+    * `.counters` field of what [[cms]] aggregates to, not the struct
+    * itself (element_at on the struct fails analysis). Pass
+    * `cmsCol.getField("counters")` when holding the aggregator output.
     */
-  def cmsEstimate(sketch: Column, key: String, depth: Int,
+  def cmsEstimate(counters: Column, key: String, depth: Int,
       width: Int): Column = {
     val cells = (0 until depth).map(r =>
-      org.apache.spark.sql.functions.element_at(sketch,
+      org.apache.spark.sql.functions.element_at(counters,
         r * width + CmsAggregator.bucket(r, key, width) + 1))
     // least() rejects a single argument — a depth-1 sketch is valid
     if (cells.size == 1) cells.head

@@ -5,7 +5,8 @@ package org.apache.spark.sql.graft
 import java.nio.charset.StandardCharsets
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{Expression, ImplicitCastInputTypes, UnaryExpression}
+import org.apache.spark.sql.types.AbstractDataType
 import org.apache.spark.sql.catalyst.util.GenericArrayData
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
@@ -139,9 +140,17 @@ object PatternFunctions {
   */
 case class WordDropoutKeep(left: Expression, right: Expression,
     seed: String, rate: Int)
-    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression
+    with ImplicitCastInputTypes {
 
   require(rate >= 2, s"rate must be >= 2, got $rate")
+
+  // Plan-time contract: without it, an INT doc id reaching the
+  // asInstanceOf[Long] below is a runtime ClassCastException from SQL
+  // (the Scala Augment API always casts to long; SQL callers may not).
+  // ImplicitCast so an INT id coerces instead of failing analysis.
+  override def inputTypes: Seq[AbstractDataType] =
+    Seq(ArrayType(StringType), LongType)
 
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
   override def nullable: Boolean = left.nullable || right.nullable
@@ -203,9 +212,15 @@ case class WordDropoutKeep(left: Expression, right: Expression,
   */
 case class SpanCorrupt(left: Expression, right: Expression,
     seed: String, rate: Int, spanLen: Int)
-    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression
+    with ImplicitCastInputTypes {
 
   require(rate >= 2, s"rate must be >= 2, got $rate")
+
+  // Same plan-time contract as WordDropoutKeep: INT ids coerce to LONG
+  // at analysis instead of ClassCastException at runtime.
+  override def inputTypes: Seq[AbstractDataType] =
+    Seq(ArrayType(StringType), LongType)
   require(spanLen >= 1, s"spanLen must be >= 1, got $spanLen")
 
   override def dataType: DataType = StructType(Seq(

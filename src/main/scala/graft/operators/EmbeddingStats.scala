@@ -136,6 +136,11 @@ object EmbeddingStats {
     val mom = df.select(vec.as("__v"))
       .agg(graft.functions.VectorAgg.covMoments(bits)(col("__v")).as("m"))
       .select(col("m.moments").as("mm"))
+      // empty / all-null-vector input finishes to an EMPTY moments buffer
+      // (unlike CmsAggregator, which zero-fills): without this filter the
+      // dC recovery below goes sqrt(-3) → null and emits one confusing
+      // null-dimension row. Zero rows is the honest answer.
+      .filter(size(col("mm")) > 0)
     // 1 + d + d² = len ⇒ 4·len − 3 = (2d+1)², exact in double for any
     // realistic d — recover d from the buffer instead of trusting a param
     val dC = ((sqrt(size(col("mm")).cast("double") * 4.0 - 3.0) - 1.0) / 2.0)

@@ -3063,7 +3063,7 @@ object Pipeline {
       |  FROM t)
       |SELECT doc_id, CAST(n_tok AS BIGINT) AS n_tok,
       |  CAST(n_tok - len(kept) AS BIGINT) AS n_dropped,
-      |  md5(array_to_string(kept, ' ')) AS aug_md5
+      |  md5(COALESCE(array_to_string(kept, ' '), '')) AS aug_md5
       |FROM k
       |ORDER BY doc_id""".stripMargin
 
@@ -3829,7 +3829,8 @@ object Pipeline {
   val cmsCountsOracle: String = {
     val vals = cmsProbeTerms.map(t => s"('$t')").mkString(", ")
     s"""WITH toks AS (
-       |  SELECT unnest(string_split_regex(trim(text), '\\s+')) AS term
+       |  SELECT unnest(CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[])
+       |    ELSE string_split_regex(trim(text), '\\s+') END) AS term
        |  FROM documents),
        |rr AS (SELECT unnest(range(0, 4)) AS r),
        |bk AS (

@@ -225,6 +225,16 @@ class GraftFunctionsSpec extends SparkSpec {
       "SELECT span_corrupt(split('a b c d e f g h', ' '), 3L, 't5', 3, 2).n_spans")
       .head().getInt(0)
     assert(sc >= 0)
+    // INT ids coerce at analysis (ExpectsInputTypes): before the contract
+    // was declared this was a runtime ClassCastException from SQL
+    val wdInt = spark.sql(
+      "SELECT word_dropout_keep(split('a b c d e', ' '), 7, 'sd', 7)")
+      .head().getSeq[String](0)
+    assert(wdInt === wd)
+    val scInt = spark.sql(
+      "SELECT span_corrupt(split('a b c d e f g h', ' '), 3, 't5', 3, 2).n_spans")
+      .head().getInt(0)
+    assert(scInt === sc)
     intercept[Exception] {
       spark.sql("SELECT multi_pattern_hits('x', rand()::VARCHAR)").head()
     }

@@ -89,4 +89,15 @@ class EmbeddingStatsSpec extends SparkSpec {
     assert(out.view.mapValues(_._2).toMap ===
       out2.view.mapValues(_._2).toMap)
   }
+
+  test("embeddingCovariance: empty and all-null-vector inputs yield zero " +
+      "rows, not a null-dimension row") {
+    val empty = Seq.empty[(Long, Seq[Float])].toDF("vec_id", "embedding")
+    assert(EmbeddingStats.embeddingCovariance(empty, col("embedding"))
+      .count() === 0L)
+    val allNull = Seq((1L, null: Seq[Float]), (2L, null: Seq[Float]))
+      .toDF("vec_id", "embedding")
+    assert(EmbeddingStats.embeddingCovariance(allNull, col("embedding"))
+      .count() === 0L)
+  }
 }
