@@ -21,7 +21,7 @@ object Engine {
     * users on a shared host, get disjoint paths instead of overwriting each
     * other mid-read.
     */
-  private def scratchPath(name: String, dataDir: String): String = {
+  private[queries] def scratchPath(name: String, dataDir: String): String = {
     val scope = s"${System.getProperty("user.name", "anon")}-${
       Integer.toHexString(dataDir.hashCode)}"
     java.nio.file.Paths.get(

@@ -2947,6 +2947,98 @@ object Pipeline {
       |FROM toks t LEFT JOIN sc ON t.doc_id = sc.doc_id
       |ORDER BY t.doc_id""".stripMargin
 
+  /** Frozen-LM cross-corpus screen — the actual CCNet deployment shape
+    * run end-to-end: the reference model is [[graft.operators.TextIndex
+    * .bigramLmCounts]] over the even-id slice, maintained in TWO batch
+    * folds ([[graft.operators.TextIndex.foldLmCounts]], fold ≡ rebuild —
+    * LmModelSpec's law, exercised here under the hash gate), PERSISTED as
+    * the frozen parquet artifact, RELOADED cold, and the odd-id slice is
+    * screened against it with `selfCounts = false` — counts are external
+    * evidence (no leave-one-out), an unseen bigram backs off, an OOV
+    * token floors at the 1 + ⌊log2 N⌋ maximum. The oracle rebuilds the
+    * model clean over the even slice and replays the frozen-branch
+    * arithmetic, so the gate is green only if the fold, the artifact
+    * round-trip, AND the frozen scoring are all exact.
+    *
+    * Scale shape: the model is a vocabulary-sized stored table — scoring
+    * a new corpus is three key-joins of the (id + three 8-byte fps)
+    * position stream against its partitions; the training corpus is
+    * never re-read at serve time.
+    */
+  def lmCrossScreenQ(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.TextIndex
+    val docs = T(s, dir, "documents")
+    val ref = docs.filter(col("doc_id") % 2 === 0)
+    val model = TextIndex.foldLmCounts(
+      TextIndex.bigramLmCounts(ref.filter(col("doc_id") % 4 === 0),
+        col("text")),
+      TextIndex.bigramLmCounts(ref.filter(col("doc_id") % 4 === 2),
+        col("text")))
+    val path = Engine.scratchPath("graft-lm-model", dir)
+    model.write.mode("overwrite").parquet(path)
+    val frozen = s.read.parquet(path)
+    TextIndex.lmScoreAgainst(
+        docs.filter(col("doc_id") % 2 === 1), col("doc_id"), col("text"),
+        frozen,
+        // between the p50/p75 cross-corpus band at both driver SFs
+        // (4.58-4.68) so the flag discriminates; real corpora use the
+        // 12-bit library default
+        thresholdBits = 4.65, selfCounts = false)
+      .select(col("id").as("doc_id"), col("n_scored"), col("total_bits"),
+        col("bits_per_token"), col("keep"))
+      .orderBy(col("doc_id"))
+  }
+
+  val lmCrossScreenOracle: String =
+    """WITH tr AS (
+      |  SELECT CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[])
+      |         ELSE string_split_regex(trim(text), '\s+') END AS t
+      |  FROM documents WHERE doc_id % 2 = 0),
+      |uni AS (SELECT unnest(t) AS w FROM tr),
+      |c1 AS (SELECT w, COUNT(*) AS c FROM uni GROUP BY w),
+      |tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_total FROM uni),
+      |trpos AS (
+      |  SELECT t[i] || ' ' || t[i+1] AS g2
+      |  FROM (SELECT t, unnest(range(1, len(t))) AS i
+      |        FROM tr WHERE len(t) >= 2)),
+      |c2 AS (SELECT g2 AS k2, COUNT(*) AS c FROM trpos GROUP BY g2),
+      |sd AS (
+      |  SELECT doc_id,
+      |    CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[])
+      |         ELSE string_split_regex(trim(text), '\s+') END AS t
+      |  FROM documents WHERE doc_id % 2 = 1),
+      |pos AS (
+      |  SELECT doc_id, t[i] AS wp, t[i+1] AS wc, t[i] || ' ' || t[i+1] AS g2
+      |  FROM (SELECT doc_id, t, unnest(range(1, len(t))) AS i
+      |        FROM sd WHERE len(t) >= 2)),
+      |bits AS (
+      |  SELECT pos.doc_id,
+      |    CASE WHEN c2.c IS NOT NULL
+      |      THEN (length(bin(p1.c)) - 1) - (length(bin(c2.c)) - 1)
+      |      ELSE 1 + (length(bin(tot.n_total)) - 1)
+      |             - (length(bin(COALESCE(p2.c, 1))) - 1)
+      |    END AS b
+      |  FROM pos
+      |  LEFT JOIN c2 ON pos.g2 = c2.k2
+      |  LEFT JOIN c1 p1 ON pos.wp = p1.w
+      |  LEFT JOIN c1 p2 ON pos.wc = p2.w
+      |  CROSS JOIN tot),
+      |sc AS (
+      |  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_scored,
+      |    CAST(SUM(b) AS BIGINT) AS total_bits
+      |  FROM bits GROUP BY doc_id)
+      |SELECT s.doc_id,
+      |  COALESCE(sc.n_scored, 0) AS n_scored,
+      |  COALESCE(sc.total_bits, 0) AS total_bits,
+      |  CASE WHEN COALESCE(sc.n_scored, 0) = 0 THEN 0.0
+      |       ELSE CAST(sc.total_bits AS DOUBLE) / CAST(sc.n_scored AS DOUBLE)
+      |  END AS bits_per_token,
+      |  (CASE WHEN COALESCE(sc.n_scored, 0) = 0 THEN 0.0
+      |        ELSE CAST(sc.total_bits AS DOUBLE) / CAST(sc.n_scored AS DOUBLE)
+      |   END) <= 4.65 AS keep
+      |FROM sd s LEFT JOIN sc ON s.doc_id = sc.doc_id
+      |ORDER BY s.doc_id""".stripMargin
+
   /** Keyword tagging ([[graft.operators.TextIndex.keywordTag]]): one
     * native Aho–Corasick pass over every document against a fixed phrase
     * list; the oracle replays each pattern's overlapping occurrence
@@ -5861,6 +5953,7 @@ object Pipeline {
     Q("bigram_familiarity", bigramFamiliarityQ, Some(bigramFamiliarityOracle)),
     Q("trigram_backoff", trigramBackoffQ, Some(trigramBackoffOracle)),
     Q("lm_perplexity_screen", lmPerplexityQ, Some(lmPerplexityOracle)),
+    Q("lm_cross_screen", lmCrossScreenQ, Some(lmCrossScreenOracle)),
     Q("keyword_tag", keywordTagQ, Some(keywordTagOracle)),
     Q("vocab_growth", vocabGrowthQ, Some(vocabGrowthOracle)),
     Q("augment_dropout", augmentDropoutQ, Some(augmentDropoutOracle)),
