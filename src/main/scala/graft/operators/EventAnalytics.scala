@@ -40,6 +40,24 @@ object EventAnalytics {
     * bound, deterministic via the (ts, et) tie-broken slice order.
     * 0 = uncapped (no window pass is added).
     */
+  /** The funnel family's skew guard: keep each user's EARLIEST `cap`
+    * step-typed events ((ts, et) tie-broken, so the slice is
+    * deterministic), via a spillable per-user window sort BEFORE any
+    * collect — a single bot/power user with millions of step-typed
+    * events would otherwise materialize one unbounded array in the
+    * aggregation buffer. cap = 0 passes through untouched (no window
+    * pass is added). Expects the (user_id, ts, et) projection.
+    */
+  private def sliceEarliest(typed: DataFrame, cap: Int): DataFrame =
+    if (cap == 0) typed
+    else {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id")).orderBy(col("ts"), col("et"))
+      typed.withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") <= cap)
+        .drop("__rn")
+    }
+
   def funnel(df: DataFrame, user: Column, tsNanos: Column, eventType: Column,
       steps: Seq[String], maxEventsPerUser: Int = 0): DataFrame = {
     require(steps.nonEmpty, "need at least one funnel step")
@@ -51,16 +69,7 @@ object EventAnalytics {
     val typed = df
       .select(user.as("user_id"), tsNanos.as("ts"), eventType.as("et"))
       .filter(col("et").isin(steps: _*))
-    val sliced =
-      if (maxEventsPerUser == 0) typed
-      else {
-        val w = org.apache.spark.sql.expressions.Window
-          .partitionBy(col("user_id")).orderBy(col("ts"), col("et"))
-        typed.withColumn("__rn", row_number().over(w))
-          .filter(col("__rn") <= maxEventsPerUser)
-          .drop("__rn")
-      }
-    val depths = sliced
+    val depths = sliceEarliest(typed, maxEventsPerUser)
       .groupBy(col("user_id"))
       .agg(array_sort(collect_list(struct(col("ts"), col("et")))).as("evs"))
       .select(col("user_id"),
@@ -105,18 +114,25 @@ object EventAnalytics {
     * ≤ |steps| entries per user, and a per-step percentile aggregation —
     * `percentile_disc` sorts each step's latency list, the exactness
     * trade [[graft.queries.Relational.q22Percentiles]] documents (the
-    * KLL sketch is the approximate scale path).
+    * KLL sketch is the approximate scale path). `maxEventsPerUser` is
+    * [[funnel]]'s skew guard with [[funnel]]'s exact semantics: each
+    * user's earliest-cap step-typed slice feeds the chain, so a
+    * conversion completed only past the cap contributes no latency row.
     */
   def funnelLatency(df: DataFrame, user: Column, tsNanos: Column,
-      eventType: Column, steps: Seq[String]): DataFrame = {
+      eventType: Column, steps: Seq[String],
+      maxEventsPerUser: Int = 0): DataFrame = {
     require(steps.nonEmpty, "need at least one funnel step")
     require(steps.distinct.size == steps.size, s"duplicate steps: $steps")
+    require(maxEventsPerUser >= 0,
+      s"maxEventsPerUser must be >= 0 (0 = uncapped), got $maxEventsPerUser")
     val n = steps.size
     val stepArr = array(steps.map(lit): _*)
-    val chains = df
+    val typed = df
       .select(user.as("user_id"), tsNanos.cast("long").as("ts"),
         eventType.as("et"))
       .filter(col("et").isin(steps: _*))
+    val chains = sliceEarliest(typed, maxEventsPerUser)
       .groupBy(col("user_id"))
       .agg(array_sort(collect_list(struct(col("ts"), col("et")))).as("evs"))
       .select(col("user_id"),

@@ -113,6 +113,28 @@ class EventAnalyticsSpec extends SparkSpec {
       (2, "B", 2L, 20L, 50L)))
   }
 
+  test("funnelLatency maxEventsPerUser: the earliest-cap slice feeds the " +
+      "chain — a conversion completed only past the cap emits no latency") {
+    // u1 (skewed): 10k A-spam then the B at the end — past cap=100;
+    // u2 converts inside its first 3 events (lat 10)
+    val u1 = (0 until 10000).map(i => (1L, 100L + i, "A")) :+
+      ((1L, 99999L, "B"))
+    val u2 = Seq((2L, 10L, "A"), (2L, 20L, "B"), (2L, 30L, "A"))
+    val e = (u1 ++ u2).toDF("user_id", "ts", "et")
+    def run(cap: Int) =
+      EventAnalytics.funnelLatency(e, col("user_id"), col("ts"), col("et"),
+          Seq("A", "B"), maxEventsPerUser = cap)
+        .as[(Int, String, Long, Long, Long)].collect().sortBy(_._1).toSeq
+    // uncapped: both users convert (u1 lat 99899, u2 lat 10)
+    assert(run(0) === Seq(
+      (1, "A", 2L, 0L, 0L), (2, "B", 2L, 10L, 99899L)))
+    // cap=100: u1's B is outside its earliest-100 slice -> only u2 at B
+    assert(run(100) === Seq(
+      (1, "A", 2L, 0L, 0L), (2, "B", 1L, 10L, 10L)))
+    // a cap at/above every user's event count is a no-op
+    assert(run(20000) === run(0))
+  }
+
   test("rfmSegments: recency vs the dataset's last day, decimal monetary, " +
       "ntile quintiles with deterministic ties, and non-purchases only " +
       "move the as-of day") {
