@@ -1156,31 +1156,76 @@ object TextIndex {
     *
     * Output: (term_a, term_b, n), top-k by (n desc, term_a, term_b).
     *
-    * Scale shape: `window` position-aligned zip projections (NO
-    * self-join — the bigram-familiarity slice trick at each offset),
-    * union, one (a, b) 2-phase count agg, and a bounded global top-k
-    * (TakeOrderedAndProject). The exchange carries term pairs —
-    * vocabulary²-bounded in distinct keys, corpus-linear in rows; at
-    * extreme scale hash terms to fps first and re-join labels for the
-    * k survivors.
+    * Scale shape: tokenize + native 60-bit fp hashing run ONCE per doc,
+    * and every offset's position-aligned zip is emitted from that single
+    * projection (flatten of per-offset slices — NO self-join, and NO
+    * per-offset union re-running the tokenizer: the 3-branch union form
+    * measured 3-5× slower at stress ×64 because each branch re-tokenized
+    * and re-hashed the corpus). The corpus-linear exchange carries
+    * 16-byte fp pairs instead of raw term pairs; one (fp_a, fp_b)
+    * 2-phase count agg; the k-th-largest count bounds the candidates
+    * (plus boundary ties); labels re-join from the vocabulary-sized
+    * (term, fp) dictionary only for those survivors, and the final
+    * (n desc, term_a, term_b) top-k — identical to the raw-term plan's
+    * output modulo 60-bit fp collisions, the fp-keyed text family's
+    * accepted stance (the oracle hash-gate would catch one at test SFs).
     */
   def cooccurrenceCounts(df: DataFrame, text: Column, window: Int = 3,
       k: Int = 200): DataFrame = {
+    import org.apache.spark.sql.graft.HashFunctions
     require(window >= 1, s"window must be >= 1, got $window")
     require(k > 0, s"k must be positive, got $k")
     val base = widen(df.select(text.as("__text")))
-      .select(TextFunctions.tokensWs(col("__text")).as("toks"))
-    val pairs = (1 to window).map { off =>
-      base.filter(size(col("toks")) > off)
-        .select(explode(arrays_zip(
-          slice(col("toks"), lit(1), size(col("toks")) - off),
-          slice(col("toks"), lit(1 + off), size(col("toks")) - off)))
-          .as("z"))
-        .select(least(col("z.0"), col("z.1")).as("term_a"),
-          greatest(col("z.0"), col("z.1")).as("term_b"))
-    }.reduce(_ unionByName _)
-    pairs.groupBy(col("term_a"), col("term_b"))
+      .select(HashFunctions.shingleFps60(
+        TextFunctions.tokensWs(col("__text")), 1).as("fps"))
+    val nToks = size(col("fps"))
+    // all offsets in ONE array expression; greatest(·, 0) keeps the slice
+    // length legal (ANSI throws on a negative length) for docs shorter
+    // than the offset — those contribute an empty zip, not a filter branch
+    val pairArr = flatten(array((1 to window).map { off =>
+      val len = greatest(nToks - off, lit(0))
+      arrays_zip(slice(col("fps"), lit(1), len),
+        slice(col("fps"), lit(1 + off), len))
+    }: _*))
+    val pairs = base.select(explode(pairArr).as("z"))
+      .select(least(col("z.0"), col("z.1")).as("fp_a"),
+        greatest(col("z.0"), col("z.1")).as("fp_b"))
+    // the count matrix is the GloVe artifact and BOTH downstream passes'
+    // input (threshold + candidate filter) — pin it, or the corpus-wide
+    // pair aggregation rebuilds for the second pass (measured 2× at
+    // stress ×64). MEMORY_AND_DISK: vocabulary²-bounded, not corpus-
+    // sized, but still the biggest frame here; spill beats re-exploding.
+    val counts = pairs.groupBy(col("fp_a"), col("fp_b"))
       .agg(count(lit(1)).as("n"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // candidate bound: everything at or above the k-th largest count —
+    // ≥ k rows, + boundary ties only, so label work is O(k). The fp-pair
+    // (n desc) order can disagree with the term-pair order INSIDE a tie
+    // class, so the final top-k must rank labeled rows; a bare limit(k)
+    // on fp order would pick different boundary-tie survivors.
+    val kth = counts.select(col("n"))
+      .orderBy(col("n").desc).limit(k)
+      .agg(min(col("n")).as("__t"))
+    val cands = counts.join(broadcast(kth),
+      counts("n") >= kth("__t")).drop("__t")
+    // vocabulary-sized dictionary; fp computed AFTER the distinct so the
+    // hash runs on vocabulary rows, not corpus tokens
+    val dict = widen(df.select(text.as("__text")))
+      .select(explode(TextFunctions.tokensWs(col("__text"))).as("term"))
+      .distinct()
+      .select(col("term"), element_at(
+        HashFunctions.shingleFps60(array(col("term")), 1), 1).as("fp"))
+    // the O(k) candidate side broadcasts against the vocabulary-sized
+    // dictionary at BOTH label joins (hinted per join — a single leading
+    // hint does not survive the first join's output)
+    val labeledA = broadcast(cands)
+      .join(dict.toDF("la", "fp_a"), Seq("fp_a"))
+    broadcast(labeledA)
+      .join(dict.toDF("lb", "fp_b"), Seq("fp_b"))
+      // re-canonicalize on LABELS: fp numeric order is not term
+      // lexicographic order, but the unordered pair is the same
+      .select(least(col("la"), col("lb")).as("term_a"),
+        greatest(col("la"), col("lb")).as("term_b"), col("n"))
       .orderBy(col("n").desc, col("term_a"), col("term_b"))
       .limit(k)
   }

@@ -709,12 +709,19 @@ class PlanSpec extends SparkSpec {
     assert("(\\d+) Window".r.findAllIn(p).size <= 4, p) // 2 nodes × 2 prints
   }
 
-  test("cooccurrence_counts: offset zips, NO self-join, one 2-phase " +
-      "count agg, bounded top-k via TakeOrderedAndProject") {
+  test("cooccurrence_counts: ONE fp-pair projection (no per-offset corpus " +
+      "re-reads), 2-phase count agg, O(k) candidates broadcast into the " +
+      "label joins, bounded top-k — no sort-merge join, no cartesian") {
     val p = plan(Pipeline.cooccurrenceQ(spark, dir))
-    assert(!p.contains("Join"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    // labels ride in via broadcast equi-joins of the k survivors
+    assert(p.contains("BroadcastHashJoin"), p)
     assert(p.contains("TakeOrderedAndProject"), p)
     assert("HashAggregate".r.findAllIn(p).size >= 2, p)
+    // the corpus text scans exactly twice (pair stream + dictionary) —
+    // the per-offset union form scanned it once PER OFFSET
+    assert("shingle_fps60".r.findAllIn(p).size <= 8, p) // ≤2 nodes × 2 prints
   }
 
   test("cms_counts: ONE fixed-size sketch aggregation; probe buckets " +
