@@ -1259,8 +1259,51 @@ object TextIndex {
     // text via an 8-byte equi-join
     val idBuckets = df.select(id.as("id"))
       .withColumn("bucket", ntile(buckets).over(Window.orderBy(col("id"))))
-    val b = df.select(id.as("id"), text.as("__text"))
-      .join(idBuckets, Seq("id"))
+    growthCurve(df.select(id.as("id"), text.as("__text"))
+      .join(idBuckets, Seq("id")))
+  }
+
+  /** [[vocabGrowth]]'s 10⁹-doc scale path: the id-order slices come from
+    * broadcast KLL range cuts (the [[graft.operators.Layout
+    * .curriculumShards]] pattern) instead of a global NTILE sort — one
+    * O(k)-exchange sketch aggregation plus a map-only bucket assign, NO
+    * single-reducer sort anywhere (even over ids). The trade: slice
+    * sizes are rank-error-bounded approximations of NTILE's exact
+    * equal split once n exceeds the sketch buffer; WITHIN the buffer
+    * (n ≤ sketchK) the cuts are the exact discrete quantiles, which is
+    * what lets the driver oracle replay this variant with
+    * quantile_disc. Ids quantize through DOUBLE (exact to 2^53 — no
+    * corpus carries that many docs).
+    *
+    * Output and every downstream aggregate match [[vocabGrowth]]'s
+    * contract: (bucket 1-based, n_docs, tokens, new_terms, cum_vocab).
+    */
+  def vocabGrowthSketchCuts(df: DataFrame, id: Column, text: Column,
+      buckets: Int = 10, sketchK: Int = 4096): DataFrame = {
+    require(buckets > 0, s"buckets must be positive, got $buckets")
+    val probs = (1 until buckets).map(_.toDouble / buckets)
+    val base = df.select(id.as("id"), text.as("__text"))
+    val cuts =
+      if (buckets == 1) base.sparkSession.range(1)
+        .select(array().cast("array<double>").as("__cuts"))
+      else base.agg(graft.functions.QuantileSketch
+        .kllQuantiles(sketchK, probs)(col("id").cast("double"))
+        .as("__cuts"))
+    growthCurve(base
+      .crossJoin(broadcast(cuts))
+      .select(col("id"), col("__text"),
+        (size(filter(col("__cuts"), c => col("id").cast("double") > c))
+          + 1).as("bucket")))
+  }
+
+  /** Shared tail of the vocabulary-growth family: per-bucket doc/token
+    * mass, first-seen vocabulary, running total. Expects (id, __text,
+    * bucket); the first-seen reduction is a vocabulary-sized
+    * min-aggregation on raw terms, and the cum window runs over
+    * `buckets` rows only.
+    */
+  private def growthCurve(b: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val toks = b.select(col("bucket"),
       explode(TextFunctions.tokensWs(col("__text"))).as("term"))
     val docsPer = b.groupBy(col("bucket"))

@@ -3331,6 +3331,49 @@ object Pipeline {
       |LEFT JOIN nt ON dp.bucket = nt.bucket
       |ORDER BY dp.bucket""".stripMargin
 
+  /** The growth curve's 10⁹-doc plan ([[graft.operators.TextIndex
+    * .vocabGrowthSketchCuts]]): id slices from broadcast KLL range cuts —
+    * no global sort, not even over ids. At driver SFs the corpus fits
+    * the sketch buffer, so the cuts are the exact discrete quantiles and
+    * the oracle replays them with quantile_disc (the curriculum_shards
+    * convention: DOUBLE-cast, `> cut` counting, boundary to the lower
+    * slice).
+    */
+  def vocabGrowthKllQ(s: SparkSession, dir: String): DataFrame =
+    graft.operators.TextIndex.vocabGrowthSketchCuts(
+        T(s, dir, "documents"), col("doc_id"), col("text"))
+      .orderBy(col("bucket"))
+
+  val vocabGrowthKllOracle: String =
+    """WITH ids AS (SELECT doc_id FROM documents),
+      |c AS (
+      |  SELECT quantile_disc(CAST(doc_id AS DOUBLE),
+      |    [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]) AS cuts
+      |  FROM ids),
+      |d AS (
+      |  SELECT CAST(len(list_filter(c.cuts,
+      |      x -> CAST(doc_id AS DOUBLE) > x)) + 1 AS INTEGER) AS bucket,
+      |    CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[])
+      |         ELSE string_split_regex(trim(text), '\s+') END AS t
+      |  FROM documents CROSS JOIN c),
+      |toks AS (SELECT bucket, unnest(t) AS term FROM d),
+      |dp AS (SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n_docs
+      |       FROM d GROUP BY bucket),
+      |tp AS (SELECT bucket, CAST(COUNT(*) AS BIGINT) AS tokens
+      |       FROM toks GROUP BY bucket),
+      |ft AS (SELECT term, MIN(bucket) AS bucket FROM toks GROUP BY term),
+      |nt AS (SELECT bucket, CAST(COUNT(*) AS BIGINT) AS new_terms
+      |       FROM ft GROUP BY bucket)
+      |SELECT dp.bucket, dp.n_docs,
+      |  COALESCE(tp.tokens, 0) AS tokens,
+      |  COALESCE(nt.new_terms, 0) AS new_terms,
+      |  CAST(SUM(COALESCE(nt.new_terms, 0)) OVER (ORDER BY dp.bucket
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+      |    AS cum_vocab
+      |FROM dp LEFT JOIN tp ON dp.bucket = tp.bucket
+      |LEFT JOIN nt ON dp.bucket = nt.bucket
+      |ORDER BY dp.bucket""".stripMargin
+
   /** Trigram familiarity with 0.4 stupid backoff to the leading bigram —
     * exact-integer counts, fixed-order double score.
     */
@@ -5956,6 +5999,7 @@ object Pipeline {
     Q("lm_cross_screen", lmCrossScreenQ, Some(lmCrossScreenOracle)),
     Q("keyword_tag", keywordTagQ, Some(keywordTagOracle)),
     Q("vocab_growth", vocabGrowthQ, Some(vocabGrowthOracle)),
+    Q("vocab_growth_kll", vocabGrowthKllQ, Some(vocabGrowthKllOracle)),
     Q("augment_dropout", augmentDropoutQ, Some(augmentDropoutOracle)),
     Q("span_corruption", spanCorruptionQ, Some(spanCorruptionOracle)),
     Q("rouge_overlap", rougeOverlapQ, Some(rougeOverlapOracle)),

@@ -244,6 +244,24 @@ class TextIndexSpec extends SparkSpec {
     assert(out(1) === ((2, 2L, 2L, 1L, 4L)))
   }
 
+  test("vocabGrowthSketchCuts: exact-regime cuts reproduce the NTILE " +
+      "curve when the split divides evenly; single bucket degenerates " +
+      "to the whole corpus") {
+    // 8 docs, 4 buckets of 2 — the discrete-quantile cuts land exactly
+    // on NTILE's boundaries, so both variants must agree bucket-for-bucket
+    val docs = (1 to 8).map(i => (i.toLong, s"w$i shared")).toDF("id", "text")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.as[(Int, Long, Long, Long, Long)].collect().sortBy(_._1).toSeq
+    val ntile = rows(TextIndex.vocabGrowth(docs, col("id"), col("text"),
+      buckets = 4))
+    val kll = rows(TextIndex.vocabGrowthSketchCuts(docs, col("id"),
+      col("text"), buckets = 4))
+    assert(kll === ntile)
+    val one = rows(TextIndex.vocabGrowthSketchCuts(docs, col("id"),
+      col("text"), buckets = 1))
+    assert(one === Seq((1, 8L, 16L, 9L, 9L))) // 8 w-terms + "shared"
+  }
+
   test("cooccurrenceCounts: pairs within the window accumulate " +
       "canonically, self-pairs count, beyond-window pairs do not") {
     // "a b c a": window 2 → offsets 1: (a,b)(b,c)(a,c); 2: (a,c)(a,b)

@@ -709,6 +709,19 @@ class PlanSpec extends SparkSpec {
     assert("(\\d+) Window".r.findAllIn(p).size <= 4, p) // 2 nodes × 2 prints
   }
 
+  test("vocab_growth_kll: NO global sort anywhere (not even over ids) — " +
+      "cuts come from one O(k) sketch exchange and broadcast into a " +
+      "map-only bucket assign") {
+    val p = plan(Pipeline.vocabGrowthKllQ(spark, dir))
+    // exactly ONE Window survives — the buckets-row cum_vocab sum;
+    // NTILE's corpus-ids Window (global sort) must be gone
+    // (each node prints twice in formatted explain: tree + details)
+    // "ntile(" not bare "ntile" — kllquaNTILEsaggregator would match
+    assert(!p.contains("ntile("), p)
+    assert("\\d+\\) Window".r.findAllIn(p).size <= 1, p)
+    assert(p.contains("BroadcastExchange"), p)
+  }
+
   test("cooccurrence_counts: ONE fp-pair projection (no per-offset corpus " +
       "re-reads), 2-phase count agg, O(k) candidates broadcast into the " +
       "label joins, bounded top-k — no sort-merge join, no cartesian") {
