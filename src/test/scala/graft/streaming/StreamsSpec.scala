@@ -466,6 +466,96 @@ class StreamsSpec extends SparkSpec {
     assert(cur.filter(_._1 == 106L) === Seq((106L, "w6", 1L)))
   }
 
+  test("FoldIngest scaffold contract: mkDelta sees the PRE-fold state and " +
+      "runs once per applied batch, replay re-emits the pinned delta with " +
+      "NO re-fold, older batchIds are no-ops, superseded state+delta pins " +
+      "free while the caller's state0 is never unpinned") {
+    // stub ingest: additive (k, c) counts, with each delta row carrying
+    // the state's total mass AT mkDelta time — the probe that proves the
+    // scaffold hands mkDelta the pre-fold state
+    class CountIngest(state0: org.apache.spark.sql.DataFrame)
+        extends Streams.FoldIngest(state0) {
+      var mkDeltaCalls = 0
+      var foldCalls = 0
+      override protected def mkDelta(state: org.apache.spark.sql.DataFrame,
+          batch: org.apache.spark.sql.DataFrame)
+          : org.apache.spark.sql.DataFrame = {
+        mkDeltaCalls += 1
+        batch.groupBy(col("k")).agg(count(lit(1)).as("c"))
+          .crossJoin(broadcast(state.agg(
+            coalesce(sum(col("c")), lit(0L)).as("state_mass"))))
+      }
+      override protected def fold(state: org.apache.spark.sql.DataFrame,
+          batch: org.apache.spark.sql.DataFrame,
+          delta: org.apache.spark.sql.DataFrame)
+          : org.apache.spark.sql.DataFrame = {
+        foldCalls += 1
+        state.unionByName(delta.select(col("k"), col("c")))
+          .groupBy(col("k")).agg(sum(col("c")).as("c"))
+      }
+    }
+    // caller-owned, caller-pinned state0: the scaffold must never unpin it
+    val state0 = Seq(("a", 2L)).toDF("k", "c").localCheckpoint(true)
+    val ing = new CountIngest(state0)
+    val deltas = scala.collection.mutable
+      .ArrayBuffer.empty[(Long, Seq[(String, Long, Long)])]
+    val deltaFrames = scala.collection.mutable
+      .ArrayBuffer.empty[org.apache.spark.sql.DataFrame]
+    ing.onDelta = (d, id) => {
+      deltaFrames += d
+      deltas += id -> d.as[(String, Long, Long)].collect().sortBy(_._1).toSeq
+    }
+    def cur = ing.current.as[(String, Long)].collect().sorted.toSeq
+
+    ing.handler(Seq("a", "b", "b").toDF("k"), 0L)
+    assert(cur === Seq(("a", 3L), ("b", 2L)))
+    // delta computed against the PRE-fold state (mass 2, not 5)
+    assert(deltas.toList ===
+      List(0L -> Seq(("a", 1L, 2L), ("b", 2L, 2L))))
+    assert((ing.mkDeltaCalls, ing.foldCalls) === ((1, 1)))
+
+    // replay of the last applied batch: delta re-emitted byte-for-byte,
+    // NO mkDelta, NO fold (an additive re-fold would double-count)
+    ing.handler(Seq("a", "b", "b").toDF("k"), 0L)
+    assert((ing.mkDeltaCalls, ing.foldCalls) === ((1, 1)))
+    assert(deltas.size === 2 && deltas(1) === deltas(0))
+    assert(cur === Seq(("a", 3L), ("b", 2L)))
+
+    val state1 = ing.current
+    ing.handler(Seq("c").toDF("k"), 1L)
+    assert(cur === Seq(("a", 3L), ("b", 2L), ("c", 1L)))
+    // batch 1's delta saw state mass 5 (post-batch-0, pre-batch-1)
+    assert(deltas.last === (1L -> Seq(("c", 1L, 5L))))
+    assert((ing.mkDeltaCalls, ing.foldCalls) === ((2, 2)))
+
+    // an OLDER batchId is a guarded no-op: no emit, no fold, no state move
+    ing.handler(Seq("zzz").toDF("k"), 0L)
+    assert((ing.mkDeltaCalls, ing.foldCalls) === ((2, 2)))
+    assert(deltas.size === 3)
+    assert(cur === Seq(("a", 3L), ("b", 2L), ("c", 1L)))
+
+    // pin lifecycle: superseded scaffold-owned state AND superseded delta
+    // freed, current state + last (re-emittable) delta pinned
+    assertFreed(state1, "FoldIngest superseded state")
+    assertFreed(deltaFrames.head, "FoldIngest superseded delta")
+    assert(pinnedRdds(deltaFrames.last).nonEmpty &&
+      pinnedRdds(deltaFrames.last).forall(_.getStorageLevel !=
+        org.apache.spark.storage.StorageLevel.NONE),
+      "the LAST delta must stay pinned — a replay re-emits it")
+    assert(pinnedRdds(ing.current).nonEmpty && pinnedRdds(ing.current)
+      .forall(_.getStorageLevel !=
+        org.apache.spark.storage.StorageLevel.NONE),
+      "the CURRENT state must stay pinned")
+    // the caller's state0 was NOT unpinned by the scaffold (it owns only
+    // the states it created)
+    assert(state0.queryExecution.analyzed.collect {
+      case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd
+    }.forall(_.getStorageLevel !=
+      org.apache.spark.storage.StorageLevel.NONE),
+      "caller-owned state0 must never be unpinned by the scaffold")
+    state0.unpersist()
+  }
+
   test("LmIngest: additive count fold across batches equals the clean " +
       "rebuild; replay re-emits WITHOUT re-folding (a re-fold would " +
       "double-count); superseded pins freed") {
