@@ -172,4 +172,55 @@ object Preference {
           .otherwise(col("longer_wins").cast("double") /
             (col("longer_wins") + col("shorter_wins")).cast("double")))
   }
+
+  /** DPO/RLHF training-pair assembly: prompt-grouped comparison ballots
+    * collapse to ONE (prompt, chosen, rejected) record per prompt — the
+    * record a direct-preference-optimization run trains on (Rafailov et
+    * al. 2023 consume exactly this shape). Within each prompt group,
+    * `chosen` is the item with the highest within-group win rate (ties →
+    * the LOWER item id) and `rejected` the lowest (ties → the HIGHER id,
+    * so a fully-tied group still yields a distinct pair); prompts whose
+    * preference margin (chosen rate − rejected rate, one IEEE
+    * subtraction of two single-division doubles) is below `minMargin`
+    * are dropped — an uninformative pair teaches the model nothing and
+    * noisy-ballot prompts are the standard DPO data-quality cut.
+    *
+    * Output: (prompt, chosen, rejected, chosen_rate, rejected_rate,
+    * margin, n_ballots).
+    *
+    * Scale shape: ballots → two (prompt, item, bit) rows each → one
+    * partial-aggregated (prompt, item) count, then ONE groupBy(prompt)
+    * with max_by/min_by struct keys for the arg-extremes — no window, no
+    * per-prompt sort; every exchange is id+counter-width. Item counts
+    * per prompt are response-candidate-sized (single digits in practice).
+    */
+  def dpoPairs(ballots: DataFrame, prompt: Column, winner: Column,
+      loser: Column, minMargin: Double = 0.0): DataFrame = {
+    val perItem = ballots
+      .select(prompt.as("prompt"), winner.as("item"), lit(1L).as("w"))
+      .unionByName(ballots
+        .select(prompt.as("prompt"), loser.as("item"), lit(0L).as("w")))
+      .groupBy(col("prompt"), col("item"))
+      .agg(sum(col("w")).as("wins"), count(lit(1)).as("n"))
+      .select(col("prompt"), col("item"),
+        (col("wins").cast("double") / col("n").cast("double")).as("rate"),
+        col("n"))
+    perItem.groupBy(col("prompt"))
+      .agg(
+        max_by(col("item"), struct(col("rate"), -col("item"))).as("chosen"),
+        max(struct(col("rate"), -col("item"))).getField("rate")
+          .as("chosen_rate"),
+        min_by(col("item"), struct(col("rate"), -col("item")))
+          .as("rejected"),
+        min(struct(col("rate"), -col("item"))).getField("rate")
+          .as("rejected_rate"),
+        // each ballot contributed two (item, bit) rows — halve the sum
+        (sum(col("n")) / 2).cast("long").as("n_ballots"))
+      .withColumn("margin", col("chosen_rate") - col("rejected_rate"))
+      .filter(col("chosen") =!= col("rejected") &&
+        col("margin") >= lit(minMargin))
+      .select(col("prompt"), col("chosen"), col("rejected"),
+        col("chosen_rate"), col("rejected_rate"), col("margin"),
+        col("n_ballots"))
+  }
 }

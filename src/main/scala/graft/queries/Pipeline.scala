@@ -4993,6 +4993,93 @@ object Pipeline {
 
   // ------------------------------------------------ Bradley–Terry strengths
 
+  /** DPO training-pair assembly ([[graft.operators.Preference.dpoPairs]]):
+    * docs grouped 8-per-prompt as response candidates, within-group
+    * shifted-pair ballots decided by the PAIR hash's parity
+    * (non-transitive by construction, so within-prompt win rates are
+    * non-degenerate — a single global order would pin every chosen_rate
+    * at 1.0), collapsed to one (prompt, chosen, rejected) record per
+    * prompt with the minMargin = 0.5 data-quality cut (keeps 53-56 of
+    * 63 prompts at the driver SFs — the gate sees both kept and dropped
+    * prompts). Texts ride in by id join; the oracle replays the ballot
+    * derivation, the per-item rates, both arg-extremes with the operator's
+    * tie-break (low id for chosen, high id for rejected), and the margin
+    * filter.
+    */
+  def dpoPairsQ(s: SparkSession, dir: String): DataFrame = {
+    val dd = T(s, dir, "documents")
+      .select(col("doc_id"), md5(col("text")).as("h"))
+    val shifts = s.range(1, 4).select(col("id").as("shift"))
+    val pairs = dd.select(col("doc_id").as("a_id"), col("h").as("a_h"))
+      .crossJoin(broadcast(shifts))
+      .withColumn("b_id", col("a_id") + col("shift"))
+      .filter(expr("a_id div 8") === expr("b_id div 8"))
+      .join(dd.select(col("doc_id").as("b_id"), col("h").as("b_h")), "b_id")
+    val aWins = conv(substring(md5(concat(col("a_h"), col("b_h"))), 1, 8),
+      16, 10).cast("long") % 2 === 0L
+    val ballots = pairs.select(
+      expr("a_id div 8").as("prompt"),
+      when(aWins, col("a_id")).otherwise(col("b_id")).as("win"),
+      when(aWins, col("b_id")).otherwise(col("a_id")).as("lose"))
+    graft.operators.Preference.dpoPairs(ballots, col("prompt"),
+        col("win"), col("lose"), minMargin = 0.5)
+      .join(dd.toDF("chosen", "chosen_md5"), Seq("chosen"))
+      .join(dd.toDF("rejected", "rejected_md5"), Seq("rejected"))
+      .select(col("prompt"), col("chosen"), col("rejected"),
+        col("chosen_rate"), col("rejected_rate"), col("margin"),
+        col("n_ballots"), col("chosen_md5"), col("rejected_md5"))
+      .orderBy(col("prompt"))
+  }
+
+  val dpoPairsOracle: String =
+    """WITH d AS (SELECT doc_id, md5(text) AS h FROM documents),
+      |s(shift) AS (VALUES (1), (2), (3)),
+      |p AS (
+      |  SELECT a.doc_id AS a_id, a.h AS a_h, b.doc_id AS b_id, b.h AS b_h
+      |  FROM d a JOIN s ON TRUE
+      |  JOIN d b ON b.doc_id = a.doc_id + s.shift
+      |  WHERE a.doc_id // 8 = b.doc_id // 8),
+      |bl AS (
+      |  SELECT a_id // 8 AS prompt,
+      |    CASE WHEN ('0x' || substring(md5(a_h || b_h), 1, 8))::BIGINT
+      |      % 2 = 0 THEN a_id ELSE b_id END AS w,
+      |    CASE WHEN ('0x' || substring(md5(a_h || b_h), 1, 8))::BIGINT
+      |      % 2 = 0 THEN b_id ELSE a_id END AS l
+      |  FROM p),
+      |u AS (SELECT prompt, w AS item, 1 AS bit FROM bl
+      |      UNION ALL SELECT prompt, l, 0 FROM bl),
+      |pi AS (
+      |  SELECT prompt, item,
+      |    CAST(SUM(bit) AS DOUBLE) / COUNT(*) AS rate
+      |  FROM u GROUP BY 1, 2),
+      |ch AS (
+      |  SELECT prompt, item AS chosen, rate AS chosen_rate,
+      |    ROW_NUMBER() OVER (PARTITION BY prompt
+      |      ORDER BY rate DESC, item ASC) AS rn
+      |  FROM pi),
+      |rj AS (
+      |  SELECT prompt, item AS rejected, rate AS rejected_rate,
+      |    ROW_NUMBER() OVER (PARTITION BY prompt
+      |      ORDER BY rate ASC, item DESC) AS rn
+      |  FROM pi),
+      |nb AS (SELECT prompt, CAST(COUNT(*) AS BIGINT) AS n_ballots
+      |       FROM bl GROUP BY 1),
+      |recs AS (
+      |  SELECT ch.prompt, chosen, rejected, chosen_rate, rejected_rate,
+      |    chosen_rate - rejected_rate AS margin, nb.n_ballots
+      |  FROM ch
+      |  JOIN rj ON ch.prompt = rj.prompt AND rj.rn = 1
+      |  JOIN nb ON nb.prompt = ch.prompt
+      |  WHERE ch.rn = 1 AND chosen <> rejected
+      |    AND chosen_rate - rejected_rate >= 0.5)
+      |SELECT CAST(recs.prompt AS BIGINT) AS prompt, chosen, rejected,
+      |  chosen_rate, rejected_rate, margin, n_ballots,
+      |  dc.h AS chosen_md5, dr.h AS rejected_md5
+      |FROM recs
+      |JOIN d dc ON dc.doc_id = recs.chosen
+      |JOIN d dr ON dr.doc_id = recs.rejected
+      |ORDER BY prompt""".stripMargin
+
   /** Bradley–Terry strength fitting
     * ([[graft.operators.Preference.btStrengths]]) over the same ballot
     * fixture as `preference_report` — two MM iterations in fixed-point
@@ -5956,6 +6043,7 @@ object Pipeline {
     Q("label_noise_screen", labelNoiseScreenQ, Some(labelNoiseScreenOracle)),
     Q("score_quantile_normalize", scoreQuantileNormalizeQ,
       Some(scoreQuantileNormalizeOracle)),
+    Q("dpo_pairs", dpoPairsQ, Some(dpoPairsOracle)),
     Q("preference_bt_strength", preferenceBtStrengthQ,
       Some(preferenceBtStrengthOracle)),
     Q("conversion_attribution", conversionAttributionQ,

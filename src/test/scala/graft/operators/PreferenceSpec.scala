@@ -147,6 +147,30 @@ class PreferenceSpec extends SparkSpec {
     assert(allTies === ((1L, 0L, 0L, 0L, 1L, None)))
   }
 
+  test("dpoPairs: arg-extremes with the documented tie-breaks, margin " +
+      "filter, fully-tied groups still yield a distinct pair") {
+    // prompt 1: item 10 wins both its ballots (rate 1), 12 loses both
+    // (rate 0), 11 splits (0.5) -> chosen 10, rejected 12, margin 1
+    // prompt 2: every item at rate 0.5 -> full tie: chosen = LOW id,
+    // rejected = HIGH id, margin 0 (dropped at minMargin > 0)
+    val ballots = Seq(
+      (1L, 10L, 11L), (1L, 10L, 12L), (1L, 11L, 12L),
+      (2L, 20L, 21L), (2L, 21L, 20L)).toDF("p", "w", "l")
+    def run(m: Double) =
+      Preference.dpoPairs(ballots, col("p"), col("w"), col("l"),
+          minMargin = m)
+        .as[(Long, Long, Long, Double, Double, Double, Long)]
+        .collect().sortBy(_._1).toSeq
+    assert(run(0.0) === Seq(
+      (1L, 10L, 12L, 1.0, 0.0, 1.0, 3L),
+      (2L, 20L, 21L, 0.5, 0.5, 0.0, 2L)))
+    assert(run(0.75) === Seq((1L, 10L, 12L, 1.0, 0.0, 1.0, 3L)))
+    // a one-item group can never form a pair (chosen == rejected)
+    val solo = Seq((9L, 5L, 5L)).toDF("p", "w", "l")
+    assert(Preference.dpoPairs(solo, col("p"), col("w"), col("l"))
+      .count() === 0L)
+  }
+
   test("winRates is partitioning-independent") {
     val pairs = (1 to 400)
       .map(i => (s"i${i % 13}", s"i${(i * 7) % 13}"))
