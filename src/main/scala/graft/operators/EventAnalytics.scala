@@ -499,6 +499,80 @@ object EventAnalytics {
       .orderBy(col("n_paths").desc, col("step1"), col("step2"), col("step3"))
   }
 
+  /** Session transcript assembly — the SFT/dialog data-prep shape: events
+    * sessionize per user (gap rule, the [[sessionPaths]] convention) and
+    * each session becomes ONE ordered multi-turn transcript record
+    * ("role: content" lines joined by newline), the unit a
+    * conversation-tuning pipeline tokenizes. Turn order is (ts, role,
+    * content) — fully tie-broken, so the assembled text is deterministic
+    * under any partitioning. NULL content reads as '' (a missing payload
+    * must not null the whole transcript).
+    *
+    * Output: (user_id, session_seq 1-based, session_start, n_turns,
+    * duration_ns, n_chars, transcript) — consumers hash or tokenize
+    * `transcript` downstream.
+    *
+    * `maxTurnsPerSession` is the funnel-family skew guard: a bot session
+    * with millions of events would otherwise assemble one unbounded
+    * string in the aggregation buffer; with a cap each session keeps its
+    * EARLIEST cap turns (same window sort, one extra row_number). 0 =
+    * uncapped.
+    *
+    * Scale shape: the lag/cumsum session assignment and the optional cap
+    * share one per-user window sort (spillable, user-partitioned — no
+    * global sort); then ONE groupBy(user, session) assembles each
+    * transcript via array_sort(collect_list) over that session's turns
+    * only. Events shuffle once, as (user, ts, role, content).
+    */
+  def sessionTranscripts(df: DataFrame, user: Column, tsNanos: Column,
+      role: Column, content: Column,
+      sessionGapNanos: Long = 1800L * 1000000000L,
+      maxTurnsPerSession: Int = 0): DataFrame = {
+    require(sessionGapNanos > 0,
+      s"sessionGapNanos must be positive, got $sessionGapNanos")
+    require(maxTurnsPerSession >= 0,
+      s"maxTurnsPerSession must be >= 0 (0 = uncapped), got $maxTurnsPerSession")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("role"), col("content"))
+    val sessioned = df
+      .select(user.as("user_id"), tsNanos.cast("long").as("ts"),
+        role.as("role"), coalesce(content, lit("")).as("content"))
+      .withColumn("__new",
+        when(lag(col("ts"), 1).over(w).isNull ||
+          col("ts") - lag(col("ts"), 1).over(w) > sessionGapNanos, 1L)
+          .otherwise(0L))
+      .withColumn("session_seq",
+        sum(col("__new")).over(w.rowsBetween(
+          org.apache.spark.sql.expressions.Window.unboundedPreceding,
+          org.apache.spark.sql.expressions.Window.currentRow)))
+    val capped =
+      if (maxTurnsPerSession == 0) sessioned
+      else {
+        val ws = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("user_id"), col("session_seq"))
+          .orderBy(col("ts"), col("role"), col("content"))
+        sessioned.withColumn("__rn", row_number().over(ws))
+          .filter(col("__rn") <= maxTurnsPerSession)
+          .drop("__rn")
+      }
+    capped
+      .groupBy(col("user_id"), col("session_seq"))
+      .agg(
+        count(lit(1)).as("n_turns"),
+        min(col("ts")).as("session_start"),
+        (max(col("ts")) - min(col("ts"))).as("duration_ns"),
+        array_join(transform(
+          array_sort(collect_list(
+            struct(col("ts"), col("role"), col("content")))),
+          t => concat(t.getField("role"), lit(": "),
+            t.getField("content"))), "\n").as("transcript"))
+      .select(col("user_id"), col("session_seq"), col("session_start"),
+        col("n_turns"), col("duration_ns"),
+        length(col("transcript")).cast("long").as("n_chars"),
+        col("transcript"))
+  }
+
   /** Event-type association pairs (market-basket over user behavior):
     * for every unordered pair of event types, how many users did BOTH,
     * each type's own user count, and the lift

@@ -5598,6 +5598,53 @@ object Pipeline {
       e, col("user_id"), col("ts"), col("event_type"), col("event_id"))
   }
 
+  /** Session transcript assembly ([[graft.operators.EventAnalytics
+    * .sessionTranscripts]]): the SFT/dialog data-prep record — each
+    * 30-min-gap session becomes one ordered "role: content" transcript.
+    * The oracle replays the gap sessionization, the (ts, role, content)
+    * turn order, and the assembled string through string_agg; the gate
+    * hashes md5(transcript) so the full assembly is value-checked
+    * without shipping corpus text through the compare.
+    */
+  def dialogAssemblyQ(s: SparkSession, dir: String): DataFrame =
+    graft.operators.EventAnalytics.sessionTranscripts(
+        T.events(s, dir), col("user_id"), col("ts"), col("event_type"),
+        col("props"))
+      .select(col("user_id"), col("session_seq"), col("session_start"),
+        col("n_turns"), col("duration_ns"), col("n_chars"),
+        md5(col("transcript")).as("transcript_md5"))
+      .orderBy(col("user_id"), col("session_seq"))
+
+  val dialogAssemblyOracle: String =
+    """WITH e AS (
+      |  SELECT user_id, epoch_us(ts) * 1000 AS tsn,
+      |    event_type AS role, COALESCE(props, '') AS content
+      |  FROM events),
+      |w AS (
+      |  SELECT user_id, tsn, role, content,
+      |    CASE WHEN lag(tsn) OVER win IS NULL
+      |           OR tsn - lag(tsn) OVER win > 1800000000000
+      |         THEN 1 ELSE 0 END AS ns
+      |  FROM e
+      |  WINDOW win AS (PARTITION BY user_id ORDER BY tsn, role, content)),
+      |s AS (
+      |  SELECT user_id, tsn, role, content,
+      |    SUM(ns) OVER (PARTITION BY user_id ORDER BY tsn, role, content
+      |      ROWS UNBOUNDED PRECEDING) AS sess
+      |  FROM w),
+      |g AS (
+      |  SELECT user_id, CAST(sess AS BIGINT) AS session_seq,
+      |    MIN(tsn) AS session_start,
+      |    CAST(COUNT(*) AS BIGINT) AS n_turns,
+      |    MAX(tsn) - MIN(tsn) AS duration_ns,
+      |    string_agg(role || ': ' || content, chr(10)
+      |      ORDER BY tsn, role, content) AS tr
+      |  FROM s GROUP BY 1, 2)
+      |SELECT user_id, session_seq, session_start, n_turns, duration_ns,
+      |  CAST(length(tr) AS BIGINT) AS n_chars, md5(tr) AS transcript_md5
+      |FROM g
+      |ORDER BY user_id, session_seq""".stripMargin
+
   val sessionPathsOracle: String =
     """WITH e AS (
       |  SELECT user_id, event_id, epoch_us(ts) * 1000 AS tsn,
@@ -6032,6 +6079,7 @@ object Pipeline {
     Q("keyword_extract", keywordExtractQ, Some(keywordExtractOracle)),
     Q("vocab_richness", vocabRichnessQ, Some(vocabRichnessOracle)),
     Q("session_paths", sessionPathsQ, Some(sessionPathsOracle)),
+    Q("dialog_assembly", dialogAssemblyQ, Some(dialogAssemblyOracle)),
     Q("event_pairs", eventPairsQ, Some(eventPairsOracle)),
     Q("preference_report", preferenceReportQ, Some(preferenceReportOracle)),
     Q("preference_length_bias", preferenceLengthBiasQ, Some(preferenceLengthBiasOracle)),

@@ -52,6 +52,46 @@ class EventAnalyticsSpec extends SparkSpec {
     assert(run(20000) === run(0))
   }
 
+  test("sessionTranscripts: gap sessionization, (ts, role, content) turn " +
+      "order, NULL content reads as '', and the turn cap keeps the " +
+      "earliest turns") {
+    val gap = 1800L * 1000000000L
+    val e = Seq(
+      // u1 session 1: three turns incl. an equal-ts pair (role breaks the
+      // tie) and a null payload; session 2 starts past the gap
+      (1L, 100L, "user", "hi"),
+      (1L, 200L, "assistant", null: String),
+      (1L, 200L, "user", "again"),
+      (1L, 200L + gap + 1L, "user", "new session"),
+      // u2: single-turn session
+      (2L, 50L, "system", "boot")
+    ).toDF("user_id", "ts", "et", "content")
+    def run(cap: Int) = EventAnalytics.sessionTranscripts(e,
+        col("user_id"), col("ts"), col("et"), col("content"),
+        maxTurnsPerSession = cap)
+      .select(col("user_id"), col("session_seq"), col("session_start"),
+        col("n_turns"), col("duration_ns"), col("transcript"))
+      .as[(Long, Long, Long, Long, Long, String)]
+      .collect().sortBy(t => (t._1, t._2)).toSeq
+    assert(run(0) === Seq(
+      (1L, 1L, 100L, 3L, 100L,
+        "user: hi\nassistant: \nuser: again"),
+      (1L, 2L, 200L + gap + 1L, 1L, 0L, "user: new session"),
+      (2L, 1L, 50L, 1L, 0L, "system: boot")))
+    // cap=2: u1 session 1 keeps its EARLIEST two turns
+    assert(run(2).head ===
+      (1L, 1L, 100L, 2L, 100L, "user: hi\nassistant: "))
+    // partitioning-independent (the full tie-break does the work)
+    val a = run(0)
+    val b = EventAnalytics.sessionTranscripts(e.repartition(7),
+        col("user_id"), col("ts"), col("et"), col("content"))
+      .select(col("user_id"), col("session_seq"), col("session_start"),
+        col("n_turns"), col("duration_ns"), col("transcript"))
+      .as[(Long, Long, Long, Long, Long, String)]
+      .collect().sortBy(t => (t._1, t._2)).toSeq
+    assert(a === b)
+  }
+
   test("conversionByVariant + abTestZ: per-user dedup, hand-checked " +
       "rates, lift, and pooled z") {
     // variant A: 3 users, 2 convert (u1 twice — must count once);
