@@ -1145,6 +1145,68 @@ object TextIndex {
             (col("n_ref") + col("n_cand")).cast("double")))
   }
 
+  /** Self-BLEU corpus diversity (Zhu et al. 2018, Texygen): each doc's
+    * modified n-gram precision against the REST of the corpus as
+    * references — the standard "is the generator collapsing onto itself"
+    * readout, and equally the training-corpus templated-boilerplate
+    * screen. BLEU's clipped count for gram g in doc d is
+    * min(tf_d(g), max over d'≠d of tf_d'(g)); the leave-one-out max is
+    * exact via the (m1, c1, m2) trick — the gram's global max tf, how
+    * many docs attain it, and the runner-up — so no per-(doc, gram)
+    * second pass over other docs exists anywhere. A doc with no n-grams
+    * reports NULL precision (no evidence — the [[rougeN]] convention).
+    *
+    * Output: (id, n_grams, n_clipped, self_bleu) where self_bleu =
+    * n_clipped / n_grams (one IEEE division).
+    *
+    * Scale shape: grams hash to 60-bit fps natively; ONE (id, gfp) tf
+    * aggregation (the posting-table exchange every n-gram operator here
+    * pays), a vocabulary-sized gram-stats table derived from it in two
+    * gram-keyed aggs, one gfp-keyed join of tf against those stats, and
+    * a per-doc sum. Text never shuffles after widen(); nothing is
+    * doc-pair-quadratic — the naive Self-BLEU is O(docs²) text
+    * comparisons, this is O(corpus grams).
+    */
+  def selfBleu(df: DataFrame, id: Column, text: Column,
+      n: Int = 2): DataFrame = {
+    import org.apache.spark.sql.graft.HashFunctions
+    require(n >= 1, s"n must be >= 1, got $n")
+    val base = widen(df.select(id.as("id"), text.as("__text")))
+    val tf = base
+      .select(col("id"), TextFunctions.tokensWs(col("__text")).as("__t"))
+      .filter(size(col("__t")) >= n)
+      .select(col("id"),
+        explode(HashFunctions.shingleFps60(col("__t"), n)).as("g"))
+      .groupBy(col("id"), col("g"))
+      .agg(count(lit(1)).as("tf"))
+      // consumed twice (gram stats + the clip join): pin, or the corpus
+      // tokenize+hash pass runs again — the cooccurrenceCounts lesson
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val m1 = tf.groupBy(col("g")).agg(max(col("tf")).as("m1"))
+    val stats = tf.join(m1, Seq("g"))
+      .groupBy(col("g"))
+      .agg(first(col("m1")).as("m1"),
+        sum(when(col("tf") === col("m1"), 1L).otherwise(0L)).as("c1"),
+        max(when(col("tf") < col("m1"), col("tf"))).as("m2"))
+    val perDoc = tf.join(stats, Seq("g"))
+      .select(col("id"), col("tf"),
+        least(col("tf"),
+          when(col("tf") === col("m1") && col("c1") === 1L,
+            coalesce(col("m2"), lit(0L))).otherwise(col("m1")))
+          .as("clip"))
+      .groupBy(col("id"))
+      .agg(sum(col("tf")).as("n_grams"), sum(col("clip")).as("n_clipped"))
+    base.select(col("id")).distinct()
+      .join(perDoc, Seq("id"), "left")
+      .select(col("id"),
+        coalesce(col("n_grams"), lit(0L)).as("n_grams"),
+        coalesce(col("n_clipped"), lit(0L)).as("n_clipped"))
+      .withColumn("self_bleu",
+        when(col("n_grams") === 0L, lit(null).cast("double"))
+          .otherwise(col("n_clipped").cast("double") /
+            col("n_grams").cast("double")))
+  }
+
   /** Windowed co-occurrence counts — the GloVe/word2vec count-matrix
     * precursor (Pennington et al. 2014 train from exactly this table):
     * every unordered token pair within `window` positions of each other,

@@ -3374,6 +3374,54 @@ object Pipeline {
       |LEFT JOIN nt ON dp.bucket = nt.bucket
       |ORDER BY dp.bucket""".stripMargin
 
+  /** Self-BLEU diversity ([[graft.operators.TextIndex.selfBleu]]): each
+    * doc's clipped bigram precision against the rest of the corpus. The
+    * oracle replays the positional bigrams, the per-gram (m1, c1, m2)
+    * leave-one-out-max trick, the clip, and the per-doc ratio.
+    */
+  def selfBleuQ(s: SparkSession, dir: String): DataFrame =
+    graft.operators.TextIndex.selfBleu(
+        T(s, dir, "documents"), col("doc_id"), col("text"))
+      .select(col("id").as("doc_id"), col("n_grams"), col("n_clipped"),
+        col("self_bleu"))
+      .orderBy(col("doc_id"))
+
+  val selfBleuOracle: String =
+    """WITH toks AS (
+      |  SELECT doc_id,
+      |    CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[])
+      |         ELSE string_split_regex(trim(text), '\s+') END AS t
+      |  FROM documents),
+      |g AS (
+      |  SELECT doc_id, unnest(list_transform(range(1, len(t)),
+      |    i -> array_to_string(t[i:i+1], ' '))) AS gram
+      |  FROM toks WHERE len(t) >= 2),
+      |tf AS (SELECT doc_id, gram, CAST(COUNT(*) AS BIGINT) AS tf
+      |       FROM g GROUP BY 1, 2),
+      |m1 AS (SELECT gram, MAX(tf) AS m1 FROM tf GROUP BY gram),
+      |st AS (
+      |  SELECT tf.gram, MAX(m1.m1) AS m1,
+      |    SUM(CASE WHEN tf.tf = m1.m1 THEN 1 ELSE 0 END) AS c1,
+      |    MAX(CASE WHEN tf.tf < m1.m1 THEN tf.tf END) AS m2
+      |  FROM tf JOIN m1 ON tf.gram = m1.gram GROUP BY tf.gram),
+      |cl AS (
+      |  SELECT tf.doc_id, tf.tf,
+      |    LEAST(tf.tf, CASE WHEN tf.tf = st.m1 AND st.c1 = 1
+      |      THEN COALESCE(st.m2, 0) ELSE st.m1 END) AS clip
+      |  FROM tf JOIN st ON tf.gram = st.gram),
+      |pd AS (
+      |  SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS n_grams,
+      |    CAST(SUM(clip) AS BIGINT) AS n_clipped
+      |  FROM cl GROUP BY doc_id)
+      |SELECT t.doc_id,
+      |  COALESCE(pd.n_grams, 0) AS n_grams,
+      |  COALESCE(pd.n_clipped, 0) AS n_clipped,
+      |  CASE WHEN COALESCE(pd.n_grams, 0) = 0 THEN NULL
+      |       ELSE CAST(pd.n_clipped AS DOUBLE) / CAST(pd.n_grams AS DOUBLE)
+      |  END AS self_bleu
+      |FROM toks t LEFT JOIN pd ON t.doc_id = pd.doc_id
+      |ORDER BY t.doc_id""".stripMargin
+
   /** Trigram familiarity with 0.4 stupid backoff to the leading bigram —
     * exact-integer counts, fixed-order double score.
     */
@@ -6139,6 +6187,7 @@ object Pipeline {
     Q("augment_dropout", augmentDropoutQ, Some(augmentDropoutOracle)),
     Q("span_corruption", spanCorruptionQ, Some(spanCorruptionOracle)),
     Q("rouge_overlap", rougeOverlapQ, Some(rougeOverlapOracle)),
+    Q("self_bleu", selfBleuQ, Some(selfBleuOracle)),
     Q("cooccurrence_counts", cooccurrenceQ, Some(cooccurrenceOracle)),
     Q("kanon_release", kanonReleaseQ, Some(kanonReleaseOracle)),
     Q("dedup_exact", dedupExact, Some(dedupExactOracle)),

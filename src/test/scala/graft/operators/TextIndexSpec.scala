@@ -283,6 +283,35 @@ class TextIndexSpec extends SparkSpec {
     assert(out3(("a", "a")) === 1L)
   }
 
+  test("selfBleu: leave-one-out clipped precision — the unique max-holder " +
+      "clips to the runner-up, co-max holders clip to the max, no-gram " +
+      "docs report NULL") {
+    val docs = Seq(
+      // bigram "a b": d1 holds tf 2 (unique max), d2 tf 1 → d1's clip for
+      // it is max-other = 1; d2's clip is min(1, 2) = 1
+      (1L, "a b a b"),   // grams: (a b)x2, (b a)x1
+      (2L, "a b c"),     // grams: (a b), (b c)
+      (3L, "x"),         // no bigrams
+      (4L, "b c b c")    // (b c)x2, (c b)x1
+    ).toDF("id", "text")
+    val out = TextIndex.selfBleu(docs, col("id"), col("text"))
+      .as[(Long, Long, Long, Option[Double])].collect().sortBy(_._1).toSeq
+    // d1: (a b) tf2 unique-max → clip min(2, m2=1)=1; (b a) tf1 unique-max
+    //     with NO runner-up → clip min(1, 0)=0 → 1/3
+    // d2: (a b) clip min(1, 2)=1; (b c) clip min(1, 2)=1 → 2/2
+    // d4: (b c) tf2 unique-max → clip 1; (c b) unique, no other → 0 → 1/3
+    assert(out === Seq(
+      (1L, 3L, 1L, Some(1.0 / 3.0)),
+      (2L, 2L, 2L, Some(1.0)),
+      (3L, 0L, 0L, None),
+      (4L, 3L, 1L, Some(1.0 / 3.0))))
+    // co-max: two docs with the same tf for the same gram clip at the max
+    val co = Seq((1L, "q q q"), (2L, "q q q")).toDF("id", "text")
+    val outCo = TextIndex.selfBleu(co, col("id"), col("text"))
+      .as[(Long, Long, Long, Option[Double])].collect().sortBy(_._1).toSeq
+    assert(outCo === Seq((1L, 2L, 2L, Some(1.0)), (2L, 2L, 2L, Some(1.0))))
+  }
+
   test("rougeN: clipped bigram counts, hand recall/precision/F1, NULL " +
       "ratios only where a side has no n-grams") {
     val pairs = Seq(
