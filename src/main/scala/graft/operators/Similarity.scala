@@ -834,4 +834,66 @@ object Similarity {
       .withColumn("recall",
         col("n_hit").cast("double") / col("n_exact").cast("double"))
   }
+
+  /** Margin-based bitext mining (Artetxe & Schwenk 2019 — the
+    * LASER/CCMatrix alignment criterion): for each query vector, the
+    * candidate maximizing the RATIO margin
+    * `cos(x, y) / ((avgK(x) + avgK(y)) / 2)`, where avgK is the mean
+    * cosine of a side's k nearest neighbors on the OTHER side — raw
+    * cosine over-pairs hub vectors that are close to everything; the
+    * margin normalizes by each side's neighborhood density, which is
+    * the whole trick. Queries with best margin below `threshold` mine
+    * nothing (standard cut 1.0–1.1: a true translation pair stands OUT
+    * of both neighborhoods).
+    *
+    * Output: (query_id, match_id, cos, margin) — at most one row per
+    * query; ties break toward the smaller match_id.
+    *
+    * Float discipline: cosines come from the native index-order fold;
+    * each avgK is a rank-order left fold over the top-k list (seeded
+    * 0.0 — bit-equal to an unseeded SQL list_reduce) divided once by
+    * its length; the margin is the fixed two-division chain above — an
+    * ANSI oracle replays every bit.
+    *
+    * Scale shape: `queries` is bounded by contract (an alignment batch)
+    * and broadcasts into one corpus scan; the scored frame is pinned for
+    * its three consumers (forward avg, backward avg, margin). Both avgs
+    * are bounded TopKAggregator aggregations (no window over the scored
+    * frame); the backward join is match-keyed. For 10⁹-candidate
+    * corpora, shortlist with [[lshTopK]]/[[ivfTopKWith]] and feed the
+    * shortlisted pairs through the same margin chain.
+    */
+  def marginMine(queries: DataFrame, corpus: DataFrame, k: Int = 4,
+      threshold: Double = 1.0): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val q = broadcast(queries.select(col("vec_id").as("query_id"),
+      col("embedding").as("qv")))
+    val c = corpus.select(col("vec_id").as("match_id"),
+      col("embedding").as("cv"))
+    val scored = c.join(q, col("query_id") =!= col("match_id"))
+      .select(col("query_id"), col("match_id"),
+        VectorFunctions.cosineSim(col("qv"), col("cv")).as("cos"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val topk = TopKAggregator.topK(k)
+    def knnAvg(key: String, other: String, out: String) =
+      scored.groupBy(col(key))
+        .agg(topk(col(other), col("cos")).as("top"))
+        .select(col(key),
+          (aggregate(col("top"), lit(0.0),
+            (acc, s) => acc + s.getField("score")) /
+            size(col("top")).cast("double")).as(out))
+    val fwd = knnAvg("query_id", "match_id", "fa")
+    val bwd = knnAvg("match_id", "query_id", "ba")
+    scored
+      .join(broadcast(fwd), Seq("query_id"))
+      .join(bwd, Seq("match_id"))
+      .select(col("query_id"), col("match_id"), col("cos"),
+        (col("cos") / ((col("fa") + col("ba")) / lit(2.0))).as("margin"))
+      .groupBy(col("query_id"))
+      .agg(max_by(struct(col("match_id"), col("cos"), col("margin")),
+        struct(col("margin"), -col("match_id"))).as("b"))
+      .select(col("query_id"), col("b.match_id").as("match_id"),
+        col("b.cos").as("cos"), col("b.margin").as("margin"))
+      .filter(col("margin") >= lit(threshold))
+  }
 }

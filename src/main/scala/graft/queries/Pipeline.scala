@@ -1253,6 +1253,51 @@ object Pipeline {
        |FROM ranked WHERE rank <= 5
        |ORDER BY query_id, rank""".stripMargin
 
+  /** Margin-based bitext mining ([[graft.operators.Similarity
+    * .marginMine]]): even-id probes aligned against the odd-id slice by
+    * the LASER ratio margin `cos / ((avgK(x) + avgK(y)) / 2)`, k = 4,
+    * threshold 1.3 (keeps 10-16 of 20 probes at the driver SFs — both
+    * mined and unmined queries reach the gate). The oracle replays the
+    * cosines, both rank-order k-NN average folds (list_reduce over the
+    * (cos desc, id) slice ≡ the engine's seeded left fold), the margin
+    * chain, and the argmax with its low-id tie-break.
+    */
+  def bitextMineQ(s: SparkSession, dir: String): DataFrame = {
+    val emb = T(s, dir, "embeddings")
+    graft.operators.Similarity.marginMine(
+        emb.filter(col("vec_id") % 2 === 0 &&
+          col("vec_id") < lit(graft.Stress.IdStride) &&
+          col("vec_id") < 40),
+        emb.filter(col("vec_id") % 2 === 1),
+        k = 4, threshold = 1.3)
+      .orderBy(col("query_id"))
+  }
+
+  val bitextMineOracle: String =
+    s"""WITH scored AS (
+       |  SELECT q.vec_id AS query_id, c.vec_id AS match_id,
+       |    ${cosSql("q.embedding", "c.embedding")} AS cos
+       |  FROM embeddings q JOIN embeddings c
+       |    ON q.vec_id % 2 = 0 AND q.vec_id < 40 AND c.vec_id % 2 = 1),
+       |f AS (SELECT query_id, list(cos ORDER BY cos DESC, match_id)[1:4]
+       |        AS l FROM scored GROUP BY 1),
+       |fa AS (SELECT query_id,
+       |         list_reduce(l, (x, y) -> x + y) / len(l) AS fa FROM f),
+       |b AS (SELECT match_id, list(cos ORDER BY cos DESC, query_id)[1:4]
+       |        AS l FROM scored GROUP BY 1),
+       |ba AS (SELECT match_id,
+       |         list_reduce(l, (x, y) -> x + y) / len(l) AS ba FROM b),
+       |m AS (
+       |  SELECT s.query_id, s.match_id, s.cos,
+       |    s.cos / ((fa.fa + ba.ba) / 2.0) AS margin,
+       |    ROW_NUMBER() OVER (PARTITION BY s.query_id
+       |      ORDER BY s.cos / ((fa.fa + ba.ba) / 2.0) DESC, s.match_id)
+       |      AS rn
+       |  FROM scored s JOIN fa USING (query_id) JOIN ba USING (match_id))
+       |SELECT query_id, match_id, cos, margin
+       |FROM m WHERE rn = 1 AND margin >= 1.3
+       |ORDER BY query_id""".stripMargin
+
   /** Metadata-filtered search: top-5 among ENGLISH documents only — the
     * corpus is pre-filtered by a predicate on the documents table
     * (semi-join on id), then scored. See
@@ -6248,6 +6293,7 @@ object Pipeline {
     Q("embedding_covariance", embeddingCovarianceQ, Some(embeddingCovarianceOracle)),
     Q("dedup_semantic", dedupSemantic, Some(dedupSemanticOracle)),
     Q("sim_bruteforce_topk", simBruteForce, Some(simBruteForceOracle)),
+    Q("bitext_mine", bitextMineQ, Some(bitextMineOracle)),
     Q("ann_recall", annRecallQ, Some(annRecallOracle)),
     Q("sim_hashed_tfidf", simHashedTfidf, Some(simHashedTfidfOracle)),
     Q("sim_hashed_lsh", simHashedLsh, Some(simHashedLshOracle)),

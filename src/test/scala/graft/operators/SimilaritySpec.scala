@@ -537,6 +537,57 @@ class SimilaritySpec extends SparkSpec {
     assert(got === Seq((4L, 9, 0, 3L)))
   }
 
+  test("marginMine: ratio margin de-hubs raw cosine, one best match per " +
+      "query, threshold drops weak alignments, reference-fold equality") {
+    // q1 has an exact twin (c1); q2's best (c3) is also exact but q2's
+    // denser forward neighborhood shrinks its margin below q1's
+    val qs = Seq((0L, Array(1f, 0f)), (2L, Array(0f, 1f)))
+      .toDF("vec_id", "embedding")
+    val cs = Seq((11L, Array(1f, 0f)), (13L, Array(0.75f, 0.25f)),
+      (15L, Array(0f, 1f))).toDF("vec_id", "embedding")
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) {
+        d += a(i).toDouble * b(i).toDouble
+        na += a(i).toDouble * a(i).toDouble
+        nb += b(i).toDouble * b(i).toDouble
+        i += 1
+      }
+      d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    // reference margins with k = 2 (rank-ordered folds, same chain)
+    val qv = Map(0L -> Array(1f, 0f), 2L -> Array(0f, 1f))
+    val cv = Map(11L -> Array(1f, 0f), 13L -> Array(0.75f, 0.25f),
+      15L -> Array(0f, 1f))
+    def avgTop(xs: Seq[Double], k: Int) = {
+      val top = xs.sorted.reverse.take(k)
+      top.foldLeft(0.0)(_ + _) / top.size
+    }
+    val fa = qv.map { case (q, v) =>
+      q -> avgTop(cv.values.map(cos(v, _)).toSeq, 2) }
+    val ba = cv.map { case (c, v) =>
+      c -> avgTop(qv.values.map(cos(v, _)).toSeq, 2) }
+    def margin(q: Long, c: Long) =
+      cos(qv(q), cv(c)) / ((fa(q) + ba(c)) / 2.0)
+    val expBest = Map(
+      0L -> cv.keys.maxBy(c => (margin(0L, c), -c)),
+      2L -> cv.keys.maxBy(c => (margin(2L, c), -c)))
+    val out = Similarity.marginMine(qs, cs, k = 2, threshold = 0.0)
+      .as[(Long, Long, Double, Double)].collect()
+      .map(t => t._1 -> ((t._2, t._4))).toMap
+    assert(out.keySet === Set(0L, 2L))
+    assert(out(0L)._1 === expBest(0L) && out(2L)._1 === expBest(2L))
+    assert(math.abs(out(0L)._2 - margin(0L, expBest(0L))) < 1e-12)
+    assert(math.abs(out(2L)._2 - margin(2L, expBest(2L))) < 1e-12)
+    // a threshold between the two best margins keeps exactly the stronger
+    val (lo, hi) = (out.values.map(_._2).min, out.values.map(_._2).max)
+    assert(lo < hi, "fixture must separate the two margins")
+    val cut = (lo + hi) / 2.0
+    val kept = Similarity.marginMine(qs, cs, k = 2, threshold = cut)
+      .as[(Long, Long, Double, Double)].collect()
+    assert(kept.length === 1 && kept.head._4 === hi)
+  }
+
   test("labelNoiseScreen: a clean labeling yields an empty screen") {
     def near(x: Float, y: Float, eps: Float) = Array(x + eps, y, 0f, 0f)
     val rows = Seq(
