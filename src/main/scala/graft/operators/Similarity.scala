@@ -886,7 +886,10 @@ object Similarity {
     val bwd = knnAvg("match_id", "query_id", "ba")
     scored
       .join(broadcast(fwd), Seq("query_id"))
-      .join(bwd, Seq("match_id"))
+      // shuffle-hash, not sort-merge: the probe side is |probes|×|corpus|
+      // rows and SMJ would sort it; the |corpus|-sized build side hashes
+      // per partition (too big to broadcast at scale, fine to hash)
+      .join(bwd.hint("shuffle_hash"), Seq("match_id"))
       .select(col("query_id"), col("match_id"), col("cos"),
         (col("cos") / ((col("fa") + col("ba")) / lit(2.0))).as("margin"))
       .groupBy(col("query_id"))

@@ -709,6 +709,45 @@ class PlanSpec extends SparkSpec {
     assert("(\\d+) Window".r.findAllIn(p).size <= 4, p) // 2 nodes × 2 prints
   }
 
+  test("dpo_pairs: ballot counts partial-aggregate, arg-extremes are " +
+      "per-prompt aggs (no window), text joins broadcast — no cartesian") {
+    val p = plan(Pipeline.dpoPairsQ(spark, dir))
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains(") Window"), p)
+    assert("HashAggregate".r.findAllIn(p).size >= 2, p)
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
+  test("dialog_assembly: the gap lag and session cumsum are two Window " +
+      "nodes over ONE shared per-user sort (no second exchange); the " +
+      "transcript agg is session-bounded — no join at all") {
+    val p = plan(Pipeline.dialogAssemblyQ(spark, dir))
+    assert(!p.contains("Join"), p)
+    assert("\\d+\\) Window".r.findAllIn(p).size <= 2, p)
+    // one hashpartitioning exchange feeds both windows; the only other
+    // exchange is the final global orderBy's range partitioning
+    assert("hashpartitioning".r.findAllIn(p).size <= 2, p) // tree+details
+  }
+
+  test("self_bleu: the tf table exchanges once (InMemoryRelation serves " +
+      "its two consumers), gram stats joins are fp-keyed — no window, " +
+      "no cartesian") {
+    val p = plan(Pipeline.selfBleuQ(spark, dir))
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains(") Window"), p)
+    assert(p.contains("InMemoryTableScan") || p.contains("InMemoryRelation"), p)
+  }
+
+  test("bitext_mine: probes broadcast into one corpus scan, both k-NN " +
+      "averages are bounded ObjectHashAggregates, scored frame pinned — " +
+      "no window over the scored frame") {
+    val p = plan(Pipeline.bitextMineQ(spark, dir))
+    assert(!p.contains(") Window"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+    assert(p.contains("InMemoryTableScan") || p.contains("InMemoryRelation"), p)
+    assert("ObjectHashAggregate".r.findAllIn(p).size >= 2, p)
+  }
+
   test("vocab_growth_kll: NO global sort anywhere (not even over ids) — " +
       "cuts come from one O(k) sketch exchange and broadcast into a " +
       "map-only bucket assign") {
