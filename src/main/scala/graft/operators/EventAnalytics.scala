@@ -49,11 +49,19 @@ object EventAnalytics {
     * pass is added). Expects the (user_id, ts, et) projection.
     */
   private def sliceEarliest(typed: DataFrame, cap: Int): DataFrame =
-    if (cap == 0) typed
+    keepEarliest(typed, Seq(col("user_id")), Seq(col("ts"), col("et")), cap)
+
+  /** The generic form of the skew guard: keep each partition group's
+    * EARLIEST `cap` rows under `orderCols` (which must fully tie-break
+    * for determinism). cap = 0 passes through with no window added.
+    */
+  private def keepEarliest(df: DataFrame, partitionCols: Seq[Column],
+      orderCols: Seq[Column], cap: Int): DataFrame =
+    if (cap == 0) df
     else {
       val w = org.apache.spark.sql.expressions.Window
-        .partitionBy(col("user_id")).orderBy(col("ts"), col("et"))
-      typed.withColumn("__rn", row_number().over(w))
+        .partitionBy(partitionCols: _*).orderBy(orderCols: _*)
+      df.withColumn("__rn", row_number().over(w))
         .filter(col("__rn") <= cap)
         .drop("__rn")
     }
@@ -546,17 +554,9 @@ object EventAnalytics {
         sum(col("__new")).over(w.rowsBetween(
           org.apache.spark.sql.expressions.Window.unboundedPreceding,
           org.apache.spark.sql.expressions.Window.currentRow)))
-    val capped =
-      if (maxTurnsPerSession == 0) sessioned
-      else {
-        val ws = org.apache.spark.sql.expressions.Window
-          .partitionBy(col("user_id"), col("session_seq"))
-          .orderBy(col("ts"), col("role"), col("content"))
-        sessioned.withColumn("__rn", row_number().over(ws))
-          .filter(col("__rn") <= maxTurnsPerSession)
-          .drop("__rn")
-      }
-    capped
+    keepEarliest(sessioned,
+        Seq(col("user_id"), col("session_seq")),
+        Seq(col("ts"), col("role"), col("content")), maxTurnsPerSession)
       .groupBy(col("user_id"), col("session_seq"))
       .agg(
         count(lit(1)).as("n_turns"),

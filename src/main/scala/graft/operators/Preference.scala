@@ -205,15 +205,17 @@ object Preference {
       .select(col("prompt"), col("item"),
         (col("wins").cast("double") / col("n").cast("double")).as("rate"),
         col("n"))
+    // tie-break keys negate the DOUBLE rate, never the item — items may
+    // be strings (the winRates/btStrengths contract) and -item would
+    // ANSI-throw on them: chosen minimizes (-rate, item) = max rate then
+    // LOW item; rejected maximizes (-rate, item) = min rate then HIGH item
     perItem.groupBy(col("prompt"))
       .agg(
-        max_by(col("item"), struct(col("rate"), -col("item"))).as("chosen"),
-        max(struct(col("rate"), -col("item"))).getField("rate")
-          .as("chosen_rate"),
-        min_by(col("item"), struct(col("rate"), -col("item")))
+        min_by(col("item"), struct(-col("rate"), col("item"))).as("chosen"),
+        max(col("rate")).as("chosen_rate"),
+        max_by(col("item"), struct(-col("rate"), col("item")))
           .as("rejected"),
-        min(struct(col("rate"), -col("item"))).getField("rate")
-          .as("rejected_rate"),
+        min(col("rate")).as("rejected_rate"),
         // each ballot contributed two (item, bit) rows — halve the sum
         (sum(col("n")) / 2).cast("long").as("n_ballots"))
       .withColumn("margin", col("chosen_rate") - col("rejected_rate"))

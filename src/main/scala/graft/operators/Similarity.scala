@@ -862,15 +862,23 @@ object Similarity {
     * frame); the backward join is match-keyed. For 10⁹-candidate
     * corpora, shortlist with [[lshTopK]]/[[ivfTopKWith]] and feed the
     * shortlisted pairs through the same margin chain.
+    *
+    * Bitext joins two INDEPENDENT id spaces (English sentence 7 and its
+    * French translation can both carry vec_id 7), so equal ids score by
+    * default; set `excludeSelfIds = true` only when both frames slice
+    * ONE id space and (x, x) is a degenerate self-pair.
     */
   def marginMine(queries: DataFrame, corpus: DataFrame, k: Int = 4,
-      threshold: Double = 1.0): DataFrame = {
+      threshold: Double = 1.0,
+      excludeSelfIds: Boolean = false): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
     val q = broadcast(queries.select(col("vec_id").as("query_id"),
       col("embedding").as("qv")))
     val c = corpus.select(col("vec_id").as("match_id"),
       col("embedding").as("cv"))
-    val scored = c.join(q, col("query_id") =!= col("match_id"))
+    val scored = c.join(q,
+        if (excludeSelfIds) col("query_id") =!= col("match_id")
+        else lit(true))
       .select(col("query_id"), col("match_id"),
         VectorFunctions.cosineSim(col("qv"), col("cv")).as("cos"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)

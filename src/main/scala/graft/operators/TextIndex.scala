@@ -1261,10 +1261,14 @@ object TextIndex {
       .agg(count(lit(1)).as("n"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // candidate bound: everything at or above the k-th largest count —
-    // ≥ k rows, + boundary ties only, so label work is O(k). The fp-pair
-    // (n desc) order can disagree with the term-pair order INSIDE a tie
-    // class, so the final top-k must rank labeled rows; a bare limit(k)
-    // on fp order would pick different boundary-tie survivors.
+    // ≥ k rows plus the k-th value's FULL tie class. The fp-pair (n desc)
+    // order can disagree with the term-pair order INSIDE a tie class, so
+    // the final top-k must rank labeled rows; a bare limit(k) on fp order
+    // would pick different boundary-tie survivors. In the usual Zipfian
+    // regime the tie class is small; in a flat-tail corpus (near-unique
+    // vocabulary — random ids, OCR noise) the k-th count is 1 and the
+    // class is the WHOLE count table, which is why the label joins below
+    // must never force a broadcast of the candidate side.
     val kth = counts.select(col("n"))
       .orderBy(col("n").desc).limit(k)
       .agg(min(col("n")).as("__t"))
@@ -1277,13 +1281,17 @@ object TextIndex {
       .distinct()
       .select(col("term"), element_at(
         HashFunctions.shingleFps60(array(col("term")), 1), 1).as("fp"))
-    // the O(k) candidate side broadcasts against the vocabulary-sized
-    // dictionary at BOTH label joins (hinted per join — a single leading
-    // hint does not survive the first join's output)
-    val labeledA = broadcast(cands)
-      .join(dict.toDF("la", "fp_a"), Seq("fp_a"))
-    broadcast(labeledA)
-      .join(dict.toDF("lb", "fp_b"), Seq("fp_b"))
+    // label joins are shuffle-hash on the dictionary side, NOT a forced
+    // broadcast of the candidates: the candidate side is O(k) only while
+    // the boundary-tie class is small, and a flat-tail corpus makes it
+    // unbounded (see above) — a broadcast hint there would OOM the
+    // driver where the pre-fp plan completed. AQE still runtime-converts
+    // to broadcast whenever the candidate side is actually tiny, so the
+    // Zipfian fast path costs nothing.
+    val labeledA = cands
+      .join(dict.toDF("la", "fp_a").hint("shuffle_hash"), Seq("fp_a"))
+    labeledA
+      .join(dict.toDF("lb", "fp_b").hint("shuffle_hash"), Seq("fp_b"))
       // re-canonicalize on LABELS: fp numeric order is not term
       // lexicographic order, but the unordered pair is the same
       .select(least(col("la"), col("lb")).as("term_a"),

@@ -169,6 +169,21 @@ class PreferenceSpec extends SparkSpec {
     val solo = Seq((9L, 5L, 5L)).toDF("p", "w", "l")
     assert(Preference.dpoPairs(solo, col("p"), col("w"), col("l"))
       .count() === 0L)
+    // STRING items (the winRates/btStrengths contract): tie-breaks must
+    // stay deterministic — negating the item column would ANSI-throw here
+    val strBallots = Seq(
+      ("p1", "resp-a", "resp-b"), ("p1", "resp-b", "resp-a"),
+      ("p1", "resp-a", "resp-c"),
+      // p2 fully tied: lexicographically LOW chosen, HIGH rejected
+      ("p2", "x", "y"), ("p2", "y", "x")).toDF("p", "w", "l")
+    val strOut = Preference.dpoPairs(strBallots, col("p"), col("w"),
+        col("l"))
+      .as[(String, String, String, Double, Double, Double, Long)]
+      .collect().sortBy(_._1).toSeq
+    // p1 rates: a 2/3, b 1/2, c 0/1 -> chosen a, rejected c
+    assert(strOut === Seq(
+      ("p1", "resp-a", "resp-c", 2.0 / 3.0, 0.0, 2.0 / 3.0, 3L),
+      ("p2", "x", "y", 0.5, 0.5, 0.0, 2L)))
   }
 
   test("winRates is partitioning-independent") {

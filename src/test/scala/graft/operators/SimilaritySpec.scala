@@ -586,6 +586,21 @@ class SimilaritySpec extends SparkSpec {
     val kept = Similarity.marginMine(qs, cs, k = 2, threshold = cut)
       .as[(Long, Long, Double, Double)].collect()
     assert(kept.length === 1 && kept.head._4 === hi)
+    // bitext joins two INDEPENDENT id spaces: a candidate sharing the
+    // query's numeric id must still be minable (default), and the
+    // same-space mode must exclude it
+    val csOverlap = Seq((0L, Array(1f, 0f)), (15L, Array(0f, 1f)))
+      .toDF("vec_id", "embedding")
+    val mined = Similarity.marginMine(qs, csOverlap, k = 2,
+        threshold = 0.0)
+      .as[(Long, Long, Double, Double)].collect()
+      .map(t => t._1 -> t._2).toMap
+    assert(mined(0L) === 0L, "the id-coincident twin must be minable")
+    val minedEx = Similarity.marginMine(qs, csOverlap, k = 2,
+        threshold = 0.0, excludeSelfIds = true)
+      .as[(Long, Long, Double, Double)].collect()
+      .map(t => t._1 -> t._2).toMap
+    assert(minedEx.get(0L) !== Some(0L))
   }
 
   test("labelNoiseScreen: a clean labeling yields an empty screen") {

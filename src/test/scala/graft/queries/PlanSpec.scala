@@ -762,13 +762,14 @@ class PlanSpec extends SparkSpec {
   }
 
   test("cooccurrence_counts: ONE fp-pair projection (no per-offset corpus " +
-      "re-reads), 2-phase count agg, O(k) candidates broadcast into the " +
-      "label joins, bounded top-k — no sort-merge join, no cartesian") {
+      "re-reads), 2-phase count agg, shuffle-hash label joins (statically " +
+      "— AQE broadcasts the candidate side when it is actually small; a " +
+      "FORCED broadcast would OOM on a flat-tail tie class), bounded " +
+      "top-k — no sort-merge join, no cartesian") {
     val p = plan(Pipeline.cooccurrenceQ(spark, dir))
     assert(!p.contains("SortMergeJoin"), p)
     assert(!p.contains("CartesianProduct"), p)
-    // labels ride in via broadcast equi-joins of the k survivors
-    assert(p.contains("BroadcastHashJoin"), p)
+    assert(p.contains("ShuffledHashJoin"), p)
     assert(p.contains("TakeOrderedAndProject"), p)
     assert("HashAggregate".r.findAllIn(p).size >= 2, p)
     // the corpus text scans exactly twice (pair stream + dictionary) —
