@@ -1274,11 +1274,17 @@ object TextIndex {
       .agg(min(col("n")).as("__t"))
     val cands = counts.join(broadcast(kth),
       counts("n") >= kth("__t")).drop("__t")
-    // vocabulary-sized dictionary; fp computed AFTER the distinct so the
-    // hash runs on vocabulary rows, not corpus tokens
+    // label dictionary, pruned EXACTLY by the count bound: a pair's count
+    // is at most 2·window·unigramCount(term) (each term occurrence forms
+    // ≤ window pairs on each side), so a term in any surviving pair must
+    // have unigramCount·2·window ≥ t — in the Zipfian case that keeps a
+    // sliver of the vocabulary (AQE then broadcasts the label joins); in
+    // the flat tail (t = 1) nothing prunes and the shuffle-hash path
+    // carries it. fp computed AFTER the count agg, on vocabulary rows.
     val dict = widen(df.select(text.as("__text")))
       .select(explode(TextFunctions.tokensWs(col("__text"))).as("term"))
-      .distinct()
+      .groupBy(col("term")).agg(count(lit(1)).as("__tc"))
+      .join(broadcast(kth), col("__tc") * (2L * window) >= col("__t"))
       .select(col("term"), element_at(
         HashFunctions.shingleFps60(array(col("term")), 1), 1).as("fp"))
     // label joins are shuffle-hash on the dictionary side, NOT a forced
