@@ -195,16 +195,31 @@ object Preference {
     * per prompt are response-candidate-sized (single digits in practice).
     */
   def dpoPairs(ballots: DataFrame, prompt: Column, winner: Column,
-      loser: Column, minMargin: Double = 0.0): DataFrame = {
-    val perItem = ballots
+      loser: Column, minMargin: Double = 0.0): DataFrame =
+    dpoFromCounts(dpoCounts(ballots, prompt, winner, loser), minMargin)
+
+  /** The count half of [[dpoPairs]]: ballots → (prompt, item, wins, n).
+    * The sufficient statistic is ADDITIVE (plain sums), so incremental
+    * consumers ([[graft.streaming.Streams.DpoIngest]]) fold batches with
+    * a (prompt, item)-keyed sum and derive pairs per read — the
+    * [[ballotCounts]]/[[ratesFromCounts]] split, prompt-aware.
+    */
+  def dpoCounts(ballots: DataFrame, prompt: Column, winner: Column,
+      loser: Column): DataFrame =
+    ballots
       .select(prompt.as("prompt"), winner.as("item"), lit(1L).as("w"))
       .unionByName(ballots
         .select(prompt.as("prompt"), loser.as("item"), lit(0L).as("w")))
       .groupBy(col("prompt"), col("item"))
       .agg(sum(col("w")).as("wins"), count(lit(1)).as("n"))
-      .select(col("prompt"), col("item"),
-        (col("wins").cast("double") / col("n").cast("double")).as("rate"),
-        col("n"))
+
+  /** The derivation half of [[dpoPairs]] over a (prompt, item, wins, n)
+    * count table — rates, per-prompt arg-extremes, margin filter.
+    */
+  def dpoFromCounts(counts: DataFrame, minMargin: Double = 0.0): DataFrame = {
+    val perItem = counts.select(col("prompt"), col("item"),
+      (col("wins").cast("double") / col("n").cast("double")).as("rate"),
+      col("n"))
     // tie-break keys negate the DOUBLE rate, never the item — items may
     // be strings (the winRates/btStrengths contract) and -item would
     // ANSI-throw on them: chosen minimizes (-rate, item) = max rate then

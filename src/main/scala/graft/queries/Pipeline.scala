@@ -5099,7 +5099,11 @@ object Pipeline {
     * tie-break (low id for chosen, high id for rejected), and the margin
     * filter.
     */
-  def dpoPairsQ(s: SparkSession, dir: String): DataFrame = {
+  /** The shared (doc-id-hash dimension, ballots) fixture of `dpo_pairs`
+    * and `dpo_from_counts` — both oracles replay THIS derivation.
+    */
+  private def dpoFixture(s: SparkSession, dir: String)
+      : (DataFrame, DataFrame) = {
     val dd = T(s, dir, "documents")
       .select(col("doc_id"), md5(col("text")).as("h"))
     val shifts = s.range(1, 4).select(col("id").as("shift"))
@@ -5114,14 +5118,47 @@ object Pipeline {
       expr("a_id div 8").as("prompt"),
       when(aWins, col("a_id")).otherwise(col("b_id")).as("win"),
       when(aWins, col("b_id")).otherwise(col("a_id")).as("lose"))
-    graft.operators.Preference.dpoPairs(ballots, col("prompt"),
-        col("win"), col("lose"), minMargin = 0.5)
+    (dd, ballots)
+  }
+
+  /** Texts ride back into the pair records by id join; output narrowed
+    * to the md5s so the gate value-checks the full record assembly.
+    */
+  private def dpoRecordize(dd: DataFrame, recs: DataFrame): DataFrame =
+    recs
       .join(dd.toDF("chosen", "chosen_md5"), Seq("chosen"))
       .join(dd.toDF("rejected", "rejected_md5"), Seq("rejected"))
       .select(col("prompt"), col("chosen"), col("rejected"),
         col("chosen_rate"), col("rejected_rate"), col("margin"),
         col("n_ballots"), col("chosen_md5"), col("rejected_md5"))
       .orderBy(col("prompt"))
+
+  def dpoPairsQ(s: SparkSession, dir: String): DataFrame = {
+    val (dd, ballots) = dpoFixture(s, dir)
+    dpoRecordize(dd, graft.operators.Preference.dpoPairs(ballots,
+      col("prompt"), col("win"), col("lose"), minMargin = 0.5))
+  }
+
+  /** The composed production shape: DPO pairs SERVED FROM THE MAINTAINED
+    * COUNT STATE. The same ballot fixture streams through the REAL
+    * [[graft.streaming.Streams.DpoIngest]] in two micro-batches (split
+    * by winner parity — any split works, the count fold is additive);
+    * `pairs()` then derives the records from the folded state. The
+    * oracle is [[dpoPairsOracle]] VERBATIM — a clean one-shot build —
+    * so the composition hash-matches only if the additive fold, the
+    * scaffold's pin/replay lifecycle, and the served derivation are all
+    * exact (the bm25_from_index pattern).
+    */
+  def dpoFromCountsQ(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val (dd, ballots) = dpoFixture(s, dir)
+    val state0 = Seq.empty[(Long, Long, Long, Long)]
+      .toDF("prompt", "item", "wins", "n")
+    val ing = new graft.streaming.Streams.DpoIngest(state0,
+      col("prompt"), col("win"), col("lose"))
+    ing.handler(ballots.filter(col("win") % 2 === 0), 0L)
+    ing.handler(ballots.filter(col("win") % 2 === 1), 1L)
+    dpoRecordize(dd, ing.pairs(minMargin = 0.5))
   }
 
   val dpoPairsOracle: String =
@@ -6185,6 +6222,7 @@ object Pipeline {
     Q("score_quantile_normalize", scoreQuantileNormalizeQ,
       Some(scoreQuantileNormalizeOracle)),
     Q("dpo_pairs", dpoPairsQ, Some(dpoPairsOracle)),
+    Q("dpo_from_counts", dpoFromCountsQ, Some(dpoPairsOracle)),
     Q("preference_bt_strength", preferenceBtStrengthQ,
       Some(preferenceBtStrengthOracle)),
     Q("conversion_attribution", conversionAttributionQ,

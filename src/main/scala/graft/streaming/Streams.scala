@@ -734,6 +734,33 @@ object Streams {
       graft.operators.Preference.ratesFromCounts(current, z)
   }
 
+  /** Streaming DPO-pair maintenance: fold each micro-batch of
+    * prompt-grouped comparison ballots into the (prompt, item, wins, n)
+    * count state — the sufficient statistic of
+    * [[graft.operators.Preference.dpoPairs]] — so the training-pair
+    * table stays live while annotation ballots stream in. `pairs()`
+    * derives the (prompt, chosen, rejected) records from the current
+    * counts; after any prefix of batches it equals the batch operator
+    * over the same ballots. Additive fold ⇒ the scaffold's batchId
+    * replay guard is LOAD-BEARING (a re-fold double-counts), same as
+    * [[LmIngest]].
+    */
+  final class DpoIngest(state0: DataFrame, prompt: Column, winner: Column,
+      loser: Column) extends FoldIngest(state0) {
+    override protected def mkDelta(state: DataFrame,
+        batch: DataFrame): DataFrame =
+      graft.operators.Preference.dpoCounts(batch, prompt, winner, loser)
+    override protected def fold(state: DataFrame, batch: DataFrame,
+        delta: DataFrame): DataFrame =
+      state.unionByName(delta)
+        .groupBy(col("prompt"), col("item"))
+        .agg(sum(col("wins")).as("wins"), sum(col("n")).as("n"))
+
+    /** Training pairs derived from the current counts. */
+    def pairs(minMargin: Double = 0.0): DataFrame =
+      graft.operators.Preference.dpoFromCounts(current, minMargin)
+  }
+
   /** Run a streaming DataFrame into an in-memory sink until exhausted;
     * returns the result table name. Complete mode: deterministic final state
     * for finite inputs regardless of micro-batch boundaries.

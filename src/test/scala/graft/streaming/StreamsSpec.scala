@@ -735,4 +735,30 @@ class StreamsSpec extends SparkSpec {
       .forall(_.getStorageLevel !=
         org.apache.spark.storage.StorageLevel.NONE))
   }
+
+  test("DpoIngest: prompt-keyed count fold across batches equals the " +
+      "batch operator; served pairs match dpoPairs over the same ballots") {
+    import graft.operators.Preference
+    val state0 = Seq.empty[(Long, Long, Long, Long)]
+      .toDF("prompt", "item", "wins", "n")
+    val ing = new Streams.DpoIngest(state0, col("p"), col("w"), col("l"))
+    val b0 = Seq((1L, 10L, 11L), (2L, 20L, 21L)).toDF("p", "w", "l")
+    val b1 = Seq((1L, 10L, 12L), (1L, 11L, 12L), (2L, 21L, 20L))
+      .toDF("p", "w", "l")
+    ing.handler(b0, 0L)
+    ing.handler(b1, 1L)
+    val all = Seq((1L, 10L, 11L), (2L, 20L, 21L), (1L, 10L, 12L),
+      (1L, 11L, 12L), (2L, 21L, 20L)).toDF("p", "w", "l")
+    val wantCounts = Preference.dpoCounts(all, col("p"), col("w"), col("l"))
+      .orderBy("prompt", "item")
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(ing.current.orderBy("prompt", "item")
+      .as[(Long, Long, Long, Long)].collect().toSeq === wantCounts)
+    val wantPairs = Preference.dpoPairs(all, col("p"), col("w"), col("l"))
+      .orderBy("prompt")
+      .as[(Long, Long, Long, Double, Double, Double, Long)].collect().toSeq
+    assert(ing.pairs().orderBy("prompt")
+      .as[(Long, Long, Long, Double, Double, Double, Long)]
+      .collect().toSeq === wantPairs)
+  }
 }
