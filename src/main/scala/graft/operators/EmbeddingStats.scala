@@ -131,6 +131,61 @@ object EmbeddingStats {
     * window. Overflow bound as documented on the aggregator: bits ≤
     * (62 − log2 n)/2 for unit-scale embeddings.
     */
+  /** Int8-quantization error audit — the acceptance gate before switching
+    * a serving corpus to [[graft.operators.Similarity.quantizedTopK]]'s
+    * 4×-smaller codes: per label (or any grouping), the distribution of
+    * per-vector reconstruction error between the L2-normalized vector and
+    * its ±127 code ([[org.apache.spark.sql.graft.QuantizeInt8]] — same
+    * norm fold, same half-away-from-zero rounding). A p90 MSE that moves
+    * the cosine ordering (≳ 1e-4 at d = 64) says this corpus needs PQ or
+    * float16 instead.
+    *
+    * Per vector everything is ONE fixed-order expression chain — the norm
+    * fold, the per-dim error zip, the seeded mse/max folds — so an ANSI
+    * oracle replays it bit-for-bit; the only cross-row aggregates are
+    * discrete percentiles and max (order-free). Zero vectors carry no
+    * direction to reconstruct and are reported in `n_zero`, excluded from
+    * the error stats.
+    *
+    * Output: (label, n_vecs, n_zero, mse_p50, mse_p90, mse_max,
+    * abserr_max).
+    *
+    * Scale shape: map-only per-vector work, then one |labels|-sized
+    * partial-aggregated groupBy. `percentile_disc` sorts per label — the
+    * usual exactness trade; at 10⁹ vectors per label swap in the KLL
+    * sketch path.
+    */
+  def quantErrorReport(df: DataFrame, label: Column, vec: Column)
+      : DataFrame = {
+    import org.apache.spark.sql.graft.VectorFunctions
+    val nrm = sqrt(aggregate(col("__v"), lit(0.0),
+      (acc, x) => acc + x.cast("double") * x.cast("double")))
+    val errs = zip_with(col("__v"), col("__c"),
+      (x, c) => x.cast("double") / col("__n") - c.cast("double") / lit(127.0))
+    val base = df.select(label.as("label"), vec.as("__v"))
+      .withColumn("__c", VectorFunctions.quantizeInt8(col("__v")))
+      .withColumn("__n", nrm)
+      .withColumn("__mse",
+        when(col("__n") === 0.0, lit(null).cast("double"))
+          .otherwise(aggregate(errs, lit(0.0), (acc, e) => acc + e * e) /
+            size(col("__v")).cast("double")))
+      .withColumn("__maxe",
+        when(col("__n") === 0.0, lit(null).cast("double"))
+          .otherwise(aggregate(errs, lit(0.0),
+            (acc, e) => greatest(acc, abs(e)))))
+    // percentile_disc and max skip NULLs, so the zero-vector rows drop
+    // out of the error stats while still counting in n_vecs/n_zero
+    base.groupBy(col("label"))
+      .agg(count(lit(1)).as("n_vecs"),
+        sum(when(col("__n") === 0.0, 1L).otherwise(0L)).as("n_zero"),
+        expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY __mse)")
+          .as("mse_p50"),
+        expr("percentile_disc(0.9) WITHIN GROUP (ORDER BY __mse)")
+          .as("mse_p90"),
+        max(col("__mse")).as("mse_max"),
+        max(col("__maxe")).as("abserr_max"))
+  }
+
   def embeddingCovariance(df: DataFrame, vec: Column,
       bits: Int = 20): DataFrame = {
     val mom = df.select(vec.as("__v"))

@@ -1253,6 +1253,54 @@ object Pipeline {
        |FROM ranked WHERE rank <= 5
        |ORDER BY query_id, rank""".stripMargin
 
+  /** Int8-quantization error audit ([[graft.operators.EmbeddingStats
+    * .quantErrorReport]]): per-label reconstruction-error distribution
+    * between each L2-normalized vector and its ±127 code — the
+    * acceptance gate before serving from quantized codes. The oracle
+    * replays the norm fold, the half-away-from-zero code rounding (the
+    * embedding_covariance convention), the per-dim error zip, the seeded
+    * mse/max folds, and the discrete percentiles.
+    */
+  def quantErrorQ(s: SparkSession, dir: String): DataFrame =
+    graft.operators.EmbeddingStats.quantErrorReport(
+        T(s, dir, "embeddings"), col("label"), col("embedding"))
+      .orderBy(col("label"))
+
+  val quantErrorOracle: String =
+    """WITH v AS (
+      |  SELECT label, embedding,
+      |    sqrt(list_reduce(list_transform(range(1, len(embedding) + 1),
+      |      i -> embedding[i]::DOUBLE * embedding[i]::DOUBLE),
+      |      (x, y) -> x + y)) AS nrm
+      |  FROM embeddings),
+      |q AS (
+      |  SELECT label, nrm, len(embedding) AS d,
+      |    CASE WHEN nrm = 0 THEN NULL ELSE
+      |      list_transform(range(1, len(embedding) + 1), i ->
+      |        embedding[i]::DOUBLE / nrm -
+      |        (CASE WHEN 127.0 * (embedding[i]::DOUBLE / nrm) >= 0
+      |          THEN floor(127.0 * (embedding[i]::DOUBLE / nrm) + 0.5)
+      |          ELSE ceil(127.0 * (embedding[i]::DOUBLE / nrm) - 0.5)
+      |         END) / 127.0)
+      |    END AS errs
+      |  FROM v),
+      |e AS (
+      |  SELECT label, nrm,
+      |    CASE WHEN nrm = 0 THEN NULL
+      |      ELSE list_reduce(list_transform(errs, e -> e * e),
+      |        (x, y) -> x + y) / d END AS mse,
+      |    CASE WHEN nrm = 0 THEN NULL
+      |      ELSE list_reduce(list_transform(errs, e -> abs(e)),
+      |        (x, y) -> CASE WHEN x > y THEN x ELSE y END) END AS maxe
+      |  FROM q)
+      |SELECT label, CAST(COUNT(*) AS BIGINT) AS n_vecs,
+      |  CAST(SUM(CASE WHEN nrm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_zero,
+      |  quantile_disc(mse, 0.5) AS mse_p50,
+      |  quantile_disc(mse, 0.9) AS mse_p90,
+      |  MAX(mse) AS mse_max, MAX(maxe) AS abserr_max
+      |FROM e GROUP BY label
+      |ORDER BY label""".stripMargin
+
   /** Margin-based bitext mining ([[graft.operators.Similarity
     * .marginMine]]): even-id probes aligned against the odd-id slice by
     * the LASER ratio margin `cos / ((avgK(x) + avgK(y)) / 2)`, k = 4,
@@ -6332,6 +6380,7 @@ object Pipeline {
     Q("dedup_semantic", dedupSemantic, Some(dedupSemanticOracle)),
     Q("sim_bruteforce_topk", simBruteForce, Some(simBruteForceOracle)),
     Q("bitext_mine", bitextMineQ, Some(bitextMineOracle)),
+    Q("quant_error_report", quantErrorQ, Some(quantErrorOracle)),
     Q("ann_recall", annRecallQ, Some(annRecallOracle)),
     Q("sim_hashed_tfidf", simHashedTfidf, Some(simHashedTfidfOracle)),
     Q("sim_hashed_lsh", simHashedLsh, Some(simHashedLshOracle)),

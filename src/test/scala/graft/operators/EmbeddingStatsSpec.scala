@@ -90,6 +90,36 @@ class EmbeddingStatsSpec extends SparkSpec {
       out2.view.mapValues(_._2).toMap)
   }
 
+  test("quantErrorReport: reference-fold equality on a hand vector, zero " +
+      "vectors counted but excluded from error stats") {
+    val df = Seq(
+      (0, Array(3f, 4f)),      // nrm 5 -> u = (0.6, 0.8)
+      (0, Array(0f, 0f)),      // zero vector
+      (1, Array(1f, 0f))       // exact code (127, 0) -> zero error
+    ).toDF("label", "embedding")
+    val out = EmbeddingStats.quantErrorReport(df, col("label"),
+        col("embedding"))
+      .as[(Int, Long, Long, Option[Double], Option[Double], Option[Double],
+        Option[Double])].collect().sortBy(_._1).toSeq
+    // reference chain for (3,4): codes round(127*0.6)=76, round(127*0.8)=102
+    val (u1, u2) = (3.0f.toDouble / 5.0, 4.0f.toDouble / 5.0)
+    val e1 = u1 - 76.0 / 127.0
+    val e2 = u2 - 102.0 / 127.0
+    val mse = ((0.0 + e1 * e1) + e2 * e2) / 2.0
+    val maxe = math.max(math.abs(e1), math.abs(e2))
+    assert(out(0) === ((0, 2L, 1L, Some(mse), Some(mse), Some(mse),
+      Some(maxe))))
+    assert(out(1) === ((1, 1L, 0L, Some(0.0), Some(0.0), Some(0.0),
+      Some(0.0))))
+    // an all-zero label reports NULL error stats, not fabricated zeros
+    val zonly = Seq((7, Array(0f, 0f))).toDF("label", "embedding")
+    val z = EmbeddingStats.quantErrorReport(zonly, col("label"),
+        col("embedding"))
+      .as[(Int, Long, Long, Option[Double], Option[Double], Option[Double],
+        Option[Double])].collect().head
+    assert(z === ((7, 1L, 1L, None, None, None, None)))
+  }
+
   test("embeddingCovariance: empty and all-null-vector inputs yield zero " +
       "rows, not a null-dimension row") {
     val empty = Seq.empty[(Long, Seq[Float])].toDF("vec_id", "embedding")
