@@ -365,6 +365,36 @@ object Diagnostics {
         col("n_dup").cast("double") / col("n_docs").cast("double"))
   }
 
+  /** Split-leakage audit — the check that a train/val/test split did not
+    * leak duplicates across the boundary: exact-duplicate text (the
+    * 60-bit md5-prefix fingerprint, [[dupRateByGroup]]'s convention) that
+    * appears in TWO splits means the eval set scores memorization, not
+    * generalization. One row per unordered split pair —
+    * (split_a < split_b, n_shared_fps, n_cross_pairs) where
+    * `n_cross_pairs` counts every (doc-in-a, doc-in-b) duplicate pair —
+    * all zeros is the only acceptable report for a cluster-keyed split
+    * ([[graft.operators.Sampling.splitLeakFree]] guarantees it by
+    * construction; a plain per-doc hash split does NOT, which is exactly
+    * what this audit surfaces).
+    *
+    * Scale shape: one (fp, split) 2-phase count, then an fp-keyed
+    * self-join whose per-fp group is ≤ |splits| rows — output is
+    * |splits|²-bounded. Text never shuffles (only 8-byte fps).
+    */
+  def splitLeakReport(df: DataFrame, split: Column, text: Column)
+      : DataFrame = {
+    val f = df.select(split.as("split"),
+      graft.functions.TextFunctions.fingerprint64(text).as("fp"))
+    val counts = f.groupBy(col("fp"), col("split"))
+      .agg(count(lit(1)).as("n"))
+    counts.toDF("fp", "split_a", "n_a")
+      .join(counts.toDF("fp", "split_b", "n_b"), Seq("fp"))
+      .filter(col("split_a") < col("split_b"))
+      .groupBy(col("split_a"), col("split_b"))
+      .agg(count(lit(1)).as("n_shared_fps"),
+        sum(col("n_a") * col("n_b")).as("n_cross_pairs"))
+  }
+
   /** Character-class drift per source — the ingestion-monitoring screen
     * that catches a feed going bad (markup bleed-through, encoding
     * corruption, a scraper suddenly returning JS) WITHOUT a trained

@@ -1815,6 +1815,49 @@ object Pipeline {
        |FROM documents
        |ORDER BY doc_id""".stripMargin
 
+  /** Split-leakage audit ([[graft.operators.Diagnostics.splitLeakReport]])
+    * over the hash split: exact-duplicate fingerprints crossing split
+    * boundaries — the per-doc hash split leaks by construction wherever
+    * the corpus carries duplicate texts, which is exactly what the gate
+    * sees here (the cluster-keyed `split_leakfree` would report zeros).
+    * The oracle replays the split cuts (shared [[hashCutCaseSql]]), the
+    * 60-bit fingerprint, and the per-fp cross counts.
+    */
+  def splitLeakQ(s: SparkSession, dir: String): DataFrame = {
+    // the synthetic corpus has no exact duplicates, so the fixture plants
+    // them: every 7th doc re-enters under a fresh id — the hash split
+    // assigns the copy independently, and some copies land across the
+    // boundary, which is the leak this audit exists to surface
+    val docs = T(s, dir, "documents").select(col("doc_id"), col("text"))
+    val corpus = docs.unionByName(
+      docs.filter(col("doc_id") % 7 === 0)
+        .select((col("doc_id") + 100000000L).as("doc_id"), col("text")))
+    val d = graft.operators.Sampling.splitByHash(
+      corpus, col("doc_id"), SplitWeights)
+    graft.operators.Diagnostics.splitLeakReport(d, col("split"),
+        col("text"))
+      .orderBy(col("split_a"), col("split_b"))
+  }
+
+  val splitLeakOracle: String =
+    s"""WITH docs AS (
+       |  SELECT doc_id, text FROM documents
+       |  UNION ALL
+       |  SELECT doc_id + 100000000, text FROM documents
+       |  WHERE doc_id % 7 = 0),
+       |d AS (
+       |  SELECT ${hashCutCaseSql("doc_id")} AS split,
+       |    ('0x' || substring(md5(text), 1, 15))::BIGINT AS fp
+       |  FROM docs),
+       |c AS (SELECT fp, split, CAST(COUNT(*) AS BIGINT) AS n
+       |      FROM d GROUP BY 1, 2)
+       |SELECT a.split AS split_a, b.split AS split_b,
+       |  CAST(COUNT(*) AS BIGINT) AS n_shared_fps,
+       |  CAST(SUM(a.n * b.n) AS BIGINT) AS n_cross_pairs
+       |FROM c a JOIN c b ON a.fp = b.fp AND a.split < b.split
+       |GROUP BY 1, 2
+       |ORDER BY split_a, split_b""".stripMargin
+
   // ------------------------------------------------------- shuffle & mixture
 
   /** Deterministic training-epoch shuffle: every doc dealt to one of 16
@@ -6348,6 +6391,7 @@ object Pipeline {
     Q("sample_per_class", samplePerClass, Some(samplePerClassOracle)),
     Q("sample_per_cluster", samplePerCluster, Some(samplePerClusterOracle)),
     Q("split_by_hash", splitByHashQ, Some(splitByHashOracle)),
+    Q("split_leak_report", splitLeakQ, Some(splitLeakOracle)),
     Q("sample_fixed_n", sampleFixedNQ, Some(sampleFixedNOracle)),
     Q("epoch_shuffle", epochShuffleQ, Some(epochShuffleOracle)),
     Q("mixture_sample", mixtureSampleQ, Some(mixtureSampleOracle)),

@@ -444,4 +444,27 @@ class DiagnosticsSpec extends SparkSpec {
       .as[(String, Long, Long, Boolean, Boolean, Boolean)].collect().toSeq
     assert(got === Seq(("b", 2L, 2L, true, true, true)))
   }
+
+  test("splitLeakReport: cross-split duplicate pairs counted with " +
+      "multiplicity, within-split duplicates ignored, clean split is empty") {
+    // fp X: 2 in train, 1 in val -> (train, val) shares 1 fp, 2 pairs;
+    // fp Y: 2 in train only -> within-split, no row;
+    // fp Z: 1 in each of the three splits -> 3 pair rows with 1 each
+    val df = Seq(
+      ("train", "X"), ("train", "X"), ("val", "X"),
+      ("train", "Y"), ("train", "Y"),
+      ("train", "Z"), ("val", "Z"), ("test", "Z")
+    ).toDF("split", "text")
+    val out = graft.operators.Diagnostics.splitLeakReport(df,
+        col("split"), col("text"))
+      .as[(String, String, Long, Long)].collect()
+      .sortBy(t => (t._1, t._2)).toSeq
+    assert(out === Seq(
+      ("test", "train", 1L, 1L), // 'test' < 'train' lexicographically
+      ("test", "val", 1L, 1L),
+      ("train", "val", 2L, 3L))) // X: 2x1 pairs, Z: 1x1
+    val clean = Seq(("train", "A"), ("val", "B")).toDF("split", "text")
+    assert(graft.operators.Diagnostics.splitLeakReport(clean,
+      col("split"), col("text")).count() === 0L)
+  }
 }
