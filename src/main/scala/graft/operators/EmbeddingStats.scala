@@ -131,6 +131,42 @@ object EmbeddingStats {
     * window. Overflow bound as documented on the aggregator: bits ≤
     * (62 − log2 n)/2 for unit-scale embeddings.
     */
+  def embeddingCovariance(df: DataFrame, vec: Column,
+      bits: Int = 20): DataFrame = {
+    val mom = df.select(vec.as("__v"))
+      .agg(graft.functions.VectorAgg.covMoments(bits)(col("__v")).as("m"))
+      .select(col("m.moments").as("mm"))
+      // empty / all-null-vector input finishes to an EMPTY moments buffer
+      // (unlike CmsAggregator, which zero-fills): without this filter the
+      // dC recovery below goes sqrt(-3) → null and emits one confusing
+      // null-dimension row. Zero rows is the honest answer.
+      .filter(size(col("mm")) > 0)
+    // 1 + d + d² = len ⇒ 4·len − 3 = (2d+1)², exact in double for any
+    // realistic d — recover d from the buffer instead of trusting a param
+    val dC = ((sqrt(size(col("mm")).cast("double") * 4.0 - 3.0) - 1.0) / 2.0)
+      .cast("int")
+    val denom = math.pow(2, 2 * bits)
+    mom
+      .select(element_at(col("mm"), 1).as("n"), dC.as("d"),
+        slice(col("mm"), lit(2), dC).as("s"),
+        slice(col("mm"), dC + 2, dC * dC).as("p"))
+      .select(col("n"), col("d"), col("s"),
+        posexplode(col("p")).as(Seq("k", "pij")))
+      // integer div/mod for the (i, j) unflatten — Column./ is double
+      // division (the funnel_report day-math lesson)
+      .select(expr("CAST(k div d AS INT)").as("dim_i"),
+        expr("CAST(k % d AS INT)").as("dim_j"),
+        col("n"), col("s"), col("pij"))
+      .select(col("dim_i"), col("dim_j"), col("n"),
+        ((col("pij").cast("double") / col("n").cast("double") -
+          (element_at(col("s"), col("dim_i") + 1).cast("double") *
+            element_at(col("s"), col("dim_j") + 1).cast("double")) /
+            (col("n").cast("double") * col("n").cast("double"))) /
+          lit(denom)).as("cov"))
+  }
+
+
+
   /** Int8-quantization error audit — the acceptance gate before switching
     * a serving corpus to [[graft.operators.Similarity.quantizedTopK]]'s
     * 4×-smaller codes: per label (or any grouping), the distribution of
@@ -184,39 +220,5 @@ object EmbeddingStats {
           .as("mse_p90"),
         max(col("__mse")).as("mse_max"),
         max(col("__maxe")).as("abserr_max"))
-  }
-
-  def embeddingCovariance(df: DataFrame, vec: Column,
-      bits: Int = 20): DataFrame = {
-    val mom = df.select(vec.as("__v"))
-      .agg(graft.functions.VectorAgg.covMoments(bits)(col("__v")).as("m"))
-      .select(col("m.moments").as("mm"))
-      // empty / all-null-vector input finishes to an EMPTY moments buffer
-      // (unlike CmsAggregator, which zero-fills): without this filter the
-      // dC recovery below goes sqrt(-3) → null and emits one confusing
-      // null-dimension row. Zero rows is the honest answer.
-      .filter(size(col("mm")) > 0)
-    // 1 + d + d² = len ⇒ 4·len − 3 = (2d+1)², exact in double for any
-    // realistic d — recover d from the buffer instead of trusting a param
-    val dC = ((sqrt(size(col("mm")).cast("double") * 4.0 - 3.0) - 1.0) / 2.0)
-      .cast("int")
-    val denom = math.pow(2, 2 * bits)
-    mom
-      .select(element_at(col("mm"), 1).as("n"), dC.as("d"),
-        slice(col("mm"), lit(2), dC).as("s"),
-        slice(col("mm"), dC + 2, dC * dC).as("p"))
-      .select(col("n"), col("d"), col("s"),
-        posexplode(col("p")).as(Seq("k", "pij")))
-      // integer div/mod for the (i, j) unflatten — Column./ is double
-      // division (the funnel_report day-math lesson)
-      .select(expr("CAST(k div d AS INT)").as("dim_i"),
-        expr("CAST(k % d AS INT)").as("dim_j"),
-        col("n"), col("s"), col("pij"))
-      .select(col("dim_i"), col("dim_j"), col("n"),
-        ((col("pij").cast("double") / col("n").cast("double") -
-          (element_at(col("s"), col("dim_i") + 1).cast("double") *
-            element_at(col("s"), col("dim_j") + 1).cast("double")) /
-            (col("n").cast("double") * col("n").cast("double"))) /
-          lit(denom)).as("cov"))
   }
 }

@@ -865,8 +865,10 @@ object Similarity {
     *
     * Bitext joins two INDEPENDENT id spaces (English sentence 7 and its
     * French translation can both carry vec_id 7), so equal ids score by
-    * default; set `excludeSelfIds = true` only when both frames slice
-    * ONE id space and (x, x) is a degenerate self-pair.
+    * default. When both frames slice ONE id space and overlap, the
+    * default silently mines every overlapping vector as its own best
+    * match (cos = 1 dominates any margin) — set `excludeSelfIds = true`
+    * for that same-space shape.
     */
   def marginMine(queries: DataFrame, corpus: DataFrame, k: Int = 4,
       threshold: Double = 1.0,
