@@ -186,6 +186,31 @@ class PreferenceSpec extends SparkSpec {
       ("p2", "x", "y", 0.5, 0.5, 0.0, 2L)))
   }
 
+  test("dpoPairs laws on random ballots: chosen_rate >= rejected_rate, " +
+      "n_ballots exact, minMargin keeps a subset, partitioning-independent") {
+    val rnd = new scala.util.Random(42)
+    val ballots = (1 to 400).map { _ =>
+      val p = rnd.nextInt(20).toLong
+      val a = p * 10 + rnd.nextInt(6)
+      val b = p * 10 + rnd.nextInt(6)
+      (p, a, b)
+    }.filter(t => t._2 != t._3)
+    val df = ballots.toDF("p", "w", "l")
+    def run(d: org.apache.spark.sql.DataFrame, m: Double) =
+      Preference.dpoPairs(d, col("p"), col("w"), col("l"), minMargin = m)
+        .as[(Long, Long, Long, Double, Double, Double, Long)]
+        .collect().sortBy(_._1).toSeq
+    val out = run(df, 0.0)
+    assert(out.forall(t => t._4 >= t._5 && t._6 === t._4 - t._5))
+    val ballotsPerPrompt = ballots.groupBy(_._1).view.mapValues(_.size)
+    assert(out.forall(t => t._7 === ballotsPerPrompt(t._1).toLong))
+    val cut = run(df, 0.4)
+    assert(cut.toSet.subsetOf(out.toSet) &&
+      cut.forall(_._6 >= 0.4) &&
+      out.filter(_._6 >= 0.4).toSet === cut.toSet)
+    assert(run(df.repartition(7), 0.0) === out)
+  }
+
   test("winRates is partitioning-independent") {
     val pairs = (1 to 400)
       .map(i => (s"i${i % 13}", s"i${(i * 7) % 13}"))

@@ -312,6 +312,28 @@ class TextIndexSpec extends SparkSpec {
     assert(outCo === Seq((1L, 2L, 2L, Some(1.0)), (2L, 2L, 2L, Some(1.0))))
   }
 
+  test("selfBleu laws on a random corpus: precision in [0, 1], duplicating " +
+      "the corpus drives every doc to 1.0, partitioning-independent") {
+    val rnd = new scala.util.Random(7)
+    val vocab = Vector("a", "b", "c", "d", "e", "f")
+    val docs = (1L to 40L).map(i =>
+      (i, Seq.fill(2 + rnd.nextInt(10))(vocab(rnd.nextInt(vocab.size)))
+        .mkString(" ")))
+    val df = docs.toDF("id", "text")
+    def run(d: org.apache.spark.sql.DataFrame) =
+      TextIndex.selfBleu(d, col("id"), col("text"))
+        .as[(Long, Long, Long, Option[Double])].collect().sortBy(_._1).toSeq
+    val out = run(df)
+    assert(out.forall(t => t._4.forall(p => p >= 0.0 && p <= 1.0)))
+    assert(out.forall(t => t._3 <= t._2))
+    assert(run(df.repartition(5)) === out)
+    // give every doc an identical twin: each gram's max-other tf >= own tf
+    // -> every clip saturates -> precision exactly 1.0 for gram-ful docs
+    val twins = docs.map { case (i, t) => (i + 1000L, t) }
+    val dup = run((docs ++ twins).toDF("id", "text"))
+    assert(dup.forall(t => t._2 === 0L || t._4 === Some(1.0)))
+  }
+
   test("rougeN: clipped bigram counts, hand recall/precision/F1, NULL " +
       "ratios only where a side has no n-grams") {
     val pairs = Seq(
