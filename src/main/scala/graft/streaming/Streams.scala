@@ -633,6 +633,38 @@ object Streams {
       .groupBy(session_window(col("__et"), gap).as("w"), key)
       .agg(count(lit(1)).as("n"))
 
+  /** Session transcripts under Structured Streaming: the streaming run of
+    * [[graft.operators.EventAnalytics.sessionTranscripts]] — each closed
+    * session window emits ONE assembled "role: content" transcript (the
+    * SFT/dialog record), ordered by the same (event time, role, content)
+    * full tie-break, NULL content reading as ''. Append mode + the
+    * watermark close sessions; state per open session is that session's
+    * turns (bound it upstream with a turn cap where bot sessions are a
+    * risk).
+    *
+    * Boundary note: the native session_window treats a gap of EXACTLY
+    * `gap` as a new session (events extend a window while strictly
+    * inside it), where the batch operator's `ts − prev > gap` rule keeps
+    * it — the two agree everywhere except that exact boundary (the usual
+    * open/closed-interval difference; StreamsSpec pins equality off the
+    * boundary).
+    */
+  def sessionTranscripts(df: DataFrame, eventTime: Column, user: Column,
+      role: Column, content: Column, gap: String,
+      watermark: String): DataFrame =
+    df.withColumn("__et", eventTime)
+      .withWatermark("__et", watermark)
+      .groupBy(session_window(col("__et"), gap).as("w"),
+        user.as("user_id"))
+      .agg(count(lit(1)).as("n_turns"),
+        array_join(transform(
+          array_sort(collect_list(struct(col("__et").as("t"),
+            role.as("r"), coalesce(content, lit("")).as("c")))),
+          e => concat(e.getField("r"), lit(": "), e.getField("c"))), "\n")
+          .as("transcript"))
+      .select(col("user_id"), col("w.start").as("session_start"),
+        col("w.end").as("session_end"), col("n_turns"), col("transcript"))
+
   /** Cross-batch exact dedup on a key column: keyed boolean state remembers
     * seen keys, first arrival wins, later duplicates (same or later
     * micro-batch) are dropped. State grows with distinct keys — bound it

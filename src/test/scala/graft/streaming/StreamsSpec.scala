@@ -676,6 +676,60 @@ class StreamsSpec extends SparkSpec {
       (2L, "2024-01-01 00:00:00", "2024-01-01 00:30:00", 1L)))
   }
 
+  test("sessionTranscripts (streaming): closed sessions emit assembled " +
+      "transcripts identical to the batch run and to the batch operator") {
+    implicit val sqlCtx = spark.sqlContext
+    val rows = Seq(
+      (ts("2024-01-01 00:00:00"), 1L, "user", "hi"),
+      (ts("2024-01-01 00:10:00"), 1L, "assistant", null: String),
+      (ts("2024-01-01 00:10:00"), 1L, "user", "again"), // equal-ts tie
+      (ts("2024-01-01 02:00:00"), 1L, "user", "new session"),
+      (ts("2024-01-01 00:05:00"), 2L, "system", "boot"))
+    val mem = MemoryStream[(Timestamp, Long, String, String)]
+    val sdf = mem.toDF().toDF("et", "user_id", "role", "content")
+    val q = Streams.sessionTranscripts(sdf, col("et"), col("user_id"),
+        col("role"), col("content"), "30 minutes", "0 seconds")
+      .writeStream.format("memory").queryName("st_test")
+      .outputMode("append").start()
+    mem.addData(rows.take(3): _*)
+    q.processAllAvailable()
+    mem.addData(rows.drop(3): _*)
+    q.processAllAvailable()
+    // push the watermark far forward so every session closes and emits
+    mem.addData((ts("2024-01-02 00:00:00"), 9L, "x", "y"))
+    q.processAllAvailable()
+    q.stop()
+    def norm(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("user_id"), col("session_start").cast("string"),
+        col("n_turns"), col("transcript"))
+      .as[(Long, String, Long, String)].collect()
+      .sortBy(t => (t._1, t._2)).toSeq
+    val streamed = norm(spark.table("st_test")
+      .filter(col("user_id") =!= 9L))
+    assert(streamed === Seq(
+      (1L, "2024-01-01 00:00:00", 3L,
+        "user: hi\nassistant: \nuser: again"),
+      (1L, "2024-01-01 02:00:00", 1L, "user: new session"),
+      (2L, "2024-01-01 00:05:00", 1L, "system: boot")))
+    // batch run of the SAME function over the same frame
+    val batch = norm(Streams.sessionTranscripts(
+      rows.toDF("et", "user_id", "role", "content"), col("et"),
+      col("user_id"), col("role"), col("content"), "30 minutes",
+      "0 seconds"))
+    assert(batch === streamed)
+    // and the batch OPERATOR (nanosecond ts) assembles the same records
+    // (off the exact gap boundary, where the two interval conventions
+    // agree)
+    val nanos = rows.map(r => (r._2, r._1.getTime * 1000000L, r._3, r._4))
+      .toDF("user_id", "tsn", "role", "content")
+    val op = graft.operators.EventAnalytics.sessionTranscripts(nanos,
+        col("user_id"), col("tsn"), col("role"), col("content"))
+      .select(col("user_id"), col("n_turns"), col("transcript"))
+      .as[(Long, Long, String)].collect().sortBy(t => (t._1, t._3)).toSeq
+    assert(op.map(t => (t._1, t._2, t._3)).sortBy(t => (t._1, t._3)) ===
+      streamed.map(t => (t._1, t._3, t._4)).sortBy(t => (t._1, t._3)))
+  }
+
   test("watermark drops data later than the threshold in append mode") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(Timestamp, String)]
