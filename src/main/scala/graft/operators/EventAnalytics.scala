@@ -573,6 +573,54 @@ object EventAnalytics {
         col("transcript"))
   }
 
+  /** Next-event training examples — the session-based sequence-model
+    * dataset (next-item recommendation, behavioral LM pretraining): for
+    * every event with at least one same-session predecessor, emit
+    * (context = up to `historyLen` preceding event types in order,
+    * label = this event's type). Sessionization is the [[sessionPaths]]
+    * gap rule; `tieBreak` (a unique column — event id) makes equal-ts
+    * ordering deterministic.
+    *
+    * Output: (user_id, ts, tie, next_et, ctx, ctx_len) — one row per
+    * qualifying event, `ctx` the '>'-joined history oldest-first.
+    *
+    * Scale shape: the session assignment and the history lags share one
+    * per-user sort lineage (the (user, session) window orders by the
+    * same keys, so no second exchange is required beyond the key
+    * refinement); everything else is map-only projection. Output is
+    * corpus-sized by design — it IS the training set.
+    */
+  def nextEventExamples(df: DataFrame, user: Column, tsNanos: Column,
+      eventType: Column, tieBreak: Column, historyLen: Int = 3,
+      sessionGapNanos: Long = 1800L * 1000000000L): DataFrame = {
+    require(historyLen >= 1, s"historyLen must be >= 1, got $historyLen")
+    require(sessionGapNanos > 0,
+      s"sessionGapNanos must be positive, got $sessionGapNanos")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("tb"))
+    val sessioned = df
+      .select(user.as("user_id"), tsNanos.cast("long").as("ts"),
+        eventType.as("et"), tieBreak.as("tb"))
+      .withColumn("__new",
+        when(lag(col("ts"), 1).over(w).isNull ||
+          col("ts") - lag(col("ts"), 1).over(w) > sessionGapNanos, 1L)
+          .otherwise(0L))
+      .withColumn("__sess", sum(col("__new")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val ws = Window.partitionBy(col("user_id"), col("__sess"))
+      .orderBy(col("ts"), col("tb"))
+    val lags = (historyLen to 1 by -1).map(k => lag(col("et"), k).over(ws))
+    sessioned
+      .withColumn("__ctx",
+        filter(array(lags: _*), x => x.isNotNull))
+      .filter(size(col("__ctx")) >= 1)
+      .select(col("user_id"), col("ts"), col("tb").as("tie"),
+        col("et").as("next_et"),
+        array_join(col("__ctx"), ">").as("ctx"),
+        size(col("__ctx")).cast("int").as("ctx_len"))
+  }
+
   /** Event-type association pairs (market-basket over user behavior):
     * for every unordered pair of event types, how many users did BOTH,
     * each type's own user count, and the lift

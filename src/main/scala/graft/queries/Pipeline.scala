@@ -5836,6 +5836,51 @@ object Pipeline {
         md5(col("transcript")).as("transcript_md5"))
       .orderBy(col("user_id"), col("session_seq"))
 
+  /** Next-event training examples ([[graft.operators.EventAnalytics
+    * .nextEventExamples]]): (session context → next event type) rows —
+    * the sequence-model dataset. The oracle replays the gap
+    * sessionization, the history lags with the event_id tiebreak, and
+    * the oldest-first context join.
+    */
+  def nextEventQ(s: SparkSession, dir: String): DataFrame =
+    graft.operators.EventAnalytics.nextEventExamples(
+        T.events(s, dir), col("user_id"), col("ts"), col("event_type"),
+        col("event_id"))
+      .orderBy(col("user_id"), col("ts"), col("tie"))
+
+  val nextEventOracle: String =
+    """WITH e AS (
+      |  SELECT user_id, epoch_us(ts) * 1000 AS tsn, event_type AS et,
+      |    event_id
+      |  FROM events),
+      |w AS (
+      |  SELECT user_id, tsn, et, event_id,
+      |    CASE WHEN lag(tsn) OVER win IS NULL
+      |           OR tsn - lag(tsn) OVER win > 1800000000000
+      |         THEN 1 ELSE 0 END AS ns
+      |  FROM e
+      |  WINDOW win AS (PARTITION BY user_id ORDER BY tsn, event_id)),
+      |s AS (
+      |  SELECT user_id, tsn, et, event_id,
+      |    SUM(ns) OVER (PARTITION BY user_id ORDER BY tsn, event_id
+      |      ROWS UNBOUNDED PRECEDING) AS sess
+      |  FROM w),
+      |l AS (
+      |  SELECT user_id, tsn, et, event_id,
+      |    lag(et, 3) OVER ws AS l3, lag(et, 2) OVER ws AS l2,
+      |    lag(et, 1) OVER ws AS l1
+      |  FROM s
+      |  WINDOW ws AS (PARTITION BY user_id, sess ORDER BY tsn, event_id)),
+      |x AS (
+      |  SELECT user_id, tsn, event_id, et,
+      |    list_filter([l3, l2, l1], v -> v IS NOT NULL) AS ctx
+      |  FROM l)
+      |SELECT user_id, tsn AS ts, event_id AS tie, et AS next_et,
+      |  array_to_string(ctx, '>') AS ctx,
+      |  CAST(len(ctx) AS INTEGER) AS ctx_len
+      |FROM x WHERE len(ctx) >= 1
+      |ORDER BY user_id, ts, tie""".stripMargin
+
   val dialogAssemblyOracle: String =
     """WITH e AS (
       |  SELECT user_id, epoch_us(ts) * 1000 AS tsn,
@@ -6301,6 +6346,7 @@ object Pipeline {
     Q("vocab_richness", vocabRichnessQ, Some(vocabRichnessOracle)),
     Q("session_paths", sessionPathsQ, Some(sessionPathsOracle)),
     Q("dialog_assembly", dialogAssemblyQ, Some(dialogAssemblyOracle)),
+    Q("next_event_pairs", nextEventQ, Some(nextEventOracle)),
     Q("event_pairs", eventPairsQ, Some(eventPairsOracle)),
     Q("preference_report", preferenceReportQ, Some(preferenceReportOracle)),
     Q("preference_length_bias", preferenceLengthBiasQ, Some(preferenceLengthBiasOracle)),

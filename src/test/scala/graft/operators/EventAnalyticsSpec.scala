@@ -92,6 +92,32 @@ class EventAnalyticsSpec extends SparkSpec {
     assert(a === b)
   }
 
+  test("nextEventExamples: context never crosses the session boundary, " +
+      "history capped at historyLen oldest-first, first-in-session " +
+      "events emit nothing") {
+    val gap = 1800L * 1000000000L
+    val e = Seq(
+      // u1 session 1: A B C D E — contexts window up to 3
+      (1L, 100L, "A", 1L), (1L, 200L, "B", 2L), (1L, 300L, "C", 3L),
+      (1L, 400L, "D", 4L), (1L, 500L, "E", 5L),
+      // u1 session 2 (past the gap): F G — F emits nothing
+      (1L, 500L + gap + 1L, "F", 6L), (1L, 600L + gap + 1L, "G", 7L),
+      // u2: single event, no examples
+      (2L, 50L, "Z", 8L)
+    ).toDF("user_id", "ts", "et", "event_id")
+    val out = EventAnalytics.nextEventExamples(e, col("user_id"),
+        col("ts"), col("et"), col("event_id"), historyLen = 3)
+      .select(col("user_id"), col("tie"), col("next_et"), col("ctx"),
+        col("ctx_len"))
+      .as[(Long, Long, String, String, Int)].collect().sortBy(_._2).toSeq
+    assert(out === Seq(
+      (1L, 2L, "B", "A", 1),
+      (1L, 3L, "C", "A>B", 2),
+      (1L, 4L, "D", "A>B>C", 3),
+      (1L, 5L, "E", "B>C>D", 3),   // capped at 3, oldest dropped
+      (1L, 7L, "G", "F", 1)))      // context reset at the session break
+  }
+
   test("conversionByVariant + abTestZ: per-user dedup, hand-checked " +
       "rates, lift, and pooled z") {
     // variant A: 3 users, 2 convert (u1 twice — must count once);
