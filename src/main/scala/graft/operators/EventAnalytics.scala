@@ -66,6 +66,29 @@ object EventAnalytics {
         .drop("__rn")
     }
 
+  /** Append a per-user session sequence under the gap rule (new session
+    * when ts − prev > gapNanos; prev NULL starts one): ONE lag + running
+    * sum over a shared (user, orderCols) window sort. `orderCols` must
+    * start with the `ts` column and fully tie-break. Every gap-session
+    * operator here routes through THIS definition — the boundary
+    * convention (strict >; see the session_window open/closed note in
+    * [[graft.streaming.Streams.sessionTranscripts]]) must never diverge
+    * between them.
+    */
+  private def withSessionSeq(df: DataFrame, userCol: String,
+      orderCols: Seq[Column], gapNanos: Long, out: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(userCol)).orderBy(orderCols: _*)
+    df.withColumn("__new",
+        when(lag(col("ts"), 1).over(w).isNull ||
+          col("ts") - lag(col("ts"), 1).over(w) > gapNanos, 1L)
+          .otherwise(0L))
+      .withColumn(out, sum(col("__new")).over(w.rowsBetween(
+        org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)))
+      .drop("__new")
+  }
+
   def funnel(df: DataFrame, user: Column, tsNanos: Column, eventType: Column,
       steps: Seq[String], maxEventsPerUser: Int = 0): DataFrame = {
     require(steps.nonEmpty, "need at least one funnel step")
@@ -432,14 +455,10 @@ object EventAnalytics {
       sessionGapNanos: Long = 1800L * 1000000000L): DataFrame = {
     require(sessionGapNanos > 0,
       s"sessionGapNanos must be positive, got $sessionGapNanos")
-    val wOrd = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("u")).orderBy(col("ts"), col("tb"))
-    val base = df.select(user.as("u"), tsNanos.cast("long").as("ts"),
-        eventType.as("et"), tieBreak.as("tb"), conversion.as("conv"))
-      .withColumn("__new", when(lag(col("ts"), 1).over(wOrd).isNull ||
-        col("ts") - lag(col("ts"), 1).over(wOrd) > sessionGapNanos, 1L)
-        .otherwise(0L))
-      .withColumn("sess", sum(col("__new")).over(wOrd))
+    val base = withSessionSeq(
+      df.select(user.as("u"), tsNanos.cast("long").as("ts"),
+        eventType.as("et"), tieBreak.as("tb"), conversion.as("conv")),
+      "u", Seq(col("ts"), col("tb")), sessionGapNanos, "sess")
     val wSess = org.apache.spark.sql.expressions.Window
       .partitionBy(col("u"), col("sess")).orderBy(col("ts"), col("tb"))
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
@@ -540,20 +559,14 @@ object EventAnalytics {
       s"sessionGapNanos must be positive, got $sessionGapNanos")
     require(maxTurnsPerSession >= 0,
       s"maxTurnsPerSession must be >= 0 (0 = uncapped), got $maxTurnsPerSession")
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("user_id"))
-      .orderBy(col("ts"), col("role"), col("content"))
-    val sessioned = df
-      .select(user.as("user_id"), tsNanos.cast("long").as("ts"),
-        role.as("role"), coalesce(content, lit("")).as("content"))
-      .withColumn("__new",
-        when(lag(col("ts"), 1).over(w).isNull ||
-          col("ts") - lag(col("ts"), 1).over(w) > sessionGapNanos, 1L)
-          .otherwise(0L))
-      .withColumn("session_seq",
-        sum(col("__new")).over(w.rowsBetween(
-          org.apache.spark.sql.expressions.Window.unboundedPreceding,
-          org.apache.spark.sql.expressions.Window.currentRow)))
+    val sessioned = withSessionSeq(
+      df.select(user.as("user_id"), tsNanos.cast("long").as("ts"),
+        // role coalesces too: concat(NULL, ...) would NULL the line and
+        // array_join would then DROP it while n_turns still counts it
+        coalesce(role, lit("")).as("role"),
+        coalesce(content, lit("")).as("content")),
+      "user_id", Seq(col("ts"), col("role"), col("content")),
+      sessionGapNanos, "session_seq")
     keepEarliest(sessioned,
         Seq(col("user_id"), col("session_seq")),
         Seq(col("ts"), col("role"), col("content")), maxTurnsPerSession)
@@ -597,17 +610,10 @@ object EventAnalytics {
     require(sessionGapNanos > 0,
       s"sessionGapNanos must be positive, got $sessionGapNanos")
     import org.apache.spark.sql.expressions.Window
-    val w = Window.partitionBy(col("user_id"))
-      .orderBy(col("ts"), col("tb"))
-    val sessioned = df
-      .select(user.as("user_id"), tsNanos.cast("long").as("ts"),
-        eventType.as("et"), tieBreak.as("tb"))
-      .withColumn("__new",
-        when(lag(col("ts"), 1).over(w).isNull ||
-          col("ts") - lag(col("ts"), 1).over(w) > sessionGapNanos, 1L)
-          .otherwise(0L))
-      .withColumn("__sess", sum(col("__new")).over(
-        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val sessioned = withSessionSeq(
+      df.select(user.as("user_id"), tsNanos.cast("long").as("ts"),
+        eventType.as("et"), tieBreak.as("tb")),
+      "user_id", Seq(col("ts"), col("tb")), sessionGapNanos, "__sess")
     val ws = Window.partitionBy(col("user_id"), col("__sess"))
       .orderBy(col("ts"), col("tb"))
     val lags = (historyLen to 1 by -1).map(k => lag(col("et"), k).over(ws))

@@ -5884,7 +5884,7 @@ object Pipeline {
   val dialogAssemblyOracle: String =
     """WITH e AS (
       |  SELECT user_id, epoch_us(ts) * 1000 AS tsn,
-      |    event_type AS role, COALESCE(props, '') AS content
+      |    COALESCE(event_type, '') AS role, COALESCE(props, '') AS content
       |  FROM events),
       |w AS (
       |  SELECT user_id, tsn, role, content,

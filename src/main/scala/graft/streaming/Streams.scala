@@ -659,7 +659,10 @@ object Streams {
       .agg(count(lit(1)).as("n_turns"),
         array_join(transform(
           array_sort(collect_list(struct(col("__et").as("t"),
-            role.as("r"), coalesce(content, lit("")).as("c")))),
+            // role coalesces too: concat(NULL, ...) would NULL the line
+            // and array_join would then DROP it while n_turns counts it
+            coalesce(role, lit("")).as("r"),
+            coalesce(content, lit("")).as("c")))),
           e => concat(e.getField("r"), lit(": "), e.getField("c"))), "\n")
           .as("transcript"))
       .select(col("user_id"), col("w.start").as("session_start"),

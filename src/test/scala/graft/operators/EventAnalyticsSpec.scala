@@ -64,7 +64,9 @@ class EventAnalyticsSpec extends SparkSpec {
       (1L, 200L, "user", "again"),
       (1L, 200L + gap + 1L, "user", "new session"),
       // u2: single-turn session
-      (2L, 50L, "system", "boot")
+      (2L, 50L, "system", "boot"),
+      // u3: a NULL role must still keep its line (n_turns == lines)
+      (3L, 10L, null: String, "orphan")
     ).toDF("user_id", "ts", "et", "content")
     def run(cap: Int) = EventAnalytics.sessionTranscripts(e,
         col("user_id"), col("ts"), col("et"), col("content"),
@@ -77,7 +79,8 @@ class EventAnalyticsSpec extends SparkSpec {
       (1L, 1L, 100L, 3L, 100L,
         "user: hi\nassistant: \nuser: again"),
       (1L, 2L, 200L + gap + 1L, 1L, 0L, "user: new session"),
-      (2L, 1L, 50L, 1L, 0L, "system: boot")))
+      (2L, 1L, 50L, 1L, 0L, "system: boot"),
+      (3L, 1L, 10L, 1L, 0L, ": orphan")))
     // cap=2: u1 session 1 keeps its EARLIEST two turns
     assert(run(2).head ===
       (1L, 1L, 100L, 2L, 100L, "user: hi\nassistant: "))
