@@ -10,18 +10,6 @@ import org.apache.spark.sql.functions._
   */
 object Diagnostics {
 
-  /** Exact per-key skew report for a prospective join/groupBy key: the
-    * `topN` heaviest keys with row counts, their share of the table, and
-    * the salting factor that would split each key's rows into
-    * ~average-partition-sized buckets given `partitions` reducers
-    * (`ceil(cnt · partitions / total)` — 1 means "no salting needed").
-    *
-    * One partial-aggregated groupBy over the key (the same shuffle the
-    * prospective join would pay on its small side) plus a driver-sized
-    * top-N. Use [[graft.functions.HeavyHitters]] instead when even one
-    * exact pass is too much and an approximate answer steers the decision.
-    * Output: (key, cnt, share, salt_factor), heaviest first.
-    */
   /** Dataset-card summary of a text corpus, per language plus an all-corpus
     * rollup row (lang = "*"): doc counts, distinct sources, token/char
     * totals, exact-ratio mean length, and the count of sub-`shortTokens`
@@ -497,6 +485,18 @@ object Diagnostics {
       .filter(col("n") >= k)
   }
 
+  /** Exact per-key skew report for a prospective join/groupBy key: the
+    * `topN` heaviest keys with row counts, their share of the table, and
+    * the salting factor that would split each key's rows into
+    * ~average-partition-sized buckets given `partitions` reducers
+    * (`ceil(cnt · partitions / total)` — 1 means "no salting needed").
+    *
+    * One partial-aggregated groupBy over the key (the same shuffle the
+    * prospective join would pay on its small side) plus a driver-sized
+    * top-N. Use [[graft.functions.HeavyHitters]] instead when even one
+    * exact pass is too much and an approximate answer steers the decision.
+    * Output: (key, cnt, share, salt_factor), heaviest first.
+    */
   def skewReport(df: DataFrame, key: Column, topN: Int = 20,
       partitions: Int = 32): DataFrame = {
     require(topN > 0 && partitions > 0, s"topN=$topN partitions=$partitions")
