@@ -163,10 +163,6 @@ object TextFunctions {
       cjkCount(c).as("zh"))
   }
 
-  /** 60-bit content fingerprint: first 15 hex digits of md5, as BIGINT.
-    * Stable across engines (md5 is md5 everywhere), collision-safe enough
-    * for dedup bucketing at 100 TB (~2^30 docs vs 2^60 space).
-    */
   /** PII redaction: emails, IPv4 literals, then long digit runs (phone-ish)
     * replaced with typed placeholders, in that order (the IP pass must see
     * dotted digits before the number pass eats them). Conservative patterns
@@ -194,6 +190,10 @@ object TextFunctions {
       regexp_replace(lower(c), "[^a-z0-9\\s]", ""),
       "\\s+", " "))
 
+  /** 60-bit content fingerprint: first 15 hex digits of md5, as BIGINT.
+    * Stable across engines (md5 is md5 everywhere), collision-safe enough
+    * for dedup bucketing at 100 TB (~2^30 docs vs 2^60 space).
+    */
   def fingerprint64(c: Column): Column =
     conv(substring(md5(c), 1, 15), 16, 10).cast("long")
 

@@ -644,23 +644,6 @@ object Diagnostics {
       .orderBy(col("bin"))
   }
 
-  /** One-pass numeric table profiler — the pre-ingestion sanity page for
-    * any fact table: per column, row count, null count, min/max, mean,
-    * and the exact discrete median. The input columns must be pre-cast
-    * to an EXACT type (long or decimal) by the caller — that is what
-    * makes the mean deterministic (exact sum, ONE IEEE division) instead
-    * of an order-dependent float fold. Output: (col_name, n, n_null,
-    * min_v, max_v, mean, p50) as doubles, one row per profiled column,
-    * ordered by col_name.
-    *
-    * Scale shape: ALL columns profile in ONE 2-phase aggregation over a
-    * single scan — no per-column pass, no melt (an explode to
-    * (row, col, value) would multiply the corpus by |cols| before the
-    * shuffle). The one-row aggregate then explodes into |cols| output
-    * rows driver-side-free. The per-column percentile buffer holds that
-    * column's values — the [[robustStats]] bound; profile a sampled
-    * slice or swap the KLL sketch for wide-row tables at extreme scale.
-    */
   /** Per-group ranking quality — the exact Mann–Whitney AUC of a score
     * against a boolean label, per group: "if I rank this source's docs
     * by the score, what fraction of (positive, negative) pairs does it
@@ -759,6 +742,23 @@ object Diagnostics {
       .orderBy(col("shard"))
   }
 
+  /** One-pass numeric table profiler — the pre-ingestion sanity page for
+    * any fact table: per column, row count, null count, min/max, mean,
+    * and the exact discrete median. The input columns must be pre-cast
+    * to an EXACT type (long or decimal) by the caller — that is what
+    * makes the mean deterministic (exact sum, ONE IEEE division) instead
+    * of an order-dependent float fold. Output: (col_name, n, n_null,
+    * min_v, max_v, mean, p50) as doubles, one row per profiled column,
+    * ordered by col_name.
+    *
+    * Scale shape: ALL columns profile in ONE 2-phase aggregation over a
+    * single scan — no per-column pass, no melt (an explode to
+    * (row, col, value) would multiply the corpus by |cols| before the
+    * shuffle). The one-row aggregate then explodes into |cols| output
+    * rows driver-side-free. The per-column percentile buffer holds that
+    * column's values — the [[robustStats]] bound; profile a sampled
+    * slice or swap the KLL sketch for wide-row tables at extreme scale.
+    */
   def tableProfile(df: DataFrame, cols: Seq[(String, Column)]): DataFrame = {
     require(cols.nonEmpty, "tableProfile needs at least one column")
     import org.apache.spark.sql.types.DecimalType

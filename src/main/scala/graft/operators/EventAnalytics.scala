@@ -11,35 +11,6 @@ import org.apache.spark.sql.functions._
   */
 object EventAnalytics {
 
-  /** Ordered-funnel conversion: how many users performed `steps` in order
-    * (strictly increasing timestamps — an equal-timestamp pair does NOT
-    * advance, matching the SQL min-chain `ts > prev` the oracle replays).
-    * Matching is greedy-earliest, which is equivalent to the sequential
-    * "min ts of step k+1 after step k's min" chain. Output: one row per
-    * step — (step, step_name, users_reached), users_reached
-    * monotonically non-increasing.
-    *
-    * Scale shape: events are filtered to the step types map-side, then ONE
-    * groupBy(user) collects each user's (ts, type) list — per-user input
-    * is that user's step-typed events only, the classic funnel bound; the
-    * greedy fold is a per-row linear scan. No corpus-wide window, no
-    * self-join per step (an n-step chain as n joins would shuffle the
-    * event table n times).
-    *
-    * `maxEventsPerUser` is the skew guard (the pattern of the other
-    * operators' K-caps): a single bot/power user with millions of
-    * step-typed events would otherwise materialize one unbounded array in
-    * the aggregation buffer. With a cap, each user keeps only their
-    * EARLIEST `maxEventsPerUser` step-typed events — sliced by a
-    * spillable per-user window sort BEFORE the collect, so the array is
-    * ≤ cap — and the funnel depth is computed over that slice. Users at
-    * or under the cap are untouched (the greedy-earliest chain over all
-    * events equals the chain over the earliest-cap slice whenever the
-    * chain completes inside it); a conversion whose k-th step first
-    * occurs after the user's cap-th event is not counted — the documented
-    * bound, deterministic via the (ts, et) tie-broken slice order.
-    * 0 = uncapped (no window pass is added).
-    */
   /** The funnel family's skew guard: keep each user's EARLIEST `cap`
     * step-typed events ((ts, et) tie-broken, so the slice is
     * deterministic), via a spillable per-user window sort BEFORE any
@@ -89,6 +60,35 @@ object EventAnalytics {
       .drop("__new")
   }
 
+  /** Ordered-funnel conversion: how many users performed `steps` in order
+    * (strictly increasing timestamps — an equal-timestamp pair does NOT
+    * advance, matching the SQL min-chain `ts > prev` the oracle replays).
+    * Matching is greedy-earliest, which is equivalent to the sequential
+    * "min ts of step k+1 after step k's min" chain. Output: one row per
+    * step — (step, step_name, users_reached), users_reached
+    * monotonically non-increasing.
+    *
+    * Scale shape: events are filtered to the step types map-side, then ONE
+    * groupBy(user) collects each user's (ts, type) list — per-user input
+    * is that user's step-typed events only, the classic funnel bound; the
+    * greedy fold is a per-row linear scan. No corpus-wide window, no
+    * self-join per step (an n-step chain as n joins would shuffle the
+    * event table n times).
+    *
+    * `maxEventsPerUser` is the skew guard (the pattern of the other
+    * operators' K-caps): a single bot/power user with millions of
+    * step-typed events would otherwise materialize one unbounded array in
+    * the aggregation buffer. With a cap, each user keeps only their
+    * EARLIEST `maxEventsPerUser` step-typed events — sliced by a
+    * spillable per-user window sort BEFORE the collect, so the array is
+    * ≤ cap — and the funnel depth is computed over that slice. Users at
+    * or under the cap are untouched (the greedy-earliest chain over all
+    * events equals the chain over the earliest-cap slice whenever the
+    * chain completes inside it); a conversion whose k-th step first
+    * occurs after the user's cap-th event is not counted — the documented
+    * bound, deterministic via the (ts, et) tie-broken slice order.
+    * 0 = uncapped (no window pass is added).
+    */
   def funnel(df: DataFrame, user: Column, tsNanos: Column, eventType: Column,
       steps: Seq[String], maxEventsPerUser: Int = 0): DataFrame = {
     require(steps.nonEmpty, "need at least one funnel step")

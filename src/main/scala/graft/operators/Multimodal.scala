@@ -674,9 +674,6 @@ object Multimodal {
     * `hashed`: (id, hash), nulls already filtered. Output:
     * (id_a, id_b, hamming), id_a < id_b, distinct.
     */
-  /** Self-join form of the radius join: unordered pairs within
-    * `maxHamming` bits, id_a < id_b.
-    */
   private def hammingPairs64(hashed: DataFrame, maxHamming: Int): DataFrame =
     hammingJoin64(hashed, hashed, maxHamming)
       .filter(col("id_a") < col("id_b"))
@@ -761,19 +758,6 @@ object Multimodal {
     (survivors, state.unionByName(survivors))
   }
 
-  /** 64-bit energy-envelope hash (eHash) over REAL PCM samples: walk the
-    * RIFF chunks to the 16-bit PCM `data` payload, mono-mix, split the
-    * sample stream into 65 equal-duration windows, and set bit i when
-    * window i's mean square energy exceeds window i+1's — the temporal
-    * analogue of [[dHash64]]'s gradient signs. Windows are RELATIVE
-    * fractions of the duration, so the hash is sample-rate-invariant
-    * (a resampled copy partitions the same waveform the same way), and
-    * energy COMPARISONS are invariant under constant gain (both sides
-    * scale by the gain squared) — the two transformations innocent
-    * re-encodes actually apply. Non-PCM16 / malformed payloads yield
-    * None (quarantine). Mean comparisons cross-multiply in double
-    * (deterministic IEEE rounding), no division loss.
-    */
   /** The ONE guarded RIFF walk behind [[energyHash64]] and
     * [[resampleWav]]: locate the canonical 16-bit PCM payload. A Long
     * cursor because a crafted/corrupt 32-bit chunk size would wrap an
@@ -816,6 +800,19 @@ object Multimodal {
     else Some((channels, rate.toInt, dataAt, dataLen))
   }
 
+  /** 64-bit energy-envelope hash (eHash) over REAL PCM samples: walk the
+    * RIFF chunks to the 16-bit PCM `data` payload, mono-mix, split the
+    * sample stream into 65 equal-duration windows, and set bit i when
+    * window i's mean square energy exceeds window i+1's — the temporal
+    * analogue of [[dHash64]]'s gradient signs. Windows are RELATIVE
+    * fractions of the duration, so the hash is sample-rate-invariant
+    * (a resampled copy partitions the same waveform the same way), and
+    * energy COMPARISONS are invariant under constant gain (both sides
+    * scale by the gain squared) — the two transformations innocent
+    * re-encodes actually apply. Non-PCM16 / malformed payloads yield
+    * None (quarantine). Mean comparisons cross-multiply in double
+    * (deterministic IEEE rounding), no division loss.
+    */
   private[operators] def energyHash64(wav: Array[Byte]): Option[Long] = {
     def le16(i: Int): Int = (wav(i) & 0xff) | ((wav(i + 1) & 0xff) << 8)
     val (channels, _, dataAt, dataLen) = parsePcm16(wav) match {

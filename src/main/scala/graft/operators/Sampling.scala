@@ -201,14 +201,6 @@ object Sampling {
     df.filter(TextFunctions.hash32(key.cast("string")) < cut)
   }
 
-  /** Deterministic train/validation/test split: every row lands in exactly
-    * one named split, chosen by its 32-bit content hash against cumulative
-    * weight cuts — a pure function of the key, so assignment is stable
-    * across runs, partitionings, and engines (no rand(), no zipWithIndex),
-    * and a re-processed corpus never migrates rows between splits. Map-only
-    * at any scale. Weights are relative (they need not sum to 1); splits
-    * are cut in the given order.
-    */
   /** LEAKAGE-FREE deterministic split: [[splitByHash]] keyed on the
     * near-dup CLUSTER id instead of the document id, so near-duplicates
     * can never straddle a split boundary (the contamination channel a
@@ -383,6 +375,14 @@ object Sampling {
       .drop("__qn_g")
   }
 
+  /** Deterministic train/validation/test split: every row lands in exactly
+    * one named split, chosen by its 32-bit content hash against cumulative
+    * weight cuts — a pure function of the key, so assignment is stable
+    * across runs, partitionings, and engines (no rand(), no zipWithIndex),
+    * and a re-processed corpus never migrates rows between splits. Map-only
+    * at any scale. Weights are relative (they need not sum to 1); splits
+    * are cut in the given order.
+    */
   def splitByHash(df: DataFrame, key: Column,
       splits: Seq[(String, Double)], out: String = "split"): DataFrame = {
     require(splits.nonEmpty, "need at least one split")

@@ -23,9 +23,6 @@ import org.apache.spark.sql.graft.VectorFunctions
   */
 object Similarity {
 
-  /** Exact top-k neighbors by cosine for each query vector.
-    * Output: (query_id, neighbor_id, rank, cos).
-    */
   /** Final per-query top-k over (query_id, neighbor_id, cos) rows via the
     * bounded [[graft.functions.TopKAggregator]]: partial aggregation prunes
     * each partition to k entries per query before the shuffle, so no reducer
@@ -43,6 +40,9 @@ object Similarity {
         (col("pos") + 1).cast("int").as("rank"), col("s.score").as("cos"))
   }
 
+  /** Exact top-k neighbors by cosine for each query vector.
+    * Output: (query_id, neighbor_id, rank, cos).
+    */
   def bruteForceTopK(queries: DataFrame, corpus: DataFrame, k: Int,
       includeSelf: Boolean = false): DataFrame = {
     val q = broadcast(queries.select(col("vec_id").as("query_id"),
@@ -55,21 +55,6 @@ object Similarity {
     topKPerQuery(scored, k)
   }
 
-  /** Metadata-filtered (pre-filter) top-k: restricts the corpus to ids in
-    * `keep` (a one-column `vec_id` frame — e.g. doc ids passing a language
-    * or quality predicate on another table) BEFORE any scoring, then runs
-    * the exact scan. Pre-filtering is the standard shape for selective
-    * predicates: post-filtering an ANN result under-delivers k when the
-    * predicate is selective, while here selectivity directly shrinks the
-    * scored space.
-    *
-    * Scale shape: one equality semi-join on 8-byte ids reduces the corpus
-    * (bucket/co-partition both sides by id to make it shuffle-free), then
-    * the scan streams with broadcast probes and bounded top-k aggregation
-    * — no window, no candidate blowup. For low-selectivity predicates at
-    * 10⁹+ vectors, swap [[bruteForceTopK]] for the bucketed
-    * [[lshTopK]]/[[ivfTopKWith]] over the same kept frame.
-    */
   /** Diverse top-k by maximal marginal relevance (Carbonell & Goldstein
     * 1998): shortlist the `shortlist` most-relevant candidates per query
     * exactly, then greedily re-rank — each step picks the candidate
@@ -198,6 +183,21 @@ object Similarity {
         col("rank"), col("cos"))
   }
 
+  /** Metadata-filtered (pre-filter) top-k: restricts the corpus to ids in
+    * `keep` (a one-column `vec_id` frame — e.g. doc ids passing a language
+    * or quality predicate on another table) BEFORE any scoring, then runs
+    * the exact scan. Pre-filtering is the standard shape for selective
+    * predicates: post-filtering an ANN result under-delivers k when the
+    * predicate is selective, while here selectivity directly shrinks the
+    * scored space.
+    *
+    * Scale shape: one equality semi-join on 8-byte ids reduces the corpus
+    * (bucket/co-partition both sides by id to make it shuffle-free), then
+    * the scan streams with broadcast probes and bounded top-k aggregation
+    * — no window, no candidate blowup. For low-selectivity predicates at
+    * 10⁹+ vectors, swap [[bruteForceTopK]] for the bucketed
+    * [[lshTopK]]/[[ivfTopKWith]] over the same kept frame.
+    */
   def filteredTopK(queries: DataFrame, corpus: DataFrame, keep: DataFrame,
       k: Int, includeSelf: Boolean = false): DataFrame = {
     val kept = corpus.join(keep.select(col("vec_id")), Seq("vec_id"), "left_semi")

@@ -345,17 +345,6 @@ object TextIndex {
           p => element_at(col("toks"), p + 1)), " ").as("clean_text"))
   }
 
-  /** Common-token coverage quality signal: the fraction of each document's
-    * token occurrences that fall in the corpus's top-`k` vocabulary (by
-    * total frequency, ties broken by term) — low coverage flags gibberish,
-    * wrong-language, or OCR-noise documents (the CCNet-style vocabulary
-    * filter without a pretrained LM). Output: (id, n_tok, n_vocab,
-    * coverage) with coverage an exact integer-ratio double.
-    *
-    * Scale shape: the vocabulary is a k-row broadcast dim built from the
-    * term-count aggregation (map-side partial); the per-doc pass is a
-    * map-side explode + broadcast membership probe + one groupBy on id.
-    */
   /** Bigram-familiarity quality signal — the n-gram-LM data filter (CCNet
     * lineage) reduced to exact integer form so it oracle-checks: each
     * document's adjacent word pairs are scored by their CORPUS frequency,
@@ -616,6 +605,15 @@ object TextIndex {
       .withColumn("keep", col("bits_per_token") <= lit(thresholdBits))
   }
 
+  /** 2^20 — the BM25 fixed-point scale (quantization ≤ 2^-21 per term,
+    * far below ranking resolution). Bounds: a per-term contribution is at
+    * most idf·(k1+1) ≈ 2.2·N at df = 1, so a billion-document corpus puts
+    * ≈ 2.2e9·2^20 ≈ 2^51 in one scaled long and a thousand-term query sum
+    * stays ≈ 2^61 < 2^63 even in that worst case; ANSI mode would throw on
+    * overflow rather than corrupt a score.
+    */
+  val Bm25Scale: Double = 1048576.0
+
   /** BM25 ranked retrieval (Robertson & Walker 1994, Okapi BM25): score
     * each query's terms against the corpus inverted index and return the
     * top-`k` documents per query. `queryTerms` is a (qid, term) frame — an
@@ -660,15 +658,6 @@ object TextIndex {
     * further step is materializing `postings` once (the production move
     * is a persisted inverted index anyway — see [[postingsIncremental]]).
     */
-  /** 2^20 — the BM25 fixed-point scale (quantization ≤ 2^-21 per term,
-    * far below ranking resolution). Bounds: a per-term contribution is at
-    * most idf·(k1+1) ≈ 2.2·N at df = 1, so a billion-document corpus puts
-    * ≈ 2.2e9·2^20 ≈ 2^51 in one scaled long and a thousand-term query sum
-    * stays ≈ 2^61 < 2^63 even in that worst case; ANSI mode would throw on
-    * overflow rather than corrupt a score.
-    */
-  val Bm25Scale: Double = 1048576.0
-
   def bm25TopK(df: DataFrame, id: Column, text: Column,
       queryTerms: DataFrame, k: Int,
       k1: Double = 1.2, b: Double = 0.75): DataFrame = {
@@ -929,6 +918,17 @@ object TextIndex {
           array_repeat(lit(0.0f), dims)).as("vec"))
   }
 
+  /** Common-token coverage quality signal: the fraction of each document's
+    * token occurrences that fall in the corpus's top-`k` vocabulary (by
+    * total frequency, ties broken by term) — low coverage flags gibberish,
+    * wrong-language, or OCR-noise documents (the CCNet-style vocabulary
+    * filter without a pretrained LM). Output: (id, n_tok, n_vocab,
+    * coverage) with coverage an exact integer-ratio double.
+    *
+    * Scale shape: the vocabulary is a k-row broadcast dim built from the
+    * term-count aggregation (map-side partial); the per-doc pass is a
+    * map-side explode + broadcast membership probe + one groupBy on id.
+    */
   def vocabCoverage(df: DataFrame, id: Column, text: Column,
       k: Int = 100): DataFrame = {
     require(k > 0, s"k must be positive, got $k")
@@ -1017,23 +1017,6 @@ object TextIndex {
         col("col").cast("long").as("n_hits"))
   }
 
-  /** Per-source vocabulary-richness report — the OCR-noise / gibberish /
-    * boilerplate triage numbers a corpus card carries per slice: token
-    * mass, vocabulary size, hapax legomena (terms seen exactly once in
-    * the slice), and the two classic ratios. A noisy-OCR source shows a
-    * hapax ratio far ABOVE the corpus band (every scanno is a fresh
-    * "word"); template/boilerplate farms show type-token ratios far
-    * BELOW it (the same words over and over). Output: (source, n_tokens,
-    * vocab, hapax, hapax_ratio, type_token_ratio), one row per source.
-    *
-    * Determinism: counts are exact longs; each ratio is a single IEEE
-    * division.
-    *
-    * Scale shape: one (source, term) partial-aggregated count — the only
-    * corpus-sized exchange, narrow rows — then a |sources|-row rollup.
-    * Per-source dictionaries never sit in one buffer; the hapax test is
-    * a WHERE on the count, not a distinct-collect.
-    */
   /** Per-source character n-gram fingerprint: each source's top-`k` most
     * frequent char `n`-grams with counts — the script/encoding/language
     * drift detector one level BELOW tokenization (mojibake, double-UTF-8,
@@ -1070,6 +1053,23 @@ object TextIndex {
       .orderBy(col("source"), col("rank"))
   }
 
+  /** Per-source vocabulary-richness report — the OCR-noise / gibberish /
+    * boilerplate triage numbers a corpus card carries per slice: token
+    * mass, vocabulary size, hapax legomena (terms seen exactly once in
+    * the slice), and the two classic ratios. A noisy-OCR source shows a
+    * hapax ratio far ABOVE the corpus band (every scanno is a fresh
+    * "word"); template/boilerplate farms show type-token ratios far
+    * BELOW it (the same words over and over). Output: (source, n_tokens,
+    * vocab, hapax, hapax_ratio, type_token_ratio), one row per source.
+    *
+    * Determinism: counts are exact longs; each ratio is a single IEEE
+    * division.
+    *
+    * Scale shape: one (source, term) partial-aggregated count — the only
+    * corpus-sized exchange, narrow rows — then a |sources|-row rollup.
+    * Per-source dictionaries never sit in one buffer; the hapax test is
+    * a WHERE on the count, not a distinct-collect.
+    */
   def vocabRichness(df: DataFrame, source: Column, text: Column): DataFrame =
     df.select(source.as("source"),
         explode(TextFunctions.tokensWs(text)).as("term"))
