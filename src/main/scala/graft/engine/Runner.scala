@@ -57,6 +57,12 @@ class Runner(spark: SparkSession, journal: Journal,
       val (status, result) =
         try { val r = job.fn(spark); ("SUCCEED", String.valueOf(r)) }
         catch { case e: Exception => ("FAILED", String.valueOf(e.getMessage)) }
+        // a job's terminal action is inside fn by contract, so this IS the
+        // materialization boundary: release engine-owned operator pins
+        // (graft.Pins) or a ticking scheduler stacks MEMORY_AND_DISK
+        // blocks faster than GC-driven cleanup clears them. User-level
+        // df.cache() is untouched — only pins routed through Pins.pin.
+        finally graft.Pins.unpinAll()
       journal.save(ExecutionRecord(job.name, started, clock(), result, status))
       job.name -> status
     }

@@ -375,10 +375,10 @@ object Diagnostics {
       graft.functions.TextFunctions.fingerprint64(text).as("fp"))
     // both sides of the fp self-join read this frame — pin it, or the
     // corpus text scan + fingerprinting runs twice (the
-    // cooccurrenceCounts lesson); the pinned frame is fp-table-sized
-    val counts = f.groupBy(col("fp"), col("split"))
-      .agg(count(lit(1)).as("n"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // cooccurrenceCounts lesson); the pinned frame is fp-table-sized,
+    // released at the caller's boundary via graft.Pins.unpinAll
+    val counts = graft.Pins.pin(f.groupBy(col("fp"), col("split"))
+      .agg(count(lit(1)).as("n")))
     counts.toDF("fp", "split_a", "n_a")
       .join(counts.toDF("fp", "split_b", "n_b"), Seq("fp"))
       .filter(col("split_a") < col("split_b"))

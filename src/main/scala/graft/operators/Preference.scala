@@ -231,8 +231,11 @@ object Preference {
         max_by(col("item"), struct(-col("rate"), col("item")))
           .as("rejected"),
         min(col("rate")).as("rejected_rate"),
-        // each ballot contributed two (item, bit) rows — halve the sum
-        (sum(col("n")) / 2).cast("long").as("n_ballots"))
+        // each ballot contributed two (item, bit) rows — halve the sum.
+        // DIV, not `/`: long `/` is double true-division, exact only
+        // below 2^53 — integer division keeps the count exact at any
+        // ballot volume (the file's exact-integer discipline)
+        expr("sum(n) DIV 2").as("n_ballots"))
       .withColumn("margin", col("chosen_rate") - col("rejected_rate"))
       .filter(col("chosen") =!= col("rejected") &&
         col("margin") >= lit(minMargin))

@@ -883,7 +883,14 @@ object Similarity {
         else lit(true))
       .select(col("query_id"), col("match_id"),
         VectorFunctions.cosineSim(col("qv"), col("cv")).as("cos"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      // zero-norm vectors cosine to NULL — drop those pairs here: they
+      // carry no alignment signal, and a NULL score would break the
+      // non-nullable TopK aggregation buffer below
+      .filter(col("cos").isNotNull)
+    // three consumers (forward avg, backward avg, margin chain) — pin, or
+    // the |queries|×|corpus| scoring pass runs three times; released at
+    // the caller's materialization boundary via graft.Pins.unpinAll
+    graft.Pins.pin(scored)
     val topk = TopKAggregator.topK(k)
     def knnAvg(key: String, other: String, out: String) =
       scored.groupBy(col(key))
@@ -900,6 +907,13 @@ object Similarity {
       // rows and SMJ would sort it; the |corpus|-sized build side hashes
       // per partition (too big to broadcast at scale, fine to hash)
       .join(bwd.hint("shuffle_hash"), Seq("match_id"))
+      // degenerate-neighborhood guard: fa + ba can be 0 (or NaN when a
+      // zero-norm vector's cosine is NaN) for all-zero embeddings; the
+      // division would then yield NaN/Inf, and Spark orders NaN above
+      // every double, so a degenerate pair would WIN the argmax and pass
+      // `>= threshold` — mine nothing for such rows instead
+      .filter(!isnan(col("fa") + col("ba")) &&
+        col("fa") + col("ba") =!= lit(0.0))
       .select(col("query_id"), col("match_id"), col("cos"),
         (col("cos") / ((col("fa") + col("ba")) / lit(2.0))).as("margin"))
       .groupBy(col("query_id"))

@@ -1179,9 +1179,10 @@ object TextIndex {
         explode(HashFunctions.shingleFps60(col("__t"), n)).as("g"))
       .groupBy(col("id"), col("g"))
       .agg(count(lit(1)).as("tf"))
-      // consumed twice (gram stats + the clip join): pin, or the corpus
-      // tokenize+hash pass runs again — the cooccurrenceCounts lesson
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // consumed twice (gram stats + the clip join): pin, or the corpus
+    // tokenize+hash pass runs again — the cooccurrenceCounts lesson;
+    // released at the caller's boundary via graft.Pins.unpinAll
+    graft.Pins.pin(tf)
     val m1 = tf.groupBy(col("g")).agg(max(col("tf")).as("m1"))
     val stats = tf.join(m1, Seq("g"))
       .groupBy(col("g"))
@@ -1257,9 +1258,9 @@ object TextIndex {
     // pair aggregation rebuilds for the second pass (measured 2× at
     // stress ×64). MEMORY_AND_DISK: vocabulary²-bounded, not corpus-
     // sized, but still the biggest frame here; spill beats re-exploding.
-    val counts = pairs.groupBy(col("fp_a"), col("fp_b"))
-      .agg(count(lit(1)).as("n"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // Released at the caller's boundary via graft.Pins.unpinAll.
+    val counts = graft.Pins.pin(pairs.groupBy(col("fp_a"), col("fp_b"))
+      .agg(count(lit(1)).as("n")))
     // candidate bound: everything at or above the k-th largest count —
     // ≥ k rows plus the k-th value's FULL tie class. The fp-pair (n desc)
     // order can disagree with the term-pair order INSIDE a tie class, so

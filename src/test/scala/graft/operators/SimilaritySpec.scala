@@ -603,6 +603,30 @@ class SimilaritySpec extends SparkSpec {
     assert(minedEx.get(0L) !== Some(0L))
   }
 
+  test("marginMine: degenerate neighborhoods (zero-norm vectors, all-zero " +
+      "k-NN averages) mine nothing instead of a NaN/Inf-margin match") {
+    // one-hot query orthogonal to the whole corpus: every cosine is 0, so
+    // fa = ba = 0 and the unguarded margin would be 0/0 = NaN — which
+    // Spark orders above every double, passing any threshold
+    val qs = Seq((0L, Array(1f, 0f, 0f))).toDF("vec_id", "embedding")
+    val cs = Seq((11L, Array(0f, 1f, 0f)), (13L, Array(0f, 0f, 1f)))
+      .toDF("vec_id", "embedding")
+    assert(Similarity.marginMine(qs, cs, k = 2, threshold = 1.0).count()
+      === 0L, "orthogonal query must mine nothing, not a NaN match")
+    // zero-norm vectors cosine to NULL: dropped from scoring (no crash in
+    // the non-nullable top-k buffer), and a whole-corpus-zero case mines
+    // nothing at all
+    val qsZ = Seq((0L, Array(0f, 0f, 0f)), (2L, Array(0f, 1f, 0f)))
+      .toDF("vec_id", "embedding")
+    val mined = Similarity.marginMine(qsZ, cs, k = 2, threshold = 0.0)
+      .as[(Long, Long, Double, Double)].collect().map(_._1).toSet
+    assert(!mined.contains(0L), "zero-norm query must mine nothing")
+    assert(mined.contains(2L), "healthy queries still mine")
+    val csZ = Seq((11L, Array(0f, 0f, 0f))).toDF("vec_id", "embedding")
+    assert(Similarity.marginMine(qsZ, csZ, k = 2, threshold = 0.0).count()
+      === 0L)
+  }
+
   test("labelNoiseScreen: a clean labeling yields an empty screen") {
     def near(x: Float, y: Float, eps: Float) = Array(x + eps, y, 0f, 0f)
     val rows = Seq(
