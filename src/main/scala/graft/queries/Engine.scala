@@ -252,6 +252,101 @@ object Engine {
       | AND epoch_us(p.ts) <= epoch_us(c.ts) + 1800 * 1000000
       |ORDER BY user_id, click_us, purchase_us""".stripMargin
 
+  /** Session transcript assembly UNDER STRUCTURED STREAMING, end to end
+    * ([[graft.streaming.Streams.sessionTranscripts]]) — the streaming twin
+    * of `dialog_assembly`, driven through a REAL two-micro-batch ingest
+    * (the `dpo_from_counts` pattern, but through the streaming engine
+    * itself rather than a handler replay): the events corpus is
+    * time-split at the (min+max)/2 midpoint into two parquet files that a
+    * file-source stream picks up as two micro-batches (all of batch 1's
+    * event times ≤ batch 2's, so the advancing watermark never drops a
+    * late row); a far-future sentinel rides in batch 2 to push the
+    * watermark past every real session so append mode emits them all
+    * (the sentinel's own session stays open and never emits — filtered
+    * defensively anyway). The assembled transcripts hash-match the
+    * lag/cumsum batch replay ONLY if the session_window merge, the
+    * watermark lifecycle, the (ts, role, content) turn order inside
+    * `array_sort(collect_list(...))`, and the NULL-role/content coalesce
+    * are all exact.
+    *
+    * Boundary note: the native session_window starts a NEW session at
+    * diff == gap where the batch rule keeps it; like `session_window`'s
+    * oracle below, the replay uses the batch `>` rule — equal on this
+    * data (no microsecond-exact 30-minute gap pair at any driver SF),
+    * pinned off-boundary by StreamsSpec.
+    *
+    * Scale shape: identical to the batch twin — events shuffle once as
+    * (user, session window); per-session state is that session's turns
+    * (bound upstream with a turn cap where bot sessions are a risk); the
+    * memory sink stands in for the production parquet/Kafka sink.
+    */
+  def dialogFromStream(s: SparkSession, dir: String): DataFrame = {
+    // child session: private SQLConf for the stateful-shuffle sizing
+    // (see streamStreamJoin's note) without racing concurrent queries
+    val ss = graft.GraftSession.configure(s.newSession())
+    ss.conf.set("spark.sql.shuffle.partitions", "4")
+    val ev = Streams.withEventTime(T.events(ss, dir))
+      .select(col("event_time"), col("user_id"),
+        col("event_type").as("role"), col("props").as("content"))
+    val b = ev.agg(min(col("event_time")).cast("long").as("lo"),
+      max(col("event_time")).cast("long").as("hi")).head()
+    val (lo, hi) = (b.getLong(0), b.getLong(1)) // epoch seconds
+    val cut = timestamp_seconds(lit((lo + hi) / 2))
+    val streamDir = scratchPath("graft-dialog-stream", dir)
+    ev.filter(col("event_time") <= cut)
+      .write.mode("overwrite").parquet(streamDir)
+    val tr = Streams.sessionTranscripts(
+      Streams.parquetStream(ss, streamDir, ev, glob = Some("*.parquet")),
+      col("event_time"), col("user_id"), col("role"), col("content"),
+      gap = "30 minutes", watermark = "0 seconds")
+    val name = s"graft_stream_${streamSeq.incrementAndGet()}"
+    val q = tr.writeStream.format("memory").queryName(name)
+      .outputMode("append").start()
+    q.processAllAvailable() // micro-batch 1: the early half
+    ev.filter(col("event_time") > cut)
+      .unionByName(ev.sparkSession.range(1).select(
+        timestamp_seconds(lit(hi + 10L * 366 * 24 * 3600)).as("event_time"),
+        lit(-1L).as("user_id"), lit("x").as("role"), lit("x").as("content")))
+      .write.mode("append").parquet(streamDir)
+    q.processAllAvailable() // micro-batch 2 + the no-data emit batch
+    q.stop()
+    ss.table(name)
+      // null-safe: a plain =!= would also drop NULL-user sessions the
+      // oracle keeps, if the driver ever generates null user_ids
+      .filter(!(col("user_id") <=> lit(-1L)))
+      .select(col("user_id"),
+        unix_micros(col("session_start")).as("start_us"),
+        unix_micros(col("session_end")).as("end_us"),
+        col("n_turns"),
+        md5(col("transcript")).as("transcript_md5"))
+      .orderBy(col("user_id"), col("start_us"))
+  }
+
+  val dialogFromStreamOracle: String =
+    """WITH e AS (
+      |  SELECT user_id, epoch_us(ts) AS us,
+      |    COALESCE(event_type, '') AS role, COALESCE(props, '') AS content
+      |  FROM events),
+      |w AS (
+      |  SELECT user_id, us, role, content,
+      |    CASE WHEN lag(us) OVER win IS NULL
+      |           OR us - lag(us) OVER win > 1800 * 1000000
+      |         THEN 1 ELSE 0 END AS ns
+      |  FROM e
+      |  WINDOW win AS (PARTITION BY user_id ORDER BY us, role, content)),
+      |s AS (
+      |  SELECT user_id, us, role, content,
+      |    SUM(ns) OVER (PARTITION BY user_id ORDER BY us, role, content
+      |      ROWS UNBOUNDED PRECEDING) AS sess
+      |  FROM w)
+      |SELECT user_id, MIN(us) AS start_us,
+      |  MAX(us) + 1800 * 1000000 AS end_us,
+      |  CAST(COUNT(*) AS BIGINT) AS n_turns,
+      |  md5(string_agg(role || ': ' || content, chr(10)
+      |    ORDER BY us, role, content)) AS transcript_md5
+      |FROM s GROUP BY user_id, sess
+      |ORDER BY user_id, start_us""".stripMargin
+
   /** Native session_window (30-minute gap) per user — the batch run of the
     * streaming sessionizer; oracle rebuilds sessions with lag/cumsum logic.
     */
@@ -349,6 +444,7 @@ object Engine {
     Q("streaming_window_counts", streamingWindowCounts, Some(streamingWindowCountsOracle)),
     Q("stream_stream_join", streamStreamJoin, Some(streamStreamJoinOracle)),
     Q("session_window", sessionWindow, Some(sessionWindowOracle)),
+    Q("dialog_from_stream", dialogFromStream, Some(dialogFromStreamOracle)),
     Q("csv_roundtrip", csvRoundtrip, Some(csvRoundtripOracle)),
     Q("jsonl_roundtrip", jsonlRoundtrip, Some(jsonlRoundtripOracle)),
     Q("xml_roundtrip", xmlRoundtrip, Some(xmlRoundtripOracle))
