@@ -327,11 +327,21 @@ object TextIndex {
       .select(col("gfp"))
     val dpos = g.join(dup, Seq("gfp"), "left_semi")
       .groupBy(col("id")).agg(sort_array(collect_list(col("pos"))).as("dps"))
-    // Linear coverage: scatter each dup start into its covered index range
-    // (≤ n ints per dup), subtract from the position sequence with the
-    // hash-based array_except, and gather survivors — O(tokens + n·dups)
-    // per doc, vs the O(tokens × dups) of a per-token exists() scan
-    // (measured 2.6× on the boilerplate-heavy synthetic corpus).
+    maskCoveredTokens(base, dpos, n)
+  }
+
+  /** Shared surgery tail of [[duplicateNgramMask]] and [[exactSubstrDedup]]:
+    * given `base` = (id, toks) and `dpos` = (id, dps = sorted start
+    * positions of to-be-removed n-token spans), drop every covered token
+    * and rejoin survivors. Linear coverage: scatter each removal start
+    * into its covered index range (≤ n ints per span), subtract from the
+    * position sequence with the hash-based array_except, and gather
+    * survivors — O(tokens + n·spans) per doc, vs the O(tokens × spans) of
+    * a per-token exists() scan (measured 2.6× on the boilerplate-heavy
+    * synthetic corpus). Output: (id, n_tok, n_removed, clean_text).
+    */
+  private def maskCoveredTokens(base: DataFrame, dpos: DataFrame,
+      n: Int): DataFrame =
     base.join(dpos, Seq("id"), "left")
       .withColumn("dps",
         coalesce(col("dps"), array().cast("array<int>")))
@@ -343,6 +353,61 @@ object TextIndex {
         (size(col("toks")) - size(col("keptPos"))).as("n_removed"),
         array_join(transform(col("keptPos"),
           p => element_at(col("toks"), p + 1)), " ").as("clean_text"))
+
+  /** Exact-substring deduplication at token-span granularity (ExactSubstr,
+    * Lee et al. 2022, arXiv:2107.06499 §4.1): every `n`-token span that
+    * occurs MORE THAN ONCE in the corpus — across documents or repeated
+    * within one — keeps only its globally FIRST occurrence (smallest
+    * (id, pos)); every other occurrence's tokens are removed and the
+    * survivors rejoined. This is the keep-one variant the paper specifies
+    * (their canonical n = 50 BPE tokens ≈ whitespace words here), where
+    * [[duplicateNgramMask]] is the remove-all-occurrences C4-style filter
+    * — and unlike that operator it counts raw occurrences, so within-doc
+    * repetition dedups too.
+    *
+    * Determinism: "first" is an exact min over (id, pos) structs — the
+    * same on any partitioning; no suffix array is materialized (the
+    * paper's implementation detail, not its semantics — rolling
+    * fingerprints over positional spans find the same ≥ n-token repeats,
+    * modulo 60-bit fp collisions, the accepted stance of every fp-keyed
+    * text operator here).
+    *
+    * Spans are strictly `n` tokens: documents shorter than `n` carry no
+    * span and are never masked (whole-short-doc duplicates are
+    * [[graft.operators.Dedup]]'s job, not a substring's).
+    *
+    * Approximation note (standard for positional-span ExactSubstr): the
+    * kept first occurrence is chosen per span independently — a doc's
+    * kept span may itself sit inside a region removed by a DIFFERENT
+    * span's dedup; the paper's byte-range union has the same property.
+    *
+    * Scale shape: one native ShingleFps60 pass emits (id, pos, 8-byte
+    * gfp) — gram strings never materialize; ONE gfp-keyed count+min agg
+    * (map-side partials) finds duplicated spans and their first
+    * occurrences; the removal join is gfp-keyed equality (left to AQE —
+    * a boilerplate-heavy corpus can have corpus-sized duplicate classes,
+    * the no-forced-broadcast lesson); per-doc removal lists are bounded
+    * by doc length. Text never shuffles after widen().
+    */
+  def exactSubstrDedup(df: DataFrame, id: Column, text: Column,
+      n: Int = 50): DataFrame = {
+    import org.apache.spark.sql.graft.HashFunctions
+    require(n >= 2, s"n must be >= 2, got $n")
+    val base = widen(df.select(id.as("id"), text.as("__text")))
+      .select(col("id"), TextFunctions.tokensWs(col("__text")).as("toks"))
+    val g = base.filter(size(col("toks")) >= n)
+      .select(col("id"),
+        posexplode(HashFunctions.shingleFps60(col("toks"), n))
+          .as(Seq("pos", "gfp")))
+    val firsts = g.groupBy(col("gfp"))
+      .agg(count(lit(1)).as("occ"),
+        min(struct(col("id"), col("pos"))).as("first"))
+      .filter(col("occ") >= 2)
+      .select(col("gfp"), col("first"))
+    val dpos = g.join(firsts, Seq("gfp"))
+      .filter(struct(col("id"), col("pos")) =!= col("first"))
+      .groupBy(col("id")).agg(sort_array(collect_list(col("pos"))).as("dps"))
+    maskCoveredTokens(base, dpos, n)
   }
 
   /** Bigram-familiarity quality signal — the n-gram-LM data filter (CCNet

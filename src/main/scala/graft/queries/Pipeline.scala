@@ -3022,6 +3022,54 @@ object Pipeline {
       |FROM m
       |ORDER BY doc_id""".stripMargin
 
+  /** Exact-substring dedup at 50-token-span granularity
+    * ([[graft.operators.TextIndex.exactSubstrDedup]] — ExactSubstr, Lee
+    * et al. 2022): every corpus-duplicated 50-token span keeps only its
+    * globally first (doc_id, pos) occurrence; all other occurrences'
+    * tokens are removed. The synthetic corpus carries ~280 duplicated
+    * 50-spans (589 occurrences) at the driver SFs without whole-doc
+    * duplicates, so the keep-first surgery is value-checked non-trivially.
+    * The oracle replays the positional 50-grams as STRINGS (the engine
+    * keys on 60-bit fps — the accepted fp-collision stance), the
+    * first-occurrence rank, and the coverage mask; md5 keeps the rebuilt
+    * text compact in the compare, as in [[dedupNgramMaskQ]].
+    */
+  def dedupExactSubstrQ(s: SparkSession, dir: String): DataFrame =
+    graft.operators.TextIndex.exactSubstrDedup(
+        T(s, dir, "documents"), col("doc_id"), col("text"), n = 50)
+      .select(col("id").as("doc_id"), col("n_tok"), col("n_removed"),
+        md5(col("clean_text")).as("clean_md5"))
+      .orderBy(col("doc_id"))
+
+  val dedupExactSubstrOracle: String =
+    """WITH t AS (
+      |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
+      |  FROM documents),
+      |g AS (
+      |  SELECT doc_id, toks,
+      |    CASE WHEN len(toks) >= 50
+      |         THEN list_transform(range(1, len(toks) - 48),
+      |                i -> array_to_string(toks[i:i+49], ' '))
+      |         ELSE CAST([] AS VARCHAR[]) END AS grams
+      |  FROM t),
+      |o AS (SELECT doc_id, unnest(grams) AS gram,
+      |        unnest(range(0, len(grams))) AS pos FROM g),
+      |r AS (
+      |  SELECT doc_id, pos,
+      |    ROW_NUMBER() OVER (PARTITION BY gram ORDER BY doc_id, pos) AS rn
+      |  FROM o),
+      |dpos AS (SELECT doc_id, list_sort(list(pos)) AS dps
+      |         FROM r WHERE rn > 1 GROUP BY doc_id),
+      |m AS (SELECT g.doc_id, g.toks, COALESCE(d.dps, CAST([] AS BIGINT[])) AS dps
+      |      FROM g LEFT JOIN dpos d ON g.doc_id = d.doc_id)
+      |SELECT doc_id, CAST(len(toks) AS INTEGER) AS n_tok,
+      |  CAST(len(toks) - len(list_filter(toks, (x, i) ->
+      |    len(list_filter(dps, s -> s <= i - 1 AND s + 49 >= i - 1)) = 0)) AS INTEGER) AS n_removed,
+      |  md5(COALESCE(array_to_string(list_filter(toks, (x, i) ->
+      |    len(list_filter(dps, s -> s <= i - 1 AND s + 49 >= i - 1)) = 0), ' '), '')) AS clean_md5
+      |FROM m
+      |ORDER BY doc_id""".stripMargin
+
   // ------------------------------------------------------- vocabulary coverage
 
   /** Perplexity-proxy LM screen
@@ -6396,6 +6444,7 @@ object Pipeline {
     Q("cdc_segment_dedup", cdcSegmentDedupQ, Some(cdcSegmentDedupOracle)),
     Q("dup_ngram_profile", dupNgramProfileQ, Some(dupNgramProfileOracle)),
     Q("dedup_ngram_mask", dedupNgramMaskQ, Some(dedupNgramMaskOracle)),
+    Q("dedup_exact_substr", dedupExactSubstrQ, Some(dedupExactSubstrOracle)),
     Q("vocab_coverage", vocabCoverageQ, Some(vocabCoverageOracle)),
     Q("bigram_familiarity", bigramFamiliarityQ, Some(bigramFamiliarityOracle)),
     Q("trigram_backoff", trigramBackoffQ, Some(trigramBackoffOracle)),

@@ -401,6 +401,32 @@ class TextIndexSpec extends SparkSpec {
     assert(out(2) === ((3L, 2, 0, "u v")))
   }
 
+  test("exactSubstrDedup keeps the globally first occurrence of a " +
+      "duplicated span, removes the rest (cross-doc and within-doc)") {
+    val docs = Seq(
+      (1L, "a b c d e f"),       // first occurrence of "a b c" (pos 0) kept
+      (2L, "x y a b c z"),       // later occurrence at pos 2 → tokens 2..4 removed
+      (3L, "p q r p q r p"),     // within-doc repeats: "p q r" (pos 0 kept,
+                                 // 3 removed) AND "q r p" (1 kept, 4 removed)
+                                 // → tokens 3..6 covered
+      (4L, "s t")                // shorter than n: never masked, even if duplicated
+    ).toDF("id", "text")
+    val out = TextIndex.exactSubstrDedup(docs, col("id"), col("text"), n = 3)
+      .as[(Long, Int, Int, String)].collect().sortBy(_._1)
+    assert(out(0) === ((1L, 6, 0, "a b c d e f")))
+    assert(out(1) === ((2L, 6, 3, "x y z")))
+    assert(out(2) === ((3L, 7, 4, "p q r")))
+    assert(out(3) === ((4L, 2, 0, "s t")))
+  }
+
+  test("exactSubstrDedup: short duplicate docs carry no span — whole-doc " +
+      "dedup is Dedup's job") {
+    val docs = Seq((1L, "s t"), (2L, "s t")).toDF("id", "text")
+    val out = TextIndex.exactSubstrDedup(docs, col("id"), col("text"), n = 3)
+      .as[(Long, Int, Int, String)].collect().sortBy(_._1)
+    assert(out.toSeq === Seq((1L, 2, 0, "s t"), (2L, 2, 0, "s t")))
+  }
+
   test("postingsIncremental: batch docs replace their state postings, " +
       "untouched docs carry over, and the result equals a clean rebuild") {
     val v1 = Seq((1L, "a a b"), (2L, "c d")).toDF("doc_id", "text")
