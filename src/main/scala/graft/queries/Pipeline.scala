@@ -4669,6 +4669,123 @@ object Pipeline {
        |FROM documents d LEFT JOIN cnt c ON c.doc_id = d.doc_id
        |ORDER BY d.doc_id""".stripMargin
 
+  /** REAL unigram-LM tokenization at corpus scale
+    * ([[graft.operators.Unigram]] — SentencePiece-style, Kudo 2018): the
+    * 72-piece table trained once from this corpus's word dictionary
+    * ([[graft.tools.TrainArtifacts]], pinned as
+    * [[PinnedArtifacts.UnigramCosts]] in FIXED-POINT costs) applied via
+    * exact integer Viterbi over the distinct-word dictionary. The oracle
+    * enumerates every segmentation of each distinct word with a
+    * recursive CTE (UNION-deduped (word, pos, cost, n) states keep the
+    * lattice polynomial) and takes the same (cost ASC, pieces ASC)
+    * argmin — integer costs make the DP and the enumeration provably
+    * agree where a float Viterbi would tie on the last ulp. The EM
+    * TRAINING loop stays spec-gated (UnigramSpec: coverage,
+    * normalization, likelihood ascent, determinism).
+    */
+  def unigramTokenize(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Unigram.tokenCounts(
+        T(s, dir, "documents"), col("doc_id"), col("text"),
+        PinnedArtifacts.UnigramCosts)
+      .select(col("id").as("doc_id"), col("n_tokens"))
+      .orderBy(col("doc_id"))
+
+  /** The unigram Viterbi CTE block shared by [[unigramTokenizeOracle]]
+    * and [[tokenizerCompareOracle]]: expects `p(piece, plen, cost)` and
+    * `dict(word)` CTEs defined before it, yields `utok(word, n_sub)`.
+    * States dedupe via UNION (not UNION ALL) so equal-cost equal-count
+    * lattice paths collapse instead of multiplying.
+    */
+  private val unigramTokCte: String =
+    """ust(word, pos, cost, n) AS (
+      |  SELECT word, 0, CAST(0 AS BIGINT), 0 FROM dict
+      |  UNION
+      |  SELECT ust.word, ust.pos + p.plen, ust.cost + p.cost, ust.n + 1
+      |  FROM ust JOIN p ON substring(ust.word, ust.pos + 1, p.plen) = p.piece
+      |  WHERE ust.pos < len(ust.word)),
+      |ubest AS (
+      |  SELECT word, n AS n_sub,
+      |    ROW_NUMBER() OVER (PARTITION BY word ORDER BY cost, n) AS rn
+      |  FROM ust WHERE pos = len(word)),
+      |utok AS (SELECT word, n_sub FROM ubest WHERE rn = 1)""".stripMargin
+
+  def unigramTokenizeOracle: String =
+    s"""WITH RECURSIVE
+       |p(piece, plen, cost) AS (VALUES
+       |${PinnedArtifacts.unigramCostsSqlValues}
+       |),
+       |w AS (
+       |  SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS word
+       |  FROM documents WHERE trim(text) <> ''),
+       |dict AS (SELECT DISTINCT word FROM w),
+       |$unigramTokCte,
+       |cnt AS (
+       |  SELECT w.doc_id, SUM(t.n_sub) AS n
+       |  FROM w JOIN utok t ON t.word = w.word
+       |  GROUP BY w.doc_id)
+       |SELECT d.doc_id, CAST(COALESCE(c.n, 0) AS BIGINT) AS n_tokens
+       |FROM documents d LEFT JOIN cnt c ON c.doc_id = d.doc_id
+       |ORDER BY d.doc_id""".stripMargin
+
+  /** The two-tokenizer fertility comparison `tokenizer_fertility` was
+    * built for: per language, word counts against BOTH the pinned BPE
+    * merge table and the pinned unigram-LM piece table — the audit a
+    * vocab decision actually reads (which family spends fewer subwords
+    * per word on which language). One word-dictionary pass feeds both
+    * appliers; the oracle replays BOTH segmentation algorithms (greedy
+    * ranked merges AND Viterbi argmin) in one WITH RECURSIVE.
+    */
+  def tokenizerCompare(s: SparkSession, dir: String): DataFrame = {
+    val docs = T(s, dir, "documents")
+    val bpe = graft.operators.Bpe.fertilityByGroup(
+        docs, col("text"), col("lang"), PinnedArtifacts.BpeMerges16)
+      .select(col("grp").as("lang"), col("n_words"),
+        col("n_tokens").as("bpe_tokens"),
+        col("tokens_per_word").as("bpe_per_word"))
+    val uni = graft.operators.Unigram.fertilityByGroup(
+        docs, col("text"), col("lang"), PinnedArtifacts.UnigramCosts)
+      .select(col("grp").as("lang"),
+        col("n_tokens").as("uni_tokens"),
+        col("tokens_per_word").as("uni_per_word"))
+    bpe.join(uni, Seq("lang"))
+      .orderBy(col("lang"))
+  }
+
+  def tokenizerCompareOracle: String =
+    s"""WITH RECURSIVE
+       |m(mrank, ml, mr) AS (VALUES
+       |${PinnedArtifacts.bpeMergesSqlValues}
+       |),
+       |p(piece, plen, cost) AS (VALUES
+       |${PinnedArtifacts.unigramCostsSqlValues}
+       |),
+       |w AS (
+       |  SELECT lang, unnest(string_split_regex(trim(text), '\\s+')) AS word
+       |  FROM documents WHERE trim(text) <> ''),
+       |dict AS (SELECT DISTINCT word FROM w),
+       |$bpeStepTokCte,
+       |$unigramTokCte,
+       |agg AS (
+       |  SELECT w.lang, COUNT(*) AS n_words,
+       |    SUM(b.n_sub) AS bpe_tokens, SUM(u.n_sub) AS uni_tokens
+       |  FROM w
+       |  JOIN tok b ON b.word = w.word
+       |  JOIN utok u ON u.word = w.word
+       |  GROUP BY w.lang),
+       |base AS (SELECT lang FROM documents GROUP BY lang)
+       |SELECT base.lang,
+       |  CAST(COALESCE(a.n_words, 0) AS BIGINT) AS n_words,
+       |  CAST(COALESCE(a.bpe_tokens, 0) AS BIGINT) AS bpe_tokens,
+       |  CASE WHEN COALESCE(a.n_words, 0) = 0 THEN 0.0
+       |       ELSE CAST(a.bpe_tokens AS DOUBLE) / CAST(a.n_words AS DOUBLE)
+       |  END AS bpe_per_word,
+       |  CAST(COALESCE(a.uni_tokens, 0) AS BIGINT) AS uni_tokens,
+       |  CASE WHEN COALESCE(a.n_words, 0) = 0 THEN 0.0
+       |       ELSE CAST(a.uni_tokens AS DOUBLE) / CAST(a.n_words AS DOUBLE)
+       |  END AS uni_per_word
+       |FROM base LEFT JOIN agg a ON a.lang = base.lang
+       |ORDER BY base.lang""".stripMargin
+
   /** Incremental inverted-index maintenance
     * ([[graft.operators.TextIndex.postingsIncremental]]): the state holds
     * postings for the even docs PLUS deliberately STALE postings for some
@@ -6421,6 +6538,8 @@ object Pipeline {
     Q("fuzzy_join", fuzzyJoin, Some(fuzzyJoinOracle)),
     Q("token_counts", tokenCounts, Some(tokenCountsOracle)),
     Q("bpe_tokenize", bpeTokenize, Some(bpeTokenizeOracle)),
+    Q("unigram_tokenize", unigramTokenize, Some(unigramTokenizeOracle)),
+    Q("tokenizer_compare", tokenizerCompare, Some(tokenizerCompareOracle)),
     Q("zorder_key", zorderKeyQ, Some(zorderKeyOracle)),
     Q("hilbert_key", hilbertKeyQ, Some(hilbertKeyOracle)),
     Q("quality_filter", qualityFilterQ, Some(qualityFilterOracle)),

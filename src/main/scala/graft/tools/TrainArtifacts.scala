@@ -63,6 +63,17 @@ object TrainArtifacts {
       println(s"""       |  (${i + 1}, ${sqlStr(l)}, ${sqlStr(r)}),""")
     }
 
+    // ---- Unigram-LM pieces: corpus chars + 48 multi-char pieces, soft
+    // EM over the same word dictionary, quantized to fixed-point costs
+    // (ln runs HERE; application is exact integer Viterbi)
+    val wc = graft.operators.Bpe.wordCounts(docs, col("text"))
+      .select(col("word"), col("n")).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq
+    val uCosts = graft.operators.Unigram.toCosts(
+      graft.operators.Unigram.trainUnigram(wc))
+    println("// ---- Scala literal: UnigramCosts")
+    uCosts.foreach { case (p, c) => println(s"    (${scalaStr(p)}, ${c}L),") }
+
     // ---- DSIR bucket weights: target = source 'src0', raw = the rest,
     // 64 hashed-unigram buckets (trainDsirWeights runs the ln on the
     // driver; the pinned literals keep query-time arithmetic ln-free)
