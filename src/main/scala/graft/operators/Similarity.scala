@@ -873,7 +873,6 @@ object Similarity {
   def marginMine(queries: DataFrame, corpus: DataFrame, k: Int = 4,
       threshold: Double = 1.0,
       excludeSelfIds: Boolean = false): DataFrame = {
-    require(k >= 1, s"k must be >= 1, got $k")
     val q = broadcast(queries.select(col("vec_id").as("query_id"),
       col("embedding").as("qv")))
     val c = corpus.select(col("vec_id").as("match_id"),
@@ -887,9 +886,28 @@ object Similarity {
       // carry no alignment signal, and a NULL score would break the
       // non-nullable TopK aggregation buffer below
       .filter(col("cos").isNotNull)
-    // three consumers (forward avg, backward avg, margin chain) — pin, or
-    // the |queries|×|corpus| scoring pass runs three times; released at
-    // the caller's materialization boundary via graft.Pins.unpinAll
+    marginOverPairs(scored, k, threshold)
+  }
+
+  /** The LASER margin chain over an ARBITRARY shortlist of scored pairs
+    * `(query_id, match_id, cos)` — the tail [[marginMine]] shares and the
+    * 10⁹-candidate composition path runs directly: shortlist with any of
+    * this module's searchers ([[lshTopK]]'s bucket join,
+    * [[ivfTopKWith]]'s cells), then margin-rank the shortlist. Both k-NN
+    * averages read the SHORTLISTED neighborhoods (the standard
+    * shortlisted-margin approximation — at 10⁹ candidates the exact
+    * neighborhood is exactly what you cannot afford), so scores differ
+    * from a full-scan [[marginMine]] where the shortlist misses true
+    * neighbors; the acceptance gate for that trade is [[recallReport]]
+    * on the shortlister.
+    *
+    * The input frame is pinned for its three consumers (forward avg,
+    * backward avg, margin chain) — released at the caller's
+    * materialization boundary via [[graft.Pins.unpinAll]].
+    */
+  def marginOverPairs(scored: DataFrame, k: Int,
+      threshold: Double): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
     graft.Pins.pin(scored)
     val topk = TopKAggregator.topK(k)
     def knnAvg(key: String, other: String, out: String) =
@@ -922,5 +940,40 @@ object Similarity {
       .select(col("query_id"), col("b.match_id").as("match_id"),
         col("b.cos").as("cos"), col("b.margin").as("margin"))
       .filter(col("margin") >= lit(threshold))
+  }
+
+  /** Bitext mining at corpus scales where [[marginMine]]'s broadcast scan
+    * is unaffordable: SRP-bucket LSH shortlists the candidate pairs (the
+    * [[lshTopK]] bucket join — each query meets only its bucket
+    * collisions, `multiProbe` adds the `bits` Hamming-1 buckets on the
+    * query side for recall), then [[marginOverPairs]] margin-ranks the
+    * shortlist. Work drops from |queries|·|corpus| cosines to the bucket
+    * collision volume (~|corpus|·(bits+1)/2^bits per query on balanced
+    * buckets); queries whose buckets collide with nothing mine nothing —
+    * by construction they have no near neighbor on the other side.
+    *
+    * `excludeSelfIds` as in [[marginMine]] (two independent id spaces by
+    * default).
+    */
+  def marginMineLsh(queries: DataFrame, corpus: DataFrame, k: Int = 4,
+      threshold: Double = 1.0, bits: Int = 8, multiProbe: Boolean = true,
+      excludeSelfIds: Boolean = false): DataFrame = {
+    val q0 = queries.select(col("vec_id").as("query_id"),
+      col("embedding").as("qv"),
+      srpBucket(col("embedding"), bits).as("bucket"))
+    val q =
+      if (!multiProbe) q0
+      else q0.select(col("query_id"), col("qv"),
+        explode(multiProbeKeys(col("bucket"), bits)).as("bucket"))
+    val c = corpus.select(col("vec_id").as("match_id"),
+      col("embedding").as("cv"),
+      srpBucket(col("embedding"), bits).as("bucket"))
+    val scored = q.join(c, Seq("bucket"))
+      .filter(if (excludeSelfIds) col("query_id") =!= col("match_id")
+        else lit(true))
+      .select(col("query_id"), col("match_id"),
+        VectorFunctions.cosineSim(col("qv"), col("cv")).as("cos"))
+      .filter(col("cos").isNotNull)
+    marginOverPairs(scored, k, threshold)
   }
 }

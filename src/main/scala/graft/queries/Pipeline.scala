@@ -1346,6 +1346,64 @@ object Pipeline {
        |FROM m WHERE rn = 1 AND margin >= 1.3
        |ORDER BY query_id""".stripMargin
 
+  /** Bitext mining THROUGH THE LSH SHORTLIST
+    * ([[graft.operators.Similarity.marginMineLsh]]) — the 10⁹-candidate
+    * composition path [[bitextMineQ]]'s scaladoc names: SRP buckets
+    * (8 bits, 1-bit multiprobe on the query side) shortlist the pairs,
+    * then the SAME margin chain ranks the shortlist. Margins differ from
+    * the full scan by construction (neighborhood averages read only
+    * shortlisted candidates), so this entry has its own oracle replaying
+    * the bucket join (`bit_count(xor) <= 1` — the
+    * [[simLshMultiprobeOracle]] replay) ahead of the margin chain.
+    */
+  def bitextMineLshQ(s: SparkSession, dir: String): DataFrame = {
+    val emb = T(s, dir, "embeddings")
+    graft.operators.Similarity.marginMineLsh(
+        emb.filter(col("vec_id") % 2 === 0 &&
+          col("vec_id") < lit(graft.Stress.IdStride) &&
+          col("vec_id") < 40),
+        emb.filter(col("vec_id") % 2 === 1),
+        k = 4, threshold = 1.3, bits = 8, multiProbe = true)
+      .orderBy(col("query_id"))
+  }
+
+  val bitextMineLshOracle: String =
+    s"""WITH buckets AS (
+       |  SELECT vec_id, embedding,
+       |    list_sum(list_transform(range(0, 8), j ->
+       |      CASE WHEN list_reduce(
+       |          list_transform(range(1, len(embedding) + 1), i ->
+       |            embedding[i]::DOUBLE *
+       |            (('0x' || substring(md5('plane:' || j || ':' || (i - 1)), 1, 8))::BIGINT::DOUBLE
+       |             / 2147483648.0 - 1.0)),
+       |          (x, y) -> x + y) > 0
+       |      THEN 1::BIGINT << j ELSE 0 END)) AS bucket
+       |  FROM embeddings
+       |), scored AS (
+       |  SELECT q.vec_id AS query_id, c.vec_id AS match_id,
+       |    ${cosSql("q.embedding", "c.embedding")} AS cos
+       |  FROM buckets q JOIN buckets c
+       |    ON bit_count(xor(q.bucket, c.bucket)) <= 1
+       |    AND q.vec_id % 2 = 0 AND q.vec_id < 40 AND c.vec_id % 2 = 1),
+       |f AS (SELECT query_id, list(cos ORDER BY cos DESC, match_id)[1:4]
+       |        AS l FROM scored GROUP BY 1),
+       |fa AS (SELECT query_id,
+       |         list_reduce(l, (x, y) -> x + y) / len(l) AS fa FROM f),
+       |b AS (SELECT match_id, list(cos ORDER BY cos DESC, query_id)[1:4]
+       |        AS l FROM scored GROUP BY 1),
+       |ba AS (SELECT match_id,
+       |         list_reduce(l, (x, y) -> x + y) / len(l) AS ba FROM b),
+       |m AS (
+       |  SELECT s.query_id, s.match_id, s.cos,
+       |    s.cos / ((fa.fa + ba.ba) / 2.0) AS margin,
+       |    ROW_NUMBER() OVER (PARTITION BY s.query_id
+       |      ORDER BY s.cos / ((fa.fa + ba.ba) / 2.0) DESC, s.match_id)
+       |      AS rn
+       |  FROM scored s JOIN fa USING (query_id) JOIN ba USING (match_id))
+       |SELECT query_id, match_id, cos, margin
+       |FROM m WHERE rn = 1 AND margin >= 1.3
+       |ORDER BY query_id""".stripMargin
+
   /** Metadata-filtered search: top-5 among ENGLISH documents only — the
     * corpus is pre-filtered by a predicate on the documents table
     * (semi-join on id), then scored. See
@@ -6638,6 +6696,7 @@ object Pipeline {
     Q("dedup_semantic", dedupSemantic, Some(dedupSemanticOracle)),
     Q("sim_bruteforce_topk", simBruteForce, Some(simBruteForceOracle)),
     Q("bitext_mine", bitextMineQ, Some(bitextMineOracle)),
+    Q("bitext_mine_lsh", bitextMineLshQ, Some(bitextMineLshOracle)),
     Q("quant_error_report", quantErrorQ, Some(quantErrorOracle)),
     Q("ann_recall", annRecallQ, Some(annRecallOracle)),
     Q("sim_hashed_tfidf", simHashedTfidf, Some(simHashedTfidfOracle)),

@@ -627,6 +627,31 @@ class SimilaritySpec extends SparkSpec {
       === 0L)
   }
 
+  test("marginMineLsh: a fully-covering probe set (bits=1, multiprobe) " +
+      "reproduces the exact marginMine; narrow buckets only shrink the " +
+      "candidate set") {
+    val qs = vectors(8, 16, seed = 7).withColumnRenamed("vec_id", "vid")
+      .select((col("vid") * 2).as("vec_id"), col("embedding"))
+    val cs = vectors(40, 16, seed = 8).withColumnRenamed("vec_id", "vid")
+      .select((col("vid") * 2 + 1).as("vec_id"), col("embedding"))
+    // bits = 1 with 1-bit multiprobe probes BOTH buckets -> the shortlist
+    // is every pair, so the shortlisted margin chain must equal the scan
+    val full = Similarity.marginMine(qs, cs, k = 3, threshold = 0.0)
+      .as[(Long, Long, Double, Double)].collect().sortBy(_._1).toSeq
+    val lsh = Similarity.marginMineLsh(qs, cs, k = 3, threshold = 0.0,
+        bits = 1, multiProbe = true)
+      .as[(Long, Long, Double, Double)].collect().sortBy(_._1).toSeq
+    assert(lsh === full)
+    // narrow (8-bit) buckets: every mined pair's candidates came from the
+    // bucket join, so each query mines at most one row and margins are
+    // finite doubles
+    val narrow = Similarity.marginMineLsh(qs, cs, k = 3, threshold = 0.0,
+        bits = 8, multiProbe = true)
+      .as[(Long, Long, Double, Double)].collect()
+    assert(narrow.map(_._1).distinct.length === narrow.length)
+    assert(narrow.forall(r => !r._4.isNaN && !r._4.isInfinite))
+  }
+
   test("labelNoiseScreen: a clean labeling yields an empty screen") {
     def near(x: Float, y: Float, eps: Float) = Array(x + eps, y, 0f, 0f)
     val rows = Seq(
