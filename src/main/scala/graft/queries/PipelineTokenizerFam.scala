@@ -1,0 +1,958 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.functions.TextFunctions
+
+/** Incremental dedup, quality gate, layout, token counting, BPE/unigram tokenizers, linkage, substring dedup — one slice of the [[Pipeline]] registry (the
+  * monolithic Pipeline.scala split per-family in round 16, zero
+  * behavior change; `Pipeline.all` still assembles every entry).
+  */
+trait PipelineTokenizerFam extends PipelineTextStatsFam {
+  // ------------------------------------------------- incremental near-dup dedup
+
+  /** Continuous-ingestion near-dup dedup: docs < 250 are the admitted
+    * corpus (state = band + posting tables, no text), docs >= 250 arrive as
+    * a fresh batch. The batch collapses internally (components, min-id rep)
+    * then reps near-matching the corpus are dropped. LSH recall is exactly
+    * 1 on this corpus and verification makes precision 1 (same argument as
+    * `dedup_minhash_lsh`), so the oracle is the exact-Jaccard replay.
+    */
+  def dedupIncremental(s: SparkSession, dir: String): DataFrame = {
+    val docs = T(s, dir, "documents")
+    val state = graft.operators.Dedup.NearDupState.build(
+      docs.filter(col("doc_id") < 250), col("doc_id"), col("text"))
+    val (survivors, _) = graft.operators.Dedup.minHashIncremental(
+      docs.filter(col("doc_id") >= 250), col("doc_id"), col("text"), state)
+    survivors.select(col("doc_id")).orderBy(col("doc_id"))
+  }
+
+  val dedupIncrementalOracle: String =
+    s"""WITH RECURSIVE $shingleSetsSql,
+       |posting AS (SELECT doc_id, unnest(s) AS sp FROM sets),
+       |cand AS (
+       |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS inter
+       |  FROM posting a JOIN posting b ON a.sp = b.sp AND a.doc_id < b.doc_id
+       |  WHERE a.doc_id >= 250 AND b.doc_id >= 250
+       |  GROUP BY 1, 2),
+       |pairs AS (
+       |  SELECT id_a, id_b FROM cand
+       |  JOIN sets sa ON sa.doc_id = id_a
+       |  JOIN sets sb ON sb.doc_id = id_b
+       |  WHERE CAST(inter AS DOUBLE) / CAST(len(sa.s) + len(sb.s) - inter AS DOUBLE) >= 0.8),
+       |edges AS (SELECT id_a AS s, id_b AS d FROM pairs
+       |          UNION ALL SELECT id_b, id_a FROM pairs),
+       |reach(id, r) AS (
+       |  SELECT DISTINCT s, s FROM edges
+       |  UNION
+       |  SELECT reach.id, e.d FROM reach JOIN edges e ON e.s = reach.r),
+       |nonrep AS (
+       |  SELECT id FROM (SELECT id, MIN(r) AS c FROM reach GROUP BY id)
+       |  WHERE c < id),
+       |xc AS (
+       |  SELECT b.doc_id AS fid, a.doc_id AS sid, COUNT(*) AS inter
+       |  FROM posting a JOIN posting b ON a.sp = b.sp
+       |  WHERE a.doc_id < 250 AND b.doc_id >= 250
+       |  GROUP BY 1, 2),
+       |xmatch AS (
+       |  SELECT DISTINCT fid FROM xc
+       |  JOIN sets sa ON sa.doc_id = sid
+       |  JOIN sets sb ON sb.doc_id = fid
+       |  WHERE CAST(inter AS DOUBLE) / CAST(len(sa.s) + len(sb.s) - inter AS DOUBLE) >= 0.8)
+       |SELECT doc_id FROM documents
+       |WHERE doc_id >= 250
+       |  AND doc_id NOT IN (SELECT id FROM nonrep)
+       |  AND doc_id NOT IN (SELECT fid FROM xmatch)
+       |ORDER BY doc_id""".stripMargin
+
+  // ------------------------------------------------------ composite quality gate
+
+  /** The full C4-style quality gate as one pipeline: every doc gets a
+    * kept/dropped verdict plus the ordered list of rules that rejected it
+    * (reason hit-rates are how thresholds get audited at scale). Thresholds
+    * chosen to actually exercise the token-count, stopword, and
+    * token-length rules on this corpus.
+    */
+  def qualityFilterQ(s: SparkSession, dir: String): DataFrame =
+    graft.operators.QualityFilter.filterWithReasons(
+        T(s, dir, "documents"), col("doc_id"), col("text"),
+        graft.operators.QualityFilter.Thresholds(
+          minTokens = 20, maxTokens = 1000000,
+          minStopRatio = 0.02, maxPunctRatio = 0.5,
+          minMeanTokLen = 3.0, maxMeanTokLen = 5.0,
+          maxDupFrac = 0.2, maxTopFrac = 0.9))
+      .select(col("id").as("doc_id"), col("kept"),
+        array_join(col("reasons"), ",").as("reasons"))
+      .orderBy(col("doc_id"))
+
+  val qualityFilterOracle: String =
+    s"""WITH $qualityReasonsCte
+       |SELECT doc_id, reasons = '' AS kept, reasons
+       |FROM r
+       |ORDER BY doc_id""".stripMargin
+
+  /** The shared reason-computation CTE chain (through `r`), reused by the
+    * per-doc verdict oracle above and the rule-hit-rate oracle below —
+    * one definition so the two gates cannot drift.
+    */
+  private[queries] lazy val qualityReasonsCte: String =
+    s"""t AS (
+       |  SELECT doc_id, text,
+       |    CASE WHEN len(trim(text)) = 0 THEN []::VARCHAR[]
+       |         ELSE string_split_regex(trim(text), '\\s+') END AS toks
+       |  FROM documents
+       |), m AS (
+       |  SELECT doc_id,
+       |    len(toks) AS n_tok,
+       |    CASE WHEN length(text) = 0 THEN 0.0
+       |         ELSE CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) AS DOUBLE)
+       |              / CAST(length(text) AS DOUBLE) END AS punct_ratio,
+       |    CASE WHEN len(toks) = 0 THEN 0.0
+       |         ELSE CAST(len(list_filter(toks, x -> list_contains($swEn, x))) AS DOUBLE)
+       |              / CAST(len(toks) AS DOUBLE) END AS stop_ratio,
+       |    CASE WHEN len(toks) = 0 THEN 0.0
+       |         ELSE CAST(list_sum(list_transform(toks, x -> length(x))) AS DOUBLE)
+       |              / CAST(len(toks) AS DOUBLE) END AS mean_tok_len
+       |  FROM t
+       |), segs AS (
+       |  SELECT doc_id, unnest(string_split_regex(text, '\\. ')) AS seg FROM documents),
+       |sc AS (SELECT doc_id, seg, COUNT(*) AS n FROM segs GROUP BY 1, 2),
+       |rep AS (
+       |  SELECT doc_id, SUM(n) AS n_seg,
+       |    CAST(SUM(n) - COUNT(*) AS DOUBLE) / CAST(SUM(n) AS DOUBLE) AS dup_frac,
+       |    CAST(MAX(n) AS DOUBLE) / CAST(SUM(n) AS DOUBLE) AS top_frac
+       |  FROM sc GROUP BY doc_id),
+       |r AS (
+       |  SELECT m.doc_id,
+       |    concat_ws(',',
+       |      CASE WHEN n_tok < 20 THEN 'too_few_tokens' END,
+       |      CASE WHEN n_tok > 1000000 THEN 'too_many_tokens' END,
+       |      CASE WHEN stop_ratio < 0.02 THEN 'low_stopword_ratio' END,
+       |      CASE WHEN punct_ratio > 0.5 THEN 'high_punct_ratio' END,
+       |      CASE WHEN mean_tok_len < 3.0 OR mean_tok_len > 5.0
+       |           THEN 'mean_tok_len_out_of_range' END,
+       |      CASE WHEN dup_frac > 0.2 THEN 'repeated_segments' END,
+       |      CASE WHEN n_seg > 1 AND top_frac > 0.9 THEN 'dominant_segment' END
+       |    ) AS reasons
+       |  FROM m JOIN rep ON rep.doc_id = m.doc_id)""".stripMargin
+
+  /** Per-rule kill audit ([[graft.operators.QualityFilter.ruleHits]]):
+    * how many documents each quality rule rejects, how many it alone
+    * rejects (its marginal contribution — the number that changes when
+    * you relax just that threshold), and the hit rate. Same thresholds
+    * and shared oracle CTEs as `quality_filter`.
+    */
+  def qualityRuleHitsQ(s: SparkSession, dir: String): DataFrame =
+    graft.operators.QualityFilter.ruleHits(
+        T(s, dir, "documents"), col("doc_id"), col("text"),
+        graft.operators.QualityFilter.Thresholds(
+          minTokens = 20, maxTokens = 1000000,
+          minStopRatio = 0.02, maxPunctRatio = 0.5,
+          minMeanTokLen = 3.0, maxMeanTokLen = 5.0,
+          maxDupFrac = 0.2, maxTopFrac = 0.9))
+      .orderBy(col("rule"))
+
+  val qualityRuleHitsOracle: String =
+    s"""WITH $qualityReasonsCte,
+       |rules AS (
+       |  SELECT unnest(string_split(reasons, ',')) AS rule,
+       |    len(string_split(reasons, ',')) AS nr
+       |  FROM r WHERE reasons <> ''),
+       |tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM r)
+       |SELECT rule, CAST(COUNT(*) AS BIGINT) AS n_hits,
+       |  CAST(SUM(CASE WHEN nr = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_solo,
+       |  tot.n_docs,
+       |  CAST(COUNT(*) AS DOUBLE) / CAST(tot.n_docs AS DOUBLE) AS hit_rate
+       |FROM rules CROSS JOIN tot
+       |GROUP BY rule, tot.n_docs
+       |ORDER BY rule""".stripMargin
+
+  /** The END-TO-END curation flow as one oracle-checked query — what a
+    * user of this engine actually runs before training: exact dedup
+    * (canonical doc per identical text) → C4-style quality gate → the
+    * deterministic train split → greedy 512-token sequence packing per
+    * source. Every stage is an already-proven operator; the value of this
+    * entry is proving the COMPOSITION end to end against one SQL replay
+    * (stage boundaries are where column-contract bugs hide). All stage
+    * predicates are pure functions of (doc_id, text), so the pipeline is
+    * engine- and partitioning-independent by construction.
+    */
+  def curationPipeline(s: SparkSession, dir: String): DataFrame = {
+    val docs = T(s, dir, "documents")
+    val deduped = docs.join(
+      graft.operators.Dedup.exact(docs, col("doc_id"), col("text"))
+        .select(col("keep_id").as("doc_id")), Seq("doc_id"), "left_semi")
+    val quality = graft.operators.QualityFilter.filter(
+      deduped, col("doc_id"), col("text"),
+      graft.operators.QualityFilter.Thresholds(
+        minTokens = 20, maxTokens = 1000000,
+        minStopRatio = 0.02, maxPunctRatio = 0.5,
+        minMeanTokLen = 3.0, maxMeanTokLen = 5.0,
+        maxDupFrac = 0.2, maxTopFrac = 0.9))
+    val train = graft.operators.Sampling.splitByHash(
+        quality, col("doc_id"), SplitWeights)
+      .filter(col("split") === "train")
+    graft.operators.Packing.packGreedy(
+        train.select(col("source"), col("doc_id"),
+          TextFunctions.tokenCountWs(col("text")).as("n_tok")),
+        col("source"), col("doc_id"), col("n_tok"), budget = 512L)
+      .select(col("group").as("source"), col("ord").as("doc_id"),
+        col("size").as("n_tok"), col("pack_id"))
+      .orderBy(col("source"), col("doc_id"))
+  }
+
+  val curationPipelineOracle: String = {
+    val trainCut = (0.8 * 4294967296.0).toLong
+    s"""WITH RECURSIVE keepers AS (
+       |  SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY text),
+       |d AS (SELECT doc.* FROM documents doc JOIN keepers k ON k.doc_id = doc.doc_id),
+       |tq AS (
+       |  SELECT doc_id, text,
+       |    CASE WHEN len(trim(text)) = 0 THEN []::VARCHAR[]
+       |         ELSE string_split_regex(trim(text), '\\s+') END AS toks
+       |  FROM d),
+       |m AS (
+       |  SELECT doc_id,
+       |    len(toks) AS n_tok,
+       |    CASE WHEN length(text) = 0 THEN 0.0
+       |         ELSE CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) AS DOUBLE)
+       |              / CAST(length(text) AS DOUBLE) END AS punct_ratio,
+       |    CASE WHEN len(toks) = 0 THEN 0.0
+       |         ELSE CAST(len(list_filter(toks, x -> list_contains($swEn, x))) AS DOUBLE)
+       |              / CAST(len(toks) AS DOUBLE) END AS stop_ratio,
+       |    CASE WHEN len(toks) = 0 THEN 0.0
+       |         ELSE CAST(list_sum(list_transform(toks, x -> length(x))) AS DOUBLE)
+       |              / CAST(len(toks) AS DOUBLE) END AS mean_tok_len
+       |  FROM tq),
+       |segs AS (
+       |  SELECT doc_id, unnest(string_split_regex(text, '\\. ')) AS seg FROM d),
+       |sc AS (SELECT doc_id, seg, COUNT(*) AS n FROM segs GROUP BY 1, 2),
+       |rep AS (
+       |  SELECT doc_id, SUM(n) AS n_seg,
+       |    CAST(SUM(n) - COUNT(*) AS DOUBLE) / CAST(SUM(n) AS DOUBLE) AS dup_frac,
+       |    CAST(MAX(n) AS DOUBLE) / CAST(SUM(n) AS DOUBLE) AS top_frac
+       |  FROM sc GROUP BY doc_id),
+       |q AS (
+       |  SELECT m.doc_id FROM m JOIN rep ON rep.doc_id = m.doc_id
+       |  WHERE n_tok >= 20 AND n_tok <= 1000000
+       |    AND stop_ratio >= 0.02 AND punct_ratio <= 0.5
+       |    AND mean_tok_len >= 3.0 AND mean_tok_len <= 5.0
+       |    AND dup_frac <= 0.2 AND NOT (n_seg > 1 AND top_frac > 0.9)),
+       |qd AS (
+       |  SELECT d.* FROM d JOIN q ON q.doc_id = d.doc_id
+       |  WHERE ('0x' || substring(md5(CAST(d.doc_id AS VARCHAR)), 1, 8))::BIGINT
+       |        < $trainCut),
+       |t AS (
+       |  SELECT source, doc_id,
+       |    CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS n_tok,
+       |    row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rn
+       |  FROM qd),
+       |r AS (
+       |  SELECT source, doc_id, n_tok, rn, CAST(1 AS BIGINT) AS pack_id,
+       |    n_tok AS acc
+       |  FROM t WHERE rn = 1
+       |  UNION ALL
+       |  SELECT t.source, t.doc_id, t.n_tok, t.rn,
+       |    CASE WHEN r.acc + t.n_tok > 512 THEN r.pack_id + 1 ELSE r.pack_id END,
+       |    CASE WHEN r.acc + t.n_tok > 512 THEN t.n_tok ELSE r.acc + t.n_tok END
+       |  FROM r JOIN t ON t.source = r.source AND t.rn = r.rn + 1)
+       |SELECT source, doc_id, n_tok, pack_id
+       |FROM r
+       |ORDER BY source, doc_id""".stripMargin
+  }
+
+  // ----------------------------------------------------------- z-order layout
+
+  /** Z-order (Morton) clustering key over (o_custkey, o_orderkey): the
+    * write-layout primitive behind [[graft.operators.Layout.zorder]] —
+    * sorting by this key packs each output file into a compact rectangle of
+    * the two-column space so min/max stats prune scans on either column.
+    * The oracle recomputes the 31-bit interleave with per-bit shifts.
+    */
+  def zorderKeyQ(s: SparkSession, dir: String): DataFrame =
+    T(s, dir, "orders")
+      .filter(col("o_orderkey") <= 5000)
+      .select(col("o_orderkey"),
+        graft.operators.Layout.zOrderKey(col("o_custkey"), col("o_orderkey"))
+          .as("z"))
+      .orderBy(col("o_orderkey"))
+
+  val zorderKeyOracle: String =
+    """SELECT o_orderkey,
+      |  CAST(list_reduce(list_transform(range(0, 31), i ->
+      |    (((CAST(o_custkey AS BIGINT) >> i) & 1) << (2 * i)) +
+      |    (((CAST(o_orderkey AS BIGINT) >> i) & 1) << (2 * i + 1))),
+      |    (x, y) -> x + y) AS BIGINT) AS z
+      |FROM orders
+      |WHERE o_orderkey <= 5000
+      |ORDER BY o_orderkey""".stripMargin
+
+  /** Hilbert clustering key over the same two columns as [[zorderKeyQ]] —
+    * the no-long-jumps curve. The oracle replays the public xy→d walk
+    * level by level with a recursive CTE (per level: quadrant contribution
+    * `s²·((3·rx) xor ry)`, then flip-and-swap the frame).
+    */
+  def hilbertKeyQ(s: SparkSession, dir: String): DataFrame =
+    T(s, dir, "orders")
+      .filter(col("o_orderkey") <= 5000)
+      .select(col("o_orderkey"),
+        graft.operators.Layout.hilbertKey(col("o_custkey"), col("o_orderkey"))
+          .as("h"))
+      .orderBy(col("o_orderkey"))
+
+  val hilbertKeyOracle: String =
+    """WITH RECURSIVE walk AS (
+      |  SELECT o_orderkey,
+      |    CAST(o_custkey AS BIGINT) & 2147483647 AS x,
+      |    CAST(o_orderkey AS BIGINT) & 2147483647 AS y,
+      |    CAST(0 AS BIGINT) AS d, 30 AS lev
+      |  FROM orders WHERE o_orderkey <= 5000
+      |  UNION ALL
+      |  SELECT o_orderkey,
+      |    CASE WHEN ry = 0 THEN fy ELSE x END,
+      |    CASE WHEN ry = 0 THEN fx ELSE y END,
+      |    d + s * s * xor(3 * rx, ry),
+      |    lev - 1
+      |  FROM (
+      |    SELECT o_orderkey, x, y, d, lev, s, rx, ry,
+      |      CASE WHEN rx = 1 THEN s - 1 - x ELSE x END AS fx,
+      |      CASE WHEN rx = 1 THEN s - 1 - y ELSE y END AS fy
+      |    FROM (
+      |      SELECT *, (CAST(1 AS BIGINT) << lev) AS s,
+      |        CASE WHEN (x & (CAST(1 AS BIGINT) << lev)) > 0
+      |             THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END AS rx,
+      |        CASE WHEN (y & (CAST(1 AS BIGINT) << lev)) > 0
+      |             THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END AS ry
+      |      FROM walk WHERE lev >= 0) t1) t2)
+      |SELECT o_orderkey, d AS h FROM walk WHERE lev = -1
+      |ORDER BY o_orderkey""".stripMargin
+
+  // ----------------------------------------------------------- token counting
+
+  /** Token-budget estimation per document: whitespace tokens next to the
+    * BPE-ish regex pieces (letter runs / digit runs / single symbols) — the
+    * two standard cheap proxies when a real subword tokenizer is
+    * unavailable. Map-only: both counts are codegen'd regex builtins.
+    */
+  def tokenCounts(s: SparkSession, dir: String): DataFrame =
+    T(s, dir, "documents")
+      .select(col("doc_id"),
+        TextFunctions.tokenCountWs(col("text")).cast("long").as("n_tok_ws"),
+        TextFunctions.tokenCountBpe(col("text")).cast("long").as("n_tok_bpe"))
+      .orderBy(col("doc_id"))
+
+  val tokenCountsOracle: String =
+    """SELECT doc_id,
+      |  CAST(CASE WHEN trim(text) = '' THEN 0
+      |       ELSE len(string_split_regex(trim(text), '\s+')) END AS BIGINT) AS n_tok_ws,
+      |  CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS BIGINT)
+      |    AS n_tok_bpe
+      |FROM documents
+      |ORDER BY doc_id""".stripMargin
+
+  /** REAL BPE application at corpus scale: the 16-merge table learned once
+    * from this corpus's word dictionary ([[graft.tools.TrainArtifacts]],
+    * pinned as [[PinnedArtifacts.BpeMerges16]] — the "ship the trained
+    * tokenizer as a build artifact" pattern) applied via the distinct-word
+    * join. With the merge table injected, tokenization is pure exact string
+    * work, so the oracle can replay it: the recursive CTE walks every
+    * distinct word symbol-by-symbol through the 16 ranked greedy merge
+    * passes (the same left-to-right fold as [[graft.operators.Bpe
+    * .applyMerges]]), then re-aggregates token counts per document. The
+    * TRAINING loop (argmax per merge) stays spec-gated: BpeSpec pins
+    * `trainBpe` against an independent reference implementation.
+    */
+  def bpeTokenize(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Bpe.tokenizeCorpus(
+        T(s, dir, "documents"), col("doc_id"), col("text"),
+        PinnedArtifacts.BpeMerges16)
+      .select(col("id").as("doc_id"), col("n_tokens"))
+      .orderBy(col("doc_id"))
+
+  /** The greedy-merge-application CTE block shared by [[bpeTokenizeOracle]]
+    * and [[tokenizerFertilityOracle]]: expects a `dict(word)` CTE defined
+    * before it, yields `tok(word, n_sub)`. One greedy left-to-right merge
+    * pass per rank: state advances one symbol per iteration (pos into
+    * syms, acc = folded output); when a pass ends, acc becomes the next
+    * rank's syms. rk = 17 is final.
+    */
+  private[queries] val bpeStepTokCte: String =
+    """step(word, rk, pos, syms, acc) AS (
+      |  SELECT word, 1, 1,
+      |    list_append(regexp_extract_all(word, '.'), '</w>'),
+      |    []::VARCHAR[]
+      |  FROM dict
+      |  UNION ALL
+      |  SELECT word,
+      |    CASE WHEN pos <= len(syms) THEN rk ELSE rk + 1 END,
+      |    CASE WHEN pos <= len(syms) THEN pos + 1 ELSE 1 END,
+      |    CASE WHEN pos <= len(syms) THEN syms ELSE acc END,
+      |    CASE WHEN pos > len(syms) THEN []::VARCHAR[]
+      |         WHEN len(acc) > 0 AND acc[-1] = m.ml AND syms[pos] = m.mr
+      |         THEN list_append(array_pop_back(acc), m.ml || m.mr)
+      |         ELSE list_append(acc, syms[pos]) END
+      |  FROM step JOIN m ON m.mrank = step.rk
+      |  WHERE step.rk <= 16),
+      |tok AS (SELECT word, len(syms) AS n_sub FROM step WHERE rk = 17)""".stripMargin
+
+  def bpeTokenizeOracle: String =
+    s"""WITH RECURSIVE
+       |m(mrank, ml, mr) AS (VALUES
+       |${PinnedArtifacts.bpeMergesSqlValues}
+       |),
+       |w AS (
+       |  SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS word
+       |  FROM documents WHERE trim(text) <> ''),
+       |dict AS (SELECT DISTINCT word FROM w),
+       |$bpeStepTokCte,
+       |cnt AS (
+       |  SELECT w.doc_id, SUM(t.n_sub) AS n
+       |  FROM w JOIN tok t ON t.word = w.word
+       |  GROUP BY w.doc_id)
+       |SELECT d.doc_id, CAST(COALESCE(c.n, 0) AS INTEGER) AS n_tokens
+       |FROM documents d LEFT JOIN cnt c ON c.doc_id = d.doc_id
+       |ORDER BY d.doc_id""".stripMargin
+
+  /** REAL unigram-LM tokenization at corpus scale
+    * ([[graft.operators.Unigram]] — SentencePiece-style, Kudo 2018): the
+    * 72-piece table trained once from this corpus's word dictionary
+    * ([[graft.tools.TrainArtifacts]], pinned as
+    * [[PinnedArtifacts.UnigramCosts]] in FIXED-POINT costs) applied via
+    * exact integer Viterbi over the distinct-word dictionary. The oracle
+    * enumerates every segmentation of each distinct word with a
+    * recursive CTE (UNION-deduped (word, pos, cost, n) states keep the
+    * lattice polynomial) and takes the same (cost ASC, pieces ASC)
+    * argmin — integer costs make the DP and the enumeration provably
+    * agree where a float Viterbi would tie on the last ulp. The EM
+    * TRAINING loop stays spec-gated (UnigramSpec: coverage,
+    * normalization, likelihood ascent, determinism).
+    */
+  def unigramTokenize(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Unigram.tokenCounts(
+        T(s, dir, "documents"), col("doc_id"), col("text"),
+        PinnedArtifacts.UnigramCosts)
+      .select(col("id").as("doc_id"), col("n_tokens"))
+      .orderBy(col("doc_id"))
+
+  /** The unigram Viterbi CTE block shared by [[unigramTokenizeOracle]]
+    * and [[tokenizerCompareOracle]]: expects `p(piece, plen, cost)` and
+    * `dict(word)` CTEs defined before it, yields `utok(word, n_sub)`.
+    * States dedupe via UNION (not UNION ALL) so equal-cost equal-count
+    * lattice paths collapse instead of multiplying.
+    */
+  private[queries] val unigramTokCte: String =
+    """ust(word, pos, cost, n) AS (
+      |  SELECT word, 0, CAST(0 AS BIGINT), 0 FROM dict
+      |  UNION
+      |  SELECT ust.word, ust.pos + p.plen, ust.cost + p.cost, ust.n + 1
+      |  FROM ust JOIN p ON substring(ust.word, ust.pos + 1, p.plen) = p.piece
+      |  WHERE ust.pos < len(ust.word)),
+      |ubest AS (
+      |  SELECT word, n AS n_sub,
+      |    ROW_NUMBER() OVER (PARTITION BY word ORDER BY cost, n) AS rn
+      |  FROM ust WHERE pos = len(word)),
+      |utok AS (SELECT word, n_sub FROM ubest WHERE rn = 1)""".stripMargin
+
+  def unigramTokenizeOracle: String =
+    s"""WITH RECURSIVE
+       |p(piece, plen, cost) AS (VALUES
+       |${PinnedArtifacts.unigramCostsSqlValues}
+       |),
+       |w AS (
+       |  SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS word
+       |  FROM documents WHERE trim(text) <> ''),
+       |dict AS (SELECT DISTINCT word FROM w),
+       |$unigramTokCte,
+       |cnt AS (
+       |  SELECT w.doc_id, SUM(t.n_sub) AS n
+       |  FROM w JOIN utok t ON t.word = w.word
+       |  GROUP BY w.doc_id)
+       |SELECT d.doc_id, CAST(COALESCE(c.n, 0) AS BIGINT) AS n_tokens
+       |FROM documents d LEFT JOIN cnt c ON c.doc_id = d.doc_id
+       |ORDER BY d.doc_id""".stripMargin
+
+  /** The two-tokenizer fertility comparison `tokenizer_fertility` was
+    * built for: per language, word counts against BOTH the pinned BPE
+    * merge table and the pinned unigram-LM piece table — the audit a
+    * vocab decision actually reads (which family spends fewer subwords
+    * per word on which language). One word-dictionary pass feeds both
+    * appliers; the oracle replays BOTH segmentation algorithms (greedy
+    * ranked merges AND Viterbi argmin) in one WITH RECURSIVE.
+    */
+  def tokenizerCompare(s: SparkSession, dir: String): DataFrame = {
+    val docs = T(s, dir, "documents")
+    val bpe = graft.operators.Bpe.fertilityByGroup(
+        docs, col("text"), col("lang"), PinnedArtifacts.BpeMerges16)
+      .select(col("grp").as("lang"), col("n_words"),
+        col("n_tokens").as("bpe_tokens"),
+        col("tokens_per_word").as("bpe_per_word"))
+    val uni = graft.operators.Unigram.fertilityByGroup(
+        docs, col("text"), col("lang"), PinnedArtifacts.UnigramCosts)
+      .select(col("grp").as("lang"),
+        col("n_tokens").as("uni_tokens"),
+        col("tokens_per_word").as("uni_per_word"))
+    bpe.join(uni, Seq("lang"))
+      .orderBy(col("lang"))
+  }
+
+  def tokenizerCompareOracle: String =
+    s"""WITH RECURSIVE
+       |m(mrank, ml, mr) AS (VALUES
+       |${PinnedArtifacts.bpeMergesSqlValues}
+       |),
+       |p(piece, plen, cost) AS (VALUES
+       |${PinnedArtifacts.unigramCostsSqlValues}
+       |),
+       |w AS (
+       |  SELECT lang, unnest(string_split_regex(trim(text), '\\s+')) AS word
+       |  FROM documents WHERE trim(text) <> ''),
+       |dict AS (SELECT DISTINCT word FROM w),
+       |$bpeStepTokCte,
+       |$unigramTokCte,
+       |agg AS (
+       |  SELECT w.lang, COUNT(*) AS n_words,
+       |    SUM(b.n_sub) AS bpe_tokens, SUM(u.n_sub) AS uni_tokens
+       |  FROM w
+       |  JOIN tok b ON b.word = w.word
+       |  JOIN utok u ON u.word = w.word
+       |  GROUP BY w.lang),
+       |base AS (SELECT lang FROM documents GROUP BY lang)
+       |SELECT base.lang,
+       |  CAST(COALESCE(a.n_words, 0) AS BIGINT) AS n_words,
+       |  CAST(COALESCE(a.bpe_tokens, 0) AS BIGINT) AS bpe_tokens,
+       |  CASE WHEN COALESCE(a.n_words, 0) = 0 THEN 0.0
+       |       ELSE CAST(a.bpe_tokens AS DOUBLE) / CAST(a.n_words AS DOUBLE)
+       |  END AS bpe_per_word,
+       |  CAST(COALESCE(a.uni_tokens, 0) AS BIGINT) AS uni_tokens,
+       |  CASE WHEN COALESCE(a.n_words, 0) = 0 THEN 0.0
+       |       ELSE CAST(a.uni_tokens AS DOUBLE) / CAST(a.n_words AS DOUBLE)
+       |  END AS uni_per_word
+       |FROM base LEFT JOIN agg a ON a.lang = base.lang
+       |ORDER BY base.lang""".stripMargin
+
+  /** Incremental inverted-index maintenance
+    * ([[graft.operators.TextIndex.postingsIncremental]]): the state holds
+    * postings for the even docs PLUS deliberately STALE postings for some
+    * odd docs (their first-3-token prefix); folding in the odd-doc batch
+    * must replace the stale rows and preserve the even ones — so the
+    * result hash-matches a clean full-corpus posting build (the oracle)
+    * ONLY if the anti-join replacement semantics are right.
+    */
+  def indexIncrementalQ(s: SparkSession, dir: String): DataFrame = {
+    val docs = T(s, dir, "documents")
+    val even = docs.filter(col("doc_id") % 2 === 0)
+    val oddStale = docs.filter(col("doc_id") % 2 === 1)
+      .select(col("doc_id"),
+        array_join(slice(TextFunctions.tokensWs(col("text")), 1, 3), " ")
+          .as("text"))
+    val state = graft.operators.TextIndex.postings(
+        even, col("doc_id"), col("text"))
+      .unionByName(graft.operators.TextIndex.postings(
+        oddStale, col("doc_id"), col("text")))
+    val batch = docs.filter(col("doc_id") % 2 === 1)
+    graft.operators.TextIndex.postingsIncremental(
+        state, batch, col("doc_id"), col("text"))
+      .orderBy(col("doc_id"), col("term"))
+  }
+
+  val indexIncrementalOracle: String =
+    """SELECT doc_id, term, COUNT(*) AS tf
+      |FROM (SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS term
+      |      FROM documents WHERE trim(text) <> '')
+      |GROUP BY 1, 2
+      |ORDER BY doc_id, term""".stripMargin
+
+  /** The composed production retrieval path: BM25 SERVED FROM THE
+    * MAINTAINED INDEX. The index is the [[indexIncrementalQ]] state (even
+    * docs' postings plus deliberately STALE prefix postings for the odd
+    * docs) folded with the odd-doc batch via
+    * [[graft.operators.TextIndex.postingsIncremental]]; serving is
+    * [[graft.operators.TextIndex.bm25TopKFromPostings]] over that folded
+    * table — no corpus tokenization at query time (PlanSpec asserts the
+    * serve plan over a posting table is tokenize-free; the tokenization
+    * visible in THIS query's plan belongs to the in-test index build,
+    * which production amortizes across ingest batches). Corpus size is the
+    * maintained doc count, NOT an index-derived distinct (blank docs have
+    * no postings but belong in N). The oracle is [[bm25TopkOracle]]
+    * verbatim — a clean full-corpus build + BM25 — so the composition
+    * hash-matches ONLY if the incremental fold's replace semantics AND
+    * the served scoring are both exact.
+    */
+  def bm25FromIndexQ(s: SparkSession, dir: String): DataFrame = {
+    val docs = T(s, dir, "documents")
+    val even = docs.filter(col("doc_id") % 2 === 0)
+    val oddStale = docs.filter(col("doc_id") % 2 === 1)
+      .select(col("doc_id"),
+        array_join(slice(TextFunctions.tokensWs(col("text")), 1, 3), " ")
+          .as("text"))
+    val state = graft.operators.TextIndex.postings(
+        even, col("doc_id"), col("text"))
+      .unionByName(graft.operators.TextIndex.postings(
+        oddStale, col("doc_id"), col("text")))
+    val batch = docs.filter(col("doc_id") % 2 === 1)
+    val index = graft.operators.TextIndex.postingsIncremental(
+      state, batch, col("doc_id"), col("text"))
+    val corpusSize = docs.agg(count(lit(1)).as("__n"))
+    val qt = docs.filter(col("doc_id") % 101 === 0 &&
+        col("doc_id") < graft.Stress.IdStride)
+      .select(col("doc_id").as("qid"),
+        explode(slice(array_sort(array_distinct(
+          filter(graft.functions.TextFunctions.tokensWs(col("text")),
+            t => length(t) >= 4))), 1, 4)).as("term"))
+    graft.operators.TextIndex.bm25TopKFromPostings(
+        index, corpusSize, qt, k = 5)
+      .orderBy(col("qid"), col("rank"))
+  }
+
+  /** Duplicate-rate attribution per source
+    * ([[graft.operators.Diagnostics.dupRateByGroup]]): corpus-wide exact
+    * duplicates charged to every source that carries them. Counts and
+    * one exact-ratio division — the oracle recomputes the fingerprint
+    * df directly.
+    */
+  def dupRateBySourceQ(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Diagnostics.dupRateByGroup(
+        T(s, dir, "documents"), col("source"), col("text"))
+      .orderBy(col("grp"))
+
+  val dupRateBySourceOracle: String =
+    """WITH f AS (
+      |  SELECT source AS grp,
+      |    ('0x' || substring(md5(text), 1, 15))::BIGINT AS fp
+      |  FROM documents),
+      |d AS (SELECT fp, 1 AS dup FROM f GROUP BY fp HAVING COUNT(*) > 1)
+      |SELECT f.grp, COUNT(*) AS n_docs,
+      |  CAST(SUM(CASE WHEN d.dup IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_dup,
+      |  CAST(SUM(CASE WHEN d.dup IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+      |    / CAST(COUNT(*) AS DOUBLE) AS dup_rate
+      |FROM f LEFT JOIN d ON d.fp = f.fp
+      |GROUP BY f.grp
+      |ORDER BY f.grp""".stripMargin
+
+  /** Character-class drift per source
+    * ([[graft.operators.Diagnostics.sourceDrift]]): each source's
+    * {letter, digit, whitespace, other} distribution chi-squared against
+    * the corpus profile — the model-free ingestion-drift screen. Counts
+    * are exact integers; the χ² chain is fixed-order two-operand IEEE
+    * arithmetic, replayed verbatim by the oracle.
+    */
+  def sourceDriftQ(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Diagnostics.sourceDrift(
+        T(s, dir, "documents"), col("source"), col("text"))
+      .orderBy(col("grp"))
+
+  val sourceDriftOracle: String =
+    """WITH cl AS (
+      |  SELECT source AS grp, CAST(length(text) AS BIGINT) AS n_all,
+      |    CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS BIGINT)
+      |      AS n_letter,
+      |    CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS BIGINT)
+      |      AS n_digit,
+      |    CAST(length(regexp_replace(text, e'[^ \\t\\n\\f\\r]', '', 'g'))
+      |      AS BIGINT) AS n_space
+      |  FROM documents),
+      |ps AS (
+      |  -- CAST AS BIGINT: DuckDB SUM(BIGINT) is HUGEINT, which pandas
+      |  -- renders float64 — the driver's value hash then sees 7949.0 vs
+      |  -- Spark's 7949 and fails (burned in CORRECTNESS_r13)
+      |  SELECT grp, CAST(SUM(n_all) AS BIGINT) AS n_chars,
+      |    CAST(SUM(n_letter) AS BIGINT) AS n_letters,
+      |    CAST(SUM(n_digit) AS BIGINT) AS n_digits,
+      |    CAST(SUM(n_space) AS BIGINT) AS n_spaces,
+      |    CAST(SUM(n_all) - SUM(n_letter) - SUM(n_digit) - SUM(n_space)
+      |      AS BIGINT) AS n_other
+      |  FROM cl GROUP BY 1),
+      |tot AS (
+      |  SELECT SUM(n_chars) AS g_all, SUM(n_letters) AS g_letter,
+      |    SUM(n_digits) AS g_digit, SUM(n_spaces) AS g_space,
+      |    SUM(n_other) AS g_other
+      |  FROM ps)
+      |SELECT grp, n_chars, n_letters, n_digits, n_spaces, n_other,
+      |  CASE WHEN g_letter = 0 OR n_chars = 0 THEN 0.0
+      |      ELSE (CAST(n_letters AS DOUBLE) - CAST(n_chars AS DOUBLE)
+      |        * (CAST(g_letter AS DOUBLE) / CAST(g_all AS DOUBLE)))
+      |        * (CAST(n_letters AS DOUBLE) - CAST(n_chars AS DOUBLE)
+      |        * (CAST(g_letter AS DOUBLE) / CAST(g_all AS DOUBLE)))
+      |        / (CAST(n_chars AS DOUBLE)
+      |        * (CAST(g_letter AS DOUBLE) / CAST(g_all AS DOUBLE))) END
+      |  + CASE WHEN g_digit = 0 OR n_chars = 0 THEN 0.0
+      |      ELSE (CAST(n_digits AS DOUBLE) - CAST(n_chars AS DOUBLE)
+      |        * (CAST(g_digit AS DOUBLE) / CAST(g_all AS DOUBLE)))
+      |        * (CAST(n_digits AS DOUBLE) - CAST(n_chars AS DOUBLE)
+      |        * (CAST(g_digit AS DOUBLE) / CAST(g_all AS DOUBLE)))
+      |        / (CAST(n_chars AS DOUBLE)
+      |        * (CAST(g_digit AS DOUBLE) / CAST(g_all AS DOUBLE))) END
+      |  + CASE WHEN g_space = 0 OR n_chars = 0 THEN 0.0
+      |      ELSE (CAST(n_spaces AS DOUBLE) - CAST(n_chars AS DOUBLE)
+      |        * (CAST(g_space AS DOUBLE) / CAST(g_all AS DOUBLE)))
+      |        * (CAST(n_spaces AS DOUBLE) - CAST(n_chars AS DOUBLE)
+      |        * (CAST(g_space AS DOUBLE) / CAST(g_all AS DOUBLE)))
+      |        / (CAST(n_chars AS DOUBLE)
+      |        * (CAST(g_space AS DOUBLE) / CAST(g_all AS DOUBLE))) END
+      |  + CASE WHEN g_other = 0 OR n_chars = 0 THEN 0.0
+      |      ELSE (CAST(n_other AS DOUBLE) - CAST(n_chars AS DOUBLE)
+      |        * (CAST(g_other AS DOUBLE) / CAST(g_all AS DOUBLE)))
+      |        * (CAST(n_other AS DOUBLE) - CAST(n_chars AS DOUBLE)
+      |        * (CAST(g_other AS DOUBLE) / CAST(g_all AS DOUBLE)))
+      |        / (CAST(n_chars AS DOUBLE)
+      |        * (CAST(g_other AS DOUBLE) / CAST(g_all AS DOUBLE))) END AS chi2
+      |FROM ps CROSS JOIN tot
+      |ORDER BY grp""".stripMargin
+
+  /** Segment-level mixed-language screen
+    * ([[graft.operators.QualityFilter.mixedLanguageReport]]): language-id
+    * every 16-token window and report per-doc distinct-language counts,
+    * primary language, and the mixed flag. The oracle replays the window
+    * slicing and the stopword/CJK argmax per segment.
+    */
+  def mixedLanguageQ(s: SparkSession, dir: String): DataFrame =
+    graft.operators.QualityFilter.mixedLanguageReport(
+        T(s, dir, "documents"), col("doc_id"), col("text"), window = 16)
+      .select(col("id").as("doc_id"), col("n_segs"), col("n_lang_segs"),
+        col("n_langs"), col("primary_lang"), col("mixed"))
+      .orderBy(col("doc_id"))
+
+  val mixedLanguageOracle: String =
+    s"""WITH t AS (
+       |  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks
+       |  FROM documents),
+       |nn AS (SELECT doc_id, toks, len(toks) AS nt FROM t),
+       |idx AS (
+       |  SELECT doc_id, toks, unnest(range(0,
+       |    CASE WHEN nt <= 16 THEN 1
+       |         ELSE CAST(ceil((nt - 16)::DOUBLE / 16) AS BIGINT) + 1 END)) AS cid
+       |  FROM nn),
+       |seg AS (
+       |  SELECT doc_id, toks[(cid*16+1):(cid*16+16)] AS ct,
+       |    array_to_string(toks[(cid*16+1):(cid*16+16)], ' ') AS cs
+       |  FROM idx),
+       |sc AS (
+       |  SELECT doc_id,
+       |    len(list_filter(ct, x -> list_contains($swEn, x))) AS he,
+       |    len(list_filter(ct, x -> list_contains($swDe, x))) AS hd,
+       |    len(list_filter(ct, x -> list_contains($swEs, x))) AS hs,
+       |    len(list_filter(ct, x -> list_contains($swFr, x))) AS hf,
+       |    len(regexp_extract_all(cs, '[\\x{4e00}-\\x{9fff}]')) AS hz
+       |  FROM seg),
+       |lid AS (
+       |  SELECT doc_id,
+       |    CASE WHEN greatest(he, hd, hs, hf, hz) = 0 THEN 'und'
+       |         WHEN he = greatest(he, hd, hs, hf, hz) THEN 'en'
+       |         WHEN hd = greatest(he, hd, hs, hf, hz) THEN 'de'
+       |         WHEN hs = greatest(he, hd, hs, hf, hz) THEN 'es'
+       |         WHEN hf = greatest(he, hd, hs, hf, hz) THEN 'fr'
+       |         ELSE 'zh' END AS lang
+       |  FROM sc),
+       |tot AS (SELECT doc_id, COUNT(*) AS n_segs FROM lid GROUP BY 1),
+       |pl AS (SELECT doc_id, lang, COUNT(*) AS n FROM lid
+       |       WHERE lang <> 'und' GROUP BY 1, 2),
+       |agg AS (
+       |  SELECT doc_id, COUNT(*) AS n_langs, SUM(n) AS n_lang_segs,
+       |    FIRST(lang ORDER BY n DESC, lang) AS primary_lang
+       |  FROM pl GROUP BY 1)
+       |SELECT tot.doc_id, tot.n_segs,
+       |  CAST(COALESCE(a.n_lang_segs, 0) AS BIGINT) AS n_lang_segs,
+       |  CAST(COALESCE(a.n_langs, 0) AS BIGINT) AS n_langs,
+       |  COALESCE(a.primary_lang, 'und') AS primary_lang,
+       |  COALESCE(a.n_langs, 0) >= 2 AS mixed
+       |FROM tot LEFT JOIN agg a ON a.doc_id = tot.doc_id
+       |ORDER BY tot.doc_id""".stripMargin
+
+  /** Pairwise source vocabulary affinity
+    * ([[graft.operators.Diagnostics.sourceAffinity]]): exact-integer
+    * cosine between term-count vectors of every source pair — the
+    * mixture-design diagnostic. Integer dot/norm sums are order-free, so
+    * no fold gymnastics are needed; the oracle recomputes the same counts
+    * and the same two sqrts + divide.
+    */
+  def sourceAffinityQ(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Diagnostics.sourceAffinity(
+        T(s, dir, "documents"), col("source"), col("text"))
+      .orderBy(col("grp_a"), col("grp_b"))
+
+  val sourceAffinityOracle: String =
+    """WITH w AS (
+      |  SELECT source AS grp,
+      |    unnest(string_split_regex(trim(text), '\s+')) AS term
+      |  FROM documents WHERE trim(text) <> ''),
+      |c AS (SELECT grp, term, COUNT(*) AS c FROM w GROUP BY 1, 2),
+      |n AS (SELECT grp, SUM(c * c) AS n2 FROM c GROUP BY 1),
+      |d AS (
+      |  SELECT a.grp AS ga, b.grp AS gb, SUM(a.c * b.c) AS dot
+      |  FROM c a JOIN c b ON a.term = b.term AND a.grp < b.grp
+      |  GROUP BY 1, 2)
+      |SELECT na.grp AS grp_a, nb.grp AS grp_b,
+      |  CAST(COALESCE(d.dot, 0) AS BIGINT) AS dot,
+      |  CAST(COALESCE(d.dot, 0) AS DOUBLE)
+      |    / (sqrt(CAST(na.n2 AS DOUBLE)) * sqrt(CAST(nb.n2 AS DOUBLE))) AS cos
+      |FROM n na JOIN n nb ON na.grp < nb.grp
+      |LEFT JOIN d ON d.ga = na.grp AND d.gb = nb.grp
+      |ORDER BY grp_a, grp_b""".stripMargin
+
+  /** Length-curriculum sharding ([[graft.operators.Layout.curriculumShards]]):
+    * 4 shards cut at the token-count quartiles from ONE mergeable KLL
+    * aggregation (exact at this n; rank-bounded beyond the sketch buffer),
+    * then a map-only membership count — no corpus-wide ntile() window.
+    * The oracle recomputes the discrete quartiles and the same
+    * boundary-to-lower-shard assignment.
+    */
+  def curriculumShardsQ(s: SparkSession, dir: String): DataFrame = {
+    val scored = T(s, dir, "documents").select(col("doc_id"),
+      TextFunctions.tokenCountWs(col("text")).cast("long").as("n_tok"))
+    graft.operators.Layout.curriculumShards(
+        scored, col("doc_id"), col("n_tok"), numShards = 4)
+      .select(col("id").as("doc_id"), col("score").as("n_tok"), col("shard"))
+      .orderBy(col("doc_id"))
+  }
+
+  val curriculumShardsOracle: String =
+    """WITH s AS (
+      |  SELECT doc_id,
+      |    CAST(CASE WHEN trim(text) = '' THEN 0
+      |         ELSE len(string_split_regex(trim(text), '\s+')) END AS BIGINT)
+      |      AS n_tok
+      |  FROM documents),
+      |c AS (
+      |  SELECT quantile_disc(CAST(n_tok AS DOUBLE), 0.25) AS q1,
+      |         quantile_disc(CAST(n_tok AS DOUBLE), 0.5) AS q2,
+      |         quantile_disc(CAST(n_tok AS DOUBLE), 0.75) AS q3
+      |  FROM s)
+      |SELECT doc_id, n_tok,
+      |  CAST((CASE WHEN CAST(n_tok AS DOUBLE) > q1 THEN 1 ELSE 0 END)
+      |     + (CASE WHEN CAST(n_tok AS DOUBLE) > q2 THEN 1 ELSE 0 END)
+      |     + (CASE WHEN CAST(n_tok AS DOUBLE) > q3 THEN 1 ELSE 0 END)
+      |    AS INTEGER) AS shard
+      |FROM s CROSS JOIN c
+      |ORDER BY doc_id""".stripMargin
+
+  /** Tokenizer fertility audit per language over the same pinned 16-merge
+    * table: tokens-per-word and chars-per-token by lang — the check that a
+    * candidate tokenizer doesn't starve some language of effective context.
+    * The oracle replays the merge walk over the distinct-word dictionary
+    * (shared [[bpeStepTokCte]]) and re-aggregates per lang; the ratios are
+    * single IEEE divisions of exact integer sums.
+    */
+  def tokenizerFertility(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Bpe.fertilityByGroup(
+        T(s, dir, "documents"), col("text"), col("lang"),
+        PinnedArtifacts.BpeMerges16)
+      .select(col("grp").as("lang"), col("n_docs"), col("n_chars"),
+        col("n_words"), col("n_tokens"),
+        col("tokens_per_word"), col("chars_per_token"))
+      .orderBy(col("lang"))
+
+  def tokenizerFertilityOracle: String =
+    s"""WITH RECURSIVE
+       |m(mrank, ml, mr) AS (VALUES
+       |${PinnedArtifacts.bpeMergesSqlValues}
+       |),
+       |w AS (
+       |  SELECT lang, unnest(string_split_regex(trim(text), '\\s+')) AS word
+       |  FROM documents WHERE trim(text) <> ''),
+       |dict AS (SELECT DISTINCT word FROM w),
+       |$bpeStepTokCte,
+       |agg AS (
+       |  SELECT w.lang, COUNT(*) AS n_words, SUM(t.n_sub) AS n_tokens
+       |  FROM w JOIN tok t ON t.word = w.word
+       |  GROUP BY w.lang),
+       |base AS (
+       |  SELECT lang, COUNT(*) AS n_docs, SUM(length(text)) AS n_chars
+       |  FROM documents GROUP BY lang)
+       |SELECT b.lang, b.n_docs, CAST(b.n_chars AS BIGINT) AS n_chars,
+       |  CAST(COALESCE(a.n_words, 0) AS BIGINT) AS n_words,
+       |  CAST(COALESCE(a.n_tokens, 0) AS BIGINT) AS n_tokens,
+       |  CASE WHEN COALESCE(a.n_words, 0) = 0 THEN 0.0
+       |       ELSE CAST(a.n_tokens AS DOUBLE) / CAST(a.n_words AS DOUBLE) END
+       |    AS tokens_per_word,
+       |  CASE WHEN COALESCE(a.n_tokens, 0) = 0 THEN 0.0
+       |       ELSE CAST(b.n_chars AS DOUBLE) / CAST(a.n_tokens AS DOUBLE) END
+       |    AS chars_per_token
+       |FROM base b LEFT JOIN agg a ON a.lang = b.lang
+       |ORDER BY b.lang""".stripMargin
+
+  // ------------------------------------------------------ fuzzy (linkage) join
+
+  /** Two-table fuzzy join across the corpus halves (doc_id < 250 vs >= 250):
+    * cross-half near-duplicate pairs at word-3-shingle Jaccard >= 0.9 — the
+    * record-linkage shape over the same planted near-dups the self-join
+    * queries use, but via [[Dedup.jaccardJoin]]'s two-sided posting join.
+    */
+  def fuzzyJoin(s: SparkSession, dir: String): DataFrame = {
+    val docs = T(s, dir, "documents")
+    graft.operators.Dedup.jaccardJoin(
+        docs.filter(col("doc_id") < 250), col("doc_id"), col("text"),
+        docs.filter(col("doc_id") >= 250), col("doc_id"), col("text"),
+        shingleK = 3, threshold = 0.9)
+      .orderBy(col("left_id"), col("right_id"))
+  }
+
+  val fuzzyJoinOracle: String =
+    s"""WITH $shingleSetsSql,
+       |l AS (SELECT doc_id, s FROM sets WHERE doc_id < 250),
+       |r AS (SELECT doc_id, s FROM sets WHERE doc_id >= 250),
+       |lp AS (SELECT doc_id, unnest(s) AS sp FROM l),
+       |rp AS (SELECT doc_id, unnest(s) AS sp FROM r),
+       |pairs AS (
+       |  SELECT a.doc_id AS left_id, b.doc_id AS right_id, COUNT(*) AS inter
+       |  FROM lp a JOIN rp b ON a.sp = b.sp
+       |  GROUP BY 1, 2),
+       |scored AS (
+       |  SELECT left_id, right_id,
+       |    CAST(inter AS DOUBLE) /
+       |      CAST(len(sl.s) + len(sr.s) - inter AS DOUBLE) AS jaccard
+       |  FROM pairs
+       |  JOIN l sl ON sl.doc_id = left_id
+       |  JOIN r sr ON sr.doc_id = right_id)
+       |SELECT left_id, right_id, jaccard
+       |FROM scored
+       |WHERE jaccard >= 0.9
+       |ORDER BY left_id, right_id""".stripMargin
+
+  // --------------------------------------------- repeated-substring removal
+
+  /** Cross-document repeated-substring spans (64-char tiles, stride 32,
+    * >= 2 distinct docs): per-doc merged-span count and duplicated/surviving
+    * character counts. The oracle replays tiling, the 60-bit md5
+    * fingerprint, cross-doc df, and the lag-based interval merge in SQL.
+    */
+  def repeatedSubstrings(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Dedup.repeatedSpanStats(
+        T(s, dir, "documents"), col("doc_id"), col("text"),
+        window = 64, stride = 32, minDocs = 2)
+      .select(col("id").as("doc_id"), col("n_spans"), col("removed_chars"),
+        col("kept_chars"))
+      .orderBy(col("doc_id"))
+
+  val repeatedSubstringsOracle: String =
+    """WITH t AS (SELECT doc_id, text, length(text) AS len FROM documents),
+      |tile AS (
+      |  SELECT doc_id, text, unnest(range(0, len - 64 + 1, 32)) AS p
+      |  FROM t WHERE len >= 64),
+      |fp AS (
+      |  SELECT doc_id, p,
+      |    ('0x' || substring(md5(substr(text, CAST(p + 1 AS INT), 64)), 1, 15))::BIGINT AS f
+      |  FROM tile),
+      |dup AS (SELECT f FROM fp GROUP BY f HAVING COUNT(DISTINCT doc_id) >= 2),
+      |hit AS (SELECT doc_id, p FROM fp WHERE f IN (SELECT f FROM dup)),
+      |fl AS (
+      |  SELECT doc_id, p,
+      |    CASE WHEN p > COALESCE(lag(p) OVER (PARTITION BY doc_id ORDER BY p),
+      |                           -128) + 64
+      |         THEN 1 ELSE 0 END AS nw
+      |  FROM hit),
+      |cl AS (SELECT doc_id, p,
+      |         SUM(nw) OVER (PARTITION BY doc_id ORDER BY p) AS cid
+      |       FROM fl),
+      |sp AS (SELECT doc_id, MIN(p) AS s, MAX(p) + 64 AS e
+      |       FROM cl GROUP BY doc_id, cid),
+      |agg AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_spans,
+      |          CAST(SUM(e - s) AS BIGINT) AS removed
+      |        FROM sp GROUP BY doc_id)
+      |SELECT d.doc_id, COALESCE(a.n_spans, CAST(0 AS BIGINT)) AS n_spans,
+      |  COALESCE(a.removed, CAST(0 AS BIGINT)) AS removed_chars,
+      |  CAST(length(d.text) AS BIGINT) - COALESCE(a.removed, CAST(0 AS BIGINT))
+      |    AS kept_chars
+      |FROM documents d LEFT JOIN agg a ON a.doc_id = d.doc_id
+      |ORDER BY d.doc_id""".stripMargin
+}
