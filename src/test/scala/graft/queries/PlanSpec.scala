@@ -806,4 +806,38 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p)
     assert("HashAggregate".r.findAllIn(p).size >= 4, p) // c1, c2 partials
   }
+
+  test("dedup_exact_substr: spans travel as 8-byte fps (native " +
+      "shingle_fps60 — gram strings never materialize), first-occurrence " +
+      "agg is fp-keyed, no window, no cartesian") {
+    val p = plan(Pipeline.dedupExactSubstrQ(spark, dir))
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains(") Window"), p)
+    assert(p.contains("shingle_fps60"), p)
+    assert("HashAggregate".r.findAllIn(p).size >= 2, p)
+  }
+
+  test("unigram_tokenize: the Viterbi UDF runs over the DISTINCT-word " +
+      "dictionary (one distinct agg feeds the join back), token totals " +
+      "are sums — no window, no cartesian, no per-occurrence text pass") {
+    val p = plan(Pipeline.unigramTokenize(spark, dir))
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains(") Window"), p)
+    // (id, word) counts + distinct dictionary + per-doc sum
+    assert("HashAggregate".r.findAllIn(p).size >= 4, p)
+    // the corpus text tokenizes ONCE (the word explode) — the dictionary
+    // join reuses exploded words, never re-reads text
+    assert("tokens_ws".r.findAllIn(p).size <= 4, p) // ≤2 nodes × 2 prints
+  }
+
+  test("bitext_mine_lsh: candidates come from the BUCKET equality join " +
+      "(srp_bucket on both sides) — never a broadcast corpus scan; the " +
+      "margin chain over the shortlist keeps its bounded aggs") {
+    val p = plan(Pipeline.bitextMineLshQ(spark, dir))
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains(") Window"), p)
+    assert(p.contains("srp_bucket"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert("ObjectHashAggregate".r.findAllIn(p).size >= 2, p)
+  }
 }
