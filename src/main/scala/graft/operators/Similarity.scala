@@ -925,13 +925,16 @@ object Similarity {
       // rows and SMJ would sort it; the |corpus|-sized build side hashes
       // per partition (too big to broadcast at scale, fine to hash)
       .join(bwd.hint("shuffle_hash"), Seq("match_id"))
-      // degenerate-neighborhood guard: fa + ba can be 0 (or NaN when a
-      // zero-norm vector's cosine is NaN) for all-zero embeddings; the
-      // division would then yield NaN/Inf, and Spark orders NaN above
-      // every double, so a degenerate pair would WIN the argmax and pass
-      // `>= threshold` — mine nothing for such rows instead
+      // degenerate-neighborhood guard: the margin criterion presumes
+      // POSITIVE neighborhood similarity. fa + ba = 0 divides to NaN/Inf
+      // (and Spark orders NaN above every double, so it would WIN the
+      // argmax and pass any threshold); near-zero sums blow the ratio up
+      // to meaninglessly huge margins; negative sums flip an anti-similar
+      // pair's margin positive. Mine nothing for all of them — only a
+      // strictly positive denominator carries alignment signal. The
+      // !isnan stays because NaN > 0.0 is TRUE under Spark's ordering.
       .filter(!isnan(col("fa") + col("ba")) &&
-        col("fa") + col("ba") =!= lit(0.0))
+        col("fa") + col("ba") > lit(0.0))
       .select(col("query_id"), col("match_id"), col("cos"),
         (col("cos") / ((col("fa") + col("ba")) / lit(2.0))).as("margin"))
       .groupBy(col("query_id"))

@@ -393,12 +393,18 @@ object TextIndex {
       n: Int = 50): DataFrame = {
     import org.apache.spark.sql.graft.HashFunctions
     require(n >= 2, s"n must be >= 2, got $n")
-    val base = widen(df.select(id.as("id"), text.as("__text")))
-      .select(col("id"), TextFunctions.tokensWs(col("__text")).as("toks"))
-    val g = base.filter(size(col("toks")) >= n)
+    // base feeds the span stream AND the final mask; g feeds the
+    // first-occurrence agg AND the removal join — pin both, or the
+    // corpus tokenize (+ ShingleFps60 hash) pass runs once per consumer
+    // (the cooccurrenceCounts lesson); released at the caller's boundary
+    // via graft.Pins.unpinAll
+    val base = graft.Pins.pin(
+      widen(df.select(id.as("id"), text.as("__text")))
+        .select(col("id"), TextFunctions.tokensWs(col("__text")).as("toks")))
+    val g = graft.Pins.pin(base.filter(size(col("toks")) >= n)
       .select(col("id"),
         posexplode(HashFunctions.shingleFps60(col("toks"), n))
-          .as(Seq("pos", "gfp")))
+          .as(Seq("pos", "gfp"))))
     val firsts = g.groupBy(col("gfp"))
       .agg(count(lit(1)).as("occ"),
         min(struct(col("id"), col("pos"))).as("first"))

@@ -35,10 +35,12 @@ import graft.functions.TextFunctions
 object Unigram {
 
   /** Cost charged per code point no piece covers (unknown character —
-    * a char outside the training corpus). Far above any real piece cost
-    * (~24 · 2^20 ≈ e^-24 probability floor) so UNK never beats a covered
-    * segmentation, small enough that a 10⁶-char pathological token stays
-    * within long range.
+    * a char outside the training corpus): an e^-24 probability floor.
+    * UNK applies ONLY when the single-character piece is absent, so it
+    * can never shadow a real piece regardless of relative cost — do NOT
+    * read this as an upper bound on trained piece costs (a floored rare
+    * character in a pinned table can legitimately cost far more). Small
+    * enough that a 10⁶-char pathological token stays within long range.
     */
   val UnkCost: Long = 24L * (1L << 20)
 
@@ -281,8 +283,11 @@ object Unigram {
     out.result()
   }
 
-  private def maxLenOf(costs: Seq[(String, Long)]): Int =
+  private def maxLenOf(costs: Seq[(String, Long)]): Int = {
+    require(costs.nonEmpty,
+      "empty piece table — train one first (trainUnigram over a non-empty dictionary)")
     costs.map(p => codePoints(p._1).length).max
+  }
 
   /** Per-document unigram token counts over a corpus: one (id, word)
     * count aggregation, Viterbi once per DISTINCT word, token totals as

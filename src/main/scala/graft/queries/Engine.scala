@@ -290,6 +290,13 @@ object Engine {
         col("event_type").as("role"), col("props").as("content"))
     val b = ev.agg(min(col("event_time")).cast("long").as("lo"),
       max(col("event_time")).cast("long").as("hi")).head()
+    if (b.isNullAt(0)) {
+      // empty events table: no sessions — return the typed empty frame
+      // instead of NPE-ing on the null min/max
+      return ss.range(0).select(lit(0L).as("user_id"),
+        lit(0L).as("start_us"), lit(0L).as("end_us"),
+        lit(0L).as("n_turns"), lit("").as("transcript_md5"))
+    }
     val (lo, hi) = (b.getLong(0), b.getLong(1)) // epoch seconds
     val cut = timestamp_seconds(lit((lo + hi) / 2))
     val streamDir = scratchPath("graft-dialog-stream", dir)

@@ -856,30 +856,45 @@ trait PipelineSimilarityFam extends PipelineDedupFam {
       .orderBy(col("query_id"))
   }
 
+  /** The LASER margin chain shared by [[bitextMineOracle]] and
+    * [[bitextMineLshOracle]] (k = 4, threshold 1.3 — both entries pin
+    * these): expects a `scored0(query_id, match_id, cos)` CTE defined
+    * before it. Replays the ENGINE's guards exactly — NULL cosines
+    * (zero-norm vectors; DuckDB's x/0 is NULL like the engine's
+    * cosine_sim) drop before the k-NN lists, and only strictly positive
+    * fa + ba denominators mine (marginOverPairs' degenerate-neighborhood
+    * guard).
+    */
+  private[queries] val marginChainSql: String =
+    """sc AS (SELECT query_id, match_id, cos FROM scored0
+      |       WHERE cos IS NOT NULL),
+      |f AS (SELECT query_id, list(cos ORDER BY cos DESC, match_id)[1:4]
+      |        AS l FROM sc GROUP BY 1),
+      |fa AS (SELECT query_id,
+      |         list_reduce(l, (x, y) -> x + y) / len(l) AS fa FROM f),
+      |b AS (SELECT match_id, list(cos ORDER BY cos DESC, query_id)[1:4]
+      |        AS l FROM sc GROUP BY 1),
+      |ba AS (SELECT match_id,
+      |         list_reduce(l, (x, y) -> x + y) / len(l) AS ba FROM b),
+      |m AS (
+      |  SELECT s.query_id, s.match_id, s.cos,
+      |    s.cos / ((fa.fa + ba.ba) / 2.0) AS margin,
+      |    ROW_NUMBER() OVER (PARTITION BY s.query_id
+      |      ORDER BY s.cos / ((fa.fa + ba.ba) / 2.0) DESC, s.match_id)
+      |      AS rn
+      |  FROM sc s JOIN fa USING (query_id) JOIN ba USING (match_id)
+      |  WHERE fa.fa + ba.ba > 0)
+      |SELECT query_id, match_id, cos, margin
+      |FROM m WHERE rn = 1 AND margin >= 1.3
+      |ORDER BY query_id""".stripMargin
+
   val bitextMineOracle: String =
-    s"""WITH scored AS (
+    s"""WITH scored0 AS (
        |  SELECT q.vec_id AS query_id, c.vec_id AS match_id,
        |    ${cosSql("q.embedding", "c.embedding")} AS cos
        |  FROM embeddings q JOIN embeddings c
        |    ON q.vec_id % 2 = 0 AND q.vec_id < 40 AND c.vec_id % 2 = 1),
-       |f AS (SELECT query_id, list(cos ORDER BY cos DESC, match_id)[1:4]
-       |        AS l FROM scored GROUP BY 1),
-       |fa AS (SELECT query_id,
-       |         list_reduce(l, (x, y) -> x + y) / len(l) AS fa FROM f),
-       |b AS (SELECT match_id, list(cos ORDER BY cos DESC, query_id)[1:4]
-       |        AS l FROM scored GROUP BY 1),
-       |ba AS (SELECT match_id,
-       |         list_reduce(l, (x, y) -> x + y) / len(l) AS ba FROM b),
-       |m AS (
-       |  SELECT s.query_id, s.match_id, s.cos,
-       |    s.cos / ((fa.fa + ba.ba) / 2.0) AS margin,
-       |    ROW_NUMBER() OVER (PARTITION BY s.query_id
-       |      ORDER BY s.cos / ((fa.fa + ba.ba) / 2.0) DESC, s.match_id)
-       |      AS rn
-       |  FROM scored s JOIN fa USING (query_id) JOIN ba USING (match_id))
-       |SELECT query_id, match_id, cos, margin
-       |FROM m WHERE rn = 1 AND margin >= 1.3
-       |ORDER BY query_id""".stripMargin
+       |$marginChainSql""".stripMargin
 
   /** Bitext mining THROUGH THE LSH SHORTLIST
     * ([[graft.operators.Similarity.marginMineLsh]]) — the 10⁹-candidate
@@ -914,30 +929,13 @@ trait PipelineSimilarityFam extends PipelineDedupFam {
        |          (x, y) -> x + y) > 0
        |      THEN 1::BIGINT << j ELSE 0 END)) AS bucket
        |  FROM embeddings
-       |), scored AS (
+       |), scored0 AS (
        |  SELECT q.vec_id AS query_id, c.vec_id AS match_id,
        |    ${cosSql("q.embedding", "c.embedding")} AS cos
        |  FROM buckets q JOIN buckets c
        |    ON bit_count(xor(q.bucket, c.bucket)) <= 1
        |    AND q.vec_id % 2 = 0 AND q.vec_id < 40 AND c.vec_id % 2 = 1),
-       |f AS (SELECT query_id, list(cos ORDER BY cos DESC, match_id)[1:4]
-       |        AS l FROM scored GROUP BY 1),
-       |fa AS (SELECT query_id,
-       |         list_reduce(l, (x, y) -> x + y) / len(l) AS fa FROM f),
-       |b AS (SELECT match_id, list(cos ORDER BY cos DESC, query_id)[1:4]
-       |        AS l FROM scored GROUP BY 1),
-       |ba AS (SELECT match_id,
-       |         list_reduce(l, (x, y) -> x + y) / len(l) AS ba FROM b),
-       |m AS (
-       |  SELECT s.query_id, s.match_id, s.cos,
-       |    s.cos / ((fa.fa + ba.ba) / 2.0) AS margin,
-       |    ROW_NUMBER() OVER (PARTITION BY s.query_id
-       |      ORDER BY s.cos / ((fa.fa + ba.ba) / 2.0) DESC, s.match_id)
-       |      AS rn
-       |  FROM scored s JOIN fa USING (query_id) JOIN ba USING (match_id))
-       |SELECT query_id, match_id, cos, margin
-       |FROM m WHERE rn = 1 AND margin >= 1.3
-       |ORDER BY query_id""".stripMargin
+       |$marginChainSql""".stripMargin
 
   /** Metadata-filtered search: top-5 among ENGLISH documents only — the
     * corpus is pre-filtered by a predicate on the documents table

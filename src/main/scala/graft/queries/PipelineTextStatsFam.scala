@@ -118,7 +118,9 @@ trait PipelineTextStatsFam extends PipelineMixtureSketchFam {
 
   val dedupExactSubstrOracle: String =
     """WITH t AS (
-      |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
+      |  SELECT doc_id,
+      |    CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[])
+      |         ELSE string_split_regex(trim(text), '\s+') END AS toks
       |  FROM documents),
       |g AS (
       |  SELECT doc_id, toks,

@@ -625,6 +625,13 @@ class SimilaritySpec extends SparkSpec {
     val csZ = Seq((11L, Array(0f, 0f, 0f))).toDF("vec_id", "embedding")
     assert(Similarity.marginMine(qsZ, csZ, k = 2, threshold = 0.0).count()
       === 0L)
+    // all-NEGATIVE neighborhood (anti-similar corpus): fa + ba < 0 would
+    // flip the margin positive — must mine nothing, not an anti-match
+    val qsN = Seq((0L, Array(1f, 0f, 0f))).toDF("vec_id", "embedding")
+    val csN = Seq((11L, Array(-1f, 0f, 0f)), (13L, Array(-1f, -0.1f, 0f)))
+      .toDF("vec_id", "embedding")
+    assert(Similarity.marginMine(qsN, csN, k = 2, threshold = 0.0).count()
+      === 0L, "negative-denominator neighborhoods must mine nothing")
   }
 
   test("marginMineLsh: a fully-covering probe set (bits=1, multiprobe) " +

@@ -65,8 +65,13 @@ class UnigramSpec extends SparkSpec {
   }
 
   test("tokenCounts: per-doc totals via the distinct-word join, empty " +
-      "docs report 0") {
+      "docs report 0; an empty piece table is rejected with a clear error") {
     val costs = Seq(("a", 10L), ("b", 10L), ("ab", 5L), ("c", 10L))
+    val err = intercept[IllegalArgumentException] {
+      Unigram.tokenCounts(Seq((1L, "x")).toDF("id", "text"),
+        col("id"), col("text"), Seq.empty)
+    }
+    assert(err.getMessage.contains("empty piece table"))
     val docs = Seq((1L, "ab ab c"), (2L, "abab"), (3L, " "))
       .toDF("id", "text")
     val got = Unigram.tokenCounts(docs, col("id"), col("text"), costs)
