@@ -207,7 +207,22 @@ object Stress {
     "span_corruption",
     // rouge_overlap's work is per PAIR (adjacent ids): gram counts +
     // one (pair, fp) match join - linear in pairs by claim
-    "rouge_overlap")
+    "rouge_overlap",
+    // round-16 additions: dedup_exact_substr is the positional-span fp
+    // stream (pinned twice-consumed frames) + ONE fp-keyed count+min agg
+    // — the growth to watch is the duplicate-span occurrence volume
+    // (replicas are near-dups, so long shared runs multiply spans);
+    // unigram_tokenize's corpus-sized work is the (id, word) count agg
+    // (Viterbi stays dictionary-sized); tokenizer_compare pays both
+    // tokenizer dictionaries over one word-count pass; the bitext pair
+    // contrasts the broadcast scan against the LSH shortlist — the
+    // shortlisted path must stay BELOW the scan as the corpus grows
+    // (it reads ~(bits+1)/2^bits of the scan's pairs per query).
+    // dialog_from_stream reads events, which the stress corpus doesn't
+    // replicate — spec/plan/oracle gated instead (same stance as
+    // join_size_sketch/table_profile).
+    "dedup_exact_substr", "unigram_tokenize", "tokenizer_compare",
+    "bitext_mine", "bitext_mine_lsh")
 
   /** Replica id offset — well above any sf0.1 id, keeps replica ids
     * unique. PUBLIC because `Pipeline.simHashedLsh` pins its probe set
