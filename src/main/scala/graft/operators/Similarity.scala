@@ -835,6 +835,43 @@ object Similarity {
         col("n_hit").cast("double") / col("n_exact").cast("double"))
   }
 
+  /** Matryoshka truncation audit (Kusupati et al. 2022, arXiv:2205.13147):
+    * per-query recall@k of brute-force search over each PREFIX of the
+    * embedding (dims 1..m) against full-dimension brute force — the
+    * acceptance gate run before serving an MRL-truncated index (or
+    * deciding a storage tier's dimension). One output row per
+    * (prefix dim, query): (m, query_id, n_exact, n_hit, recall).
+    *
+    * Prefixes are plain `slice(embedding, 1, m)` — meaningful when the
+    * model was MRL-trained (information front-loaded); for a non-MRL
+    * model the audit quantifies exactly how much is lost, which is the
+    * point. Every side reuses [[bruteForceTopK]]'s fold and tie rule
+    * (cos desc, id asc), so the report oracle-checks bit-for-bit. A
+    * vector whose prefix is all-zero scores NaN cosines at that m and
+    * wins nothing — same stance as the LSH/PQ paths.
+    *
+    * Scale shape: the full-dimension truth is computed ONCE and pinned
+    * for the |prefixDims| comparisons (released at the caller's boundary
+    * via [[graft.Pins.unpinAll]]); each prefix pays one corpus scan with
+    * the probe side broadcast — the audit's intrinsic cost, linear in
+    * |prefixDims|, and each scan reads narrower vectors. Nothing
+    * corpus-sized is exchanged: per-query candidates stay bounded by the
+    * TopK aggregator.
+    */
+  def matryoshkaRecall(probes: DataFrame, corpus: DataFrame,
+      prefixDims: Seq[Int], k: Int): DataFrame = {
+    require(prefixDims.nonEmpty, "need at least one prefix dim")
+    require(prefixDims.forall(_ >= 1), s"prefix dims must be >= 1: $prefixDims")
+    def trunc(df: DataFrame, m: Int): DataFrame =
+      df.select(col("vec_id"), slice(col("embedding"), 1, m).as("embedding"))
+    val exact = graft.Pins.pin(bruteForceTopK(probes, corpus, k))
+    prefixDims.map { m =>
+      recallReport(exact, bruteForceTopK(trunc(probes, m), trunc(corpus, m), k))
+        .select(lit(m).as("m"), col("query_id"), col("n_exact"),
+          col("n_hit"), col("recall"))
+    }.reduce(_ unionByName _)
+  }
+
   /** Margin-based bitext mining (Artetxe & Schwenk 2019 — the
     * LASER/CCMatrix alignment criterion): for each query vector, the
     * candidate maximizing the RATIO margin

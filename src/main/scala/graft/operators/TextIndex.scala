@@ -416,6 +416,64 @@ object TextIndex {
     maskCoveredTokens(base, dpos, n)
   }
 
+  /** Cross-corpus exact n-gram contamination report — the train/eval
+    * decontamination screen (GPT-3's 13-gram overlap filter, Brown et al.
+    * 2020 appendix C; the exact-substring variant of Lee et al. 2022 §6.2):
+    * for every TRAIN document, how many of its n-token spans occur verbatim
+    * anywhere in the EVAL corpus. This is the span-level sibling of the
+    * shingle-containment [[graft.operators.Dedup.containmentPairs]] screen
+    * (which scores needle coverage) and the whole-doc
+    * [[graft.operators.Dedup.bloomAntiJoin]] screen (which needs exact
+    * equality): a single quoted benchmark passage inside a long web page
+    * trips this one and neither of those.
+    *
+    * Output: one row per train document —
+    * (id, n_spans, n_contam, contaminated) with `n_contam` the count of
+    * train span POSITIONS whose n-gram is in the eval span set (a span
+    * repeated inside one train doc counts each occurrence) and
+    * `contaminated` = n_contam > 0. Documents shorter than `n` tokens have
+    * zero spans and report clean — whole-short-doc contamination is the
+    * exact/bloom screens' job.
+    *
+    * Scale shape: both corpora stream through ONE native
+    * [[org.apache.spark.sql.graft.ShingleFps60]] pass each — gram strings
+    * never materialize; the eval side collapses to DISTINCT 8-byte fps
+    * (eval suites are MBs against a 100 TB train side — AQE broadcasts it;
+    * nothing forces that, the flat-tail lesson); the contamination count
+    * is one fp-keyed LEFT-SEMI join + per-doc count with map-side
+    * partials. The tokenized train frame feeds the span stream and the
+    * per-doc span totals, so it is pinned (released at the caller's
+    * boundary via [[graft.Pins.unpinAll]]). Counts are exact modulo 60-bit
+    * fp collisions — the accepted stance of every fp-keyed text operator
+    * here, and the oracle hash-gate would catch one.
+    */
+  def crossSubstrContamination(train: DataFrame, trainId: Column,
+      trainText: Column, eval: DataFrame, evalText: Column,
+      n: Int = 13): DataFrame = {
+    import org.apache.spark.sql.graft.HashFunctions
+    require(n >= 2, s"n must be >= 2, got $n")
+    val tb = graft.Pins.pin(
+      widen(train.select(trainId.as("id"), trainText.as("__text")))
+        .select(col("id"), TextFunctions.tokensWs(col("__text")).as("toks")))
+    val tg = tb.filter(size(col("toks")) >= n)
+      .select(col("id"),
+        explode(HashFunctions.shingleFps60(col("toks"), n)).as("gfp"))
+    val eg = widen(eval.select(evalText.as("__text")))
+      .select(TextFunctions.tokensWs(col("__text")).as("toks"))
+      .filter(size(col("toks")) >= n)
+      .select(explode(HashFunctions.shingleFps60(col("toks"), n)).as("gfp"))
+      .distinct()
+    val hits = tg.join(eg, Seq("gfp"), "semi")
+      .groupBy(col("id")).agg(count(lit(1)).as("n_contam"))
+    tb.select(col("id"),
+        greatest(lit(0), size(col("toks")) - lit(n - 1)).cast("long")
+          .as("n_spans"))
+      .join(hits, Seq("id"), "left")
+      .select(col("id"), col("n_spans"),
+        coalesce(col("n_contam"), lit(0L)).as("n_contam"))
+      .withColumn("contaminated", col("n_contam") > 0)
+  }
+
   /** Bigram-familiarity quality signal — the n-gram-LM data filter (CCNet
     * lineage) reduced to exact integer form so it oracle-checks: each
     * document's adjacent word pairs are scored by their CORPUS frequency,

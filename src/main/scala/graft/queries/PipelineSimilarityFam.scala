@@ -601,6 +601,62 @@ trait PipelineSimilarityFam extends PipelineDedupFam {
        |FROM ne LEFT JOIN hits h ON h.query_id = ne.query_id
        |ORDER BY ne.query_id""".stripMargin
 
+  /** Matryoshka truncation audit
+    * ([[graft.operators.Similarity.matryoshkaRecall]]): recall@5 of
+    * brute-force search over the 8-, 16- and 32-dim prefixes of the 64-dim
+    * embeddings against full-dim brute force, on the ann_recall probe set
+    * (vec_id < 20) — the storage-tier acceptance gate. The oracle replays
+    * both rankings per prefix (norms over the sliced vectors, the same
+    * index-order fold) and intersects, as in [[annRecallOracle]].
+    */
+  def matryoshkaAuditQ(s: SparkSession, dir: String): DataFrame = {
+    val emb = T(s, dir, "embeddings")
+    graft.operators.Similarity.matryoshkaRecall(
+        emb.filter(col("vec_id") < 20), emb, prefixDims = Seq(8, 16, 32), k = 5)
+      .orderBy(col("m"), col("query_id"))
+  }
+
+  private def matryoshkaApCte(m: Int): String =
+    s"""n$m AS (
+       |  SELECT vec_id, embedding,
+       |    sqrt(list_reduce(list_transform(range(1, len(embedding) + 1),
+       |      i -> embedding[i]::DOUBLE * embedding[i]::DOUBLE), (x, y) -> x + y)) AS nrm
+       |  FROM (SELECT vec_id, embedding[1:$m] AS embedding FROM embeddings)),
+       |ap$m AS (
+       |  SELECT query_id, neighbor_id FROM (
+       |    SELECT q.vec_id AS query_id, nb.vec_id AS neighbor_id,
+       |      ROW_NUMBER() OVER (PARTITION BY q.vec_id
+       |        ORDER BY ${dotSql("q", "nb")} / (q.nrm * nb.nrm) DESC,
+       |                 nb.vec_id) AS rk
+       |    FROM n$m q JOIN n$m nb ON q.vec_id < 20 AND q.vec_id <> nb.vec_id) t
+       |  WHERE rk <= 5)""".stripMargin
+
+  private def matryoshkaReportSql(m: Int): String =
+    s"""SELECT $m AS m, ne.query_id, ne.n_exact,
+       |  COALESCE(h.n_hit, 0) AS n_hit,
+       |  CAST(COALESCE(h.n_hit, 0) AS DOUBLE) / CAST(ne.n_exact AS DOUBLE)
+       |    AS recall
+       |FROM ne LEFT JOIN (
+       |  SELECT query_id, COUNT(*) AS n_hit FROM (
+       |    SELECT * FROM ex INTERSECT SELECT * FROM ap$m) GROUP BY 1) h
+       |ON h.query_id = ne.query_id""".stripMargin
+
+  val matryoshkaAuditOracle: String =
+    s"""WITH $normsCte,
+       |ex AS (
+       |  SELECT query_id, neighbor_id FROM (
+       |    SELECT q.vec_id AS query_id, nb.vec_id AS neighbor_id,
+       |      ROW_NUMBER() OVER (PARTITION BY q.vec_id
+       |        ORDER BY ${dotSql("q", "nb")} / (q.nrm * nb.nrm) DESC,
+       |                 nb.vec_id) AS rk
+       |    FROM n q JOIN n nb ON q.vec_id < 20 AND q.vec_id <> nb.vec_id) t
+       |  WHERE rk <= 5),
+       |ne AS (SELECT query_id, CAST(COUNT(*) AS BIGINT) AS n_exact
+       |       FROM ex GROUP BY 1),
+       |${Seq(8, 16, 32).map(matryoshkaApCte).mkString(",\n")}
+       |${Seq(8, 16, 32).map(matryoshkaReportSql).mkString("\nUNION ALL\n")}
+       |ORDER BY m, query_id""".stripMargin
+
   /** Embedding-free text similarity search end to end: documents →
     * [[graft.operators.TextIndex.hashedTfidfVectors]] (feature hashing,
     * ln-free idf, 2^20 fixed-point bucket sums, float vectors) → the

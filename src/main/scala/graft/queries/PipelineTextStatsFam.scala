@@ -147,6 +147,55 @@ trait PipelineTextStatsFam extends PipelineMixtureSketchFam {
       |FROM m
       |ORDER BY doc_id""".stripMargin
 
+  /** Cross-split exact 13-gram contamination screen
+    * ([[graft.operators.TextIndex.crossSubstrContamination]] — the GPT-3
+    * overlap filter): the corpus split train (doc_id % 7 != 0) vs eval
+    * (doc_id % 7 = 0); every train doc reports how many of its 13-token
+    * spans occur verbatim in the eval side. The synthetic corpus's
+    * duplicated-span classes cross the mod-7 boundary, so flagged docs
+    * exist at the driver SFs and the count column is value-checked
+    * non-trivially. The oracle replays positional 13-grams as STRINGS
+    * (the engine keys on 60-bit fps — the accepted collision stance).
+    */
+  def deconExactSubstrQ(s: SparkSession, dir: String): DataFrame = {
+    val d = T(s, dir, "documents")
+    graft.operators.TextIndex.crossSubstrContamination(
+        d.filter(col("doc_id") % 7 =!= 0), col("doc_id"), col("text"),
+        d.filter(col("doc_id") % 7 === 0), col("text"), n = 13)
+      .select(col("id").as("doc_id"), col("n_spans"), col("n_contam"),
+        col("contaminated"))
+      .orderBy(col("doc_id"))
+  }
+
+  val deconExactSubstrOracle: String =
+    """WITH t AS (
+      |  SELECT doc_id,
+      |    CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[])
+      |         ELSE string_split_regex(trim(text), '\s+') END AS toks
+      |  FROM documents),
+      |tg AS (
+      |  SELECT doc_id, unnest(CASE WHEN len(toks) >= 13
+      |      THEN list_transform(range(1, len(toks) - 11),
+      |             i -> array_to_string(toks[i:i+12], ' '))
+      |      ELSE CAST([] AS VARCHAR[]) END) AS gram
+      |  FROM t WHERE doc_id % 7 <> 0),
+      |eg AS (
+      |  SELECT DISTINCT unnest(CASE WHEN len(toks) >= 13
+      |      THEN list_transform(range(1, len(toks) - 11),
+      |             i -> array_to_string(toks[i:i+12], ' '))
+      |      ELSE CAST([] AS VARCHAR[]) END) AS gram
+      |  FROM t WHERE doc_id % 7 = 0),
+      |hits AS (
+      |  SELECT doc_id, COUNT(*) AS n_contam
+      |  FROM tg JOIN eg USING (gram) GROUP BY 1)
+      |SELECT t.doc_id,
+      |  CAST(greatest(len(toks) - 12, 0) AS BIGINT) AS n_spans,
+      |  CAST(COALESCE(h.n_contam, 0) AS BIGINT) AS n_contam,
+      |  COALESCE(h.n_contam, 0) > 0 AS contaminated
+      |FROM t LEFT JOIN hits h ON t.doc_id = h.doc_id
+      |WHERE t.doc_id % 7 <> 0
+      |ORDER BY t.doc_id""".stripMargin
+
   // ------------------------------------------------------- vocabulary coverage
 
   /** Perplexity-proxy LM screen

@@ -659,6 +659,23 @@ class SimilaritySpec extends SparkSpec {
     assert(narrow.forall(r => !r._4.isNaN && !r._4.isInfinite))
   }
 
+  test("matryoshkaRecall: the full-length prefix reproduces the exact " +
+      "ranking; a lossy prefix loses the neighbor whose signal lives in " +
+      "the tail dims") {
+    // q's full top-2 is {a, b}; c hides its bulk in dim 3, so at the
+    // 2-dim prefix c is parallel to q (cos ~1) and displaces b
+    val emb = Seq(
+      (0L, Seq(1f, 1f, 0f, 0f)),     // q (probe)
+      (1L, Seq(1f, 0.9f, 0f, 0f)),   // a: near-parallel at every prefix
+      (2L, Seq(0f, 1f, 0f, 0f)),     // b: full cos .707, prefix cos .707
+      (3L, Seq(1f, 1f, 2f, 0f))      // c: full cos .577, prefix-2 cos ~1
+    ).toDF("vec_id", "embedding")
+    val out = Similarity.matryoshkaRecall(
+        emb.filter(col("vec_id") === 0), emb, prefixDims = Seq(2, 4), k = 2)
+      .as[(Int, Long, Long, Long, Double)].collect().sortBy(_._1).toSeq
+    assert(out === Seq((2, 0L, 2L, 1L, 0.5), (4, 0L, 2L, 2L, 1.0)))
+  }
+
   test("labelNoiseScreen: a clean labeling yields an empty screen") {
     def near(x: Float, y: Float, eps: Float) = Array(x + eps, y, 0f, 0f)
     val rows = Seq(

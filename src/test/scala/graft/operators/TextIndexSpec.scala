@@ -427,6 +427,30 @@ class TextIndexSpec extends SparkSpec {
     assert(out.toSeq === Seq((1L, 2, 0, "s t"), (2L, 2, 0, "s t")))
   }
 
+  test("crossSubstrContamination counts train span positions that occur " +
+      "verbatim in eval; short docs report clean") {
+    val train = Seq(
+      (1L, "a b c d e"),   // spans: "a b c","b c d","c d e" — one in eval
+      (2L, "x y"),         // shorter than n: zero spans, clean
+      (3L, "q q q q")      // both spans hit eval's "q q q" (per-position count)
+    ).toDF("id", "text")
+    val eval = Seq((10L, "z b c d w"), (11L, "q q q")).toDF("id", "text")
+    val out = TextIndex.crossSubstrContamination(
+        train, col("id"), col("text"), eval, col("text"), n = 3)
+      .as[(Long, Long, Long, Boolean)].collect().sortBy(_._1).toSeq
+    assert(out === Seq((1L, 3L, 1L, true), (2L, 0L, 0L, false),
+      (3L, 2L, 2L, true)))
+  }
+
+  test("crossSubstrContamination: disjoint corpora report everything clean") {
+    val train = Seq((1L, "a b c d")).toDF("id", "text")
+    val eval = Seq((9L, "e f g h")).toDF("id", "text")
+    val out = TextIndex.crossSubstrContamination(
+        train, col("id"), col("text"), eval, col("text"), n = 3)
+      .as[(Long, Long, Long, Boolean)].collect().toSeq
+    assert(out === Seq((1L, 2L, 0L, false)))
+  }
+
   test("postingsIncremental: batch docs replace their state postings, " +
       "untouched docs carry over, and the result equals a clean rebuild") {
     val v1 = Seq((1L, "a a b"), (2L, "c d")).toDF("doc_id", "text")
