@@ -222,7 +222,14 @@ object Stress {
     // replicate — spec/plan/oracle gated instead (same stance as
     // join_size_sketch/table_profile).
     "dedup_exact_substr", "unigram_tokenize", "tokenizer_compare",
-    "bitext_mine", "bitext_mine_lsh")
+    "bitext_mine", "bitext_mine_lsh",
+    // decon_exact_substr shares dedup_exact_substr's span-stream shape
+    // but its eval side (doc_id % 7 = 0 slice) scales WITH the corpus —
+    // the growth to watch is the distinct eval-fp set feeding the semi
+    // join; matryoshka_audit is 4 probe-broadcast corpus scans (the
+    // probe set is scale-fixed below IdStride), so it should track the
+    // sim_bruteforce flat-to-linear band times the prefix count
+    "decon_exact_substr", "matryoshka_audit")
 
   /** Replica id offset — well above any sf0.1 id, keeps replica ids
     * unique. PUBLIC because `Pipeline.simHashedLsh` pins its probe set

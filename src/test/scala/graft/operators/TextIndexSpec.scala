@@ -442,6 +442,17 @@ class TextIndexSpec extends SparkSpec {
       (3L, 2L, 2L, true)))
   }
 
+  test("crossSubstrContamination law: screened against itself, every span " +
+      "of every long-enough doc is contaminated (n_contam == n_spans)") {
+    val docs = Seq((1L, "a b c d e f g"), (2L, "h i"), (3L, "j k l"))
+      .toDF("id", "text")
+    val out = TextIndex.crossSubstrContamination(
+        docs, col("id"), col("text"), docs, col("text"), n = 3)
+      .as[(Long, Long, Long, Boolean)].collect().toSeq
+    assert(out.forall(r => r._3 === r._2))
+    assert(out.forall(r => r._4 === (r._2 > 0)))
+  }
+
   test("crossSubstrContamination: disjoint corpora report everything clean") {
     val train = Seq((1L, "a b c d")).toDF("id", "text")
     val eval = Seq((9L, "e f g h")).toDF("id", "text")

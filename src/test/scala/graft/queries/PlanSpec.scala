@@ -840,4 +840,28 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("BroadcastNestedLoopJoin"), p)
     assert("ObjectHashAggregate".r.findAllIn(p).size >= 2, p)
   }
+
+  test("decon_exact_substr: both corpora hash to fps natively, the eval " +
+      "side collapses to a distinct set feeding a LEFT-SEMI join — no " +
+      "window, no cartesian, nothing corpus-sized broadcast by force") {
+    val p = plan(Pipeline.deconExactSubstrQ(spark, dir))
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains(") Window"), p)
+    assert(p.contains("shingle_fps60"), p)
+    assert(p.contains("LeftSemi"), p)
+    // eval distinct + per-doc contamination count, both partial-first
+    assert("HashAggregate".r.findAllIn(p).size >= 4, p)
+  }
+
+  test("matryoshka_audit: every prefix search keeps bruteForceTopK's " +
+      "shape — probes broadcast, bounded TopK aggs, no window over " +
+      "scored rows") {
+    val p = plan(Pipeline.matryoshkaAuditQ(spark, dir))
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains(") Window"), p)
+    // 4 searches (full + 3 prefixes) each broadcast the probe side
+    assert("BroadcastNestedLoopJoin".r.findAllIn(p).size >= 4, p)
+    // per-query candidates stay in the bounded TopK aggregator
+    assert("ObjectHashAggregate".r.findAllIn(p).size >= 4, p)
+  }
 }
