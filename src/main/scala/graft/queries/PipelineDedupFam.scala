@@ -241,6 +241,69 @@ trait PipelineDedupFam {
       |LEFT JOIN counts ON counts.doc_id = a.doc_id
       |ORDER BY a.doc_id""".stripMargin
 
+  /** Novelty-gated streaming admission, end to end
+    * ([[graft.streaming.Streams.NoveltyIngest]] — the crawl gate "only
+    * keep pages adding ≥ 50% new 3-shingles"): the even docs seed the
+    * admitted state; the odd docs arrive as TWO micro-batches
+    * (doc_id % 4 = 1, then % 4 = 3) through the REAL ingest handler.
+    * Batch 2 is scored against state0 ∪ batch-1 SURVIVORS' shingles, so
+    * the result hash-matches the sequential SQL replay ONLY if the
+    * admission scoring, the survivors-only fold, and the scaffold's
+    * pin/delta lifecycle are all exact — at threshold 0.5 the batch-1
+    * fold flips 66 of 125 batch-2 decisions on this corpus, so a fold
+    * bug cannot hide (the dpo_from_counts pattern). Survivor ids are
+    * collected inside onDelta (the consume-before-next-batch contract);
+    * the collect is fixture-bounded (≤ |odd docs| ids — a driver-side
+    * list of admitted ids is the operator's OUTPUT contract, not a
+    * corpus materialization).
+    */
+  def noveltyFromStreamQ(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = T(s, dir, "documents")
+    val state0 = graft.operators.Dedup.corpusShingleFps(
+      docs.filter(col("doc_id") % 2 === 0), col("text"), shingleK = 3)
+    val ing = new graft.streaming.Streams.NoveltyIngest(state0,
+      col("doc_id"), col("text"), minNovelty = 0.5, shingleK = 3)
+    val admitted = scala.collection.mutable.ArrayBuffer.empty[(Long, Int)]
+    ing.onDelta = (d, bid) =>
+      admitted ++= d.select(col("doc_id")).as[Long].collect()
+        .map(id => (id, bid.toInt))
+    ing.handler(docs.filter(col("doc_id") % 4 === 1), 0L)
+    ing.handler(docs.filter(col("doc_id") % 4 === 3), 1L)
+    admitted.toSeq.toDF("doc_id", "batch").orderBy(col("doc_id"))
+  }
+
+  val noveltyFromStreamOracle: String =
+    """WITH t AS (
+      |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
+      |  FROM documents),
+      |sets AS (
+      |  SELECT doc_id, list_distinct(
+      |    CASE WHEN len(t) < 3 THEN [array_to_string(t, ' ')]
+      |         ELSE list_transform(range(1, len(t) - 1),
+      |                i -> array_to_string(t[i:i+2], ' ')) END) AS s
+      |  FROM t),
+      |p AS (SELECT doc_id, unnest(s) AS sp FROM sets),
+      |ev AS (SELECT DISTINCT sp FROM p WHERE doc_id % 2 = 0),
+      |n1 AS (
+      |  SELECT doc_id, COUNT(*) AS ns,
+      |    SUM(CASE WHEN sp IN (SELECT sp FROM ev) THEN 1 ELSE 0 END) AS seen
+      |  FROM p WHERE doc_id % 4 = 1 GROUP BY 1),
+      |adm1 AS (SELECT doc_id FROM n1
+      |         WHERE CAST(ns - seen AS DOUBLE) / CAST(ns AS DOUBLE) >= 0.5),
+      |cs1 AS (SELECT sp FROM ev
+      |        UNION SELECT p.sp FROM p JOIN adm1 USING (doc_id)),
+      |n2 AS (
+      |  SELECT doc_id, COUNT(*) AS ns,
+      |    SUM(CASE WHEN sp IN (SELECT sp FROM cs1) THEN 1 ELSE 0 END) AS seen
+      |  FROM p WHERE doc_id % 4 = 3 GROUP BY 1),
+      |adm2 AS (SELECT doc_id FROM n2
+      |         WHERE CAST(ns - seen AS DOUBLE) / CAST(ns AS DOUBLE) >= 0.5)
+      |SELECT doc_id, 0 AS batch FROM adm1
+      |UNION ALL
+      |SELECT doc_id, 1 AS batch FROM adm2
+      |ORDER BY doc_id""".stripMargin
+
   /** Deletion propagation ([[graft.operators.Dedup.purgeDeletes]]): the
     * purge manifest for a fixed deletion set (doc_id % 45, bounded below
     * the replica stride so the set stays request-sized under stress —
