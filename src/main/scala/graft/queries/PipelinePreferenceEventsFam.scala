@@ -103,6 +103,28 @@ trait PipelinePreferenceEventsFam extends PipelineTokenizerFam {
         col("lose"))
       .orderBy(col("item"))
 
+  /** Win-rate rankings SERVED FROM STREAMED COUNT STATE: the same ballot
+    * fixture streams through the REAL
+    * [[graft.streaming.Streams.PreferenceIngest]] in two micro-batches
+    * (split by winner parity — the count fold is additive, any split
+    * works); `rates()` derives the report from the folded state. The
+    * oracle is [[preferenceReportOracle]] VERBATIM — a clean one-shot
+    * build — so the composition hash-matches only if the additive fold,
+    * the scaffold's pin/replay lifecycle, and the served Wilson chain
+    * are all exact (the dpo_from_counts pattern, closing the last
+    * FoldIngest derivation without its own hash gate).
+    */
+  def preferenceFromCountsQ(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ballots = prefBallots(s, dir)
+    val state0 = Seq.empty[(Long, Long, Long)].toDF("item", "wins", "n")
+    val ing = new graft.streaming.Streams.PreferenceIngest(state0,
+      col("win"), col("lose"))
+    ing.handler(ballots.filter(col("win") % 2 === 0), 0L)
+    ing.handler(ballots.filter(col("win") % 2 === 1), 1L)
+    ing.rates().orderBy(col("item"))
+  }
+
   private[queries] val wilsonZ = 1.96
   private[queries] val wilsonZz = wilsonZ * wilsonZ
 
