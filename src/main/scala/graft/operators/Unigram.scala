@@ -312,6 +312,64 @@ object Unigram {
       .select(col("id"), coalesce(col("n_tokens"), lit(0L)).as("n_tokens"))
   }
 
+  // ------------------------------------------- greedy longest-match (WordPiece)
+
+  /** Greedy longest-match-first segment count over a piece VOCABULARY —
+    * the WordPiece inference rule (MaxMatch; Wu et al. 2016, the BERT
+    * tokenizer's matching, sans the `##` continuation marking which is a
+    * display convention over the same walk): at each position consume the
+    * LONGEST vocabulary piece that matches; a position no piece covers
+    * consumes one code point as UNK. Pure exact string work — no costs,
+    * no DP — so an ANSI oracle replays it with a deterministic recursive
+    * walk. The third segmentation family next to [[Bpe]] (bottom-up
+    * greedy merges) and the Viterbi [[segmentCost]] (global argmin):
+    * same vocabulary, three different token streams — which is exactly
+    * what a tokenizer-selection audit compares.
+    */
+  def greedyCount(word: String, vocab: Set[String], maxPieceLen: Int): Int = {
+    val cps = codePoints(word)
+    var i = 0
+    var n = 0
+    while (i < cps.length) {
+      var l = math.min(maxPieceLen, cps.length - i)
+      var step = 1 // UNK fallback: consume one code point
+      var found = false
+      while (!found && l >= 1) {
+        if (vocab.contains(cps.slice(i, i + l).mkString)) {
+          step = l; found = true
+        }
+        l -= 1
+      }
+      i += step
+      n += 1
+    }
+    n
+  }
+
+  /** Per-document greedy longest-match token counts over a corpus — the
+    * WordPiece twin of [[tokenCounts]], same scale shape: one (id, word)
+    * count aggregation, the greedy walk once per DISTINCT word, token
+    * totals as `Σ count · n_sub`.
+    */
+  def greedyTokenCounts(df: DataFrame, id: Column, text: Column,
+      vocab: Seq[String]): DataFrame = {
+    require(vocab.nonEmpty, "empty vocabulary — nothing to match")
+    val vset = vocab.toSet
+    val maxLen = vocab.map(p => codePoints(p).length).max
+    val words = df.select(id.as("id"),
+        explode(TextFunctions.tokensWs(text)).as("word"))
+      .groupBy(col("id"), col("word")).agg(count(lit(1)).as("cnt"))
+    val nsub = udf((w: String) => greedyCount(w, vset, maxLen))
+    val dict = words.select(col("word")).distinct()
+      .withColumn("n_sub", nsub(col("word")))
+    val counted = words.join(dict, Seq("word"))
+      .groupBy(col("id"))
+      .agg(sum(col("cnt") * col("n_sub")).as("n_tokens"))
+    df.select(id.as("id")).distinct()
+      .join(counted, Seq("id"), "left")
+      .select(col("id"), coalesce(col("n_tokens"), lit(0L)).as("n_tokens"))
+  }
+
   /** Tokenizer fertility diagnostics per group — the unigram twin of
     * [[Bpe.fertilityByGroup]], same output shape: (grp, n_docs, n_chars,
     * n_words, n_tokens, tokens_per_word, chars_per_token).

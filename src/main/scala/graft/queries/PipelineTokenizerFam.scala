@@ -471,6 +471,58 @@ trait PipelineTokenizerFam extends PipelineTextStatsFam {
        |FROM documents d LEFT JOIN cnt c ON c.doc_id = d.doc_id
        |ORDER BY d.doc_id""".stripMargin
 
+  /** Greedy longest-match (WordPiece/MaxMatch) tokenization at corpus
+    * scale ([[graft.operators.Unigram.greedyTokenCounts]]): the SAME
+    * pinned 72-piece vocabulary the Viterbi entry uses, walked
+    * longest-match-first — the third segmentation family (BERT's
+    * inference rule) over one shared piece table, so the three entries
+    * together audit how segmentation ALGORITHM (greedy merges vs global
+    * argmin vs greedy maximal munch) changes token spend on identical
+    * vocabularies. On THIS corpus's saturated little table the greedy and
+    * Viterbi counts happen to coincide (most words are single pieces;
+    * the ~3% multi-piece walks still exercise the matcher) — the
+    * algorithms' divergence is pinned by UnigramSpec's crafted case,
+    * where maximal munch provably over-spends vs the argmin. The oracle
+    * replays the deterministic walk with a recursive CTE: per state, the
+    * longest matching piece wins (a left join keeps the UNK
+    * single-code-point fallback exact even for uncovered characters).
+    */
+  def wordpieceTokenize(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Unigram.greedyTokenCounts(
+        T(s, dir, "documents"), col("doc_id"), col("text"),
+        PinnedArtifacts.UnigramCosts.map(_._1))
+      .select(col("id").as("doc_id"), col("n_tokens"))
+      .orderBy(col("doc_id"))
+
+  def wordpieceTokenizeOracle: String =
+    s"""WITH RECURSIVE
+       |p(piece, plen, cost) AS (VALUES
+       |${PinnedArtifacts.unigramCostsSqlValues}
+       |),
+       |w AS (
+       |  SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS word
+       |  FROM documents WHERE trim(text) <> ''),
+       |dict AS (SELECT DISTINCT word FROM w),
+       |wst(word, pos, n) AS (
+       |  SELECT word, 0, 0 FROM dict
+       |  UNION ALL
+       |  SELECT x.word, x.pos + x.plen, x.n + 1 FROM (
+       |    SELECT wst.word, wst.pos, wst.n, COALESCE(p.plen, 1) AS plen,
+       |      ROW_NUMBER() OVER (PARTITION BY wst.word, wst.pos
+       |        ORDER BY COALESCE(p.plen, 0) DESC) AS rk
+       |    FROM wst LEFT JOIN p
+       |      ON substring(wst.word, wst.pos + 1, p.plen) = p.piece
+       |    WHERE wst.pos < len(word)) x
+       |  WHERE x.rk = 1),
+       |wtok AS (SELECT word, n AS n_sub FROM wst WHERE pos = len(word)),
+       |cnt AS (
+       |  SELECT w.doc_id, SUM(t.n_sub) AS n
+       |  FROM w JOIN wtok t ON t.word = w.word
+       |  GROUP BY w.doc_id)
+       |SELECT d.doc_id, CAST(COALESCE(c.n, 0) AS BIGINT) AS n_tokens
+       |FROM documents d LEFT JOIN cnt c ON c.doc_id = d.doc_id
+       |ORDER BY d.doc_id""".stripMargin
+
   /** The two-tokenizer fertility comparison `tokenizer_fertility` was
     * built for: per language, word counts against BOTH the pinned BPE
     * merge table and the pinned unigram-LM piece table — the audit a

@@ -90,4 +90,26 @@ class UnigramSpec extends SparkSpec {
     assert(got.map(r => (r._1, r._4, r._5)) ===
       Seq(("de", 1L, 2L), ("en", 4L, 4L)))
   }
+
+  test("greedyCount: longest match wins at each position, UNK consumes " +
+      "one code point, and maximal munch can differ from Viterbi") {
+    val vocab = Set("ab", "a", "b", "abc", "c")
+    assert(Unigram.greedyCount("abcab", vocab, maxPieceLen = 3) === 2) // abc|ab
+    assert(Unigram.greedyCount("abq", vocab, maxPieceLen = 3) === 2)   // ab|UNK
+    assert(Unigram.greedyCount("qq", vocab, maxPieceLen = 3) === 2)    // UNK|UNK
+    assert(Unigram.greedyCount("", vocab, maxPieceLen = 3) === 0)
+    // greedy "aa|b" loses to Viterbi "a|ab" when costs favor the split —
+    // the divergence the three-entry tokenizer audit is built to show
+    val costs = Seq(("a", 1L), ("ab", 1L), ("aa", 100L), ("b", 100L))
+    assert(Unigram.greedyCount("aab", costs.map(_._1).toSet, 2) === 2) // aa|b
+    assert(Unigram.segmentCost("aab", costs.toMap, 2) === ((2, 2L)))   // a|ab
+  }
+
+  test("greedyTokenCounts: per-doc totals via the distinct-word join") {
+    val docs = Seq((1L, "abcab abq"), (2L, ""), (3L, "qq qq")).toDF("id", "text")
+    val vocab = Seq("ab", "a", "b", "abc", "c")
+    val got = Unigram.greedyTokenCounts(docs, col("id"), col("text"), vocab)
+      .as[(Long, Long)].collect().sortBy(_._1).toSeq
+    assert(got === Seq((1L, 4L), (2L, 0L), (3L, 4L)))
+  }
 }
