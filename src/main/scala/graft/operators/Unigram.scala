@@ -378,10 +378,28 @@ object Unigram {
       costs: Seq[(String, Long)]): DataFrame = {
     val cmap = costs.toMap
     val maxLen = maxLenOf(costs)
+    fertilityWith(df, text, group,
+      udf((w: String) => segmentCost(w, cmap, maxLen)._1))
+  }
+
+  /** The greedy longest-match twin of [[fertilityByGroup]] — same
+    * diagnostic shape over [[greedyCount]]'s walk.
+    */
+  def greedyFertilityByGroup(df: DataFrame, text: Column, group: Column,
+      vocab: Seq[String]): DataFrame = {
+    require(vocab.nonEmpty, "empty vocabulary — nothing to match")
+    val vset = vocab.toSet
+    val maxLen = vocab.map(p => codePoints(p).length).max
+    fertilityWith(df, text, group,
+      udf((w: String) => greedyCount(w, vset, maxLen)))
+  }
+
+  private def fertilityWith(df: DataFrame, text: Column, group: Column,
+      nsub: org.apache.spark.sql.expressions.UserDefinedFunction)
+      : DataFrame = {
     val words = df.select(group.as("grp"),
         explode(TextFunctions.tokensWs(text)).as("word"))
       .groupBy(col("grp"), col("word")).agg(count(lit(1)).as("n"))
-    val nsub = udf((w: String) => segmentCost(w, cmap, maxLen)._1)
     val dict = words.select(col("word")).distinct()
       .withColumn("n_sub", nsub(col("word")))
     val tok = words.join(dict, Seq("word"))

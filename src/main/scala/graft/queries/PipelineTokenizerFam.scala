@@ -494,6 +494,27 @@ trait PipelineTokenizerFam extends PipelineTextStatsFam {
       .select(col("id").as("doc_id"), col("n_tokens"))
       .orderBy(col("doc_id"))
 
+  /** The WordPiece greedy-walk CTE block shared by
+    * [[wordpieceTokenizeOracle]] and [[tokenizerCompareOracle]]: expects
+    * `p(piece, plen, cost)` and `dict(word)` CTEs defined before it,
+    * yields `wtok(word, n_sub)`. Per state the LONGEST matching piece
+    * wins (windowed left join, rk = 1); the COALESCE keeps the UNK
+    * single-code-point fallback exact for uncovered characters.
+    */
+  private[queries] val wordpieceTokCte: String =
+    """wst(word, pos, n) AS (
+      |  SELECT word, 0, 0 FROM dict
+      |  UNION ALL
+      |  SELECT x.word, x.pos + x.plen, x.n + 1 FROM (
+      |    SELECT wst.word, wst.pos, wst.n, COALESCE(p.plen, 1) AS plen,
+      |      ROW_NUMBER() OVER (PARTITION BY wst.word, wst.pos
+      |        ORDER BY COALESCE(p.plen, 0) DESC) AS rk
+      |    FROM wst LEFT JOIN p
+      |      ON substring(wst.word, wst.pos + 1, p.plen) = p.piece
+      |    WHERE wst.pos < len(word)) x
+      |  WHERE x.rk = 1),
+      |wtok AS (SELECT word, n AS n_sub FROM wst WHERE pos = len(word))""".stripMargin
+
   def wordpieceTokenizeOracle: String =
     s"""WITH RECURSIVE
        |p(piece, plen, cost) AS (VALUES
@@ -503,18 +524,7 @@ trait PipelineTokenizerFam extends PipelineTextStatsFam {
        |  SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS word
        |  FROM documents WHERE trim(text) <> ''),
        |dict AS (SELECT DISTINCT word FROM w),
-       |wst(word, pos, n) AS (
-       |  SELECT word, 0, 0 FROM dict
-       |  UNION ALL
-       |  SELECT x.word, x.pos + x.plen, x.n + 1 FROM (
-       |    SELECT wst.word, wst.pos, wst.n, COALESCE(p.plen, 1) AS plen,
-       |      ROW_NUMBER() OVER (PARTITION BY wst.word, wst.pos
-       |        ORDER BY COALESCE(p.plen, 0) DESC) AS rk
-       |    FROM wst LEFT JOIN p
-       |      ON substring(wst.word, wst.pos + 1, p.plen) = p.piece
-       |    WHERE wst.pos < len(word)) x
-       |  WHERE x.rk = 1),
-       |wtok AS (SELECT word, n AS n_sub FROM wst WHERE pos = len(word)),
+       |$wordpieceTokCte,
        |cnt AS (
        |  SELECT w.doc_id, SUM(t.n_sub) AS n
        |  FROM w JOIN wtok t ON t.word = w.word
@@ -523,13 +533,15 @@ trait PipelineTokenizerFam extends PipelineTextStatsFam {
        |FROM documents d LEFT JOIN cnt c ON c.doc_id = d.doc_id
        |ORDER BY d.doc_id""".stripMargin
 
-  /** The two-tokenizer fertility comparison `tokenizer_fertility` was
-    * built for: per language, word counts against BOTH the pinned BPE
-    * merge table and the pinned unigram-LM piece table — the audit a
-    * vocab decision actually reads (which family spends fewer subwords
-    * per word on which language). One word-dictionary pass feeds both
-    * appliers; the oracle replays BOTH segmentation algorithms (greedy
-    * ranked merges AND Viterbi argmin) in one WITH RECURSIVE.
+  /** The tokenizer fertility comparison `tokenizer_fertility` was built
+    * for: per language, word counts against the pinned BPE merge table,
+    * the pinned unigram-LM piece table under Viterbi, AND the same piece
+    * table under the WordPiece greedy walk — the audit a vocab decision
+    * actually reads (which family spends fewer subwords per word on
+    * which language, and what the segmentation ALGORITHM alone costs on
+    * a fixed vocabulary). One word-dictionary pass feeds all three
+    * appliers; the oracle replays all three segmentations (greedy ranked
+    * merges, Viterbi argmin, maximal munch) in one WITH RECURSIVE.
     */
   def tokenizerCompare(s: SparkSession, dir: String): DataFrame = {
     val docs = T(s, dir, "documents")
@@ -543,7 +555,13 @@ trait PipelineTokenizerFam extends PipelineTextStatsFam {
       .select(col("grp").as("lang"),
         col("n_tokens").as("uni_tokens"),
         col("tokens_per_word").as("uni_per_word"))
-    bpe.join(uni, Seq("lang"))
+    val wp = graft.operators.Unigram.greedyFertilityByGroup(
+        docs, col("text"), col("lang"),
+        PinnedArtifacts.UnigramCosts.map(_._1))
+      .select(col("grp").as("lang"),
+        col("n_tokens").as("wp_tokens"),
+        col("tokens_per_word").as("wp_per_word"))
+    bpe.join(uni, Seq("lang")).join(wp, Seq("lang"))
       .orderBy(col("lang"))
   }
 
@@ -561,12 +579,15 @@ trait PipelineTokenizerFam extends PipelineTextStatsFam {
        |dict AS (SELECT DISTINCT word FROM w),
        |$bpeStepTokCte,
        |$unigramTokCte,
+       |$wordpieceTokCte,
        |agg AS (
        |  SELECT w.lang, COUNT(*) AS n_words,
-       |    SUM(b.n_sub) AS bpe_tokens, SUM(u.n_sub) AS uni_tokens
+       |    SUM(b.n_sub) AS bpe_tokens, SUM(u.n_sub) AS uni_tokens,
+       |    SUM(wp.n_sub) AS wp_tokens
        |  FROM w
        |  JOIN tok b ON b.word = w.word
        |  JOIN utok u ON u.word = w.word
+       |  JOIN wtok wp ON wp.word = w.word
        |  GROUP BY w.lang),
        |base AS (SELECT lang FROM documents GROUP BY lang)
        |SELECT base.lang,
@@ -578,7 +599,11 @@ trait PipelineTokenizerFam extends PipelineTextStatsFam {
        |  CAST(COALESCE(a.uni_tokens, 0) AS BIGINT) AS uni_tokens,
        |  CASE WHEN COALESCE(a.n_words, 0) = 0 THEN 0.0
        |       ELSE CAST(a.uni_tokens AS DOUBLE) / CAST(a.n_words AS DOUBLE)
-       |  END AS uni_per_word
+       |  END AS uni_per_word,
+       |  CAST(COALESCE(a.wp_tokens, 0) AS BIGINT) AS wp_tokens,
+       |  CASE WHEN COALESCE(a.n_words, 0) = 0 THEN 0.0
+       |       ELSE CAST(a.wp_tokens AS DOUBLE) / CAST(a.n_words AS DOUBLE)
+       |  END AS wp_per_word
        |FROM base LEFT JOIN agg a ON a.lang = base.lang
        |ORDER BY base.lang""".stripMargin
 
