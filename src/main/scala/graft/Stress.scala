@@ -228,8 +228,10 @@ object Stress {
     // the growth to watch is the distinct eval-fp set feeding the semi
     // join; matryoshka_audit is 4 probe-broadcast corpus scans (the
     // probe set is scale-fixed below IdStride), so it should track the
-    // sim_bruteforce flat-to-linear band times the prefix count
-    "decon_exact_substr", "matryoshka_audit")
+    // sim_bruteforce flat-to-linear band times the prefix count;
+    // wordpiece_tokenize is the unigram_tokenize dictionary shape with
+    // the greedy walk in place of Viterbi — same linear band expected
+    "decon_exact_substr", "matryoshka_audit", "wordpiece_tokenize")
 
   /** Replica id offset — well above any sf0.1 id, keeps replica ids
     * unique. PUBLIC because `Pipeline.simHashedLsh` pins its probe set

@@ -830,6 +830,16 @@ class PlanSpec extends SparkSpec {
     assert("tokens_ws".r.findAllIn(p).size <= 4, p) // ≤2 nodes × 2 prints
   }
 
+  test("wordpiece_tokenize: the greedy UDF runs over the DISTINCT-word " +
+      "dictionary only, token totals are sums — no window, no cartesian, " +
+      "no per-occurrence text pass") {
+    val p = plan(Pipeline.wordpieceTokenize(spark, dir))
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains(") Window"), p)
+    assert("HashAggregate".r.findAllIn(p).size >= 4, p)
+    assert("tokens_ws".r.findAllIn(p).size <= 4, p) // ≤2 nodes × 2 prints
+  }
+
   test("bitext_mine_lsh: candidates come from the BUCKET equality join " +
       "(srp_bucket on both sides) — never a broadcast corpus scan; the " +
       "margin chain over the shortlist keeps its bounded aggs") {
