@@ -298,10 +298,16 @@ object Unigram {
       costs: Seq[(String, Long)]): DataFrame = {
     val cmap = costs.toMap
     val maxLen = maxLenOf(costs)
+    countsWith(df, id, text,
+      udf((w: String) => segmentCost(w, cmap, maxLen)._1))
+  }
+
+  private def countsWith(df: DataFrame, id: Column, text: Column,
+      nsub: org.apache.spark.sql.expressions.UserDefinedFunction)
+      : DataFrame = {
     val words = df.select(id.as("id"),
         explode(TextFunctions.tokensWs(text)).as("word"))
       .groupBy(col("id"), col("word")).agg(count(lit(1)).as("cnt"))
-    val nsub = udf((w: String) => segmentCost(w, cmap, maxLen)._1)
     val dict = words.select(col("word")).distinct()
       .withColumn("n_sub", nsub(col("word")))
     val counted = words.join(dict, Seq("word"))
@@ -356,18 +362,7 @@ object Unigram {
     require(vocab.nonEmpty, "empty vocabulary — nothing to match")
     val vset = vocab.toSet
     val maxLen = vocab.map(p => codePoints(p).length).max
-    val words = df.select(id.as("id"),
-        explode(TextFunctions.tokensWs(text)).as("word"))
-      .groupBy(col("id"), col("word")).agg(count(lit(1)).as("cnt"))
-    val nsub = udf((w: String) => greedyCount(w, vset, maxLen))
-    val dict = words.select(col("word")).distinct()
-      .withColumn("n_sub", nsub(col("word")))
-    val counted = words.join(dict, Seq("word"))
-      .groupBy(col("id"))
-      .agg(sum(col("cnt") * col("n_sub")).as("n_tokens"))
-    df.select(id.as("id")).distinct()
-      .join(counted, Seq("id"), "left")
-      .select(col("id"), coalesce(col("n_tokens"), lit(0L)).as("n_tokens"))
+    countsWith(df, id, text, udf((w: String) => greedyCount(w, vset, maxLen)))
   }
 
   /** Tokenizer fertility diagnostics per group — the unigram twin of
