@@ -714,6 +714,77 @@ object Dedup {
     }
   }
 
+  /** Within-corpus CONTAINMENT near-dup join: pairs whose smaller shingle
+    * set is at least `threshold`-covered by the larger —
+    * `|S(a) ∩ S(b)| / min(|S(a)|, |S(b)|)`. The asymmetric dual of
+    * [[jaccardPairs]] for the subset-duplicate shapes symmetric Jaccard
+    * systematically misses: an article republished inside a digest, a
+    * paragraph quoted verbatim in a larger post, a truncated crawl of a
+    * page already captured whole. A 200-shingle doc fully embedded in a
+    * 2000-shingle doc scores containment 1.0 but Jaccard 0.1 — below any
+    * sane Jaccard cut. The within-corpus dual of [[containmentPairs]]'
+    * needle-vs-corpus decontamination screen.
+    *
+    * Exact (no approximation): candidates and intersection counts come
+    * from the SHARED [[jaccardPairs]] count-strategy machinery —
+    * inverted-index self-join on 8-byte shingle fingerprints, one groupBy
+    * counting co-occurrences, broadcast size joins — so this can never
+    * diverge from the Jaccard join's candidate semantics. `strategy =
+    * "prefix"` swaps in recall-exact AllPairs-style prefix probing for
+    * stop-shingle-heavy corpora: each set indexes only its
+    * `|s| − ceil(t·|s|) + 1` globally-rarest shingles but PROBES the full
+    * posting list — containment ≥ t forces the smaller set to share
+    * ≥ ceil(t·|small|) shingles, so at least one of its prefix shingles
+    * hits the other side's full postings (asymmetric prefix bound; the
+    * symmetric prefix×prefix join Jaccard uses is NOT recall-exact here).
+    * `maxDocFreq` caps candidate blowup as in [[jaccardPairs]] (dropped
+    * shingles undercount `inter` — conservative).
+    *
+    * Output: (id_a, id_b, inter, sz_a, sz_b, containment) with id_a <
+    * id_b and containment the exact integer ratio — bit-reproducible in
+    * any engine.
+    */
+  def selfContainmentPairs(df: DataFrame, id: Column, text: Column,
+      shingleK: Int = 3, threshold: Double = 0.8,
+      maxDocFreq: Option[Long] = None,
+      strategy: String = "count"): DataFrame = {
+    val idx = shingleIndex(df, id, text, shingleK, maxDocFreq)
+    val sized = strategy match {
+      case "count" => interSizedPairs(idx.indexed, idx.sizes)
+      case "prefix" =>
+        // prefix(x) probes FULL postings of y (both directions via the
+        // unordered-pair dedupe) — the asymmetric containment bound
+        val freq = idx.indexed.groupBy(col("sfp")).agg(count(lit(1)).as("df"))
+        val byRarity = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("id")).orderBy(col("df"), col("sfp"))
+        val prefix = idx.indexed.join(freq, Seq("sfp"))
+          .withColumn("rk", row_number().over(byRarity))
+          .filter(col("rk") <= col("sz") - ceil(lit(threshold) * col("sz")) + 1)
+          .select(col("sfp"), col("id"))
+        val cands = prefix.select(col("sfp"), col("id").as("id_p"))
+          .join(idx.indexed.select(col("sfp"), col("id").as("id_f")), Seq("sfp"))
+          .filter(col("id_p") =!= col("id_f"))
+          .select(least(col("id_p"), col("id_f")).as("id_a"),
+            greatest(col("id_p"), col("id_f")).as("id_b"))
+          .distinct()
+        cands
+          .join(idx.sets.select(col("id").as("id_a"), col("set").as("__sa")), Seq("id_a"))
+          .join(idx.sets.select(col("id").as("id_b"), col("set").as("__sb")), Seq("id_b"))
+          .select(col("id_a"), col("id_b"),
+            size(array_intersect(col("__sa"), col("__sb"))).cast("long").as("inter"),
+            size(col("__sa")).as("sz_a"), size(col("__sb")).as("sz_b"))
+      case other => throw new IllegalArgumentException(
+        s"strategy must be 'count' or 'prefix', got $other")
+    }
+    sized
+      .withColumn("containment", col("inter").cast("double") /
+        least(col("sz_a"), col("sz_b")).cast("double"))
+      .filter(col("containment") >= threshold)
+      .select(col("id_a"), col("id_b"), col("inter").cast("long").as("inter"),
+        col("sz_a").cast("long").as("sz_a"), col("sz_b").cast("long").as("sz_b"),
+        col("containment"))
+  }
+
   /** Pairwise-similarity histogram for dedup-THRESHOLD CALIBRATION: the
     * distribution of exact n-gram Jaccard over all candidate pairs
     * (pairs sharing ≥ 1 shingle), in `bins` equal-width buckets — run it

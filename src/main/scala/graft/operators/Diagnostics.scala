@@ -817,4 +817,86 @@ object Diagnostics {
       .select(col("__s.*"))
       .orderBy(col("col_name"))
   }
+
+  /** Poisson(1) CDF values P(X ≤ k) for k = 0..7, as the EXACT decimal
+    * string of each nearest double — the shared constants behind
+    * [[bootstrapCiMean]]'s weight ladder. Kept as strings so the Scala
+    * plan (`lit(s.toDouble)`) and the SQL oracle (literal interpolation)
+    * parse the SAME decimal text into the same IEEE doubles.
+    */
+  val PoissonCdf1: Seq[String] = Seq(
+    "0.36787944117144233", "0.7357588823428847", "0.9196986029286058",
+    "0.9810118431238463", "0.9963401531726563", "0.9994058151824183",
+    "0.999916758850712", "0.9999897508033253")
+
+  /** Poisson-bootstrap confidence interval for a per-group MEAN — the
+    * scalable bootstrap (Chamandy et al., "Estimating Uncertainty for
+    * Massive Data Streams", and the resampling trick in Kleiner et al.'s
+    * bag-of-little-bootstraps line of work): classic bootstrap resampling
+    * needs n draws WITH replacement per replicate (a global shuffle per
+    * replicate); the Poisson approximation gives every row an independent
+    * Poisson(1) multiplicity per replicate, turning B replicates into ONE
+    * map-side pass. Eval metrics without error bars are how ±2% model
+    * "wins" ship — this puts the interval next to the point estimate at
+    * any corpus size.
+    *
+    * Deterministic end to end: the multiplicity is the Poisson(1) inverse
+    * CDF applied to u = md5-hash(key:replicate)/2^32 (exact double: a
+    * < 2^32 integer divided by a power of two), the ladder thresholds are
+    * [[PoissonCdf1]] (mass above k = 7 is ~1e-5 and folds into w = 8);
+    * `value` must be INTEGER-typed, so each replicate's Σwx / Σw is an
+    * exact-integer ratio and every replicate mean is bit-reproducible.
+    * The interval is the empirical [ceil(α/2·B), B+1−ceil(α/2·B)]
+    * order-statistic pair of the B replicate means (B = 64, α = 0.05 →
+    * the 2nd and 63rd of 64) — a replicate that draws no rows at all
+    * (Σw = 0, possible only for near-empty groups) drops out and the
+    * order statistics read NULL past the end, never a fabricated bound.
+    *
+    * Output: (grp, n_rows, mean_v, ci_lo, ci_hi, n_reps).
+    *
+    * Scale shape: one B-way row expansion (sequence + explode, map-only —
+    * B·n narrow rows that never materialize past the partial aggregate)
+    * into a (group, replicate) HashAggregate: the exchange carries ≤
+    * |groups|·B·partitions partial rows, the replicate means are
+    * |groups|·B rows, and the final per-group order statistics sort B
+    * values per group. The point estimate joins from a separate
+    * |groups|-row aggregate over the unexpanded frame (broadcast).
+    */
+  def bootstrapCiMean(df: DataFrame, group: Column, value: Column,
+      key: Column, b: Int = 64, alpha: Double = 0.05): DataFrame = {
+    require(b >= 4, s"need at least 4 replicates, got $b")
+    require(alpha > 0 && alpha < 1, s"alpha out of (0,1): $alpha")
+    val kLo = math.max(1, math.ceil(b * alpha / 2).toInt)
+    val kHi = b + 1 - kLo
+    val base = df.select(group.as("grp"), value.cast("long").as("__x"),
+      key.cast("string").as("__k"))
+    val u = graft.functions.TextFunctions.hash32(
+      concat(col("__k"), lit(":"), col("__b").cast("string")))
+      .cast("double") / lit(4294967296.0)
+    val w = PoissonCdf1.zipWithIndex.foldRight(
+      lit(PoissonCdf1.size).cast("long")) { case ((c, k), rest) =>
+      when(col("__u") < lit(c.toDouble), lit(k.toLong)).otherwise(rest)
+    }
+    val reps = base
+      .withColumn("__b", explode(sequence(lit(0), lit(b - 1))))
+      .withColumn("__u", u)
+      .withColumn("__w", w)
+      .groupBy(col("grp"), col("__b"))
+      .agg(sum(col("__w") * col("__x")).as("__swx"), sum(col("__w")).as("__sw"))
+      .filter(col("__sw") > 0L)
+      .select(col("grp"),
+        (col("__swx").cast("double") / col("__sw").cast("double")).as("__rm"))
+      .groupBy(col("grp"))
+      .agg(sort_array(collect_list(col("__rm"))).as("__ms"))
+      .select(col("grp"), element_at(col("__ms"), kLo).as("ci_lo"),
+        element_at(col("__ms"), kHi).as("ci_hi"),
+        size(col("__ms")).cast("long").as("n_reps"))
+    val point = base.groupBy(col("grp"))
+      .agg(count(lit(1)).as("n_rows"),
+        (sum(col("__x")).cast("double") / count(lit(1)).cast("double"))
+          .as("mean_v"))
+    point.join(broadcast(reps), Seq("grp"))
+      .select(col("grp"), col("n_rows"), col("mean_v"), col("ci_lo"),
+        col("ci_hi"), col("n_reps"))
+  }
 }

@@ -167,6 +167,79 @@ object EmbeddingStats {
 
 
 
+  /** Label-cluster silhouette audit (simplified/centroid silhouette,
+    * cosine distance): per vector, a = distance to its OWN label's
+    * deterministic centroid, b = the nearest OTHER label's centroid
+    * distance, s = (b − a) / max(a, b) ∈ (−1, 1] — the standard
+    * clustering-quality readout, against LABELS instead of learned
+    * clusters, so it audits the labeling itself: s < 0 means the vector
+    * sits closer to another label's centroid (the per-point mislabel
+    * signal [[embeddingOutliers]]'s within-label distance can't see), and
+    * a label whose mean s hovers near 0 is not a separable class —
+    * balance it, merge it, or fix the encoder before training on it.
+    *
+    * Output: (label, n, mean_sil, min_sil, max_sil, n_negative), one row
+    * per label. `mean_sil` is a 2^bits fixed-point mean (the
+    * [[labelCentroids]] pattern — order-free exact integer sum, so the
+    * value is partition-independent and engine-reproducible); min/max are
+    * order-free by nature; `n_negative` counts the mislabel-signal
+    * vectors. Vectors with a zero norm (or a degenerate zero-norm
+    * centroid) carry no direction and are excluded from every stat.
+    *
+    * Determinism: centroids are [[labelCentroids]] fixed-point means cast
+    * to float (one correctly-rounded cast, identical in any engine); each
+    * distance is the [[org.apache.spark.sql.graft.CosineSimilarity]]
+    * index-order fold; s is a fixed two-operand IEEE chain. The oracle
+    * replays all three.
+    *
+    * Scale shape: the |labels|·d centroid aggregation, then ONE map-only
+    * corpus pass — the centroid table rides along as a single collected
+    * array row (|labels| structs) in a broadcast cross join, and the
+    * per-vector argmin/argmin-other run WITHIN the row (the lambda calls
+    * the compiled [[org.apache.spark.sql.graft.CosineSimilarity]] kernel
+    * per centroid — K tight-loop evals per row, no N-row shuffle, no
+    * window) — into a |labels|-sized partial-aggregated groupBy.
+    */
+  def silhouetteReport(df: DataFrame, label: Column, vec: Column,
+      bits: Int = 24): DataFrame = {
+    import org.apache.spark.sql.graft.VectorFunctions
+    val scale = math.pow(2, bits)
+    val centsRow = broadcast(centroidVectors(df, label, vec)
+      .agg(sort_array(collect_list(struct(col("label").as("clabel"),
+        col("centroid").cast("array<float>").as("cv")))).as("__cents")))
+    val dists = filter(
+      transform(col("__cents"), c => struct(
+        (lit(1.0) - VectorFunctions.cosineSim(col("__v"), c.getField("cv")))
+          .as("d"),
+        c.getField("clabel").as("clabel"))),
+      x => x.getField("d").isNotNull)
+    val scored = df.select(label.as("label"), vec.as("__v"))
+      .crossJoin(centsRow)
+      .withColumn("__ds", dists)
+      // try_element_at: a zero-norm vector drops its own-label entry from
+      // __ds, and ANSI element_at throws on the empty array where the
+      // contract here is "excluded from every stat" (null -> filtered)
+      .withColumn("__a", try_element_at(
+        filter(col("__ds"), x => x.getField("clabel") === col("label")),
+        lit(1)))
+      .withColumn("__b", array_min(
+        filter(col("__ds"), x => x.getField("clabel") =!= col("label"))))
+      .filter(col("__a").isNotNull && col("__b").isNotNull)
+      .withColumn("__s",
+        when(greatest(col("__a.d"), col("__b.d")) === 0.0, lit(0.0))
+          .otherwise((col("__b.d") - col("__a.d")) /
+            greatest(col("__a.d"), col("__b.d"))))
+    scored.groupBy(col("label"))
+      .agg(count(lit(1)).as("n"),
+        sum(round(col("__s") * lit(scale)).cast("long")).as("__sq"),
+        min(col("__s")).as("min_sil"), max(col("__s")).as("max_sil"),
+        sum(when(col("__s") < 0.0, 1L).otherwise(0L)).as("n_negative"))
+      .select(col("label"), col("n"),
+        (col("__sq").cast("double") / (col("n").cast("double") * lit(scale)))
+          .as("mean_sil"),
+        col("min_sil"), col("max_sil"), col("n_negative"))
+  }
+
   /** Int8-quantization error audit — the acceptance gate before switching
     * a serving corpus to [[graft.operators.Similarity.quantizedTopK]]'s
     * 4×-smaller codes: per label (or any grouping), the distribution of

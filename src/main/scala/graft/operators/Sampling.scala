@@ -107,6 +107,56 @@ object Sampling {
   def fixedSizeSampleGlobal(df: DataFrame, id: Column, n: Int): DataFrame =
     fixedSizeSample(df, lit(1), id, n)
 
+  /** WEIGHTED sampling without replacement, deterministically — keep
+    * exactly `n` rows with inclusion odds proportional to an integer
+    * `weight` (quality score, token count bucket): the curation move
+    * "subsample the corpus but keep the good documents more often",
+    * reproducible across runs, engines, and cluster layouts like every
+    * sampler here.
+    *
+    * Algorithm: Efraimidis–Spirakis A-ES assigns each row the key
+    * u^(1/w), u ~ U(0,1), and keeps the top n. Computing u^(1/w) needs
+    * `pow` — a libm call with no cross-engine bit guarantee — so this
+    * uses the EXACT distributional identity u^(1/w) ~ max(u_1..u_w)
+    * instead: the key is the MAXIMUM of w independent md5-derived 32-bit
+    * hashes (`hash32(id:j)`, j = 1..w), pure integer comparisons end to
+    * end, ties toward the smaller id. Same law, zero float risk.
+    *
+    * `maxWeight` caps the per-row hash count (and is the weight
+    * resolution — odds saturate there); weights clamp into
+    * [1, maxWeight], so a zero/negative weight still participates at the
+    * floor rather than silently vanishing.
+    *
+    * Output: (id, weight, rank) — rank by (key desc, id asc), the
+    * audit-friendly "why is this row in the sample" readout.
+    *
+    * Scale shape: one map-only pass computes each row's key (≤ maxWeight
+    * compiled md5 evals inside the row — no explode, no extra rows), then
+    * the bounded global top-n aggregator ([[fixedSizeSample]]'s shape):
+    * every task ships at most n candidates, no global sort, kept rows
+    * return via a broadcast join carrying (id, weight, rank) longs.
+    */
+  def weightedSample(df: DataFrame, id: Column, weight: Column, n: Int,
+      maxWeight: Int = 16): DataFrame = {
+    require(n > 0, s"n must be positive, got $n")
+    require(maxWeight >= 1 && maxWeight <= 64,
+      s"maxWeight out of [1,64]: $maxWeight")
+    val topk = graft.functions.TopKAggregator.topK(n)
+    val keyed = df.select(id.cast("long").as("__id"),
+        greatest(lit(1L), least(lit(maxWeight.toLong), weight.cast("long")))
+          .as("__w"))
+      .withColumn("__key", array_max(transform(
+        sequence(lit(1L), col("__w")),
+        j => TextFunctions.hash32(
+          concat(col("__id").cast("string"), lit(":"), j.cast("string"))))))
+    val kept = keyed.groupBy(lit(1).as("__g"))
+      .agg(topk(col("__id"), col("__key").cast("double")).as("top"))
+      .select(posexplode(col("top.id")).as(Seq("__pos", "__kid")))
+      .select(col("__kid"), (col("__pos") + 1).cast("int").as("rank"))
+    keyed.join(broadcast(kept), col("__id") === col("__kid"))
+      .select(col("__id").as("id"), col("__w").as("weight"), col("rank"))
+  }
+
   /** Cluster-balanced subsampling: assign every embedding to its nearest
     * centroid ([[Similarity.assignToCentroids]]) and keep a deterministic
     * fixed-size sample per cluster ([[fixedSizeSample]] on the cell id) —

@@ -1530,4 +1530,71 @@ object TextIndex {
         sum(col("new_terms")).over(Window.orderBy(col("bucket"))
           .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
   }
+
+  /** Two-corpus token-distribution divergence — the drift gate between
+    * corpus versions / crawl snapshots / train-vs-eval splits, as ONE
+    * summary row: Hellinger distance and total-variation distance between
+    * the two unigram distributions, plus vocabulary overlap counts. Both
+    * measures are deliberately LOG-FREE (H² = ½Σ(√p−√q)², TV = ½Σ|p−q|):
+    * `sqrt`/`abs` are correctly-rounded IEEE ops identical in every
+    * engine, where KL/JS's `ln` is libm-dependent — the same exactness
+    * stance as this file's ⌊log2⌋ LM family. Hellinger reads fine-grained
+    * drift (√·√ weighting is sensitive to rare-mass movement); TV reads
+    * "fraction of token mass that moved"; n_shared/n_terms reads pure
+    * vocabulary turnover.
+    *
+    * Determinism: p and q are exact-integer ratios (one correctly-rounded
+    * division each), every per-term contribution is a fixed two-operand
+    * IEEE chain, and the cross-row sums quantize each contribution to
+    * 2^bits fixed point first ([[EmbeddingStats.labelCentroids]] pattern)
+    * — contributions sum to ≤ 2, so the scaled sum stays ≤ 2^(bits+1) +
+    * |vocab|/2 (rounding slack): exact in a long at any vocabulary size
+    * for bits = 40.
+    *
+    * Output: ONE row — (n_terms_a, n_terms_b, n_shared, n_tokens_a,
+    * n_tokens_b, hellinger, tv_dist).
+    *
+    * Scale shape: each side is one token explode into a SHARED fp-keyed
+    * count aggregation (union with a side tag → one groupBy with map-side
+    * partials; term text collapses to 60-bit fingerprints before any
+    * exchange, the house rule); totals ride back as a one-row broadcast
+    * cross join; the finale is a single-row aggregation. Text never
+    * shuffles; nothing wider than longs does.
+    */
+  def corpusDivergence(a: DataFrame, aText: Column,
+      b: DataFrame, bText: Column, bits: Int = 40): DataFrame = {
+    require(bits > 0 && bits < 50, s"bits out of range: $bits")
+    val scale = math.pow(2, bits)
+    def side(df: DataFrame, text: Column, tag: Int): DataFrame =
+      widen(df.select(text.as("__text")))
+        .select(explode(TextFunctions.tokensWs(col("__text"))).as("__t"))
+        .select(TextFunctions.fingerprint64(col("__t")).as("fp"),
+          lit(1 - tag).cast("long").as("__ia"), lit(tag).cast("long").as("__ib"))
+    val counts = side(a, aText, 0).unionAll(side(b, bText, 1))
+      .groupBy(col("fp"))
+      .agg(sum(col("__ia")).as("ca"), sum(col("__ib")).as("cb"))
+    val totals = broadcast(counts.agg(
+      sum(col("ca")).as("na"), sum(col("cb")).as("nb")))
+    val p = when(col("ca") === 0L, lit(0.0))
+      .otherwise(col("ca").cast("double") / col("na").cast("double"))
+    val q = when(col("cb") === 0L, lit(0.0))
+      .otherwise(col("cb").cast("double") / col("nb").cast("double"))
+    counts.crossJoin(totals)
+      .select(col("ca"), col("cb"), col("na"), col("nb"),
+        round((sqrt(p) - sqrt(q)) * (sqrt(p) - sqrt(q)) * lit(scale))
+          .cast("long").as("qh"),
+        round(abs(p - q) * lit(scale)).cast("long").as("qtv"))
+      .agg(
+        sum(when(col("ca") > 0L, 1L).otherwise(0L)).as("n_terms_a"),
+        sum(when(col("cb") > 0L, 1L).otherwise(0L)).as("n_terms_b"),
+        sum(when(col("ca") > 0L && col("cb") > 0L, 1L).otherwise(0L))
+          .as("n_shared"),
+        max(col("na")).as("n_tokens_a"), max(col("nb")).as("n_tokens_b"),
+        sum(col("qh")).as("__sh"), sum(col("qtv")).as("__stv"))
+      .select(col("n_terms_a"), col("n_terms_b"), col("n_shared"),
+        col("n_tokens_a"), col("n_tokens_b"),
+        sqrt((col("__sh").cast("double") / lit(scale)) * lit(0.5))
+          .as("hellinger"),
+        ((col("__stv").cast("double") / lit(scale)) * lit(0.5)).as("tv_dist"))
+  }
 }

@@ -158,6 +158,41 @@ trait PipelineDedupFam {
 
   val dedupNgramJaccardOracle: String = jaccardOracle(0.5)
 
+  /** Within-corpus containment near-dup join
+    * ([[graft.operators.Dedup.selfContainmentPairs]]): pairs whose smaller
+    * 3-shingle set is ≥ 0.6 covered by the larger — the near-SUBSET
+    * duplicates (article inside digest, quoted paragraph, truncated
+    * re-crawl) whose Jaccard is diluted below any symmetric cut. Exact
+    * integer-ratio score; the oracle replays the shared posting-self-join
+    * machinery with the min-size denominator.
+    */
+  def dedupContainmentQ(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Dedup.selfContainmentPairs(
+        T(s, dir, "documents"), col("doc_id"), col("text"),
+        shingleK = 3, threshold = 0.6)
+      .orderBy(col("id_a"), col("id_b"))
+
+  val dedupContainmentOracle: String =
+    s"""WITH $shingleSetsSql,
+       |posting AS (SELECT doc_id, unnest(s) AS sp FROM sets),
+       |pairs AS (
+       |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS inter
+       |  FROM posting a JOIN posting b ON a.sp = b.sp AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2),
+       |c AS (
+       |  SELECT p.id_a, p.id_b, p.inter,
+       |    len(sa.s) AS sz_a, len(sb.s) AS sz_b,
+       |    CAST(p.inter AS DOUBLE) /
+       |      CAST(least(len(sa.s), len(sb.s)) AS DOUBLE) AS containment
+       |  FROM pairs p
+       |  JOIN sets sa ON sa.doc_id = p.id_a
+       |  JOIN sets sb ON sb.doc_id = p.id_b)
+       |SELECT id_a, id_b, CAST(inter AS BIGINT) AS inter,
+       |  CAST(sz_a AS BIGINT) AS sz_a, CAST(sz_b AS BIGINT) AS sz_b,
+       |  containment
+       |FROM c WHERE containment >= 0.6
+       |ORDER BY id_a, id_b""".stripMargin
+
   /** Dedup-threshold calibration histogram
     * ([[graft.operators.Dedup.jaccardHistogram]]): exact Jaccard over
     * every candidate pair, 20 integer-math buckets — the report read

@@ -230,6 +230,65 @@ trait PipelineSimilarityFam extends PipelineDedupFam {
        |FROM r WHERE rk <= 25
        |ORDER BY vec_id""".stripMargin
 
+  /** Label-cluster silhouette audit
+    * ([[graft.operators.EmbeddingStats.silhouetteReport]]): per label,
+    * simplified (centroid) silhouette under cosine distance against the
+    * deterministic fixed-point label centroids — mean_sil near 0 flags an
+    * unseparable class, n_negative counts per-point mislabel signals. The
+    * oracle rebuilds the centroids from [[centroidSumsCte]], replays the
+    * float cast + the [[org.apache.spark.sql.graft.CosineSimilarity]]
+    * index-order fold per (vector, centroid), and the fixed-point mean.
+    */
+  def clusterSilhouetteQ(s: SparkSession, dir: String): DataFrame =
+    graft.operators.EmbeddingStats.silhouetteReport(
+        T(s, dir, "embeddings"), col("label"), col("embedding"))
+      .orderBy(col("label"))
+
+  val clusterSilhouetteOracle: String =
+    s"""WITH $centroidSumsCte,
+       |cent AS (
+       |  SELECT label, list(CAST(mean AS FLOAT) ORDER BY dim) AS c FROM (
+       |    SELECT label, dim,
+       |      CAST(sm AS DOUBLE) / (CAST(n AS DOUBLE) * 16777216.0) AS mean
+       |    FROM a)
+       |  GROUP BY label),
+       |cn AS (
+       |  SELECT label, c,
+       |    sqrt(list_reduce(list_transform(range(1, len(c) + 1),
+       |      i -> c[i]::DOUBLE * c[i]::DOUBLE), (x, y) -> x + y)) AS cnrm
+       |  FROM cent),
+       |vn AS (
+       |  SELECT vec_id, label, embedding,
+       |    sqrt(list_reduce(list_transform(range(1, len(embedding) + 1),
+       |      i -> embedding[i]::DOUBLE * embedding[i]::DOUBLE),
+       |      (x, y) -> x + y)) AS vnrm
+       |  FROM embeddings),
+       |d AS (
+       |  SELECT v.vec_id, v.label AS vlabel, c.label AS clabel,
+       |    CASE WHEN v.vnrm = 0 OR c.cnrm = 0 THEN NULL
+       |         ELSE 1.0 - (list_reduce(list_transform(
+       |             range(1, len(v.embedding) + 1),
+       |             i -> v.embedding[i]::DOUBLE * c.c[i]::DOUBLE),
+       |             (x, y) -> x + y) / (v.vnrm * c.cnrm)) END AS dd
+       |  FROM vn v CROSS JOIN cn c),
+       |ab AS (
+       |  SELECT vec_id, vlabel,
+       |    MAX(CASE WHEN clabel = vlabel THEN dd END) AS ad,
+       |    MIN(CASE WHEN clabel <> vlabel THEN dd END) AS bd
+       |  FROM d GROUP BY 1, 2),
+       |sv AS (
+       |  SELECT vlabel,
+       |    CASE WHEN greatest(ad, bd) = 0 THEN 0.0
+       |         ELSE (bd - ad) / greatest(ad, bd) END AS sil
+       |  FROM ab WHERE ad IS NOT NULL AND bd IS NOT NULL)
+       |SELECT vlabel AS label, CAST(COUNT(*) AS BIGINT) AS n,
+       |  CAST(SUM(CAST(round(sil * 16777216.0) AS BIGINT)) AS DOUBLE)
+       |    / (CAST(COUNT(*) AS DOUBLE) * 16777216.0) AS mean_sil,
+       |  MIN(sil) AS min_sil, MAX(sil) AS max_sil,
+       |  CAST(SUM(CASE WHEN sil < 0 THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_negative
+       |FROM sv GROUP BY 1 ORDER BY label""".stripMargin
+
   /** Full d×d covariance matrix
     * ([[graft.operators.EmbeddingStats.embeddingCovariance]]): one-pass
     * exact integer moments at 2^20 fixed point, each entry a fixed
@@ -1421,5 +1480,44 @@ trait PipelineSimilarityFam extends PipelineDedupFam {
       |  SELECT doc_id FROM documents
       |  ORDER BY ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT, doc_id
       |  LIMIT 100) t
+      |ORDER BY doc_id""".stripMargin
+
+  /** Weighted sampling without replacement
+    * ([[graft.operators.Sampling.weightedSample]], Efraimidis–Spirakis
+    * A-ES): keep 60 documents with inclusion odds ∝ a token-count weight
+    * bucket (1 + min(9, tokens div 100)) — "subsample but keep long
+    * documents more often". The key is the exact max-of-w-uniforms
+    * identity (w md5 hashes per row, pure integer max — no `pow`), so the
+    * oracle replays it verbatim.
+    */
+  def sampleWeightedQ(s: SparkSession, dir: String): DataFrame = {
+    val d = T(s, dir, "documents")
+      .withColumn("__nt", TextFunctions.tokenCountWs(col("text")).cast("long"))
+      .withColumn("__wt", lit(1L) + least(lit(9L), expr("__nt div 100")))
+    graft.operators.Sampling.weightedSample(
+        d, col("doc_id"), col("__wt"), n = 60, maxWeight = 10)
+      .select(col("id").as("doc_id"), col("weight"), col("rank"))
+      .orderBy(col("doc_id"))
+  }
+
+  val sampleWeightedOracle: String =
+    """WITH w AS (
+      |  SELECT doc_id,
+      |    1 + least(9, CAST(CASE WHEN trim(text) = '' THEN 0
+      |      ELSE len(string_split_regex(trim(text), '\s+')) END AS BIGINT)
+      |      // 100) AS wt
+      |  FROM documents),
+      |k AS (
+      |  SELECT doc_id, wt,
+      |    list_max(list_transform(range(1, wt + 1),
+      |      j -> ('0x' || substring(md5(CAST(doc_id AS VARCHAR) || ':' ||
+      |        CAST(j AS VARCHAR)), 1, 8))::BIGINT)) AS key
+      |  FROM w),
+      |r AS (
+      |  SELECT doc_id, wt,
+      |    ROW_NUMBER() OVER (ORDER BY key DESC, doc_id) AS rk
+      |  FROM k)
+      |SELECT doc_id, CAST(wt AS BIGINT) AS weight, CAST(rk AS INTEGER) AS rank
+      |FROM r WHERE rk <= 60
       |ORDER BY doc_id""".stripMargin
 }

@@ -1390,4 +1390,105 @@ trait PipelineTextStatsFam extends PipelineMixtureSketchFam {
       |FROM d
       |GROUP BY ROLLUP(lang)
       |ORDER BY lang""".stripMargin
+
+  /** Poisson-bootstrap CI for mean tokens-per-doc per language
+    * ([[graft.operators.Diagnostics.bootstrapCiMean]], B = 64, α = 0.05):
+    * the error-bar readout next to every per-language eval mean. Fully
+    * deterministic — md5-driven Poisson(1) multiplicities, exact-integer
+    * replicate sums — so the oracle replays all 64 replicates and the
+    * order-statistic interval verbatim.
+    */
+  def bootstrapCiQ(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Diagnostics.bootstrapCiMean(
+        T(s, dir, "documents"), col("lang"),
+        TextFunctions.tokenCountWs(col("text")).cast("long"),
+        col("doc_id"), b = 64)
+      .orderBy(col("grp"))
+
+  val bootstrapCiOracle: String = {
+    val ladder = graft.operators.Diagnostics.PoissonCdf1.zipWithIndex
+      .map { case (c, k) => s"WHEN uu < $c THEN $k" }
+      .mkString("CASE ", " ", " ELSE 8 END")
+    s"""WITH x AS (
+       |  SELECT lang AS grp, CAST(doc_id AS VARCHAR) AS k,
+       |    CAST(CASE WHEN trim(text) = '' THEN 0
+       |      ELSE len(string_split_regex(trim(text), '\\s+')) END AS BIGINT)
+       |      AS xv
+       |  FROM documents),
+       |r AS (SELECT grp, k, xv, unnest(range(0, 64)) AS b FROM x),
+       |u AS (
+       |  SELECT grp, b, xv,
+       |    CAST(('0x' || substring(md5(k || ':' || CAST(b AS VARCHAR)),
+       |      1, 8))::BIGINT AS DOUBLE) / 4294967296.0 AS uu
+       |  FROM r),
+       |w AS (SELECT grp, b, xv, $ladder AS wt FROM u),
+       |rm AS (
+       |  SELECT grp, b, SUM(wt * xv) AS swx, SUM(wt) AS sw
+       |  FROM w GROUP BY 1, 2),
+       |rm2 AS (
+       |  SELECT grp, CAST(swx AS DOUBLE) / CAST(sw AS DOUBLE) AS m
+       |  FROM rm WHERE sw > 0),
+       |ci AS (SELECT grp, list(m ORDER BY m) AS ms FROM rm2 GROUP BY grp),
+       |pt AS (
+       |  SELECT grp, CAST(COUNT(*) AS BIGINT) AS n_rows,
+       |    CAST(SUM(xv) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS mean_v
+       |  FROM x GROUP BY 1)
+       |SELECT p.grp, p.n_rows, p.mean_v, ci.ms[2] AS ci_lo,
+       |  ci.ms[63] AS ci_hi, CAST(len(ci.ms) AS BIGINT) AS n_reps
+       |FROM pt p JOIN ci ON ci.grp = p.grp
+       |ORDER BY p.grp""".stripMargin
+  }
+
+  /** Two-corpus token-distribution divergence
+    * ([[graft.operators.TextIndex.corpusDivergence]]): Hellinger + total
+    * variation between the even- and odd-doc_id halves of the corpus —
+    * the drift gate between corpus versions, log-free so every term
+    * contribution is engine-exact. The oracle rebuilds both unigram
+    * distributions and replays the 2^40 fixed-point contribution sums.
+    */
+  def corpusDivergenceQ(s: SparkSession, dir: String): DataFrame = {
+    val d = T(s, dir, "documents")
+    graft.operators.TextIndex.corpusDivergence(
+      d.filter(col("doc_id") % 2 === 0), col("text"),
+      d.filter(col("doc_id") % 2 === 1), col("text"))
+  }
+
+  val corpusDivergenceOracle: String =
+    """WITH ta AS (
+      |  SELECT unnest(CASE WHEN trim(text) = '' THEN []::VARCHAR[]
+      |    ELSE string_split_regex(trim(text), '\s+') END) AS t
+      |  FROM documents WHERE doc_id % 2 = 0),
+      |tb AS (
+      |  SELECT unnest(CASE WHEN trim(text) = '' THEN []::VARCHAR[]
+      |    ELSE string_split_regex(trim(text), '\s+') END) AS t
+      |  FROM documents WHERE doc_id % 2 = 1),
+      |ga AS (SELECT t, COUNT(*) AS c FROM ta GROUP BY 1),
+      |gb AS (SELECT t, COUNT(*) AS c FROM tb GROUP BY 1),
+      |m AS (
+      |  SELECT COALESCE(ga.c, 0) AS ca, COALESCE(gb.c, 0) AS cb
+      |  FROM ga FULL OUTER JOIN gb ON ga.t = gb.t),
+      |tot AS (SELECT SUM(ca) AS na, SUM(cb) AS nb FROM m),
+      |q AS (
+      |  SELECT ca, cb, na, nb,
+      |    CASE WHEN ca = 0 THEN 0.0
+      |         ELSE CAST(ca AS DOUBLE) / CAST(na AS DOUBLE) END AS p,
+      |    CASE WHEN cb = 0 THEN 0.0
+      |         ELSE CAST(cb AS DOUBLE) / CAST(nb AS DOUBLE) END AS qq
+      |  FROM m CROSS JOIN tot),
+      |z AS (
+      |  SELECT ca, cb, na, nb,
+      |    CAST(round((sqrt(p) - sqrt(qq)) * (sqrt(p) - sqrt(qq))
+      |      * 1099511627776.0) AS BIGINT) AS qh,
+      |    CAST(round(abs(p - qq) * 1099511627776.0) AS BIGINT) AS qtv
+      |  FROM q)
+      |SELECT
+      |  CAST(SUM(CASE WHEN ca > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_terms_a,
+      |  CAST(SUM(CASE WHEN cb > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_terms_b,
+      |  CAST(SUM(CASE WHEN ca > 0 AND cb > 0 THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_shared,
+      |  CAST(MAX(na) AS BIGINT) AS n_tokens_a,
+      |  CAST(MAX(nb) AS BIGINT) AS n_tokens_b,
+      |  sqrt((CAST(SUM(qh) AS DOUBLE) / 1099511627776.0) * 0.5) AS hellinger,
+      |  (CAST(SUM(qtv) AS DOUBLE) / 1099511627776.0) * 0.5 AS tv_dist
+      |FROM z""".stripMargin
 }

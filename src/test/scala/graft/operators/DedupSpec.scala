@@ -730,4 +730,24 @@ class DedupSpec extends SparkSpec {
       .as[(Long, Long, Int)].collect().toSeq
     assert(got === Seq((1L, 10L, 0), (1L, 11L, 1), (1L, 12L, 4)))
   }
+
+  test("selfContainmentPairs: near-subset pair found at a threshold where " +
+      "Jaccard is diluted below the cut; count and prefix strategies agree") {
+    val d = Seq(
+      (1L, "a b c d e f"),          // 4 distinct 3-shingles
+      (2L, "a b c d e f g h"),      // 6 shingles, superset of doc 1's
+      (3L, "x y z w v u")           // disjoint
+    ).toDF("doc_id", "text")
+    val out = Dedup.selfContainmentPairs(d, col("doc_id"), col("text"),
+        shingleK = 3, threshold = 0.9)
+      .as[(Long, Long, Long, Long, Long, Double)].collect().toSeq
+    assert(out === Seq((1L, 2L, 4L, 4L, 6L, 1.0)))
+    // the same pair's symmetric Jaccard is 4/6 — invisible at 0.9
+    assert(Dedup.jaccardPairs(d, col("doc_id"), col("text"),
+      shingleK = 3, threshold = 0.9).count() === 0L)
+    val pf = Dedup.selfContainmentPairs(d, col("doc_id"), col("text"),
+        shingleK = 3, threshold = 0.9, strategy = "prefix")
+      .as[(Long, Long, Long, Long, Long, Double)].collect().toSeq
+    assert(pf === out)
+  }
 }

@@ -467,4 +467,24 @@ class DiagnosticsSpec extends SparkSpec {
     assert(graft.operators.Diagnostics.splitLeakReport(clean,
       col("split"), col("text")).count() === 0L)
   }
+
+  test("bootstrapCiMean: constant metric collapses the interval to the " +
+      "mean; varied metric is bracketed; partition-invariant") {
+    val rows = (1 to 200).map(i => ("a", 7L, i.toLong)) ++
+      (1 to 300).map(i => ("b", (i % 11).toLong, (1000 + i).toLong))
+    val df = rows.toDF("g", "v", "k")
+    def run(d: org.apache.spark.sql.DataFrame) =
+      graft.operators.Diagnostics.bootstrapCiMean(
+          d, col("g"), col("v"), col("k"))
+        .as[(String, Long, Double, Double, Double, Long)]
+        .collect().sortBy(_._1).toSeq
+    val out = run(df)
+    val a = out(0); val b = out(1)
+    // every Poisson replicate of a constant metric averages to exactly it
+    assert(a === (("a", 200L, 7.0, 7.0, 7.0, 64L)))
+    assert(b._2 === 300L && b._6 === 64L)
+    assert(b._4 <= b._3 && b._3 <= b._5) // ci_lo <= mean <= ci_hi
+    assert(b._4 < b._5)                  // genuinely varied -> open interval
+    assert(run(df.repartition(7)) === out)
+  }
 }

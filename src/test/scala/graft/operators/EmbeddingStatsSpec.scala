@@ -130,4 +130,32 @@ class EmbeddingStatsSpec extends SparkSpec {
     assert(EmbeddingStats.embeddingCovariance(allNull, col("embedding"))
       .count() === 0L)
   }
+
+  test("silhouetteReport: separable labels score positive, a mislabeled " +
+      "point counts in n_negative, zero vectors are excluded, " +
+      "partition-invariant") {
+    val df = Seq(
+      (0, Seq(1f, 0f)), (0, Seq(0.9f, 0.1f)),
+      (1, Seq(0f, 1f)), (1, Seq(0.1f, 0.9f)),
+      (0, Seq(0f, 1f)),  // mislabeled: sits on label 1's direction
+      (1, Seq(0f, 0f))   // zero norm: no direction, excluded
+    ).toDF("label", "embedding")
+    def run(d: org.apache.spark.sql.DataFrame) =
+      EmbeddingStats.silhouetteReport(d, col("label"), col("embedding"))
+        .as[(Int, Long, Double, Double, Double, Long)]
+        .collect().sortBy(_._1).toSeq
+    val out = run(df)
+    assert(out.map(_._1) === Seq(0, 1))
+    val l0 = out(0); val l1 = out(1)
+    assert(l0._2 === 3L)            // all three label-0 rows have direction
+    assert(l1._2 === 2L)            // zero vector dropped
+    assert(l0._6 === 1L)            // exactly the mislabeled point
+    assert(l1._6 === 0L)
+    assert(l1._3 > 0.0)             // clean separable label
+    assert(l0._4 < 0.0)             // min_sil of label 0 is the mislabel
+    assert(out.forall(r => r._4 >= -1.0 && r._5 <= 1.0))
+    assert(out.forall(r => r._4 <= r._3 && r._3 <= r._5))
+    // fixed-point mean + within-row folds: bit-identical at any layout
+    assert(run(df.repartition(5)) === out)
+  }
 }

@@ -310,4 +310,33 @@ class SamplingSpec extends SparkSpec {
     val testMin = byTs.filter(_._2 == "test").map(_._3).min
     assert(trainMax + embargo <= testMin)
   }
+
+  test("weightedSample: ranks replay the max-of-w-hash keys, weights " +
+      "clamp into [1, maxWeight], deterministic under repartition") {
+    import graft.functions.TextFunctions
+    val d = Seq((1L, 3L), (2L, 0L), (3L, 100L), (4L, 5L))
+      .toDF("id", "w")
+    def run(df: org.apache.spark.sql.DataFrame) =
+      graft.operators.Sampling.weightedSample(
+          df, col("id"), col("w"), n = 10, maxWeight = 5)
+        .as[(Long, Long, Int)].collect().sortBy(_._1).toSeq
+    val out = run(d)
+    assert(out.map(_._1) === Seq(1L, 2L, 3L, 4L))      // n >= corpus
+    assert(out.map(_._2) === Seq(3L, 1L, 5L, 5L))      // clamped weights
+    assert(out.map(_._3).sorted === Seq(1, 2, 3, 4))
+    // expected order: key = max of w hashes, desc, tie toward smaller id
+    val keys = Seq((1L, 3L), (2L, 1L), (3L, 5L), (4L, 5L)).map {
+      case (id, w) =>
+        val k = (1L to w).map { j =>
+          d.sparkSession.range(1)
+            .select(TextFunctions.hash32(lit(s"$id:$j")).as("h"))
+            .head().getLong(0)
+        }.max
+        (id, k)
+    }
+    val expRank = keys.sortBy { case (id, k) => (-k, id) }
+      .zipWithIndex.map { case ((id, _), i) => id -> (i + 1) }.toMap
+    assert(out.forall { case (id, _, r) => expRank(id) == r })
+    assert(run(d.repartition(3)) === out)
+  }
 }

@@ -591,4 +591,18 @@ class TextIndexSpec extends SparkSpec {
       ("s1", 1, "aba", 3L), ("s1", 2, "aft", 1L),
       ("s2", 1, "zzz", 2L)))
   }
+
+  test("corpusDivergence: identical corpora diverge 0, disjoint corpora " +
+      "hit the Hellinger = TV = 1 extremes exactly") {
+    val a = Seq("x y z", "x x").toDF("text")
+    val same = TextIndex.corpusDivergence(a, col("text"), a, col("text"))
+      .as[(Long, Long, Long, Long, Long, Double, Double)].collect().head
+    assert(same === ((3L, 3L, 3L, 5L, 5L, 0.0, 0.0)))
+    val b = Seq("p q", "p p").toDF("text")
+    val c = Seq("r s", "r r").toDF("text")
+    val disj = TextIndex.corpusDivergence(b, col("text"), c, col("text"))
+      .as[(Long, Long, Long, Long, Long, Double, Double)].collect().head
+    assert(disj._3 === 0L)
+    assert(disj._6 === 1.0 && disj._7 === 1.0)
+  }
 }

@@ -874,4 +874,59 @@ class PlanSpec extends SparkSpec {
     // per-query candidates stay in the bounded TopK aggregator
     assert("ObjectHashAggregate".r.findAllIn(p).size >= 4, p)
   }
+
+  test("dedup_containment: the shared count-strategy machinery — size " +
+      "dims broadcast, fp-keyed posting self-join, no window, no " +
+      "cartesian") {
+    val p = plan(Pipeline.dedupContainmentQ(spark, dir))
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains(") Window"), p)
+  }
+
+  test("cluster_silhouette: ONE map-only corpus pass — the centroid table " +
+      "rides as a single broadcast row, per-vector argmins run within the " +
+      "row, no N-row exchange, no window, no sort-merge join") {
+    val p = plan(Pipeline.clusterSilhouetteQ(spark, dir))
+    assert(!p.contains(") Window"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+    assert(p.contains("BroadcastNestedLoopJoin"), p)
+    // centroid agg + collect + final per-label agg — all partial-first
+    assert("HashAggregate".r.findAllIn(p).size >= 2, p)
+  }
+
+  test("bootstrap_ci: the B-way expansion is a map-side Generate into a " +
+      "(group, replicate) partial agg; the point estimate joins broadcast; " +
+      "no window, no cartesian") {
+    val p = plan(Pipeline.bootstrapCiQ(spark, dir))
+    assert(!p.contains(") Window"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("Generate"), p)
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert("HashAggregate".r.findAllIn(p).size >= 4, p)
+  }
+
+  test("corpus_divergence: one union'd fp-keyed count agg, totals ride " +
+      "back as a one-row broadcast, single-row finale — no window, no " +
+      "sort-merge join") {
+    val p = plan(Pipeline.corpusDivergenceQ(spark, dir))
+    assert(!p.contains(") Window"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+    assert(p.contains("Union"), p)
+    assert(p.contains("BroadcastNestedLoopJoin"), p)
+    assert("HashAggregate".r.findAllIn(p).size >= 4, p)
+  }
+
+  test("sample_weighted: per-row keys feed the bounded top-n aggregator " +
+      "(partial map-side), kept rows join back broadcast; the only " +
+      "Generate is the n-row top-array unpack on the broadcast side; " +
+      "no window") {
+    val p = plan(Pipeline.sampleWeightedQ(spark, dir))
+    assert(!p.contains(") Window"), p)
+    assert("ObjectHashAggregate".r.findAllIn(p).size >= 2, p)
+    assert(p.contains("BroadcastHashJoin"), p)
+    // the unpack Generate sits above the aggregate (n rows), never on
+    // the corpus stream below it (each node prints twice: tree+details)
+    assert("\\d+\\) Generate".r.findAllIn(p).size <= 1, p)
+  }
 }
