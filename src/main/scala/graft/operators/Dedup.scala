@@ -730,8 +730,12 @@ object Dedup {
     * inverted-index self-join on 8-byte shingle fingerprints, one groupBy
     * counting co-occurrences, broadcast size joins — so this can never
     * diverge from the Jaccard join's candidate semantics. `strategy =
-    * "prefix"` swaps in recall-exact AllPairs-style prefix probing for
-    * stop-shingle-heavy corpora: each set indexes only its
+    * "auto"` (default) measures the max shingle df (optionally from a
+    * deterministic doc sample) and picks count under `autoCountMaxDf`,
+    * prefix above — [[jaccardPairs]]' runtime-statistics-then-replan
+    * rule, shared so a near-dup-heavy corpus can't quadratic-blow the
+    * candidate join. `strategy = "prefix"` is recall-exact AllPairs-style
+    * prefix probing: each set indexes only its
     * `|s| − ceil(t·|s|) + 1` globally-rarest shingles but PROBES the full
     * posting list — containment ≥ t forces the smaller set to share
     * ≥ ceil(t·|small|) shingles, so at least one of its prefix shingles
@@ -747,9 +751,29 @@ object Dedup {
   def selfContainmentPairs(df: DataFrame, id: Column, text: Column,
       shingleK: Int = 3, threshold: Double = 0.8,
       maxDocFreq: Option[Long] = None,
-      strategy: String = "count"): DataFrame = {
+      strategy: String = "auto",
+      autoCountMaxDf: Long = 1000,
+      autoSampleFraction: Double = 1.0): DataFrame = {
+    require(autoSampleFraction > 0 && autoSampleFraction <= 1,
+      s"autoSampleFraction out of (0,1]: $autoSampleFraction")
     val idx = shingleIndex(df, id, text, shingleK, maxDocFreq)
-    val sized = strategy match {
+    def pick: String = {
+      // the jaccardPairs auto rule verbatim: sampled max shingle df, count
+      // under the cap (no shingle arrays ever shuffle), prefix above it
+      // (candidate volume bounded by the prefix postings)
+      val stats =
+        if (autoSampleFraction >= 1.0) idx.indexed
+        else idx.indexed.filter(TextFunctions.hash32(col("id").cast("string")) <
+          lit((autoSampleFraction * 4294967296.0).toLong))
+      val sampledMax = stats.groupBy(col("sfp")).agg(count(lit(1)).as("df"))
+        .agg(max(col("df"))).head() match {
+        case r if r.isNullAt(0) => 0L
+        case r => r.getLong(0)
+      }
+      val maxDf = math.ceil(sampledMax / autoSampleFraction).toLong
+      if (maxDf <= autoCountMaxDf) "count" else "prefix"
+    }
+    val sized = (if (strategy == "auto") pick else strategy) match {
       case "count" => interSizedPairs(idx.indexed, idx.sizes)
       case "prefix" =>
         // prefix(x) probes FULL postings of y (both directions via the
@@ -774,7 +798,7 @@ object Dedup {
             size(array_intersect(col("__sa"), col("__sb"))).cast("long").as("inter"),
             size(col("__sa")).as("sz_a"), size(col("__sb")).as("sz_b"))
       case other => throw new IllegalArgumentException(
-        s"strategy must be 'count' or 'prefix', got $other")
+        s"strategy must be 'auto', 'count' or 'prefix', got $other")
     }
     sized
       .withColumn("containment", col("inter").cast("double") /

@@ -1554,25 +1554,52 @@ object TextIndex {
     * Output: ONE row — (n_terms_a, n_terms_b, n_shared, n_tokens_a,
     * n_tokens_b, hellinger, tv_dist).
     *
-    * Scale shape: each side is one token explode into a SHARED fp-keyed
-    * count aggregation (union with a side tag → one groupBy with map-side
-    * partials; term text collapses to 60-bit fingerprints before any
-    * exchange, the house rule); totals ride back as a one-row broadcast
-    * cross join; the finale is a single-row aggregation. Text never
-    * shuffles; nothing wider than longs does.
+    * Scale shape: each side is one token explode into its own fp-keyed
+    * count aggregation ([[tokenFpCounts]] — map-side partials; term text
+    * collapses to 60-bit fingerprints before any exchange, the house
+    * rule), merged by a vocabulary-sized union-sum; totals ride back as a
+    * one-row broadcast cross join; the finale is a single-row
+    * aggregation. Text never shuffles; nothing wider than longs does.
     */
   def corpusDivergence(a: DataFrame, aText: Column,
-      b: DataFrame, bText: Column, bits: Int = 40): DataFrame = {
+      b: DataFrame, bText: Column, bits: Int = 40): DataFrame =
+    corpusDivergenceFromCounts(
+      tokenFpCounts(a, aText), tokenFpCounts(b, bText), bits)
+
+  /** (fp, c) token-unigram counts of a corpus — [[corpusDivergence]]'s
+    * storable/streamable side input (term text collapses to 60-bit
+    * fingerprints before the count exchange; one explode, map-side
+    * partials). [[graft.streaming.Streams.TokenCountIngest]] maintains
+    * exactly this frame incrementally.
+    */
+  def tokenFpCounts(df: DataFrame, text: Column): DataFrame =
+    widen(df.select(text.as("__text")))
+      .select(explode(TextFunctions.tokensWs(col("__text"))).as("__t"))
+      .select(TextFunctions.fingerprint64(col("__t")).as("fp"))
+      .groupBy(col("fp")).agg(count(lit(1)).as("c"))
+
+  /** Additive fold of a batch's [[tokenFpCounts]] delta into a maintained
+    * count table — exact integer addition, so fold ≡ clean rebuild in any
+    * batch order (the [[foldLmCounts]] contract, on the unigram frame).
+    */
+  def foldTokenCounts(state: DataFrame, delta: DataFrame): DataFrame =
+    state.unionAll(delta).groupBy(col("fp")).agg(sum(col("c")).as("c"))
+
+  /** [[corpusDivergence]] from two PRE-AGGREGATED (fp, c) count tables —
+    * the deployment shape: side A is a maintained count state (streamed
+    * via TokenCountIngest or persisted from a previous corpus version),
+    * side B the corpus under audit; nothing re-tokenizes the reference.
+    * Identical output to the text-level entry point (integer counts are
+    * integer counts), so the two share one oracle.
+    */
+  def corpusDivergenceFromCounts(a: DataFrame, b: DataFrame,
+      bits: Int = 40): DataFrame = {
     require(bits > 0 && bits < 50, s"bits out of range: $bits")
     val scale = math.pow(2, bits)
-    def side(df: DataFrame, text: Column, tag: Int): DataFrame =
-      widen(df.select(text.as("__text")))
-        .select(explode(TextFunctions.tokensWs(col("__text"))).as("__t"))
-        .select(TextFunctions.fingerprint64(col("__t")).as("fp"),
-          lit(1 - tag).cast("long").as("__ia"), lit(tag).cast("long").as("__ib"))
-    val counts = side(a, aText, 0).unionAll(side(b, bText, 1))
+    val counts = a.select(col("fp"), col("c").as("ca"), lit(0L).as("cb"))
+      .unionAll(b.select(col("fp"), lit(0L).as("ca"), col("c").as("cb")))
       .groupBy(col("fp"))
-      .agg(sum(col("__ia")).as("ca"), sum(col("__ib")).as("cb"))
+      .agg(sum(col("ca")).as("ca"), sum(col("cb")).as("cb"))
     val totals = broadcast(counts.agg(
       sum(col("ca")).as("na"), sum(col("cb")).as("nb")))
     val p = when(col("ca") === 0L, lit(0.0))

@@ -1453,6 +1453,30 @@ trait PipelineTextStatsFam extends PipelineMixtureSketchFam {
       d.filter(col("doc_id") % 2 === 1), col("text"))
   }
 
+  /** The SAME divergence served from STREAM-MAINTAINED counts
+    * ([[graft.streaming.Streams.TokenCountIngest]]): the even half of the
+    * corpus arrives in two micro-batches whose (fp, c) deltas fold
+    * additively into the count state; the folded state then feeds
+    * [[graft.operators.TextIndex.corpusDivergenceFromCounts]] against the
+    * odd half's batch counts. Integer counts are integer counts, so the
+    * batch entry's oracle gates this VERBATIM — green only if the fold's
+    * additivity AND the from-counts serving path are exact (the
+    * `dpo_from_counts` / `bm25_from_index` pattern).
+    */
+  def divergenceFromStreamQ(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val d = T(s, dir, "documents")
+    val even = d.filter(col("doc_id") % 2 === 0)
+    val state0 = Seq.empty[(Long, Long)].toDF("fp", "c")
+    val ing = new graft.streaming.Streams.TokenCountIngest(state0, col("text"))
+    ing.handler(even.filter(col("doc_id") % 4 === 0), 0L)
+    ing.handler(even.filter(col("doc_id") % 4 =!= 0), 1L)
+    graft.operators.TextIndex.corpusDivergenceFromCounts(
+      ing.current,
+      graft.operators.TextIndex.tokenFpCounts(
+        d.filter(col("doc_id") % 2 === 1), col("text")))
+  }
+
   val corpusDivergenceOracle: String =
     """WITH ta AS (
       |  SELECT unnest(CASE WHEN trim(text) = '' THEN []::VARCHAR[]

@@ -379,6 +379,27 @@ object Streams {
       graft.operators.TextIndex.foldLmCounts(state, delta)
   }
 
+  /** Streaming token-unigram-count maintenance: each micro-batch's
+    * [[graft.operators.TextIndex.tokenFpCounts]] fold ADDITIVELY into the
+    * (fp, c) count table via
+    * [[graft.operators.TextIndex.foldTokenCounts]]; `current` is always
+    * ready for
+    * [[graft.operators.TextIndex.corpusDivergenceFromCounts]] — the
+    * drift-monitor-while-you-ingest composition (watch a live corpus's
+    * token distribution walk away from a frozen reference). Additive like
+    * [[LmIngest]], so the batchId replay guard is LOAD-BEARING: an
+    * unguarded re-fold double-counts the batch. Same pin lifecycle.
+    */
+  final class TokenCountIngest(state0: DataFrame, text: Column)
+      extends FoldIngest(state0) {
+    override protected def mkDelta(state: DataFrame,
+        batch: DataFrame): DataFrame =
+      graft.operators.TextIndex.tokenFpCounts(batch, text)
+    override protected def fold(state: DataFrame, batch: DataFrame,
+        delta: DataFrame): DataFrame =
+      graft.operators.TextIndex.foldTokenCounts(state, delta)
+  }
+
   /** Streaming funnel tracker: keyed state carries each user's
     * (depth, last-step timestamp) across micro-batches; every batch
     * re-emits the user's current depth (Update mode). Within a batch the

@@ -603,6 +603,43 @@ class StreamsSpec extends SparkSpec {
     assert(scored.length === 1 && scored.head._2 === 1L)
   }
 
+  test("TokenCountIngest: additive unigram-count fold equals the clean " +
+      "rebuild; replay guarded; superseded pins freed; the state serves " +
+      "corpusDivergenceFromCounts") {
+    import graft.operators.TextIndex
+    val state0 = TextIndex.tokenFpCounts(
+      Seq("a b a", "c").toDF("text"), col("text"))
+    val ing = new Streams.TokenCountIngest(state0, col("text"))
+    ing.handler(Seq("a d").toDF("text"), 0L)
+    ing.handler(Seq("b b").toDF("text"), 1L)
+    def cur = ing.current.as[(Long, Long)].collect().toMap
+    val expect = TextIndex.tokenFpCounts(
+        Seq("a b a", "c", "a d", "b b").toDF("text"), col("text"))
+      .as[(Long, Long)].collect().toMap
+    assert(cur === expect)
+    // replay of an applied batch must NOT double-count
+    ing.handler(Seq("b b").toDF("text"), 1L)
+    assert(cur === expect)
+    // pin lifecycle
+    val superseded =
+      scala.collection.mutable.ArrayBuffer.empty[org.apache.spark.sql.DataFrame]
+    (2 to 4).foreach { i =>
+      superseded += ing.current
+      ing.handler(Seq(s"w$i").toDF("text"), i.toLong)
+    }
+    superseded.foreach(assertFreed(_, "TokenCountIngest state"))
+    assert(pinnedRdds(ing.current).nonEmpty &&
+      pinnedRdds(ing.current).forall(
+        _.getStorageLevel != org.apache.spark.storage.StorageLevel.NONE),
+      "the CURRENT count table must stay pinned")
+    // the maintained state is directly servable: identical corpora (the
+    // state's own counts on both sides) diverge exactly 0
+    val served = TextIndex.corpusDivergenceFromCounts(ing.current, ing.current)
+      .select(col("hellinger"), col("tv_dist"))
+      .as[(Double, Double)].collect().head
+    assert(served === ((0.0, 0.0)))
+  }
+
   test("semanticBatchHandler: cluster-assigned dedup vs state, " +
       "idempotent on replay") {
     import graft.operators.Dedup
