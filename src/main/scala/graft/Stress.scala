@@ -231,7 +231,21 @@ object Stress {
     // sim_bruteforce flat-to-linear band times the prefix count;
     // wordpiece_tokenize is the unigram_tokenize dictionary shape with
     // the greedy walk in place of Viterbi — same linear band expected
-    "decon_exact_substr", "matryoshka_audit", "wordpiece_tokenize")
+    "decon_exact_substr", "matryoshka_audit", "wordpiece_tokenize",
+    // round-16 second batch: dedup_containment rides the jaccardPairs
+    // candidate machinery (auto strategy) — growth is TRUE-PAIR-driven
+    // like dedup_ngram_jaccard (replicas are mutual near-subsets, so
+    // pairs grow quadratically in the duplication factor: the output,
+    // not the plan); cluster_silhouette is ONE map-only corpus pass
+    // (per-row K-centroid argmin) + a |labels| agg — linear by claim;
+    // bootstrap_ci is a B-way map-side expansion into a
+    // (|langs|·B)-keyed partial agg — linear with a ×B constant;
+    // corpus_divergence / divergence_from_stream are two fp-keyed count
+    // aggs + a vocab-sized merge — linear, flat-ish tail (vocab grows
+    // ~1 word/replica); sample_weighted is map-only keys + the bounded
+    // global top-n — flat by claim
+    "dedup_containment", "cluster_silhouette", "bootstrap_ci",
+    "corpus_divergence", "divergence_from_stream", "sample_weighted")
 
   /** Replica id offset — well above any sf0.1 id, keeps replica ids
     * unique. PUBLIC because `Pipeline.simHashedLsh` pins its probe set

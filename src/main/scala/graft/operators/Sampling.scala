@@ -157,6 +157,75 @@ object Sampling {
       .select(col("__id").as("id"), col("__w").as("weight"), col("rank"))
   }
 
+  /** Greedy k-center (Gonzalez) coreset selection over an embedding
+    * column — the maxmin-DIVERSE subset: start from the smallest id,
+    * then k−1 times pick the point FARTHEST (cosine distance) from every
+    * center chosen so far. The classic 2-approximation to the k-center
+    * objective, and the standard "cover the embedding space with k
+    * exemplars" move for eval-set construction, prompt-pool seeding, and
+    * annotation budgeting — where cluster-balanced sampling keeps density,
+    * this keeps COVERAGE (every point is within the final `dmin` radius
+    * of some pick).
+    *
+    * Output: (rank, vec_id, dmin) — `dmin` is the selected point's
+    * distance to the nearest EARLIER center (null for the rank-1 seed):
+    * read top-down it is the coverage-radius curve, the "how large must
+    * k be" readout (the k where dmin elbows is the intrinsic exemplar
+    * count).
+    *
+    * Deterministic: every distance is the
+    * [[org.apache.spark.sql.graft.CosineSimilarity]] index-order fold
+    * against EXACT collected center floats re-injected as literals; the
+    * per-round argmax ties toward the smaller id; zero-norm vectors carry
+    * no direction and never participate. The oracle replays all k rounds
+    * as unrolled CTEs.
+    *
+    * Scale shape: k rounds, each ONE map-only corpus pass (the ≤ k
+    * accumulated centers ride as literals — per-row work is ≤ k compiled
+    * cosine kernels, no join, no shuffle of vectors) into a single-row
+    * max_by aggregate; the driver collects exactly one row per round
+    * (the bounded-collect stance of the trainers). O(k²·n) kernel evals
+    * total — at large k switch to the incremental-dmin variant
+    * (checkpointed running minimum, O(k·n)) the same loop supports.
+    */
+  def kCenterSelect(df: DataFrame, id: Column, vec: Column,
+      k: Int): DataFrame = {
+    require(k >= 1, s"k must be positive, got $k")
+    import org.apache.spark.sql.graft.VectorFunctions
+    val spark = df.sparkSession
+    import spark.implicits._
+    val base = df.select(id.cast("long").as("vec_id"), vec.as("__v"))
+      .filter(VectorFunctions.cosineSim(vec, vec).isNotNull) // zero-norm out
+    val seedRow = base.orderBy(col("vec_id")).limit(1)
+      .select(col("vec_id"), col("__v")).collect()
+    if (seedRow.isEmpty) return Seq.empty[(Int, Long, Option[Double])]
+      .toDF("rank", "vec_id", "dmin")
+    var centers = Vector((seedRow.head.getLong(0),
+      seedRow.head.getSeq[Float](1)))
+    var out = Vector[(Int, Long, Option[Double])](
+      (1, centers.head._1, None))
+    (2 to k).foreach { r =>
+      val centsLit = array(centers.map { case (_, cv) =>
+        array(cv.map(lit(_)): _*)
+      }: _*)
+      val dmin = array_min(transform(centsLit,
+        c => lit(1.0) - VectorFunctions.cosineSim(col("__v"), c)))
+      val picked = base
+        .filter(!col("vec_id").isInCollection(centers.map(_._1)))
+        .select(col("vec_id"), col("__v"), dmin.as("__dm"))
+        .agg(max_by(struct(col("vec_id"), col("__v"), col("__dm")),
+          struct(col("__dm"), (-col("vec_id")).as("ni"))).as("m"))
+        .select(col("m.vec_id"), col("m.__v"), col("m.__dm"))
+        .collect()
+      if (picked.nonEmpty && !picked.head.isNullAt(0)) {
+        val row = picked.head
+        centers :+= ((row.getLong(0), row.getSeq[Float](1)))
+        out :+= ((r, row.getLong(0), Some(row.getDouble(2))))
+      }
+    }
+    out.toDF("rank", "vec_id", "dmin")
+  }
+
   /** Cluster-balanced subsampling: assign every embedding to its nearest
     * centroid ([[Similarity.assignToCentroids]]) and keep a deterministic
     * fixed-size sample per cluster ([[fixedSizeSample]] on the cell id) —

@@ -1482,6 +1482,57 @@ trait PipelineSimilarityFam extends PipelineDedupFam {
       |  LIMIT 100) t
       |ORDER BY doc_id""".stripMargin
 
+  /** Greedy k-center coreset selection
+    * ([[graft.operators.Sampling.kCenterSelect]], k = 6): maxmin-diverse
+    * exemplars + the coverage-radius curve over the embedding corpus. The
+    * oracle replays all six greedy rounds as unrolled CTEs — seed = min
+    * id, per-round argmax of the running least-distance with the id
+    * tiebreak, centers excluded by id.
+    */
+  def kcenterSelectQ(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Sampling.kCenterSelect(
+        T(s, dir, "embeddings"), col("vec_id"), col("embedding"), k = 6)
+      .orderBy(col("rank"))
+
+  val kcenterSelectOracle: String = {
+    val k = 6
+    val stages = (2 to k).map { j =>
+      val excl = (1 until j).map(i => s"SELECT vec_id FROM c$i")
+        .mkString(" UNION ALL ")
+      val pick =
+        s"""c$j AS (
+           |  SELECT p.vec_id, p.embedding, p.nrm, d.dm FROM p
+           |  JOIN d${j - 1} d USING (vec_id)
+           |  WHERE p.vec_id NOT IN ($excl)
+           |  ORDER BY d.dm DESC, p.vec_id LIMIT 1)""".stripMargin
+      val relax =
+        if (j == k) ""
+        else
+          s""",
+             |d$j AS (
+             |  SELECT v.vec_id,
+             |    least(d.dm, 1.0 - ${dotSql("v", "c")} / (v.nrm * c.nrm))
+             |      AS dm
+             |  FROM p v JOIN d${j - 1} d USING (vec_id) CROSS JOIN c$j c)""".stripMargin
+      pick + relax
+    }.mkString(",\n")
+    val rows = (2 to k).map(j =>
+      s"UNION ALL SELECT CAST($j AS INTEGER), vec_id, dm FROM c$j")
+      .mkString("\n")
+    s"""WITH $normsCte,
+       |p AS (SELECT vec_id, embedding, nrm FROM n WHERE nrm > 0),
+       |c1 AS (SELECT vec_id, embedding, nrm FROM p ORDER BY vec_id LIMIT 1),
+       |d1 AS (
+       |  SELECT v.vec_id, 1.0 - ${dotSql("v", "c")} / (v.nrm * c.nrm) AS dm
+       |  FROM p v CROSS JOIN c1 c),
+       |$stages
+       |SELECT * FROM (
+       |SELECT CAST(1 AS INTEGER) AS rank, vec_id, CAST(NULL AS DOUBLE) AS dmin
+       |FROM c1
+       |$rows
+       |) t ORDER BY rank""".stripMargin
+  }
+
   /** Weighted sampling without replacement
     * ([[graft.operators.Sampling.weightedSample]], Efraimidis–Spirakis
     * A-ES): keep 60 documents with inclusion odds ∝ a token-count weight

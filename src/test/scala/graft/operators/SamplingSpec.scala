@@ -339,4 +339,29 @@ class SamplingSpec extends SparkSpec {
     assert(out.forall { case (id, _, r) => expRank(id) == r })
     assert(run(d.repartition(3)) === out)
   }
+
+  test("kCenterSelect: hand-verifiable greedy maxmin picks on the unit " +
+      "circle; zero vectors never participate (even as seed); k beyond " +
+      "the pool truncates; partition-invariant") {
+    val d = Seq(
+      (0L, Seq(0f, 0f)),          // zero norm: excluded, must NOT seed
+      (1L, Seq(1f, 0f)),          // seed (smallest usable id)
+      (2L, Seq(0.996f, 0.087f)),  // ~5 deg from the seed
+      (3L, Seq(0f, 1f)),          // 90 deg
+      (4L, Seq(-1f, 0f))          // 180 deg
+    ).toDF("vec_id", "embedding")
+    def run(df: org.apache.spark.sql.DataFrame) =
+      graft.operators.Sampling.kCenterSelect(
+          df, col("vec_id"), col("embedding"), k = 10)
+        .as[(Int, Long, Option[Double])].collect().sortBy(_._1).toSeq
+    val out = run(d)
+    // greedy: 1 seeds; 4 is antipodal (d = 2 exactly); 3 is orthogonal to
+    // both (d = 1 exactly); the near-duplicate 2 comes last
+    assert(out.map(_._2) === Seq(1L, 4L, 3L, 2L))
+    assert(out(0)._3 === None)
+    assert(out(1)._3 === Some(2.0))
+    assert(out(2)._3 === Some(1.0))
+    assert(out(3)._3.get > 0.0 && out(3)._3.get < 0.01)
+    assert(run(d.repartition(3)) === out)
+  }
 }
