@@ -190,28 +190,37 @@ object Sampling {
     */
   def kCenterSelect(df: DataFrame, id: Column, vec: Column,
       k: Int): DataFrame = {
-    require(k >= 1, s"k must be positive, got $k")
-    import org.apache.spark.sql.graft.VectorFunctions
     val spark = df.sparkSession
     import spark.implicits._
+    kCenterRounds(df, id, vec, k)
+      .map { case (r, cid, _, dm) => (r, cid, dm) }
+      .toDF("rank", "vec_id", "dmin")
+  }
+
+  /** [[kCenterSelect]]'s greedy rounds with the center VECTORS retained:
+    * (rank, id, vector, dmin-at-selection) — the shared core of the
+    * selection readout and the [[kCenterCoverage]] audit. Bounded driver
+    * state: exactly one collected row per round.
+    */
+  private[operators] def kCenterRounds(df: DataFrame, id: Column,
+      vec: Column, k: Int): Vector[(Int, Long, Seq[Float], Option[Double])] = {
+    require(k >= 1, s"k must be positive, got $k")
+    import org.apache.spark.sql.graft.VectorFunctions
     val base = df.select(id.cast("long").as("vec_id"), vec.as("__v"))
       .filter(VectorFunctions.cosineSim(vec, vec).isNotNull) // zero-norm out
     val seedRow = base.orderBy(col("vec_id")).limit(1)
       .select(col("vec_id"), col("__v")).collect()
-    if (seedRow.isEmpty) return Seq.empty[(Int, Long, Option[Double])]
-      .toDF("rank", "vec_id", "dmin")
-    var centers = Vector((seedRow.head.getLong(0),
-      seedRow.head.getSeq[Float](1)))
-    var out = Vector[(Int, Long, Option[Double])](
-      (1, centers.head._1, None))
+    if (seedRow.isEmpty) return Vector.empty
+    var out = Vector[(Int, Long, Seq[Float], Option[Double])](
+      (1, seedRow.head.getLong(0), seedRow.head.getSeq[Float](1), None))
     (2 to k).foreach { r =>
-      val centsLit = array(centers.map { case (_, cv) =>
+      val centsLit = array(out.map { case (_, _, cv, _) =>
         array(cv.map(lit(_)): _*)
       }: _*)
       val dmin = array_min(transform(centsLit,
         c => lit(1.0) - VectorFunctions.cosineSim(col("__v"), c)))
       val picked = base
-        .filter(!col("vec_id").isInCollection(centers.map(_._1)))
+        .filter(!col("vec_id").isInCollection(out.map(_._2)))
         .select(col("vec_id"), col("__v"), dmin.as("__dm"))
         .agg(max_by(struct(col("vec_id"), col("__v"), col("__dm")),
           struct(col("__dm"), (-col("vec_id")).as("ni"))).as("m"))
@@ -219,11 +228,66 @@ object Sampling {
         .collect()
       if (picked.nonEmpty && !picked.head.isNullAt(0)) {
         val row = picked.head
-        centers :+= ((row.getLong(0), row.getSeq[Float](1)))
-        out :+= ((r, row.getLong(0), Some(row.getDouble(2))))
+        out :+= ((r, row.getLong(0), row.getSeq[Float](1),
+          Some(row.getDouble(2))))
       }
     }
-    out.toDF("rank", "vec_id", "dmin")
+    out
+  }
+
+  /** Coverage audit of the [[kCenterSelect]] coreset — the "is k enough"
+    * readout: every (non-zero-norm) point assigned to its nearest
+    * selected center (cosine distance, ties toward the smaller center
+    * id), then per center the assigned count and the
+    * distance distribution. A center hoarding most of the corpus at
+    * large max_dist says k is too small; a center with n_assigned ≈ 1
+    * is an outlier exemplar (often exactly what the eval set wanted to
+    * capture).
+    *
+    * Output: (rank, center_id, n_assigned, mean_dist, max_dist) —
+    * mean_dist a 2^bits fixed-point mean ([[EmbeddingStats
+    * .labelCentroids]] pattern), max order-free.
+    *
+    * Scale shape: the k greedy rounds ([[kCenterRounds]]), then ONE
+    * map-only corpus pass — centers ride as ≤ k exact float literals,
+    * the argmin runs within the row — into a k-sized partial-aggregated
+    * groupBy. No join, no window, no N-row exchange.
+    */
+  def kCenterCoverage(df: DataFrame, id: Column, vec: Column,
+      k: Int, bits: Int = 24): DataFrame = {
+    import org.apache.spark.sql.graft.VectorFunctions
+    val spark = df.sparkSession
+    import spark.implicits._
+    val rounds = kCenterRounds(df, id, vec, k)
+    if (rounds.isEmpty) {
+      return Seq.empty[(Int, Long, Long, Double, Double)]
+        .toDF("rank", "center_id", "n_assigned", "mean_dist", "max_dist")
+    }
+    val scale = math.pow(2, bits)
+    val centsLit = array(rounds.map { case (_, cid, cv, _) =>
+      struct(lit(cid).as("cid"), array(cv.map(lit(_)): _*).as("cv"))
+    }: _*)
+    val dists = transform(centsLit, c => struct(
+      (lit(1.0) - VectorFunctions.cosineSim(col("__v"), c.getField("cv")))
+        .as("d"),
+      c.getField("cid").as("cid")))
+    val ranks = rounds.map { case (r, cid, _, _) => (r, cid) }
+      .toDF("rank", "center_id")
+    val assigned = df.select(id.cast("long").as("vec_id"), vec.as("__v"))
+      .filter(VectorFunctions.cosineSim(vec, vec).isNotNull)
+      .withColumn("__a", array_min(dists))
+      .groupBy(col("__a.cid").as("center_id"))
+      .agg(count(lit(1)).as("n_assigned"),
+        sum(round(col("__a.d") * lit(scale)).cast("long")).as("__sq"),
+        max(col("__a.d")).as("max_dist"))
+      .select(col("center_id"), col("n_assigned"),
+        (col("__sq").cast("double") /
+          (col("n_assigned").cast("double") * lit(scale))).as("mean_dist"),
+        col("max_dist"))
+    broadcast(ranks).join(assigned, Seq("center_id"), "left")
+      .select(col("rank"), col("center_id"),
+        coalesce(col("n_assigned"), lit(0L)).as("n_assigned"),
+        col("mean_dist"), col("max_dist"))
   }
 
   /** Cluster-balanced subsampling: assign every embedding to its nearest

@@ -1494,8 +1494,13 @@ trait PipelineSimilarityFam extends PipelineDedupFam {
         T(s, dir, "embeddings"), col("vec_id"), col("embedding"), k = 6)
       .orderBy(col("rank"))
 
-  val kcenterSelectOracle: String = {
-    val k = 6
+  /** The unrolled greedy-round CTE prefix shared by [[kcenterSelectOracle]]
+    * and [[kcenterCoverageOracle]]: defines p (usable points), c1..ck
+    * (the picked centers, each carrying its dm-at-selection) and the
+    * running least-distance frames d1..d(k−1). One copy of the greedy
+    * replay, so the coverage audit can never diverge from the selection.
+    */
+  private def kcenterStagesCte(k: Int): String = {
     val stages = (2 to k).map { j =>
       val excl = (1 until j).map(i => s"SELECT vec_id FROM c$i")
         .mkString(" UNION ALL ")
@@ -1516,21 +1521,69 @@ trait PipelineSimilarityFam extends PipelineDedupFam {
              |  FROM p v JOIN d${j - 1} d USING (vec_id) CROSS JOIN c$j c)""".stripMargin
       pick + relax
     }.mkString(",\n")
-    val rows = (2 to k).map(j =>
-      s"UNION ALL SELECT CAST($j AS INTEGER), vec_id, dm FROM c$j")
-      .mkString("\n")
-    s"""WITH $normsCte,
+    s"""$normsCte,
        |p AS (SELECT vec_id, embedding, nrm FROM n WHERE nrm > 0),
        |c1 AS (SELECT vec_id, embedding, nrm FROM p ORDER BY vec_id LIMIT 1),
        |d1 AS (
        |  SELECT v.vec_id, 1.0 - ${dotSql("v", "c")} / (v.nrm * c.nrm) AS dm
        |  FROM p v CROSS JOIN c1 c),
-       |$stages
+       |$stages""".stripMargin
+  }
+
+  val kcenterSelectOracle: String = {
+    val k = 6
+    val rows = (2 to k).map(j =>
+      s"UNION ALL SELECT CAST($j AS INTEGER), vec_id, dm FROM c$j")
+      .mkString("\n")
+    s"""WITH ${kcenterStagesCte(k)}
        |SELECT * FROM (
        |SELECT CAST(1 AS INTEGER) AS rank, vec_id, CAST(NULL AS DOUBLE) AS dmin
        |FROM c1
        |$rows
        |) t ORDER BY rank""".stripMargin
+  }
+
+  /** Coverage audit of the k-center coreset
+    * ([[graft.operators.Sampling.kCenterCoverage]]): every usable point
+    * assigned to its nearest selected center, per-center counts and the
+    * distance distribution — the "is k enough" readout next to the
+    * selection itself. The oracle extends the shared greedy replay with
+    * the (dd, cid)-argmin assignment and the fixed-point mean.
+    */
+  def kcenterCoverageQ(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Sampling.kCenterCoverage(
+        T(s, dir, "embeddings"), col("vec_id"), col("embedding"), k = 6)
+      .orderBy(col("rank"))
+
+  val kcenterCoverageOracle: String = {
+    val k = 6
+    val cent = (2 to k).map(j =>
+      s"UNION ALL SELECT CAST($j AS INTEGER), vec_id, embedding, nrm FROM c$j")
+      .mkString("\n")
+    s"""WITH ${kcenterStagesCte(k)},
+       |cent AS (
+       |SELECT CAST(1 AS INTEGER) AS rank, vec_id, embedding, nrm FROM c1
+       |$cent),
+       |ad AS (
+       |  SELECT v.vec_id, c.vec_id AS cid,
+       |    1.0 - ${dotSql("v", "c")} / (v.nrm * c.nrm) AS dd
+       |  FROM p v CROSS JOIN cent c),
+       |asg AS (
+       |  SELECT vec_id, cid, dd,
+       |    ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dd, cid) AS rk
+       |  FROM ad),
+       |g AS (
+       |  SELECT cid, CAST(COUNT(*) AS BIGINT) AS n_assigned,
+       |    SUM(CAST(round(dd * 16777216.0) AS BIGINT)) AS sq,
+       |    MAX(dd) AS mx
+       |  FROM asg WHERE rk = 1 GROUP BY cid)
+       |SELECT c.rank, c.vec_id AS center_id,
+       |  COALESCE(g.n_assigned, 0) AS n_assigned,
+       |  CAST(g.sq AS DOUBLE) / (CAST(g.n_assigned AS DOUBLE) * 16777216.0)
+       |    AS mean_dist,
+       |  g.mx AS max_dist
+       |FROM cent c LEFT JOIN g ON g.cid = c.vec_id
+       |ORDER BY c.rank""".stripMargin
   }
 
   /** Weighted sampling without replacement

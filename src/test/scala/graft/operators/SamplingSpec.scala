@@ -364,4 +364,32 @@ class SamplingSpec extends SparkSpec {
     assert(out(3)._3.get > 0.0 && out(3)._3.get < 0.01)
     assert(run(d.repartition(3)) === out)
   }
+
+  test("kCenterCoverage: assignment replays the greedy centers — exact " +
+      "distance ties go to the smaller center id; every-point-is-a-center " +
+      "degenerates to singletons; partition-invariant") {
+    val d = Seq(
+      (0L, Seq(0f, 0f)),          // zero norm: not assigned anywhere
+      (1L, Seq(1f, 0f)),
+      (2L, Seq(0.996f, 0.087f)),
+      (3L, Seq(0f, 1f)),          // EXACTLY distance 1.0 from centers 1 and 4
+      (4L, Seq(-1f, 0f))
+    ).toDF("vec_id", "embedding")
+    def run(df: org.apache.spark.sql.DataFrame, k: Int) =
+      graft.operators.Sampling.kCenterCoverage(
+          df, col("vec_id"), col("embedding"), k)
+        .as[(Int, Long, Long, Option[Double], Option[Double])]
+        .collect().sortBy(_._1).toSeq
+    // k = 2: centers {1, 4}; point 3 ties at d = 1.0 exactly -> center 1;
+    // the near-duplicate 2 goes to 1; 4 keeps only itself
+    val k2 = run(d, 2)
+    assert(k2.map(r => (r._1, r._2, r._3)) === Seq((1, 1L, 3L), (2, 4L, 1L)))
+    assert(k2(0)._5.get === 1.0) // max_dist of center 1 is the tied point
+    // k = 4: every usable point is a center -> four singletons, zero-norm
+    // row in none of them
+    val k4 = run(d, 4)
+    assert(k4.map(_._3) === Seq(1L, 1L, 1L, 1L))
+    assert(k4.map(_._3).sum === 4L)
+    assert(run(d.repartition(3), 2) === k2)
+  }
 }
