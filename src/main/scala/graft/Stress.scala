@@ -245,7 +245,15 @@ object Stress {
     // ~1 word/replica); sample_weighted is map-only keys + the bounded
     // global top-n — flat by claim
     "dedup_containment", "cluster_silhouette", "bootstrap_ci",
-    "corpus_divergence", "divergence_from_stream", "sample_weighted")
+    "corpus_divergence", "divergence_from_stream", "sample_weighted",
+    // kcenter: k map-only literal-centroid rounds + one-row collects;
+    // coverage adds one assignment pass — both flat-to-sub-linear by
+    // claim. retrieval_mrr serves the FIXED 20-probe set (brute scan —
+    // the sim_bruteforce band) + |labels|-dim joins; conformal pays two
+    // split aggs + a per-label calibration sort (labels don't grow with
+    // replication, so the per-group sort is the growth to watch)
+    "kcenter_select", "kcenter_coverage", "retrieval_mrr",
+    "conformal_calibration")
 
   /** Replica id offset — well above any sf0.1 id, keeps replica ids
     * unique. PUBLIC because `Pipeline.simHashedLsh` pins its probe set

@@ -818,6 +818,68 @@ object Diagnostics {
       .orderBy(col("col_name"))
   }
 
+  /** Split-conformal calibration (Vovk et al.; the Angelopoulos & Bates
+    * tutorial form): per group, the conformal quantile q̂ = the
+    * ⌈(1−α)(n+1)⌉-th smallest CALIBRATION nonconformity score, then the
+    * achieved coverage `score ≤ q̂` on a disjoint TEST split — the
+    * finite-sample-guaranteed "how big must the prediction set be"
+    * readout an eval pipeline puts next to every model score. A test
+    * coverage materially below 1−α flags calibration/test drift (the
+    * exchangeability assumption broke); above it, the scores are
+    * conservative.
+    *
+    * α is passed as the EXACT RATIONAL alphaNum/alphaDen and the order
+    * statistic index as pure integer ceil-division — a double α would
+    * make ⌈(n+1)(1−α)⌉ flip on the (n+1)·0.9-lands-on-an-integer cases
+    * (0.9 is not a binary double; (n+1)=10 computes 9.000000000000002).
+    * When the index exceeds n_cal (tiny groups), q̂ is +∞ by the
+    * conformal convention — reported as a NULL q_hat with every test row
+    * covered.
+    *
+    * Output per calibration group: (grp, n_cal, q_hat, n_test,
+    * n_covered, coverage); groups absent from the test split report
+    * n_test = 0 with null coverage.
+    *
+    * Scale shape: one |groups|-keyed collect_list over the CALIBRATION
+    * split only (the sort is per-group, calibration-sized — at 10⁹-row
+    * calibration groups swap in the KLL sketch and accept its rank
+    * error), one partial-aggregated count pass over the test split, one
+    * |groups|-row broadcast join. Scores arrive as a column, so the
+    * nonconformity definition stays the caller's.
+    */
+  def conformalCalibration(cal: DataFrame, calGroup: Column,
+      calScore: Column, test: DataFrame, testGroup: Column,
+      testScore: Column, alphaNum: Int = 1, alphaDen: Int = 10): DataFrame = {
+    require(alphaDen > 0 && alphaNum > 0 && alphaNum < alphaDen,
+      s"alpha must be a rational in (0,1): $alphaNum/$alphaDen")
+    val c = cal.select(calGroup.as("grp"),
+      calScore.cast("double").as("__s"))
+    val t = test.select(testGroup.as("grp"),
+      testScore.cast("double").as("__s"))
+    // idx = ceil((1-α)(n+1)) = ceil-div((den-num)(n+1), den) — exact
+    // integer arithmetic end to end (`div`, never `/`: Column./ is double
+    // division, the funnel_report day-math lesson)
+    val qhat = c.groupBy(col("grp"))
+      .agg(count(lit(1)).as("n_cal"),
+        sort_array(collect_list(col("__s"))).as("__ms"))
+      .withColumn("__idx", expr(
+        s"CAST((${alphaDen - alphaNum}L * (n_cal + 1) + ${alphaDen - 1}L) " +
+          s"div ${alphaDen}L AS INT)"))
+      .select(col("grp"), col("n_cal"),
+        try_element_at(col("__ms"), col("__idx")).as("q_hat"))
+    val covered = t.join(broadcast(qhat), Seq("grp"))
+      .groupBy(col("grp"))
+      .agg(count(lit(1)).as("n_test"),
+        sum(when(col("q_hat").isNull || col("__s") <= col("q_hat"), 1L)
+          .otherwise(0L)).as("n_covered"))
+    qhat.join(covered, Seq("grp"), "left")
+      .select(col("grp"), col("n_cal"), col("q_hat"),
+        coalesce(col("n_test"), lit(0L)).as("n_test"),
+        coalesce(col("n_covered"), lit(0L)).as("n_covered"),
+        (col("n_covered").cast("double") / col("n_test").cast("double"))
+          .as("coverage"))
+  }
+
   /** Poisson(1) CDF values P(X ≤ k) for k = 0..7, as the EXACT decimal
     * string of each nearest double — the shared constants behind
     * [[bootstrapCiMean]]'s weight ladder. Kept as strings so the Scala

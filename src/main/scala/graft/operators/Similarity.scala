@@ -835,6 +835,61 @@ object Similarity {
         col("n_hit").cast("double") / col("n_exact").cast("double"))
   }
 
+  /** Label-relevance retrieval metrics over a ranked top-k frame — MRR,
+    * hit counts, recall@k, precision@k per query, with "relevant" =
+    * "shares the query's label" (the standard proxy when graded relevance
+    * judgments don't exist: kNN-classification-style evaluation of the
+    * retrieval stack). Deliberately NO nDCG: its log2(rank+1) discount is
+    * a libm call with no cross-engine bit guarantee, while reciprocal
+    * rank (1/rank) and the count ratios are exact rationals — same
+    * stance as the engine-wide `ln` ban.
+    *
+    * Input: `topk` = (query_id, neighbor_id, rank, …) from any searcher
+    * ([[bruteForceTopK]] or an ANN path — comparing the two quantifies
+    * what approximation costs in END-METRIC terms, not just overlap as
+    * [[recallReport]] does); `labels` = (vec_id, label) for both id
+    * spaces. Output per query: (query_id, label, first_rel_rank —
+    * null when nothing relevant surfaced, rr — 0.0 then, the MRR
+    * convention, n_rel_topk, n_rel_corpus — OTHER corpus members sharing
+    * the label, recall_at_k, precision_at_k). recall is null for a
+    * singleton label (no relevant items exist to find).
+    *
+    * Scale shape: `topk` is |queries|·k rows and broadcasts into one
+    * pass over the labels table; the per-label corpus counts are a
+    * |labels|-row aggregate broadcast back; the finale is a
+    * |queries|-group agg. Nothing corpus-sized is exchanged.
+    */
+  def retrievalLabelMetrics(topk: DataFrame, labels: DataFrame,
+      k: Int): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    val l = labels.select(col("vec_id"), col("label"))
+    val labelSizes = broadcast(l.groupBy(col("label"))
+      .agg(count(lit(1)).as("__lsz")))
+    val joined = broadcast(topk.select(col("query_id"), col("neighbor_id"),
+        col("rank")))
+      .join(l.select(col("vec_id").as("neighbor_id"),
+        col("label").as("__nl")), Seq("neighbor_id"))
+      .join(broadcast(l.select(col("vec_id").as("query_id"),
+        col("label").as("label"))), Seq("query_id"))
+    val perQuery = joined.groupBy(col("query_id"), col("label"))
+      .agg(min(when(col("__nl") === col("label"), col("rank")))
+          .as("first_rel_rank"),
+        sum(when(col("__nl") === col("label"), 1L).otherwise(0L))
+          .as("n_rel_topk"))
+    perQuery.join(labelSizes, Seq("label"))
+      .select(col("query_id"), col("label"), col("first_rel_rank"),
+        when(col("first_rel_rank").isNull, lit(0.0))
+          .otherwise(lit(1.0) / col("first_rel_rank").cast("double"))
+          .as("rr"),
+        col("n_rel_topk"),
+        (col("__lsz") - 1L).as("n_rel_corpus"),
+        when(col("__lsz") === 1L, lit(null).cast("double"))
+          .otherwise(col("n_rel_topk").cast("double") /
+            (col("__lsz") - 1L).cast("double")).as("recall_at_k"),
+        (col("n_rel_topk").cast("double") / lit(k.toDouble))
+          .as("precision_at_k"))
+  }
+
   /** Matryoshka truncation audit (Kusupati et al. 2022, arXiv:2205.13147):
     * per-query recall@k of brute-force search over each PREFIX of the
     * embedding (dims 1..m) against full-dimension brute force — the

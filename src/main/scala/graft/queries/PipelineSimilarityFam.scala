@@ -1482,6 +1482,128 @@ trait PipelineSimilarityFam extends PipelineDedupFam {
       |  LIMIT 100) t
       |ORDER BY doc_id""".stripMargin
 
+  /** Label-relevance retrieval metrics
+    * ([[graft.operators.Similarity.retrievalLabelMetrics]]) over the
+    * brute-force top-10 of the standard 20-probe set: per-query MRR /
+    * first-relevant rank / recall@10 / precision@10 with same-label
+    * relevance — the END-metric eval of the retrieval stack (log-free on
+    * purpose: reciprocal rank instead of nDCG's libm log2 discount). The
+    * oracle replays the ranking and every ratio.
+    */
+  def retrievalMrrQ(s: SparkSession, dir: String): DataFrame = {
+    val emb = T(s, dir, "embeddings")
+    graft.operators.Similarity.retrievalLabelMetrics(
+        graft.operators.Similarity.bruteForceTopK(
+          emb.filter(col("vec_id") < 20), emb, k = 10),
+        emb.select(col("vec_id"), col("label")), k = 10)
+      .orderBy(col("query_id"))
+  }
+
+  val retrievalMrrOracle: String =
+    s"""WITH $normsCte,
+       |bf AS (
+       |  SELECT query_id, neighbor_id, rank FROM (
+       |    SELECT q.vec_id AS query_id, nb.vec_id AS neighbor_id,
+       |      CAST(ROW_NUMBER() OVER (PARTITION BY q.vec_id
+       |        ORDER BY ${dotSql("q", "nb")} / (q.nrm * nb.nrm) DESC,
+       |          nb.vec_id) AS INTEGER) AS rank
+       |    FROM n q JOIN n nb ON nb.vec_id <> q.vec_id
+       |    WHERE q.vec_id < 20) t
+       |  WHERE rank <= 10),
+       |lz AS (SELECT label, COUNT(*) AS lsz FROM embeddings GROUP BY 1),
+       |j AS (
+       |  SELECT b.query_id, ql.label, nl.label AS nlabel, b.rank
+       |  FROM bf b
+       |  JOIN embeddings ql ON ql.vec_id = b.query_id
+       |  JOIN embeddings nl ON nl.vec_id = b.neighbor_id),
+       |pq AS (
+       |  SELECT query_id, label,
+       |    MIN(CASE WHEN nlabel = label THEN rank END) AS first_rel_rank,
+       |    CAST(SUM(CASE WHEN nlabel = label THEN 1 ELSE 0 END) AS BIGINT)
+       |      AS n_rel_topk
+       |  FROM j GROUP BY 1, 2)
+       |SELECT p.query_id, p.label, p.first_rel_rank,
+       |  CASE WHEN p.first_rel_rank IS NULL THEN 0.0
+       |       ELSE 1.0 / CAST(p.first_rel_rank AS DOUBLE) END AS rr,
+       |  p.n_rel_topk, CAST(l.lsz - 1 AS BIGINT) AS n_rel_corpus,
+       |  CASE WHEN l.lsz = 1 THEN NULL
+       |       ELSE CAST(p.n_rel_topk AS DOUBLE)
+       |         / CAST(l.lsz - 1 AS DOUBLE) END AS recall_at_k,
+       |  CAST(p.n_rel_topk AS DOUBLE) / 10.0 AS precision_at_k
+       |FROM pq p JOIN lz l USING (label)
+       |ORDER BY query_id""".stripMargin
+
+  /** Split-conformal calibration
+    * ([[graft.operators.Diagnostics.conformalCalibration]], α = 1/10):
+    * nonconformity = squared L2 to the OWN label's centroid learned from
+    * the CALIBRATION half only (even vec_ids — no leakage), conformal
+    * quantile per label, achieved coverage on the odd-id test half. The
+    * oracle rebuilds the cal-split centroids, replays the score fold, the
+    * exact integer ceil-division index, and both coverage counts.
+    */
+  def conformalCalibrationQ(s: SparkSession, dir: String): DataFrame = {
+    val emb = T(s, dir, "embeddings")
+    val cal = emb.filter(col("vec_id") % 2 === 0)
+    val tst = emb.filter(col("vec_id") % 2 === 1)
+    val cents = broadcast(graft.operators.EmbeddingStats.centroidVectors(
+      cal, col("label"), col("embedding")))
+    def scored(df: DataFrame) = df.join(cents, Seq("label"))
+      .select(col("label"),
+        aggregate(zip_with(col("embedding"), col("centroid"),
+            (x, c) => (x.cast("double") - c) * (x.cast("double") - c)),
+          lit(0.0), (acc, d) => acc + d).as("score"))
+    graft.operators.Diagnostics.conformalCalibration(
+        scored(cal), col("label"), col("score"),
+        scored(tst), col("label"), col("score"))
+      .orderBy(col("grp"))
+  }
+
+  val conformalCalibrationOracle: String =
+    """WITH e1 AS (
+      |  SELECT label, embedding, unnest(range(1, len(embedding) + 1)) AS i
+      |  FROM embeddings WHERE vec_id % 2 = 0),
+      |e AS (
+      |  SELECT label, CAST(i - 1 AS INTEGER) AS dim,
+      |    CAST(round(embedding[i]::DOUBLE * 16777216.0) AS BIGINT) AS qm
+      |  FROM e1),
+      |a AS (SELECT label, dim, COUNT(*) AS n, SUM(qm) AS sm FROM e
+      |      GROUP BY 1, 2),
+      |cent AS (
+      |  SELECT label, list(mean ORDER BY dim) AS c FROM (
+      |    SELECT label, dim,
+      |      CAST(sm AS DOUBLE) / (CAST(n AS DOUBLE) * 16777216.0) AS mean
+      |    FROM a)
+      |  GROUP BY label),
+      |d AS (
+      |  SELECT v.vec_id, v.label, v.vec_id % 2 AS side,
+      |    list_reduce(list_prepend(0.0,
+      |      list_transform(range(1, len(v.embedding) + 1),
+      |        i -> (v.embedding[i]::DOUBLE - c.c[i])
+      |           * (v.embedding[i]::DOUBLE - c.c[i]))),
+      |      (acc, x) -> acc + x) AS score
+      |  FROM embeddings v JOIN cent c ON c.label = v.label),
+      |calq AS (
+      |  SELECT label, CAST(COUNT(*) AS BIGINT) AS n_cal,
+      |    list(score ORDER BY score) AS ms
+      |  FROM d WHERE side = 0 GROUP BY 1),
+      |qh AS (
+      |  SELECT label, n_cal,
+      |    list_extract(ms, CAST((9 * (n_cal + 1) + 9) // 10 AS INT))
+      |      AS q_hat
+      |  FROM calq),
+      |cov AS (
+      |  SELECT d.label, CAST(COUNT(*) AS BIGINT) AS n_test,
+      |    CAST(SUM(CASE WHEN q.q_hat IS NULL OR d.score <= q.q_hat
+      |      THEN 1 ELSE 0 END) AS BIGINT) AS n_covered
+      |  FROM d JOIN qh q ON q.label = d.label
+      |  WHERE d.side = 1 GROUP BY 1)
+      |SELECT q.label AS grp, q.n_cal, q.q_hat,
+      |  COALESCE(c.n_test, 0) AS n_test,
+      |  COALESCE(c.n_covered, 0) AS n_covered,
+      |  CAST(c.n_covered AS DOUBLE) / CAST(c.n_test AS DOUBLE) AS coverage
+      |FROM qh q LEFT JOIN cov c ON c.label = q.label
+      |ORDER BY grp""".stripMargin
+
   /** Greedy k-center coreset selection
     * ([[graft.operators.Sampling.kCenterSelect]], k = 6): maxmin-diverse
     * exemplars + the coverage-radius curve over the embedding corpus. The

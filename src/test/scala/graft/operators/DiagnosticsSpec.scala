@@ -487,4 +487,27 @@ class DiagnosticsSpec extends SparkSpec {
     assert(b._4 < b._5)                  // genuinely varied -> open interval
     assert(run(df.repartition(7)) === out)
   }
+
+  test("conformalCalibration: hand order-statistic quantile and coverage; " +
+      "a calibration group too small for the index reports null q_hat " +
+      "with everything covered; test-absent groups report n_test 0") {
+    val cal = ((1 to 9).map(i => ("a", i.toDouble)) ++
+      Seq(("b", 42.0)) ++ (1 to 5).map(i => ("c", i.toDouble)))
+      .toDF("g", "s")
+    val tst = Seq(("a", 5.0), ("a", 9.0), ("a", 9.5), ("a", 20.0),
+      ("b", 1e9), ("b", -1e9), ("d", 0.0)).toDF("g", "s")
+    val out = graft.operators.Diagnostics.conformalCalibration(
+        cal, col("g"), col("s"), tst, col("g"), col("s"))
+      .as[(String, Long, Option[Double], Long, Long, Option[Double])]
+      .collect().sortBy(_._1).toSeq
+    // a: n=9 -> idx = ceil(0.9*10) = 9 -> q_hat = 9.0; covered 5, 9 of 4
+    assert(out(0) === (("a", 9L, Some(9.0), 4L, 2L, Some(0.5))))
+    // b: n=1 -> idx 2 > n -> conformal +inf -> null q_hat, all covered
+    assert(out(1) === (("b", 1L, None, 2L, 2L, Some(1.0))))
+    // c: calibrated but never tested — and n = 5 is still too small for
+    // alpha = 0.1 (idx = ceil(0.9 * 6) = 6 > 5), so q_hat is +inf/null
+    assert(out(2) === (("c", 5L, None, 0L, 0L, None)))
+    // d appears only in test: conformal is undefined there -> absent
+    assert(out.size === 3)
+  }
 }

@@ -686,4 +686,26 @@ class SimilaritySpec extends SparkSpec {
     ).toDF("vec_id", "embedding", "label")
     assert(Similarity.labelNoiseScreen(rows, rows, k = 3).count() === 0L)
   }
+
+  test("retrievalLabelMetrics: hand-checkable MRR / recall / precision; " +
+      "no-relevant query reports rr = 0; singleton label reports null " +
+      "recall") {
+    val topk = Seq(
+      (1L, 10L, 1), (1L, 11L, 2), (1L, 12L, 3), // q1: rel at ranks 2, 3
+      (2L, 10L, 1), (2L, 11L, 2)                // q2: nothing shares C
+    ).toDF("query_id", "neighbor_id", "rank")
+    val labels = Seq(
+      (1L, "A"), (2L, "C"),
+      (10L, "B"), (11L, "A"), (12L, "A"), (13L, "A")
+    ).toDF("vec_id", "label")
+    val out = Similarity.retrievalLabelMetrics(topk, labels, k = 3)
+      .as[(Long, String, Option[Int], Double, Long, Long, Option[Double],
+        Double)].collect().sortBy(_._1).toSeq
+    // q1 (label A, |A| = 4): first relevant at rank 2, 2 of 3 relevant
+    // corpus members found
+    assert(out(0) === ((1L, "A", Some(2), 0.5, 2L, 3L, Some(2.0 / 3.0),
+      2.0 / 3.0)))
+    // q2 (label C, singleton): rr 0, recall undefined
+    assert(out(1) === ((2L, "C", None, 0.0, 0L, 0L, None, 0.0)))
+  }
 }
