@@ -917,6 +917,27 @@ class PlanSpec extends SparkSpec {
     assert("HashAggregate".r.findAllIn(p).size >= 4, p)
   }
 
+  test("retrieval_mrr: the ranked top-k broadcasts into the labels pass, " +
+      "label sizes ride back broadcast — no sort-merge join, no window " +
+      "beyond the searcher's bounded aggregator, no cartesian beyond the " +
+      "probe broadcast") {
+    val p = plan(Pipeline.retrievalMrrQ(spark, dir))
+    assert(!p.contains("SortMergeJoin"), p)
+    assert(!p.contains(") Window"), p)
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 2, p)
+    assert(p.contains("ObjectHashAggregate"), p) // the searcher's top-k
+  }
+
+  test("conformal_calibration: centroids and the per-label quantile table " +
+      "broadcast; the only per-group sort is calibration-sized " +
+      "(sort_array inside the agg, not a Window); no cartesian") {
+    val p = plan(Pipeline.conformalCalibrationQ(spark, dir))
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains(") Window"), p)
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert("HashAggregate".r.findAllIn(p).size >= 2, p)
+  }
+
   test("sample_weighted: per-row keys feed the bounded top-n aggregator " +
       "(partial map-side), kept rows join back broadcast; the only " +
       "Generate is the n-row top-array unpack on the broadcast side; " +
