@@ -362,11 +362,15 @@ object Stress {
       if (java.nio.file.Files.exists(path)) {
         val txt = new String(java.nio.file.Files.readAllBytes(path),
           java.nio.charset.StandardCharsets.UTF_8)
-        val sameCorpus = """"rows":(\d+)""".r.findFirstMatchIn(txt)
+        // whitespace-tolerant extraction: a hand-edited / pretty-printed
+        // file (json.dump writes `"rows": 320000`) must still merge — a
+        // byte-exact-format assumption here once silently erased the
+        // whole ×64 sweep when an external edit reserialized the file
+        val sameCorpus = """"rows"\s*:\s*(\d+)""".r.findFirstMatchIn(txt)
           .exists(_.group(1).toLong == rows)
-        val obj = txt.indexOf("\"queries\":{") match {
-          case -1 => ""
-          case i => txt.substring(i + 11, txt.indexOf('}', i))
+        val obj = """"queries"\s*:\s*\{""".r.findFirstMatchIn(txt) match {
+          case None => ""
+          case Some(m) => txt.substring(m.end, txt.indexOf('}', m.end))
         }
         if (!sameCorpus) Seq.empty
         else """"([A-Za-z0-9_]+)":(-?[0-9.]+)""".r.findAllMatchIn(obj)

@@ -698,17 +698,9 @@ object Dedup {
       case "count" => countPairs
       case "prefix" => prefixPairs
       case "auto" =>
-        val stats =
-          if (autoSampleFraction >= 1.0) indexed
-          else indexed.filter(TextFunctions.hash32(col("id").cast("string")) <
-            lit((autoSampleFraction * 4294967296.0).toLong))
-        val sampledMax = stats.groupBy(col("sfp")).agg(count(lit(1)).as("df"))
-          .agg(max(col("df"))).head() match {
-          case r if r.isNullAt(0) => 0L // empty corpus
-          case r => r.getLong(0)
-        }
-        val maxDf = math.ceil(sampledMax / autoSampleFraction).toLong
-        if (maxDf <= autoCountMaxDf) countPairs else prefixPairs
+        if (autoPickStrategy(indexed, autoCountMaxDf,
+          autoSampleFraction) == "count") countPairs
+        else prefixPairs
       case other => throw new IllegalArgumentException(
         s"strategy must be 'auto', 'count' or 'prefix', got $other")
     }
@@ -757,46 +749,39 @@ object Dedup {
     require(autoSampleFraction > 0 && autoSampleFraction <= 1,
       s"autoSampleFraction out of (0,1]: $autoSampleFraction")
     val idx = shingleIndex(df, id, text, shingleK, maxDocFreq)
-    def pick: String = {
-      // the jaccardPairs auto rule verbatim: sampled max shingle df, count
-      // under the cap (no shingle arrays ever shuffle), prefix above it
-      // (candidate volume bounded by the prefix postings)
-      val stats =
-        if (autoSampleFraction >= 1.0) idx.indexed
-        else idx.indexed.filter(TextFunctions.hash32(col("id").cast("string")) <
-          lit((autoSampleFraction * 4294967296.0).toLong))
-      val sampledMax = stats.groupBy(col("sfp")).agg(count(lit(1)).as("df"))
-        .agg(max(col("df"))).head() match {
-        case r if r.isNullAt(0) => 0L
-        case r => r.getLong(0)
-      }
-      val maxDf = math.ceil(sampledMax / autoSampleFraction).toLong
-      if (maxDf <= autoCountMaxDf) "count" else "prefix"
-    }
-    val sized = (if (strategy == "auto") pick else strategy) match {
+    val sized = (if (strategy == "auto")
+      autoPickStrategy(idx.indexed, autoCountMaxDf, autoSampleFraction)
+    else strategy) match {
       case "count" => interSizedPairs(idx.indexed, idx.sizes)
       case "prefix" =>
         // prefix(x) probes FULL postings of y (both directions via the
         // unordered-pair dedupe) — the asymmetric containment bound
-        val freq = idx.indexed.groupBy(col("sfp")).agg(count(lit(1)).as("df"))
-        val byRarity = org.apache.spark.sql.expressions.Window
-          .partitionBy(col("id")).orderBy(col("df"), col("sfp"))
-        val prefix = idx.indexed.join(freq, Seq("sfp"))
-          .withColumn("rk", row_number().over(byRarity))
-          .filter(col("rk") <= col("sz") - ceil(lit(threshold) * col("sz")) + 1)
-          .select(col("sfp"), col("id"))
+        val prefix = rarestPrefix(idx.indexed, prefixKeepCount(threshold))
         val cands = prefix.select(col("sfp"), col("id").as("id_p"))
           .join(idx.indexed.select(col("sfp"), col("id").as("id_f")), Seq("sfp"))
           .filter(col("id_p") =!= col("id_f"))
           .select(least(col("id_p"), col("id_f")).as("id_a"),
             greatest(col("id_p"), col("id_f")).as("id_b"))
           .distinct()
+        // verify on the CAPPED fp sets, sizes from the TRUE pre-cap set
+        // sizes — exactly interSizedPairs' semantics, so the strategies
+        // agree under ANY maxDocFreq (array_intersect over the uncapped
+        // string sets would NOT undercount dropped shingles the way the
+        // count branch does)
+        val fpSets = idx.indexed.groupBy(col("id"))
+          .agg(collect_list(col("sfp")).as("__fps"))
         cands
-          .join(idx.sets.select(col("id").as("id_a"), col("set").as("__sa")), Seq("id_a"))
-          .join(idx.sets.select(col("id").as("id_b"), col("set").as("__sb")), Seq("id_b"))
+          .join(fpSets.select(col("id").as("id_a"), col("__fps").as("__fa")),
+            Seq("id_a"))
+          .join(fpSets.select(col("id").as("id_b"), col("__fps").as("__fb")),
+            Seq("id_b"))
           .select(col("id_a"), col("id_b"),
-            size(array_intersect(col("__sa"), col("__sb"))).cast("long").as("inter"),
-            size(col("__sa")).as("sz_a"), size(col("__sb")).as("sz_b"))
+            size(array_intersect(col("__fa"), col("__fb"))).cast("long")
+              .as("inter"))
+          .join(broadcast(idx.sizes.select(col("id").as("id_a"),
+            col("sz").as("sz_a"))), Seq("id_a"))
+          .join(broadcast(idx.sizes.select(col("id").as("id_b"),
+            col("sz").as("sz_b"))), Seq("id_b"))
       case other => throw new IllegalArgumentException(
         s"strategy must be 'auto', 'count' or 'prefix', got $other")
     }
@@ -913,6 +898,58 @@ object Dedup {
       .join(broadcast(sizes.select(col("id").as("id_b"), col("sz").as("sz_b"))),
         Seq("id_b"))
 
+  /** The runtime count-vs-prefix strategy rule shared by [[jaccardPairs]]
+    * and [[selfContainmentPairs]]: sampled max shingle document frequency
+    * (optionally from a deterministic doc hash-sample, scaled back up),
+    * `count` under the cap, `prefix` above it — ONE copy, so the two
+    * joins can never diverge on when the Σ df² blowup forces the bounded
+    * plan.
+    */
+  private def autoPickStrategy(indexed: DataFrame, autoCountMaxDf: Long,
+      autoSampleFraction: Double): String = {
+    val stats =
+      if (autoSampleFraction >= 1.0) indexed
+      else indexed.filter(TextFunctions.hash32(col("id").cast("string")) <
+        lit((autoSampleFraction * 4294967296.0).toLong))
+    val sampledMax = stats.groupBy(col("sfp")).agg(count(lit(1)).as("df"))
+      .agg(max(col("df"))).head() match {
+      case r if r.isNullAt(0) => 0L // empty corpus
+      case r => r.getLong(0)
+    }
+    val maxDf = math.ceil(sampledMax / autoSampleFraction).toLong
+    if (maxDf <= autoCountMaxDf) "count" else "prefix"
+  }
+
+  /** Per-set prefix keep-count `|s| − ceil(t'·|s|) + 1` in PURE INTEGER
+    * arithmetic, with t' = ⌊t·2^20⌋/2^20 ≤ t. The double form
+    * `ceil(lit(t) * sz)` rounds UP past the exact integer ceiling
+    * whenever t·sz lands on an integer the binary product overshoots
+    * (t = 7/12, sz = 108 computes 63.00000000000001 → ceil 64), making
+    * the prefix one shingle too short and silently dropping a
+    * threshold-boundary pair — a recall bug, not a rounding nit.
+    * Rounding t DOWN only LENGTHENS the prefix: recall-safe by
+    * construction, at most one extra indexed shingle.
+    */
+  private def prefixKeepCount(threshold: Double): Column = {
+    val m = 1L << 20
+    val tNum = math.min(m, math.max(0L, math.floor(threshold * m).toLong))
+    expr(s"sz - CAST(($tNum * sz + ${m - 1}) div $m AS INT) + 1")
+  }
+
+  /** Each set's `keep`-count globally-rarest postings (rarity = shingle
+    * document frequency, ties by fingerprint) — the prefix frame both
+    * prefix strategies build on.
+    */
+  private def rarestPrefix(posting: DataFrame, keep: Column): DataFrame = {
+    val freq = posting.groupBy(col("sfp")).agg(count(lit(1)).as("df"))
+    val byRarity = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("id")).orderBy(col("df"), col("sfp"))
+    posting.join(freq, Seq("sfp"))
+      .withColumn("rk", row_number().over(byRarity))
+      .filter(col("rk") <= keep)
+      .select(col("sfp"), col("id"))
+  }
+
   /** (id, sz, sfp) inverted-index postings from (id, set) shingle-set rows:
     * one row per (document, shingle fingerprint), with the set size carried
     * for Jaccard arithmetic. Shuffle payloads are (long, int, long) — never
@@ -932,13 +969,7 @@ object Dedup {
     * unless a set is small enough to genuinely need it).
     */
   def prefixCandidates(posting: DataFrame, threshold: Double): DataFrame = {
-    val freq = posting.groupBy(col("sfp")).agg(count(lit(1)).as("df"))
-    val byRarity = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("id")).orderBy(col("df"), col("sfp"))
-    val prefix = posting.join(freq, Seq("sfp"))
-      .withColumn("rk", row_number().over(byRarity))
-      .filter(col("rk") <= col("sz") - ceil(lit(threshold) * col("sz")) + 1)
-      .select(col("sfp"), col("id"))
+    val prefix = rarestPrefix(posting, prefixKeepCount(threshold))
     prefix.select(col("sfp"), col("id").as("id_a"))
       .join(prefix.select(col("sfp"), col("id").as("id_b")), Seq("sfp"))
       .filter(col("id_a") < col("id_b"))

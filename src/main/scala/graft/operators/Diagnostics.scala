@@ -950,8 +950,11 @@ object Diagnostics {
         (col("__swx").cast("double") / col("__sw").cast("double")).as("__rm"))
       .groupBy(col("grp"))
       .agg(sort_array(collect_list(col("__rm"))).as("__ms"))
-      .select(col("grp"), element_at(col("__ms"), kLo).as("ci_lo"),
-        element_at(col("__ms"), kHi).as("ci_hi"),
+      // try_element_at: a near-empty group can lose replicates (Σw = 0),
+      // leaving fewer than kHi means — ANSI element_at would throw where
+      // the contract is "the order statistics read NULL past the end"
+      .select(col("grp"), try_element_at(col("__ms"), lit(kLo)).as("ci_lo"),
+        try_element_at(col("__ms"), lit(kHi)).as("ci_hi"),
         size(col("__ms")).cast("long").as("n_reps"))
     val point = base.groupBy(col("grp"))
       .agg(count(lit(1)).as("n_rows"),

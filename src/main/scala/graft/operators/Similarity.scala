@@ -865,12 +865,16 @@ object Similarity {
     val l = labels.select(col("vec_id"), col("label"))
     val labelSizes = broadcast(l.groupBy(col("label"))
       .agg(count(lit(1)).as("__lsz")))
-    val joined = broadcast(topk.select(col("query_id"), col("neighbor_id"),
+    // both label joins BROADCAST THE PROBE-SIZED FRAME and stream the
+    // corpus-sized labels table — broadcasting `l` itself would collect
+    // the whole corpus's labels to the driver at scale
+    val withNl = broadcast(topk.select(col("query_id"), col("neighbor_id"),
         col("rank")))
       .join(l.select(col("vec_id").as("neighbor_id"),
         col("label").as("__nl")), Seq("neighbor_id"))
-      .join(broadcast(l.select(col("vec_id").as("query_id"),
-        col("label").as("label"))), Seq("query_id"))
+    val joined = l.select(col("vec_id").as("query_id"),
+        col("label").as("label"))
+      .join(broadcast(withNl), Seq("query_id"))
     val perQuery = joined.groupBy(col("query_id"), col("label"))
       .agg(min(when(col("__nl") === col("label"), col("rank")))
           .as("first_rel_rank"),

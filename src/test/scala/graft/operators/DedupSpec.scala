@@ -750,4 +750,26 @@ class DedupSpec extends SparkSpec {
       .as[(Long, Long, Long, Long, Long, Double)].collect().toSeq
     assert(pf === out)
   }
+
+  test("selfContainmentPairs: count and prefix agree under maxDocFreq — " +
+      "capped shingles leave the intersection on BOTH strategies, sizes " +
+      "stay the true pre-cap set sizes") {
+    val d = Seq(
+      (1L, "a b c d e f"),        // shingles: abc bcd cde def
+      (2L, "a b c d e f g h"),    // + efg fgh
+      (3L, "a b c x y z")         // shares only abc with 1 and 2
+    ).toDF("doc_id", "text")
+    def run(strategy: String) =
+      Dedup.selfContainmentPairs(d, col("doc_id"), col("text"),
+          shingleK = 3, threshold = 0.7, maxDocFreq = Some(2L),
+          strategy = strategy)
+        .as[(Long, Long, Long, Long, Long, Double)].collect()
+        .sortBy(t => (t._1, t._2)).toSeq
+    // "abc" has df = 3 > 2 and drops from the index: inter(1,2) = 3 of
+    // doc 1's TRUE 4 shingles -> containment 0.75; the (x,3) pairs lose
+    // their only shared shingle and vanish
+    val expect = Seq((1L, 2L, 3L, 4L, 6L, 0.75))
+    assert(run("count") === expect)
+    assert(run("prefix") === expect)
+  }
 }
