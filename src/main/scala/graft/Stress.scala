@@ -253,7 +253,11 @@ object Stress {
     // split aggs + a per-label calibration sort (labels don't grow with
     // replication, so the per-group sort is the growth to watch)
     "kcenter_select", "kcenter_coverage", "retrieval_mrr",
-    "conformal_calibration")
+    "conformal_calibration",
+    // lang_classifier: one gram explode into a (doc, dim<=128) partial
+    // count agg, broadcast weight join, per-class sums — linear in text
+    // bytes by claim, exchanges bounded at dims rows/doc
+    "lang_classifier")
 
   /** Replica id offset — well above any sf0.1 id, keeps replica ids
     * unique. PUBLIC because `Pipeline.simHashedLsh` pins its probe set

@@ -75,6 +75,72 @@ object TextClassifier {
     Model(lr.fit(prepared.select(col("label"), col("features"))), labels, n, dims)
   }
 
+  /** md5 bucket of a character n-gram — `hash32(gram) mod dims`: the
+    * vocabulary-free featurization BOTH the pinned-weight apply path and
+    * a SQL oracle can replay bit-for-bit (MLlib HashingTF's murmur3
+    * cannot be reproduced in DuckDB, which is why [[classifyLinearPinned]]
+    * does not share [[train]]'s featurizer — [[graft.tools.TrainArtifacts]]
+    * trains on THIS hashing so the pinned weights match the apply path).
+    */
+  def hashedGramDim(gram: Column, dims: Int): Column =
+    graft.functions.TextFunctions.hash32(gram) % dims
+
+  /** Apply a PINNED linear text classifier — the deployment shape of
+    * classifier-based curation (fastText-style language ID / quality
+    * routing): weights are trained ONCE offline
+    * ([[graft.tools.TrainArtifacts]], logistic regression over
+    * [[hashedGramDim]] char-n-gram counts), INTEGER-QUANTIZED at 2^20
+    * fixed point, and shipped as literals — so scoring is exact integer
+    * arithmetic end to end (order-free sums, no float-ordering anywhere)
+    * and a SQL oracle replays the whole chain: per class,
+    * score_q = bias_q + Σ_dim count(doc, dim) · w_q[class][dim]; argmax
+    * with ties toward the sorted-label index.
+    *
+    * `weights`: (label, bias_q, w_q[dims]) rows sorted by label. Output:
+    * (id, pred, score) with `score` = score_q / 2^20.
+    *
+    * Scale shape: one gram explode into a per-(doc, dim) count aggregate
+    * (≤ dims rows per doc however long the text, map-side partials), a
+    * broadcast join against the (dims × classes)-row weight table, a
+    * per-(doc, class) sum and a per-doc argmax — all partial-first
+    * HashAggregates on 8-byte keys; text never shuffles past the gram
+    * projection. Overflow bound: count·w_q per (doc, dim) stays under
+    * 2^62 for any realistic document at |w| ≤ 2^10.
+    */
+  def classifyLinearPinned(df: DataFrame, id: Column, text: Column,
+      weights: Seq[(String, Long, Seq[Long])], n: Int = 3,
+      dims: Int = 128): DataFrame = {
+    require(weights.nonEmpty, "weights must be non-empty")
+    require(weights.map(_._1) == weights.map(_._1).sorted &&
+      weights.map(_._1).distinct.size == weights.size,
+      "weight labels must be unique and sorted")
+    require(weights.forall(_._3.size == dims),
+      s"every weight vector must have $dims entries")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val wDf = broadcast(weights.zipWithIndex.flatMap {
+      case ((l, _, w), i) =>
+        w.zipWithIndex.map { case (wq, d) => (d, l, i.toLong, wq) }
+    }.toDF("dim", "label", "tie", "wq"))
+    val biases = broadcast(weights.zipWithIndex.map {
+      case ((l, b, _), i) => (l, i.toLong, b)
+    }.toDF("label", "tie", "biasq"))
+    val counts = df.select(id.as("id"), explode(charNgrams(text, n)).as("__g"))
+      .select(col("id"), hashedGramDim(col("__g"), dims).as("dim"))
+      .groupBy(col("id"), col("dim")).agg(count(lit(1)).as("__c"))
+    counts.join(wDf, Seq("dim"))
+      .groupBy(col("id"), col("label"), col("tie"))
+      .agg(sum(col("__c") * col("wq")).as("__s0"))
+      .join(biases, Seq("label", "tie"))
+      .select(col("id"), col("label"), col("tie"),
+        (col("__s0") + col("biasq")).as("__sq"))
+      .groupBy(col("id"))
+      .agg(max_by(struct(col("label"), col("__sq")),
+        struct(col("__sq"), (-col("tie")).as("nt"))).as("m"))
+      .select(col("id"), col("m.label").as("pred"),
+        (col("m.__sq").cast("double") / lit(1048576.0)).as("score"))
+  }
+
   /** Scores `text`, appending `out` (predicted label string). Map-only:
     * model coefficients broadcast inside MLlib's transform.
     */

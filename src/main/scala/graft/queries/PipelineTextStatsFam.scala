@@ -1391,6 +1391,62 @@ trait PipelineTextStatsFam extends PipelineMixtureSketchFam {
       |GROUP BY ROLLUP(lang)
       |ORDER BY lang""".stripMargin
 
+  /** Classifier-based curation under the hash gate
+    * ([[graft.operators.TextClassifier.classifyLinearPinned]]): the
+    * pinned 5-language logistic-regression weights
+    * ([[PinnedArtifacts.LangLrWeights]], trained once offline over
+    * md5-hashed char-trigram counts, integer-quantized at 2^20) applied
+    * to every document — output is the (true lang, predicted lang,
+    * count) confusion matrix, the deployment readout of a fastText-style
+    * curation classifier. Scoring is exact integer arithmetic end to
+    * end, so the oracle replays grams → md5 dims → count·weight sums →
+    * bias → tie-indexed argmax verbatim.
+    */
+  def langClassifierQ(s: SparkSession, dir: String): DataFrame = {
+    val d = T(s, dir, "documents")
+    graft.operators.TextClassifier.classifyLinearPinned(
+        d, col("doc_id"), col("text"),
+        PinnedArtifacts.LangLrWeights, n = 3,
+        dims = PinnedArtifacts.LangLrDims)
+      .join(d.select(col("doc_id").as("id"), col("lang")), Seq("id"))
+      .groupBy(col("lang"), col("pred"))
+      .agg(count(lit(1)).as("n_docs"))
+      .orderBy(col("lang"), col("pred"))
+  }
+
+  val langClassifierOracle: String =
+    s"""WITH w(label, tie, biasq, dim, wq) AS (VALUES
+       |${PinnedArtifacts.langLrSqlValues}),
+       |g AS (
+       |  SELECT doc_id, lang,
+       |    unnest(CASE WHEN length(text) < 3 THEN [text]
+       |      ELSE list_transform(range(1, length(text) - 1),
+       |             i -> substring(text, i, 3)) END) AS gram
+       |  FROM documents),
+       |d AS (
+       |  SELECT doc_id, lang,
+       |    ('0x' || substring(md5(gram), 1, 8))::BIGINT % 128 AS dim
+       |  FROM g),
+       |c AS (SELECT doc_id, lang, dim, COUNT(*) AS cnt FROM d
+       |      GROUP BY 1, 2, 3),
+       |s AS (
+       |  SELECT c.doc_id, c.lang, w.label, w.tie,
+       |    SUM(c.cnt * w.wq) AS s0
+       |  FROM c JOIN w ON w.dim = c.dim GROUP BY 1, 2, 3, 4),
+       |sc AS (
+       |  SELECT s.doc_id, s.lang, s.label, s.tie, s.s0 + b.biasq AS scoreq
+       |  FROM s JOIN (SELECT DISTINCT label, tie, biasq FROM w) b
+       |    ON b.label = s.label AND b.tie = s.tie),
+       |p AS (
+       |  SELECT doc_id, lang, label AS pred,
+       |    ROW_NUMBER() OVER (PARTITION BY doc_id
+       |      ORDER BY scoreq DESC, tie) AS rk
+       |  FROM sc)
+       |SELECT lang, pred, CAST(COUNT(*) AS BIGINT) AS n_docs
+       |FROM p WHERE rk = 1
+       |GROUP BY 1, 2
+       |ORDER BY lang, pred""".stripMargin
+
   /** Poisson-bootstrap CI for mean tokens-per-doc per language
     * ([[graft.operators.Diagnostics.bootstrapCiMean]], B = 64, α = 0.05):
     * the error-bar readout next to every per-language eval mean. Fully

@@ -83,6 +83,92 @@ object TrainArtifacts {
     println("// ---- Scala literal: DsirWeights64")
     println("    " + dw.map(d => s"$d").mkString(", "))
 
+    // ---- Linear language classifier: logistic regression over
+    // md5-hashed char-trigram counts (TextClassifier.hashedGramDim — NOT
+    // HashingTF's murmur3, which no SQL oracle can replay), weights
+    // integer-quantized at 2^20. Training (L-BFGS) runs HERE; the
+    // registry applies the pinned longs in exact integer arithmetic.
+    {
+      import graft.operators.TextClassifier
+      val dims = 128
+      val labels = docs.select(col("lang")).distinct()
+        .collect().map(_.getString(0)).sorted
+      val lIdx = labels.zipWithIndex.toMap
+      val featRows = docs.select(col("doc_id"), col("lang"),
+          org.apache.spark.sql.functions.explode(
+            TextClassifier.charNgrams(col("text"), 3)).as("g"))
+        .select(col("doc_id"), col("lang"),
+          TextClassifier.hashedGramDim(col("g"), dims).as("dim"))
+        .groupBy(col("doc_id"), col("lang"), col("dim"))
+        .agg(org.apache.spark.sql.functions.count(
+          org.apache.spark.sql.functions.lit(1)).as("c"))
+        .collect()
+        .groupBy(r => (r.getLong(0), r.getString(1)))
+        .toSeq // BEFORE map: a Map of (labelIdx, vector) would dedupe by
+        // the label key and silently train on one document per class
+        .map { case ((_, lang), rows) =>
+          val pairs = rows.map(r => (r.getLong(2).toInt, r.getLong(3).toDouble))
+            .sortBy(_._1)
+          (lIdx(lang).toDouble, org.apache.spark.ml.linalg.Vectors.sparse(
+            dims, pairs.map(_._1).toArray, pairs.map(_._2).toArray))
+        }
+      import spark.implicits._
+      val trainDf = featRows.toDF("label", "features")
+      val lr = new org.apache.spark.ml.classification.LogisticRegression()
+        .setFamily("multinomial").setMaxIter(100).setRegParam(1e-4)
+        .setLabelCol("label").setFeaturesCol("features")
+      val m = lr.fit(trainDf)
+      def q(v: Double): Long = math.round(v * (1L << 20))
+      val trainAcc = m.transform(trainDf)
+        .filter(col("label") === col("prediction")).count().toDouble /
+        trainDf.count()
+      println(s"// lang-LR training accuracy: $trainAcc")
+      // probe: manual linear scoring with the raw coefficientMatrix must
+      // reproduce the model's own argmax — if it doesn't, the extraction
+      // (not the quantization) is wrong
+      val manualOk = featRows.count { case (lbl, v) =>
+        val sv = v.asInstanceOf[org.apache.spark.ml.linalg.SparseVector]
+        val scores = (0 until labels.length).map { i =>
+          m.interceptVector(i) + sv.indices.zip(sv.values).map {
+            case (d, c) => c * m.coefficientMatrix(i, d)
+          }.sum
+        }
+        scores.indexOf(scores.max).toDouble == lbl
+      }
+      println(s"// lang-LR manual-score accuracy: ${
+        manualOk.toDouble / featRows.size}")
+      val quantOk = featRows.count { case (lbl, v) =>
+        val sv = v.asInstanceOf[org.apache.spark.ml.linalg.SparseVector]
+        val scores = (0 until labels.length).map { i =>
+          q(m.interceptVector(i)) + sv.indices.zip(sv.values).map {
+            case (d, c) => c.toLong * q(m.coefficientMatrix(i, d))
+          }.sum
+        }
+        scores.indexOf(scores.max).toDouble == lbl
+      }
+      println(s"// lang-LR quantized-score accuracy: ${
+        quantOk.toDouble / featRows.size}")
+      println(s"// lang-LR n_train_rows: ${featRows.size}")
+      val doc0 = docs.agg(org.apache.spark.sql.functions.min(col("doc_id")))
+        .head().getLong(0)
+      val f0 = docs.filter(col("doc_id") === doc0)
+        .select(col("doc_id"), col("lang"),
+          org.apache.spark.sql.functions.explode(
+            TextClassifier.charNgrams(col("text"), 3)).as("g"))
+        .select(TextClassifier.hashedGramDim(col("g"), dims).as("dim"))
+        .groupBy(col("dim"))
+        .agg(org.apache.spark.sql.functions.count(
+          org.apache.spark.sql.functions.lit(1)).as("c"))
+        .collect().map(r => (r.getLong(0).toInt, r.getLong(1))).sortBy(_._1)
+      println(s"// lang-LR doc0 recount first5: ${f0.take(5).mkString(" ")}")
+      println("// ---- Scala literal: LangLrWeights (label, biasQ, wQ[128])")
+      labels.zipWithIndex.foreach { case (l, i) =>
+        val row = (0 until dims).map(d => q(m.coefficientMatrix(i, d)))
+        println(s"""    (${scalaStr(l)}, ${q(m.interceptVector(i))}L, Seq(${
+          row.map(x => s"${x}L").mkString(", ")})),""")
+      }
+    }
+
     // ---- mm fixture dHash64 pins: decode the mm_phash_pairs fixture
     // corpus through the production path ONCE and print the (id, hash)
     // literals for PinnedArtifacts.MmFixtureHashes64

@@ -54,4 +54,31 @@ class TextClassifierSpec extends SparkSpec {
     assert(got(1L) === Seq("abc", "bcd"))
     assert(got(2L) === Seq("ab"))
   }
+
+  test("classifyLinearPinned: hand-computable integer scores, ties break " +
+      "toward the sorted-label index, short text scores its single gram, " +
+      "partition-invariant") {
+    // class a: bias 0, weight 1 everywhere -> score_q = n_grams;
+    // class b: bias 5, weight 0 everywhere -> score_q = 5
+    val w = Seq(
+      ("a", 0L, Seq.fill(4)(1L)),
+      ("b", 5L, Seq.fill(4)(0L)))
+    val d = Seq(
+      (1L, "abcde"),    // 3 grams -> a = 3 < 5 -> b
+      (2L, "abcdefgh"), // 6 grams -> a = 6 > 5 -> a
+      (3L, "abcdefg"),  // 5 grams -> TIE 5 = 5 -> sorted-first "a"
+      (4L, "x")         // short text: the single "x" gram -> a = 1 -> b
+    ).toDF("doc_id", "text")
+    def run(df: org.apache.spark.sql.DataFrame) =
+      TextClassifier.classifyLinearPinned(
+          df, col("doc_id"), col("text"), w, n = 3, dims = 4)
+        .as[(Long, String, Double)].collect().sortBy(_._1).toSeq
+    val out = run(d)
+    assert(out.map(r => (r._1, r._2)) ===
+      Seq((1L, "b"), (2L, "a"), (3L, "a"), (4L, "b")))
+    // score is score_q / 2^20 of the WINNING class
+    assert(out(1)._3 === 6.0 / 1048576.0)
+    assert(out(3)._3 === 5.0 / 1048576.0)
+    assert(run(d.repartition(3)) === out)
+  }
 }

@@ -938,6 +938,17 @@ class PlanSpec extends SparkSpec {
     assert("HashAggregate".r.findAllIn(p).size >= 2, p)
   }
 
+  test("lang_classifier: gram counts partial-aggregate to <= dims rows " +
+      "per doc before the broadcast weight join; per-class sums and the " +
+      "argmax are partial-first aggs — no window, no sort-merge join") {
+    val p = plan(Pipeline.langClassifierQ(spark, dir))
+    assert(!p.contains(") Window"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 2, p)
+    assert("HashAggregate".r.findAllIn(p).size >= 4, p)
+  }
+
   test("sample_weighted: per-row keys feed the bounded top-n aggregator " +
       "(partial map-side), kept rows join back broadcast; the only " +
       "Generate is the n-row top-array unpack on the broadcast side; " +
