@@ -859,14 +859,17 @@ object Diagnostics {
     // idx = ceil((1-α)(n+1)) = ceil-div((den-num)(n+1), den) — exact
     // integer arithmetic end to end (`div`, never `/`: Column./ is double
     // division, the funnel_report day-math lesson)
-    val qhat = c.groupBy(col("grp"))
+    // pinned: the quantile table feeds TWO consumers (the coverage join
+    // and the final report join) — unpinned, the per-group calibration
+    // sort runs twice; released at the materialization boundary
+    val qhat = graft.Pins.pin(c.groupBy(col("grp"))
       .agg(count(lit(1)).as("n_cal"),
         sort_array(collect_list(col("__s"))).as("__ms"))
       .withColumn("__idx", expr(
         s"CAST((${alphaDen - alphaNum}L * (n_cal + 1) + ${alphaDen - 1}L) " +
           s"div ${alphaDen}L AS INT)"))
       .select(col("grp"), col("n_cal"),
-        try_element_at(col("__ms"), col("__idx")).as("q_hat"))
+        try_element_at(col("__ms"), col("__idx")).as("q_hat")))
     val covered = t.join(broadcast(qhat), Seq("grp"))
       .groupBy(col("grp"))
       .agg(count(lit(1)).as("n_test"),

@@ -1596,10 +1596,14 @@ object TextIndex {
       bits: Int = 40): DataFrame = {
     require(bits > 0 && bits < 50, s"bits out of range: $bits")
     val scale = math.pow(2, bits)
-    val counts = a.select(col("fp"), col("c").as("ca"), lit(0L).as("cb"))
-      .unionAll(b.select(col("fp"), lit(0L).as("ca"), col("c").as("cb")))
-      .groupBy(col("fp"))
-      .agg(sum(col("ca")).as("ca"), sum(col("cb")).as("cb"))
+    // pinned: the merged count table feeds TWO consumers (the totals agg
+    // and the per-term pass) — unpinned, both sides' token explodes run
+    // twice; released at the materialization boundary (graft.Pins)
+    val counts = graft.Pins.pin(
+      a.select(col("fp"), col("c").as("ca"), lit(0L).as("cb"))
+        .unionAll(b.select(col("fp"), lit(0L).as("ca"), col("c").as("cb")))
+        .groupBy(col("fp"))
+        .agg(sum(col("ca")).as("ca"), sum(col("cb")).as("cb")))
     val totals = broadcast(counts.agg(
       sum(col("ca")).as("na"), sum(col("cb")).as("nb")))
     val p = when(col("ca") === 0L, lit(0.0))
