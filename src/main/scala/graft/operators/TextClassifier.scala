@@ -88,6 +88,20 @@ object TextClassifier {
   def hashedGramDim(gram: Column, dims: Int): Column =
     graft.functions.TextFunctions.hash32(gram) % dims
 
+  /** The full pinned-path featurization — (id, dim, c) hashed-gram counts
+    * — in ONE place, consumed by BOTH [[classifyLinearPinned]] and the
+    * trainer ([[graft.tools.TrainArtifacts]]): a drift between the
+    * features the weights were trained on and the features the apply
+    * path computes is invisible to the oracle gate (it replays only the
+    * apply side) and silently degrades predictions toward the majority
+    * prior — so the two sides must SHARE the chain, not re-type it.
+    */
+  def hashedGramCounts(df: DataFrame, id: Column, text: Column,
+      n: Int, dims: Int): DataFrame =
+    df.select(id.as("id"), explode(charNgrams(text, n)).as("__g"))
+      .select(col("id"), hashedGramDim(col("__g"), dims).as("dim"))
+      .groupBy(col("id"), col("dim")).agg(count(lit(1)).as("c"))
+
   /** Apply a PINNED linear text classifier — the deployment shape of
     * classifier-based curation (fastText-style language ID / quality
     * routing): weights are trained ONCE offline
@@ -128,9 +142,8 @@ object TextClassifier {
     val biases = broadcast(weights.zipWithIndex.map {
       case ((l, b, _), i) => (l, i.toLong, b)
     }.toDF("label", "tie", "biasq"))
-    val counts = df.select(id.as("id"), explode(charNgrams(text, n)).as("__g"))
-      .select(col("id"), hashedGramDim(col("__g"), dims).as("dim"))
-      .groupBy(col("id"), col("dim")).agg(count(lit(1)).as("__c"))
+    val counts = hashedGramCounts(df, id, text, n, dims)
+      .withColumnRenamed("c", "__c")
     counts.join(wDf, Seq("dim"))
       .groupBy(col("id"), col("label"), col("tie"))
       .agg(sum(col("__c") * col("wq")).as("__s0"))

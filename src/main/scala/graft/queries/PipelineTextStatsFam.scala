@@ -1406,7 +1406,7 @@ trait PipelineTextStatsFam extends PipelineMixtureSketchFam {
     val d = T(s, dir, "documents")
     graft.operators.TextClassifier.classifyLinearPinned(
         d, col("doc_id"), col("text"),
-        PinnedArtifacts.LangLrWeights, n = 3,
+        PinnedArtifacts.LangLrWeights, n = PinnedArtifacts.LangLrGramN,
         dims = PinnedArtifacts.LangLrDims)
       .join(d.select(col("doc_id").as("id"), col("lang")), Seq("id"))
       .groupBy(col("lang"), col("pred"))
@@ -1419,13 +1419,17 @@ trait PipelineTextStatsFam extends PipelineMixtureSketchFam {
        |${PinnedArtifacts.langLrSqlValues}),
        |g AS (
        |  SELECT doc_id, lang,
-       |    unnest(CASE WHEN length(text) < 3 THEN [text]
-       |      ELSE list_transform(range(1, length(text) - 1),
-       |             i -> substring(text, i, 3)) END) AS gram
+       |    unnest(CASE WHEN length(text) < ${PinnedArtifacts.LangLrGramN}
+       |      THEN [text]
+       |      ELSE list_transform(
+       |             range(1, length(text) - ${PinnedArtifacts.LangLrGramN - 2}),
+       |             i -> substring(text, i, ${PinnedArtifacts.LangLrGramN}))
+       |      END) AS gram
        |  FROM documents),
        |d AS (
        |  SELECT doc_id, lang,
-       |    ('0x' || substring(md5(gram), 1, 8))::BIGINT % 128 AS dim
+       |    ('0x' || substring(md5(gram), 1, 8))::BIGINT
+       |      % ${PinnedArtifacts.LangLrDims} AS dim
        |  FROM g),
        |c AS (SELECT doc_id, lang, dim, COUNT(*) AS cnt FROM d
        |      GROUP BY 1, 2, 3),

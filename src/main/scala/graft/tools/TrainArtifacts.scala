@@ -94,14 +94,12 @@ object TrainArtifacts {
       val labels = docs.select(col("lang")).distinct()
         .collect().map(_.getString(0)).sorted
       val lIdx = labels.zipWithIndex.toMap
-      val featRows = docs.select(col("doc_id"), col("lang"),
-          org.apache.spark.sql.functions.explode(
-            TextClassifier.charNgrams(col("text"), 3)).as("g"))
-        .select(col("doc_id"), col("lang"),
-          TextClassifier.hashedGramDim(col("g"), dims).as("dim"))
-        .groupBy(col("doc_id"), col("lang"), col("dim"))
-        .agg(org.apache.spark.sql.functions.count(
-          org.apache.spark.sql.functions.lit(1)).as("c"))
+      // the SHARED apply-path featurizer — never re-type this chain: a
+      // trainer/apply feature drift is invisible to the oracle gate
+      val featRows = TextClassifier.hashedGramCounts(
+          docs, col("doc_id"), col("text"), n = 3, dims = dims)
+        .join(docs.select(col("doc_id").as("id"), col("lang")), Seq("id"))
+        .select(col("id"), col("lang"), col("dim"), col("c"))
         .collect()
         .groupBy(r => (r.getLong(0), r.getString(1)))
         .toSeq // BEFORE map: a Map of (labelIdx, vector) would dedupe by
@@ -151,15 +149,10 @@ object TrainArtifacts {
       println(s"// lang-LR n_train_rows: ${featRows.size}")
       val doc0 = docs.agg(org.apache.spark.sql.functions.min(col("doc_id")))
         .head().getLong(0)
-      val f0 = docs.filter(col("doc_id") === doc0)
-        .select(col("doc_id"), col("lang"),
-          org.apache.spark.sql.functions.explode(
-            TextClassifier.charNgrams(col("text"), 3)).as("g"))
-        .select(TextClassifier.hashedGramDim(col("g"), dims).as("dim"))
-        .groupBy(col("dim"))
-        .agg(org.apache.spark.sql.functions.count(
-          org.apache.spark.sql.functions.lit(1)).as("c"))
-        .collect().map(r => (r.getLong(0).toInt, r.getLong(1))).sortBy(_._1)
+      val f0 = TextClassifier.hashedGramCounts(
+          docs.filter(col("doc_id") === doc0), col("doc_id"), col("text"),
+          n = 3, dims = dims)
+        .collect().map(r => (r.getLong(1).toInt, r.getLong(2))).sortBy(_._1)
       println(s"// lang-LR doc0 recount first5: ${f0.take(5).mkString(" ")}")
       println("// ---- Scala literal: LangLrWeights (label, biasQ, wQ[128])")
       labels.zipWithIndex.foreach { case (l, i) =>
