@@ -392,4 +392,19 @@ class SamplingSpec extends SparkSpec {
     assert(k4.map(_._3).sum === 4L)
     assert(run(d.repartition(3), 2) === k2)
   }
+
+  test("kCenterSelect: the coverage-radius curve is non-increasing on a " +
+      "random corpus (the greedy maxmin invariant — each pick's dmin is " +
+      "the max over a shrinking running minimum)") {
+    val rnd = new scala.util.Random(7)
+    val d = (0L until 40L).map(i =>
+      (i, Seq.fill(8)(rnd.nextFloat() * 2 - 1))).toDF("vec_id", "embedding")
+    val dm = graft.operators.Sampling.kCenterSelect(
+        d, col("vec_id"), col("embedding"), k = 8)
+      .orderBy(col("rank"))
+      .as[(Int, Long, Option[Double])].collect().toSeq
+      .flatMap(_._3)
+    assert(dm.size === 7)
+    assert(dm.zip(dm.tail).forall { case (a, b) => a >= b }, dm)
+  }
 }
