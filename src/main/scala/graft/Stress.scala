@@ -256,8 +256,10 @@ object Stress {
     "conformal_calibration",
     // lang_classifier: one gram explode into a (doc, dim<=128) partial
     // count agg, broadcast weight join, per-class sums — linear in text
-    // bytes by claim, exchanges bounded at dims rows/doc
-    "lang_classifier")
+    // bytes by claim, exchanges bounded at dims rows/doc;
+    // conformal_lang_sets re-pays the score table then adds
+    // |classes|-bounded quantile/membership aggs — same linear band
+    "lang_classifier", "conformal_lang_sets")
 
   /** Replica id offset — well above any sf0.1 id, keeps replica ids
     * unique. PUBLIC because `Pipeline.simHashedLsh` pins its probe set

@@ -865,9 +865,7 @@ object Diagnostics {
     val qhat = graft.Pins.pin(c.groupBy(col("grp"))
       .agg(count(lit(1)).as("n_cal"),
         sort_array(collect_list(col("__s"))).as("__ms"))
-      .withColumn("__idx", expr(
-        s"CAST((${alphaDen - alphaNum}L * (n_cal + 1) + ${alphaDen - 1}L) " +
-          s"div ${alphaDen}L AS INT)"))
+      .withColumn("__idx", conformalIdx(alphaNum, alphaDen))
       .select(col("grp"), col("n_cal"),
         try_element_at(col("__ms"), col("__idx")).as("q_hat")))
     val covered = t.join(broadcast(qhat), Seq("grp"))
@@ -881,6 +879,88 @@ object Diagnostics {
         coalesce(col("n_covered"), lit(0L)).as("n_covered"),
         (col("n_covered").cast("double") / col("n_test").cast("double"))
           .as("coverage"))
+  }
+
+  /** The conformal order-statistic index ⌈(1−α)(n_cal+1)⌉ as pure integer
+    * ceil-division over a rational α — shared by [[conformalCalibration]]
+    * and [[conformalPredictionSets]] so the two can never disagree on the
+    * quantile rule.
+    */
+  private def conformalIdx(alphaNum: Int, alphaDen: Int): Column =
+    expr(s"CAST((${alphaDen - alphaNum}L * (n_cal + 1) + ${alphaDen - 1}L) " +
+      s"div ${alphaDen}L AS INT)")
+
+  /** Mondrian (class-conditional) conformal PREDICTION SETS from a
+    * per-class integer score table — the uncertainty-quantification
+    * readout on top of a pinned classifier
+    * ([[graft.operators.TextClassifier.linearScoresPinned]]): per class
+    * y, q̂_y = the conformal quantile of the calibration nonconformities
+    * −score_y over documents whose TRUE label is y; a test document's
+    * prediction set is every class with −score_y ≤ q̂_y, guaranteed to
+    * contain the true class with probability ≥ 1−α per class under
+    * exchangeability. The two readouts that matter ship per class:
+    * achieved coverage (did the truth make the set) and mean set size
+    * (how much hedging that guarantee costs — a set size near
+    * |classes| says the scores carry no signal for that class).
+    *
+    * Exact end to end: scores are integer score_q, nonconformities their
+    * exact negations, q̂ an integer order statistic
+    * ([[conformalCalibration]]'s shared index rule), membership a long
+    * comparison, set sizes integers — every output a count or an
+    * exact-integer ratio. A class with too little calibration (index
+    * past n_cal) gets q̂ = +∞ (NULL) and admits every test document —
+    * the honest conformal convention, never a fabricated bound.
+    *
+    * Input: `scores` = (id, label, scoreq) for EVERY (document, class);
+    * `truth` = (id, truth, is_cal). Output per class: (grp, n_cal,
+    * q_hat — the nonconformity quantile in score units (/2^20), n_test,
+    * n_covered, coverage, avg_set_size).
+    *
+    * Scale shape: one calibration filter into a |classes|-keyed
+    * collect_list (calibration-class-sized sorts), the q̂ table
+    * broadcasts into one pass over the test score rows (|test|·|classes|
+    * — the score table's own cardinality), a per-document membership agg
+    * and a |classes| finale. Nothing larger than the score table moves.
+    */
+  def conformalPredictionSets(scores: DataFrame, truth: DataFrame,
+      alphaNum: Int = 1, alphaDen: Int = 10): DataFrame = {
+    require(alphaDen > 0 && alphaNum > 0 && alphaNum < alphaDen,
+      s"alpha must be a rational in (0,1): $alphaNum/$alphaDen")
+    val s = scores.select(col("id"), col("label"), col("scoreq"))
+    val t = truth.select(col("id"), col("truth"), col("is_cal"))
+    // shuffle-hash, not sort-merge: an id-keyed equi-join of the score
+    // table against the narrow truth frame gains nothing from sorting
+    // either side (AQE still broadcasts the truth side when it is small)
+    val j = s.join(t.hint("shuffle_hash"), Seq("id"))
+    val qhat = graft.Pins.pin(
+      j.filter(col("is_cal") && col("label") === col("truth"))
+        .groupBy(col("label"))
+        .agg(count(lit(1)).as("n_cal"),
+          sort_array(collect_list(-col("scoreq"))).as("__ms"))
+        .withColumn("__idx", conformalIdx(alphaNum, alphaDen))
+        .select(col("label"), col("n_cal"),
+          try_element_at(col("__ms"), col("__idx")).as("__qq")))
+    val perDoc = j.filter(!col("is_cal"))
+      .join(broadcast(qhat.select(col("label"), col("__qq"))),
+        Seq("label"), "left")
+      .withColumn("__member",
+        col("__qq").isNull || (-col("scoreq")) <= col("__qq"))
+      .groupBy(col("id"), col("truth"))
+      .agg(sum(when(col("__member"), 1L).otherwise(0L)).as("__setsz"),
+        max(when(col("label") === col("truth"), col("__member")))
+          .as("__cov"))
+    val perClass = perDoc.groupBy(col("truth"))
+      .agg(count(lit(1)).as("n_test"),
+        sum(when(col("__cov"), 1L).otherwise(0L)).as("n_covered"),
+        sum(col("__setsz")).as("__ss"))
+    qhat.join(broadcast(perClass), qhat("label") === perClass("truth"))
+      .select(qhat("label").as("grp"), col("n_cal"),
+        (col("__qq").cast("double") / lit(1048576.0)).as("q_hat"),
+        col("n_test"), col("n_covered"),
+        (col("n_covered").cast("double") / col("n_test").cast("double"))
+          .as("coverage"),
+        (col("__ss").cast("double") / col("n_test").cast("double"))
+          .as("avg_set_size"))
   }
 
   /** Poisson(1) CDF values P(X ≤ k) for k = 0..7, as the EXACT decimal

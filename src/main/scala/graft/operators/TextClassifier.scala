@@ -126,6 +126,21 @@ object TextClassifier {
     */
   def classifyLinearPinned(df: DataFrame, id: Column, text: Column,
       weights: Seq[(String, Long, Seq[Long])], n: Int = 3,
+      dims: Int = 128): DataFrame =
+    linearScoresPinned(df, id, text, weights, n, dims)
+      .groupBy(col("id"))
+      .agg(max_by(struct(col("label"), col("scoreq")),
+        struct(col("scoreq"), (-col("tie")).as("nt"))).as("m"))
+      .select(col("id"), col("m.label").as("pred"),
+        (col("m.scoreq").cast("double") / lit(1048576.0)).as("score"))
+
+  /** The full per-class score table behind [[classifyLinearPinned]] —
+    * (id, label, tie, scoreq) for EVERY class, in the same exact integer
+    * arithmetic: the input to calibrated/uncertainty consumers (conformal
+    * prediction sets, margin audits) that need more than the argmax.
+    */
+  def linearScoresPinned(df: DataFrame, id: Column, text: Column,
+      weights: Seq[(String, Long, Seq[Long])], n: Int = 3,
       dims: Int = 128): DataFrame = {
     require(weights.nonEmpty, "weights must be non-empty")
     require(weights.map(_._1) == weights.map(_._1).sorted &&
@@ -149,12 +164,7 @@ object TextClassifier {
       .agg(sum(col("__c") * col("wq")).as("__s0"))
       .join(biases, Seq("label", "tie"))
       .select(col("id"), col("label"), col("tie"),
-        (col("__s0") + col("biasq")).as("__sq"))
-      .groupBy(col("id"))
-      .agg(max_by(struct(col("label"), col("__sq")),
-        struct(col("__sq"), (-col("tie")).as("nt"))).as("m"))
-      .select(col("id"), col("m.label").as("pred"),
-        (col("m.__sq").cast("double") / lit(1048576.0)).as("score"))
+        (col("__s0") + col("biasq")).as("scoreq"))
   }
 
   /** Scores `text`, appending `out` (predicted label string). Map-only:

@@ -1414,8 +1414,14 @@ trait PipelineTextStatsFam extends PipelineMixtureSketchFam {
       .orderBy(col("lang"), col("pred"))
   }
 
-  val langClassifierOracle: String =
-    s"""WITH w(label, tie, biasq, dim, wq) AS (VALUES
+  /** The pinned-classifier per-class score CTE chain — grams → md5 dims →
+    * count·weight sums → bias — shared by [[langClassifierOracle]] and
+    * [[conformalLangSetsOracle]] (ONE copy of the score replay, so the
+    * uncertainty readout can never diverge from the argmax readout).
+    * Yields `sc(doc_id, lang, label, tie, scoreq)`.
+    */
+  private def langLrScoreCte: String =
+    s"""w(label, tie, biasq, dim, wq) AS (VALUES
        |${PinnedArtifacts.langLrSqlValues}),
        |g AS (
        |  SELECT doc_id, lang,
@@ -1440,7 +1446,10 @@ trait PipelineTextStatsFam extends PipelineMixtureSketchFam {
        |sc AS (
        |  SELECT s.doc_id, s.lang, s.label, s.tie, s.s0 + b.biasq AS scoreq
        |  FROM s JOIN (SELECT DISTINCT label, tie, biasq FROM w) b
-       |    ON b.label = s.label AND b.tie = s.tie),
+       |    ON b.label = s.label AND b.tie = s.tie)""".stripMargin
+
+  val langClassifierOracle: String =
+    s"""WITH $langLrScoreCte,
        |p AS (
        |  SELECT doc_id, lang, label AS pred,
        |    ROW_NUMBER() OVER (PARTITION BY doc_id
@@ -1450,6 +1459,62 @@ trait PipelineTextStatsFam extends PipelineMixtureSketchFam {
        |FROM p WHERE rk = 1
        |GROUP BY 1, 2
        |ORDER BY lang, pred""".stripMargin
+
+  /** Mondrian conformal prediction SETS from the pinned classifier
+    * ([[graft.operators.Diagnostics.conformalPredictionSets]] over
+    * [[graft.operators.TextClassifier.linearScoresPinned]], α = 1/10):
+    * per-class conformal score quantiles calibrated on the even-id half
+    * (true labels), achieved coverage and mean prediction-set size on
+    * the odd-id half — the calibrated-uncertainty deployment readout of
+    * classifier-based curation. Everything is exact integer arithmetic
+    * (negated integer scores, integer order-statistic index, long
+    * membership compares), so the oracle replays the full chain on the
+    * SHARED score CTE.
+    */
+  def conformalLangSetsQ(s: SparkSession, dir: String): DataFrame = {
+    val d = T(s, dir, "documents")
+    val scores = graft.operators.TextClassifier.linearScoresPinned(
+      d, col("doc_id"), col("text"), PinnedArtifacts.LangLrWeights,
+      n = PinnedArtifacts.LangLrGramN, dims = PinnedArtifacts.LangLrDims)
+    val truth = d.select(col("doc_id").as("id"), col("lang").as("truth"),
+      (col("doc_id") % 2 === 0).as("is_cal"))
+    graft.operators.Diagnostics.conformalPredictionSets(scores, truth)
+      .orderBy(col("grp"))
+  }
+
+  val conformalLangSetsOracle: String =
+    s"""WITH $langLrScoreCte,
+       |cal AS (
+       |  SELECT lang AS label, CAST(COUNT(*) AS BIGINT) AS n_cal,
+       |    list(-scoreq ORDER BY -scoreq) AS ms
+       |  FROM sc WHERE doc_id % 2 = 0 AND label = lang GROUP BY 1),
+       |qh AS (
+       |  SELECT label, n_cal,
+       |    list_extract(ms, CAST((9 * (n_cal + 1) + 9) // 10 AS INT)) AS qq
+       |  FROM cal),
+       |mem AS (
+       |  SELECT s.doc_id, s.lang, s.label,
+       |    (q.qq IS NULL OR -s.scoreq <= q.qq) AS member
+       |  FROM sc s LEFT JOIN qh q ON q.label = s.label
+       |  WHERE s.doc_id % 2 = 1),
+       |pd AS (
+       |  SELECT doc_id, lang,
+       |    CAST(SUM(CASE WHEN member THEN 1 ELSE 0 END) AS BIGINT) AS setsz,
+       |    MAX(CASE WHEN label = lang THEN member END) AS cov
+       |  FROM mem GROUP BY 1, 2),
+       |ag AS (
+       |  SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_test,
+       |    CAST(SUM(CASE WHEN cov THEN 1 ELSE 0 END) AS BIGINT)
+       |      AS n_covered,
+       |    CAST(SUM(setsz) AS BIGINT) AS ss
+       |  FROM pd GROUP BY 1)
+       |SELECT q.label AS grp, q.n_cal,
+       |  CAST(q.qq AS DOUBLE) / 1048576.0 AS q_hat,
+       |  a.n_test, a.n_covered,
+       |  CAST(a.n_covered AS DOUBLE) / CAST(a.n_test AS DOUBLE) AS coverage,
+       |  CAST(a.ss AS DOUBLE) / CAST(a.n_test AS DOUBLE) AS avg_set_size
+       |FROM qh q JOIN ag a ON a.lang = q.label
+       |ORDER BY grp""".stripMargin
 
   /** Poisson-bootstrap CI for mean tokens-per-doc per language
     * ([[graft.operators.Diagnostics.bootstrapCiMean]], B = 64, α = 0.05):

@@ -510,4 +510,30 @@ class DiagnosticsSpec extends SparkSpec {
     // d appears only in test: conformal is undefined there -> absent
     assert(out.size === 3)
   }
+
+  test("conformalPredictionSets: hand-checkable quantiles, set sizes and " +
+      "coverage; an under-calibrated class gets the +inf quantile and " +
+      "admits everything") {
+    // class a: 10 calibration docs, nonconformities 1..10 ->
+    // idx = ceil(0.9 * 11) = 10 -> q_hat = 10
+    // class b: 2 calibration docs -> idx 3 > 2 -> q_hat = +inf (null)
+    val scores = ((1 to 10).map(i => (i.toLong, "a", -i.toLong)) ++
+      Seq((11L, "b", -1L), (12L, "b", -1L),
+        (21L, "a", -5L), (21L, "b", 0L),   // nonconf 5 <= 10: a in set
+        (22L, "a", -11L), (22L, "b", 0L),  // nonconf 11 > 10: a out
+        (23L, "a", -20L), (23L, "b", 0L))).toDF("id", "label", "scoreq")
+    val truth = ((1 to 10).map(i => (i.toLong, "a", true)) ++
+      Seq((11L, "b", true), (12L, "b", true),
+        (21L, "a", false), (22L, "a", false), (23L, "b", false)))
+      .toDF("id", "truth", "is_cal")
+    val out = graft.operators.Diagnostics.conformalPredictionSets(
+        scores, truth)
+      .as[(String, Long, Option[Double], Long, Long, Double, Double)]
+      .collect().sortBy(_._1).toSeq
+    // a: doc 21 gets set {a, b} (b always admits) and is covered; doc 22
+    // gets {b} and is not
+    assert(out(0) === (("a", 10L, Some(10.0 / 1048576.0), 2L, 1L, 0.5, 1.5)))
+    // b: its only test doc gets {b} (a's quantile excludes nonconf 20)
+    assert(out(1) === (("b", 2L, None, 1L, 1L, 1.0, 1.0)))
+  }
 }

@@ -949,6 +949,17 @@ class PlanSpec extends SparkSpec {
     assert("HashAggregate".r.findAllIn(p).size >= 4, p)
   }
 
+  test("conformal_lang_sets: the score table computes once per side, the " +
+      "per-class quantile table broadcasts into the membership pass — no " +
+      "window, no sort-merge join, no cartesian") {
+    val p = plan(Pipeline.conformalLangSetsQ(spark, dir))
+    assert(!p.contains(") Window"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert("HashAggregate".r.findAllIn(p).size >= 4, p)
+  }
+
   test("sample_weighted: per-row keys feed the bounded top-n aggregator " +
       "(partial map-side), kept rows join back broadcast; the only " +
       "Generate is the n-row top-array unpack on the broadcast side; " +
