@@ -930,11 +930,22 @@ object Dedup {
     * Rounding t DOWN only LENGTHENS the prefix: recall-safe by
     * construction, at most one extra indexed shingle.
     */
-  private def prefixKeepCount(threshold: Double): Column = {
-    val m = 1L << 20
-    val tNum = math.min(m, math.max(0L, math.floor(threshold * m).toLong))
-    expr(s"sz - CAST(($tNum * sz + ${m - 1}) div $m AS INT) + 1")
-  }
+  private val PrefixM = 1L << 20
+
+  private[operators] def prefixTNum(threshold: Double): Long =
+    math.min(PrefixM, math.max(0L, math.floor(threshold * PrefixM).toLong))
+
+  /** The pure-integer core of [[prefixKeepCount]] — exposed so
+    * CurationProps' recall-safety laws certify the SHIPPED arithmetic
+    * (DedupSpec pins the Column expr to this core over a sz sweep).
+    */
+  private[operators] def prefixKeepCountInt(threshold: Double,
+      sz: Long): Long =
+    sz - ((prefixTNum(threshold) * sz + PrefixM - 1) / PrefixM) + 1
+
+  private[operators] def prefixKeepCount(threshold: Double): Column =
+    expr(s"sz - CAST((${prefixTNum(threshold)} * sz + ${PrefixM - 1}) " +
+      s"div $PrefixM AS INT) + 1")
 
   /** Each set's `keep`-count globally-rarest postings (rarity = shingle
     * document frequency, ties by fingerprint) — the prefix frame both

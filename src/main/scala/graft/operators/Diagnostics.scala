@@ -930,8 +930,12 @@ object Diagnostics {
     val t = truth.select(col("id"), col("truth"), col("is_cal"))
     // shuffle-hash, not sort-merge: an id-keyed equi-join of the score
     // table against the narrow truth frame gains nothing from sorting
-    // either side (AQE still broadcasts the truth side when it is small)
-    val j = s.join(t.hint("shuffle_hash"), Seq("id"))
+    // either side (AQE still broadcasts the truth side when it is small).
+    // Pinned: the joined score table feeds BOTH the calibration-quantile
+    // branch and the test-membership pass — unpinned, the upstream score
+    // computation (the dominant cost when scores come from a classifier
+    // featurize) runs twice; released at the materialization boundary.
+    val j = graft.Pins.pin(s.join(t.hint("shuffle_hash"), Seq("id")))
     val qhat = graft.Pins.pin(
       j.filter(col("is_cal") && col("label") === col("truth"))
         .groupBy(col("label"))
@@ -953,10 +957,19 @@ object Diagnostics {
       .agg(count(lit(1)).as("n_test"),
         sum(when(col("__cov"), 1L).otherwise(0L)).as("n_covered"),
         sum(col("__setsz")).as("__ss"))
-    qhat.join(broadcast(perClass), qhat("label") === perClass("truth"))
-      .select(qhat("label").as("grp"), col("n_cal"),
+    // FULL OUTER finale: a class calibrated but never tested reports
+    // n_test = 0 (the conformalCalibration convention), and a class with
+    // test documents but NO calibration rows still reports its coverage
+    // (its q-hat is +inf/null, so its own-class membership always held) —
+    // an inner join would silently drop both, hiding exactly the
+    // imbalanced-split classes the audit exists to surface
+    val pc = perClass.withColumnRenamed("truth", "__t")
+    qhat.join(broadcast(pc), col("label") === col("__t"), "full_outer")
+      .select(coalesce(col("label"), col("__t")).as("grp"),
+        coalesce(col("n_cal"), lit(0L)).as("n_cal"),
         (col("__qq").cast("double") / lit(1048576.0)).as("q_hat"),
-        col("n_test"), col("n_covered"),
+        coalesce(col("n_test"), lit(0L)).as("n_test"),
+        coalesce(col("n_covered"), lit(0L)).as("n_covered"),
         (col("n_covered").cast("double") / col("n_test").cast("double"))
           .as("coverage"),
         (col("__ss").cast("double") / col("n_test").cast("double"))
@@ -973,6 +986,16 @@ object Diagnostics {
     "0.36787944117144233", "0.7357588823428847", "0.9196986029286058",
     "0.9810118431238463", "0.9963401531726563", "0.9994058151824183",
     "0.999916758850712", "0.9999897508033253")
+
+  /** The Poisson(1) inverse-CDF ladder as a plain function — the SAME
+    * rule [[bootstrapCiMean]]'s when-chain encodes, exposed so the
+    * CurationProps laws certify the shipped thresholds and fold rule.
+    */
+  private[operators] def poissonInv1(u: Double): Long =
+    PoissonCdf1.indexWhere(u < _.toDouble) match {
+      case -1 => PoissonCdf1.size.toLong
+      case k => k.toLong
+    }
 
   /** Poisson-bootstrap confidence interval for a per-group MEAN — the
     * scalable bootstrap (Chamandy et al., "Estimating Uncertainty for

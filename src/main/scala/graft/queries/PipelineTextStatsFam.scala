@@ -1496,7 +1496,7 @@ trait PipelineTextStatsFam extends PipelineMixtureSketchFam {
        |  SELECT s.doc_id, s.lang, s.label,
        |    (q.qq IS NULL OR -s.scoreq <= q.qq) AS member
        |  FROM sc s LEFT JOIN qh q ON q.label = s.label
-       |  WHERE s.doc_id % 2 = 1),
+       |  WHERE s.doc_id % 2 <> 0),
        |pd AS (
        |  SELECT doc_id, lang,
        |    CAST(SUM(CASE WHEN member THEN 1 ELSE 0 END) AS BIGINT) AS setsz,
@@ -1508,12 +1508,14 @@ trait PipelineTextStatsFam extends PipelineMixtureSketchFam {
        |      AS n_covered,
        |    CAST(SUM(setsz) AS BIGINT) AS ss
        |  FROM pd GROUP BY 1)
-       |SELECT q.label AS grp, q.n_cal,
+       |SELECT COALESCE(q.label, a.lang) AS grp,
+       |  COALESCE(q.n_cal, 0) AS n_cal,
        |  CAST(q.qq AS DOUBLE) / 1048576.0 AS q_hat,
-       |  a.n_test, a.n_covered,
+       |  COALESCE(a.n_test, 0) AS n_test,
+       |  COALESCE(a.n_covered, 0) AS n_covered,
        |  CAST(a.n_covered AS DOUBLE) / CAST(a.n_test AS DOUBLE) AS coverage,
        |  CAST(a.ss AS DOUBLE) / CAST(a.n_test AS DOUBLE) AS avg_set_size
-       |FROM qh q JOIN ag a ON a.lang = q.label
+       |FROM qh q FULL OUTER JOIN ag a ON a.lang = q.label
        |ORDER BY grp""".stripMargin
 
   /** Poisson-bootstrap CI for mean tokens-per-doc per language

@@ -29,12 +29,11 @@ object CurationProps extends Properties("Curation") {
     Gen.chooseNum(1, 1000000).map(_ / 1000000.0)
   private val szGen: Gen[Int] = Gen.chooseNum(1, 10000)
 
-  /** The operator's integer prefix keep-count (Dedup.prefixKeepCount). */
-  private def keepInt(t: Double, sz: Int): Long = {
-    val m = 1L << 20
-    val tNum = math.min(m, math.max(0L, math.floor(t * m).toLong))
-    sz - ((tNum * sz + m - 1) / m) + 1
-  }
+  /** The SHIPPED integer prefix keep-count core (DedupSpec pins the
+    * Column expr to this same function over a sz sweep).
+    */
+  private def keepInt(t: Double, sz: Int): Long =
+    Dedup.prefixKeepCountInt(t, sz)
 
   /** ceil(t·sz) in EXACT rational arithmetic (t is a binary rational). */
   private def ceilExact(t: Double, sz: Int): Long =
@@ -62,9 +61,8 @@ object CurationProps extends Properties("Curation") {
 
   private val cdf = Diagnostics.PoissonCdf1.map(_.toDouble)
 
-  /** The operator's weight ladder (Diagnostics.bootstrapCiMean). */
-  private def ladder(u: Double): Int =
-    cdf.indexWhere(u < _) match { case -1 => cdf.size; case k => k }
+  /** The SHIPPED inverse-CDF ladder (Diagnostics.poissonInv1). */
+  private def ladder(u: Double): Int = Diagnostics.poissonInv1(u).toInt
 
   property("Poisson ladder is the inverse CDF: w = k iff " +
       "cdf(k-1) <= u < cdf(k), and the tail folds into w = 8") =

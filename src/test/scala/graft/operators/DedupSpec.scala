@@ -772,4 +772,18 @@ class DedupSpec extends SparkSpec {
     assert(run("count") === expect)
     assert(run("prefix") === expect)
   }
+
+  test("prefixKeepCount: the Column expr equals the pure-integer core " +
+      "(the CurationProps laws certify the SHIPPED arithmetic) over a " +
+      "size sweep at several thresholds") {
+    val szs = (1 to 500).map(_.toLong)
+    for (t <- Seq(0.5, 7.0 / 12.0, 0.8, 0.999, 1.0)) {
+      val got = szs.toDF("sz")
+        .select(col("sz"), Dedup.prefixKeepCount(t).cast("long").as("k"))
+        .as[(Long, Long)].collect().toMap
+      szs.foreach { sz =>
+        assert(got(sz) === Dedup.prefixKeepCountInt(t, sz), s"t=$t sz=$sz")
+      }
+    }
+  }
 }

@@ -949,14 +949,18 @@ class PlanSpec extends SparkSpec {
     assert("HashAggregate".r.findAllIn(p).size >= 4, p)
   }
 
-  test("conformal_lang_sets: the score table computes once per side, the " +
-      "per-class quantile table broadcasts into the membership pass — no " +
-      "window, no sort-merge join, no cartesian") {
+  test("conformal_lang_sets: the per-class quantile table broadcasts " +
+      "into the membership pass; the ONLY sort-merge join is the " +
+      "|classes|-bounded full-outer finale (full outer cannot " +
+      "broadcast-hash) — no window, no cartesian") {
     val p = plan(Pipeline.conformalLangSetsQ(spark, dir))
     assert(!p.contains(") Window"), p)
-    assert(!p.contains("SortMergeJoin"), p)
     assert(!p.contains("CartesianProduct"), p)
     assert(p.contains("BroadcastHashJoin"), p)
+    // one FullOuter SMJ over two |classes|-row frames; nothing
+    // corpus-sized may sort-merge (tree + details: each node prints twice)
+    assert("\\d+\\) SortMergeJoin".r.findAllIn(p).size <= 1, p)
+    assert(!p.contains("SortMergeJoin Inner"), p)
     assert("HashAggregate".r.findAllIn(p).size >= 4, p)
   }
 
