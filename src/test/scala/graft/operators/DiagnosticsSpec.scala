@@ -519,21 +519,33 @@ class DiagnosticsSpec extends SparkSpec {
     // class b: 2 calibration docs -> idx 3 > 2 -> q_hat = +inf (null)
     val scores = ((1 to 10).map(i => (i.toLong, "a", -i.toLong)) ++
       Seq((11L, "b", -1L), (12L, "b", -1L),
+        (13L, "c", -1L), (14L, "c", -1L),  // class c: calibrated only
         (21L, "a", -5L), (21L, "b", 0L),   // nonconf 5 <= 10: a in set
         (22L, "a", -11L), (22L, "b", 0L),  // nonconf 11 > 10: a out
-        (23L, "a", -20L), (23L, "b", 0L))).toDF("id", "label", "scoreq")
+        (23L, "a", -20L), (23L, "b", 0L),
+        (24L, "d", 0L))                    // class d: test only
+      ).toDF("id", "label", "scoreq")
     val truth = ((1 to 10).map(i => (i.toLong, "a", true)) ++
       Seq((11L, "b", true), (12L, "b", true),
-        (21L, "a", false), (22L, "a", false), (23L, "b", false)))
+        (13L, "c", true), (14L, "c", true),
+        (21L, "a", false), (22L, "a", false), (23L, "b", false),
+        (24L, "d", false)))
       .toDF("id", "truth", "is_cal")
     val out = graft.operators.Diagnostics.conformalPredictionSets(
         scores, truth)
-      .as[(String, Long, Option[Double], Long, Long, Double, Double)]
+      .as[(String, Long, Option[Double], Long, Long, Option[Double],
+        Option[Double])]
       .collect().sortBy(_._1).toSeq
     // a: doc 21 gets set {a, b} (b always admits) and is covered; doc 22
     // gets {b} and is not
-    assert(out(0) === (("a", 10L, Some(10.0 / 1048576.0), 2L, 1L, 0.5, 1.5)))
+    assert(out(0) === (("a", 10L, Some(10.0 / 1048576.0), 2L, 1L,
+      Some(0.5), Some(1.5))))
     // b: its only test doc gets {b} (a's quantile excludes nonconf 20)
-    assert(out(1) === (("b", 2L, None, 1L, 1L, 1.0, 1.0)))
+    assert(out(1) === (("b", 2L, None, 1L, 1L, Some(1.0), Some(1.0))))
+    // c: calibrated, never tested — reported with n_test = 0, not dropped
+    assert(out(2) === (("c", 2L, None, 0L, 0L, None, None)))
+    // d: tested, never calibrated — +inf quantile admits its own label
+    assert(out(3) === (("d", 0L, None, 1L, 1L, Some(1.0), Some(1.0))))
+    assert(out.size === 4)
   }
 }
