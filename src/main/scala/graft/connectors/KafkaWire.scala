@@ -5,30 +5,36 @@ import java.net.Socket
 import java.nio.ByteBuffer
 import java.nio.charset.StandardCharsets
 
-/** Minimal Kafka wire-protocol client — the CONTROL-PLANE binding for the
-  * `kf_topics` / `kf_pull` window contract, the third real-client connector
-  * after CuratorTree (ZooKeeper) and RespKvClient (RESP/Redis).
+/** Kafka wire-protocol client — both the CONTROL plane and a bounded DATA
+  * plane for the `kf_topics` / `kf_pull` window contract, the third
+  * real-client connector after CuratorTree (ZooKeeper) and RespKvClient
+  * (RESP/Redis).
   *
   * No kafka-clients jar ships with this Spark distribution and the build is
   * zero-egress, so like RespKvClient this speaks the public wire protocol
-  * (kafka.apache.org/protocol) directly over sockets. Scope is deliberately
-  * the reference's METADATA operations only:
+  * (kafka.apache.org/protocol) directly over sockets. Implemented surface:
   *
   *  - Metadata v1 (api_key 3): topic/partition listing + partition leaders
   *    — reference `kf_topics` (UDFKafkaTopics.java:32) and the leader
   *    routing its helpers rely on;
   *  - ListOffsets v1 (api_key 2): timestamp → offset per partition —
   *    reference `offsetsForTimes` resolution
-  *    (kafka/KafkaHelper.java:173-254, process/KafkaHelper.scala:89-131).
+  *    (kafka/KafkaHelper.java:173-254, process/KafkaHelper.scala:89-131);
+  *  - Fetch v4 (api_key 1) with RecordBatch v2 / legacy MessageSet codecs
+  *    — [[KafkaWireClient.fetchWindow]]'s per-partition bounded poll loop,
+  *    the reference consumer's data movement;
+  *  - SaslHandshake v1 / SaslAuthenticate v0 (PLAIN) and TLS sockets —
+  *    the secured-cluster path.
   *
-  * The DATA plane (the reference's poll loop) is NOT reimplemented: at
-  * scale record fetching belongs to Spark's batch Kafka source, which
-  * parallelizes fetches across executors. [[KafkaWireClient.offsetRangeForWindow]]
-  * resolves a `[startMs, endMs)` creation-time window to exact per-partition
-  * offset ranges, and [[KafkaWindow.sourceOptionsResolved]] hands those to
-  * `spark.read.format("kafka")` as startingOffsets/endingOffsets JSON — the
-  * same split the reference makes between its helper (offset resolution)
-  * and consumer poll (data movement).
+  * Scale split: the wire DATA plane is a per-executor, per-partition
+  * bounded fetch ([[KafkaWindow]] parallelizes partitions across the
+  * cluster); when the distribution DOES ship the Spark Kafka source,
+  * [[KafkaWireClient.offsetRangeForWindow]] still resolves a
+  * `[startMs, endMs)` creation-time window to exact per-partition offset
+  * ranges and [[KafkaWindow.sourceOptionsResolved]] hands those to
+  * `spark.read.format("kafka")` as startingOffsets/endingOffsets JSON —
+  * the same split the reference makes between its helper (offset
+  * resolution) and consumer poll (data movement).
   *
   * Versions are pinned to the NON-FLEXIBLE protocol encodings (v1 of both
   * APIs, request header v1): int16-length strings, int32-count arrays, no

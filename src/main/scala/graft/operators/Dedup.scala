@@ -943,9 +943,14 @@ object Dedup {
       sz: Long): Long =
     sz - ((prefixTNum(threshold) * sz + PrefixM - 1) / PrefixM) + 1
 
+  /** BIGINT literals (`L` suffix) are load-bearing: a bare `838860 * sz`
+    * parses as a 32-bit multiply against an IntegerType sz and overflows
+    * (ANSI ARITHMETIC_OVERFLOW) for sets of ~2561+ shingles at t = 0.8 —
+    * realistic long documents, not a corner case.
+    */
   private[operators] def prefixKeepCount(threshold: Double): Column =
-    expr(s"sz - CAST((${prefixTNum(threshold)} * sz + ${PrefixM - 1}) " +
-      s"div $PrefixM AS INT) + 1")
+    expr(s"sz - CAST((${prefixTNum(threshold)}L * sz + ${PrefixM - 1}L) " +
+      s"div ${PrefixM}L AS INT) + 1")
 
   /** Each set's `keep`-count globally-rarest postings (rarity = shingle
     * document frequency, ties by fingerprint) — the prefix frame both

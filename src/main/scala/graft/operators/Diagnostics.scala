@@ -836,9 +836,11 @@ object Diagnostics {
     * conformal convention — reported as a NULL q_hat with every test row
     * covered.
     *
-    * Output per calibration group: (grp, n_cal, q_hat, n_test,
+    * Output per group seen in EITHER split: (grp, n_cal, q_hat, n_test,
     * n_covered, coverage); groups absent from the test split report
-    * n_test = 0 with null coverage.
+    * n_test = 0 with null coverage, and groups present ONLY in the test
+    * split (drift — data the calibration never saw) report n_cal = 0,
+    * null q_hat (+∞), and full coverage, surfacing instead of vanishing.
     *
     * Scale shape: one |groups|-keyed collect_list over the CALIBRATION
     * split only (the sort is per-group, calibration-sized — at 10⁹-row
@@ -868,13 +870,21 @@ object Diagnostics {
       .withColumn("__idx", conformalIdx(alphaNum, alphaDen))
       .select(col("grp"), col("n_cal"),
         try_element_at(col("__ms"), col("__idx")).as("q_hat")))
-    val covered = t.join(broadcast(qhat), Seq("grp"))
+    // LEFT join from the test split, FULL OUTER finale: a group present
+    // only in the test split (new/drifted data the calibration never saw)
+    // must SURFACE — n_cal = 0, q_hat null (= +inf, so every test row is
+    // covered by the conformal convention), real n_test/coverage — not
+    // silently vanish; and a group calibrated but never tested reports
+    // n_test = 0 with null coverage. The sibling
+    // [[conformalPredictionSets]] finale follows the same contract.
+    val covered = t.join(broadcast(qhat), Seq("grp"), "left")
       .groupBy(col("grp"))
       .agg(count(lit(1)).as("n_test"),
         sum(when(col("q_hat").isNull || col("__s") <= col("q_hat"), 1L)
           .otherwise(0L)).as("n_covered"))
-    qhat.join(covered, Seq("grp"), "left")
-      .select(col("grp"), col("n_cal"), col("q_hat"),
+    qhat.join(covered, Seq("grp"), "full_outer")
+      .select(col("grp"), coalesce(col("n_cal"), lit(0L)).as("n_cal"),
+        col("q_hat"),
         coalesce(col("n_test"), lit(0L)).as("n_test"),
         coalesce(col("n_covered"), lit(0L)).as("n_covered"),
         (col("n_covered").cast("double") / col("n_test").cast("double"))
@@ -1066,8 +1076,12 @@ object Diagnostics {
       .agg(count(lit(1)).as("n_rows"),
         (sum(col("__x")).cast("double") / count(lit(1)).cast("double"))
           .as("mean_v"))
-    point.join(broadcast(reps), Seq("grp"))
+    // LEFT join: a group whose EVERY replicate drew zero weight (possible
+    // only for near-empty groups) keeps its point-estimate row with
+    // n_reps = 0 and null bounds — the "drops out / order statistics read
+    // NULL" contract — instead of vanishing from the report entirely.
+    point.join(broadcast(reps), Seq("grp"), "left")
       .select(col("grp"), col("n_rows"), col("mean_v"), col("ci_lo"),
-        col("ci_hi"), col("n_reps"))
+        col("ci_hi"), coalesce(col("n_reps"), lit(0L)).as("n_reps"))
   }
 }

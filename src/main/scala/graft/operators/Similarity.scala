@@ -851,8 +851,17 @@ object Similarity {
     * spaces. Output per query: (query_id, label, first_rel_rank —
     * null when nothing relevant surfaced, rr — 0.0 then, the MRR
     * convention, n_rel_topk, n_rel_corpus — OTHER corpus members sharing
-    * the label, recall_at_k, precision_at_k). recall is null for a
-    * singleton label (no relevant items exist to find).
+    * the label, recall_at_k, precision_at_k). recall is null when no
+    * relevant corpus items exist to find.
+    *
+    * n_rel_corpus contract: by default (`corpusLabels` = None) `labels`
+    * IS the corpus label table and every query is itself a corpus row,
+    * so the query's own row is excluded (lsz − 1). When the query and
+    * corpus id spaces are DISJOINT (a held-out probe set searched
+    * against a separate index), pass the corpus-only label table as
+    * `corpusLabels`: denominators then count corpus members sharing the
+    * label, excluding the query id only if it genuinely appears in the
+    * corpus — never a blind −1.
     *
     * Scale shape: `topk` is |queries|·k rows and broadcasts into one
     * pass over the labels table; the per-label corpus counts are a
@@ -860,10 +869,12 @@ object Similarity {
     * |queries|-group agg. Nothing corpus-sized is exchanged.
     */
   def retrievalLabelMetrics(topk: DataFrame, labels: DataFrame,
-      k: Int): DataFrame = {
+      k: Int, corpusLabels: Option[DataFrame] = None): DataFrame = {
     require(k > 0, s"k must be positive, got $k")
     val l = labels.select(col("vec_id"), col("label"))
-    val labelSizes = broadcast(l.groupBy(col("label"))
+    val cl = corpusLabels.map(_.select(col("vec_id"), col("label")))
+      .getOrElse(l)
+    val labelSizes = broadcast(cl.groupBy(col("label"))
       .agg(count(lit(1)).as("__lsz")))
     // both label joins BROADCAST THE PROBE-SIZED FRAME and stream the
     // corpus-sized labels table — broadcasting `l` itself would collect
@@ -880,16 +891,33 @@ object Similarity {
           .as("first_rel_rank"),
         sum(when(col("__nl") === col("label"), 1L).otherwise(0L))
           .as("n_rel_topk"))
-    perQuery.join(labelSizes, Seq("label"))
+    // self-exclusion is EXPLICIT: the query's own row subtracts from the
+    // relevant-corpus denominator only when the query genuinely is a
+    // corpus member under its own label — exact for both the same-corpus
+    // default and a disjoint probe set. Shape: the corpus label table
+    // streams through a semi join against the broadcast query set, so the
+    // flag frame is |queries|-sized and broadcasts back.
+    val selfIn = broadcast(
+      cl.select(col("vec_id").as("query_id"), col("label"))
+        .join(broadcast(perQuery.select(col("query_id"), col("label"))),
+          Seq("query_id", "label"), "left_semi")
+        .withColumn("__self", lit(1L)))
+    // left joins: a query whose label has NO corpus members at all (only
+    // possible with a disjoint corpusLabels) still reports, with
+    // n_rel_corpus = 0 and null recall
+    val relDen =
+      (coalesce(col("__lsz"), lit(0L)) - coalesce(col("__self"), lit(0L)))
+    perQuery.join(labelSizes, Seq("label"), "left")
+      .join(selfIn, Seq("query_id", "label"), "left")
       .select(col("query_id"), col("label"), col("first_rel_rank"),
         when(col("first_rel_rank").isNull, lit(0.0))
           .otherwise(lit(1.0) / col("first_rel_rank").cast("double"))
           .as("rr"),
         col("n_rel_topk"),
-        (col("__lsz") - 1L).as("n_rel_corpus"),
-        when(col("__lsz") === 1L, lit(null).cast("double"))
+        relDen.as("n_rel_corpus"),
+        when(relDen === 0L, lit(null).cast("double"))
           .otherwise(col("n_rel_topk").cast("double") /
-            (col("__lsz") - 1L).cast("double")).as("recall_at_k"),
+            relDen.cast("double")).as("recall_at_k"),
         (col("n_rel_topk").cast("double") / lit(k.toDouble))
           .as("precision_at_k"))
   }

@@ -1595,13 +1595,14 @@ trait PipelineSimilarityFam extends PipelineDedupFam {
       |  SELECT d.label, CAST(COUNT(*) AS BIGINT) AS n_test,
       |    CAST(SUM(CASE WHEN q.q_hat IS NULL OR d.score <= q.q_hat
       |      THEN 1 ELSE 0 END) AS BIGINT) AS n_covered
-      |  FROM d JOIN qh q ON q.label = d.label
+      |  FROM d LEFT JOIN qh q ON q.label = d.label
       |  WHERE d.side = 1 GROUP BY 1)
-      |SELECT q.label AS grp, q.n_cal, q.q_hat,
+      |SELECT COALESCE(q.label, c.label) AS grp,
+      |  COALESCE(q.n_cal, 0) AS n_cal, q.q_hat,
       |  COALESCE(c.n_test, 0) AS n_test,
       |  COALESCE(c.n_covered, 0) AS n_covered,
       |  CAST(c.n_covered AS DOUBLE) / CAST(c.n_test AS DOUBLE) AS coverage
-      |FROM qh q LEFT JOIN cov c ON c.label = q.label
+      |FROM qh q FULL OUTER JOIN cov c ON c.label = q.label
       |ORDER BY grp""".stripMargin
 
   /** Greedy k-center coreset selection

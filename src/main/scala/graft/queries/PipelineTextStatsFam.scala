@@ -1561,8 +1561,9 @@ trait PipelineTextStatsFam extends PipelineMixtureSketchFam {
        |    CAST(SUM(xv) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS mean_v
        |  FROM x GROUP BY 1)
        |SELECT p.grp, p.n_rows, p.mean_v, ci.ms[2] AS ci_lo,
-       |  ci.ms[63] AS ci_hi, CAST(len(ci.ms) AS BIGINT) AS n_reps
-       |FROM pt p JOIN ci ON ci.grp = p.grp
+       |  ci.ms[63] AS ci_hi,
+       |  COALESCE(CAST(len(ci.ms) AS BIGINT), 0) AS n_reps
+       |FROM pt p LEFT JOIN ci ON ci.grp = p.grp
        |ORDER BY p.grp""".stripMargin
   }
 

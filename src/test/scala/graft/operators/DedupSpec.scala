@@ -786,4 +786,22 @@ class DedupSpec extends SparkSpec {
       }
     }
   }
+
+  test("prefixKeepCount: survives an IntegerType sz column at long-document " +
+      "sizes (production sz = size(set) is INT; a bare int literal multiply " +
+      "overflowed under ANSI at sz >= ~2561 for t = 0.8)") {
+    // 2561 is the first overflow size at t = 0.8 with 32-bit arithmetic
+    // (838860 * 2561 > Int.MaxValue); sweep well past it and to the size of
+    // a genuinely huge document.
+    val szs = Seq(1, 2048, 2560, 2561, 3000, 10000, 100000, 1000000)
+    for (t <- Seq(0.5, 0.8, 0.999, 1.0)) {
+      val got = szs.toDF("sz") // IntegerType, like size(set) in production
+        .select(col("sz"), Dedup.prefixKeepCount(t).cast("long").as("k"))
+        .as[(Int, Long)].collect().toMap
+      szs.foreach { sz =>
+        assert(got(sz) === Dedup.prefixKeepCountInt(t, sz.toLong),
+          s"t=$t sz=$sz")
+      }
+    }
+  }
 }

@@ -488,9 +488,37 @@ class DiagnosticsSpec extends SparkSpec {
     assert(run(df.repartition(7)) === out)
   }
 
+  test("bootstrapCiMean: a group whose EVERY replicate draws zero weight " +
+      "keeps its point-estimate row with n_reps 0 and null bounds " +
+      "instead of vanishing") {
+    // Find a key whose b = 4 replicates ALL land in the Poisson(1) w = 0
+    // band (u < e^-1; ~e^-4 of keys) via the SAME md5 ladder the operator
+    // uses — deterministic, no fixture file.
+    val p0 = graft.operators.Diagnostics.PoissonCdf1.head.toDouble
+    def u(k: String, b: Int): Double = {
+      val h = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"$k:$b".getBytes("UTF-8"))
+      val v = ((h(0) & 0xffL) << 24) | ((h(1) & 0xffL) << 16) |
+        ((h(2) & 0xffL) << 8) | (h(3) & 0xffL)
+      v / 4294967296.0
+    }
+    val dead = (0 to 100000).map(i => s"dead$i")
+      .find(k => (0 until 4).forall(b => u(k, b) < p0))
+      .getOrElse(fail("no all-zero-weight key in the search range"))
+    val df = ((1 to 50).map(i => ("a", 7L, s"k$i")) :+ (("z", 9L, dead)))
+      .toDF("g", "v", "k")
+    val out = graft.operators.Diagnostics.bootstrapCiMean(
+        df, col("g"), col("v"), col("k"), b = 4)
+      .as[(String, Long, Double, Option[Double], Option[Double], Long)]
+      .collect().sortBy(_._1).toSeq
+    assert(out.map(_._1) === Seq("a", "z")) // z SURVIVES
+    assert(out(1) === (("z", 1L, 9.0, None, None, 0L)))
+  }
+
   test("conformalCalibration: hand order-statistic quantile and coverage; " +
       "a calibration group too small for the index reports null q_hat " +
-      "with everything covered; test-absent groups report n_test 0") {
+      "with everything covered; test-absent groups report n_test 0; " +
+      "test-ONLY groups surface with n_cal 0 and full coverage") {
     val cal = ((1 to 9).map(i => ("a", i.toDouble)) ++
       Seq(("b", 42.0)) ++ (1 to 5).map(i => ("c", i.toDouble)))
       .toDF("g", "s")
@@ -507,8 +535,12 @@ class DiagnosticsSpec extends SparkSpec {
     // c: calibrated but never tested — and n = 5 is still too small for
     // alpha = 0.1 (idx = ceil(0.9 * 6) = 6 > 5), so q_hat is +inf/null
     assert(out(2) === (("c", 5L, None, 0L, 0L, None)))
-    // d appears only in test: conformal is undefined there -> absent
-    assert(out.size === 3)
+    // d appears ONLY in test — drift the audit exists to surface: it
+    // reports n_cal = 0 with the +inf-quantile convention (null q_hat,
+    // everything covered) instead of silently vanishing — the same
+    // full-outer contract as conformalPredictionSets
+    assert(out(3) === (("d", 0L, None, 1L, 1L, Some(1.0))))
+    assert(out.size === 4)
   }
 
   test("conformalPredictionSets: hand-checkable quantiles, set sizes and " +

@@ -708,4 +708,38 @@ class SimilaritySpec extends SparkSpec {
     // q2 (label C, singleton): rr 0, recall undefined
     assert(out(1) === ((2L, "C", None, 0.0, 0L, 0L, None, 0.0)))
   }
+
+  test("retrievalLabelMetrics: a DISJOINT query/corpus id space with " +
+      "corpusLabels counts relevant corpus members without the blind " +
+      "self-exclusion; a query label absent from the corpus still reports") {
+    // queries 100/200 are NOT corpus rows; corpus ids are 10..13
+    val topk = Seq(
+      (100L, 10L, 1), (100L, 11L, 2), (100L, 12L, 3), // A at ranks 2, 3
+      (200L, 10L, 1), (200L, 11L, 2)                  // label Z: no corpus
+    ).toDF("query_id", "neighbor_id", "rank")
+    val corpus = Seq((10L, "B"), (11L, "A"), (12L, "A"), (13L, "A"))
+      .toDF("vec_id", "label")
+    val labels = Seq((100L, "A"), (200L, "Z")).toDF("vec_id", "label")
+      .union(corpus)
+    val out = Similarity.retrievalLabelMetrics(topk, labels, k = 3,
+        corpusLabels = Some(corpus))
+      .as[(Long, String, Option[Int], Double, Long, Long, Option[Double],
+        Double)].collect().sortBy(_._1).toSeq
+    // q100 (label A): 3 corpus members carry A and the query is NOT one
+    // of them — denominator 3, not 3 − 1 (the off-by-one the explicit
+    // self-exclusion removes)
+    assert(out(0) === ((100L, "A", Some(2), 0.5, 2L, 3L, Some(2.0 / 3.0),
+      2.0 / 3.0)))
+    // q200 (label Z, zero corpus members): surfaces with n_rel_corpus 0
+    // and null recall instead of dropping
+    assert(out(1) === ((200L, "Z", None, 0.0, 0L, 0L, None, 0.0)))
+    // and the same-corpus DEFAULT still self-excludes: corpus row 11
+    // querying its own corpus sees |A| − 1 = 2 relevant others
+    val self = Seq((11L, 12L, 1), (11L, 10L, 2)).toDF(
+      "query_id", "neighbor_id", "rank")
+    val d = Similarity.retrievalLabelMetrics(self, corpus, k = 2)
+      .as[(Long, String, Option[Int], Double, Long, Long, Option[Double],
+        Double)].collect().head
+    assert(d === ((11L, "A", Some(1), 1.0, 1L, 2L, Some(0.5), 0.5)))
+  }
 }
