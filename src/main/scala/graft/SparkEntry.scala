@@ -16,7 +16,8 @@ object SparkEntry {
       graft.queries.Pipeline.all ++
       graft.queries.Connectors.all ++
       graft.queries.Functions.all ++
-      graft.queries.Engine.all
+      graft.queries.Engine.all ++
+      graft.queries.StreamGates.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame = {

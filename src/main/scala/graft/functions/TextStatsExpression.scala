@@ -338,3 +338,107 @@ case class CharNgrams(child: Expression, n: Int)
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
 }
+
+/** Hashed char-n-gram feature counts in ONE compiled pass — the PRODUCTION
+  * featurizer behind the pinned linear classifier
+  * ([[graft.operators.TextClassifier.linearScoresPinned]] with
+  * family = "fast"): per document, every code-point n-gram is hashed with
+  * Spark's own XXH64 (`xxhash64` seed 42) straight off the UTF-8 bytes —
+  * no gram string materializes, no md5 — and bucketed
+  * `floorMod(h, dims)`; the complete per-document (dim, count) table
+  * comes back as one sorted array, so the caller's explode is already
+  * the final count (NO per-(doc, dim) aggregation exchange — the md5
+  * path needs one).
+  *
+  * Gram semantics mirror [[graft.operators.TextClassifier.charNgrams]]
+  * exactly: a text with fewer than `n` code points (including the empty
+  * string) contributes ONE gram — the whole text — so no document
+  * featurizes to nothing.
+  *
+  * The md5 featurizer ([[graft.operators.TextClassifier.hashedGramDim]])
+  * stays the ORACLE path — DuckDB replays md5, not xxhash64; weights for
+  * each family are trained on that family's own features
+  * ([[graft.tools.TrainArtifacts]]) and TextClassifierSpec pins the two
+  * pipelines to identical predictions on the fixture corpus.
+  */
+case class CharNgramDimCounts(child: Expression, n: Int, dims: Int)
+    extends UnaryExpression with NativeUnaryCodegen {
+  require(n > 0, s"n must be positive, got $n")
+  require(dims > 0 && dims <= (1 << 22),
+    s"dims must be in [1, 2^22], got $dims")
+
+  override def dataType: DataType = CharNgramDimCounts.schema
+  override def nullable: Boolean = child.nullable
+  override def prettyName: String = "char_ngram_dim_counts"
+
+  // per-(instance, thread) reusable count buffer: the expression object is
+  // shared by every task in the executor (codegen references it), so the
+  // scratch space must be thread-local, like HashExpressions' digests
+  @transient private lazy val buf: ThreadLocal[Array[Long]] =
+    ThreadLocal.withInitial(() => new Array[Long](dims))
+
+  private val Seed = 42L // Spark's xxhash64 SQL function seed
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val u = input.asInstanceOf[UTF8String]
+    val base = u.getBaseObject
+    val off = u.getBaseOffset
+    val nb = u.numBytes
+    // one pass collecting code-point BYTE starts (UTF-8 lead bytes)
+    var starts = new Array[Int](math.max(8, math.min(nb, 64)))
+    var cps = 0
+    var i = 0
+    while (i < nb) {
+      if (cps == starts.length)
+        starts = java.util.Arrays.copyOf(starts, starts.length * 2)
+      starts(cps) = i
+      cps += 1
+      i += UTF8String.numBytesForFirstByte(
+        org.apache.spark.unsafe.Platform.getByte(base, off + i))
+    }
+    val counts = buf.get()
+    val touched = new java.util.ArrayList[Integer]()
+    def bump(fromByte: Int, toByte: Int): Unit = {
+      val h = org.apache.spark.sql.catalyst.expressions.XXH64
+        .hashUnsafeBytes(base, off + fromByte, toByte - fromByte, Seed)
+      val d = java.lang.Math.floorMod(h, dims.toLong).toInt
+      if (counts(d) == 0L) touched.add(d)
+      counts(d) += 1L
+    }
+    if (cps < n) bump(0, nb) // whole (short/empty) text as ONE gram
+    else {
+      var g = 0
+      val grams = cps - n + 1
+      while (g < grams) {
+        bump(starts(g), if (g + n < cps) starts(g + n) else nb)
+        g += 1
+      }
+    }
+    val ds = new Array[Int](touched.size)
+    var t = 0
+    while (t < ds.length) { ds(t) = touched.get(t).intValue; t += 1 }
+    java.util.Arrays.sort(ds)
+    val out = new Array[AnyRef](ds.length)
+    t = 0
+    while (t < ds.length) {
+      val d = ds(t)
+      out(t) = InternalRow(d, counts(d))
+      counts(d) = 0L // reset only touched slots for the next row
+      t += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object CharNgramDimCounts {
+  val schema: DataType = ArrayType(StructType(Seq(
+    StructField("dim", IntegerType, nullable = false),
+    StructField("c", LongType, nullable = false))), containsNull = false)
+
+  def charNgramDimCounts(c: Column, n: Int, dims: Int): Column =
+    ExpressionUtilsShim.column(
+      CharNgramDimCounts(ExpressionUtilsShim.expr(c), n, dims))
+}

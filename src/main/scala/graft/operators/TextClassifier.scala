@@ -95,12 +95,34 @@ object TextClassifier {
     * path computes is invisible to the oracle gate (it replays only the
     * apply side) and silently degrades predictions toward the majority
     * prior — so the two sides must SHARE the chain, not re-type it.
+    *
+    * `family` picks the hash: "md5" (default) is the ORACLE featurizer —
+    * per-gram md5, SQL-replayable, but the md5 constant dominates the
+    * classifier's cost at scale (~600 grams/doc); "fast" is the
+    * PRODUCTION featurizer — the one-pass native
+    * [[org.apache.spark.sql.graft.CharNgramDimCounts]] kernel (xxhash64
+    * off the UTF-8 bytes, counts finished per document at map time, so
+    * the (id, dim) aggregation exchange disappears too). Weights are
+    * family-specific ([[graft.queries.PinnedArtifacts.LangLrWeights]] vs
+    * `LangLrWeightsFast`) — NEVER apply one family's weights to the
+    * other's features.
     */
   def hashedGramCounts(df: DataFrame, id: Column, text: Column,
-      n: Int, dims: Int): DataFrame =
-    df.select(id.as("id"), explode(charNgrams(text, n)).as("__g"))
-      .select(col("id"), hashedGramDim(col("__g"), dims).as("dim"))
-      .groupBy(col("id"), col("dim")).agg(count(lit(1)).as("c"))
+      n: Int, dims: Int, family: String = "md5"): DataFrame = family match {
+    case "md5" =>
+      df.select(id.as("id"), explode(charNgrams(text, n)).as("__g"))
+        .select(col("id"), hashedGramDim(col("__g"), dims).as("dim"))
+        .groupBy(col("id"), col("dim")).agg(count(lit(1)).as("c"))
+    case "fast" =>
+      df.select(id.as("id"),
+          explode(org.apache.spark.sql.graft.CharNgramDimCounts
+            .charNgramDimCounts(text, n, dims)).as("__dc"))
+        .select(col("id"), col("__dc.dim").cast("long").as("dim"),
+          col("__dc.c").as("c")) // long dim, like the md5 branch
+    case other =>
+      throw new IllegalArgumentException(
+        s"unknown featurizer family '$other' (md5 | fast)")
+  }
 
   /** Apply a PINNED linear text classifier — the deployment shape of
     * classifier-based curation (fastText-style language ID / quality
@@ -126,8 +148,8 @@ object TextClassifier {
     */
   def classifyLinearPinned(df: DataFrame, id: Column, text: Column,
       weights: Seq[(String, Long, Seq[Long])], n: Int = 3,
-      dims: Int = 128): DataFrame =
-    linearScoresPinned(df, id, text, weights, n, dims)
+      dims: Int = 128, family: String = "md5"): DataFrame =
+    linearScoresPinned(df, id, text, weights, n, dims, family)
       .groupBy(col("id"))
       .agg(max_by(struct(col("label"), col("scoreq")),
         struct(col("scoreq"), (-col("tie")).as("nt"))).as("m"))
@@ -141,7 +163,7 @@ object TextClassifier {
     */
   def linearScoresPinned(df: DataFrame, id: Column, text: Column,
       weights: Seq[(String, Long, Seq[Long])], n: Int = 3,
-      dims: Int = 128): DataFrame = {
+      dims: Int = 128, family: String = "md5"): DataFrame = {
     require(weights.nonEmpty, "weights must be non-empty")
     require(weights.map(_._1) == weights.map(_._1).sorted &&
       weights.map(_._1).distinct.size == weights.size,
@@ -157,7 +179,7 @@ object TextClassifier {
     val biases = broadcast(weights.zipWithIndex.map {
       case ((l, b, _), i) => (l, i.toLong, b)
     }.toDF("label", "tie", "biasq"))
-    val counts = hashedGramCounts(df, id, text, n, dims)
+    val counts = hashedGramCounts(df, id, text, n, dims, family)
       .withColumnRenamed("c", "__c")
     counts.join(wDf, Seq("dim"))
       .groupBy(col("id"), col("label"), col("tie"))

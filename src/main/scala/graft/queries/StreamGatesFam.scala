@@ -1,0 +1,335 @@
+package graft.queries
+
+import java.util.concurrent.atomic.AtomicInteger
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.streaming.Streams
+
+/** Oracle gates for the streaming handlers that were spec-only through
+  * round 16 — each run as a REAL two-micro-batch Structured Streaming
+  * query (the `dialog_from_stream` pattern: time-split the events corpus
+  * at the midpoint into two parquet files a file-source stream picks up
+  * as two micro-batches, drain to a memory sink, aggregate, and gate the
+  * result against the batch SQL replay). Green only if the cross-batch
+  * state lifecycle is exact: every entry's answer provably depends on
+  * state carried from micro-batch 1 into micro-batch 2 (a transition
+  * spanning the cut, a funnel step completed across it, a day window
+  * straddling it, a duplicate suppressed across it).
+  *
+  * Sketch entries run in their EXACT regimes at the oracle SFs
+  * (max 371 rows / 100 distinct tokens per day window vs k = 1024), the
+  * same stance as `quantile_sketch` / `heavy_hitters_sketch`: exactness
+  * oracle-gates the streaming plumbing bit-for-bit; the lossy regime
+  * stays property-gated (QuantileSketchProps / FrequencySketchProps).
+  */
+trait StreamGatesFam {
+
+  private val gateSeq = new AtomicInteger(0)
+
+  /** Child session (private SQLConf) with small stateful-shuffle sizing —
+    * state stores materialize per shuffle partition, and at fixture
+    * volume the store setup IS the cost (the stream_stream_join lesson).
+    */
+  private def streamSession(s: SparkSession): SparkSession = {
+    val ss = graft.GraftSession.configure(s.newSession())
+    ss.conf.set("spark.sql.shuffle.partitions", "4")
+    ss
+  }
+
+  /** Time-split `ev` at the midpoint of `tsCol` (a LONG column), write
+    * the early half to a scratch stream dir, and return
+    * (streamDir, lateHalf, emptiness). Equal-ts rows land on one side of
+    * the cut, so per-user (ts, tie) delivery order — the cross-batch
+    * contract of the mapGroupsWithState handlers — holds by construction.
+    */
+  private def splitToStreamDir(ev: DataFrame, tsCol: String,
+      scratch: String): Option[(String, DataFrame)] = {
+    val b = ev.agg(min(col(tsCol)).as("lo"), max(col(tsCol)).as("hi")).head()
+    if (b.isNullAt(0)) return None
+    val cut = (b.getLong(0) + b.getLong(1)) / 2
+    ev.filter(col(tsCol) <= cut).write.mode("overwrite").parquet(scratch)
+    Some((scratch, ev.filter(col(tsCol) > cut)))
+  }
+
+  private def runTwoBatches(stream: DataFrame, sinkMode: String,
+      lateBatch: => Unit): (SparkSession, String) = {
+    val name = s"graft_sgate_${gateSeq.incrementAndGet()}"
+    val q = stream.writeStream.format("memory").queryName(name)
+      .outputMode(sinkMode).start()
+    q.processAllAvailable() // micro-batch 1: the early half
+    lateBatch
+    q.processAllAvailable() // micro-batch 2 (+ no-data finalize batch)
+    q.stop()
+    (stream.sparkSession, name)
+  }
+
+  /** Session transition mining UNDER STRUCTURED STREAMING
+    * ([[graft.streaming.Streams.transitionsIngest]]): per-user
+    * consecutive in-session (from → to) event-type edges, emitted by a
+    * REAL flatMapGroupsWithState run over the two-micro-batch time
+    * split, then aggregated to the transition matrix. The edge spanning
+    * the batch boundary (last pre-cut event → first post-cut event of
+    * the same user, within the 30-min gap) exists ONLY if the 16-byte
+    * keyed state carried across batches — the thing this gate proves.
+    * State per user is (last ts, last type); the matrix aggregation is
+    * |types|²-bounded.
+    */
+  def transitionsFromStreamQ(s: SparkSession, dir: String): DataFrame = {
+    val ss = streamSession(s)
+    val ev = T.events(ss, dir).select(col("user_id"), col("ts"),
+      col("event_type"), col("event_id"))
+    val scratch = Engine.scratchPath("graft-transitions-stream", dir)
+    splitToStreamDir(ev, "ts", scratch) match {
+      case None =>
+        return ss.range(0).select(lit("").as("from_et"),
+          lit("").as("to_et"), lit(0L).as("n"))
+      case Some((streamDir, late)) =>
+        val src = Streams.parquetStream(ss, streamDir, ev,
+          glob = Some("*.parquet"))
+        val tr = Streams.transitionsIngest(src, col("user_id"), col("ts"),
+            col("event_type"), col("event_id"))
+          .toDF("user_id", "from_et", "to_et")
+        val (sess, name) = runTwoBatches(tr, "update",
+          late.write.mode("append").parquet(streamDir))
+        sess.table(name)
+          .groupBy(col("from_et"), col("to_et"))
+          .agg(count(lit(1)).as("n"))
+          .orderBy(col("from_et"), col("to_et"))
+    }
+  }
+
+  val transitionsFromStreamOracle: String =
+    """WITH e AS (
+      |  SELECT user_id, epoch_us(ts) * 1000 AS tsn, event_type AS et,
+      |    event_id
+      |  FROM events),
+      |w AS (
+      |  SELECT user_id, et, lag(et) OVER win AS pet,
+      |    tsn - lag(tsn) OVER win AS gap
+      |  FROM e
+      |  WINDOW win AS (PARTITION BY user_id ORDER BY tsn, event_id))
+      |SELECT pet AS from_et, et AS to_et, CAST(COUNT(*) AS BIGINT) AS n
+      |FROM w
+      |WHERE pet IS NOT NULL AND gap <= 1800000000000
+      |GROUP BY 1, 2
+      |ORDER BY from_et, to_et""".stripMargin
+
+  /** Funnel depths UNDER STRUCTURED STREAMING
+    * ([[graft.streaming.Streams.funnelIngest]]): each user's greedy
+    * strict-order view→click→purchase depth, folded by a REAL
+    * mapGroupsWithState run across the two-micro-batch time split, then
+    * collapsed to the step report — gated by the batch `funnel_report`
+    * oracle VERBATIM (the `preference_from_counts` pattern). A user whose
+    * later steps arrive in batch 2 only reaches full depth if the
+    * (depth, last-ts) state carried; depth is monotone, so the final
+    * per-user depth is max over the Update-mode emissions. State per
+    * user is 12 bytes.
+    */
+  def funnelFromStreamQ(s: SparkSession, dir: String): DataFrame = {
+    val ss = streamSession(s)
+    val steps = Seq("view", "click", "purchase")
+    val ev = T.events(ss, dir).select(col("user_id"), col("ts"),
+      col("event_type"))
+    val scratch = Engine.scratchPath("graft-funnel-stream", dir)
+    splitToStreamDir(ev, "ts", scratch) match {
+      case None =>
+        return ss.range(0).select(lit(0).as("step"),
+          lit("").as("step_name"), lit(0L).as("users_reached"))
+      case Some((streamDir, late)) =>
+        val src = Streams.parquetStream(ss, streamDir, ev,
+          glob = Some("*.parquet"))
+        val fu = Streams.funnelIngest(src, col("user_id"), col("ts"),
+            col("event_type"), steps)
+          .toDF("user_id", "depth")
+        val (sess, name) = runTwoBatches(fu, "update",
+          late.write.mode("append").parquet(streamDir))
+        val depths = sess.table(name).groupBy(col("user_id"))
+          .agg(max(col("depth")).as("d"))
+        val reached = steps.indices.map(i =>
+          sum(when(col("d") >= i + 1, 1L).otherwise(0L)).as(s"u${i + 1}"))
+        depths.agg(reached.head, reached.tail: _*)
+          .select(expr("stack(3, " + steps.zipWithIndex.map {
+            case (n, i) => s"${i + 1}, '$n', coalesce(u${i + 1}, 0L)"
+          }.mkString(", ") + ") AS (step, step_name, users_reached)"))
+          .orderBy(col("step"))
+    }
+  }
+
+  /** Trending terms UNDER STRUCTURED STREAMING
+    * ([[graft.streaming.Streams.trendingTerms]]): per 1-day event-time
+    * window, the top-5 tokens of the events props text via the mergeable
+    * Misra-Gries sketch, run through a REAL watermarked windowed
+    * aggregation over the two-micro-batch split (day windows straddling
+    * the cut merge batch-2 partials into batch-1 state; a far-future
+    * sentinel closes every real window for the append-mode flush). At
+    * the oracle SFs every window holds ≤ ~100 distinct tokens « k = 1024,
+    * the sketch's EXACT regime, so the oracle replays counts and the
+    * (cnt desc, term) rank verbatim; the lossy regime stays
+    * FrequencySketchProps-gated. State per open window is ONE k-bounded
+    * buffer.
+    */
+  def trendingFromStreamQ(s: SparkSession, dir: String): DataFrame = {
+    val ss = streamSession(s)
+    val ev = Streams.withEventTime(T.events(ss, dir))
+      .select(col("event_time"), col("props"))
+    val b = ev.agg(min(col("event_time")).cast("long").as("lo"),
+      max(col("event_time")).cast("long").as("hi")).head()
+    if (b.isNullAt(0))
+      return ss.range(0).select(lit(java.sql.Date.valueOf("1970-01-01"))
+        .as("day"), lit(0).as("rank"), lit("").as("term"), lit(0L).as("cnt"))
+    val (lo, hi) = (b.getLong(0), b.getLong(1)) // epoch seconds
+    val cut = timestamp_seconds(lit((lo + hi) / 2))
+    val streamDir = Engine.scratchPath("graft-trending-stream", dir)
+    ev.filter(col("event_time") <= cut).write.mode("overwrite")
+      .parquet(streamDir)
+    val far = hi + 10L * 366 * 24 * 3600
+    val tt = Streams.trendingTerms(
+      Streams.parquetStream(ss, streamDir, ev, glob = Some("*.parquet")),
+      col("event_time"), col("props"), "1 day", "0 seconds",
+      k = 1024, topN = 5)
+    val (sess, name) = runTwoBatches(tt, "append", {
+      ev.filter(col("event_time") > cut)
+        .unionByName(ev.sparkSession.range(1).select(
+          timestamp_seconds(lit(far)).as("event_time"),
+          lit("x").as("props")))
+        .write.mode("append").parquet(streamDir)
+    })
+    sess.table(name)
+      .filter(col("win_start") < timestamp_seconds(lit(far - 24 * 3600)))
+      .select(col("win_start").cast("date").as("day"), col("rank"),
+        col("term"), col("cnt"))
+      .orderBy(col("day"), col("rank"))
+  }
+
+  val trendingFromStreamOracle: String =
+    """WITH t AS (
+      |  SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+      |    unnest(CASE WHEN trim(props) = '' THEN []::VARCHAR[]
+      |      ELSE string_split_regex(trim(props), '\s+') END) AS term
+      |  FROM events),
+      |g AS (SELECT day, term, CAST(COUNT(*) AS BIGINT) AS cnt
+      |      FROM t GROUP BY 1, 2),
+      |r AS (
+      |  SELECT day, term, cnt,
+      |    CAST(ROW_NUMBER() OVER (PARTITION BY day
+      |      ORDER BY cnt DESC, term) AS INTEGER) AS rank
+      |  FROM g)
+      |SELECT day, rank, term, cnt FROM r
+      |WHERE rank <= 5
+      |ORDER BY day, rank""".stripMargin
+
+  /** Windowed latency-style quantiles UNDER STRUCTURED STREAMING
+    * ([[graft.streaming.Streams.windowQuantiles]]): per 1-day window,
+    * p50/p90/p99 of the events value column via the mergeable KLL
+    * sketch, run through the same REAL watermarked two-batch fold as
+    * [[trendingFromStreamQ]]. At the oracle SFs every window holds
+    * ≤ 371 values « k = 1024, so NO compaction ever fires and the
+    * sketch's rank-select reproduces `percentile_disc` / DuckDB
+    * `quantile_disc` bit-for-bit whatever the partition/merge/batch
+    * tree — which is exactly what gates the streaming merge path. State
+    * per open window is one O(k log(n/k)) buffer.
+    */
+  def windowQuantilesFromStreamQ(s: SparkSession, dir: String): DataFrame = {
+    val ss = streamSession(s)
+    val ev = Streams.withEventTime(T.events(ss, dir))
+      .select(col("event_time"), col("value"))
+    val b = ev.agg(min(col("event_time")).cast("long").as("lo"),
+      max(col("event_time")).cast("long").as("hi")).head()
+    if (b.isNullAt(0))
+      return ss.range(0).select(lit(java.sql.Date.valueOf("1970-01-01"))
+        .as("day"), lit(0.0).as("p50"), lit(0.0).as("p90"),
+        lit(0.0).as("p99"), lit(0L).as("n"))
+    val (lo, hi) = (b.getLong(0), b.getLong(1))
+    val cut = timestamp_seconds(lit((lo + hi) / 2))
+    val streamDir = Engine.scratchPath("graft-wq-stream", dir)
+    ev.filter(col("event_time") <= cut).write.mode("overwrite")
+      .parquet(streamDir)
+    val far = hi + 10L * 366 * 24 * 3600
+    val wq = Streams.windowQuantiles(
+      Streams.parquetStream(ss, streamDir, ev, glob = Some("*.parquet")),
+      col("event_time"), col("value"), "1 day", "0 seconds",
+      probs = Seq(0.5, 0.9, 0.99), k = 1024)
+    val (sess, name) = runTwoBatches(wq, "append", {
+      ev.filter(col("event_time") > cut)
+        .unionByName(ev.sparkSession.range(1).select(
+          timestamp_seconds(lit(far)).as("event_time"),
+          lit(0.0).as("value")))
+        .write.mode("append").parquet(streamDir)
+    })
+    sess.table(name)
+      .filter(col("win_start") < timestamp_seconds(lit(far - 24 * 3600)))
+      .select(col("win_start").cast("date").as("day"),
+        col("p50"), col("p90"), col("p99"), col("n"))
+      .orderBy(col("day"))
+  }
+
+  val windowQuantilesFromStreamOracle: String =
+    """SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+      |  quantile_disc(value, 0.5) AS p50,
+      |  quantile_disc(value, 0.9) AS p90,
+      |  quantile_disc(value, 0.99) AS p99,
+      |  CAST(COUNT(*) AS BIGINT) AS n
+      |FROM events
+      |WHERE value IS NOT NULL AND NOT isnan(value)
+      |GROUP BY 1
+      |ORDER BY day""".stripMargin
+
+  /** Watermark-bounded streaming dedup
+    * ([[graft.streaming.Streams.dedupWithinWatermark]], the built-in
+    * `dropDuplicatesWithinWatermark`): the production ingest-dedup
+    * default — keyed state EXPIRES with the watermark, bounding memory
+    * by horizon × arrival rate. Run over the two-micro-batch split with
+    * a horizon longer than the corpus span, so every duplicate
+    * (user, event_type) arriving in batch 2 must be suppressed by state
+    * REMEMBERED from batch 1 — emitting exactly one row per distinct
+    * key. Only the key columns are projected (which duplicate survives
+    * is arrival-order-dependent, the documented dedup contract); the
+    * hash gate then fails if any key re-emits across the boundary.
+    */
+  def dedupWatermarkFromStreamQ(s: SparkSession, dir: String): DataFrame = {
+    val ss = streamSession(s)
+    val ev = Streams.withEventTime(T.events(ss, dir))
+      .select(col("event_time"), col("user_id"), col("event_type"))
+    val b = ev.agg(min(col("event_time")).cast("long").as("lo"),
+      max(col("event_time")).cast("long").as("hi")).head()
+    if (b.isNullAt(0))
+      return ss.range(0).select(lit(0L).as("user_id"),
+        lit("").as("event_type"))
+    val cut = timestamp_seconds(lit((b.getLong(0) + b.getLong(1)) / 2))
+    val streamDir = Engine.scratchPath("graft-dwm-stream", dir)
+    ev.filter(col("event_time") <= cut).write.mode("overwrite")
+      .parquet(streamDir)
+    val dd = Streams.dedupWithinWatermark(
+      Streams.parquetStream(ss, streamDir, ev, glob = Some("*.parquet")),
+      keys = Seq("user_id", "event_type"), eventTime = "event_time",
+      delay = "90 days") // horizon > the 31-day corpus: state never expires
+    val (sess, name) = runTwoBatches(dd, "append",
+      ev.filter(col("event_time") > cut).write.mode("append")
+        .parquet(streamDir))
+    sess.table(name)
+      .select(col("user_id"), col("event_type"))
+      .orderBy(col("user_id"), col("event_type"))
+  }
+
+  val dedupWatermarkFromStreamOracle: String =
+    """SELECT DISTINCT user_id, event_type
+      |FROM events
+      |ORDER BY user_id, event_type""".stripMargin
+}
+
+object StreamGates extends StreamGatesFam {
+  val all: Seq[Q] = Seq(
+    Q("transitions_from_stream", transitionsFromStreamQ,
+      Some(transitionsFromStreamOracle)),
+    // the batch funnel_report oracle VERBATIM — the *_from_counts pattern
+    Q("funnel_from_stream", funnelFromStreamQ,
+      Some(Relational.funnelReportOracle)),
+    Q("trending_from_stream", trendingFromStreamQ,
+      Some(trendingFromStreamOracle)),
+    Q("window_quantiles_from_stream", windowQuantilesFromStreamQ,
+      Some(windowQuantilesFromStreamOracle)),
+    Q("dedup_watermark_from_stream", dedupWatermarkFromStreamQ,
+      Some(dedupWatermarkFromStreamOracle)))
+}

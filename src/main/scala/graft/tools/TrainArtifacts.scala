@@ -83,12 +83,17 @@ object TrainArtifacts {
     println("// ---- Scala literal: DsirWeights64")
     println("    " + dw.map(d => s"$d").mkString(", "))
 
-    // ---- Linear language classifier: logistic regression over
-    // md5-hashed char-trigram counts (TextClassifier.hashedGramDim — NOT
-    // HashingTF's murmur3, which no SQL oracle can replay), weights
-    // integer-quantized at 2^20. Training (L-BFGS) runs HERE; the
-    // registry applies the pinned longs in exact integer arithmetic.
-    {
+    // ---- Linear language classifier: logistic regression over hashed
+    // char-trigram counts, weights integer-quantized at 2^20. Training
+    // (L-BFGS) runs HERE; the registry applies the pinned longs in exact
+    // integer arithmetic. TWO hash families, each trained on ITS OWN
+    // features: "md5" (TextClassifier.hashedGramDim — NOT HashingTF's
+    // murmur3, which no SQL oracle can replay) feeds the oracle-gated
+    // entry; "fast" (the native CharNgramDimCounts xxhash64 kernel) is
+    // the production featurize whose predictions TextClassifierSpec pins
+    // against the md5 family.
+    for ((family, litName) <- Seq(("md5", "LangLrWeights"),
+        ("fast", "LangLrWeightsFast"))) {
       import graft.operators.TextClassifier
       val dims = 128
       val labels = docs.select(col("lang")).distinct()
@@ -97,7 +102,7 @@ object TrainArtifacts {
       // the SHARED apply-path featurizer — never re-type this chain: a
       // trainer/apply feature drift is invisible to the oracle gate
       val featRows = TextClassifier.hashedGramCounts(
-          docs, col("doc_id"), col("text"), n = 3, dims = dims)
+          docs, col("doc_id"), col("text"), n = 3, dims = dims, family)
         .join(docs.select(col("doc_id").as("id"), col("lang")), Seq("id"))
         .select(col("id"), col("lang"), col("dim"), col("c"))
         .collect()
@@ -120,7 +125,7 @@ object TrainArtifacts {
       val trainAcc = m.transform(trainDf)
         .filter(col("label") === col("prediction")).count().toDouble /
         trainDf.count()
-      println(s"// lang-LR training accuracy: $trainAcc")
+      println(s"// lang-LR[$family] training accuracy: $trainAcc")
       // probe: manual linear scoring with the raw coefficientMatrix must
       // reproduce the model's own argmax — if it doesn't, the extraction
       // (not the quantization) is wrong
@@ -133,7 +138,7 @@ object TrainArtifacts {
         }
         scores.indexOf(scores.max).toDouble == lbl
       }
-      println(s"// lang-LR manual-score accuracy: ${
+      println(s"// lang-LR[$family] manual-score accuracy: ${
         manualOk.toDouble / featRows.size}")
       val quantOk = featRows.count { case (lbl, v) =>
         val sv = v.asInstanceOf[org.apache.spark.ml.linalg.SparseVector]
@@ -144,17 +149,17 @@ object TrainArtifacts {
         }
         scores.indexOf(scores.max).toDouble == lbl
       }
-      println(s"// lang-LR quantized-score accuracy: ${
+      println(s"// lang-LR[$family] quantized-score accuracy: ${
         quantOk.toDouble / featRows.size}")
-      println(s"// lang-LR n_train_rows: ${featRows.size}")
+      println(s"// lang-LR[$family] n_train_rows: ${featRows.size}")
       val doc0 = docs.agg(org.apache.spark.sql.functions.min(col("doc_id")))
         .head().getLong(0)
       val f0 = TextClassifier.hashedGramCounts(
           docs.filter(col("doc_id") === doc0), col("doc_id"), col("text"),
-          n = 3, dims = dims)
+          n = 3, dims = dims, family)
         .collect().map(r => (r.getLong(1).toInt, r.getLong(2))).sortBy(_._1)
       println(s"// lang-LR doc0 recount first5: ${f0.take(5).mkString(" ")}")
-      println("// ---- Scala literal: LangLrWeights (label, biasQ, wQ[128])")
+      println(s"// ---- Scala literal: $litName (label, biasQ, wQ[128])")
       labels.zipWithIndex.foreach { case (l, i) =>
         val row = (0 until dims).map(d => q(m.coefficientMatrix(i, d)))
         println(s"""    (${scalaStr(l)}, ${q(m.interceptVector(i))}L, Seq(${

@@ -81,4 +81,72 @@ class TextClassifierSpec extends SparkSpec {
     assert(out(3)._3 === 5.0 / 1048576.0)
     assert(run(d.repartition(3)) === out)
   }
+
+  test("fast featurizer kernel: bit-equal to the declarative built-in " +
+      "xxhash64 composition on unicode/empty/short/long texts AND the " +
+      "real documents corpus") {
+    val tricky = Seq(
+      (1L, ""), (2L, "a"), (3L, "ab"), (4L, "abc"), (5L, "abcd"),
+      (6L, "héllo wörld"), (7L, "中文字符测试"), (8L, "a😀b😁c"),
+      (9L, "  spaced   text  "), (10L, "x" * 5000),
+      (11L, ("the quick brown fox " * 50).trim)
+    ).toDF("doc_id", "text")
+    val real = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    for ((df, what) <- Seq((tricky, "tricky"), (real, "documents"));
+         (n, dims) <- Seq((3, 128), (2, 7), (5, 1 << 12))) {
+      // the executable spec: explode the SAME grams (short text -> the
+      // whole text as one gram) through Spark's own xxhash64 (seed 42)
+      val reference = df
+        .select(col("doc_id").as("id"),
+          explode(TextClassifier.charNgrams(col("text"), n)).as("__g"))
+        .select(col("id"), pmod(xxhash64(col("__g")), lit(dims.toLong)).as("dim"))
+        .groupBy(col("id"), col("dim")).agg(count(lit(1)).as("c"))
+        .as[(Long, Long, Long)].collect().sortBy(t => (t._1, t._2)).toSeq
+      val kernel = TextClassifier.hashedGramCounts(
+          df, col("doc_id"), col("text"), n = n, dims = dims, family = "fast")
+        .as[(Long, Long, Long)].collect().sortBy(t => (t._1, t._2)).toSeq
+      assert(kernel === reference, s"corpus=$what n=$n dims=$dims")
+    }
+  }
+
+  test("pinned families: each family reproduces its own recorded training " +
+      "accuracy on the training corpus, the fast family within noise of " +
+      "md5, and agreement is far above the independent-predictions " +
+      "baseline — the md5-vs-fast parity gate") {
+    import graft.queries.PinnedArtifacts._
+    // the TRAINING corpus (sf0.01): each family's weights were fit here
+    // (TrainArtifacts), so accuracy against `lang` must reproduce the
+    // recorded training accuracies (md5 0.668, fast 0.648). Predictions
+    // are NOT expected identical doc-by-doc — different hash buckets are
+    // different features, and the fixture's lang signal is weak — so the
+    // parity gate is accuracy-band + agreement-floor, while the kernel
+    // itself is gated bit-for-bit by the previous test.
+    val d = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    def preds(w: Seq[(String, Long, Seq[Long])], fam: String) =
+      TextClassifier.classifyLinearPinned(d, col("doc_id"), col("text"),
+          w, n = LangLrGramN, dims = LangLrDims, family = fam)
+        .select(col("id"), col("pred"))
+    val md5P = preds(LangLrWeights, "md5").withColumnRenamed("pred", "p_md5")
+    val fastP = preds(LangLrWeightsFast, "fast").withColumnRenamed("pred", "p_fast")
+    val j = md5P.join(fastP, Seq("id"))
+      .join(d.select(col("doc_id").as("id"), col("lang")), Seq("id"))
+      .select(col("p_md5"), col("p_fast"), col("lang"))
+      .as[(String, String, String)].collect()
+    assert(j.length === d.count())
+    val agree = j.count(r => r._1 == r._2)
+    val accMd5 = j.count(r => r._1 == r._3)
+    val accFast = j.count(r => r._2 == r._3)
+    info(s"n=${j.length} agree=$agree accMd5=$accMd5 accFast=$accFast")
+    // recorded training accuracies (TrainArtifacts, 2026-08): md5 334,
+    // fast 324 of 500 — reproduce them within a regeneration band, keep
+    // fast within noise of md5, and keep agreement far above the
+    // independent-predictions baseline (~0.45 for two 0.65-accuracy
+    // 5-class models agreeing only where both are right)
+    assert(accMd5.toDouble / j.length >= 0.60, s"md5 accuracy $accMd5")
+    assert(accFast >= accMd5 - j.length / 20,
+      s"fast family materially less accurate: $accFast vs $accMd5")
+    assert(agree.toDouble / j.length >= 0.55,
+      s"family agreement ${agree.toDouble / j.length}")
+  }
 }
