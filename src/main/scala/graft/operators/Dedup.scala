@@ -200,7 +200,21 @@ object Dedup {
     * session lifetime.
     */
   final case class NearDupState(bands: DataFrame, postings: DataFrame,
-      cached: Option[DataFrame] = None)
+      cached: Option[DataFrame] = None) {
+
+    /** Release the bootstrap's persisted signature frame WITHOUT saving —
+      * the explicit drop for callers that never reach [[NearDupState.save]]
+      * (a Runner-loop job that bootstraps per tick, a bootstrap abandoned
+      * after validation). Idempotent; [[NearDupState.save]] ends with the
+      * same release. This is deliberately NOT routed through
+      * [[graft.Pins]]: the cache must survive ACROSS the caller's batches
+      * until save/close — a scheduler's per-job `Pins.unpinAll` boundary
+      * is mid-lifecycle for carried state, so the state object owns its
+      * release and PinsSpec's soak test proves the loop stays clean when
+      * callers honor it.
+      */
+    def close(): Unit = cached.foreach(_.unpersist(blocking = false))
+  }
 
   object NearDupState {
     /** Bootstrap state from an already-deduplicated corpus. The corpus text
@@ -259,7 +273,7 @@ object Dedup {
       // the state now lives as tables; release the bootstrap's persisted
       // signature frame (kept alive until here because both staged writes
       // read through it)
-      state.cached.foreach(_.unpersist(blocking = false))
+      state.close()
     }
 
     /** Reload state persisted by [[save]]; the returned frames carry the
@@ -665,17 +679,43 @@ object Dedup {
     * index entirely (any strategy): a documented approximation for stop-
     * shingle-heavy corpora (under `"count"` dropped shingles also leave the
     * intersection counts).
+    *
+    * `pairBudget` (off by default) is the OUTPUT-quadratic guard rail:
+    * even a perfectly-bounded candidate plan runs unbounded time when the
+    * ANSWER is quadratic (a corpus dominated by near-duplicates — the
+    * ×64 containment stress ran 27 minutes before a hand abort). When the
+    * statistics pass estimates more candidate pairs than the budget, the
+    * whole index degrades to a deterministic doc hash-sample sized so the
+    * expected pair count fits (fraction = √(budget/estimate)) — the
+    * output is then the exact join over that reproducible subset, the
+    * calibration answer [[jaccardHistogram]]'s sampleFraction gives,
+    * instead of an unbounded run. The oracle entries leave it unset.
     */
   def jaccardPairs(df: DataFrame, id: Column, text: Column,
       shingleK: Int = 3, threshold: Double = 0.8,
       maxDocFreq: Option[Long] = None,
       strategy: String = "auto",
       autoCountMaxDf: Long = 1000,
-      autoSampleFraction: Double = 1.0): DataFrame = {
+      autoSampleFraction: Double = 1.0,
+      pairBudget: Option[Long] = None): DataFrame = {
     require(autoSampleFraction > 0 && autoSampleFraction <= 1,
       s"autoSampleFraction out of (0,1]: $autoSampleFraction")
-    val ShingleIndex(sets, indexed, sizes) =
-      shingleIndex(df, id, text, shingleK, maxDocFreq)
+    require(pairBudget.forall(_ > 0),
+      s"pairBudget must be positive: $pairBudget")
+    val idx0 = shingleIndex(df, id, text, shingleK, maxDocFreq)
+    // ONE statistics pass serves both the auto strategy pick and the
+    // pair-budget guard; when the estimated candidate volume exceeds the
+    // budget, the whole index degrades to a deterministic doc sample
+    // sized to fit it (see budgetSampledIndex) BEFORE any pair join runs
+    val stats =
+      if (strategy == "auto" || pairBudget.isDefined)
+        Some(indexStats(idx0.indexed, autoSampleFraction))
+      else None
+    val ShingleIndex(sets, indexed, sizes) = pairBudget match {
+      case Some(b) if stats.exists(_._2 > b) =>
+        budgetSampledIndex(idx0, stats.get._2, b)
+      case _ => idx0
+    }
 
     def countPairs: DataFrame =
       interSizedPairs(indexed, sizes)
@@ -698,9 +738,7 @@ object Dedup {
       case "count" => countPairs
       case "prefix" => prefixPairs
       case "auto" =>
-        if (autoPickStrategy(indexed, autoCountMaxDf,
-          autoSampleFraction) == "count") countPairs
-        else prefixPairs
+        if (stats.get._1 <= autoCountMaxDf) countPairs else prefixPairs
       case other => throw new IllegalArgumentException(
         s"strategy must be 'auto', 'count' or 'prefix', got $other")
     }
@@ -734,7 +772,10 @@ object Dedup {
     * hits the other side's full postings (asymmetric prefix bound; the
     * symmetric prefix×prefix join Jaccard uses is NOT recall-exact here).
     * `maxDocFreq` caps candidate blowup as in [[jaccardPairs]] (dropped
-    * shingles undercount `inter` — conservative).
+    * shingles undercount `inter` — conservative); `pairBudget` is
+    * [[jaccardPairs]]' output-quadratic guard rail, shared mechanism and
+    * semantics (exact join over a √(budget/estimate) doc sample when the
+    * estimate exceeds the budget; unset in the oracle entries).
     *
     * Output: (id_a, id_b, inter, sz_a, sz_b, containment) with id_a <
     * id_b and containment the exact integer ratio — bit-reproducible in
@@ -745,12 +786,25 @@ object Dedup {
       maxDocFreq: Option[Long] = None,
       strategy: String = "auto",
       autoCountMaxDf: Long = 1000,
-      autoSampleFraction: Double = 1.0): DataFrame = {
+      autoSampleFraction: Double = 1.0,
+      pairBudget: Option[Long] = None): DataFrame = {
     require(autoSampleFraction > 0 && autoSampleFraction <= 1,
       s"autoSampleFraction out of (0,1]: $autoSampleFraction")
-    val idx = shingleIndex(df, id, text, shingleK, maxDocFreq)
+    require(pairBudget.forall(_ > 0),
+      s"pairBudget must be positive: $pairBudget")
+    val idx0 = shingleIndex(df, id, text, shingleK, maxDocFreq)
+    // shared stats pass + budget degrade — identical to [[jaccardPairs]]
+    val stats =
+      if (strategy == "auto" || pairBudget.isDefined)
+        Some(indexStats(idx0.indexed, autoSampleFraction))
+      else None
+    val idx = pairBudget match {
+      case Some(b) if stats.exists(_._2 > b) =>
+        budgetSampledIndex(idx0, stats.get._2, b)
+      case _ => idx0
+    }
     val sized = (if (strategy == "auto")
-      autoPickStrategy(idx.indexed, autoCountMaxDf, autoSampleFraction)
+      (if (stats.get._1 <= autoCountMaxDf) "count" else "prefix")
     else strategy) match {
       case "count" => interSizedPairs(idx.indexed, idx.sizes)
       case "prefix" =>
@@ -898,26 +952,53 @@ object Dedup {
       .join(broadcast(sizes.select(col("id").as("id_b"), col("sz").as("sz_b"))),
         Seq("id_b"))
 
-  /** The runtime count-vs-prefix strategy rule shared by [[jaccardPairs]]
-    * and [[selfContainmentPairs]]: sampled max shingle document frequency
-    * (optionally from a deterministic doc hash-sample, scaled back up),
-    * `count` under the cap, `prefix` above it — ONE copy, so the two
-    * joins can never diverge on when the Σ df² blowup forces the bounded
-    * plan.
+  /** ONE statistics pass over the (optionally doc-hash-sampled) postings:
+    * (max shingle document frequency, estimated candidate-pair count
+    * Σ_s df(s)·(df(s)−1)/2), both scaled back up by the sample fraction —
+    * maxDf by 1/f, pairs by 1/f² (each pair survives a doc sample with
+    * probability f²). The maxDf drives the count-vs-prefix strategy pick;
+    * the pair estimate drives the [[jaccardPairs]]/[[selfContainmentPairs]]
+    * pair-budget guard. Shared so the two consumers can never disagree on
+    * what was measured, and so auto + budget together still cost one pass.
     */
-  private def autoPickStrategy(indexed: DataFrame, autoCountMaxDf: Long,
-      autoSampleFraction: Double): String = {
+  private[operators] def indexStats(indexed: DataFrame,
+      sampleFraction: Double): (Long, Long) = {
     val stats =
-      if (autoSampleFraction >= 1.0) indexed
+      if (sampleFraction >= 1.0) indexed
       else indexed.filter(TextFunctions.hash32(col("id").cast("string")) <
-        lit((autoSampleFraction * 4294967296.0).toLong))
-    val sampledMax = stats.groupBy(col("sfp")).agg(count(lit(1)).as("df"))
-      .agg(max(col("df"))).head() match {
-      case r if r.isNullAt(0) => 0L // empty corpus
-      case r => r.getLong(0)
-    }
-    val maxDf = math.ceil(sampledMax / autoSampleFraction).toLong
-    if (maxDf <= autoCountMaxDf) "count" else "prefix"
+        lit((sampleFraction * 4294967296.0).toLong))
+    // the pair sum is an ESTIMATE for a guard — compute it in double
+    // (df² on a stop-shingle over 10⁹ docs overflows a long, and ANSI
+    // would throw inside the statistics pass meant to PREVENT blowups)
+    val r = stats.groupBy(col("sfp")).agg(count(lit(1)).as("df"))
+      .agg(max(col("df")),
+        sum(col("df").cast("double") * (col("df") - 1L).cast("double")
+          / lit(2.0))).head()
+    if (r.isNullAt(0)) (0L, 0L) // empty corpus
+    else (math.ceil(r.getLong(0) / sampleFraction).toLong,
+      math.ceil(math.min(r.getDouble(1) /
+        (sampleFraction * sampleFraction), Long.MaxValue.toDouble)).toLong)
+  }
+
+  /** The pair-budget degrade: when the estimated candidate-pair volume
+    * exceeds `budget`, restrict the WHOLE index (sets, postings, sizes)
+    * to a deterministic doc hash-sample sized so the expected surviving
+    * pair count fits the budget (pairs thin quadratically in the doc
+    * fraction, so fraction = sqrt(budget / estimate)) — the
+    * [[jaccardHistogram]] sampling stance applied as a guard rail. The
+    * output is then the EXACT pair join over a documented reproducible
+    * subset — a calibration-grade answer in bounded time — instead of an
+    * unbounded quadratic join (the ×64 containment stress ran 27 minutes
+    * before being aborted by hand; this is the machine version of that
+    * abort, placed BEFORE the work).
+    */
+  private def budgetSampledIndex(idx: ShingleIndex, pairEst: Long,
+      budget: Long): ShingleIndex = {
+    val fraction = math.sqrt(budget.toDouble / pairEst.toDouble)
+    val cut = lit((fraction * 4294967296.0).toLong)
+    def keep(d: DataFrame) =
+      d.filter(TextFunctions.hash32(col("id").cast("string")) < cut)
+    ShingleIndex(keep(idx.sets), keep(idx.indexed), keep(idx.sizes))
   }
 
   /** Per-set prefix keep-count `|s| − ceil(t'·|s|) + 1` in PURE INTEGER

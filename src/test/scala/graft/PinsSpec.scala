@@ -52,4 +52,43 @@ class PinsSpec extends SparkSpec {
     // pins are freed after each job — including the failing one
     assert(Pins.livePinCount === 0)
   }
+
+  test("Runner-loop soak: N ticks of pinning jobs plus a NearDupState " +
+      "bootstrap-per-tick job leave zero live pins and no stacked state " +
+      "caches after every tick — the end-to-end Pins contract") {
+    import org.apache.spark.storage.StorageLevel
+    Pins.unpinAll()
+    val journal = new engine.Journal(spark,
+      Files.createTempDirectory("graft-soak-journal").toString + "/j")
+    val runner = new engine.Runner(spark, journal)
+    // track every tick's bootstrap cache so the spec can assert the
+    // SPECIFIC frames were freed (never the global persistent-RDD count —
+    // suites share the session; the round-13 lesson)
+    val bootCaches = scala.collection.mutable.ArrayBuffer
+      .empty[org.apache.spark.sql.DataFrame]
+    runner.register(engine.Job("pinning-op", Duration.ZERO, s =>
+      operators.TextIndex.selfBleu(docs, col("doc_id"), col("text")).count()))
+    runner.register(engine.Job("neardup-bootstrap", Duration.ZERO, s => {
+      // the caller-owned pattern: bootstrap, use, CLOSE — without close()
+      // each tick would stack one MEMORY_AND_DISK signature frame
+      val st = operators.Dedup.NearDupState.build(
+        docs, col("doc_id"), col("text"))
+      st.cached.foreach(bootCaches += _)
+      val n = st.bands.count() + st.postings.count()
+      st.close()
+      n
+    }))
+    val ticks = 5
+    (1 to ticks).foreach { i =>
+      val results = runner.runOnce().toMap
+      assert(results.values.forall(_ == "SUCCEED"), s"tick $i: $results")
+      assert(Pins.livePinCount === 0, s"live pins after tick $i")
+      // every bootstrap cache created SO FAR is released — storage is
+      // stable tick over tick, not stacking
+      bootCaches.foreach(c =>
+        assert(c.storageLevel === StorageLevel.NONE,
+          s"tick $i left a bootstrap cache pinned"))
+    }
+    assert(bootCaches.size === ticks) // the job genuinely cached per tick
+  }
 }

@@ -773,6 +773,55 @@ class DedupSpec extends SparkSpec {
     assert(run("prefix") === expect)
   }
 
+  test("pairBudget guard: a planted quadratic corpus trips the budget and " +
+      "degrades BOTH pair joins to the exact join over a deterministic " +
+      "doc sample; under the budget the output is untouched; the pair " +
+      "estimate is exact at fraction 1") {
+    // 120 near-identical docs -> ~120·119/2 = 7140 output pairs at any
+    // sane threshold: the ANSWER is quadratic, the shape the 27-minute
+    // ×64 containment abort had
+    val quad = (1 to 120).map(i =>
+      (i.toLong, s"alpha beta gamma delta epsilon zeta eta theta marker$i"))
+      .toDF("doc_id", "text")
+    def jac(budget: Option[Long]) =
+      Dedup.jaccardPairs(quad, col("doc_id"), col("text"),
+          threshold = 0.5, pairBudget = budget)
+        .as[(Long, Long, Double)].collect().sortBy(t => (t._1, t._2)).toSeq
+    val full = jac(None)
+    assert(full.size === 120 * 119 / 2) // the quadratic answer, complete
+    val guarded = jac(Some(200L))
+    // fraction = sqrt(200/estimate) thins docs ~6x, pairs ~36x; the
+    // surviving pairs must be EXACTLY the full join's pairs among the
+    // sampled ids (deterministic hash sample, not an approximation)
+    assert(guarded.nonEmpty && guarded.size < full.size / 4,
+      s"guard did not thin: ${guarded.size} of ${full.size}")
+    val sampledIds = guarded.flatMap(p => Seq(p._1, p._2)).toSet
+    val expected = full.filter(p =>
+      sampledIds.contains(p._1) && sampledIds.contains(p._2))
+    assert(guarded.toSet.subsetOf(full.toSet))
+    // every full-join pair between two sampled docs survives (exactness
+    // over the subset): near-identical docs pair all-with-all, so the
+    // guarded output IS the complete clique over sampledIds
+    assert(guarded.size === expected.size)
+    // a budget ABOVE the estimate changes nothing
+    assert(jac(Some(1000000L)) === full)
+    // containment shares the guard
+    val cFull = Dedup.selfContainmentPairs(quad, col("doc_id"), col("text"),
+      threshold = 0.5).count()
+    val cGuard = Dedup.selfContainmentPairs(quad, col("doc_id"), col("text"),
+      threshold = 0.5, pairBudget = Some(200L)).count()
+    assert(cFull === (120L * 119 / 2))
+    assert(cGuard > 0 && cGuard < cFull / 4, s"$cGuard of $cFull")
+    // the estimator itself: at fraction 1 the stats pass counts
+    // Σ df(df−1)/2 exactly — on this corpus every one of the 7 shared
+    // 3-shingles has df = 120 (the marker tail shingles are unique)
+    val idx = Dedup.shinglePostings(quad.select(col("doc_id").as("id"),
+      TextFunctions.wordShingleSet(col("text"), 3).as("set")))
+    val (maxDf, est) = Dedup.indexStats(idx, 1.0)
+    assert(maxDf === 120L)
+    assert(est >= 120L * 119 / 2) // at least the shared-shingle cliques
+  }
+
   test("prefixKeepCount: the Column expr equals the pure-integer core " +
       "(the CurationProps laws certify the SHIPPED arithmetic) over a " +
       "size sweep at several thresholds") {
