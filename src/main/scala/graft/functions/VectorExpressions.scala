@@ -377,6 +377,94 @@ case class PqAdcPacked(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** All PREFIX cosines of two `array<float>` embeddings in ONE fused pass —
+  * the Matryoshka-audit kernel: element j is
+  * `cosine_sim(slice(a, 1, dims(j)), slice(b, 1, dims(j)))` and the LAST
+  * element is the full-dimension cosine, every one BIT-EQUAL to
+  * [[CosineSimilarity]] over the sliced arrays (prefix dot/norm sums are
+  * snapshots of the same strict left-to-right double fold, so equality is
+  * by construction, and SimilaritySpec pins it). Replaces |dims|+1
+  * separate corpus scans with one: the accumulators pass each prefix
+  * boundary anyway on the way to the full dimension.
+  *
+  * Per-element null contract mirrors the sliced composition exactly: an
+  * element is null when the two SLICED lengths differ (only possible on
+  * length-mismatched inputs) or the sliced denominator is zero (a
+  * zero-norm prefix). `dims` must be strictly increasing and positive.
+  */
+case class PrefixCosines(left: Expression, right: Expression,
+    dims: Seq[Int]) extends BinaryExpression with ExpectsInputTypes {
+  require(dims.nonEmpty, "need at least one prefix dim")
+  require(dims.forall(_ >= 1) && dims == dims.sorted &&
+    dims.distinct.size == dims.size,
+    s"prefix dims must be strictly increasing positive ints: $dims")
+
+  override def inputTypes: Seq[AbstractDataType] =
+    Seq(ArrayType(FloatType), ArrayType(FloatType))
+  override def dataType: DataType =
+    ArrayType(DoubleType, containsNull = true)
+  override def nullable: Boolean = true
+  override def prettyName: String = "prefix_cosines"
+
+  /** Public bridge for the generated code (the NativeUnaryCodegen
+    * pattern, binary form).
+    */
+  def evalPair(a: Any, b: Any): Any = nullSafeEval(a, b)
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val nx = x.numElements()
+    val ny = y.numElements()
+    val n = math.min(nx, ny)
+    val out = new Array[Any](dims.length + 1)
+    var dot = 0.0
+    var sx = 0.0
+    var sy = 0.0
+    var i = 0
+    var j = 0
+    def snap(): Any = {
+      val denom = math.sqrt(sx) * math.sqrt(sy)
+      if (denom == 0.0) null else Double.box(dot / denom)
+    }
+    while (i < n) {
+      // snapshot BEFORE consuming element i when a prefix boundary ends
+      // here (boundary m consumed elements 0..m-1)
+      while (j < dims.length && dims(j) == i) {
+        out(j) = snap()
+        j += 1
+      }
+      val xv = x.getFloat(i).toDouble
+      val yv = y.getFloat(i).toDouble
+      dot += xv * yv
+      sx += xv * xv
+      sy += yv * yv
+      i += 1
+    }
+    while (j < dims.length) {
+      // boundaries at or past min(nx, ny): the sliced lengths are
+      // min(m, nx) vs min(m, ny) — equal iff nx == ny (the slices
+      // saturate to the full vectors) OR m == min(nx, ny) (the shorter
+      // side is exactly consumed and the longer one slices down to it)
+      out(j) = if (nx == ny || dims(j) == n) snap() else null
+      j += 1
+    }
+    out(dims.length) = if (nx == ny) snap() else null
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("prefixCos", this, classOf[PrefixCosines].getName)
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"${ev.value} = (org.apache.spark.sql.catalyst.util.ArrayData) " +
+        s"$ref.evalPair($a, $b);")
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
 /** Column-level entry points for vector math. */
 object VectorFunctions {
 
@@ -384,6 +472,11 @@ object VectorFunctions {
   def cosineSim(a: Column, b: Column): Column =
     ExpressionUtils.column(
       CosineSimilarity(ExpressionUtils.expression(a), ExpressionUtils.expression(b)))
+
+  /** All prefix cosines + the full cosine in one pass (see [[PrefixCosines]]). */
+  def prefixCosines(a: Column, b: Column, dims: Seq[Int]): Column =
+    ExpressionUtils.column(PrefixCosines(
+      ExpressionUtils.expression(a), ExpressionUtils.expression(b), dims))
 
   /** Int8 codes of an `array<float>` column (see [[QuantizeInt8]]). */
   def quantizeInt8(v: Column): Column =

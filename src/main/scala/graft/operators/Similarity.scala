@@ -937,26 +937,63 @@ object Similarity {
     * vector whose prefix is all-zero scores NaN cosines at that m and
     * wins nothing — same stance as the LSH/PQ paths.
     *
-    * Scale shape: the full-dimension truth is computed ONCE and pinned
-    * for the |prefixDims| comparisons (released at the caller's boundary
-    * via [[graft.Pins.unpinAll]]); each prefix pays one corpus scan with
-    * the probe side broadcast — the audit's intrinsic cost, linear in
-    * |prefixDims|, and each scan reads narrower vectors. Nothing
-    * corpus-sized is exchanged: per-query candidates stay bounded by the
-    * TopK aggregator.
+    * Scale shape: ONE corpus scan with the probe side broadcast — the
+    * native [[graft.functions.VectorFunctions.prefixCosines]] kernel
+    * emits every prefix's cosine plus the full-dimension cosine per
+    * (probe, doc) pair in one fused fold (prefix dot/norm sums are
+    * snapshots of the full fold, bit-equal to slicing by construction —
+    * the round-16 audit paid one scan PER prefix for the same numbers).
+    * Per-(prefix, query) candidates stay bounded in the partial-first
+    * TopK aggregator; the top-k table (|prefixes+1|·|probes|·k rows) is
+    * pinned for its exact/hit/denominator consumers and released at the
+    * caller's boundary via [[graft.Pins.unpinAll]]. Nothing corpus-sized
+    * is exchanged.
     */
   def matryoshkaRecall(probes: DataFrame, corpus: DataFrame,
       prefixDims: Seq[Int], k: Int): DataFrame = {
     require(prefixDims.nonEmpty, "need at least one prefix dim")
-    require(prefixDims.forall(_ >= 1), s"prefix dims must be >= 1: $prefixDims")
-    def trunc(df: DataFrame, m: Int): DataFrame =
-      df.select(col("vec_id"), slice(col("embedding"), 1, m).as("embedding"))
-    val exact = graft.Pins.pin(bruteForceTopK(probes, corpus, k))
-    prefixDims.map { m =>
-      recallReport(exact, bruteForceTopK(trunc(probes, m), trunc(corpus, m), k))
-        .select(lit(m).as("m"), col("query_id"), col("n_exact"),
-          col("n_hit"), col("recall"))
-    }.reduce(_ unionByName _)
+    require(prefixDims.forall(_ >= 1) && prefixDims == prefixDims.sorted &&
+      prefixDims.distinct.size == prefixDims.size,
+      s"prefix dims must be strictly increasing: $prefixDims")
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val p = prefixDims.length // cs index p = the full-dimension cosine
+    val q = broadcast(probes.select(col("vec_id").as("query_id"),
+      col("embedding").as("qv")))
+    val scored = corpus.select(col("vec_id").as("neighbor_id"),
+        col("embedding").as("cv"))
+      .join(q, col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        posexplode(VectorFunctions.prefixCosines(col("qv"), col("cv"),
+          prefixDims)).as(Seq("j", "cos")))
+      .filter(col("cos").isNotNull) // zero-norm prefixes win nothing
+    val topkAgg = TopKAggregator.topK(k)
+    // pinned: the top-k table feeds the exact set, the per-prefix hit
+    // join AND the per-query denominator — released at the caller's
+    // materialization boundary
+    val tops = graft.Pins.pin(
+      scored.groupBy(col("j"), col("query_id"))
+        .agg(topkAgg(col("neighbor_id"), col("cos")).as("top"))
+        .select(col("j"), col("query_id"),
+          explode(col("top")).as("s"))
+        .select(col("j"), col("query_id"), col("s.id").as("neighbor_id")))
+    val exact = tops.filter(col("j") === p)
+      .select(col("query_id"), col("neighbor_id"))
+    val nExact = exact.groupBy(col("query_id"))
+      .agg(count(lit(1)).as("n_exact"))
+    val mDf = broadcast(prefixDims.zipWithIndex.map { case (m, j) => (j, m) }
+      .toDF("j", "m"))
+    val hits = tops.filter(col("j") < p)
+      .join(exact, Seq("query_id", "neighbor_id"), "left_semi")
+      .groupBy(col("j"), col("query_id")).agg(count(lit(1)).as("n_hit"))
+    // one row per (prefix, query-with-exact-neighbors) — recallReport's
+    // exact output contract, all prefixes in one frame
+    nExact.crossJoin(mDf)
+      .join(hits, Seq("j", "query_id"), "left")
+      .select(col("m"), col("query_id"), col("n_exact"),
+        coalesce(col("n_hit"), lit(0L)).as("n_hit"))
+      .withColumn("recall",
+        col("n_hit").cast("double") / col("n_exact").cast("double"))
   }
 
   /** Margin-based bitext mining (Artetxe & Schwenk 2019 — the

@@ -676,6 +676,39 @@ class SimilaritySpec extends SparkSpec {
     assert(out === Seq((2, 0L, 2L, 1L, 0.5), (4, 0L, 2L, 2L, 1.0)))
   }
 
+  test("prefixCosines kernel: every element bit-equals cosineSim over the " +
+      "sliced arrays — zero-norm prefixes null, mismatched lengths null, " +
+      "full dim last — on randomized and adversarial vectors") {
+    val rnd = new scala.util.Random(7)
+    def vec(n: Int) = Seq.fill(n)(rnd.nextFloat() * 2 - 1)
+    val rows = (1 to 40).map(i => (i.toLong, vec(16), vec(16))) ++ Seq(
+      (101L, Seq(0f, 0f, 0f, 1f) ++ vec(12), vec(16)), // zero-norm prefix
+      (102L, vec(16), Seq(0f, 0f, 0f, 0f) ++ vec(12)),
+      (103L, vec(16), vec(12)),                        // length mismatch
+      (104L, vec(8), vec(16)),
+      (105L, Seq.fill(16)(0f), vec(16))                // zero-norm full
+    )
+    val df = rows.toDF("id", "a", "b")
+    val dims = Seq(2, 3, 8, 16)
+    val kernel = df.select(col("id"),
+        org.apache.spark.sql.graft.VectorFunctions.prefixCosines(col("a"), col("b"),
+          dims).as("cs"))
+      .as[(Long, Seq[Option[Double]])].collect().toMap
+    val sliced = dims.map(m => df.select(col("id"),
+        org.apache.spark.sql.graft.VectorFunctions.cosineSim(
+          slice(col("a"), 1, m), slice(col("b"), 1, m)).as("c"))
+      .as[(Long, Option[Double])].collect().toMap)
+    val full = df.select(col("id"),
+        org.apache.spark.sql.graft.VectorFunctions.cosineSim(col("a"), col("b")).as("c"))
+      .as[(Long, Option[Double])].collect().toMap
+    rows.map(_._1).foreach { id =>
+      dims.indices.foreach { j =>
+        assert(kernel(id)(j) === sliced(j)(id), s"id=$id m=${dims(j)}")
+      }
+      assert(kernel(id)(dims.length) === full(id), s"id=$id full")
+    }
+  }
+
   test("labelNoiseScreen: a clean labeling yields an empty screen") {
     def near(x: Float, y: Float, eps: Float) = Array(x + eps, y, 0f, 0f)
     val rows = Seq(

@@ -863,16 +863,20 @@ class PlanSpec extends SparkSpec {
     assert("HashAggregate".r.findAllIn(p).size >= 4, p)
   }
 
-  test("matryoshka_audit: every prefix search keeps bruteForceTopK's " +
-      "shape — probes broadcast, bounded TopK aggs, no window over " +
-      "scored rows") {
+  test("matryoshka_audit: ONE corpus scan — the prefix_cosines kernel " +
+      "emits all prefix scores in one broadcast join; bounded TopK agg, " +
+      "no window over scored rows") {
     val p = plan(Pipeline.matryoshkaAuditQ(spark, dir))
     assert(!p.contains("CartesianProduct"), p)
     assert(!p.contains(") Window"), p)
-    // 4 searches (full + 3 prefixes) each broadcast the probe side
-    assert("BroadcastNestedLoopJoin".r.findAllIn(p).size >= 4, p)
-    // per-query candidates stay in the bounded TopK aggregator
-    assert("ObjectHashAggregate".r.findAllIn(p).size >= 4, p)
+    assert(p.contains("prefix_cosines"), p)
+    // the old plan ran FOUR separate cosine_sim corpus scans (full + 3
+    // prefixes); the one-pass kernel replaces every one of them — node
+    // counts are unreliable here because the pinned top-k frame's
+    // lineage reprints per consumer, so assert on the kernel swap itself
+    assert(!p.contains("cosine_sim"), p)
+    // per-(prefix, query) candidates stay in the bounded TopK aggregator
+    assert("ObjectHashAggregate".r.findAllIn(p).size >= 1, p)
   }
 
   test("dedup_containment: the shared count-strategy machinery — size " +
