@@ -9,12 +9,42 @@ import org.apache.spark.sql.functions._
   * a production vocab ([[graft.operators.Unigram]]'s BpeTrainBench twin).
   *
   * {{{ sbt "runMain graft.tools.UnigramTrainBench /root/testdata/sf0.1 256 6" }}}
+  *
+  * The driver fixtures have CLOSED vocabularies (sf0.1: 31 distinct
+  * words; stress ×16: 47) — useless for bounding the driver-local
+  * trainer at production dictionary sizes. A fourth argument > 0
+  * swaps in a deterministic synthetic Zipf dictionary of that many
+  * distinct words (seeded; 3–12-char words over a letter distribution,
+  * frequency ∝ 1/rank — the Heaps/Zipf shape a real crawl dictionary
+  * has), so the 10⁵-word trainer bound is measurable:
+  *
+  * {{{ sbt "runMain graft.tools.UnigramTrainBench - 8192 8 100000" }}}
   */
 object UnigramTrainBench {
+
+  /** Deterministic Zipf dictionary: `w` distinct words, frequency
+    * ⌈w/rank⌉ — ~w·ln(w) total occurrences, the rank-frequency shape of
+    * a natural-language dictionary.
+    */
+  private def zipfDict(w: Int, seed: Long): Seq[(String, Long)] = {
+    val rnd = new scala.util.Random(seed)
+    val letters = "etaoinshrdlcumwfgypbvkjxqz"
+    val seen = scala.collection.mutable.LinkedHashSet.empty[String]
+    while (seen.size < w) {
+      val len = 3 + rnd.nextInt(10)
+      seen += (0 until len).map(_ =>
+        letters(math.min(rnd.nextInt(letters.length),
+          rnd.nextInt(letters.length)))).mkString
+    }
+    seen.iterator.zipWithIndex
+      .map { case (word, r) => (word, (w.toLong / (r + 1)).max(1L)) }.toSeq
+  }
+
   def main(args: Array[String]): Unit = {
     val dir = args.headOption.getOrElse("/root/testdata/sf0.1")
     val vocabExtra = args.lift(1).map(_.toInt).getOrElse(256)
     val maxPieceLen = args.lift(2).map(_.toInt).getOrElse(6)
+    val synthWords = args.lift(3).map(_.toInt).getOrElse(0)
     val spark = graft.GraftSession.configure(
       SparkSession.builder()
         .master("local[8]")
@@ -23,8 +53,14 @@ object UnigramTrainBench {
         .getOrCreate())
     spark.sparkContext.setLogLevel("ERROR")
 
-    val dictDf = graft.operators.Bpe.wordCounts(
-      spark.read.parquet(s"$dir/documents.parquet"), col("text"))
+    import spark.implicits._
+    val dictDf = (if (synthWords > 0)
+      zipfDict(synthWords, seed = 42L).toDF("word", "n")
+        .withColumn("syms", // wordCounts' symbol column, for the BPE twin
+          concat(filter(split(col("word"), ""), s => length(s) > 0),
+            array(lit(graft.operators.Bpe.EndMark))))
+    else graft.operators.Bpe.wordCounts(
+      spark.read.parquet(s"$dir/documents.parquet"), col("text")))
       .localCheckpoint()
     val dict = dictDf.select(col("word"), col("n")).collect()
       .map(r => (r.getString(0), r.getLong(1))).toSeq
