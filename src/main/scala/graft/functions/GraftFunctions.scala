@@ -157,6 +157,19 @@ object GraftFunctions {
         litInt(exprs(3), "span_corrupt rate"),
         litInt(exprs(4), "span_corrupt spanLen"))
     }, "built-in")
+    reg.createOrReplaceTempFunction("char_ngram_dim_counts", exprs => {
+      arity(exprs, 3, "char_ngram_dim_counts(text, n, dims)")
+      org.apache.spark.sql.graft.CharNgramDimCounts(exprs(0),
+        litInt(exprs(1), "char_ngram_dim_counts n"),
+        litInt(exprs(2), "char_ngram_dim_counts dims"))
+    }, "built-in")
+    reg.createOrReplaceTempFunction("prefix_cosines", exprs => {
+      require(exprs.length >= 3,
+        "prefix_cosines(a, b, dim, ...) needs >= 1 prefix dim")
+      org.apache.spark.sql.graft.PrefixCosines(exprs(0), exprs(1),
+        exprs.drop(2).zipWithIndex.map { case (e, i) =>
+          litInt(e, s"prefix_cosines dim ${i + 1}") })
+    }, "built-in")
 
     // http_get(url [, timeoutMs [, headers]]) / http_post(url, content |
     // url, timeoutMs, headers, content) → struct<code,headers,content>.

@@ -238,6 +238,34 @@ class GraftFunctionsSpec extends SparkSpec {
     intercept[Exception] {
       spark.sql("SELECT multi_pattern_hits('x', rand()::VARCHAR)").head()
     }
+    // char_ngram_dim_counts: SQL form matches the column-form kernel and
+    // the kernel params must be literals
+    val cn = spark.sql(
+      "SELECT char_ngram_dim_counts('abcab', 3, 16)")
+      .head().getSeq[org.apache.spark.sql.Row](0)
+      .map(r => (r.getInt(0), r.getLong(1)))
+    val cnCol = Seq(Tuple1("abcab")).toDF("t")
+      .select(org.apache.spark.sql.graft.CharNgramDimCounts
+        .charNgramDimCounts(org.apache.spark.sql.functions.col("t"), 3, 16))
+      .head().getSeq[org.apache.spark.sql.Row](0)
+      .map(r => (r.getInt(0), r.getLong(1)))
+    assert(cn === cnCol && cn.map(_._2).sum === 3L) // 3 grams of "abcab"
+    intercept[Exception] {
+      spark.sql("SELECT char_ngram_dim_counts('x', 3, CAST(rand()*4 AS INT))")
+        .head()
+    }
+    // prefix_cosines: varargs prefix dims + the full cosine last,
+    // element-equal to cosine_sim over slices
+    val pc = spark.sql(
+      "SELECT prefix_cosines(array(1.0f, 1.0f, 0.0f), " +
+        "array(1.0f, 0.0f, 1.0f), 1, 2)")
+      .head().getSeq[java.lang.Double](0)
+    val pcRef = spark.sql(
+      "SELECT array(cosine_sim(array(1.0f), array(1.0f)), " +
+        "cosine_sim(array(1.0f, 1.0f), array(1.0f, 0.0f)), " +
+        "cosine_sim(array(1.0f, 1.0f, 0.0f), array(1.0f, 0.0f, 1.0f)))")
+      .head().getSeq[java.lang.Double](0)
+    assert(pc === pcRef)
   }
 
   test("cosine_sim null on length mismatch; matches scala reference fold") {
