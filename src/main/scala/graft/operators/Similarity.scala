@@ -886,21 +886,29 @@ object Similarity {
     val joined = l.select(col("vec_id").as("query_id"),
         col("label").as("label"))
       .join(broadcast(withNl), Seq("query_id"))
-    val perQuery = joined.groupBy(col("query_id"), col("label"))
-      .agg(min(when(col("__nl") === col("label"), col("rank")))
-          .as("first_rel_rank"),
-        sum(when(col("__nl") === col("label"), 1L).otherwise(0L))
-          .as("n_rel_topk"))
+    // pinned: perQuery feeds BOTH the selfIn semi join's broadcast side
+    // and the finale's left input — unpinned, the topk×labels join and
+    // aggregation run twice (the conformalCalibration two-consumer rule);
+    // released at the caller's materialization boundary
+    val perQuery = graft.Pins.pin(
+      joined.groupBy(col("query_id"), col("label"))
+        .agg(min(when(col("__nl") === col("label"), col("rank")))
+            .as("first_rel_rank"),
+          sum(when(col("__nl") === col("label"), 1L).otherwise(0L))
+            .as("n_rel_topk")))
     // self-exclusion is EXPLICIT: the query's own row subtracts from the
     // relevant-corpus denominator only when the query genuinely is a
     // corpus member under its own label — exact for both the same-corpus
     // default and a disjoint probe set. Shape: the corpus label table
     // streams through a semi join against the broadcast query set, so the
-    // flag frame is |queries|-sized and broadcasts back.
+    // flag frame is |queries|-sized and broadcasts back. `.distinct()`:
+    // a labels table carrying duplicate (vec_id, label) rows must flag
+    // the query ONCE, not fan the finale's left join out per duplicate.
     val selfIn = broadcast(
       cl.select(col("vec_id").as("query_id"), col("label"))
         .join(broadcast(perQuery.select(col("query_id"), col("label"))),
           Seq("query_id", "label"), "left_semi")
+        .distinct()
         .withColumn("__self", lit(1L)))
     // left joins: a query whose label has NO corpus members at all (only
     // possible with a disjoint corpusLabels) still reports, with

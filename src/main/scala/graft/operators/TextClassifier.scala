@@ -106,6 +106,15 @@ object TextClassifier {
     * family-specific ([[graft.queries.PinnedArtifacts.LangLrWeights]] vs
     * `LangLrWeightsFast`) — NEVER apply one family's weights to the
     * other's features.
+    *
+    * Duplicate-id contract: "md5"'s groupBy merges rows sharing an id
+    * into one (id, dim) count; "fast" stays map-only and emits one count
+    * set PER INPUT ROW, so a duplicate-id frame yields duplicate
+    * (id, dim) rows. Identical for every additive consumer
+    * ([[linearScoresPinned]] sums either shape to the same scores —
+    * spec'd); a consumer that assumes unique (id, dim) keys (sparse
+    * vector assembly) must merge first, as
+    * [[graft.tools.TrainArtifacts]] does.
     */
   def hashedGramCounts(df: DataFrame, id: Column, text: Column,
       n: Int, dims: Int, family: String = "md5"): DataFrame = family match {

@@ -43,6 +43,9 @@ trait StreamGatesFam {
     * (streamDir, lateHalf, emptiness). Equal-ts rows land on one side of
     * the cut, so per-user (ts, tie) delivery order — the cross-batch
     * contract of the mapGroupsWithState handlers — holds by construction.
+    * Null-ts rows are excluded by contract (both `<= cut` and `> cut`
+    * drop them) — every gate's oracle filters `ts IS NOT NULL` to match;
+    * the driver fixtures have none, the filter pins the contract.
     */
   private def splitToStreamDir(ev: DataFrame, tsCol: String,
       scratch: String): Option[(String, DataFrame)] = {
@@ -53,15 +56,39 @@ trait StreamGatesFam {
     Some((scratch, ev.filter(col(tsCol) > cut)))
   }
 
+  /** The event-time twin of [[splitToStreamDir]], shared by the two
+    * watermarked window gates: midpoint split on a TIMESTAMP column,
+    * plus a far-future sentinel row appended to the late half (its epoch
+    * second is returned) to push the watermark past every real window
+    * for the append-mode flush — ONE copy of the cut/sentinel
+    * arithmetic, so the gates cannot drift.
+    */
+  private def splitWithSentinel(ev: DataFrame, scratch: String,
+      sentinel: Long => DataFrame): Option[(String, DataFrame, Long)] = {
+    val b = ev.agg(min(col("event_time")).cast("long").as("lo"),
+      max(col("event_time")).cast("long").as("hi")).head()
+    if (b.isNullAt(0)) return None
+    val (lo, hi) = (b.getLong(0), b.getLong(1)) // epoch seconds
+    val cut = timestamp_seconds(lit((lo + hi) / 2))
+    val far = hi + 10L * 366 * 24 * 3600
+    ev.filter(col("event_time") <= cut).write.mode("overwrite")
+      .parquet(scratch)
+    Some((scratch,
+      ev.filter(col("event_time") > cut).unionByName(sentinel(far)), far))
+  }
+
   private def runTwoBatches(stream: DataFrame, sinkMode: String,
       lateBatch: => Unit): (SparkSession, String) = {
     val name = s"graft_sgate_${gateSeq.incrementAndGet()}"
     val q = stream.writeStream.format("memory").queryName(name)
       .outputMode(sinkMode).start()
-    q.processAllAvailable() // micro-batch 1: the early half
-    lateBatch
-    q.processAllAvailable() // micro-batch 2 (+ no-data finalize batch)
-    q.stop()
+    // stop() in finally: a failed batch must not leak an active stream
+    // polling a scratch dir the NEXT gate invocation overwrites
+    try {
+      q.processAllAvailable() // micro-batch 1: the early half
+      lateBatch
+      q.processAllAvailable() // micro-batch 2 (+ no-data finalize batch)
+    } finally q.stop()
     (stream.sparkSession, name)
   }
 
@@ -78,8 +105,8 @@ trait StreamGatesFam {
     */
   def transitionsFromStreamQ(s: SparkSession, dir: String): DataFrame = {
     val ss = streamSession(s)
-    val ev = T.events(ss, dir).select(col("user_id"), col("ts"),
-      col("event_type"), col("event_id"))
+    val ev = T.events(ss, dir).filter(col("ts").isNotNull)
+      .select(col("user_id"), col("ts"), col("event_type"), col("event_id"))
     val scratch = Engine.scratchPath("graft-transitions-stream", dir)
     splitToStreamDir(ev, "ts", scratch) match {
       case None =>
@@ -104,7 +131,7 @@ trait StreamGatesFam {
     """WITH e AS (
       |  SELECT user_id, epoch_us(ts) * 1000 AS tsn, event_type AS et,
       |    event_id
-      |  FROM events),
+      |  FROM events WHERE ts IS NOT NULL),
       |w AS (
       |  SELECT user_id, et, lag(et) OVER win AS pet,
       |    tsn - lag(tsn) OVER win AS gap
@@ -129,14 +156,18 @@ trait StreamGatesFam {
     */
   def funnelFromStreamQ(s: SparkSession, dir: String): DataFrame = {
     val ss = streamSession(s)
+    import ss.implicits._
     val steps = Seq("view", "click", "purchase")
-    val ev = T.events(ss, dir).select(col("user_id"), col("ts"),
-      col("event_type"))
+    val ev = T.events(ss, dir).filter(col("ts").isNotNull)
+      .select(col("user_id"), col("ts"), col("event_type"))
     val scratch = Engine.scratchPath("graft-funnel-stream", dir)
     splitToStreamDir(ev, "ts", scratch) match {
       case None =>
-        return ss.range(0).select(lit(0).as("step"),
-          lit("").as("step_name"), lit(0L).as("users_reached"))
+        // the oracle (funnelReportOracle) ALWAYS emits its three step
+        // rows — an empty corpus reports zeros, not an empty frame
+        return steps.zipWithIndex
+          .map { case (n, i) => (i + 1, n, 0L) }
+          .toDF("step", "step_name", "users_reached")
       case Some((streamDir, late)) =>
         val src = Streams.parquetStream(ss, streamDir, ev,
           glob = Some("*.parquet"))
@@ -173,34 +204,29 @@ trait StreamGatesFam {
   def trendingFromStreamQ(s: SparkSession, dir: String): DataFrame = {
     val ss = streamSession(s)
     val ev = Streams.withEventTime(T.events(ss, dir))
+      .filter(col("event_time").isNotNull)
       .select(col("event_time"), col("props"))
-    val b = ev.agg(min(col("event_time")).cast("long").as("lo"),
-      max(col("event_time")).cast("long").as("hi")).head()
-    if (b.isNullAt(0))
-      return ss.range(0).select(lit(java.sql.Date.valueOf("1970-01-01"))
-        .as("day"), lit(0).as("rank"), lit("").as("term"), lit(0L).as("cnt"))
-    val (lo, hi) = (b.getLong(0), b.getLong(1)) // epoch seconds
-    val cut = timestamp_seconds(lit((lo + hi) / 2))
     val streamDir = Engine.scratchPath("graft-trending-stream", dir)
-    ev.filter(col("event_time") <= cut).write.mode("overwrite")
-      .parquet(streamDir)
-    val far = hi + 10L * 366 * 24 * 3600
-    val tt = Streams.trendingTerms(
-      Streams.parquetStream(ss, streamDir, ev, glob = Some("*.parquet")),
-      col("event_time"), col("props"), "1 day", "0 seconds",
-      k = 1024, topN = 5)
-    val (sess, name) = runTwoBatches(tt, "append", {
-      ev.filter(col("event_time") > cut)
-        .unionByName(ev.sparkSession.range(1).select(
-          timestamp_seconds(lit(far)).as("event_time"),
-          lit("x").as("props")))
-        .write.mode("append").parquet(streamDir)
-    })
-    sess.table(name)
-      .filter(col("win_start") < timestamp_seconds(lit(far - 24 * 3600)))
-      .select(col("win_start").cast("date").as("day"), col("rank"),
-        col("term"), col("cnt"))
-      .orderBy(col("day"), col("rank"))
+    splitWithSentinel(ev, streamDir, far => ev.sparkSession.range(1)
+      .select(timestamp_seconds(lit(far)).as("event_time"),
+        lit("x").as("props"))) match {
+      case None =>
+        return ss.range(0).select(lit(java.sql.Date.valueOf("1970-01-01"))
+          .as("day"), lit(0).as("rank"), lit("").as("term"),
+          lit(0L).as("cnt"))
+      case Some((dir2, late, far)) =>
+        val tt = Streams.trendingTerms(
+          Streams.parquetStream(ss, dir2, ev, glob = Some("*.parquet")),
+          col("event_time"), col("props"), "1 day", "0 seconds",
+          k = 1024, topN = 5)
+        val (sess, name) = runTwoBatches(tt, "append",
+          late.write.mode("append").parquet(dir2))
+        sess.table(name)
+          .filter(col("win_start") < timestamp_seconds(lit(far - 24 * 3600)))
+          .select(col("win_start").cast("date").as("day"), col("rank"),
+            col("term"), col("cnt"))
+          .orderBy(col("day"), col("rank"))
+    }
   }
 
   val trendingFromStreamOracle: String =
@@ -208,7 +234,7 @@ trait StreamGatesFam {
       |  SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
       |    unnest(CASE WHEN trim(props) = '' THEN []::VARCHAR[]
       |      ELSE string_split_regex(trim(props), '\s+') END) AS term
-      |  FROM events),
+      |  FROM events WHERE ts IS NOT NULL),
       |g AS (SELECT day, term, CAST(COUNT(*) AS BIGINT) AS cnt
       |      FROM t GROUP BY 1, 2),
       |r AS (
@@ -234,35 +260,29 @@ trait StreamGatesFam {
   def windowQuantilesFromStreamQ(s: SparkSession, dir: String): DataFrame = {
     val ss = streamSession(s)
     val ev = Streams.withEventTime(T.events(ss, dir))
+      .filter(col("event_time").isNotNull)
       .select(col("event_time"), col("value"))
-    val b = ev.agg(min(col("event_time")).cast("long").as("lo"),
-      max(col("event_time")).cast("long").as("hi")).head()
-    if (b.isNullAt(0))
-      return ss.range(0).select(lit(java.sql.Date.valueOf("1970-01-01"))
-        .as("day"), lit(0.0).as("p50"), lit(0.0).as("p90"),
-        lit(0.0).as("p99"), lit(0L).as("n"))
-    val (lo, hi) = (b.getLong(0), b.getLong(1))
-    val cut = timestamp_seconds(lit((lo + hi) / 2))
     val streamDir = Engine.scratchPath("graft-wq-stream", dir)
-    ev.filter(col("event_time") <= cut).write.mode("overwrite")
-      .parquet(streamDir)
-    val far = hi + 10L * 366 * 24 * 3600
-    val wq = Streams.windowQuantiles(
-      Streams.parquetStream(ss, streamDir, ev, glob = Some("*.parquet")),
-      col("event_time"), col("value"), "1 day", "0 seconds",
-      probs = Seq(0.5, 0.9, 0.99), k = 1024)
-    val (sess, name) = runTwoBatches(wq, "append", {
-      ev.filter(col("event_time") > cut)
-        .unionByName(ev.sparkSession.range(1).select(
-          timestamp_seconds(lit(far)).as("event_time"),
-          lit(0.0).as("value")))
-        .write.mode("append").parquet(streamDir)
-    })
-    sess.table(name)
-      .filter(col("win_start") < timestamp_seconds(lit(far - 24 * 3600)))
-      .select(col("win_start").cast("date").as("day"),
-        col("p50"), col("p90"), col("p99"), col("n"))
-      .orderBy(col("day"))
+    splitWithSentinel(ev, streamDir, far => ev.sparkSession.range(1)
+      .select(timestamp_seconds(lit(far)).as("event_time"),
+        lit(0.0).as("value"))) match {
+      case None =>
+        return ss.range(0).select(lit(java.sql.Date.valueOf("1970-01-01"))
+          .as("day"), lit(0.0).as("p50"), lit(0.0).as("p90"),
+          lit(0.0).as("p99"), lit(0L).as("n"))
+      case Some((dir2, late, far)) =>
+        val wq = Streams.windowQuantiles(
+          Streams.parquetStream(ss, dir2, ev, glob = Some("*.parquet")),
+          col("event_time"), col("value"), "1 day", "0 seconds",
+          probs = Seq(0.5, 0.9, 0.99), k = 1024)
+        val (sess, name) = runTwoBatches(wq, "append",
+          late.write.mode("append").parquet(dir2))
+        sess.table(name)
+          .filter(col("win_start") < timestamp_seconds(lit(far - 24 * 3600)))
+          .select(col("win_start").cast("date").as("day"),
+            col("p50"), col("p90"), col("p99"), col("n"))
+          .orderBy(col("day"))
+    }
   }
 
   val windowQuantilesFromStreamOracle: String =
@@ -272,7 +292,7 @@ trait StreamGatesFam {
       |  quantile_disc(value, 0.99) AS p99,
       |  CAST(COUNT(*) AS BIGINT) AS n
       |FROM events
-      |WHERE value IS NOT NULL AND NOT isnan(value)
+      |WHERE ts IS NOT NULL AND value IS NOT NULL AND NOT isnan(value)
       |GROUP BY 1
       |ORDER BY day""".stripMargin
 
@@ -291,6 +311,7 @@ trait StreamGatesFam {
   def dedupWatermarkFromStreamQ(s: SparkSession, dir: String): DataFrame = {
     val ss = streamSession(s)
     val ev = Streams.withEventTime(T.events(ss, dir))
+      .filter(col("event_time").isNotNull)
       .select(col("event_time"), col("user_id"), col("event_type"))
     val b = ev.agg(min(col("event_time")).cast("long").as("lo"),
       max(col("event_time")).cast("long").as("hi")).head()
@@ -315,7 +336,7 @@ trait StreamGatesFam {
 
   val dedupWatermarkFromStreamOracle: String =
     """SELECT DISTINCT user_id, event_type
-      |FROM events
+      |FROM events WHERE ts IS NOT NULL
       |ORDER BY user_id, event_type""".stripMargin
 }
 

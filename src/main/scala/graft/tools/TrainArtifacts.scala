@@ -110,7 +110,12 @@ object TrainArtifacts {
         .toSeq // BEFORE map: a Map of (labelIdx, vector) would dedupe by
         // the label key and silently train on one document per class
         .map { case ((_, lang), rows) =>
+          // merge duplicate dims defensively: the "fast" family is
+          // map-only and emits one count set per INPUT ROW, so a
+          // duplicate-id frame would hand SparseVector duplicate indices
+          // (throws); summing is the exact merge either family implies
           val pairs = rows.map(r => (r.getLong(2).toInt, r.getLong(3).toDouble))
+            .groupBy(_._1).view.mapValues(_.map(_._2).sum).toSeq
             .sortBy(_._1)
           (lIdx(lang).toDouble, org.apache.spark.ml.linalg.Vectors.sparse(
             dims, pairs.map(_._1).toArray, pairs.map(_._2).toArray))

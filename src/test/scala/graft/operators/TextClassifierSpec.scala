@@ -82,6 +82,27 @@ class TextClassifierSpec extends SparkSpec {
     assert(run(d.repartition(3)) === out)
   }
 
+  test("duplicate-id frames: every additive consumer sees the same scores " +
+      "from both families' count shapes (md5 merges per (id, dim), fast " +
+      "emits per input row — the documented contract)") {
+    // unit weights make scoreq = total gram count + bias, a
+    // hash-family-independent number — so the two families' scores must
+    // agree EXACTLY on a frame where id 1 appears twice
+    val w = Seq(("a", 0L, Seq.fill(8)(1L)), ("b", 5L, Seq.fill(8)(0L)))
+    val dup = Seq((1L, "abcdef"), (1L, "xyzw"), (2L, "hello"))
+      .toDF("doc_id", "text")
+    val scores = Seq("md5", "fast").map { fam =>
+      TextClassifier.linearScoresPinned(dup, col("doc_id"), col("text"),
+          w, n = 3, dims = 8, family = fam)
+        .as[(Long, String, Long, Long)].collect()
+        .sortBy(t => (t._1, t._2)).toSeq
+    }
+    assert(scores(0) === scores(1))
+    // id 1: 4 grams of "abcdef" + 2 of "xyzw" = 6; id 2: 3 grams
+    assert(scores(0).map(r => (r._1, r._2, r._4)) === Seq(
+      (1L, "a", 6L), (1L, "b", 5L), (2L, "a", 3L), (2L, "b", 5L)))
+  }
+
   test("fast featurizer kernel: bit-equal to the declarative built-in " +
       "xxhash64 composition on unicode/empty/short/long texts AND the " +
       "real documents corpus") {
