@@ -190,6 +190,74 @@ object TextFunctions {
       regexp_replace(lower(c), "[^a-z0-9\\s]", ""),
       "\\s+", " "))
 
+  /** Candidate payment-card numbers: contiguous 13–19-digit runs on word
+    * boundaries — the PAN shape every card network uses. Feed each through
+    * [[luhnValid]] to separate real card numbers from order ids / tracking
+    * numbers: blind digit-run redaction ([[redactPii]]'s `<NUM>` pass)
+    * over-redacts, while a Luhn-gated pass targets actual PANs. RE2-safe
+    * pattern, codegen'd builtin.
+    */
+  def panCandidates(c: Column): Column =
+    regexp_extract_all(c, lit("\\b[0-9]{13,19}\\b"), lit(0))
+
+  /** Luhn (mod-10) checksum validity of a digit string — the checksum all
+    * payment-card numbers carry: from the RIGHTMOST digit, double every
+    * second digit (subtracting 9 when the double exceeds 9) and require
+    * the sum ≡ 0 mod 10. Pure integer arithmetic over `ascii` codes, so a
+    * DuckDB oracle replays it bit-for-bit with the same fold; null/empty
+    * input is not valid. Declarative HOF, but it runs over the handful of
+    * PAN candidates per document, never the corpus text.
+    */
+  def luhnValid(c: Column): Column = {
+    val r = reverse(c)
+    val sum = aggregate(
+      sequence(lit(0), length(c) - 1),
+      lit(0),
+      (acc, i) => {
+        val d = ascii(r.substr(i + lit(1), lit(1))) - lit(48)
+        acc + when(i % 2 === 1,
+          when(d > 4, d * 2 - 9).otherwise(d * 2)).otherwise(d)
+      })
+    length(c) > 0 && sum % 10 === 0
+  }
+
+  /** Crawl-dedup URL canonicalization: drop the fragment, lowercase the
+    * scheme://host[:port] prefix (path/query case is significant, host
+    * case is not), strip the scheme's default port (https:443, http:80),
+    * remove tracking parameters (utm_*, fbclid, gclid), sort the
+    * remaining query parameters, normalize an empty path to "/", and drop
+    * an emptied query entirely. The same resource crawled via
+    * `HTTPS://Example.COM:443/p?utm_source=x&b=2&a=1#top` and
+    * `https://example.com/p?a=1&b=2` hashes apart raw but identical
+    * canonical — the cheap URL-level dedup pass that runs BEFORE any
+    * content fetch. RE2-safe anchored patterns; the parameter
+    * filter/sort is a HOF over the (tiny) parameter array; everything
+    * else is codegen'd builtins, map-only at any scale.
+    */
+  def canonicalUrl(c: Column): Column = {
+    val noFrag = regexp_replace(c, "#.*$", "")
+    val prefix = lower(regexp_extract(noFrag,
+      "^([A-Za-z][A-Za-z0-9+.-]*://[^/?#]*)", 1))
+    val rest = regexp_replace(noFrag,
+      "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*", "")
+    val prefixNoPort = regexp_replace(
+      regexp_replace(prefix, "^(https://[^/?#:]*):443$", "$1"),
+      "^(http://[^/?#:]*):80$", "$1")
+    val path = regexp_replace(rest, "\\?.*$", "")
+    val q = when(instr(rest, "?") > 0,
+      regexp_replace(rest, "^[^?]*\\?", "")).otherwise(lit(""))
+    // startsWith, not LIKE: `_` is a single-char LIKE wildcard, so
+    // 'utm_%' would also match 'utmx...' — the oracle escapes it, the
+    // engine side must be literal too
+    val params = filter(split(q, "&"), p =>
+      !(p.startsWith("utm_") || p.startsWith("fbclid=") ||
+        p.startsWith("gclid=") || p === ""))
+    val cleanQ = array_join(array_sort(params), "&")
+    concat(prefixNoPort,
+      when(path === "", lit("/")).otherwise(path),
+      when(cleanQ === "", lit("")).otherwise(concat(lit("?"), cleanQ)))
+  }
+
   /** 60-bit content fingerprint: first 15 hex digits of md5, as BIGINT.
     * Stable across engines (md5 is md5 everywhere), collision-safe enough
     * for dedup bucketing at 100 TB (~2^30 docs vs 2^60 space).

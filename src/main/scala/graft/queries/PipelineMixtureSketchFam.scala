@@ -537,6 +537,123 @@ trait PipelineMixtureSketchFam extends PipelineSimilarityFam {
       |FROM documents
       |ORDER BY doc_id""".stripMargin
 
+  /** Luhn-gated payment-card (PAN) detection
+    * ([[graft.functions.TextFunctions.panCandidates]] +
+    * [[graft.functions.TextFunctions.luhnValid]]): per document, how many
+    * 13–19-digit candidate runs appear and how many pass the mod-10 card
+    * checksum — the signal that separates REAL card numbers (redact,
+    * always) from order ids / tracking numbers (often fine to keep).
+    * Candidates are planted deterministically: one known-valid PAN, one
+    * doc_id-derived 16-digit number whose Luhn validity varies with the
+    * id, and a 5-digit run that must NOT be a candidate. The oracle
+    * replays the extraction and the full checksum fold in integer
+    * arithmetic. Map-only at any scale.
+    */
+  def piiPanReport(s: SparkSession, dir: String): DataFrame = {
+    val planted = concat(col("text"), lit(" pay 4111111111111111 ref 400000"),
+      lpad(col("doc_id").cast("string"), 10, "0"), lit(" ord 12345 tail"))
+    val cands = TextFunctions.panCandidates(planted)
+    T(s, dir, "documents")
+      .select(col("doc_id"),
+        size(cands).cast("long").as("n_candidates"),
+        size(filter(cands, TextFunctions.luhnValid(_))).cast("long")
+          .as("n_luhn_valid"))
+      .orderBy(col("doc_id"))
+  }
+
+  val piiPanReportOracle: String =
+    """WITH p AS (
+      |  SELECT doc_id,
+      |    regexp_extract_all(
+      |      text || ' pay 4111111111111111 ref 400000' ||
+      |        lpad(CAST(doc_id AS VARCHAR), 10, '0') || ' ord 12345 tail',
+      |      '\b[0-9]{13,19}\b') AS cands
+      |  FROM documents),
+      |v AS (
+      |  SELECT doc_id, cands,
+      |    list_filter(cands, c ->
+      |      list_reduce(list_prepend(0, list_transform(
+      |        range(0, length(c)),
+      |        i -> CASE WHEN i % 2 = 1 THEN
+      |               CASE WHEN ascii(substr(reverse(c), i + 1, 1)) - 48 > 4
+      |                 THEN (ascii(substr(reverse(c), i + 1, 1)) - 48) * 2 - 9
+      |                 ELSE (ascii(substr(reverse(c), i + 1, 1)) - 48) * 2 END
+      |             ELSE ascii(substr(reverse(c), i + 1, 1)) - 48 END)),
+      |        (a, b) -> a + b) % 10 = 0) AS valid
+      |  FROM p)
+      |SELECT doc_id, CAST(len(cands) AS BIGINT) AS n_candidates,
+      |  CAST(len(valid) AS BIGINT) AS n_luhn_valid
+      |FROM v
+      |ORDER BY doc_id""".stripMargin
+
+  /** URL canonicalization dedup
+    * ([[graft.functions.TextFunctions.canonicalUrl]]): deterministic URL
+    * variants (host case, default port, tracking params in shuffled
+    * order, fragments) collapse to one canonical form per resource — the
+    * crawl-frontier dedup that runs BEFORE any fetch. Variants are
+    * synthesized per doc so every canonicalization rule is exercised;
+    * the oracle replays each rule with the same anchored regexes and
+    * parameter filter/sort.
+    */
+  def urlCanonicalDedup(s: SparkSession, dir: String): DataFrame = {
+    val raw = when(pmod(col("doc_id"), lit(3)) === 0,
+      concat(lit("HTTPS://WWW.Example.COM:443/p/"),
+        pmod(col("doc_id"), lit(50)).cast("string"),
+        lit("?b=2&utm_source=x&a=1#sec")))
+      .when(pmod(col("doc_id"), lit(3)) === 1,
+        concat(lit("https://www.example.com/p/"),
+          pmod(col("doc_id"), lit(50)).cast("string"),
+          lit("?a=1&gclid=zz&b=2")))
+      .otherwise(concat(lit("https://www.example.com:443/p/"),
+        pmod(col("doc_id"), lit(50)).cast("string"), lit("?b=2&a=1")))
+    T(s, dir, "documents")
+      .select(TextFunctions.canonicalUrl(raw).as("canonical_url"))
+      .groupBy(col("canonical_url"))
+      .agg(count(lit(1)).as("n_urls"))
+      .orderBy(col("canonical_url"))
+  }
+
+  val urlCanonicalDedupOracle: String =
+    """WITH raw AS (
+      |  SELECT CASE doc_id % 3
+      |    WHEN 0 THEN 'HTTPS://WWW.Example.COM:443/p/' || (doc_id % 50)
+      |      || '?b=2&utm_source=x&a=1#sec'
+      |    WHEN 1 THEN 'https://www.example.com/p/' || (doc_id % 50)
+      |      || '?a=1&gclid=zz&b=2'
+      |    ELSE 'https://www.example.com:443/p/' || (doc_id % 50)
+      |      || '?b=2&a=1' END AS u
+      |  FROM documents),
+      |st AS (
+      |  SELECT regexp_replace(u, '#.*$', '') AS nf FROM raw),
+      |parts AS (
+      |  SELECT
+      |    regexp_replace(regexp_replace(
+      |      lower(regexp_extract(nf, '^([A-Za-z][A-Za-z0-9+.-]*://[^/?#]*)', 1)),
+      |      '^(https://[^/?#:]*):443$', '\1'),
+      |      '^(http://[^/?#:]*):80$', '\1') AS pre,
+      |    regexp_replace(nf, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*', '') AS rest
+      |  FROM st),
+      |pq AS (
+      |  SELECT pre,
+      |    regexp_replace(rest, '\?.*$', '') AS path,
+      |    CASE WHEN instr(rest, '?') > 0
+      |      THEN regexp_replace(rest, '^[^?]*\?', '') ELSE '' END AS q
+      |  FROM parts),
+      |canon AS (
+      |  SELECT pre ||
+      |    CASE WHEN path = '' THEN '/' ELSE path END ||
+      |    CASE WHEN cq = '' THEN '' ELSE '?' || cq END AS canonical_url
+      |  FROM (
+      |    SELECT pre, path,
+      |      array_to_string(list_sort(list_filter(string_split(q, '&'),
+      |        p -> NOT (p LIKE 'utm\_%' ESCAPE '\' OR p LIKE 'fbclid=%'
+      |          OR p LIKE 'gclid=%' OR p = ''))), '&') AS cq
+      |    FROM pq))
+      |SELECT canonical_url, CAST(COUNT(*) AS BIGINT) AS n_urls
+      |FROM canon
+      |GROUP BY 1
+      |ORDER BY canonical_url""".stripMargin
+
   /** Repetition quality signals (duplicate-segment fraction, top-segment
     * share) over '.'-separated segments — the Gopher/C4-style repetition
     * filters as exact integer-ratio doubles.

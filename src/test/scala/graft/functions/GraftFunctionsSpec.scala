@@ -98,6 +98,47 @@ class GraftFunctionsSpec extends SparkSpec {
     assert(out(4) === "no pii here at all")
   }
 
+  test("luhnValid: known-valid PANs pass, off-by-one checksums fail, " +
+      "short/empty strings fail; panCandidates takes 13-19 digit runs only") {
+    val cases = Seq(
+      ("4111111111111111", true),  // classic Visa test PAN
+      ("4111111111111112", false), // checksum off by one
+      ("79927398713", true),       // the canonical Luhn example
+      ("79927398714", false),
+      ("0000000000000000", true),  // all zeros sum to 0
+      ("", false)
+    ).toDF("c", "expect")
+    val got = cases.select($"expect",
+        TextFunctions.luhnValid($"c").as("got"))
+      .as[(Boolean, Boolean)].collect()
+    got.foreach { case (e, g) => assert(e === g) }
+    val cands = Seq(Tuple1(
+      "pay 4111111111111111 ord 123456789012 big 12345678901234567890 x"))
+      .toDF("t").select(TextFunctions.panCandidates($"t"))
+      .head().getSeq[String](0)
+    // 12 digits too short, 20 too long — only the 16-digit run qualifies
+    assert(cands === Seq("4111111111111111"))
+  }
+
+  test("canonicalUrl: fragment dropped, scheme/host lowercased (path case " +
+      "kept), default ports stripped, tracking params removed, params " +
+      "sorted, empty path -> /, emptied query dropped") {
+    val got = Seq(
+      "HTTPS://WWW.Example.COM:443/Path/X?b=2&utm_source=x&a=1#frag",
+      "https://www.example.com/Path/X?a=1&b=2",
+      "http://Host.com:80",
+      "https://h.io:8443/p?utm_campaign=c&fbclid=f&gclid=g",
+      "https://h.io/p?z=1&y=2&utmx=keep"
+    ).toDF("u").select(TextFunctions.canonicalUrl($"u").as("c"))
+      .as[String].collect().toSeq
+    assert(got(0) === "https://www.example.com/Path/X?a=1&b=2")
+    assert(got(1) === got(0)) // the dedup collapse this exists for
+    assert(got(2) === "http://host.com/")
+    assert(got(3) === "https://h.io:8443/p") // non-default port KEPT
+    // utmx is NOT utm_-prefixed (literal underscore, not a wildcard)
+    assert(got(4) === "https://h.io/p?utmx=keep&y=2&z=1")
+  }
+
   test("repetitionStats: duplicate-segment and top-segment fractions are exact ratios") {
     val df = Seq(
       (1L, "a b. a b. c d"), // 3 segments, 2 unique: dup 1/3, top 2/3
