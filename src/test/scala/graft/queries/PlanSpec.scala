@@ -879,6 +879,20 @@ class PlanSpec extends SparkSpec {
     assert("ObjectHashAggregate".r.findAllIn(p).size >= 1, p)
   }
 
+  test("pii_pan_report / url_canonical_dedup: map-only scrubbing — no " +
+      "join, no window, no cartesian; url dedup adds exactly one " +
+      "partial-first count agg") {
+    val p1 = plan(Pipeline.piiPanReport(spark, dir))
+    assert(!p1.contains("Join"), p1)
+    assert(!p1.contains(") Window"), p1)
+    val p2 = plan(Pipeline.urlCanonicalDedup(spark, dir))
+    assert(!p2.contains("Join"), p2)
+    assert(!p2.contains(") Window"), p2)
+    assert(!p2.contains("CartesianProduct"), p2)
+    // 2-phase HashAggregate on the canonical string (partial + final)
+    assert("HashAggregate".r.findAllIn(p2).size >= 2, p2)
+  }
+
   test("dedup_containment: the shared count-strategy machinery — size " +
       "dims broadcast, fp-keyed posting self-join, no window, no " +
       "cartesian") {
