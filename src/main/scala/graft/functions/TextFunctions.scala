@@ -218,7 +218,9 @@ object TextFunctions {
         acc + when(i % 2 === 1,
           when(d > 4, d * 2 - 9).otherwise(d * 2)).otherwise(d)
       })
-    length(c) > 0 && sum % 10 === 0
+    // coalesce: a NULL input must read NOT VALID (false), per the doc
+    // contract — a bare null would silently flip NOT-filters downstream
+    coalesce(length(c) > 0 && sum % 10 === 0, lit(false))
   }
 
   /** Crawl-dedup URL canonicalization: drop the fragment, lowercase the
@@ -230,20 +232,38 @@ object TextFunctions {
     * `HTTPS://Example.COM:443/p?utm_source=x&b=2&a=1#top` and
     * `https://example.com/p?a=1&b=2` hashes apart raw but identical
     * canonical — the cheap URL-level dedup pass that runs BEFORE any
-    * content fetch. RE2-safe anchored patterns; the parameter
+    * content fetch. Userinfo (`user@`) keeps its case (RFC 3986 makes it
+    * case-sensitive — lowercasing it would falsely merge distinct
+    * resources) and the default-port strip anchors on the host:port part
+    * AFTER the last '@', so userinfo/IPv6 colons cannot defeat it.
+    * RE2-safe patterns ((?s)/\z, never a bare '$' — Java's '$' also
+    * matches before a trailing newline, RE2's does not); the parameter
     * filter/sort is a HOF over the (tiny) parameter array; everything
     * else is codegen'd builtins, map-only at any scale.
     */
   def canonicalUrl(c: Column): Column = {
-    val noFrag = regexp_replace(c, "#.*$", "")
-    val prefix = lower(regexp_extract(noFrag,
-      "^([A-Za-z][A-Za-z0-9+.-]*://[^/?#]*)", 1))
+    // (?s) + \z instead of bare '.'/'$': Java's '$' matches BEFORE a
+    // final newline while RE2's (the oracle's) matches only end-of-text —
+    // a trailing-newline URL would canonicalize differently per engine
+    val noFrag = regexp_replace(c, "(?s)#.*", "")
+    val scheme = lower(regexp_extract(noFrag,
+      "^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
+    val auth = regexp_extract(noFrag,
+      "^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)", 1)
+    // userinfo (up to the LAST '@') keeps its case — RFC 3986 makes it
+    // case-sensitive; only the host is case-insensitive. lower() on the
+    // host:port part is safe for IPv6 literals too (hex is
+    // case-insensitive there).
+    val userinfo = regexp_extract(auth, "^(.*@)", 1)
+    val hostPort = lower(regexp_replace(auth, "^.*@", ""))
+    val hostNoPort = when(scheme === "https",
+        regexp_replace(hostPort, ":443\\z", ""))
+      .when(scheme === "http", regexp_replace(hostPort, ":80\\z", ""))
+      .otherwise(hostPort)
+    val prefixNoPort = concat(scheme, lit("://"), userinfo, hostNoPort)
     val rest = regexp_replace(noFrag,
       "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*", "")
-    val prefixNoPort = regexp_replace(
-      regexp_replace(prefix, "^(https://[^/?#:]*):443$", "$1"),
-      "^(http://[^/?#:]*):80$", "$1")
-    val path = regexp_replace(rest, "\\?.*$", "")
+    val path = regexp_replace(rest, "(?s)\\?.*", "")
     val q = when(instr(rest, "?") > 0,
       regexp_replace(rest, "^[^?]*\\?", "")).otherwise(lit(""))
     // startsWith, not LIKE: `_` is a single-char LIKE wildcard, so

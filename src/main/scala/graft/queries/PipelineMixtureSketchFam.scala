@@ -572,6 +572,7 @@ trait PipelineMixtureSketchFam extends PipelineSimilarityFam {
       |v AS (
       |  SELECT doc_id, cands,
       |    list_filter(cands, c ->
+      |      length(c) > 0 AND
       |      list_reduce(list_prepend(0, list_transform(
       |        range(0, length(c)),
       |        i -> CASE WHEN i % 2 = 1 THEN
@@ -624,21 +625,30 @@ trait PipelineMixtureSketchFam extends PipelineSimilarityFam {
       |      || '?b=2&a=1' END AS u
       |  FROM documents),
       |st AS (
-      |  SELECT regexp_replace(u, '#.*$', '') AS nf FROM raw),
+      |  SELECT regexp_replace(u, '(?s)#.*', '') AS nf FROM raw),
       |parts AS (
       |  SELECT
-      |    regexp_replace(regexp_replace(
-      |      lower(regexp_extract(nf, '^([A-Za-z][A-Za-z0-9+.-]*://[^/?#]*)', 1)),
-      |      '^(https://[^/?#:]*):443$', '\1'),
-      |      '^(http://[^/?#:]*):80$', '\1') AS pre,
+      |    lower(regexp_extract(nf, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1))
+      |      AS scheme,
+      |    regexp_extract(nf, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1)
+      |      AS auth,
       |    regexp_replace(nf, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*', '') AS rest
       |  FROM st),
+      |pre AS (
+      |  SELECT scheme || '://' || regexp_extract(auth, '^(.*@)', 1) ||
+      |    CASE WHEN scheme = 'https' THEN
+      |        regexp_replace(lower(regexp_replace(auth, '^.*@', '')), ':443\z', '')
+      |      WHEN scheme = 'http' THEN
+      |        regexp_replace(lower(regexp_replace(auth, '^.*@', '')), ':80\z', '')
+      |      ELSE lower(regexp_replace(auth, '^.*@', '')) END AS pre,
+      |    rest
+      |  FROM parts),
       |pq AS (
       |  SELECT pre,
-      |    regexp_replace(rest, '\?.*$', '') AS path,
+      |    regexp_replace(rest, '(?s)\?.*', '') AS path,
       |    CASE WHEN instr(rest, '?') > 0
       |      THEN regexp_replace(rest, '^[^?]*\?', '') ELSE '' END AS q
-      |  FROM parts),
+      |  FROM pre),
       |canon AS (
       |  SELECT pre ||
       |    CASE WHEN path = '' THEN '/' ELSE path END ||

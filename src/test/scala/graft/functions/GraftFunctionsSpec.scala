@@ -139,6 +139,35 @@ class GraftFunctionsSpec extends SparkSpec {
     assert(got(4) === "https://h.io/p?utmx=keep&y=2&z=1")
   }
 
+  test("canonicalUrl: userinfo keeps its case (RFC 3986) and never " +
+      "defeats the default-port strip; IPv6 hosts strip ports too; a " +
+      "trailing newline cannot split the fragment regex across engines") {
+    val got = Seq(
+      "https://Alice@h.io/p",          // userinfo case preserved
+      "https://alice@h.io/p",
+      "https://bob@Example.COM:443/p", // ':' after '@' must still strip
+      "https://[::1]:443/p",           // IPv6 colon must still strip
+      "https://h.io/p#frag\n"          // trailing newline: frag fully gone
+    ).toDF("u").select(TextFunctions.canonicalUrl($"u").as("c"))
+      .as[String].collect().toSeq
+    assert(got(0) === "https://Alice@h.io/p")
+    assert(got(1) === "https://alice@h.io/p")
+    assert(got(0) !== got(1)) // distinct resources stay distinct
+    assert(got(2) === "https://bob@example.com/p")
+    assert(got(3) === "https://[::1]/p")
+    assert(got(4) === "https://h.io/p")
+  }
+
+  test("luhnValid: NULL input reads NOT VALID (false), never NULL — the " +
+      "NOT-filter contract") {
+    val out = Seq(Some("4111111111111111"), None)
+      .toDF("c")
+      .select(TextFunctions.luhnValid($"c").as("v"))
+      .collect()
+    assert(out(0).getBoolean(0) === true)
+    assert(!out(1).isNullAt(0) && out(1).getBoolean(0) === false)
+  }
+
   test("repetitionStats: duplicate-segment and top-segment fractions are exact ratios") {
     val df = Seq(
       (1L, "a b. a b. c d"), // 3 segments, 2 unique: dup 1/3, top 2/3
