@@ -854,6 +854,13 @@ object Similarity {
     * the label, recall_at_k, precision_at_k). recall is null when no
     * relevant corpus items exist to find.
     *
+    * Input contract: label tables carry ONE row per (vec_id, label) —
+    * duplicated rows inflate __lsz and n_rel_topk (an always-on
+    * distinct() here would charge every well-formed caller a corpus
+    * shuffle to defend against a malformed one; the selfIn flag below
+    * is deduped because a fan-out there corrupts row COUNTS, not just
+    * values).
+    *
     * n_rel_corpus contract: by default (`corpusLabels` = None) `labels`
     * IS the corpus label table and every query is itself a corpus row,
     * so the query's own row is excluded (lsz − 1). When the query and

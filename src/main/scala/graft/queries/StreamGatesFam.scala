@@ -58,13 +58,14 @@ trait StreamGatesFam {
 
   /** The event-time twin of [[splitToStreamDir]], shared by the two
     * watermarked window gates: midpoint split on a TIMESTAMP column,
-    * plus a far-future sentinel row appended to the late half (its epoch
-    * second is returned) to push the watermark past every real window
-    * for the append-mode flush — ONE copy of the cut/sentinel
-    * arithmetic, so the gates cannot drift.
+    * optionally plus a far-future sentinel row appended to the late half
+    * (its epoch second is returned) to push the watermark past every
+    * real window for the append-mode flush; sentinel-free consumers
+    * (dedup emits rows immediately, no flush needed) pass None — ONE
+    * copy of the cut/sentinel arithmetic, so the gates cannot drift.
     */
   private def splitWithSentinel(ev: DataFrame, scratch: String,
-      sentinel: Long => DataFrame): Option[(String, DataFrame, Long)] = {
+      sentinel: Option[Long => DataFrame]): Option[(String, DataFrame, Long)] = {
     val b = ev.agg(min(col("event_time")).cast("long").as("lo"),
       max(col("event_time")).cast("long").as("hi")).head()
     if (b.isNullAt(0)) return None
@@ -73,8 +74,9 @@ trait StreamGatesFam {
     val far = hi + 10L * 366 * 24 * 3600
     ev.filter(col("event_time") <= cut).write.mode("overwrite")
       .parquet(scratch)
+    val late = ev.filter(col("event_time") > cut)
     Some((scratch,
-      ev.filter(col("event_time") > cut).unionByName(sentinel(far)), far))
+      sentinel.fold(late)(mk => late.unionByName(mk(far))), far))
   }
 
   private def runTwoBatches(stream: DataFrame, sinkMode: String,
@@ -207,9 +209,9 @@ trait StreamGatesFam {
       .filter(col("event_time").isNotNull)
       .select(col("event_time"), col("props"))
     val streamDir = Engine.scratchPath("graft-trending-stream", dir)
-    splitWithSentinel(ev, streamDir, far => ev.sparkSession.range(1)
+    splitWithSentinel(ev, streamDir, Some(far => ev.sparkSession.range(1)
       .select(timestamp_seconds(lit(far)).as("event_time"),
-        lit("x").as("props"))) match {
+        lit("x").as("props")))) match {
       case None =>
         return ss.range(0).select(lit(java.sql.Date.valueOf("1970-01-01"))
           .as("day"), lit(0).as("rank"), lit("").as("term"),
@@ -263,9 +265,9 @@ trait StreamGatesFam {
       .filter(col("event_time").isNotNull)
       .select(col("event_time"), col("value"))
     val streamDir = Engine.scratchPath("graft-wq-stream", dir)
-    splitWithSentinel(ev, streamDir, far => ev.sparkSession.range(1)
+    splitWithSentinel(ev, streamDir, Some(far => ev.sparkSession.range(1)
       .select(timestamp_seconds(lit(far)).as("event_time"),
-        lit(0.0).as("value"))) match {
+        lit(0.0).as("value")))) match {
       case None =>
         return ss.range(0).select(lit(java.sql.Date.valueOf("1970-01-01"))
           .as("day"), lit(0.0).as("p50"), lit(0.0).as("p90"),
@@ -313,25 +315,21 @@ trait StreamGatesFam {
     val ev = Streams.withEventTime(T.events(ss, dir))
       .filter(col("event_time").isNotNull)
       .select(col("event_time"), col("user_id"), col("event_type"))
-    val b = ev.agg(min(col("event_time")).cast("long").as("lo"),
-      max(col("event_time")).cast("long").as("hi")).head()
-    if (b.isNullAt(0))
-      return ss.range(0).select(lit(0L).as("user_id"),
-        lit("").as("event_type"))
-    val cut = timestamp_seconds(lit((b.getLong(0) + b.getLong(1)) / 2))
     val streamDir = Engine.scratchPath("graft-dwm-stream", dir)
-    ev.filter(col("event_time") <= cut).write.mode("overwrite")
-      .parquet(streamDir)
-    val dd = Streams.dedupWithinWatermark(
-      Streams.parquetStream(ss, streamDir, ev, glob = Some("*.parquet")),
-      keys = Seq("user_id", "event_type"), eventTime = "event_time",
-      delay = "90 days") // horizon > the 31-day corpus: state never expires
-    val (sess, name) = runTwoBatches(dd, "append",
-      ev.filter(col("event_time") > cut).write.mode("append")
-        .parquet(streamDir))
-    sess.table(name)
-      .select(col("user_id"), col("event_type"))
-      .orderBy(col("user_id"), col("event_type"))
+    splitWithSentinel(ev, streamDir, None) match {
+      case None =>
+        ss.range(0).select(lit(0L).as("user_id"), lit("").as("event_type"))
+      case Some((dir2, late, _)) =>
+        val dd = Streams.dedupWithinWatermark(
+          Streams.parquetStream(ss, dir2, ev, glob = Some("*.parquet")),
+          keys = Seq("user_id", "event_type"), eventTime = "event_time",
+          delay = "90 days") // horizon > the 31-day corpus: never expires
+        val (sess, name) = runTwoBatches(dd, "append",
+          late.write.mode("append").parquet(dir2))
+        sess.table(name)
+          .select(col("user_id"), col("event_type"))
+          .orderBy(col("user_id"), col("event_type"))
+    }
   }
 
   val dedupWatermarkFromStreamOracle: String =
@@ -341,12 +339,26 @@ trait StreamGatesFam {
 }
 
 object StreamGates extends StreamGatesFam {
+
+  /** [[graft.queries.Relational.funnelReportOracle]] with the stream
+    * gates' null-ts exclusion spliced into its events CTE — derived, not
+    * copied, so the funnel replay itself stays single-source (editing the
+    * shared oracle directly would silently change the batch
+    * `funnel_report` gate too).
+    */
+  private val funnelStreamOracle: String = {
+    val o = Relational.funnelReportOracle
+    require(o.contains("FROM events)"),
+      "funnelReportOracle shape changed — update the stream splice")
+    o.replace("FROM events)", "FROM events WHERE ts IS NOT NULL)")
+  }
+
   val all: Seq[Q] = Seq(
     Q("transitions_from_stream", transitionsFromStreamQ,
       Some(transitionsFromStreamOracle)),
-    // the batch funnel_report oracle VERBATIM — the *_from_counts pattern
-    Q("funnel_from_stream", funnelFromStreamQ,
-      Some(Relational.funnelReportOracle)),
+    // the batch funnel_report oracle with ONLY the gate's null-ts
+    // contract spliced in — still one source of the funnel replay
+    Q("funnel_from_stream", funnelFromStreamQ, Some(funnelStreamOracle)),
     Q("trending_from_stream", trendingFromStreamQ,
       Some(trendingFromStreamOracle)),
     Q("window_quantiles_from_stream", windowQuantilesFromStreamQ,
