@@ -87,6 +87,40 @@ object NativeExprAdversarialProps extends Properties("NativeExprAdversarial") {
     agreeStr(NfcNormalize(_))
   property("LangScores codegen == interpreted on adversarial Unicode") =
     agreeStr(LangScores(_))
+  property("CharNgrams codegen == interpreted on adversarial Unicode") =
+    agreeStr(CharNgrams(_, n = 3))
+  property("CharNgramDimCounts codegen == interpreted on adversarial " +
+      "Unicode (incl. lone surrogates through the UTF-8 byte walk)") =
+    agreeStr(CharNgramDimCounts(_, n = 3, dims = 16))
+
+  /** CharNgramDimCounts must equal the per-gram model: total count ==
+    * number of grams (max(1, cps−n+1) — short/empty text is ONE
+    * whole-text gram), each dim within [0, dims). Valid-UTF-16 only for
+    * the count identity (lone surrogates replace differently between the
+    * String gram path and the byte-walk; the codegen==interpreted
+    * property above covers those).
+    */
+  property("CharNgramDimCounts count/range model on valid Unicode") = {
+    val validAtoms = atoms.suchThat(s =>
+      !s.exists(ch => Character.isSurrogate(ch)))
+    val valid = Gen.chooseNum(0, 12)
+      .flatMap(n => Gen.listOfN(n, validAtoms)).map(_.mkString)
+    forAll(valid) { s =>
+      val expr = CharNgramDimCounts(
+        BoundReference(0, StringType, nullable = true), n = 3, dims = 16)
+      val out = expr.eval(InternalRow(
+        org.apache.spark.unsafe.types.UTF8String.fromString(s)))
+        .asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+      val rows = (0 until out.numElements())
+        .map(i => out.getStruct(i, 2))
+      val total = rows.map(_.getLong(1)).sum
+      val cps = s.codePointCount(0, s.length)
+      val grams = math.max(1, cps - 3 + 1).toLong
+      total == grams && rows.forall(r =>
+        r.getInt(0) >= 0 && r.getInt(0) < 16 && r.getLong(1) > 0) &&
+        rows.map(_.getInt(0)) == rows.map(_.getInt(0)).sorted
+    }
+  }
 
   /** ShingleFps60 must equal the HOF formulation it replaces: positional
     * space-joined k-grams (whole text when shorter than k) hashed with
