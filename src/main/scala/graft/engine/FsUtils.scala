@@ -61,4 +61,11 @@ class FsUtils(conf: Configuration) {
     fileStatus(path).map(_.getModificationTime).getOrElse(-1L)
 
   def exists(path: String): Boolean = fileStatus(path).isDefined
+
+  /** Recursive delete; no-op (false) when the path does not exist. */
+  def rm(path: String): Boolean = {
+    val p = new Path(path)
+    val f = fs(p)
+    f.exists(p) && f.delete(p, true)
+  }
 }

@@ -398,35 +398,42 @@ case class CharNgramDimCounts(child: Expression, n: Int, dims: Int)
     }
     val counts = buf.get()
     val touched = new java.util.ArrayList[Integer]()
-    def bump(fromByte: Int, toByte: Int): Unit = {
-      val h = org.apache.spark.sql.catalyst.expressions.XXH64
-        .hashUnsafeBytes(base, off + fromByte, toByte - fromByte, Seed)
-      val d = java.lang.Math.floorMod(h, dims.toLong).toInt
-      if (counts(d) == 0L) touched.add(d)
-      counts(d) += 1L
-    }
-    if (cps < n) bump(0, nb) // whole (short/empty) text as ONE gram
-    else {
-      var g = 0
-      val grams = cps - n + 1
-      while (g < grams) {
-        bump(starts(g), if (g + n < cps) starts(g + n) else nb)
-        g += 1
+    // The count buffer is a shared per-thread pool: every touched slot MUST
+    // be re-zeroed even if this eval throws mid-row (an abandoned non-zero
+    // slot would silently inflate the next row evaluated on this thread).
+    try {
+      def bump(fromByte: Int, toByte: Int): Unit = {
+        val h = org.apache.spark.sql.catalyst.expressions.XXH64
+          .hashUnsafeBytes(base, off + fromByte, toByte - fromByte, Seed)
+        val d = java.lang.Math.floorMod(h, dims.toLong).toInt
+        if (counts(d) == 0L) touched.add(d)
+        counts(d) += 1L
       }
+      if (cps < n) bump(0, nb) // whole (short/empty) text as ONE gram
+      else {
+        var g = 0
+        val grams = cps - n + 1
+        while (g < grams) {
+          bump(starts(g), if (g + n < cps) starts(g + n) else nb)
+          g += 1
+        }
+      }
+      val ds = new Array[Int](touched.size)
+      var t = 0
+      while (t < ds.length) { ds(t) = touched.get(t).intValue; t += 1 }
+      java.util.Arrays.sort(ds)
+      val out = new Array[AnyRef](ds.length)
+      t = 0
+      while (t < ds.length) {
+        val d = ds(t)
+        out(t) = InternalRow(d, counts(d))
+        t += 1
+      }
+      new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+    } finally {
+      var t = 0
+      while (t < touched.size) { counts(touched.get(t).intValue) = 0L; t += 1 }
     }
-    val ds = new Array[Int](touched.size)
-    var t = 0
-    while (t < ds.length) { ds(t) = touched.get(t).intValue; t += 1 }
-    java.util.Arrays.sort(ds)
-    val out = new Array[AnyRef](ds.length)
-    t = 0
-    while (t < ds.length) {
-      val d = ds(t)
-      out(t) = InternalRow(d, counts(d))
-      counts(d) = 0L // reset only touched slots for the next row
-      t += 1
-    }
-    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
   }
 
   override protected def withNewChildInternal(newChild: Expression): Expression =

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.graft.HashFunctions
 import graft.functions.TextFunctions
@@ -680,16 +680,20 @@ object Dedup {
     * shingle-heavy corpora (under `"count"` dropped shingles also leave the
     * intersection counts).
     *
-    * `pairBudget` (off by default) is the OUTPUT-quadratic guard rail:
-    * even a perfectly-bounded candidate plan runs unbounded time when the
-    * ANSWER is quadratic (a corpus dominated by near-duplicates — the
-    * ×64 containment stress ran 27 minutes before a hand abort). When the
-    * statistics pass estimates more candidate pairs than the budget, the
-    * whole index degrades to a deterministic doc hash-sample sized so the
-    * expected pair count fits (fraction = √(budget/estimate)) — the
-    * output is then the exact join over that reproducible subset, the
-    * calibration answer [[jaccardHistogram]]'s sampleFraction gives,
-    * instead of an unbounded run. The oracle entries leave it unset.
+    * `pairBudget` (ON by default — [[PairBudget.Auto]], sized shuffle
+    * partitions × `spark.graft.dedup.pairsPerTask`) is the
+    * OUTPUT-quadratic guard rail: even a perfectly-bounded candidate plan
+    * runs unbounded time when the ANSWER is quadratic (a corpus dominated
+    * by near-duplicates — the ×64 containment stress ran 27 minutes
+    * before a hand abort). When the statistics pass estimates more
+    * candidate pairs than the budget, the whole index degrades to a
+    * deterministic doc hash-sample sized so the expected pair count fits
+    * (fraction = √(budget/estimate)) — the output is then the exact join
+    * over that reproducible subset, the calibration answer
+    * [[jaccardHistogram]]'s sampleFraction gives, instead of an unbounded
+    * run. Opt out EXPLICITLY with [[PairBudget.Unbounded]]. The oracle
+    * entries run under Auto, far below the default at every gated SF, so
+    * their answers are the unbounded joins'.
     */
   def jaccardPairs(df: DataFrame, id: Column, text: Column,
       shingleK: Int = 3, threshold: Double = 0.8,
@@ -697,25 +701,13 @@ object Dedup {
       strategy: String = "auto",
       autoCountMaxDf: Long = 1000,
       autoSampleFraction: Double = 1.0,
-      pairBudget: Option[Long] = None): DataFrame = {
+      pairBudget: PairBudget = PairBudget.Auto): DataFrame = {
     require(autoSampleFraction > 0 && autoSampleFraction <= 1,
       s"autoSampleFraction out of (0,1]: $autoSampleFraction")
-    require(pairBudget.forall(_ > 0),
-      s"pairBudget must be positive: $pairBudget")
     val idx0 = shingleIndex(df, id, text, shingleK, maxDocFreq)
-    // ONE statistics pass serves both the auto strategy pick and the
-    // pair-budget guard; when the estimated candidate volume exceeds the
-    // budget, the whole index degrades to a deterministic doc sample
-    // sized to fit it (see budgetSampledIndex) BEFORE any pair join runs
-    val stats =
-      if (strategy == "auto" || pairBudget.isDefined)
-        Some(indexStats(idx0.indexed, autoSampleFraction))
-      else None
-    val ShingleIndex(sets, indexed, sizes) = pairBudget match {
-      case Some(b) if stats.exists(_._2 > b) =>
-        budgetSampledIndex(idx0, stats.get._2, b)
-      case _ => idx0
-    }
+    // shared stats pass + budget degrade + post-degrade maxDf rescale
+    val (ShingleIndex(sets, indexed, sizes), effMaxDf) =
+      statsAndDegrade(idx0, strategy, autoSampleFraction, pairBudget)
 
     def countPairs: DataFrame =
       interSizedPairs(indexed, sizes)
@@ -738,7 +730,7 @@ object Dedup {
       case "count" => countPairs
       case "prefix" => prefixPairs
       case "auto" =>
-        if (stats.get._1 <= autoCountMaxDf) countPairs else prefixPairs
+        if (effMaxDf.get <= autoCountMaxDf) countPairs else prefixPairs
       case other => throw new IllegalArgumentException(
         s"strategy must be 'auto', 'count' or 'prefix', got $other")
     }
@@ -775,7 +767,8 @@ object Dedup {
     * shingles undercount `inter` — conservative); `pairBudget` is
     * [[jaccardPairs]]' output-quadratic guard rail, shared mechanism and
     * semantics (exact join over a √(budget/estimate) doc sample when the
-    * estimate exceeds the budget; unset in the oracle entries).
+    * estimate exceeds the budget; ON by default via [[PairBudget.Auto]],
+    * which the oracle entries sit far below at every gated SF).
     *
     * Output: (id_a, id_b, inter, sz_a, sz_b, containment) with id_a <
     * id_b and containment the exact integer ratio — bit-reproducible in
@@ -787,24 +780,15 @@ object Dedup {
       strategy: String = "auto",
       autoCountMaxDf: Long = 1000,
       autoSampleFraction: Double = 1.0,
-      pairBudget: Option[Long] = None): DataFrame = {
+      pairBudget: PairBudget = PairBudget.Auto): DataFrame = {
     require(autoSampleFraction > 0 && autoSampleFraction <= 1,
       s"autoSampleFraction out of (0,1]: $autoSampleFraction")
-    require(pairBudget.forall(_ > 0),
-      s"pairBudget must be positive: $pairBudget")
     val idx0 = shingleIndex(df, id, text, shingleK, maxDocFreq)
-    // shared stats pass + budget degrade — identical to [[jaccardPairs]]
-    val stats =
-      if (strategy == "auto" || pairBudget.isDefined)
-        Some(indexStats(idx0.indexed, autoSampleFraction))
-      else None
-    val idx = pairBudget match {
-      case Some(b) if stats.exists(_._2 > b) =>
-        budgetSampledIndex(idx0, stats.get._2, b)
-      case _ => idx0
-    }
+    // shared stats pass + budget degrade — ONE helper with jaccardPairs
+    val (idx, effMaxDf) =
+      statsAndDegrade(idx0, strategy, autoSampleFraction, pairBudget)
     val sized = (if (strategy == "auto")
-      (if (stats.get._1 <= autoCountMaxDf) "count" else "prefix")
+      (if (effMaxDf.get <= autoCountMaxDf) "count" else "prefix")
     else strategy) match {
       case "count" => interSizedPairs(idx.indexed, idx.sizes)
       case "prefix" =>
@@ -912,6 +896,77 @@ object Dedup {
     * (id, sz, sfp) postings after the optional df cap; `sizes`: one
     * (id, sz) row per doc.
     */
+  /** Pair-budget policy for the output-quadratic pair joins
+    * ([[jaccardPairs]] / [[selfContainmentPairs]]). The budget is the
+    * guard rail against a corpus whose ANSWER is quadratic (dominated by
+    * near-duplicates): when the statistics pass estimates more candidate
+    * pairs than the budget, the index degrades to a deterministic
+    * √(budget/estimate) doc hash-sample BEFORE any pair join runs.
+    *
+    * Default is [[PairBudget.Auto]] — ON, sized
+    * `spark.sql.shuffle.partitions × spark.graft.dedup.pairsPerTask`
+    * (4 M/task default ⇒ 128 M pairs at the engine's 32 partitions; a
+    * 2000-partition cluster gets 8 B). A caller who truly wants the
+    * unbounded exact join opts out EXPLICITLY with
+    * [[PairBudget.Unbounded]]; [[PairBudget.Fixed]] pins an exact count.
+    * The oracle entries run under Auto and sit far below the default at
+    * every gated SF, so their answers are the unbounded joins'.
+    */
+  sealed trait PairBudget
+  object PairBudget {
+    /** shuffle partitions × `spark.graft.dedup.pairsPerTask` (default 4 M). */
+    case object Auto extends PairBudget
+    /** Explicit opt-out: run the unbounded exact join whatever the estimate. */
+    case object Unbounded extends PairBudget
+    /** Explicit candidate-pair budget. */
+    final case class Fixed(pairs: Long) extends PairBudget {
+      require(pairs > 0, s"pairBudget must be positive: $pairs")
+    }
+  }
+
+  /** Conf key for [[PairBudget.Auto]]'s per-task pair cap. */
+  val PairsPerTaskConf = "spark.graft.dedup.pairsPerTask"
+
+  private def resolvedPairBudget(spark: SparkSession,
+      pb: PairBudget): Option[Long] = pb match {
+    case PairBudget.Unbounded => None
+    case PairBudget.Fixed(n) => Some(n)
+    case PairBudget.Auto =>
+      val parts = math.max(1L,
+        spark.conf.get("spark.sql.shuffle.partitions", "200").toLong)
+      val perTask = spark.conf.get(PairsPerTaskConf, "4000000").toLong
+      require(perTask > 0, s"$PairsPerTaskConf must be positive: $perTask")
+      Some(math.min(parts, Long.MaxValue / perTask) * perTask)
+  }
+
+  /** The shared statistics + pair-budget block of [[jaccardPairs]] and
+    * [[selfContainmentPairs]] — ONE pass serves both the auto strategy
+    * pick and the budget guard. Returns the (possibly budget-degraded)
+    * index plus the effective max shingle df OF THAT INDEX: when the
+    * degrade fires, the per-shingle df of the thinned index shrinks
+    * ~linearly in the doc fraction, so the raw pre-sample maxDf is
+    * rescaled by √(budget/estimate) — the count-vs-prefix pick must be
+    * made against the join that will actually run, not the corpus that
+    * was measured.
+    */
+  private def statsAndDegrade(idx0: ShingleIndex, strategy: String,
+      autoSampleFraction: Double,
+      pairBudget: PairBudget): (ShingleIndex, Option[Long]) = {
+    val budget = resolvedPairBudget(idx0.indexed.sparkSession, pairBudget)
+    val stats =
+      if (strategy == "auto" || budget.isDefined)
+        Some(indexStats(idx0.indexed, autoSampleFraction))
+      else None
+    budget match {
+      case Some(b) if stats.exists(_._2 > b) =>
+        val (maxDf, est) = stats.get
+        val fraction = math.sqrt(b.toDouble / est.toDouble)
+        (budgetSampledIndex(idx0, est, b),
+          Some(math.max(1L, math.ceil(maxDf * fraction).toLong)))
+      case _ => (idx0, stats.map(_._1))
+    }
+  }
+
   private[operators] case class ShingleIndex(
       sets: DataFrame, indexed: DataFrame, sizes: DataFrame)
 

@@ -967,12 +967,14 @@ object Similarity {
   def matryoshkaRecall(probes: DataFrame, corpus: DataFrame,
       prefixDims: Seq[Int], k: Int): DataFrame = {
     require(prefixDims.nonEmpty, "need at least one prefix dim")
-    require(prefixDims.forall(_ >= 1) && prefixDims == prefixDims.sorted &&
-      prefixDims.distinct.size == prefixDims.size,
-      s"prefix dims must be strictly increasing: $prefixDims")
+    require(prefixDims.forall(_ >= 1), s"prefix dims must be >= 1: $prefixDims")
+    // Callers may pass dims in any order (with repeats); the fused kernel
+    // needs them strictly increasing, and the output is keyed by the `m`
+    // column, so normalizing here loses nothing.
+    val dims = prefixDims.distinct.sorted
     val spark = corpus.sparkSession
     import spark.implicits._
-    val p = prefixDims.length // cs index p = the full-dimension cosine
+    val p = dims.length // cs index p = the full-dimension cosine
     val q = broadcast(probes.select(col("vec_id").as("query_id"),
       col("embedding").as("qv")))
     val scored = corpus.select(col("vec_id").as("neighbor_id"),
@@ -980,7 +982,7 @@ object Similarity {
       .join(q, col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"),
         posexplode(VectorFunctions.prefixCosines(col("qv"), col("cv"),
-          prefixDims)).as(Seq("j", "cos")))
+          dims)).as(Seq("j", "cos")))
       .filter(col("cos").isNotNull) // zero-norm prefixes win nothing
     val topkAgg = TopKAggregator.topK(k)
     // pinned: the top-k table feeds the exact set, the per-prefix hit
@@ -996,7 +998,7 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"))
     val nExact = exact.groupBy(col("query_id"))
       .agg(count(lit(1)).as("n_exact"))
-    val mDf = broadcast(prefixDims.zipWithIndex.map { case (m, j) => (j, m) }
+    val mDf = broadcast(dims.zipWithIndex.map { case (m, j) => (j, m) }
       .toDF("j", "m"))
     val hits = tops.filter(col("j") < p)
       .join(exact, Seq("query_id", "neighbor_id"), "left_semi")

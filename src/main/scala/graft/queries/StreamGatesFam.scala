@@ -2,7 +2,7 @@ package graft.queries
 
 import java.util.concurrent.atomic.AtomicInteger
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.streaming.Streams
@@ -51,6 +51,13 @@ trait StreamGatesFam {
       scratch: String): Option[(String, DataFrame)] = {
     val b = ev.agg(min(col(tsCol)).as("lo"), max(col(tsCol)).as("hi")).head()
     if (b.isNullAt(0)) return None
+    // lo < hi guarantees BOTH halves of the midpoint cut are non-empty
+    // (rows at lo land early, rows at hi land late); a degenerate
+    // single-batch split would pass the gate while proving nothing about
+    // the cross-batch state carry, so it must fail loudly instead.
+    require(b.getLong(0) < b.getLong(1),
+      s"degenerate stream split: all rows share $tsCol=${b.getLong(0)} — " +
+        "the gate would run as a single micro-batch")
     val cut = (b.getLong(0) + b.getLong(1)) / 2
     ev.filter(col(tsCol) <= cut).write.mode("overwrite").parquet(scratch)
     Some((scratch, ev.filter(col(tsCol) > cut)))
@@ -70,6 +77,11 @@ trait StreamGatesFam {
       max(col("event_time")).cast("long").as("hi")).head()
     if (b.isNullAt(0)) return None
     val (lo, hi) = (b.getLong(0), b.getLong(1)) // epoch seconds
+    // Same non-degeneracy contract as splitToStreamDir: equal bounds
+    // would put every row in micro-batch 1 and gate nothing.
+    require(lo < hi,
+      s"degenerate stream split: all rows share event_time epoch $lo — " +
+        "the gate would run as a single micro-batch")
     val cut = timestamp_seconds(lit((lo + hi) / 2))
     val far = hi + 10L * 366 * 24 * 3600
     ev.filter(col("event_time") <= cut).write.mode("overwrite")
@@ -77,6 +89,74 @@ trait StreamGatesFam {
     val late = ev.filter(col("event_time") > cut)
     Some((scratch,
       sentinel.fold(late)(mk => late.unionByName(mk(far))), far))
+  }
+
+  /** Three-way time split for the CHECKPOINT-RESTART gates: write the
+    * first tercile of `ev` (by `tsLong`, a LONG-comparable expression) to
+    * the scratch stream dir and return the middle and late terciles as
+    * batch frames, plus the second cut (the restart boundary). Same
+    * loud-fail stance as [[splitToStreamDir]]: a span too short for three
+    * non-trivial cuts throws instead of silently gating a degenerate run.
+    */
+  private def splitThree(ev: DataFrame, tsLong: Column, scratch: String)
+      : Option[(String, DataFrame, DataFrame, Long)] = {
+    val b = ev.agg(min(tsLong).as("lo"), max(tsLong).as("hi")).head()
+    if (b.isNullAt(0)) return None
+    val (lo, hi) = (b.getLong(0), b.getLong(1))
+    require(hi - lo >= 3,
+      s"degenerate restart split: time span ${hi - lo} cannot cut three " +
+        "non-empty micro-batches")
+    val c1 = lo + (hi - lo) / 3
+    val c2 = lo + 2 * ((hi - lo) / 3)
+    ev.filter(tsLong <= c1).write.mode("overwrite").parquet(scratch)
+    Some((scratch, ev.filter(tsLong > c1 && tsLong <= c2),
+      ev.filter(tsLong > c2), c2))
+  }
+
+  /** The checkpoint-restart lifecycle — the recovery path a production
+    * stream lives or dies by (reference intent:
+    * `process/KafkaHelper.scala:42-65` persists offsets to ZooKeeper
+    * exactly so a restarted job resumes where it stopped). Runs
+    * micro-batches 1–2 of `mkStream` under a PERSISTENT checkpoint, stops
+    * the query, appends the third batch's files, then starts a BRAND-NEW
+    * query incarnation on a FRESH child session from the SAME checkpoint
+    * — the only carrier of offsets, watermark, and keyed state across the
+    * boundary (a new runId forces the state store to reload from the
+    * checkpoint files, not reuse in-memory maps). Output accumulates in
+    * `outDir` via foreachBatch parquet-append: the clean stop commits
+    * each batch exactly once, and a BROKEN recovery self-polices — lost
+    * offsets re-process batches 1–2 (duplicated rows), lost state
+    * re-emits suppressed/held rows — either way the hash gate goes red.
+    * Checkpoint and output dirs are wiped at entry (scratch dirs persist
+    * across invocations; resuming a checkpoint against an overwritten
+    * source dir would be chaos).
+    */
+  private def runWithRestart(parent: SparkSession,
+      mkStream: SparkSession => DataFrame, sinkMode: String,
+      ckpt: String, outDir: String,
+      batch2: => Unit, batch3: => Unit): DataFrame = {
+    val fs = new graft.engine.FsUtils(parent)
+    fs.rm(ckpt); fs.rm(outDir)
+    def start(ss: SparkSession) =
+      mkStream(ss).writeStream
+        .option("checkpointLocation", ckpt)
+        .outputMode(sinkMode)
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          batch.write.mode("append").parquet(outDir)
+        }
+        .start()
+    val q1 = start(streamSession(parent))
+    try {
+      q1.processAllAvailable() // micro-batch 1: the early tercile
+      batch2
+      q1.processAllAvailable() // micro-batch 2: the middle tercile
+    } finally q1.stop()
+    batch3
+    val ss2 = streamSession(parent) // fresh session: no in-memory carry
+    val q2 = start(ss2)
+    try q2.processAllAvailable() // micro-batch 3, resumed from checkpoint
+    finally q2.stop()
+    ss2.read.parquet(outDir)
   }
 
   private def runTwoBatches(stream: DataFrame, sinkMode: String,
@@ -336,6 +416,119 @@ trait StreamGatesFam {
     """SELECT DISTINCT user_id, event_type
       |FROM events WHERE ts IS NOT NULL
       |ORDER BY user_id, event_type""".stripMargin
+
+  /** Session transition mining ACROSS A CHECKPOINT RESTART: the
+    * [[transitionsFromStreamQ]] handler run over a three-tercile time
+    * split with the query STOPPED after micro-batch 2 and a brand-new
+    * incarnation (fresh session, same checkpoint) processing batch 3 —
+    * oracle-gated against the very same full-corpus batch replay. The
+    * edges whose from-event precedes the restart cut and whose to-event
+    * follows it exist in the final matrix ONLY if the per-user
+    * (last ts, last type) state was restored from the checkpoint by the
+    * second incarnation. The restart cut is picked FROM the data — the
+    * from-event timestamp of the in-session edge nearest the 2/3 time
+    * point — so a restart-crossing edge exists by construction (a
+    * fixed tercile cut landed in a >30-min corpus-wide quiet gap at
+    * sf0.01 and tripped the vacuity guard); a corpus with no in-session
+    * edges at all still fails loudly. Lost offsets or lost state both
+    * turn the hash red (see [[runWithRestart]]).
+    */
+  def transitionsRestartQ(s: SparkSession, dir: String): DataFrame = {
+    val ss = streamSession(s)
+    val ev = T.events(ss, dir).filter(col("ts").isNotNull)
+      .select(col("user_id"), col("ts"), col("event_type"), col("event_id"))
+    val scratch = Engine.scratchPath("graft-transitions-restart", dir)
+    val ckpt = Engine.scratchPath("graft-transitions-restart-ck", dir)
+    val outDir = Engine.scratchPath("graft-transitions-restart-out", dir)
+    val b = ev.agg(min(col("ts")).as("lo"), max(col("ts")).as("hi")).head()
+    if (b.isNullAt(0))
+      return ss.range(0).select(lit("").as("from_et"), lit("").as("to_et"),
+        lit(0L).as("n"))
+    val (lo, hi) = (b.getLong(0), b.getLong(1))
+    require(hi - lo >= 3,
+      s"degenerate restart split: time span ${hi - lo}")
+    val target = lo + 2 * ((hi - lo) / 3)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    // cut at the from-event of the in-session edge nearest the 2/3 point
+    // (pts >= lo+2 keeps all three terciles non-empty; ts > pts so a cut
+    // can fall strictly between the two events)
+    val cutRow = ev
+      .select(col("ts"), lag(col("ts"), 1).over(w).as("pts"))
+      .filter(col("pts").isNotNull &&
+        col("ts") - col("pts") <= lit(1800L * 1000000000L) &&
+        col("ts") > col("pts") && col("pts") >= lo + 2)
+      .select(col("pts"))
+      .orderBy(abs(col("pts") - lit(target)), col("pts"))
+      .limit(1).collect()
+    require(cutRow.nonEmpty,
+      "no in-session edge available to span the restart cut — the " +
+        "recovery gate would be vacuous")
+    val cut = cutRow(0).getLong(0)
+    val c1 = lo + (cut - lo) / 2 // < cut, >= lo: all three parts non-empty
+    ev.filter(col("ts") <= c1).write.mode("overwrite").parquet(scratch)
+    val mid = ev.filter(col("ts") > c1 && col("ts") <= cut)
+    val late = ev.filter(col("ts") > cut)
+    def mk(sess: SparkSession): DataFrame =
+      Streams.transitionsIngest(
+        Streams.parquetStream(sess, scratch, ev, glob = Some("*.parquet")),
+        col("user_id"), col("ts"), col("event_type"), col("event_id"))
+        .toDF("user_id", "from_et", "to_et")
+    runWithRestart(s, mk, "update", ckpt, outDir,
+      mid.write.mode("append").parquet(scratch),
+      late.write.mode("append").parquet(scratch))
+      .groupBy(col("from_et"), col("to_et"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("from_et"), col("to_et"))
+  }
+
+  /** Watermark-bounded streaming dedup ACROSS A CHECKPOINT RESTART: the
+    * [[dedupWatermarkFromStreamQ]] contract with the query stopped after
+    * micro-batch 2 and batch 3 processed by a new incarnation resumed
+    * from the checkpoint. A key first seen before the restart cut that
+    * re-arrives after it is suppressed ONLY if the dedup state store (and
+    * the watermark, restored from the commit log) survived the restart —
+    * a re-emitted key is a duplicate row and the DISTINCT oracle goes
+    * red. The entry requires such restart-crossing duplicate keys to
+    * exist, so it cannot pass vacuously.
+    */
+  def dedupWatermarkRestartQ(s: SparkSession, dir: String): DataFrame = {
+    val ss = streamSession(s)
+    val ev = Streams.withEventTime(T.events(ss, dir))
+      .filter(col("event_time").isNotNull)
+      .select(col("event_time"), col("user_id"), col("event_type"))
+    val scratch = Engine.scratchPath("graft-dwm-restart", dir)
+    val ckpt = Engine.scratchPath("graft-dwm-restart-ck", dir)
+    val outDir = Engine.scratchPath("graft-dwm-restart-out", dir)
+    val tsLong = col("event_time").cast("long") // epoch seconds
+    splitThree(ev, tsLong, scratch) match {
+      case None =>
+        ss.range(0).select(lit(0L).as("user_id"), lit("").as("event_type"))
+      case Some((streamDir, mid, late, cut)) =>
+        // non-vacuity: some key must occur on BOTH sides of the restart
+        // cut, or suppression-by-recovered-state is never exercised
+        val keys = Seq("user_id", "event_type")
+        val crossing = ev.filter(tsLong <= cut).select(keys.map(col): _*)
+          .distinct()
+          .join(ev.filter(tsLong > cut).select(keys.map(col): _*).distinct(),
+            keys, "inner")
+          .count()
+        require(crossing > 0,
+          "no dedup key spans the restart cut — the recovery gate would " +
+            "be vacuous")
+        def mk(sess: SparkSession): DataFrame =
+          Streams.dedupWithinWatermark(
+            Streams.parquetStream(sess, streamDir, ev,
+              glob = Some("*.parquet")),
+            keys = keys, eventTime = "event_time",
+            delay = "90 days") // horizon > the corpus span: never expires
+        runWithRestart(s, mk, "append", ckpt, outDir,
+          mid.write.mode("append").parquet(streamDir),
+          late.write.mode("append").parquet(streamDir))
+          .select(col("user_id"), col("event_type"))
+          .orderBy(col("user_id"), col("event_type"))
+    }
+  }
 }
 
 object StreamGates extends StreamGatesFam {
@@ -364,5 +557,11 @@ object StreamGates extends StreamGatesFam {
     Q("window_quantiles_from_stream", windowQuantilesFromStreamQ,
       Some(windowQuantilesFromStreamOracle)),
     Q("dedup_watermark_from_stream", dedupWatermarkFromStreamQ,
+      Some(dedupWatermarkFromStreamOracle)),
+    // checkpoint-restart recovery gates: same oracles VERBATIM — the
+    // restarted run must land on the very same full-corpus answer
+    Q("transitions_restart", transitionsRestartQ,
+      Some(transitionsFromStreamOracle)),
+    Q("dedup_watermark_restart", dedupWatermarkRestartQ,
       Some(dedupWatermarkFromStreamOracle)))
 }

@@ -783,13 +783,13 @@ class DedupSpec extends SparkSpec {
     val quad = (1 to 120).map(i =>
       (i.toLong, s"alpha beta gamma delta epsilon zeta eta theta marker$i"))
       .toDF("doc_id", "text")
-    def jac(budget: Option[Long]) =
+    def jac(budget: Dedup.PairBudget) =
       Dedup.jaccardPairs(quad, col("doc_id"), col("text"),
           threshold = 0.5, pairBudget = budget)
         .as[(Long, Long, Double)].collect().sortBy(t => (t._1, t._2)).toSeq
-    val full = jac(None)
+    val full = jac(Dedup.PairBudget.Unbounded)
     assert(full.size === 120 * 119 / 2) // the quadratic answer, complete
-    val guarded = jac(Some(200L))
+    val guarded = jac(Dedup.PairBudget.Fixed(200L))
     // fraction = sqrt(200/estimate) thins docs ~6x, pairs ~36x; the
     // surviving pairs must be EXACTLY the full join's pairs among the
     // sampled ids (deterministic hash sample, not an approximation)
@@ -804,12 +804,30 @@ class DedupSpec extends SparkSpec {
     // guarded output IS the complete clique over sampledIds
     assert(guarded.size === expected.size)
     // a budget ABOVE the estimate changes nothing
-    assert(jac(Some(1000000L)) === full)
+    assert(jac(Dedup.PairBudget.Fixed(1000000L)) === full)
+    // the DEFAULT budget (Auto) also changes nothing here — the derived
+    // shuffle-partitions × pairs-per-task default is far above this
+    // corpus's ~50k-pair estimate
+    assert(jac(Dedup.PairBudget.Auto) === full)
+    // ...but Auto IS load-bearing: shrink the per-task cap and the
+    // DEFAULT-argument call (no pairBudget passed at all) must trip the
+    // guard on the planted quadratic corpus — the 100 TB safety rail is
+    // on for callers who never heard of it
+    val capKey = Dedup.PairsPerTaskConf
+    spark.conf.set(capKey, "10")
+    try {
+      val auto = Dedup.jaccardPairs(quad, col("doc_id"), col("text"),
+        threshold = 0.5).count()
+      assert(auto > 0 && auto < full.size / 4,
+        s"default budget did not trip: $auto of ${full.size}")
+      assert(Dedup.selfContainmentPairs(quad, col("doc_id"), col("text"),
+        threshold = 0.5).count() < full.size / 4)
+    } finally spark.conf.unset(capKey)
     // containment shares the guard
     val cFull = Dedup.selfContainmentPairs(quad, col("doc_id"), col("text"),
-      threshold = 0.5).count()
+      threshold = 0.5, pairBudget = Dedup.PairBudget.Unbounded).count()
     val cGuard = Dedup.selfContainmentPairs(quad, col("doc_id"), col("text"),
-      threshold = 0.5, pairBudget = Some(200L)).count()
+      threshold = 0.5, pairBudget = Dedup.PairBudget.Fixed(200L)).count()
     assert(cFull === (120L * 119 / 2))
     assert(cGuard > 0 && cGuard < cFull / 4, s"$cGuard of $cFull")
     // the estimator itself: at fraction 1 the stats pass counts
