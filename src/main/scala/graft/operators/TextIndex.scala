@@ -63,6 +63,75 @@ object TextIndex {
         Seq("doc_id"), "left_anti")
       .unionByName(batchPostings)
 
+  /** Manifest of a persisted posting index: row/doc counts, the BM25
+    * corpus size N the serve path needs (ALL docs, including blank ones
+    * with no postings), and an order/partitioning-free content digest
+    * (XOR of per-row xxhash64 fingerprints — any reordering, re-bucketing
+    * or re-splitting of the same postings digests identically; any
+    * dropped, duplicated or altered row does not).
+    */
+  final case class IndexManifest(nPostings: Long, nDocs: Long,
+      corpusSize: Long, digest: Long)
+
+  /** The manifest a posting frame WOULD get — also the staleness probe:
+    * compare a saved manifest against `indexDigest(freshBuild, n)` to
+    * decide whether the persisted index still matches the corpus before
+    * serving from it.
+    */
+  def indexDigest(postings: DataFrame, corpusSize: Long): IndexManifest = {
+    val r = postings.agg(
+      count(lit(1)).as("n"),
+      count_distinct(col("doc_id")).as("d"),
+      coalesce(expr("bit_xor(xxhash64(doc_id, term, tf))"), lit(0L))
+        .as("x")).head()
+    IndexManifest(r.getLong(0), r.getLong(1), corpusSize, r.getLong(2))
+  }
+
+  /** Persist a posting index for serving: postings parquet + a one-row
+    * manifest. The digest is computed from the files JUST WRITTEN (one
+    * re-scan of the compact posting table), so the manifest certifies the
+    * bytes on disk rather than the plan that produced them — a failed or
+    * partial write can never carry a valid manifest. This is the
+    * amortization boundary a production ingest runs at: fold batches with
+    * [[postingsIncremental]], save once per ingest cycle, and serve every
+    * query off the loaded table with no corpus re-tokenization.
+    */
+  def saveIndex(postings: DataFrame, dir: String,
+      corpusSize: Long): IndexManifest = {
+    val spark = postings.sparkSession
+    import spark.implicits._
+    postings.select(col("doc_id"), col("term"), col("tf"))
+      .write.mode("overwrite").parquet(s"$dir/postings")
+    val m = indexDigest(spark.read.parquet(s"$dir/postings"), corpusSize)
+    Seq(m).toDS().write.mode("overwrite").parquet(s"$dir/manifest")
+    m
+  }
+
+  /** Load a persisted index: (postings frame, manifest). Lazy — nothing
+    * is scanned until the serve plan runs.
+    */
+  def loadIndex(spark: org.apache.spark.sql.SparkSession,
+      dir: String): (DataFrame, IndexManifest) = {
+    import spark.implicits._
+    val m = spark.read.parquet(s"$dir/manifest").as[IndexManifest].head()
+    (spark.read.parquet(s"$dir/postings"), m)
+  }
+
+  /** [[loadIndex]] + an integrity audit: recompute the digest over the
+    * loaded files and refuse to serve when it diverges from the manifest
+    * (corrupted, truncated, or concurrently-rewritten postings). Costs one
+    * scan of the posting table — run it at load time, not per query.
+    */
+  def loadIndexVerified(spark: org.apache.spark.sql.SparkSession,
+      dir: String): (DataFrame, IndexManifest) = {
+    val (p, m) = loadIndex(spark, dir)
+    val found = indexDigest(p, m.corpusSize)
+    require(found == m,
+      s"persisted index at $dir does not match its manifest (corrupt or " +
+        s"concurrently modified): manifest $m, on disk $found")
+    (p, m)
+  }
+
   /** Sliding token-window chunks for embedding/generation pipelines: windows
     * of `window` whitespace tokens advancing by `stride` (overlap = window −
     * stride), the final window clamped to the text end; documents shorter

@@ -507,19 +507,29 @@ trait PipelineSimilarityFam extends PipelineDedupFam {
        |FROM ranked WHERE rk <= 10
        |ORDER BY cid, id""".stripMargin
 
-  /** IVF-Flat top-5: deterministic modulus-sampled centroids, nprobe=2. */
+  /** IVF-Flat top-5 over the PINNED trained quantizer at nprobe = 3 —
+    * wider probing than `sim_ivf_trained`'s nprobe = 2, so the two
+    * entries gate different probe fan-outs of the same fixed-K plan.
+    * Until round 17 this entry ran the deterministic modulus-sampled
+    * quantizer ([[graft.operators.Similarity.ivfTopK]]); that sampler is
+    * now a SPEC-ONLY fixture (SimilaritySpec covers it directly) so the
+    * registry carries no content-independent quantizer — every registry
+    * IVF plan assigns against a fixed-size trained centroid broadcast,
+    * the shape that scales (n×K map-side assignment, K constant in n).
+    */
   def simIvf(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
     val emb = T(s, dir, "embeddings")
-    graft.operators.Similarity.ivfTopK(
-        emb.filter(col("vec_id") < 20), emb, k = 5, centroidEvery = 50, nprobe = 2)
+    val cents = PinnedArtifacts.IvfCentroids16.toDF("cid", "cv")
+    graft.operators.Similarity.ivfTopKWith(
+        emb.filter(col("vec_id") < 20), emb, cents, k = 5, nprobe = 3)
       .orderBy(col("query_id"), col("rank"))
   }
 
   /** IVF with a TRAINED fixed-size quantizer — the production/scale path:
     * centroid count stays K as the corpus grows, so map-side assignment is
-    * n×K (linear in n), unlike `sim_ivf_topk`'s oracle-reproducible modulus
-    * sampler whose centroid count is n/50 (assignment n²/50 — measured
-    * super-linear in the stress harness; BASELINE.md round 5). The
+    * n×K (linear in n). Since round 18 `sim_ivf_topk` runs the same pinned
+    * quantizer (at nprobe = 3); the modulus sampler is spec-only. The
     * quantizer is INJECTED from [[PinnedArtifacts.IvfCentroids16]] (k-means||
     * run once by [[graft.tools.TrainArtifacts]] and pinned as literals —
     * the "ship the trained quantizer as a build artifact" pattern), so the
@@ -536,7 +546,12 @@ trait PipelineSimilarityFam extends PipelineDedupFam {
       .orderBy(col("query_id"), col("rank"))
   }
 
-  def simIvfTrainedOracle: String =
+  /** ONE pinned-quantizer IVF oracle, parametrized by probe fan-out —
+    * `sim_ivf_trained` (nprobe = 2) and `sim_ivf_topk` (nprobe = 3) replay
+    * the identical assignment + probing chain over the same literal
+    * centroid table, so the two entries cannot drift.
+    */
+  private def ivfPinnedOracle(nprobe: Int): String =
     s"""WITH $normsCte,
        |cent AS (
        |  SELECT cid, embedding,
@@ -551,7 +566,7 @@ trait PipelineSimilarityFam extends PipelineDedupFam {
        |      ORDER BY ${dotSql("v", "c")} / (v.nrm * c.nrm) DESC, c.cid) AS crn
        |  FROM n v CROSS JOIN cent c),
        |assign AS (SELECT vec_id AS neighbor_id, cid FROM ccand WHERE crn = 1),
-       |probes AS (SELECT vec_id AS query_id, cid FROM ccand WHERE crn <= 2 AND vec_id < 20),
+       |probes AS (SELECT vec_id AS query_id, cid FROM ccand WHERE crn <= $nprobe AND vec_id < 20),
        |scored AS (
        |  SELECT p.query_id, a.neighbor_id, ${dotSql("q", "nb")} / (q.nrm * nb.nrm) AS cos
        |  FROM probes p
@@ -567,31 +582,9 @@ trait PipelineSimilarityFam extends PipelineDedupFam {
        |WHERE rank <= 5
        |ORDER BY query_id, rank""".stripMargin
 
-  val simIvfOracle: String =
-    s"""WITH $normsCte,
-       |cent AS (SELECT vec_id AS cid, embedding, nrm FROM n
-       |         WHERE vec_id % 50 = 0 ORDER BY vec_id LIMIT 128),
-       |ccand AS (
-       |  SELECT v.vec_id, c.cid,
-       |    ROW_NUMBER() OVER (PARTITION BY v.vec_id
-       |      ORDER BY ${dotSql("v", "c")} / (v.nrm * c.nrm) DESC, c.cid) AS crn
-       |  FROM n v CROSS JOIN cent c),
-       |assign AS (SELECT vec_id AS neighbor_id, cid FROM ccand WHERE crn = 1),
-       |probes AS (SELECT vec_id AS query_id, cid FROM ccand WHERE crn <= 2 AND vec_id < 20),
-       |scored AS (
-       |  SELECT p.query_id, a.neighbor_id, ${dotSql("q", "nb")} / (q.nrm * nb.nrm) AS cos
-       |  FROM probes p
-       |  JOIN assign a ON a.cid = p.cid
-       |  JOIN n q ON q.vec_id = p.query_id
-       |  JOIN n nb ON nb.vec_id = a.neighbor_id
-       |  WHERE a.neighbor_id <> p.query_id)
-       |SELECT query_id, neighbor_id, rank, cos FROM (
-       |  SELECT query_id, neighbor_id, cos,
-       |    CAST(ROW_NUMBER() OVER (PARTITION BY query_id
-       |      ORDER BY cos DESC, neighbor_id) AS INTEGER) AS rank
-       |  FROM scored) t
-       |WHERE rank <= 5
-       |ORDER BY query_id, rank""".stripMargin
+  def simIvfTrainedOracle: String = ivfPinnedOracle(2)
+
+  def simIvfOracle: String = ivfPinnedOracle(3)
 
   /** ANN index acceptance gate ([[graft.operators.Similarity.recallReport]]):
     * recall@5 of the pinned-quantizer IVF (nprobe = 2) against exact

@@ -615,8 +615,12 @@ trait PipelineTokenizerFam extends PipelineTextStatsFam {
     * result hash-matches a clean full-corpus posting build (the oracle)
     * ONLY if the anti-join replacement semantics are right.
     */
-  def indexIncrementalQ(s: SparkSession, dir: String): DataFrame = {
-    val docs = T(s, dir, "documents")
+  /** The shared stale-state fold fixture of the index-lifecycle entries:
+    * even docs' postings plus deliberately STALE prefix postings for the
+    * odd docs, folded with the odd-doc batch — result ≡ a clean
+    * full-corpus build ONLY if the replace semantics are exact.
+    */
+  private def foldedDemoIndex(docs: DataFrame): DataFrame = {
     val even = docs.filter(col("doc_id") % 2 === 0)
     val oddStale = docs.filter(col("doc_id") % 2 === 1)
       .select(col("doc_id"),
@@ -628,9 +632,24 @@ trait PipelineTokenizerFam extends PipelineTextStatsFam {
         oddStale, col("doc_id"), col("text")))
     val batch = docs.filter(col("doc_id") % 2 === 1)
     graft.operators.TextIndex.postingsIncremental(
-        state, batch, col("doc_id"), col("text"))
-      .orderBy(col("doc_id"), col("term"))
+      state, batch, col("doc_id"), col("text"))
   }
+
+  /** The shared BM25 workload of the from-index entries: a fixed probe
+    * set (replica 0 only under stress) with up to 4 distinct ≥4-char
+    * terms per query doc.
+    */
+  private def bm25QueryTerms(docs: DataFrame): DataFrame =
+    docs.filter(col("doc_id") % 101 === 0 &&
+        col("doc_id") < graft.Stress.IdStride)
+      .select(col("doc_id").as("qid"),
+        explode(slice(array_sort(array_distinct(
+          filter(graft.functions.TextFunctions.tokensWs(col("text")),
+            t => length(t) >= 4))), 1, 4)).as("term"))
+
+  def indexIncrementalQ(s: SparkSession, dir: String): DataFrame =
+    foldedDemoIndex(T(s, dir, "documents"))
+      .orderBy(col("doc_id"), col("term"))
 
   val indexIncrementalOracle: String =
     """SELECT doc_id, term, COUNT(*) AS tf
@@ -657,27 +676,37 @@ trait PipelineTokenizerFam extends PipelineTextStatsFam {
     */
   def bm25FromIndexQ(s: SparkSession, dir: String): DataFrame = {
     val docs = T(s, dir, "documents")
-    val even = docs.filter(col("doc_id") % 2 === 0)
-    val oddStale = docs.filter(col("doc_id") % 2 === 1)
-      .select(col("doc_id"),
-        array_join(slice(TextFunctions.tokensWs(col("text")), 1, 3), " ")
-          .as("text"))
-    val state = graft.operators.TextIndex.postings(
-        even, col("doc_id"), col("text"))
-      .unionByName(graft.operators.TextIndex.postings(
-        oddStale, col("doc_id"), col("text")))
-    val batch = docs.filter(col("doc_id") % 2 === 1)
-    val index = graft.operators.TextIndex.postingsIncremental(
-      state, batch, col("doc_id"), col("text"))
+    val index = foldedDemoIndex(docs)
     val corpusSize = docs.agg(count(lit(1)).as("__n"))
-    val qt = docs.filter(col("doc_id") % 101 === 0 &&
-        col("doc_id") < graft.Stress.IdStride)
-      .select(col("doc_id").as("qid"),
-        explode(slice(array_sort(array_distinct(
-          filter(graft.functions.TextFunctions.tokensWs(col("text")),
-            t => length(t) >= 4))), 1, 4)).as("term"))
     graft.operators.TextIndex.bm25TopKFromPostings(
-        index, corpusSize, qt, k = 5)
+        index, corpusSize, bm25QueryTerms(docs), k = 5)
+      .orderBy(col("qid"), col("rank"))
+  }
+
+  /** The PERSISTED-index lifecycle ([[graft.operators.TextIndex.saveIndex]]
+    * / `loadIndexVerified`): the [[bm25FromIndexQ]] fold written to
+    * parquet with a content-digest manifest, COLD-RELOADED in a fresh
+    * session (nothing in-memory carries over), digest-audited against the
+    * manifest, and served from the loaded files — the amortization
+    * boundary a production ingest runs at (fold batches, save once per
+    * cycle, serve every query with zero corpus re-tokenization). The
+    * corpus size N reaches the serve side THROUGH the manifest, not a
+    * recount. Oracle: [[bm25TopkOracle]] verbatim — hash-green only if
+    * the save/load round-trip is lossless and the digest audit passes;
+    * the stale-index branch (saved manifest vs a fresh corpus build) is
+    * TextIndexSpec-gated.
+    */
+  def bm25FromSavedIndexQ(s: SparkSession, dir: String): DataFrame = {
+    val docs = T(s, dir, "documents")
+    val idxDir = Engine.scratchPath("graft-bm25-saved-index", dir)
+    graft.operators.TextIndex.saveIndex(foldedDemoIndex(docs), idxDir,
+      corpusSize = docs.count())
+    val fresh = graft.GraftSession.configure(s.newSession())
+    val (loaded, m) =
+      graft.operators.TextIndex.loadIndexVerified(fresh, idxDir)
+    val corpusSize = fresh.range(1).select(lit(m.corpusSize).as("__n"))
+    graft.operators.TextIndex.bm25TopKFromPostings(
+        loaded, corpusSize, bm25QueryTerms(T(fresh, dir, "documents")), k = 5)
       .orderBy(col("qid"), col("rank"))
   }
 

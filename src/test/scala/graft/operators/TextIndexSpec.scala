@@ -605,4 +605,42 @@ class TextIndexSpec extends SparkSpec {
     assert(disj._3 === 0L)
     assert(disj._6 === 1.0 && disj._7 === 1.0)
   }
+
+  test("persisted index: save/loadVerified round-trips the exact posting " +
+      "multiset; the digest is order/partitioning-free; a STALE saved " +
+      "index is detected against a fresh corpus build; corrupted files " +
+      "fail the load audit") {
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-idxstore").toString
+    val docs = Seq((1L, "a b a"), (2L, "b c"), (3L, "")).toDF("id", "text")
+    val idx = TextIndex.postings(docs, col("id"), col("text"))
+    val m = TextIndex.saveIndex(idx, dir, corpusSize = 3L)
+    assert(m.nPostings === 4L && m.nDocs === 2L && m.corpusSize === 3L)
+    val (loaded, m2) = TextIndex.loadIndexVerified(spark, dir)
+    assert(m2 === m)
+    assert(loaded.as[(Long, String, Long)].collect().sorted.toSeq ===
+      idx.as[(Long, String, Long)].collect().sorted.toSeq)
+    // digest invariance: any repartition/reorder of the same rows
+    // digests identically — the manifest survives compaction
+    assert(TextIndex.indexDigest(idx.repartition(7), 3L) === m)
+    assert(TextIndex.indexDigest(
+      idx.orderBy(col("term"), col("doc_id").desc), 3L) === m)
+    // staleness: fold in a new batch — the fresh build's digest diverges
+    // from the saved manifest, which is exactly the pre-serve check
+    val batch = Seq((2L, "c c d")).toDF("id", "text")
+    val fresh = TextIndex.postingsIncremental(idx, batch,
+      col("id"), col("text"))
+    assert(TextIndex.indexDigest(fresh, 3L) !== m)
+    // ...and re-saving the fold restores a servable, verified index
+    val m3 = TextIndex.saveIndex(fresh, dir, corpusSize = 3L)
+    assert(TextIndex.loadIndexVerified(spark, dir)._2 === m3)
+    // corruption: extra rows landing in the posting dir after the save
+    // (a torn concurrent write) must fail the audit loudly
+    Seq((99L, "zz", 1L)).toDF("doc_id", "term", "tf")
+      .write.mode("append").parquet(s"$dir/postings")
+    val e = intercept[IllegalArgumentException] {
+      TextIndex.loadIndexVerified(spark, dir)
+    }
+    assert(e.getMessage.contains("manifest"))
+  }
 }

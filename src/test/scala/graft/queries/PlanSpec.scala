@@ -209,6 +209,23 @@ class PlanSpec extends SparkSpec {
     assert("ObjectHashAggregate".r.findAllIn(p).size >= 2, p)
   }
 
+  test("sim_ivf_topk: FIXED-K pinned centroid broadcast drives assignment " +
+      "(the modulus quantizer left the registry — spec-only fixture now); " +
+      "no corpus-sized window") {
+    val p = plan(Pipeline.simIvf(spark, dir))
+    // the quantizer is a literal centroid table (LocalTableScan) feeding
+    // broadcast joins — constant size in n, the shape that scales
+    assert(p.contains("LocalTableScan"), p)
+    assert(p.contains("BroadcastNestedLoopJoin") ||
+      p.contains("BroadcastExchange"), p)
+    // no modulus-sampled selection anywhere in the plan
+    assert(!p.toLowerCase.contains("pmod"), p)
+    // corpus→cell assignment is the max_by partial aggregation, never a
+    // corpus-sized window
+    assert(p.contains("max_by"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("dedup_semantic: quantizer broadcasts, assignment is max_by " +
       "aggregation, no corpus window") {
     val p = plan(Pipeline.dedupSemantic(spark, dir))
