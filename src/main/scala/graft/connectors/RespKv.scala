@@ -20,11 +20,36 @@ import java.nio.charset.StandardCharsets.UTF_8
   * or arrays (`*n` / `*-1` = null).
   */
 class RespKvClient(host: String, port: Int, timeoutMs: Int = 3000,
-    auth: Option[String] = None) extends KvClient {
+    auth: Option[String] = None,
+    tls: Option[javax.net.ssl.SSLContext] = None,
+    tlsVerifyHostname: Boolean = true) extends KvClient {
 
-  private val socket = new Socket()
-  socket.connect(new InetSocketAddress(host, port), timeoutMs)
-  socket.setSoTimeout(timeoutMs)
+  /** With `tls` set the plaintext connection is wrapped in an SSLSocket
+    * and the handshake completes BEFORE any RESP bytes — including AUTH,
+    * so the password never travels in clear (the managed-Redis TLS
+    * deployment shape). Certificate chain validation comes from the
+    * supplied SSLContext; hostname verification is ON by default (raw
+    * SSLSockets skip it unless asked, which would accept any trusted
+    * cert for any host) — same contract as
+    * [[KafkaWireClient]]'s `tls`/`tlsVerifyHostname`.
+    */
+  private val socket: Socket = {
+    val plain = new Socket()
+    plain.connect(new InetSocketAddress(host, port), timeoutMs)
+    plain.setSoTimeout(timeoutMs)
+    tls.fold(plain) { ctx =>
+      val ss = ctx.getSocketFactory
+        .createSocket(plain, host, port, true)
+        .asInstanceOf[javax.net.ssl.SSLSocket]
+      if (tlsVerifyHostname) {
+        val params = ss.getSSLParameters
+        params.setEndpointIdentificationAlgorithm("HTTPS")
+        ss.setSSLParameters(params)
+      }
+      ss.startHandshake()
+      ss
+    }
+  }
   private val in = new DataInputStream(socket.getInputStream)
   private val out = new BufferedOutputStream(socket.getOutputStream)
   auth.foreach(pw => expectOk(command("AUTH", pw)))
@@ -127,7 +152,30 @@ class RespKvClient(host: String, port: Int, timeoutMs: Int = 3000,
 }
 
 /** Serializable recipe: opens one RESP connection per executor partition. */
+/** Serializable TLS descriptor for executor-side RESP clients: an
+  * SSLContext cannot ship in a task closure, so the factory carries the
+  * truststore PATH (distribute the file with `--files`; it must resolve on
+  * every executor) and each task builds its context locally.
+  */
+case class RespTls(truststorePath: String, storePass: String,
+    storeType: String = "PKCS12", verifyHostname: Boolean = true) {
+  def context(): javax.net.ssl.SSLContext = {
+    val st = java.security.KeyStore.getInstance(storeType)
+    val in = java.nio.file.Files.newInputStream(
+      java.nio.file.Paths.get(truststorePath))
+    try st.load(in, storePass.toCharArray) finally in.close()
+    val tmf = javax.net.ssl.TrustManagerFactory.getInstance(
+      javax.net.ssl.TrustManagerFactory.getDefaultAlgorithm)
+    tmf.init(st)
+    val ctx = javax.net.ssl.SSLContext.getInstance("TLS")
+    ctx.init(null, tmf.getTrustManagers, null)
+    ctx
+  }
+}
+
 case class RespKvFactory(host: String, port: Int, timeoutMs: Int = 3000,
-    auth: Option[String] = None) extends KvClientFactory {
-  def open(): KvClient = new RespKvClient(host, port, timeoutMs, auth)
+    auth: Option[String] = None,
+    tls: Option[RespTls] = None) extends KvClientFactory {
+  def open(): KvClient = new RespKvClient(host, port, timeoutMs, auth,
+    tls.map(_.context()), tls.forall(_.verifyHostname))
 }

@@ -19,8 +19,10 @@ object MiniRespServer {
     override def close(): Unit = server.close()
   }
 
-  def start(): Handle = {
-    val server = new ServerSocket()
+  def start(tlsContext: Option[javax.net.ssl.SSLContext] = None): Handle = {
+    val server = tlsContext.fold(new ServerSocket()) {
+      _.getServerSocketFactory.createServerSocket()
+    }
     server.bind(new InetSocketAddress("127.0.0.1", 0))
     val store = TrieMap.empty[String, (String, Long)]
     val acceptor = new Thread(() => {
@@ -178,5 +180,88 @@ class RespKvSpec extends SparkSpec {
         RespKvFactory("127.0.0.1", server.port))
       .select("id", "ret").as[(Long, String)].collect().sortBy(_._1)
     assert(out === (0 until 10).map(i => (i.toLong, s"val$i")).toArray)
+  }
+
+  test("TLS: the RESP roundtrip works over an SSL-wrapped socket; an " +
+      "untrusting client refuses the handshake (no silent plaintext " +
+      "fallback); hostname verification rejects a wrong-SAN cert unless " +
+      "explicitly disabled") {
+    val (serverCtx, clientCtx) = KafkaWireSpec.makeTlsContexts()
+    val tlsSrv = MiniRespServer.start(Some(serverCtx))
+    try {
+      val c = new RespKvClient("127.0.0.1", tlsSrv.port,
+        tls = Some(clientCtx))
+      try {
+        assert(c.set("tk", "tv") === "OK")
+        assert(c.get("tk") === "tv")
+      } finally c.close()
+      // a client with an empty trust set must fail the handshake
+      val untrusting = javax.net.ssl.SSLContext.getInstance("TLS")
+      untrusting.init(null, null, null) // JDK default trust — not our cert
+      intercept[Exception] {
+        val bad = new RespKvClient("127.0.0.1", tlsSrv.port,
+          tls = Some(untrusting))
+        try bad.get("tk") finally bad.close()
+      }
+    } finally tlsSrv.close()
+    // cert for a DIFFERENT name: verification on (default) rejects,
+    // explicit opt-out connects — the KafkaWireClient contract
+    val (wrongCtx, trustWrong) =
+      KafkaWireSpec.makeTlsContexts(san = "DNS:graft-somewhere-else")
+    val wrongSrv = MiniRespServer.start(Some(wrongCtx))
+    try {
+      intercept[Exception] {
+        val bad = new RespKvClient("127.0.0.1", wrongSrv.port,
+          tls = Some(trustWrong))
+        try bad.get("tk") finally bad.close()
+      }
+      val lax = new RespKvClient("127.0.0.1", wrongSrv.port,
+        tls = Some(trustWrong), tlsVerifyHostname = false)
+      try assert(lax.set("lk", "lv") === "OK") finally lax.close()
+    } finally wrongSrv.close()
+  }
+
+  test("RespTls descriptor builds an executor-local context from a " +
+      "truststore file (the serializable factory path)") {
+    // generate a keypair + truststore ON DISK — the factory ships only
+    // PATHS, the shape a cluster job distributes with --files
+    val dir = java.nio.file.Files.createTempDirectory("graft-resp-tls")
+    val ks = dir.resolve("server.p12").toString
+    val cert = dir.resolve("server.cer").toString
+    val ts = dir.resolve("trust.p12").toString
+    val keytool = new java.io.File(new java.io.File(
+      System.getProperty("java.home"), "bin"), "keytool").getAbsolutePath
+    def run(args: String*): Unit = {
+      val p = new ProcessBuilder((keytool +: args): _*)
+        .redirectErrorStream(true).start()
+      val out = new String(p.getInputStream.readAllBytes(), "UTF-8")
+      require(p.waitFor() == 0, s"keytool failed: $out")
+    }
+    run("-genkeypair", "-alias", "srv", "-keyalg", "RSA", "-keysize",
+      "2048", "-storetype", "PKCS12", "-keystore", ks, "-storepass",
+      "changeit", "-dname", "CN=127.0.0.1", "-validity", "2",
+      "-ext", "SAN=IP:127.0.0.1")
+    run("-exportcert", "-alias", "srv", "-keystore", ks, "-storepass",
+      "changeit", "-file", cert)
+    run("-importcert", "-noprompt", "-alias", "srv", "-storetype",
+      "PKCS12", "-keystore", ts, "-storepass", "changeit", "-file", cert)
+    val st = java.security.KeyStore.getInstance("PKCS12")
+    val in = java.nio.file.Files.newInputStream(java.nio.file.Paths.get(ks))
+    try st.load(in, "changeit".toCharArray) finally in.close()
+    val kmf = javax.net.ssl.KeyManagerFactory.getInstance(
+      javax.net.ssl.KeyManagerFactory.getDefaultAlgorithm)
+    kmf.init(st, "changeit".toCharArray)
+    val srvCtx = javax.net.ssl.SSLContext.getInstance("TLS")
+    srvCtx.init(kmf.getKeyManagers, null, null)
+    val srv = MiniRespServer.start(Some(srvCtx))
+    try {
+      val f = RespKvFactory("127.0.0.1", srv.port,
+        tls = Some(RespTls(ts, "changeit")))
+      val c = f.open()
+      try {
+        assert(c.set("pk", "pv") === "OK")
+        assert(c.get("pk") === "pv")
+      } finally c.close()
+    } finally srv.close()
   }
 }
