@@ -22,8 +22,12 @@ object StressProbe {
     GraftSession.configure(spark)
     val docs = spark.read.parquet(s"$dir/documents.parquet")
     val t0 = System.nanoTime()
+    // Unbounded: the probe measures the STRATEGY's cost — letting the
+    // default budget degrade the index would time the sampled join and
+    // corrupt the count-vs-prefix switch-point measurements
     val n = graft.operators.Dedup.jaccardPairs(docs, col("doc_id"), col("text"),
-      shingleK = 3, threshold = 0.5, strategy = strategy).count()
+      shingleK = 3, threshold = 0.5, strategy = strategy,
+      pairBudget = graft.operators.Dedup.PairBudget.Unbounded).count()
     val sec = (System.nanoTime() - t0) / 1e9
     println(f"""{"strategy":"$strategy","pairs":$n,"sec":$sec%.2f}""")
     spark.stop()

@@ -35,24 +35,37 @@ class RespKvClient(host: String, port: Int, timeoutMs: Int = 3000,
     */
   private val socket: Socket = {
     val plain = new Socket()
-    plain.connect(new InetSocketAddress(host, port), timeoutMs)
-    plain.setSoTimeout(timeoutMs)
-    tls.fold(plain) { ctx =>
-      val ss = ctx.getSocketFactory
-        .createSocket(plain, host, port, true)
-        .asInstanceOf[javax.net.ssl.SSLSocket]
-      if (tlsVerifyHostname) {
-        val params = ss.getSSLParameters
-        params.setEndpointIdentificationAlgorithm("HTTPS")
-        ss.setSSLParameters(params)
+    try {
+      plain.connect(new InetSocketAddress(host, port), timeoutMs)
+      plain.setSoTimeout(timeoutMs)
+      tls.fold(plain) { ctx =>
+        val ss = ctx.getSocketFactory
+          .createSocket(plain, host, port, true)
+          .asInstanceOf[javax.net.ssl.SSLSocket]
+        if (tlsVerifyHostname) {
+          val params = ss.getSSLParameters
+          params.setEndpointIdentificationAlgorithm("HTTPS")
+          ss.setSSLParameters(params)
+        }
+        ss.startHandshake()
+        ss
       }
-      ss.startHandshake()
-      ss
+    } catch {
+      // a failed connect/wrap/handshake must not leak the descriptor:
+      // executor tasks retry per partition and would exhaust FDs
+      case e: Throwable =>
+        try plain.close() catch { case _: Exception => () }
+        throw e
     }
   }
   private val in = new DataInputStream(socket.getInputStream)
   private val out = new BufferedOutputStream(socket.getOutputStream)
-  auth.foreach(pw => expectOk(command("AUTH", pw)))
+  try auth.foreach(pw => expectOk(command("AUTH", pw)))
+  catch {
+    case e: Throwable =>
+      try socket.close() catch { case _: Exception => () }
+      throw e
+  }
 
   // ------------------------------------------------------------ wire format
 

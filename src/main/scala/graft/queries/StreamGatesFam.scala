@@ -108,9 +108,16 @@ trait StreamGatesFam {
         "non-empty micro-batches")
     val c1 = lo + (hi - lo) / 3
     val c2 = lo + 2 * ((hi - lo) / 3)
+    val mid = ev.filter(tsLong > c1 && tsLong <= c2)
+    // span >= 3 only guarantees the OUTER terciles (rows at lo and hi);
+    // a corpus clustered at the extremes would leave micro-batch 2 empty
+    // and the "stopped after micro-batch 2" restart lifecycle would
+    // silently checkpoint after one data-carrying batch — fail loudly
+    require(!mid.isEmpty,
+      s"degenerate restart split: no rows in the middle tercile " +
+        s"($c1, $c2] — the gate would restart after a single data batch")
     ev.filter(tsLong <= c1).write.mode("overwrite").parquet(scratch)
-    Some((scratch, ev.filter(tsLong > c1 && tsLong <= c2),
-      ev.filter(tsLong > c2), c2))
+    Some((scratch, mid, ev.filter(tsLong > c2), c2))
   }
 
   /** The checkpoint-restart lifecycle — the recovery path a production

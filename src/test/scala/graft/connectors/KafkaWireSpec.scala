@@ -424,8 +424,21 @@ object KafkaWireSpec {
     * external deps, no egress): server context serves the key pair,
     * client context trusts exactly that one exported certificate.
     */
+  /** [[makeTlsContexts]] plus the on-disk truststore path + password —
+    * for tests of the path-based descriptors (RespTls) that ship FILES,
+    * not contexts. One copy of the keytool recipe for every consumer.
+    */
+  final case class TlsMaterial(serverCtx: javax.net.ssl.SSLContext,
+      clientCtx: javax.net.ssl.SSLContext,
+      truststorePath: String, storePass: String)
+
   def makeTlsContexts(san: String = "IP:127.0.0.1")
       : (javax.net.ssl.SSLContext, javax.net.ssl.SSLContext) = {
+    val m = makeTlsMaterial(san)
+    (m.serverCtx, m.clientCtx)
+  }
+
+  def makeTlsMaterial(san: String = "IP:127.0.0.1"): TlsMaterial = {
     import java.nio.file.{Files, Paths}
     val dir = Files.createTempDirectory("graft-tls")
     val ks = dir.resolve("server.p12").toString
@@ -462,7 +475,7 @@ object KafkaWireSpec {
     tmf.init(load(ts))
     val clientCtx = javax.net.ssl.SSLContext.getInstance("TLS")
     clientCtx.init(null, tmf.getTrustManagers, null)
-    (serverCtx, clientCtx)
+    TlsMaterial(serverCtx, clientCtx, ts, "changeit")
   }
 }
 

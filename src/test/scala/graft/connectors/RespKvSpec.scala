@@ -223,40 +223,13 @@ class RespKvSpec extends SparkSpec {
 
   test("RespTls descriptor builds an executor-local context from a " +
       "truststore file (the serializable factory path)") {
-    // generate a keypair + truststore ON DISK — the factory ships only
-    // PATHS, the shape a cluster job distributes with --files
-    val dir = java.nio.file.Files.createTempDirectory("graft-resp-tls")
-    val ks = dir.resolve("server.p12").toString
-    val cert = dir.resolve("server.cer").toString
-    val ts = dir.resolve("trust.p12").toString
-    val keytool = new java.io.File(new java.io.File(
-      System.getProperty("java.home"), "bin"), "keytool").getAbsolutePath
-    def run(args: String*): Unit = {
-      val p = new ProcessBuilder((keytool +: args): _*)
-        .redirectErrorStream(true).start()
-      val out = new String(p.getInputStream.readAllBytes(), "UTF-8")
-      require(p.waitFor() == 0, s"keytool failed: $out")
-    }
-    run("-genkeypair", "-alias", "srv", "-keyalg", "RSA", "-keysize",
-      "2048", "-storetype", "PKCS12", "-keystore", ks, "-storepass",
-      "changeit", "-dname", "CN=127.0.0.1", "-validity", "2",
-      "-ext", "SAN=IP:127.0.0.1")
-    run("-exportcert", "-alias", "srv", "-keystore", ks, "-storepass",
-      "changeit", "-file", cert)
-    run("-importcert", "-noprompt", "-alias", "srv", "-storetype",
-      "PKCS12", "-keystore", ts, "-storepass", "changeit", "-file", cert)
-    val st = java.security.KeyStore.getInstance("PKCS12")
-    val in = java.nio.file.Files.newInputStream(java.nio.file.Paths.get(ks))
-    try st.load(in, "changeit".toCharArray) finally in.close()
-    val kmf = javax.net.ssl.KeyManagerFactory.getInstance(
-      javax.net.ssl.KeyManagerFactory.getDefaultAlgorithm)
-    kmf.init(st, "changeit".toCharArray)
-    val srvCtx = javax.net.ssl.SSLContext.getInstance("TLS")
-    srvCtx.init(kmf.getKeyManagers, null, null)
-    val srv = MiniRespServer.start(Some(srvCtx))
+    // the shared helper writes the truststore ON DISK — the factory
+    // ships only PATHS, the shape a cluster job distributes with --files
+    val m = KafkaWireSpec.makeTlsMaterial()
+    val srv = MiniRespServer.start(Some(m.serverCtx))
     try {
       val f = RespKvFactory("127.0.0.1", srv.port,
-        tls = Some(RespTls(ts, "changeit")))
+        tls = Some(RespTls(m.truststorePath, m.storePass)))
       val c = f.open()
       try {
         assert(c.set("pk", "pv") === "OK")

@@ -643,4 +643,29 @@ class TextIndexSpec extends SparkSpec {
     }
     assert(e.getMessage.contains("manifest"))
   }
+
+  test("indexDigest laws: XOR-homomorphic over disjoint shards (shard " +
+      "manifests combine without a rescan) and sensitive to a single " +
+      "changed tf") {
+    val a = TextIndex.postings(
+      Seq((1L, "a b a"), (2L, "b c")).toDF("id", "text"),
+      col("id"), col("text"))
+    val b = TextIndex.postings(
+      Seq((10L, "x y"), (11L, "y z z")).toDF("id", "text"),
+      col("id"), col("text"))
+    val da = TextIndex.indexDigest(a, 2L)
+    val db = TextIndex.indexDigest(b, 2L)
+    val du = TextIndex.indexDigest(a.unionByName(b), 4L)
+    // disjoint shards: counts add, digests XOR — per-shard manifests can
+    // be folded into a corpus manifest with no second pass
+    assert(du.nPostings === da.nPostings + db.nPostings)
+    assert(du.nDocs === da.nDocs + db.nDocs)
+    assert(du.digest === (da.digest ^ db.digest))
+    // one tf changed by one => a different digest (row identity, not
+    // just shape, is covered)
+    val tweaked = a.withColumn("tf",
+      when(col("doc_id") === 1L && col("term") === "a", col("tf") + 1L)
+        .otherwise(col("tf")))
+    assert(TextIndex.indexDigest(tweaked, 2L).digest !== da.digest)
+  }
 }
