@@ -489,6 +489,76 @@ trait StreamGatesFam {
       .orderBy(col("from_et"), col("to_et"))
   }
 
+  /** Watermarked WINDOWED-AGGREGATION state across a checkpoint restart —
+    * the third state class of the recovery story
+    * ([[transitionsRestartQ]] = custom keyed state,
+    * [[dedupWatermarkRestartQ]] = dedup state, this = window partials +
+    * the watermark itself). The [[windowQuantilesFromStreamQ]] KLL
+    * windows run over three terciles with the query stopped after
+    * micro-batch 2; the far-future sentinel arrives ONLY in post-restart
+    * batch 3, so every real window finalizes AFTER the restart — a day
+    * window straddling the cut emits correct quantiles only if its
+    * sketch partials were restored from the checkpoint, and the restored
+    * watermark (commit log) gates the flush. Lost partials emit
+    * batch-3-only quantiles; lost offsets double-fold the straddling
+    * windows' counts; a lost watermark never flushes (empty output) —
+    * all hash-red against the full-corpus oracle (reused VERBATIM).
+    */
+  def windowQuantilesRestartQ(s: SparkSession, dir: String): DataFrame = {
+    val ss = streamSession(s)
+    val ev = Streams.withEventTime(T.events(ss, dir))
+      .filter(col("event_time").isNotNull)
+      .select(col("event_time"), col("value"))
+    val scratch = Engine.scratchPath("graft-wq-restart", dir)
+    val ckpt = Engine.scratchPath("graft-wq-restart-ck", dir)
+    val outDir = Engine.scratchPath("graft-wq-restart-out", dir)
+    val tsLong = col("event_time").cast("long") // epoch seconds
+    val b = ev.agg(min(tsLong).as("lo"), max(tsLong).as("hi")).head()
+    if (b.isNullAt(0))
+      return ss.range(0).select(lit(java.sql.Date.valueOf("1970-01-01"))
+        .as("day"), lit(0.0).as("p50"), lit(0.0).as("p90"),
+        lit(0.0).as("p99"), lit(0L).as("n"))
+    val (lo, hi) = (b.getLong(0), b.getLong(1))
+    require(hi - lo >= 3, s"degenerate restart split: time span ${hi - lo}")
+    val target = lo + 2 * ((hi - lo) / 3)
+    // cut AT an event that has a LATER same-day event, nearest the 2/3
+    // point — so a day window straddles the restart by construction (a
+    // blind tercile cut landed exactly on a day boundary at sf0.001 and
+    // tripped the vacuity guard)
+    val day = date_trunc("day", col("event_time"))
+    val dmax = ev.groupBy(day.as("d")).agg(max(tsLong).as("mx"))
+    val cutRow = ev.select(tsLong.as("t"), day.as("d"))
+      .join(dmax, Seq("d"))
+      .filter(col("t") >= lo + 2 && col("t") < col("mx"))
+      .select(col("t"))
+      .orderBy(abs(col("t") - lit(target)), col("t"))
+      .limit(1).collect()
+    require(cutRow.nonEmpty,
+      "no day window can span the restart cut — the windowed-state " +
+        "recovery gate would be vacuous")
+    val cut = cutRow(0).getLong(0)
+    val c1 = lo + (cut - lo) / 2 // < cut, >= lo: all three parts non-empty
+    ev.filter(tsLong <= c1).write.mode("overwrite").parquet(scratch)
+    val mid = ev.filter(tsLong > c1 && tsLong <= cut)
+    val late = ev.filter(tsLong > cut)
+    val far = hi + 10L * 366 * 24 * 3600
+    val sentinel = ss.range(1)
+      .select(timestamp_seconds(lit(far)).as("event_time"),
+        lit(0.0).as("value"))
+    def mk(sess: SparkSession): DataFrame =
+      Streams.windowQuantiles(
+        Streams.parquetStream(sess, scratch, ev, glob = Some("*.parquet")),
+        col("event_time"), col("value"), "1 day", "0 seconds",
+        probs = Seq(0.5, 0.9, 0.99), k = 1024)
+    runWithRestart(s, mk, "append", ckpt, outDir,
+      mid.write.mode("append").parquet(scratch),
+      late.unionByName(sentinel).write.mode("append").parquet(scratch))
+      .filter(col("win_start") < timestamp_seconds(lit(far - 24 * 3600)))
+      .select(col("win_start").cast("date").as("day"),
+        col("p50"), col("p90"), col("p99"), col("n"))
+      .orderBy(col("day"))
+  }
+
   /** Watermark-bounded streaming dedup ACROSS A CHECKPOINT RESTART: the
     * [[dedupWatermarkFromStreamQ]] contract with the query stopped after
     * micro-batch 2 and batch 3 processed by a new incarnation resumed
@@ -570,5 +640,7 @@ object StreamGates extends StreamGatesFam {
     Q("transitions_restart", transitionsRestartQ,
       Some(transitionsFromStreamOracle)),
     Q("dedup_watermark_restart", dedupWatermarkRestartQ,
-      Some(dedupWatermarkFromStreamOracle)))
+      Some(dedupWatermarkFromStreamOracle)),
+    Q("window_quantiles_restart", windowQuantilesRestartQ,
+      Some(windowQuantilesFromStreamOracle)))
 }
