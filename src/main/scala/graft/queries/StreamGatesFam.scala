@@ -138,7 +138,7 @@ trait StreamGatesFam {
     * across invocations; resuming a checkpoint against an overwritten
     * source dir would be chaos).
     */
-  private def runWithRestart(parent: SparkSession,
+  private[queries] def runWithRestart(parent: SparkSession,
       mkStream: SparkSession => DataFrame, sinkMode: String,
       ckpt: String, outDir: String,
       batch2: => Unit, batch3: => Unit): DataFrame = {
