@@ -141,7 +141,8 @@ trait StreamGatesFam {
   private[queries] def runWithRestart(parent: SparkSession,
       mkStream: SparkSession => DataFrame, sinkMode: String,
       ckpt: String, outDir: String,
-      batch2: => Unit, batch3: => Unit): DataFrame = {
+      batch2: => Unit, batch3: => Unit,
+      tune: SparkSession => Unit = _ => ()): DataFrame = {
     val fs = new graft.engine.FsUtils(parent)
     fs.rm(ckpt); fs.rm(outDir)
     def start(ss: SparkSession) =
@@ -152,14 +153,19 @@ trait StreamGatesFam {
           batch.write.mode("append").parquet(outDir)
         }
         .start()
-    val q1 = start(streamSession(parent))
+    def session(): SparkSession = {
+      val ss = streamSession(parent)
+      tune(ss) // e.g. a state-store provider override (RocksDB)
+      ss
+    }
+    val q1 = start(session())
     try {
       q1.processAllAvailable() // micro-batch 1: the early tercile
       batch2
       q1.processAllAvailable() // micro-batch 2: the middle tercile
     } finally q1.stop()
     batch3
-    val ss2 = streamSession(parent) // fresh session: no in-memory carry
+    val ss2 = session() // fresh session: no in-memory carry
     val q2 = start(ss2)
     try q2.processAllAvailable() // micro-batch 3, resumed from checkpoint
     finally q2.stop()

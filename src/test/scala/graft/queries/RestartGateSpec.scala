@@ -30,7 +30,8 @@ class RestartGateSpec extends SparkSpec {
       .select(col("k"), timestamp_seconds(col("sec")).as("event_time"))
   }
 
-  private def lifecycle(tag: String, sabotage: Boolean): Seq[Long] = {
+  private def lifecycle(tag: String, sabotage: Boolean,
+      tune: SparkSession => Unit = _ => ()): Seq[Long] = {
     val scratch = java.nio.file.Files
       .createTempDirectory(s"graft-rg-$tag-src").toString
     val ckpt = java.nio.file.Files
@@ -56,15 +57,38 @@ class RestartGateSpec extends SparkSpec {
         // incarnations — the new query starts from scratch and
         // re-processes everything with fresh state
         if (sabotage) fsu.rm(ckpt)
-      })
+      }, tune)
+    lastCkpt = ckpt
     result.select(col("k")).as[Long].collect().toSeq
   }
+
+  private var lastCkpt: String = ""
 
   test("clean checkpoint recovery lands on the exact dedup answer " +
       "(every key exactly once despite its duplicate arriving only " +
       "after the restart)") {
     val got = lifecycle("clean", sabotage = false)
     assert(got.sorted === (0L until 10L))
+  }
+
+  test("clean recovery under the ROCKSDB state store — the production " +
+      "state backend when keyed state outgrows executor memory — lands " +
+      "on the same exact answer through the same checkpoint lifecycle") {
+    val got = lifecycle("rocks", sabotage = false,
+      tune = _.conf.set("spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state." +
+          "RocksDBStateStoreProvider"))
+    assert(got.sorted === (0L until 10L))
+    // the RocksDB provider really engaged: its checkpoint format writes
+    // zip snapshots / changelogs, never the HDFS store's .delta files
+    import scala.jdk.CollectionConverters._
+    val names = java.nio.file.Files
+      .walk(java.nio.file.Paths.get(lastCkpt, "state"))
+      .iterator().asScala.map(_.getFileName.toString).toList
+    assert(names.exists(n => n.endsWith(".zip") || n.endsWith(".changelog")),
+      s"no RocksDB snapshot files under the checkpoint: $names")
+    assert(!names.exists(_.endsWith(".delta")),
+      "HDFS-backed store files present — the RocksDB provider did not engage")
   }
 
   test("a SABOTAGED recovery (checkpoint wiped between incarnations) " +
