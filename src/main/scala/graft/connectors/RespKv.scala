@@ -33,12 +33,18 @@ class RespKvClient(host: String, port: Int, timeoutMs: Int = 3000,
     * cert for any host) — same contract as
     * [[KafkaWireClient]]'s `tls`/`tlsVerifyHostname`.
     */
-  private val socket: Socket = {
+  // One guard covers connect → TLS wrap/handshake → stream acquisition:
+  // a failure at ANY of those steps must not leak the descriptor (executor
+  // tasks retry per partition and would exhaust FDs). Closing the plain
+  // socket also closes a TLS wrapper created over it (autoClose), and
+  // vice versa.
+  private val (socket: Socket, in: DataInputStream,
+      out: BufferedOutputStream) = {
     val plain = new Socket()
     try {
       plain.connect(new InetSocketAddress(host, port), timeoutMs)
       plain.setSoTimeout(timeoutMs)
-      tls.fold(plain) { ctx =>
+      val s = tls.fold(plain) { ctx =>
         val ss = ctx.getSocketFactory
           .createSocket(plain, host, port, true)
           .asInstanceOf[javax.net.ssl.SSLSocket]
@@ -50,16 +56,15 @@ class RespKvClient(host: String, port: Int, timeoutMs: Int = 3000,
         ss.startHandshake()
         ss
       }
+      (s, new DataInputStream(s.getInputStream),
+        new BufferedOutputStream(s.getOutputStream))
     } catch {
-      // a failed connect/wrap/handshake must not leak the descriptor:
-      // executor tasks retry per partition and would exhaust FDs
       case e: Throwable =>
         try plain.close() catch { case _: Exception => () }
         throw e
     }
   }
-  private val in = new DataInputStream(socket.getInputStream)
-  private val out = new BufferedOutputStream(socket.getOutputStream)
+  // AUTH runs over the established streams — same no-leak contract
   try auth.foreach(pw => expectOk(command("AUTH", pw)))
   catch {
     case e: Throwable =>

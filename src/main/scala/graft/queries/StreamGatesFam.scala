@@ -63,6 +63,18 @@ trait StreamGatesFam {
     Some((scratch, ev.filter(col(tsCol) > cut)))
   }
 
+  /** The far-future watermark-flush sentinel's epoch second — a decade
+    * past the last real event, so it closes every real window; ONE copy
+    * so the two-batch and restart window gates cannot drift.
+    */
+  private def sentinelHorizon(hi: Long): Long = hi + 10L * 366 * 24 * 3600
+
+  /** Drop the sentinel's own window from a flushed windowed result —
+    * the inverse of [[sentinelHorizon]], same single-source rule.
+    */
+  private def realWindows(df: DataFrame, far: Long): DataFrame =
+    df.filter(col("win_start") < timestamp_seconds(lit(far - 24 * 3600)))
+
   /** The event-time twin of [[splitToStreamDir]], shared by the two
     * watermarked window gates: midpoint split on a TIMESTAMP column,
     * optionally plus a far-future sentinel row appended to the late half
@@ -83,12 +95,25 @@ trait StreamGatesFam {
       s"degenerate stream split: all rows share event_time epoch $lo — " +
         "the gate would run as a single micro-batch")
     val cut = timestamp_seconds(lit((lo + hi) / 2))
-    val far = hi + 10L * 366 * 24 * 3600
+    val far = sentinelHorizon(hi)
     ev.filter(col("event_time") <= cut).write.mode("overwrite")
       .parquet(scratch)
     val late = ev.filter(col("event_time") > cut)
     Some((scratch,
       sentinel.fold(late)(mk => late.unionByName(mk(far))), far))
+  }
+
+  /** The cut-directed three-way split of the restart gates: tercile A
+    * (rows at or before the halfway point to the data-picked `cut`) goes
+    * to the stream dir, the (mid, late) frames come back — `cut` is
+    * chosen by each gate so the crossing it needs exists by
+    * construction, and the c1 arithmetic lives once.
+    */
+  private def cutSplit(ev: DataFrame, tsLong: Column, scratch: String,
+      lo: Long, cut: Long): (DataFrame, DataFrame) = {
+    val c1 = lo + (cut - lo) / 2 // < cut, >= lo: all three parts non-empty
+    ev.filter(tsLong <= c1).write.mode("overwrite").parquet(scratch)
+    (ev.filter(tsLong > c1 && tsLong <= cut), ev.filter(tsLong > cut))
   }
 
   /** Three-way time split for the CHECKPOINT-RESTART gates: write the
@@ -316,8 +341,7 @@ trait StreamGatesFam {
           k = 1024, topN = 5)
         val (sess, name) = runTwoBatches(tt, "append",
           late.write.mode("append").parquet(dir2))
-        sess.table(name)
-          .filter(col("win_start") < timestamp_seconds(lit(far - 24 * 3600)))
+        realWindows(sess.table(name), far)
           .select(col("win_start").cast("date").as("day"), col("rank"),
             col("term"), col("cnt"))
           .orderBy(col("day"), col("rank"))
@@ -372,8 +396,7 @@ trait StreamGatesFam {
           probs = Seq(0.5, 0.9, 0.99), k = 1024)
         val (sess, name) = runTwoBatches(wq, "append",
           late.write.mode("append").parquet(dir2))
-        sess.table(name)
-          .filter(col("win_start") < timestamp_seconds(lit(far - 24 * 3600)))
+        realWindows(sess.table(name), far)
           .select(col("win_start").cast("date").as("day"),
             col("p50"), col("p90"), col("p99"), col("n"))
           .orderBy(col("day"))
@@ -478,10 +501,7 @@ trait StreamGatesFam {
       "no in-session edge available to span the restart cut — the " +
         "recovery gate would be vacuous")
     val cut = cutRow(0).getLong(0)
-    val c1 = lo + (cut - lo) / 2 // < cut, >= lo: all three parts non-empty
-    ev.filter(col("ts") <= c1).write.mode("overwrite").parquet(scratch)
-    val mid = ev.filter(col("ts") > c1 && col("ts") <= cut)
-    val late = ev.filter(col("ts") > cut)
+    val (mid, late) = cutSplit(ev, col("ts"), scratch, lo, cut)
     def mk(sess: SparkSession): DataFrame =
       Streams.transitionsIngest(
         Streams.parquetStream(sess, scratch, ev, glob = Some("*.parquet")),
@@ -543,11 +563,8 @@ trait StreamGatesFam {
       "no day window can span the restart cut — the windowed-state " +
         "recovery gate would be vacuous")
     val cut = cutRow(0).getLong(0)
-    val c1 = lo + (cut - lo) / 2 // < cut, >= lo: all three parts non-empty
-    ev.filter(tsLong <= c1).write.mode("overwrite").parquet(scratch)
-    val mid = ev.filter(tsLong > c1 && tsLong <= cut)
-    val late = ev.filter(tsLong > cut)
-    val far = hi + 10L * 366 * 24 * 3600
+    val (mid, late) = cutSplit(ev, tsLong, scratch, lo, cut)
+    val far = sentinelHorizon(hi)
     val sentinel = ss.range(1)
       .select(timestamp_seconds(lit(far)).as("event_time"),
         lit(0.0).as("value"))
@@ -556,10 +573,10 @@ trait StreamGatesFam {
         Streams.parquetStream(sess, scratch, ev, glob = Some("*.parquet")),
         col("event_time"), col("value"), "1 day", "0 seconds",
         probs = Seq(0.5, 0.9, 0.99), k = 1024)
-    runWithRestart(s, mk, "append", ckpt, outDir,
+    realWindows(runWithRestart(s, mk, "append", ckpt, outDir,
       mid.write.mode("append").parquet(scratch),
-      late.unionByName(sentinel).write.mode("append").parquet(scratch))
-      .filter(col("win_start") < timestamp_seconds(lit(far - 24 * 3600)))
+      late.unionByName(sentinel).write.mode("append").parquet(scratch)),
+      far)
       .select(col("win_start").cast("date").as("day"),
         col("p50"), col("p90"), col("p99"), col("n"))
       .orderBy(col("day"))

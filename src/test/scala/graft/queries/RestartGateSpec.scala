@@ -19,13 +19,15 @@ import graft.streaming.Streams
 class RestartGateSpec extends SparkSpec {
   import spark.implicits._
 
-  /** 10 keys, each arriving once in the early tercile and once late —
-    * every key's suppression depends on state surviving the restart.
+  /** 10 keys, each arriving in ALL THREE terciles (secs ~1000 / ~4500 /
+    * ~9000) — micro-batch 2 carries real duplicates (suppressed by
+    * in-query state) and batch 3's arrive only after the restart, so
+    * every key's final suppression depends on state surviving it.
     */
   private def mkCorpus(ss: SparkSession): DataFrame = {
     import ss.implicits._
     (0 until 10).flatMap { k =>
-      Seq((k.toLong, 1000L + k), (k.toLong, 9000L + k))
+      Seq((k.toLong, 1000L + k), (k.toLong, 4500L + k), (k.toLong, 9000L + k))
     }.toDF("k", "sec")
       .select(col("k"), timestamp_seconds(col("sec")).as("event_time"))
   }
@@ -47,7 +49,9 @@ class RestartGateSpec extends SparkSpec {
         keys = Seq("k"), eventTime = "event_time", delay = "3650 days")
     val fsu = new graft.engine.FsUtils(spark)
     val result = StreamGates.runWithRestart(spark, mk, "append", ckpt, out,
-      // batch 2: a mid filler so the stop really lands after two batches
+      // batch 2: every key's FIRST duplicate — suppressed by in-query
+      // state, so the checkpoint the restart resumes from covers two
+      // data-carrying batches
       ev.filter(sec >= 4000L && sec < 5000L).write.mode("append")
         .parquet(scratch),
       {
@@ -82,9 +86,11 @@ class RestartGateSpec extends SparkSpec {
     // the RocksDB provider really engaged: its checkpoint format writes
     // zip snapshots / changelogs, never the HDFS store's .delta files
     import scala.jdk.CollectionConverters._
-    val names = java.nio.file.Files
+    val walk = java.nio.file.Files
       .walk(java.nio.file.Paths.get(lastCkpt, "state"))
-      .iterator().asScala.map(_.getFileName.toString).toList
+    val names =
+      try walk.iterator().asScala.map(_.getFileName.toString).toList
+      finally walk.close()
     assert(names.exists(n => n.endsWith(".zip") || n.endsWith(".changelog")),
       s"no RocksDB snapshot files under the checkpoint: $names")
     assert(!names.exists(_.endsWith(".delta")),
