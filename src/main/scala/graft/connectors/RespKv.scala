@@ -177,6 +177,16 @@ class RespKvClient(host: String, port: Int, timeoutMs: Int = 3000,
   */
 case class RespTls(truststorePath: String, storePass: String,
     storeType: String = "PKCS12", verifyHostname: Boolean = true) {
+
+  /** Case-class toString would print `storePass` verbatim — and these
+    * descriptors ride in task closures, so executor task-FAILURE messages
+    * (which stringify the closure's fields) and driver logs would leak the
+    * credential. Redacted here, NOT at the log-config layer: every render
+    * path (exceptions, debug strings, plan dumps) goes through toString.
+    */
+  override def toString: String =
+    s"RespTls($truststorePath, ***, $storeType, $verifyHostname)"
+
   def context(): javax.net.ssl.SSLContext = {
     val st = java.security.KeyStore.getInstance(storeType)
     val in = java.nio.file.Files.newInputStream(
@@ -194,6 +204,14 @@ case class RespTls(truststorePath: String, storePass: String,
 case class RespKvFactory(host: String, port: Int, timeoutMs: Int = 3000,
     auth: Option[String] = None,
     tls: Option[RespTls] = None) extends KvClientFactory {
+
+  /** Same redaction contract as [[RespTls.toString]]: the AUTH password
+    * must never render in task-failure messages or logs.
+    */
+  override def toString: String =
+    s"RespKvFactory($host, $port, $timeoutMs, " +
+      s"${auth.map(_ => "***")}, $tls)"
+
   def open(): KvClient = new RespKvClient(host, port, timeoutMs, auth,
     tls.map(_.context()), tls.forall(_.verifyHostname))
 }

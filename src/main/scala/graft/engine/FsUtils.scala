@@ -68,4 +68,24 @@ class FsUtils(conf: Configuration) {
     val f = fs(p)
     f.exists(p) && f.delete(p, true)
   }
+
+  /** Rename (same filesystem). The atomic-swap primitive the staged
+    * writes build on; fails loudly rather than leaving a half-move.
+    */
+  def mv(src: String, dst: String): Unit = {
+    val s = new Path(src)
+    val d = new Path(dst)
+    require(fs(s).rename(s, d), s"rename failed: $src -> $dst")
+  }
+
+  /** Recursive copy (source kept). Snapshot primitive — e.g. preserving a
+    * streaming checkpoint generation before a later incarnation advances
+    * it, so crash-replay recovery can be exercised from the older state.
+    */
+  def cp(src: String, dst: String): Unit = {
+    val s = new Path(src)
+    val d = new Path(dst)
+    require(org.apache.hadoop.fs.FileUtil.copy(fs(s), s, fs(d), d,
+      false, true, conf), s"copy failed: $src -> $dst")
+  }
 }

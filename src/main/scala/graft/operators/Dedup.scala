@@ -278,10 +278,12 @@ object Dedup {
 
     /** Reload state persisted by [[save]]; the returned frames carry the
       * tables' bucketing specs, so downstream joins on the bucket keys skip
-      * the state-side shuffle.
+      * the state-side shuffle. Refuses a layout-version mismatch on either
+      * table (see [[StateFormatVersion]]).
       */
     def load(spark: org.apache.spark.sql.SparkSession, prefix: String): NearDupState =
-      NearDupState(spark.table(s"${prefix}_bands"), spark.table(s"${prefix}_postings"))
+      NearDupState(versionedStateTable(spark, s"${prefix}_bands"),
+        versionedStateTable(spark, s"${prefix}_postings"))
   }
 
   /** Persist the [[exactIncremental]] fingerprint state as one bucketed
@@ -299,6 +301,18 @@ object Dedup {
     * derived from its own previous save — the steady-state cadence — and
     * readers never observe a half-written target.
     */
+  /** Layout version stamped (as a table property) on every persisted
+    * state table — the [[graft.operators.TextIndex.IndexFormatVersion]]
+    * contract applied to the dedup state: [[NearDupState.load]] /
+    * [[loadFingerprints]] REFUSE a mismatched (or missing) version rather
+    * than misfold state whose layout a future code change reinterpreted.
+    * Bump whenever the persisted layout's meaning changes (band-key
+    * recipe, posting fingerprint, bucketing key semantics).
+    */
+  val StateFormatVersion: Int = 1
+
+  private val StateVersionProp = "graft.state.format.version"
+
   private def writeBucketedSwap(df: DataFrame, table: String, buckets: Int,
       key: String): Unit = {
     stageBucketed(df, table, buckets, key)
@@ -306,9 +320,14 @@ object Dedup {
   }
 
   private def stageBucketed(df: DataFrame, table: String, buckets: Int,
-      key: String): Unit =
+      key: String): Unit = {
     df.write.mode("overwrite").bucketBy(buckets, key).sortBy(key)
       .saveAsTable(table + "__stage")
+    // stamp the STAGE table so the version rides through the swap rename
+    // atomically with the data it describes
+    df.sparkSession.sql(s"ALTER TABLE `${table}__stage` SET TBLPROPERTIES " +
+      s"('$StateVersionProp' = '$StateFormatVersion')")
+  }
 
   private def swapStaged(spark: org.apache.spark.sql.SparkSession,
       table: String): Unit = {
@@ -318,9 +337,28 @@ object Dedup {
     spark.catalog.refreshTable(table)
   }
 
-  /** Reload fingerprint state persisted by [[saveFingerprints]]. */
-  def loadFingerprints(spark: org.apache.spark.sql.SparkSession, table: String): DataFrame =
+  /** `spark.table` behind the version gate: refuse a state table whose
+    * stamped layout version differs from this build's (missing = written
+    * by something that predates versioning = equally unreadable).
+    */
+  private def versionedStateTable(spark: org.apache.spark.sql.SparkSession,
+      table: String): DataFrame = {
+    val v = spark.sql(s"SHOW TBLPROPERTIES `$table`").collect()
+      .collectFirst {
+        case r if r.getString(0) == StateVersionProp => r.getString(1)
+      }.getOrElse("<missing>")
+    require(v == StateFormatVersion.toString,
+      s"state table $table has layout version $v; this build reads " +
+        s"version $StateFormatVersion — refusing to load (re-bootstrap " +
+        "the state with the current build)")
     spark.table(table)
+  }
+
+  /** Reload fingerprint state persisted by [[saveFingerprints]]; refuses
+    * a layout-version mismatch (see [[StateFormatVersion]]).
+    */
+  def loadFingerprints(spark: org.apache.spark.sql.SparkSession, table: String): DataFrame =
+    versionedStateTable(spark, table)
 
   /** Incremental near-duplicate dedup for continuous ingestion — the
     * MinHash analogue of [[exactIncremental]]. The fresh batch first
@@ -701,13 +739,15 @@ object Dedup {
       strategy: String = "auto",
       autoCountMaxDf: Long = 1000,
       autoSampleFraction: Double = 1.0,
-      pairBudget: PairBudget = PairBudget.Auto): DataFrame = {
+      pairBudget: PairBudget = PairBudget.Auto,
+      onDegrade: PairDegrade => Unit = _ => ()): DataFrame = {
     require(autoSampleFraction > 0 && autoSampleFraction <= 1,
       s"autoSampleFraction out of (0,1]: $autoSampleFraction")
     val idx0 = shingleIndex(df, id, text, shingleK, maxDocFreq)
     // shared stats pass + budget degrade + post-degrade maxDf rescale
     val (ShingleIndex(sets, indexed, sizes), effMaxDf) =
-      statsAndDegrade(idx0, strategy, autoSampleFraction, pairBudget)
+      statsAndDegrade(idx0, strategy, autoSampleFraction, pairBudget,
+        onDegrade)
 
     def countPairs: DataFrame =
       interSizedPairs(indexed, sizes)
@@ -780,13 +820,15 @@ object Dedup {
       strategy: String = "auto",
       autoCountMaxDf: Long = 1000,
       autoSampleFraction: Double = 1.0,
-      pairBudget: PairBudget = PairBudget.Auto): DataFrame = {
+      pairBudget: PairBudget = PairBudget.Auto,
+      onDegrade: PairDegrade => Unit = _ => ()): DataFrame = {
     require(autoSampleFraction > 0 && autoSampleFraction <= 1,
       s"autoSampleFraction out of (0,1]: $autoSampleFraction")
     val idx0 = shingleIndex(df, id, text, shingleK, maxDocFreq)
     // shared stats pass + budget degrade — ONE helper with jaccardPairs
     val (idx, effMaxDf) =
-      statsAndDegrade(idx0, strategy, autoSampleFraction, pairBudget)
+      statsAndDegrade(idx0, strategy, autoSampleFraction, pairBudget,
+        onDegrade)
     val sized = (if (strategy == "auto")
       (if (effMaxDf.get <= autoCountMaxDf) "count" else "prefix")
     else strategy) match {
@@ -924,6 +966,19 @@ object Dedup {
     }
   }
 
+  /** What a tripped [[PairBudget]] actually did: the statistics pass's
+    * candidate-pair estimate, the budget it exceeded, and the
+    * deterministic doc hash-sample fraction (√(budget/estimate)) the index
+    * was degraded to. Surfaced through the `onDegrade` callback of
+    * [[jaccardPairs]]/[[selfContainmentPairs]]/
+    * [[Diagnostics.minhashErrorReport]] — a degraded (sampled) answer is
+    * a DIFFERENT answer than the complete join, and callers must be able
+    * to tell, machine-readably, which one they got. A warning is also
+    * logged unconditionally whenever the guard fires.
+    */
+  final case class PairDegrade(estimatedPairs: Long, budget: Long,
+      sampledFraction: Double)
+
   /** Conf key for [[PairBudget.Auto]]'s per-task pair cap. */
   val PairsPerTaskConf = "spark.graft.dedup.pairsPerTask"
 
@@ -932,12 +987,22 @@ object Dedup {
     case PairBudget.Unbounded => None
     case PairBudget.Fixed(n) => Some(n)
     case PairBudget.Auto =>
-      val parts = math.max(1L,
-        spark.conf.get("spark.sql.shuffle.partitions", "200").toLong)
+      val parts = safePartitions(
+        spark.conf.get("spark.sql.shuffle.partitions", "200"),
+        spark.sparkContext.defaultParallelism.toLong)
       val perTask = spark.conf.get(PairsPerTaskConf, "4000000").toLong
       require(perTask > 0, s"$PairsPerTaskConf must be positive: $perTask")
       Some(math.min(parts, Long.MaxValue / perTask) * perTask)
   }
+
+  /** shuffle.partitions may be non-numeric on AQE-managed platforms
+    * (e.g. "auto"); the DEFAULT budget path must never throw on a conf it
+    * only consults for sizing — fall back to the cluster's default
+    * parallelism, the same order of magnitude on any sane deployment.
+    */
+  private[operators] def safePartitions(raw: String,
+      fallback: => Long): Long =
+    math.max(1L, scala.util.Try(raw.trim.toLong).getOrElse(fallback))
 
   /** The shared statistics + pair-budget block of [[jaccardPairs]] and
     * [[selfContainmentPairs]] — ONE pass serves both the auto strategy
@@ -950,8 +1015,8 @@ object Dedup {
     * was measured.
     */
   private def statsAndDegrade(idx0: ShingleIndex, strategy: String,
-      autoSampleFraction: Double,
-      pairBudget: PairBudget): (ShingleIndex, Option[Long]) = {
+      autoSampleFraction: Double, pairBudget: PairBudget,
+      onDegrade: PairDegrade => Unit): (ShingleIndex, Option[Long]) = {
     val budget = resolvedPairBudget(idx0.indexed.sparkSession, pairBudget)
     val stats =
       if (strategy == "auto" || budget.isDefined)
@@ -961,6 +1026,15 @@ object Dedup {
       case Some(b) if stats.exists(_._2 > b) =>
         val (maxDf, est) = stats.get
         val fraction = math.sqrt(b.toDouble / est.toDouble)
+        // a degraded answer must never be silently mistaken for the
+        // complete join: always log, and hand callers the machine-readable
+        // report (ADVICE r18: no log, flag, or metric distinguished them)
+        org.slf4j.LoggerFactory.getLogger(getClass).warn(
+          s"pair budget tripped: ~$est estimated candidate pairs > " +
+            s"budget $b; degrading to a deterministic " +
+            f"$fraction%.6f doc hash-sample (pass PairBudget.Unbounded " +
+            "for the complete join)")
+        onDegrade(PairDegrade(est, b, fraction))
         (budgetSampledIndex(idx0, est, b),
           Some(math.max(1L, math.ceil(maxDf * fraction).toLong)))
       case _ => (idx0, stats.map(_._1))

@@ -270,13 +270,15 @@ object Diagnostics {
   def minhashErrorReport(df: DataFrame, id: Column, text: Column,
       shingleK: Int = 3, numHashes: Int = 128,
       threshold: Double = 0.5,
-      pairBudget: Dedup.PairBudget = Dedup.PairBudget.Auto): DataFrame = {
+      pairBudget: Dedup.PairBudget = Dedup.PairBudget.Auto,
+      onDegrade: Dedup.PairDegrade => Unit = _ => ()): DataFrame = {
     // under the default budget a near-dup-dense corpus degrades the true-
     // pair table to the deterministic √(budget/estimate) doc sample — the
     // error DISTRIBUTION over that sample is the same calibration answer;
-    // pass PairBudget.Unbounded to audit literally every true pair
+    // pass PairBudget.Unbounded to audit literally every true pair, or
+    // onDegrade to learn (machine-readably) whether the sample fired
     val pairs = Dedup.jaccardPairs(df, id, text, shingleK, threshold,
-      pairBudget = pairBudget)
+      pairBudget = pairBudget, onDegrade = onDegrade)
     val sigs = df.select(id.as("id"),
       Dedup.minHashSignature(text, shingleK, numHashes).as("sig"))
     pairs

@@ -71,7 +71,17 @@ object TextIndex {
     * dropped, duplicated or altered row does not).
     */
   final case class IndexManifest(nPostings: Long, nDocs: Long,
-      corpusSize: Long, digest: Long)
+      corpusSize: Long, digest: Long,
+      formatVersion: Int = IndexFormatVersion)
+
+  /** Layout version written into every manifest and REFUSED on mismatch
+    * at load: the digest certifies content integrity but says nothing
+    * about what the bytes MEAN — a future change to the posting layout
+    * (column semantics, tf scaling, tokenization contract) must make old
+    * state unreadable-by-refusal, never silently misfolded into a wrong
+    * answer. Bump this whenever the persisted layout's meaning changes.
+    */
+  val IndexFormatVersion: Int = 1
 
   /** The manifest a posting frame WOULD get — also the staleness probe:
     * compare a saved manifest against `indexDigest(freshBuild, n)` to
@@ -88,10 +98,29 @@ object TextIndex {
   }
 
   /** Persist a posting index for serving: postings parquet + a one-row
-    * manifest. The digest is computed from the files JUST WRITTEN (one
-    * re-scan of the compact posting table), so the manifest certifies the
-    * bytes on disk rather than the plan that produced them — a failed or
-    * partial write can never carry a valid manifest. This is the
+    * manifest, both STAGED under `$dir/.staging` and swapped in by rename
+    * only after they are fully written. The staging makes two failure
+    * shapes safe that a direct overwrite is not:
+    *
+    *  - SELF-OVERWRITE: re-saving an index whose posting frame was
+    *    `loadIndex(dir)`-ed from this very directory (the incremental
+    *    steady state: load → [[postingsIncremental]] → save). A direct
+    *    `mode("overwrite")` of `$dir/postings` deletes the files the
+    *    input plan still scans mid-write; the staged write reads the old
+    *    generation intact and the swap happens only after the new bytes
+    *    exist.
+    *  - TORN SAVE: a crash while staging leaves the live index untouched
+    *    (stale-but-consistent). A crash BETWEEN the two swap renames
+    *    leaves new postings under the old manifest — plain [[loadIndex]]
+    *    would serve that silently (wrong corpusSize/digest), which is why
+    *    production loads go through [[loadIndexVerified]]: its digest
+    *    audit detects exactly this window. Only the verified load detects
+    *    a torn save; the trade is documented rather than hidden behind a
+    *    (filesystem-dependent) multi-rename transaction.
+    *
+    * The digest is computed from the files JUST WRITTEN (one re-scan of
+    * the compact posting table), so the manifest certifies the bytes on
+    * disk rather than the plan that produced them. This is the
     * amortization boundary a production ingest runs at: fold batches with
     * [[postingsIncremental]], save once per ingest cycle, and serve every
     * query off the loaded table with no corpus re-tokenization.
@@ -100,20 +129,38 @@ object TextIndex {
       corpusSize: Long): IndexManifest = {
     val spark = postings.sparkSession
     import spark.implicits._
+    val fs = new graft.engine.FsUtils(spark)
+    val staging = s"$dir/.staging"
+    fs.rm(staging)
     postings.select(col("doc_id"), col("term"), col("tf"))
-      .write.mode("overwrite").parquet(s"$dir/postings")
-    val m = indexDigest(spark.read.parquet(s"$dir/postings"), corpusSize)
-    Seq(m).toDS().write.mode("overwrite").parquet(s"$dir/manifest")
+      .write.mode("overwrite").parquet(s"$staging/postings")
+    val m = indexDigest(spark.read.parquet(s"$staging/postings"), corpusSize)
+    Seq(m).toDS().write.mode("overwrite").parquet(s"$staging/manifest")
+    // swap: postings first, manifest second — either torn order leaves a
+    // digest/manifest mismatch loadIndexVerified refuses
+    fs.rm(s"$dir/postings")
+    fs.mv(s"$staging/postings", s"$dir/postings")
+    fs.rm(s"$dir/manifest")
+    fs.mv(s"$staging/manifest", s"$dir/manifest")
+    fs.rm(staging)
     m
   }
 
   /** Load a persisted index: (postings frame, manifest). Lazy — nothing
-    * is scanned until the serve plan runs.
+    * is scanned until the serve plan runs. Refuses a manifest whose
+    * [[IndexFormatVersion]] differs from this build's: a layout change
+    * must surface as an explicit re-index, never as silently misread
+    * postings. (Content integrity is [[loadIndexVerified]]'s job — this
+    * check costs only the one-row manifest read.)
     */
   def loadIndex(spark: org.apache.spark.sql.SparkSession,
       dir: String): (DataFrame, IndexManifest) = {
     import spark.implicits._
     val m = spark.read.parquet(s"$dir/manifest").as[IndexManifest].head()
+    require(m.formatVersion == IndexFormatVersion,
+      s"persisted index at $dir has format version ${m.formatVersion}; " +
+        s"this build reads version $IndexFormatVersion — refusing to " +
+        "serve (rebuild the index with saveIndex)")
     (spark.read.parquet(s"$dir/postings"), m)
   }
 

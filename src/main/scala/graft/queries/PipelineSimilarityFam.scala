@@ -512,10 +512,15 @@ trait PipelineSimilarityFam extends PipelineDedupFam {
     * entries gate different probe fan-outs of the same fixed-K plan.
     * Until round 17 this entry ran the deterministic modulus-sampled
     * quantizer ([[graft.operators.Similarity.ivfTopK]]); that sampler is
-    * now a SPEC-ONLY fixture (SimilaritySpec covers it directly) so the
-    * registry carries no content-independent quantizer — every registry
-    * IVF plan assigns against a fixed-size trained centroid broadcast,
-    * the shape that scales (n×K map-side assignment, K constant in n).
+    * now a SPEC-ONLY fixture (SimilaritySpec covers it directly), and
+    * since round 19 `sim_ivfpq_topk`'s COARSE quantizer is pinned too —
+    * every registry IVF coarse assignment runs against a fixed-size
+    * trained centroid broadcast, the shape that scales (n×K map-side
+    * assignment, K constant in n). The PQ CODEBOOKS of `sim_pq_topk` /
+    * `sim_ivfpq_topk` remain the documented modulus-sampled fixture
+    * (fixed 128 entries, capped — deterministic and size-bounded, so not
+    * a scale risk; [[graft.operators.Similarity.pqCodebookTrained]] is
+    * the production training path).
     */
   def simIvf(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
@@ -1177,18 +1182,24 @@ trait PipelineSimilarityFam extends PipelineDedupFam {
        |ORDER BY query_id, rank""".stripMargin
   }
 
-  /** IVF-PQ top-5: modulus-sampled coarse centroids prune the scan to
-    * nprobe=2 cells per query; packed PQ codes (same 8-subspace codebook as
-    * `sim_pq_topk`) ADC-score the survivors. The oracle replays the whole
-    * composed pipeline — double-fold cosine cell assignment with its ties,
-    * int8 sub-code assignment, exact long ADC sums, candidate pruning, and
+  /** IVF-PQ top-5: the PINNED k-means coarse quantizer
+    * ([[PinnedArtifacts.IvfCentroids16]] — since round 19, completing the
+    * round-18 migration that moved the IVF-Flat entries off the modulus
+    * sampler) prunes the scan to nprobe=2 cells per query; packed PQ codes
+    * (same 8-subspace codebook as `sim_pq_topk`) ADC-score the survivors.
+    * The oracle replays the whole composed pipeline — double-fold cosine
+    * cell assignment over the same literal centroids with its ties, int8
+    * sub-code assignment, exact long ADC sums, candidate pruning, and
     * ranking — bit-for-bit.
     */
   def simIvfPq(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
     val emb = T(s, dir, "embeddings")
-    graft.operators.Similarity.ivfPqTopK(
-        emb.filter(col("vec_id") < 20), emb, k = 5, m = 8, entryEvery = 25,
-        centroidEvery = 50, nprobe = 2)
+    val cents = PinnedArtifacts.IvfCentroids16.toDF("cid", "cv")
+    graft.operators.Similarity.ivfPqTopKWith(
+        emb.filter(col("vec_id") < 20), emb, cents,
+        graft.operators.Similarity.pqCodebook(emb, m = 8, entryEvery = 25),
+        k = 5, m = 8, nprobe = 2)
       .orderBy(col("query_id"), col("rank"))
   }
 
@@ -1196,8 +1207,13 @@ trait PipelineSimilarityFam extends PipelineDedupFam {
     def idot(a: String, b: String): String =
       s"list_reduce(list_transform(range(1, 9), i -> $a[i] * $b[i]), (x, y) -> x + y)"
     s"""WITH $normsCte,
-       |cent AS (SELECT vec_id AS cid, embedding, nrm FROM n
-       |         WHERE vec_id % 50 = 0 ORDER BY vec_id LIMIT 128),
+       |cent AS (
+       |  SELECT cid, embedding,
+       |    sqrt(list_reduce(list_transform(range(1, len(embedding) + 1),
+       |      i -> embedding[i]::DOUBLE * embedding[i]::DOUBLE), (x, y) -> x + y)) AS nrm
+       |  FROM (VALUES
+       |${PinnedArtifacts.ivfCentroidsSqlValues}
+       |  ) AS c(cid, embedding)),
        |ccand AS (
        |  SELECT v.vec_id, c.cid,
        |    ROW_NUMBER() OVER (PARTITION BY v.vec_id

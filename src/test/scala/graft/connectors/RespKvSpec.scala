@@ -237,4 +237,19 @@ class RespKvSpec extends SparkSpec {
       } finally c.close()
     } finally srv.close()
   }
+
+  test("credential redaction: RespTls/RespKvFactory toString never renders " +
+      "the truststore password or AUTH secret (these descriptors ride in " +
+      "task closures — executor task-failure messages stringify them)") {
+    val tls = RespTls("/etc/ts.p12", "s3cretPass")
+    assert(!tls.toString.contains("s3cretPass"))
+    assert(tls.toString.contains("/etc/ts.p12")) // non-secrets stay visible
+    val f = RespKvFactory("h", 6379, auth = Some("authSecret"),
+      tls = Some(tls))
+    assert(!f.toString.contains("authSecret"))
+    assert(!f.toString.contains("s3cretPass"))
+    assert(f.toString.contains("h") && f.toString.contains("6379"))
+    // the copy() path (case-class machinery) must not resurrect a leak
+    assert(!f.copy(port = 6380).toString.contains("authSecret"))
+  }
 }

@@ -854,6 +854,101 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("onDegrade: a tripped pair budget is VISIBLE — the callback fires " +
+      "with the exact estimate/budget/fraction on every guarded entry " +
+      "point, and stays silent when the budget holds (ADVICE r18: a " +
+      "degraded answer was indistinguishable from a complete one)") {
+    val quad = (1 to 120).map(i =>
+      (i.toLong, s"alpha beta gamma delta epsilon zeta eta theta marker$i"))
+      .toDF("doc_id", "text")
+    // 9 tokens -> 7 3-shingles, the last ("eta theta markerN") unique per
+    // doc: 6 SHARED shingles, each df = 120 -> estimate 6·120·119/2 = 42 840
+    val expectEst = 6L * 120 * 119 / 2
+    var seen: Option[Dedup.PairDegrade] = None
+    Dedup.jaccardPairs(quad, col("doc_id"), col("text"), threshold = 0.5,
+      pairBudget = Dedup.PairBudget.Fixed(200L),
+      onDegrade = d => seen = Some(d)).count()
+    assert(seen === Some(Dedup.PairDegrade(expectEst, 200L,
+      math.sqrt(200.0 / expectEst))))
+    // containment and the minhash calibration report share the surface
+    seen = None
+    Dedup.selfContainmentPairs(quad, col("doc_id"), col("text"),
+      threshold = 0.5, pairBudget = Dedup.PairBudget.Fixed(200L),
+      onDegrade = d => seen = Some(d)).count()
+    assert(seen.exists(d => d.budget === 200L &&
+      d.estimatedPairs === expectEst))
+    seen = None
+    Diagnostics.minhashErrorReport(quad, col("doc_id"), col("text"),
+      threshold = 0.5, pairBudget = Dedup.PairBudget.Fixed(200L),
+      onDegrade = d => seen = Some(d)).count()
+    assert(seen.isDefined)
+    // under-budget runs never invoke it: silence MEANS complete
+    seen = None
+    Dedup.jaccardPairs(quad, col("doc_id"), col("text"), threshold = 0.5,
+      pairBudget = Dedup.PairBudget.Fixed(1000000L),
+      onDegrade = d => seen = Some(d)).count()
+    assert(seen === None)
+    seen = None
+    Dedup.jaccardPairs(quad, col("doc_id"), col("text"), threshold = 0.5,
+      pairBudget = Dedup.PairBudget.Unbounded,
+      onDegrade = d => seen = Some(d)).count()
+    assert(seen === None)
+  }
+
+  test("safePartitions: numeric confs parse, an AQE-managed non-numeric " +
+      "value ('auto') falls back to default parallelism instead of " +
+      "throwing, and the result is clamped positive (ADVICE r18: the " +
+      "DEFAULT budget path must never throw on a sizing conf)") {
+    assert(Dedup.safePartitions("200", 8L) === 200L)
+    assert(Dedup.safePartitions(" 32 ", 8L) === 32L)
+    assert(Dedup.safePartitions("auto", 8L) === 8L)
+    assert(Dedup.safePartitions("", 8L) === 8L)
+    assert(Dedup.safePartitions("0", 8L) === 1L)
+    assert(Dedup.safePartitions("-5", 8L) === 1L)
+    // the fallback is lazy: a numeric conf never evaluates it
+    assert(Dedup.safePartitions("16",
+      sys.error("fallback must not evaluate")) === 16L)
+  }
+
+  test("state layout version: save stamps the format version on both " +
+      "NearDupState tables and the fingerprint table; load REFUSES a " +
+      "mismatched or missing stamp instead of misfolding reinterpreted " +
+      "state") {
+    val corpus = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog and keeps running onward"))
+      .toDF("doc_id", "text")
+    Dedup.NearDupState.save(
+      Dedup.NearDupState.build(corpus, col("doc_id"), col("text")),
+      "ndstate_ver", buckets = 2)
+    // round-trips under the current version
+    Dedup.NearDupState.load(spark, "ndstate_ver")
+    // a FUTURE layout bump must refuse this build's reader
+    spark.sql("ALTER TABLE `ndstate_ver_bands` SET TBLPROPERTIES " +
+      "('graft.state.format.version' = '999')")
+    val e1 = intercept[IllegalArgumentException] {
+      Dedup.NearDupState.load(spark, "ndstate_ver")
+    }
+    assert(e1.getMessage.contains("layout version 999"))
+    // a MISSING stamp (pre-versioning writer) refuses too
+    spark.sql("ALTER TABLE `ndstate_ver_bands` UNSET TBLPROPERTIES " +
+      "('graft.state.format.version')")
+    val e2 = intercept[IllegalArgumentException] {
+      Dedup.NearDupState.load(spark, "ndstate_ver")
+    }
+    assert(e2.getMessage.contains("<missing>"))
+    // fingerprint state shares the gate
+    val (_, fps) = Dedup.exactIncremental(
+      Seq((1L, "aa")).toDF("id", "t"), col("id"), col("t"),
+      Seq.empty[Long].toDF("fp"))
+    Dedup.saveFingerprints(fps, "fps_ver", buckets = 2)
+    Dedup.loadFingerprints(spark, "fps_ver")
+    spark.sql("ALTER TABLE `fps_ver` SET TBLPROPERTIES " +
+      "('graft.state.format.version' = '999')")
+    intercept[IllegalArgumentException] {
+      Dedup.loadFingerprints(spark, "fps_ver")
+    }
+  }
+
   test("prefixKeepCount: survives an IntegerType sz column at long-document " +
       "sizes (production sz = size(set) is INT; a bare int literal multiply " +
       "overflowed under ANSI at sz >= ~2561 for t = 0.8)") {

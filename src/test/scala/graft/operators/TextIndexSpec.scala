@@ -644,6 +644,63 @@ class TextIndexSpec extends SparkSpec {
     assert(e.getMessage.contains("manifest"))
   }
 
+  test("persisted index format version: the manifest carries the layout " +
+      "version and load REFUSES a mismatch — a future layout change " +
+      "surfaces as an explicit re-index, never as silently misread " +
+      "postings") {
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-idxver").toString
+    val idx = TextIndex.postings(
+      Seq((1L, "a b a"), (2L, "b c")).toDF("id", "text"),
+      col("id"), col("text"))
+    val m = TextIndex.saveIndex(idx, dir, corpusSize = 2L)
+    assert(m.formatVersion === TextIndex.IndexFormatVersion)
+    // simulate state written by a build with a bumped layout version
+    val rows = spark.read.parquet(s"$dir/manifest")
+      .withColumn("formatVersion", lit(999)).collect()
+    val schema = spark.read.parquet(s"$dir/manifest").schema
+    spark.createDataFrame(
+        spark.sparkContext.parallelize(rows.toSeq), schema)
+      .write.mode("overwrite").parquet(s"$dir/manifest")
+    val e = intercept[IllegalArgumentException] {
+      TextIndex.loadIndex(spark, dir)
+    }
+    assert(e.getMessage.contains("format version 999"))
+    // the verified load sits on top of the same gate
+    intercept[IllegalArgumentException] {
+      TextIndex.loadIndexVerified(spark, dir)
+    }
+  }
+
+  test("saveIndex self-overwrite: re-saving an index whose postings were " +
+      "loadIndex-ed from the SAME directory (the incremental steady " +
+      "state) stages and swaps instead of deleting its own input " +
+      "mid-write (ADVICE r18), and the staging dir is cleaned up") {
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-idxself").toString
+    val idx = TextIndex.postings(
+      Seq((1L, "a b a"), (2L, "b c")).toDF("id", "text"),
+      col("id"), col("text"))
+    TextIndex.saveIndex(idx, dir, corpusSize = 2L)
+    // load -> fold a batch -> save into the directory the plan reads
+    val (loaded, _) = TextIndex.loadIndex(spark, dir)
+    val fresh = TextIndex.postingsIncremental(loaded,
+      Seq((3L, "c d")).toDF("id", "text"), col("id"), col("text"))
+    val m2 = TextIndex.saveIndex(fresh, dir, corpusSize = 3L)
+    val (served, m3) = TextIndex.loadIndexVerified(spark, dir)
+    assert(m3 === m2 && m3.nDocs === 3L)
+    assert(served.as[(Long, String, Long)].collect().sorted.toSeq ===
+      TextIndex.postings(
+        Seq((1L, "a b a"), (2L, "b c"), (3L, "c d")).toDF("id", "text"),
+        col("id"), col("text"))
+        .as[(Long, String, Long)].collect().sorted.toSeq)
+    // and the DIRECT identity re-save (no fold) also works
+    val (again, _) = TextIndex.loadIndex(spark, dir)
+    assert(TextIndex.saveIndex(again, dir, corpusSize = 3L) === m2)
+    assert(!new java.io.File(s"$dir/.staging").exists(),
+      "staging dir must not persist after a completed save")
+  }
+
   test("indexDigest laws: XOR-homomorphic over disjoint shards (shard " +
       "manifests combine without a rescan) and sensitive to a single " +
       "changed tf") {
