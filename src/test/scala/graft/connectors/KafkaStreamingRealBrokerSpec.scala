@@ -100,4 +100,70 @@ class KafkaStreamingRealBrokerSpec extends SparkSpec {
     assert(before.subsetOf(got), s"missing keys: ${(before -- got).take(5)}")
     assert(got.subsetOf(after), s"phantom keys: ${(got -- after).take(5)}")
   }
+
+  test("checkpointed KAFKA offsets survive a kill-and-resume: a brand-new " +
+      "incarnation (fresh session, same checkpoint) resumes from the " +
+      "committed offsets and the restored dedup state — duplicates " +
+      "produced across the kill are suppressed, nothing is re-read " +
+      "(needs a WRITABLE GRAFT_KAFKA_RESTART_TOPIC; cancel-not-pass)") {
+    val (host, port, _) = enabled()
+    val topic = sys.env.getOrElse("GRAFT_KAFKA_RESTART_TOPIC",
+      cancel("GRAFT_KAFKA_RESTART_TOPIC not set — need a writable scratch " +
+        "topic (the smoke topic stays read-only)"))
+    val servers = s"$host:$port"
+    // run-scoped key namespace: the scratch topic may hold prior runs'
+    // records; the dedup and the final assert see only this run's keys
+    val runId = java.util.UUID.randomUUID().toString.take(8)
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("graft-kafka-restart-ck").toString + "/ck"
+    val out = java.nio.file.Files
+      .createTempDirectory("graft-kafka-restart-out").toString + "/out"
+    import spark.implicits._
+    def produce(keys: Range): Unit =
+      keys.map(k => s"$runId-$k").toDF("value")
+        .selectExpr("value AS key", "value")
+        .write.format("kafka")
+        .option("kafka.bootstrap.servers", servers)
+        .option("topic", topic)
+        .save()
+    // one incarnation = the file-source gates' runWithRestart pattern
+    // realized on the Kafka source: available-now snapshot, dedup
+    // handler, batchId-idempotent sink, PERSISTENT checkpoint
+    def incarnation(): Unit = {
+      val ss = graft.GraftSession.configure(spark.newSession())
+      ss.conf.set("spark.sql.shuffle.partitions", "4")
+      val stream = ss.readStream.format("kafka")
+        .option("kafka.bootstrap.servers", servers)
+        .option("subscribe", topic)
+        .option("startingOffsets", "earliest") // first incarnation only;
+        // afterwards the CHECKPOINT owns the position — the claim under test
+        .load()
+        .select(col("key").cast("string").as("k"),
+          col("timestamp").as("event_time"))
+        .filter(col("k").startsWith(s"$runId-"))
+      val dd = Streams.dedupWithinWatermark(stream, keys = Seq("k"),
+        eventTime = "event_time", delay = "3650 days")
+      val q = dd.writeStream
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .foreachBatch(graft.queries.StreamGates.idempotentSink(out))
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      try assert(q.awaitTermination(180000), "available-now run timed out")
+      finally q.stop()
+    }
+    produce(0 until 10)
+    incarnation() // commits offsets + dedup state, then "dies"
+    produce(5 until 15) // 5-9 duplicate ACROSS the kill; 10-14 are new
+    incarnation() // fresh session, same checkpoint: the recovery path
+    val got = graft.queries.StreamGates.readSinkOutput(spark, out)
+      .select(col("k")).as[String].collect().toSeq
+    val want = (0 until 15).map(k => s"$runId-$k")
+    // exactly once each: lost STATE re-emits 5-9 (duplicates), lost
+    // OFFSETS re-reads and re-emits 0-9 — either inflates the multiset
+    assert(got.sorted === want.sorted,
+      s"kill-and-resume broke exactly-once: got ${got.size} rows " +
+        s"(${got.groupBy(identity).collect { case (k, vs) if vs.size > 1 =>
+          k }.take(5)} duplicated)")
+  }
 }

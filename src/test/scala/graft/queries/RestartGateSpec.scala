@@ -22,18 +22,33 @@ class RestartGateSpec extends SparkSpec {
   /** 10 keys, each arriving in ALL THREE terciles (secs ~1000 / ~4500 /
     * ~9000) — micro-batch 2 carries real duplicates (suppressed by
     * in-query state) and batch 3's arrive only after the restart, so
-    * every key's final suppression depends on state surviving it.
+    * every key's final suppression depends on state surviving it. Keys
+    * 10–11 FIRST arrive in tercile 2 (and duplicate in tercile 3): batch
+    * 2 therefore EMITS rows, which is what keeps full-wipe sabotage
+    * detectable under the batchId-idempotent sink — the wiped rerun's
+    * reprocess-everything batch 0 re-emits those keys while the original
+    * `batch_id=1` directory still holds them (an all-duplicate middle
+    * batch would leave nothing for the overwrite to collide with). Keys
+    * 12–13 first arrive in tercile 3, so the POST-RESTART batch also
+    * emits — the rows the crash-replay tests need batch 3 to own.
     */
   private def mkCorpus(ss: SparkSession): DataFrame = {
     import ss.implicits._
-    (0 until 10).flatMap { k =>
+    ((0 until 10).flatMap { k =>
       Seq((k.toLong, 1000L + k), (k.toLong, 4500L + k), (k.toLong, 9000L + k))
-    }.toDF("k", "sec")
+    } ++ Seq((10L, 4600L), (11L, 4700L), (10L, 9600L), (11L, 9700L),
+      (12L, 9800L), (13L, 9900L)))
+      .toDF("k", "sec")
       .select(col("k"), timestamp_seconds(col("sec")).as("event_time"))
   }
 
+  private val cleanKeys: Seq[Long] = 0L until 14L
+
   private def lifecycle(tag: String, sabotage: Boolean,
-      tune: SparkSession => Unit = _ => ()): Seq[Long] = {
+      tune: SparkSession => Unit = _ => (),
+      replay: Boolean = false,
+      mkSink: Option[String => (DataFrame, Long) => Unit] = None)
+      : Seq[Long] = {
     val scratch = java.nio.file.Files
       .createTempDirectory(s"graft-rg-$tag-src").toString
     val ckpt = java.nio.file.Files
@@ -49,9 +64,9 @@ class RestartGateSpec extends SparkSpec {
         keys = Seq("k"), eventTime = "event_time", delay = "3650 days")
     val fsu = new graft.engine.FsUtils(spark)
     val result = StreamGates.runWithRestart(spark, mk, "append", ckpt, out,
-      // batch 2: every key's FIRST duplicate — suppressed by in-query
+      // batch 2: keys 0-9's FIRST duplicate (suppressed by in-query
       // state, so the checkpoint the restart resumes from covers two
-      // data-carrying batches
+      // data-carrying batches) plus keys 10-11's first arrival (emitted)
       ev.filter(sec >= 4000L && sec < 5000L).write.mode("append")
         .parquet(scratch),
       {
@@ -61,7 +76,8 @@ class RestartGateSpec extends SparkSpec {
         // incarnations — the new query starts from scratch and
         // re-processes everything with fresh state
         if (sabotage) fsu.rm(ckpt)
-      }, tune)
+      }, tune, replayLastBatch = replay,
+      mkSink = mkSink.getOrElse(StreamGates.idempotentSink))
     lastCkpt = ckpt
     result.select(col("k")).as[Long].collect().toSeq
   }
@@ -72,7 +88,33 @@ class RestartGateSpec extends SparkSpec {
       "(every key exactly once despite its duplicate arriving only " +
       "after the restart)") {
     val got = lifecycle("clean", sabotage = false)
-    assert(got.sorted === (0L until 10L))
+    assert(got.sorted === cleanKeys)
+  }
+
+  test("CRASH-REPLAY window: the checkpoint rolled back to its " +
+      "pre-batch-3 generation after recovery already committed batch 3 " +
+      "(= crash between the sink write and the offset commit) re-runs " +
+      "batch 3 under its original batchId — the idempotent sink lands " +
+      "on the same files and the answer is unchanged") {
+    val got = lifecycle("replay", sabotage = false, replay = true)
+    assert(got.sorted === cleanKeys)
+  }
+
+  test("the UNGUARDED bare-append sink goes red under the SAME " +
+      "crash-replay lifecycle: the replayed batch double-appends, and " +
+      "the duplicate rows are exactly what the DISTINCT oracle hash " +
+      "would flag (why idempotentSink is the default, r18 verdict #1)") {
+    val got = lifecycle("appendsink", sabotage = false, replay = true,
+      mkSink = Some(dir => (batch: DataFrame, _: Long) =>
+        batch.write.mode("append").parquet(dir)))
+    // the key SET still looks plausible...
+    assert(got.toSet === cleanKeys.toSet)
+    // ...but batch 3 emitted keys 12-13 (first seen post-restart), and
+    // the replayed batch APPENDED them a second time
+    assert(got.size > cleanKeys.size,
+      s"append sink produced no duplicates under replay (${got.size} " +
+        "rows) — the failure shape this spec exists to demonstrate")
+    assert(got.count(_ == 12L) === 2 && got.count(_ == 13L) === 2)
   }
 
   test("clean recovery under the ROCKSDB state store — the production " +
@@ -82,7 +124,7 @@ class RestartGateSpec extends SparkSpec {
       tune = _.conf.set("spark.sql.streaming.stateStore.providerClass",
         "org.apache.spark.sql.execution.streaming.state." +
           "RocksDBStateStoreProvider"))
-    assert(got.sorted === (0L until 10L))
+    assert(got.sorted === cleanKeys)
     // the RocksDB provider really engaged: its checkpoint format writes
     // zip snapshots / changelogs, never the HDFS store's .delta files
     import scala.jdk.CollectionConverters._
@@ -103,10 +145,15 @@ class RestartGateSpec extends SparkSpec {
       "DISTINCT oracle hash flags red") {
     val got = lifecycle("sabotage", sabotage = true)
     // same key SET (the answer looks superficially plausible)...
-    assert(got.toSet === (0L until 10L).toSet)
-    // ...but the lifecycle emitted duplicates: detection is guaranteed
-    assert(got.size > 10,
+    assert(got.toSet === cleanKeys.toSet)
+    // ...but the lifecycle emitted duplicates: detection is guaranteed.
+    // Under the idempotent sink the wiped rerun's reprocess-everything
+    // batch 0 OVERWRITES the original batch_id=0 files, so the surviving
+    // evidence is the collision with batch_id=1's rows (keys 10-11) —
+    // which is why mkCorpus plants first-arrivals in the middle tercile
+    assert(got.size > cleanKeys.size,
       s"sabotaged run produced no duplicates (${got.size} rows) — the " +
         "gate would not detect this failure")
+    assert(got.count(_ == 10L) === 2 && got.count(_ == 11L) === 2)
   }
 }
