@@ -1414,6 +1414,59 @@ trait PipelineTextStatsFam extends PipelineMixtureSketchFam {
       .orderBy(col("lang"), col("pred"))
   }
 
+  /** The PRODUCTION classifier family under the hash gate
+    * ([[graft.operators.TextClassifier.classifyLinearPinned]] with
+    * family = "fast": the native xxhash64 CharNgramDimCounts kernel +
+    * [[PinnedArtifacts.LangLrWeightsFast]]): the same
+    * featurize → integer score → tie-indexed argmax → confusion chain as
+    * `lang_classifier`, applied to the FIXED fixture corpus
+    * ([[PinnedArtifacts.LangFastFixture]]). The featurizer is not
+    * SQL-replayable (DuckDB has no xxhash64), so its fixture output is
+    * PINNED ([[PinnedArtifacts.LangFastFixtureDims]], kernel==pin
+    * asserted per doc by TextClassifierSpec — the `mm_phash_pairs`
+    * pattern) and the oracle replays everything downstream of it over
+    * the same literals. Until round 19 the fast family had only spec
+    * coverage; this gives the production path the same end-to-end
+    * replay protection as the md5 oracle family.
+    */
+  def langClassifierFastQ(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val d = PinnedArtifacts.LangFastFixture.toDF("doc_id", "lang", "text")
+    graft.operators.TextClassifier.classifyLinearPinned(
+        d, col("doc_id"), col("text"),
+        PinnedArtifacts.LangLrWeightsFast, n = PinnedArtifacts.LangLrGramN,
+        dims = PinnedArtifacts.LangLrDims, family = "fast")
+      .join(d.select(col("doc_id").as("id"), col("lang")), Seq("id"))
+      .groupBy(col("lang"), col("pred"))
+      .agg(count(lit(1)).as("n_docs"))
+      .orderBy(col("lang"), col("pred"))
+  }
+
+  val langClassifierFastOracle: String =
+    s"""WITH w(label, tie, biasq, dim, wq) AS (VALUES
+       |${PinnedArtifacts.langLrFastSqlValues}),
+       |c(doc_id, dim, cnt) AS (VALUES
+       |${PinnedArtifacts.langFastFixtureDimSqlValues}),
+       |lbl(doc_id, lang) AS (VALUES
+       |${PinnedArtifacts.langFastFixtureLabelSqlValues}),
+       |s AS (
+       |  SELECT c.doc_id, w.label, w.tie, SUM(c.cnt * w.wq) AS s0
+       |  FROM c JOIN w ON w.dim = c.dim GROUP BY 1, 2, 3),
+       |sc AS (
+       |  SELECT s.doc_id, s.label, s.tie, s.s0 + b.biasq AS scoreq
+       |  FROM s JOIN (SELECT DISTINCT label, tie, biasq FROM w) b
+       |    ON b.label = s.label AND b.tie = s.tie),
+       |p AS (
+       |  SELECT doc_id, label AS pred,
+       |    ROW_NUMBER() OVER (PARTITION BY doc_id
+       |      ORDER BY scoreq DESC, tie) AS rk
+       |  FROM sc)
+       |SELECT l.lang, p.pred, CAST(COUNT(*) AS BIGINT) AS n_docs
+       |FROM p JOIN lbl l ON l.doc_id = p.doc_id
+       |WHERE p.rk = 1
+       |GROUP BY 1, 2
+       |ORDER BY lang, pred""".stripMargin
+
   /** The pinned-classifier per-class score CTE chain — grams → md5 dims →
     * count·weight sums → bias — shared by [[langClassifierOracle]] and
     * [[conformalLangSetsOracle]] (ONE copy of the score replay, so the

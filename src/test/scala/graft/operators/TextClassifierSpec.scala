@@ -170,4 +170,30 @@ class TextClassifierSpec extends SparkSpec {
     assert(agree.toDouble / j.length >= 0.55,
       s"family agreement ${agree.toDouble / j.length}")
   }
+
+  test("lang_classifier_fast pin integrity: the production featurizer run " +
+      "over the fixture corpus reproduces LangFastFixtureDims EXACTLY per " +
+      "doc — the pin the oracle replays cannot drift from the kernel " +
+      "silently (the MmFixtureHashes64 pattern)") {
+    import spark.implicits._
+    val P = graft.queries.PinnedArtifacts
+    val live = TextClassifier.hashedGramCounts(
+        P.LangFastFixture.toDF("doc_id", "lang", "text"),
+        col("doc_id"), col("text"),
+        n = P.LangLrGramN, dims = P.LangLrDims, family = "fast")
+      .select(col("id"), col("dim").cast("int").as("dim"), col("c"))
+      .as[(Long, Int, Long)].collect().sorted.toSeq
+    val pinned = P.LangFastFixtureDims.sorted
+    assert(live.size === pinned.size,
+      s"dim-row count drifted: kernel ${live.size} vs pin ${pinned.size}")
+    // per-doc equality gives a readable failure when a single text or
+    // the hash recipe changes
+    val liveBy = live.groupBy(_._1)
+    val pinBy = pinned.groupBy(_._1)
+    P.LangFastFixture.foreach { case (id, _, _) =>
+      assert(liveBy.getOrElse(id, Nil) === pinBy.getOrElse(id, Nil),
+        s"doc $id featurization drifted from the pin — regenerate with " +
+          "graft.tools.FixtureDims ONLY if the change was deliberate")
+    }
+  }
 }
