@@ -199,6 +199,10 @@ class PlanSpec extends SparkSpec {
     val p = plan(Pipeline.simIvfPq(spark, dir))
     assert(p.contains("pq_adc_packed"), p)
     assert(!p.contains("CartesianProduct"), p)
+    // the COARSE quantizer is the pinned literal centroid table since
+    // r19 (LocalTableScan, constant-K broadcast) — only the PQ codebook
+    // subtree may still carry the modulus fixture selection
+    assert(p.contains("LocalTableScan"), p)
     // Window nodes: the nprobe ranking over the SMALL query×cell side,
     // plus pqCodebook's constant-size entry-rankers (one per consumer of
     // the codebook subtree, each over the ≤maxEntries sort+limit rows);
