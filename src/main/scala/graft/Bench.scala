@@ -85,6 +85,10 @@ object Bench {
       "transitions_restart", "dedup_watermark_restart",
       "window_quantiles_restart", "transitions_replay",
       "bm25_from_saved_index", "lm_cross_screen")
+    // a renamed/removed registry entry must fail the bench loudly, not
+    // silently misclassify its 2-5 s constant into the steady cohort
+    val stale = lifecycle -- SparkEntry.queries.keySet
+    require(stale.isEmpty, s"stale lifecycle cohort names: $stale")
     def cohort(in: Boolean): String = {
       val c = results.filter { case (k, v) => lifecycle(k) == in && v >= 0 }
       s"""{"total":${num(c.map(_._2).sum)},"n":${c.size}}"""

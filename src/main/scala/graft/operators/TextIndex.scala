@@ -156,12 +156,21 @@ object TextIndex {
   def loadIndex(spark: org.apache.spark.sql.SparkSession,
       dir: String): (DataFrame, IndexManifest) = {
     import spark.implicits._
-    val m = spark.read.parquet(s"$dir/manifest").as[IndexManifest].head()
-    require(m.formatVersion == IndexFormatVersion,
-      s"persisted index at $dir has format version ${m.formatVersion}; " +
-        s"this build reads version $IndexFormatVersion — refusing to " +
-        "serve (rebuild the index with saveIndex)")
-    (spark.read.parquet(s"$dir/postings"), m)
+    // the version check must fire BEFORE the typed read: a pre-versioning
+    // manifest has no formatVersion column at all, and the encoder would
+    // throw an unrelated AnalysisException instead of the documented
+    // refusal (missing = written by an older layout = equally unreadable,
+    // the versionedStateTable contract)
+    val raw = spark.read.parquet(s"$dir/manifest")
+    val v =
+      if (raw.columns.contains("formatVersion"))
+        raw.select(col("formatVersion")).head().getInt(0).toString
+      else "<missing>"
+    require(v == IndexFormatVersion.toString,
+      s"persisted index at $dir has format version $v; this build reads " +
+        s"version $IndexFormatVersion — refusing to serve (rebuild the " +
+        "index with saveIndex)")
+    (spark.read.parquet(s"$dir/postings"), raw.as[IndexManifest].head())
   }
 
   /** [[loadIndex]] + an integrity audit: recompute the digest over the

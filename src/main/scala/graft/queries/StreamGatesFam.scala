@@ -159,6 +159,12 @@ trait StreamGatesFam {
     */
   def idempotentSink(outDir: String)
       : (DataFrame, Long) => Unit = { (batch: DataFrame, id: Long) =>
+    // a DATA column named batch_id would collide with the identically
+    // named partition directory on read (and readSinkOutput would strip
+    // the real column) — fail loudly instead of corrupting silently
+    require(!batch.columns.contains("batch_id"),
+      "idempotentSink: the stream already carries a 'batch_id' column — " +
+        "rename it; the sink owns that name for its commit bookkeeping")
     batch.write.mode("overwrite").parquet(s"$outDir/batch_id=$id")
   }
 
@@ -180,9 +186,14 @@ trait StreamGatesFam {
     * checkpoint files, not reuse in-memory maps). Output accumulates in
     * `outDir` via the batchId-idempotent [[idempotentSink]]: each batch
     * owns its `batch_id=<id>` directory, and a BROKEN recovery
-    * self-polices — lost offsets re-process batches 1–2 under NEW
-    * batchIds (duplicated rows in fresh directories), lost state
-    * re-emits suppressed/held rows — either way the hash gate goes red.
+    * self-polices — lost STATE (offsets intact) re-emits suppressed/held
+    * rows into batch 3's directory; FULLY lost offsets+state restart
+    * batchIds at 0, so the reprocess-everything batch OVERWRITES the old
+    * `batch_id=0` and the surviving duplicate evidence is its collision
+    * with the LATER batch directories' rows (which is why a gate's
+    * middle/late batches must emit something — RestartGateSpec plants
+    * first-arrivals there and demonstrates the detection) — either way
+    * the hash gate goes red.
     * Checkpoint and output dirs are wiped at entry (scratch dirs persist
     * across invocations; resuming a checkpoint against an overwritten
     * source dir would be chaos).

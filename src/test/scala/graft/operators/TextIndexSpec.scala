@@ -670,6 +670,22 @@ class TextIndexSpec extends SparkSpec {
     intercept[IllegalArgumentException] {
       TextIndex.loadIndexVerified(spark, dir)
     }
+    // a PRE-versioning manifest (no formatVersion column at all) must hit
+    // the same documented refusal, not an encoder AnalysisException
+    spark.createDataFrame(
+        spark.sparkContext.parallelize(
+          rows.map(r => org.apache.spark.sql.Row(
+            r.getLong(schema.fieldIndex("nPostings")),
+            r.getLong(schema.fieldIndex("nDocs")),
+            r.getLong(schema.fieldIndex("corpusSize")),
+            r.getLong(schema.fieldIndex("digest")))).toSeq),
+        org.apache.spark.sql.types.StructType(
+          schema.filterNot(_.name == "formatVersion")))
+      .write.mode("overwrite").parquet(s"$dir/manifest")
+    val e2 = intercept[IllegalArgumentException] {
+      TextIndex.loadIndex(spark, dir)
+    }
+    assert(e2.getMessage.contains("<missing>"))
   }
 
   test("saveIndex self-overwrite: re-saving an index whose postings were " +
