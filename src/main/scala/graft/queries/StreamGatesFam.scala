@@ -116,35 +116,6 @@ trait StreamGatesFam {
     (ev.filter(tsLong > c1 && tsLong <= cut), ev.filter(tsLong > cut))
   }
 
-  /** Three-way time split for the CHECKPOINT-RESTART gates: write the
-    * first tercile of `ev` (by `tsLong`, a LONG-comparable expression) to
-    * the scratch stream dir and return the middle and late terciles as
-    * batch frames, plus the second cut (the restart boundary). Same
-    * loud-fail stance as [[splitToStreamDir]]: a span too short for three
-    * non-trivial cuts throws instead of silently gating a degenerate run.
-    */
-  private def splitThree(ev: DataFrame, tsLong: Column, scratch: String)
-      : Option[(String, DataFrame, DataFrame, Long)] = {
-    val b = ev.agg(min(tsLong).as("lo"), max(tsLong).as("hi")).head()
-    if (b.isNullAt(0)) return None
-    val (lo, hi) = (b.getLong(0), b.getLong(1))
-    require(hi - lo >= 3,
-      s"degenerate restart split: time span ${hi - lo} cannot cut three " +
-        "non-empty micro-batches")
-    val c1 = lo + (hi - lo) / 3
-    val c2 = lo + 2 * ((hi - lo) / 3)
-    val mid = ev.filter(tsLong > c1 && tsLong <= c2)
-    // span >= 3 only guarantees the OUTER terciles (rows at lo and hi);
-    // a corpus clustered at the extremes would leave micro-batch 2 empty
-    // and the "stopped after micro-batch 2" restart lifecycle would
-    // silently checkpoint after one data-carrying batch — fail loudly
-    require(!mid.isEmpty,
-      s"degenerate restart split: no rows in the middle tercile " +
-        s"($c1, $c2] — the gate would restart after a single data batch")
-    ev.filter(tsLong <= c1).write.mode("overwrite").parquet(scratch)
-    Some((scratch, mid, ev.filter(tsLong > c2), c2))
-  }
-
   /** The batchId-idempotent foreachBatch sink the restart/replay gates
     * run on — and the shape a PRODUCTION foreachBatch parquet sink must
     * have. Structured Streaming's foreachBatch contract is at-least-once:
@@ -674,7 +645,16 @@ trait StreamGatesFam {
     * the watermark, restored from the commit log) survived the restart —
     * a re-emitted key is a duplicate row and the DISTINCT oracle goes
     * red. The entry requires such restart-crossing duplicate keys to
-    * exist, so it cannot pass vacuously.
+    * exist, so it cannot pass vacuously — and since round 19 the FIRST
+    * cut is data-picked too (the transitions/window rule applied to
+    * dedup): micro-batch 2 starts AT a key's first arrival, so batch 2
+    * emits a row by construction. That emission is what keeps a FULLY
+    * wiped checkpoint detectable under the batchId-idempotent sink: the
+    * wiped rerun's reprocess-everything batch 0 overwrites the old
+    * `batch_id=0` directory, and the surviving duplicate evidence is its
+    * collision with the rows batches 2+ emitted (a blind tercile cut
+    * left the middle batch emission-free at sf0.001 — every key had
+    * already arrived in the first tercile).
     */
   def dedupWatermarkRestartQ(s: SparkSession, dir: String): DataFrame = {
     val ss = streamSession(s)
@@ -685,33 +665,54 @@ trait StreamGatesFam {
     val ckpt = Engine.scratchPath("graft-dwm-restart-ck", dir)
     val outDir = Engine.scratchPath("graft-dwm-restart-out", dir)
     val tsLong = col("event_time").cast("long") // epoch seconds
-    splitThree(ev, tsLong, scratch) match {
-      case None =>
-        ss.range(0).select(lit(0L).as("user_id"), lit("").as("event_type"))
-      case Some((streamDir, mid, late, cut)) =>
-        // non-vacuity: some key must occur on BOTH sides of the restart
-        // cut, or suppression-by-recovered-state is never exercised
-        val keys = Seq("user_id", "event_type")
-        val crossing = ev.filter(tsLong <= cut).select(keys.map(col): _*)
-          .distinct()
-          .join(ev.filter(tsLong > cut).select(keys.map(col): _*).distinct(),
-            keys, "inner")
-          .count()
-        require(crossing > 0,
-          "no dedup key spans the restart cut — the recovery gate would " +
-            "be vacuous")
-        def mk(sess: SparkSession): DataFrame =
-          Streams.dedupWithinWatermark(
-            Streams.parquetStream(sess, streamDir, ev,
-              glob = Some("*.parquet")),
-            keys = keys, eventTime = "event_time",
-            delay = "90 days") // horizon > the corpus span: never expires
-        runWithRestart(s, mk, "append", ckpt, outDir,
-          mid.write.mode("append").parquet(streamDir),
-          late.write.mode("append").parquet(streamDir))
-          .select(col("user_id"), col("event_type"))
-          .orderBy(col("user_id"), col("event_type"))
-    }
+    val keys = Seq("user_id", "event_type")
+    val b = ev.agg(min(tsLong).as("lo"), max(tsLong).as("hi")).head()
+    if (b.isNullAt(0))
+      return ss.range(0).select(lit(0L).as("user_id"),
+        lit("").as("event_type"))
+    val (lo, hi) = (b.getLong(0), b.getLong(1))
+    require(hi - lo >= 3,
+      s"degenerate restart split: time span ${hi - lo} cannot cut three " +
+        "non-empty micro-batches")
+    // c1 sits just before the INTERIOR first arrival nearest the
+    // midpoint, so that key's first row opens micro-batch 2 (emission by
+    // construction); c2 (the restart boundary) keeps the blind 2/3 point
+    // when it is at or past that arrival, clamped inside the span
+    val target = lo + (hi - lo) / 2
+    val fRow = ev.groupBy(keys.map(col): _*).agg(min(tsLong).as("f"))
+      .filter(col("f") > lo && col("f") < hi)
+      .select(col("f"))
+      .orderBy(abs(col("f") - lit(target)), col("f"))
+      .limit(1).collect()
+    require(fRow.nonEmpty,
+      "every dedup key first-arrives at the corpus boundaries — no " +
+        "middle micro-batch can emit, and a fully wiped checkpoint " +
+        "would be UNDETECTABLE under the batchId-idempotent sink")
+    val fstar = fRow(0).getLong(0)
+    val c1 = fstar - 1
+    val c2 = math.min(math.max(fstar, lo + 2 * ((hi - lo) / 3)), hi - 1)
+    ev.filter(tsLong <= c1).write.mode("overwrite").parquet(scratch)
+    val mid = ev.filter(tsLong > c1 && tsLong <= c2)
+    val late = ev.filter(tsLong > c2)
+    // non-vacuity: some key must occur on BOTH sides of the restart
+    // cut, or suppression-by-recovered-state is never exercised
+    val crossing = ev.filter(tsLong <= c2).select(keys.map(col): _*)
+      .distinct()
+      .join(late.select(keys.map(col): _*).distinct(), keys, "inner")
+      .count()
+    require(crossing > 0,
+      "no dedup key spans the restart cut — the recovery gate would " +
+        "be vacuous")
+    def mk(sess: SparkSession): DataFrame =
+      Streams.dedupWithinWatermark(
+        Streams.parquetStream(sess, scratch, ev, glob = Some("*.parquet")),
+        keys = keys, eventTime = "event_time",
+        delay = "90 days") // horizon > the corpus span: never expires
+    runWithRestart(s, mk, "append", ckpt, outDir,
+      mid.write.mode("append").parquet(scratch),
+      late.write.mode("append").parquet(scratch))
+      .select(col("user_id"), col("event_type"))
+      .orderBy(col("user_id"), col("event_type"))
   }
 }
 

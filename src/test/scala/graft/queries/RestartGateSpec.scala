@@ -139,6 +139,70 @@ class RestartGateSpec extends SparkSpec {
       "HDFS-backed store files present — the RocksDB provider did not engage")
   }
 
+  /** The WINDOWED-AGGREGATION twin of the dedup lifecycle — watermarked
+    * KLL day windows whose flush-on-watermark emissions (unlike dedup's
+    * immediate emissions) depend on the RESTORED watermark: day 0's rows
+    * all arrive pre-restart, day 1 straddles it, day 2 and the far
+    * sentinel arrive only post-restart, so every window finalizes from
+    * checkpoint-restored partials. Returns (day, n) rows.
+    */
+  private def wqLifecycle(tag: String, replay: Boolean,
+      mkSink: Option[String => (DataFrame, Long) => Unit] = None)
+      : Seq[(java.sql.Date, Long)] = {
+    val scratch = java.nio.file.Files
+      .createTempDirectory(s"graft-rgwq-$tag-src").toString
+    val ckpt = java.nio.file.Files
+      .createTempDirectory(s"graft-rgwq-$tag-ck").toString + "/ck"
+    val out = java.nio.file.Files
+      .createTempDirectory(s"graft-rgwq-$tag-out").toString + "/out"
+    val day = 86400L
+    val far = 4000L * day
+    val rows = Seq(
+      (1000L, 1.0), (2000L, 2.0), (3000L, 3.0), // day 0 -> batch 1
+      (day + 1000L, 10.0), (day + 2000L, 20.0), // day 1 early -> batch 2
+      (day + 60000L, 30.0), (day + 70000L, 40.0), // day 1 late -> batch 3
+      (2 * day + 1000L, 5.0), // day 2 -> batch 3
+      (far, 0.0)) // sentinel -> batch 3: closes every real window
+    val ev = rows.toDF("sec", "value")
+      .select(timestamp_seconds(col("sec")).as("event_time"), col("value"))
+    val sec = col("event_time").cast("long")
+    ev.filter(sec < day).write.mode("overwrite").parquet(scratch)
+    def mk(sess: SparkSession): DataFrame =
+      Streams.windowQuantiles(
+        Streams.parquetStream(sess, scratch, ev, glob = Some("*.parquet")),
+        col("event_time"), col("value"), "1 day", "0 seconds",
+        probs = Seq(0.5), k = 1024)
+    val result = StreamGates.runWithRestart(spark, mk, "append", ckpt, out,
+      ev.filter(sec >= day && sec < day + 50000L).write.mode("append")
+        .parquet(scratch),
+      ev.filter(sec >= day + 50000L).write.mode("append").parquet(scratch),
+      replayLastBatch = replay,
+      mkSink = mkSink.getOrElse(StreamGates.idempotentSink))
+    result
+      .filter(col("win_start") < timestamp_seconds(lit(far - day)))
+      .select(col("win_start").cast("date").as("d"), col("n"))
+      .as[(java.sql.Date, Long)].collect().toSeq
+  }
+
+  test("windowed-aggregation CRASH-REPLAY: flush-on-watermark emissions " +
+      "(restored partials + restored watermark) re-run under their " +
+      "original batchIds and the idempotent sink lands on the same " +
+      "files — one row per day, counts exact") {
+    val got = wqLifecycle("replay", replay = true)
+    assert(got.sortBy(_._1.toString).map(_._2) === Seq(3L, 4L, 1L))
+    assert(got.map(_._1).distinct.size === 3)
+  }
+
+  test("windowed-aggregation replay under the bare-append sink " +
+      "double-emits the replayed flushes — duplicate day rows, red " +
+      "against any one-row-per-day oracle") {
+    val got = wqLifecycle("appendwq", replay = true,
+      mkSink = Some(dir => (batch: DataFrame, _: Long) =>
+        batch.write.mode("append").parquet(dir)))
+    assert(got.size > got.map(_._1).distinct.size,
+      s"append sink produced no duplicate day rows under replay: $got")
+  }
+
   test("a SABOTAGED recovery (checkpoint wiped between incarnations) " +
       "cannot silently reproduce the clean answer — the re-processing " +
       "re-emits keys, and the duplicate rows are exactly what the " +
