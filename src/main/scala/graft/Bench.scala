@@ -74,21 +74,10 @@ object Bench {
     // start/stop/recover cycles, persisted-artifact save + cold-reload
     // audits) that is priced-in contract cost, not plan cost — folding
     // them into one flat total blunts per-query drift detection as the
-    // registry grows. Membership is by name, maintained alongside the
-    // registry (see BASELINE.md round-19 note).
-    val lifecycle = Set(
-      "streaming_window_counts", "stream_stream_join", "dialog_from_stream",
-      "transitions_from_stream", "funnel_from_stream", "trending_from_stream",
-      "window_quantiles_from_stream", "dedup_watermark_from_stream",
-      "divergence_from_stream", "novelty_from_stream",
-      "preference_from_counts", "dpo_from_counts",
-      "transitions_restart", "dedup_watermark_restart",
-      "window_quantiles_restart", "transitions_replay",
-      "bm25_from_saved_index", "lm_cross_screen")
-    // a renamed/removed registry entry must fail the bench loudly, not
-    // silently misclassify its 2-5 s constant into the steady cohort
-    val stale = lifecycle -- SparkEntry.queries.keySet
-    require(stale.isEmpty, s"stale lifecycle cohort names: $stale")
+    // registry grows. Membership travels WITH the registration
+    // (Q.lifecycle = true at the Q(...) site), so a rename or a new gate
+    // cannot silently misclassify.
+    val lifecycle = SparkEntry.lifecycleQueries
     def cohort(in: Boolean): String = {
       val c = results.filter { case (k, v) => lifecycle(k) == in && v >= 0 }
       s"""{"total":${num(c.map(_._2).sum)},"n":${c.size}}"""

@@ -39,4 +39,13 @@ object SparkEntry {
     */
   def oracleSql: Map[String, String] =
     allQueries.flatMap(q => q.oracle.map(q.name -> _)).toMap
+
+  /** Names of the ENGINE-LIFECYCLE entries (`Q.lifecycle = true` at the
+    * registration site): each run prices a Structured Streaming
+    * start/stop/recover cycle or a persisted-artifact save + cold-reload
+    * audit. Bench reports them as a separate cohort so steady-query
+    * drift detection stays sharp.
+    */
+  def lifecycleQueries: Set[String] =
+    allQueries.filter(_.lifecycle).map(_.name).toSet
 }

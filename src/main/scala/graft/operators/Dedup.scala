@@ -308,6 +308,14 @@ object Dedup {
     * than misfold state whose layout a future code change reinterpreted.
     * Bump whenever the persisted layout's meaning changes (band-key
     * recipe, posting fingerprint, bucketing key semantics).
+    *
+    * Upgrade path for state KNOWN to be layout-compatible (e.g. tables
+    * written by the build that predates the stamp, whose layout IS
+    * version 1): migrate EXPLICITLY, once —
+    * `ALTER TABLE t SET TBLPROPERTIES ('graft.state.format.version' =
+    * '1')` after auditing the layout, or re-bootstrap. The gate
+    * deliberately never infers compatibility from absence: a missing
+    * stamp is indistinguishable from a foreign or corrupt table.
     */
   val StateFormatVersion: Int = 1
 

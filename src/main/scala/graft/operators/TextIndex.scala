@@ -110,13 +110,18 @@ object TextIndex {
     *    generation intact and the swap happens only after the new bytes
     *    exist.
     *  - TORN SAVE: a crash while staging leaves the live index untouched
-    *    (stale-but-consistent). A crash BETWEEN the two swap renames
-    *    leaves new postings under the old manifest — plain [[loadIndex]]
-    *    would serve that silently (wrong corpusSize/digest), which is why
-    *    production loads go through [[loadIndexVerified]]: its digest
-    *    audit detects exactly this window. Only the verified load detects
-    *    a torn save; the trade is documented rather than hidden behind a
-    *    (filesystem-dependent) multi-rename transaction.
+    *    (stale-but-consistent). During the swap the old generation is
+    *    renamed ASIDE (`postings.old`/`manifest.old`), never deleted
+    *    before its replacement exists, so every crash point leaves a
+    *    recoverable on-disk state: mid-swap either a component is
+    *    missing (loads fail loudly with path-not-found; the `.old` copy
+    *    is the manual recovery) or new postings sit under the old
+    *    manifest — plain [[loadIndex]] would serve that silently (wrong
+    *    corpusSize/digest), which is why production loads go through
+    *    [[loadIndexVerified]]: its digest audit detects exactly this
+    *    window. Only the verified load detects a torn save; the trade is
+    *    documented rather than hidden behind a (filesystem-dependent)
+    *    multi-rename transaction.
     *
     * The digest is computed from the files JUST WRITTEN (one re-scan of
     * the compact posting table), so the manifest certifies the bytes on
@@ -137,11 +142,20 @@ object TextIndex {
     val m = indexDigest(spark.read.parquet(s"$staging/postings"), corpusSize)
     Seq(m).toDS().write.mode("overwrite").parquet(s"$staging/manifest")
     // swap: postings first, manifest second — either torn order leaves a
-    // digest/manifest mismatch loadIndexVerified refuses
-    fs.rm(s"$dir/postings")
-    fs.mv(s"$staging/postings", s"$dir/postings")
-    fs.rm(s"$dir/manifest")
-    fs.mv(s"$staging/manifest", s"$dir/manifest")
+    // digest/manifest mismatch loadIndexVerified refuses. The old
+    // generation moves ASIDE (not rm-then-mv: a crash between those two
+    // steps would leave a manifest with NO postings and nothing to
+    // recover from) and is deleted only after its replacement is live.
+    def swapAside(name: String): Unit = {
+      val live = s"$dir/$name"
+      val old = s"$live.old"
+      fs.rm(old)
+      if (fs.exists(live)) fs.mv(live, old)
+      fs.mv(s"$staging/$name", live)
+      fs.rm(old)
+    }
+    swapAside("postings")
+    swapAside("manifest")
     fs.rm(staging)
     m
   }
@@ -155,22 +169,26 @@ object TextIndex {
     */
   def loadIndex(spark: org.apache.spark.sql.SparkSession,
       dir: String): (DataFrame, IndexManifest) = {
-    import spark.implicits._
-    // the version check must fire BEFORE the typed read: a pre-versioning
-    // manifest has no formatVersion column at all, and the encoder would
-    // throw an unrelated AnalysisException instead of the documented
-    // refusal (missing = written by an older layout = equally unreadable,
-    // the versionedStateTable contract)
+    // the version check must fire BEFORE any typed decode: a
+    // pre-versioning manifest has no formatVersion column at all, and the
+    // IndexManifest encoder would throw an unrelated AnalysisException
+    // instead of the documented refusal. Missing = written by an older
+    // layout = refused (the versionedStateTable contract); state KNOWN to
+    // be layout-identical migrates by one explicit re-save, never by a
+    // silent assumption. ONE collect serves both the check and the
+    // manifest — this runs on the serving path.
     val raw = spark.read.parquet(s"$dir/manifest")
-    val v =
-      if (raw.columns.contains("formatVersion"))
-        raw.select(col("formatVersion")).head().getInt(0).toString
-      else "<missing>"
+    val row = raw.head()
+    val idx = raw.columns.indexOf("formatVersion")
+    val v = if (idx >= 0) row.getInt(idx).toString else "<missing>"
     require(v == IndexFormatVersion.toString,
       s"persisted index at $dir has format version $v; this build reads " +
         s"version $IndexFormatVersion — refusing to serve (rebuild the " +
         "index with saveIndex)")
-    (spark.read.parquet(s"$dir/postings"), raw.as[IndexManifest].head())
+    def l(name: String) = row.getLong(raw.columns.indexOf(name))
+    (spark.read.parquet(s"$dir/postings"),
+      IndexManifest(l("nPostings"), l("nDocs"), l("corpusSize"),
+        l("digest")))
   }
 
   /** [[loadIndex]] + an integrity audit: recompute the digest over the

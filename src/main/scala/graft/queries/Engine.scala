@@ -448,10 +448,13 @@ object Engine {
     Q("etl_readme_slice", etlReadmeSlice, Some(etlReadmeSliceOracle)),
     Q("etl_sql_script", etlSqlScript, Some(etlSqlScriptOracle)),
     Q("etl_script_compiled", scriptCompiled, Some(scriptCompiledOracle)),
-    Q("streaming_window_counts", streamingWindowCounts, Some(streamingWindowCountsOracle)),
-    Q("stream_stream_join", streamStreamJoin, Some(streamStreamJoinOracle)),
+    Q("streaming_window_counts", streamingWindowCounts, Some(streamingWindowCountsOracle),
+      lifecycle = true),
+    Q("stream_stream_join", streamStreamJoin, Some(streamStreamJoinOracle),
+      lifecycle = true),
     Q("session_window", sessionWindow, Some(sessionWindowOracle)),
-    Q("dialog_from_stream", dialogFromStream, Some(dialogFromStreamOracle)),
+    Q("dialog_from_stream", dialogFromStream, Some(dialogFromStreamOracle),
+      lifecycle = true),
     Q("csv_roundtrip", csvRoundtrip, Some(csvRoundtripOracle)),
     Q("jsonl_roundtrip", jsonlRoundtrip, Some(jsonlRoundtripOracle)),
     Q("xml_roundtrip", xmlRoundtrip, Some(xmlRoundtripOracle))

@@ -31,6 +31,21 @@ trait PipelineSimilarityFam extends PipelineDedupFam {
       |      i -> embedding[i]::DOUBLE * embedding[i]::DOUBLE), (x, y) -> x + y)) AS nrm
       |  FROM embeddings)""".stripMargin
 
+  /** ONE copy of the pinned-centroid oracle CTE (named `cent`, columns
+    * cid/embedding/nrm over [[PinnedArtifacts.ivfCentroidsSqlValues]]) —
+    * shared by all five pinned-quantizer oracles so the norm formula and
+    * literal rendering can never desynchronize between them (the
+    * `normsCte` pattern).
+    */
+  private[queries] val pinnedCentCte: String =
+    s"""cent AS (
+       |  SELECT cid, embedding,
+       |    sqrt(list_reduce(list_transform(range(1, len(embedding) + 1),
+       |      i -> embedding[i]::DOUBLE * embedding[i]::DOUBLE), (x, y) -> x + y)) AS nrm
+       |  FROM (VALUES
+       |${PinnedArtifacts.ivfCentroidsSqlValues}
+       |  ) AS c(cid, embedding))""".stripMargin
+
   private[queries] def dotSql(a: String, b: String): String =
     s"""list_reduce(list_transform(range(1, len($a.embedding) + 1),
        |      i -> $a.embedding[i]::DOUBLE * $b.embedding[i]::DOUBLE), (x, y) -> x + y)""".stripMargin
@@ -343,13 +358,7 @@ trait PipelineSimilarityFam extends PipelineDedupFam {
 
   def dedupSemanticOracle: String =
     s"""WITH $normsCte,
-       |cent AS (
-       |  SELECT cid, embedding,
-       |    sqrt(list_reduce(list_transform(range(1, len(embedding) + 1),
-       |      i -> embedding[i]::DOUBLE * embedding[i]::DOUBLE), (x, y) -> x + y)) AS nrm
-       |  FROM (VALUES
-       |${PinnedArtifacts.ivfCentroidsSqlValues}
-       |  ) AS c(cid, embedding)),
+       |$pinnedCentCte,
        |ccand AS (
        |  SELECT v.vec_id, c.cid,
        |    ROW_NUMBER() OVER (PARTITION BY v.vec_id
@@ -484,13 +493,7 @@ trait PipelineSimilarityFam extends PipelineDedupFam {
 
   def samplePerClusterOracle: String =
     s"""WITH $normsCte,
-       |cent AS (
-       |  SELECT cid, embedding,
-       |    sqrt(list_reduce(list_transform(range(1, len(embedding) + 1),
-       |      i -> embedding[i]::DOUBLE * embedding[i]::DOUBLE), (x, y) -> x + y)) AS nrm
-       |  FROM (VALUES
-       |${PinnedArtifacts.ivfCentroidsSqlValues}
-       |  ) AS c(cid, embedding)),
+       |$pinnedCentCte,
        |ccand AS (
        |  SELECT v.vec_id, c.cid,
        |    ROW_NUMBER() OVER (PARTITION BY v.vec_id
@@ -558,13 +561,7 @@ trait PipelineSimilarityFam extends PipelineDedupFam {
     */
   private def ivfPinnedOracle(nprobe: Int): String =
     s"""WITH $normsCte,
-       |cent AS (
-       |  SELECT cid, embedding,
-       |    sqrt(list_reduce(list_transform(range(1, len(embedding) + 1),
-       |      i -> embedding[i]::DOUBLE * embedding[i]::DOUBLE), (x, y) -> x + y)) AS nrm
-       |  FROM (VALUES
-       |${PinnedArtifacts.ivfCentroidsSqlValues}
-       |  ) AS c(cid, embedding)),
+       |$pinnedCentCte,
        |ccand AS (
        |  SELECT v.vec_id, c.cid,
        |    ROW_NUMBER() OVER (PARTITION BY v.vec_id
@@ -620,13 +617,7 @@ trait PipelineSimilarityFam extends PipelineDedupFam {
        |                 nb.vec_id) AS rk
        |    FROM n q JOIN n nb ON q.vec_id < 20 AND q.vec_id <> nb.vec_id) t
        |  WHERE rk <= 5),
-       |cent AS (
-       |  SELECT cid, embedding,
-       |    sqrt(list_reduce(list_transform(range(1, len(embedding) + 1),
-       |      i -> embedding[i]::DOUBLE * embedding[i]::DOUBLE), (x, y) -> x + y)) AS nrm
-       |  FROM (VALUES
-       |${PinnedArtifacts.ivfCentroidsSqlValues}
-       |  ) AS c(cid, embedding)),
+       |$pinnedCentCte,
        |ccand AS (
        |  SELECT v.vec_id, c.cid,
        |    ROW_NUMBER() OVER (PARTITION BY v.vec_id
@@ -1207,13 +1198,7 @@ trait PipelineSimilarityFam extends PipelineDedupFam {
     def idot(a: String, b: String): String =
       s"list_reduce(list_transform(range(1, 9), i -> $a[i] * $b[i]), (x, y) -> x + y)"
     s"""WITH $normsCte,
-       |cent AS (
-       |  SELECT cid, embedding,
-       |    sqrt(list_reduce(list_transform(range(1, len(embedding) + 1),
-       |      i -> embedding[i]::DOUBLE * embedding[i]::DOUBLE), (x, y) -> x + y)) AS nrm
-       |  FROM (VALUES
-       |${PinnedArtifacts.ivfCentroidsSqlValues}
-       |  ) AS c(cid, embedding)),
+       |$pinnedCentCte,
        |ccand AS (
        |  SELECT v.vec_id, c.cid,
        |    ROW_NUMBER() OVER (PARTITION BY v.vec_id

@@ -132,8 +132,10 @@ trait StreamGatesFam {
       : (DataFrame, Long) => Unit = { (batch: DataFrame, id: Long) =>
     // a DATA column named batch_id would collide with the identically
     // named partition directory on read (and readSinkOutput would strip
-    // the real column) — fail loudly instead of corrupting silently
-    require(!batch.columns.contains("batch_id"),
+    // the real column) — fail loudly instead of corrupting silently.
+    // Case-INSENSITIVE: Spark resolves columns case-insensitively by
+    // default, so 'Batch_ID' collides just the same
+    require(!batch.columns.exists(_.equalsIgnoreCase("batch_id")),
       "idempotentSink: the stream already carries a 'batch_id' column — " +
         "rename it; the sink owns that name for its commit bookkeeping")
     batch.write.mode("overwrite").parquet(s"$outDir/batch_id=$id")
@@ -733,26 +735,35 @@ object StreamGates extends StreamGatesFam {
 
   val all: Seq[Q] = Seq(
     Q("transitions_from_stream", transitionsFromStreamQ,
-      Some(transitionsFromStreamOracle)),
+      Some(transitionsFromStreamOracle),
+      lifecycle = true),
     // the batch funnel_report oracle with ONLY the gate's null-ts
     // contract spliced in — still one source of the funnel replay
-    Q("funnel_from_stream", funnelFromStreamQ, Some(funnelStreamOracle)),
+    Q("funnel_from_stream", funnelFromStreamQ, Some(funnelStreamOracle),
+      lifecycle = true),
     Q("trending_from_stream", trendingFromStreamQ,
-      Some(trendingFromStreamOracle)),
+      Some(trendingFromStreamOracle),
+      lifecycle = true),
     Q("window_quantiles_from_stream", windowQuantilesFromStreamQ,
-      Some(windowQuantilesFromStreamOracle)),
+      Some(windowQuantilesFromStreamOracle),
+      lifecycle = true),
     Q("dedup_watermark_from_stream", dedupWatermarkFromStreamQ,
-      Some(dedupWatermarkFromStreamOracle)),
+      Some(dedupWatermarkFromStreamOracle),
+      lifecycle = true),
     // checkpoint-restart recovery gates: same oracles VERBATIM — the
     // restarted run must land on the very same full-corpus answer
     Q("transitions_restart", transitionsRestartQ,
-      Some(transitionsFromStreamOracle)),
+      Some(transitionsFromStreamOracle),
+      lifecycle = true),
     // crash-replay gate: checkpoint rolled back to pre-batch-3 after the
     // restarted run — the at-least-once window the idempotent sink closes
     Q("transitions_replay", transitionsReplayQ,
-      Some(transitionsFromStreamOracle)),
+      Some(transitionsFromStreamOracle),
+      lifecycle = true),
     Q("dedup_watermark_restart", dedupWatermarkRestartQ,
-      Some(dedupWatermarkFromStreamOracle)),
+      Some(dedupWatermarkFromStreamOracle),
+      lifecycle = true),
     Q("window_quantiles_restart", windowQuantilesRestartQ,
-      Some(windowQuantilesFromStreamOracle)))
+      Some(windowQuantilesFromStreamOracle),
+      lifecycle = true))
 }

@@ -12,11 +12,20 @@ package object queries {
     * local stand-ins) and returns a deterministic DataFrame whose column
     * names match the oracle's aliases exactly.
     */
+  /** `lifecycle = true` marks entries whose run prices a real ENGINE
+    * lifecycle — a Structured Streaming query start/stop/recover cycle or
+    * a persisted-artifact save + cold-reload audit (2-5 s of contract
+    * cost, not plan cost). Bench reports these as a separate cohort so
+    * steady-query drift detection stays sharp; carrying the flag on the
+    * registry entry (not a parallel name list) makes membership travel
+    * with the registration by construction.
+    */
   final case class Q(
       name: String,
       fn: (SparkSession, String) => DataFrame,
       oracle: Option[String],
-      headline: Boolean = true)
+      headline: Boolean = true,
+      lifecycle: Boolean = false)
 
   /** Parquet table loader for the driver-provided test tables. */
   object T {

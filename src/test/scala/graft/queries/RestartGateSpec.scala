@@ -47,8 +47,8 @@ class RestartGateSpec extends SparkSpec {
   private def lifecycle(tag: String, sabotage: Boolean,
       tune: SparkSession => Unit = _ => (),
       replay: Boolean = false,
-      mkSink: Option[String => (DataFrame, Long) => Unit] = None)
-      : Seq[Long] = {
+      mkSink: String => (DataFrame, Long) => Unit =
+        StreamGates.idempotentSink): Seq[Long] = {
     val scratch = java.nio.file.Files
       .createTempDirectory(s"graft-rg-$tag-src").toString
     val ckpt = java.nio.file.Files
@@ -76,8 +76,7 @@ class RestartGateSpec extends SparkSpec {
         // incarnations — the new query starts from scratch and
         // re-processes everything with fresh state
         if (sabotage) fsu.rm(ckpt)
-      }, tune, replayLastBatch = replay,
-      mkSink = mkSink.getOrElse(StreamGates.idempotentSink))
+      }, tune, replayLastBatch = replay, mkSink = mkSink)
     lastCkpt = ckpt
     result.select(col("k")).as[Long].collect().toSeq
   }
@@ -105,8 +104,8 @@ class RestartGateSpec extends SparkSpec {
       "the duplicate rows are exactly what the DISTINCT oracle hash " +
       "would flag (why idempotentSink is the default, r18 verdict #1)") {
     val got = lifecycle("appendsink", sabotage = false, replay = true,
-      mkSink = Some(dir => (batch: DataFrame, _: Long) =>
-        batch.write.mode("append").parquet(dir)))
+      mkSink = dir => (batch: DataFrame, _: Long) =>
+        batch.write.mode("append").parquet(dir))
     // the key SET still looks plausible...
     assert(got.toSet === cleanKeys.toSet)
     // ...but batch 3 emitted keys 12-13 (first seen post-restart), and
@@ -147,8 +146,8 @@ class RestartGateSpec extends SparkSpec {
     * checkpoint-restored partials. Returns (day, n) rows.
     */
   private def wqLifecycle(tag: String, replay: Boolean,
-      mkSink: Option[String => (DataFrame, Long) => Unit] = None)
-      : Seq[(java.sql.Date, Long)] = {
+      mkSink: String => (DataFrame, Long) => Unit =
+        StreamGates.idempotentSink): Seq[(java.sql.Date, Long)] = {
     val scratch = java.nio.file.Files
       .createTempDirectory(s"graft-rgwq-$tag-src").toString
     val ckpt = java.nio.file.Files
@@ -176,8 +175,7 @@ class RestartGateSpec extends SparkSpec {
       ev.filter(sec >= day && sec < day + 50000L).write.mode("append")
         .parquet(scratch),
       ev.filter(sec >= day + 50000L).write.mode("append").parquet(scratch),
-      replayLastBatch = replay,
-      mkSink = mkSink.getOrElse(StreamGates.idempotentSink))
+      replayLastBatch = replay, mkSink = mkSink)
     result
       .filter(col("win_start") < timestamp_seconds(lit(far - day)))
       .select(col("win_start").cast("date").as("d"), col("n"))
@@ -197,8 +195,8 @@ class RestartGateSpec extends SparkSpec {
       "double-emits the replayed flushes — duplicate day rows, red " +
       "against any one-row-per-day oracle") {
     val got = wqLifecycle("appendwq", replay = true,
-      mkSink = Some(dir => (batch: DataFrame, _: Long) =>
-        batch.write.mode("append").parquet(dir)))
+      mkSink = dir => (batch: DataFrame, _: Long) =>
+        batch.write.mode("append").parquet(dir))
     assert(got.size > got.map(_._1).distinct.size,
       s"append sink produced no duplicate day rows under replay: $got")
   }
