@@ -92,4 +92,34 @@ class RunnerSpec extends SparkSpec {
     assert(fs.ls(dir).exists(_.endsWith("a.txt")))
     assert(fs.mtime(f) > 0)
   }
+
+  test("FsUtils mv/cp: rename moves recursively and fails loudly on a " +
+      "missing source; cp snapshots a directory tree leaving the source " +
+      "intact (the checkpoint-snapshot primitives of the replay gates)") {
+    val fs = new FsUtils(spark)
+    val dir = Files.createTempDirectory("graft-fsmv").toString
+    fs.write(s"$dir/src/a/x.txt", "one")
+    fs.write(s"$dir/src/y.txt", "two")
+    // cp: full tree copied, source untouched
+    fs.cp(s"$dir/src", s"$dir/snap")
+    assert(fs.cat(s"$dir/snap/a/x.txt") === "one")
+    assert(fs.cat(s"$dir/snap/y.txt") === "two")
+    assert(fs.cat(s"$dir/src/a/x.txt") === "one")
+    // the snapshot is independent: mutating the source after the copy
+    // must not leak into it (the crash-simulation rollback relies on it)
+    fs.write(s"$dir/src/y.txt", "TWO'")
+    assert(fs.cat(s"$dir/snap/y.txt") === "two")
+    // mv: tree moves, source gone
+    fs.mv(s"$dir/src", s"$dir/moved")
+    assert(!fs.exists(s"$dir/src"))
+    assert(fs.cat(s"$dir/moved/a/x.txt") === "one")
+    // a missing source must throw, never silently no-op (a silent rename
+    // failure mid-swap would leave saveIndex's torn states undetected).
+    // The exception TYPE is filesystem-dependent (local fs throws
+    // FileNotFoundException before our require sees false) — loudness is
+    // the contract, not the class
+    intercept[Exception] {
+      fs.mv(s"$dir/nope", s"$dir/other")
+    }
+  }
 }
