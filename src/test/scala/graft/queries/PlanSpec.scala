@@ -213,6 +213,22 @@ class PlanSpec extends SparkSpec {
     assert("ObjectHashAggregate".r.findAllIn(p).size >= 2, p)
   }
 
+  test("lang_classifier_fast: fixture-bound plan — the native xxhash64 " +
+      "gram kernel runs map-side over literal rows, weights join " +
+      "broadcast, and NO corpus table is scanned (SF-independent by " +
+      "construction)") {
+    val p = plan(Pipeline.langClassifierFastQ(spark, dir))
+    // the production one-pass featurizer, not a per-gram explode+hash
+    assert(p.contains("char_ngram_dim_counts"), p)
+    // fixture literals, never a parquet scan — the entry must not vary
+    // with the scale factor
+    assert(!p.contains("Scan parquet"), p)
+    assert(p.contains("LocalTableScan"), p)
+    // the (dims × classes) weight table rides a broadcast join
+    assert(p.contains("BroadcastExchange"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("sim_ivf_topk: FIXED-K pinned centroid broadcast drives assignment " +
       "(the modulus quantizer left the registry — spec-only fixture now); " +
       "no corpus-sized window") {
