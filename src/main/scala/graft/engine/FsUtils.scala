@@ -81,10 +81,17 @@ class FsUtils(conf: Configuration) {
   /** Recursive copy (source kept). Snapshot primitive — e.g. preserving a
     * streaming checkpoint generation before a later incarnation advances
     * it, so crash-replay recovery can be exercised from the older state.
+    * Fails loudly on an existing destination (ADVICE r19): FileUtil.copy
+    * would MERGE into an existing directory, and a snapshot silently
+    * contaminated by leftover state is worse than no snapshot — callers
+    * that mean to replace must `rm` first, visibly.
     */
   def cp(src: String, dst: String): Unit = {
     val s = new Path(src)
     val d = new Path(dst)
+    require(!fs(d).exists(d),
+      s"cp destination already exists: $dst — a copy would merge into " +
+        "it; rm it first if replacement is intended")
     require(org.apache.hadoop.fs.FileUtil.copy(fs(s), s, fs(d), d,
       false, true, conf), s"copy failed: $src -> $dst")
   }

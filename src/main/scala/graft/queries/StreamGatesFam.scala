@@ -233,7 +233,24 @@ trait StreamGatesFam {
         finally q3.stop()
         ss3
       }
-    readSinkOutput(last, outDir)
+    val out = last.read.parquet(outDir)
+    // ADVICE r19: the wipe-detection story rests on batches AFTER the
+    // first having emitted rows — a fully wiped checkpoint restarts
+    // batchIds at 0 and its reprocess-everything batch OVERWRITES the old
+    // `batch_id=0` directory, so the only surviving duplicate evidence is
+    // the collision with the LATER batch directories' rows. The cuts are
+    // data-picked so such emissions exist by construction; this guard
+    // turns that construction into a checked invariant on EVERY gate
+    // running this lifecycle. (A spec-injected sink without the
+    // `batch_id=` layout — the bare-append failure demonstration — has no
+    // partition column and is exempt: it exists to show the failure, not
+    // to detect it.)
+    if (out.columns.contains("batch_id"))
+      require(out.filter(col("batch_id") >= 1).limit(1).count() == 1,
+        "no micro-batch after the first emitted rows — a fully wiped " +
+          "checkpoint would be UNDETECTABLE under the batchId-idempotent " +
+          "sink (its batch-0 overwrite destroys the old evidence)")
+    out.drop("batch_id")
   }
 
   private def runTwoBatches(stream: DataFrame, sinkMode: String,
@@ -587,14 +604,33 @@ trait StreamGatesFam {
     * windows' counts; a lost watermark never flushes (empty output) —
     * all hash-red against the full-corpus oracle (reused VERBATIM).
     */
-  def windowQuantilesRestartQ(s: SparkSession, dir: String): DataFrame = {
+  def windowQuantilesRestartQ(s: SparkSession, dir: String): DataFrame =
+    windowQuantilesRestartImpl(s, dir, "restart", replay = false)
+
+  /** [[windowQuantilesRestartQ]] plus the crash-replay window (the
+    * [[transitionsReplayQ]] lifecycle applied to the WINDOWED-AGGREGATION
+    * state class): the checkpoint is rolled back to its pre-batch-3
+    * generation after the restarted incarnation committed batch 3, and
+    * recovery re-executes that batch under its original batchId — against
+    * an already-advanced watermark and already-restored window partials.
+    * The replayed flush-on-watermark emissions (the sentinel arrives only
+    * in batch 3, so EVERY real window finalizes inside the replayed
+    * batch) must land on the same `batch_id=` files, or the one-row-per-
+    * day oracle goes hash-red with duplicate day rows (RestartGateSpec
+    * demonstrates exactly that under a bare append sink).
+    */
+  def windowQuantilesReplayQ(s: SparkSession, dir: String): DataFrame =
+    windowQuantilesRestartImpl(s, dir, "replay", replay = true)
+
+  private def windowQuantilesRestartImpl(s: SparkSession, dir: String,
+      tag: String, replay: Boolean): DataFrame = {
     val ss = streamSession(s)
     val ev = Streams.withEventTime(T.events(ss, dir))
       .filter(col("event_time").isNotNull)
       .select(col("event_time"), col("value"))
-    val scratch = Engine.scratchPath("graft-wq-restart", dir)
-    val ckpt = Engine.scratchPath("graft-wq-restart-ck", dir)
-    val outDir = Engine.scratchPath("graft-wq-restart-out", dir)
+    val scratch = Engine.scratchPath(s"graft-wq-$tag", dir)
+    val ckpt = Engine.scratchPath(s"graft-wq-$tag-ck", dir)
+    val outDir = Engine.scratchPath(s"graft-wq-$tag-out", dir)
     val tsLong = col("event_time").cast("long") // epoch seconds
     val b = ev.agg(min(tsLong).as("lo"), max(tsLong).as("hi")).head()
     if (b.isNullAt(0))
@@ -632,7 +668,8 @@ trait StreamGatesFam {
         probs = Seq(0.5, 0.9, 0.99), k = 1024)
     realWindows(runWithRestart(s, mk, "append", ckpt, outDir,
       mid.write.mode("append").parquet(scratch),
-      late.unionByName(sentinel).write.mode("append").parquet(scratch)),
+      late.unionByName(sentinel).write.mode("append").parquet(scratch),
+      replayLastBatch = replay),
       far)
       .select(col("win_start").cast("date").as("day"),
         col("p50"), col("p90"), col("p99"), col("n"))
@@ -658,14 +695,31 @@ trait StreamGatesFam {
     * left the middle batch emission-free at sf0.001 — every key had
     * already arrived in the first tercile).
     */
-  def dedupWatermarkRestartQ(s: SparkSession, dir: String): DataFrame = {
+  def dedupWatermarkRestartQ(s: SparkSession, dir: String): DataFrame =
+    dedupWatermarkRestartImpl(s, dir, "restart", replay = false)
+
+  /** [[dedupWatermarkRestartQ]] plus the crash-replay window — the third
+    * state class under the full crash lifecycle (keyed state =
+    * [[transitionsReplayQ]], window partials = [[windowQuantilesReplayQ]],
+    * this = the built-in dedup store + its watermark). Batch 3 re-executes
+    * under its original batchId against dedup state that ALREADY admitted
+    * its keys: suppression must hold on the replay (a key first seen in
+    * batch 3 re-emits, and only the idempotent sink's overwrite keeps the
+    * re-emission from double-appending — the DISTINCT oracle goes red
+    * otherwise, as RestartGateSpec shows for the bare append sink).
+    */
+  def dedupWatermarkReplayQ(s: SparkSession, dir: String): DataFrame =
+    dedupWatermarkRestartImpl(s, dir, "replay", replay = true)
+
+  private def dedupWatermarkRestartImpl(s: SparkSession, dir: String,
+      tag: String, replay: Boolean): DataFrame = {
     val ss = streamSession(s)
     val ev = Streams.withEventTime(T.events(ss, dir))
       .filter(col("event_time").isNotNull)
       .select(col("event_time"), col("user_id"), col("event_type"))
-    val scratch = Engine.scratchPath("graft-dwm-restart", dir)
-    val ckpt = Engine.scratchPath("graft-dwm-restart-ck", dir)
-    val outDir = Engine.scratchPath("graft-dwm-restart-out", dir)
+    val scratch = Engine.scratchPath(s"graft-dwm-$tag", dir)
+    val ckpt = Engine.scratchPath(s"graft-dwm-$tag-ck", dir)
+    val outDir = Engine.scratchPath(s"graft-dwm-$tag-out", dir)
     val tsLong = col("event_time").cast("long") // epoch seconds
     val keys = Seq("user_id", "event_type")
     val b = ev.agg(min(tsLong).as("lo"), max(tsLong).as("hi")).head()
@@ -712,7 +766,8 @@ trait StreamGatesFam {
         delay = "90 days") // horizon > the corpus span: never expires
     runWithRestart(s, mk, "append", ckpt, outDir,
       mid.write.mode("append").parquet(scratch),
-      late.write.mode("append").parquet(scratch))
+      late.write.mode("append").parquet(scratch),
+      replayLastBatch = replay)
       .select(col("user_id"), col("event_type"))
       .orderBy(col("user_id"), col("event_type"))
   }
@@ -755,15 +810,23 @@ object StreamGates extends StreamGatesFam {
     Q("transitions_restart", transitionsRestartQ,
       Some(transitionsFromStreamOracle),
       lifecycle = true),
-    // crash-replay gate: checkpoint rolled back to pre-batch-3 after the
-    // restarted run — the at-least-once window the idempotent sink closes
+    // crash-replay gates: checkpoint rolled back to pre-batch-3 after the
+    // restarted run — the at-least-once window the idempotent sink
+    // closes, carried by ALL THREE state classes (r19 verdict #1/#2:
+    // custom keyed state, windowed-agg partials + watermark, dedup store)
     Q("transitions_replay", transitionsReplayQ,
       Some(transitionsFromStreamOracle),
       lifecycle = true),
     Q("dedup_watermark_restart", dedupWatermarkRestartQ,
       Some(dedupWatermarkFromStreamOracle),
       lifecycle = true),
+    Q("dedup_watermark_replay", dedupWatermarkReplayQ,
+      Some(dedupWatermarkFromStreamOracle),
+      lifecycle = true),
     Q("window_quantiles_restart", windowQuantilesRestartQ,
+      Some(windowQuantilesFromStreamOracle),
+      lifecycle = true),
+    Q("window_quantiles_replay", windowQuantilesReplayQ,
       Some(windowQuantilesFromStreamOracle),
       lifecycle = true))
 }

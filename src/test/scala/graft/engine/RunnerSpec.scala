@@ -109,6 +109,15 @@ class RunnerSpec extends SparkSpec {
     // must not leak into it (the crash-simulation rollback relies on it)
     fs.write(s"$dir/src/y.txt", "TWO'")
     assert(fs.cat(s"$dir/snap/y.txt") === "two")
+    // an EXISTING destination is refused (ADVICE r19): FileUtil.copy
+    // would MERGE the trees, silently contaminating the snapshot with
+    // leftover state — replacement must be an explicit rm-then-cp
+    val dup = intercept[IllegalArgumentException] {
+      fs.cp(s"$dir/src", s"$dir/snap")
+    }
+    assert(dup.getMessage.contains("already exists"))
+    assert(fs.cat(s"$dir/snap/y.txt") === "two",
+      "refused cp must leave the existing destination untouched")
     // mv: tree moves, source gone
     fs.mv(s"$dir/src", s"$dir/moved")
     assert(!fs.exists(s"$dir/src"))
