@@ -80,6 +80,38 @@ class RunnerSpec extends SparkSpec {
     assert(fn(spark) === 5L)
   }
 
+  test("ScriptCompiler ENFORCES the plan-only contract (r19 verdict #3): " +
+      "a plan-declaring script is accepted; a script whose returned plan " +
+      "captures a toolbox-generated closure (typed map lambda / UDF) is " +
+      "refused at eval time, before the cluster CNFE it would become") {
+    // accepted: a declarative plan — Column expressions serialize as
+    // Catalyst trees, no script-generated class travels to executors
+    val plan = ScriptCompiler.compileTask(
+      "(spark: SparkSession) => spark.range(5).select((col(\"id\") * 2)" +
+        ".as(\"v\")).filter(col(\"v\") > 2)")(spark)
+      .asInstanceOf[org.apache.spark.sql.DataFrame]
+    assert(plan.count() === 3L)
+    // refused: a typed map whose lambda class exists only in the
+    // toolbox's in-memory classloader
+    val mapped = intercept[IllegalArgumentException] {
+      ScriptCompiler.compileTask(
+        "(spark: SparkSession) => { import spark.implicits._; " +
+          "spark.range(5).map(x => x * 2) }")(spark)
+    }
+    assert(mapped.getMessage.contains("script-generated class"))
+    // refused: a script-defined UDF — same driver-only class, hidden
+    // one level deeper (inside ScalaUDF.function)
+    val udfed = intercept[IllegalArgumentException] {
+      ScriptCompiler.compileTask(
+        "(spark: SparkSession) => { val f = udf((x: Long) => x + 1); " +
+          "spark.range(5).select(f(col(\"id\")).as(\"v\")) }")(spark)
+    }
+    assert(udfed.getMessage.contains("script-generated class"))
+    // non-Dataset results pass through untouched
+    assert(ScriptCompiler.compileTask(
+      "(spark: SparkSession) => spark.range(3).count()")(spark) === 3L)
+  }
+
   test("FsUtils cat/write/append/ls/mtime on local fs") {
     val fs = new FsUtils(spark)
     val dir = Files.createTempDirectory("graft-fs").toString
