@@ -309,13 +309,12 @@ object Dedup {
     * Bump whenever the persisted layout's meaning changes (band-key
     * recipe, posting fingerprint, bucketing key semantics).
     *
-    * Upgrade path for state KNOWN to be layout-compatible (e.g. tables
+    * Upgrade path for state KNOWN to be layout-compatible (tables
     * written by the build that predates the stamp, whose layout IS
-    * version 1): migrate EXPLICITLY, once —
-    * `ALTER TABLE t SET TBLPROPERTIES ('graft.state.format.version' =
-    * '1')` after auditing the layout, or re-bootstrap. The gate
-    * deliberately never infers compatibility from absence: a missing
-    * stamp is indistinguishable from a foreign or corrupt table.
+    * version 1): run [[stampUnversionedStateTable]] once per table —
+    * it audits the layout and stamps version 1 — or re-bootstrap. The
+    * gate deliberately never infers compatibility from absence: a
+    * missing stamp is indistinguishable from a foreign or corrupt table.
     */
   val StateFormatVersion: Int = 1
 
@@ -367,6 +366,42 @@ object Dedup {
     */
   def loadFingerprints(spark: org.apache.spark.sql.SparkSession, table: String): DataFrame =
     versionedStateTable(spark, table)
+
+  /** One-shot migration for state tables persisted by the build that
+    * PREDATES version stamping (ADVICE r19: every such table becomes
+    * unloadable after upgrade, and the manual `ALTER TABLE` escape hatch
+    * left the audit to the operator). Their layout IS version 1, so the
+    * automated path is: verify the table exists and carries every column
+    * the caller's layout expects (the cheap layout audit), verify it
+    * carries NO version stamp at all, then stamp version 1. A table
+    * already stamped with ANY version is refused — a future-version
+    * table is not migratable by relabeling; it needs a re-bootstrap with
+    * this build (the same recovery as a refused load). Run once per
+    * table at upgrade time:
+    * `Dedup.stampUnversionedStateTable(spark, "corpus_fps", Seq("fp"))`.
+    */
+  def stampUnversionedStateTable(spark: org.apache.spark.sql.SparkSession,
+      table: String, expectedColumns: Seq[String]): Unit = {
+    require(spark.catalog.tableExists(table),
+      s"state table $table does not exist — nothing to migrate")
+    val v = spark.sql(s"SHOW TBLPROPERTIES `$table`").collect()
+      .collectFirst {
+        case r if r.getString(0) == StateVersionProp => r.getString(1)
+      }
+    require(v.isEmpty,
+      s"state table $table already carries layout version ${v.get} — " +
+        "refusing to restamp; a mismatched version means the layout " +
+        "changed, and the recovery is a re-bootstrap with this build, " +
+        "not a relabel")
+    val cols = spark.table(table).columns.toSet
+    val missing = expectedColumns.filterNot(cols)
+    require(missing.isEmpty,
+      s"state table $table is missing expected column(s) " +
+        s"${missing.mkString(", ")} (has: ${cols.toSeq.sorted.mkString(", ")})" +
+        " — not a pre-versioning table of this layout; refusing to stamp")
+    spark.sql(s"ALTER TABLE `$table` SET TBLPROPERTIES " +
+      s"('$StateVersionProp' = '$StateFormatVersion')")
+  }
 
   /** Incremental near-duplicate dedup for continuous ingestion — the
     * MinHash analogue of [[exactIncremental]]. The fresh batch first

@@ -97,31 +97,61 @@ object TextIndex {
     IndexManifest(r.getLong(0), r.getLong(1), corpusSize, r.getLong(2))
   }
 
+  private val GenPrefix = "gen-"
+  private val CommitMarker = "_COMMITTED"
+
+  private def genIdOf(path: String): Option[Long] = {
+    val name = path.substring(path.lastIndexOf('/') + 1)
+    if (name.startsWith(GenPrefix)) name.drop(GenPrefix.length).toLongOption
+    else None
+  }
+
+  private def genIds(fs: graft.engine.FsUtils, dir: String): Seq[Long] =
+    if (!fs.exists(dir)) Seq.empty else fs.ls(dir).flatMap(genIdOf)
+
+  private def genPath(dir: String, id: Long): String =
+    f"$dir/$GenPrefix$id%06d"
+
+  /** Resolve the directory actually serving `dir`'s index: the
+    * highest-numbered `gen-NNNNNN` child carrying the `_COMMITTED`
+    * marker, falling back to the legacy flat layout (`postings` +
+    * `manifest` directly under `dir`, written by pre-generation builds)
+    * when no committed generation exists. Public so tooling/specs can
+    * address the live component files without re-deriving the layout.
+    */
+  def liveDir(spark: org.apache.spark.sql.SparkSession,
+      dir: String): String = {
+    val fs = new graft.engine.FsUtils(spark)
+    genIds(fs, dir)
+      .filter(id => fs.exists(s"${genPath(dir, id)}/$CommitMarker"))
+      .maxOption match {
+      case Some(id) => genPath(dir, id)
+      case None => dir
+    }
+  }
+
   /** Persist a posting index for serving: postings parquet + a one-row
-    * manifest, both STAGED under `$dir/.staging` and swapped in by rename
-    * only after they are fully written. The staging makes two failure
-    * shapes safe that a direct overwrite is not:
+    * manifest, written as one COMMITTED GENERATION —
+    * `$dir/gen-NNNNNN/{postings,manifest}` fully written first, then a
+    * single `_COMMITTED` marker file created inside the generation as
+    * the one atomic commit point (ADVICE r19: the previous two-rename
+    * swap had a crash window that left NEW postings under the OLD
+    * manifest, which only the digest-auditing load refused — with both
+    * components committed together, no torn combination is addressable).
+    * [[liveDir]] resolves the highest committed generation, so every
+    * crash point leaves a consistent, servable index:
     *
-    *  - SELF-OVERWRITE: re-saving an index whose posting frame was
-    *    `loadIndex(dir)`-ed from this very directory (the incremental
-    *    steady state: load → [[postingsIncremental]] → save). A direct
-    *    `mode("overwrite")` of `$dir/postings` deletes the files the
-    *    input plan still scans mid-write; the staged write reads the old
-    *    generation intact and the swap happens only after the new bytes
-    *    exist.
-    *  - TORN SAVE: a crash while staging leaves the live index untouched
-    *    (stale-but-consistent). During the swap the old generation is
-    *    renamed ASIDE (`postings.old`/`manifest.old`), never deleted
-    *    before its replacement exists, so every crash point leaves a
-    *    recoverable on-disk state: mid-swap either a component is
-    *    missing (loads fail loudly with path-not-found; the `.old` copy
-    *    is the manual recovery) or new postings sit under the old
-    *    manifest — plain [[loadIndex]] would serve that silently (wrong
-    *    corpusSize/digest), which is why production loads go through
-    *    [[loadIndexVerified]]: its digest audit detects exactly this
-    *    window. Only the verified load detects a torn save; the trade is
-    *    documented rather than hidden behind a (filesystem-dependent)
-    *    multi-rename transaction.
+    *  - mid-write or pre-marker crash: the half-built generation has no
+    *    marker, loads keep serving the previous one (stale-but-right);
+    *    the next save numbers PAST the torn dir and supersedes it.
+    *  - post-marker crash (during pruning): two committed generations
+    *    exist, loads serve the newest; leftover dirs are garbage, not
+    *    hazard, and the next save's prune clears them.
+    *
+    * SELF-OVERWRITE stays safe (the incremental steady state: load →
+    * [[postingsIncremental]] → save): the input plan scans the OLD
+    * generation's files, which are pruned only after the new postings
+    * are fully written and committed.
     *
     * The digest is computed from the files JUST WRITTEN (one re-scan of
     * the compact posting table), so the manifest certifies the bytes on
@@ -135,40 +165,40 @@ object TextIndex {
     val spark = postings.sparkSession
     import spark.implicits._
     val fs = new graft.engine.FsUtils(spark)
-    val staging = s"$dir/.staging"
-    fs.rm(staging)
+    // number past EVERY existing generation, committed or torn — reusing
+    // a torn dir's id would race its leftover files into the new write
+    val next = genIds(fs, dir).maxOption.getOrElse(0L) + 1
+    val gen = genPath(dir, next)
     postings.select(col("doc_id"), col("term"), col("tf"))
-      .write.mode("overwrite").parquet(s"$staging/postings")
-    val m = indexDigest(spark.read.parquet(s"$staging/postings"), corpusSize)
-    Seq(m).toDS().write.mode("overwrite").parquet(s"$staging/manifest")
-    // swap: postings first, manifest second — either torn order leaves a
-    // digest/manifest mismatch loadIndexVerified refuses. The old
-    // generation moves ASIDE (not rm-then-mv: a crash between those two
-    // steps would leave a manifest with NO postings and nothing to
-    // recover from) and is deleted only after its replacement is live.
-    def swapAside(name: String): Unit = {
-      val live = s"$dir/$name"
-      val old = s"$live.old"
-      fs.rm(old)
-      if (fs.exists(live)) fs.mv(live, old)
-      fs.mv(s"$staging/$name", live)
-      fs.rm(old)
-    }
-    swapAside("postings")
-    swapAside("manifest")
-    fs.rm(staging)
+      .write.mode("overwrite").parquet(s"$gen/postings")
+    val m = indexDigest(spark.read.parquet(s"$gen/postings"), corpusSize)
+    Seq(m).toDS().write.mode("overwrite").parquet(s"$gen/manifest")
+    fs.write(s"$gen/$CommitMarker", "") // the commit point
+    // prune superseded generations and any legacy flat/staged layout; a
+    // crash anywhere in here is harmless (load resolves the newest
+    // committed generation). A deployment serving concurrent readers
+    // during saves would delay this prune by one cycle; single-writer
+    // ingest-then-serve (this engine's contract) reclaims eagerly.
+    genIds(fs, dir).filter(_ < next)
+      .foreach(id => fs.rm(genPath(dir, id)))
+    Seq("postings", "manifest", ".staging").foreach(n => fs.rm(s"$dir/$n"))
     m
   }
 
   /** Load a persisted index: (postings frame, manifest). Lazy — nothing
-    * is scanned until the serve plan runs. Refuses a manifest whose
+    * is scanned until the serve plan runs. Resolves the live committed
+    * generation via [[liveDir]] (torn combinations are unaddressable by
+    * construction; a LEGACY flat-layout dir is served as-is, where the
+    * old two-rename torn window is exactly what [[loadIndexVerified]]'s
+    * digest audit refuses). Refuses a manifest whose
     * [[IndexFormatVersion]] differs from this build's: a layout change
     * must surface as an explicit re-index, never as silently misread
     * postings. (Content integrity is [[loadIndexVerified]]'s job — this
     * check costs only the one-row manifest read.)
     */
   def loadIndex(spark: org.apache.spark.sql.SparkSession,
-      dir: String): (DataFrame, IndexManifest) = {
+      dir0: String): (DataFrame, IndexManifest) = {
+    val dir = liveDir(spark, dir0)
     // the version check must fire BEFORE any typed decode: a
     // pre-versioning manifest has no formatVersion column at all, and the
     // IndexManifest encoder would throw an unrelated AnalysisException

@@ -947,6 +947,54 @@ class DedupSpec extends SparkSpec {
     intercept[IllegalArgumentException] {
       Dedup.loadFingerprints(spark, "fps_ver")
     }
+    // ...and the refused future-version table RECOVERS by re-bootstrap
+    // (r19 verdict #7): one save with this build restamps data + version
+    // atomically through the staged swap, and loading resumes
+    Dedup.saveFingerprints(fps, "fps_ver", buckets = 2)
+    Dedup.loadFingerprints(spark, "fps_ver")
+  }
+
+  test("stampUnversionedStateTable (ADVICE r19): the automated upgrade " +
+      "path for tables written before version stamping — audits " +
+      "existence + expected columns, stamps version 1 exactly once, and " +
+      "REFUSES already-stamped or foreign-layout tables") {
+    val (_, fps) = Dedup.exactIncremental(
+      Seq((1L, "aa")).toDF("id", "t"), col("id"), col("t"),
+      Seq.empty[Long].toDF("fp"))
+    Dedup.saveFingerprints(fps, "fps_mig", buckets = 2)
+    // simulate the pre-versioning writer: strip the stamp
+    spark.sql("ALTER TABLE `fps_mig` UNSET TBLPROPERTIES " +
+      "('graft.state.format.version')")
+    intercept[IllegalArgumentException] {
+      Dedup.loadFingerprints(spark, "fps_mig")
+    }
+    // the one-shot migration makes it loadable again
+    Dedup.stampUnversionedStateTable(spark, "fps_mig", Seq("fp"))
+    Dedup.loadFingerprints(spark, "fps_mig")
+    // already stamped (any version) → refuse, never restamp
+    val e1 = intercept[IllegalArgumentException] {
+      Dedup.stampUnversionedStateTable(spark, "fps_mig", Seq("fp"))
+    }
+    assert(e1.getMessage.contains("already carries layout version"))
+    spark.sql("ALTER TABLE `fps_mig` SET TBLPROPERTIES " +
+      "('graft.state.format.version' = '999')")
+    val e2 = intercept[IllegalArgumentException] {
+      Dedup.stampUnversionedStateTable(spark, "fps_mig", Seq("fp"))
+    }
+    assert(e2.getMessage.contains("999"))
+    // a table whose columns don't match the expected layout → refuse
+    spark.sql("ALTER TABLE `fps_mig` UNSET TBLPROPERTIES " +
+      "('graft.state.format.version')")
+    val e3 = intercept[IllegalArgumentException] {
+      Dedup.stampUnversionedStateTable(spark, "fps_mig",
+        Seq("fp", "band_key"))
+    }
+    assert(e3.getMessage.contains("band_key"))
+    // a missing table → refuse with the explicit message
+    val e4 = intercept[IllegalArgumentException] {
+      Dedup.stampUnversionedStateTable(spark, "fps_never_saved", Seq("fp"))
+    }
+    assert(e4.getMessage.contains("does not exist"))
   }
 
   test("prefixKeepCount: survives an IntegerType sz column at long-document " +

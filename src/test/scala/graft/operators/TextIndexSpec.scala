@@ -634,10 +634,11 @@ class TextIndexSpec extends SparkSpec {
     // ...and re-saving the fold restores a servable, verified index
     val m3 = TextIndex.saveIndex(fresh, dir, corpusSize = 3L)
     assert(TextIndex.loadIndexVerified(spark, dir)._2 === m3)
-    // corruption: extra rows landing in the posting dir after the save
-    // (a torn concurrent write) must fail the audit loudly
+    // corruption: extra rows landing in the LIVE posting dir after the
+    // save (a torn concurrent write) must fail the audit loudly
     Seq((99L, "zz", 1L)).toDF("doc_id", "term", "tf")
-      .write.mode("append").parquet(s"$dir/postings")
+      .write.mode("append")
+      .parquet(s"${TextIndex.liveDir(spark, dir)}/postings")
     val e = intercept[IllegalArgumentException] {
       TextIndex.loadIndexVerified(spark, dir)
     }
@@ -655,13 +656,16 @@ class TextIndexSpec extends SparkSpec {
       col("id"), col("text"))
     val m = TextIndex.saveIndex(idx, dir, corpusSize = 2L)
     assert(m.formatVersion === TextIndex.IndexFormatVersion)
-    // simulate state written by a build with a bumped layout version
-    val rows = spark.read.parquet(s"$dir/manifest")
+    // simulate state written by a build with a bumped layout version —
+    // rewritten INSIDE the live committed generation, the dir a real
+    // upgrade would leave behind
+    val live = TextIndex.liveDir(spark, dir)
+    val rows = spark.read.parquet(s"$live/manifest")
       .withColumn("formatVersion", lit(999)).collect()
-    val schema = spark.read.parquet(s"$dir/manifest").schema
+    val schema = spark.read.parquet(s"$live/manifest").schema
     spark.createDataFrame(
         spark.sparkContext.parallelize(rows.toSeq), schema)
-      .write.mode("overwrite").parquet(s"$dir/manifest")
+      .write.mode("overwrite").parquet(s"$live/manifest")
     val e = intercept[IllegalArgumentException] {
       TextIndex.loadIndex(spark, dir)
     }
@@ -670,8 +674,15 @@ class TextIndexSpec extends SparkSpec {
     intercept[IllegalArgumentException] {
       TextIndex.loadIndexVerified(spark, dir)
     }
+    // the RECOVERY path (r19 verdict #7): a refused index is rebuilt by
+    // one explicit saveIndex — the new committed generation supersedes
+    // the version-999 one and verified serving resumes
+    val m2 = TextIndex.saveIndex(idx, dir, corpusSize = 2L)
+    val (_, m3) = TextIndex.loadIndexVerified(spark, dir)
+    assert(m3 === m2 && m3.formatVersion === TextIndex.IndexFormatVersion)
     // a PRE-versioning manifest (no formatVersion column at all) must hit
     // the same documented refusal, not an encoder AnalysisException
+    val live2 = TextIndex.liveDir(spark, dir)
     spark.createDataFrame(
         spark.sparkContext.parallelize(
           rows.map(r => org.apache.spark.sql.Row(
@@ -681,7 +692,7 @@ class TextIndexSpec extends SparkSpec {
             r.getLong(schema.fieldIndex("digest")))).toSeq),
         org.apache.spark.sql.types.StructType(
           schema.filterNot(_.name == "formatVersion")))
-      .write.mode("overwrite").parquet(s"$dir/manifest")
+      .write.mode("overwrite").parquet(s"$live2/manifest")
     val e2 = intercept[IllegalArgumentException] {
       TextIndex.loadIndex(spark, dir)
     }
@@ -690,8 +701,9 @@ class TextIndexSpec extends SparkSpec {
 
   test("saveIndex self-overwrite: re-saving an index whose postings were " +
       "loadIndex-ed from the SAME directory (the incremental steady " +
-      "state) stages and swaps instead of deleting its own input " +
-      "mid-write (ADVICE r18), and the staging dir is cleaned up") {
+      "state) writes a fresh generation instead of deleting its own " +
+      "input mid-write (ADVICE r18), and superseded generations are " +
+      "pruned") {
     val dir = java.nio.file.Files
       .createTempDirectory("graft-idxself").toString
     val idx = TextIndex.postings(
@@ -713,8 +725,42 @@ class TextIndexSpec extends SparkSpec {
     // and the DIRECT identity re-save (no fold) also works
     val (again, _) = TextIndex.loadIndex(spark, dir)
     assert(TextIndex.saveIndex(again, dir, corpusSize = 3L) === m2)
-    assert(!new java.io.File(s"$dir/.staging").exists(),
-      "staging dir must not persist after a completed save")
+    // superseded generations are pruned: exactly one committed gen left
+    val children = new java.io.File(dir).listFiles().map(_.getName).sorted
+    assert(children.count(_.startsWith("gen-")) === 1,
+      s"superseded generations must be pruned, found: ${children.toSeq}")
+  }
+
+  test("committed-generation save (ADVICE r19): a crash BEFORE the " +
+      "commit marker leaves the previous generation serving (torn " +
+      "postings+manifest combinations are unaddressable by " +
+      "construction), and the next save numbers past the torn dir") {
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-idxgen").toString
+    val idx = TextIndex.postings(
+      Seq((1L, "a b a"), (2L, "b c")).toDF("id", "text"),
+      col("id"), col("text"))
+    val m1 = TextIndex.saveIndex(idx, dir, corpusSize = 2L)
+    val live1 = TextIndex.liveDir(spark, dir)
+    // simulate a save that crashed after FULLY writing both components
+    // but before creating _COMMITTED — under the old two-rename swap
+    // this was the window that served new postings under the old
+    // manifest; now the whole generation is simply invisible
+    val torn = s"$dir/gen-000099"
+    val other = TextIndex.postings(
+      Seq((7L, "x y")).toDF("id", "text"), col("id"), col("text"))
+    other.write.mode("overwrite").parquet(s"$torn/postings")
+    spark.read.parquet(s"$live1/manifest").write.mode("overwrite")
+      .parquet(s"$torn/manifest")
+    assert(TextIndex.liveDir(spark, dir) === live1,
+      "an uncommitted generation must not be served")
+    val (_, mServed) = TextIndex.loadIndexVerified(spark, dir)
+    assert(mServed === m1)
+    // the next save supersedes the torn dir (numbers past it, prunes it)
+    val m2 = TextIndex.saveIndex(other, dir, corpusSize = 1L)
+    assert(TextIndex.loadIndexVerified(spark, dir)._2 === m2)
+    assert(!new java.io.File(torn).exists(),
+      "a superseded torn generation must be pruned by the next save")
   }
 
   test("indexDigest laws: XOR-homomorphic over disjoint shards (shard " +
