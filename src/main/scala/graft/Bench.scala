@@ -95,6 +95,16 @@ object Bench {
         (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     } catch { case _: Throwable => () } // reporting must not fail the bench
     System.out.println(line)
+    // r19 verdict #4 (wrong): the driver's stdout capture keeps only a
+    // ~3 KB TAIL, and the full line above (~7 KB at 239 queries) always
+    // loses its front — every BENCH_r*.json carried "parsed": null and
+    // the analysis survived only via the committed bench_out.json. Emit a
+    // compact summary as the FINAL line so the tail always contains one
+    // complete parseable JSON object: headline total + cohort split +
+    // a pointer to the full per-query map persisted above.
+    val compact =
+      s"""{"metric":"total","value":${num(total)},"unit":"sec","n":${results.size},$cohorts,"queries_file":"bench_out.json","sf":"$sfDir"}"""
+    System.out.println(compact)
     System.out.flush()
     spark.stop()
     sys.exit(0)
