@@ -181,7 +181,8 @@ object TextIndex {
     // ingest-then-serve (this engine's contract) reclaims eagerly.
     genIds(fs, dir).filter(_ < next)
       .foreach(id => fs.rm(genPath(dir, id)))
-    Seq("postings", "manifest", ".staging").foreach(n => fs.rm(s"$dir/$n"))
+    Seq("postings", "manifest", "postings.old", "manifest.old", ".staging")
+      .foreach(n => fs.rm(s"$dir/$n"))
     m
   }
 
