@@ -89,9 +89,10 @@ object Bench {
     // Belt-and-braces against stdout truncation: persist the identical JSON
     // to a small file next to the repo root so a cut-off capture can always
     // be reconstructed.
+    val benchOut = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")
     try {
       java.nio.file.Files.write(
-        java.nio.file.Paths.get(sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")),
+        java.nio.file.Paths.get(benchOut),
         (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     } catch { case _: Throwable => () } // reporting must not fail the bench
     System.out.println(line)
@@ -102,8 +103,11 @@ object Bench {
     // compact summary as the FINAL line so the tail always contains one
     // complete parseable JSON object: headline total + cohort split +
     // a pointer to the full per-query map persisted above.
+    // n counts only MEASURED queries (a cancelled/-1 entry contributes
+    // nothing to value or either cohort, so it must not inflate n), and
+    // the pointer names the ACTUAL per-query file (env-overridable)
     val compact =
-      s"""{"metric":"total","value":${num(total)},"unit":"sec","n":${results.size},$cohorts,"queries_file":"bench_out.json","sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${num(total)},"unit":"sec","n":${results.count(_._2 >= 0)},$cohorts,"queries_file":"$benchOut","sf":"$sfDir"}"""
     System.out.println(compact)
     System.out.flush()
     spark.stop()

@@ -49,31 +49,61 @@ object ScriptCompiler {
     s => assertPlanOnly(fn(s))
   }
 
-  /** The plan-only gate: when a script's result is a Dataset, scan its
-    * UNEXECUTED logical plan for any captured object of a
-    * toolbox-generated class and refuse loudly — turning the
+  /** The plan-only gate: every Dataset reachable from the script's
+    * result (top-level, or nested inside tuples/Seqs/Options/Maps — the
+    * natural shapes of a `SparkSession => Any` contract) has its
+    * UNEXECUTED plan scanned for any captured object of a
+    * toolbox-generated class, refused loudly — turning the
     * would-be-cluster `ClassNotFoundException` at task-deserialization
-    * time into an immediate, explainable error at script-eval time.
-    * Non-Dataset results pass through: side effects the script already
+    * time into an immediate, explainable error at script-eval time. The
+    * ANALYZED plan is scanned, not the raw parse: a temp-view
+    * indirection (`df.createOrReplaceTempView("v"); spark.sql("select *
+    * from v")`) leaves only an UnresolvedRelation in the logical plan —
+    * the captured lambda appears once the view is substituted.
+    * Dataset-free results pass through: side effects the script already
     * performed are its own business (an executor-closure failure inside
     * them surfaces at that call site, not silently).
     */
   def assertPlanOnly(result: Any): Any = {
-    result match {
-      case ds: org.apache.spark.sql.Dataset[_] =>
-        findGeneratedCapture(ds.queryExecution.logical).foreach { cls =>
-          throw new IllegalArgumentException(
-            s"script result captures the script-generated class $cls in " +
-              "its plan — such classes exist only in the driver JVM, so " +
-              "this plan would die with ClassNotFoundException at task " +
-              "deserialization on a real cluster. Scripts must declare " +
-              "plans with DataFrame/Column operations (which serialize " +
-              "as Catalyst expressions); move the custom function into a " +
-              "compiled, deployed jar instead")
+    collectDatasets(result).foreach { ds =>
+      findGeneratedCapture(ds.queryExecution.analyzed).foreach { cls =>
+        throw new IllegalArgumentException(
+          s"script result captures the script-generated class $cls in " +
+            "its plan — such classes exist only in the driver JVM, so " +
+            "this plan would die with ClassNotFoundException at task " +
+            "deserialization on a real cluster. Scripts must declare " +
+            "plans with DataFrame/Column operations (which serialize " +
+            "as Catalyst expressions); move the custom function into a " +
+            "compiled, deployed jar instead")
+      }
+    }
+    result
+  }
+
+  /** Every Dataset reachable from a script result through the shallow
+    * container shapes a result realistically is (tuples, case classes,
+    * Seqs, Options, Maps, Arrays). Bounded: result STRUCTURES are small;
+    * the depth cap guards against pathological self-referential values,
+    * not real results.
+    */
+  private def collectDatasets(result: Any): Seq[org.apache.spark.sql.Dataset[_]] = {
+    val seen = java.util.Collections.newSetFromMap(
+      new java.util.IdentityHashMap[AnyRef, java.lang.Boolean]())
+    val found = Seq.newBuilder[org.apache.spark.sql.Dataset[_]]
+    def walk(v: Any, depth: Int): Unit = v match {
+      case null => ()
+      case r: AnyRef if depth <= 16 && seen.add(r) =>
+        r match {
+          case ds: org.apache.spark.sql.Dataset[_] => found += ds
+          case p: Product => p.productIterator.foreach(walk(_, depth + 1))
+          case it: Iterable[_] => it.foreach(walk(_, depth + 1))
+          case a: Array[_] => a.foreach(walk(_, depth + 1))
+          case _ => ()
         }
       case _ => ()
     }
-    result
+    walk(result, 0)
+    found.result()
   }
 
   /** True when `cls` was loaded through an in-memory compiler classloader
@@ -99,14 +129,19 @@ object ScriptCompiler {
     * Expression node itself) is found. Leaves (SparkSession handles,
     * relations, strings) are checked but not entered, which keeps the
     * walk plan-sized. Identity-set guarded: shared subtrees visit once.
+    * A refuse-loudly gate must not silently under-audit: if the depth
+    * bound ever truncates the walk without an offender already found,
+    * the gate REFUSES the script as unauditable rather than passing it.
     */
   private def findGeneratedCapture(root: Any): Option[String] = {
+    var truncated = false
     val seen = java.util.Collections.newSetFromMap(
       new java.util.IdentityHashMap[AnyRef, java.lang.Boolean]())
     def walk(v: Any, depth: Int): Option[String] = v match {
       case null => None
       case r: AnyRef =>
-        if (depth > 256 || !seen.add(r)) None
+        if (depth > 512) { truncated = true; None }
+        else if (!seen.add(r)) None
         else if (isGeneratedClass(r.getClass)) Some(r.getClass.getName)
         else r match {
           case p: Product =>
@@ -119,6 +154,13 @@ object ScriptCompiler {
         }
       case _ => None
     }
-    walk(root, 0)
+    val offender = walk(root, 0)
+    if (offender.isEmpty && truncated)
+      throw new IllegalArgumentException(
+        "script result's plan is nested deeper than the plan-only audit " +
+          "bound (512 structural levels) — cannot certify it free of " +
+          "script-generated classes; restructure the script or move the " +
+          "job into a compiled, deployed jar")
+    offender
   }
 }

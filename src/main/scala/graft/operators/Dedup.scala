@@ -344,16 +344,24 @@ object Dedup {
     spark.catalog.refreshTable(table)
   }
 
+  /** The table's stamped layout version, if any — the ONE property-read
+    * shared by the load gate and the migration path, so they can never
+    * disagree on whether a table is stamped.
+    */
+  private def stampedVersion(spark: org.apache.spark.sql.SparkSession,
+      table: String): Option[String] =
+    spark.sql(s"SHOW TBLPROPERTIES `$table`").collect()
+      .collectFirst {
+        case r if r.getString(0) == StateVersionProp => r.getString(1)
+      }
+
   /** `spark.table` behind the version gate: refuse a state table whose
     * stamped layout version differs from this build's (missing = written
     * by something that predates versioning = equally unreadable).
     */
   private def versionedStateTable(spark: org.apache.spark.sql.SparkSession,
       table: String): DataFrame = {
-    val v = spark.sql(s"SHOW TBLPROPERTIES `$table`").collect()
-      .collectFirst {
-        case r if r.getString(0) == StateVersionProp => r.getString(1)
-      }.getOrElse("<missing>")
+    val v = stampedVersion(spark, table).getOrElse("<missing>")
     require(v == StateFormatVersion.toString,
       s"state table $table has layout version $v; this build reads " +
         s"version $StateFormatVersion — refusing to load (re-bootstrap " +
@@ -384,10 +392,7 @@ object Dedup {
       table: String, expectedColumns: Seq[String]): Unit = {
     require(spark.catalog.tableExists(table),
       s"state table $table does not exist — nothing to migrate")
-    val v = spark.sql(s"SHOW TBLPROPERTIES `$table`").collect()
-      .collectFirst {
-        case r if r.getString(0) == StateVersionProp => r.getString(1)
-      }
+    val v = stampedVersion(spark, table)
     require(v.isEmpty,
       s"state table $table already carries layout version ${v.get} — " +
         "refusing to restamp; a mismatched version means the layout " +

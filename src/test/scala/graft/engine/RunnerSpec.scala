@@ -110,6 +110,29 @@ class RunnerSpec extends SparkSpec {
     // non-Dataset results pass through untouched
     assert(ScriptCompiler.compileTask(
       "(spark: SparkSession) => spark.range(3).count()")(spark) === 3L)
+    // refused: the closure hidden behind a TEMP-VIEW indirection — only
+    // the ANALYZED plan substitutes the view; the raw logical plan shows
+    // just an UnresolvedRelation (review-pass finding)
+    val viewed = intercept[IllegalArgumentException] {
+      ScriptCompiler.compileTask(
+        "(spark: SparkSession) => { import spark.implicits._; " +
+          "spark.range(5).map(_ * 2).createOrReplaceTempView(\"pv_gate\"); " +
+          "spark.sql(\"select * from pv_gate\") }")(spark)
+    }
+    assert(viewed.getMessage.contains("script-generated class"))
+    // refused: a Dataset NESTED in the result (tuple) — the gate walks
+    // result containers, not just a top-level Dataset
+    val nested = intercept[IllegalArgumentException] {
+      ScriptCompiler.compileTask(
+        "(spark: SparkSession) => { import spark.implicits._; " +
+          "(42, Seq(spark.range(5).map(_ + 1))) }")(spark)
+    }
+    assert(nested.getMessage.contains("script-generated class"))
+    // accepted: plan-declaring Datasets nested in containers
+    val ok = ScriptCompiler.compileTask(
+      "(spark: SparkSession) => (1, spark.range(4).select(col(\"id\")))")(
+      spark).asInstanceOf[(Int, org.apache.spark.sql.DataFrame)]
+    assert(ok._2.count() === 4L)
   }
 
   test("FsUtils cat/write/append/ls/mtime on local fs") {
