@@ -444,8 +444,68 @@ object Engine {
       |GROUP BY type
       |ORDER BY type""".stripMargin
 
+  /** Small-file compaction gated against the oracle
+    * ([[graft.engine.Compaction.compactStreamOutput]] — reference intent:
+    * the reference's small-file merge step; until r20 this was spec-gated
+    * only). The events table is written as a SIMULATED long-running
+    * idempotent-sink accretion — four `batch_id=<n>` directories of
+    * deliberately small files, one of them REWRITTEN in place (the
+    * crash-replay overwrite shape `StreamGates.idempotentSink` produces)
+    * — then compacted into size-targeted files and re-aggregated.
+    * Hash-green iff the fold is multiset-exact: the synthetic batch_id
+    * bookkeeping dropped, no row lost from the replayed directory, none
+    * double-counted; the file-count shrink is loudly REQUIRED (it is
+    * bytes/codec-dependent, so it gates as an invariant, not a column).
+    * Scale shape: one scan + one repartition exchange sized by
+    * bytes/target — the same plan at 100 TB, just more output files.
+    */
+  def compactionRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    val ev = T(s, dir, "events")
+      .select(col("event_id"), col("user_id"), col("event_type"))
+    val sink = scratchPath("graft-compact-sink", dir)
+    val outDir = scratchPath("graft-compact-out", dir)
+    val fs = new graft.engine.FsUtils(s)
+    fs.rm(sink); fs.rm(outDir)
+    // four micro-batch directories of small files, split on a stable key
+    // (coalesce: a null id must still land in SOME batch — dropping it
+    // would pass the file-count require and fail the hash, but fail it
+    // for the wrong reason)
+    val bkey = pmod(coalesce(col("event_id"), lit(0L)), lit(4L))
+    (0 until 4).foreach { b =>
+      ev.filter(bkey === b).repartition(4)
+        .write.mode("overwrite").parquet(s"$sink/batch_id=$b")
+    }
+    // the at-least-once replay shape: batch 2 overwritten with itself
+    ev.filter(bkey === 2).repartition(4)
+      .write.mode("overwrite").parquet(s"$sink/batch_id=2")
+    def partFiles(d: String): Int =
+      fs.ls(d).count(_.matches(".*/part-[^/]*\\.parquet$"))
+    val inFiles = (0 until 4).map(b => partFiles(s"$sink/batch_id=$b")).sum
+    graft.engine.Compaction.compactStreamOutput(s, sink, outDir,
+      sortCols = Seq("user_id"))
+    val outFiles = partFiles(outDir)
+    require(outFiles < inFiles,
+      s"compaction did not shrink the file count ($inFiles -> $outFiles)")
+    s.read.parquet(outDir)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        count_distinct(col("event_id")).as("ids"),
+        sum(col("event_id")).cast("long").as("id_sum"))
+      .orderBy(col("event_type"))
+  }
+
+  val compactionRoundtripOracle: String =
+    """SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+      |  CAST(COUNT(DISTINCT event_id) AS BIGINT) AS ids,
+      |  CAST(SUM(event_id) AS BIGINT) AS id_sum
+      |FROM events
+      |GROUP BY 1
+      |ORDER BY event_type""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("etl_readme_slice", etlReadmeSlice, Some(etlReadmeSliceOracle)),
+    Q("compaction_roundtrip", compactionRoundtrip,
+      Some(compactionRoundtripOracle)),
     Q("etl_sql_script", etlSqlScript, Some(etlSqlScriptOracle)),
     Q("etl_script_compiled", scriptCompiled, Some(scriptCompiledOracle)),
     Q("streaming_window_counts", streamingWindowCounts, Some(streamingWindowCountsOracle),
