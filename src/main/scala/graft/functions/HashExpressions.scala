@@ -29,6 +29,17 @@ private[graft] object Md5Hash {
     ((h(0) & 0xffL) << 24) | ((h(1) & 0xffL) << 16) | ((h(2) & 0xffL) << 8) | (h(3) & 0xffL)
   }
 
+  /** [[hash32]] over a byte-range — the allocation-free form for callers
+    * hashing many slices of one buffer (per-gram hashing in
+    * [[CharNgramMd5DimCounts]]): same digest, no per-slice copy.
+    */
+  def hash32(bytes: Array[Byte], off: Int, len: Int): Long = {
+    val d = tl.get(); d.reset()
+    d.update(bytes, off, len)
+    val h = d.digest()
+    ((h(0) & 0xffL) << 24) | ((h(1) & 0xffL) << 16) | ((h(2) & 0xffL) << 8) | (h(3) & 0xffL)
+  }
+
   /** First 15 hex digits of md5 as a long in [0, 2^60). */
   def hash60(bytes: Array[Byte]): Long = {
     val d = tl.get(); d.reset()

@@ -449,3 +449,107 @@ object CharNgramDimCounts {
     ExpressionUtilsShim.column(
       CharNgramDimCounts(ExpressionUtilsShim.expr(c), n, dims))
 }
+
+/** The md5 (ORACLE-family) twin of [[CharNgramDimCounts]]: per document,
+  * every code-point n-gram is hashed with the engine's md5-32
+  * ([[Md5Hash.hash32]] — first 8 md5 hex digits, bit-identical to
+  * `('0x' || substring(md5(gram), 1, 8))::BIGINT` and to
+  * [[graft.operators.TextClassifier.hashedGramDim]]'s column composition)
+  * and bucketed `h % dims` (h ∈ [0, 2^32), so plain mod is non-negative);
+  * the complete per-document (dim, count) table returns as one sorted
+  * array. Replaces the declarative
+  * `explode(charNgrams) → md5 → conv → substring → % → groupBy` chain in
+  * [[graft.operators.TextClassifier.hashedGramCounts]]'s md5 branch: the
+  * per-gram hex-string materialization (md5's 32-char hex render + the
+  * conv re-parse) and the grams-sized aggregation exchange both
+  * disappear — only ≤ min(grams, dims) finished (dim, count) rows leave
+  * the map side. The md5 itself is unchanged, so every downstream value
+  * is bit-identical and the DuckDB oracles keep replaying the chain.
+  *
+  * Gram semantics mirror [[graft.operators.TextClassifier.charNgrams]]
+  * exactly (shared with the fast kernel): fewer than `n` code points —
+  * including the empty string — contributes ONE gram, the whole text.
+  * md5 hashes the gram's UTF-8 bytes, which are byte slices of the
+  * document's UTF-8 bytes (code-point boundaries respect UTF-8 framing),
+  * so hashing document byte-ranges is exactly hashing the gram strings.
+  */
+case class CharNgramMd5DimCounts(child: Expression, n: Int, dims: Int)
+    extends UnaryExpression with NativeUnaryCodegen {
+  require(n > 0, s"n must be positive, got $n")
+  require(dims > 0 && dims <= (1 << 22),
+    s"dims must be in [1, 2^22], got $dims")
+
+  override def dataType: DataType = CharNgramDimCounts.schema
+  override def nullable: Boolean = child.nullable
+  override def prettyName: String = "char_ngram_md5_dim_counts"
+
+  // per-(instance, thread) reusable count buffer — the CharNgramDimCounts
+  // rationale: codegen shares the expression object across tasks
+  @transient private lazy val buf: ThreadLocal[Array[Long]] =
+    ThreadLocal.withInitial(() => new Array[Long](dims))
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val u = input.asInstanceOf[UTF8String]
+    // one contiguous copy of the document's UTF-8 bytes (getBytes returns
+    // the backing array when it is exactly array-backed), then per-gram
+    // md5 over byte ranges — no per-gram allocation
+    val arr = u.getBytes
+    val nb = arr.length
+    // one pass collecting code-point BYTE starts (UTF-8 lead bytes)
+    var starts = new Array[Int](math.max(8, math.min(nb, 64)))
+    var cps = 0
+    var i = 0
+    while (i < nb) {
+      if (cps == starts.length)
+        starts = java.util.Arrays.copyOf(starts, starts.length * 2)
+      starts(cps) = i
+      cps += 1
+      i += UTF8String.numBytesForFirstByte(arr(i))
+    }
+    val counts = buf.get()
+    val touched = new java.util.ArrayList[Integer]()
+    // shared per-thread pool: re-zero every touched slot even on a
+    // mid-row throw (same invariant as CharNgramDimCounts)
+    try {
+      def bump(fromByte: Int, toByte: Int): Unit = {
+        val h = Md5Hash.hash32(arr, fromByte, toByte - fromByte)
+        val d = (h % dims).toInt // h >= 0: plain mod, like hash32(gram) % dims
+        if (counts(d) == 0L) touched.add(d)
+        counts(d) += 1L
+      }
+      if (cps < n) bump(0, nb) // whole (short/empty) text as ONE gram
+      else {
+        var g = 0
+        val grams = cps - n + 1
+        while (g < grams) {
+          bump(starts(g), if (g + n < cps) starts(g + n) else nb)
+          g += 1
+        }
+      }
+      val ds = new Array[Int](touched.size)
+      var t = 0
+      while (t < ds.length) { ds(t) = touched.get(t).intValue; t += 1 }
+      java.util.Arrays.sort(ds)
+      val out = new Array[AnyRef](ds.length)
+      t = 0
+      while (t < ds.length) {
+        val d = ds(t)
+        out(t) = InternalRow(d, counts(d))
+        t += 1
+      }
+      new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+    } finally {
+      var t = 0
+      while (t < touched.size) { counts(touched.get(t).intValue) = 0L; t += 1 }
+    }
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object CharNgramMd5DimCounts {
+  def charNgramMd5DimCounts(c: Column, n: Int, dims: Int): Column =
+    ExpressionUtilsShim.column(
+      CharNgramMd5DimCounts(ExpressionUtilsShim.expr(c), n, dims))
+}

@@ -36,7 +36,7 @@ object Dedup {
     * At real scale inputs arrive with >= cores non-empty partitions and
     * this no-ops — no shuffle added.
     */
-  private def widen(df: DataFrame): DataFrame = {
+  private[graft] def widen(df: DataFrame): DataFrame = {
     val target = df.sparkSession.sparkContext.defaultParallelism
     if (df.rdd.getNumPartitions < target) df.repartition(target) else df
   }

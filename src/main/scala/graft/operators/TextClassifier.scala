@@ -117,20 +117,38 @@ object TextClassifier {
     * [[graft.tools.TrainArtifacts]] does.
     */
   def hashedGramCounts(df: DataFrame, id: Column, text: Column,
-      n: Int, dims: Int, family: String = "md5"): DataFrame = family match {
-    case "md5" =>
-      df.select(id.as("id"), explode(charNgrams(text, n)).as("__g"))
-        .select(col("id"), hashedGramDim(col("__g"), dims).as("dim"))
-        .groupBy(col("id"), col("dim")).agg(count(lit(1)).as("c"))
-    case "fast" =>
-      df.select(id.as("id"),
-          explode(org.apache.spark.sql.graft.CharNgramDimCounts
-            .charNgramDimCounts(text, n, dims)).as("__dc"))
-        .select(col("id"), col("__dc.dim").cast("long").as("dim"),
-          col("__dc.c").as("c")) // long dim, like the md5 branch
-    case other =>
-      throw new IllegalArgumentException(
-        s"unknown featurizer family '$other' (md5 | fast)")
+      n: Int, dims: Int, family: String = "md5"): DataFrame = {
+    // widen before the per-gram hashing loop (the Dedup.widen rationale:
+    // a single-row-group parquet file lands every document on ONE core
+    // for the kernel pass; at real scale inputs arrive wide and this
+    // no-ops — no shuffle added)
+    val base = Dedup.widen(df.select(id.as("id"), text.as("__text")))
+    family match {
+      case "md5" =>
+        // ONE compiled pass ([[org.apache.spark.sql.graft
+        // .CharNgramMd5DimCounts]]): same md5-32 per gram, counts
+        // finished per document at map time — the explode used to carry
+        // every gram occurrence (with its rendered md5 hex) into the
+        // (id, dim) aggregation exchange; now ≤ min(grams, dims) rows
+        // per document reach it. The groupBy stays for this branch's
+        // documented duplicate-id merge contract (sum of per-row counts
+        // ≡ the old per-occurrence count).
+        base.select(col("id"),
+            explode(org.apache.spark.sql.graft.CharNgramMd5DimCounts
+              .charNgramMd5DimCounts(col("__text"), n, dims)).as("__dc"))
+          .select(col("id"), col("__dc.dim").cast("long").as("dim"),
+            col("__dc.c").as("__c0"))
+          .groupBy(col("id"), col("dim")).agg(sum(col("__c0")).as("c"))
+      case "fast" =>
+        base.select(col("id"),
+            explode(org.apache.spark.sql.graft.CharNgramDimCounts
+              .charNgramDimCounts(col("__text"), n, dims)).as("__dc"))
+          .select(col("id"), col("__dc.dim").cast("long").as("dim"),
+            col("__dc.c").as("c")) // long dim, like the md5 branch
+      case other =>
+        throw new IllegalArgumentException(
+          s"unknown featurizer family '$other' (md5 | fast)")
+    }
   }
 
   /** Apply a PINNED linear text classifier — the deployment shape of

@@ -1030,7 +1030,18 @@ object TextIndex {
       corpusSize: DataFrame, queryTerms: DataFrame, k: Int,
       k1: Double, b: Double, prePruned: Boolean = false): DataFrame = {
     require(k > 0, s"k must be positive, got $k")
-    val dl = dlDim
+    // Pin the two SMALL derived dims (r20 guide §2.4 — remove repeated
+    // passes): each is referenced twice downstream (dl by totDim + the
+    // candidate join, qp by the df dim + the candidates), and AQE does
+    // not fuse the identical subtrees (PlanProbe-verified), so unpinned
+    // each reference RE-EXECUTES the full posting derivation — for the
+    // from-postings path that was 4 evaluations of the caller's posting
+    // table (an in-query incremental FOLD for bm25_from_index). Both
+    // pins are docs-/query-bounded (one 16-byte row per doc; postings of
+    // the query's terms only), NEVER corpus-token-sized — the phraseMining
+    // stance on corpus-sized pins holds. Released at the caller's
+    // materialization boundary (graft.Pins contract).
+    val dl = graft.Pins.pin(dlDim)
     val totDim = dl.agg(coalesce(sum(col("dl")), lit(0L)).as("__tot"))
     val statsDim = corpusSize.crossJoin(totDim)
     val qt = queryTerms.select(col("qid"), col("term")).distinct()
@@ -1038,9 +1049,9 @@ object TextIndex {
     // (bm25TopK pushes the prune below its posting aggregation) — a
     // second broadcast join here would be an identity filter paying one
     // exchange and a probe per posting row
-    val qp =
+    val qp = graft.Pins.pin(
       if (prePruned) p
-      else p.join(broadcast(qt.select(col("term")).distinct()), Seq("term"))
+      else p.join(broadcast(qt.select(col("term")).distinct()), Seq("term")))
     val dfq = qp.groupBy(col("term")).agg(count(lit(1)).as("df"))
 
     val nd = col("__n").cast("double")

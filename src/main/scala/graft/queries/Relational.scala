@@ -24,7 +24,14 @@ object Relational {
   /** TPC-H Q1-style pricing summary. Single scan, partial agg map-side. */
   def q01PricingSummary(s: SparkSession, dir: String): DataFrame = {
     val li = T(s, dir, "lineitem")
-    li.filter(col("l_shipdate") <= lit("2001-09-01").cast("timestamp"))
+    // filter + project first (pushdown/pruning reach the scan), then widen
+    // (Dedup.widen's single-row-group rationale): the four-column decimal
+    // multiply chain is the per-row hot loop and otherwise runs on one
+    // core locally; no-op when the scan arrives wide
+    graft.operators.Dedup.widen(
+        li.filter(col("l_shipdate") <= lit("2001-09-01").cast("timestamp"))
+          .select(col("l_returnflag"), col("l_linestatus"), col("l_quantity"),
+            col("l_extendedprice"), col("l_discount"), col("l_tax")))
       .groupBy(col("l_returnflag"), col("l_linestatus"))
       .agg(
         sum(col("l_quantity").cast(dec)).cast("double").as("sum_qty"),
@@ -824,7 +831,12 @@ object Relational {
     * across engines — interpolated percentiles are deliberately avoided).
     */
   def q22Percentiles(s: SparkSession, dir: String): DataFrame = {
-    T(s, dir, "lineitem")
+    // project to the three consumed columns, then widen (Dedup.widen's
+    // single-row-group rationale): percentile_disc buffers every value in
+    // its partial aggregate, and an unwidened scan runs all three buffer
+    // passes on one core; no-op when the input arrives wide
+    graft.operators.Dedup.widen(T(s, dir, "lineitem")
+        .select(col("l_returnflag"), col("l_quantity"), col("l_extendedprice")))
       .groupBy(col("l_returnflag"))
       .agg(
         expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY l_quantity)").as("p50_qty"),

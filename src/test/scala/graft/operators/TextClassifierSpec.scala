@@ -131,6 +131,37 @@ class TextClassifierSpec extends SparkSpec {
     }
   }
 
+  test("md5 featurizer kernel: bit-equal to the declarative " +
+      "hash32-composition it replaced (explode charNgrams -> md5-32 -> " +
+      "mod -> groupBy count) on unicode/empty/short/long texts AND the " +
+      "real documents corpus — the oracle featurization cannot drift") {
+    val tricky = Seq(
+      (1L, ""), (2L, "a"), (3L, "ab"), (4L, "abc"), (5L, "abcd"),
+      (6L, "héllo wörld"), (7L, "中文字符测试"), (8L, "a😀b😁c"),
+      (9L, "  spaced   text  "), (10L, "x" * 5000),
+      (11L, ("the quick brown fox " * 50).trim)
+    ).toDF("doc_id", "text")
+    val real = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    for ((df, what) <- Seq((tricky, "tricky"), (real, "documents"));
+         (n, dims) <- Seq((3, 128), (2, 7), (5, 1 << 12))) {
+      // the executable spec: the exact pre-round-20 declarative chain —
+      // gram strings through TextFunctions.hash32 (first 8 md5 hex
+      // digits), mod dims, per-(id, dim) occurrence count
+      val reference = df
+        .select(col("doc_id").as("id"),
+          explode(TextClassifier.charNgrams(col("text"), n)).as("__g"))
+        .select(col("id"),
+          TextClassifier.hashedGramDim(col("__g"), dims).as("dim"))
+        .groupBy(col("id"), col("dim")).agg(count(lit(1)).as("c"))
+        .as[(Long, Long, Long)].collect().sortBy(t => (t._1, t._2)).toSeq
+      val kernel = TextClassifier.hashedGramCounts(
+          df, col("doc_id"), col("text"), n = n, dims = dims, family = "md5")
+        .as[(Long, Long, Long)].collect().sortBy(t => (t._1, t._2)).toSeq
+      assert(kernel === reference, s"corpus=$what n=$n dims=$dims")
+    }
+  }
+
   test("pinned families: each family reproduces its own recorded training " +
       "accuracy on the training corpus, the fast family within noise of " +
       "md5, and agreement is far above the independent-predictions " +
