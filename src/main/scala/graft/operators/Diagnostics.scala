@@ -532,17 +532,20 @@ object Diagnostics {
     * averaging). Output: (grp, n, p_lo, p50, p_hi, wins_mean), one row
     * per group.
     *
-    * Determinism: percentile_disc picks an actual data value (no
-    * interpolation); the clamped sum is an exact long sum (order-free),
-    * and the mean is one double division — all replayable. `value` must
-    * be integral (the exact-sum contract; scale floats to fixed-point
-    * upstream, the [[graft.operators.EmbeddingStats]] pattern).
+    * Determinism: the discrete pick returns an actual data value (no
+    * interpolation; == `percentile_disc` bit-for-bit — QuantilesSpec);
+    * the clamped sum is an exact long sum (order-free), and the mean is
+    * one double division — all replayable. `value` must be integral
+    * (the exact-sum contract; scale floats to fixed-point upstream, the
+    * [[graft.operators.EmbeddingStats]] pattern).
     *
     * Scale shape: two passes over the (grp, value) projection — the
-    * percentile agg (Spark's percentile_disc buffers per group; at
-    * extreme group sizes swap in the KLL sketch,
-    * [[graft.functions.QuantileSketch]]) broadcast back onto the rows,
-    * then one partial-aggregated clamped-sum pass. Nothing wider than
+    * percentile dim via [[Quantiles.discPicks]] (per-(grp, value)
+    * DISTINCT counts + a spillable ordered pick; the `percentile_disc`
+    * aggregate this replaces buffered a group's entire distinct-value
+    * set — corpus/|groups| values — in one task's OpenHashMap with no
+    * spill path) broadcast back onto the rows, then one
+    * partial-aggregated clamped-sum pass. Nothing wider than
     * (grp, value) ever shuffles.
     */
   def robustStats(df: DataFrame, group: Column, value: Column,
@@ -553,15 +556,14 @@ object Diagnostics {
     // winsorized mean (Spark's least/greatest skip nulls)
     val base = df.select(group.as("grp"), value.cast("long").as("v"))
       .filter(col("v").isNotNull)
-    // percentile_disc returns an ACTUAL data value; the long cast is
-    // exact and keeps the clamp + sum in order-free integer arithmetic
-    val pcts = base.groupBy(col("grp")).agg(
-      expr(s"CAST(percentile_disc($pLo) WITHIN GROUP (ORDER BY v) AS BIGINT)")
-        .as("p_lo"),
-      expr("CAST(percentile_disc(0.5) WITHIN GROUP (ORDER BY v) AS BIGINT)")
-        .as("p50"),
-      expr(s"CAST(percentile_disc($pHi) WITHIN GROUP (ORDER BY v) AS BIGINT)")
-        .as("p_hi"))
+    // the pick returns an ACTUAL data value (DOUBLE, like
+    // percentile_disc); the long cast is exact and keeps the clamp +
+    // sum in order-free integer arithmetic
+    val pcts = Quantiles.discPicks(base, Seq("grp"),
+        Seq(("__lo", "v", pLo), ("__50", "v", 0.5), ("__hi", "v", pHi)))
+      .select(col("grp"), col("__lo").cast("bigint").as("p_lo"),
+        col("__50").cast("bigint").as("p50"),
+        col("__hi").cast("bigint").as("p_hi"))
     base.join(broadcast(pcts), Seq("grp"))
       .select(col("grp"), col("p_lo"), col("p50"), col("p_hi"),
         greatest(col("p_lo"), least(col("p_hi"), col("v"))).as("w"))
@@ -763,13 +765,16 @@ object Diagnostics {
     * min_v, max_v, mean, p50) as doubles, one row per profiled column,
     * ordered by col_name.
     *
-    * Scale shape: ALL columns profile in ONE 2-phase aggregation over a
-    * single scan — no per-column pass, no melt (an explode to
-    * (row, col, value) would multiply the corpus by |cols| before the
-    * shuffle). The one-row aggregate then explodes into |cols| output
-    * rows driver-side-free. The per-column percentile buffer holds that
-    * column's values — the [[robustStats]] bound; profile a sampled
-    * slice or swap the KLL sketch for wide-row tables at extreme scale.
+    * Scale shape: count/null/min/max/mean for ALL columns in ONE 2-phase
+    * aggregation; medians via [[Quantiles.discPicks]] over the same
+    * widened scan subtree (per-(column, value) count partials, so each
+    * exchange carries distinct values only, and a per-column spillable
+    * ordered pick — no single-task distinct-value buffer anywhere). The
+    * one-row result then explodes into |cols| output rows
+    * driver-side-free. For columns whose DISTINCT count itself is
+    * extreme, the per-column pick is a one-task sort of (value, count)
+    * rows — it spills rather than OOMs; swap the KLL sketch if even that
+    * ordering is too slow.
     */
   def tableProfile(df: DataFrame, cols: Seq[(String, Column)]): DataFrame = {
     require(cols.nonEmpty, "tableProfile needs at least one column")
@@ -811,17 +816,30 @@ object Diagnostics {
     // vs 0.7 s at sf0.1 for four columns of lineitem. The exchange
     // carries only the projected profile columns; at real scale the
     // input arrives wide and this no-ops.
-    val withScaled = Dedup.widen(sel.select(col("*") +:
-      cols.map { case (n, _) => p50Input(n).as(s"__q_$n") }: _*))
+    val wide = Dedup.widen(sel)
     val aggs = Seq(count(lit(1)).as("__rows")) ++ cols.flatMap { case (n, _) =>
       Seq(count(col(s"__v_$n")).as(s"__n_$n"),
         min(col(s"__v_$n")).as(s"__min_$n"),
         max(col(s"__v_$n")).as(s"__max_$n"),
-        sum(col(s"__v_$n")).as(s"__sum_$n"),
-        expr(s"percentile_disc(0.5) WITHIN GROUP (ORDER BY __q_$n)")
-          .as(s"__p50_$n"))
+        sum(col(s"__v_$n")).as(s"__sum_$n"))
     }
-    withScaled.agg(aggs.head, aggs.tail: _*)
+    // medians via the distributed per-value-count pick (Quantiles.discPicks,
+    // bit-equal to percentile_disc — QuantilesSpec): the percentile_disc
+    // aggregate's final merge would hold EVERY distinct value of every
+    // column in one task's OpenHashMap (the flagged OOM at high
+    // cardinality); the pick's per-column sort is a spillable window over
+    // (value, count) rows, one column per task. The scaled __q columns are
+    // derived AFTER the shared widen so BOTH consumers prune to the same
+    // four columns below the same repartition — the two exchanges stay
+    // canonically identical and AQE's ReuseExchange runs the scan ONCE
+    // (deriving __q before the widen made the branches prune differently:
+    // two exchanges, two full scans — measured in the executed plan). One
+    // row each, so the crossJoin is a 1x1 attach.
+    val picks = Quantiles.discPicks(
+      wide.select(cols.map { case (n, _) => p50Input(n).as(s"__q_$n") }: _*),
+      Seq.empty,
+      cols.map { case (n, _) => (s"__p50_$n", s"__q_$n", 0.5) })
+    wide.agg(aggs.head, aggs.tail: _*).crossJoin(picks)
       .select(explode(array(cols.map { case (n, _) =>
         struct(lit(n).as("col_name"),
           col("__rows").as("n"),

@@ -259,10 +259,15 @@ object EmbeddingStats {
     * Output: (label, n_vecs, n_zero, mse_p50, mse_p90, mse_max,
     * abserr_max).
     *
-    * Scale shape: map-only per-vector work, then one |labels|-sized
-    * partial-aggregated groupBy. `percentile_disc` sorts per label — the
-    * usual exactness trade; at 10⁹ vectors per label swap in the KLL
-    * sketch path.
+    * Scale shape: map-only per-vector work, then ONE melt into
+    * per-(label, value) DISTINCT counts from which every output derives
+    * ([[graft.operators.Quantiles.discPicks]]): the picks, both maxes
+    * (distributive over value counts), n_vecs (rowCountCol) and n_zero
+    * (the null-mse bucket count — __mse is null exactly when the norm
+    * is zero). The `percentile_disc` aggregate this replaces buffered a
+    * label's ENTIRE mse set (one distinct double per vector) in one
+    * task's OpenHashMap with no spill path; the pick's per-label
+    * ordered cumulative is a sort-based window that spills.
     */
   def quantErrorReport(df: DataFrame, label: Column, vec: Column)
       : DataFrame = {
@@ -282,16 +287,17 @@ object EmbeddingStats {
         when(col("__n") === 0.0, lit(null).cast("double"))
           .otherwise(aggregate(errs, lit(0.0),
             (acc, e) => greatest(acc, abs(e)))))
-    // percentile_disc and max skip NULLs, so the zero-vector rows drop
-    // out of the error stats while still counting in n_vecs/n_zero
-    base.groupBy(col("label"))
-      .agg(count(lit(1)).as("n_vecs"),
-        sum(when(col("__n") === 0.0, 1L).otherwise(0L)).as("n_zero"),
-        expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY __mse)")
-          .as("mse_p50"),
-        expr("percentile_disc(0.9) WITHIN GROUP (ORDER BY __mse)")
-          .as("mse_p90"),
-        max(col("__mse")).as("mse_max"),
-        max(col("__maxe")).as("abserr_max"))
+    // the picks and maxes skip NULLs exactly like percentile_disc/max,
+    // so the zero-vector rows drop out of the error stats while still
+    // counting in n_vecs (rowCountCol = count(*)) and n_zero (__mse is
+    // null iff __n == 0, so the null bucket's count IS n_zero)
+    Quantiles.discPicks(
+        base.select(col("label"), col("__mse"), col("__maxe")), Seq("label"),
+        Seq(("mse_p50", "__mse", 0.5), ("mse_p90", "__mse", 0.9)),
+        rowCountCol = Some("n_vecs"),
+        maxCols = Seq(("mse_max", "__mse"), ("abserr_max", "__maxe")),
+        nullCountCols = Seq(("n_zero", "__mse")))
+      .select(col("label"), col("n_vecs"), col("n_zero"), col("mse_p50"),
+        col("mse_p90"), col("mse_max"), col("abserr_max"))
   }
 }

@@ -142,10 +142,14 @@ object EventAnalytics {
     *
     * Scale shape: the [[funnel]] fold with the chain timestamps carried
     * in the accumulator (bounded by |steps|), one posexplode of those
-    * ≤ |steps| entries per user, and a per-step percentile aggregation —
-    * `percentile_disc` sorts each step's latency list, the exactness
-    * trade [[graft.queries.Relational.q22Percentiles]] documents (the
-    * KLL sketch is the approximate scale path). `maxEventsPerUser` is
+    * ≤ |steps| entries per user, and per-step percentiles via
+    * [[graft.operators.Quantiles.discPicks]] (bit-equal to
+    * `percentile_disc` — QuantilesSpec): per-(step, latency) counts and
+    * a spillable ordered pick, NOT the aggregate, whose final merge
+    * would hold a step's ENTIRE latency set (≈ one value per reaching
+    * user — |steps| groups over corpus-sized users) in one task's
+    * OpenHashMap. The user count rides the same pass (rowCountCol).
+    * `maxEventsPerUser` is
     * [[funnel]]'s skew guard with [[funnel]]'s exact semantics: each
     * user's earliest-cap step-typed slice feeds the chain, so a
     * conversion completed only past the cap contributes no latency row.
@@ -180,24 +184,22 @@ object EventAnalytics {
             .otherwise(acc),
           acc => acc.getField("ch")).as("ch"))
       .filter(size(col("ch")) > 0)
-    chains
+    val lats = chains
       .select(element_at(col("ch"), 1).as("t0"),
         posexplode(col("ch")).as(Seq("pos", "tk")))
       .select((col("pos") + 1).cast("int").as("step"),
         (col("tk") - col("t0")).as("lat"))
-      .groupBy(col("step"))
-      .agg(count(lit(1)).as("users_reached"),
-        // percentile_disc returns DOUBLE; the value is drawn from the
-        // data (an exact long), so cast back — a latency would need to
-        // exceed 2^53 ns (~104 days) before the round-trip could lose a
-        // ulp, and keeping the column integral is what lets the oracle
-        // compare exactly
-        expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY lat)")
-          .cast("long").as("p50_nanos"),
-        expr("percentile_disc(0.9) WITHIN GROUP (ORDER BY lat)")
-          .cast("long").as("p90_nanos"))
+    // the pick returns DOUBLE exactly like percentile_disc; the value is
+    // drawn from the data (an exact long), so cast back — a latency would
+    // need to exceed 2^53 ns (~104 days) before the round-trip could lose
+    // a ulp, and keeping the column integral is what lets the oracle
+    // compare exactly. `lat` is never null, so rowCountCol == count(*).
+    Quantiles.discPicks(lats, Seq("step"),
+        Seq(("__p50", "lat", 0.5), ("__p90", "lat", 0.9)),
+        rowCountCol = Some("users_reached"))
       .select(col("step"), element_at(stepArr, col("step")).as("step_name"),
-        col("users_reached"), col("p50_nanos"), col("p90_nanos"))
+        col("users_reached"), col("__p50").cast("long").as("p50_nanos"),
+        col("__p90").cast("long").as("p90_nanos"))
   }
 
   /** RFM segmentation (recency / frequency / monetary — the classic
@@ -729,36 +731,40 @@ object EventAnalytics {
     * steps) with same-type rhythm.
     *
     * Determinism: gaps are exact long differences over the
-    * (ts, tieBreak) user ordering; percentile_disc picks actual data
-    * values; the mean is one IEEE division of an exact long sum.
+    * (ts, tieBreak) user ordering; the discrete pick returns actual data
+    * values (== `percentile_disc` bit-for-bit — QuantilesSpec); the mean
+    * is one IEEE division of an exact integer sum (Σ gap·count over
+    * distinct gaps ≡ Σ gap over rows — integer arithmetic, order-free).
     *
     * Scale shape: events shuffle ONCE to the (user, type) window
-    * partitioning, then partial-aggregate to |types| rows. The per-type
-    * percentile buffer holds that type's gaps (corpus/|types| values) —
-    * the same documented bound as [[graft.operators.Diagnostics
-    * .robustStats]]; swap in the KLL sketch
-    * ([[graft.functions.QuantileSketch]]) for extreme group sizes.
+    * partitioning, then collapse to per-(type, gap) DISTINCT-value
+    * counts ([[graft.operators.Quantiles.discPicks]]) from which the
+    * count, the exact DECIMAL sum (weightedSums) and both picks all
+    * derive — the `percentile_disc` aggregate this replaces buffered a
+    * type's ENTIRE gap set (corpus/|types| values) in one task's
+    * OpenHashMap with no spill path; the pick's per-type ordered
+    * cumulative is a sort-based window that spills.
     */
   def eventCadence(df: DataFrame, user: Column, tsNanos: Column,
       eventType: Column, tieBreak: Column): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("user_id"), col("et")).orderBy(col("ts"), col("tb"))
-    df.select(user.as("user_id"), tsNanos.cast("long").as("ts"),
+    val gaps = df.select(user.as("user_id"), tsNanos.cast("long").as("ts"),
         eventType.as("et"), tieBreak.as("tb"))
-      .select(col("et"), (col("ts") - lag(col("ts"), 1).over(w)).as("gap"))
+      .select(col("et").as("event_type"),
+        (col("ts") - lag(col("ts"), 1).over(w)).as("gap"))
       .filter(col("gap").isNotNull)
-      .groupBy(col("et").as("event_type"))
-      .agg(count(lit(1)).as("n_gaps"),
-        expr("CAST(percentile_disc(0.5) WITHIN GROUP (ORDER BY gap) AS BIGINT)")
-          .as("p50_gap_ns"),
-        expr("CAST(percentile_disc(0.95) WITHIN GROUP (ORDER BY gap) AS BIGINT)")
-          .as("p95_gap_ns"),
-        // DECIMAL(38,0) sum: a type's total gap mass is |users| · span
-        // nanoseconds, which overflows BIGINT long before 100 TB (ANSI
-        // would throw); DuckDB's SUM(BIGINT) is HUGEINT-backed already
-        sum(col("gap").cast("decimal(38,0)")).as("__s"))
-      .select(col("event_type"), col("n_gaps"), col("p50_gap_ns"),
-        col("p95_gap_ns"),
+    // `gap` is never null here, so rowCountCol == count(*) == n_gaps.
+    // DECIMAL(38,0) sum: a type's total gap mass is |users| · span
+    // nanoseconds, which overflows BIGINT long before 100 TB (ANSI
+    // would throw); DuckDB's SUM(BIGINT) is HUGEINT-backed already
+    Quantiles.discPicks(gaps, Seq("event_type"),
+        Seq(("__p50", "gap", 0.5), ("__p95", "gap", 0.95)),
+        rowCountCol = Some("n_gaps"),
+        weightedSums = Seq(("__s", "gap", "decimal(38,0)")))
+      .select(col("event_type"), col("n_gaps"),
+        col("__p50").cast("bigint").as("p50_gap_ns"),
+        col("__p95").cast("bigint").as("p95_gap_ns"),
         (col("__s").cast("double") / col("n_gaps").cast("double"))
           .as("mean_gap_ns"))
       .orderBy(col("event_type"))

@@ -656,27 +656,34 @@ object Sampling {
     * features bleed across a gapless boundary). Output: the input keyed
     * rows as (id, split ∈ train|embargo|test).
     *
-    * Determinism: the cut is an actual data value (percentile_disc) at
-    * MICROSECOND granularity — Spark's percentile_disc round-trips
-    * through DOUBLE, and a nanosecond epoch (~1.7·10^18) is beyond
-    * 2^53, so a nano-granular cut would shift by up to ~256 ns in the
-    * mantissa; microsecond epochs (~1.7·10^15) are exactly
-    * representable. The cut is the p-th distinct microsecond · 1000;
-    * both boundaries are exact long comparisons. Train: ts ≤ cut −
-    * embargo; embargo: cut − embargo < ts ≤ cut; test: ts > cut.
+    * Determinism: the cut is an actual data value (the discrete
+    * percentile pick, == `percentile_disc` bit-for-bit — QuantilesSpec)
+    * at MICROSECOND granularity — the pick round-trips through DOUBLE
+    * exactly like percentile_disc, and a nanosecond epoch (~1.7·10^18)
+    * is beyond 2^53, so a nano-granular cut would shift by up to
+    * ~256 ns in the mantissa; microsecond epochs (~1.7·10^15) are
+    * exactly representable. The cut is the p-th distinct
+    * microsecond · 1000; both boundaries are exact long comparisons.
+    * Train: ts ≤ cut − embargo; embargo: cut − embargo < ts ≤ cut;
+    * test: ts > cut.
     *
-    * Scale shape: ONE percentile aggregation (KLL documented for
-    * extreme corpora), a one-row broadcast, and a map-only labeling
-    * pass — no corpus shuffle.
+    * Scale shape: the cut comes from [[Quantiles.discPicks]] — per-value
+    * counts (the exchange carries DISTINCT microseconds only) and a
+    * spillable ordered pick, NOT the `percentile_disc` aggregate, whose
+    * final merge would hold EVERY distinct timestamp of the corpus in
+    * one task's OpenHashMap (timestamps are near-unique, so that buffer
+    * is the corpus — the flagged OOM-at-100TB shape). Then a one-row
+    * broadcast and a map-only labeling pass — no corpus shuffle.
     */
   def timeEmbargoSplit(df: DataFrame, id: Column, tsNanos: Column,
       trainFrac: Double = 0.8, embargoNanos: Long): DataFrame = {
     require(trainFrac > 0 && trainFrac < 1, s"bad trainFrac $trainFrac")
     require(embargoNanos >= 0, s"embargo must be >= 0, got $embargoNanos")
     val base = df.select(id.as("id"), tsNanos.cast("long").as("ts"))
-    val cut = broadcast(base.select(expr("ts div 1000").as("__us")).agg(
-      (expr(s"CAST(percentile_disc($trainFrac) WITHIN GROUP (ORDER BY __us) AS BIGINT)")
-        * 1000L).as("__cut")))
+    val cut = broadcast(Quantiles.discPicks(
+        base.select(expr("ts div 1000").as("__us")), Seq.empty,
+        Seq(("__p", "__us", trainFrac)))
+      .select((col("__p").cast("bigint") * 1000L).as("__cut")))
     base.crossJoin(cut)
       .select(col("id"),
         when(col("ts") <= col("__cut") - embargoNanos, "train")

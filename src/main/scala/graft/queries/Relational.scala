@@ -829,20 +829,28 @@ object Relational {
 
   /** Exact discrete percentiles (values drawn from the data, so bit-exact
     * across engines — interpolated percentiles are deliberately avoided).
+    *
+    * Computed via [[graft.operators.Quantiles.discPicks]] (distributed
+    * per-value counts + ordered cumulative pick) instead of the
+    * `percentile_disc` aggregate, whose final merge holds a group's entire
+    * distinct-value set in one task's OpenHashMap with no spill path — the
+    * one OOM-at-100TB shape the round-20 plan audit flagged. QuantilesSpec
+    * proves the pick bit-equal to percentile_disc on adversarial (n, p)
+    * pairs; the row count rides the same single pass (rowCountCol), so the
+    * whole query stays one scan like the aggregate it replaced.
     */
   def q22Percentiles(s: SparkSession, dir: String): DataFrame = {
     // project to the three consumed columns, then widen (Dedup.widen's
-    // single-row-group rationale): percentile_disc buffers every value in
-    // its partial aggregate, and an unwidened scan runs all three buffer
-    // passes on one core; no-op when the input arrives wide
-    graft.operators.Dedup.widen(T(s, dir, "lineitem")
+    // single-row-group rationale): the melt + per-value count partials of
+    // discPicks otherwise run on one core; no-op when the input arrives wide
+    val base = graft.operators.Dedup.widen(T(s, dir, "lineitem")
         .select(col("l_returnflag"), col("l_quantity"), col("l_extendedprice")))
-      .groupBy(col("l_returnflag"))
-      .agg(
-        expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY l_quantity)").as("p50_qty"),
-        expr("percentile_disc(0.9) WITHIN GROUP (ORDER BY l_quantity)").as("p90_qty"),
-        expr("percentile_disc(0.99) WITHIN GROUP (ORDER BY l_extendedprice)").as("p99_price"),
-        count(lit(1)).as("n"))
+    graft.operators.Quantiles.discPicks(base, Seq("l_returnflag"),
+        Seq(("p50_qty", "l_quantity", 0.5), ("p90_qty", "l_quantity", 0.9),
+          ("p99_price", "l_extendedprice", 0.99)),
+        rowCountCol = Some("n"))
+      .select(col("l_returnflag"), col("p50_qty"), col("p90_qty"),
+        col("p99_price"), col("n"))
       .orderBy(col("l_returnflag"))
   }
 

@@ -573,12 +573,16 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p)
   }
 
-  test("robust_stats: the percentile dim broadcasts back onto the rows " +
-      "(no shuffle of the corpus for the clamp); no window") {
+  test("robust_stats: the percentile dim (distinct-count pick, no " +
+      "percentile_disc buffer) broadcasts back onto the rows — no " +
+      "shuffle of the corpus for the clamp") {
     val p = plan(Pipeline.robustStatsQ(spark, dir))
-    assert(!p.contains("Window"), p)
+    assert(!p.contains("percentile_disc"), p)
+    assert(!p.contains("ObjectHashAggregate"), p)
     assert(!p.contains("CartesianProduct"), p)
     assert(p.contains("BroadcastHashJoin"), p)
+    // the pick's windows run over DISTINCT (grp, v) counts, not the corpus
+    assert("(\\d+) Window".r.findAllIn(p).size <= 4, p) // 2 nodes, 2 prints
   }
 
   test("event_anomaly: events collapse to (type, day) rows BEFORE the " +
@@ -643,20 +647,33 @@ class PlanSpec extends SparkSpec {
     assert("HashAggregate".r.findAllIn(p).size >= 2, p)
   }
 
-  test("event_cadence: ONE (user, type)-partitioned lag window, then a " +
-      "partial-aggregated |types|-row rollup") {
+  test("event_cadence: ONE (user, type)-partitioned lag window, then the " +
+      "per-(type, gap) distinct-count pick — count/sum/percentiles all " +
+      "derive from value counts; no percentile_disc buffer, no join") {
     val p = plan(Pipeline.eventCadenceQ(spark, dir))
-    assert("(\\d+) Window".r.findAllIn(p).size <= 2, p) // one node, 2 prints
+    // lag window + the pick's two windows (ordered cumulative + totals)
+    assert("(\\d+) Window".r.findAllIn(p).size <= 6, p) // 3 nodes, 2 prints
+    assert(!p.contains("percentile_disc"), p)
+    assert(!p.contains("ObjectHashAggregate"), p)
     assert(!p.contains("collect_list"), p)
     assert(!p.contains("Join"), p)
   }
 
-  test("table_profile: all columns profile in ONE aggregation over one " +
-      "scan — a single leaf, no join, no per-column pass") {
+  test("table_profile: count/min/max/mean in ONE aggregation, medians via " +
+      "the distributed per-value-count pick — no percentile_disc buffer; " +
+      "the two one-row branches attach by a 1x1 cross join and share one " +
+      "widened scan subtree (ReusedExchange at runtime, plans/r20)") {
     val p = plan(Pipeline.tableProfileQ(spark, dir))
-    assert(!p.contains("Join"), p)
+    // the unbounded single-task distinct-value buffer is gone
+    assert(!p.contains("percentile_disc"), p)
+    assert(!p.contains("ObjectHashAggregate"), p)
     assert(!p.contains("Union"), p) // NOT the per-column UNION the oracle uses
-    assert("Scan parquet".r.findAllIn(p).size <= 2, p) // one leaf, 2 prints
+    // the ONLY join is the 1x1 attach of the picks row onto the stats row
+    assert(p.contains("BroadcastNestedLoopJoin Cross"), p)
+    assert(!p.contains("SortMergeJoin") && !p.contains("BroadcastHashJoin") &&
+      !p.contains("ShuffledHashJoin") && !p.contains("CartesianProduct"), p)
+    // two identical-below-the-widen branches statically; one scan at runtime
+    assert("Scan parquet".r.findAllIn(p).size <= 4, p)
   }
 
   test("char_trigram_profile: explode -> one (source, gram) 2-phase " +
@@ -689,14 +706,16 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("collect_list"), p)
   }
 
-  test("time_embargo_split: one percentile agg, a one-row cut " +
-      "broadcast, and a map-only labeling pass — no corpus shuffle " +
-      "beyond the output sort") {
+  test("time_embargo_split: the cut from distinct-microsecond counts " +
+      "(no percentile_disc corpus buffer), a one-row cut broadcast, and " +
+      "a map-only labeling pass — no corpus shuffle beyond the output " +
+      "sort") {
     val p = plan(Pipeline.timeEmbargoSplitQ(spark, dir))
     assert(p.contains("BroadcastNestedLoopJoin"), p) // the one-row cut
-    assert(!p.contains("Window"), p)
-    assert(!p.contains("SortAggregate") ||
-      "SortAggregate".r.findAllIn(p).size <= 4, p) // the percentile only
+    assert(!p.contains("percentile_disc"), p)
+    assert(!p.contains("ObjectHashAggregate"), p)
+    // the pick's windows run over DISTINCT microsecond counts
+    assert("(\\d+) Window".r.findAllIn(p).size <= 4, p) // 2 nodes, 2 prints
   }
 
   test("edit_distance_linkage: the blocking join runs on shingle " +
