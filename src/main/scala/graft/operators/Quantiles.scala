@@ -16,7 +16,14 @@ import org.apache.spark.sql.functions._
   *
   *   1. per-(group, value) counts — a 2-phase hash aggregation, so the
   *      exchange carries distinct values only (never the corpus);
-  *   2. an ordered running sum per group (sort-based window; spills);
+  *   2. a BUCKETED two-level running sum per group: distinct values are
+  *      range-bucketed (an order-monotonic equi-width map from the
+  *      group's [min, max]), per-bucket totals are summed, a tiny window
+  *      over the ≤`buckets` totals yields each bucket's cumulative BASE,
+  *      and the ordered running sum runs only WITHIN a bucket — so a
+  *      near-unique column (distinct ≈ corpus) sorts |distinct|/buckets
+  *      rows per task instead of parking every distinct value on ONE
+  *      window task (the r20 straggler shape this replaces);
   *   3. the pick: the smallest value whose cumulative count reaches the
   *      target rank, as `min(when(cum >= target, v))`.
   *
@@ -77,13 +84,19 @@ object Quantiles {
     *                    non-null values, computed as Σ cast(v)·count —
     *                    exact for integral/decimal casts (null on a group
     *                    with no non-null value, like the plain aggregate).
+    * @param buckets     range buckets per (group, column) for the
+    *                    two-level cumulative (≤ 0 = auto: scale with the
+    *                    session's default parallelism). Any value yields
+    *                    the same bit-exact answer — it only bounds the
+    *                    largest single-task sort at |distinct|/buckets.
     */
   def discPicks(df: DataFrame, grpCols: Seq[String],
       specs: Seq[(String, String, Double)],
       rowCountCol: Option[String] = None,
       maxCols: Seq[(String, String)] = Seq.empty,
       nullCountCols: Seq[(String, String)] = Seq.empty,
-      weightedSums: Seq[(String, String, String)] = Seq.empty): DataFrame = {
+      weightedSums: Seq[(String, String, String)] = Seq.empty,
+      buckets: Int = 0): DataFrame = {
     require(specs.nonEmpty, "discPicks needs at least one spec")
     specs.foreach { case (_, _, p) =>
       require(p >= 0.0 && p <= 1.0, s"percentage $p outside [0,1]") }
@@ -118,21 +131,70 @@ object Quantiles {
       .groupBy((grpCols :+ "__w" :+ "__v").map(col): _*)
       .agg(count(lit(1)).as("__c"))
 
-    // running cumulative per (grp, column) in value order + the group-column
-    // totals; one exchange serves both window frames. Sort-based: spills.
-    // Null-value buckets (row-count mode only) contribute 0 to the
-    // cumulative and the non-null total, so every non-null row's __cum is
-    // its exact 1-based upper rank regardless of where nulls sort.
-    val part = (grpCols :+ "__w").map(col)
+    // Two-level cumulative per (grp, column). A single window partitioned
+    // by (grp, __w) would land EVERY distinct value of a column on one
+    // sort task — for a near-unique column (time_embargo_split's
+    // microsecond timestamps, table_profile's medians) that one task
+    // sorts billions of (value, count) rows at 100 TB: the straggler the
+    // r20 verdict flagged. Instead: range-bucket the distinct values with
+    // an order-MONOTONIC equi-width map over the group's [lo, hi] (IEEE
+    // subtract/divide/floor by per-group constants are all non-strictly
+    // monotonic, so v1 < v2 never lands v1 in a later bucket; equal
+    // values land identically — bucketing can never reorder ranks), sum
+    // per-bucket totals, window the ≤`nb` totals for each bucket's BASE,
+    // and run the ordered running sum within buckets only. Every level is
+    // exact integer arithmetic — the bucket map's doubles only PLACE
+    // rows, they never enter a count.
+    // Null-value rows (row-count/null-count mode only) sit in bucket -1
+    // and contribute 0 to the cumulative and the non-null total, so every
+    // non-null row's __cum is its exact 1-based upper rank.
+    val spark = df.sparkSession
+    val nb =
+      if (buckets > 0) buckets
+      else math.max(64, 4 * spark.sparkContext.defaultParallelism)
+    val partNames = grpCols :+ "__w"
+    val part = partNames.map(col)
     val nnC = when(col("__v").isNotNull, col("__c")).otherwise(lit(0L))
-    val wOrd = Window.partitionBy(part: _*).orderBy(col("__v"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val vd = col("__v").cast("double")
+    // group bounds over non-NaN values; rows == |groups × columns| — the
+    // same cardinality as discPicks' OUTPUT, so the broadcast back is
+    // bounded by what the caller already holds
+    val bounds = counts.groupBy(part: _*)
+      .agg(min(when(!isnan(vd), vd)).as("__lo"),
+        max(when(!isnan(vd), vd)).as("__hi"))
+    val span = col("__hi") - col("__lo")
+    val degenerate = col("__lo").isNull || // all-NaN slice
+      !(span > lit(0.0)) || // single value (span 0) — one bucket suffices
+      span === lit(Double.PositiveInfinity) || // ±inf endpoint or overflow
+      isnan(span) // lo = hi = ±inf (Spark compares NaN > 0 as TRUE)
+    val bucket = when(col("__v").isNull, lit(-1))
+      .when(isnan(vd), lit(nb + 1)) // NaN sorts greater than everything
+      .when(degenerate, lit(0))
+      .otherwise(least(lit(nb - 1), greatest(lit(0),
+        floor((vd - col("__lo")) / span * lit(nb.toDouble)).cast("int"))))
+    val withB = counts.join(broadcast(bounds), partNames)
+      .withColumn("__b", bucket).drop("__lo", "__hi")
+    // per-bucket totals (≤ nb + 2 rows per group-column) → cumulative
+    // bases + group totals from ONE tiny window frame
+    val bTot = withB.groupBy((part :+ col("__b")): _*)
+      .agg(sum(nnC).as("__bc"), sum(col("__c")).as("__bcAll"))
+    val wPrev = Window.partitionBy(part: _*).orderBy(col("__b"))
+      .rowsBetween(Window.unboundedPreceding, -1)
     val wAll = Window.partitionBy(part: _*)
-    var cum = counts
-      .withColumn("__cum", sum(nnC).over(wOrd))
-      .withColumn("__n", sum(nnC).over(wAll))
-    if (rowCountCol.isDefined)
-      cum = cum.withColumn("__nrows", sum(col("__c")).over(wAll))
+    val bases = bTot
+      .withColumn("__base", coalesce(sum(col("__bc")).over(wPrev), lit(0L)))
+      .withColumn("__n", sum(col("__bc")).over(wAll))
+      .withColumn("__nrows", sum(col("__bcAll")).over(wAll))
+      .select((part :+ col("__b") :+ col("__base") :+ col("__n") :+
+        col("__nrows")): _*)
+    // within-bucket running sum; the join and the window share the
+    // (grp, __w, __b) keys, so the window rides the join's partitioning
+    val wOrd = Window.partitionBy((part :+ col("__b")): _*)
+      .orderBy(col("__v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    var cum = withB.join(bases, partNames :+ "__b")
+      .withColumn("__cum", col("__base") + sum(nnC).over(wOrd))
+    if (rowCountCol.isEmpty) cum = cum.drop("__nrows")
 
     // the pick, in PercentileDisc's exact arithmetic (see scaladoc); the
     // sibling aggregates all fold the (value, count) rows — distributive,

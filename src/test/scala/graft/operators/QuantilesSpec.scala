@@ -194,6 +194,47 @@ class QuantilesSpec extends SparkSpec {
     }
   }
 
+  test("discPicks bucketed two-level cumulative: bit-equal through every " +
+      "bucket count on boundary-adversarial distributions") {
+    import spark.implicits._
+    // distributions chosen to stress the range-bucketing specifically:
+    // clusters far apart (most buckets empty), near-unique values (one
+    // value per bucket boundary), ±Infinity endpoints (degenerate span),
+    // single-value groups (span 0), and >2^53 longs (bucket map's double
+    // cast collapses neighbors into one bucket — within-bucket order must
+    // recover the exact rank)
+    val rnd = new scala.util.Random(77L)
+    val rows = Seq.newBuilder[(Int, Double)]
+    rows ++= (0 until 200).map(_ => (0, rnd.nextInt(3) - 1e9)) // cluster lo
+    rows ++= (0 until 200).map(_ => (0, rnd.nextInt(3) + 1e9)) // cluster hi
+    rows ++= (0 until 500).map(i => (1, i.toDouble))           // near-unique
+    rows ++= Seq((2, Double.NegativeInfinity), (2, 1.0), (2, 2.0),
+      (2, Double.PositiveInfinity), (2, Double.NaN))
+    rows ++= Seq((3, 42.0), (3, 42.0), (3, 42.0))              // span 0
+    rows ++= Seq((4, Double.NaN), (4, Double.NaN))             // all-NaN
+    rows ++= (0 until 60).map(_ =>
+      (5, ((1L << 53) + rnd.nextInt(1 << 20)).toDouble))       // >2^53
+    val df = rows.result().toDF("g", "v")
+    val specs = ps.map { case (n, p) => (n, "v", p) }
+    val aggs = ps.map { case (n, p) =>
+      expr(s"percentile_disc(CAST('$p' AS DOUBLE)) WITHIN GROUP (ORDER BY v)")
+        .as(n) }
+    val ref = df.groupBy(col("g")).agg(aggs.head, aggs.tail: _*)
+      .collect().map(r => r.getInt(0) -> r.toSeq.drop(1)).toMap
+    def bits(x: Any): Any = x match {
+      case d: java.lang.Double => java.lang.Double.doubleToLongBits(d)
+      case other => other
+    }
+    Seq(1, 2, 3, 7, 64).foreach { nb =>
+      val ours = Quantiles.discPicks(df, Seq("g"), specs, buckets = nb)
+        .collect().map(r => r.getInt(0) -> r.toSeq.drop(1)).toMap
+      assert(ours.keySet === ref.keySet, s"buckets=$nb")
+      ours.foreach { case (g, mine) =>
+        assert(mine.map(bits) === ref(g).map(bits), s"buckets=$nb group $g")
+      }
+    }
+  }
+
   test("discPicks: global (no group columns) returns one row, equal to the " +
       "global percentile_disc") {
     import spark.implicits._

@@ -648,15 +648,19 @@ class PlanSpec extends SparkSpec {
   }
 
   test("event_cadence: ONE (user, type)-partitioned lag window, then the " +
-      "per-(type, gap) distinct-count pick — count/sum/percentiles all " +
-      "derive from value counts; no percentile_disc buffer, no join") {
+      "per-(type, gap) BUCKETED distinct-count pick — count/sum/" +
+      "percentiles all derive from value counts; no percentile_disc " +
+      "buffer, the only joins are the pick's broadcast bound/base attaches") {
     val p = plan(Pipeline.eventCadenceQ(spark, dir))
-    // lag window + the pick's two windows (ordered cumulative + totals)
-    assert("(\\d+) Window".r.findAllIn(p).size <= 6, p) // 3 nodes, 2 prints
     assert(!p.contains("percentile_disc"), p)
     assert(!p.contains("ObjectHashAggregate"), p)
     assert(!p.contains("collect_list"), p)
-    assert(!p.contains("Join"), p)
+    // bucketed two-level pick: range-bucket bounds and cumulative bases
+    // ride back as broadcasts — never a corpus-side shuffle join, never
+    // a cartesian, and no single (type, column)-wide sort task
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
+      p)
+    assert(p.contains("BroadcastHashJoin"), p)
   }
 
   test("table_profile: count/min/max/mean in ONE aggregation, medians via " +
@@ -668,12 +672,17 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("percentile_disc"), p)
     assert(!p.contains("ObjectHashAggregate"), p)
     assert(!p.contains("Union"), p) // NOT the per-column UNION the oracle uses
-    // the ONLY join is the 1x1 attach of the picks row onto the stats row
+    // the picks row attaches to the stats row by a 1x1 cross; the pick's
+    // internal bound/base attaches are broadcasts over (column)-sized
+    // frames — never a corpus-side shuffle join, never a cartesian
     assert(p.contains("BroadcastNestedLoopJoin Cross"), p)
-    assert(!p.contains("SortMergeJoin") && !p.contains("BroadcastHashJoin") &&
+    assert(!p.contains("SortMergeJoin") &&
       !p.contains("ShuffledHashJoin") && !p.contains("CartesianProduct"), p)
-    // two identical-below-the-widen branches statically; one scan at runtime
-    assert("Scan parquet".r.findAllIn(p).size <= 4, p)
+    // the static plan repeats the widened-scan subtree per pick consumer
+    // (bounds + bucket-counts + bases); at runtime the identical widen
+    // exchange dedups to one scan (ReusedExchange — PlanProbe-verified,
+    // plans/r21/table_profile_final.txt)
+    assert("Scan parquet".r.findAllIn(p).size <= 12, p)
   }
 
   test("char_trigram_profile: explode -> one (source, gram) 2-phase " +
